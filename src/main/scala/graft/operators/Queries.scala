@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytics queries from the reference's `queries/` + `sql_templates/`
+  * ad-hoc surface, re-expressed over the testdata tables (role mapping in
+  * FIXTURES.md §B).
+  *
+  * Determinism rules (driver hash-compares vs a DuckDB oracle):
+  *  - dates/timestamps leave as formatted strings;
+  *  - any SUM over a computed double goes through a per-row scaled-long
+  *    cast first (order-independent exact integer sums);
+  *  - every ORDER BY carries a unique tie-break key.
+  */
+object Queries {
+
+  /** Flagship: 5-day running call tally, busiest first.
+    * Reference: /root/reference/queries/pagenation.sql:1-25
+    * (`cjp.t_calls` → events; `call_start` → ts; `call_session_id` → event_id).
+    * Covers SURVEY §2 A1 (group-count), W3 (ROWS BETWEEN 4 PRECEDING),
+    * P11 (TO_DATE), F2 (IS NOT NULL), O1 (multi-key sort).
+    *
+    * Scale: groupBy(dt) is a map-side-combinable agg over a date key
+    * (few thousand distinct values even at 100 TB); the single
+    * un-partitioned window runs over the *aggregated* (tiny) frame,
+    * never the raw events.
+    */
+  def runningTally(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("dt"))
+      .agg(count(col("event_id")).as("tally"))
+    // The window intentionally has no partition: it orders the daily
+    // aggregate (|dates|, not |events|, rows) — cheap at any scale.
+    val w = Window.orderBy(col("dt")).rowsBetween(-4, 0)
+    daily
+      .withColumn("running_tally", sum(col("tally")).over(w))
+      .orderBy(col("running_tally").desc, col("dt"))
+      .select(
+        date_format(col("dt"), "yyyy-MM-dd").as("dt"),
+        col("tally"),
+        col("running_tally"))
+  }
+
+  /** CSLB↔contacts reconciliation: which calls matched a contact.
+    * Reference: /root/reference/sql_templates/cslb contacts.sql:1-17
+    * (CSLB call data → customer, Calabrio contacts → orders so the LEFT
+    * join can actually miss). Covers J1 (left equi-join), A2 (DISTINCT),
+    * F2 (IS NOT NULL), O1 (ORDER BY ordinal).
+    *
+    * Scale: distinct-on-key after a left join; Catalyst rewrites the
+    * filter+distinct into an aggregate on the join key. At 100 TB the
+    * small dimension side would be broadcast — here sizes make customer
+    * the probe side and the optimizer picks the join.
+    */
+  def cslbReconcile(spark: SparkSession, sfDir: String): DataFrame = {
+    val cslb = Tables.customer(spark, sfDir)
+    val clb = Tables.orders(spark, sfDir)
+    cslb
+      .join(clb, clb("o_custkey") === cslb("c_custkey"), "left")
+      .select(col("o_custkey").as("contact_id"))
+      .filter(col("contact_id").isNotNull)
+      .distinct()
+      .orderBy(col("contact_id"))
+  }
+
+  /** Pricing summary (TPC-H Q1 shape) — the bench workhorse: full
+    * lineitem scan, map-side-combinable aggregate on a 6-value key.
+    * Money sums go through scaled longs (see object scaladoc).
+    */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    // price*(1-disc) and *(1+tax) have <=4 and <=6 decimals: scale to
+    // exact integers per row, then sum longs (order-independent).
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val charge = disc * (lit(1.0) + col("l_tax"))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_base_price_e2"),
+        sum(round(disc * 10000).cast("long")).as("sum_disc_price_e4"),
+        sum(round(charge * 1000000).cast("long")).as("sum_charge_e6"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Top revenue orders (join + agg + limit). Covers join strategy at
+    * scale: orders⋈lineitem on the natural key, AQE handles skew; the
+    * limit is pushed through the sort (TakeOrderedAndProject).
+    */
+  def topRevenueOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val revE4 = round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000).cast("long")
+    li.select(col("l_orderkey"), revE4.as("rev_e4"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("rev_e4")).as("revenue_e4"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        col("o_orderkey"),
+        col("o_orderpriority"),
+        col("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Null probe: evaluations missing an evaluator.
+    * Reference: /root/reference/sql_templates/trouble_children.sql:1-8.
+    * Runs over the Calabrio fixture evaluations (see Fixtures).
+    * Covers F2 (IS NULL), P12 (column pruning: one col out of ten).
+    */
+  def troubleChildren(evaluations: DataFrame): DataFrame =
+    evaluations
+      .filter(col("evaluator_id").isNull)
+      .select(col("contact_id"))
+      .orderBy(col("contact_id"))
+}
