@@ -10,19 +10,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
     var errors = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        // noop-format write evaluates every output column; a count()
+        // would let Catalyst prune the aggregate expressions out of the
+        // measurement (VERDICT r2 "What's wrong" #3).
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         Some(name -> (System.nanoTime() - t0) / 1e9)
       } catch {
         case e: Throwable =>

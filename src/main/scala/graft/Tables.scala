@@ -21,15 +21,15 @@ object Tables {
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
   /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects by default. Read nanos as long and normalize
-    * to a microsecond TimestampType column. Integer `DIV` keeps the full
-    * 63-bit value — a double division would lose precision past 2^53.
+    * parquet reader rejects by default; Sessions.local sets the
+    * nanos-as-long legacy flag at session build. Read nanos as long and
+    * normalize to a microsecond TimestampType column. Integer `DIV`
+    * keeps the full 63-bit value — a double division would lose
+    * precision past 2^53.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
     load(spark, sfDir, "events")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 }
