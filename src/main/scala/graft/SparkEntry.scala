@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.Queries
+import graft.operators.{Queries, Shred}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,6 +24,16 @@ object SparkEntry {
     "cslb_reconcile" -> ((s, dir) => Queries.cslbReconcile(s, dir)),
     "pricing_summary" -> ((s, dir) => Queries.pricingSummary(s, dir)),
     "top_revenue_orders" -> ((s, dir) => Queries.topRevenueOrders(s, dir)),
+    // Shredding layer over the Calabrio fixtures (SURVEY §2.8/.6/.3/.2);
+    // these ignore the sf dir — inputs are the committed fixtures, and
+    // the oracle reads the same absolute paths via read_json.
+    "shred_forms" -> ((s, _) => Shred.forms(Fixtures.forms(s))),
+    "shred_qa_contacts" -> ((s, _) => Shred.contacts(Fixtures.qaContacts(s))),
+    "shred_evaluations" -> ((s, _) => Shred.evaluations(Fixtures.evaluations(s))),
+    "shred_scores" -> ((s, _) => Shred.scores(Fixtures.evaluations(s))),
+    "shred_comments" -> ((s, _) => Shred.comments(Fixtures.comments(s))),
+    "trouble_children" -> ((s, _) =>
+      Queries.troubleChildren(Shred.evaluations(Fixtures.evaluations(s)))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -62,5 +72,72 @@ object SparkEntry {
         |JOIN orders ON l_orderkey = o_orderkey
         |ORDER BY revenue_e4 DESC, o_orderkey
         |LIMIT 100""".stripMargin,
+    "shred_forms" ->
+      """WITH f AS (SELECT * FROM read_json('/root/repo/fixtures/forms.json')),
+        | s AS (SELECT id AS form_id, name AS form_name, unnest(sections) AS sec FROM f),
+        | q AS (SELECT form_id, form_name, sec.id AS section_id, sec.name AS section_name, sec.weight AS section_weight, unnest(sec.questions) AS que FROM s),
+        | o AS (SELECT form_id, form_name, section_id, section_name, section_weight, que.id AS question_id, que.text AS question_text, que.weight AS question_weight, unnest(que.options) AS opt FROM q)
+        |SELECT form_id, form_name, section_id, section_name, section_weight, question_id, question_text, question_weight,
+        |       opt.id AS option_id, opt.label AS option_label, opt.points AS option_points, opt.type AS option_type
+        |FROM o ORDER BY form_id, section_id, question_id, option_id""".stripMargin,
+    "shred_qa_contacts" ->
+      """SELECT id AS contact_id,
+        |       strftime(timezone('America/Denver', epoch_ms(startTime)::TIMESTAMPTZ), '%Y-%m-%d %H:%M:%S') AS contact_start_time,
+        |       'https://calabriocloud.com/index.html#/recordings/' || id || '/ccr' AS contact_url,
+        |       assocCallId AS cjp_session_id
+        |FROM read_json('/root/repo/fixtures/qa_contacts.json')
+        |ORDER BY contact_start_time""".stripMargin,
+    "shred_evaluations" ->
+      """WITH src AS (SELECT * FROM read_json('/root/repo/fixtures/evals.json')),
+        | proj AS (
+        |  SELECT id AS evaluation_id, evalForm.evalFormId AS form_id,
+        |         CAST(regexp_extract(qualityRef, '(\d+)$', 1) AS BIGINT) AS contact_id,
+        |         agent.id AS agent_id, evaluator.id AS evaluator_id,
+        |         CASE WHEN isScoreCounted THEN 'Evaluation' ELSE 'Calibration' END AS eval_type,
+        |         strftime(timezone('America/Denver', epoch_ms(evaluated)::TIMESTAMPTZ), '%Y-%m-%d %H:%M:%S') AS evaluated_date,
+        |         responseState.text AS response_state,
+        |         additiveScore AS raw_score, totalScore AS final_score
+        |  FROM src WHERE state.text = 'SCORED')
+        |SELECT * FROM proj
+        |QUALIFY row_number() OVER (PARTITION BY evaluation_id ORDER BY form_id, contact_id, agent_id, evaluator_id, eval_type, evaluated_date, response_state, raw_score, final_score) = 1
+        |ORDER BY contact_id, evaluation_id""".stripMargin,
+    "shred_scores" ->
+      """WITH src AS (SELECT * FROM read_json('/root/repo/fixtures/evals.json')),
+        | f AS (SELECT id AS evaluation_id, CAST(regexp_extract(qualityRef, '(\d+)', 1) AS BIGINT) AS contact_id, unnest(sections) AS sec FROM src WHERE state.text = 'SCORED'),
+        | q AS (SELECT evaluation_id, contact_id, sec.id AS section_id, unnest(sec.questions) AS que FROM f)
+        |SELECT evaluation_id, contact_id, section_id, que.id AS question_id, que.selectedOption AS option_id
+        |FROM q ORDER BY evaluation_id, section_id, question_id""".stripMargin,
+    "shred_comments" ->
+      """WITH src AS (SELECT * FROM read_json('/root/repo/fixtures/comments.json')),
+        | ex AS (
+        |   SELECT "$ref", sectionFK, questionFK, created, commentor, text, unnest(history) AS h
+        |   FROM src WHERE len(history) > 0
+        |   UNION ALL
+        |   SELECT "$ref", sectionFK, questionFK, created, commentor, text, NULL AS h
+        |   FROM src WHERE history IS NULL OR len(history) = 0),
+        | proj AS (
+        |  SELECT CAST(regexp_extract_all("$ref", '\d+')[3] AS BIGINT) AS comment_id,
+        |         CAST(regexp_extract_all("$ref", '\d+')[1] AS BIGINT) AS contact_id,
+        |         CAST(regexp_extract_all("$ref", '\d+')[2] AS BIGINT) AS evaluation_id,
+        |         sectionFK AS section_id, questionFK AS question_id,
+        |         strftime(timezone('America/Denver', epoch_ms(COALESCE(h.created, created))::TIMESTAMPTZ), '%Y-%m-%d %H:%M:%S') AS created_date,
+        |         CAST(regexp_extract(COALESCE(h.commentor."$ref", commentor."$ref"), '(\d+)', 1) AS BIGINT) AS commentor_id,
+        |         text, h.created AS h_created
+        |  FROM ex
+        |  WHERE regexp_matches(text, '^.*[[:alnum:]].*$', 's'))
+        |SELECT comment_id, contact_id, evaluation_id, section_id, question_id, created_date, commentor_id, text
+        |FROM proj
+        |QUALIFY row_number() OVER (PARTITION BY comment_id ORDER BY h_created DESC NULLS LAST) = 1
+        |ORDER BY contact_id, evaluation_id, section_id, question_id""".stripMargin,
+    "trouble_children" ->
+      """WITH src AS (SELECT * FROM read_json('/root/repo/fixtures/evals.json')),
+        | proj AS (
+        |  SELECT id AS evaluation_id,
+        |         CAST(regexp_extract(qualityRef, '(\d+)$', 1) AS BIGINT) AS contact_id,
+        |         evaluator.id AS evaluator_id
+        |  FROM src WHERE state.text = 'SCORED'),
+        | d AS (SELECT * FROM proj
+        |       QUALIFY row_number() OVER (PARTITION BY evaluation_id ORDER BY contact_id) = 1)
+        |SELECT contact_id FROM d WHERE evaluator_id IS NULL ORDER BY contact_id""".stripMargin,
   )
 }
