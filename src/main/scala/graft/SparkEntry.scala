@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Queries, Shred}
+import graft.operators.{CalabrioSync, Queries, Shred}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -34,7 +34,43 @@ object SparkEntry {
     "shred_comments" -> ((s, _) => Shred.comments(Fixtures.comments(s))),
     "trouble_children" -> ((s, _) =>
       Queries.troubleChildren(Shred.evaluations(Fixtures.evaluations(s)))),
+    // Write-path merge semantics (SURVEY §2.4 J2/J3/J5/J6, §2.9 D1/D2)
+    // over base batch + restated re-extraction window.
+    "merge_contacts" -> ((s, _) => CalabrioSync.mergedContacts(s)),
+    "merge_evaluations" -> ((s, _) => CalabrioSync.mergedEvaluations(s)),
+    "rebuild_scores" -> ((s, _) => CalabrioSync.rebuiltScores(s)),
   )
+
+  /** Shared oracle fragment: the evaluations shred (projection + SCORED
+    * filter + dedup-to-1) over a fixture file — mirrors Shred.evaluations.
+    */
+  private def evalShredSql(file: String): String =
+    s"""(SELECT * FROM (
+       |  SELECT id AS evaluation_id, evalForm.evalFormId AS form_id,
+       |         CAST(regexp_extract(qualityRef, '(\\d+)$$', 1) AS BIGINT) AS contact_id,
+       |         agent.id AS agent_id, evaluator.id AS evaluator_id,
+       |         CASE WHEN isScoreCounted THEN 'Evaluation' ELSE 'Calibration' END AS eval_type,
+       |         strftime(timezone('America/Denver', epoch_ms(evaluated)::TIMESTAMPTZ), '%Y-%m-%d %H:%M:%S') AS evaluated_date,
+       |         responseState.text AS response_state,
+       |         additiveScore AS raw_score, totalScore AS final_score
+       |  FROM read_json('/root/repo/fixtures/$file') WHERE state.text = 'SCORED')
+       | QUALIFY row_number() OVER (PARTITION BY evaluation_id ORDER BY form_id, contact_id, agent_id, evaluator_id, eval_type, evaluated_date, response_state, raw_score, final_score) = 1)""".stripMargin
+
+  /** Shared oracle fragment: the scores shred over a fixture file —
+    * mirrors Shred.scores. */
+  private def scoresShredSql(file: String): String =
+    s"""(WITH f AS (SELECT id AS evaluation_id, CAST(regexp_extract(qualityRef, '(\\d+)', 1) AS BIGINT) AS contact_id, unnest(sections) AS sec
+       |            FROM read_json('/root/repo/fixtures/$file') WHERE state.text = 'SCORED'),
+       |  q AS (SELECT evaluation_id, contact_id, sec.id AS section_id, unnest(sec.questions) AS que FROM f)
+       | SELECT evaluation_id, contact_id, section_id, que.id AS question_id, que.selectedOption AS option_id FROM q)""".stripMargin
+
+  /** Shared oracle fragment: the contacts shred — mirrors Shred.contacts. */
+  private def contactsShredSql(file: String): String =
+    s"""(SELECT id AS contact_id,
+       |        strftime(timezone('America/Denver', epoch_ms(startTime)::TIMESTAMPTZ), '%Y-%m-%d %H:%M:%S') AS contact_start_time,
+       |        'https://calabriocloud.com/index.html#/recordings/' || id || '/ccr' AS contact_url,
+       |        assocCallId AS cjp_session_id
+       | FROM read_json('/root/repo/fixtures/$file'))""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -139,5 +175,39 @@ object SparkEntry {
         | d AS (SELECT * FROM proj
         |       QUALIFY row_number() OVER (PARTITION BY evaluation_id ORDER BY contact_id) = 1)
         |SELECT contact_id FROM d WHERE evaluator_id IS NULL ORDER BY contact_id""".stripMargin,
+    "merge_contacts" ->
+      s"""WITH tgt AS ${contactsShredSql("qa_contacts.json")},
+         | srcn AS ${contactsShredSql("qa_contacts_restated.json")}
+         |SELECT * FROM tgt
+         |UNION ALL
+         |SELECT * FROM srcn WHERE contact_id NOT IN (SELECT contact_id FROM tgt)
+         |ORDER BY contact_id""".stripMargin,
+    "merge_evaluations" ->
+      s"""WITH tsrc AS ${evalShredSql("evals.json")},
+         | rc AS (SELECT id AS contact_id FROM read_json('/root/repo/fixtures/qa_contacts_restated.json')),
+         | se AS (SELECT id AS evaluation_id FROM read_json('/root/repo/fixtures/evals_restated.json')),
+         | surv AS (SELECT * FROM tsrc
+         |          WHERE NOT (contact_id IN (SELECT contact_id FROM rc)
+         |                     AND evaluation_id NOT IN (SELECT evaluation_id FROM se))),
+         | nsrc AS ${evalShredSql("evals_restated.json")}
+         |SELECT COALESCE(s.evaluation_id, n.evaluation_id) AS evaluation_id,
+         |       CASE WHEN n.evaluation_id IS NOT NULL THEN n.form_id ELSE s.form_id END AS form_id,
+         |       CASE WHEN s.evaluation_id IS NOT NULL THEN s.contact_id ELSE n.contact_id END AS contact_id,
+         |       CASE WHEN n.evaluation_id IS NOT NULL THEN n.agent_id ELSE s.agent_id END AS agent_id,
+         |       CASE WHEN n.evaluation_id IS NOT NULL THEN n.evaluator_id ELSE s.evaluator_id END AS evaluator_id,
+         |       CASE WHEN n.evaluation_id IS NOT NULL THEN n.eval_type ELSE s.eval_type END AS eval_type,
+         |       CASE WHEN s.evaluation_id IS NOT NULL THEN s.evaluated_date ELSE n.evaluated_date END AS evaluated_date,
+         |       CASE WHEN n.evaluation_id IS NOT NULL THEN n.response_state ELSE s.response_state END AS response_state,
+         |       CASE WHEN n.evaluation_id IS NOT NULL THEN n.raw_score ELSE s.raw_score END AS raw_score,
+         |       CASE WHEN n.evaluation_id IS NOT NULL THEN n.final_score ELSE s.final_score END AS final_score
+         |FROM surv s FULL OUTER JOIN nsrc n ON s.evaluation_id = n.evaluation_id
+         |ORDER BY contact_id, evaluation_id""".stripMargin,
+    "rebuild_scores" ->
+      s"""WITH tgt AS ${scoresShredSql("evals.json")},
+         | rc AS (SELECT id AS contact_id FROM read_json('/root/repo/fixtures/qa_contacts_restated.json')),
+         | fresh AS ${scoresShredSql("evals_restated.json")}
+         |SELECT * FROM (SELECT * FROM tgt WHERE contact_id NOT IN (SELECT contact_id FROM rc)
+         |               UNION ALL SELECT * FROM fresh)
+         |ORDER BY evaluation_id, section_id, question_id""".stripMargin,
   )
 }

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.Fixtures
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end sync pipelines: shred staging, then apply the
+  * reference's merge/delete/rebuild write-path semantics against the
+  * previously-loaded state. The "target" state is itself derived from
+  * the base fixture batch (the reference's first run), the "staging"
+  * state from the *_restated fixtures (an overlapping re-extraction
+  * window with upstream edits/deletes — the reference's whole
+  * late-data design, SURVEY §2.11).
+  */
+object CalabrioSync {
+
+  /** J2: insert-only contacts merge — Update…sql:36-53. */
+  def mergedContacts(spark: SparkSession): DataFrame =
+    Maintenance
+      .insertOnlyMerge(
+        Shred.contacts(Fixtures.qaContacts(spark)),
+        Shred.contacts(Fixtures.qaContactsRestated(spark)),
+        Seq("contact_id"))
+      .orderBy("contact_id")
+
+  /** D1+J5 delete-vanished, then J3 update+insert keeping the target's
+    * evaluated_date (and never touching contact_id) — Update…sql:85-134.
+    */
+  def mergedEvaluations(spark: SparkSession): DataFrame = {
+    val target = Shred.evaluations(Fixtures.evaluations(spark))
+    val survivors = Maintenance.deleteVanished(
+      target,
+      Fixtures.qaContactsRestated(spark).select(col("id").as("contact_id")),
+      Fixtures.evaluationsRestated(spark).select(col("id").as("evaluation_id")))
+    Maintenance
+      .upsertKeepCols(
+        survivors,
+        Shred.evaluations(Fixtures.evaluationsRestated(spark)),
+        Seq("evaluation_id"),
+        keepCols = Set("contact_id", "evaluated_date"))
+      .orderBy("contact_id", "evaluation_id")
+  }
+
+  /** D2+J6: scores partition rebuild keyed on restated contacts —
+    * Update…sql:140-170.
+    */
+  def rebuiltScores(spark: SparkSession): DataFrame =
+    Maintenance
+      .rebuildForContacts(
+        Shred.scores(Fixtures.evaluations(spark)),
+        Fixtures.qaContactsRestated(spark).select(col("id").as("contact_id")),
+        Shred.scores(Fixtures.evaluationsRestated(spark)))
+      .orderBy("evaluation_id", "section_id", "question_id")
+}
