@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CalabrioSync, Queries, Shred}
+import graft.operators.{CalabrioSync, Queries, Shred, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -39,6 +39,12 @@ object SparkEntry {
     "merge_contacts" -> ((s, _) => CalabrioSync.mergedContacts(s)),
     "merge_evaluations" -> ((s, _) => CalabrioSync.mergedEvaluations(s)),
     "rebuild_scores" -> ((s, _) => CalabrioSync.rebuiltScores(s)),
+    // LLM training-data pipeline: text analysis + dedup over documents.
+    "dedup_exact" -> ((s, dir) => TextOps.exactDedup(Tables.documents(s, dir))),
+    "text_stats" -> ((s, dir) => TextOps.textStats(Tables.documents(s, dir))),
+    "doc_tokens" -> ((s, dir) => TextOps.docTokens(Tables.documents(s, dir))),
+    "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
+    "lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
   )
 
   /** Shared oracle fragment: the evaluations shred (projection + SCORED
@@ -209,5 +215,39 @@ object SparkEntry {
          |SELECT * FROM (SELECT * FROM tgt WHERE contact_id NOT IN (SELECT contact_id FROM rc)
          |               UNION ALL SELECT * FROM fresh)
          |ORDER BY evaluation_id, section_id, question_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id, count(*) AS dup_count
+        |FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""".stripMargin,
+    "text_stats" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+        |       sum(toks) AS total_tokens, min(toks) AS min_tokens, max(toks) AS max_tokens
+        |FROM (SELECT lang, n_chars, len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS toks FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "doc_tokens" ->
+      """WITH t AS (SELECT doc_id, text, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks FROM documents)
+        |SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_uniq_tokens,
+        |       len(list_filter(toks, x -> list_contains(['the','a','an','of','and','or','is','in','to','for'], x))) AS n_stop_tokens,
+        |       length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct_chars,
+        |       length(text) AS n_chars_measured
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks FROM documents)
+        |SELECT doc_id, len(toks) AS n_tokens,
+        |       CAST(coalesce(list_sum(list_transform(range(1, len(toks)+1), i -> i * (131*length(toks[i]) + ascii(toks[i])))), 0) AS BIGINT) AS fingerprint
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks FROM documents),
+        | h AS (SELECT doc_id,
+        |        len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS hits_en,
+        |        len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS hits_de,
+        |        len(list_filter(toks, x -> list_contains(['el','los','y','es','una'], x))) AS hits_es,
+        |        len(list_filter(toks, x -> list_contains(['le','les','et','est','une'], x))) AS hits_fr
+        |       FROM t)
+        |SELECT doc_id, hits_en, hits_de, hits_es, hits_fr,
+        |       CASE WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+        |            WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+        |            WHEN hits_es >= hits_fr THEN 'es'
+        |            ELSE 'fr' END AS lang_guess
+        |FROM h ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * over the `documents` table (builder brief: dedup, quality scoring,
+  * token counting, language id, fingerprinting).
+  *
+  * Everything is built from codegen'd built-in expressions — no UDFs —
+  * so whole-stage codegen spans the full pipeline. All outputs are
+  * integers or strings (never computed doubles): cross-engine oracle
+  * compares stay exact, and derived ratios are one division away for
+  * the consumer.
+  *
+  * Scale posture: all per-doc operators are narrow (map-only);
+  * aggregates are map-side-combinable on low-cardinality keys (lang,
+  * hash-prefix). Exact dedup groups by a 128-bit content hash, never
+  * the full text — at 100 TB the shuffle carries 16-byte keys instead
+  * of document bodies.
+  */
+object TextOps {
+
+  /** Whitespace tokenization, empty tokens dropped (leading/trailing
+    * whitespace would otherwise yield "" tokens). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= lit(""))
+
+  /** Exact dedup via content hash (SURVEY §7 step 6): one row per
+    * distinct text, keeping the smallest doc_id — the deterministic
+    * survivor rule. dup_count makes the collapse auditable.
+    */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text").cast("binary")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dup_count"))
+      .select("text_md5", "keep_doc_id", "dup_count")
+      .orderBy("keep_doc_id")
+
+  /** Per-language corpus stats: doc/char/token totals + extrema.
+    * Map-side-combinable aggregate on a tiny key (|langs|). */
+  def textStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), col("n_chars"), size(tokens(col("text"))).as("toks"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum("toks").as("total_tokens"),
+        min("toks").as("min_tokens"),
+        max("toks").as("max_tokens"))
+      .orderBy("lang")
+
+  private val stopwords = Seq(
+    "the", "a", "an", "of", "and", "or", "is", "in", "to", "for")
+
+  /** Per-doc quality profile: token/unique-token/stopword/punct counts
+    * (the classic length+punct+stopword quality heuristics, kept as raw
+    * integers — ratios are consumer-side divisions).
+    */
+  def docTokens(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_uniq_tokens"),
+        size(filter(toks, t => t.isInCollection(stopwords))).as("n_stop_tokens"),
+        length(regexp_replace(col("text"), "[^\\p{Punct}]", "")).as("n_punct_chars"),
+        length(col("text")).as("n_chars_measured"))
+      .orderBy("doc_id")
+  }
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "y", "es", "una"),
+    "fr" -> Seq("le", "les", "et", "est", "une"))
+
+  /** Language id via stopword-marker voting (the n-gram-free heuristic
+    * a zero-dependency pipeline starts with): count marker hits per
+    * candidate language, pick the argmax with a fixed precedence
+    * (en > de > es > fr) for ties. Emits the per-language hit counts so
+    * the decision is auditable and oracle-checkable.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val hits = langMarkers.map { case (lang, markers) =>
+      size(filter(toks, t => t.isInCollection(markers))).as(s"hits_$lang")
+    }
+    val h = (l: String) => col(s"hits_$l")
+    docs
+      .select(col("doc_id") +: hits: _*)
+      .withColumn(
+        "lang_guess",
+        when(h("en") >= h("de") && h("en") >= h("es") && h("en") >= h("fr"), "en")
+          .when(h("de") >= h("es") && h("de") >= h("fr"), "de")
+          .when(h("es") >= h("fr"), "es")
+          .otherwise("fr"))
+      .orderBy("doc_id")
+  }
+
+  /** Positional token fingerprint: sum_i (i+1)·(131·len(tᵢ)+ascii(tᵢ)).
+    * Order-sensitive (a shuffled document fingerprints differently)
+    * yet built only from arithmetic both engines define identically —
+    * the shape of a rolling hash without engine-specific hash
+    * functions. Values stay far below 2^63 (docs are ≤ ~1k tokens).
+    */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val terms = transform(toks, (t, i) =>
+      (i + lit(1)).cast("long") * (length(t).cast("long") * 131 + ascii(t)))
+    docs
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        aggregate(terms, lit(0L), (acc, x) => acc + x).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+}
