@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CalabrioSync, Queries, Shred, TextOps}
+import graft.operators.{CalabrioSync, Queries, Shred, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -45,6 +45,14 @@ object SparkEntry {
     "doc_tokens" -> ((s, dir) => TextOps.docTokens(Tables.documents(s, dir))),
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
     "lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
+    // Similarity / near-dup family over embeddings + documents.
+    "cosine_topk" -> ((s, dir) => Similarity.cosineTopK(Tables.embeddings(s, dir))),
+    "minhash_neardup" -> ((s, dir) => Similarity.minhashNearDup(Tables.documents(s, dir))),
+    // Approximate / signature ops — no SQL oracle (rows-only check):
+    // ann_topk_lsh trades recall for bucket-local work; simhash uses
+    // engine-specific 64-bit hashing. Both are covered by SimilaritySpec.
+    "simhash" -> ((s, dir) => Similarity.simhash(Tables.documents(s, dir))),
+    "ann_topk_lsh" -> ((s, dir) => Similarity.annTopKLsh(Tables.embeddings(s, dir))),
   )
 
   /** Shared oracle fragment: the evaluations shred (projection + SCORED
@@ -249,5 +257,28 @@ object SparkEntry {
         |            WHEN hits_es >= hits_fr THEN 'es'
         |            ELSE 'fr' END AS lang_guess
         |FROM h ORDER BY doc_id""".stripMargin,
+    "cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        | q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e WHERE vec_id < 5),
+        | p AS (SELECT q_id, e.vec_id AS neighbor_id,
+        |        list_sum(list_transform(range(1, 65), i -> CAST(q_emb[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS dot,
+        |        list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS n2,
+        |        list_sum(list_transform(range(1, 65), i -> CAST(q_emb[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE))) AS qn2
+        |       FROM e, q WHERE e.vec_id <> q.q_id)
+        |SELECT q_id, neighbor_id, CAST(round(1e6 * dot / (sqrt(n2) * sqrt(qn2))) AS BIGINT) AS sim_e6
+        |FROM p
+        |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim_e6 DESC, neighbor_id) <= 10
+        |ORDER BY q_id, sim_e6 DESC, neighbor_id""".stripMargin,
+    "minhash_neardup" ->
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        | s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |       FROM t WHERE len(toks) >= 3),
+        | p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        len(list_intersect(a.sh, b.sh)) AS inter_size,
+        |        len(list_distinct(list_concat(a.sh, b.sh))) AS union_size
+        |       FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, inter_size, union_size FROM p
+        |WHERE inter_size * 2 >= union_size
+        |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

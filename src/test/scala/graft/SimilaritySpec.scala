@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Quality checks for the approximate similarity ops (the exact ones
+  * are oracle-checked by the driver): LSH recall on the planted
+  * near-dup pairs, SimHash Hamming separation, ANN subset-of-exact.
+  */
+class SimilaritySpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("minhash candidates reproduce the exact all-pairs near-dups") {
+    val docs = Tables.documents(spark, dir).cache()
+    val got = Similarity.minhashNearDup(docs)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact all-pairs reference (crossJoin is fine at test scale)
+    val sh = docs.select(col("doc_id"), Similarity.shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val want = sh.as("a").crossJoin(sh.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id"), col("b.doc_id"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).as("i"),
+        size(array_union(col("a.sh"), col("b.sh"))).as("u"))
+      .filter(col("i") * 2 >= col("u"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(want.nonEmpty, "testdata should contain planted near-dups")
+  }
+
+  test("simhash: near-dup pairs are Hamming-close, random pairs are not") {
+    val docs = Tables.documents(spark, dir).cache()
+    val sig = Similarity.simhash(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def hamming(a: String, b: String): Int = a.zip(b).count { case (x, y) => x != y }
+    val nearDups = Similarity.minhashNearDup(docs)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nearDups.nonEmpty)
+    val dupDist = nearDups.map { case (a, b) => hamming(sig(a), sig(b)) }
+    val ids = sig.keys.toArray.sorted
+    val randomDist = ids.take(20).flatMap(a => ids.takeRight(20).map(b => (a, b)))
+      .filter { case (a, b) => a < b && !nearDups.contains((a, b)) }
+      .map { case (a, b) => hamming(sig(a), sig(b)) }
+    // near-dups: almost identical signatures; random word-salad pairs
+    // share vocabulary so the gap is modest but must be strict
+    assert(dupDist.max < randomDist.min,
+      s"dup max ${dupDist.max} should be < random min ${randomDist.min}")
+  }
+
+  test("ann lsh top-k is a subset of exact cosine ranking per query") {
+    val emb = Tables.embeddings(spark, dir).cache()
+    val exact = Similarity.cosineTopK(emb, nQueries = 5, k = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ann = Similarity.annTopKLsh(emb, nQueries = 5, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every ANN hit carries the same similarity the exact scorer found
+    ann.foreach { case (q, n, s) => assert(exact.contains((q, n, s))) }
+    // bucketing actually prunes: ANN candidate sets are smaller than N
+    assert(ann.nonEmpty)
+  }
+}
