@@ -53,6 +53,13 @@ object SparkEntry {
     // engine-specific 64-bit hashing. Both are covered by SimilaritySpec.
     "simhash" -> ((s, dir) => Similarity.simhash(Tables.documents(s, dir))),
     "ann_topk_lsh" -> ((s, dir) => Similarity.annTopKLsh(Tables.embeddings(s, dir))),
+    // S10: glob-selected PERMISSIVE bulk load (multi-file union) feeding
+    // the contacts shred; malformed files quarantine instead of failing.
+    "staged_load_contacts" -> ((s, _) => {
+      val (good, _) = graft.sources.Ingest.loadStaged(
+        s, Fixtures.Dir, Schemas.contacts, "all_contacts_*.json")
+      Shred.contacts(good).orderBy("contact_id")
+    }),
   )
 
   /** Shared oracle fragment: the evaluations shred (projection + SCORED
@@ -280,5 +287,12 @@ object SparkEntry {
         |SELECT doc_a, doc_b, inter_size, union_size FROM p
         |WHERE inter_size * 2 >= union_size
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "staged_load_contacts" ->
+      """SELECT id AS contact_id,
+        |       strftime(timezone('America/Denver', epoch_ms(startTime)::TIMESTAMPTZ), '%Y-%m-%d %H:%M:%S') AS contact_start_time,
+        |       'https://calabriocloud.com/index.html#/recordings/' || id || '/ccr' AS contact_url,
+        |       assocCallId AS cjp_session_id
+        |FROM read_json(['/root/repo/fixtures/all_contacts_1.json', '/root/repo/fixtures/all_contacts_2.json'])
+        |ORDER BY contact_id""".stripMargin,
   )
 }

@@ -1,0 +1,143 @@
+package graft.sources
+
+import java.time.LocalDate
+import java.time.temporal.ChronoUnit
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** The extraction-side dataflow (SURVEY §2.1), re-expressed for a
+  * cluster: the reference's driver loop over date windows and per-row
+  * HTTP GETs becomes a Dataset of work units fanned out across
+  * executors behind a serializable Fetcher trait. The zero-egress test
+  * environment injects fixture-backed fetchers; production would
+  * implement the same trait with an HTTP client (S1 auth lives behind
+  * the implementation, credentials from env — qa_api_handler.py:58-71).
+  */
+object Ingest {
+
+  /** One extraction window [start, endExclusive). */
+  final case class DateWindow(start: String, endExclusive: String)
+
+  /** A remote batch source keyed by window (S2): returns raw JSON
+    * documents. Implementations must be Serializable — they ship to
+    * executors.
+    */
+  trait WindowFetcher extends Serializable {
+    def fetch(w: DateWindow): Iterator[String]
+  }
+
+  /** A remote keyed service (S4-S6 fan-out enrich): one request per
+    * key, empty result = skip (qa_api_handler.py:187-188).
+    */
+  trait KeyFetcher extends Serializable {
+    def fetch(key: Long): Iterator[String]
+  }
+
+  /** S2 window planner: chunk [begin, end) into breakDays-day windows
+    * (qa_api_handler.py:90-108, Start.py:19-27: 16-day lookback,
+    * break_size=2). The last window is clipped to `end`.
+    */
+  def planWindows(begin: LocalDate, end: LocalDate, breakDays: Int): Seq[DateWindow] = {
+    require(breakDays > 0, "breakDays must be positive")
+    val days = ChronoUnit.DAYS.between(begin, end)
+    (0L until days by breakDays.toLong).map { off =>
+      val s = begin.plusDays(off)
+      val e = Seq(s.plusDays(breakDays.toLong), end).min(Ordering.by[LocalDate, Long](_.toEpochDay))
+      DateWindow(s.toString, e.toString)
+    }
+  }
+
+  /** Distributed windowed extraction: one Spark task per window, so
+    * per-task request volume is bounded exactly like the reference's
+    * break_size loop — but windows run in parallel across executors
+    * instead of sequentially on the driver. Returns the raw document
+    * Dataset; parse with parseDocs.
+    */
+  def fetchWindows(
+      spark: SparkSession,
+      windows: Seq[DateWindow],
+      fetcher: WindowFetcher): Dataset[String] = {
+    import spark.implicits._
+    spark
+      .createDataset(windows)
+      .repartition(windows.size.max(1))
+      .mapPartitions(_.flatMap(fetcher.fetch))
+  }
+
+  /** Per-key fan-out enrich (S4-S6): the N+1 remote join. Keys are
+    * repartitioned so each task carries a bounded batch of requests;
+    * empty responses drop out via flatMap (F6).
+    */
+  def fetchPerKey(
+      keys: Dataset[java.lang.Long],
+      fetcher: KeyFetcher,
+      tasks: Int): Dataset[String] = {
+    import keys.sparkSession.implicits._
+    keys
+      .repartition(tasks)
+      .mapPartitions(_.flatMap(k => fetcher.fetch(k)))
+  }
+
+  /** Parse raw JSON documents (each one object) into typed rows. The
+    * reference's staging tables hold one VARIANT object per row with
+    * the outer array stripped (populate_table.sql:3); a fetched
+    * response is an array, so explode it here.
+    */
+  def parseDocs(raw: Dataset[String], elementSchema: StructType): DataFrame = {
+    import org.apache.spark.sql.types.ArrayType
+    raw
+      .select(from_json(col("value"), ArrayType(elementSchema)).as("arr"))
+      .select(explode(col("arr")).as("doc"))
+      .select("doc.*")
+  }
+
+  /** S10 bulk load: glob-selected multiLine JSON with PERMISSIVE
+    * corrupt-record capture — the Spark-native ON_ERROR='skip_file'
+    * (populate_table.sql:4-5). Returns (good rows, corrupt-record
+    * rows); with multiLine array files a malformed file collapses to
+    * corrupt rows, so "skip file" falls out of dropping them — but
+    * unlike the reference, the skipped payload stays observable for a
+    * quarantine sink instead of vanishing.
+    */
+  def loadStaged(
+      spark: SparkSession,
+      dir: String,
+      elementSchema: StructType,
+      glob: String): (DataFrame, DataFrame) = {
+    val withCorrupt = elementSchema.add("_corrupt_record", StringType)
+    // cache(): Spark refuses plans whose required columns reduce to
+    // only the internal corrupt-record column
+    // (QUERY_ONLY_CORRUPT_RECORD_COLUMN); materializing the parsed
+    // batch is the documented workaround, and a staging batch is
+    // bounded by the extraction window size anyway.
+    val read = spark.read
+      .option("multiLine", true)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("pathGlobFilter", glob)
+      .schema(withCorrupt)
+      .json(dir)
+      .cache()
+    val good = read.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val bad = read.filter(col("_corrupt_record").isNotNull).select("_corrupt_record")
+    (good, bad)
+  }
+
+  /** S8 file normalizer: the reference appends whole response arrays
+    * to one file and later regex-stitches `]\n[` seams into a single
+    * array (qa_api_handler.py:230-236). Reading whole-file text and
+    * splitting on the seam makes each array parseable independently —
+    * the stitch becomes a flatMap instead of a file rewrite.
+    */
+  def normalizeConcatenated(
+      spark: SparkSession,
+      path: String,
+      elementSchema: StructType): DataFrame = {
+    import spark.implicits._
+    val raw = spark.read.option("wholetext", true).text(path).as[String]
+    val arrays = raw.flatMap(_.split("(?<=\\])\\s*(?=\\[)").iterator)
+    parseDocs(arrays, elementSchema)
+  }
+}

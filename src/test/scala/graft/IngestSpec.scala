@@ -1,0 +1,75 @@
+package graft
+
+import java.time.LocalDate
+
+import graft.sources.Ingest
+import graft.sources.Ingest.{DateWindow, KeyFetcher, WindowFetcher}
+import org.apache.spark.sql.functions._
+
+/** Extraction dataflow: window planning, distributed fan-out via
+  * injected fetchers, PERMISSIVE bulk load, concatenated-array
+  * normalization (SURVEY §2.1 S2/S4/S8/S10).
+  */
+class IngestSpec extends SparkSpec {
+
+  test("planWindows: 16-day lookback at break 2 yields 8 clipped windows") {
+    val w = Ingest.planWindows(LocalDate.parse("2024-01-01"), LocalDate.parse("2024-01-17"), 2)
+    assert(w.size === 8)
+    assert(w.head === DateWindow("2024-01-01", "2024-01-03"))
+    assert(w.last === DateWindow("2024-01-15", "2024-01-17"))
+    // uneven tail is clipped, not overshot
+    val w2 = Ingest.planWindows(LocalDate.parse("2024-01-01"), LocalDate.parse("2024-01-06"), 4)
+    assert(w2 === Seq(
+      DateWindow("2024-01-01", "2024-01-05"),
+      DateWindow("2024-01-05", "2024-01-06")))
+  }
+
+  test("fetchWindows: one task per window, responses parsed to typed rows") {
+    val windows = Ingest.planWindows(LocalDate.parse("2024-01-01"), LocalDate.parse("2024-01-05"), 2)
+    val fetcher = new WindowFetcher {
+      def fetch(w: DateWindow): Iterator[String] =
+        Iterator(s"""[{"id": ${w.start.replace("-", "").toLong}, "startTime": 1704067200000, "assocCallId": "C-${w.start}"}]""")
+    }
+    val raw = Ingest.fetchWindows(spark, windows, fetcher)
+    assert(raw.rdd.getNumPartitions === windows.size)
+    val parsed = Ingest.parseDocs(raw, Schemas.contacts)
+    assert(parsed.count() === windows.size)
+    assert(parsed.select("assocCallId").collect().map(_.getString(0)).toSet
+      === windows.map(w => s"C-${w.start}").toSet)
+  }
+
+  test("fetchPerKey: N+1 fan-out with empty responses skipped") {
+    import spark.implicits._
+    val keys = spark.createDataset(Seq[java.lang.Long](1L, 2L, 3L, 4L))
+    val fetcher = new KeyFetcher {
+      def fetch(key: Long): Iterator[String] =
+        if (key % 2 == 0) Iterator.empty // F6: empty response filter
+        else Iterator(s"""[{"id": $key, "startTime": 0, "assocCallId": "K$key"}]""")
+    }
+    val out = Ingest.parseDocs(Ingest.fetchPerKey(keys, fetcher, tasks = 2), Schemas.contacts)
+    assert(out.select("id").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+  }
+
+  test("loadStaged: malformed file quarantined, good glob-matched files load") {
+    // fixtures/ has all_contacts_1/2.json (good) and malformed/ is
+    // excluded by the glob; read the malformed dir separately
+    val (good, bad) = Ingest.loadStaged(
+      spark, Fixtures.Dir, Schemas.contacts, "all_contacts_*.json")
+    assert(good.count() === 120) // 60 + 60 docs across the two files
+    assert(bad.count() === 0)
+    val (good2, bad2) = Ingest.loadStaged(
+      spark, s"${Fixtures.Dir}/malformed", Schemas.contacts, "all_contacts_*.json")
+    assert(good2.count() === 0)
+    assert(bad2.count() === 1) // whole file collapses to one corrupt row
+  }
+
+  test("normalizeConcatenated: stitched arrays parse as one relation") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val out = Ingest.normalizeConcatenated(
+      spark, s"${Fixtures.Dir}/malformed/concatenated_arrays.json", schema)
+    assert(out.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "a"), (2L, "b")))
+  }
+}
