@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CalabrioSync, Queries, Shred, Similarity, TextOps}
+import graft.operators.{CalabrioSync, Multimodal, Queries, Shred, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -60,6 +60,10 @@ object SparkEntry {
         s, Fixtures.Dir, Schemas.contacts, "all_contacts_*.json")
       Shred.contacts(good).orderBy("contact_id")
     }),
+    // Multimodal: metadata-only rollup over synthesized media rows —
+    // must never read the blob column (plan asserted in MultimodalSpec).
+    "media_stats" -> ((s, dir) =>
+      Multimodal.mediaStats(Multimodal.synthesizeMedia(Tables.documents(s, dir)))),
   )
 
   /** Shared oracle fragment: the evaluations shred (projection + SCORED
@@ -294,5 +298,9 @@ object SparkEntry {
         |       assocCallId AS cjp_session_id
         |FROM read_json(['/root/repo/fixtures/all_contacts_1.json', '/root/repo/fixtures/all_contacts_2.json'])
         |ORDER BY contact_id""".stripMargin,
+    "media_stats" ->
+      """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |       count(*) AS n_items, sum(octet_length(encode(text))) AS total_bytes
+        |FROM documents GROUP BY 1 ORDER BY media_type""".stripMargin,
   )
 }

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling for the training-data pipeline: media
+  * payloads ride as opaque `binary` columns next to typed metadata;
+  * decode / feature-extract / frame-sample run as per-partition batch
+  * loops (mapPartitions — the JVM analog of mapInPandas: amortized
+  * setup per batch, vectorizable inner loop, no per-row UDF overhead).
+  *
+  * The container ships no image/audio codecs (zero-egress), so the
+  * decoder behind MediaDecoder is a DETERMINISTIC STUB (byte
+  * histogram); the Spark-side plumbing — schema, batch shape,
+  * partition sizing, feature column layout — is real and tested.
+  * Swapping in a real codec is implementing one trait.
+  *
+  * Scale posture: payload bytes never shuffle except where a query
+  * explicitly groups them; metadata-only queries prune the binary
+  * column at the scan (columnar parquet), which is the reason media
+  * metadata lives in its own typed columns rather than inside the blob.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("media_type", StringType),
+    StructField("media", BinaryType),
+    StructField("n_bytes", LongType)))
+
+  /** Deterministic stand-in media: the document's utf-8 bytes play the
+    * opaque payload, media_type round-robins by doc_id. Real pipelines
+    * read these columns straight from parquet/tar shards.
+    */
+  def synthesizeMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+      col("text").cast("binary").as("media"),
+      length(col("text").cast("binary")).cast("long").as("n_bytes"))
+
+  /** The decode seam: batch of payloads in, fixed-width feature vector
+    * out. Implementations must be Serializable (shipped to executors)
+    * and deterministic (reruns of a failed task must agree).
+    */
+  trait MediaDecoder extends Serializable {
+    def featureDim: Int
+    def features(payload: Array[Byte]): Array[Double]
+  }
+
+  /** Stub decoder: 16-bin byte-value histogram, L1-normalized. Stands
+    * in for "decode image → pooled embedding" while exercising the
+    * identical dataflow.
+    */
+  object ByteHistogramDecoder extends MediaDecoder {
+    val featureDim = 16
+    def features(payload: Array[Byte]): Array[Double] = {
+      val h = new Array[Double](featureDim)
+      var i = 0
+      while (i < payload.length) {
+        h((payload(i) & 0xff) >> 4) += 1.0
+        i += 1
+      }
+      val n = math.max(payload.length, 1).toDouble
+      var j = 0
+      while (j < featureDim) { h(j) /= n; j += 1 }
+      h
+    }
+  }
+
+  /** Feature extraction over media batches: one decoder instance per
+    * partition, tight loop over rows (mapInPandas batch shape). Output
+    * keeps (doc_id, media_type) + the feature vector.
+    */
+  def extractFeatures(media: DataFrame, decoder: MediaDecoder): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("media_type", StringType),
+      StructField("features", ArrayType(DoubleType))))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media
+      .select("doc_id", "media_type", "media")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getLong(0), r.getString(1),
+            decoder.features(r.getAs[Array[Byte]](2)).toSeq)
+        }
+      }(enc)
+  }
+
+  /** Frame sampling: every `stride`-th byte-window of the payload as a
+    * "frame" (stand-in for video frame extraction at a fixed fps).
+    * Pure built-ins — the payload is sliced lazily per output row, and
+    * posexplode keeps the frame index.
+    */
+  def frameSample(media: DataFrame, stride: Int, frameBytes: Int): DataFrame = {
+    val nFrames = (length(col("media")) / stride).cast("int")
+    media
+      .select(
+        col("doc_id"),
+        posexplode(
+          transform(sequence(lit(0), greatest(nFrames - 1, lit(0))), i =>
+            // functions.substring takes Int literals only; the start
+            // offset here is a lambda variable, so call the SQL fn.
+            call_function("substring", col("media"), lit(1) + i * stride, lit(frameBytes)))))
+      .withColumnRenamed("pos", "frame_idx")
+      .withColumnRenamed("col", "frame")
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame")).cast("long").as("frame_bytes"))
+  }
+
+  /** Metadata-only rollup: the query shape that must NEVER read the
+    * blob — per-type counts and byte totals, pruned to metadata
+    * columns at the scan.
+    */
+  def mediaStats(media: DataFrame): DataFrame =
+    media
+      .groupBy("media_type")
+      .agg(count(lit(1)).as("n_items"), sum("n_bytes").as("total_bytes"))
+      .orderBy("media_type")
+}

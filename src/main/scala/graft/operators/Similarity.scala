@@ -51,11 +51,15 @@ object Similarity {
     * is integer-exact; ties rank by neighbor id.
     */
   def cosineTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
-    val e = emb.select(col("vec_id"), col("embedding"))
+    // Norms are per-vector, not per-pair: compute once before the
+    // nested-loop pairing (numerically identical fold, k× less work).
+    val e = emb
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"), sumSq(col("embedding")).as("n2"))
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("n2").as("qn2"))
     val sim6 = round(lit(1e6) * dot(col("q_emb"), col("embedding"))
-      / (sqrt(sumSq(col("embedding"))) * sqrt(sumSq(col("q_emb"))))).cast("long")
+      / (sqrt(col("n2")) * sqrt(col("qn2")))).cast("long")
     val w = Window.partitionBy("q_id").orderBy(col("sim_e6").desc, col("neighbor_id"))
     e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"), sim6.as("sim_e6"))
@@ -85,11 +89,30 @@ object Similarity {
       bands: Int = 16,
       bucketCap: Int = 1000): DataFrame = {
     val rows = numHashes / bands
+    // Spread the compute: these corpora arrive as few fat parquet
+    // splits, and the signature math is orders of magnitude heavier
+    // than one repartition pass. (At 100 TB the scan is already wide;
+    // the repartition then just rebalances.)
     val sh = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
-    val minhashes = transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      array_min(transform(col("sh"), s => xxhash64(i, s))))
+    // One string hash per shingle, then the universal family
+    // hᵢ(s) = (aᵢ·h₀(s) + bᵢ) mod p over 31-bit values: the modular
+    // wraparound re-scrambles the ORDER of hashes for every i, so the
+    // 64 argmins are near-independent — a wrap-free affine family
+    // (h1 + i·h2) is NOT: it preserves ordering structure, collapses
+    // the 64 experiments to ~2, and measurably missed a 0.986-Jaccard
+    // pair. All arithmetic stays ≤ 2⁶² (ANSI mode raises on overflow).
+    val minhashes = {
+      val p = lit((1L << 31) - 1)
+      val h0 = transform(col("sh"), s => pmod(xxhash64(s), lit(1L << 31)))
+      transform(sequence(lit(0), lit(numHashes - 1)), i => {
+        val ai = pmod(xxhash64(concat(lit("a"), i)), p - 1) + 1
+        val bi = pmod(xxhash64(concat(lit("b"), i)), p)
+        array_min(transform(h0, h => pmod(ai * h + bi, p)))
+      })
+    }
     val bandKeys = transform(sequence(lit(0), lit(bands - 1)), b =>
       xxhash64(slice(col("mh"), b * rows + 1, lit(rows))))
     val m = sh
@@ -127,16 +150,22 @@ object Similarity {
     * into one if this ever dominates a profile. See SimilaritySpec.
     */
   def simhash(docs: DataFrame, bits: Int = 64): DataFrame = {
-    val toks = shingles(col("text"))
+    // Hash every shingle ONCE into a long array, then take the 64
+    // bit-vote passes over longs — hashing strings per bit would cost
+    // 64× the string work (and dominated the first bench attempt).
+    val hashed = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        transform(shingles(col("text")), s => xxhash64(s)).as("hs"))
     val bitCols = transform(sequence(lit(0), lit(bits - 1)), j => {
       // functions.shiftright only takes an Int literal; the bit index
       // here is a lambda variable, so call the SQL function directly.
-      val vote = aggregate(toks, lit(0L), (acc, t) =>
-        acc + when(call_function("shiftright", xxhash64(t), j).bitwiseAND(1) === 1, 1L)
+      val vote = aggregate(col("hs"), lit(0L), (acc, h) =>
+        acc + when(call_function("shiftright", h, j).bitwiseAND(1) === 1, 1L)
           .otherwise(-1L))
       when(vote >= 0, lit("1")).otherwise(lit("0"))
     })
-    docs
+    hashed
       .select(col("doc_id"), array_join(bitCols, "").as("simhash_bits"))
       .orderBy("doc_id")
   }
@@ -163,11 +192,15 @@ object Similarity {
             lit(0.0), (a, x) => a + x)
           when(proj >= 0, lit("1")).otherwise(lit("0"))
         }), "")
-    val e = emb.select(col("vec_id"), col("embedding"), signature(col("embedding")).as("sig"))
+    val e = emb
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"),
+        signature(col("embedding")).as("sig"), sumSq(col("embedding")).as("n2"))
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("sig"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("sig"), col("n2").as("qn2"))
     val sim6 = round(lit(1e6) * dot(col("q_emb"), col("embedding"))
-      / (sqrt(sumSq(col("embedding"))) * sqrt(sumSq(col("q_emb"))))).cast("long")
+      / (sqrt(col("n2")) * sqrt(col("qn2")))).cast("long")
     val w = Window.partitionBy("q_id").orderBy(col("sim_e6").desc, col("neighbor_id"))
     e.join(q, Seq("sig"))
       .filter(col("vec_id") =!= col("q_id"))

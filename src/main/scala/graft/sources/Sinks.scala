@@ -1,0 +1,65 @@
+package graft.sources
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+
+/** File-side write path (SURVEY §2.1 S7/S9/S11-S13, §2.9 D3): the
+  * reference's stage-upload / truncate-reload / CTAS-replace cycle
+  * against a filesystem instead of a warehouse stage. The core
+  * primitive is the atomic tmp-write-then-swap: Spark cannot lazily
+  * read and overwrite the same path (the scan would see its own
+  * half-written output), so every in-place rewrite materializes to a
+  * sibling temp dir first and swaps via rename — the risk-register
+  * item from SURVEY §7 ("What's hard" #1).
+  *
+  * Uses the Hadoop FileSystem API throughout, so the same code path
+  * works on local fs in tests and on HDFS/object stores on a cluster
+  * (object-store rename is a copy — a production deployment points
+  * this at a format with commit semantics instead).
+  */
+object Sinks {
+
+  private def fs(p: Path, df: DataFrame) =
+    p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+
+  def exists(dir: String): Boolean = {
+    val p = new Path(dir)
+    val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+    p.getFileSystem(conf).exists(p)
+  }
+
+  /** Full-replace overwrite with tmp-swap (S13 CTAS, S11 truncate-
+    * reload, D3 idempotent rebuild). Safe when `df` reads from `dir`
+    * itself: the plan materializes into the tmp dir before the old
+    * data disappears.
+    */
+  def overwriteAtomic(df: DataFrame, dir: String): Unit = {
+    val target = new Path(dir)
+    val tmp = new Path(dir + ".tmp-" + UUID.randomUUID().toString)
+    val f = fs(target, df)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (f.exists(target)) f.delete(target, true)
+    if (!f.rename(tmp, target))
+      throw new java.io.IOException(s"atomic swap failed: $tmp -> $target")
+  }
+
+  /** S7: raw JSON batch sink with the reference's batch-numbered
+    * naming scheme (all_contacts_<n>.json, qa_api_handler.py:93-95),
+    * gzip'd like the stage upload (S9, stage_file.sql:1).
+    */
+  def writeJsonBatch(df: DataFrame, stageDir: String, prefix: String, batchId: Int): Unit =
+    df.coalesce(1)
+      .write
+      .mode("overwrite")
+      .option("compression", "gzip")
+      .json(s"$stageDir/${prefix}_$batchId.json")
+
+  /** S12: stage purge — remove everything under the stage dir. */
+  def purgeStage(df: DataFrame, stageDir: String): Unit = {
+    val p = new Path(stageDir)
+    val f = fs(p, df)
+    if (f.exists(p)) f.delete(p, true)
+  }
+}

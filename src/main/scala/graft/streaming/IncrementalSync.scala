@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.operators.Maintenance
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Incremental mode for the pipeline (SURVEY §2.11): the reference
+  * simulates late data by re-extracting a 16/30-day lookback window
+  * and idempotently merging (D1-D3). In Spark that becomes Structured
+  * Streaming: a file source watches the staging directory, watermarked
+  * dedup bounds state, and foreachBatch applies the SAME batch merge
+  * operators (Maintenance) the batch path uses — one merge
+  * implementation, two drivers.
+  *
+  * Scale posture: state is bounded by the watermark (the streaming
+  * analog of the reference's 30-day lookback); each micro-batch merge
+  * shuffles on the merge key only. maxFilesPerTrigger bounds batch
+  * size the way break_size bounded extraction windows.
+  */
+object IncrementalSync {
+
+  /** Watermarked tumbling-window event counts: the streaming version
+    * of the flagship daily-tally aggregate. Late events beyond the
+    * watermark are dropped instead of reopening windows — the
+    * watermark IS the lookback policy.
+    */
+  def windowedEventCounts(events: DataFrame, watermark: String, windowLen: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("win"))
+      .agg(count(col("event_id")).as("tally"))
+      .select(col("win.start").as("window_start"), col("tally"))
+
+  /** Streaming staged-contacts sync: watch `srcDir` for new JSON
+    * batches, shred each micro-batch, and insert-only-merge it into
+    * the parquet target (J2 semantics — replays and overlapping
+    * re-extractions are no-ops on matched keys). The target read
+    * happens inside foreachBatch so each batch merges against the
+    * CURRENT target state; the write lands via tmp-dir swap in
+    * Sinks.overwriteAtomic.
+    */
+  def contactsSync(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      targetDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val raw = spark.readStream
+      .option("multiLine", true)
+      .option("maxFilesPerTrigger", 4)
+      .schema(schema)
+      .json(srcDir)
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val shredded = graft.operators.Shred.contacts(batch)
+        val target =
+          if (graft.sources.Sinks.exists(targetDir))
+            s.read.parquet(targetDir)
+          else shredded.limit(0)
+        val merged = Maintenance.insertOnlyMerge(target, shredded, Seq("contact_id"))
+        graft.sources.Sinks.overwriteAtomic(merged, targetDir)
+        ()
+      }
+      .start()
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing: schema, batch-shaped decode, frame sampling,
+  * metadata-only pruning (builder brief: stub the codec, make the
+  * Spark side real).
+  */
+class MultimodalSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def media = Multimodal.synthesizeMedia(Tables.documents(spark, dir))
+
+  test("synthesizeMedia: schema and byte accounting") {
+    val m = media
+    // compare names+types; nullability differs by construction path
+    assert(m.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      === Multimodal.mediaSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+    // utf-8 payload of ascii text: n_bytes == n_chars
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val joined = m.join(docs, "doc_id")
+    assert(joined.filter(col("n_bytes") =!= col("n_chars")).count() === 0)
+  }
+
+  test("extractFeatures: one normalized histogram per payload") {
+    val f = Multimodal.extractFeatures(media, Multimodal.ByteHistogramDecoder)
+    val rows = f.collect()
+    assert(rows.length === media.count())
+    rows.foreach { r =>
+      val v = r.getSeq[Double](2)
+      assert(v.length === Multimodal.ByteHistogramDecoder.featureDim)
+      assert(math.abs(v.sum - 1.0) < 1e-9, "histogram must be L1-normalized")
+    }
+    // determinism: rerun equals first run (task-retry safety)
+    val again = Multimodal.extractFeatures(media, Multimodal.ByteHistogramDecoder)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](2))).toMap
+    rows.foreach(r => assert(again(r.getLong(0)) === r.getSeq[Double](2)))
+  }
+
+  test("frameSample: stride slicing with frame index") {
+    val frames = Multimodal.frameSample(media, stride = 100, frameBytes = 10)
+    val perDoc = frames.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .join(media.select(col("doc_id"), col("n_bytes")), "doc_id")
+    // n frames = max(1, floor(bytes/stride)) by construction
+    assert(perDoc.filter(col("n") =!= greatest(floor(col("n_bytes") / 100), lit(1))).count() === 0)
+    // full frames carry exactly frameBytes bytes
+    assert(frames.filter(col("frame_bytes") > 10).count() === 0)
+  }
+
+  test("mediaStats prunes the blob column from the scan") {
+    val stats = Multimodal.mediaStats(media)
+    assert(stats.count() === 3) // image / audio / video
+    // the aggregate only references metadata; the binary col must not
+    // appear in the optimized plan's project list
+    val plan = stats.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("media#") || !plan.split("Aggregate").head.contains("media#"),
+      s"blob column should be pruned:\n$plan")
+  }
+}
