@@ -1,0 +1,61 @@
+package graft
+
+import graft.expressions.{MinHashBandKeys, MinHashSignature, SimHashBits, WordShingles}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** Session extensions registering graft's custom expressions as SQL
+  * functions — the sanctioned extension point (SparkSessionExtensions
+  * .injectFunction), so operators reach them through call_function and
+  * plain SQL users get them too. Wired in Sessions.local; external
+  * tools can set spark.sql.extensions=graft.GraftExtensions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(n: Int, IntegerType) => n
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => MinHashSignature(c, 64)
+        case Seq(c, n) => MinHashSignature(c, intLit(n, "numHashes"))
+        case _ => throw new IllegalArgumentException(
+          "usage: minhash_signature(arr[, numHashes])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_bits"),
+      new ExpressionInfo(classOf[SimHashBits].getName, "simhash_bits"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => SimHashBits(c, 64)
+        case Seq(c, n) => SimHashBits(c, intLit(n, "bits"))
+        case _ => throw new IllegalArgumentException(
+          "usage: simhash_bits(arr[, bits])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_band_keys"),
+      new ExpressionInfo(classOf[MinHashBandKeys].getName, "minhash_band_keys"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, n, b) =>
+          MinHashBandKeys(c, intLit(n, "numHashes"), intLit(b, "bands"))
+        case _ => throw new IllegalArgumentException(
+          "usage: minhash_band_keys(arr, numHashes, bands)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => WordShingles(c, 3)
+        case Seq(c, n) => WordShingles(c, intLit(n, "n"))
+        case _ => throw new IllegalArgumentException(
+          "usage: word_shingles(text[, n])")
+      }))
+  }
+}

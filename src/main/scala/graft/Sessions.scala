@@ -12,6 +12,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
   def local(cores: String): SparkSession = SparkSession.builder()
+    .withExtensions(new GraftExtensions)
     .master(s"local[$cores]")
     .config("spark.sql.shuffle.partitions", cores)
     .config("spark.sql.session.timeZone", "UTC")

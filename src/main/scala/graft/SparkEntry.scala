@@ -39,6 +39,7 @@ object SparkEntry {
     "merge_contacts" -> ((s, _) => CalabrioSync.mergedContacts(s)),
     "merge_evaluations" -> ((s, _) => CalabrioSync.mergedEvaluations(s)),
     "rebuild_scores" -> ((s, _) => CalabrioSync.rebuiltScores(s)),
+    "backup_mirror" -> ((s, _) => CalabrioSync.backupMirror(s)),
     // LLM training-data pipeline: text analysis + dedup over documents.
     "dedup_exact" -> ((s, dir) => TextOps.exactDedup(Tables.documents(s, dir))),
     "text_stats" -> ((s, dir) => TextOps.textStats(Tables.documents(s, dir))),
@@ -302,5 +303,16 @@ object SparkEntry {
       """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
         |       count(*) AS n_items, sum(octet_length(encode(text))) AS total_bytes
         |FROM documents GROUP BY 1 ORDER BY media_type""".stripMargin,
+    "backup_mirror" ->
+      """WITH tgt AS (SELECT id AS contact_id, startTime AS start_time_ms, assocCallId AS cjp_session_id, agent."$ref" AS agent_ref
+        |             FROM read_json('/root/repo/fixtures/qa_contacts.json')),
+        | srcn AS (SELECT id AS contact_id, startTime AS start_time_ms, assocCallId AS cjp_session_id, agent."$ref" AS agent_ref
+        |          FROM read_json('/root/repo/fixtures/qa_contacts_restated.json'))
+        |SELECT COALESCE(n.contact_id, t.contact_id) AS contact_id,
+        |       CASE WHEN n.contact_id IS NOT NULL THEN n.start_time_ms ELSE t.start_time_ms END AS start_time_ms,
+        |       CASE WHEN n.contact_id IS NOT NULL THEN n.cjp_session_id ELSE t.cjp_session_id END AS cjp_session_id,
+        |       CASE WHEN n.contact_id IS NOT NULL THEN n.agent_ref ELSE t.agent_ref END AS agent_ref
+        |FROM tgt t FULL OUTER JOIN srcn n ON t.contact_id = n.contact_id
+        |ORDER BY contact_id""".stripMargin,
   )
 }

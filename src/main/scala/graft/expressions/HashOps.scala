@@ -1,0 +1,129 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native hot loops for the signature expressions. Higher-order
+  * Catalyst functions (transform/aggregate/zip_with) are interpreted
+  * per element with boxing — at 64 hashes × ~300 shingles × N docs
+  * that interpretation dominated the bench (90 s/query at sf0.1).
+  * These tight primitive loops do the same math at memory speed and
+  * are called from codegen'd expressions (MinHashSignature,
+  * SimHashBits), so the surrounding plan keeps whole-stage codegen.
+  */
+object HashOps {
+
+  private val P = (1L << 31) - 1
+  private val M31 = 1L << 31
+  private val Seed = 42L // Spark's own xxhash64 seed
+
+  /** Affine-family coefficients hᵢ(x) = (aᵢ·x + bᵢ) mod p, derived
+    * deterministically from hashes of "a<i>"/"b<i>" — the family
+    * validated against the all-pairs oracle (modular wraparound makes
+    * the per-i argmins near-independent; see Similarity scaladoc).
+    */
+  private val MaxHashes = 256
+  private val A = Array.tabulate(MaxHashes)(i =>
+    Math.floorMod(XXH64.hashUTF8String(UTF8String.fromString("a" + i), Seed), P - 1) + 1)
+  private val B = Array.tabulate(MaxHashes)(i =>
+    Math.floorMod(XXH64.hashUTF8String(UTF8String.fromString("b" + i), Seed), P))
+
+  /** numHashes-wide MinHash signature of a string array. */
+  def minhash(arr: ArrayData, numHashes: Int): ArrayData = {
+    require(numHashes <= MaxHashes, s"numHashes > $MaxHashes")
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h0 = Math.floorMod(XXH64.hashUTF8String(arr.getUTF8String(i), Seed), M31)
+      var j = 0
+      while (j < numHashes) {
+        val h = Math.floorMod(A(j) * h0 + B(j), P)
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** LSH band keys straight from the shingle array: minhash signature
+    * then each band of (numHashes/bands) rows folded into one 64-bit
+    * key. Fused into one native pass because a two-step column
+    * formulation gets CollapseProject'd: Catalyst substitutes the
+    * signature expression into the per-band lambda and recomputes the
+    * whole signature once PER BAND (16× — measured 43 s of the 47 s
+    * query at sf0.1).
+    */
+  def minhashBandKeys(arr: ArrayData, numHashes: Int, bands: Int): ArrayData = {
+    val sigData = minhash(arr, numHashes)
+    val rows = numHashes / bands
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = Seed
+      var r = 0
+      while (r < rows) {
+        acc = XXH64.hashLong(sigData.getLong(b * rows + r), acc)
+        r += 1
+      }
+      keys(b) = acc
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  /** Distinct word n-gram shingles of a document in one native pass:
+    * whitespace tokenization (empties dropped), n-gram join with a
+    * single space, set-dedup. Replaces a split+transform+
+    * array_distinct HOF chain that cost ~2 ms/doc interpreted.
+    */
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** SimHash bit-vote signature of a string array as a '0'/'1' string
+    * (bit 0 first). Empty input yields all-'1' (votes are >= 0), same
+    * as the column formulation it replaced.
+    */
+  def simhashBits(arr: ArrayData, bits: Int): UTF8String = {
+    require(bits <= 64, "simhash uses one 64-bit hash per feature")
+    val votes = new Array[Int](bits)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = XXH64.hashUTF8String(arr.getUTF8String(i), Seed)
+      var j = 0
+      while (j < bits) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(bits)
+    var j = 0
+    while (j < bits) { sb.append(if (votes(j) >= 0) '1' else '0'); j += 1 }
+    UTF8String.fromString(sb.toString)
+  }
+}

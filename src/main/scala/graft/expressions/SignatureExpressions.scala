@@ -1,0 +1,78 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the signature hot loops (builder
+  * brief preference (b): a native Expression with doGenCode beats a
+  * UDF beats interpreted HOF chains). Both generate a single static
+  * call into HashOps, so whole-stage codegen keeps the row pipeline
+  * fused around them; interpreted eval (nullSafeEval) stays available
+  * for non-codegen paths. Input typing is enforced via
+  * checkInputDataTypes — ExpectsInputTypes' AbstractDataType is
+  * private[sql] in Spark 4.
+  */
+private[graft] trait StringArrayInput { self: UnaryExpression =>
+  override def checkInputDataTypes(): TypeCheckResult = self.child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"${self.prettyName} requires array<string>, got ${other.catalogString}")
+  }
+}
+
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with StringArrayInput {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+  protected override def nullSafeEval(input: Any): Any =
+    HashOps.minhash(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashOps.minhash($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+case class MinHashBandKeys(child: Expression, numHashes: Int, bands: Int)
+    extends UnaryExpression with StringArrayInput {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_band_keys"
+  protected override def nullSafeEval(input: Any): Any =
+    HashOps.minhashBandKeys(input.asInstanceOf[ArrayData], numHashes, bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.HashOps.minhashBandKeys($c, $numHashes, $bands)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandKeys =
+    copy(child = newChild)
+}
+
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+  protected override def nullSafeEval(input: Any): Any =
+    HashOps.wordShingles(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashOps.wordShingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+case class SimHashBits(child: Expression, bits: Int)
+    extends UnaryExpression with StringArrayInput {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "simhash_bits"
+  protected override def nullSafeEval(input: Any): Any =
+    HashOps.simhashBits(input.asInstanceOf[ArrayData], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashOps.simhashBits($c, $bits)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashBits =
+    copy(child = newChild)
+}

@@ -41,6 +41,27 @@ object CalabrioSync {
       .orderBy("contact_id", "evaluation_id")
   }
 
+  /** J4+D4: backup mirror merge — update-else-insert keyed on the
+    * document id the reference extracts from the VARIANT
+    * (Update…sql:217-227: matched → replace the whole payload,
+    * non-matched → insert). Projected to scalar columns first; the
+    * merge itself is upsertKeepCols with nothing kept.
+    */
+  def backupMirror(spark: SparkSession): DataFrame = {
+    def proj(df: DataFrame): DataFrame = df.select(
+      col("id").as("contact_id"),
+      col("startTime").as("start_time_ms"),
+      col("assocCallId").as("cjp_session_id"),
+      col("agent").getField("$ref").as("agent_ref"))
+    Maintenance
+      .upsertKeepCols(
+        proj(Fixtures.qaContacts(spark)),
+        proj(Fixtures.qaContactsRestated(spark)),
+        Seq("contact_id"),
+        keepCols = Set.empty)
+      .orderBy("contact_id")
+  }
+
   /** D2+J6: scores partition rebuild keyed on restated contacts —
     * Update…sql:140-170.
     */

@@ -23,18 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Word 3-gram shingles, deduplicated (set semantics for Jaccard). */
-  def shingles(text: Column): Column = {
-    val toks = TextOps.tokens(text)
-    array_distinct(
-      when(size(toks) >= 3,
-        transform(sequence(lit(1), size(toks) - 2), i =>
-          concat_ws(" ",
-            element_at(toks, i),
-            element_at(toks, i + 1),
-            element_at(toks, i + 2))))
-        .otherwise(array().cast("array<string>")))
-  }
+  /** Word 3-gram shingles, deduplicated (set semantics for Jaccard).
+    * Native WordShingles expression — the equivalent split/transform/
+    * array_distinct HOF chain was ~2 ms/doc interpreted and gets
+    * duplicated by CollapseProject wherever it feeds another lambda.
+    */
+  def shingles(text: Column): Column =
+    call_function("word_shingles", text, lit(3))
 
   private def sumSq(v: Column): Column =
     aggregate(v, lit(0.0), (a, x) => a + x.cast("double") * x.cast("double"))
@@ -88,7 +83,6 @@ object Similarity {
       numHashes: Int = 64,
       bands: Int = 16,
       bucketCap: Int = 1000): DataFrame = {
-    val rows = numHashes / bands
     // Spread the compute: these corpora arrive as few fat parquet
     // splits, and the signature math is orders of magnitude heavier
     // than one repartition pass. (At 100 TB the scan is already wide;
@@ -97,27 +91,20 @@ object Similarity {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
-    // One string hash per shingle, then the universal family
-    // hᵢ(s) = (aᵢ·h₀(s) + bᵢ) mod p over 31-bit values: the modular
-    // wraparound re-scrambles the ORDER of hashes for every i, so the
-    // 64 argmins are near-independent — a wrap-free affine family
-    // (h1 + i·h2) is NOT: it preserves ordering structure, collapses
-    // the 64 experiments to ~2, and measurably missed a 0.986-Jaccard
-    // pair. All arithmetic stays ≤ 2⁶² (ANSI mode raises on overflow).
-    val minhashes = {
-      val p = lit((1L << 31) - 1)
-      val h0 = transform(col("sh"), s => pmod(xxhash64(s), lit(1L << 31)))
-      transform(sequence(lit(0), lit(numHashes - 1)), i => {
-        val ai = pmod(xxhash64(concat(lit("a"), i)), p - 1) + 1
-        val bi = pmod(xxhash64(concat(lit("b"), i)), p)
-        array_min(transform(h0, h => pmod(ai * h + bi, p)))
-      })
-    }
-    val bandKeys = transform(sequence(lit(0), lit(bands - 1)), b =>
-      xxhash64(slice(col("mh"), b * rows + 1, lit(rows))))
+    // The signature uses the universal family hᵢ(s) = (aᵢ·h₀(s)+bᵢ)
+    // mod p over 31-bit values: the modular wraparound re-scrambles
+    // the ORDER of hashes for every i, so the 64 argmins are
+    // near-independent — a wrap-free affine family (h1 + i·h2) is
+    // NOT: it preserves ordering structure, collapses the 64
+    // experiments to ~2, and measurably missed a 0.986-Jaccard pair.
+    // Signature AND banding are fused in one codegen'd expression
+    // (MinHashBandKeys): split across two projections, CollapseProject
+    // inlines the signature into the per-band lambda and recomputes it
+    // 16× per row; interpreted HOFs made that 90 s/query at sf0.1.
     val m = sh
-      .select(col("doc_id"), minhashes.as("mh"))
-      .select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "bkey")))
+      .select(col("doc_id"), posexplode(
+        call_function("minhash_band_keys", col("sh"), lit(numHashes), lit(bands)))
+        .as(Seq("band", "bkey")))
     val capped = m
       .withColumn("bsize", count(lit(1)).over(Window.partitionBy("band", "bkey")))
       .filter(col("bsize") <= bucketCap)
@@ -149,26 +136,17 @@ object Similarity {
     * whole-stage codegen; a custom Expression could fuse the 64 passes
     * into one if this ever dominates a profile. See SimilaritySpec.
     */
-  def simhash(docs: DataFrame, bits: Int = 64): DataFrame = {
-    // Hash every shingle ONCE into a long array, then take the 64
-    // bit-vote passes over longs — hashing strings per bit would cost
-    // 64× the string work (and dominated the first bench attempt).
-    val hashed = docs
+  def simhash(docs: DataFrame, bits: Int = 64): DataFrame =
+    // One native pass per doc (custom SimHashBits expression): hash
+    // each shingle once, accumulate all 64 bit votes in that pass.
+    // The interpreted formulation (64 aggregate passes re-hashing
+    // strings) was 73 s/query at sf0.1.
+    docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col("doc_id"),
-        transform(shingles(col("text")), s => xxhash64(s)).as("hs"))
-    val bitCols = transform(sequence(lit(0), lit(bits - 1)), j => {
-      // functions.shiftright only takes an Int literal; the bit index
-      // here is a lambda variable, so call the SQL function directly.
-      val vote = aggregate(col("hs"), lit(0L), (acc, h) =>
-        acc + when(call_function("shiftright", h, j).bitwiseAND(1) === 1, 1L)
-          .otherwise(-1L))
-      when(vote >= 0, lit("1")).otherwise(lit("0"))
-    })
-    hashed
-      .select(col("doc_id"), array_join(bitCols, "").as("simhash_bits"))
+      .select(
+        col("doc_id"),
+        call_function("simhash_bits", shingles(col("text")), lit(bits)).as("simhash_bits"))
       .orderBy("doc_id")
-  }
 
   /** The ANN scale path: random-hyperplane LSH over the embedding —
     * signature bit j = sign(Σᵢ hᵢⱼ·vᵢ) with hᵢⱼ ∈ {−1,+1} derived
