@@ -148,17 +148,30 @@ object Similarity {
         call_function("simhash_bits", shingles(col("text")), lit(bits)).as("simhash_bits"))
       .orderBy("doc_id")
 
-  /** The ANN scale path: random-hyperplane LSH over the embedding —
-    * signature bit j = sign(Σᵢ hᵢⱼ·vᵢ) with hᵢⱼ ∈ {−1,+1} derived
-    * deterministically from xxhash64(j·4096+i). Vectors sharing the
-    * sigBits-bit bucket are candidates; exact cosine then ranks within
-    * the bucket. Approximate (a true neighbor in another bucket is
-    * missed) — this is the recall/latency trade every IVF/LSH index
-    * makes; the exact cosineTopK above is the correctness baseline.
-    * At 100 TB the bucket join replaces the broadcast pass: shuffle on
-    * a short signature key, candidates stay partition-local.
+  /** Embedding-cosine near-duplicate pairs: vectors sharing a
+    * hyperplane-LSH bucket whose exact cosine clears the threshold
+    * (scaled e6). Same bucket-join shape as annTopKLsh — candidates
+    * stay bucket-local, no all-pairs product; recall follows the
+    * (1−θ/π)^sigBits collision curve, so this targets true NEAR-DUPS
+    * (θ≈0), where collision probability approaches 1.
     */
-  def annTopKLsh(emb: DataFrame, nQueries: Int = 5, k: Int = 10, sigBits: Int = 8): DataFrame = {
+  def embeddingNearDup(emb: DataFrame, simE6Threshold: Long, sigBits: Int = 8): DataFrame = {
+    val e = withSignature(emb, sigBits)
+    val sim6 = round(lit(1e6) * dot(col("a_emb"), col("b_emb"))
+      / (sqrt(col("a_n2")) * sqrt(col("b_n2")))).cast("long")
+    e.select(col("sig"), col("vec_id").as("vec_a"), col("embedding").as("a_emb"), col("n2").as("a_n2"))
+      .join(
+        e.select(col("sig"), col("vec_id").as("vec_b"), col("embedding").as("b_emb"), col("n2").as("b_n2")),
+        Seq("sig"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), sim6.as("sim_e6"))
+      .filter(col("sim_e6") >= simE6Threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Shared hyperplane-signature projection: vec_id, embedding, sig,
+    * norm². */
+  private def withSignature(emb: DataFrame, sigBits: Int): DataFrame = {
     val dim = 64
     def signature(v: Column): Column =
       array_join(
@@ -170,10 +183,24 @@ object Similarity {
             lit(0.0), (a, x) => a + x)
           when(proj >= 0, lit("1")).otherwise(lit("0"))
         }), "")
-    val e = emb
+    emb
       .repartition(emb.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding"),
         signature(col("embedding")).as("sig"), sumSq(col("embedding")).as("n2"))
+  }
+
+  /** The ANN scale path: random-hyperplane LSH over the embedding —
+    * signature bit j = sign(Σᵢ hᵢⱼ·vᵢ) with hᵢⱼ ∈ {−1,+1} derived
+    * deterministically from xxhash64(j·4096+i). Vectors sharing the
+    * sigBits-bit bucket are candidates; exact cosine then ranks within
+    * the bucket. Approximate (a true neighbor in another bucket is
+    * missed) — this is the recall/latency trade every IVF/LSH index
+    * makes; the exact cosineTopK above is the correctness baseline.
+    * At 100 TB the bucket join replaces the broadcast pass: shuffle on
+    * a short signature key, candidates stay partition-local.
+    */
+  def annTopKLsh(emb: DataFrame, nQueries: Int = 5, k: Int = 10, sigBits: Int = 8): DataFrame = {
+    val e = withSignature(emb, sigBits)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("sig"), col("n2").as("qn2"))

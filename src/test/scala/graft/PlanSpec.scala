@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.{Queries, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits: the scale posture the operators claim must
+  * actually appear in the executed plan — pushdown to the parquet
+  * scan, broadcast of tiny sides, and the absence of cartesian
+  * products anywhere in the similarity family (builder brief: iterate
+  * on .explain until it's the plan you'd want).
+  */
+class PlanSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(df: DataFrame): String = {
+    df.collect() // force execution so AQE finalizes the plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filters and projections push into the parquet scan") {
+    val df = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 30)
+      .select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"),
+      s"filter must reach the scan:\n$scan")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"scan must read only the projected columns:\n$scan")
+  }
+
+  test("cosine_topk: query side broadcasts, big side never shuffles") {
+    val plan = executedPlan(Similarity.cosineTopK(Tables.embeddings(spark, dir)))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"tiny query set must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian product:\n$plan")
+  }
+
+  test("similarity family plans contain no cartesian product") {
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    Seq(
+      Similarity.minhashNearDup(docs),
+      Similarity.annTopKLsh(emb),
+      Similarity.embeddingNearDup(emb, 450000L)).foreach { df =>
+      val plan = executedPlan(df)
+      assert(!plan.contains("CartesianProduct"), s"no cartesian product:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin") || df != docs,
+        "bucketed candidates must equi-join")
+    }
+  }
+
+  test("cslb_reconcile aggregates before the join (no amplification)") {
+    val df = Queries.cslbReconcile(spark, dir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // the aggregate (distinct) must sit BELOW the join in the plan tree
+    val joinIdx = plan.indexOf("Join")
+    val aggIdx = plan.indexOf("Aggregate")
+    assert(joinIdx >= 0 && aggIdx >= 0 && aggIdx < joinIdx,
+      s"distinct-then-semi-join expected:\n$plan")
+    assert(plan.contains("LeftSemi"), s"semi join expected:\n$plan")
+  }
+
+  test("embeddingNearDup returns only pairs above threshold, a<b") {
+    val out = Similarity.embeddingNearDup(Tables.embeddings(spark, dir), 400000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.foreach { case (a, b, s) =>
+      assert(a < b)
+      assert(s >= 400000L)
+    }
+  }
+}
