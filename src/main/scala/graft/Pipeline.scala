@@ -47,6 +47,13 @@ object Pipeline {
     } finally pool.shutdown()
   }
 
+  /** O3: peek-first-N debug (the reference prints json_var[:3],
+    * qa_api_handler.py:326-331) — take(n) through the limit-pushdown
+    * path, never a full materialization.
+    */
+  def peek(df: org.apache.spark.sql.DataFrame, n: Int = 3): Seq[String] =
+    df.take(n).map(_.json).toSeq
+
   /** A3: driver progress metrics — the reference prints running counts
     * and percentages (qa_api_handler.py:130,146-152); on Spark the
     * scheduler already knows, so expose jobs/tasks/records seen via a

@@ -72,6 +72,14 @@ object Schemas {
     )))),
   ))
 
+  /** transcript utterance — qa_api_handler.py:163-200 (speechtextview
+    * responses; extraction+staging only, no transform SQL exists). */
+  val transcript: StructType = StructType(Seq(
+    StructField("ccrid", LongType),
+    StructField("seq", LongType),
+    StructField("text", StringType),
+  ))
+
   /** comments payload — Update…sql:185-215 ($ref digit-runs carry ids). */
   val comments: StructType = StructType(Seq(
     ref,

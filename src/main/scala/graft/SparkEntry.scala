@@ -65,6 +65,10 @@ object SparkEntry {
     // must never read the blob column (plan asserted in MultimodalSpec).
     "media_stats" -> ((s, dir) =>
       Multimodal.mediaStats(Multimodal.synthesizeMedia(Tables.documents(s, dir)))),
+    // S5-shaped transcripts staging: per-response arrays flattened to
+    // utterances, empty responses dropped by the inner explode (F6).
+    "shred_transcripts" -> ((s, _) =>
+      Fixtures.transcripts(s).orderBy("ccrid", "seq")),
   )
 
   /** Shared oracle fragment: the evaluations shred (projection + SCORED
@@ -314,5 +318,9 @@ object SparkEntry {
         |       CASE WHEN n.contact_id IS NOT NULL THEN n.agent_ref ELSE t.agent_ref END AS agent_ref
         |FROM tgt t FULL OUTER JOIN srcn n ON t.contact_id = n.contact_id
         |ORDER BY contact_id""".stripMargin,
+    "shred_transcripts" ->
+      """WITH r AS (SELECT unnest(json) AS utt FROM read_json('/root/repo/fixtures/transcripts.json'))
+        |SELECT utt.ccrid AS ccrid, utt.seq AS seq, utt.text AS text
+        |FROM r ORDER BY ccrid, seq""".stripMargin,
   )
 }

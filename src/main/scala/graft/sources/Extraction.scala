@@ -46,6 +46,28 @@ object Extraction {
     def token(): String = value
   }
 
+  /** S6: HATEOAS link-follow — rows carrying a `comments` URL field
+    * (F7: link-present filter) fan out to one GET per link
+    * (qa_api_handler.py:202-228: guard `'comments' in jr`, then GET
+    * base+url).
+    */
+  trait LinkFetcher extends Serializable {
+    def fetch(url: String): Iterator[String]
+  }
+
+  def followLinks(
+      rows: DataFrame,
+      linkCol: String,
+      fetcher: LinkFetcher,
+      tasks: Int = 8): Dataset[String] = {
+    import rows.sparkSession.implicits._
+    rows
+      .filter(col(linkCol).isNotNull) // F7
+      .select(col(linkCol).cast("string")).as[String]
+      .repartition(tasks)
+      .mapPartitions(_.flatMap(fetcher.fetch))
+  }
+
   /** S3: the reference's get_all_contacts can source its keys either
     * from date windows (API scan) or from a SQL file's result
     * (qa_api_handler.py:120-123). Model the choice as data.

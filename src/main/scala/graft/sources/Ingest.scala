@@ -125,6 +125,16 @@ object Ingest {
     (good, bad)
   }
 
+  /** O4: collapse per-batch filenames into distinct load targets —
+    * the reference's run_table_updates turns all_contacts_1.json,
+    * all_contacts_2.json, … into ONE glob-pattern load and keeps every
+    * other file as its own target (qa_api_handler.py:281-287).
+    */
+  def collapseLoadTargets(fileNames: Seq[String]): Seq[String] =
+    fileNames
+      .map(n => if (n.matches("all_contacts_\\d+\\.json")) "all_contacts_*.json" else n)
+      .distinct
+
   /** S8 file normalizer: the reference appends whole response arrays
     * to one file and later regex-stitches `]\n[` seams into a single
     * array (qa_api_handler.py:230-236). Reading whole-file text and

@@ -51,6 +51,38 @@ class PipelineSpec extends SparkSpec {
       Extraction.credentialsFrom(Map("CALABRIO_KEY" -> """{"user": "u"}""")))
   }
 
+  test("followLinks: only rows with a link fan out (S6/F7)") {
+    import spark.implicits._
+    val evals = Seq(
+      (5000L, "/api/contact/1/eval/5000/comment"),
+      (5001L, null),
+      (5002L, "/api/contact/2/eval/5002/comment")).toDF("id", "comments")
+    val lf = new Extraction.LinkFetcher {
+      def fetch(url: String): Iterator[String] = Iterator(s"""[{"url": "$url"}]""")
+    }
+    val out = Extraction.followLinks(evals, "comments", lf, tasks = 2)
+    assert(out.count() === 2)
+  }
+
+  test("collapseLoadTargets mirrors the reference's glob collapse (O4)") {
+    val in = Seq("all_contacts_1.json", "all_contacts_2.json", "forms.json",
+      "all_contacts_7.json", "qa_contacts.json")
+    assert(Ingest.collapseLoadTargets(in)
+      === Seq("all_contacts_*.json", "forms.json", "qa_contacts.json"))
+  }
+
+  test("transcripts reader drops empty responses, keeps utterance order (S5/F6)") {
+    val t = Fixtures.transcripts(spark)
+    assert(t.count() === 30)
+    assert(t.filter(org.apache.spark.sql.functions.col("ccrid").isNull).count() === 0)
+  }
+
+  test("peek returns first-N without full materialization (O3)") {
+    val p = Pipeline.peek(Tables.documents(spark, "/root/testdata/sf0.001"), 3)
+    assert(p.size === 3)
+    assert(p.head.contains("doc_id"))
+  }
+
   test("source selector: window scan vs keys-from-query produce the same shape") {
     import spark.implicits._
     val wf = new Ingest.WindowFetcher {
