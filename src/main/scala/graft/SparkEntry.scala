@@ -69,6 +69,11 @@ object SparkEntry {
     // utterances, empty responses dropped by the inner explode (F6).
     "shred_transcripts" -> ((s, _) =>
       Fixtures.transcripts(s).orderBy("ccrid", "seq")),
+    // P1 at table scale: JSON path extraction + filter + agg over the
+    // events stream table (600k rows at bench sf).
+    "event_props_summary" -> ((s, dir) => Queries.eventPropsSummary(s, dir)),
+    // The troubleshooting row-count surface as one relation.
+    "table_counts" -> ((s, _) => CalabrioSync.tableCounts(s)),
   )
 
   /** Shared oracle fragment: the evaluations shred (projection + SCORED
@@ -93,6 +98,30 @@ object SparkEntry {
        |            FROM read_json('/root/repo/fixtures/$file') WHERE state.text = 'SCORED'),
        |  q AS (SELECT evaluation_id, contact_id, sec.id AS section_id, unnest(sec.questions) AS que FROM f)
        | SELECT evaluation_id, contact_id, section_id, que.id AS question_id, que.selectedOption AS option_id FROM q)""".stripMargin
+
+  /** Shared oracle fragment: the comments shred (outer flatten +
+    * newest-history dedup) — mirrors Shred.comments. */
+  private def commentsShredSql(file: String): String =
+    s"""(WITH src AS (SELECT * FROM read_json('/root/repo/fixtures/$file')),
+       |  ex AS (
+       |    SELECT "$$ref", sectionFK, questionFK, created, commentor, text, unnest(history) AS h
+       |    FROM src WHERE len(history) > 0
+       |    UNION ALL
+       |    SELECT "$$ref", sectionFK, questionFK, created, commentor, text, NULL AS h
+       |    FROM src WHERE history IS NULL OR len(history) = 0),
+       |  proj AS (
+       |   SELECT CAST(regexp_extract_all("$$ref", '\\d+')[3] AS BIGINT) AS comment_id,
+       |          CAST(regexp_extract_all("$$ref", '\\d+')[1] AS BIGINT) AS contact_id,
+       |          CAST(regexp_extract_all("$$ref", '\\d+')[2] AS BIGINT) AS evaluation_id,
+       |          sectionFK AS section_id, questionFK AS question_id,
+       |          strftime(timezone('America/Denver', epoch_ms(COALESCE(h.created, created))::TIMESTAMPTZ), '%Y-%m-%d %H:%M:%S') AS created_date,
+       |          CAST(regexp_extract(COALESCE(h.commentor."$$ref", commentor."$$ref"), '(\\d+)', 1) AS BIGINT) AS commentor_id,
+       |          text, h.created AS h_created
+       |   FROM ex
+       |   WHERE regexp_matches(text, '^.*[[:alnum:]].*$$', 's'))
+       | SELECT comment_id, contact_id, evaluation_id, section_id, question_id, created_date, commentor_id, text
+       | FROM proj
+       | QUALIFY row_number() OVER (PARTITION BY comment_id ORDER BY h_created DESC NULLS LAST) = 1)""".stripMargin
 
   /** Shared oracle fragment: the contacts shred — mirrors Shred.contacts. */
   private def contactsShredSql(file: String): String =
@@ -174,27 +203,8 @@ object SparkEntry {
         |SELECT evaluation_id, contact_id, section_id, que.id AS question_id, que.selectedOption AS option_id
         |FROM q ORDER BY evaluation_id, section_id, question_id""".stripMargin,
     "shred_comments" ->
-      """WITH src AS (SELECT * FROM read_json('/root/repo/fixtures/comments.json')),
-        | ex AS (
-        |   SELECT "$ref", sectionFK, questionFK, created, commentor, text, unnest(history) AS h
-        |   FROM src WHERE len(history) > 0
-        |   UNION ALL
-        |   SELECT "$ref", sectionFK, questionFK, created, commentor, text, NULL AS h
-        |   FROM src WHERE history IS NULL OR len(history) = 0),
-        | proj AS (
-        |  SELECT CAST(regexp_extract_all("$ref", '\d+')[3] AS BIGINT) AS comment_id,
-        |         CAST(regexp_extract_all("$ref", '\d+')[1] AS BIGINT) AS contact_id,
-        |         CAST(regexp_extract_all("$ref", '\d+')[2] AS BIGINT) AS evaluation_id,
-        |         sectionFK AS section_id, questionFK AS question_id,
-        |         strftime(timezone('America/Denver', epoch_ms(COALESCE(h.created, created))::TIMESTAMPTZ), '%Y-%m-%d %H:%M:%S') AS created_date,
-        |         CAST(regexp_extract(COALESCE(h.commentor."$ref", commentor."$ref"), '(\d+)', 1) AS BIGINT) AS commentor_id,
-        |         text, h.created AS h_created
-        |  FROM ex
-        |  WHERE regexp_matches(text, '^.*[[:alnum:]].*$', 's'))
-        |SELECT comment_id, contact_id, evaluation_id, section_id, question_id, created_date, commentor_id, text
-        |FROM proj
-        |QUALIFY row_number() OVER (PARTITION BY comment_id ORDER BY h_created DESC NULLS LAST) = 1
-        |ORDER BY contact_id, evaluation_id, section_id, question_id""".stripMargin,
+      s"""SELECT * FROM ${commentsShredSql("comments.json")}
+         |ORDER BY contact_id, evaluation_id, section_id, question_id""".stripMargin,
     "trouble_children" ->
       """WITH src AS (SELECT * FROM read_json('/root/repo/fixtures/evals.json')),
         | proj AS (
@@ -322,5 +332,20 @@ object SparkEntry {
       """WITH r AS (SELECT unnest(json) AS utt FROM read_json('/root/repo/fixtures/transcripts.json'))
         |SELECT utt.ccrid AS ccrid, utt.seq AS seq, utt.text AS text
         |FROM r ORDER BY ccrid, seq""".stripMargin,
+    "event_props_summary" ->
+      """SELECT event_type, count(*) AS n_events, sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k,
+        |       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_e2
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value FROM events)
+        |WHERE k IS NOT NULL AND k >= 10
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "table_counts" ->
+      s"""SELECT 'qa_contacts' AS table_name, (SELECT count(*) FROM ${contactsShredSql("qa_contacts.json")} t) AS n
+         |UNION ALL
+         |SELECT 'qa_evaluations', (SELECT count(*) FROM ${evalShredSql("evals.json")} t)
+         |UNION ALL
+         |SELECT 'qa_evaluation_scores', (SELECT count(*) FROM ${scoresShredSql("evals.json")} t)
+         |UNION ALL
+         |SELECT 'qa_evaluation_comments', (SELECT count(*) FROM ${commentsShredSql("comments.json")} t)
+         |ORDER BY table_name""".stripMargin,
   )
 }

@@ -62,6 +62,20 @@ object CalabrioSync {
       .orderBy("contact_id")
   }
 
+  /** The troubleshooting row-count surface (queries/troubleshooting
+    * .sql:1-11: the reference's manual verification was eyeballing
+    * table sizes) as one relation: each shredded table's cardinality.
+    */
+  def tableCounts(spark: SparkSession): DataFrame = {
+    def one(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("table_name"), col("n"))
+    one("qa_contacts", Shred.contacts(Fixtures.qaContacts(spark)))
+      .unionByName(one("qa_evaluations", Shred.evaluations(Fixtures.evaluations(spark))))
+      .unionByName(one("qa_evaluation_scores", Shred.scores(Fixtures.evaluations(spark))))
+      .unionByName(one("qa_evaluation_comments", Shred.comments(Fixtures.comments(spark))))
+      .orderBy("table_name")
+  }
+
   /** D2+J6: scores partition rebuild keyed on restated contacts —
     * Update…sql:140-170.
     */

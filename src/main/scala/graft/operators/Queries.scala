@@ -110,6 +110,30 @@ object Queries {
       .limit(100)
   }
 
+  /** JSON path extraction at table scale (P1 over the events stream
+    * table — FIXTURES.md §B: events.props plays the VARIANT src
+    * column): extract+cast a path out of 600k JSON strings, filter on
+    * the extracted value, aggregate per type. The filter on the
+    * extracted path can't push to parquet (it's inside the JSON
+    * string), but column pruning keeps the scan to 3 columns and the
+    * aggregate is map-side combinable on a 5-value key.
+    */
+  def eventPropsSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        round(col("value") * 100).cast("long").as("value_e2"))
+      .filter(col("k").isNotNull && col("k") >= 10)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("k").as("sum_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"),
+        sum("value_e2").as("sum_value_e2"))
+      .orderBy("event_type")
+
   /** Null probe: evaluations missing an evaluator.
     * Reference: /root/reference/sql_templates/trouble_children.sql:1-8.
     * Runs over the Calabrio fixture evaluations (see Fixtures).

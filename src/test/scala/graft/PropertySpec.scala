@@ -1,0 +1,104 @@
+package graft
+
+import java.time.LocalDate
+
+import graft.operators.{Maintenance, Shred}
+import graft.sources.Ingest
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based checks (SURVEY §5 item 2): the merge algebra's
+  * idempotency under replay — the reference's whole late-data design
+  * bet — plus window-planner tiling and tz-conversion DST pins.
+  */
+class PropertySpec extends SparkSpec {
+
+  private def holds(prop: Prop, n: Int = 30): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("planWindows tiles [begin, end) exactly: no gaps, no overlap, clipped tail") {
+    val gen = for {
+      startDay <- Gen.choose(0L, 20000L)
+      len <- Gen.choose(1L, 400L)
+      break <- Gen.choose(1, 45)
+    } yield (LocalDate.ofEpochDay(startDay), LocalDate.ofEpochDay(startDay + len), break)
+    holds(Prop.forAll(gen) { case (b, e, brk) =>
+      val ws = Ingest.planWindows(b, e, brk)
+      val contiguous = ws.sliding(2).forall {
+        case Seq(x, y) => x.endExclusive == y.start
+        case _ => true
+      }
+      ws.head.start == b.toString && ws.last.endExclusive == e.toString &&
+        contiguous &&
+        ws.forall(w => LocalDate.parse(w.start).isBefore(LocalDate.parse(w.endExclusive)))
+    }, n = 100)
+  }
+
+  test("collapseLoadTargets is idempotent and order-preserving") {
+    val name = Gen.oneOf(
+      Gen.choose(1, 99).map(i => s"all_contacts_$i.json"),
+      Gen.oneOf("forms.json", "qa_contacts.json", "evals.json", "comments.json"))
+    holds(Prop.forAll(Gen.listOf(name)) { names =>
+      val once = Ingest.collapseLoadTargets(names)
+      Ingest.collapseLoadTargets(once) == once && once.distinct == once
+    }, n = 100)
+  }
+
+  test("insertOnlyMerge: replay-idempotent and key-unique over random batches") {
+    import spark.implicits._
+    val rowsGen = Gen.listOfN(12,
+      for { k <- Gen.choose(0L, 9L); v <- Gen.choose(0, 999) } yield (k, v))
+    holds(Prop.forAll(rowsGen, rowsGen) { (t, s) =>
+      val target = t.toDF("k", "v").dropDuplicates("k")
+      val source = s.toDF("k", "v").dropDuplicates("k")
+      val once = Maintenance.insertOnlyMerge(target, source, Seq("k"))
+      val twice = Maintenance.insertOnlyMerge(once, source, Seq("k"))
+      val onceRows = once.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val twiceRows = twice.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val targetRows = target.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      onceRows == twiceRows &&
+        onceRows.map(_._1).size == onceRows.size && // unique keys
+        targetRows.subsetOf(onceRows) // target rows always survive
+    }, n = 10)
+  }
+
+  test("upsertKeepCols: result keys = key union; kept col from target on match") {
+    import spark.implicits._
+    val rowsGen = Gen.listOfN(10,
+      for { k <- Gen.choose(0L, 7L); v <- Gen.choose(0, 999); w <- Gen.choose(0, 999) }
+        yield (k, v, w))
+    holds(Prop.forAll(rowsGen, rowsGen) { (t, s) =>
+      val target = t.toDF("k", "v", "keep").dropDuplicates("k")
+      val source = s.toDF("k", "v", "keep").dropDuplicates("k")
+      val out = Maintenance.upsertKeepCols(target, source, Seq("k"), Set("keep"))
+      val o = out.collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+      val tm = target.collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+      val sm = source.collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+      o.keySet == (tm.keySet ++ sm.keySet) &&
+        o.forall { case (k, (v, keep)) =>
+          (tm.get(k), sm.get(k)) match {
+            case (Some((_, tk)), Some((sv, _))) => v == sv && keep == tk // matched
+            case (Some((tv, tk)), None) => v == tv && keep == tk // target-only
+            case (None, Some((sv, sk))) => v == sv && keep == sk // inserted
+            case _ => false
+          }
+        }
+    }, n = 10)
+  }
+
+  test("denverTs: DST transitions convert correctly (SURVEY risk #3)") {
+    import spark.implicits._
+    val vectors = Seq(
+      // spring forward 2024-03-10: 09:00Z jumps 01:59 MST -> 03:00 MDT
+      (1710061140000L, "2024-03-10 01:59:00"), // 08:59Z, still MST (UTC-7)
+      (1710064740000L, "2024-03-10 03:59:00"), // 09:59Z, MDT (UTC-6); 02:xx never exists
+      // fall back 2024-11-03: 08:00Z repeats 01:00
+      (1730619000000L, "2024-11-03 01:30:00"), // 07:30Z, MDT (UTC-6)
+      (1730622600000L, "2024-11-03 01:30:00")) // 08:30Z, MST (UTC-7) - same wall clock
+    val got = vectors.map(_._1).toDF("ms")
+      .select(Shred.denverTs(col("ms")).as("d")).collect().map(_.getString(0))
+    assert(got.toSeq === vectors.map(_._2))
+  }
+}
