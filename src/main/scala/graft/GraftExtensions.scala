@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{MinHashBandKeys, MinHashSignature, SimHashBits, WordShingles}
+import graft.expressions.{HyperplaneSig, MinHashBandKeys, MinHashSignature, SimHashBits, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -47,6 +47,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           MinHashBandKeys(c, intLit(n, "numHashes"), intLit(b, "bands"))
         case _ => throw new IllegalArgumentException(
           "usage: minhash_band_keys(arr, numHashes, bands)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSig].getName, "hyperplane_sig"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => HyperplaneSig(c, 8)
+        case Seq(c, n) => HyperplaneSig(c, intLit(n, "sigBits"))
+        case _ => throw new IllegalArgumentException(
+          "usage: hyperplane_sig(vec[, sigBits])")
       }))
     ext.injectFunction((
       new FunctionIdentifier("word_shingles"),

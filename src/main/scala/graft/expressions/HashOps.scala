@@ -103,6 +103,32 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** Random-hyperplane signature of a float/double vector: bit j =
+    * sign(Σᵢ hᵢⱼ·vᵢ), hᵢⱼ ∈ {−1,+1} from bit 0 of xxhash64(j·4096+i)
+    * — the same derivation the column formulation used, one native
+    * pass instead of sigBits interpreted zip_with folds.
+    */
+  def hyperplaneSig(vec: ArrayData, sigBits: Int): UTF8String = {
+    val n = vec.numElements()
+    val xs = new Array[Double](n)
+    var i = 0
+    while (i < n) { xs(i) = vec.getFloat(i).toDouble; i += 1 }
+    val sb = new java.lang.StringBuilder(sigBits)
+    var j = 0
+    while (j < sigBits) {
+      var acc = 0.0
+      var k = 0
+      while (k < n) {
+        val sign = if ((XXH64.hashInt(j * 4096 + k, Seed) & 1L) == 1L) 1.0 else -1.0
+        acc += sign * xs(k)
+        k += 1
+      }
+      sb.append(if (acc >= 0) '1' else '0')
+      j += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** SimHash bit-vote signature of a string array as a '0'/'1' string
     * (bit 0 first). Empty input yields all-'1' (votes are >= 0), same
     * as the column formulation it replaced.

@@ -65,6 +65,23 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+case class HyperplaneSig(child: Expression, sigBits: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "hyperplane_sig"
+  protected override def nullSafeEval(input: Any): Any =
+    HashOps.hyperplaneSig(input.asInstanceOf[ArrayData], sigBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashOps.hyperplaneSig($c, $sigBits)")
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
 case class SimHashBits(child: Expression, bits: Int)
     extends UnaryExpression with StringArrayInput {
   override def dataType: DataType = StringType

@@ -170,24 +170,16 @@ object Similarity {
   }
 
   /** Shared hyperplane-signature projection: vec_id, embedding, sig,
-    * norm². */
-  private def withSignature(emb: DataFrame, sigBits: Int): DataFrame = {
-    val dim = 64
-    def signature(v: Column): Column =
-      array_join(
-        transform(sequence(lit(0), lit(sigBits - 1)), j => {
-          val proj = aggregate(
-            zip_with(v, sequence(lit(0), lit(dim - 1)), (x, i) =>
-              when(xxhash64(j * 4096 + i).bitwiseAND(1) === 1, x.cast("double"))
-                .otherwise(-x.cast("double"))),
-            lit(0.0), (a, x) => a + x)
-          when(proj >= 0, lit("1")).otherwise(lit("0"))
-        }), "")
+    * norm². Signature bit j = sign(Σᵢ ±vᵢ) with deterministic ±1 per
+    * (j,i) — computed by the native HyperplaneSig expression (the
+    * interpreted zip_with fold was sigBits × dim boxed ops per row).
+    */
+  private def withSignature(emb: DataFrame, sigBits: Int): DataFrame =
     emb
       .repartition(emb.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding"),
-        signature(col("embedding")).as("sig"), sumSq(col("embedding")).as("n2"))
-  }
+        call_function("hyperplane_sig", col("embedding"), lit(sigBits)).as("sig"),
+        sumSq(col("embedding")).as("n2"))
 
   /** The ANN scale path: random-hyperplane LSH over the embedding —
     * signature bit j = sign(Σᵢ hᵢⱼ·vᵢ) with hᵢⱼ ∈ {−1,+1} derived

@@ -56,6 +56,27 @@ object Sinks {
       .option("compression", "gzip")
       .json(s"$stageDir/${prefix}_$batchId.json")
 
+  /** Bucketed overwrite for co-located joins: both sides of a
+    * recurring large join written with the same bucket count on the
+    * join key scan-join WITHOUT an exchange (the per-stage shuffle
+    * disappears — the 100 TB answer for a join executed every batch;
+    * asserted in PlanSpec). Requires a catalog table (bucket metadata
+    * lives in the catalog, not the files).
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      path: String,
+      key: String,
+      buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
   /** S12: stage purge — remove everything under the stage dir. */
   def purgeStage(df: DataFrame, stageDir: String): Unit = {
     val p = new Path(stageDir)

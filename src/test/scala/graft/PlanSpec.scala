@@ -61,6 +61,36 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), s"semi join expected:\n$plan")
   }
 
+  test("bucketed tables join with zero exchanges") {
+    val base = java.nio.file.Files.createTempDirectory("graft_buckets").toString
+    graft.sources.Sinks.writeBucketed(
+      Tables.orders(spark, dir), "orders_b", s"$base/orders_b", "o_orderkey", 8)
+    graft.sources.Sinks.writeBucketed(
+      Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity"),
+      "lineitem_b", s"$base/lineitem_b", "l_orderkey", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("orders_b")
+        .join(spark.table("lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority").agg(sum("l_quantity").as("q"))
+      val plan = executedPlan(j)
+      // look only at AQE's final plan (the printed string repeats the
+      // initial plan below it)
+      val finalSection = plan.indexOf("== Initial Plan ==") match {
+        case -1 => plan
+        case i => plan.substring(0, i)
+      }
+      assert(finalSection.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(finalSection.contains("Bucketed: true"), s"expected bucketed scans:\n$plan")
+      // the plan prints top-down, so everything after the SMJ line is
+      // its input subtree: no exchange may feed the join
+      val joinSubtree = finalSection.substring(finalSection.indexOf("SortMergeJoin"))
+      assert(!joinSubtree.contains("Exchange"),
+        s"bucketed join must not shuffle its inputs:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("embeddingNearDup returns only pairs above threshold, a<b") {
     val out = Similarity.embeddingNearDup(Tables.embeddings(spark, dir), 400000L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
