@@ -55,12 +55,17 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("n2").as("qn2"))
     val sim6 = round(lit(1e6) * dot(col("q_emb"), col("embedding"))
       / (sqrt(col("n2")) * sqrt(col("qn2")))).cast("long")
-    val w = Window.partitionBy("q_id").orderBy(col("sim_e6").desc, col("neighbor_id"))
+    // Partition-local bounded top-k (TopK.Agg), NOT a window
+    // partitioned by q_id: the window plan shuffles the FULL scored
+    // set into |queries| partitions; the aggregator reduces every
+    // partition to ≤ k rows before the (map-side-combined) shuffle.
+    val topk = udaf(TopK.Agg(k))
     e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"), sim6.as("sim_e6"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .drop("rn")
+      .groupBy("q_id")
+      .agg(topk(col("sim_e6"), col("neighbor_id")).as("top"))
+      .select(col("q_id"), explode(col("top.items")).as("s"))
+      .select(col("q_id"), col("s.neighbor_id").as("neighbor_id"), col("s.sim_e6").as("sim_e6"))
       .orderBy(col("q_id"), col("sim_e6").desc, col("neighbor_id"))
   }
 

@@ -88,6 +88,22 @@ class PropertySpec extends SparkSpec {
     }, n = 10)
   }
 
+  test("saltedJoin equals the unsalted join under heavy key skew") {
+    import spark.implicits._
+    // 90% of big rows share one hot key
+    val big = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 42L, i)).toDF("k", "v")
+    val small = Seq((42L, "hot"), (1L, "a"), (3L, "c"), (99L, "unmatched")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).select("k", "v", "name")
+    val salted = graft.operators.Skew.saltedJoin(big, small, "k", 8).select("k", "v", "name")
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+    // left joins preserve unmatched big rows too
+    val plainL = big.join(small, Seq("k"), "left").select("k", "v", "name")
+    val saltedL = graft.operators.Skew.saltedJoin(big, small, "k", 8, "left").select("k", "v", "name")
+    assert(saltedL.exceptAll(plainL).count() === 0)
+    assert(plainL.exceptAll(saltedL).count() === 0)
+  }
+
   test("denverTs: DST transitions convert correctly (SURVEY risk #3)") {
     import spark.implicits._
     val vectors = Seq(
