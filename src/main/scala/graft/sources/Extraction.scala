@@ -33,6 +33,20 @@ object Extraction {
     Credentials(field("base_url"), field("user"), field("secret"))
   }
 
+  /** P13: URL query-string construction from a param map
+    * (qa_api_handler.py:101-108: beginDate/endDate/limit/evalState →
+    * `?k=v&k=v`). Deterministic ordering (insertion order of the
+    * ListMap / sorted for plain Map) so built URLs are reproducible.
+    */
+  def queryString(base: String, params: Seq[(String, String)]): String =
+    if (params.isEmpty) base
+    else params
+      .map { case (k, v) =>
+        java.net.URLEncoder.encode(k, "UTF-8") + "=" +
+          java.net.URLEncoder.encode(v, "UTF-8")
+      }
+      .mkString(base + "?", "&", "")
+
   /** S1: authenticate once per pipeline run, hold the session token.
     * The HTTP implementation lives outside this repo's test surface;
     * the trait is what the fetchers receive.

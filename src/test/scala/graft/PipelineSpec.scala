@@ -41,6 +41,20 @@ class PipelineSpec extends SparkSpec {
     assert(pm.recordsRead > 0)
   }
 
+  test("flagship entry returns rows on the smoke scale (t1 gate)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("queryString builds the reference's windowed-scan URL shape (P13)") {
+    val url = Extraction.queryString("/api/rest/recording/contact", Seq(
+      "beginDate" -> "2024-01-01", "endDate" -> "2024-01-03",
+      "limit" -> "50000", "evalState" -> "scored"))
+    assert(url === "/api/rest/recording/contact?beginDate=2024-01-01&endDate=2024-01-03&limit=50000&evalState=scored")
+    assert(Extraction.queryString("/x", Nil) === "/x")
+    // reserved chars are encoded
+    assert(Extraction.queryString("/x", Seq("q" -> "a b&c")) === "/x?q=a+b%26c")
+  }
+
   test("credentialsFrom parses env-injected JSON and rejects absence") {
     val env = Map("CALABRIO_KEY" ->
       """{"base_url": "https://x.example/api", "user": "svc", "secret": "s3cr3t"}""")
