@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{HyperplaneSig, MinHashBandKeys, MinHashSignature, SimHashBits, WordShingles}
+import graft.expressions.{CountTokensIn, HyperplaneSig, MinHashBandKeys, MinHashSignature, SimHashBits, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -18,6 +18,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case Literal(n: Int, IntegerType) => n
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
+  }
+
+  private def strLit(e: Expression, what: String): String = e match {
+    case Literal(s, _) if s != null => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -56,6 +62,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c, n) => HyperplaneSig(c, intLit(n, "sigBits"))
         case _ => throw new IllegalArgumentException(
           "usage: hyperplane_sig(vec[, sigBits])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("count_tokens_in"),
+      new ExpressionInfo(classOf[CountTokensIn].getName, "count_tokens_in"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, s) => CountTokensIn(c, strLit(s, "set"), lower = false)
+        case Seq(c, s, Literal(b: Boolean, _)) => CountTokensIn(c, strLit(s, "set"), b)
+        case _ => throw new IllegalArgumentException(
+          "usage: count_tokens_in(text, 'a,b,c'[, lowercase])")
       }))
     ext.injectFunction((
       new FunctionIdentifier("word_shingles"),

@@ -103,6 +103,25 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** Count whitespace tokens of `text` that belong to `set`
+    * (optionally lowercasing first). One native pass — the column
+    * formulation (size(filter(split(text),…))) re-splits the text for
+    * every marker set it feeds, because CollapseProject inlines the
+    * split into each consumer.
+    */
+  def countTokensIn(text: UTF8String, set: java.util.HashSet[String], lower: Boolean): Int = {
+    val s = if (lower) text.toString.toLowerCase(java.util.Locale.ROOT) else text.toString
+    var count = 0
+    for (t <- s.split("\\s+")) if (t.nonEmpty && set.contains(t)) count += 1
+    count
+  }
+
+  def toSet(csv: String): java.util.HashSet[String] = {
+    val hs = new java.util.HashSet[String]()
+    csv.split(",").foreach(x => if (x.nonEmpty) hs.add(x))
+    hs
+  }
+
   /** Random-hyperplane signature of a float/double vector: bit j =
     * sign(Σᵢ hᵢⱼ·vᵢ), hᵢⱼ ∈ {−1,+1} from bit 0 of xxhash64(j·4096+i)
     * — the same derivation the column formulation used, one native

@@ -82,6 +82,28 @@ case class HyperplaneSig(child: Expression, sigBits: Int)
     copy(child = newChild)
 }
 
+case class CountTokensIn(child: Expression, csvSet: String, lower: Boolean)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "count_tokens_in"
+  @transient private lazy val set = HashOps.toSet(csvSet)
+  protected override def nullSafeEval(input: Any): Any =
+    HashOps.countTokensIn(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], set, lower)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("tokenSet", set, classOf[java.util.HashSet[String]].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.HashOps.countTokensIn($c, $setRef, $lower)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CountTokensIn =
+    copy(child = newChild)
+}
+
 case class SimHashBits(child: Expression, bits: Int)
     extends UnaryExpression with StringArrayInput {
   override def dataType: DataType = StringType

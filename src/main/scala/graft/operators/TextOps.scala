@@ -84,9 +84,12 @@ object TextOps {
     * the decision is auditable and oracle-checkable.
     */
   def langId(docs: DataFrame): DataFrame = {
-    val toks = tokens(lower(col("text")))
+    // native count_tokens_in: the HOF formulation re-splits the text
+    // once per marker set (CollapseProject inlines the split into
+    // each consumer) — 4 interpreted tokenizations per row
     val hits = langMarkers.map { case (lang, markers) =>
-      size(filter(toks, t => t.isInCollection(markers))).as(s"hits_$lang")
+      call_function("count_tokens_in",
+        col("text"), lit(markers.mkString(",")), lit(true)).as(s"hits_$lang")
     }
     val h = (l: String) => col(s"hits_$l")
     docs
