@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.operators.Maintenance
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** Incremental mode for the pipeline (SURVEY §2.11): the reference
@@ -32,6 +32,49 @@ object IncrementalSync {
       .groupBy(window(col("ts"), windowLen).as("win"))
       .agg(count(col("event_id")).as("tally"))
       .select(col("win.start").as("window_start"), col("tally"))
+
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class UserSession(user_id: Long, n_events: Long, started_ms: Long, last_ms: Long)
+
+  /** Custom keyed state (flatMapGroupsWithState): per-user session
+    * roll-up — the stateful primitive the built-in windowed aggregates
+    * can't express (session length is data-driven, not clock-aligned).
+    * A session closes when a LATER event for the same user arrives
+    * more than gapMs after it (purely data-driven → deterministic and
+    * replayable; a wall-clock ProcessingTimeTimeout would keep the
+    * micro-batch engine spinning empty batches and make results
+    * timing-dependent — production deployments that need trailing
+    * sessions flushed add an EventTimeTimeout against the watermark).
+    * State per key is one small struct: at 100 TB of events the store
+    * holds |active users| entries, not |events|.
+    */
+  def sessionize(
+      events: Dataset[UserEvent],
+      gapMs: Long): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserSession, UserSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[UserEvent], state: GroupState[UserSession]) =>
+          val sorted = rows.map(_.ts.getTime).toSeq.sorted
+          var cur = state.getOption
+          val closed = Seq.newBuilder[UserSession]
+          sorted.foreach { t =>
+            cur match {
+              case Some(s) if t - s.last_ms <= gapMs =>
+                cur = Some(s.copy(n_events = s.n_events + 1, last_ms = t))
+              case Some(s) => // gap exceeded: close and start fresh
+                closed += s
+                cur = Some(UserSession(user, 1L, t, t))
+              case None =>
+                cur = Some(UserSession(user, 1L, t, t))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
 
   /** Streaming staged-contacts sync: watch `srcDir` for new JSON
     * batches, shred each micro-batch, and insert-only-merge it into

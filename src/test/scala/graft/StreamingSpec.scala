@@ -75,6 +75,30 @@ class StreamingSpec extends SparkSpec {
     assert(expect.exceptAll(after3).count() === 0)
   }
 
+  test("sessionize: data-driven sessions close on gap, state per key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(u: Long, ms: Long) = IncrementalSync.UserEvent(u, new java.sql.Timestamp(ms))
+    val stream = MemoryStream[IncrementalSync.UserEvent]
+    // user 1: two sessions split by a 10s gap; user 2: one session
+    stream.addData(Seq(
+      ev(1, 1000), ev(1, 2000), ev(1, 3000),
+      ev(1, 20000), ev(1, 21000),
+      ev(2, 5000)))
+    val q = IncrementalSync.sessionize(stream.toDS(), gapMs = 5000)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    q.processAllAvailable()
+    // next batch: another gap for user 1 closes the 20000-21000 session
+    stream.addData(Seq(ev(1, 50000)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessions")
+      .as[IncrementalSync.UserSession].collect().sortBy(s => (s.user_id, s.started_ms))
+    assert(got.toSeq === Seq(
+      IncrementalSync.UserSession(1, 3, 1000, 3000),
+      IncrementalSync.UserSession(1, 2, 20000, 21000)))
+  }
+
   test("overwriteAtomic survives read-from-target self-overwrite") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_swap").toString + "/t"
