@@ -56,6 +56,15 @@ object Sinks {
       .option("compression", "gzip")
       .json(s"$stageDir/${prefix}_$batchId.json")
 
+  /** Partitioned overwrite: directory layout keyed by the given
+    * columns so per-key queries prune whole partitions at the scan
+    * (PartitionFilters — asserted in PlanSpec). The 100 TB layout for
+    * any table queried by date/type: a day's rebuild rewrites one
+    * directory, a day's query reads one directory.
+    */
+  def writePartitioned(df: DataFrame, dir: String, partitionCols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(dir)
+
   /** Bucketed overwrite for co-located joins: both sides of a
     * recurring large join written with the same bucket count on the
     * join key scan-join WITHOUT an exchange (the per-stage shuffle

@@ -91,6 +91,22 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("partitioned layout prunes partitions at the scan") {
+    val base = java.nio.file.Files.createTempDirectory("graft_part").toString + "/events"
+    val events = Tables.events(spark, dir)
+      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+    graft.sources.Sinks.writePartitioned(events, base, "dt")
+    val days = spark.read.parquet(base).select("dt").distinct().count()
+    assert(days > 1, "need multiple partitions for a pruning test")
+    val q = spark.read.parquet(base).filter(col("dt") === "2024-01-05")
+    val plan = q.queryExecution.executedPlan.toString
+    // the dt predicate must land in PartitionFilters (pruned listing),
+    // NOT in PushedFilters/DataFilters (row-level evaluation)
+    assert(plan.contains("PartitionFilters: [isnotnull(dt"),
+      s"partition filter expected:\n$plan")
+    assert(q.count() > 0)
+  }
+
   test("embeddingNearDup returns only pairs above threshold, a<b") {
     val out = Similarity.embeddingNearDup(Tables.embeddings(spark, dir), 400000L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
