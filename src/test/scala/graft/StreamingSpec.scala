@@ -99,6 +99,23 @@ class StreamingSpec extends SparkSpec {
       IncrementalSync.UserSession(1, 2, 20000, 21000)))
   }
 
+  test("stage sink: batch-numbered gzip JSON write then purge (S7/S9/S12)") {
+    import spark.implicits._
+    val stage = Files.createTempDirectory("graft_stage").toString + "/stage"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Sinks.writeJsonBatch(df, stage, "all_contacts", 1)
+    Sinks.writeJsonBatch(df, stage, "all_contacts", 2)
+    val files = new java.io.File(stage).listFiles().map(_.getName).sorted
+    assert(files.toSeq === Seq("all_contacts_1.json", "all_contacts_2.json"))
+    // gzip'd part files, readable back
+    val back = spark.read.json(s"$stage/all_contacts_1.json")
+    assert(back.count() === 2)
+    assert(new java.io.File(s"$stage/all_contacts_1.json").listFiles()
+      .exists(_.getName.endsWith(".json.gz")))
+    Sinks.purgeStage(df, stage)
+    assert(!new java.io.File(stage).exists())
+  }
+
   test("overwriteAtomic survives read-from-target self-overwrite") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_swap").toString + "/t"
