@@ -54,6 +54,7 @@ object SparkEntry {
     // engine-specific 64-bit hashing. Both are covered by SimilaritySpec.
     "simhash" -> ((s, dir) => Similarity.simhash(Tables.documents(s, dir))),
     "ann_topk_lsh" -> ((s, dir) => Similarity.annTopKLsh(Tables.embeddings(s, dir))),
+    "ivf_topk" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))),
     // S10: glob-selected PERMISSIVE bulk load (multi-file union) feeding
     // the contacts shred; malformed files quarantine instead of failing.
     "staged_load_contacts" -> ((s, _) => {

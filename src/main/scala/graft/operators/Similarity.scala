@@ -186,6 +186,65 @@ object Similarity {
         call_function("hyperplane_sig", col("embedding"), lit(sigBits)).as("sig"),
         sumSq(col("embedding")).as("n2"))
 
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
+    * vector to one of nlist cells; a query probes only its nprobe
+    * nearest cells and ranks candidates by exact cosine. The classic
+    * recall/latency dial: nprobe=nlist degenerates to exact search,
+    * nprobe=1 scans ~1/nlist of the data. Centroids are trained with a
+    * fixed seed (deterministic, task-retry safe); at 100 TB the model
+    * is trained on a sample and broadcast, and the cell assignment is
+    * a narrow map — the probe join shuffles only (cell, query) pairs.
+    */
+  def ivfTopK(
+      emb: DataFrame,
+      nQueries: Int = 5,
+      k: Int = 10,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = emb
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"),
+        array_to_vector(col("embedding")).as("features"),
+        sumSq(col("embedding")).as("n2"))
+      .cache()
+    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(10).fit(e)
+    val assigned = model.transform(e)
+      .select(col("vec_id"), col("embedding"), col("n2"),
+        col("prediction").as("cell"))
+    // queries probe their nprobe nearest cells (tiny: nQueries×nlist)
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray)
+    }.toSeq
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = spark.createDataset(centroids).toDF("cell", "centroid")
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("n2").as("qn2"))
+    val qDist = q.crossJoin(broadcast(cents)) // nQueries × nlist rows — constant-size
+      .withColumn("d2", aggregate(
+        zip_with(col("q_emb"), col("centroid"), (x, c) => {
+          val diff = x.cast("double") - c
+          diff * diff
+        }), lit(0.0), (a, x) => a + x))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("d2"), col("cell"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("qn2"), col("cell"))
+    val sim6 = round(lit(1e6) * dot(col("q_emb"), col("embedding"))
+      / (sqrt(col("n2")) * sqrt(col("qn2")))).cast("long")
+    val topk = udaf(TopK.Agg(k))
+    assigned.join(broadcast(qDist), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), sim6.as("sim_e6"))
+      .groupBy("q_id")
+      .agg(topk(col("sim_e6"), col("neighbor_id")).as("top"))
+      .select(col("q_id"), explode(col("top.items")).as("s"))
+      .select(col("q_id"), col("s.neighbor_id").as("neighbor_id"), col("s.sim_e6").as("sim_e6"))
+      .orderBy(col("q_id"), col("sim_e6").desc, col("neighbor_id"))
+  }
+
   /** The ANN scale path: random-hyperplane LSH over the embedding —
     * signature bit j = sign(Σᵢ hᵢⱼ·vᵢ) with hᵢⱼ ∈ {−1,+1} derived
     * deterministically from xxhash64(j·4096+i). Vectors sharing the

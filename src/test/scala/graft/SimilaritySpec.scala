@@ -48,6 +48,22 @@ class SimilaritySpec extends SparkSpec {
       s"dup max ${dupDist.max} should be < random min ${randomDist.min}")
   }
 
+  test("ivf top-k: candidates carry exact similarities; full-probe = exact search") {
+    val emb = Tables.embeddings(spark, dir).cache()
+    val exactAll = Similarity.cosineTopK(emb, nQueries = 3, k = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(emb, nQueries = 3, k = 5, nlist = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (q, n, s) => assert(exactAll.contains((q, n, s))) }
+    // probing every cell recovers the exact top-k
+    val full = Similarity.ivfTopK(emb, nQueries = 3, k = 5, nlist = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val exactTop = Similarity.cosineTopK(emb, nQueries = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(full === exactTop)
+  }
+
   test("ann lsh top-k is a subset of exact cosine ranking per query") {
     val emb = Tables.embeddings(spark, dir).cache()
     val exact = Similarity.cosineTopK(emb, nQueries = 5, k = 1000)
