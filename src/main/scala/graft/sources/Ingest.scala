@@ -135,6 +135,30 @@ object Ingest {
       .map(n => if (n.matches("all_contacts_\\d+\\.json")) "all_contacts_*.json" else n)
       .distinct
 
+  /** Staged-lines load: the pipeline normalizes vendor ARRAY payloads
+    * into JSON-lines at stage time (parseDocs → writeJsonBatch), so
+    * staged files are SPLITTABLE — a multiLine array file is one
+    * indivisible task no matter its size, a lines file splits at any
+    * byte offset. Same PERMISSIVE quarantine contract as loadStaged.
+    */
+  def loadStagedLines(
+      spark: SparkSession,
+      pathPattern: String, // e.g. <stage>/all_contacts_*.json — the
+      // batch "files" are spark output DIRECTORIES, so the glob lives
+      // in the path (Hadoop glob), not in pathGlobFilter (leaf-only)
+      elementSchema: StructType): (DataFrame, DataFrame) = {
+    val withCorrupt = elementSchema.add("_corrupt_record", StringType)
+    val read = spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .json(pathPattern)
+      .cache()
+    val good = read.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val bad = read.filter(col("_corrupt_record").isNotNull).select("_corrupt_record")
+    (good, bad)
+  }
+
   /** S8 file normalizer: the reference appends whole response arrays
     * to one file and later regex-stitches `]\n[` seams into a single
     * array (qa_api_handler.py:230-236). Reading whole-file text and

@@ -87,9 +87,9 @@ object Sinks {
       .saveAsTable(table)
 
   /** S12: stage purge — remove everything under the stage dir. */
-  def purgeStage(df: DataFrame, stageDir: String): Unit = {
+  def purgeStage(spark: org.apache.spark.sql.SparkSession, stageDir: String): Unit = {
     val p = new Path(stageDir)
-    val f = fs(p, df)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (f.exists(p)) f.delete(p, true)
   }
 }

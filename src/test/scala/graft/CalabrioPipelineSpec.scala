@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.Shred
+import graft.sources.{Extraction, Ingest}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composed E1-E3 lifecycle against fixture-backed fetchers: the
+  * "switch from the reference" demonstration — extraction fan-out,
+  * staged lines, loads, shreds, merges, atomic target writes, and the
+  * design's core bet: replaying the whole batch is a no-op.
+  */
+class CalabrioPipelineSpec extends SparkSpec {
+
+  private def rowsOf(df: DataFrame): Set[String] =
+    df.toJSON.collect().toSet
+
+  test("fullRun composes extract→stage→load→shred→merge; replay is a no-op") {
+    val base = Files.createTempDirectory("graft_pipeline").toString
+    val config = CalabrioPipeline.Config(s"$base/stage", s"$base/targets")
+    val windows = Ingest.planWindows(
+      java.time.LocalDate.parse("2024-01-01"), java.time.LocalDate.parse("2024-01-05"), 2)
+
+    // window fetcher: first window returns the full contacts payload
+    val contactsJson = Files.readString(
+      java.nio.file.Paths.get(s"${Fixtures.Dir}/qa_contacts.json"))
+    val firstStart = windows.head.start
+    val contactsFetcher = new Ingest.WindowFetcher {
+      def fetch(w: Ingest.DateWindow): Iterator[String] =
+        if (w.start == firstStart) Iterator(contactsJson) else Iterator.empty
+    }
+
+    // key fetcher: evals grouped by contact id (built once, serialized)
+    val evalCols = Fixtures.evaluations(spark).columns
+    val evalsByContact: Map[Long, Seq[String]] = Fixtures.evaluations(spark)
+      .withColumn("cid", regexp_extract(col("qualityRef"), "(\\d+)$", 1).cast("long"))
+      .select(col("cid"), to_json(struct(evalCols.map(c => col(s"`$c`")): _*)).as("j"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getString(1)).toSeq }
+    val evalsFetcher = new Ingest.KeyFetcher {
+      def fetch(key: Long): Iterator[String] = evalsByContact.get(key) match {
+        case Some(xs) => Iterator(xs.mkString("[", ",", "]"))
+        case None => Iterator.empty
+      }
+    }
+
+    // link fetcher: comments grouped by evaluation id (2nd digit run)
+    val comCols = Fixtures.comments(spark).columns
+    val commentsByEval: Map[Long, Seq[String]] = Fixtures.comments(spark)
+      .withColumn("eid",
+        element_at(regexp_extract_all(col("`$ref`"), lit("\\d+"), lit(0)), 2).cast("long"))
+      .select(col("eid"), to_json(struct(comCols.map(c => col(s"`$c`")): _*)).as("j"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getString(1)).toSeq }
+    val commentsFetcher = new Extraction.LinkFetcher {
+      def fetch(url: String): Iterator[String] = {
+        val runs = "\\d+".r.findAllIn(url).toSeq
+        if (runs.size < 2) Iterator.empty
+        else commentsByEval.get(runs(1).toLong) match {
+          case Some(xs) => Iterator(xs.mkString("[", ",", "]"))
+          case None => Iterator.empty
+        }
+      }
+    }
+
+    val res1 = CalabrioPipeline.fullRun(
+      spark, config, windows, contactsFetcher, evalsFetcher, commentsFetcher)
+    assert(res1.forall(_.error.isEmpty),
+      res1.filter(_.error.nonEmpty).mkString("; "))
+
+    // contacts target equals the shred of the fetched payload
+    val contacts = spark.read.parquet(CalabrioPipeline.contactsTable(config))
+    val expectedContacts = Shred.contacts(Fixtures.qaContacts(spark))
+    assert(rowsOf(contacts) === rowsOf(expectedContacts))
+
+    // evaluations: exactly the SCORED evals of fetched contacts, unique keys
+    val evals = spark.read.parquet(CalabrioPipeline.evaluationsTable(config))
+    val expectedEvals = Shred.evaluations(Fixtures.evaluations(spark))
+      .join(expectedContacts.select("contact_id"), Seq("contact_id"), "left_semi")
+      .select(evals.columns.map(col): _*)
+    assert(rowsOf(evals) === rowsOf(expectedEvals))
+    assert(evals.select("evaluation_id").distinct().count() === evals.count())
+
+    val scores = spark.read.parquet(CalabrioPipeline.scoresTable(config))
+    val comments = spark.read.parquet(CalabrioPipeline.commentsTable(config))
+    assert(scores.count() > 0)
+    assert(comments.count() > 0)
+
+    // replay: identical fetchers, second run — every target unchanged
+    val snap = Seq(contacts, evals, scores, comments).map(rowsOf)
+    val res2 = CalabrioPipeline.fullRun(
+      spark, config, windows, contactsFetcher, evalsFetcher, commentsFetcher)
+    assert(res2.forall(_.error.isEmpty),
+      res2.filter(_.error.nonEmpty).mkString("; "))
+    val after = Seq(
+      spark.read.parquet(CalabrioPipeline.contactsTable(config)),
+      spark.read.parquet(CalabrioPipeline.evaluationsTable(config)),
+      spark.read.parquet(CalabrioPipeline.scoresTable(config)),
+      spark.read.parquet(CalabrioPipeline.commentsTable(config))).map(rowsOf)
+    assert(after === snap)
+  }
+}

@@ -112,7 +112,7 @@ class StreamingSpec extends SparkSpec {
     assert(back.count() === 2)
     assert(new java.io.File(s"$stage/all_contacts_1.json").listFiles()
       .exists(_.getName.endsWith(".json.gz")))
-    Sinks.purgeStage(df, stage)
+    Sinks.purgeStage(spark, stage)
     assert(!new java.io.File(stage).exists())
   }
 
