@@ -27,11 +27,19 @@ object SparkEntry {
     // Shredding layer over the Calabrio fixtures (SURVEY §2.8/.6/.3/.2);
     // these ignore the sf dir — inputs are the committed fixtures, and
     // the oracle reads the same absolute paths via read_json.
-    "shred_forms" -> ((s, _) => Shred.forms(Fixtures.forms(s))),
-    "shred_qa_contacts" -> ((s, _) => Shred.contacts(Fixtures.qaContacts(s))),
-    "shred_evaluations" -> ((s, _) => Shred.evaluations(Fixtures.evaluations(s))),
-    "shred_scores" -> ((s, _) => Shred.scores(Fixtures.evaluations(s))),
-    "shred_comments" -> ((s, _) => Shred.comments(Fixtures.comments(s))),
+    // presentation ORDER BY lives here at the edge — the shred
+    // functions themselves are sort-free so merges don't inherit a
+    // range exchange
+    "shred_forms" -> ((s, _) => Shred.forms(Fixtures.forms(s))
+      .orderBy("form_id", "section_id", "question_id", "option_id")),
+    "shred_qa_contacts" -> ((s, _) => Shred.contacts(Fixtures.qaContacts(s))
+      .orderBy("contact_start_time")),
+    "shred_evaluations" -> ((s, _) => Shred.evaluations(Fixtures.evaluations(s))
+      .orderBy("contact_id", "evaluation_id")),
+    "shred_scores" -> ((s, _) => Shred.scores(Fixtures.evaluations(s))
+      .orderBy("evaluation_id", "section_id", "question_id")),
+    "shred_comments" -> ((s, _) => Shred.comments(Fixtures.comments(s))
+      .orderBy("contact_id", "evaluation_id", "section_id", "question_id")),
     "trouble_children" -> ((s, _) =>
       Queries.troubleChildren(Shred.evaluations(Fixtures.evaluations(s)))),
     // Write-path merge semantics (SURVEY §2.4 J2/J3/J5/J6, §2.9 D1/D2)

@@ -63,7 +63,10 @@ object Shred {
         col("opt.label").as("option_label"),
         col("opt.points").as("option_points"),
         col("opt.type").as("option_type"))
-      .orderBy("form_id", "section_id", "question_id", "option_id")
+  // NOTE: the reference's ORDER BY clauses are presentation-only;
+  // shred outputs deliberately carry no global sort so downstream
+  // merges don't pay a range exchange. Registered queries order at
+  // the edge (SparkEntry).
 
   /** T_QA_CONTACTS / T_CONTACTS source projection (P1-P4).
     * Reference: Update…sql:36-53,62-79 — epoch-ms → Denver timestamp,
@@ -113,7 +116,6 @@ object Shred {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")
-      .orderBy("contact_id", "evaluation_id")
   }
 
   /** T_QA_EVALUATION_SCORES: 2-level inner flatten (L2) with the
@@ -137,7 +139,6 @@ object Shred {
         col("evaluation_id"), col("contact_id"), col("section_id"),
         col("que.id").as("question_id"),
         col("que.selectedOption").as("option_id"))
-      .orderBy("evaluation_id", "section_id", "question_id")
 
   /** T_QA_EVALUATION_COMMENTS: outer flatten of history (L3 — Spark's
     * explode_outer natively expresses the reference's '[]'→'[{}]'
@@ -168,6 +169,5 @@ object Shred {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn", "h_created")
-      .orderBy("contact_id", "evaluation_id", "section_id", "question_id")
   }
 }
