@@ -34,6 +34,11 @@ object SparkEntry {
       .orderBy("form_id", "section_id", "question_id", "option_id")),
     "shred_qa_contacts" -> ((s, _) => Shred.contacts(Fixtures.qaContacts(s))
       .orderBy("contact_start_time")),
+    // same shred through Spark 4 VariantType (schema-on-read) — must
+    // agree with the declared-schema path and the oracle
+    "shred_contacts_variant" -> ((s, _) => Shred.contactsVariant(
+      s.read.option("wholetext", true).text(s"${Fixtures.Dir}/qa_contacts.json"))
+      .orderBy("contact_id")),
     "shred_evaluations" -> ((s, _) => Shred.evaluations(Fixtures.evaluations(s))
       .orderBy("contact_id", "evaluation_id")),
     "shred_scores" -> ((s, _) => Shred.scores(Fixtures.evaluations(s))
@@ -191,6 +196,9 @@ object SparkEntry {
         |       assocCallId AS cjp_session_id
         |FROM read_json('/root/repo/fixtures/qa_contacts.json')
         |ORDER BY contact_start_time""".stripMargin,
+    "shred_contacts_variant" ->
+      s"""SELECT * FROM ${contactsShredSql("qa_contacts.json")}
+         |ORDER BY contact_id""".stripMargin,
     "shred_evaluations" ->
       """WITH src AS (SELECT * FROM read_json('/root/repo/fixtures/evals.json')),
         | proj AS (

@@ -82,6 +82,31 @@ object Shred {
         lit("/ccr")).as("contact_url"),
       col("assocCallId").as("cjp_session_id"))
 
+  /** Schema-on-read alternative: the same contacts shred through
+    * Spark 4 VariantType — parse_json the raw array, variant_explode
+    * to one semi-structured document per row, variant_get per path.
+    * This is the literal analog of the reference's single-VARIANT-
+    * column staging (`co.src:id::NUMBER`); the declared-StructType
+    * path (contacts above) stays the default because the scan prunes
+    * to the consumed fields, but this path survives payload drift
+    * without a schema change — both are oracle-checked to agree.
+    * Input: one raw JSON array document per row (wholetext read).
+    */
+  def contactsVariant(rawArrays: DataFrame): DataFrame =
+    rawArrays
+      // variant_explode is a lateral TVF (SQL-only); casting the
+      // variant to array<variant> keeps this in the DataFrame API
+      .select(explode(expr("cast(parse_json(value) AS array<variant>)")).as("value"))
+      .select(
+        expr("variant_get(value, '$.id', 'bigint')").as("contact_id"),
+        denverTs(expr("variant_get(value, '$.startTime', 'bigint')"))
+          .as("contact_start_time"),
+        concat(
+          lit("https://calabriocloud.com/index.html#/recordings/"),
+          expr("variant_get(value, '$.id', 'bigint')").cast("string"),
+          lit("/ccr")).as("contact_url"),
+        expr("variant_get(value, '$.assocCallId', 'string')").as("cjp_session_id"))
+
   private val evalCols = Seq(
     "evaluation_id", "form_id", "contact_id", "agent_id", "evaluator_id",
     "eval_type", "evaluated_date", "response_state", "raw_score", "final_score")
