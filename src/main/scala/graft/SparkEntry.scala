@@ -59,6 +59,7 @@ object SparkEntry {
     "doc_tokens" -> ((s, dir) => TextOps.docTokens(Tables.documents(s, dir))),
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
     "lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
+    "token_counts" -> ((s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))),
     // Similarity / near-dup family over embeddings + documents.
     "cosine_topk" -> ((s, dir) => Similarity.cosineTopK(Tables.embeddings(s, dir))),
     "minhash_neardup" -> ((s, dir) => Similarity.minhashNearDup(Tables.documents(s, dir))),
@@ -286,6 +287,11 @@ object SparkEntry {
         |SELECT doc_id, len(toks) AS n_tokens,
         |       CAST(coalesce(list_sum(list_transform(range(1, len(toks)+1), i -> i * (131*length(toks[i]) + ascii(toks[i])))), 0) AS BIGINT) AS fingerprint
         |FROM t ORDER BY doc_id""".stripMargin,
+    "token_counts" ->
+      """SELECT doc_id,
+        |       len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS ws_tokens,
+        |       len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS bpe_ish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "lang_id" ->
       """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks FROM documents),
         | h AS (SELECT doc_id,

@@ -71,6 +71,24 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** GPT-2-style pre-tokenizer shape, constrained to constructs both
+    * Java regex and RE2 share (no lookahead): a leading-space word,
+    * a leading-space number run, a leading-space punctuation run, or
+    * residual whitespace. Counting matches approximates BPE token
+    * counts well enough for corpus budgeting.
+    */
+  private val bpeIsh = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  /** Token-count estimates per doc: whitespace tokens (the cheap
+    * floor) and BPE-ish regex tokens (the budgeting estimate).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(bpeIsh), lit(0))).as("bpe_ish_tokens"))
+      .orderBy("doc_id")
+
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is"),
     "de" -> Seq("der", "die", "das", "und", "ist"),
