@@ -27,6 +27,11 @@ object Skew {
       saltFactor: Int,
       joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
+    // right/full would emit each UNMATCHED small-side row once per
+    // salt replica — silently wrong multiplicity, so refuse
+    require(Set("inner", "left", "leftouter", "leftsemi")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left/left_semi joins, got $joinType")
     val bigS = big.withColumn("_salt",
       pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
     val smallS = small.withColumn("_salt",

@@ -102,6 +102,10 @@ class PropertySpec extends SparkSpec {
     val saltedL = graft.operators.Skew.saltedJoin(big, small, "k", 8, "left").select("k", "v", "name")
     assert(saltedL.exceptAll(plainL).count() === 0)
     assert(plainL.exceptAll(saltedL).count() === 0)
+    // right/full joins would replicate unmatched small rows per salt:
+    // refused, not silently wrong
+    intercept[IllegalArgumentException](
+      graft.operators.Skew.saltedJoin(big, small, "k", 8, "right"))
   }
 
   test("denverTs: DST transitions convert correctly (SURVEY risk #3)") {
