@@ -29,6 +29,18 @@ object CalabrioPipeline {
   private def readOr(spark: SparkSession, path: String, empty: => DataFrame): DataFrame =
     if (Sinks.exists(path)) spark.read.parquet(path) else empty
 
+  /** The restated-contact set every delete/rebuild keys on — the ids
+    * in the CONTACTS staging batch (Update…sql:90,145,181), NOT the
+    * contacts that happen to appear in the evals/comments staging: a
+    * restated contact whose evaluations all vanished upstream must
+    * still have its stale rows deleted.
+    */
+  private def stagedContactIds(spark: SparkSession, c: Config): DataFrame = {
+    val (good, _) = Ingest.loadStagedLines(
+      spark, s"${c.stageDir}/all_contacts_*.json", Schemas.contacts)
+    good.select(col("id").as("contact_id"))
+  }
+
   /** One full batch run. Returns per-stage results (a failed stage is
     * isolated, like the reference's full_run). Re-running with the
     * same inputs is a no-op on every target — the merge algebra's
@@ -77,10 +89,8 @@ object CalabrioPipeline {
           spark, s"${c.stageDir}/fix_eval_raw_*.json", Schemas.evaluations)
         val fresh = Shred.evaluations(good)
         val target = readOr(spark, evaluationsTable(c), fresh.limit(0))
-        val restatedContacts = good
-          .select(regexp_extract(col("qualityRef"), "(\\d+)$", 1).cast("long").as("contact_id"))
         val survivors = Maintenance.deleteVanished(
-          target, restatedContacts, good.select(col("id").as("evaluation_id")))
+          target, stagedContactIds(spark, c), good.select(col("id").as("evaluation_id")))
         Sinks.overwriteAtomic(
           Maintenance.upsertKeepCols(
             survivors, fresh, Seq("evaluation_id"),
@@ -93,10 +103,8 @@ object CalabrioPipeline {
           spark, s"${c.stageDir}/fix_eval_raw_*.json", Schemas.evaluations)
         val fresh = Shred.scores(good)
         val target = readOr(spark, scoresTable(c), fresh.limit(0))
-        val restatedContacts = good
-          .select(regexp_extract(col("qualityRef"), "(\\d+)", 1).cast("long").as("contact_id"))
         Sinks.overwriteAtomic(
-          Maintenance.rebuildForContacts(target, restatedContacts, fresh),
+          Maintenance.rebuildForContacts(target, stagedContactIds(spark, c), fresh),
           scoresTable(c))
       }),
 
@@ -113,9 +121,8 @@ object CalabrioPipeline {
           spark, s"${c.stageDir}/fix_comments_raw_*.json", Schemas.comments)
         val fresh = Shred.comments(good)
         val target = readOr(spark, commentsTable(c), fresh.limit(0))
-        val restatedContacts = fresh.select("contact_id")
         Sinks.overwriteAtomic(
-          Maintenance.rebuildForContacts(target, restatedContacts, fresh),
+          Maintenance.rebuildForContacts(target, stagedContactIds(spark, c), fresh),
           commentsTable(c))
       }))
 

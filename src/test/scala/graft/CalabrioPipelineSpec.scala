@@ -100,5 +100,30 @@ class CalabrioPipelineSpec extends SparkSpec {
       spark.read.parquet(CalabrioPipeline.scoresTable(config)),
       spark.read.parquet(CalabrioPipeline.commentsTable(config))).map(rowsOf)
     assert(after === snap)
+
+    // upstream deletion (D1): a contact stays in the extraction window
+    // but its evaluations vanish — the re-run must delete its rows
+    // from evaluations AND scores even though no eval mentions it
+    // fresh reads: each atomic swap invalidates earlier frames' file
+    // listings, so re-plan from the path after every run
+    val evalsNow = spark.read.parquet(CalabrioPipeline.evaluationsTable(config))
+    val victim = evalsNow.select("contact_id").limit(1)
+      .collect().head.getLong(0)
+    val survivingExpected = rowsOf(evalsNow.filter(col("contact_id") =!= victim))
+    val evalsFetcher2 = new Ingest.KeyFetcher {
+      def fetch(key: Long): Iterator[String] =
+        if (key == victim) Iterator.empty else evalsFetcher.fetch(key)
+    }
+    val res3 = CalabrioPipeline.fullRun(
+      spark, config, windows, contactsFetcher, evalsFetcher2, commentsFetcher)
+    assert(res3.forall(_.error.isEmpty),
+      res3.filter(_.error.nonEmpty).mkString("; "))
+    val evalsAfter = spark.read.parquet(CalabrioPipeline.evaluationsTable(config))
+    val scoresAfter = spark.read.parquet(CalabrioPipeline.scoresTable(config))
+    assert(evalsAfter.filter(col("contact_id") === victim).count() === 0,
+      "vanished evaluations must be deleted for restated contacts")
+    assert(scoresAfter.filter(col("contact_id") === victim).count() === 0)
+    // everyone else untouched
+    assert(rowsOf(evalsAfter) === survivingExpected)
   }
 }
