@@ -3,15 +3,18 @@ package graft
 import graft.operators.{Maintenance, Shred}
 import graft.sources.{Extraction, Ingest, Sinks}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's full lifecycle (SURVEY §3 E1-E3) as one composed
-  * pipeline: windowed contact extraction → per-contact evaluation
-  * fan-out → comment link-follow → staged JSON-lines → PERMISSIVE
-  * load → shred → idempotent merges into the typed target tables,
-  * each landing via atomic tmp-swap overwrite. Fetchers are injected
-  * (fixture-backed in tests, HTTP against Calabrio in production), so
-  * the whole dataflow runs and verifies offline.
+  * pipeline: forms single-GET → windowed contact extraction →
+  * per-contact evaluation fan-out → per-contact transcript fan-out →
+  * comment link-follow → staged JSON-lines → PERMISSIVE load → shred →
+  * idempotent merges into the typed target tables, each landing via
+  * atomic tmp-swap overwrite, plus the raw-payload backup mirror.
+  * Fetchers are injected (fixture-backed in tests, HTTP against
+  * Calabrio in production), so the whole dataflow runs and verifies
+  * offline.
   *
   * Vendor payloads arrive as JSON arrays; the pipeline normalizes to
   * JSON-lines at stage time — at 100 TB an array file is one
@@ -21,44 +24,87 @@ object CalabrioPipeline {
 
   final case class Config(stageDir: String, targetDir: String)
 
+  def formsTable(c: Config): String = s"${c.targetDir}/t_qa_forms"
   def contactsTable(c: Config): String = s"${c.targetDir}/t_qa_contacts"
   def evaluationsTable(c: Config): String = s"${c.targetDir}/t_qa_evaluations"
   def scoresTable(c: Config): String = s"${c.targetDir}/t_qa_evaluation_scores"
   def commentsTable(c: Config): String = s"${c.targetDir}/t_qa_evaluation_comments"
+  def transcriptsTable(c: Config): String = s"${c.targetDir}/t_qa_transcripts"
+  def backupTable(c: Config): String = s"${c.targetDir}/t_contacts_staging_backup"
 
   private def readOr(spark: SparkSession, path: String, empty: => DataFrame): DataFrame =
     if (Sinks.exists(path)) spark.read.parquet(path) else empty
-
-  /** The restated-contact set every delete/rebuild keys on — the ids
-    * in the CONTACTS staging batch (Update…sql:90,145,181), NOT the
-    * contacts that happen to appear in the evals/comments staging: a
-    * restated contact whose evaluations all vanished upstream must
-    * still have its stale rows deleted.
-    */
-  private def stagedContactIds(spark: SparkSession, c: Config): DataFrame = {
-    val (good, _) = Ingest.loadStagedLines(
-      spark, s"${c.stageDir}/all_contacts_*.json", Schemas.contacts)
-    good.select(col("id").as("contact_id"))
-  }
 
   /** One full batch run. Returns per-stage results (a failed stage is
     * isolated, like the reference's full_run). Re-running with the
     * same inputs is a no-op on every target — the merge algebra's
     * replay idempotency, property-tested in MaintenanceSpec.
+    *
+    * All fan-out stages (evaluations, transcripts, comments) key off
+    * the CURRENT contacts staging batch, exactly like the reference's
+    * loops over self.contact_json (qa_api_handler.py:131,172) — NOT
+    * the accumulated contacts target: the rebuild stages delete target
+    * rows only for staged contacts, so fresh rows must always be a
+    * subset of that restated set or re-shredded rows for non-staged
+    * contacts would duplicate their undeleted existing rows.
     */
   def fullRun(
       spark: SparkSession,
       config: Config,
       windows: Seq[Ingest.DateWindow],
+      formsFetcher: Ingest.BatchFetcher,
       contactsFetcher: Ingest.WindowFetcher,
       evalsFetcher: Ingest.KeyFetcher,
+      transcriptsFetcher: Ingest.KeyFetcher,
       commentsFetcher: Extraction.LinkFetcher): Seq[Pipeline.StageResult] = {
     import spark.implicits._
     val c = config
 
+    /** The restated-contact set every fan-out/delete/rebuild keys on —
+      * the ids in the CONTACTS staging batch (Update…sql:90,145,181),
+      * NOT the contacts that happen to appear in the evals/comments
+      * staging: a restated contact whose evaluations all vanished
+      * upstream must still have its stale rows deleted. Computed once
+      * per run (it feeds 5 stages), distinct (ids may repeat across
+      * batch files; the scores/comments shreds have no downstream
+      * dedup, so duplicate fan-out keys would duplicate rows), cached
+      * small, and released after the run.
+      */
+    var stagedIdsMemo: Option[DataFrame] = None
+    def stagedContactIds(): DataFrame = stagedIdsMemo.getOrElse {
+      val st = Ingest.loadStagedLines(
+        spark, s"${c.stageDir}/all_contacts_*.json", Schemas.contacts)
+      val ids = st.good.select(col("id").as("contact_id")).distinct().cache()
+      ids.count() // materialize so the staging read cache can go now
+      st.release()
+      stagedIdsMemo = Some(ids)
+      ids
+    }
+
+    /** Load staged lines, run the stage body, release the batch cache. */
+    def withStaged[A](pattern: String, schema: org.apache.spark.sql.types.StructType)(
+        body: DataFrame => A): A = {
+      val st = Ingest.loadStagedLines(spark, s"${c.stageDir}/$pattern", schema)
+      try body(st.good)
+      finally st.release()
+    }
+
     val stages = Seq(
       Pipeline.Stage("purge_stage", () =>
         Sinks.purgeStage(spark, c.stageDir)),
+
+      // E3 step 2: forms is a single unparameterized GET and a
+      // full-replace CTAS (qa_api_handler.py:73-84, Update…sql:6-27).
+      Pipeline.Stage("extract_forms", () => {
+        val raw = Ingest.fetchBatch(spark, formsFetcher)
+        Sinks.writeJsonBatch(
+          Ingest.parseDocs(raw, Schemas.forms), c.stageDir, "forms", 1)
+      }),
+
+      Pipeline.Stage("replace_forms", () =>
+        withStaged("forms_*.json", Schemas.forms) { good =>
+          Sinks.overwriteAtomic(Shred.forms(good), formsTable(c))
+        }),
 
       Pipeline.Stage("extract_contacts", () => {
         val raw = Ingest.fetchWindows(spark, windows, contactsFetcher)
@@ -66,66 +112,103 @@ object CalabrioPipeline {
           Ingest.parseDocs(raw, Schemas.contacts), c.stageDir, "all_contacts", 1)
       }),
 
-      Pipeline.Stage("merge_contacts", () => {
-        val (good, _) = Ingest.loadStagedLines(
-          spark, s"${c.stageDir}/all_contacts_*.json", Schemas.contacts)
-        val fresh = Shred.contacts(good)
-        val target = readOr(spark, contactsTable(c), fresh.limit(0))
-        Sinks.overwriteAtomic(
-          Maintenance.insertOnlyMerge(target, fresh, Seq("contact_id")),
-          contactsTable(c))
-      }),
+      Pipeline.Stage("merge_contacts", () =>
+        withStaged("all_contacts_*.json", Schemas.contacts) { good =>
+          val fresh = Shred.contacts(good)
+          val target = readOr(spark, contactsTable(c), fresh.limit(0))
+          Sinks.overwriteAtomic(
+            Maintenance.insertOnlyMerge(target, fresh, Seq("contact_id")),
+            contactsTable(c))
+        }),
 
       Pipeline.Stage("extract_evaluations", () => {
-        val ids = spark.read.parquet(contactsTable(c))
-          .select(col("contact_id")).as[java.lang.Long]
+        val ids = stagedContactIds().select(col("contact_id")).as[java.lang.Long]
         val raw = Ingest.fetchPerKey(ids, evalsFetcher, tasks = 4)
         Sinks.writeJsonBatch(
           Ingest.parseDocs(raw, Schemas.evaluations), c.stageDir, "fix_eval_raw", 1)
       }),
 
-      Pipeline.Stage("merge_evaluations", () => {
-        val (good, _) = Ingest.loadStagedLines(
-          spark, s"${c.stageDir}/fix_eval_raw_*.json", Schemas.evaluations)
-        val fresh = Shred.evaluations(good)
-        val target = readOr(spark, evaluationsTable(c), fresh.limit(0))
-        val survivors = Maintenance.deleteVanished(
-          target, stagedContactIds(spark, c), good.select(col("id").as("evaluation_id")))
-        Sinks.overwriteAtomic(
-          Maintenance.upsertKeepCols(
-            survivors, fresh, Seq("evaluation_id"),
-            keepCols = Set("contact_id", "evaluated_date")),
-          evaluationsTable(c))
-      }),
+      Pipeline.Stage("merge_evaluations", () =>
+        withStaged("fix_eval_raw_*.json", Schemas.evaluations) { good =>
+          val fresh = Shred.evaluations(good)
+          val target = readOr(spark, evaluationsTable(c), fresh.limit(0))
+          val survivors = Maintenance.deleteVanished(
+            target, stagedContactIds(), good.select(col("id").as("evaluation_id")))
+          Sinks.overwriteAtomic(
+            Maintenance.upsertKeepCols(
+              survivors, fresh, Seq("evaluation_id"),
+              keepCols = Set("contact_id", "evaluated_date")),
+            evaluationsTable(c))
+        }),
 
-      Pipeline.Stage("rebuild_scores", () => {
-        val (good, _) = Ingest.loadStagedLines(
-          spark, s"${c.stageDir}/fix_eval_raw_*.json", Schemas.evaluations)
-        val fresh = Shred.scores(good)
-        val target = readOr(spark, scoresTable(c), fresh.limit(0))
-        Sinks.overwriteAtomic(
-          Maintenance.rebuildForContacts(target, stagedContactIds(spark, c), fresh),
-          scoresTable(c))
-      }),
+      Pipeline.Stage("rebuild_scores", () =>
+        withStaged("fix_eval_raw_*.json", Schemas.evaluations) { good =>
+          val fresh = Shred.scores(good)
+          val target = readOr(spark, scoresTable(c), fresh.limit(0))
+          Sinks.overwriteAtomic(
+            Maintenance.rebuildForContacts(target, stagedContactIds(), fresh),
+            scoresTable(c))
+        }),
 
-      Pipeline.Stage("extract_comments", () => {
-        val (evals, _) = Ingest.loadStagedLines(
-          spark, s"${c.stageDir}/fix_eval_raw_*.json", Schemas.evaluations)
-        val raw = Extraction.followLinks(evals, "comments", commentsFetcher, tasks = 4)
+      // S5: per-contact transcript fan-out (qa_api_handler.py:163-200).
+      // The reference stages these but has no transform SQL; landing
+      // them as a per-contact rebuild keeps the lifecycle idempotent.
+      Pipeline.Stage("extract_transcripts", () => {
+        val ids = stagedContactIds().select(col("contact_id")).as[java.lang.Long]
+        val raw = Ingest.fetchPerKey(ids, transcriptsFetcher, tasks = 4)
         Sinks.writeJsonBatch(
-          Ingest.parseDocs(raw, Schemas.comments), c.stageDir, "fix_comments_raw", 1)
+          Ingest.parseDocs(raw, Schemas.transcript), c.stageDir, "fix_transcripts", 1)
       }),
 
-      Pipeline.Stage("rebuild_comments", () => {
-        val (good, _) = Ingest.loadStagedLines(
-          spark, s"${c.stageDir}/fix_comments_raw_*.json", Schemas.comments)
-        val fresh = Shred.comments(good)
-        val target = readOr(spark, commentsTable(c), fresh.limit(0))
+      Pipeline.Stage("rebuild_transcripts", () =>
+        withStaged("fix_transcripts_*.json", Schemas.transcript) { good =>
+          val fresh = good.withColumnRenamed("ccrid", "contact_id")
+          val target = readOr(spark, transcriptsTable(c), fresh.limit(0))
+          Sinks.overwriteAtomic(
+            Maintenance.rebuildForContacts(target, stagedContactIds(), fresh),
+            transcriptsTable(c))
+        }),
+
+      Pipeline.Stage("extract_comments", () =>
+        withStaged("fix_eval_raw_*.json", Schemas.evaluations) { evals =>
+          val raw = Extraction.followLinks(evals, "comments", commentsFetcher, tasks = 4)
+          Sinks.writeJsonBatch(
+            Ingest.parseDocs(raw, Schemas.comments), c.stageDir, "fix_comments_raw", 1)
+        }),
+
+      Pipeline.Stage("rebuild_comments", () =>
+        withStaged("fix_comments_raw_*.json", Schemas.comments) { good =>
+          val fresh = Shred.comments(good)
+          val target = readOr(spark, commentsTable(c), fresh.limit(0))
+          Sinks.overwriteAtomic(
+            Maintenance.rebuildForContacts(target, stagedContactIds(), fresh),
+            commentsTable(c))
+        }),
+
+      // D4/J4: the raw-payload backup mirror (Update…sql:217-227) —
+      // merge keyed on the id EXTRACTED from the payload, matched rows
+      // replace the whole src, non-matches insert. Staged lines are
+      // already one JSON object per line, so src is the literal staged
+      // string (no reconstruction). Key is VARCHAR like the reference's
+      // src:id::VARCHAR.
+      Pipeline.Stage("backup_mirror", () => {
+        val lines = spark.read.textFile(s"${c.stageDir}/all_contacts_*.json")
+        // one row per id: ids can repeat across batch files; the
+        // reference MERGE would error on source duplicates, we keep the
+        // deterministic min payload
+        val fresh = lines.toDF("src")
+          .filter(length(trim(col("src"))) > 0)
+          .select(get_json_object(col("src"), "$.id").as("contact_id"), col("src"))
+          .withColumn("_rn", row_number().over(
+            Window.partitionBy("contact_id").orderBy("src")))
+          .filter(col("_rn") === 1).drop("_rn")
+        val target = readOr(spark, backupTable(c), fresh.limit(0))
         Sinks.overwriteAtomic(
-          Maintenance.rebuildForContacts(target, stagedContactIds(spark, c), fresh),
-          commentsTable(c))
+          Maintenance.upsertKeepCols(target, fresh, Seq("contact_id"), keepCols = Set.empty),
+          backupTable(c))
       }))
 
-    Pipeline.runSequential(stages)
+    try Pipeline.runSequential(stages)
+    finally stagedIdsMemo.foreach(_.unpersist())
   }
 }

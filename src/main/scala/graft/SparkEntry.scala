@@ -72,9 +72,10 @@ object SparkEntry {
     // S10: glob-selected PERMISSIVE bulk load (multi-file union) feeding
     // the contacts shred; malformed files quarantine instead of failing.
     "staged_load_contacts" -> ((s, _) => {
-      val (good, _) = graft.sources.Ingest.loadStaged(
+      val st = graft.sources.Ingest.loadStaged(
         s, Fixtures.Dir, Schemas.contacts, "all_contacts_*.json")
-      Shred.contacts(good).orderBy("contact_id")
+      st.release() // only `good` is consumed — no need to hold the batch cache
+      Shred.contacts(st.good).orderBy("contact_id")
     }),
     // Multimodal: metadata-only rollup over synthesized media rows —
     // must never read the blob column (plan asserted in MultimodalSpec).
@@ -155,7 +156,7 @@ object SparkEntry {
         |         count(event_id) AS tally
         |  FROM events WHERE ts IS NOT NULL GROUP BY 1)
         |SELECT dt, tally,
-        |       sum(tally) OVER (ORDER BY dt ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS running_tally
+        |       CAST(sum(tally) OVER (ORDER BY dt ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS running_tally
         |FROM rawd
         |ORDER BY running_tally DESC, dt""".stripMargin,
     "cslb_reconcile" ->
@@ -166,9 +167,9 @@ object SparkEntry {
     "pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-        |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_e2,
-        |       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS sum_disc_price_e4,
-        |       sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS sum_charge_e6,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_e2,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS BIGINT) AS sum_charge_e6,
         |       count(*) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
@@ -177,7 +178,7 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderpriority, revenue_e4
         |FROM (
         |  SELECT l_orderkey,
-        |         sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS revenue_e4
+        |         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
         |  FROM lineitem GROUP BY l_orderkey) r
         |JOIN orders ON l_orderkey = o_orderkey
         |ORDER BY revenue_e4 DESC, o_orderkey
@@ -271,8 +272,8 @@ object SparkEntry {
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id, count(*) AS dup_count
         |FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""".stripMargin,
     "text_stats" ->
-      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
-        |       sum(toks) AS total_tokens, min(toks) AS min_tokens, max(toks) AS max_tokens
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(sum(toks) AS BIGINT) AS total_tokens, min(toks) AS min_tokens, max(toks) AS max_tokens
         |FROM (SELECT lang, n_chars, len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS toks FROM documents)
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "doc_tokens" ->
@@ -338,7 +339,7 @@ object SparkEntry {
         |ORDER BY contact_id""".stripMargin,
     "media_stats" ->
       """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |       count(*) AS n_items, sum(octet_length(encode(text))) AS total_bytes
+        |       count(*) AS n_items, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1 ORDER BY media_type""".stripMargin,
     "backup_mirror" ->
       """WITH tgt AS (SELECT id AS contact_id, startTime AS start_time_ms, assocCallId AS cjp_session_id, agent."$ref" AS agent_ref
@@ -356,8 +357,8 @@ object SparkEntry {
         |SELECT utt.ccrid AS ccrid, utt.seq AS seq, utt.text AS text
         |FROM r ORDER BY ccrid, seq""".stripMargin,
     "event_props_summary" ->
-      """SELECT event_type, count(*) AS n_events, sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k,
-        |       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_e2
+      """SELECT event_type, count(*) AS n_events, CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_e2
         |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value FROM events)
         |WHERE k IS NOT NULL AND k >= 10
         |GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -80,8 +80,12 @@ object Similarity {
     * removes false positives, so output = the all-pairs oracle.
     * At 100 TB: the bucket join shuffles (band, key) pairs — 16 rows
     * of 8 bytes per doc, not documents; a pathological hot bucket
-    * (all-identical spam) caps at bucketCap docs, trading recall
-    * inside degenerate clusters for bounded skew.
+    * (all-identical spam) keeps only its bucketCap lowest-id docs,
+    * bounding the join at bucketCap² per bucket. The recall trade: a
+    * doc beyond the cap loses only the pairs that surface in NO other
+    * band — kept docs still pair among themselves, and near-dup
+    * clusters collide in ~all 16 bands, so the candidate set stays
+    * effectively exhaustive outside degenerate spam clusters.
     */
   def minhashNearDup(
       docs: DataFrame,
@@ -110,10 +114,15 @@ object Similarity {
       .select(col("doc_id"), posexplode(
         call_function("minhash_band_keys", col("sh"), lit(numHashes), lit(bands)))
         .as(Seq("band", "bkey")))
+    // CAP the bucket (keep its bucketCap lowest doc_ids), never DROP
+    // it whole: identical-document spam clusters are hot in all 16
+    // bands, so dropping would silently yield zero pairs for exactly
+    // the most-duplicated content.
     val capped = m
-      .withColumn("bsize", count(lit(1)).over(Window.partitionBy("band", "bkey")))
-      .filter(col("bsize") <= bucketCap)
-      .drop("bsize")
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("band", "bkey").orderBy("doc_id")))
+      .filter(col("_rn") <= bucketCap)
+      .drop("_rn")
     val cand = capped.as("x")
       .join(capped.as("y"), Seq("band", "bkey"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -191,16 +200,24 @@ object Similarity {
     * nearest cells and ranks candidates by exact cosine. The classic
     * recall/latency dial: nprobe=nlist degenerates to exact search,
     * nprobe=1 scans ~1/nlist of the data. Centroids are trained with a
-    * fixed seed (deterministic, task-retry safe); at 100 TB the model
-    * is trained on a sample and broadcast, and the cell assignment is
-    * a narrow map — the probe join shuffles only (cell, query) pairs.
+    * fixed seed (deterministic, task-retry safe) on a bounded sample —
+    * NOT the full table: 10 MLlib iterations over every vector were
+    * 1/3 of the whole r3 bench, and at 100 TB they are 10 full passes
+    * plus a driver-side centroid reduction. Centroid quality only
+    * moves recall at nprobe<nlist (the quantizer partitions space
+    * either way; nprobe=nlist stays exact regardless), so a 20k-row
+    * sample is as good as the table. The broadcast model then assigns
+    * cells in one narrow map — the probe join shuffles only
+    * (cell, query) pairs.
     */
   def ivfTopK(
       emb: DataFrame,
       nQueries: Int = 5,
       k: Int = 10,
       nlist: Int = 16,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4,
+      trainFraction: Double = 0.1,
+      maxTrainRows: Int = 20000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = emb
@@ -209,7 +226,15 @@ object Similarity {
         array_to_vector(col("embedding")).as("features"),
         sumSq(col("embedding")).as("n2"))
       .cache()
-    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(10).fit(e)
+    val sampled = e.select("features")
+      .sample(withReplacement = false, trainFraction, seed = 42)
+      .limit(maxTrainRows)
+    // tiny inputs (tests, sf0.001) can sample below nlist points —
+    // fall back to the full table there; the sample path is the one
+    // that runs at scale
+    val train =
+      if (sampled.take(nlist).length < nlist) e.select("features") else sampled
+    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(10).fit(train)
     val assigned = model.transform(e)
       .select(col("vec_id"), col("embedding"), col("n2"),
         col("prediction").as("cell"))

@@ -35,6 +35,39 @@ object Ingest {
     def fetch(key: Long): Iterator[String]
   }
 
+  /** A windowless whole-collection source: one request for the entire
+    * payload (the forms endpoint — qa_api_handler.py:73-84 issues a
+    * single unparameterized GET).
+    */
+  trait BatchFetcher extends Serializable {
+    def fetch(): Iterator[String]
+  }
+
+  /** Single-request extraction (forms): one task, whole payload. The
+    * forms collection is configuration-sized (hundreds of rows), so a
+    * single task is the right plan even at 100 TB of fact data.
+    */
+  def fetchBatch(spark: SparkSession, fetcher: BatchFetcher): Dataset[String] = {
+    import spark.implicits._
+    spark.createDataset(Seq(0)).repartition(1).mapPartitions(_ => fetcher.fetch())
+  }
+
+  /** A PERMISSIVE staged load: `good` = typed rows, `bad` = quarantined
+    * corrupt records. The parsed batch is cached — Spark refuses plans
+    * whose required columns reduce to only the internal corrupt-record
+    * column (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and a staging batch is
+    * bounded by the extraction window — so callers MUST release() after
+    * the consuming action, or a long-lived session accumulates stale
+    * staging caches.
+    */
+  final class Staged private[sources] (raw: DataFrame) {
+    val good: DataFrame =
+      raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val bad: DataFrame =
+      raw.filter(col("_corrupt_record").isNotNull).select("_corrupt_record")
+    def release(): Unit = { raw.unpersist(); () }
+  }
+
   /** S2 window planner: chunk [begin, end) into breakDays-day windows
     * (qa_api_handler.py:90-108, Start.py:19-27: 16-day lookback,
     * break_size=2). The last window is clipped to `end`.
@@ -95,34 +128,25 @@ object Ingest {
 
   /** S10 bulk load: glob-selected multiLine JSON with PERMISSIVE
     * corrupt-record capture — the Spark-native ON_ERROR='skip_file'
-    * (populate_table.sql:4-5). Returns (good rows, corrupt-record
-    * rows); with multiLine array files a malformed file collapses to
-    * corrupt rows, so "skip file" falls out of dropping them — but
-    * unlike the reference, the skipped payload stays observable for a
-    * quarantine sink instead of vanishing.
+    * (populate_table.sql:4-5). With multiLine array files a malformed
+    * file collapses to corrupt rows, so "skip file" falls out of
+    * dropping them — but unlike the reference, the skipped payload
+    * stays observable for a quarantine sink instead of vanishing.
     */
   def loadStaged(
       spark: SparkSession,
       dir: String,
       elementSchema: StructType,
-      glob: String): (DataFrame, DataFrame) = {
+      glob: String): Staged = {
     val withCorrupt = elementSchema.add("_corrupt_record", StringType)
-    // cache(): Spark refuses plans whose required columns reduce to
-    // only the internal corrupt-record column
-    // (QUERY_ONLY_CORRUPT_RECORD_COLUMN); materializing the parsed
-    // batch is the documented workaround, and a staging batch is
-    // bounded by the extraction window size anyway.
-    val read = spark.read
+    new Staged(spark.read
       .option("multiLine", true)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .option("pathGlobFilter", glob)
       .schema(withCorrupt)
       .json(dir)
-      .cache()
-    val good = read.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
-    val bad = read.filter(col("_corrupt_record").isNotNull).select("_corrupt_record")
-    (good, bad)
+      .cache())
   }
 
   /** O4: collapse per-batch filenames into distinct load targets —
@@ -146,17 +170,14 @@ object Ingest {
       pathPattern: String, // e.g. <stage>/all_contacts_*.json — the
       // batch "files" are spark output DIRECTORIES, so the glob lives
       // in the path (Hadoop glob), not in pathGlobFilter (leaf-only)
-      elementSchema: StructType): (DataFrame, DataFrame) = {
+      elementSchema: StructType): Staged = {
     val withCorrupt = elementSchema.add("_corrupt_record", StringType)
-    val read = spark.read
+    new Staged(spark.read
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(withCorrupt)
       .json(pathPattern)
-      .cache()
-    val good = read.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
-    val bad = read.filter(col("_corrupt_record").isNotNull).select("_corrupt_record")
-    (good, bad)
+      .cache())
   }
 
   /** S8 file normalizer: the reference appends whole response arrays

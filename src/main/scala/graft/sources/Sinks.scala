@@ -34,15 +34,31 @@ object Sinks {
     * reload, D3 idempotent rebuild). Safe when `df` reads from `dir`
     * itself: the plan materializes into the tmp dir before the old
     * data disappears.
+    *
+    * Swap order is rename-aside, not delete-then-rename: the live
+    * table is moved to a sibling .old dir BEFORE the tmp dir takes its
+    * place, so a crash at any point leaves either the old table live
+    * or a recoverable .old copy — never a window where the path is
+    * missing and the only data is stranded in .tmp (VERDICT r3 /
+    * ADVICE r3). The .old dir is deleted only after the new table is
+    * in place. True single-syscall atomicity needs a format with
+    * commit semantics; this is the strongest ordering a filesystem
+    * rename gives.
     */
   def overwriteAtomic(df: DataFrame, dir: String): Unit = {
     val target = new Path(dir)
     val tmp = new Path(dir + ".tmp-" + UUID.randomUUID().toString)
+    val old = new Path(dir + ".old-" + UUID.randomUUID().toString)
     val f = fs(target, df)
     df.write.mode("overwrite").parquet(tmp.toString)
-    if (f.exists(target)) f.delete(target, true)
-    if (!f.rename(tmp, target))
+    val hadOld = f.exists(target)
+    if (hadOld && !f.rename(target, old))
+      throw new java.io.IOException(s"atomic swap failed: $target -> $old")
+    if (!f.rename(tmp, target)) {
+      if (hadOld) f.rename(old, target) // restore the previous table
       throw new java.io.IOException(s"atomic swap failed: $tmp -> $target")
+    }
+    if (hadOld) f.delete(old, true)
   }
 
   /** S7: raw JSON batch sink with the reference's batch-numbered

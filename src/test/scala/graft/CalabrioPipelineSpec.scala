@@ -23,6 +23,13 @@ class CalabrioPipelineSpec extends SparkSpec {
     val windows = Ingest.planWindows(
       java.time.LocalDate.parse("2024-01-01"), java.time.LocalDate.parse("2024-01-05"), 2)
 
+    // forms fetcher: the single unparameterized GET (E3 step 2)
+    val formsJson = Files.readString(
+      java.nio.file.Paths.get(s"${Fixtures.Dir}/forms.json"))
+    val formsFetcher = new Ingest.BatchFetcher {
+      def fetch(): Iterator[String] = Iterator(formsJson)
+    }
+
     // window fetcher: first window returns the full contacts payload
     val contactsJson = Files.readString(
       java.nio.file.Paths.get(s"${Fixtures.Dir}/qa_contacts.json"))
@@ -46,6 +53,19 @@ class CalabrioPipelineSpec extends SparkSpec {
       }
     }
 
+    // transcripts fetcher: utterance arrays grouped by ccrid (S5)
+    val transByContact: Map[Long, Seq[String]] = Fixtures.transcripts(spark)
+      .select(col("ccrid"),
+        to_json(struct(col("ccrid"), col("seq"), col("text"))).as("j"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getString(1)).toSeq }
+    val transcriptsFetcher = new Ingest.KeyFetcher {
+      def fetch(key: Long): Iterator[String] = transByContact.get(key) match {
+        case Some(xs) => Iterator(xs.mkString("[", ",", "]"))
+        case None => Iterator.empty // empty responses skipped (F6)
+      }
+    }
+
     // link fetcher: comments grouped by evaluation id (2nd digit run)
     val comCols = Fixtures.comments(spark).columns
     val commentsByEval: Map[Long, Seq[String]] = Fixtures.comments(spark)
@@ -65,10 +85,24 @@ class CalabrioPipelineSpec extends SparkSpec {
       }
     }
 
-    val res1 = CalabrioPipeline.fullRun(
-      spark, config, windows, contactsFetcher, evalsFetcher, commentsFetcher)
+    def run(
+        cf: Ingest.WindowFetcher = contactsFetcher,
+        ef: Ingest.KeyFetcher = evalsFetcher): Seq[Pipeline.StageResult] =
+      CalabrioPipeline.fullRun(
+        spark, config, windows, formsFetcher, cf, ef, transcriptsFetcher, commentsFetcher)
+
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val res1 = run()
     assert(res1.forall(_.error.isEmpty),
       res1.filter(_.error.nonEmpty).mkString("; "))
+
+    // staged caches are released inside the run — nothing accumulates
+    // in a long-lived session (VERDICT r3 What's-wrong #3)
+    assert(spark.sparkContext.getPersistentRDDs.keySet === persistedBefore)
+
+    // forms target is the full-replace CTAS of the fetched payload
+    val forms = spark.read.parquet(CalabrioPipeline.formsTable(config))
+    assert(rowsOf(forms) === rowsOf(Shred.forms(Fixtures.forms(spark))))
 
     // contacts target equals the shred of the fetched payload
     val contacts = spark.read.parquet(CalabrioPipeline.contactsTable(config))
@@ -88,18 +122,55 @@ class CalabrioPipelineSpec extends SparkSpec {
     assert(scores.count() > 0)
     assert(comments.count() > 0)
 
+    // transcripts: every staged contact's utterances, keyed by contact
+    val transcripts = spark.read.parquet(CalabrioPipeline.transcriptsTable(config))
+    val expectedTranscripts = Fixtures.transcripts(spark)
+      .withColumnRenamed("ccrid", "contact_id")
+      .join(expectedContacts.select("contact_id"), Seq("contact_id"), "left_semi")
+    assert(rowsOf(transcripts) === rowsOf(expectedTranscripts))
+
+    // backup mirror: one raw payload per staged contact, id-addressable
+    val backup = spark.read.parquet(CalabrioPipeline.backupTable(config))
+    assert(backup.count() === contacts.count())
+    assert(backup.filter(
+      get_json_object(col("src"), "$.id") =!= col("contact_id")).count() === 0)
+
     // replay: identical fetchers, second run — every target unchanged
-    val snap = Seq(contacts, evals, scores, comments).map(rowsOf)
-    val res2 = CalabrioPipeline.fullRun(
-      spark, config, windows, contactsFetcher, evalsFetcher, commentsFetcher)
+    def allTargets(): Seq[Set[String]] = Seq(
+      CalabrioPipeline.formsTable(config),
+      CalabrioPipeline.contactsTable(config),
+      CalabrioPipeline.evaluationsTable(config),
+      CalabrioPipeline.scoresTable(config),
+      CalabrioPipeline.commentsTable(config),
+      CalabrioPipeline.transcriptsTable(config),
+      CalabrioPipeline.backupTable(config)).map(p => rowsOf(spark.read.parquet(p)))
+    val snap = allTargets()
+    val res2 = run()
     assert(res2.forall(_.error.isEmpty),
       res2.filter(_.error.nonEmpty).mkString("; "))
-    val after = Seq(
-      spark.read.parquet(CalabrioPipeline.contactsTable(config)),
-      spark.read.parquet(CalabrioPipeline.evaluationsTable(config)),
-      spark.read.parquet(CalabrioPipeline.scoresTable(config)),
-      spark.read.parquet(CalabrioPipeline.commentsTable(config))).map(rowsOf)
-    assert(after === snap)
+    assert(allTargets() === snap)
+
+    // incremental run over a SUBSET of previously-merged contacts (the
+    // normal steady state — ADVICE r3 high): fan-out must key on the
+    // CURRENT staging batch, not the accumulated target, or freshly
+    // shredded scores/comments/transcripts for non-staged contacts
+    // union on top of their undeleted rows and duplicate them.
+    val subsetIds = Fixtures.qaContacts(spark)
+      .select("id").orderBy("id").collect().map(_.getLong(0)).take(10)
+    val contactCols = Fixtures.qaContacts(spark).columns
+    val subsetJson = Fixtures.qaContacts(spark)
+      .filter(col("id").isin(subsetIds: _*))
+      .select(to_json(struct(contactCols.map(c => col(s"`$c`")): _*)).as("j"))
+      .collect().map(_.getString(0)).mkString("[", ",", "]")
+    val subsetFetcher = new Ingest.WindowFetcher {
+      def fetch(w: Ingest.DateWindow): Iterator[String] =
+        if (w.start == firstStart) Iterator(subsetJson) else Iterator.empty
+    }
+    val resSub = run(cf = subsetFetcher)
+    assert(resSub.forall(_.error.isEmpty),
+      resSub.filter(_.error.nonEmpty).mkString("; "))
+    assert(allTargets() === snap,
+      "a subset-window incremental run over unchanged upstream data must be a no-op")
 
     // upstream deletion (D1): a contact stays in the extraction window
     // but its evaluations vanish — the re-run must delete its rows
@@ -114,8 +185,7 @@ class CalabrioPipelineSpec extends SparkSpec {
       def fetch(key: Long): Iterator[String] =
         if (key == victim) Iterator.empty else evalsFetcher.fetch(key)
     }
-    val res3 = CalabrioPipeline.fullRun(
-      spark, config, windows, contactsFetcher, evalsFetcher2, commentsFetcher)
+    val res3 = run(ef = evalsFetcher2)
     assert(res3.forall(_.error.isEmpty),
       res3.filter(_.error.nonEmpty).mkString("; "))
     val evalsAfter = spark.read.parquet(CalabrioPipeline.evaluationsTable(config))

@@ -53,14 +53,20 @@ class IngestSpec extends SparkSpec {
   test("loadStaged: malformed file quarantined, good glob-matched files load") {
     // fixtures/ has all_contacts_1/2.json (good) and malformed/ is
     // excluded by the glob; read the malformed dir separately
-    val (good, bad) = Ingest.loadStaged(
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val st = Ingest.loadStaged(
       spark, Fixtures.Dir, Schemas.contacts, "all_contacts_*.json")
-    assert(good.count() === 120) // 60 + 60 docs across the two files
-    assert(bad.count() === 0)
-    val (good2, bad2) = Ingest.loadStaged(
+    assert(st.good.count() === 120) // 60 + 60 docs across the two files
+    assert(st.bad.count() === 0)
+    st.release()
+    val st2 = Ingest.loadStaged(
       spark, s"${Fixtures.Dir}/malformed", Schemas.contacts, "all_contacts_*.json")
-    assert(good2.count() === 0)
-    assert(bad2.count() === 1) // whole file collapses to one corrupt row
+    assert(st2.good.count() === 0)
+    assert(st2.bad.count() === 1) // whole file collapses to one corrupt row
+    st2.release()
+    // release() drops the batch cache — nothing left behind for a
+    // long-lived session to accumulate (VERDICT r3 What's-wrong #3)
+    assert(spark.sparkContext.getPersistentRDDs.keySet === persistedBefore)
   }
 
   test("normalizeConcatenated: stitched arrays parse as one relation") {
