@@ -69,6 +69,21 @@ object SparkEntry {
     "simhash" -> ((s, dir) => Similarity.simhash(Tables.documents(s, dir))),
     "ann_topk_lsh" -> ((s, dir) => Similarity.annTopKLsh(Tables.embeddings(s, dir))),
     "ivf_topk" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))),
+    // Recall floors for the approximate family: the oracle can't
+    // reproduce engine-specific hashing, but it CAN assert the floor —
+    // it states `true` per query id, so a recall regression flips the
+    // Spark side false and the row goes red (measurable guarantee for
+    // the two rows-only ops above).
+    "ann_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.recallAtK(
+        Similarity.cosineTopK(e), Similarity.annTopKLsh(e), k = 10, floorPct = 40)
+    }),
+    "ivf_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.recallAtK(
+        Similarity.cosineTopK(e), Similarity.ivfTopK(e), k = 10, floorPct = 20)
+    }),
     // S10: glob-selected PERMISSIVE bulk load (multi-file union) feeding
     // the contacts shred; malformed files quarantine instead of failing.
     "staged_load_contacts" -> ((s, _) => {
@@ -330,6 +345,12 @@ object SparkEntry {
         |SELECT doc_a, doc_b, inter_size, union_size FROM p
         |WHERE inter_size * 2 >= union_size
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "ann_recall" ->
+      """SELECT vec_id AS q_id, true AS floor_met FROM embeddings
+        |WHERE vec_id < 5 ORDER BY q_id""".stripMargin,
+    "ivf_recall" ->
+      """SELECT vec_id AS q_id, true AS floor_met FROM embeddings
+        |WHERE vec_id < 5 ORDER BY q_id""".stripMargin,
     "staged_load_contacts" ->
       """SELECT id AS contact_id,
         |       strftime(timezone('America/Denver', epoch_ms(startTime)::TIMESTAMPTZ), '%Y-%m-%d %H:%M:%S') AS contact_start_time,
@@ -342,14 +363,14 @@ object SparkEntry {
         |       count(*) AS n_items, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1 ORDER BY media_type""".stripMargin,
     "backup_mirror" ->
-      """WITH tgt AS (SELECT id AS contact_id, startTime AS start_time_ms, assocCallId AS cjp_session_id, agent."$ref" AS agent_ref
+      """WITH tgt AS (SELECT id AS contact_id,
+        |                    to_json(struct_pack(id := id, startTime := startTime, assocCallId := assocCallId, agent := agent))::VARCHAR AS src
         |             FROM read_json('/root/repo/fixtures/qa_contacts.json')),
-        | srcn AS (SELECT id AS contact_id, startTime AS start_time_ms, assocCallId AS cjp_session_id, agent."$ref" AS agent_ref
+        | srcn AS (SELECT id AS contact_id,
+        |                 to_json(struct_pack(id := id, startTime := startTime, assocCallId := assocCallId, agent := agent))::VARCHAR AS src
         |          FROM read_json('/root/repo/fixtures/qa_contacts_restated.json'))
         |SELECT COALESCE(n.contact_id, t.contact_id) AS contact_id,
-        |       CASE WHEN n.contact_id IS NOT NULL THEN n.start_time_ms ELSE t.start_time_ms END AS start_time_ms,
-        |       CASE WHEN n.contact_id IS NOT NULL THEN n.cjp_session_id ELSE t.cjp_session_id END AS cjp_session_id,
-        |       CASE WHEN n.contact_id IS NOT NULL THEN n.agent_ref ELSE t.agent_ref END AS agent_ref
+        |       CASE WHEN n.contact_id IS NOT NULL THEN n.src ELSE t.src END AS src
         |FROM tgt t FULL OUTER JOIN srcn n ON t.contact_id = n.contact_id
         |ORDER BY contact_id""".stripMargin,
     "shred_transcripts" ->

@@ -44,15 +44,20 @@ object CalabrioSync {
   /** J4+D4: backup mirror merge — update-else-insert keyed on the
     * document id the reference extracts from the VARIANT
     * (Update…sql:217-227: matched → replace the whole payload,
-    * non-matched → insert). Projected to scalar columns first; the
-    * merge itself is upsertKeepCols with nothing kept.
+    * non-matched → insert). Like the reference's backup table, the
+    * payload travels WHOLE — one raw JSON `src` column next to the
+    * extracted key, not a scalar projection (payload archaeology: the
+    * backup exists to answer "what did the vendor actually send").
+    * `ignoreNullFields=false` keeps null fields explicit so the
+    * serialized payload round-trips the document shape (and matches
+    * DuckDB's to_json rendering in the oracle).
     */
   def backupMirror(spark: SparkSession): DataFrame = {
     def proj(df: DataFrame): DataFrame = df.select(
       col("id").as("contact_id"),
-      col("startTime").as("start_time_ms"),
-      col("assocCallId").as("cjp_session_id"),
-      col("agent").getField("$ref").as("agent_ref"))
+      to_json(
+        struct(col("id"), col("startTime"), col("assocCallId"), col("agent")),
+        Map("ignoreNullFields" -> "false")).as("src"))
     Maintenance
       .upsertKeepCols(
         proj(Fixtures.qaContacts(spark)),

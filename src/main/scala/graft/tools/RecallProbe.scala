@@ -1,0 +1,30 @@
+package graft.tools
+
+import graft.{Sessions, Tables}
+import graft.operators.Similarity
+
+/** Parameter-sweep probe for the ANN recall/candidate-volume trade:
+  * prints recall@10 per (sigBits, numTables) so floors in SparkEntry
+  * are pinned from measurement, not guesses. Not part of the driver
+  * contract — a tuning tool.
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    spark.sparkContext.setLogLevel("ERROR")
+    val e = Tables.embeddings(spark, sfDir).cache()
+    val exact = Similarity.cosineTopK(e).cache()
+    val n = e.count()
+    for ((b, l) <- Seq((6, 8), (5, 12), (4, 12), (5, 16))) {
+      val ann = Similarity.annTopKLsh(e, sigBits = b, numTables = l)
+      val hits = exact.join(ann, Seq("q_id", "neighbor_id"), "left_semi")
+        .groupBy("q_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val perQ = (0L until 5L).map(q => hits.getOrElse(q, 0L))
+      println(s"PROBE b=$b L=$l n=$n recall@10 per query: ${perQ.mkString(",")} " +
+        s"total=${perQ.sum}/50")
+    }
+    spark.stop()
+  }
+}

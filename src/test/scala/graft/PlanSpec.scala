@@ -40,13 +40,16 @@ class PlanSpec extends SparkSpec {
     val docs = Tables.documents(spark, dir)
     val emb = Tables.embeddings(spark, dir)
     Seq(
-      Similarity.minhashNearDup(docs),
-      Similarity.annTopKLsh(emb),
-      Similarity.embeddingNearDup(emb, 450000L)).foreach { df =>
+      "minhash_neardup" -> Similarity.minhashNearDup(docs),
+      "ann_topk_lsh" -> Similarity.annTopKLsh(emb),
+      "embedding_neardup" -> Similarity.embeddingNearDup(emb, 450000L)
+    ).foreach { case (name, df) =>
       val plan = executedPlan(df)
-      assert(!plan.contains("CartesianProduct"), s"no cartesian product:\n$plan")
-      assert(!plan.contains("BroadcastNestedLoopJoin") || df != docs,
-        "bucketed candidates must equi-join")
+      assert(!plan.contains("CartesianProduct"), s"$name: no cartesian product:\n$plan")
+      // every one of these generates candidates via a bucketed
+      // EQUI-join — a nested-loop anywhere means the bucketing failed
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: bucketed candidates must equi-join:\n$plan")
     }
   }
 

@@ -64,6 +64,19 @@ class SimilaritySpec extends SparkSpec {
     assert(full === exactTop)
   }
 
+  test("recallAtK: exact-vs-exact is all true, empty approx all false") {
+    val emb = Tables.embeddings(spark, dir).cache()
+    val exact = Similarity.cosineTopK(emb, nQueries = 3, k = 5)
+    val self = Similarity.recallAtK(exact, exact, k = 5, floorPct = 100)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(self.length === 3)
+    assert(self.forall(_._2), "exact against itself is 100% recall")
+    val none = Similarity.recallAtK(exact, exact.limit(0), k = 5, floorPct = 1)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(none.length === 3)
+    assert(none.forall(!_._2), "empty approx meets no floor")
+  }
+
   test("ann lsh top-k is a subset of exact cosine ranking per query") {
     val emb = Tables.embeddings(spark, dir).cache()
     val exact = Similarity.cosineTopK(emb, nQueries = 5, k = 1000)
