@@ -1,0 +1,243 @@
+package graft.sources.dsv2
+
+import java.time.{Instant, LocalDate, ZoneOffset}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.Schemas
+import graft.sources.Ingest.DateWindow
+
+/** F5 as a real DataSource V2: the reference's windowed REST scan with
+  * its server-side query params (`beginDate`/`endDate`/`evalState`/
+  * `limit` — qa_api_handler.py:101-107) exposed to ANY SQL/DataFrame
+  * user through Catalyst pushdown, instead of fetcher constructor
+  * arguments only:
+  *
+  *  - `evalState = 'x'` equality is consumed ENTIRELY by the source
+  *    (the vendor filters server-side; returned rows carry the
+  *    requested state) — it never re-evaluates post-scan;
+  *  - `startTime` bounds clamp the planned date windows (whole windows
+  *    outside the bounds are never fetched) and remain residual, since
+  *    windows are date-grained while the predicate is ms-grained;
+  *  - column pruning narrows the parsed schema
+  *    (SupportsPushDownRequiredColumns), so `.explain` shows both
+  *    PushedFilters and the narrowed ReadSchema on the scan node.
+  *
+  * One InputPartition per window — the executor-side fan-out shape of
+  * Ingest.fetchWindows, now behind `spark.read.format("graft-window")`.
+  * Fetchers are injected through a driver-side registry (DSv2
+  * instantiates providers reflectively with string options only); the
+  * fetcher instance itself is Serializable and ships inside the
+  * partition, exactly like the mapPartitions path.
+  *
+  * The parsed schema is the contacts payload plus the synthetic
+  * `evalState` column (a REQUEST param the reference sends, not a
+  * payload field — rows are tagged with the state they were fetched
+  * under). A production source would swap the hand-rolled Jackson
+  * mapping for a general JSON-to-InternalRow parser; the pushdown
+  * surface is the point here.
+  */
+object WindowedRestSource {
+  val EvalStateCol = "evalState"
+  val schema: StructType = Schemas.contacts.add(EvalStateCol, StringType)
+
+  /** A windowed fetch with server-side params — the DSv2 face of
+    * Ingest.WindowFetcher (qa_api_handler.py:101-108 builds exactly
+    * this request).
+    */
+  trait ParamWindowFetcher extends Serializable {
+    def fetch(w: DateWindow, params: Map[String, String]): Iterator[String]
+  }
+
+  private val fetchers =
+    new java.util.concurrent.ConcurrentHashMap[String, ParamWindowFetcher]()
+
+  def registerFetcher(name: String, f: ParamWindowFetcher): Unit =
+    fetchers.put(name, f)
+
+  private[dsv2] def fetcher(name: String): ParamWindowFetcher =
+    Option(fetchers.get(name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no fetcher registered under '$name' — call WindowedRestSource.registerFetcher first"))
+}
+
+class WindowedRestSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-window"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WindowedRestSource.schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new WindowedTable(new CaseInsensitiveStringMap(properties))
+}
+
+private[dsv2] class WindowedTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_window(${options.get("fetcher")})"
+  override def schema(): StructType = WindowedRestSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new WindowedScanBuilder(options)
+}
+
+private[dsv2] class WindowedScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed = Array.empty[Filter]
+  private var required: StructType = WindowedRestSource.schema
+  private var evalState: Option[String] = None
+  private var beginClamp: Option[LocalDate] = None
+  private var endClamp: Option[LocalDate] = None
+
+  private def msToDate(ms: Long): LocalDate =
+    Instant.ofEpochMilli(ms).atZone(ZoneOffset.UTC).toLocalDate
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // two passes: whether the evalState EQUALITY is pushed decides the
+    // fate of the derived IsNotNull(evalState) — with the equality the
+    // server only returns rows tagged with that (non-null) state, so
+    // both are consumed; without it, IsNotNull must stay residual
+    // (unfetched-state rows carry a null tag).
+    evalState = filters.collectFirst {
+      case EqualTo(a, v: String) if a.equalsIgnoreCase(WindowedRestSource.EvalStateCol) => v
+    }
+    val accepted = Seq.newBuilder[Filter]
+    val residual = Seq.newBuilder[Filter]
+    filters.foreach {
+      case f @ EqualTo(a, _: String) if a.equalsIgnoreCase(WindowedRestSource.EvalStateCol) =>
+        accepted += f // server-side: fully consumed, no Spark re-evaluation
+      case f @ IsNotNull(a)
+          if a.equalsIgnoreCase(WindowedRestSource.EvalStateCol) && evalState.isDefined =>
+        accepted += f
+      case f @ GreaterThanOrEqual(a, v: Long) if a.equalsIgnoreCase("startTime") =>
+        beginClamp = Some(msToDate(v)); accepted += f; residual += f
+      case f @ GreaterThan(a, v: Long) if a.equalsIgnoreCase("startTime") =>
+        beginClamp = Some(msToDate(v)); accepted += f; residual += f
+      case f @ LessThan(a, v: Long) if a.equalsIgnoreCase("startTime") =>
+        endClamp = Some(msToDate(v).plusDays(1)); accepted += f; residual += f
+      case f @ LessThanOrEqual(a, v: Long) if a.equalsIgnoreCase("startTime") =>
+        endClamp = Some(msToDate(v).plusDays(1)); accepted += f; residual += f
+      case f =>
+        residual += f
+    }
+    pushed = accepted.result().toArray
+    residual.result().toArray
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val begin = LocalDate.parse(options.get("begin"))
+    val end = LocalDate.parse(options.get("end"))
+    val breakDays = Option(options.get("breakDays")).map(_.toInt).getOrElse(2)
+    // window pruning from the pushed startTime bounds: clamp the plan
+    // range, never fetch a window entirely outside the predicate
+    val b = beginClamp.filter(_.isAfter(begin)).getOrElse(begin)
+    val e = endClamp.filter(_.isBefore(end)).getOrElse(end)
+    val windows =
+      if (b.isBefore(e)) graft.sources.Ingest.planWindows(b, e, breakDays)
+      else Seq.empty
+    val params =
+      Option(options.get("limit")).map("limit" -> _).toMap ++
+        evalState.map(WindowedRestSource.EvalStateCol -> _).toMap
+    new WindowedScan(
+      windows, WindowedRestSource.fetcher(options.get("fetcher")),
+      params, required)
+  }
+}
+
+private[dsv2] class WindowedScan(
+    windows: Seq[DateWindow],
+    fetcher: WindowedRestSource.ParamWindowFetcher,
+    params: Map[String, String],
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-window windows=${windows.size} params=$params"
+  override def planInputPartitions(): Array[InputPartition] =
+    windows.map(w => WindowPartition(w, fetcher, params): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WindowReaderFactory(required)
+}
+
+private[dsv2] final case class WindowPartition(
+    window: DateWindow,
+    fetcher: WindowedRestSource.ParamWindowFetcher,
+    params: Map[String, String]) extends InputPartition
+
+private[dsv2] class WindowReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val wp = p.asInstanceOf[WindowPartition]
+    new WindowReader(wp, required)
+  }
+}
+
+/** Parses each fetched JSON document into the required (pruned)
+  * columns. Documents may arrive as single objects or arrays of
+  * objects (the vendor returns arrays; parseDocs-style explode).
+  */
+private[dsv2] class WindowReader(p: WindowPartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper
+  private val docs: Iterator[JsonNode] =
+    p.fetcher.fetch(p.window, p.params).flatMap { s =>
+      val node = mapper.readTree(s)
+      if (node.isArray) node.elements().asScala else Iterator(node)
+    }
+  private var row: InternalRow = _
+
+  private def str(n: JsonNode, field: String): UTF8String = {
+    val v = n.get(field)
+    if (v == null || v.isNull) null else UTF8String.fromString(v.asText)
+  }
+  private def lng(n: JsonNode, field: String): Any = {
+    val v = n.get(field)
+    if (v == null || v.isNull) null else java.lang.Long.valueOf(v.asLong)
+  }
+
+  private def convert(n: JsonNode): InternalRow = {
+    val values = required.fields.map { f =>
+      f.name match {
+        case "id" => lng(n, "id")
+        case "startTime" => lng(n, "startTime")
+        case "assocCallId" => str(n, "assocCallId")
+        case "agent" =>
+          val a = n.get("agent")
+          if (a == null || a.isNull) null
+          else new GenericInternalRow(Array[Any](str(a, "$ref"), str(a, "displayId")))
+        case WindowedRestSource.EvalStateCol =>
+          p.params.get(WindowedRestSource.EvalStateCol)
+            .map(UTF8String.fromString).orNull
+        case other =>
+          throw new IllegalArgumentException(s"unknown column $other")
+      }
+    }
+    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+  }
+
+  override def next(): Boolean =
+    if (docs.hasNext) { row = convert(docs.next()); true } else false
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}
