@@ -391,6 +391,22 @@ object SparkEntry {
          |SELECT 'qa_evaluation_scores', (SELECT count(*) FROM ${scoresShredSql("evals.json")} t)
          |UNION ALL
          |SELECT 'qa_evaluation_comments', (SELECT count(*) FROM ${commentsShredSql("comments.json")} t)
+         |UNION ALL
+         |SELECT 'qa_forms', (
+         |  WITH f AS (SELECT * FROM read_json('/root/repo/fixtures/forms.json')),
+         |   s AS (SELECT unnest(sections) AS sec FROM f),
+         |   q AS (SELECT unnest(sec.questions) AS que FROM s),
+         |   o AS (SELECT unnest(que.options) AS opt FROM q)
+         |  SELECT count(*) FROM o)
+         |UNION ALL
+         |SELECT 'qa_transcripts', (
+         |  SELECT count(*) FROM (SELECT unnest(json) AS utt FROM read_json('/root/repo/fixtures/transcripts.json')) r)
+         |UNION ALL
+         |SELECT 'contacts_staging_backup', (
+         |  SELECT count(*)
+         |  FROM read_json('/root/repo/fixtures/qa_contacts.json') t
+         |  FULL OUTER JOIN read_json('/root/repo/fixtures/qa_contacts_restated.json') n
+         |  ON t.id = n.id)
          |ORDER BY table_name""".stripMargin,
   )
 }

@@ -78,6 +78,9 @@ object CalabrioSync {
       .unionByName(one("qa_evaluations", Shred.evaluations(Fixtures.evaluations(spark))))
       .unionByName(one("qa_evaluation_scores", Shred.scores(Fixtures.evaluations(spark))))
       .unionByName(one("qa_evaluation_comments", Shred.comments(Fixtures.comments(spark))))
+      .unionByName(one("qa_forms", Shred.forms(Fixtures.forms(spark))))
+      .unionByName(one("qa_transcripts", Fixtures.transcripts(spark)))
+      .unionByName(one("contacts_staging_backup", backupMirror(spark)))
       .orderBy("table_name")
   }
 

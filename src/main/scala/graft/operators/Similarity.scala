@@ -220,12 +220,16 @@ object Similarity {
       maxTrainRows: Int = 20000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    // no explicit cache: spark.ml KMeans persists its (sampled)
+    // training input internally when the input is unpersisted and
+    // releases it after fit, and everything downstream is one narrow
+    // pass — a cache here leaked a copy per invocation (bench re-runs,
+    // ivf_recall) and pinned the whole table in a long-lived session
     val e = emb
       .repartition(emb.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding"),
         array_to_vector(col("embedding")).as("features"),
         sumSq(col("embedding")).as("n2"))
-      .cache()
     val sampled = e.select("features")
       .sample(withReplacement = false, trainFraction, seed = 42)
       .limit(maxTrainRows)

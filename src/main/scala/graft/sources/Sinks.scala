@@ -64,9 +64,21 @@ object Sinks {
   /** S7: raw JSON batch sink with the reference's batch-numbered
     * naming scheme (all_contacts_<n>.json, qa_api_handler.py:93-95),
     * gzip'd like the stage upload (S9, stage_file.sql:1).
+    *
+    * shards=1 mirrors the reference's one-file-per-batch layout and is
+    * a hard invariant ONLY while batches stay window-bounded (the
+    * reference caps every window request at limit=50000 —
+    * qa_api_handler.py:103). At 100× the batch size, raise shards: the
+    * "file" is a directory either way, the stage loads glob it the
+    * same, and each shard writes from its own task.
     */
-  def writeJsonBatch(df: DataFrame, stageDir: String, prefix: String, batchId: Int): Unit =
-    df.coalesce(1)
+  def writeJsonBatch(
+      df: DataFrame,
+      stageDir: String,
+      prefix: String,
+      batchId: Int,
+      shards: Int = 1): Unit =
+    df.coalesce(shards)
       .write
       .mode("overwrite")
       .option("compression", "gzip")
