@@ -162,22 +162,31 @@ object Similarity {
         call_function("simhash_bits", shingles(col("text")), lit(bits)).as("simhash_bits"))
       .orderBy("doc_id")
 
-  /** Embedding-cosine near-duplicate pairs: vectors sharing a
-    * hyperplane-LSH bucket whose exact cosine clears the threshold
-    * (scaled e6). Same bucket-join shape as annTopKLsh — candidates
-    * stay bucket-local, no all-pairs product; recall follows the
-    * (1−θ/π)^sigBits collision curve, so this targets true NEAR-DUPS
-    * (θ≈0), where collision probability approaches 1.
+  /** Embedding-cosine near-duplicate pairs: vectors sharing ANY of the
+    * numTables hyperplane-LSH buckets whose exact cosine clears the
+    * threshold (scaled e6). Same multi-table bucket-join shape as
+    * annTopKLsh — candidates stay bucket-local, no all-pairs product.
+    * A pair at angle θ is missed with probability
+    * (1−(1−θ/π)^sigBits)^numTables — for the true near-dups this
+    * targets (θ≈0) that is effectively zero even with one table, and
+    * the extra tables extend useful recall into the moderate-θ band
+    * (the same measured curve as annTopKLsh).
     */
-  def embeddingNearDup(emb: DataFrame, simE6Threshold: Long, sigBits: Int = 8): DataFrame = {
-    val e = withSignature(emb, sigBits)
+  def embeddingNearDup(
+      emb: DataFrame,
+      simE6Threshold: Long,
+      sigBits: Int = 8,
+      numTables: Int = 8): DataFrame = {
+    val e = withTableKeys(emb, sigBits, numTables)
     val sim6 = round(lit(1e6) * dot(col("a_emb"), col("b_emb"))
       / (sqrt(col("a_n2")) * sqrt(col("b_n2")))).cast("long")
-    e.select(col("sig"), col("vec_id").as("vec_a"), col("embedding").as("a_emb"), col("n2").as("a_n2"))
+    e.select(col("tbl"), col("key"), col("vec_id").as("vec_a"), col("embedding").as("a_emb"), col("n2").as("a_n2"))
       .join(
-        e.select(col("sig"), col("vec_id").as("vec_b"), col("embedding").as("b_emb"), col("n2").as("b_n2")),
-        Seq("sig"))
+        e.select(col("tbl"), col("key"), col("vec_id").as("vec_b"), col("embedding").as("b_emb"), col("n2").as("b_n2")),
+        Seq("tbl", "key"))
       .filter(col("vec_a") < col("vec_b"))
+      // a pair colliding in several tables is one candidate, not L
+      .dropDuplicates("vec_a", "vec_b")
       .select(col("vec_a"), col("vec_b"), sim6.as("sim_e6"))
       .filter(col("sim_e6") >= simE6Threshold)
       .orderBy("vec_a", "vec_b")
@@ -194,6 +203,20 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         call_function("hyperplane_sig", col("embedding"), lit(sigBits)).as("sig"),
         sumSq(col("embedding")).as("n2"))
+
+  /** Multi-table LSH keying: one (numTables·sigBits)-bit native
+    * signature sliced into numTables independent sigBits-bit table
+    * keys (signature bits are independent across index, so slicing =
+    * independent tables). One row per (vector, table).
+    */
+  private def withTableKeys(emb: DataFrame, sigBits: Int, numTables: Int): DataFrame = {
+    val e = withSignature(emb, sigBits * numTables)
+    val tableKeys = transform(
+      sequence(lit(0), lit(numTables - 1)),
+      t => col("sig").substr(t * lit(sigBits) + lit(1), lit(sigBits)))
+    e.select(col("vec_id"), col("embedding"), col("n2"),
+      posexplode(tableKeys).as(Seq("tbl", "key")))
+  }
 
   /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
     * vector to one of nlist cells; a query probes only its nprobe
@@ -306,13 +329,7 @@ object Similarity {
       k: Int = 10,
       sigBits: Int = 5,
       numTables: Int = 16): DataFrame = {
-    val e = withSignature(emb, sigBits * numTables)
-    val tableKeys = transform(
-      sequence(lit(0), lit(numTables - 1)),
-      t => col("sig").substr(t * lit(sigBits) + lit(1), lit(sigBits)))
-    val tables = e.select(
-      col("vec_id"), col("embedding"), col("n2"),
-      posexplode(tableKeys).as(Seq("tbl", "key")))
+    val tables = withTableKeys(emb, sigBits, numTables)
     val q = tables.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("tbl"), col("key"), col("n2").as("qn2"))
