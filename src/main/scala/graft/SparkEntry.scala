@@ -57,6 +57,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => TextOps.exactDedup(Tables.documents(s, dir))),
     "text_stats" -> ((s, dir) => TextOps.textStats(Tables.documents(s, dir))),
     "doc_tokens" -> ((s, dir) => TextOps.docTokens(Tables.documents(s, dir))),
+    "quality_filter" -> ((s, dir) => TextOps.qualityFilter(Tables.documents(s, dir))),
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
     "lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "token_counts" -> ((s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))),
@@ -298,6 +299,21 @@ object SparkEntry {
         |       length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct_chars,
         |       length(text) AS n_chars_measured
         |FROM t ORDER BY doc_id""".stripMargin,
+    "quality_filter" ->
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks,
+        |                  length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
+        |                  length(text) AS n_chars
+        |           FROM documents),
+        | p AS (SELECT doc_id, len(toks) AS n_tokens,
+        |              len(list_filter(toks, x -> list_contains(['the','a','an','of','and','or','is','in','to','for'], x))) AS n_stop,
+        |              n_punct, n_chars FROM t),
+        | m AS (SELECT doc_id, n_tokens,
+        |              CAST((n_punct * 1000) // greatest(n_chars, 1) AS BIGINT) AS punct_per_mille,
+        |              CAST((n_stop * 1000) // greatest(n_tokens, 1) AS BIGINT) AS stop_per_mille
+        |       FROM p)
+        |SELECT * FROM m
+        |WHERE n_tokens >= 5 AND punct_per_mille <= 150 AND stop_per_mille >= 10
+        |ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
       """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks FROM documents)
         |SELECT doc_id, len(toks) AS n_tokens,

@@ -71,6 +71,40 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The quality GATE a training-data pipeline actually runs (docTokens
+    * is the profile; this is the filter): keep documents with at least
+    * minTokens tokens, punctuation density at or below
+    * maxPunctPerMille, and stopword density at or beyond
+    * minStopPerMille (the classic gibberish/boilerplate screens).
+    * Densities are INTEGER per-mille values via integral division —
+    * no float crosses the oracle boundary. Map-only, codegen'd,
+    * filter-pushdown friendly.
+    */
+  def qualityFilter(
+      docs: DataFrame,
+      minTokens: Int = 5,
+      maxPunctPerMille: Int = 150,
+      minStopPerMille: Int = 10): DataFrame = {
+    val toks = tokens(col("text"))
+    docs
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(filter(toks, t => t.isInCollection(stopwords))).as("n_stop"),
+        length(regexp_replace(col("text"), "[^\\p{Punct}]", "")).as("n_punct"),
+        length(col("text")).as("n_chars"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        expr("(n_punct * 1000L) div greatest(n_chars, 1)").as("punct_per_mille"),
+        expr("(n_stop * 1000L) div greatest(n_tokens, 1)").as("stop_per_mille"))
+      .filter(
+        col("n_tokens") >= minTokens &&
+          col("punct_per_mille") <= maxPunctPerMille &&
+          col("stop_per_mille") >= minStopPerMille)
+      .orderBy("doc_id")
+  }
+
   /** GPT-2-style pre-tokenizer shape, constrained to constructs both
     * Java regex and RE2 share (no lookahead): a leading-space word,
     * a leading-space number run, a leading-space punctuation run, or
