@@ -113,6 +113,30 @@ object Multimodal {
         length(col("frame")).cast("long").as("frame_bytes"))
   }
 
+  /** Resize: decimate the payload by `factor` (every factor-th byte) —
+    * the stand-in for image downscaling with the identical dataflow: a
+    * narrow map that REPLACES the blob with a smaller one and keeps
+    * the byte accounting consistent, so downstream stages (feature
+    * extraction, frame sampling) run unchanged on the resized column.
+    * A real codec implements interpolation behind the same shape.
+    */
+  def resize(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, "factor must be >= 1")
+    val spark = media.sparkSession
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    media
+      .select("doc_id", "media_type", "media", "n_bytes")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]](2)
+          val out = new Array[Byte]((payload.length + factor - 1) / factor)
+          var i = 0
+          while (i < out.length) { out(i) = payload(i * factor); i += 1 }
+          Row(r.getLong(0), r.getString(1), out, out.length.toLong)
+        }
+      }(enc)
+  }
+
   /** Metadata-only rollup: the query shape that must NEVER read the
     * blob — per-type counts and byte totals, pruned to metadata
     * columns at the scan.

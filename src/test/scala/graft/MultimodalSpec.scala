@@ -48,6 +48,23 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.filter(col("frame_bytes") > 10).count() === 0)
   }
 
+  test("resize decimates payloads; downstream stages run unchanged") {
+    val small = Multimodal.resize(media, factor = 4)
+    // byte accounting: ceil(n/4), and n_bytes matches the new payload
+    val joined = small.select(col("doc_id"), col("n_bytes").as("small_bytes"))
+      .join(media.select(col("doc_id"), col("n_bytes")), "doc_id")
+    assert(joined.filter(
+      col("small_bytes") =!= ceil(col("n_bytes") / 4).cast("long")).count() === 0)
+    // the resized column feeds feature extraction unchanged
+    val f = Multimodal.extractFeatures(small, Multimodal.ByteHistogramDecoder)
+    assert(f.count() === media.count())
+    // factor=1 is the identity
+    val same = Multimodal.resize(media, factor = 1)
+      .select(col("doc_id"), col("n_bytes").as("nb"))
+      .join(media.select(col("doc_id"), col("n_bytes")), "doc_id")
+    assert(same.filter(col("nb") =!= col("n_bytes")).count() === 0)
+  }
+
   test("mediaStats prunes the blob column from the scan") {
     val stats = Multimodal.mediaStats(media)
     assert(stats.count() === 3) // image / audio / video
