@@ -33,6 +33,23 @@ object IncrementalSync {
       .agg(count(col("event_id")).as("tally"))
       .select(col("win.start").as("window_start"), col("tally"))
 
+  /** Streaming W1/W2: keep the first arrival per key, with state
+    * bounded by the watermark (dropDuplicatesWithinWatermark) — the
+    * streaming analog of the batch shred's dedup-to-1 window. An
+    * unbounded dropDuplicates would grow state forever; bounding it by
+    * event time IS the reference's lookback policy applied to state:
+    * a duplicate arriving beyond the watermark is older than any
+    * re-extraction window would reach.
+    */
+  def dedupFirstArrival(
+      rows: DataFrame,
+      keyCols: Seq[String],
+      eventTimeCol: String,
+      watermark: String): DataFrame =
+    rows
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class UserSession(user_id: Long, n_events: Long, started_ms: Long, last_ms: Long)
 

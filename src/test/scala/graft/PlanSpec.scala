@@ -110,6 +110,34 @@ class PlanSpec extends SparkSpec {
     assert(q.count() > 0)
   }
 
+  test("quality_filter reads only the columns it needs") {
+    // sf0.01, not `dir`: other suites cache documents(sf0.001) in the
+    // shared session and the cached relation would replace the scan
+    val df = graft.operators.TextOps.qualityFilter(
+      Tables.documents(spark, "/root/testdata/sf0.01"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must read only doc_id+text (not lang/n_chars/embedding-side columns):\n$plan")
+  }
+
+  test("injected expressions are reachable from plain SQL") {
+    // GraftExtensions.injectFunction is the sanctioned extension point;
+    // prove a SQL-only user gets the native expressions, not just the
+    // DataFrame API via call_function
+    val row = spark.sql(
+      """SELECT word_shingles('a b c d', 3) AS sh,
+        |       simhash_bits(word_shingles('a b c d', 3), 8) AS sim,
+        |       hyperplane_sig(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)), 4) AS hp,
+        |       count_tokens_in('the cat and the hat', 'the,and', true) AS hits,
+        |       size(minhash_band_keys(word_shingles('a b c d', 3), 64, 16)) AS bands
+        |""".stripMargin).collect().head
+    assert(row.getSeq[String](0) === Seq("a b c", "b c d"))
+    assert(row.getString(1).length === 8)
+    assert(row.getString(2).length === 4)
+    assert(row.getInt(3) === 3)
+    assert(row.getInt(4) === 16)
+  }
+
   test("embeddingNearDup returns only pairs above threshold, a<b") {
     val out = Similarity.embeddingNearDup(Tables.embeddings(spark, dir), 400000L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

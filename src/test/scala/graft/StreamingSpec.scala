@@ -43,6 +43,30 @@ class StreamingSpec extends SparkSpec {
     assert(want.exceptAll(got).count() === 0)
   }
 
+  test("dedupFirstArrival: one row per key within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(plusMin: Int) = new java.sql.Timestamp(t0.getTime + plusMin * 60000L)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val deduped = IncrementalSync.dedupFirstArrival(
+      stream.toDF().toDF("id", "ts", "payload"),
+      keyCols = Seq("id"), eventTimeCol = "ts", watermark = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    // batch 1: id=1 twice (intra-batch dup) + id=2
+    stream.addData(Seq((1L, ts(0), "first"), (1L, ts(1), "dup"), (2L, ts(0), "b")))
+    q.processAllAvailable()
+    // batch 2: id=1 again within the watermark -> still suppressed
+    stream.addData(Seq((1L, ts(2), "late-dup"), (3L, ts(3), "c")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_stream").select("id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(1L) === "first", "the FIRST arrival survives, duplicates drop")
+  }
+
   test("contactsSync: streaming merge is idempotent across replays") {
     val base = Files.createTempDirectory("graft_stream").toString
     val src = s"$base/src"; Files.createDirectories(Paths.get(src))
