@@ -108,6 +108,29 @@ class PropertySpec extends SparkSpec {
       graft.operators.Skew.saltedJoin(big, small, "k", 8, "right"))
   }
 
+  test("qualityFilter: tightening any threshold shrinks the kept set") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").cache()
+    def kept(minT: Int, maxP: Int, minS: Int): Set[Long] =
+      graft.operators.TextOps.qualityFilter(docs, minT, maxP, minS)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gen = for {
+      minT <- Gen.choose(0, 40)
+      maxP <- Gen.choose(0, 300)
+      minS <- Gen.choose(0, 120)
+      dT <- Gen.choose(0, 20)
+      dP <- Gen.choose(0, 100)
+      dS <- Gen.choose(0, 40)
+    } yield (minT, maxP, minS, dT, dP, dS)
+    holds(Prop.forAll(gen) { case (minT, maxP, minS, dT, dP, dS) =>
+      val loose = kept(minT, maxP, minS)
+      val tight = kept(minT + dT, maxP - dP, minS + dS)
+      tight.subsetOf(loose)
+    }, n = 10) // each sample runs 2 Spark jobs — keep the count sane
+    docs.unpersist()
+  }
+
   test("denverTs: DST transitions convert correctly (SURVEY risk #3)") {
     import spark.implicits._
     val vectors = Seq(
