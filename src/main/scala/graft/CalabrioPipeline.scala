@@ -35,6 +35,32 @@ object CalabrioPipeline {
   private def readOr(spark: SparkSession, path: String, empty: => DataFrame): DataFrame =
     if (Sinks.exists(path)) spark.read.parquet(path) else empty
 
+  /** All lifecycle target tables by their reference names. */
+  def targetTables(c: Config): Map[String, String] = Map(
+    "t_qa_forms" -> formsTable(c),
+    "t_qa_contacts" -> contactsTable(c),
+    "t_qa_evaluations" -> evaluationsTable(c),
+    "t_qa_evaluation_scores" -> scoresTable(c),
+    "t_qa_evaluation_comments" -> commentsTable(c),
+    "t_qa_transcripts" -> transcriptsTable(c),
+    "t_contacts_staging_backup" -> backupTable(c))
+
+  /** Register every existing target as a temp view under its reference
+    * table name, so a SQL user of the reference keeps their queries:
+    * `spark.sql("SELECT ... FROM t_qa_evaluations")` works as-is
+    * (the reference's analytics scripts in queries/ address these
+    * names). Views are plan-time references to the parquet paths —
+    * re-run after a fullRun swaps targets so new file listings are
+    * picked up. Returns the registered names.
+    */
+  def registerViews(spark: SparkSession, c: Config): Seq[String] =
+    targetTables(c).toSeq.sortBy(_._1).flatMap { case (name, path) =>
+      if (Sinks.exists(path)) {
+        spark.read.parquet(path).createOrReplaceTempView(name)
+        Some(name)
+      } else None
+    }
+
   /** One full batch run. Returns per-stage results (a failed stage is
     * isolated, like the reference's full_run). Re-running with the
     * same inputs is a no-op on every target — the merge algebra's

@@ -135,6 +135,14 @@ class CalabrioPipelineSpec extends SparkSpec {
     assert(backup.filter(
       get_json_object(col("src"), "$.id") =!= col("contact_id")).count() === 0)
 
+    // a SQL user of the reference keeps their table names
+    val views = CalabrioPipeline.registerViews(spark, config)
+    assert(views.size === 7, s"all targets should register: $views")
+    assert(spark.sql(
+      """SELECT count(*) FROM t_qa_evaluations e
+        |JOIN t_qa_contacts c ON e.contact_id = c.contact_id""".stripMargin)
+      .collect().head.getLong(0) === evals.count())
+
     // replay: identical fetchers, second run — every target unchanged
     def allTargets(): Seq[Set[String]] = Seq(
       CalabrioPipeline.formsTable(config),
