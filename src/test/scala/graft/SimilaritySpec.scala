@@ -29,6 +29,26 @@ class SimilaritySpec extends SparkSpec {
     assert(want.nonEmpty, "testdata should contain planted near-dups")
   }
 
+  test("minhash hot buckets are CAPPED, not dropped: spam clusters still pair") {
+    import spark.implicits._
+    // 30 identical docs: hot in ALL bands — the old whole-bucket drop
+    // yielded zero pairs for exactly the most-duplicated content
+    val spam = (1L to 30L).map(i => (i, "the same spam text repeated verbatim here"))
+    val docs = spam.toDF("doc_id", "text")
+    val capped = Similarity.minhashNearDup(docs, bucketCap = 10)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every band keeps the same 10 lowest ids, so exactly C(10,2) pairs
+    val expected = (for {
+      a <- 1L to 10L; b <- (a + 1) to 10L
+    } yield (a, b)).toSet
+    assert(capped === expected,
+      "pairs among the kept lowest-id docs must survive the cap")
+    // a cap above the cluster size is exhaustive
+    val full = Similarity.minhashNearDup(docs, bucketCap = 1000)
+      .count()
+    assert(full === 30L * 29L / 2)
+  }
+
   test("simhash: near-dup pairs are Hamming-close, random pairs are not") {
     val docs = Tables.documents(spark, dir).cache()
     val sig = Similarity.simhash(docs)

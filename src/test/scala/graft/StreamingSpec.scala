@@ -142,12 +142,17 @@ class StreamingSpec extends SparkSpec {
 
   test("overwriteAtomic survives read-from-target self-overwrite") {
     import spark.implicits._
-    val dir = Files.createTempDirectory("graft_swap").toString + "/t"
+    val base = Files.createTempDirectory("graft_swap").toString
+    val dir = base + "/t"
     Sinks.overwriteAtomic(Seq(1L, 2L, 3L).toDF("v"), dir)
     // derive from the target and overwrite the same path
     val derived = spark.read.parquet(dir).withColumn("v", col("v") * 10)
     Sinks.overwriteAtomic(derived, dir)
     assert(spark.read.parquet(dir).select("v").collect().map(_.getLong(0)).sorted
       === Array(10L, 20L, 30L))
+    // swap hygiene: the rename-aside dance leaves no .tmp-/.old- debris
+    val siblings = new java.io.File(base).list().toSeq
+    assert(siblings === Seq("t"),
+      s"no tmp/old dirs may remain after a successful swap: $siblings")
   }
 }
