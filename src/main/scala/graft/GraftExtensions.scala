@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{CountTokensIn, HyperplaneSig, MinHashBandKeys, MinHashSignature, SimHashBits, WordShingles}
+import graft.expressions.{CountTokensIn, HammingBits, HyperplaneSig, MinHashBandKeys, MinHashSignature, SimHashBits, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -71,6 +71,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c, s, Literal(b: Boolean, _)) => CountTokensIn(c, strLit(s, "set"), b)
         case _ => throw new IllegalArgumentException(
           "usage: count_tokens_in(text, 'a,b,c'[, lowercase])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("hamming_bits"),
+      new ExpressionInfo(classOf[HammingBits].getName, "hamming_bits"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => HammingBits(a, b)
+        case _ => throw new IllegalArgumentException(
+          "usage: hamming_bits(sigA, sigB)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("word_shingles"),

@@ -104,6 +104,27 @@ case class CountTokensIn(child: Expression, csvSet: String, lower: Boolean)
     copy(child = newChild)
 }
 
+case class HammingBits(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string), got (${l.catalogString}, ${r.catalogString})")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hamming_bits"
+  protected override def nullSafeEval(l: Any, r: Any): Any =
+    HashOps.hammingBits(
+      l.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      r.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"graft.expressions.HashOps.hammingBits($l, $r)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingBits =
+    copy(left = newLeft, right = newRight)
+}
+
 case class SimHashBits(child: Expression, bits: Int)
     extends UnaryExpression with StringArrayInput {
   override def dataType: DataType = StringType

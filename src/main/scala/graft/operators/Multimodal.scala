@@ -137,6 +137,23 @@ object Multimodal {
       }(enc)
   }
 
+  /** Oracle-checkable rollup of the decode seam (VERDICT r4 residual
+    * #2): per (media_type, histogram bin) sums of the per-doc scaled
+    * feature values. The per-doc rounding to e6 longs happens BEFORE
+    * the sum, so no accumulated double crosses the oracle boundary —
+    * DuckDB reproduces the byte histogram from the same text bytes and
+    * must match exactly. Runs the REAL extractFeatures mapPartitions
+    * path, making the decode seam driver-checked instead of spec-only.
+    */
+  def featureSummary(media: DataFrame, decoder: MediaDecoder): DataFrame =
+    extractFeatures(media, decoder)
+      .select(col("media_type"), posexplode(col("features")).as(Seq("bin", "f")))
+      .select(col("media_type"), col("bin"),
+        round(lit(1e6) * col("f")).cast("long").as("f_e6"))
+      .groupBy("media_type", "bin")
+      .agg(sum("f_e6").as("sum_f_e6"))
+      .orderBy("media_type", "bin")
+
   /** Metadata-only rollup: the query shape that must NEVER read the
     * blob — per-type counts and byte totals, pruned to metadata
     * columns at the scan.

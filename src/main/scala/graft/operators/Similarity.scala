@@ -162,6 +162,62 @@ object Similarity {
         call_function("simhash_bits", shingles(col("text")), lit(bits)).as("simhash_bits"))
       .orderBy("doc_id")
 
+  /** SimHash near-duplicate pairs: all (doc_a, doc_b) whose simhash
+    * signatures differ in at most maxHamming of `bits` positions, with
+    * the verified Hamming distance. Candidates come from the PIGEONHOLE
+    * block decomposition, not all pairs: the signature is cut into
+    * (maxHamming+1) contiguous blocks, and any pair within Hamming
+    * maxHamming must agree EXACTLY on at least one block — so an
+    * equi-join on (block, block-bits) is candidate-complete, unlike the
+    * probabilistic LSH tables. Native hamming_bits then verifies, so
+    * the only recall trade is the hot-bucket cap (same cap-don't-drop
+    * policy and rationale as minhashNearDup — identical-doc spam
+    * clusters stay represented by their bucketCap lowest ids).
+    * At 100 TB the join shuffles (block, ≤bits-char key) pairs —
+    * 9 short rows per doc at the defaults, never documents.
+    */
+  def simhashNearDup(
+      docs: DataFrame,
+      bits: Int = 64,
+      maxHamming: Int = 8,
+      bucketCap: Int = 1000): DataFrame = {
+    val blocks = maxHamming + 1
+    require(bits >= blocks, "need at least one signature bit per block")
+    val base = bits / blocks
+    val rem = bits % blocks
+    val sigs = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"),
+        call_function("simhash_bits", shingles(col("text")), lit(bits)).as("sig"))
+    // block i spans [i·base + min(i,rem), …) — the first `rem` blocks
+    // take one extra bit so all `bits` positions are covered
+    val blockCols = (0 until blocks).map { i =>
+      val start = i * base + math.min(i, rem) + 1 // substr is 1-based
+      val len = base + (if (i < rem) 1 else 0)
+      struct(lit(i).as("blk"), col("sig").substr(lit(start), lit(len)).as("bkey"))
+    }
+    val keyed = sigs
+      .select(col("doc_id"), col("sig"), explode(array(blockCols: _*)).as("b"))
+      .select(col("doc_id"), col("sig"), col("b.blk").as("blk"), col("b.bkey").as("bkey"))
+    val capped = keyed
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("blk", "bkey").orderBy("doc_id")))
+      .filter(col("_rn") <= bucketCap)
+      .drop("_rn")
+    capped.as("x")
+      .join(capped.as("y"), Seq("blk", "bkey"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        call_function("hamming_bits", col("sig_a"), col("sig_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Embedding-cosine near-duplicate pairs: vectors sharing ANY of the
     * numTables hyperplane-LSH buckets whose exact cosine clears the
     * threshold (scaled e6). Same multi-table bucket-join shape as
@@ -355,6 +411,23 @@ object Similarity {
     * `true` for every query id — a recall regression flips rows false
     * and the row goes red.
     */
+  /** Pair-coverage floor scoreboard (the near-dup analog of recallAtK):
+    * one (metric, floor_met) row stating whether `approx` contains at
+    * least floorPct% of `exact`'s (doc_a, doc_b) pairs. The driver's
+    * oracle just states `true` for the metric — a coverage regression
+    * flips the Spark side false and the row goes red. An empty exact
+    * set trivially meets the floor (0 ≥ 0).
+    */
+  def nearDupFloor(
+      exact: DataFrame, approx: DataFrame, metric: String, floorPct: Int): DataFrame =
+    exact
+      .join(approx, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .crossJoin(exact.agg(count(lit(1)).as("total"))) // 1×1 rows
+      .select(
+        lit(metric).as("metric"),
+        (col("hits") * 100 >= col("total") * floorPct).as("floor_met"))
+
   def recallAtK(exact: DataFrame, approx: DataFrame, k: Int, floorPct: Int): DataFrame = {
     val qs = exact.select("q_id").distinct()
     val hits = exact

@@ -120,8 +120,13 @@ private[dsv2] class WindowedScanBuilder(options: CaseInsensitiveStringMap)
     val accepted = Seq.newBuilder[Filter]
     val residual = Seq.newBuilder[Filter]
     filters.foreach {
-      case f @ EqualTo(a, _: String) if a.equalsIgnoreCase(WindowedRestSource.EvalStateCol) =>
-        accepted += f // server-side: fully consumed, no Spark re-evaluation
+      case f @ EqualTo(a, v: String) if a.equalsIgnoreCase(WindowedRestSource.EvalStateCol) =>
+        // only the ONE state actually fetched is consumed server-side;
+        // a conflicting second equality stays residual, so Spark
+        // filters the fetched-state-tagged rows to the correct empty
+        // result instead of silently returning the other state's rows
+        // (ADVICE r4)
+        if (evalState.contains(v)) accepted += f else residual += f
       case f @ IsNotNull(a)
           if a.equalsIgnoreCase(WindowedRestSource.EvalStateCol) && evalState.isDefined =>
         accepted += f

@@ -85,6 +85,37 @@ class Dsv2SourceSpec extends SparkSpec {
       .add("id", LongType).add("startTime", LongType))
   }
 
+  test("conflicting evalState equalities yield empty, not the fetched state's rows") {
+    Dsv2SourceSpec.calls.clear()
+    // Catalyst itself normally folds the contradiction to an empty
+    // relation (ConstantPropagation / constraint propagation — also
+    // correct, source never consulted); disable both so BOTH
+    // equalities reach pushFilters and the source's
+    // only-consume-the-fetched-state rule is what saves us
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val exKey = "spark.sql.optimizer.excludedRules"
+    val prevCp = spark.conf.getOption(cpKey)
+    val prevEx = spark.conf.getOption(exKey)
+    spark.conf.set(cpKey, "false")
+    spark.conf.set(exKey,
+      "org.apache.spark.sql.catalyst.optimizer.ConstantPropagation")
+    def restore(): Unit = {
+      prevCp.fold(spark.conf.unset(cpKey))(spark.conf.set(cpKey, _))
+      prevEx.fold(spark.conf.unset(exKey))(spark.conf.set(exKey, _))
+    }
+    try {
+      val df = read()
+        .filter(col("evalState") === "scored" && col("evalState") === "draft")
+        .select("id", "evalState")
+      assert(df.collect().isEmpty)
+      // the source fetched under exactly one state; the conflicting
+      // equality stayed residual and filtered the tagged rows to empty
+      val fetched = Dsv2SourceSpec.calls.iterator().asScala.toSeq
+      assert(fetched.nonEmpty)
+      assert(fetched.forall(f => Set("scored", "draft").contains(f._2("evalState"))))
+    } finally restore()
+  }
+
   private implicit class JIter[A](it: java.util.Iterator[A]) {
     def asScala: Iterator[A] = new Iterator[A] {
       def hasNext: Boolean = it.hasNext

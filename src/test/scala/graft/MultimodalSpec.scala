@@ -65,6 +65,22 @@ class MultimodalSpec extends SparkSpec {
     assert(same.filter(col("nb") =!= col("n_bytes")).count() === 0)
   }
 
+  test("featureSummary: known payload bins land where the bytes say") {
+    import spark.implicits._
+    // "aaaa" = 4 bytes of 0x61 → everything in nibble-bin 6, f = 1.0;
+    // "a!!!" = one 0x61 (bin 6, f=.25) + three 0x21 (bin 2, f=.75)
+    val m = Multimodal.synthesizeMedia(
+      Seq((3L, "aaaa"), (6L, "a!!!")).toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text"))))
+    val got = Multimodal.featureSummary(m, Multimodal.ByteHistogramDecoder)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // both doc_ids are % 3 == 0 → media_type 'image'; 16 bins emitted
+    assert(got.size === 16)
+    assert(got(("image", 6)) === 1000000L + 250000L)
+    assert(got(("image", 2)) === 750000L)
+    assert(got(("image", 0)) === 0L)
+  }
+
   test("mediaStats prunes the blob column from the scan") {
     val stats = Multimodal.mediaStats(media)
     assert(stats.count() === 3) // image / audio / video

@@ -68,6 +68,35 @@ class SimilaritySpec extends SparkSpec {
       s"dup max ${dupDist.max} should be < random min ${randomDist.min}")
   }
 
+  test("simhashNearDup: pigeonhole candidates are COMPLETE for the Hamming radius") {
+    val docs = Tables.documents(spark, dir).cache()
+    val got = Similarity.simhashNearDup(docs, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute-force reference over the same signatures: EVERY pair within
+    // the radius must surface — the block decomposition is exhaustive
+    // by pigeonhole, not probabilistic like the LSH tables
+    val sig = Similarity.simhash(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def hamming(a: String, b: String): Int = a.zip(b).count { case (x, y) => x != y }
+    val ids = sig.keys.toArray.sorted
+    val want = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      h = hamming(sig(ids(i)), sig(ids(j))) if h <= 8
+    } yield (ids(i), ids(j), h)).toSet
+    assert(got === want)
+    assert(want.nonEmpty, "testdata should contain Hamming-close pairs")
+  }
+
+  test("simhashNearDup: hot buckets capped, not dropped — spam still pairs") {
+    import spark.implicits._
+    val spam = (1L to 30L).map(i => (i, "the same spam text repeated verbatim here"))
+    val docs = spam.toDF("doc_id", "text")
+    val capped = Similarity.simhashNearDup(docs, bucketCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for { a <- 1L to 10L; b <- (a + 1) to 10L } yield (a, b)).toSet
+    assert(capped === expected)
+  }
+
   test("ivf top-k: candidates carry exact similarities; full-probe = exact search") {
     val emb = Tables.embeddings(spark, dir).cache()
     val exactAll = Similarity.cosineTopK(emb, nQueries = 3, k = 1000)
