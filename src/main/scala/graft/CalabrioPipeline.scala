@@ -17,12 +17,19 @@ import org.apache.spark.sql.functions._
   * offline.
   *
   * Vendor payloads arrive as JSON arrays; the pipeline normalizes to
-  * JSON-lines at stage time — at 100 TB an array file is one
-  * indivisible task, a lines file splits at any offset.
+  * JSON-lines at stage time. Parallelism granularity: staged batches
+  * are gzip'd (S9, mirroring the reference's stage upload), and gzip
+  * is NOT splittable — each staged SHARD is one load task regardless
+  * of line format (the lines format buys shard-internal streaming and
+  * the `]\n[` stitch-free append, not sub-shard splits). Bounded today
+  * because every window fetch is capped (limit=50000,
+  * qa_api_handler.py:103); at 100× raise `Config.stageShards` so the
+  * load parallelism scales with the batch — the "file" is a directory
+  * either way and the stage loads glob it identically.
   */
 object CalabrioPipeline {
 
-  final case class Config(stageDir: String, targetDir: String)
+  final case class Config(stageDir: String, targetDir: String, stageShards: Int = 1)
 
   def formsTable(c: Config): String = s"${c.targetDir}/t_qa_forms"
   def contactsTable(c: Config): String = s"${c.targetDir}/t_qa_contacts"
@@ -124,7 +131,7 @@ object CalabrioPipeline {
       Pipeline.Stage("extract_forms", () => {
         val raw = Ingest.fetchBatch(spark, formsFetcher)
         Sinks.writeJsonBatch(
-          Ingest.parseDocs(raw, Schemas.forms), c.stageDir, "forms", 1)
+          Ingest.parseDocs(raw, Schemas.forms), c.stageDir, "forms", 1, shards = c.stageShards)
       }),
 
       Pipeline.Stage("replace_forms", () =>
@@ -135,7 +142,7 @@ object CalabrioPipeline {
       Pipeline.Stage("extract_contacts", () => {
         val raw = Ingest.fetchWindows(spark, windows, contactsFetcher)
         Sinks.writeJsonBatch(
-          Ingest.parseDocs(raw, Schemas.contacts), c.stageDir, "all_contacts", 1)
+          Ingest.parseDocs(raw, Schemas.contacts), c.stageDir, "all_contacts", 1, shards = c.stageShards)
       }),
 
       Pipeline.Stage("merge_contacts", () =>
@@ -151,7 +158,7 @@ object CalabrioPipeline {
         val ids = stagedContactIds().select(col("contact_id")).as[java.lang.Long]
         val raw = Ingest.fetchPerKey(ids, evalsFetcher, tasks = 4)
         Sinks.writeJsonBatch(
-          Ingest.parseDocs(raw, Schemas.evaluations), c.stageDir, "fix_eval_raw", 1)
+          Ingest.parseDocs(raw, Schemas.evaluations), c.stageDir, "fix_eval_raw", 1, shards = c.stageShards)
       }),
 
       Pipeline.Stage("merge_evaluations", () =>
@@ -183,7 +190,7 @@ object CalabrioPipeline {
         val ids = stagedContactIds().select(col("contact_id")).as[java.lang.Long]
         val raw = Ingest.fetchPerKey(ids, transcriptsFetcher, tasks = 4)
         Sinks.writeJsonBatch(
-          Ingest.parseDocs(raw, Schemas.transcript), c.stageDir, "fix_transcripts", 1)
+          Ingest.parseDocs(raw, Schemas.transcript), c.stageDir, "fix_transcripts", 1, shards = c.stageShards)
       }),
 
       Pipeline.Stage("rebuild_transcripts", () =>
@@ -199,7 +206,7 @@ object CalabrioPipeline {
         withStaged("fix_eval_raw_*.json", Schemas.evaluations) { evals =>
           val raw = Extraction.followLinks(evals, "comments", commentsFetcher, tasks = 4)
           Sinks.writeJsonBatch(
-            Ingest.parseDocs(raw, Schemas.comments), c.stageDir, "fix_comments_raw", 1)
+            Ingest.parseDocs(raw, Schemas.comments), c.stageDir, "fix_comments_raw", 1, shards = c.stageShards)
         }),
 
       Pipeline.Stage("rebuild_comments", () =>

@@ -160,10 +160,13 @@ object Ingest {
       .distinct
 
   /** Staged-lines load: the pipeline normalizes vendor ARRAY payloads
-    * into JSON-lines at stage time (parseDocs → writeJsonBatch), so
-    * staged files are SPLITTABLE — a multiLine array file is one
-    * indivisible task no matter its size, a lines file splits at any
-    * byte offset. Same PERMISSIVE quarantine contract as loadStaged.
+    * into JSON-lines at stage time (parseDocs → writeJsonBatch). A
+    * multiLine array file is one indivisible task no matter its size;
+    * a lines file is parallel at SHARD granularity — the batches are
+    * gzip'd (not a splittable codec), so read parallelism equals the
+    * shard count, which writeJsonBatch(shards=...) controls
+    * (uncompressed lines would additionally split at any byte offset).
+    * Same PERMISSIVE quarantine contract as loadStaged.
     */
   def loadStagedLines(
       spark: SparkSession,

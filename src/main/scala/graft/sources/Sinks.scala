@@ -65,12 +65,17 @@ object Sinks {
     * naming scheme (all_contacts_<n>.json, qa_api_handler.py:93-95),
     * gzip'd like the stage upload (S9, stage_file.sql:1).
     *
+    * `shards` is the LOAD parallelism, not just a layout knob: gzip is
+    * not a splittable codec, so each shard is exactly one task on the
+    * read side no matter that the content is JSON-lines (the lines
+    * format buys shard-internal streaming, not sub-shard splits).
     * shards=1 mirrors the reference's one-file-per-batch layout and is
-    * a hard invariant ONLY while batches stay window-bounded (the
-    * reference caps every window request at limit=50000 —
-    * qa_api_handler.py:103). At 100× the batch size, raise shards: the
-    * "file" is a directory either way, the stage loads glob it the
-    * same, and each shard writes from its own task.
+    * acceptable ONLY while batches stay window-bounded (the reference
+    * caps every window request at limit=50000 — qa_api_handler.py:103).
+    * At 100× the batch size, raise shards (CalabrioPipeline wires
+    * Config.stageShards through every stage write): the "file" is a
+    * directory either way, the stage loads glob it the same, and each
+    * shard writes from — and later loads into — its own task.
     */
   def writeJsonBatch(
       df: DataFrame,

@@ -18,6 +18,21 @@ import org.apache.spark.sql.types.{LongType, StructType}
 object Dsv2SourceSpec {
   val calls = new ConcurrentLinkedQueue[(DateWindow, Map[String, String])]()
 
+  class EvalFetcher extends WindowedRestSource.ParamWindowFetcher {
+    def fetch(w: DateWindow, params: Map[String, String]): Iterator[String] = {
+      val ms = LocalDate.parse(w.start).atStartOfDay(ZoneOffset.UTC).toInstant.toEpochMilli
+      val id = w.start.replace("-", "").toLong
+      Iterator(
+        s"""[{"id": $id, "qualityRef": "https://calabriocloud.example/recordings/123",
+           |  "evalForm": {"evalFormId": 7}, "agent": {"id": 5}, "evaluator": {"id": 6},
+           |  "isScoreCounted": true, "evaluated": $ms, "state": {"text": "SCORED"},
+           |  "responseState": {"text": "DONE"}, "additiveScore": 10, "totalScore": 95.5,
+           |  "comments": "c",
+           |  "sections": [{"id": 1, "questions": [{"id": 2, "selectedOption": 3},
+           |                                       {"id": 4, "selectedOption": null}]}]}]""".stripMargin)
+    }
+  }
+
   class RecordingFetcher extends WindowedRestSource.ParamWindowFetcher {
     def fetch(w: DateWindow, params: Map[String, String]): Iterator[String] = {
       calls.add((w, params))
@@ -114,6 +129,47 @@ class Dsv2SourceSpec extends SparkSpec {
       assert(fetched.nonEmpty)
       assert(fetched.forall(f => Set("scored", "draft").contains(f._2("evalState"))))
     } finally restore()
+  }
+
+  test("nested schema pruning resolves fields by name, not position") {
+    // selecting ONLY agent.displayId hands the reader an agent struct
+    // with one field; the schema-driven converter must emit exactly
+    // that field — the old fixed 2-element row read back the $ref URL
+    val df = read().select(col("agent.displayId").as("d"))
+    val got = df.collect().map(_.getString(0)).toSet
+    assert(got === Set("a1", "a2"))
+    // and the scan really was nested-pruned (the regression is live)
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case b: BatchScanExec => b }.get.scan
+    val agentField = scan.readSchema()("agent").dataType.asInstanceOf[StructType]
+    assert(agentField.fieldNames.toSeq === Seq("displayId"))
+  }
+
+  test("other payload schemas ride the same source (schema-driven parse)") {
+    WindowedRestSource.registerFetcher("spec-evals", new Dsv2SourceSpec.EvalFetcher)
+    val df = spark.read.format("graft-window")
+      .option("begin", "2024-01-01")
+      .option("end", "2024-01-03")
+      .option("breakDays", "2")
+      .option("payload", "evaluations")
+      .option("fetcher", "spec-evals")
+      .load()
+    val row = df
+      .select(col("id"), col("state.text").as("state"), col("isScoreCounted"),
+        col("totalScore"), col("evalForm.evalFormId").as("form_id"))
+      .collect()
+    assert(row.length === 1)
+    assert(row(0).getLong(0) === 20240101L)
+    assert(row(0).getString(1) === "SCORED")
+    assert(row(0).getBoolean(2) === true)
+    assert(row(0).getDouble(3) === 95.5)
+    assert(row(0).getLong(4) === 7L)
+    // nested arrays of structs convert too (sections → questions)
+    val q = df.select(explode(col("sections")).as("sec"))
+      .select(explode(col("sec.questions")).as("q"))
+      .select(col("q.id"), col("q.selectedOption"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
+    assert(q.toSet === Set((2L, 3L), (4L, null)))
   }
 
   private implicit class JIter[A](it: java.util.Iterator[A]) {

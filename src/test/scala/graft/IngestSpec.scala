@@ -69,6 +69,27 @@ class IngestSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.keySet === persistedBefore)
   }
 
+  test("multi-shard staged batch: write shards, glob-load all, one task per shard") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val rows = (1L to 90L).map(i => (i, 1704067200000L + i, s"C$i"))
+      .toDF("id", "startTime", "assocCallId")
+    graft.sources.Sinks.writeJsonBatch(rows, dir, "all_contacts", 1, shards = 3)
+    val st = Ingest.loadStagedLines(spark, s"$dir/all_contacts_*.json", Schemas.contacts)
+    try {
+      // every row survives the shard fan-out, no duplicates
+      assert(st.good.select("id").collect().map(_.getLong(0)).toSet
+        === (1L to 90L).toSet)
+      assert(st.bad.count() === 0)
+      // gzip shards are unsplittable, so load parallelism == shard
+      // count — the scaling knob the stage write controls
+      val files = new java.io.File(s"$dir/all_contacts_1.json")
+        .listFiles().filter(_.getName.startsWith("part-"))
+      assert(files.length === 3)
+      assert(files.forall(_.getName.endsWith(".gz")))
+    } finally st.release()
+  }
+
   test("normalizeConcatenated: stitched arrays parse as one relation") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
