@@ -143,6 +143,19 @@ object SparkEntry {
       Multimodal.featureSummary(
         Multimodal.synthesizeMedia(Tables.documents(s, dir)),
         Multimodal.ByteHistogramDecoder)),
+    // Frame sampling + resize byte accounting, oracle-checked: the
+    // oracle recomputes the frame/byte arithmetic from the text
+    // lengths, so the lazy-slice and mapPartitions paths are verified
+    // end-to-end, not just spec-tested.
+    "media_frames" -> ((s, dir) =>
+      Multimodal.frameSample(
+        Multimodal.synthesizeMedia(Tables.documents(s, dir)),
+        stride = 100, frameBytes = 10)
+        .orderBy("doc_id", "frame_idx")),
+    "media_resize" -> ((s, dir) =>
+      Multimodal.resize(Multimodal.synthesizeMedia(Tables.documents(s, dir)), factor = 4)
+        .select("doc_id", "media_type", "n_bytes")
+        .orderBy("doc_id")),
     // S5-shaped transcripts staging: per-response arrays flattened to
     // utterances, empty responses dropped by the inner explode (F6).
     "shred_transcripts" -> ((s, _) =>
@@ -460,6 +473,17 @@ object SparkEntry {
         |SELECT g.media_type, CAST(g.bin AS INT) AS bin, COALESCE(s.sum_f_e6, 0) AS sum_f_e6
         |FROM grid g LEFT JOIN sums s USING (media_type, bin)
         |ORDER BY media_type, bin""".stripMargin,
+    "media_frames" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        | f AS (SELECT doc_id, n, unnest(range(greatest(n // 100, 1))) AS frame_idx FROM m)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |       CAST(least(10, n - frame_idx * 100) AS BIGINT) AS frame_bytes
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "media_resize" ->
+      """SELECT doc_id,
+        |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |       CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "backup_mirror" ->
       """WITH tgt AS (SELECT id AS contact_id,
         |                    to_json(struct_pack(id := id, startTime := startTime, assocCallId := assocCallId, agent := agent))::VARCHAR AS src

@@ -220,8 +220,8 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs: vectors sharing ANY of the
     * numTables hyperplane-LSH buckets whose exact cosine clears the
-    * threshold (scaled e6). Same multi-table bucket-join shape as
-    * annTopKLsh — candidates stay bucket-local, no all-pairs product.
+    * threshold (scaled e6). Multi-table bucket keys like annTopKLsh;
+    * candidates stay bucket-local, no all-pairs product.
     * A pair at angle θ is missed with probability
     * (1−(1−θ/π)^sigBits)^numTables — for the true near-dups this
     * targets (θ≈0) that is effectively zero even with one table, and
@@ -233,16 +233,28 @@ object Similarity {
       simE6Threshold: Long,
       sigBits: Int = 8,
       numTables: Int = 8): DataFrame = {
-    val e = withTableKeys(emb, sigBits, numTables)
-    val sim6 = round(lit(1e6) * dot(col("a_emb"), col("b_emb"))
-      / (sqrt(col("a_n2")) * sqrt(col("b_n2")))).cast("long")
-    e.select(col("tbl"), col("key"), col("vec_id").as("vec_a"), col("embedding").as("a_emb"), col("n2").as("a_n2"))
-      .join(
-        e.select(col("tbl"), col("key"), col("vec_id").as("vec_b"), col("embedding").as("b_emb"), col("n2").as("b_n2")),
+    // Candidates travel as ID PAIRS: the bucket join shuffles short
+    // (tbl, key, vec_id) rows — NOT numTables copies of the embedding —
+    // and the vectors join back by id only after the pair set is
+    // deduplicated (the minhashNearDup shape; r4 shipped the embedding
+    // through every table row, L× the necessary shuffle bytes).
+    val keys = withTableKeys(emb, sigBits, numTables)
+      .select(col("tbl"), col("key"), col("vec_id"))
+    val cand = keys.select(col("tbl"), col("key"), col("vec_id").as("vec_a"))
+      .join(keys.select(col("tbl"), col("key"), col("vec_id").as("vec_b")),
         Seq("tbl", "key"))
       .filter(col("vec_a") < col("vec_b"))
       // a pair colliding in several tables is one candidate, not L
       .dropDuplicates("vec_a", "vec_b")
+    val v = emb
+      .select(col("vec_id"), col("embedding"), sumSq(col("embedding")).as("n2"))
+    val sim6 = round(lit(1e6) * dot(col("a_emb"), col("b_emb"))
+      / (sqrt(col("a_n2")) * sqrt(col("b_n2")))).cast("long")
+    cand
+      .join(v.select(col("vec_id").as("vec_a"), col("embedding").as("a_emb"),
+        col("n2").as("a_n2")), Seq("vec_a"))
+      .join(v.select(col("vec_id").as("vec_b"), col("embedding").as("b_emb"),
+        col("n2").as("b_n2")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"), sim6.as("sim_e6"))
       .filter(col("sim_e6") >= simE6Threshold)
       .orderBy("vec_a", "vec_b")

@@ -42,7 +42,8 @@ class PlanSpec extends SparkSpec {
     Seq(
       "minhash_neardup" -> Similarity.minhashNearDup(docs),
       "ann_topk_lsh" -> Similarity.annTopKLsh(emb),
-      "embedding_neardup" -> Similarity.embeddingNearDup(emb, 450000L)
+      "embedding_neardup" -> Similarity.embeddingNearDup(emb, 450000L),
+      "simhash_neardup" -> Similarity.simhashNearDup(docs)
     ).foreach { case (name, df) =>
       val plan = executedPlan(df)
       assert(!plan.contains("CartesianProduct"), s"$name: no cartesian product:\n$plan")
