@@ -121,6 +121,18 @@ class PlanSpec extends SparkSpec {
       s"scan must read only doc_id+text (not lang/n_chars/embedding-side columns):\n$plan")
   }
 
+  test("media feature pipeline reads only doc_id+text at the scan") {
+    // the decode path (synthesize → extractFeatures mapPartitions →
+    // rollup) must not drag lang/n_chars/other columns through the scan
+    val df = graft.operators.Multimodal.featureSummary(
+      graft.operators.Multimodal.synthesizeMedia(
+        Tables.documents(spark, "/root/testdata/sf0.01")),
+      graft.operators.Multimodal.ByteHistogramDecoder)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must read only doc_id+text:\n$plan")
+  }
+
   test("injected expressions are reachable from plain SQL") {
     // GraftExtensions.injectFunction is the sanctioned extension point;
     // prove a SQL-only user gets the native expressions, not just the
@@ -130,13 +142,15 @@ class PlanSpec extends SparkSpec {
         |       simhash_bits(word_shingles('a b c d', 3), 8) AS sim,
         |       hyperplane_sig(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)), 4) AS hp,
         |       count_tokens_in('the cat and the hat', 'the,and', true) AS hits,
-        |       size(minhash_band_keys(word_shingles('a b c d', 3), 64, 16)) AS bands
+        |       size(minhash_band_keys(word_shingles('a b c d', 3), 64, 16)) AS bands,
+        |       hamming_bits('0101', '0011') AS hd
         |""".stripMargin).collect().head
     assert(row.getSeq[String](0) === Seq("a b c", "b c d"))
     assert(row.getString(1).length === 8)
     assert(row.getString(2).length === 4)
     assert(row.getInt(3) === 3)
     assert(row.getInt(4) === 16)
+    assert(row.getInt(5) === 2)
   }
 
   test("embeddingNearDup returns only pairs above threshold, a<b") {
