@@ -84,25 +84,37 @@ object TextOps {
       docs: DataFrame,
       minTokens: Int = 5,
       maxPunctPerMille: Int = 150,
+      minStopPerMille: Int = 10): DataFrame =
+    qualityGate(docs, minTokens, maxPunctPerMille, minStopPerMille)
+      .select("doc_id", "n_tokens", "punct_per_mille", "stop_per_mille")
+      .orderBy("doc_id")
+
+  /** The same gate PRESERVING the document row (plus the three gate
+    * metrics): what an ingest pipeline — batch or streaming — applies
+    * before landing documents. Stateless and codegen'd, so it runs
+    * unchanged on a stream (see streaming.IncrementalSync
+    * .documentIngest); qualityFilter above is its scoreboard
+    * projection.
+    */
+  def qualityGate(
+      docs: DataFrame,
+      minTokens: Int = 5,
+      maxPunctPerMille: Int = 150,
       minStopPerMille: Int = 10): DataFrame = {
     val toks = tokens(col("text"))
     docs
-      .select(
-        col("doc_id"),
-        size(toks).as("n_tokens"),
-        size(filter(toks, t => t.isInCollection(stopwords))).as("n_stop"),
-        length(regexp_replace(col("text"), "[^\\p{Punct}]", "")).as("n_punct"),
-        length(col("text")).as("n_chars"))
-      .select(
-        col("doc_id"),
-        col("n_tokens"),
-        expr("(n_punct * 1000L) div greatest(n_chars, 1)").as("punct_per_mille"),
-        expr("(n_stop * 1000L) div greatest(n_tokens, 1)").as("stop_per_mille"))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("_n_stop", size(filter(toks, t => t.isInCollection(stopwords))))
+      .withColumn("_n_punct", length(regexp_replace(col("text"), "[^\\p{Punct}]", "")))
+      .withColumn("punct_per_mille",
+        expr("(_n_punct * 1000L) div greatest(length(text), 1)"))
+      .withColumn("stop_per_mille",
+        expr("(_n_stop * 1000L) div greatest(n_tokens, 1)"))
       .filter(
         col("n_tokens") >= minTokens &&
           col("punct_per_mille") <= maxPunctPerMille &&
           col("stop_per_mille") >= minStopPerMille)
-      .orderBy("doc_id")
+      .drop("_n_stop", "_n_punct")
   }
 
   /** GPT-2-style pre-tokenizer shape, constrained to constructs both

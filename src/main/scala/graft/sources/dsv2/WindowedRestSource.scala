@@ -33,7 +33,10 @@ import graft.sources.Ingest.DateWindow
   *    windows are date-grained while the predicate is ms-grained;
   *  - column pruning narrows the parsed schema
   *    (SupportsPushDownRequiredColumns), so `.explain` shows both
-  *    PushedFilters and the narrowed ReadSchema on the scan node.
+  *    PushedFilters and the narrowed ReadSchema on the scan node;
+  *  - LIMIT pushes into the request's `limit` param
+  *    (SupportsPushDownLimit, partial: per-window cap — Spark keeps
+  *    the global limit), so `df.limit(n)` caps the transfer server-side.
   *
   * One InputPartition per window — the executor-side fan-out shape of
   * Ingest.fetchWindows, now behind `spark.read.format("graft-window")`.
@@ -119,13 +122,26 @@ private[dsv2] class WindowedTable(options: CaseInsensitiveStringMap)
 private[dsv2] class WindowedScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
 
   private var pushed = Array.empty[Filter]
   private var required: StructType = WindowedRestSource.schemaFor(options)
   private var evalState: Option[String] = None
   private var beginClamp: Option[LocalDate] = None
   private var endClamp: Option[LocalDate] = None
+  private var limitPushed: Option[Int] = None
+
+  /** LIMIT rides the request's `limit` param (qa_api_handler.py:103) —
+    * `df.limit(n)` stops the SERVER from sending more than n rows per
+    * window instead of Spark discarding them after transfer. Returns
+    * false (partial): the cap is per window, several windows may each
+    * return up to n, so Spark must still apply the global limit.
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    limitPushed = Some(limit)
+    false
+  }
 
   private def msToDate(ms: Long): LocalDate =
     Instant.ofEpochMilli(ms).atZone(ZoneOffset.UTC).toLocalDate
@@ -183,8 +199,11 @@ private[dsv2] class WindowedScanBuilder(options: CaseInsensitiveStringMap)
     val windows =
       if (b.isBefore(e)) graft.sources.Ingest.planWindows(b, e, breakDays)
       else Seq.empty
+    // tightest of the configured per-window cap and any pushed LIMIT
+    val effLimit = (Option(options.get("limit")).map(_.toInt) ++ limitPushed)
+      .reduceOption(_ min _)
     val params =
-      Option(options.get("limit")).map("limit" -> _).toMap ++
+      effLimit.map(l => "limit" -> l.toString).toMap ++
         evalState.map(WindowedRestSource.EvalStateCol -> _).toMap
     new WindowedScan(
       windows, WindowedRestSource.fetcher(options.get("fetcher")),

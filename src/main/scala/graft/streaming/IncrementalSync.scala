@@ -50,6 +50,23 @@ object IncrementalSync {
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming training-data ingest: the batch text screens run
+    * unchanged on a document stream (TextOps.qualityGate is a
+    * stateless, codegen'd narrow map) and exact dedup becomes
+    * first-arrival-wins on the 16-byte content hash with
+    * watermark-bounded state — one screen + one dedup implementation,
+    * batch and streaming drivers (same reuse story as contactsSync
+    * reusing Maintenance). State holds hashes, never documents.
+    */
+  def documentIngest(
+      docs: DataFrame,
+      eventTimeCol: String,
+      watermark: String): DataFrame =
+    dedupFirstArrival(
+      graft.operators.TextOps.qualityGate(docs)
+        .withColumn("text_md5", md5(col("text").cast("binary"))),
+      Seq("text_md5"), eventTimeCol, watermark)
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class UserSession(user_id: Long, n_events: Long, started_ms: Long, last_ms: Long)
 

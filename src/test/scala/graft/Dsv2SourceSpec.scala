@@ -131,6 +131,18 @@ class Dsv2SourceSpec extends SparkSpec {
     } finally restore()
   }
 
+  test("LIMIT pushes into the request param; Spark still applies the global cap") {
+    Dsv2SourceSpec.calls.clear()
+    val rows = read().limit(3).collect()
+    assert(rows.length === 3)
+    // the per-window request cap tightened from 50000 to 3; the spec
+    // fetcher IGNORES it (returns 2 docs anyway), proving the limit is
+    // partial — Spark's global cap still applies on top
+    val fetched = Dsv2SourceSpec.calls.iterator().asScala.toSeq
+    assert(fetched.nonEmpty)
+    assert(fetched.forall(_._2("limit") === "3"))
+  }
+
   test("nested schema pruning resolves fields by name, not position") {
     // selecting ONLY agent.displayId hands the reader an agent struct
     // with one field; the schema-driven converter must emit exactly

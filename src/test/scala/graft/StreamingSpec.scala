@@ -67,6 +67,34 @@ class StreamingSpec extends SparkSpec {
     assert(got(1L) === "first", "the FIRST arrival survives, duplicates drop")
   }
 
+  test("documentIngest: quality screens + content-hash dedup on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(plusMin: Int) = new java.sql.Timestamp(t0.getTime + plusMin * 60000L)
+    val good = "the quick brown fox is one of the good documents in this corpus"
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val ingested = IncrementalSync.documentIngest(
+      stream.toDF().toDF("doc_id", "text", "ingest_ts"),
+      eventTimeCol = "ingest_ts", watermark = "10 minutes")
+    val q = ingested.writeStream.format("memory").queryName("doc_ingest")
+      .outputMode("append").start()
+    // gibberish fails the gate; the exact dup of `good` dedups away
+    stream.addData(Seq(
+      (1L, good, ts(0)),
+      (2L, "!!!! #### $$$$ %%%%", ts(0)), // punct screen
+      (3L, good, ts(1)))) // exact dup, later arrival
+    q.processAllAvailable()
+    // cross-batch dup within the watermark also suppressed
+    stream.addData(Seq((4L, good, ts(2)),
+      (5L, "an entirely different and perfectly fine document about the sea", ts(3))))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("doc_ingest").select("doc_id").as[Long].collect().toSet
+    assert(got === Set(1L, 5L),
+      "first arrival survives; dups and gibberish drop")
+  }
+
   test("contactsSync: streaming merge is idempotent across replays") {
     val base = Files.createTempDirectory("graft_stream").toString
     val src = s"$base/src"; Files.createDirectories(Paths.get(src))
