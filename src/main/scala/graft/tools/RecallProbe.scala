@@ -25,6 +25,19 @@ object RecallProbe {
       println(s"PROBE b=$b L=$l n=$n recall@10 per query: ${perQ.mkString(",")} " +
         s"total=${perQ.sum}/50")
     }
+    // IVF: does a cheaper KMeans fit hold the recall floor? (centroid
+    // quality only moves recall at nprobe<nlist — measure, don't guess)
+    for (iters <- Seq(10, 5, 3, 2)) {
+      val t0 = System.nanoTime()
+      val ivf = Similarity.ivfTopK(e, maxIter = iters)
+      val hits = exact.join(ivf, Seq("q_id", "neighbor_id"), "left_semi")
+        .groupBy("q_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val secs = (System.nanoTime() - t0) / 1e9
+      val perQ = (0L until 5L).map(q => hits.getOrElse(q, 0L))
+      println(f"PROBE ivf maxIter=$iters recall@10 per query: ${perQ.mkString(",")} " +
+        f"total=${perQ.sum}/50 (${secs}%.2f s)")
+    }
     spark.stop()
   }
 }
