@@ -160,6 +160,16 @@ object SparkEntry {
     // utterances, empty responses dropped by the inner explode (F6).
     "shred_transcripts" -> ((s, _) =>
       Fixtures.transcripts(s).orderBy("ccrid", "seq")),
+    // S8 oracle-checked: the `]\n[` seam normalizer over the committed
+    // concatenated-arrays fixture — the oracle reproduces the stitch
+    // with a seam regexp_replace + per-array from_json.
+    "normalize_concat" -> ((s, _) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      graft.sources.Ingest.normalizeConcatenated(
+        s, s"${Fixtures.Dir}/malformed/concatenated_arrays.json",
+        StructType(Seq(StructField("id", LongType), StructField("v", StringType))))
+        .orderBy("id")
+    }),
     // P1 at table scale: JSON path extraction + filter + agg over the
     // events stream table (600k rows at bench sf).
     "event_props_summary" -> ((s, dir) => Queries.eventPropsSummary(s, dir)),
@@ -499,6 +509,11 @@ object SparkEntry {
       """WITH r AS (SELECT unnest(json) AS utt FROM read_json('/root/repo/fixtures/transcripts.json'))
         |SELECT utt.ccrid AS ccrid, utt.seq AS seq, utt.text AS text
         |FROM r ORDER BY ccrid, seq""".stripMargin,
+    "normalize_concat" ->
+      """WITH raw AS (SELECT content FROM read_text('/root/repo/fixtures/malformed/concatenated_arrays.json')),
+        | arrs AS (SELECT unnest(string_split(regexp_replace(content, '\]\s*\[', ']@@@[', 'g'), '@@@')) AS arr FROM raw),
+        | docs AS (SELECT unnest(from_json(arr::JSON, '[{"id":"BIGINT","v":"VARCHAR"}]')) AS d FROM arrs)
+        |SELECT d.id AS id, d.v AS v FROM docs ORDER BY id""".stripMargin,
     "event_props_summary" ->
       """SELECT event_type, count(*) AS n_events, CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_e2
