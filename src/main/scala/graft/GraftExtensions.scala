@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{CountTokensIn, HammingBits, HyperplaneSig, MinHashBandKeys, MinHashSignature, SimHashBits, WordShingles}
+import graft.expressions.{CountTokensIn, FloatDot, FloatNorm2, HammingBits, HyperplaneSig, MinHashBandKeys, MinHashSignature, SimHashBits, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -71,6 +71,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c, s, Literal(b: Boolean, _)) => CountTokensIn(c, strLit(s, "set"), b)
         case _ => throw new IllegalArgumentException(
           "usage: count_tokens_in(text, 'a,b,c'[, lowercase])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("float_dot"),
+      new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => FloatDot(a, b)
+        case _ => throw new IllegalArgumentException("usage: float_dot(vecA, vecB)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("float_norm2"),
+      new ExpressionInfo(classOf[FloatNorm2].getName, "float_norm2"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v) => FloatNorm2(v)
+        case _ => throw new IllegalArgumentException("usage: float_norm2(vec)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("hamming_bits"),

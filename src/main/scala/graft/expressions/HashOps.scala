@@ -173,6 +173,35 @@ object HashOps {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Left-fold dot product of two float vectors in double math —
+    * the SAME accumulation sequence as the Catalyst
+    * aggregate(zip_with(...)) formulation it replaces (and as DuckDB's
+    * list_sum(list_transform(...)) oracle), so results are
+    * bit-identical; the HOFs are interpreted per element with boxing,
+    * which dominated embedding_neardup at ~2M candidate pairs × 64
+    * dims (~7 s of the sf0.1 bench).
+    */
+  def floatDot(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"float_dot: vector lengths differ (${n} vs ${b.numElements()})")
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** Left-fold sum of squares of a float vector in double math — same
+    * bit-identical-fold contract as floatDot.
+    */
+  def floatNorm2(v: ArrayData): Double = {
+    val n = v.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val x = v.getFloat(i).toDouble; acc += x * x; i += 1 }
+    acc
+  }
+
   /** Hamming distance between two equal-length '0'/'1' signature
     * strings (as emitted by hyperplaneSig/simhashBits). Signatures are
     * ASCII, so the byte walk IS the character walk.

@@ -125,6 +125,43 @@ case class HammingBits(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+case class FloatDot(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, array<float>), got (${l.catalogString}, ${r.catalogString})")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_dot"
+  protected override def nullSafeEval(l: Any, r: Any): Any =
+    HashOps.floatDot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"graft.expressions.HashOps.floatDot($l, $r)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatDot =
+    copy(left = newLeft, right = newRight)
+}
+
+case class FloatNorm2(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_norm2"
+  protected override def nullSafeEval(input: Any): Any =
+    HashOps.floatNorm2(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashOps.floatNorm2($c)")
+  override protected def withNewChildInternal(newChild: Expression): FloatNorm2 =
+    copy(child = newChild)
+}
+
 case class SimHashBits(child: Expression, bits: Int)
     extends UnaryExpression with StringArrayInput {
   override def dataType: DataType = StringType

@@ -31,12 +31,15 @@ object Similarity {
   def shingles(text: Column): Column =
     call_function("word_shingles", text, lit(3))
 
-  private def sumSq(v: Column): Column =
-    aggregate(v, lit(0.0), (a, x) => a + x.cast("double") * x.cast("double"))
+  // Native codegen'd left folds (FloatDot/FloatNorm2): Catalyst HOFs
+  // (aggregate/zip_with) interpret per element with boxing — fine for
+  // the top-k's broadcast pairs, dominant at near-dup candidate volume
+  // (~2M pairs × 64 dims was ~7 s of the sf0.1 bench). The native
+  // loops accumulate in the SAME order, so results — and the DuckDB
+  // oracle hashes — are bit-identical.
+  private def sumSq(v: Column): Column = call_function("float_norm2", v)
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  private def dot(a: Column, b: Column): Column = call_function("float_dot", a, b)
 
   /** Exact cosine top-k: every vector scored against a tiny broadcast
     * query set (vec_id < nQueries). The plan is a BroadcastNestedLoop
