@@ -26,7 +26,10 @@ object SparkEntry {
     * driver-side budget as Pipeline.peek), deterministic, and keyed by
     * dir so sf0.01 verify and sf0.1 bench never cross-contaminate.
     * The `cosine_topk` row still times/checks the real distributed
-    * query — only the recall rows reuse.
+    * query — only the recall rows reuse. JVM-lifetime cache with no
+    * invalidation BY DESIGN: testdata is immutable within a round and
+    * Verify/Bench each run in a fresh JVM; a long-lived session that
+    * regenerates data under the same dir must restart to refresh.
     */
   private val exactTopkMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]()
@@ -121,16 +124,15 @@ object SparkEntry {
       Tables.embeddings(s, dir), simE6Threshold = 440000L, sigBits = 2, numTables = 32)),
     // S10: glob-selected PERMISSIVE bulk load (multi-file union) feeding
     // the contacts shred; malformed files quarantine instead of failing.
-    "staged_load_contacts" -> ((s, _) => {
-      val st = graft.sources.Ingest.loadStaged(
-        s, Fixtures.Dir, Schemas.contacts, "all_contacts_*.json")
-      // consume BEFORE release (Staged's contract — ADVICE r4): the
-      // eager localCheckpoint materializes the shredded rows off the
-      // staging cache, so release() can drop it immediately and the
-      // returned frame never re-parses the staged JSON.
-      try Shred.contacts(st.good).orderBy("contact_id").localCheckpoint(true)
-      finally st.release()
-    }),
+    // cache=false: this row runs exactly one action over `good`, so an
+    // uncached load means nothing to release and nothing to accumulate
+    // across bench/verify re-evaluations (the r4 shape released a cache
+    // it never used; an eager localCheckpoint would pin blocks until
+    // nondeterministic ContextCleaner pickup).
+    "staged_load_contacts" -> ((s, _) =>
+      Shred.contacts(graft.sources.Ingest.loadStaged(
+        s, Fixtures.Dir, Schemas.contacts, "all_contacts_*.json", cache = false).good)
+        .orderBy("contact_id")),
     // Multimodal: metadata-only rollup over synthesized media rows —
     // must never read the blob column (plan asserted in MultimodalSpec).
     "media_stats" -> ((s, dir) =>

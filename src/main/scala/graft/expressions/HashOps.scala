@@ -129,7 +129,11 @@ object HashOps {
     * 100 TB (VERDICT r4 "What's wrong" #2). ~1 MB, ~1M hashes at first
     * use; the derivation is unchanged so signatures are bit-identical.
     */
-  private val MaxSigBits = 256
+  // Ceilings are LOUD limits, not silent ones: the j·4096+k derivation
+  // would alias sign rows for dims beyond 4096 (bit j, dim 4096+k
+  // collides with bit j+1, dim k), so exceeding them must throw, never
+  // silently correlate signature bits. 512×4096 signs = 2 MB.
+  private val MaxSigBits = 512
   private val MaxDim = 4096
   private lazy val Signs: Array[Byte] = {
     val t = new Array[Byte](MaxSigBits * MaxDim)
@@ -187,18 +191,33 @@ object HashOps {
       s"float_dot: vector lengths differ (${n} vs ${b.numElements()})")
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      // null elements fail LOUDLY: ArrayData.getFloat would read 0.0
+      // and produce a concrete-but-wrong cosine (the HOF formulation
+      // propagated NULL); a null inside an embedding is corrupt data,
+      // not a zero component
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(s"float_dot: null element at index $i")
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
     acc
   }
 
   /** Left-fold sum of squares of a float vector in double math — same
-    * bit-identical-fold contract as floatDot.
+    * bit-identical-fold and loud-null contract as floatDot.
     */
   def floatNorm2(v: ArrayData): Double = {
     val n = v.numElements()
     var acc = 0.0
     var i = 0
-    while (i < n) { val x = v.getFloat(i).toDouble; acc += x * x; i += 1 }
+    while (i < n) {
+      if (v.isNullAt(i))
+        throw new IllegalArgumentException(s"float_norm2: null element at index $i")
+      val x = v.getFloat(i).toDouble
+      acc += x * x
+      i += 1
+    }
     acc
   }
 

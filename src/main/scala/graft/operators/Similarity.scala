@@ -188,11 +188,17 @@ object Similarity {
     require(bits >= blocks, "need at least one signature bit per block")
     val base = bits / blocks
     val rem = bits % blocks
+    // guard empty shingle sets like minhashNearDup: every <n-token doc
+    // gets the identical all-'1' empty-input signature, so without the
+    // filter N unrelated short docs all "collide" at Hamming 0 AND form
+    // a guaranteed hot bucket in every block
     val sigs = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
       .select(
         col("doc_id"),
-        call_function("simhash_bits", shingles(col("text")), lit(bits)).as("sig"))
+        call_function("simhash_bits", col("sh"), lit(bits)).as("sig"))
     // block i spans [i·base + min(i,rem), …) — the first `rem` blocks
     // take one extra bit so all `bits` positions are covered
     val blockCols = (0 until blocks).map { i =>
@@ -441,10 +447,17 @@ object Similarity {
     */
   def nearDupFloor(
       exact: DataFrame, approx: DataFrame, metric: String, floorPct: Int): DataFrame =
+    // hits and total from ONE pass over `exact` (a semi-join + separate
+    // total count would run the full exact near-dup pipeline — the most
+    // expensive constituent — twice per evaluation); approx pair sets
+    // are distinct by construction, the distinct() is a cheap guard so
+    // a duplicated approx pair can never double-count a hit
     exact
-      .join(approx, Seq("doc_a", "doc_b"), "left_semi")
-      .agg(count(lit(1)).as("hits"))
-      .crossJoin(exact.agg(count(lit(1)).as("total"))) // 1×1 rows
+      .join(
+        approx.select(col("doc_a"), col("doc_b")).distinct()
+          .withColumn("_hit", lit(1)),
+        Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("total"), count(col("_hit")).as("hits"))
       .select(
         lit(metric).as("metric"),
         (col("hits") * 100 >= col("total") * floorPct).as("floor_met"))

@@ -53,19 +53,21 @@ object Ingest {
   }
 
   /** A PERMISSIVE staged load: `good` = typed rows, `bad` = quarantined
-    * corrupt records. The parsed batch is cached — Spark refuses plans
-    * whose required columns reduce to only the internal corrupt-record
-    * column (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and a staging batch is
-    * bounded by the extraction window — so callers MUST release() after
-    * the consuming action, or a long-lived session accumulates stale
-    * staging caches.
+    * corrupt records. With cache=true (default) the parsed batch is
+    * cached — Spark refuses plans whose required columns reduce to only
+    * the internal corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_
+    * COLUMN), and a staging batch is bounded by the extraction window —
+    * so callers MUST release() after the consuming action, or a
+    * long-lived session accumulates stale staging caches. Callers that
+    * run exactly ONE action over `good` OR `bad` (not both) should pass
+    * cache=false: nothing to release, nothing to accumulate.
     */
-  final class Staged private[sources] (raw: DataFrame) {
+  final class Staged private[sources] (raw: DataFrame, cached: Boolean) {
     val good: DataFrame =
       raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
     val bad: DataFrame =
       raw.filter(col("_corrupt_record").isNotNull).select("_corrupt_record")
-    def release(): Unit = { raw.unpersist(); () }
+    def release(): Unit = { if (cached) raw.unpersist(); () }
   }
 
   /** S2 window planner: chunk [begin, end) into breakDays-day windows
@@ -137,16 +139,17 @@ object Ingest {
       spark: SparkSession,
       dir: String,
       elementSchema: StructType,
-      glob: String): Staged = {
+      glob: String,
+      cache: Boolean = true): Staged = {
     val withCorrupt = elementSchema.add("_corrupt_record", StringType)
-    new Staged(spark.read
+    val raw = spark.read
       .option("multiLine", true)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .option("pathGlobFilter", glob)
       .schema(withCorrupt)
       .json(dir)
-      .cache())
+    new Staged(if (cache) raw.cache() else raw, cache)
   }
 
   /** O4: collapse per-batch filenames into distinct load targets —
@@ -173,14 +176,15 @@ object Ingest {
       pathPattern: String, // e.g. <stage>/all_contacts_*.json — the
       // batch "files" are spark output DIRECTORIES, so the glob lives
       // in the path (Hadoop glob), not in pathGlobFilter (leaf-only)
-      elementSchema: StructType): Staged = {
+      elementSchema: StructType,
+      cache: Boolean = true): Staged = {
     val withCorrupt = elementSchema.add("_corrupt_record", StringType)
-    new Staged(spark.read
+    val raw = spark.read
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(withCorrupt)
       .json(pathPattern)
-      .cache())
+    new Staged(if (cache) raw.cache() else raw, cache)
   }
 
   /** S8 file normalizer: the reference appends whole response arrays

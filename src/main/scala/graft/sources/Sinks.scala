@@ -82,12 +82,20 @@ object Sinks {
       stageDir: String,
       prefix: String,
       batchId: Int,
-      shards: Int = 1): Unit =
-    df.coalesce(shards)
+      shards: Int = 1): Unit = {
+    // shards > 1 must REPARTITION: coalesce can only reduce partition
+    // count, and the extraction stages feed 1-4 partition frames
+    // (fetchBatch is repartition(1), fetchPerKey tasks=4) — a coalesce
+    // there silently writes one giant unsplittable gz shard no matter
+    // the knob. coalesce(1) stays for the default: it merges without
+    // a shuffle.
+    val sharded = if (shards == 1) df.coalesce(1) else df.repartition(shards)
+    sharded
       .write
       .mode("overwrite")
       .option("compression", "gzip")
       .json(s"$stageDir/${prefix}_$batchId.json")
+  }
 
   /** Partitioned overwrite: directory layout keyed by the given
     * columns so per-key queries prune whole partitions at the scan

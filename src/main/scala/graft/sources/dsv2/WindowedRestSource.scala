@@ -258,25 +258,50 @@ private[dsv2] class WindowReader(p: WindowPartition, required: StructType)
     }
   private var row: InternalRow = _
 
+  /** Strict by design: a vendor payload node whose JSON shape
+    * contradicts the declared schema fails the task loudly instead of
+    * coercing (Jackson's asLong("abc") is 0, elements() of a
+    * non-array is empty — both would land silently-wrong columns; the
+    * file loaders surface such drift via the PERMISSIVE
+    * _corrupt_record quarantine, this source surfaces it by failing).
+    * Absent/null fields stay null — absence is normal, shape drift is
+    * not. StringType keeps the compact-serialize fallback for callers
+    * that deliberately map a subtree to string.
+    */
   private def convertValue(v: JsonNode, dt: org.apache.spark.sql.types.DataType): Any =
     if (v == null || v.isNull) null
     else dt match {
-      case org.apache.spark.sql.types.LongType => java.lang.Long.valueOf(v.asLong)
-      case org.apache.spark.sql.types.IntegerType => java.lang.Integer.valueOf(v.asInt)
-      case org.apache.spark.sql.types.DoubleType => java.lang.Double.valueOf(v.asDouble)
-      case org.apache.spark.sql.types.BooleanType => java.lang.Boolean.valueOf(v.asBoolean)
+      case org.apache.spark.sql.types.LongType =>
+        if (!v.canConvertToLong) shapeError(v, dt)
+        java.lang.Long.valueOf(v.asLong)
+      case org.apache.spark.sql.types.IntegerType =>
+        if (!v.canConvertToInt) shapeError(v, dt)
+        java.lang.Integer.valueOf(v.asInt)
+      case org.apache.spark.sql.types.DoubleType =>
+        if (!v.isNumber) shapeError(v, dt)
+        java.lang.Double.valueOf(v.asDouble)
+      case org.apache.spark.sql.types.BooleanType =>
+        if (!v.isBoolean) shapeError(v, dt)
+        java.lang.Boolean.valueOf(v.asBoolean)
       case StringType =>
         // non-textual nodes (objects/arrays a caller maps to string)
         // serialize compactly, like the JSON reader's string fallback
         UTF8String.fromString(if (v.isTextual) v.asText else v.toString)
       case st: StructType =>
+        if (!v.isObject) shapeError(v, st)
         new GenericInternalRow(st.fields.map(f => convertValue(v.get(f.name), f.dataType)))
-      case org.apache.spark.sql.types.ArrayType(et, _) =>
+      case at @ org.apache.spark.sql.types.ArrayType(et, _) =>
+        if (!v.isArray) shapeError(v, at)
         new org.apache.spark.sql.catalyst.util.GenericArrayData(
           v.elements().asScala.map(convertValue(_, et)).toArray[Any])
       case other => throw new IllegalArgumentException(
         s"graft-window cannot convert JSON to ${other.catalogString}")
     }
+
+  private def shapeError(v: JsonNode, dt: org.apache.spark.sql.types.DataType): Nothing =
+    throw new IllegalArgumentException(
+      s"graft-window: JSON node ${v.getNodeType} cannot convert to ${dt.catalogString} " +
+        s"(value: ${v.toString.take(80)})")
 
   private def convert(n: JsonNode): InternalRow =
     new GenericInternalRow(required.fields.map { f =>

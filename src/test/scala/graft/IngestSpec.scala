@@ -72,8 +72,11 @@ class IngestSpec extends SparkSpec {
   test("multi-shard staged batch: write shards, glob-load all, one task per shard") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    // repartition(1) first: extraction stages feed 1-4 partition
+    // frames, and shard fan-out must still work from ONE partition
+    // (a coalesce-based implementation silently can't increase)
     val rows = (1L to 90L).map(i => (i, 1704067200000L + i, s"C$i"))
-      .toDF("id", "startTime", "assocCallId")
+      .toDF("id", "startTime", "assocCallId").repartition(1)
     graft.sources.Sinks.writeJsonBatch(rows, dir, "all_contacts", 1, shards = 3)
     val st = Ingest.loadStagedLines(spark, s"$dir/all_contacts_*.json", Schemas.contacts)
     try {

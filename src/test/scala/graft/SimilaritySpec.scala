@@ -74,11 +74,17 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     // brute-force reference over the same signatures: EVERY pair within
     // the radius must surface — the block decomposition is exhaustive
-    // by pigeonhole, not probabilistic like the LSH tables
+    // by pigeonhole, not probabilistic like the LSH tables. Shingle-less
+    // docs are out of scope (the operator guards them; their empty-input
+    // signatures are all identical, not similar).
     val sig = Similarity.simhash(docs)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val eligible = docs
+      .select(col("doc_id"), Similarity.shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .collect().map(_.getLong(0)).toSet
     def hamming(a: String, b: String): Int = a.zip(b).count { case (x, y) => x != y }
-    val ids = sig.keys.toArray.sorted
+    val ids = sig.keys.toArray.filter(eligible).sorted
     val want = (for {
       i <- ids.indices.iterator; j <- (i + 1) until ids.length
       h = hamming(sig(ids(i)), sig(ids(j))) if h <= 8
@@ -95,6 +101,15 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val expected = (for { a <- 1L to 10L; b <- (a + 1) to 10L } yield (a, b)).toSet
     assert(capped === expected)
+  }
+
+  test("simhashNearDup: shingle-less short docs never pair") {
+    import spark.implicits._
+    // <3-token docs have EMPTY shingle sets; their all-'1' empty-input
+    // signatures are identical, and without the guard they'd all pair
+    // at Hamming 0 and form a maximal hot bucket in every block
+    val shorties = Seq((1L, "hi"), (2L, "yo"), (3L, "ok then")).toDF("doc_id", "text")
+    assert(Similarity.simhashNearDup(shorties).count() === 0)
   }
 
   test("ivf top-k: candidates carry exact similarities; full-probe = exact search") {
