@@ -131,6 +131,78 @@ class PropertySpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("hammingBits: agrees with zip-count, symmetric, zero iff equal") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val bitString = Gen.choose(1, 128).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('0', '1')).map(_.mkString))
+    val pair = for {
+      a <- bitString
+      flips <- Gen.listOf(Gen.choose(0, a.length - 1))
+    } yield (a, flips.toSet.foldLeft(a.toCharArray) { (arr, i) =>
+      arr(i) = if (arr(i) == '0') '1' else '0'; arr
+    }.mkString)
+    holds(Prop.forAll(pair) { case (a, b) =>
+      val d = graft.expressions.HashOps.hammingBits(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+      val ref = a.zip(b).count { case (x, y) => x != y }
+      val sym = graft.expressions.HashOps.hammingBits(
+        UTF8String.fromString(b), UTF8String.fromString(a))
+      d == ref && sym == d && ((d == 0) == (a == b))
+    }, n = 200)
+  }
+
+  test("pigeonhole blocks: any pair within Hamming h shares a block (simhashNearDup math)") {
+    // the candidate-completeness bet of simhashNearDup, checked as pure
+    // math: cut `bits` into h+1 contiguous blocks (first bits%(h+1)
+    // take one extra), then any two strings differing in ≤ h positions
+    // agree exactly on at least one block
+    val gen = for {
+      bits <- Gen.choose(16, 96)
+      h <- Gen.choose(1, 12)
+      if bits >= h + 1
+      a <- Gen.listOfN(bits, Gen.oneOf('0', '1')).map(_.mkString)
+      nFlips <- Gen.choose(0, h)
+      flips <- Gen.pick(nFlips, 0 until bits)
+    } yield (bits, h, a, flips.foldLeft(a.toCharArray) { (arr, i) =>
+      arr(i) = if (arr(i) == '0') '1' else '0'; arr
+    }.mkString)
+    holds(Prop.forAll(gen) { case (bits, h, a, b) =>
+      val blocks = h + 1
+      val base = bits / blocks
+      val rem = bits % blocks
+      (0 until blocks).exists { i =>
+        val start = i * base + math.min(i, rem)
+        val len = base + (if (i < rem) 1 else 0)
+        a.substring(start, start + len) == b.substring(start, start + len)
+      }
+    }, n = 300)
+  }
+
+  test("floatDot/floatNorm2: bit-identical to the sequential left fold they replace") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val vec = Gen.choose(1, 128).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-10f, 10f)))
+    holds(Prop.forAll(vec, vec) { (xs, ys) =>
+      val n = math.min(xs.length, ys.length)
+      val a = xs.take(n)
+      val b = ys.take(n)
+      val ad = new GenericArrayData(a.toArray[Any])
+      val bd = new GenericArrayData(b.toArray[Any])
+      val dotRef = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + x.toDouble * y.toDouble
+      }
+      val n2Ref = a.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+      // bit-identical, not approximately-equal: the oracle hash compare
+      // depends on the exact fold
+      java.lang.Double.doubleToLongBits(
+        graft.expressions.HashOps.floatDot(ad, bd)) ==
+        java.lang.Double.doubleToLongBits(dotRef) &&
+      java.lang.Double.doubleToLongBits(
+        graft.expressions.HashOps.floatNorm2(ad)) ==
+        java.lang.Double.doubleToLongBits(n2Ref)
+    }, n = 200)
+  }
+
   test("denverTs: DST transitions convert correctly (SURVEY risk #3)") {
     import spark.implicits._
     val vectors = Seq(
