@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{CountTokensIn, FloatDot, FloatNorm2, HammingBits, HyperplaneSig, MinHashBandKeys, MinHashSignature, SimHashBits, WordShingles}
+import graft.expressions.{CountTokensIn, FloatDot, FloatNorm2, HammingBits, HyperplaneSig, MinHashBandKeys, MinHashSignature, SimHashBits, TokenFingerprint, TokenProfile, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -71,6 +71,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c, s, Literal(b: Boolean, _)) => CountTokensIn(c, strLit(s, "set"), b)
         case _ => throw new IllegalArgumentException(
           "usage: count_tokens_in(text, 'a,b,c'[, lowercase])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("token_profile"),
+      new ExpressionInfo(classOf[TokenProfile].getName, "token_profile"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, s) => TokenProfile(c, strLit(s, "stopwords"))
+        case _ => throw new IllegalArgumentException(
+          "usage: token_profile(text, 'stop,words,csv')")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("token_fingerprint"),
+      new ExpressionInfo(classOf[TokenFingerprint].getName, "token_fingerprint"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => TokenFingerprint(c)
+        case _ => throw new IllegalArgumentException("usage: token_fingerprint(text)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("float_dot"),

@@ -122,6 +122,76 @@ object HashOps {
     hs
   }
 
+  /** Java regex \p{Punct} (no UNICODE flag) is exactly these 32 ASCII
+    * chars — replicated as range checks so the native profile counts
+    * precisely what length(regexp_replace(text, "[^\p{Punct}]", ""))
+    * counted.
+    */
+  private def isPunct(c: Char): Boolean =
+    (c >= '!' && c <= '/') || (c >= ':' && c <= '@') ||
+      (c >= '[' && c <= '`') || (c >= '{' && c <= '~')
+
+  /** Fused per-doc token profile in ONE pass: (n_tokens, n_uniq_tokens,
+    * n_stop_tokens, n_punct_chars, n_chars). The column formulation
+    * re-splits the text once per consuming expression (CollapseProject
+    * inlines `split` into each of the 3-4 token consumers) and counts
+    * punctuation with a full regexp_replace materializing a stripped
+    * copy — 4 passes and an allocation where one suffices. Semantics
+    * are replicated exactly: split("\\s+") with empties dropped,
+    * case-sensitive set membership, \p{Punct} ASCII class, numChars
+    * length.
+    */
+  def tokenProfile(
+      text: UTF8String,
+      stop: java.util.HashSet[String]): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val toks = s.split("\\s+")
+    var nTokens = 0
+    var nStop = 0
+    val uniq = new java.util.HashSet[String]()
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) {
+        nTokens += 1
+        uniq.add(t)
+        if (stop.contains(t)) nStop += 1
+      }
+      i += 1
+    }
+    var nPunct = 0
+    var j = 0
+    while (j < s.length) { if (isPunct(s.charAt(j))) nPunct += 1; j += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTokens, uniq.size, nStop, nPunct, text.numChars()))
+  }
+
+  /** Fused positional token fingerprint in one pass: (n_tokens,
+    * Σᵢ (i+1)·(131·len(tᵢ)+cp₀(tᵢ))) — the same integer arithmetic as
+    * the transform+aggregate HOF chain it replaces (interpreted, two
+    * token passes), so results are exactly equal.
+    */
+  def tokenFingerprint(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = text.toString.split("\\s+")
+    var n = 0
+    var acc = 0L
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) {
+        n += 1
+        // code-point length + first code point: matches Spark's
+        // length()/ascii() and DuckDB's length()/ascii() on the data
+        // domain (equal definitions for ASCII; code-point-consistent
+        // beyond it)
+        acc += n.toLong *
+          (t.codePointCount(0, t.length).toLong * 131L + t.codePointAt(0).toLong)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](n, acc))
+  }
+
   /** The hyperplane sign matrix hₖⱼ ∈ {−1,+1} from bit 0 of
     * xxhash64(j·4096+k) — a CONSTANT, precomputed once per JVM like
     * A/B above. Deriving it per row cost ~5k redundant XXH64 calls per

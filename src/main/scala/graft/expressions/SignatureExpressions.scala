@@ -125,6 +125,52 @@ case class HammingBits(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+case class TokenProfile(child: Expression, stopCsv: String)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_uniq_tokens", IntegerType, nullable = false),
+    StructField("n_stop_tokens", IntegerType, nullable = false),
+    StructField("n_punct_chars", IntegerType, nullable = false),
+    StructField("n_chars", IntegerType, nullable = false)))
+  override def prettyName: String = "token_profile"
+  @transient private lazy val set = HashOps.toSet(stopCsv)
+  protected override def nullSafeEval(input: Any): Any =
+    HashOps.tokenProfile(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], set)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("stopSet", set, classOf[java.util.HashSet[String]].getName)
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashOps.tokenProfile($c, $setRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): TokenProfile =
+    copy(child = newChild)
+}
+
+case class TokenFingerprint(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("fingerprint", LongType, nullable = false)))
+  override def prettyName: String = "token_fingerprint"
+  protected override def nullSafeEval(input: Any): Any =
+    HashOps.tokenFingerprint(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashOps.tokenFingerprint($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenFingerprint =
+    copy(child = newChild)
+}
+
 case class FloatDot(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =

@@ -41,7 +41,7 @@ object TextOps {
     * Map-side-combinable aggregate on a tiny key (|langs|). */
   def textStats(docs: DataFrame): DataFrame =
     docs
-      .select(col("lang"), col("n_chars"), size(tokens(col("text"))).as("toks"))
+      .select(col("lang"), col("n_chars"), profile.getField("n_tokens").as("toks"))
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -53,23 +53,33 @@ object TextOps {
 
   private val stopwords = Seq(
     "the", "a", "an", "of", "and", "or", "is", "in", "to", "for")
+  private val stopCsv = stopwords.mkString(",")
+
+  /** One fused pass per doc (native token_profile): the column
+    * formulation re-split the text once per consuming expression
+    * (CollapseProject inlines split into each of the 3-4 token
+    * consumers) and materialized a punctuation-stripped copy via
+    * regexp_replace. Referenced >once, the struct stays a separate
+    * projection — CollapseProject only inlines single-use or cheap
+    * expressions — so it's evaluated once per row.
+    */
+  private def profile: Column = call_function("token_profile", col("text"), lit(stopCsv))
 
   /** Per-doc quality profile: token/unique-token/stopword/punct counts
     * (the classic length+punct+stopword quality heuristics, kept as raw
     * integers — ratios are consumer-side divisions).
     */
-  def docTokens(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+  def docTokens(docs: DataFrame): DataFrame =
     docs
+      .select(col("doc_id"), profile.as("p"))
       .select(
         col("doc_id"),
-        size(toks).as("n_tokens"),
-        size(array_distinct(toks)).as("n_uniq_tokens"),
-        size(filter(toks, t => t.isInCollection(stopwords))).as("n_stop_tokens"),
-        length(regexp_replace(col("text"), "[^\\p{Punct}]", "")).as("n_punct_chars"),
-        length(col("text")).as("n_chars_measured"))
+        col("p.n_tokens").as("n_tokens"),
+        col("p.n_uniq_tokens").as("n_uniq_tokens"),
+        col("p.n_stop_tokens").as("n_stop_tokens"),
+        col("p.n_punct_chars").as("n_punct_chars"),
+        col("p.n_chars").as("n_chars_measured"))
       .orderBy("doc_id")
-  }
 
   /** The quality GATE a training-data pipeline actually runs (docTokens
     * is the profile; this is the filter): keep documents with at least
@@ -100,22 +110,19 @@ object TextOps {
       docs: DataFrame,
       minTokens: Int = 5,
       maxPunctPerMille: Int = 150,
-      minStopPerMille: Int = 10): DataFrame = {
-    val toks = tokens(col("text"))
+      minStopPerMille: Int = 10): DataFrame =
     docs
-      .withColumn("n_tokens", size(toks))
-      .withColumn("_n_stop", size(filter(toks, t => t.isInCollection(stopwords))))
-      .withColumn("_n_punct", length(regexp_replace(col("text"), "[^\\p{Punct}]", "")))
+      .withColumn("_p", profile)
+      .withColumn("n_tokens", col("_p.n_tokens"))
       .withColumn("punct_per_mille",
-        expr("(_n_punct * 1000L) div greatest(length(text), 1)"))
+        expr("(_p.n_punct_chars * 1000L) div greatest(_p.n_chars, 1)"))
       .withColumn("stop_per_mille",
-        expr("(_n_stop * 1000L) div greatest(n_tokens, 1)"))
+        expr("(_p.n_stop_tokens * 1000L) div greatest(_p.n_tokens, 1)"))
       .filter(
         col("n_tokens") >= minTokens &&
           col("punct_per_mille") <= maxPunctPerMille &&
           col("stop_per_mille") >= minStopPerMille)
-      .drop("_n_stop", "_n_punct")
-  }
+      .drop("_p")
 
   /** GPT-2-style pre-tokenizer shape, constrained to constructs both
     * Java regex and RE2 share (no lookahead): a leading-space word,
@@ -173,15 +180,16 @@ object TextOps {
     * the shape of a rolling hash without engine-specific hash
     * functions. Values stay far below 2^63 (docs are ≤ ~1k tokens).
     */
-  def fingerprint(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val terms = transform(toks, (t, i) =>
-      (i + lit(1)).cast("long") * (length(t).cast("long") * 131 + ascii(t)))
+  def fingerprint(docs: DataFrame): DataFrame =
+    // native token_fingerprint: the transform+aggregate HOF chain is
+    // interpreted per token with boxing and tokenizes twice (size +
+    // terms); one fused pass computes the identical integer arithmetic
     docs
+      .select(col("doc_id"),
+        call_function("token_fingerprint", col("text")).as("f"))
       .select(
         col("doc_id"),
-        size(toks).as("n_tokens"),
-        aggregate(terms, lit(0L), (acc, x) => acc + x).as("fingerprint"))
+        col("f.n_tokens").as("n_tokens"),
+        col("f.fingerprint").as("fingerprint"))
       .orderBy("doc_id")
-  }
 }
