@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{CountTokensIn, FloatDot, FloatNorm2, HammingBits, HyperplaneSig, MinHashBandKeys, MinHashSignature, SimHashBits, TokenFingerprint, TokenProfile, WordShingles}
+import graft.expressions.{CountTokensIn, CountTokensInMulti, FloatDot, FloatNorm2, HammingBits, HyperplaneSig, MinHashBandKeys, MinHashSignature, SimHashBits, TokenFingerprint, TokenProfile, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -71,6 +71,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c, s, Literal(b: Boolean, _)) => CountTokensIn(c, strLit(s, "set"), b)
         case _ => throw new IllegalArgumentException(
           "usage: count_tokens_in(text, 'a,b,c'[, lowercase])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("count_tokens_multi"),
+      new ExpressionInfo(classOf[CountTokensInMulti].getName, "count_tokens_multi"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, s) => CountTokensInMulti(c, strLit(s, "sets"), lower = false)
+        case Seq(c, s, Literal(b: Boolean, _)) =>
+          CountTokensInMulti(c, strLit(s, "sets"), b)
+        case _ => throw new IllegalArgumentException(
+          "usage: count_tokens_multi(text, 'a,b|c,d'[, lowercase])")
       }))
     ext.injectFunction((
       new FunctionIdentifier("token_profile"),

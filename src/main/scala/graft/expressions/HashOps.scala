@@ -122,6 +122,28 @@ object HashOps {
     hs
   }
 
+  /** Count tokens per marker set in ONE tokenization: element i of the
+    * result counts tokens belonging to sets(i). countTokensIn × N sets
+    * re-splits the text N times; language id feeds 4 sets.
+    */
+  def countTokensInMulti(
+      text: UTF8String,
+      sets: Array[java.util.HashSet[String]],
+      lower: Boolean): ArrayData = {
+    val s = if (lower) text.toString.toLowerCase(java.util.Locale.ROOT) else text.toString
+    val counts = new Array[Int](sets.length)
+    for (t <- s.split("\\s+")) {
+      if (t.nonEmpty) {
+        var i = 0
+        while (i < sets.length) {
+          if (sets(i).contains(t)) counts(i) += 1
+          i += 1
+        }
+      }
+    }
+    new GenericArrayData(counts.map(c => Integer.valueOf(c): Any))
+  }
+
   /** Java regex \p{Punct} (no UNICODE flag) is exactly these 32 ASCII
     * chars — replicated as range checks so the native profile counts
     * precisely what length(regexp_replace(text, "[^\p{Punct}]", ""))

@@ -125,6 +125,31 @@ case class HammingBits(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+case class CountTokensInMulti(child: Expression, setsSpec: String, lower: Boolean)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "count_tokens_multi"
+  // '|'-separated list of comma-separated sets, e.g. "the,a|der,die"
+  @transient private lazy val sets =
+    setsSpec.split("\\|", -1).map(HashOps.toSet)
+  protected override def nullSafeEval(input: Any): Any =
+    HashOps.countTokensInMulti(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], sets, lower)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setsRef = ctx.addReferenceObj("tokenSets", sets,
+      classOf[Array[java.util.HashSet[String]]].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.HashOps.countTokensInMulti($c, $setsRef, $lower)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CountTokensInMulti =
+    copy(child = newChild)
+}
+
 case class TokenProfile(child: Expression, stopCsv: String)
     extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

@@ -138,7 +138,8 @@ object TextOps {
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      size(tokens(col("text"))).as("ws_tokens"),
+      call_function("token_fingerprint", col("text"))
+        .getField("n_tokens").as("ws_tokens"),
       size(regexp_extract_all(col("text"), lit(bpeIsh), lit(0))).as("bpe_ish_tokens"))
       .orderBy("doc_id")
 
@@ -155,16 +156,17 @@ object TextOps {
     * the decision is auditable and oracle-checkable.
     */
   def langId(docs: DataFrame): DataFrame = {
-    // native count_tokens_in: the HOF formulation re-splits the text
-    // once per marker set (CollapseProject inlines the split into
-    // each consumer) — 4 interpreted tokenizations per row
-    val hits = langMarkers.map { case (lang, markers) =>
-      call_function("count_tokens_in",
-        col("text"), lit(markers.mkString(",")), lit(true)).as(s"hits_$lang")
-    }
+    // ONE tokenization for all marker sets (count_tokens_multi): even
+    // the per-set native counters re-split the text once per language
+    // — 4 tokenizations per row at 4 candidate languages
+    val multi = call_function("count_tokens_multi",
+      col("text"), lit(langMarkers.map(_._2.mkString(",")).mkString("|")), lit(true))
     val h = (l: String) => col(s"hits_$l")
     docs
-      .select(col("doc_id") +: hits: _*)
+      .select(col("doc_id"), multi.as("_h"))
+      .select(col("doc_id") +: langMarkers.zipWithIndex.map {
+        case ((lang, _), i) => col("_h").getItem(i).as(s"hits_$lang")
+      }: _*)
       .withColumn(
         "lang_guess",
         when(h("en") >= h("de") && h("en") >= h("es") && h("en") >= h("fr"), "en")
