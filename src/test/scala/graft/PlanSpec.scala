@@ -143,7 +143,16 @@ class PlanSpec extends SparkSpec {
         |       hyperplane_sig(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)), 4) AS hp,
         |       count_tokens_in('the cat and the hat', 'the,and', true) AS hits,
         |       size(minhash_band_keys(word_shingles('a b c d', 3), 64, 16)) AS bands,
-        |       hamming_bits('0101', '0011') AS hd
+        |       hamming_bits('0101', '0011') AS hd,
+        |       token_profile('the cat, the hat!', 'the,a').n_tokens AS tp_n,
+        |       token_profile('the cat, the hat!', 'the,a').n_stop_tokens AS tp_stop,
+        |       token_profile('the cat, the hat!', 'the,a').n_punct_chars AS tp_punct,
+        |       token_profile('', 'the').n_tokens AS tp_empty,
+        |       token_fingerprint('ab cd').fingerprint AS fp,
+        |       count_tokens_multi('The cat und der Hund', 'the,cat|der,und', true) AS multi,
+        |       float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                 array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS fd,
+        |       float_norm2(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS fn
         |""".stripMargin).collect().head
     assert(row.getSeq[String](0) === Seq("a b c", "b c d"))
     assert(row.getString(1).length === 8)
@@ -151,6 +160,15 @@ class PlanSpec extends SparkSpec {
     assert(row.getInt(3) === 3)
     assert(row.getInt(4) === 16)
     assert(row.getInt(5) === 2)
+    assert(row.getInt(6) === 4) // the cat, the hat!
+    assert(row.getInt(7) === 2) // 'the' twice; 'cat,'/'hat!' carry punct
+    assert(row.getInt(8) === 2) // ',' and '!'
+    assert(row.getInt(9) === 0)
+    // (1)*(2*131+'a') + (2)*(2*131+'c') = 262+97 + 2*(262+99)
+    assert(row.getLong(10) === (262L + 97L) + 2L * (262L + 99L))
+    assert(row.getSeq[Int](11) === Seq(2, 2)) // lowercased: the,cat | der,und
+    assert(row.getDouble(12) === 11.0)
+    assert(row.getDouble(13) === 25.0)
   }
 
   test("embeddingNearDup returns only pairs above threshold, a<b") {
