@@ -203,6 +203,31 @@ class PropertySpec extends SparkSpec {
     }, n = 200)
   }
 
+  test("tokenProfile: equals the column-formulation semantics on arbitrary text") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val stop = graft.expressions.HashOps.toSet("the,a,an,of,and,or,is,in,to,for")
+    // text mixing words, stopwords, punctuation runs, and whitespace
+    val word = Gen.oneOf(
+      Gen.oneOf("the", "a", "of", "and", "cat", "hat", "Hund", "x1"),
+      Gen.listOfN(3, Gen.alphaChar).map(_.mkString),
+      Gen.oneOf("!!", ",", "a,b", "--", "(x)"))
+    val text = for {
+      ws <- Gen.listOf(Gen.oneOf(" ", "  ", "\t", "\n"))
+      words <- Gen.listOf(word)
+    } yield words.zipAll(ws, "", " ").map { case (w, s) => w + s }.mkString
+    holds(Prop.forAll(text) { s =>
+      val r = graft.expressions.HashOps.tokenProfile(UTF8String.fromString(s), stop)
+      // reference: the original column semantics, in plain Scala
+      val toks = s.split("\\s+").filter(_.nonEmpty)
+      val punct = s.count(c => "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~".contains(c))
+      r.getInt(0) == toks.length &&
+        r.getInt(1) == toks.distinct.length &&
+        r.getInt(2) == toks.count(stop.contains) &&
+        r.getInt(3) == punct &&
+        r.getInt(4) == s.length
+    }, n = 300)
+  }
+
   test("denverTs: DST transitions convert correctly (SURVEY risk #3)") {
     import spark.implicits._
     val vectors = Seq(
