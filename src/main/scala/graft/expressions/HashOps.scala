@@ -141,7 +141,7 @@ object HashOps {
         }
       }
     }
-    new GenericArrayData(counts.map(c => Integer.valueOf(c): Any))
+    new GenericArrayData(counts) // primitive Array[Int] overload, no boxing
   }
 
   /** Java regex \p{Punct} (no UNICODE flag) is exactly these 32 ASCII

@@ -141,8 +141,11 @@ case class CountTokensInMulti(child: Expression, setsSpec: String, lower: Boolea
     HashOps.countTokensInMulti(
       input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], sets, lower)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val setsRef = ctx.addReferenceObj("tokenSets", sets,
-      classOf[Array[java.util.HashSet[String]]].getName)
+    // no className arg: getName on an array class is the JVM binary
+    // form ("[Ljava.util.HashSet;"), which is not valid Java source in
+    // the generated cast — the default (CodeGenerator.typeName)
+    // renders array types correctly
+    val setsRef = ctx.addReferenceObj("tokenSets", sets)
     defineCodeGen(ctx, ev, c =>
       s"graft.expressions.HashOps.countTokensInMulti($c, $setsRef, $lower)")
   }

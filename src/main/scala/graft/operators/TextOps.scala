@@ -41,7 +41,12 @@ object TextOps {
     * Map-side-combinable aggregate on a tiny key (|langs|). */
   def textStats(docs: DataFrame): DataFrame =
     docs
-      .select(col("lang"), col("n_chars"), profile.getField("n_tokens").as("toks"))
+      // token_fingerprint, not token_profile: only the token COUNT is
+      // consumed here, and the fingerprint pass is allocation-free
+      // where the profile builds a uniq HashSet per row
+      .select(col("lang"), col("n_chars"),
+        call_function("token_fingerprint", col("text"))
+          .getField("n_tokens").as("toks"))
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),

@@ -133,42 +133,69 @@ class PlanSpec extends SparkSpec {
       s"scan must read only doc_id+text:\n$plan")
   }
 
-  test("injected expressions are reachable from plain SQL") {
+  test("injected expressions are reachable from plain SQL — through CODEGEN, not folding") {
     // GraftExtensions.injectFunction is the sanctioned extension point;
-    // prove a SQL-only user gets the native expressions, not just the
-    // DataFrame API via call_function
-    val row = spark.sql(
-      """SELECT word_shingles('a b c d', 3) AS sh,
-        |       simhash_bits(word_shingles('a b c d', 3), 8) AS sim,
-        |       hyperplane_sig(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)), 4) AS hp,
-        |       count_tokens_in('the cat and the hat', 'the,and', true) AS hits,
-        |       size(minhash_band_keys(word_shingles('a b c d', 3), 64, 16)) AS bands,
-        |       hamming_bits('0101', '0011') AS hd,
-        |       token_profile('the cat, the hat!', 'the,a').n_tokens AS tp_n,
-        |       token_profile('the cat, the hat!', 'the,a').n_stop_tokens AS tp_stop,
-        |       token_profile('the cat, the hat!', 'the,a').n_punct_chars AS tp_punct,
-        |       token_profile('', 'the').n_tokens AS tp_empty,
-        |       token_fingerprint('ab cd').fingerprint AS fp,
-        |       count_tokens_multi('The cat und der Hund', 'the,cat|der,und', true) AS multi,
-        |       float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
-        |                 array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS fd,
-        |       float_norm2(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS fn
-        |""".stripMargin).collect().head
-    assert(row.getSeq[String](0) === Seq("a b c", "b c d"))
-    assert(row.getString(1).length === 8)
-    assert(row.getString(2).length === 4)
-    assert(row.getInt(3) === 3)
-    assert(row.getInt(4) === 16)
-    assert(row.getInt(5) === 2)
-    assert(row.getInt(6) === 4) // the cat, the hat!
-    assert(row.getInt(7) === 2) // 'the' twice; 'cat,'/'hat!' carry punct
-    assert(row.getInt(8) === 2) // ',' and '!'
-    assert(row.getInt(9) === 0)
-    // (1)*(2*131+'a') + (2)*(2*131+'c') = 262+97 + 2*(262+99)
-    assert(row.getLong(10) === (262L + 97L) + 2L * (262L + 99L))
-    assert(row.getSeq[Int](11) === Seq(2, 2)) // lowercased: the,cat | der,und
-    assert(row.getDouble(12) === 11.0)
-    assert(row.getDouble(13) === 25.0)
+    // prove a SQL-only user gets the native expressions. Inputs come
+    // from COLUMNS of a one-row view, not literals: literal args are
+    // constant-folded via the interpreted eval path and never exercise
+    // doGenCode (a compile-broken codegen shipped green that way once).
+    // CODEGEN_ONLY + fallback off turn any codegen failure into a test
+    // failure instead of a silent interpreted downgrade.
+    import spark.implicits._
+    // parquet round-trip, not a local relation: ConvertToLocalRelation
+    // evaluates a Project over LocalRelation eagerly (interpreted) at
+    // optimization time, which would bypass codegen just like literal
+    // folding does
+    val fxDir = java.nio.file.Files.createTempDirectory("graft-fx").toString
+    Seq(("a b c d", "the cat and the hat", "0101", "0011",
+        "the cat, the hat!", "", "ab cd", "The cat und der Hund",
+        1.0f, 2.0f, 3.0f, 4.0f))
+      .toDF("abcd", "cats", "h1", "h2", "punct", "emp", "abcd2", "langs",
+        "f1", "f2", "f3", "f4")
+      .write.mode("overwrite").parquet(fxDir)
+    spark.read.parquet(fxDir).createOrReplaceTempView("fx_exprs")
+    val factoryKey = "spark.sql.codegen.factoryMode"
+    val fallbackKey = "spark.sql.codegen.fallback"
+    val prevFactory = spark.conf.getOption(factoryKey)
+    val prevFallback = spark.conf.getOption(fallbackKey)
+    spark.conf.set(factoryKey, "CODEGEN_ONLY")
+    spark.conf.set(fallbackKey, "false")
+    try {
+      val row = spark.sql(
+        """SELECT word_shingles(abcd, 3) AS sh,
+          |       simhash_bits(word_shingles(abcd, 3), 8) AS sim,
+          |       hyperplane_sig(array(CAST(f1 AS FLOAT), CAST(-f2 AS FLOAT)), 4) AS hp,
+          |       count_tokens_in(cats, 'the,and', true) AS hits,
+          |       size(minhash_band_keys(word_shingles(abcd, 3), 64, 16)) AS bands,
+          |       hamming_bits(h1, h2) AS hd,
+          |       token_profile(punct, 'the,a').n_tokens AS tp_n,
+          |       token_profile(punct, 'the,a').n_stop_tokens AS tp_stop,
+          |       token_profile(punct, 'the,a').n_punct_chars AS tp_punct,
+          |       token_profile(emp, 'the').n_tokens AS tp_empty,
+          |       token_fingerprint(abcd2).fingerprint AS fp,
+          |       count_tokens_multi(langs, 'the,cat|der,und', true) AS multi,
+          |       float_dot(array(f1, f2), array(f3, f4)) AS fd,
+          |       float_norm2(array(f3, f4)) AS fn
+          |FROM fx_exprs""".stripMargin).collect().head
+      assert(row.getSeq[String](0) === Seq("a b c", "b c d"))
+      assert(row.getString(1).length === 8)
+      assert(row.getString(2).length === 4)
+      assert(row.getInt(3) === 3)
+      assert(row.getInt(4) === 16)
+      assert(row.getInt(5) === 2)
+      assert(row.getInt(6) === 4) // the cat, the hat!
+      assert(row.getInt(7) === 2) // 'the' twice; 'cat,'/'hat!' carry punct
+      assert(row.getInt(8) === 2) // ',' and '!'
+      assert(row.getInt(9) === 0)
+      // (1)*(2*131+'a') + (2)*(2*131+'c') = 262+97 + 2*(262+99)
+      assert(row.getLong(10) === (262L + 97L) + 2L * (262L + 99L))
+      assert(row.getSeq[Int](11) === Seq(2, 2)) // lowercased: the,cat | der,und
+      assert(row.getDouble(12) === 11.0)
+      assert(row.getDouble(13) === 25.0)
+    } finally {
+      prevFactory.fold(spark.conf.unset(factoryKey))(spark.conf.set(factoryKey, _))
+      prevFallback.fold(spark.conf.unset(fallbackKey))(spark.conf.set(fallbackKey, _))
+    }
   }
 
   test("embeddingNearDup returns only pairs above threshold, a<b") {
