@@ -87,10 +87,17 @@ object SparkEntry {
     // Similarity / near-dup family over embeddings + documents.
     "cosine_topk" -> ((s, dir) => Similarity.cosineTopK(Tables.embeddings(s, dir))),
     "minhash_neardup" -> ((s, dir) => Similarity.minhashNearDup(Tables.documents(s, dir))),
+    // EXACT Jaccard near-dup via prefix filtering (candidate-complete,
+    // unlike the signature-based variants) — all-pairs DuckDB oracle.
+    "jaccard_neardup" -> ((s, dir) => Similarity.jaccardNearDup(Tables.documents(s, dir))),
     // Approximate / signature ops — no SQL oracle (rows-only check):
     // ann_topk_lsh trades recall for bucket-local work; simhash uses
     // engine-specific 64-bit hashing. Both are covered by SimilaritySpec.
     "simhash" -> ((s, dir) => Similarity.simhash(Tables.documents(s, dir))),
+    // the pigeonhole Hamming-≤8 pair set itself (rows-only: pairs are
+    // keyed by the engine-specific signature); simhash_recall below is
+    // its measured floor against the exact Jaccard near-dups
+    "simhash_neardup" -> ((s, dir) => Similarity.simhashNearDup(Tables.documents(s, dir))),
     "ann_topk_lsh" -> ((s, dir) => Similarity.annTopKLsh(Tables.embeddings(s, dir))),
     "ivf_topk" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))),
     // Recall floors for the approximate family: the oracle can't
@@ -431,6 +438,17 @@ object SparkEntry {
         |       FROM s a JOIN s b ON a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, inter_size, union_size FROM p
         |WHERE inter_size * 2 >= union_size
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "jaccard_neardup" ->
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        | s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |       FROM t WHERE len(toks) >= 3),
+        | p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        len(list_intersect(a.sh, b.sh)) AS inter_size,
+        |        len(list_distinct(list_concat(a.sh, b.sh))) AS union_size
+        |       FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, inter_size, union_size FROM p
+        |WHERE inter_size * 5 >= union_size * 4
         |ORDER BY doc_a, doc_b""".stripMargin,
     "ann_recall" ->
       """SELECT vec_id AS q_id, true AS floor_met FROM embeddings

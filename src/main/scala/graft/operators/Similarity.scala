@@ -142,6 +142,85 @@ object Similarity {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** EXACT n-gram Jaccard near-duplicate pairs (threshold tNum/tDen)
+    * via prefix filtering — the AllPairs candidate generation of
+    * Bayardo, Ma & Srikant, "Scaling Up All Pairs Similarity Search"
+    * (WWW'07). Where minhashNearDup trades a ~3e-8 per-pair miss for
+    * constant-size signatures, this operator is candidate-COMPLETE:
+    *
+    *  - order every document's shingle set by GLOBAL document
+    *    frequency ascending (rarest first; ties broken by the shingle
+    *    itself, so the order is total and deterministic);
+    *  - index only each document's PREFIX — its first
+    *    |X| − ceil(t·|X|) + 1 shingles under that order. Any pair with
+    *    |A∩B| ≥ ceil(t·max(|A|,|B|)) must agree on at least one prefix
+    *    element (pigeonhole on the common order), and Jaccard ≥ t
+    *    implies exactly that, so the inverted-index equi-join on
+    *    prefix shingles misses NO qualifying pair;
+    *  - a size filter (t·|A| ≤ |B| ≤ |A|/t, integer-crossed) prunes
+    *    candidates before the dedup, and exact intersection/union
+    *    arithmetic verifies — no doubles cross the oracle boundary.
+    *
+    * At 100 TB: every stage is an equi-shuffle on shingle strings or
+    * doc ids — never an all-pairs product. DF-ascending ordering is
+    * what bounds the index: frequent shingles (the hot buckets of the
+    * hash-based variants) sort to the END of each document and at
+    * t=0.8 the top ~80% of each doc's shingles by frequency are never
+    * indexed at all. No bucketCap here BY DESIGN: unlike the
+    * approximate ops (where a cap trades recall), this operator's
+    * output is exact — a corpus of N identical documents has N(N−1)/2
+    * TRUE pairs, so the quadratic blowup is in the answer itself, and
+    * the cap belongs in the consumer's threshold, not the algorithm.
+    */
+  def jaccardNearDup(
+      docs: DataFrame,
+      tNum: Int = 4,
+      tDen: Int = 5): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    val sh = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val ex = sh.select(
+      col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("shingle"))
+    // global document frequency per shingle — the one extra linear
+    // pass that buys rare-first prefixes
+    val df = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // re-assemble each doc's shingles ordered by (df, shingle);
+    // shingles are distinct within a doc so the sort key is unique and
+    // collect_list's nondeterministic order is irrelevant
+    val prefLen =
+      (col("n") - expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1).cast("int")
+    val prefixes = ex.join(df, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(
+        sort_array(collect_list(struct(col("df"), col("shingle")))).as("ord"),
+        max(col("n")).as("n"))
+      .select(
+        col("doc_id"), col("n"),
+        explode(slice(
+          transform(col("ord"), s => s.getField("shingle")),
+          lit(1), prefLen)).as("shingle"))
+    val cand = prefixes.as("x")
+      .join(prefixes.as("y"), Seq("shingle"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      // Jaccard ≥ t forces t·|A| ≤ |B| ≤ |A|/t — integer-crossed
+      .filter(
+        col("x.n") * tDen >= col("y.n") * tNum &&
+          col("y.n") * tDen >= col("x.n") * tNum)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter_size"),
+        size(array_union(col("sh_a"), col("sh_b"))).as("union_size"))
+      .filter(col("inter_size") * tDen >= col("union_size") * tNum)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** SimHash signature per document over word 3-gram shingles:
     * per-shingle 64-bit hash, ±1 vote per bit, sign of the vote sum is
     * the signature bit. Shingles (not unigrams) are the feature set —

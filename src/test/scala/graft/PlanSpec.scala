@@ -43,7 +43,8 @@ class PlanSpec extends SparkSpec {
       "minhash_neardup" -> Similarity.minhashNearDup(docs),
       "ann_topk_lsh" -> Similarity.annTopKLsh(emb),
       "embedding_neardup" -> Similarity.embeddingNearDup(emb, 450000L),
-      "simhash_neardup" -> Similarity.simhashNearDup(docs)
+      "simhash_neardup" -> Similarity.simhashNearDup(docs),
+      "jaccard_neardup" -> Similarity.jaccardNearDup(docs)
     ).foreach { case (name, df) =>
       val plan = executedPlan(df)
       assert(!plan.contains("CartesianProduct"), s"$name: no cartesian product:\n$plan")

@@ -29,6 +29,41 @@ class SimilaritySpec extends SparkSpec {
     assert(want.nonEmpty, "testdata should contain planted near-dups")
   }
 
+  test("jaccardNearDup: prefix filtering is candidate-complete (equals all-pairs)") {
+    val docs = Tables.documents(spark, dir).cache()
+    val sh = docs.select(col("doc_id"), Similarity.shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    def bruteForce(tNum: Int, tDen: Int): Set[(Long, Long, Int, Int)] =
+      sh.as("a").crossJoin(sh.as("b"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id"), col("b.doc_id"),
+          size(array_intersect(col("a.sh"), col("b.sh"))).as("i"),
+          size(array_union(col("a.sh"), col("b.sh"))).as("u"))
+        .filter(col("i") * tDen >= col("u") * tNum)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    // the driver threshold AND a looser one: completeness must not
+    // depend on the prefix length that happens to fall out of t=4/5
+    for ((tn, td) <- Seq((4, 5), (1, 2))) {
+      val got = Similarity.jaccardNearDup(docs, tn, td)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+      assert(got === bruteForce(tn, td), s"threshold $tn/$td")
+      assert(got.nonEmpty, "testdata should contain planted near-dups")
+    }
+  }
+
+  test("jaccardNearDup: t=1 finds exactly the identical shingle sets") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), // = doc 1
+      (3L, "alpha beta gamma epsilon"), // 2 of 2+2 shingles shared with 1: J=1/3
+      (4L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val got = Similarity.jaccardNearDup(docs, 1, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)))
+  }
+
   test("minhash hot buckets are CAPPED, not dropped: spam clusters still pair") {
     import spark.implicits._
     // 30 identical docs: hot in ALL bands — the old whole-bucket drop
