@@ -189,8 +189,11 @@ object Similarity {
     // re-assemble each doc's shingles ordered by (df, shingle);
     // shingles are distinct within a doc so the sort key is unique and
     // collect_list's nondeterministic order is irrelevant
+    // long arithmetic: n·tNum on an int column would wrap for a
+    // pathological ~500M-shingle document before the div
     val prefLen =
-      (col("n") - expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1).cast("int")
+      (col("n") - expr(s"(CAST(n AS BIGINT) * $tNum + ${tDen - 1}) div $tDen") + 1)
+        .cast("int")
     val prefixes = ex.join(df, Seq("shingle"))
       .groupBy("doc_id")
       .agg(
