@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CalabrioSync, Multimodal, Queries, Shred, Similarity, TextOps}
+import graft.operators.{CalabrioSync, Components, Multimodal, Queries, Shred, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -90,6 +90,20 @@ object SparkEntry {
     // EXACT Jaccard near-dup via prefix filtering (candidate-complete,
     // unlike the signature-based variants) — all-pairs DuckDB oracle.
     "jaccard_neardup" -> ((s, dir) => Similarity.jaccardNearDup(Tables.documents(s, dir))),
+    // Pairs → clusters: connected components over the near-dup edges
+    // (alternating star algorithm) and the survivor view that keeps
+    // each cluster's minimum doc. Oracle recomputes the components via
+    // a recursive transitive-closure CTE over the same all-pairs edges.
+    "neardup_clusters" -> ((s, dir) => Components.connectedComponents(
+      Similarity.minhashNearDup(Tables.documents(s, dir)))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")),
+    "dedup_survivors" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Components.dedupSurvivors(d, Similarity.minhashNearDup(d))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
     // Approximate / signature ops — no SQL oracle (rows-only check):
     // ann_topk_lsh trades recall for bucket-local work; simhash uses
     // engine-specific 64-bit hashing. Both are covered by SimilaritySpec.
@@ -240,6 +254,27 @@ object SparkEntry {
        |        'https://calabriocloud.com/index.html#/recordings/' || id || '/ccr' AS contact_url,
        |        assocCallId AS cjp_session_id
        | FROM read_json('/root/repo/fixtures/$file'))""".stripMargin
+
+  /** Shared oracle fragment: component labels over the all-pairs
+    * Jaccard-≥½ near-dup edges — the transitive-closure mirror of
+    * Components.connectedComponents ∘ Similarity.minhashNearDup. Must
+    * be the FIRST item of a WITH RECURSIVE clause.
+    */
+  private val componentLabelsSqlCtes: String =
+    """t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks FROM documents),
+      | s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      |       FROM t WHERE len(toks) >= 3),
+      | p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |        len(list_intersect(a.sh, b.sh)) AS inter_size,
+      |        len(list_distinct(list_concat(a.sh, b.sh))) AS union_size
+      |       FROM s a JOIN s b ON a.doc_id < b.doc_id),
+      | pairs AS (SELECT doc_a, doc_b FROM p WHERE inter_size * 2 >= union_size),
+      | sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+      | reach(a, b) AS (
+      |   SELECT a, b FROM sym
+      |   UNION
+      |   SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a),
+      | labels AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -450,6 +485,14 @@ object SparkEntry {
         |SELECT doc_a, doc_b, inter_size, union_size FROM p
         |WHERE inter_size * 5 >= union_size * 4
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "neardup_clusters" ->
+      s"""WITH RECURSIVE $componentLabelsSqlCtes
+         |SELECT doc_id, component FROM labels ORDER BY doc_id""".stripMargin,
+    "dedup_survivors" ->
+      s"""WITH RECURSIVE $componentLabelsSqlCtes
+         |SELECT d.doc_id, d.lang FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM labels WHERE component <> doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "ann_recall" ->
       """SELECT vec_id AS q_id, true AS floor_met FROM embeddings
         |WHERE vec_id < 5 ORDER BY q_id""".stripMargin,

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over near-duplicate pair edges — the step that
+  * turns a pair list (minhashNearDup / jaccardNearDup /
+  * embeddingNearDup output) into dedup CLUSTERS and survivor sets. A
+  * training-data pipeline can't act on pairs: transitive chains
+  * (A~B~C with A!~C) must collapse to one representative, which is a
+  * connected-components problem, not a per-pair filter.
+  *
+  * Algorithm: the alternating large-star / small-star edge rewriting
+  * of Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii,
+  * "Connected Components in MapReduce and Beyond" (SoCC'14).
+  * Each round rewires edges toward component minima and provably
+  * converges in O(log² n) rounds (2 rounds on the near-clique clusters
+  * near-dup detection produces) to a star forest: every node points to
+  * its component's minimum id.
+  *
+  * 100 TB posture:
+  *  - every step is an equi-shuffle keyed on a LONG node id (groupBy
+  *    min + self-join); never an all-pairs product, never a driver
+  *    collect — edge rows are two longs regardless of document size;
+  *  - the edge set can only SHRINK or rewire (large-star emits at most
+  *    one edge per directed input edge, small-star one per node +
+  *    input edge), so intermediate state is bounded by the input;
+  *  - iteration lineage is truncated each round by re-rooting the plan
+  *    at the computed RDD (shuffle files of prior rounds are reused by
+  *    the scheduler's stage-skip, so the convergence-check action per
+  *    round recomputes only the current round's stages); nothing is
+  *    persisted, so long-lived sessions accumulate no cache entries;
+  *  - convergence is detected by a (count, hash-sum, id-sum) edge-set
+  *    checksum, one tiny agg action per round, and a non-converged
+  *    run past maxIter THROWS rather than returning partial labels.
+  */
+object Components {
+
+  /** Component labels for every node that appears in `edges`: one
+    * (id, component) row per distinct endpoint, where component is the
+    * minimum id in the node's connected component. Nodes with no edge
+    * don't appear (they are their own singleton component by
+    * definition; callers that need them union the vertex set in).
+    * Self-loops, duplicate and reversed-duplicate edges, and
+    * null endpoints are ignored.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String = "doc_a",
+      dstCol: String = "doc_b",
+      maxIter: Int = 50): DataFrame = {
+    var e = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct()
+    var state = checksum(e)
+    if (state._1 == 0L) return emptyLabels(e)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val next = truncate(smallStar(largeStar(e)))
+      val ns = checksum(next)
+      converged = ns == state
+      e = next
+      state = ns
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "raise maxIter (expected only for adversarial long-path graphs)")
+    // star forest: every edge is (member, componentMin); roots appear
+    // only on the v side, so they label themselves
+    e.select(col("u").as("id"), col("v").as("component"))
+      .union(e.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
+  }
+
+  /** Survivor view of `docs` under the near-dup pair set: every doc
+    * that is NOT a non-minimum member of some cluster — i.e. each
+    * cluster keeps exactly its lowest-id document and all unpaired
+    * docs pass through. The canonical "dedup the corpus" step after
+    * any of the near-dup pair operators.
+    */
+  def dedupSurvivors(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Large-star: for each node u (over BOTH edge orientations), link
+    * every strictly-larger neighbor to m = min(Γ(u) ∪ {u}). Keeps
+    * connectivity (each original edge is processed from its smaller
+    * endpoint) while pulling big nodes toward component minima.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.filter(col("v") > col("u"))
+      .join(mins, Seq("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star: orient every edge large→small, then for each node u
+    * link all its (smaller) neighbors AND u itself to
+    * m = min(N(u) ∪ {u}) — collapsing local chains into stars.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val or = e.select(
+      greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+    val mins = or.groupBy("u").agg(min(col("v")).as("m"))
+    or.join(mins, Seq("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(mins.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Edge-set identity: (count, ⊕ xxhash64(u,v), ⊕ xxhash64(v,u)).
+    * Equal tuples across rounds ⇒ the (distinct) edge set is unchanged
+    * — two independent 64-bit xors make a silent collision
+    * astronomically unlikely, at the cost of one map-side-combined
+    * agg. XOR, not SUM: it is overflow-free under ANSI mode, and
+    * cancellation only bites on duplicate rows, which distinct()
+    * already removed.
+    */
+  private def checksum(e: DataFrame): (Long, Long, Long) = {
+    val r = e.agg(
+      count(lit(1)),
+      coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)),
+      coalesce(expr("bit_xor(xxhash64(v, u))"), lit(0L))).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  /** Re-root the plan at the computed rows: the returned frame's
+    * logical plan is a leaf, so per-round plans (and analysis cost)
+    * stay constant instead of nesting 6 joins per iteration. The RDD
+    * lineage underneath still reaches back through prior rounds, but
+    * their shuffle files make re-walks stage-skips, and nothing needs
+    * persisting or releasing.
+    */
+  private def truncate(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
+  private def emptyLabels(e: DataFrame): DataFrame =
+    e.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("component", org.apache.spark.sql.types.LongType))))
+}

@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.Components
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Connected components / dedup survivors: the alternating star
+  * algorithm must agree with a brute-force union-find on arbitrary
+  * graphs, converge fast on the adversarial long-path shape, and
+  * survive the degenerate inputs (empty, self-loops, duplicates).
+  */
+class ComponentsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def labelsOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components
+      .connectedComponents(edges.toDF("doc_a", "doc_b"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+
+  /** Reference union-find with path compression. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      if (a != b) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    // roots are already component minima because union always points
+    // the larger root at the smaller
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("matches union-find on random graphs (ScalaCheck)") {
+    val edgeGen = for {
+      a <- Gen.choose(0L, 30L)
+      b <- Gen.choose(0L, 30L)
+    } yield (a, b)
+    val prop = Prop.forAll(Gen.listOf(edgeGen)) { edges =>
+      val real = edges.filter { case (a, b) => a != b }
+      labelsOf(edges) == unionFind(real)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("long path collapses to one component (log-round convergence)") {
+    val n = 64L
+    val path = (0L until n - 1).map(i => (i, i + 1))
+    val labels = labelsOf(path)
+    assert(labels.keySet == (0L until n).toSet)
+    assert(labels.values.toSet == Set(0L))
+  }
+
+  test("two clusters + degenerate edges: self-loops, dups, reversals") {
+    val edges = Seq(
+      (5L, 3L), (3L, 5L), (5L, 5L), (3L, 9L), (9L, 3L), // cluster {3,5,9}
+      (20L, 21L), (21L, 20L), (20L, 21L)) // cluster {20,21}
+    assert(labelsOf(edges) ==
+      Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("empty edge set yields empty labels") {
+    val labels = Components.connectedComponents(
+      spark.emptyDataset[(Long, Long)].toDF("doc_a", "doc_b"))
+    assert(labels.collect().isEmpty)
+    assert(labels.columns.toSeq == Seq("id", "component"))
+  }
+
+  test("dedupSurvivors keeps cluster minima and all unpaired docs") {
+    val docs = (0L to 9L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    // clusters {1,2,3} (transitive chain) and {7,9}; 0,4,5,6,8 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (9L, 7L)).toDF("doc_a", "doc_b")
+    val kept = Components.dedupSurvivors(docs, pairs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 1L, 4L, 5L, 6L, 8L, 7L).sorted)
+  }
+
+  test("non-convergent budget throws instead of returning partial labels") {
+    val path = (0L until 64L).sliding(2).map(s => (s(0), s(1))).toSeq
+    intercept[IllegalStateException] {
+      Components.connectedComponents(path.toDF("doc_a", "doc_b"), maxIter = 1)
+        .collect()
+    }
+  }
+
+  test("leaves no persisted RDDs behind") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    labelsOf(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty)
+  }
+}
