@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CalabrioSync, Components, Multimodal, Queries, Shred, Similarity, TextOps}
+import graft.operators.{CalabrioSync, Components, Multimodal, Queries, Sampling, Shred, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -84,6 +84,18 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
     "lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "token_counts" -> ((s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))),
+    // Deterministic curation sampling: hash-gated, so re-runs and
+    // retries select identical rows and the oracle can replay the
+    // exact md5 rule.
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedTopN(Tables.documents(s, dir), "lang", "doc_id", n = 20)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+    "sample_mix" -> ((s, dir) =>
+      Sampling.mixByRate(Tables.documents(s, dir), "lang", "doc_id",
+        Map("en" -> 500, "de" -> 250, "es" -> 250, "fr" -> 125, "zh" -> 125))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
     // Similarity / near-dup family over embeddings + documents.
     "cosine_topk" -> ((s, dir) => Similarity.cosineTopK(Tables.embeddings(s, dir))),
     "minhash_neardup" -> ((s, dir) => Similarity.minhashNearDup(Tables.documents(s, dir))),
@@ -451,6 +463,22 @@ object SparkEntry {
         |            WHEN hits_es >= hits_fr THEN 'es'
         |            ELSE 'fr' END AS lang_guess
         |FROM h ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20
+        |ORDER BY doc_id""".stripMargin,
+    // thresholds are the engine's quantization of the per-mille rates:
+    // 500 -> 32768 = '8000', 250 -> 16384 = '4000', 125 -> 8192 = '2000'
+    "sample_mix" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CASE lang
+        |  WHEN 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+        |  WHEN 'de' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+        |  WHEN 'es' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+        |  WHEN 'fr' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '2000'
+        |  WHEN 'zh' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '2000'
+        |  ELSE false END
+        |ORDER BY doc_id""".stripMargin,
     "cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         | q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e WHERE vec_id < 5),

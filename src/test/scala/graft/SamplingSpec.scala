@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling: reproducibility under re-evaluation and
+  * repartitioning (the property RNG sampling lacks), per-stratum caps,
+  * rate-gate semantics, and plausible selectivity of the hash gate.
+  */
+class SamplingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = (0L until 1000L)
+    .map(i => (i, if (i % 4 == 0) "en" else if (i % 4 == 1) "de" else if (i % 4 == 2) "es" else "zh"))
+    .toDF("doc_id", "lang")
+
+  test("stratifiedTopN: exactly n per stratum, identical across runs and layouts") {
+    val a = Sampling.stratifiedTopN(docs, "lang", "doc_id", 10)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.stratifiedTopN(docs.repartition(13), "lang", "doc_id", 10)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+    val perLang = Sampling.stratifiedTopN(docs, "lang", "doc_id", 10)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(perLang == Map("en" -> 10L, "de" -> 10L, "es" -> 10L, "zh" -> 10L))
+  }
+
+  test("stratifiedTopN with n beyond stratum size keeps the whole stratum") {
+    val kept = Sampling.stratifiedTopN(docs, "lang", "doc_id", 5000).count()
+    assert(kept == 1000L)
+  }
+
+  test("mixByRate: unlisted strata drop, rate>=1000 keeps all, rate<=0 drops all") {
+    val mixed = Sampling.mixByRate(docs, "lang", "doc_id",
+      Map("en" -> 1000, "de" -> 0, "es" -> 500))
+    val byLang = mixed.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang.getOrElse("zh", 0L) == 0L, "unlisted stratum must drop")
+    assert(byLang.getOrElse("de", 0L) == 0L, "rate 0 must drop")
+    assert(byLang("en") == 250L, "rate 1000 keeps the whole stratum")
+    // 250 es docs at 50%: binomial(250, .5) — allow a wide band
+    assert(byLang("es") > 75L && byLang("es") < 175L,
+      s"rate 500 selectivity implausible: ${byLang("es")}")
+  }
+
+  test("mixByRate is a pure function of the id: stable under union-with-self") {
+    val once = Sampling.mixByRate(docs, "lang", "doc_id", Map("en" -> 300))
+      .select("doc_id").as[Long].collect().toSet
+    val doubled = Sampling.mixByRate(docs.union(docs), "lang", "doc_id", Map("en" -> 300))
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(once == doubled)
+  }
+
+  test("the hash gate matches an independently computed md5 prefix rule") {
+    val kept = Sampling.mixByRate(docs, "lang", "doc_id", Map("en" -> 250))
+      .select("doc_id").as[Long].collect().toSet
+    val thr = 250 * 65536L / 1000L
+    val expected = (0L until 1000L).filter(_ % 4 == 0).filter { id =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val prefix = f"${d(0) & 0xff}%02x${d(1) & 0xff}%02x"
+      java.lang.Long.parseLong(prefix, 16) < thr
+    }.toSet
+    assert(kept == expected)
+  }
+}
