@@ -49,11 +49,15 @@ object Components {
       srcCol: String = "doc_a",
       dstCol: String = "doc_b",
       maxIter: Int = 50): DataFrame = {
-    var e = edges
+    // truncate BEFORE the first action: every subsequent round (and the
+    // initial checksum) then hangs off one compiled RDD graph, so the
+    // possibly-expensive upstream plan (e.g. the whole minhash near-dup
+    // pipeline) executes once and later walks stage-skip its shuffles
+    var e = truncate(edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
-      .distinct()
+      .distinct())
     var state = checksum(e)
     if (state._1 == 0L) return emptyLabels(e)
     var it = 0

@@ -199,6 +199,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("stratifiedTopN plans as WindowGroupLimit (bounded pre-shuffle rows)") {
+    // the claimed 100 TB posture: each map task forwards at most n rows
+    // per stratum BEFORE the window shuffle — that is Spark 4's
+    // WindowGroupLimit (partial+final) rewrite of a row_number cap, and
+    // it must actually fire for the md5-ordered sampling window
+    val df = graft.operators.Sampling.stratifiedTopN(
+      Tables.documents(spark, "/root/testdata/sf0.01"), "lang", "doc_id", 20)
+    val plan = executedPlan(df)
+    assert(plan.contains("WindowGroupLimit"),
+      s"row_number cap must rewrite to WindowGroupLimit:\n$plan")
+  }
+
+  test("mixByRate is map-only: no exchange in the plan") {
+    val df = graft.operators.Sampling.mixByRate(
+      Tables.documents(spark, "/root/testdata/sf0.01"), "lang", "doc_id",
+      Map("en" -> 500, "de" -> 250))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"hash gate must not shuffle:\n$plan")
+  }
+
   test("embeddingNearDup returns only pairs above threshold, a<b") {
     val out = Similarity.embeddingNearDup(Tables.embeddings(spark, dir), 400000L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
