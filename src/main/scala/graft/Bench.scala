@@ -12,6 +12,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
+    Sessions.quietBoundedWindowWarning()
     // Warm-up pass (untimed): JVM/codegen compilation, parquet reader
     // and shuffle machinery initialization otherwise land entirely on
     // whichever query sorts first (~8 s of constant overhead measured

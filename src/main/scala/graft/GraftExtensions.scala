@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{CountTokensIn, CountTokensInMulti, FloatDot, FloatNorm2, HammingBits, HyperplaneSig, MinHashBandKeys, MinHashSignature, SimHashBits, TokenFingerprint, TokenProfile, WordShingles}
+import graft.expressions.{CountTokensIn, CountTokensInMulti, FloatDot, FloatNorm2, HammingBits, HyperplaneSig, MinHashBandKeys, MinHashSignature, PiiScrub, SimHashBits, TokenFingerprint, TokenProfile, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -118,6 +118,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => HammingBits(a, b)
         case _ => throw new IllegalArgumentException(
           "usage: hamming_bits(sigA, sigB)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("pii_scrub"),
+      new ExpressionInfo(classOf[PiiScrub].getName, "pii_scrub"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => PiiScrub(c)
+        case _ => throw new IllegalArgumentException("usage: pii_scrub(text)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("word_shingles"),

@@ -11,6 +11,19 @@ import org.apache.spark.sql.SparkSession
   * any concurrently-planned query (VERDICT r2 "What's wrong" #4).
   */
 object Sessions {
+
+  /** The only un-partitioned window in the codebase is runningTally's
+    * post-aggregation frame over |distinct dates| rows (bounded by the
+    * calendar, not the data — Queries.scala runningTally scaladoc), so
+    * WindowExec's blanket "no partition defined" warning is noise
+    * here; every data-sized window is partitioned. Scoped to that one
+    * logger — anything else Spark warns about still surfaces.
+    */
+  def quietBoundedWindowWarning(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+
   def local(cores: String): SparkSession = SparkSession.builder()
     .withExtensions(new GraftExtensions)
     .master(s"local[$cores]")

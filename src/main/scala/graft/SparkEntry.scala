@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CalabrioSync, Components, Multimodal, Queries, Sampling, Shred, Similarity, TextOps}
+import graft.operators.{CalabrioSync, Components, Multimodal, Queries, Sampling, Shred, Similarity, Sketches, TextOps}
+import org.apache.spark.sql.functions.{col, concat, lit, lpad, when}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -96,6 +97,42 @@ object SparkEntry {
         Map("en" -> 500, "de" -> 250, "es" -> 250, "fr" -> 125, "zh" -> 125))
         .select("doc_id", "lang")
         .orderBy("doc_id")),
+    // PII redaction through the fused pii_scrub expression. The corpus
+    // carries no real PII, so the query PLANTS deterministic markers
+    // (email/phone/IP derived from doc_id, on coprime modulus gates so
+    // counts vary and include zero) and the oracle replants + rescrubs
+    // them with the identical RE2-safe patterns — the clean text
+    // compares byte-exact.
+    "pii_redact" -> ((s, dir) => {
+      val withPii = Tables.documents(s, dir).withColumn("text2", concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0, concat(
+          lit(" mail user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, concat(
+          lit(" call 303-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, concat(
+          lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7"))).otherwise(lit(""))))
+      TextOps.redactPii(withPii, "text2")
+        .select("doc_id", "n_emails", "n_ips", "n_phones", "clean_text")
+        .orderBy("doc_id")
+    }),
+    // Corpus vocabulary head: top terms by collection frequency with
+    // document frequency alongside (the IDF numerator) — two-level
+    // partial aggregation, no countDistinct Expand.
+    "top_terms" -> ((s, dir) => TextOps.topTerms(Tables.documents(s, dir))),
+    // Sketch accuracy rows (measured-guarantee pattern, like
+    // ann_recall): HLL++ distinct-count error per event_type and GK
+    // quantile rank error over document lengths, each against the
+    // exact answer computed in the same query. A sketch accuracy
+    // regression flips floor_met and the row goes red.
+    "hll_distinct_check" -> ((s, dir) =>
+      Sketches.hllDistinctCheck(Tables.events(s, dir))),
+    "quantile_check" -> ((s, dir) =>
+      Sketches.quantileCheck(Tables.documents(s, dir), "n_chars")),
     // Similarity / near-dup family over embeddings + documents.
     "cosine_topk" -> ((s, dir) => Similarity.cosineTopK(Tables.embeddings(s, dir))),
     "minhash_neardup" -> ((s, dir) => Similarity.minhashNearDup(Tables.documents(s, dir))),
@@ -417,6 +454,42 @@ object SparkEntry {
         |       CAST(sum(toks) AS BIGINT) AS total_tokens, min(toks) AS min_tokens, max(toks) AS max_tokens
         |FROM (SELECT lang, n_chars, len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS toks FROM documents)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // Same markers, same RE2 patterns, same email→IP→phone order as
+    // HashOps.PiiPatterns — clean_text must compare byte-exact.
+    "pii_redact" ->
+      """WITH t AS (SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' call 303-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END AS t0
+        |  FROM documents),
+        | s1 AS (SELECT doc_id,
+        |        len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |        regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |   FROM t),
+        | s2 AS (SELECT doc_id, n_emails,
+        |        len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |        regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+        |   FROM s1),
+        | s3 AS (SELECT doc_id, n_emails, n_ips,
+        |        len(regexp_extract_all(t2, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phones,
+        |        regexp_replace(t2, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS clean_text
+        |   FROM s2)
+        |SELECT doc_id, n_emails, n_ips, n_phones, clean_text FROM s3 ORDER BY doc_id""".stripMargin,
+    "top_terms" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term FROM documents),
+        | f AS (SELECT doc_id, term FROM toks WHERE length(term) >= 2
+        |        AND term NOT IN ('the','a','an','of','and','or','is','in','to','for')),
+        | td AS (SELECT term, doc_id, count(*) AS tf FROM f GROUP BY term, doc_id)
+        |SELECT term, CAST(sum(tf) AS BIGINT) AS n, count(*) AS df
+        |FROM td GROUP BY term ORDER BY n DESC, term LIMIT 25""".stripMargin,
+    // Sketch checks: the oracle asserts the key frame and the
+    // floor_met contract (true per row); the Spark side computes the
+    // measured sketch-vs-exact error and flips to false on regression.
+    "hll_distinct_check" ->
+      "SELECT event_type, true AS floor_met FROM events GROUP BY event_type ORDER BY event_type",
+    "quantile_check" ->
+      """SELECT * FROM (VALUES (500, true), (900, true), (990, true)) AS t(q_pm, floor_met) ORDER BY q_pm""".stripMargin,
     "doc_tokens" ->
       """WITH t AS (SELECT doc_id, text, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks FROM documents)
         |SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_uniq_tokens,

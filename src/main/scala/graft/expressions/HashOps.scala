@@ -214,6 +214,54 @@ object HashOps {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](n, acc))
   }
 
+  /** PII category patterns, compiled once per JVM and applied in a
+    * FIXED order (email → IPv4 → phone): replacing emails first keeps
+    * the IPv4 pattern from matching digit-dot runs inside an email
+    * domain, and replacing IPv4 before phones keeps `\d{3}-` from
+    * seeing synthetic dash forms some pipelines emit for octets. Only
+    * RE2-expressible constructs (no lookaround, no backrefs), so the
+    * DuckDB oracle runs the IDENTICAL patterns in the identical order.
+    */
+  private val PiiPatterns: Array[(java.util.regex.Pattern, String)] = Array(
+    (java.util.regex.Pattern.compile(
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), "<EMAIL>"),
+    (java.util.regex.Pattern.compile(
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"), "<IP>"),
+    (java.util.regex.Pattern.compile(
+      "\\b\\d{3}-\\d{3}-\\d{4}\\b"), "<PHONE>"))
+
+  /** Single-pass-per-category PII scrub: each category walks the text
+    * once with a matcher that counts AND splices the replacement token
+    * (the composed formulation — regexp_count + regexp_replace per
+    * category — walks it twice per category). Returns
+    * (clean, n_emails, n_ips, n_phones).
+    */
+  def piiScrub(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    var cur = text.toString
+    val counts = new Array[Int](PiiPatterns.length)
+    var i = 0
+    while (i < PiiPatterns.length) {
+      val (p, token) = PiiPatterns(i)
+      val m = p.matcher(cur)
+      if (m.find()) {
+        val sb = new java.lang.StringBuilder(cur.length)
+        var n = 0
+        var last = 0
+        do {
+          sb.append(cur, last, m.start()).append(token)
+          last = m.end()
+          n += 1
+        } while (m.find())
+        sb.append(cur, last, cur.length)
+        cur = sb.toString
+        counts(i) = n
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(cur), counts(0), counts(1), counts(2)))
+  }
+
   /** The hyperplane sign matrix hₖⱼ ∈ {−1,+1} from bit 0 of
     * xxhash64(j·4096+k) — a CONSTANT, precomputed once per JVM like
     * A/B above. Deriving it per row cost ~5k redundant XXH64 calls per

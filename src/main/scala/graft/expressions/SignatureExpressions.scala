@@ -236,6 +236,27 @@ case class FloatNorm2(child: Expression)
     copy(child = newChild)
 }
 
+case class PiiScrub(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean", StringType, nullable = false),
+    StructField("n_emails", IntegerType, nullable = false),
+    StructField("n_ips", IntegerType, nullable = false),
+    StructField("n_phones", IntegerType, nullable = false)))
+  override def prettyName: String = "pii_scrub"
+  protected override def nullSafeEval(input: Any): Any =
+    HashOps.piiScrub(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashOps.piiScrub($c)")
+  override protected def withNewChildInternal(newChild: Expression): PiiScrub =
+    copy(child = newChild)
+}
+
 case class SimHashBits(child: Expression, bits: Int)
     extends UnaryExpression with StringArrayInput {
   override def dataType: DataType = StringType

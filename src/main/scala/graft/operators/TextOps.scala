@@ -181,6 +181,46 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** PII redaction — the scrub a training-data pipeline runs before
+    * any document leaves the ingest boundary: emails, IPv4 addresses,
+    * and phone numbers replaced by category tokens, with per-category
+    * match counts kept for audit. One fused native expression
+    * (pii_scrub): each category is a single counting-splicing matcher
+    * walk instead of a regexp_count + regexp_replace pair, and the
+    * whole scrub stays inside whole-stage codegen. Map-only — no
+    * shuffle at any scale.
+    */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("_s", call_function("pii_scrub", col(textCol)))
+      .withColumn("clean_text", col("_s.clean"))
+      .withColumn("n_emails", col("_s.n_emails"))
+      .withColumn("n_ips", col("_s.n_ips"))
+      .withColumn("n_phones", col("_s.n_phones"))
+      .drop("_s")
+
+  /** Corpus top terms with collection AND document frequency — the
+    * vocabulary/IDF table a pipeline derives before TF-IDF weighting
+    * or stopword discovery. Two-level aggregation instead of
+    * countDistinct: groupBy(term, doc_id) then groupBy(term) keeps
+    * BOTH shuffles map-side-combinable (count-distinct over an
+    * exploded token stream would Expand every token row), so the first
+    * shuffle carries at most |distinct (term, doc)| partial counts,
+    * never the raw token stream. Final top-k is a TakeOrderedAndProject
+    * (per-partition heap, k rows to the driver), not a global sort.
+    * Ties break on the term itself, so the k rows are deterministic.
+    */
+  def topTerms(docs: DataFrame, k: Int = 25): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "[^a-z]+"),
+          t => length(t) >= 2)).as("term"))
+      .filter(!col("term").isin(stopwords: _*))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .groupBy("term").agg(sum("tf").as("n"), count(lit(1)).as("df"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(k)
+
   /** Positional token fingerprint: sum_i (i+1)·(131·len(tᵢ)+ascii(tᵢ)).
     * Order-sensitive (a shuffled document fingerprints differently)
     * yet built only from arithmetic both engines define identically —

@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{Sketches, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Behavior specs for the round-5 additions: PII redaction, corpus
+  * top-terms, and the sketch accuracy checks.
+  */
+class TextSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redactPii scrubs all three categories and counts per category") {
+    val docs = Seq(
+      (1L, "write a@b.co and c.d+x@e.org then ping 10.0.0.1 or call 303-555-0199"),
+      (2L, "no pii here at all"),
+      (3L, "double mail a@b.co a@b.co")
+    ).toDF("doc_id", "text")
+    val out = TextOps.redactPii(docs).orderBy("doc_id")
+      .select("doc_id", "clean_text", "n_emails", "n_ips", "n_phones")
+      .as[(Long, String, Int, Int, Int)].collect()
+    assert(out(0) == ((1L,
+      "write <EMAIL> and <EMAIL> then ping <IP> or call <PHONE>", 2, 1, 1)))
+    assert(out(1) == ((2L, "no pii here at all", 0, 0, 0)))
+    assert(out(2) == ((3L, "double mail <EMAIL> <EMAIL>", 2, 0, 0)))
+  }
+
+  test("redactPii order: emails scrubbed before the IP pattern can see their domains") {
+    val docs = Seq(
+      // dotted digit run INSIDE an email domain: email-first consumes
+      // it whole; ip-first would have split the address
+      (1L, "mail me at u@10.0.0.1.example.com ok"),
+      // all-digit domain with no alphabetic TLD is NOT an email — the
+      // IP pattern correctly claims the dotted quad
+      (2L, "mail me at root@10.0.0.1 ok")
+    ).toDF("doc_id", "text")
+    val r = TextOps.redactPii(docs).orderBy("doc_id")
+      .select("clean_text", "n_emails", "n_ips").as[(String, Int, Int)].collect()
+    assert(r(0) == (("mail me at <EMAIL> ok", 1, 0)))
+    assert(r(1) == (("mail me at root@<IP> ok", 0, 1)))
+  }
+
+  test("topTerms: collection and document frequency, deterministic ties, stopwords dropped") {
+    val docs = Seq(
+      (1L, "Spark spark SHUFFLE the a of"),
+      (2L, "spark shuffle shuffle zz"),
+      (3L, "zz zz")
+    ).toDF("doc_id", "text")
+    val out = TextOps.topTerms(docs, k = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    // spark: tf 3 (2 in doc1 via lowercasing, 1 in doc2), df 2
+    // shuffle: tf 3, df 2; zz: tf 3, df 2 — ties break on term asc
+    assert(out == Seq(("shuffle", 3L, 2L), ("spark", 3L, 2L), ("zz", 3L, 2L)))
+  }
+
+  test("hllDistinctCheck holds its floor on the test events table") {
+    val out = Sketches.hllDistinctCheck(Tables.events(spark, "/root/testdata/sf0.001"))
+      .as[(String, Boolean)].collect()
+    assert(out.nonEmpty && out.forall(_._2))
+  }
+
+  test("hllDistinctCheck flips floor_met when the floor is unreachable") {
+    // maxErrPerMille = -1 makes the inequality unsatisfiable wherever
+    // approx != 0 — proves the boolean actually measures, not asserts
+    val out = Sketches.hllDistinctCheck(
+      Tables.events(spark, "/root/testdata/sf0.001"), maxErrPerMille = -1)
+      .as[(String, Boolean)].collect()
+    assert(out.forall(!_._2))
+  }
+
+  test("quantileCheck: rank error within floor on documents, exact on a tiny frame") {
+    val out = Sketches.quantileCheck(
+      Tables.documents(spark, "/root/testdata/sf0.001"), "n_chars")
+      .as[(Int, Boolean)].collect()
+    assert(out.map(_._1).toSeq == Seq(500, 900, 990))
+    assert(out.forall(_._2))
+    // tiny frame, accuracy >> n: the sketch must be exact, any q
+    val tiny = (1 to 100).map(i => i.toLong).toDF("v")
+    val t = Sketches.quantileCheck(tiny, "v", qsPerMille = Seq(250, 750),
+      maxRankErrPerMille = 0)
+    assert(t.as[(Int, Boolean)].collect().forall(_._2))
+  }
+}
