@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CalabrioSync, Components, Multimodal, Queries, Sampling, Shred, Similarity, Sketches, TextOps}
-import org.apache.spark.sql.functions.{col, concat, lit, lpad, when}
+import graft.operators.{CalabrioSync, Components, Multimodal, Queries, Sampling, Shred, Similarity, Sketches, TemporalJoins, TextOps}
+import org.apache.spark.sql.functions.{col, concat, count, expr, lit, lpad, when}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -245,6 +245,46 @@ object SparkEntry {
     // P1 at table scale: JSON path extraction + filter + agg over the
     // events stream table (600k rows at bench sf).
     "event_props_summary" -> ((s, dir) => Queries.eventPropsSummary(s, dir)),
+    // As-of join (last-touch attribution): every purchase gets the
+    // latest preceding click/view by the same user, or nulls. Times
+    // ride as epoch-ms longs so both engines compare at identical
+    // precision (events.parquet is nanos; Spark truncates to micros on
+    // read, so comparing raw timestamps could disagree inside 1 µs).
+    // Rights are pre-deduped to one row per (user, ms) via max_by —
+    // the asofJoin tie contract. Oracle: DuckDB's native ASOF LEFT JOIN.
+    "asof_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("ms", expr("unix_micros(ts) DIV 1000"))
+      val touches = ev.where(col("event_type").isin("click", "view"))
+        .groupBy(col("user_id").as("t_user"), col("ms").as("touch_ms"))
+        .agg(expr("max_by(event_id, event_id)").as("touch_id"),
+          expr("max_by(event_type, event_id)").as("touch_type"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ms").as("purchase_ms"), col("value").as("amount"))
+      TemporalJoins.asofJoin(
+        purchases, touches, "user_id", "t_user", "purchase_ms", "touch_ms",
+        Seq("touch_id", "touch_type", "touch_ms"))
+        .orderBy("purchase_id")
+    }),
+    // Band self-join (no equi-key): pairs of events within 1 s of each
+    // other, rolled up per type pair. The bucketed band join keeps the
+    // plan an equi-join; DuckDB's IEJoin answers the same inequality
+    // predicate directly as the oracle.
+    "event_bursts" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          expr("unix_micros(ts) DIV 1000").as("ms"))
+      val a = ev.select(col("event_id").as("id_a"),
+        col("event_type").as("type_a"), col("ms").as("ms_a"))
+      val b = ev.select(col("event_id").as("id_b"),
+        col("event_type").as("type_b"), col("ms").as("ms_b"))
+      TemporalJoins.bandJoin(a, b, "ms_a", "ms_b", 1000L)
+        .where(col("id_a") < col("id_b"))
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("type_a", "type_b")
+    }),
     // The troubleshooting row-count surface as one relation.
     "table_counts" -> ((s, _) => CalabrioSync.tableCounts(s)),
   )
@@ -684,6 +724,26 @@ object SparkEntry {
         |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value FROM events)
         |WHERE k IS NOT NULL AND k >= 10
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "asof_attribution" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ms FROM events),
+        | touches AS (SELECT user_id AS t_user, ms AS touch_ms,
+        |               max_by(event_id, event_id) AS touch_id,
+        |               max_by(event_type, event_id) AS touch_type
+        |             FROM ev WHERE event_type IN ('click', 'view')
+        |             GROUP BY user_id, ms),
+        | purchases AS (SELECT event_id AS purchase_id, user_id, ms AS purchase_ms, value AS amount
+        |               FROM ev WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id, p.purchase_ms, p.amount,
+        |       t.touch_id, t.touch_type, t.touch_ms
+        |FROM purchases p ASOF LEFT JOIN touches t
+        |  ON p.user_id = t.t_user AND p.purchase_ms >= t.touch_ms
+        |ORDER BY purchase_id""".stripMargin,
+    "event_bursts" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_ms(ts) AS ms FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_pairs
+        |FROM e a JOIN e b
+        |  ON a.event_id < b.event_id AND b.ms BETWEEN a.ms - 1000 AND a.ms + 1000
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "table_counts" ->
       s"""SELECT 'qa_contacts' AS table_name, (SELECT count(*) FROM ${contactsShredSql("qa_contacts.json")} t) AS n
          |UNION ALL

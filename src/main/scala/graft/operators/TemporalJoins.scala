@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-axis joins Spark's built-in operators don't express directly:
+  * as-of (latest right row at-or-before each left row per key) and
+  * band/range (pairs within a bounded distance on an orderable axis).
+  *
+  * Both are built from shuffle-on-key primitives — no nested-loop or
+  * cartesian physical join ever appears in the plan (PlanSpec-style
+  * asserts in TemporalJoinsSpec), which is the whole point: Spark's
+  * own answer to `a.ts BETWEEN b.ts - x AND b.ts + x` with no equi-key
+  * is BroadcastNestedLoopJoin, which is O(|L|·|R|) work and a
+  * single-executor broadcast wall at 100 TB.
+  */
+object TemporalJoins {
+
+  /** As-of LEFT join: for every left row, the single right row with
+    * the greatest `rightTime` ≤ `leftTime` among rows sharing the join
+    * key — SQL engines with native support call this `ASOF JOIN`
+    * (DuckDB's is the oracle for the driver row). Lefts with no
+    * qualifying right get nulls, like a left join.
+    *
+    * Shape: tag rights 0 / lefts 1, union, one hash shuffle on the
+    * key, then a running `last(payload, ignoreNulls)` over
+    * (time, tag) rows-between(unboundedPreceding, currentRow). The
+    * running frame is computed incrementally by WindowExec (one
+    * aggregate update per row, no per-row frame rescans), so the cost
+    * is sort + one pass — the same work a dedicated as-of merge would
+    * do, and it partitions by key, so 1000 executors each sweep their
+    * own keys.
+    *
+    * Contract: `rightVals` must not collide with left column names,
+    * and the right side must be UNIQUE per (key, time) — at equal
+    * (key, time) the sort order of right rows is not total, so
+    * pre-aggregate ties (e.g. `max_by` a representative) as the
+    * attribution query does. Right rows with a null time never match
+    * (they are dropped — mirrors `t >= NULL` being false in SQL).
+    * Rights at exactly `leftTime` DO match (≤, not <).
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[String]): DataFrame = {
+    val collisions = rightVals.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty, s"rightVals collide with left columns: $collisions")
+
+    val payload = struct(rightVals.map(col): _*)
+    val payloadType = right.select(payload.as("_p")).schema("_p").dataType
+    val leftRow = struct(left.columns.map(col): _*)
+    val leftRowType = left.select(leftRow.as("_p")).schema("_p").dataType
+
+    val l = left.select(
+      col(leftKey).as("_k"), col(leftTime).as("_t"), lit(1).as("_side"),
+      lit(null).cast(payloadType).as("_rv"), leftRow.as("_lv"))
+    val r = right.where(col(rightTime).isNotNull).select(
+      col(rightKey).as("_k"), col(rightTime).as("_t"), lit(0).as("_side"),
+      payload.as("_rv"), lit(null).cast(leftRowType).as("_lv"))
+
+    // rights sort before lefts at equal time so `t_right == t_left`
+    // matches; the frame is a running one, so WindowExec maintains the
+    // carried value incrementally instead of rescanning frames
+    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("_m", last(col("_rv"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select(left.columns.map(c => col(s"_lv.$c").as(c)) ++
+        rightVals.map(c => col(s"_m.$c").as(c)): _*)
+  }
+
+  /** Band (bounded-range) INNER join: all (left, right) pairs with
+    * |leftTime − rightTime| ≤ band. No equi-key required — the
+    * equi-key is MANUFACTURED: rows bucket to floor(t/band); a right
+    * row within `band` of a left row is always in the left's bucket
+    * ±1, so exploding each left to its 3 candidate buckets and
+    * equi-joining on the bucket finds every qualifying pair exactly
+    * once (the right's bucket is unique), with the exact predicate
+    * re-checked on the survivors. Work is Σ|bucket_L|·|bucket_R| over
+    * co-bucketed rows — data-proximity bound, not |L|·|R| — and the
+    * join is a plain shuffled equi-join, so it scales out and AQE can
+    * split skewed buckets.
+    *
+    * Times must be non-negative integral (epoch ms/us); bucketing uses
+    * floor-division via pmod so a future negative epoch still buckets
+    * correctly. Column names must be disjoint (self-joins: alias
+    * first).
+    */
+  def bandJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftTime: String,
+      rightTime: String,
+      band: Long): DataFrame = {
+    require(band > 0, "band must be positive")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty, s"band join requires disjoint column names, both sides have: $overlap")
+
+    def bucketOf(t: String): Column =
+      expr(s"($t - pmod($t, ${band}L)) DIV ${band}L")
+
+    val l = left.withColumn("_bucket",
+      explode(array(bucketOf(leftTime) - 1, bucketOf(leftTime), bucketOf(leftTime) + 1)))
+    val r = right.withColumn("_bucket", bucketOf(rightTime))
+    l.join(r, Seq("_bucket"))
+      .where(abs(col(leftTime) - col(rightTime)) <= band)
+      .drop("_bucket")
+  }
+}

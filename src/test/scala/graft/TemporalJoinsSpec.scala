@@ -1,0 +1,108 @@
+package graft
+
+import graft.operators.TemporalJoins
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** asofJoin / bandJoin vs in-memory brute force, plus physical-plan
+  * asserts that neither ever degrades to a nested-loop or cartesian
+  * join (the scale rationale in TemporalJoins' scaladoc).
+  */
+class TemporalJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+
+  // (key, time, id) rights; (key, time) lefts — includes equal-time
+  // match, no-match key, and a left earlier than every right
+  private val rights = Seq(
+    (1L, 100L, "r-a"), (1L, 200L, "r-b"), (1L, 300L, "r-c"),
+    (2L, 150L, "r-d"),
+    (4L, 50L, "r-e"))
+  private val lefts = Seq(
+    (1L, 250L), (1L, 200L), (1L, 50L),
+    (2L, 1000L),
+    (3L, 500L))
+
+  test("asofJoin picks the latest right at-or-before each left, nulls otherwise") {
+    val l = lefts.toDF("k", "t")
+    val r = rights.toDF("rk", "rt", "tag")
+    val got = TemporalJoins.asofJoin(l, r, "k", "rk", "t", "rt", Seq("rt", "tag"))
+      .select("k", "t", "rt", "tag").as[(Long, Long, Option[Long], Option[String])]
+      .collect().toSet
+    val want = lefts.map { case (k, t) =>
+      val m = rights.filter(r => r._1 == k && r._2 <= t).sortBy(_._2).lastOption
+      (k, t, m.map(_._2), m.map(_._3))
+    }.toSet
+    assert(got === want)
+    // spot the semantics: equal time matches, 50 < min(right) does not
+    assert(want.contains((1L, 200L, Some(200L), Some("r-b"))))
+    assert(want.contains((1L, 50L, None, None)))
+  }
+
+  test("asofJoin preserves every left row and all left columns") {
+    val l = lefts.toDF("k", "t").withColumn("extra", col("t") * 2)
+    val r = rights.toDF("rk", "rt", "tag")
+    val out = TemporalJoins.asofJoin(l, r, "k", "rk", "t", "rt", Seq("tag"))
+    assert(out.count() === lefts.size)
+    assert(out.columns.toSeq === Seq("k", "t", "extra", "tag"))
+    assert(out.where(col("extra") =!= col("t") * 2).count() === 0)
+  }
+
+  test("asofJoin rejects colliding output names") {
+    val l = lefts.toDF("k", "t")
+    val r = rights.toDF("rk", "t", "tag")
+    intercept[IllegalArgumentException] {
+      TemporalJoins.asofJoin(l, r, "k", "rk", "t", "t", Seq("t", "tag"))
+    }
+  }
+
+  test("asofJoin plan is shuffle+window — no join operator at all") {
+    val l = lefts.toDF("k", "t")
+    val r = rights.toDF("rk", "rt", "tag")
+    val p = plan(TemporalJoins.asofJoin(l, r, "k", "rk", "t", "rt", Seq("tag")))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("bandJoin equals the brute-force band filter, each pair once") {
+    val a = (1L to 60L).map(i => (i, i * 7 % 97)).toDF("id_a", "t_a")
+    val b = (1L to 50L).map(i => (i, i * 11 % 89)).toDF("id_b", "t_b")
+    val got = TemporalJoins.bandJoin(a, b, "t_a", "t_b", 3L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toList
+    val want = for {
+      (ia, ta) <- (1L to 60L).map(i => (i, i * 7 % 97))
+      (ib, tb) <- (1L to 50L).map(i => (i, i * 11 % 89))
+      if math.abs(ta - tb) <= 3
+    } yield (ia, ib)
+    assert(got.sorted === want.toList.sorted) // sorted list compare ⇒ no dup pairs
+  }
+
+  test("bandJoin buckets negative times correctly (floor, not truncate)") {
+    val a = Seq((1L, -1L)).toDF("id_a", "t_a")
+    val b = Seq((2L, 1L), (3L, -9L), (4L, 9L)).toDF("id_b", "t_b")
+    val got = TemporalJoins.bandJoin(a, b, "t_a", "t_b", 8L)
+      .select("id_b").as[Long].collect().toSet
+    assert(got === Set(2L, 3L)) // |−1−9| = 10 > 8 excluded
+  }
+
+  test("bandJoin plan is an equi-join on the bucket — never nested-loop") {
+    val a = (1L to 20L).map(i => (i, i * 3)).toDF("id_a", "t_a")
+    val b = (1L to 20L).map(i => (i, i * 5)).toDF("id_b", "t_b")
+    val p = plan(TemporalJoins.bandJoin(a, b, "t_a", "t_b", 4L))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join"), p)
+  }
+
+  test("bandJoin rejects overlapping column names") {
+    val a = Seq((1L, 1L)).toDF("id", "t_a")
+    val b = Seq((1L, 1L)).toDF("id", "t_b")
+    intercept[IllegalArgumentException] {
+      TemporalJoins.bandJoin(a, b, "t_a", "t_b", 1L)
+    }
+  }
+}
