@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{CalabrioSync, Components, Multimodal, Queries, Sampling, Shred, Similarity, Sketches, TemporalJoins, TextOps}
-import org.apache.spark.sql.functions.{col, concat, count, expr, lit, lpad, when}
+import org.apache.spark.sql.functions.{col, concat, count, expr, lit, lpad, size, when}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -124,6 +124,27 @@ object SparkEntry {
     // document frequency alongside (the IDF numerator) — two-level
     // partial aggregation, no countDistinct Expand.
     "top_terms" -> ((s, dir) => TextOps.topTerms(Tables.documents(s, dir))),
+    // Eval-set decontamination: docs on the % 97 == 0 gate play the
+    // benchmark; the rest are the corpus. Any shared 3-gram flags the
+    // corpus doc.
+    "decontaminate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextOps.decontaminate(
+        d.where(col("doc_id") % 97 =!= 0), d.where(col("doc_id") % 97 === 0))
+    }),
+    "repetition_score" -> ((s, dir) =>
+      TextOps.repetitionScore(Tables.documents(s, dir))),
+    // Sequence packing: next-fit into 200-token context windows inside
+    // md5 buckets. The oracle replays the identical scan as a
+    // recursive CTE; fill-after-placement travels in the row so any
+    // divergence in the running state (not just the final bin ids)
+    // goes red.
+    "pack_bins" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      operators.Packing.packBins(
+        d, "doc_id", size(TextOps.tokens(col("text"))), capacity = 200L)
+        .orderBy("doc_id")
+    }),
     // Sketch accuracy rows (measured-guarantee pattern, like
     // ann_recall): HLL++ distinct-count error per event_type and GK
     // quantile rank error over document lengths, each against the
@@ -724,6 +745,37 @@ object SparkEntry {
         |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value FROM events)
         |WHERE k IS NOT NULL AND k >= 10
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "pack_bins" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+        |         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        | o AS (SELECT doc_id, bucket, w, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM d),
+        | packed AS (
+        |  SELECT doc_id, bucket, w, rn, CAST(0 AS BIGINT) AS bin, CAST(w AS BIGINT) AS fill
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.doc_id, o.bucket, o.w, o.rn,
+        |    CASE WHEN p.fill + o.w > 200 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.fill + o.w > 200 THEN CAST(o.w AS BIGINT) ELSE p.fill + o.w END
+        |  FROM packed p JOIN o ON o.bucket = p.bucket AND o.rn = p.rn + 1)
+        |SELECT doc_id, bucket, bin, fill FROM packed ORDER BY doc_id""".stripMargin,
+    "decontaminate" ->
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        | s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |       FROM t WHERE len(toks) >= 3),
+        | probe AS (SELECT DISTINCT sh2 FROM (SELECT unnest(sh) AS sh2 FROM s WHERE doc_id % 97 = 0)),
+        | corp AS (SELECT doc_id, unnest(sh) AS sh2 FROM s WHERE doc_id % 97 <> 0)
+        |SELECT c.doc_id, count(*) AS n_overlap
+        |FROM corp c JOIN probe p USING (sh2)
+        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+    "repetition_score" ->
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        | g AS (SELECT doc_id, toks, list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bigrams FROM t)
+        |SELECT doc_id, len(toks) AS n_toks,
+        |  CAST(round(1e6 * (len(toks) - len(list_distinct(toks))) / greatest(len(toks), 1)) AS BIGINT) AS dup_tok_e6,
+        |  CAST(round(1e6 * (len(bigrams) - len(list_distinct(bigrams))) / greatest(len(bigrams), 1)) AS BIGINT) AS dup_bigram_e6
+        |FROM g ORDER BY doc_id""".stripMargin,
     "asof_attribution" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ms FROM events),
         | touches AS (SELECT user_id AS t_user, ms AS touch_ms,

@@ -221,6 +221,54 @@ object TextOps {
       .orderBy(col("n").desc, col("term"))
       .limit(k)
 
+  /** Benchmark decontamination: which corpus documents share ANY word
+    * 3-gram with a probe (evaluation/benchmark) set, and how many
+    * distinct shingles overlap. The standard pre-training hygiene
+    * step — training text that textually overlaps the eval set
+    * invalidates the eval — expressed as shingle-explode + equi-join:
+    * the probe side collapses to DISTINCT shingles and is
+    * broadcast (benchmark suites are MBs; the corpus is the 100 TB
+    * side and is never shuffled by this query — the only exchange
+    * carries (doc_id, partial count) pairs from the map-side-combined
+    * aggregate). Output has one row per CONTAMINATED doc; clean docs
+    * are absent (it is a flag list, not a score for every doc).
+    */
+  def decontaminate(corpus: DataFrame, probe: DataFrame): DataFrame = {
+    val probeShingles = probe
+      .select(explode(Similarity.shingles(col("text"))).as("sh"))
+      .distinct()
+    corpus
+      .select(col("doc_id"), explode(Similarity.shingles(col("text"))).as("sh"))
+      .join(broadcast(probeShingles), "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style repetition screens: the fraction of duplicate
+    * tokens and duplicate token-bigrams per document (boilerplate and
+    * template spam score high; prose scores low). Map-only, integer
+    * per-mille-style e6 outputs so the oracle compare stays exact.
+    * Shingle arrays here are NOT deduplicated (word_shingles is —
+    * its set semantics would erase exactly the signal measured here),
+    * hence the inline transform instead of the shingle expression.
+    */
+  def repetitionScore(docs: DataFrame): DataFrame = {
+    // (n − distinct)/max(n,1), NOT 1 − distinct/n: the latter scores an
+    // EMPTY array as 100% duplicated (0/max(0,1) = 0 ⇒ 1 − 0 = 1)
+    def dupE6(arr: Column): Column =
+      round(lit(1e6) * (size(arr) - size(array_distinct(arr))) / greatest(size(arr), lit(1)))
+        .cast("long")
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("bigrams", expr(
+        "if(size(toks) < 2, array(), " +
+          "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i])))"))
+      .select(col("doc_id"), size(col("toks")).as("n_toks"),
+        dupE6(col("toks")).as("dup_tok_e6"),
+        dupE6(col("bigrams")).as("dup_bigram_e6"))
+      .orderBy("doc_id")
+  }
+
   /** Positional token fingerprint: sum_i (i+1)·(131·len(tᵢ)+ascii(tᵢ)).
     * Order-sensitive (a shuffled document fingerprints differently)
     * yet built only from arithmetic both engines define identically —

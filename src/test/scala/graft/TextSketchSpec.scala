@@ -79,4 +79,44 @@ class TextSketchSpec extends SparkSpec {
       maxRankErrPerMille = 0)
     assert(t.as[(Int, Boolean)].collect().forall(_._2))
   }
+
+  test("decontaminate flags exactly the docs sharing a 3-gram with the probe") {
+    val probe = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "I saw the quick brown fox yesterday"), // shares 2 probe shingles
+      (2L, "a quick brown dog sat still here"),    // bigram overlap only — clean
+      (3L, "entirely unrelated words in this one"),
+      (4L, "brown fox jumps highest of all")       // shares 1
+    ).toDF("doc_id", "text")
+    val got = TextOps.decontaminate(corpus, probe)
+      .as[(Long, Long)].collect().toList
+    assert(got === List((1L, 2L), (4L, 1L)))
+  }
+
+  test("decontaminate never shuffles the corpus text (broadcast probe)") {
+    val probe = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val corpus = Seq((2L, "a b c d")).toDF("doc_id", "text")
+    val plan = TextOps.decontaminate(corpus, probe)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("repetitionScore measures duplicate token and bigram fractions") {
+    val docs = Seq(
+      (1L, "a a a a"),          // 4 toks 1 distinct → 750000; bigrams "a a"×3 → 666667
+      (2L, "w x y z"),          // all unique → 0, 0
+      (3L, "go go go stop go"), // 5 toks 2 distinct → 600000; bigrams: go-go ×2(dup 1), go-stop, stop-go → 250000
+      (4L, "solo"),             // 1 tok: no bigrams — guard path, not negative-index
+      (5L, "")                  // empty: n=0 → all zeros
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionScore(docs)
+      .as[(Long, Int, Long, Long)].collect().toList
+    assert(got === List(
+      (1L, 4, 750000L, 666667L),
+      (2L, 4, 0L, 0L),
+      (3L, 5, 600000L, 250000L),
+      (4L, 1, 0L, 0L),
+      (5L, 0, 0L, 0L)))
+  }
 }
