@@ -19,8 +19,14 @@ object Bench {
     // against it).
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the sweep — for isolating
+    // one query's variance without the other 50 in the same JVM
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     var errors = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .flatMap { case (name, fn) =>
       try {
         // noop-format write evaluates every output column; a count()
         // would let Catalyst prune the aggregate expressions out of the

@@ -296,16 +296,24 @@ object Similarity {
         Window.partitionBy("blk", "bkey").orderBy("doc_id")))
       .filter(col("_rn") <= bucketCap)
       .drop("_rn")
+    // verify INSIDE the join stage, dedup only survivors: natural-text
+    // simhash bits are biased (blocks of all-1s dominate), so the 9
+    // block joins emit ~35 candidates/doc at sf0.1 (871k pairs from 5k
+    // docs, measured by tools.BucketProbe) — deduping THAT, with two
+    // 64-char signatures per row, was the query's dominant shuffle.
+    // hamming_bits is ~64 cheap ops in the same codegen stage as the
+    // join output, the filter kills >99% of candidates where they are
+    // born, and dropDuplicates then shuffles only true near-dup pairs.
+    // Same result set: a pair's hamming is the same in every duplicate
+    // copy, so filter-then-dedup ≡ dedup-then-filter.
     capped.as("x")
       .join(capped.as("y"), Seq("blk", "bkey"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(
         col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
-      .dropDuplicates("doc_a", "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        call_function("hamming_bits", col("sig_a"), col("sig_b")).as("hamming"))
+        call_function("hamming_bits", col("x.sig"), col("y.sig")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy("doc_a", "doc_b")
   }
 
