@@ -173,6 +173,9 @@ object SparkEntry {
     // EXACT Jaccard near-dup via prefix filtering (candidate-complete,
     // unlike the signature-based variants) — all-pairs DuckDB oracle.
     "jaccard_neardup" -> ((s, dir) => Similarity.jaccardNearDup(Tables.documents(s, dir))),
+    // Asymmetric cousin: directed containment |A∩B| ≥ 0.8·|A| — the
+    // quote/subset detector symmetric Jaccard structurally misses.
+    "containment_neardup" -> ((s, dir) => Similarity.containmentNearDup(Tables.documents(s, dir))),
     // Pairs → clusters: connected components over the near-dup edges
     // (alternating star algorithm) and the survivor view that keeps
     // each cluster's minimum doc. Oracle recomputes the components via
@@ -316,6 +319,9 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("type_a", "type_b")
     }),
+    // Inactivity-gap sessionization (batch twin of the streaming
+    // sessionizer): per-user running windows, 30-minute gap.
+    "sessionize" -> ((s, dir) => Queries.sessionize(s, dir)),
     // The troubleshooting row-count surface as one relation.
     "table_counts" -> ((s, _) => CalabrioSync.tableCounts(s)),
   )
@@ -755,6 +761,31 @@ object SparkEntry {
         |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value FROM events)
         |WHERE k IS NOT NULL AND k >= 10
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "containment_neardup" ->
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        | s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |       FROM t WHERE len(toks) >= 3),
+        | p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        len(list_intersect(a.sh, b.sh)) AS inter_size, len(a.sh) AS n_a
+        |       FROM s a JOIN s b ON a.doc_id <> b.doc_id)
+        |SELECT doc_a, doc_b, inter_size, n_a FROM p
+        |WHERE inter_size * 5 >= n_a * 4
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        | g AS (SELECT user_id, event_id, ms,
+        |        lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev
+        |       FROM e),
+        | f AS (SELECT user_id, event_id, ms,
+        |        CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END AS new_sess
+        |       FROM g),
+        | x AS (SELECT user_id, ms,
+        |        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq
+        |       FROM f)
+        |SELECT user_id, CAST(sess_seq AS BIGINT) AS sess_seq, count(*) AS n_events,
+        |       min(ms) AS start_ms, max(ms) AS end_ms
+        |FROM x GROUP BY user_id, sess_seq ORDER BY user_id, sess_seq""".stripMargin,
     "pack_bins" ->
       """WITH RECURSIVE d AS (
         |  SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,

@@ -134,6 +134,34 @@ object Queries {
         sum("value_e2").as("sum_value_e2"))
       .orderBy("event_type")
 
+  /** Batch sessionization: split each user's event stream into
+    * sessions at inactivity gaps > `gapMs`, one output row per
+    * session. The batch twin of the streaming
+    * flatMapGroupsWithState sessionizer (IncrementalSync) — same
+    * semantics, expressed as two running windows (lag → gap flag →
+    * running sum = session ordinal) plus a group-by, all partitioned
+    * by user_id: each executor sweeps its own users, no single-
+    * partition window anywhere, so the shape holds at any user count.
+    * Times ride as epoch ms (see asof_attribution's precision note);
+    * (ms, event_id) ordering makes simultaneous events deterministic.
+    */
+  def sessionize(spark: SparkSession, sfDir: String, gapMs: Long = 1800000L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts) DIV 1000").as("ms"))
+      .withColumn("prev", lag(col("ms"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("ms") - col("prev") > gapMs, 1).otherwise(0))
+      .withColumn("sess_seq", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ms")).as("start_ms"),
+        max(col("ms")).as("end_ms"))
+      .orderBy("user_id", "sess_seq")
+  }
+
   /** Null probe: evaluations missing an evaluator.
     * Reference: /root/reference/sql_templates/trouble_children.sql:1-8.
     * Runs over the Calabrio fixture evaluations (see Fixtures).

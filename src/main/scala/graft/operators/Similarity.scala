@@ -224,6 +224,66 @@ object Similarity {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** EXACT containment near-dup: directed pairs where at least
+    * tNum/tDen of doc_a's shingles also appear in doc_b —
+    * C(A,B) = |A∩B|/|A|, the ASYMMETRIC cousin of Jaccard. Catches
+    * what symmetric dedup structurally cannot: a short document quoted
+    * whole inside a much longer one has high containment but low
+    * Jaccard (the long doc's extra shingles swamp the union), so
+    * quote/subset spam survives jaccardNearDup by construction.
+    *
+    * Same DF-ordered prefix filtering as jaccardNearDup, adapted to
+    * the asymmetric bound: if |A∩B| ≥ t·|A| then A's
+    * |A| − ⌈t·|A|⌉ + 1 RAREST shingles (global document frequency
+    * ascending) must hit B somewhere, so A-prefix × B-full-index on
+    * the shingle is candidate-complete. Rarest-first is what keeps the
+    * B side tractable — prefix shingles have low df, so each join key
+    * fans out to few docs, not to every document containing "of the
+    * and". No length-ratio filter applies (containment has no upper
+    * bound on |B|). Exact verify via array_intersect on the candidate
+    * pairs, integer cross-multiplied threshold.
+    */
+  def containmentNearDup(
+      docs: DataFrame,
+      tNum: Int = 4,
+      tDen: Int = 5): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    val sh = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val ex = sh.select(
+      col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("shingle"))
+    val df = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val prefLen =
+      (col("n") - expr(s"(CAST(n AS BIGINT) * $tNum + ${tDen - 1}) div $tDen") + 1)
+        .cast("int")
+    val prefixes = ex.join(df, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(
+        sort_array(collect_list(struct(col("df"), col("shingle")))).as("ord"),
+        max(col("n")).as("n"))
+      .select(
+        col("doc_id"), col("n"),
+        explode(slice(
+          transform(col("ord"), s => s.getField("shingle")),
+          lit(1), prefLen)).as("shingle"))
+    val cand = prefixes.as("x")
+      .join(ex.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("x.doc_id") =!= col("doc_b"))
+      .select(col("x.doc_id").as("doc_a"), col("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter_size"),
+        size(col("sh_a")).as("n_a"))
+      .filter(col("inter_size") * tDen >= col("n_a") * tNum)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** SimHash signature per document over word 3-gram shingles:
     * per-shingle 64-bit hash, ±1 vote per bit, sign of the vote sum is
     * the signature bit. Shingles (not unigrams) are the feature set —

@@ -52,6 +52,40 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("containmentNearDup: candidate-complete (equals all directed pairs)") {
+    val docs = Tables.documents(spark, dir).cache()
+    val sh = docs.select(col("doc_id"), Similarity.shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    def bruteForce(tNum: Int, tDen: Int): Set[(Long, Long, Int, Int)] =
+      sh.as("a").crossJoin(sh.as("b"))
+        .filter(col("a.doc_id") =!= col("b.doc_id"))
+        .select(
+          col("a.doc_id"), col("b.doc_id"),
+          size(array_intersect(col("a.sh"), col("b.sh"))).as("i"),
+          size(col("a.sh")).as("na"))
+        .filter(col("i") * tDen >= col("na") * tNum)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    for ((tn, td) <- Seq((4, 5), (1, 2))) {
+      val got = Similarity.containmentNearDup(docs, tn, td)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+      assert(got === bruteForce(tn, td), s"threshold $tn/$td")
+      assert(got.nonEmpty, "testdata should contain planted near-dups")
+    }
+  }
+
+  test("containmentNearDup: a quote inside a long doc is caught one-way") {
+    import spark.implicits._
+    val quote = "the quick brown fox jumps over the lazy dog tonight"
+    val long = s"unrelated opening words flow here $quote and then much " +
+      "more trailing content continues onward with entirely different material"
+    val docs = Seq((1L, quote), (2L, long), (3L, "nothing shared at all here"))
+      .toDF("doc_id", "text")
+    val got = Similarity.containmentNearDup(docs, 4, 5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // all of doc 1's shingles appear in doc 2; doc 2 is NOT contained in 1
+    assert(got === Set((1L, 2L)))
+  }
+
   test("jaccardNearDup: t=1 finds exactly the identical shingle sets") {
     import spark.implicits._
     val docs = Seq(
