@@ -110,6 +110,34 @@ object IncrementalSync {
       }
   }
 
+  /** Watermarked stream-stream interval join: the streaming twin of
+    * the batch TemporalJoins work — every purchase joins the touches
+    * (clicks/views) by the same user within `lookback` BEFORE it,
+    * unmatched purchases emitting with nulls once their match window
+    * provably closes. The event-time range condition is what makes
+    * unbounded stream-stream state legal: each side's buffered rows
+    * age out when the other side's watermark passes their join window,
+    * so state is bounded by watermark + lookback, not by stream
+    * length. A strict as-of (only the LATEST touch) needs a post-join
+    * aggregate; this emits the full in-window candidate set and leaves
+    * last-touch selection to the (batch) asofJoin over the sink, which
+    * is the standard split of streaming collect vs. batch resolve.
+    *
+    * Column contract: purchases(user_id, p_ts, …), touches(t_user,
+    * t_ts, …) — names disjoint, both sides event-timed.
+    */
+  def touchAttribution(
+      purchases: DataFrame,
+      touches: DataFrame,
+      lookback: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val p = purchases.withWatermark("p_ts", watermark)
+    val t = touches.withWatermark("t_ts", watermark)
+    p.join(t,
+      expr(s"user_id = t_user AND t_ts >= p_ts - INTERVAL $lookback AND t_ts <= p_ts"),
+      "leftOuter")
+  }
+
   /** Streaming staged-contacts sync: watch `srcDir` for new JSON
     * batches, shred each micro-batch, and insert-only-merge it into
     * the parquet target (J2 semantics — replays and overlapping

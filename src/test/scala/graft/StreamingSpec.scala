@@ -67,6 +67,39 @@ class StreamingSpec extends SparkSpec {
     assert(got(1L) === "first", "the FIRST arrival survives, duplicates drop")
   }
 
+  test("touchAttribution: interval join matches in-window touches, nulls after close") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(plusMin: Int) = new java.sql.Timestamp(t0.getTime + plusMin * 60000L)
+    val touches = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val joined = IncrementalSync.touchAttribution(
+      purchases.toDF().toDF("user_id", "p_ts", "amount"),
+      touches.toDF().toDF("t_user", "t_ts", "touch_type"),
+      lookback = "30 minutes", watermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    // user 1: touch at t+0 and t+5, purchase at t+20 (both in window);
+    // user 2: purchase at t+20, no touch; user 3: touch at t+0 only
+    touches.addData(Seq((1L, ts(0), "click"), (1L, ts(5), "view"), (3L, ts(0), "click")))
+    purchases.addData(Seq((1L, ts(20), 9.99), (2L, ts(20), 5.0)))
+    q.processAllAvailable()
+    // push both watermarks far past every join window so the
+    // unmatched left (user 2) is provably final and emits with nulls
+    touches.addData(Seq((99L, ts(600), "probe")))
+    purchases.addData(Seq((99L, ts(600), 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attrib")
+      .filter(col("user_id") =!= 99L)
+      .select("user_id", "touch_type")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(got === Set(
+      (1L, Some("click")), (1L, Some("view")), // both in-window touches emit
+      (2L, None)))                             // unmatched purchase, nulls
+  }
+
   test("documentIngest: quality screens + content-hash dedup on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
