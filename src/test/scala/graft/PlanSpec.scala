@@ -55,6 +55,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("temporal join queries prune the events scan (props never read)") {
+    // `props` is the widest events column; neither temporal query
+    // touches it, so it must not survive into ReadSchema
+    Seq("asof_attribution", "event_bursts", "sessionize").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("props"), s"$name must prune props:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$name: no cartesian:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: no nested-loop:\n$plan")
+    }
+  }
+
   test("cslb_reconcile aggregates before the join (no amplification)") {
     val df = Queries.cslbReconcile(spark, dir)
     val plan = df.queryExecution.optimizedPlan.toString

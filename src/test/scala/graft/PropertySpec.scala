@@ -241,4 +241,35 @@ class PropertySpec extends SparkSpec {
       .select(Shred.denverTs(col("ms")).as("d")).collect().map(_.getString(0))
     assert(got.toSeq === vectors.map(_._2))
   }
+
+  test("asofJoin equals brute force on random keyed time series") {
+    import spark.implicits._
+    // narrow key/time ranges force collisions: equal times across
+    // sides, shared and unshared keys, empty right partitions
+    val rightGen = Gen.listOf(for {
+      k <- Gen.choose(1L, 6L); t <- Gen.choose(0L, 40L)
+    } yield (k, t))
+    val leftGen = Gen.listOf(for {
+      k <- Gen.choose(1L, 8L); t <- Gen.choose(0L, 40L)
+    } yield (k, t))
+    holds(Prop.forAll(leftGen, rightGen) { (lefts, rights) =>
+      // operator contract: rights unique per (key, time) — dedup keeping
+      // the max value, as the attribution query's max_by does
+      val r = rights.map { case (k, t) => (k, t, k * 1000 + t) }
+        .groupBy(x => (x._1, x._2)).values.map(_.maxBy(_._3)).toList
+      val want = lefts.map { case (k, t) =>
+        val m = r.filter(x => x._1 == k && x._2 <= t)
+          .sortBy(x => (x._2, x._3)).lastOption
+        (k, t, m.map(_._3))
+      }.sorted
+      lefts.isEmpty || { // toDF on an empty Seq still works, but skip trivial
+        val got = operators.TemporalJoins.asofJoin(
+          lefts.toDF("k", "t"),
+          r.toDF("rk", "rt", "v"),
+          "k", "rk", "t", "rt", Seq("v"))
+          .as[(Long, Long, Option[Long])].collect().toList.sorted
+        got == want
+      }
+    }, n = 60)
+  }
 }
