@@ -147,6 +147,9 @@ object SparkEntry {
     }),
     "repetition_score" -> ((s, dir) =>
       TextOps.repetitionScore(Tables.documents(s, dir))),
+    // Corpus-fit bigram LM fluency score (log-free so both engines
+    // compute identical integers — see TextOps.lmScore).
+    "lm_score" -> ((s, dir) => TextOps.lmScore(Tables.documents(s, dir))),
     // Sequence packing: next-fit into 200-token context windows inside
     // md5 buckets. The oracle replays the identical scan as a
     // recursive CTE; fill-after-placement travels in the row so any
@@ -761,6 +764,16 @@ object SparkEntry {
         |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value FROM events)
         |WHERE k IS NOT NULL AND k >= 10
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "lm_score" ->
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        | b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> {'w1': toks[i], 'bg': toks[i] || ' ' || toks[i+1]})) AS s FROM t),
+        | occ AS (SELECT doc_id, s.w1 AS w1, s.bg AS bg FROM b),
+        | c2 AS (SELECT bg, count(*) AS n2 FROM occ GROUP BY bg),
+        | c1 AS (SELECT w1, count(*) AS n1 FROM occ GROUP BY w1),
+        | p AS (SELECT o.doc_id, CAST(round(1e9 * n2 / (n1 + (SELECT count(*) FROM c1))) AS BIGINT) AS p_e9
+        |       FROM occ o JOIN c2 USING (bg) JOIN c1 USING (w1))
+        |SELECT doc_id, count(*) AS n_bigrams, CAST(round(sum(p_e9) * 1.0 / count(*)) AS BIGINT) AS lm_score_e9
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "containment_neardup" ->
       """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks FROM documents),
         | s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))) AS sh

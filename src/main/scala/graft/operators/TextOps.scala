@@ -269,6 +269,53 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus-fit bigram LM fluency score (the CCNet-style quality
+    * signal): fit bigram conditional frequencies ON the corpus itself,
+    * then score each document by the mean conditional probability of
+    * its bigrams — templated/fluent text scores high, token salad
+    * scores low. Deliberately LOG-FREE: a log-perplexity would hinge
+    * on ln() being bit-identical across engines (it is not — Java's
+    * StrictMath vs DuckDB's libm), so each occurrence contributes
+    * round(1e9·c(w1,w2)/(c(w1·)+V)) — counts are exact integers and
+    * one double divide+round is IEEE-identical everywhere — and the
+    * doc score is the integer-summed mean. c(w1·) counts w1 as a
+    * BIGRAM HEAD (Σ_w2 c(w1,w2)); the +V add-one-style smoothing
+    * (V = distinct heads) is load-bearing for the SEMANTICS, not just
+    * numerics: unsmoothed c2/c1 hands every singleton head a perfect
+    * 1.0 (its one continuation is trivially "predictable"), so token
+    * salad would outscore fluent text. Smoothed, a rare bigram earns
+    * ~1/V and a corpus-frequent one earns c2/(c1+V) ≫ 1/V.
+    *
+    * Scale: two shuffled counts (bigram, head) and two shuffled joins
+    * keyed by the bigram/head strings — the model is never collected
+    * or broadcast, so an internet-scale bigram table distributes like
+    * any aggregate. V is the one driver-side scalar (one count job —
+    * same bounded-constant budget as the IVF sample fit). Docs with
+    * <2 tokens have no bigrams and no row.
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val occ = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(toks[i-1] AS w1, concat(toks[i-1], ' ', toks[i]) AS bg))"))
+        .as("s"))
+      .select(col("doc_id"), col("s.w1").as("w1"), col("s.bg").as("bg"))
+    val c2 = occ.groupBy("bg").agg(count(lit(1)).as("n2"))
+    val c1 = occ.groupBy("w1").agg(count(lit(1)).as("n1"))
+    val v = c1.count()
+    occ
+      .join(c2, "bg")
+      .join(c1, "w1")
+      .select(col("doc_id"),
+        round(lit(1e9) * col("n2") / (col("n1") + lit(v))).cast("long").as("p_e9"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("p_e9")) * lit(1.0) / count(lit(1))).cast("long").as("lm_score_e9"))
+      .orderBy("doc_id")
+  }
+
   /** Positional token fingerprint: sum_i (i+1)·(131·len(tᵢ)+ascii(tᵢ)).
     * Order-sensitive (a shuffled document fingerprints differently)
     * yet built only from arithmetic both engines define identically —

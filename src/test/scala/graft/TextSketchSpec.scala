@@ -102,6 +102,26 @@ class TextSketchSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("lmScore: corpus-frequent phrasing outscores token salad") {
+    val docs = Seq(
+      (1L, "the cat sat here"), (2L, "the cat sat there"),
+      (3L, "the cat sat quietly"), // "the cat","cat sat" are corpus-frequent
+      (4L, "zebra quartz vexes jumbo"), // every bigram unique
+      (5L, "x")                         // <2 tokens: no row
+    ).toDF("doc_id", "text")
+    val got = TextOps.lmScore(docs)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(!got.contains(5L))
+    assert(got(4L)._3 < got(1L)._3, s"unique bigrams must score lower: $got")
+    // V = 6 heads (the, cat, sat, zebra, quartz, vexes). doc 1 bigrams:
+    // (the cat: 3/(3+6)), (cat sat: 3/9), (sat here: 1/9) ->
+    // mean(333333333, 333333333, 111111111) = 259259259
+    assert(got(1L) === ((1L, 3L, 259259259L)))
+    // doc 4: singleton heads earn the smoothed floor 1/(1+6), NOT a
+    // perfect 1.0 (the unsmoothed-c2/c1 trap this test pins)
+    assert(got(4L) === ((4L, 3L, 142857143L)))
+  }
+
   test("repetitionScore measures duplicate token and bigram fractions") {
     val docs = Seq(
       (1L, "a a a a"),          // 4 toks 1 distinct → 750000; bigrams "a a"×3 → 666667
