@@ -177,33 +177,7 @@ object Similarity {
       tNum: Int = 4,
       tDen: Int = 5): DataFrame = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
-    val sh = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val ex = sh.select(
-      col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("shingle"))
-    // global document frequency per shingle — the one extra linear
-    // pass that buys rare-first prefixes
-    val df = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
-    // re-assemble each doc's shingles ordered by (df, shingle);
-    // shingles are distinct within a doc so the sort key is unique and
-    // collect_list's nondeterministic order is irrelevant
-    // long arithmetic: n·tNum on an int column would wrap for a
-    // pathological ~500M-shingle document before the div
-    val prefLen =
-      (col("n") - expr(s"(CAST(n AS BIGINT) * $tNum + ${tDen - 1}) div $tDen") + 1)
-        .cast("int")
-    val prefixes = ex.join(df, Seq("shingle"))
-      .groupBy("doc_id")
-      .agg(
-        sort_array(collect_list(struct(col("df"), col("shingle")))).as("ord"),
-        max(col("n")).as("n"))
-      .select(
-        col("doc_id"), col("n"),
-        explode(slice(
-          transform(col("ord"), s => s.getField("shingle")),
-          lit(1), prefLen)).as("shingle"))
+    val (sh, _, prefixes) = dfOrderedPrefixes(docs, tNum, tDen)
     val cand = prefixes.as("x")
       .join(prefixes.as("y"), Seq("shingle"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -222,6 +196,46 @@ object Similarity {
         size(array_union(col("sh_a"), col("sh_b"))).as("union_size"))
       .filter(col("inter_size") * tDen >= col("union_size") * tNum)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Shared prefix-filter scaffolding for the EXACT near-dup ops
+    * (jaccardNearDup, containmentNearDup): distinct shingle sets, the
+    * exploded (doc, n, shingle) inverted index, and each doc's
+    * DF-ascending prefix — its first |X| − ⌈t·|X|⌉ + 1 shingles
+    * ordered by global document frequency ascending (rarest first,
+    * ties broken by the shingle itself so the order is total).
+    * Shingles are distinct within a doc, so collect_list's
+    * nondeterministic order is erased by the sort; n·tNum runs in long
+    * arithmetic so a pathological ~500M-shingle document can't wrap
+    * before the div.
+    */
+  private def dfOrderedPrefixes(
+      docs: DataFrame,
+      tNum: Int,
+      tDen: Int): (DataFrame, DataFrame, DataFrame) = {
+    val sh = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val ex = sh.select(
+      col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("shingle"))
+    // global document frequency per shingle — the one extra linear
+    // pass that buys rare-first prefixes
+    val df = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val prefLen =
+      (col("n") - expr(s"(CAST(n AS BIGINT) * $tNum + ${tDen - 1}) div $tDen") + 1)
+        .cast("int")
+    val prefixes = ex.join(df, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(
+        sort_array(collect_list(struct(col("df"), col("shingle")))).as("ord"),
+        max(col("n")).as("n"))
+      .select(
+        col("doc_id"), col("n"),
+        explode(slice(
+          transform(col("ord"), s => s.getField("shingle")),
+          lit(1), prefLen)).as("shingle"))
+    (sh, ex, prefixes)
   }
 
   /** EXACT containment near-dup: directed pairs where at least
@@ -248,26 +262,7 @@ object Similarity {
       tNum: Int = 4,
       tDen: Int = 5): DataFrame = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
-    val sh = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val ex = sh.select(
-      col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("shingle"))
-    val df = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val prefLen =
-      (col("n") - expr(s"(CAST(n AS BIGINT) * $tNum + ${tDen - 1}) div $tDen") + 1)
-        .cast("int")
-    val prefixes = ex.join(df, Seq("shingle"))
-      .groupBy("doc_id")
-      .agg(
-        sort_array(collect_list(struct(col("df"), col("shingle")))).as("ord"),
-        max(col("n")).as("n"))
-      .select(
-        col("doc_id"), col("n"),
-        explode(slice(
-          transform(col("ord"), s => s.getField("shingle")),
-          lit(1), prefLen)).as("shingle"))
+    val (sh, ex, prefixes) = dfOrderedPrefixes(docs, tNum, tDen)
     val cand = prefixes.as("x")
       .join(ex.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
       .filter(col("x.doc_id") =!= col("doc_b"))
