@@ -37,6 +37,20 @@ object Similarity {
   // (~2M pairs × 64 dims was ~7 s of the sf0.1 bench). The native
   // loops accumulate in the SAME order, so results — and the DuckDB
   // oracle hashes — are bit-identical.
+  /** Spread narrow inputs across the executors WITHOUT taxing wide
+    * ones: repartition only when the planned scan has fewer partitions
+    * than the session's parallelism. The local test corpora arrive as
+    * one fat parquet split — the signature/shingle math would run
+    * serially without the spread — but a 100 TB scan is already
+    * thousands of partitions wide, and the old unconditional
+    * repartition there was a full shuffle of the corpus text for
+    * nothing. Inspecting .rdd only plans the query (no job runs).
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   private def sumSq(v: Column): Column = call_function("float_norm2", v)
 
   private def dot(a: Column, b: Column): Column = call_function("float_dot", a, b)
@@ -51,8 +65,7 @@ object Similarity {
   def cosineTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
     // Norms are per-vector, not per-pair: compute once before the
     // nested-loop pairing (numerically identical fold, k× less work).
-    val e = emb
-      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    val e = spread(emb)
       .select(col("vec_id"), col("embedding"), sumSq(col("embedding")).as("n2"))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("n2").as("qn2"))
@@ -95,12 +108,7 @@ object Similarity {
       numHashes: Int = 64,
       bands: Int = 16,
       bucketCap: Int = 1000): DataFrame = {
-    // Spread the compute: these corpora arrive as few fat parquet
-    // splits, and the signature math is orders of magnitude heavier
-    // than one repartition pass. (At 100 TB the scan is already wide;
-    // the repartition then just rebalances.)
-    val sh = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val sh = spread(docs)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
     // The signature uses the universal family hᵢ(s) = (aᵢ·h₀(s)+bᵢ)
@@ -213,8 +221,7 @@ object Similarity {
       docs: DataFrame,
       tNum: Int,
       tDen: Int): (DataFrame, DataFrame, DataFrame) = {
-    val sh = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val sh = spread(docs)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
     val ex = sh.select(
@@ -295,8 +302,7 @@ object Similarity {
     // each shingle once, accumulate all 64 bit votes in that pass.
     // The interpreted formulation (64 aggregate passes re-hashing
     // strings) was 73 s/query at sf0.1.
-    docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    spread(docs)
       .select(
         col("doc_id"),
         call_function("simhash_bits", shingles(col("text")), lit(bits)).as("simhash_bits"))
@@ -329,8 +335,7 @@ object Similarity {
     // gets the identical all-'1' empty-input signature, so without the
     // filter N unrelated short docs all "collide" at Hamming 0 AND form
     // a guaranteed hot bucket in every block
-    val sigs = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val sigs = spread(docs)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(
@@ -420,8 +425,7 @@ object Similarity {
     * interpreted zip_with fold was sigBits × dim boxed ops per row).
     */
   private def withSignature(emb: DataFrame, sigBits: Int): DataFrame =
-    emb
-      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    spread(emb)
       .select(col("vec_id"), col("embedding"),
         call_function("hyperplane_sig", col("embedding"), lit(sigBits)).as("sig"),
         sumSq(col("embedding")).as("n2"))
@@ -476,8 +480,7 @@ object Similarity {
     // releases it after fit, and everything downstream is one narrow
     // pass — a cache here leaked a copy per invocation (bench re-runs,
     // ivf_recall) and pinned the whole table in a long-lived session
-    val e = emb
-      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    val e = spread(emb)
       .select(col("vec_id"), col("embedding"),
         array_to_vector(col("embedding")).as("features"),
         sumSq(col("embedding")).as("n2"))
