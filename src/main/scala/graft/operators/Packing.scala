@@ -40,6 +40,17 @@ object Packing {
       hexChars: Int = 1): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     require(hexChars >= 1 && hexChars <= 8, "hexChars must be in [1, 8]")
+    // ids must be integral: a lossy cast("long") on a string id would
+    // produce nulls that only explode later, inside the primitive
+    // Dataset decode — and the md5 bucket (computed from the ORIGINAL
+    // value) would silently disagree with the cast id
+    require(
+      {
+        import org.apache.spark.sql.types._
+        Set[DataType](ByteType, ShortType, IntegerType, LongType)
+          .contains(docs.schema(idCol).dataType)
+      },
+      s"$idCol must be an integral column, got ${docs.schema(idCol).dataType.catalogString}")
     val spark = docs.sparkSession
     import spark.implicits._
     docs

@@ -44,11 +44,49 @@ object Similarity {
     * serially without the spread — but a 100 TB scan is already
     * thousands of partitions wide, and the old unconditional
     * repartition there was a full shuffle of the corpus text for
-    * nothing. Inspecting .rdd only plans the query (no job runs).
+    * nothing. CAVEAT: under AQE, probing .rdd on a frame whose plan
+    * contains an exchange finalizes and EXECUTES those upstream
+    * stages — every call site therefore feeds this a raw scan/filter
+    * frame (the tables as loaded), never a joined or aggregated one.
     */
   private def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  /** Join each candidate (doc_a, doc_b) pair back to both shingle
+    * sets — the shared front half of every exact-verify stage. */
+  private def withShingleSets(cand: DataFrame, sh: DataFrame): DataFrame =
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+
+  /** Keep each bucket's `cap` lowest doc_ids — CAP hot buckets, never
+    * drop them whole: identical-document spam clusters are hot in
+    * every band/block, so dropping would silently yield zero pairs for
+    * exactly the most-duplicated content (the recall rationale in the
+    * minhash scaladoc).
+    */
+  private def capBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame =
+    df.withColumn("_rn", row_number().over(
+        Window.partitionBy(keys.map(col): _*).orderBy("doc_id")))
+      .filter(col("_rn") <= cap)
+      .drop("_rn")
+
+  /** Bounded per-query top-k presentation shared by the top-k family:
+    * partition-local TopK.Agg (each map task forwards ≤ k rows — a
+    * window partitioned by q_id would shuffle the FULL scored set into
+    * |queries| partitions), then explode + deterministic order.
+    * Expects (q_id, neighbor_id, sim_e6).
+    */
+  private def boundedTopK(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(TopK.Agg(k))
+    scored
+      .groupBy("q_id")
+      .agg(topk(col("sim_e6"), col("neighbor_id")).as("top"))
+      .select(col("q_id"), explode(col("top.items")).as("s"))
+      .select(col("q_id"), col("s.neighbor_id").as("neighbor_id"), col("s.sim_e6").as("sim_e6"))
+      .orderBy(col("q_id"), col("sim_e6").desc, col("neighbor_id"))
   }
 
   private def sumSq(v: Column): Column = call_function("float_norm2", v)
@@ -71,18 +109,10 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("n2").as("qn2"))
     val sim6 = round(lit(1e6) * dot(col("q_emb"), col("embedding"))
       / (sqrt(col("n2")) * sqrt(col("qn2")))).cast("long")
-    // Partition-local bounded top-k (TopK.Agg), NOT a window
-    // partitioned by q_id: the window plan shuffles the FULL scored
-    // set into |queries| partitions; the aggregator reduces every
-    // partition to ≤ k rows before the (map-side-combined) shuffle.
-    val topk = udaf(TopK.Agg(k))
-    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("neighbor_id"), sim6.as("sim_e6"))
-      .groupBy("q_id")
-      .agg(topk(col("sim_e6"), col("neighbor_id")).as("top"))
-      .select(col("q_id"), explode(col("top.items")).as("s"))
-      .select(col("q_id"), col("s.neighbor_id").as("neighbor_id"), col("s.sim_e6").as("sim_e6"))
-      .orderBy(col("q_id"), col("sim_e6").desc, col("neighbor_id"))
+    boundedTopK(
+      e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), sim6.as("sim_e6")),
+      k)
   }
 
   /** MinHash-LSH near-duplicate pairs: shingle → numHashes minhashes →
@@ -125,28 +155,21 @@ object Similarity {
       .select(col("doc_id"), posexplode(
         call_function("minhash_band_keys", col("sh"), lit(numHashes), lit(bands)))
         .as(Seq("band", "bkey")))
-    // CAP the bucket (keep its bucketCap lowest doc_ids), never DROP
-    // it whole: identical-document spam clusters are hot in all 16
-    // bands, so dropping would silently yield zero pairs for exactly
-    // the most-duplicated content.
-    val capped = m
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy("band", "bkey").orderBy("doc_id")))
-      .filter(col("_rn") <= bucketCap)
-      .drop("_rn")
+    val capped = capBuckets(m, Seq("band", "bkey"), bucketCap)
     val cand = capped.as("x")
       .join(capped.as("y"), Seq("band", "bkey"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+    // long-cast threshold arithmetic: size() is 32-bit, and 2·inter on
+    // an int would wrap for a ~1B-shingle document (same guard class
+    // as dfOrderedPrefixes' prefLen)
+    withShingleSets(cand, sh)
       .select(
         col("doc_a"), col("doc_b"),
         size(array_intersect(col("sh_a"), col("sh_b"))).as("inter_size"),
         size(array_union(col("sh_a"), col("sh_b"))).as("union_size"))
-      .filter(col("inter_size") * 2 >= col("union_size"))
+      .filter(col("inter_size").cast("long") * 2 >= col("union_size").cast("long"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -189,20 +212,19 @@ object Similarity {
     val cand = prefixes.as("x")
       .join(prefixes.as("y"), Seq("shingle"))
       .filter(col("x.doc_id") < col("y.doc_id"))
-      // Jaccard ≥ t forces t·|A| ≤ |B| ≤ |A|/t — integer-crossed
+      // Jaccard ≥ t forces t·|A| ≤ |B| ≤ |A|/t — integer-crossed in
+      // LONG (n is 32-bit; n·tDen would wrap at ~429M shingles)
       .filter(
-        col("x.n") * tDen >= col("y.n") * tNum &&
-          col("y.n") * tDen >= col("x.n") * tNum)
+        col("x.n").cast("long") * tDen >= col("y.n").cast("long") * tNum &&
+          col("y.n").cast("long") * tDen >= col("x.n").cast("long") * tNum)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+    withShingleSets(cand, sh)
       .select(
         col("doc_a"), col("doc_b"),
         size(array_intersect(col("sh_a"), col("sh_b"))).as("inter_size"),
         size(array_union(col("sh_a"), col("sh_b"))).as("union_size"))
-      .filter(col("inter_size") * tDen >= col("union_size") * tNum)
+      .filter(col("inter_size").cast("long") * tDen >= col("union_size").cast("long") * tNum)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -275,14 +297,12 @@ object Similarity {
       .filter(col("x.doc_id") =!= col("doc_b"))
       .select(col("x.doc_id").as("doc_a"), col("doc_b"))
       .distinct()
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+    withShingleSets(cand, sh)
       .select(
         col("doc_a"), col("doc_b"),
         size(array_intersect(col("sh_a"), col("sh_b"))).as("inter_size"),
         size(col("sh_a")).as("n_a"))
-      .filter(col("inter_size") * tDen >= col("n_a") * tNum)
+      .filter(col("inter_size").cast("long") * tDen >= col("n_a").cast("long") * tNum)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -351,11 +371,7 @@ object Similarity {
     val keyed = sigs
       .select(col("doc_id"), col("sig"), explode(array(blockCols: _*)).as("b"))
       .select(col("doc_id"), col("sig"), col("b.blk").as("blk"), col("b.bkey").as("bkey"))
-    val capped = keyed
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy("blk", "bkey").orderBy("doc_id")))
-      .filter(col("_rn") <= bucketCap)
-      .drop("_rn")
+    val capped = capBuckets(keyed, Seq("blk", "bkey"), bucketCap)
     // verify INSIDE the join stage, dedup only survivors: natural-text
     // simhash bits are biased (blocks of all-1s dominate), so the 9
     // block joins emit ~35 candidates/doc at sf0.1 (871k pairs from 5k
@@ -517,15 +533,11 @@ object Similarity {
       .select(col("q_id"), col("q_emb"), col("qn2"), col("cell"))
     val sim6 = round(lit(1e6) * dot(col("q_emb"), col("embedding"))
       / (sqrt(col("n2")) * sqrt(col("qn2")))).cast("long")
-    val topk = udaf(TopK.Agg(k))
-    assigned.join(broadcast(qDist), Seq("cell"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("neighbor_id"), sim6.as("sim_e6"))
-      .groupBy("q_id")
-      .agg(topk(col("sim_e6"), col("neighbor_id")).as("top"))
-      .select(col("q_id"), explode(col("top.items")).as("s"))
-      .select(col("q_id"), col("s.neighbor_id").as("neighbor_id"), col("s.sim_e6").as("sim_e6"))
-      .orderBy(col("q_id"), col("sim_e6").desc, col("neighbor_id"))
+    boundedTopK(
+      assigned.join(broadcast(qDist), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), sim6.as("sim_e6")),
+      k)
   }
 
   /** The ANN scale path: MULTI-TABLE random-hyperplane LSH over the
@@ -566,17 +578,13 @@ object Similarity {
         col("tbl"), col("key"), col("n2").as("qn2"))
     val sim6 = round(lit(1e6) * dot(col("q_emb"), col("embedding"))
       / (sqrt(col("n2")) * sqrt(col("qn2")))).cast("long")
-    val topk = udaf(TopK.Agg(k))
-    tables.join(q, Seq("tbl", "key"))
-      .filter(col("vec_id") =!= col("q_id"))
-      // a pair colliding in several tables is one candidate, not L
-      .dropDuplicates("q_id", "vec_id")
-      .select(col("q_id"), col("vec_id").as("neighbor_id"), sim6.as("sim_e6"))
-      .groupBy("q_id")
-      .agg(topk(col("sim_e6"), col("neighbor_id")).as("top"))
-      .select(col("q_id"), explode(col("top.items")).as("s"))
-      .select(col("q_id"), col("s.neighbor_id").as("neighbor_id"), col("s.sim_e6").as("sim_e6"))
-      .orderBy(col("q_id"), col("sim_e6").desc, col("neighbor_id"))
+    boundedTopK(
+      tables.join(q, Seq("tbl", "key"))
+        .filter(col("vec_id") =!= col("q_id"))
+        // a pair colliding in several tables is one candidate, not L
+        .dropDuplicates("q_id", "vec_id")
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), sim6.as("sim_e6")),
+      k)
   }
 
   /** Recall@k scoreboard: which queries' approximate top-k contains at

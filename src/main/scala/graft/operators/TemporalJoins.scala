@@ -59,9 +59,18 @@ object TemporalJoins {
     val l = left.select(
       col(leftKey).as("_k"), col(leftTime).as("_t"), lit(1).as("_side"),
       lit(null).cast(payloadType).as("_rv"), leftRow.as("_lv"))
-    val r = right.where(col(rightTime).isNotNull).select(
-      col(rightKey).as("_k"), col(rightTime).as("_t"), lit(0).as("_side"),
-      payload.as("_rv"), lit(null).cast(leftRowType).as("_lv"))
+    // null-keyed/null-timed rights can never match under SQL equality
+    // (NULL = NULL is not true) — but Window.partitionBy GROUPS nulls
+    // together, so without this filter a null-keyed left would receive
+    // a null-keyed right's payload, diverging from the ASOF JOIN
+    // semantics the oracle implements. Null-keyed LEFTS stay: their
+    // partition then holds no rights and they emit with nulls, exactly
+    // like a left join.
+    val r = right
+      .where(col(rightTime).isNotNull && col(rightKey).isNotNull)
+      .select(
+        col(rightKey).as("_k"), col(rightTime).as("_t"), lit(0).as("_side"),
+        payload.as("_rv"), lit(null).cast(leftRowType).as("_lv"))
 
     // rights sort before lefts at equal time so `t_right == t_left`
     // matches; the frame is a running one, so WindowExec maintains the
@@ -101,6 +110,10 @@ object TemporalJoins {
     require(band > 0, "band must be positive")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty, s"band join requires disjoint column names, both sides have: $overlap")
+    // _bucket is the manufactured join key; a same-named data column
+    // would be silently overwritten and then dropped from the output
+    require(!(left.columns ++ right.columns).contains("_bucket"),
+      "band join reserves the column name _bucket")
 
     def bucketOf(t: String): Column =
       expr(s"($t - pmod($t, ${band}L)) DIV ${band}L")

@@ -110,6 +110,13 @@ object TextOps {
     * unchanged on a stream (see streaming.IncrementalSync
     * .documentIngest); qualityFilter above is its scoreboard
     * projection.
+    *
+    * The stopword floor is ENGLISH-ONLY by construction (the list is
+    * English function words): fluent non-English text scores ~0 and
+    * would be rejected. A multilingual pipeline must partition by
+    * langId first and either apply a per-language stopword set or set
+    * minStopPerMille = 0 for non-English strata — the gate is a
+    * per-stratum screen, not a corpus-wide one.
     */
   def qualityGate(
       docs: DataFrame,

@@ -51,6 +51,18 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out.where(col("extra") =!= col("t") * 2).count() === 0)
   }
 
+  test("asofJoin: null keys never match each other (SQL join semantics)") {
+    val l = Seq((Some(1L), 100L), (None, 100L))
+      .toDF("k", "t")
+    val r = Seq((Option.empty[Long], 50L, "null-key"), (Some(1L), 50L, "real"))
+      .toDF("rk", "rt", "tag")
+    val got = TemporalJoins.asofJoin(l, r, "k", "rk", "t", "rt", Seq("tag"))
+      .select("k", "tag").as[(Option[Long], Option[String])].collect().toSet
+    // the null-keyed left emits (left-join fidelity) but NEVER picks up
+    // the null-keyed right — NULL = NULL is not a match in SQL
+    assert(got === Set((Some(1L), Some("real")), (None, None)))
+  }
+
   test("asofJoin rejects colliding output names") {
     val l = lefts.toDF("k", "t")
     val r = rights.toDF("rk", "t", "tag")
