@@ -40,7 +40,7 @@ object CalabrioPipeline {
   def backupTable(c: Config): String = s"${c.targetDir}/t_contacts_staging_backup"
 
   private def readOr(spark: SparkSession, path: String, empty: => DataFrame): DataFrame =
-    if (Sinks.exists(path)) spark.read.parquet(path) else empty
+    Sinks.readOr(spark, path, empty)
 
   /** All lifecycle target tables by their reference names. */
   def targetTables(c: Config): Map[String, String] = Map(

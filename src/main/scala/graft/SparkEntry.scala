@@ -755,7 +755,7 @@ object SparkEntry {
         |FROM r ORDER BY ccrid, seq""".stripMargin,
     "normalize_concat" ->
       """WITH raw AS (SELECT content FROM read_text('/root/repo/fixtures/malformed/concatenated_arrays.json')),
-        | arrs AS (SELECT unnest(string_split(regexp_replace(content, '\]\s*\[', ']@@@[', 'g'), '@@@')) AS arr FROM raw),
+        | arrs AS (SELECT unnest(string_split(regexp_replace(content, '\]\s+\[', ']@@@[', 'g'), '@@@')) AS arr FROM raw),
         | docs AS (SELECT unnest(from_json(arr::JSON, '[{"id":"BIGINT","v":"VARCHAR"}]')) AS d FROM arrs)
         |SELECT d.id AS id, d.v AS v FROM docs ORDER BY id""".stripMargin,
     "event_props_summary" ->

@@ -76,13 +76,15 @@ object Multimodal {
     * keeps (doc_id, media_type) + the feature vector.
     */
   def extractFeatures(media: DataFrame, decoder: MediaDecoder): DataFrame = {
-    val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("media_type", StringType),
       StructField("features", ArrayType(DoubleType))))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     media
+      // a null blob has nothing to decode — filter at the plan level
+      // (pushdown-friendly) instead of NPE-ing inside the partition loop
+      .filter(col("media").isNotNull && col("doc_id").isNotNull)
       .select("doc_id", "media_type", "media")
       .mapPartitions { rows =>
         rows.map { r =>
@@ -100,13 +102,23 @@ object Multimodal {
   def frameSample(media: DataFrame, stride: Int, frameBytes: Int): DataFrame = {
     val nFrames = (length(col("media")) / stride).cast("int")
     media
+      // explicit null filter, not just the empty-array guard below:
+      // greatest(NULL-1, 0) is 0 (greatest IGNORES nulls), so a null
+      // payload would otherwise sneak one null frame through
+      .filter(col("media").isNotNull)
       .select(
         col("doc_id"),
         posexplode(
-          transform(sequence(lit(0), greatest(nFrames - 1, lit(0))), i =>
+          // a short-but-nonempty payload still samples its t=0 head
+          // frame (a half-second clip at 1 fps has one frame) — but an
+          // EMPTY payload must yield NO rows, not a phantom zero-byte
+          // frame; posexplode drops the empty array, so the guard is
+          // the whole fix
+          when(length(col("media")) === 0, array().cast(ArrayType(BinaryType)))
+            .otherwise(transform(sequence(lit(0), greatest(nFrames - 1, lit(0))), i =>
             // functions.substring takes Int literals only; the start
             // offset here is a lambda variable, so call the SQL fn.
-            call_function("substring", col("media"), lit(1) + i * stride, lit(frameBytes)))))
+            call_function("substring", col("media"), lit(1) + i * stride, lit(frameBytes))))))
       .withColumnRenamed("pos", "frame_idx")
       .withColumnRenamed("col", "frame")
       .select(col("doc_id"), col("frame_idx"),
@@ -122,9 +134,9 @@ object Multimodal {
     */
   def resize(media: DataFrame, factor: Int): DataFrame = {
     require(factor >= 1, "factor must be >= 1")
-    val spark = media.sparkSession
     val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
     media
+      .filter(col("media").isNotNull && col("doc_id").isNotNull)
       .select("doc_id", "media_type", "media", "n_bytes")
       .mapPartitions { rows =>
         rows.map { r =>

@@ -65,8 +65,21 @@ object Ingest {
   final class Staged private[sources] (raw: DataFrame, cached: Boolean) {
     val good: DataFrame =
       raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
-    val bad: DataFrame =
-      raw.filter(col("_corrupt_record").isNotNull).select("_corrupt_record")
+    // quarantine keeps the FULL row (typed nulls + the corrupt payload
+    // for triage). It structurally requires the cache: any action over
+    // it prunes to the internal corrupt-record column alone, which
+    // Spark refuses on uncached raw JSON scans (QUERY_ONLY_CORRUPT_
+    // RECORD_COLUMN) — even count() (pruning strips the other columns
+    // again, so projecting them buys nothing). Fail fast with the real
+    // contract instead of surfacing Spark's cryptic AnalysisException
+    // at action time; cache=false remains the right call for
+    // good-only consumers.
+    def bad: DataFrame = {
+      require(cached,
+        "Staged.bad requires cache=true: uncached corrupt-record plans " +
+          "are disallowed by Spark (QUERY_ONLY_CORRUPT_RECORD_COLUMN)")
+      raw.filter(col("_corrupt_record").isNotNull)
+    }
     def release(): Unit = { if (cached) raw.unpersist(); () }
   }
 
@@ -95,9 +108,14 @@ object Ingest {
       windows: Seq[DateWindow],
       fetcher: WindowFetcher): Dataset[String] = {
     import spark.implicits._
+    // parallelize with explicit slice count = EXACTLY one window per
+    // task (contiguous deterministic slices); repartition(n) is
+    // round-robin from a random per-partition offset, which can stack
+    // two windows on one task (2× the bounded request volume) and
+    // leave another empty
     spark
-      .createDataset(windows)
-      .repartition(windows.size.max(1))
+      .createDataset(
+        spark.sparkContext.parallelize(windows, windows.size.max(1)))
       .mapPartitions(_.flatMap(fetcher.fetch))
   }
 
@@ -111,6 +129,10 @@ object Ingest {
       tasks: Int): Dataset[String] = {
     import keys.sparkSession.implicits._
     keys
+      // a PERMISSIVE-staged row can carry a null id (missing field
+      // parses as null, not corrupt); there is nothing to fetch for it,
+      // and the unboxing in fetch(k: Long) would NPE the task
+      .filter((k: java.lang.Long) => k != null)
       .repartition(tasks)
       .mapPartitions(_.flatMap(k => fetcher.fetch(k)))
   }
@@ -199,7 +221,13 @@ object Ingest {
       elementSchema: StructType): DataFrame = {
     import spark.implicits._
     val raw = spark.read.option("wholetext", true).text(path).as[String]
-    val arrays = raw.flatMap(_.split("(?<=\\])\\s*(?=\\[)").iterator)
+    // seam requires REAL whitespace (\s+, not \s*): the zero-width
+    // variant also split on "][" INSIDE a JSON string value, silently
+    // shredding that document into two unparseable fragments. The
+    // reference's writer only ever produces "]\n[" seams; a "]["
+    // with no whitespace is not a seam and correctly falls through to
+    // parse (and quarantine) as one malformed document.
+    val arrays = raw.flatMap(_.split("(?<=\\])\\s+(?=\\[)").iterator)
     parseDocs(arrays, elementSchema)
   }
 }

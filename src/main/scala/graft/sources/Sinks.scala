@@ -30,6 +30,13 @@ object Sinks {
     p.getFileSystem(conf).exists(p)
   }
 
+  /** Read a parquet target if it exists, else the (lazily-built) empty
+    * stand-in — the first-run bootstrap every merge-into-target call
+    * site needs (batch pipeline and streaming foreachBatch alike).
+    */
+  def readOr(spark: org.apache.spark.sql.SparkSession, path: String, empty: => DataFrame): DataFrame =
+    if (exists(path)) spark.read.parquet(path) else empty
+
   /** Full-replace overwrite with tmp-swap (S13 CTAS, S11 truncate-
     * reload, D3 idempotent rebuild). Safe when `df` reads from `dir`
     * itself: the plan materializes into the tmp dir before the old
@@ -101,10 +108,15 @@ object Sinks {
     * columns so per-key queries prune whole partitions at the scan
     * (PartitionFilters — asserted in PlanSpec). The 100 TB layout for
     * any table queried by date/type: a day's rebuild rewrites one
-    * directory, a day's query reads one directory.
+    * directory, a day's query reads one directory. DYNAMIC overwrite
+    * is what makes that true — the per-write option replaces only the
+    * partitions present in `df`; Spark's default (static) would
+    * truncate the whole table on a one-day rebuild.
     */
   def writePartitioned(df: DataFrame, dir: String, partitionCols: String*): Unit =
-    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(dir)
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*).parquet(dir)
 
   /** Bucketed overwrite for co-located joins: both sides of a
     * recurring large join written with the same bucket count on the

@@ -96,11 +96,25 @@ object IncrementalSync {
           val closed = Seq.newBuilder[UserSession]
           sorted.foreach { t =>
             cur match {
-              case Some(s) if t - s.last_ms <= gapMs =>
-                cur = Some(s.copy(n_events = s.n_events + 1, last_ms = t))
-              case Some(s) => // gap exceeded: close and start fresh
+              // within the session's gap-extended interval — including
+              // a CROSS-BATCH late arrival (t < started_ms): extend the
+              // interval on whichever side t falls. The old signed
+              // check (t - last_ms <= gap) silently "merged" any late t
+              // by dragging last_ms BACKWARDS, corrupting the interval
+              // and splitting chronologically-contiguous sessions.
+              case Some(s) if t >= s.started_ms - gapMs && t <= s.last_ms + gapMs =>
+                cur = Some(s.copy(n_events = s.n_events + 1,
+                  started_ms = math.min(s.started_ms, t),
+                  last_ms = math.max(s.last_ms, t)))
+              case Some(s) if t > s.last_ms + gapMs => // gap: close, start fresh
                 closed += s
                 cur = Some(UserSession(user, 1L, t, t))
+              case Some(_) => // stray late event older than the open
+                // session's window: its true session already closed in
+                // an earlier batch (append mode can't reopen emitted
+                // output), so it emits as its own single-event session
+                // rather than corrupting the open one
+                closed += UserSession(user, 1L, t, t)
               case None =>
                 cur = Some(UserSession(user, 1L, t, t))
             }
@@ -163,10 +177,7 @@ object IncrementalSync {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
         val shredded = graft.operators.Shred.contacts(batch)
-        val target =
-          if (graft.sources.Sinks.exists(targetDir))
-            s.read.parquet(targetDir)
-          else shredded.limit(0)
+        val target = graft.sources.Sinks.readOr(s, targetDir, shredded.limit(0))
         val merged = Maintenance.insertOnlyMerge(target, shredded, Seq("contact_id"))
         graft.sources.Sinks.overwriteAtomic(merged, targetDir)
         ()

@@ -69,6 +69,38 @@ class IngestSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.keySet === persistedBefore)
   }
 
+  test("quarantine (bad) needs the cache and keeps the full row; good-only works uncached") {
+    // cache=true: quarantine carries the payload for triage
+    val st = Ingest.loadStaged(
+      spark, s"${Fixtures.Dir}/malformed", Schemas.contacts, "all_contacts_*.json")
+    try {
+      assert(st.bad.count() === 1)
+      assert(st.bad.columns.contains("_corrupt_record"))
+      assert(st.bad.select("_corrupt_record").collect().head.getString(0) != null)
+    } finally st.release()
+    // cache=false: good-path actions fine, bad fails FAST with the
+    // contract (not Spark's at-action-time AnalysisException)
+    val un = Ingest.loadStaged(
+      spark, s"${Fixtures.Dir}/malformed", Schemas.contacts, "all_contacts_*.json",
+      cache = false)
+    assert(un.good.count() === 0)
+    val e = intercept[IllegalArgumentException](un.bad)
+    assert(e.getMessage.contains("cache=true"))
+  }
+
+  test("writePartitioned: rebuilding one partition preserves the others") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val full = Seq((1L, "day1"), (2L, "day2")).toDF("id", "dt")
+    graft.sources.Sinks.writePartitioned(full, dir, "dt")
+    // day-2 rebuild: static overwrite mode would truncate day 1 here
+    val day2 = Seq((99L, "day2")).toDF("id", "dt")
+    graft.sources.Sinks.writePartitioned(day2, dir, "dt")
+    val got = spark.read.parquet(dir).select("id", "dt")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "day1"), (99L, "day2")))
+  }
+
   test("multi-shard staged batch: write shards, glob-load all, one task per shard") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString

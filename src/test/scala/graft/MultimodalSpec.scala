@@ -48,6 +48,24 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.filter(col("frame_bytes") > 10).count() === 0)
   }
 
+  test("frameSample and the decode seam skip degenerate rows, never phantom them") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "image", Array[Byte](1, 2, 3), 3L),
+      (2L, "image", Array.empty[Byte], 0L), // empty: no frames
+      (3L, "image", null, 0L)               // null blob: nothing to decode
+    ).toDF("doc_id", "media_type", "media", "n_bytes")
+    val frames = Multimodal.frameSample(rows, stride = 100, frameBytes = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(frames === Set(1L), "short payload samples its head frame; empty/null do not")
+    val feats = Multimodal.extractFeatures(rows, Multimodal.ByteHistogramDecoder)
+      .select("doc_id").as[Long].collect().toSet
+    assert(feats === Set(1L, 2L), "null blob skipped, empty blob still decodes")
+    val resized = Multimodal.resize(rows, factor = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(resized === Set(1L, 2L))
+  }
+
   test("resize decimates payloads; downstream stages run unchanged") {
     val small = Multimodal.resize(media, factor = 4)
     // byte accounting: ceil(n/4), and n_bytes matches the new payload

@@ -184,6 +184,31 @@ class StreamingSpec extends SparkSpec {
       IncrementalSync.UserSession(1, 2, 20000, 21000)))
   }
 
+  test("sessionize: a cross-batch late event extends the interval, never corrupts it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(u: Long, ms: Long) = IncrementalSync.UserEvent(u, new java.sql.Timestamp(ms))
+    val stream = MemoryStream[IncrementalSync.UserEvent]
+    stream.addData(Seq(ev(1, 1000)))
+    val q = IncrementalSync.sessionize(stream.toDS(), gapMs = 2000)
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // late 500 is within the gap of started_ms=1000 -> merges backwards;
+    // 2800 is within the gap of last_ms=1000 -> extends forwards. The
+    // old signed check dragged last_ms to 500 and then WRONGLY split at
+    // 2800 (2800-500 > gap), emitting a session with last < started.
+    stream.addData(Seq(ev(1, 500), ev(1, 2800)))
+    q.processAllAvailable()
+    // close it out
+    stream.addData(Seq(ev(1, 50000)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("late_sessions")
+      .as[IncrementalSync.UserSession].collect().toSeq
+    assert(got === Seq(IncrementalSync.UserSession(1, 3, 500, 2800)))
+  }
+
   test("stage sink: batch-numbered gzip JSON write then purge (S7/S9/S12)") {
     import spark.implicits._
     val stage = Files.createTempDirectory("graft_stage").toString + "/stage"
