@@ -58,26 +58,34 @@ object Ingest {
     * the internal corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_
     * COLUMN), and a staging batch is bounded by the extraction window —
     * so callers MUST release() after the consuming action, or a
-    * long-lived session accumulates stale staging caches. Callers that
-    * run exactly ONE action over `good` OR `bad` (not both) should pass
-    * cache=false: nothing to release, nothing to accumulate.
+    * long-lived session accumulates stale staging caches. With
+    * cache=false `good` is served by an equivalent DROPMALFORMED read
+    * (no corrupt column anywhere in the plan, so ANY action — including
+    * count(), which would otherwise prune to the corrupt column alone —
+    * stays legal) and `bad` is unavailable: right for consumers that
+    * only want the clean rows, with nothing to release.
     */
-  final class Staged private[sources] (raw: DataFrame, cached: Boolean) {
-    val good: DataFrame =
-      raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+  final class Staged private[sources] (
+      raw: DataFrame, cached: Boolean, goodUncached: Option[DataFrame]) {
+    val good: DataFrame = goodUncached.getOrElse(
+      raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record"))
     // quarantine keeps the FULL row (typed nulls + the corrupt payload
-    // for triage). It structurally requires the cache: any action over
-    // it prunes to the internal corrupt-record column alone, which
-    // Spark refuses on uncached raw JSON scans (QUERY_ONLY_CORRUPT_
-    // RECORD_COLUMN) — even count() (pruning strips the other columns
-    // again, so projecting them buys nothing). Fail fast with the real
-    // contract instead of surfacing Spark's cryptic AnalysisException
-    // at action time; cache=false remains the right call for
+    // for triage). It structurally requires a MATERIALIZED cache: any
+    // action over it prunes to the internal corrupt-record column
+    // alone, which Spark refuses on raw JSON scans (QUERY_ONLY_
+    // CORRUPT_RECORD_COLUMN) — and .cache() alone is LAZY, so a
+    // corrupt-only FIRST action would still plan the raw scan and
+    // throw. `materialized` forces the InMemoryRelation exactly once
+    // (a no-op rescan if `good` already ran an action); cache=false
+    // fails fast with the real contract instead of Spark's cryptic
+    // AnalysisException at action time and remains the right call for
     // good-only consumers.
+    private lazy val materialized: Unit = { raw.count(); () }
     def bad: DataFrame = {
       require(cached,
         "Staged.bad requires cache=true: uncached corrupt-record plans " +
           "are disallowed by Spark (QUERY_ONLY_CORRUPT_RECORD_COLUMN)")
+      materialized
       raw.filter(col("_corrupt_record").isNotNull)
     }
     def release(): Unit = { if (cached) raw.unpersist(); () }
@@ -171,7 +179,19 @@ object Ingest {
       .option("pathGlobFilter", glob)
       .schema(withCorrupt)
       .json(dir)
-    new Staged(if (cache) raw.cache() else raw, cache)
+    if (cache) new Staged(raw.cache(), cached = true, None)
+    else {
+      // uncached `good` = the same files re-read DROPMALFORMED: corrupt
+      // records vanish at parse time, so no plan ever references the
+      // corrupt column and count()-style full pruning stays legal
+      val goodOnly = spark.read
+        .option("multiLine", true)
+        .option("mode", "DROPMALFORMED")
+        .option("pathGlobFilter", glob)
+        .schema(elementSchema)
+        .json(dir)
+      new Staged(raw, cached = false, Some(goodOnly))
+    }
   }
 
   /** O4: collapse per-batch filenames into distinct load targets —
@@ -206,7 +226,14 @@ object Ingest {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(withCorrupt)
       .json(pathPattern)
-    new Staged(if (cache) raw.cache() else raw, cache)
+    if (cache) new Staged(raw.cache(), cached = true, None)
+    else {
+      val goodOnly = spark.read
+        .option("mode", "DROPMALFORMED")
+        .schema(elementSchema)
+        .json(pathPattern)
+      new Staged(raw, cached = false, Some(goodOnly))
+    }
   }
 
   /** S8 file normalizer: the reference appends whole response arrays
