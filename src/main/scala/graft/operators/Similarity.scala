@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -38,20 +39,35 @@ object Similarity {
   // loops accumulate in the SAME order, so results — and the DuckDB
   // oracle hashes — are bit-identical.
   /** Spread narrow inputs across the executors WITHOUT taxing wide
-    * ones: repartition only when the planned scan has fewer partitions
-    * than the session's parallelism. The local test corpora arrive as
-    * one fat parquet split — the signature/shingle math would run
-    * serially without the spread — but a 100 TB scan is already
-    * thousands of partitions wide, and the old unconditional
-    * repartition there was a full shuffle of the corpus text for
-    * nothing. CAVEAT: under AQE, probing .rdd on a frame whose plan
-    * contains an exchange finalizes and EXECUTES those upstream
-    * stages — every call site therefore feeds this a raw scan/filter
-    * frame (the tables as loaded), never a joined or aggregated one.
+    * ones: repartition only when the planned scan is narrower than the
+    * session's parallelism. The local test corpora arrive as one fat
+    * parquet split — the signature/shingle math would run serially
+    * without the spread — but a 100 TB scan is already thousands of
+    * partitions wide, and an unconditional repartition there would
+    * full-shuffle the corpus text for nothing. Width comes from the
+    * LOGICAL plan (file bytes ÷ maxPartitionBytes — the same ratio
+    * Spark's split planner bin-packs by), never from .rdd: under AQE,
+    * .rdd on a frame containing an exchange finalizes and EXECUTES the
+    * upstream stages, so the old probe double-executed work if any
+    * call site ever passed a joined/aggregated frame. A frame that
+    * isn't a single bare file scan (local test data, joined inputs)
+    * estimates as narrow — repartitioning those is at worst one extra
+    * shuffle of an already-shuffled frame, never a double execution.
     */
   private def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val scanWidth: Option[Int] =
+      df.queryExecution.optimizedPlan.collectLeaves() match {
+        case Seq(lr: LogicalRelation) => lr.relation match {
+          case fs: HadoopFsRelation =>
+            val maxSplit = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+            Some(math.max(1L, fs.location.sizeInBytes / math.max(1L, maxSplit))
+              .min(Int.MaxValue).toInt)
+          case _ => None
+        }
+        case _ => None
+      }
+    if (scanWidth.forall(_ < p)) df.repartition(p) else df
   }
 
   /** Join each candidate (doc_a, doc_b) pair back to both shingle

@@ -115,8 +115,12 @@ object TemporalJoins {
     require(!(left.columns ++ right.columns).contains("_bucket"),
       "band join reserves the column name _bucket")
 
+    // Column arithmetic, not an expr() SQL string: interpolating a raw
+    // column name would mis-parse names needing backticks (spaces,
+    // dots, hyphens). `div` keeps the division integral (exact at any
+    // epoch magnitude, where a double `/` would round past 2^53).
     def bucketOf(t: String): Column =
-      expr(s"($t - pmod($t, ${band}L)) DIV ${band}L")
+      call_function("div", col(t) - pmod(col(t), lit(band)), lit(band))
 
     val l = left.withColumn("_bucket",
       explode(array(bucketOf(leftTime) - 1, bucketOf(leftTime), bucketOf(leftTime) + 1)))

@@ -296,9 +296,9 @@ object TextOps {
     * Scale: two shuffled counts (bigram, head) and two shuffled joins
     * keyed by the bigram/head strings — the model is never collected
     * or broadcast, so an internet-scale bigram table distributes like
-    * any aggregate. V is the one driver-side scalar (one count job —
-    * same bounded-constant budget as the IVF sample fit). Docs with
-    * <2 tokens have no bigrams and no row.
+    * any aggregate. V joins in as a broadcast 1-row aggregate (no
+    * driver-side scalar job at all). Docs with <2 tokens have no
+    * bigrams and no row.
     */
   def lmScore(docs: DataFrame): DataFrame = {
     val occ = docs
@@ -311,12 +311,15 @@ object TextOps {
       .select(col("doc_id"), col("s.w1").as("w1"), col("s.bg").as("bg"))
     val c2 = occ.groupBy("bg").agg(count(lit(1)).as("n2"))
     val c1 = occ.groupBy("w1").agg(count(lit(1)).as("n1"))
-    val v = c1.count()
+    // V rides the plan as a broadcast 1-row aggregate instead of a
+    // driver-side count(): one fewer job per evaluation, same values
+    val v = c1.agg(count(lit(1)).as("_v"))
     occ
       .join(c2, "bg")
       .join(c1, "w1")
+      .crossJoin(broadcast(v))
       .select(col("doc_id"),
-        round(lit(1e9) * col("n2") / (col("n1") + lit(v))).cast("long").as("p_e9"))
+        round(lit(1e9) * col("n2") / (col("n1") + col("_v"))).cast("long").as("p_e9"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("p_e9")) * lit(1.0) / count(lit(1))).cast("long").as("lm_score_e9"))

@@ -93,6 +93,12 @@ object IncrementalSync {
         (user: Long, rows: Iterator[UserEvent], state: GroupState[UserSession]) =>
           val sorted = rows.map(_.ts.getTime).toSeq.sorted
           var cur = state.getOption
+          // batch-local roll-up of stray LATE events (older than the
+          // open session's gap-extended window): their true session
+          // already closed in an earlier batch (append mode can't
+          // reopen emitted output), but a burst of strays within gapMs
+          // of EACH OTHER is one session, not n_events singletons
+          var stray: Option[UserSession] = None
           val closed = Seq.newBuilder[UserSession]
           sorted.foreach { t =>
             cur match {
@@ -109,16 +115,23 @@ object IncrementalSync {
               case Some(s) if t > s.last_ms + gapMs => // gap: close, start fresh
                 closed += s
                 cur = Some(UserSession(user, 1L, t, t))
-              case Some(_) => // stray late event older than the open
-                // session's window: its true session already closed in
-                // an earlier batch (append mode can't reopen emitted
-                // output), so it emits as its own single-event session
-                // rather than corrupting the open one
-                closed += UserSession(user, 1L, t, t)
+              case Some(_) => // stray late event: accumulate (events
+                // arrive sorted, so extending only moves last_ms
+                // forward; strays never reach the open session's window
+                // — every stray t < started_ms - gapMs, so even the
+                // gap-extended stray session ends before started_ms)
+                stray match {
+                  case Some(p) if t <= p.last_ms + gapMs =>
+                    stray = Some(p.copy(n_events = p.n_events + 1, last_ms = t))
+                  case other =>
+                    other.foreach(closed += _)
+                    stray = Some(UserSession(user, 1L, t, t))
+                }
               case None =>
                 cur = Some(UserSession(user, 1L, t, t))
             }
           }
+          stray.foreach(closed += _)
           cur.foreach(state.update)
           closed.result().iterator
       }

@@ -209,6 +209,29 @@ class StreamingSpec extends SparkSpec {
     assert(got === Seq(IncrementalSync.UserSession(1, 3, 500, 2800)))
   }
 
+  test("sessionize: a burst of stray late events rolls up to ONE session, not singletons") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(u: Long, ms: Long) = IncrementalSync.UserEvent(u, new java.sql.Timestamp(ms))
+    val stream = MemoryStream[IncrementalSync.UserEvent]
+    // open session far in the future so the whole second batch is stray
+    stream.addData(Seq(ev(1, 100000)))
+    val q = IncrementalSync.sessionize(stream.toDS(), gapMs = 2000)
+      .writeStream.format("memory").queryName("stray_sessions")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // 1000/1500/2900 chain within gapMs of each other -> one 3-event
+    // stray session; 9000 is > gap past 2900 -> its own stray session
+    stream.addData(Seq(ev(1, 1000), ev(1, 1500), ev(1, 2900), ev(1, 9000)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("stray_sessions")
+      .as[IncrementalSync.UserSession].collect().toSeq.sortBy(_.started_ms)
+    assert(got === Seq(
+      IncrementalSync.UserSession(1, 3, 1000, 2900),
+      IncrementalSync.UserSession(1, 1, 9000, 9000)))
+  }
+
   test("stage sink: batch-numbered gzip JSON write then purge (S7/S9/S12)") {
     import spark.implicits._
     val stage = Files.createTempDirectory("graft_stage").toString + "/stage"
