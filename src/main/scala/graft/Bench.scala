@@ -31,26 +31,31 @@ object Bench {
         // noop-format write evaluates every output column; a count()
         // would let Catalyst prune the aggregate expressions out of the
         // measurement (VERDICT r2 "What's wrong" #3). Two iterations,
-        // min reported: single-shot numbers swing ~2x with page-cache
-        // and JIT state.
+        // min reported, max−min kept as the per-query run-to-run
+        // spread: single-shot numbers swing ~2-3x with page-cache, JIT
+        // and scheduler state (r5's apparent ann_recall regression was
+        // exactly such noise), so a regression is only diagnosable
+        // against the spread.
         val times = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
-        Some(name -> times.min)
+        Some(name -> (times.min, times.max - times.min))
       } catch {
         case e: Throwable =>
           errors ::= s"$name: ${e.getClass.getSimpleName}"
           None
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val spreads = results.map { case (k, (_, d)) => "\"" + k + "\":" + f"$d%.3f" }
       .mkString("{", ",", "}")
     val errJson = errors.map(e => "\"" + e.replace("\"", "'") + "\"")
       .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val total = results.map(_._2._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CalabrioSync, Components, Multimodal, Queries, Sampling, Shred, Similarity, Sketches, TemporalJoins, TextOps}
+import graft.operators.{CalabrioSync, Components, Multimodal, Queries, Sampling, Shred, Similarity, Sketches, Skew, TemporalJoins, TextOps}
 import org.apache.spark.sql.functions.{col, concat, count, expr, lit, lpad, size, when}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -287,15 +287,18 @@ object SparkEntry {
     // ride as epoch-ms longs so both engines compare at identical
     // precision (events.parquet is nanos; Spark truncates to micros on
     // read, so comparing raw timestamps could disagree inside 1 µs).
-    // Rights are pre-deduped to one row per (user, ms) via max_by —
-    // the asofJoin tie contract. Oracle: DuckDB's native ASOF LEFT JOIN.
+    // Duplicate (user, ms) touches need NO external pre-aggregation:
+    // asofJoin's tie rule keeps the greatest (touch_id, touch_type,
+    // touch_ms) tuple, which is exactly the max_by(·, event_id)
+    // representative the oracle's pre-agg CTE computes (DuckDB's ASOF
+    // JOIN itself breaks ties arbitrarily, so the oracle still
+    // pre-dedupes). Oracle: DuckDB's native ASOF LEFT JOIN.
     "asof_attribution" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .withColumn("ms", expr("unix_micros(ts) DIV 1000"))
       val touches = ev.where(col("event_type").isin("click", "view"))
-        .groupBy(col("user_id").as("t_user"), col("ms").as("touch_ms"))
-        .agg(expr("max_by(event_id, event_id)").as("touch_id"),
-          expr("max_by(event_type, event_id)").as("touch_type"))
+        .select(col("user_id").as("t_user"), col("ms").as("touch_ms"),
+          col("event_id").as("touch_id"), col("event_type").as("touch_type"))
       val purchases = ev.where(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"),
           col("ms").as("purchase_ms"), col("value").as("amount"))
@@ -322,11 +325,44 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("type_a", "type_b")
     }),
+    // Skew-salted join ≡ plain join: events fan onto a 5-value
+    // event_type key (heavily skewed by construction), the dim side is
+    // tiny, and the salted (key, _salt) equi-join must reproduce the
+    // unsalted result exactly — the driver row for the Skew family
+    // (spec-only through r5). The oracle is the PLAIN join: salting is
+    // a physical rewrite with identical semantics.
+    "salted_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("user_id"))
+      val dim = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("type_n"))
+      Skew.saltedJoin(ev, dim, "event_type", saltFactor = 8)
+        .select("event_id", "event_type", "user_id", "type_n")
+        .orderBy("event_id")
+    }),
     // Inactivity-gap sessionization (batch twin of the streaming
     // sessionizer): per-user running windows, 30-minute gap.
     "sessionize" -> ((s, dir) => Queries.sessionize(s, dir)),
     // The troubleshooting row-count surface as one relation.
     "table_counts" -> ((s, _) => CalabrioSync.tableCounts(s)),
+    // Streaming sink-compare (the streaming surface's first driver
+    // row): contactsSync runs AvailableNow over the two fixture
+    // batches at ONE file per trigger — so the insert-only merge
+    // really executes incrementally across micro-batches — and the
+    // landed parquet is compared against the batch twin's oracle.
+    // The 20 contacts present in both files carry IDENTICAL payloads
+    // (fixture invariant), so first-batch-wins is content-agnostic
+    // and the result is deterministic whatever order files trigger:
+    // 100 distinct contacts.
+    "stream_contacts_sync" -> ((s, _) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_stream_row").toString
+      val q = graft.streaming.IncrementalSync.contactsSync(
+        s, s"${Fixtures.Dir}/all_contacts_*.json", Schemas.contacts,
+        s"$base/target", s"$base/ckpt", maxFilesPerTrigger = 1)
+      q.awaitTermination()
+      s.read.parquet(s"$base/target").orderBy("contact_id")
+    }),
   )
 
   /** Shared oracle fragment: the evaluations shred (projection + SCORED
@@ -701,6 +737,15 @@ object SparkEntry {
         |       assocCallId AS cjp_session_id
         |FROM read_json(['/root/repo/fixtures/all_contacts_1.json', '/root/repo/fixtures/all_contacts_2.json'])
         |ORDER BY contact_id""".stripMargin,
+    // batch twin of the streaming insert-only merge: the overlap rows
+    // are payload-identical, so DISTINCT reproduces first-batch-wins
+    "stream_contacts_sync" ->
+      """SELECT DISTINCT id AS contact_id,
+        |       strftime(timezone('America/Denver', epoch_ms(startTime)::TIMESTAMPTZ), '%Y-%m-%d %H:%M:%S') AS contact_start_time,
+        |       'https://calabriocloud.com/index.html#/recordings/' || id || '/ccr' AS contact_url,
+        |       assocCallId AS cjp_session_id
+        |FROM read_json(['/root/repo/fixtures/all_contacts_1.json', '/root/repo/fixtures/all_contacts_2.json'])
+        |ORDER BY contact_id""".stripMargin,
     "media_stats" ->
       """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
         |       count(*) AS n_items, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
@@ -850,6 +895,12 @@ object SparkEntry {
         |FROM e a JOIN e b
         |  ON a.event_id < b.event_id AND b.ms BETWEEN a.ms - 1000 AND a.ms + 1000
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the PLAIN join — salting must be invisible in the result
+    "salted_join" ->
+      """WITH dim AS (SELECT event_type, count(*) AS type_n FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.user_id, d.type_n
+        |FROM events e JOIN dim d USING (event_type)
+        |ORDER BY event_id""".stripMargin,
     "table_counts" ->
       s"""SELECT 'qa_contacts' AS table_name, (SELECT count(*) FROM ${contactsShredSql("qa_contacts.json")} t) AS n
          |UNION ALL

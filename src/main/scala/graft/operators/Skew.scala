@@ -32,8 +32,13 @@ object Skew {
     require(Set("inner", "left", "leftouter", "leftsemi")
       .contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports inner/left/left_semi joins, got $joinType")
+    // content-hash salt, not monotonically_increasing_id: the salt a
+    // row gets survives task retries and repartitioning (same posture
+    // as the hash-gated sampling ops), and any within-key spread works
+    // for correctness — identical full rows sharing a salt only
+    // matters if the corpus is itself one giant duplicated row
     val bigS = big.withColumn("_salt",
-      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
+      pmod(xxhash64(big.columns.map(col): _*), lit(saltFactor.toLong)).cast("int"))
     val smallS = small.withColumn("_salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     bigS.join(smallS, Seq(key, "_salt"), joinType).drop("_salt")

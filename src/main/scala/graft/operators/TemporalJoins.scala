@@ -32,13 +32,16 @@ object TemporalJoins {
     * do, and it partitions by key, so 1000 executors each sweep their
     * own keys.
     *
-    * Contract: `rightVals` must not collide with left column names,
-    * and the right side must be UNIQUE per (key, time) — at equal
-    * (key, time) the sort order of right rows is not total, so
-    * pre-aggregate ties (e.g. `max_by` a representative) as the
-    * attribution query does. Right rows with a null time never match
-    * (they are dropped — mirrors `t >= NULL` being false in SQL).
-    * Rights at exactly `leftTime` DO match (≤, not <).
+    * Contract: `rightVals` must not collide with left column names.
+    * Duplicate rights per (key, time) are ALLOWED and resolve
+    * deterministically: the payload tuple rides the window sort, so at
+    * equal (key, time) the greatest `rightVals` tuple (struct order =
+    * field-by-field, left to right) is the representative — the same
+    * row `max_by(payload, payload)` would keep, chosen with zero extra
+    * shuffle. This requires every rightVals type to be orderable
+    * (maps are not). Right rows with a null time never match (they
+    * are dropped — mirrors `t >= NULL` being false in SQL). Rights at
+    * exactly `leftTime` DO match (≤, not <).
     */
   def asofJoin(
       left: DataFrame,
@@ -73,9 +76,12 @@ object TemporalJoins {
         payload.as("_rv"), lit(null).cast(leftRowType).as("_lv"))
 
     // rights sort before lefts at equal time so `t_right == t_left`
-    // matches; the frame is a running one, so WindowExec maintains the
-    // carried value incrementally instead of rescanning frames
-    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_side"))
+    // matches; _rv makes the order TOTAL over rights, so duplicate
+    // (key, time) rights deterministically resolve to the greatest
+    // payload tuple (the running last sees it last). The frame is a
+    // running one, so WindowExec maintains the carried value
+    // incrementally instead of rescanning frames.
+    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_side"), col("_rv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("_m", last(col("_rv"), ignoreNulls = true).over(w))

@@ -178,10 +178,11 @@ object IncrementalSync {
       srcDir: String,
       schema: StructType,
       targetDir: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 4): StreamingQuery = {
     val raw = spark.readStream
       .option("multiLine", true)
-      .option("maxFilesPerTrigger", 4)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .schema(schema)
       .json(srcDir)
     raw.writeStream

@@ -20,6 +20,7 @@ object Dsv2SourceSpec {
 
   class EvalFetcher extends WindowedRestSource.ParamWindowFetcher {
     def fetch(w: DateWindow, params: Map[String, String]): Iterator[String] = {
+      calls.add((w, params))
       val ms = LocalDate.parse(w.start).atStartOfDay(ZoneOffset.UTC).toInstant.toEpochMilli
       val id = w.start.replace("-", "").toLong
       Iterator(
@@ -182,6 +183,30 @@ class Dsv2SourceSpec extends SparkSpec {
       .select(col("q.id"), col("q.selectedOption"))
       .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
     assert(q.toSet === Set((2L, 3L), (4L, null)))
+  }
+
+  test("pushdown works on the second payload too, not just contacts") {
+    Dsv2SourceSpec.calls.clear()
+    WindowedRestSource.registerFetcher("spec-evals", new Dsv2SourceSpec.EvalFetcher)
+    val df = spark.read.format("graft-window")
+      .option("begin", "2024-01-01")
+      .option("end", "2024-01-05")
+      .option("breakDays", "2")
+      .option("payload", "evaluations")
+      .option("fetcher", "spec-evals")
+      .load()
+      .filter(col("evalState") === "scored")
+      .select(col("id"), col("totalScore"))
+    assert(df.collect().length === 2)
+    // the server-side evalState param traveled on every evaluations
+    // fetch, and column pruning narrowed the parsed schema to exactly
+    // the selected columns — same contract as the contacts payload
+    val fetched = Dsv2SourceSpec.calls.iterator().asScala.toSeq
+    assert(fetched.size === 2)
+    assert(fetched.forall(_._2("evalState") === "scored"))
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case b: BatchScanExec => b }.get.scan
+    assert(scan.readSchema().fieldNames.toSeq === Seq("id", "totalScore"))
   }
 
   private implicit class JIter[A](it: java.util.Iterator[A]) {

@@ -63,6 +63,29 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got === Set((Some(1L), Some("real")), (None, None)))
   }
 
+  test("asofJoin resolves duplicate (key, time) rights to the greatest payload, deterministically") {
+    // three rights tie at (1, 100): representative must be the greatest
+    // (tag, n) tuple — "z" — regardless of input order or partitioning
+    val dupRights = Seq(
+      (1L, 100L, "m", 7L), (1L, 100L, "z", 1L), (1L, 100L, "a", 9L),
+      (1L, 300L, "later", 0L),
+      (2L, 100L, "b", 1L), (2L, 100L, "c", 2L))
+    val l = Seq((1L, 150L), (1L, 400L), (2L, 500L)).toDF("k", "t")
+    val expected = Set(
+      (1L, 150L, Some("z"), Some(1L)),   // max tag among the tie
+      (1L, 400L, Some("later"), Some(0L)),
+      (2L, 500L, Some("c"), Some(2L)))
+    // every permutation/partitioning must agree — the sort is total
+    for (perm <- Seq(dupRights, dupRights.reverse, scala.util.Random.shuffle(dupRights));
+         parts <- Seq(1, 7)) {
+      val r = perm.toDF("rk", "rt", "tag", "n").repartition(parts)
+      val got = TemporalJoins.asofJoin(l, r, "k", "rk", "t", "rt", Seq("tag", "n"))
+        .select("k", "t", "tag", "n").as[(Long, Long, Option[String], Option[Long])]
+        .collect().toSet
+      assert(got === expected, s"parts=$parts perm=$perm")
+    }
+  }
+
   test("asofJoin rejects colliding output names") {
     val l = lefts.toDF("k", "t")
     val r = rights.toDF("rk", "t", "tag")
