@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{CalabrioSync, Components, Multimodal, Queries, Sampling, Shred, Similarity, Sketches, Skew, TemporalJoins, TextOps}
-import org.apache.spark.sql.functions.{col, concat, count, expr, lit, lpad, size, when}
+import org.apache.spark.sql.functions.{col, concat, count, expr, lit, lpad, size, sum, when}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -325,6 +325,42 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("type_a", "type_b")
     }),
+    // Bucketed zero-exchange join: both sides land as bucketed catalog
+    // tables on their join keys, and the recurring join then plans
+    // with NO exchange anywhere in the join subtree — self-asserted
+    // here (the row throws if a shuffle sneaks in), result checked
+    // against the plain-join oracle. The merge hint pins the physical
+    // strategy; at driver-row data sizes AQE would otherwise broadcast
+    // and prove nothing about bucket co-location.
+    "bucketed_join" -> ((s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_bucketed_row").toString
+      graft.sources.Sinks.writeBucketed(
+        Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+        "bkt_row_orders", s"$base/o", "o_orderkey", 8)
+      graft.sources.Sinks.writeBucketed(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_quantity"),
+        "bkt_row_lineitem", s"$base/l", "l_orderkey", 8)
+      val joined = s.table("bkt_row_orders").hint("merge")
+        .join(s.table("bkt_row_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange"),
+        s"bucketed join must plan with zero exchanges:\n$plan")
+      joined
+        .groupBy("o_orderpriority")
+        // l_quantity values are integral doubles (TPC-H quantities),
+        // so the sum is exact and order-independent at any partitioning
+        .agg(sum("l_quantity").cast("long").as("total_qty"))
+        .orderBy("o_orderpriority")
+    }),
+    // Segment-level exact dedup (span-granular dedup over 10-token
+    // windows): each duplicated segment survives once corpus-wide at
+    // its first (doc_id, seg_idx) occurrence; documents reassemble
+    // from surviving segments. Oracle replays the same first-wins
+    // window over exploded segments.
+    "segment_dedup" -> ((s, dir) =>
+      TextOps.segmentDedup(Tables.documents(s, dir), segTokens = 10)),
     // Skew-salted join ≡ plain join: events fan onto a 5-value
     // event_type key (heavily skewed by construction), the dim side is
     // tiny, and the salted (key, _salt) equi-join must reproduce the
@@ -362,6 +398,39 @@ object SparkEntry {
         s"$base/target", s"$base/ckpt", maxFilesPerTrigger = 1)
       q.awaitTermination()
       s.read.parquet(s"$base/target").orderBy("contact_id")
+    }),
+    // Streaming windowed aggregation, sink-compared: the watermarked
+    // daily tumbling counts run as a real stream over the events
+    // parquet and land via foreachBatch; the oracle is the batch
+    // day-bucket GROUP BY. Complete mode so every window emits —
+    // append would hold back the final (post-watermark) window and
+    // the comparison would depend on max(ts). Window starts cross the
+    // oracle boundary as epoch-ms BIGINTs (the timestamp-compare
+    // convention).
+    "stream_windowed_counts" -> ((s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_stream_wc").toString
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // the file-stream source wants a DIRECTORY; events.parquet is a
+      // single file, so stream the sf dir glob-filtered to it
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      val counts = graft.streaming.IncrementalSync
+        .windowedEventCounts(stream, "10 minutes", "1 day")
+      val q = counts.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          graft.sources.Sinks.overwriteAtomic(b, s"$base/target"); ()
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/target")
+        .select(expr("unix_micros(window_start) DIV 1000").as("start_ms"),
+          col("tally"))
+        .orderBy("start_ms")
     }),
   )
 
@@ -737,6 +806,12 @@ object SparkEntry {
         |       assocCallId AS cjp_session_id
         |FROM read_json(['/root/repo/fixtures/all_contacts_1.json', '/root/repo/fixtures/all_contacts_2.json'])
         |ORDER BY contact_id""".stripMargin,
+    // batch twin of the streaming daily tumbling counts; epoch-aligned
+    // day buckets (2024 timestamps are positive, so DIV == floor)
+    "stream_windowed_counts" ->
+      """SELECT (epoch_ms(ts) // 86400000) * 86400000 AS start_ms,
+        |       count(event_id) AS tally
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // batch twin of the streaming insert-only merge: the overlap rows
     // are payload-identical, so DISTINCT reproduces first-batch-wins
     "stream_contacts_sync" ->
@@ -895,6 +970,26 @@ object SparkEntry {
         |FROM e a JOIN e b
         |  ON a.event_id < b.event_id AND b.ms BETWEEN a.ms - 1000 AND a.ms + 1000
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the PLAIN join again — bucketing is physical layout, not semantics
+    "bucketed_join" ->
+      """SELECT o_orderpriority, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "segment_dedup" ->
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        | seg AS (SELECT doc_id, unnest(list_transform(range(CAST(ceil(len(toks) / 10.0) AS BIGINT)),
+        |                 i -> {'i': i, 's': array_to_string(toks[(i*10+1):(i*10+10)], ' ')})) AS u
+        |         FROM t WHERE len(toks) > 0),
+        | m AS (SELECT doc_id, u.i AS seg_idx, u.s AS seg,
+        |              row_number() OVER (PARTITION BY u.s ORDER BY doc_id, u.i) AS rn
+        |       FROM seg),
+        | kept AS (SELECT doc_id, array_to_string(list(seg ORDER BY seg_idx), ' ') AS clean_text,
+        |                 count(*) AS n_kept
+        |          FROM m WHERE rn = 1 GROUP BY doc_id),
+        | n AS (SELECT doc_id, CAST(ceil(len(toks) / 10.0) AS BIGINT) AS n_segments FROM t)
+        |SELECT n.doc_id, coalesce(k.clean_text, '') AS clean_text, n.n_segments,
+        |       n.n_segments - coalesce(k.n_kept, 0) AS n_dropped
+        |FROM n LEFT JOIN kept k USING (doc_id) ORDER BY doc_id""".stripMargin,
     // the PLAIN join — salting must be invisible in the result
     "salted_join" ->
       """WITH dim AS (SELECT event_type, count(*) AS type_n FROM events GROUP BY 1)

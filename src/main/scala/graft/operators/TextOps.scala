@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline
@@ -36,6 +37,58 @@ object TextOps {
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dup_count"))
       .select("text_md5", "keep_doc_id", "dup_count")
       .orderBy("keep_doc_id")
+
+  /** Segment-level exact dedup — the span-granular sibling of
+    * exactDedup (the line/paragraph dedup of CCNet/RefinedWeb-style
+    * pipelines, on fixed windows of `segTokens` tokens since the
+    * corpus convention is whitespace tokens, not lines): every
+    * duplicated segment keeps ONE copy corpus-wide — the occurrence
+    * with the smallest (doc_id, seg_idx) — and each document is
+    * reassembled from its surviving segments in order. Emits every
+    * input document (a fully-deduplicated one keeps an empty
+    * clean_text) with segment/drop counts for audit.
+    *
+    * Scale shape — the corpus text crosses the wire ONCE: the dedup
+    * decision runs on a (doc_id, seg_idx, md5) projection (16-byte
+    * hashes shuffle, never segment text), winners collapse to one
+    * int-array of surviving indices per doc (map-side-combinable
+    * nothing — it's a plain collect_list after a win filter, bounded
+    * by the doc's own segment count), and the only text movement is
+    * the final equi-join of documents to their index arrays on
+    * doc_id, with reassembly a map-side slice+join over the already
+    * co-located tokens.
+    */
+  def segmentDedup(docs: DataFrame, segTokens: Int = 10): DataFrame = {
+    require(segTokens > 0, "segTokens must be positive")
+    val k = segTokens
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    // one row per segment, hash only: pos from posexplode IS the
+    // ordinal segment index (starts are 0, k, 2k, …; the tail segment
+    // may be short)
+    val marks = toks
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - 1, $k), " +
+          s"j -> md5(cast(array_join(slice(toks, j + 1, $k), ' ') as binary)))")))
+      .toDF("doc_id", "seg_idx", "seg_h")
+    val firstWins = Window.partitionBy("seg_h").orderBy("doc_id", "seg_idx")
+    val keptIdx = marks
+      .withColumn("_rn", row_number().over(firstWins))
+      .where(col("_rn") === 1)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("seg_idx"))).as("_kept"))
+    val nSegs = ceil(size(col("toks")) / lit(k.toDouble)).cast("long")
+    toks
+      .join(keptIdx, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(expr(
+          s"array_join(transform(_kept, i -> array_join(slice(toks, i * $k + 1, $k), ' ')), ' ')"),
+          lit("")).as("clean_text"),
+        nSegs.as("n_segments"),
+        (nSegs - coalesce(size(col("_kept")), lit(0))).as("n_dropped"))
+      .orderBy("doc_id")
+  }
 
   /** Per-language corpus stats: doc/char/token totals + extrema.
     * Map-side-combinable aggregate on a tiny key (|langs|). */

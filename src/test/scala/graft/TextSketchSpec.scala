@@ -39,6 +39,33 @@ class TextSketchSpec extends SparkSpec {
     assert(r(1) == (("mail me at root@<IP> ok", 0, 1)))
   }
 
+  test("segmentDedup: first occurrence wins corpus-wide, docs reassemble in order") {
+    // seg size 3; "a b c" appears in doc 1 (twice) and doc 2; doc 3 is
+    // entirely made of doc 1's segments; doc 4 has a short tail segment
+    val docs = Seq(
+      (1L, "a b c x y z a b c"),   // segs: [a b c][x y z][a b c] — third is a within-doc dup
+      (2L, "a b c q r s"),         // first seg loses to doc 1
+      (3L, "x y z"),               // loses entirely to doc 1's second seg
+      (4L, "q r s tail")           // [q r s] loses to doc 2; [tail] survives
+    ).toDF("doc_id", "text")
+    val got = TextOps.segmentDedup(docs, segTokens = 3)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "a b c x y z", 3L, 1L),
+      (2L, "q r s", 2L, 1L),
+      (3L, "", 1L, 1L),
+      (4L, "tail", 2L, 1L)))
+  }
+
+  test("segmentDedup: duplicate-free corpus passes through unchanged") {
+    val docs = Seq((1L, "one two three four"), (2L, "five six")).toDF("doc_id", "text")
+    val got = TextOps.segmentDedup(docs, segTokens = 3)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "one two three four", 2L, 0L),
+      (2L, "five six", 1L, 0L)))
+  }
+
   test("topTerms: collection and document frequency, deterministic ties, stopwords dropped") {
     val docs = Seq(
       (1L, "Spark spark SHUFFLE the a of"),
