@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{CalabrioSync, Components, Multimodal, Queries, Sampling, Shred, Similarity, Sketches, Skew, TemporalJoins, TextOps}
-import org.apache.spark.sql.functions.{col, concat, count, expr, lit, lpad, size, sum, when}
+import org.apache.spark.sql.functions.{col, concat, count, explode, expr, lit, lpad, size, sum, when}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -137,6 +137,19 @@ object SparkEntry {
     // document frequency alongside (the IDF numerator) — two-level
     // partial aggregation, no countDistinct Expand.
     "top_terms" -> ((s, dir) => TextOps.topTerms(Tables.documents(s, dir))),
+    // Per-doc top-3 keywords by log-free (linear-idf) TF-IDF.
+    "tfidf_topk" -> ((s, dir) =>
+      TextOps.tfidfTopK(Tables.documents(s, dir), k = 3)),
+    // Misra-Gries heavy hitters vs exact top-10, PODS'12 bound
+    // asserted per row (the sketch-floor pattern).
+    "heavy_hitters_check" -> ((s, dir) => {
+      val terms = Tables.documents(s, dir)
+        .select(explode(expr(
+          "filter(split(lower(text), '[^a-z]+'), t -> length(t) >= 2)")).as("term"))
+        .filter(!col("term").isin(
+          "the", "a", "an", "of", "and", "or", "is", "in", "to", "for"))
+      Sketches.frequentTermsCheck(terms, capacity = 64, k = 10)
+    }),
     // Eval-set decontamination: docs on the % 97 == 0 gate play the
     // benchmark; the rest are the corpus. Any shared 3-gram flags the
     // corpus doc.
@@ -668,6 +681,27 @@ object SparkEntry {
         | td AS (SELECT term, doc_id, count(*) AS tf FROM f GROUP BY term, doc_id)
         |SELECT term, CAST(sum(tf) AS BIGINT) AS n, count(*) AS df
         |FROM td GROUP BY term ORDER BY n DESC, term LIMIT 25""".stripMargin,
+    "tfidf_topk" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term FROM documents),
+        | f AS (SELECT doc_id, term FROM toks WHERE length(term) >= 2
+        |        AND term NOT IN ('the','a','an','of','and','or','is','in','to','for')),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM f GROUP BY 1, 2),
+        | idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | n AS (SELECT count(*) AS n_docs FROM documents),
+        | s AS (SELECT doc_id, term, tf, df, tf * 1000000 * n_docs // df AS tfidf_e6
+        |       FROM tf JOIN idf USING (term) CROSS JOIN n),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_e6 DESC, term) AS rank FROM s)
+        |SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |       CAST(tfidf_e6 AS BIGINT) AS tfidf_e6
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // exact top-10 with the floor contract literal-true per row; the
+    // Spark side measures the sketch and flips on regression
+    "heavy_hitters_check" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term FROM documents),
+        | f AS (SELECT term FROM toks WHERE length(term) >= 2
+        |        AND term NOT IN ('the','a','an','of','and','or','is','in','to','for'))
+        |SELECT term, count(*) AS n, true AS floor_met
+        |FROM f GROUP BY term ORDER BY n DESC, term LIMIT 10""".stripMargin,
     // Sketch checks: the oracle asserts the key frame and the
     // floor_met contract (true per row); the Spark side computes the
     // measured sketch-vs-exact error and flips to false on regression.

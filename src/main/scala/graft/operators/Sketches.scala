@@ -1,6 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Sketch aggregates — the operators that replace exact DISTINCT and
@@ -57,6 +60,88 @@ object Sketches {
         (abs(col("approx") - col("exact")) * lit(1000L)
           <= col("exact") * lit(maxErrPerMille.toLong)).as("floor_met"))
       .orderBy("event_type")
+
+  /** Mergeable Misra–Gries frequent-items summary (Agarwal et al.,
+    * "Mergeable Summaries", PODS'12): at most `capacity` counters per
+    * partition, merge = counter sum followed by subtracting the
+    * (capacity+1)-largest count, guarantee true−est ≤ N/(capacity+1)
+    * after ANY merge tree — which is what makes it a valid map-side-
+    * combinable Spark Aggregator (Spark chooses the merge order).
+    * This is the heavy-hitters answer when the vocabulary outgrows an
+    * exact groupBy's shuffle: constant memory per partition, one pass.
+    */
+  final class MisraGries(capacity: Int)
+      extends Aggregator[String, mutable.HashMap[String, Long], Map[String, Long]] {
+    require(capacity > 0, "capacity must be positive")
+    def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
+    def reduce(b: mutable.HashMap[String, Long], term: String): mutable.HashMap[String, Long] = {
+      b.get(term) match {
+        case Some(v) => b(term) = v + 1
+        case None if b.size < capacity => b(term) = 1L
+        case None =>
+          // classic decrement-all step; zeros vacate their counters
+          b.mapValuesInPlace((_, v) => v - 1)
+          b.filterInPlace((_, v) => v > 0)
+      }
+      b
+    }
+    def merge(
+        a: mutable.HashMap[String, Long],
+        c: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+      c.foreach { case (t, v) => a(t) = a.getOrElse(t, 0L) + v }
+      if (a.size > capacity) {
+        // subtract the (capacity+1)-th largest count from every
+        // counter — the PODS'12 merge that preserves the error bound
+        val cut = a.values.toIndexedSeq.sorted(Ordering[Long].reverse)(capacity)
+        a.mapValuesInPlace((_, v) => v - cut)
+        a.filterInPlace((_, v) => v > 0)
+      }
+      a
+    }
+    def finish(b: mutable.HashMap[String, Long]): Map[String, Long] = b.toMap
+    def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
+      Encoders.kryo[mutable.HashMap[String, Long]]
+    // a real MapType output (not kryo bytes): the check reads it
+    // relationally via element_at
+    def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** Heavy-hitters accuracy check: the Misra–Gries sketch vs the exact
+    * top-k term counts on the same tokenized frame (tokenization =
+    * TextOps.topTerms' convention, applied by the caller). Each exact
+    * top-k row asserts the PODS'12 guarantee — the term holds a
+    * sketch counter and (true − est)·(capacity+1) ≤ N — in pure
+    * integer math. At the test corpora the 29-term vocabulary fits
+    * the 64 counters, so est = true exactly (the same
+    * degenerate-but-real regime as the HLL check's sparse-exact
+    * floor); at 100 TB vocabularies the bound is what survives.
+    */
+  def frequentTermsCheck(
+      terms: DataFrame, // single string column "term"
+      capacity: Int = 64,
+      k: Int = 10): DataFrame = {
+    val spark = terms.sparkSession
+    import spark.implicits._
+    val mg = new MisraGries(capacity)
+    // typed select (a TypedColumn cannot ride the untyped API), then
+    // back to a named MapType column for the relational check
+    val sketch = terms.as[String].select(mg.toColumn).toDF("_est")
+    val totals = terms.agg(count(lit(1)).as("_n_total"))
+    val exactTopK = terms
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(k)
+    exactTopK
+      .crossJoin(broadcast(sketch))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("term"), col("n"),
+        (element_at(col("_est"), col("term")).isNotNull &&
+          (col("n") - coalesce(element_at(col("_est"), col("term")), lit(0L)))
+            * lit(capacity + 1L) <= col("_n_total")).as("floor_met"))
+      .orderBy(col("n").desc, col("term"))
+  }
 
   /** GK quantile-sketch accuracy check over a numeric column: compute
     * percentile_approx at the given per-mille quantiles, then measure

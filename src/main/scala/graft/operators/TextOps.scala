@@ -281,6 +281,41 @@ object TextOps {
       .orderBy(col("n").desc, col("term"))
       .limit(k)
 
+  /** Per-document top-k terms by TF-IDF — the keyword/relevance
+    * weighting downstream of topTerms' vocabulary table. Deliberately
+    * LOG-FREE like lmScore: idf is the rational N/df, not ln(N/df)
+    * (ln() is not bit-identical across engines), so the score is
+    * tf·N·1e6 div df — exact 64-bit integer arithmetic on both sides
+    * of the oracle. Linear idf weights rarity more steeply than the
+    * log form and can order a document's terms differently; that is
+    * the documented contract of this operator, not an approximation
+    * drift.
+    *
+    * Scale: same two map-side-combinable aggregations as topTerms
+    * (never a countDistinct Expand), one equi-join of per-(doc,term)
+    * tf against the |vocab|-sized df table, N as a broadcast 1-row
+    * aggregate, and the per-doc top-k is a rank-pushdown window
+    * (WindowGroupLimit keeps ≤ k rows per doc per task pre-shuffle).
+    */
+  def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    val terms = docs
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "[^a-z]+"),
+          t => length(t) >= 2)).as("term"))
+      .filter(!col("term").isin(stopwords: _*))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfTbl = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("_n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf_e6").desc, col("term"))
+    tf.join(dfTbl, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf_e6", expr("tf * 1000000L * _n div df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("doc_id", "rank", "term", "tf", "df", "tfidf_e6")
+      .orderBy("doc_id", "rank")
+  }
+
   /** Benchmark decontamination: which corpus documents share ANY word
     * 3-gram with a probe (evaluation/benchmark) set, and how many
     * distinct shingles overlap. The standard pre-training hygiene
