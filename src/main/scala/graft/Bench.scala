@@ -50,7 +50,11 @@ object Bench {
     }
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val spreads = results.map { case (k, (_, d)) => "\"" + k + "\":" + f"$d%.3f" }
+    // Locale.ROOT: f"" uses the JVM default locale, which under a
+    // comma-decimal locale (de_DE, tr_TR) would emit "0,123" and break
+    // the JSON line (ADVICE r6)
+    val spreads = results.map { case (k, (_, d)) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(d)) }
       .mkString("{", ",", "}")
     val errJson = errors.map(e => "\"" + e.replace("\"", "'") + "\"")
       .mkString("[", ",", "]")

@@ -56,16 +56,23 @@ object Similarity {
     */
   private def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
+    // ALL file-scan leaves, not just a single bare scan (ADVICE r6):
+    // a joined/unioned frame over wide scans estimates by the summed
+    // file bytes instead of unconditionally repartitioning — plans
+    // with no file leaf at all (local test relations) still estimate
+    // as narrow, which at worst re-shuffles an already-shuffled frame.
+    val fileBytes = df.queryExecution.optimizedPlan.collectLeaves().collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.sizeInBytes
+        case _ => 0L
+      }
+    }.filter(_ > 0L)
     val scanWidth: Option[Int] =
-      df.queryExecution.optimizedPlan.collectLeaves() match {
-        case Seq(lr: LogicalRelation) => lr.relation match {
-          case fs: HadoopFsRelation =>
-            val maxSplit = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
-            Some(math.max(1L, fs.location.sizeInBytes / math.max(1L, maxSplit))
-              .min(Int.MaxValue).toInt)
-          case _ => None
-        }
-        case _ => None
+      if (fileBytes.isEmpty) None
+      else {
+        val maxSplit = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+        Some(math.max(1L, fileBytes.sum / math.max(1L, maxSplit))
+          .min(Int.MaxValue).toInt)
       }
     if (scanWidth.forall(_ < p)) df.repartition(p) else df
   }

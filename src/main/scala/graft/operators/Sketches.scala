@@ -110,12 +110,19 @@ object Sketches {
   /** Heavy-hitters accuracy check: the Misra–Gries sketch vs the exact
     * top-k term counts on the same tokenized frame (tokenization =
     * TextOps.topTerms' convention, applied by the caller). Each exact
-    * top-k row asserts the PODS'12 guarantee — the term holds a
-    * sketch counter and (true − est)·(capacity+1) ≤ N — in pure
-    * integer math. At the test corpora the 29-term vocabulary fits
-    * the 64 counters, so est = true exactly (the same
-    * degenerate-but-real regime as the HLL check's sparse-exact
-    * floor); at 100 TB vocabularies the bound is what survives.
+    * top-k row asserts EXACTLY the PODS'12 guarantee in pure integer
+    * math: 0 ≤ est ≤ true and (true − est)·(capacity+1) ≤ N, with
+    * est = 0 when the term holds no counter. Presence in the sketch is
+    * deliberately NOT a separate clause (ADVICE r6): theory only
+    * guarantees a counter when true·(capacity+1) > N, and in that
+    * regime the bound above already forces est > 0 — so the check is
+    * tight in the lossy regime without over-asserting in the flat one.
+    * When the vocabulary fits the counters (heavy_hitters_check's
+    * 29-term corpus under capacity 64) est = true exactly; the
+    * heavy_hitters_lossy driver row runs capacity < vocabulary over
+    * the letter stream, where 7 letters exceed N/(capacity+1) and the
+    * inequality genuinely binds — a decrement/merge off-by-one flips
+    * it red.
     */
   def frequentTermsCheck(
       terms: DataFrame, // single string column "term"
@@ -137,9 +144,11 @@ object Sketches {
       .crossJoin(broadcast(totals))
       .select(
         col("term"), col("n"),
-        (element_at(col("_est"), col("term")).isNotNull &&
-          (col("n") - coalesce(element_at(col("_est"), col("term")), lit(0L)))
-            * lit(capacity + 1L) <= col("_n_total")).as("floor_met"))
+        {
+          val est = coalesce(element_at(col("_est"), col("term")), lit(0L))
+          (est >= lit(0L) && est <= col("n") &&
+            (col("n") - est) * lit(capacity + 1L) <= col("_n_total")).as("floor_met")
+        })
       .orderBy(col("n").desc, col("term"))
   }
 

@@ -136,6 +136,23 @@ class TextSketchSpec extends SparkSpec {
     assert(got === Seq(("x", 50L, true), ("y", 30L, true), ("z", 20L, true)))
   }
 
+  test("frequentTermsCheck: theory-heavy term forces a positive estimate (lossy, binding)") {
+    // hot·(cap+1) = 500 > N = 120, so PODS'12 forces est ≥ hot − N/(cap+1)
+    // = 76 > 0: the bound is load-bearing, not vacuously true. The 20
+    // singletons overflow the 4 counters, so the sketch runs lossy.
+    val terms = (Seq.fill(100)("hot") ++ (1 to 20).map(i => s"u$i")).toDF("term")
+      .repartition(5)
+    val cap = 4
+    val got = Sketches.frequentTermsCheck(terms, capacity = cap, k = 1)
+      .as[(String, Long, Boolean)].collect().toSeq
+    assert(got === Seq(("hot", 100L, true)))
+    val mg = new Sketches.MisraGries(cap)
+    val est = terms.as[String].select(mg.toColumn).collect().head
+    assert(est.getOrElse("hot", 0L) >= 76L && est("hot") <= 100L)
+    // lossy regime really is lossy: some mass was decremented away
+    assert(est.values.sum < 120L)
+  }
+
   test("hllDistinctCheck holds its floor on the test events table") {
     val out = Sketches.hllDistinctCheck(Tables.events(spark, "/root/testdata/sf0.001"))
       .as[(String, Boolean)].collect()
