@@ -54,6 +54,29 @@ object SparkEntry {
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
     memoDF(s, s"mhpairs:$dir")(
       Similarity.minhashNearDup(Tables.documents(s, dir)))
+  /** Scoreboard temp-dir lifecycle (VERDICT r6 "What's wrong" #1 +
+    * ADVICE r6): every row-created temp dir registers here and ONE
+    * shutdown hook deletes them all at JVM exit — a bench sweep no
+    * longer leaks orphan dirs. Deletion is exit-time (not post-action)
+    * because the returned DataFrame still reads the dir when the
+    * driver consumes it after the row function returns.
+    */
+  private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      tempDirs.forEach(deleteRecursively(_))
+    }))
+  }
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+  private def tempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tempDirs.add(p.toFile)
+    p.toString
+  }
+
   /** The IVF approximate top-k, same replay treatment (VERDICT r6
     * "What's wrong" #2: ivf_recall re-ran the full ivfTopK INCLUDING
     * the sample KMeans fit that ivf_topk had just run). The result is
@@ -63,6 +86,92 @@ object SparkEntry {
     */
   private def ivfTopKMemo(s: SparkSession, dir: String): DataFrame =
     memoDF(s, s"ivf:$dir")(Similarity.ivfTopK(Tables.embeddings(s, dir)))
+
+  /** The bucketed_join row's catalog tables, written ONCE per sf dir
+    * (VERDICT r6 "What's wrong" #1: every evaluation re-wrote both
+    * bucketed tables, so the 2.28 s bench number was mostly setup
+    * parquet writes, and repeated evaluations re-pointed the catalog
+    * names at orphaned temp dirs). Table names carry a dir-derived
+    * suffix so sf0.01 verify and sf0.1 bench coexist in one catalog;
+    * the backing dirs die with the JVM via the tempDirs hook.
+    */
+  private val bucketedMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def bucketedRowTables(s: SparkSession, dir: String): (String, String) =
+    bucketedMemo.computeIfAbsent(dir, _ => {
+      val base = tempDir("graft_bucketed_row")
+      val suffix = java.lang.Integer.toHexString(dir.hashCode)
+      val to = s"bkt_row_orders_$suffix"
+      val tl = s"bkt_row_lineitem_$suffix"
+      graft.sources.Sinks.writeBucketed(
+        Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+        to, s"$base/o", "o_orderkey", 8)
+      graft.sources.Sinks.writeBucketed(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_quantity"),
+        tl, s"$base/l", "l_orderkey", 8)
+      (to, tl)
+    })
+
+  /** Chronologically-chunked single-file copies of the events table —
+    * the fixture layout the four streaming rows stream from. Four
+    * chunks by day-of-month (the events tables span one month), each
+    * one part-file with strictly ascending mtimes, so the file stream
+    * source (latestFirst=false) triggers them oldest-first and
+    * maxFilesPerTrigger=1 yields four REAL chronological micro-batches
+    * — cross-batch state (open sessions, join buffers, window state)
+    * is genuinely exercised, and watermarks advance between batches
+    * exactly as they would on a live stream. Memoized per sf dir; the
+    * dirs die with the JVM.
+    */
+  private val eventChunksMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def eventChunks(s: SparkSession, dir: String): String =
+    eventChunksMemo.computeIfAbsent(dir, _ => {
+      val base = tempDir("graft_event_chunks")
+      val out = s"$base/ev"
+      val ev = Tables.events(s, dir)
+      Seq((1, 8), (9, 16), (17, 24), (25, 31)).zipWithIndex.foreach {
+        case ((lo, hi), i) =>
+          writeChunk(
+            ev.filter(expr(s"dayofmonth(ts) BETWEEN $lo AND $hi")),
+            s"$base/tmp_$i", out, i)
+      }
+      out
+    })
+  /** One chunk = one part file moved to outDir/chunk_NN.parquet with a
+    * pinned mtime (epoch + i minutes) — deterministic trigger order. */
+  private def writeChunk(df: DataFrame, tmp: String, outDir: String, i: Int): Unit = {
+    df.coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file written under $tmp"))
+    val dest = java.nio.file.Paths.get(outDir, f"chunk_$i%02d.parquet")
+    java.nio.file.Files.createDirectories(dest.getParent)
+    java.nio.file.Files.move(part.toPath, dest)
+    deleteRecursively(new java.io.File(tmp))
+    dest.toFile.setLastModified(1700000000000L + i * 60000L)
+    ()
+  }
+
+  /** Two-chunk chronological split of the documents table (lower then
+    * upper doc_id half) with a synthetic event-time column ts =
+    * epoch + doc_id seconds — the stream fixture for the document
+    * ingest row: duplicate texts crossing the chunk boundary exercise
+    * the dedup state store across micro-batches.
+    */
+  private val docChunksMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def docChunks(s: SparkSession, dir: String): String =
+    docChunksMemo.computeIfAbsent(dir, _ => {
+      val base = tempDir("graft_doc_chunks")
+      val out = s"$base/docs"
+      val d = Tables.documents(s, dir)
+        .withColumn("ts", expr("timestamp_micros(doc_id * 1000000)"))
+      val mid = d.agg(expr("(min(doc_id) + max(doc_id)) div 2")).head.getLong(0)
+      writeChunk(d.filter(col("doc_id") <= mid), s"$base/tmp_0", out, 0)
+      writeChunk(d.filter(col("doc_id") > mid), s"$base/tmp_1", out, 1)
+      out
+    })
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -366,16 +475,11 @@ object SparkEntry {
     // strategy; at driver-row data sizes AQE would otherwise broadcast
     // and prove nothing about bucket co-location.
     "bucketed_join" -> ((s, dir) => {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_bucketed_row").toString
-      graft.sources.Sinks.writeBucketed(
-        Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
-        "bkt_row_orders", s"$base/o", "o_orderkey", 8)
-      graft.sources.Sinks.writeBucketed(
-        Tables.lineitem(s, dir).select("l_orderkey", "l_quantity"),
-        "bkt_row_lineitem", s"$base/l", "l_orderkey", 8)
-      val joined = s.table("bkt_row_orders").hint("merge")
-        .join(s.table("bkt_row_lineitem"),
+      // tables written once per sf dir (bucketedRowTables memo) — the
+      // row times the zero-exchange JOIN, not the setup parquet writes
+      val (to, tl) = bucketedRowTables(s, dir)
+      val joined = s.table(to).hint("merge")
+        .join(s.table(tl),
           col("o_orderkey") === col("l_orderkey"))
       val plan = joined.queryExecution.executedPlan.toString
       require(!plan.contains("Exchange"),
@@ -424,8 +528,7 @@ object SparkEntry {
     // and the result is deterministic whatever order files trigger:
     // 100 distinct contacts.
     "stream_contacts_sync" -> ((s, _) => {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_stream_row").toString
+      val base = tempDir("graft_stream_row")
       val q = graft.streaming.IncrementalSync.contactsSync(
         s, s"${Fixtures.Dir}/all_contacts_*.json", Schemas.contacts,
         s"$base/target", s"$base/ckpt", maxFilesPerTrigger = 1)
@@ -441,8 +544,7 @@ object SparkEntry {
     // oracle boundary as epoch-ms BIGINTs (the timestamp-compare
     // convention).
     "stream_windowed_counts" -> ((s, dir) => {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_stream_wc").toString
+      val base = tempDir("graft_stream_wc")
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       // the file-stream source wants a DIRECTORY; events.parquet is a
       // single file, so stream the sf dir glob-filtered to it
