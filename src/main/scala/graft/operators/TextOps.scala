@@ -241,6 +241,59 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-language quality gate (the multilingual composition the
+    * English-only qualityGate scaladoc prescribes): langId's marker
+    * voting guesses the language, and the stopword floor is evaluated
+    * against the GUESSED language's marker set, so fluent non-English
+    * text passes where the English list would starve it of hits. A doc
+    * guessed as a language whose markers it barely contains still
+    * fails the floor — the honest outcome for an unmodeled language
+    * (there is no zh marker set; zh docs fall through to the 'en'
+    * precedence default and face the en floor). `passes_en_floor`
+    * carries the contrast: whether the English-only stopword floor
+    * (the 10-word qualityGate list) would also have admitted the doc.
+    * Same scale posture as the monolingual gate: one fused profile
+    * pass + one multi-set counting pass, map-only, codegen'd.
+    */
+  def qualityFilterMultilang(
+      docs: DataFrame,
+      minTokens: Int = 5,
+      maxPunctPerMille: Int = 150,
+      minStopPerMille: Int = 10): DataFrame = {
+    val multi = call_function("count_tokens_multi",
+      col("text"), lit(langMarkers.map(_._2.mkString(",")).mkString("|")), lit(true))
+    val h = (l: String) => col(s"_hits_$l")
+    docs
+      .withColumn("_p", profile)
+      .withColumn("_h", multi)
+      .select((Seq(col("doc_id"), col("_p")) ++ langMarkers.zipWithIndex.map {
+        case ((lang, _), i) => col("_h").getItem(i).as(s"_hits_$lang")
+      }): _*)
+      .withColumn("lang_guess",
+        when(h("en") >= h("de") && h("en") >= h("es") && h("en") >= h("fr"), "en")
+          .when(h("de") >= h("es") && h("de") >= h("fr"), "de")
+          .when(h("es") >= h("fr"), "es")
+          .otherwise("fr"))
+      .withColumn("_guess_hits",
+        when(col("lang_guess") === "en", h("en"))
+          .when(col("lang_guess") === "de", h("de"))
+          .when(col("lang_guess") === "es", h("es"))
+          .otherwise(h("fr")))
+      .withColumn("n_tokens", col("_p.n_tokens"))
+      .withColumn("punct_per_mille",
+        expr("(_p.n_punct_chars * 1000L) div greatest(_p.n_chars, 1)"))
+      .withColumn("stop_per_mille",
+        expr("(_guess_hits * 1000L) div greatest(n_tokens, 1)"))
+      .withColumn("passes_en_floor",
+        expr("(_p.n_stop_tokens * 1000L) div greatest(_p.n_tokens, 1)")
+          >= minStopPerMille)
+      .filter(col("n_tokens") >= minTokens &&
+        col("punct_per_mille") <= maxPunctPerMille &&
+        col("stop_per_mille") >= minStopPerMille)
+      .select("doc_id", "lang_guess", "n_tokens", "stop_per_mille", "passes_en_floor")
+      .orderBy("doc_id")
+  }
+
   /** PII redaction — the scrub a training-data pipeline runs before
     * any document leaves the ingest boundary: emails, IPv4 addresses,
     * and phone numbers replaced by category tokens, with per-category

@@ -108,6 +108,27 @@ class PropertySpec extends SparkSpec {
       graft.operators.Skew.saltedJoin(big, small, "k", 8, "right"))
   }
 
+  test("qualityFilterMultilang: fluent non-English passes, gibberish still fails") {
+    import spark.implicits._
+    val docs = Seq(
+      // fluent German function-word text: zero English stopwords, so the
+      // English-only gate rejects it; the de marker floor admits it
+      (1L, "der Hund und die Katze sind im Haus und das ist gut so und der Tag ist lang"),
+      // fluent English
+      (2L, "the cat and the dog are in the house and it is a good day for a walk"),
+      // marker-free gibberish fails every language's floor
+      (3L, "zzz qqq xxx www yyy vvv kkk jjj hhh ggg fff ddd sss aaa bbb ccc")
+    ).toDF("doc_id", "text")
+    val en = graft.operators.TextOps.qualityFilter(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(en === Set(2L))
+    val multi = graft.operators.TextOps.qualityFilterMultilang(docs)
+      .select("doc_id", "lang_guess", "passes_en_floor")
+      .as[(Long, String, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(multi.map(_._1) === Seq(1L, 2L))
+    assert(multi === Seq((1L, "de", false), (2L, "en", true)))
+  }
+
   test("qualityFilter: tightening any threshold shrinks the kept set") {
     import spark.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
