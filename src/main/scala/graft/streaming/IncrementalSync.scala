@@ -67,6 +67,39 @@ object IncrementalSync {
         .withColumn("text_md5", md5(col("text").cast("binary"))),
       Seq("text_md5"), eventTimeCol, watermark)
 
+  /** Streaming SEGMENT-level dedup — the span-granular ingest screen
+    * (batch twin: TextOps.segmentDedup, same fixed-token-window
+    * segmentation): each document explodes into k-token segments and
+    * each segment's first arrival wins corpus-wide via
+    * watermark-bounded state on the segment's 16-byte content hash.
+    * Emits one row per SURVIVING segment (doc_id, seg_idx, seg_text);
+    * consumers reassemble documents from surviving segments exactly
+    * like the batch operator's co-located slice — reassembly is a
+    * grouped sort over (doc_id, seg_idx), not streaming state. State
+    * holds hashes, never segment text; which duplicate-segment OWNER
+    * survives within one micro-batch is engine-arbitrary (same
+    * contract as documentIngest), while cross-batch the earlier batch
+    * always wins.
+    */
+  def segmentIngest(
+      docs: DataFrame,
+      segTokens: Int,
+      eventTimeCol: String,
+      watermark: String): DataFrame = {
+    require(segTokens > 0, "segTokens must be positive")
+    val k = segTokens
+    val seg = docs
+      .withColumn("_toks", graft.operators.TextOps.tokens(col("text")))
+      .where(size(col("_toks")) > 0)
+      .select(col("doc_id"), col(eventTimeCol),
+        posexplode(expr(
+          s"transform(sequence(0, size(_toks) - 1, $k), " +
+            s"j -> array_join(slice(_toks, j + 1, $k), ' '))")))
+      .toDF("doc_id", eventTimeCol, "seg_idx", "seg_text")
+      .withColumn("seg_md5", md5(col("seg_text").cast("binary")))
+    dedupFirstArrival(seg, Seq("seg_md5"), eventTimeCol, watermark)
+  }
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class UserSession(user_id: Long, n_events: Long, started_ms: Long, last_ms: Long)
 

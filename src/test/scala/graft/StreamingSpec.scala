@@ -128,6 +128,31 @@ class StreamingSpec extends SparkSpec {
       "first arrival survives; dups and gibberish drop")
   }
 
+  test("segmentIngest: segment-granular dedup across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(plusMin: Int) = new java.sql.Timestamp(t0.getTime + plusMin * 60000L)
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val ingested = IncrementalSync.segmentIngest(
+      stream.toDF().toDF("doc_id", "text", "ingest_ts"),
+      segTokens = 3, eventTimeCol = "ingest_ts", watermark = "10 minutes")
+    val q = ingested.writeStream.format("memory").queryName("seg_ingest")
+      .outputMode("append").start()
+    stream.addData(Seq((1L, "a b c d e f", ts(0))))
+    q.processAllAvailable()
+    // doc 2 repeats doc 1's FIRST segment (cross-batch state hit) but
+    // brings a novel second segment — only the novel span survives
+    stream.addData(Seq((2L, "a b c x y z", ts(1))))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("seg_ingest")
+      .select("doc_id", "seg_idx", "seg_text")
+      .as[(Long, Int, String)].collect().toSet
+    assert(got === Set((1L, 0, "a b c"), (1L, 1, "d e f"), (2L, 1, "x y z")),
+      "per-segment first arrival wins across micro-batches")
+  }
+
   test("contactsSync: streaming merge is idempotent across replays") {
     val base = Files.createTempDirectory("graft_stream").toString
     val src = s"$base/src"; Files.createDirectories(Paths.get(src))
