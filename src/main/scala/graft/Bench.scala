@@ -59,7 +59,17 @@ object Bench {
     val errJson = errors.map(e => "\"" + e.replace("\"", "'") + "\"")
       .mkString("[", ",", "]")
     val total = results.map(_._2._1).sum
+    // Compact summary line BEFORE and AFTER the full per-query line:
+    // the full line has outgrown what the driver's capture keeps
+    // (BENCH_r06/r07 both recorded "parsed": null with a mid-map
+    // truncated tail), so the headline number must land in a line
+    // short enough to always survive — emitting it on both sides
+    // covers head-capture and tail-capture alike.
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"errors":$errJson,"sf":"$sfDir"}"""
+    println(summary)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"errors":$errJson,"sf":"$sfDir"}""")
+    println(summary)
     spark.stop()
   }
 }

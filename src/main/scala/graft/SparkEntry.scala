@@ -153,6 +153,38 @@ object SparkEntry {
     ()
   }
 
+  /** Stateful-streaming row harness (VERDICT r7 "Next round" #1/#2).
+    * Two levers, both restored/cleaned after the row:
+    *
+    *  - `spark.sql.shuffle.partitions` drops to a small value for the
+    *    row's streaming query. State-store cost scales with partitions
+    *    (one store per partition per stateful operator, committed every
+    *    micro-batch — a stream-stream join keeps FOUR per partition per
+    *    side), and the fixture streams need nowhere near the batch
+    *    sweep's 32. The conf is read at stream start and pinned into
+    *    the checkpoint, so a fresh checkpoint per row makes the flip
+    *    safe; batch rows never see it because it is restored before the
+    *    row returns.
+    *  - `StateStore.stop()` after the query terminates unloads the
+    *    row's providers and their maintenance task. Without it every
+    *    stream row leaves its stores registered in the shared JVM and
+    *    the maintenance tick walks all of them for the rest of the
+    *    sweep (r7's consistent stream_windowed_counts 1.5→3.4 s
+    *    doubling once five more stream rows ran before it
+    *    alphabetically). Safe mid-sweep: the registry lazily
+    *    re-initializes on the next streaming query.
+    */
+  private def streamRow[T](s: SparkSession, partitions: Int = 4)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, partitions.toString)
+    try body
+    finally {
+      s.conf.set(key, prev)
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    }
+  }
+
   /** Two-chunk chronological split of the documents table (lower then
     * upper doc_id half) with a synthetic event-time column ts =
     * epoch + doc_id seconds — the stream fixture for the document
@@ -590,7 +622,7 @@ object SparkEntry {
     // (fixture invariant), so first-batch-wins is content-agnostic
     // and the result is deterministic whatever order files trigger:
     // 100 distinct contacts.
-    "stream_contacts_sync" -> ((s, _) => {
+    "stream_contacts_sync" -> ((s, _) => streamRow(s) {
       val base = tempDir("graft_stream_row")
       val q = graft.streaming.IncrementalSync.contactsSync(
         s, s"${Fixtures.Dir}/all_contacts_*.json", Schemas.contacts,
@@ -615,7 +647,7 @@ object SparkEntry {
     // — the oracle is the batch sessionizer MINUS every user's last
     // session (deterministic: chunks are chronological, so no event is
     // ever late).
-    "stream_sessionize" -> ((s, dir) => {
+    "stream_sessionize" -> ((s, dir) => streamRow(s) {
       import s.implicits._
       val src = eventChunks(s, dir)
       val base = tempDir("graft_stream_sess")
@@ -648,7 +680,7 @@ object SparkEntry {
     // contract itself, deterministic under any survivor choice. The
     // generous watermark makes state span the fixture (dedup = global
     // here); production bounds it exactly like the 30-day lookback.
-    "stream_doc_ingest" -> ((s, dir) => {
+    "stream_doc_ingest" -> ((s, dir) => streamRow(s) {
       val src = docChunks(s, dir)
       val base = tempDir("graft_stream_di")
       val schema = s.read.parquet(src).schema
@@ -684,12 +716,16 @@ object SparkEntry {
     // that keeps boundary-equal timestamps out of the compare on BOTH
     // sides. Purchases past the cutoff are the documented unresolved
     // tail.
-    "stream_touch_attribution" -> ((s, dir) => {
+    "stream_touch_attribution" -> ((s, dir) => streamRow(s) {
       val src = eventChunks(s, dir)
       val base = tempDir("graft_stream_ta")
       val schema = s.read.parquet(src).schema
+      // 2 files/trigger (VERDICT r7 #1): the four chunks become two
+      // REAL micro-batches + AvailableNow's closing no-data batch —
+      // the cross-batch join-state claim needs >=2 batches, not 4,
+      // and each batch pays the full two-sided state-store commit.
       def rs = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(src)
+        .option("maxFilesPerTrigger", 2).parquet(src)
       val purchases = rs.where(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"),
           col("ts").as("p_ts"), col("value").as("amount"))
@@ -722,7 +758,7 @@ object SparkEntry {
     // passes its end, so windows newer than final_watermark =
     // max(event time) − 10min are deliberately held back; the oracle
     // applies the same cutoff, documenting the held-back tail.
-    "stream_windowed_counts_append" -> ((s, dir) => {
+    "stream_windowed_counts_append" -> ((s, dir) => streamRow(s) {
       val src = eventChunks(s, dir)
       val base = tempDir("graft_stream_wca")
       val schema = s.read.parquet(src).schema
@@ -748,7 +784,7 @@ object SparkEntry {
     // micro-batch boundary. Same md5-level contract as stream_doc_ingest
     // (within-batch owner is engine-arbitrary): every distinct segment
     // emits EXACTLY once.
-    "stream_segment_dedup" -> ((s, dir) => {
+    "stream_segment_dedup" -> ((s, dir) => streamRow(s) {
       val src = docChunks(s, dir)
       val base = tempDir("graft_stream_sd")
       val schema = s.read.parquet(src).schema
@@ -768,7 +804,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_emitted"))
         .orderBy("seg_md5")
     }),
-    "stream_windowed_counts" -> ((s, dir) => {
+    "stream_windowed_counts" -> ((s, dir) => streamRow(s) {
       val base = tempDir("graft_stream_wc")
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       // the file-stream source wants a DIRECTORY; events.parquet is a

@@ -11,7 +11,7 @@ import graft.sources.Ingest.DateWindow
   * scan, window planning, pushdown, schema-driven parsing) is real;
   * only the network hop is replaced by a deterministic synthesizer.
   * Reference shape: the windowed contacts extraction
-  * (/root/reference/py_handlers/qa_api_handler.py:86-119) returns a
+  * (/root/reference/modules/qa_api_handler.py:86-119) returns a
   * JSON array of contact objects per (beginDate, endDate) request.
   *
   * Every fetch RECORDS its (window, params) so callers can assert
