@@ -124,49 +124,105 @@ object IncrementalSync {
       .flatMapGroupsWithState[UserSession, UserSession](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user: Long, rows: Iterator[UserEvent], state: GroupState[UserSession]) =>
-          val sorted = rows.map(_.ts.getTime).toSeq.sorted
-          var cur = state.getOption
-          // batch-local roll-up of stray LATE events (older than the
-          // open session's gap-extended window): their true session
-          // already closed in an earlier batch (append mode can't
-          // reopen emitted output), but a burst of strays within gapMs
-          // of EACH OTHER is one session, not n_events singletons
-          var stray: Option[UserSession] = None
-          val closed = Seq.newBuilder[UserSession]
-          sorted.foreach { t =>
-            cur match {
-              // within the session's gap-extended interval — including
-              // a CROSS-BATCH late arrival (t < started_ms): extend the
-              // interval on whichever side t falls. The old signed
-              // check (t - last_ms <= gap) silently "merged" any late t
-              // by dragging last_ms BACKWARDS, corrupting the interval
-              // and splitting chronologically-contiguous sessions.
-              case Some(s) if t >= s.started_ms - gapMs && t <= s.last_ms + gapMs =>
-                cur = Some(s.copy(n_events = s.n_events + 1,
-                  started_ms = math.min(s.started_ms, t),
-                  last_ms = math.max(s.last_ms, t)))
-              case Some(s) if t > s.last_ms + gapMs => // gap: close, start fresh
-                closed += s
-                cur = Some(UserSession(user, 1L, t, t))
-              case Some(_) => // stray late event: accumulate (events
-                // arrive sorted, so extending only moves last_ms
-                // forward; strays never reach the open session's window
-                // — every stray t < started_ms - gapMs, so even the
-                // gap-extended stray session ends before started_ms)
-                stray match {
-                  case Some(p) if t <= p.last_ms + gapMs =>
-                    stray = Some(p.copy(n_events = p.n_events + 1, last_ms = t))
-                  case other =>
-                    other.foreach(closed += _)
-                    stray = Some(UserSession(user, 1L, t, t))
-                }
-              case None =>
-                cur = Some(UserSession(user, 1L, t, t))
-            }
+          mergeUserEvents(user, rows, state, gapMs)
+      }
+  }
+
+  /** The sessionizer's per-batch merge step, shared by the NoTimeout
+    * and EventTimeTimeout drivers: fold this batch's events for one
+    * user into the open-session state, emitting every session a LATER
+    * event closes. Leaves the still-open session in `state`; the
+    * caller decides how (or whether) it eventually flushes.
+    */
+  private def mergeUserEvents(
+      user: Long,
+      rows: Iterator[UserEvent],
+      state: GroupState[UserSession],
+      gapMs: Long): Iterator[UserSession] = {
+    val sorted = rows.map(_.ts.getTime).toSeq.sorted
+    var cur = state.getOption
+    // batch-local roll-up of stray LATE events (older than the
+    // open session's gap-extended window): their true session
+    // already closed in an earlier batch (append mode can't
+    // reopen emitted output), but a burst of strays within gapMs
+    // of EACH OTHER is one session, not n_events singletons
+    var stray: Option[UserSession] = None
+    val closed = Seq.newBuilder[UserSession]
+    sorted.foreach { t =>
+      cur match {
+        // within the session's gap-extended interval — including
+        // a CROSS-BATCH late arrival (t < started_ms): extend the
+        // interval on whichever side t falls. The old signed
+        // check (t - last_ms <= gap) silently "merged" any late t
+        // by dragging last_ms BACKWARDS, corrupting the interval
+        // and splitting chronologically-contiguous sessions.
+        case Some(s) if t >= s.started_ms - gapMs && t <= s.last_ms + gapMs =>
+          cur = Some(s.copy(n_events = s.n_events + 1,
+            started_ms = math.min(s.started_ms, t),
+            last_ms = math.max(s.last_ms, t)))
+        case Some(s) if t > s.last_ms + gapMs => // gap: close, start fresh
+          closed += s
+          cur = Some(UserSession(user, 1L, t, t))
+        case Some(_) => // stray late event: accumulate (events
+          // arrive sorted, so extending only moves last_ms
+          // forward; strays never reach the open session's window
+          // — every stray t < started_ms - gapMs, so even the
+          // gap-extended stray session ends before started_ms)
+          stray match {
+            case Some(p) if t <= p.last_ms + gapMs =>
+              stray = Some(p.copy(n_events = p.n_events + 1, last_ms = t))
+            case other =>
+              other.foreach(closed += _)
+              stray = Some(UserSession(user, 1L, t, t))
           }
-          stray.foreach(closed += _)
-          cur.foreach(state.update)
-          closed.result().iterator
+        case None =>
+          cur = Some(UserSession(user, 1L, t, t))
+      }
+    }
+    stray.foreach(closed += _)
+    cur.foreach(state.update)
+    closed.result().iterator
+  }
+
+  /** Sessionization with trailing-session flush (VERDICT r7 "Next
+    * round" #4): same merge semantics as [[sessionize]], plus an
+    * EventTimeTimeout against the watermark — once the watermark
+    * passes an open session's `last_ms + gapMs`, no event that could
+    * still extend it can arrive (it would be late), so the session is
+    * provably closed and emits. A quiet user's final session therefore
+    * flushes instead of sitting in state forever, and state is bounded
+    * by |users active within one gap of the watermark|, not |users
+    * ever seen| — the production posture at 100 TB of events.
+    *
+    * The timeout is re-armed on every state update at
+    * `max(last_ms + gapMs + 1, watermark + 1)` — the engine rejects
+    * timestamps at or below the current watermark, and a session whose
+    * gap deadline is already behind the watermark should fire on the
+    * very next batch.
+    */
+  def sessionizeFlush(
+      events: Dataset[UserEvent],
+      gapMs: Long,
+      watermark: String): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserSession, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[UserEvent], state: GroupState[UserSession]) =>
+          if (state.hasTimedOut) {
+            val done = state.get
+            state.remove()
+            Iterator.single(done)
+          } else {
+            val closed = mergeUserEvents(user, rows, state, gapMs)
+            state.getOption.foreach { s =>
+              state.setTimeoutTimestamp(
+                math.max(s.last_ms + gapMs + 1, state.getCurrentWatermarkMs() + 1))
+            }
+            closed
+          }
       }
   }
 
