@@ -1,10 +1,10 @@
 package graft
 
-import graft.expressions.{CountTokensIn, CountTokensInMulti, FloatDot, FloatNorm2, HammingBits, HyperplaneSig, MinHashBandKeys, MinHashSignature, PiiScrub, SimHashBits, TokenFingerprint, TokenProfile, WordShingles}
+import graft.expressions.{BloomMightContain, CountTokensIn, CountTokensInMulti, FloatDot, FloatNorm2, HammingBits, HyperplaneSig, MinHashBandKeys, MinHashSignature, PiiScrub, SimHashBits, TokenFingerprint, TokenProfile, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{BinaryType, IntegerType}
 
 /** Session extensions registering graft's custom expressions as SQL
   * functions — the sanctioned extension point (SparkSessionExtensions
@@ -125,6 +125,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(c) => PiiScrub(c)
         case _ => throw new IllegalArgumentException("usage: pii_scrub(text)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, Literal(b: Array[Byte], BinaryType)) => BloomMightContain(c, b)
+        case _ => throw new IllegalArgumentException(
+          "usage: bloom_might_contain(bigintKey, <serialized bloom binary literal>)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("word_shingles"),

@@ -621,6 +621,43 @@ object SparkEntry {
         .select("event_id", "event_type", "user_id", "type_n")
         .orderBy("event_id")
     }),
+    // Bloom-prefiltered semi join (the F3 IN-subquery shape at 100 TB
+    // scale): provably-unmatched lineitem rows drop at a map-only
+    // bloom probe BEFORE the exchange; the exact semi join then
+    // removes the bloom's false positives, so the result equals the
+    // plain IN-subquery — which IS the oracle. In-row plan assert
+    // pins the prefilter below the join.
+    "bloom_semi_join" -> ((s, dir) => {
+      val keys = Tables.orders(s, dir)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val joined = graft.operators.BloomJoin.semiJoin(
+        Tables.lineitem(s, dir), keys, "l_orderkey", "o_orderkey",
+        expectedKeys = math.max(keys.count(), 1L))
+      require(joined.queryExecution.executedPlan.toString
+        .contains("bloom_might_contain"),
+        "bloom prefilter must appear in the executed plan")
+      joined.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr("cast(l_quantity as bigint)")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+    // The anti twin (F4 NOT-IN / J5 delete shape): the bloom-negative
+    // majority bypasses the join on a map-only branch — a proven
+    // non-member IS the anti answer — and only bloom-positive rows
+    // pay the exchange. Union of the two branches = the plain NOT IN.
+    "bloom_anti_join" -> ((s, dir) => {
+      val keys = Tables.orders(s, dir)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val joined = graft.operators.BloomJoin.antiJoin(
+        Tables.lineitem(s, dir), keys, "l_orderkey", "o_orderkey",
+        expectedKeys = math.max(keys.count(), 1L))
+      joined.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr("cast(l_quantity as bigint)")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
     // Inactivity-gap sessionization (batch twin of the streaming
     // sessionizer): per-user running windows, 30-minute gap.
     "sessionize" -> ((s, dir) => Queries.sessionize(s, dir)),
@@ -1569,6 +1606,22 @@ object SparkEntry {
         |SELECT n.doc_id, coalesce(k.clean_text, '') AS clean_text, n.n_segments,
         |       n.n_segments - coalesce(k.n_kept, 0) AS n_dropped
         |FROM n LEFT JOIN kept k USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // the PLAIN IN-subquery — the bloom prefilter must be invisible
+    // in the result (false positives removed by the exact join)
+    "bloom_semi_join" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the PLAIN NOT IN (keys are never null) — the map-only
+    // proven-non-member bypass must be invisible in the result
+    "bloom_anti_join" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // the PLAIN join — salting must be invisible in the result
     "salted_join" ->
       """WITH dim AS (SELECT event_type, count(*) AS type_n FROM events GROUP BY 1)

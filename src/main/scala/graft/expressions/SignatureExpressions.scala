@@ -268,3 +268,36 @@ case class SimHashBits(child: Expression, bits: Int)
   override protected def withNewChildInternal(newChild: Expression): SimHashBits =
     copy(child = newChild)
 }
+
+/** Bloom-filter membership probe over a long key — the map-only
+  * pre-filter behind [[graft.operators.BloomJoin]]'s semi/anti join
+  * reduction. The serialized filter travels as a constructor argument
+  * (a binary literal at the SQL face, like count_tokens_in's marker
+  * csv) and deserializes ONCE per executor via the transient lazy —
+  * evaluation is two Murmur3 probes per row, no allocation, inside
+  * whole-stage codegen. `false` is authoritative (no false negatives);
+  * `true` means "must consult the exact join" — callers rely on
+  * exactly this split.
+  */
+case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint key, got ${other.catalogString}")
+  }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+  @transient private lazy val bloom =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+  protected override def nullSafeEval(input: Any): Any =
+    bloom.mightContainLong(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Broadcast-bloom join reduction — the 100 TB shuffle-volume story
+  * for the reference's IN-subquery / NOT-IN delete shapes (SURVEY §2.3
+  * F3/F4, §2.4 J5; `sql_templates/Update Calabrio Tables from Staging
+  * Tables (D_POST_INSTALL).sql:88-92` is the `IN (...) AND NOT IN
+  * (...)` archetype these rewrite). Spark plans those as shuffled
+  * left-semi / left-anti hash joins: at 100 TB the BIG side shuffles
+  * in full, even though most rows can be decided by key membership
+  * alone. A bloom filter over the key side (≈1.2 bytes/key at 1 % fpp
+  * — fits comfortably where the raw key set no longer broadcasts)
+  * decides the bulk of rows map-side:
+  *
+  *  - semi join: bloom-NEGATIVE rows are PROVEN non-members (no false
+  *    negatives) and drop before the exchange; only the bloom-positive
+  *    sliver shuffles into the exact semi join, which removes the
+  *    false positives. Result is exactly the plain semi join.
+  *  - anti join: the mirror split — bloom-negative rows are proven
+  *    non-members and pass through on a map-only branch that never
+  *    shuffles; only bloom-positive rows consult the exact anti join.
+  *    Result is exactly the plain anti join (NOT-EXISTS semantics,
+  *    the same null-safe shape Maintenance's merges use).
+  *
+  * This is the library-level form of Spark's runtime bloom-filter
+  * injection (`spark.sql.optimizer.runtime.bloomFilter.enabled`),
+  * which only fires on CBO selectivity heuristics; pipeline authors
+  * get the reduction deterministically. The filter itself is built
+  * distributed (one aggregation over the key side) and rides to
+  * executors as a plan constant, deserialized once per executor
+  * (BloomMightContain's transient lazy); probes are two Murmur3
+  * hashes per row inside whole-stage codegen.
+  */
+object BloomJoin {
+
+  private def bloomBytes(
+      keys: DataFrame, keyCol: String, expectedKeys: Long, fpp: Double): Array[Byte] = {
+    val bf = keys.stat.bloomFilter(keyCol, expectedKeys, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Exact left-semi join of `big` to `keys`, bloom-prefiltered so
+    * provably-unmatched big rows never reach the shuffle. `bigKey` and
+    * `keyCol` must be bigint columns.
+    */
+  def semiJoin(
+      big: DataFrame,
+      keys: DataFrame,
+      bigKey: String,
+      keyCol: String,
+      expectedKeys: Long,
+      fpp: Double = 0.01): DataFrame = {
+    val bytes = bloomBytes(keys, keyCol, expectedKeys, fpp)
+    val pre = big
+      .where(call_function("bloom_might_contain", col(bigKey), lit(bytes)))
+    pre.join(keys, pre(bigKey) === keys(keyCol), "leftsemi")
+  }
+
+  /** Exact left-anti join of `big` against `keys`: the bloom-negative
+    * majority bypasses the join on a map-only branch (a proven
+    * non-member IS the anti-join answer), and only bloom-positive rows
+    * pay the exchange. The two branches partition `big` by a
+    * deterministic predicate, so their union is exactly the plain
+    * anti join.
+    */
+  def antiJoin(
+      big: DataFrame,
+      keys: DataFrame,
+      bigKey: String,
+      keyCol: String,
+      expectedKeys: Long,
+      fpp: Double = 0.01): DataFrame = {
+    val bytes = bloomBytes(keys, keyCol, expectedKeys, fpp)
+    val maybe = call_function("bloom_might_contain", col(bigKey), lit(bytes))
+    val provenOut = big.where(!maybe)
+    val pre = big.where(maybe)
+    val needExact = pre.join(keys, pre(bigKey) === keys(keyCol), "leftanti")
+    provenOut.unionByName(needExact)
+  }
+}
