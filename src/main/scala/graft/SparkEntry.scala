@@ -631,9 +631,13 @@ object SparkEntry {
       val keys = Tables.orders(s, dir)
         .where(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey"))
+      // static sizing, no count() job: urgent orders are bounded by the
+      // orders table (≤150k at sf0.1). Oversizing only shrinks the fpp;
+      // undersizing at larger sf would only raise it — the result is
+      // exact either way, only the reduction ratio moves.
       val joined = graft.operators.BloomJoin.semiJoin(
         Tables.lineitem(s, dir), keys, "l_orderkey", "o_orderkey",
-        expectedKeys = math.max(keys.count(), 1L))
+        expectedKeys = 200000L)
       require(joined.queryExecution.executedPlan.toString
         .contains("bloom_might_contain"),
         "bloom prefilter must appear in the executed plan")
@@ -652,7 +656,13 @@ object SparkEntry {
         .select(col("o_orderkey"))
       val joined = graft.operators.BloomJoin.antiJoin(
         Tables.lineitem(s, dir), keys, "l_orderkey", "o_orderkey",
-        expectedKeys = math.max(keys.count(), 1L))
+        expectedKeys = 200000L)
+      // both branches carry the probe: the pass-through's !maybe and
+      // the exact branch's maybe — if the bypass shape degenerated the
+      // probe would vanish from the plan with the oracle still green
+      require(joined.queryExecution.executedPlan.toString
+        .contains("bloom_might_contain"),
+        "bloom routing must appear in the executed plan")
       joined.groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_rows"),
           sum(expr("cast(l_quantity as bigint)")).as("sum_qty"))
@@ -761,7 +771,7 @@ object SparkEntry {
     // Streaming last-touch candidate collection (VERDICT r6 #1): the
     // stream-stream interval join runs over the four chronological
     // event chunks — purchases and touches are two file-stream readers
-    // over the same chunk dir, advancing in lockstep one file per
+    // over the same chunk dir, advancing in lockstep two files per
     // trigger, so join state genuinely buffers across micro-batches.
     // Inner matches emit as they meet; an unmatched purchase emits its
     // null row only once the watermark PROVES no touch can still

@@ -76,8 +76,12 @@ object BloomJoin {
       fpp: Double = 0.01): DataFrame = {
     val bytes = bloomBytes(keys, keyCol, expectedKeys, fpp)
     val maybe = call_function("bloom_might_contain", col(bigKey), lit(bytes))
-    val provenOut = big.where(!maybe)
-    val pre = big.where(maybe)
+    // NULL keys route to the pass-through branch: under NOT-EXISTS
+    // semantics a null key never matches, so the plain leftanti KEEPS
+    // such rows — two bare where(maybe)/where(!maybe) branches would
+    // both filter the null-probe row and silently drop it.
+    val provenOut = big.where(col(bigKey).isNull || !maybe)
+    val pre = big.where(col(bigKey).isNotNull && maybe)
     val needExact = pre.join(keys, pre(bigKey) === keys(keyCol), "leftanti")
     provenOut.unionByName(needExact)
   }

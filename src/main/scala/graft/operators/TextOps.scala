@@ -219,11 +219,38 @@ object TextOps {
     // marker floor itself is segmentation-agnostic once tokens exist.
     "zh" -> Seq("的", "是", "了", "在", "有"))
 
+  /** Argmax-with-fixed-precedence vote, derived from langMarkers order
+    * (en > de > es > fr > zh): language i wins when its hits are >=
+    * every LATER language's hits — earlier languages already had their
+    * chance higher in the chain. One derivation shared by langId and
+    * qualityFilterMultilang, so adding a language is a one-line
+    * langMarkers edit, not three hand-edited when-chains.
+    */
+  private def voteLang(h: String => Column): Column = {
+    val langs = langMarkers.map(_._1)
+    val whens = langs.init.zipWithIndex.map { case (l, i) =>
+      (langs.drop(i + 1).map(o => h(l) >= h(o)).reduce(_ && _), l)
+    }
+    whens.tail
+      .foldLeft(when(whens.head._1, whens.head._2)) {
+        case (acc, (c, l)) => acc.when(c, l)
+      }
+      .otherwise(langs.last)
+  }
+
+  /** The guessed language's own hit count, same derived dispatch. */
+  private def guessHits(guess: Column, h: String => Column): Column = {
+    val langs = langMarkers.map(_._1)
+    langs.init.foldRight(h(langs.last)) {
+      (l, acc) => when(guess === l, h(l)).otherwise(acc)
+    }
+  }
+
   /** Language id via stopword-marker voting (the n-gram-free heuristic
     * a zero-dependency pipeline starts with): count marker hits per
-    * candidate language, pick the argmax with a fixed precedence
-    * (en > de > es > fr) for ties. Emits the per-language hit counts so
-    * the decision is auditable and oracle-checkable.
+    * candidate language, pick the argmax with langMarkers-order
+    * precedence for ties (see voteLang). Emits the per-language hit
+    * counts so the decision is auditable and oracle-checkable.
     */
   def langId(docs: DataFrame): DataFrame = {
     // ONE tokenization for all marker sets (count_tokens_multi): even
@@ -237,14 +264,7 @@ object TextOps {
       .select(col("doc_id") +: langMarkers.zipWithIndex.map {
         case ((lang, _), i) => col("_h").getItem(i).as(s"hits_$lang")
       }: _*)
-      .withColumn(
-        "lang_guess",
-        when(h("en") >= h("de") && h("en") >= h("es") && h("en") >= h("fr") &&
-          h("en") >= h("zh"), "en")
-          .when(h("de") >= h("es") && h("de") >= h("fr") && h("de") >= h("zh"), "de")
-          .when(h("es") >= h("fr") && h("es") >= h("zh"), "es")
-          .when(h("fr") >= h("zh"), "fr")
-          .otherwise("zh"))
+      .withColumn("lang_guess", voteLang(h))
       .orderBy("doc_id")
   }
 
@@ -276,19 +296,8 @@ object TextOps {
       .select((Seq(col("doc_id"), col("_p")) ++ langMarkers.zipWithIndex.map {
         case ((lang, _), i) => col("_h").getItem(i).as(s"_hits_$lang")
       }): _*)
-      .withColumn("lang_guess",
-        when(h("en") >= h("de") && h("en") >= h("es") && h("en") >= h("fr") &&
-          h("en") >= h("zh"), "en")
-          .when(h("de") >= h("es") && h("de") >= h("fr") && h("de") >= h("zh"), "de")
-          .when(h("es") >= h("fr") && h("es") >= h("zh"), "es")
-          .when(h("fr") >= h("zh"), "fr")
-          .otherwise("zh"))
-      .withColumn("_guess_hits",
-        when(col("lang_guess") === "en", h("en"))
-          .when(col("lang_guess") === "de", h("de"))
-          .when(col("lang_guess") === "es", h("es"))
-          .when(col("lang_guess") === "fr", h("fr"))
-          .otherwise(h("zh")))
+      .withColumn("lang_guess", voteLang(h))
+      .withColumn("_guess_hits", guessHits(col("lang_guess"), h))
       .withColumn("n_tokens", col("_p.n_tokens"))
       .withColumn("punct_per_mille",
         expr("(_p.n_punct_chars * 1000L) div greatest(_p.n_chars, 1)"))

@@ -29,6 +29,19 @@ class BloomJoinSpec extends SparkSpec {
     }
   }
 
+  test("null big-side keys: semi drops them, anti keeps them — like the plain joins") {
+    import spark.implicits._
+    val big = Seq(Some(1L), Some(2L), None, None).toDF("k")
+    val keys = Seq(1L).toDF("j")
+    val semi = BloomJoin.semiJoin(big, keys, "k", "j", expectedKeys = 10)
+    assert(semi.as[Option[Long]].collect().toSeq === Seq(Some(1L)),
+      "null keys never match: the plain leftsemi drops them and so must we")
+    val anti = BloomJoin.antiJoin(big, keys, "k", "j", expectedKeys = 10)
+    assert(anti.as[Option[Long]].collect().toSeq.sortBy(_.getOrElse(-1L)) ===
+      Seq(None, None, Some(2L)),
+      "NOT-EXISTS keeps null keys: the plain leftanti keeps them and so must we")
+  }
+
   test("the prefilter actually reduces: disjoint keys drop before the join") {
     import spark.implicits._
     val big = spark.range(1000, 10000).toDF("k")
