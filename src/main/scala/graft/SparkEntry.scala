@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CalabrioSync, Components, Multimodal, Queries, Sampling, Shred, Similarity, Sketches, Skew, TemporalJoins, TextOps}
-import org.apache.spark.sql.functions.{col, concat, count, explode, expr, lit, lpad, size, sum, when}
+import graft.operators.{CalabrioSync, Components, Incremental, Multimodal, Queries, Sampling, Shred, Similarity, Sketches, Skew, TemporalJoins, TextOps}
+import org.apache.spark.sql.functions.{col, concat, count, countDistinct, date_format, dayofmonth, explode, expr, lit, lpad, size, sum, to_date, when}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -110,6 +110,22 @@ object SparkEntry {
         Tables.lineitem(s, dir).select("l_orderkey", "l_quantity"),
         tl, s"$base/l", "l_orderkey", 8)
       (to, tl)
+    })
+
+  /** The partition_prune row's date-partitioned copy of events,
+    * written ONCE per sf dir (same lifecycle as bucketedRowTables):
+    * the row times the pruned scan, not the layout write. Thirty
+    * `dt=YYYY-MM-DD` directories; dies with the JVM via tempDirs.
+    */
+  private val partitionedEventsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def partitionedEvents(s: SparkSession, dir: String): String =
+    partitionedEventsMemo.computeIfAbsent(dir, _ => {
+      val out = s"${tempDir("graft_part_events")}/ev"
+      graft.sources.Sinks.writePartitioned(
+        Tables.events(s, dir).withColumn("dt", to_date(col("ts"))),
+        out, "dt")
+      out
     })
 
   /** Chronologically-chunked single-file copies of the events table —
@@ -258,6 +274,11 @@ object SparkEntry {
     // gate must then pass them via the guessed language's marker floor
     // while passes_en_floor records that the English-only gate would
     // have rejected them; the oracle replants and regates identically.
+    // Cost note (r8, isolated bench): ~1.5 s/iter at sf0.1, almost all
+    // of it building + rescanning the ~11x-inflated planted text. The
+    // inflation factor is semantic — it is what pushes en density below
+    // the 10-per-mille floor — so it stays; the gate itself on
+    // unplanted text is the quality_filter row (~0.4 s/iter).
     "quality_filter_multilang" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
         .withColumn("_tn", size(TextOps.tokens(col("text"))))
@@ -612,6 +633,48 @@ object SparkEntry {
     // unsalted result exactly — the driver row for the Skew family
     // (spec-only through r5). The oracle is the PLAIN join: salting is
     // a physical rewrite with identical semantics.
+    // Partition-pruned layout (the read half of Sinks.writePartitioned,
+    // S7/D-family's 100 TB layout story): events written as thirty
+    // dt=YYYY-MM-DD directories, queried for one week. The dt predicate
+    // must land in PartitionFilters — pruned LISTING, 23 of 30
+    // directories never touched — not in the row-level data filters;
+    // the in-row require pins that. Oracle is the same week's aggregate
+    // off the unpartitioned table: layout is physical, not semantic.
+    "partition_prune" -> ((s, dir) => {
+      val path = partitionedEvents(s, dir)
+      val pruned = s.read.parquet(path)
+        .filter(col("dt").between(lit("2024-01-08"), lit("2024-01-14")))
+        .groupBy(col("dt"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+      val plan = pruned.queryExecution.executedPlan.toString
+      require(plan.contains("PartitionFilters: [isnotnull(dt"),
+        s"dt bounds must prune at the partition listing:\n$plan")
+      pruned
+        .select(date_format(col("dt"), "yyyy-MM-dd").as("dt"),
+          col("n_events"), col("n_users"))
+        .orderBy("dt")
+    }),
+    // Incremental aggregate maintenance (Incremental.mergeAdditive):
+    // a late-arriving trickle (user_id % 7 = 0, days 10-12) is folded
+    // into the standing daily rollup as a delta-sized partial
+    // aggregate + one groups-cardinality merge join — the corpus is
+    // never rescanned. The oracle is the FULL recompute over all
+    // events; equality is the incremental-maintenance contract.
+    "incremental_agg" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("dt", to_date(col("ts")))
+      val late = col("user_id") % 7 === 0 &&
+        dayofmonth(col("dt")).between(10, 12)
+      val daily = (df: DataFrame) => df.groupBy("dt").agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("value") >= 50, 1)).as("n_high"))
+      Incremental.mergeAdditive(
+        daily(ev.filter(!late)), daily(ev.filter(late)),
+        Seq("dt"), Seq("n_events", "n_high"))
+        .select(date_format(col("dt"), "yyyy-MM-dd").as("dt"),
+          col("n_events"), col("n_high"))
+        .orderBy("dt")
+    }),
     "salted_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("event_type"), col("user_id"))
@@ -1596,6 +1659,21 @@ object SparkEntry {
         |FROM e a JOIN e b
         |  ON a.event_id < b.event_id AND b.ms BETWEEN a.ms - 1000 AND a.ms + 1000
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the same week off the UNPARTITIONED table — layout is physical
+    "partition_prune" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt,
+        |       count(*) AS n_events,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the FULL recompute — incremental merge must equal it exactly
+    "incremental_agg" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt,
+        |       count(*) AS n_events,
+        |       count(*) FILTER (WHERE value >= 50) AS n_high
+        |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the PLAIN join again — bucketing is physical layout, not semantics
     "bucketed_join" ->
       """SELECT o_orderpriority, CAST(sum(l_quantity) AS BIGINT) AS total_qty

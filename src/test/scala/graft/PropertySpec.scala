@@ -64,6 +64,22 @@ class PropertySpec extends SparkSpec {
     }, n = 10)
   }
 
+  test("mergeAdditive(agg(a), agg(b)) == agg(a union b) for random splits") {
+    import graft.operators.Incremental
+    import spark.implicits._
+    val rowsGen = Gen.listOfN(40,
+      for { k <- Gen.choose(0L, 6L); v <- Gen.choose(0, 99) } yield (k, v))
+    holds(Prop.forAll(rowsGen, rowsGen) { (a, b) =>
+      val agg = (rows: List[(Long, Int)]) => rows.toDF("k", "v")
+        .groupBy("k").agg(count(lit(1)).as("n"), sum(col("v").cast("long")).as("s"))
+      val merged = Incremental.mergeAdditive(agg(a), agg(b), Seq("k"), Seq("n", "s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val full = agg(a ++ b)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      merged == full
+    }, n = 10)
+  }
+
   test("upsertKeepCols: result keys = key union; kept col from target on match") {
     import spark.implicits._
     val rowsGen = Gen.listOfN(10,
