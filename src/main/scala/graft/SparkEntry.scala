@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CalabrioSync, Components, Incremental, Multimodal, Queries, Sampling, Shred, Similarity, Sketches, Skew, TemporalJoins, TextOps}
-import org.apache.spark.sql.functions.{col, concat, count, countDistinct, date_format, dayofmonth, explode, expr, lit, lpad, size, sum, to_date, when}
+import graft.operators.{CalabrioSync, Components, Incremental, Linkage, Multimodal, Queries, Sampling, Shred, Similarity, Sketches, Skew, TemporalJoins, TextOps}
+import org.apache.spark.sql.functions.{col, concat, count, countDistinct, date_format, dayofmonth, explode, expr, lit, lpad, md5, size, substring, sum, to_date, when}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -674,6 +674,26 @@ object SparkEntry {
         .select(date_format(col("dt"), "yyyy-MM-dd").as("dt"),
           col("n_events"), col("n_high"))
         .orderBy("dt")
+    }),
+    // Record linkage (Linkage.hammingLinkage): the corpus has no real
+    // re-keyed entities, so the row PLANTS them (pii_redact's
+    // precedent) — one typo twin per custkey % 97 = 0, its md5-derived
+    // 32-hex identity key corrupted at positions 5 and 21 ('z' is not
+    // a hex char, so planted distance is exactly 2). The pigeonhole
+    // slice blocking must recover every twin pair; the oracle is the
+    // ALL-PAIRS hamming self-join over the same planted records, so
+    // candidate-completeness is checked, not assumed.
+    "record_linkage" -> ((s, dir) => {
+      val base = Tables.customer(s, dir).select(
+        col("c_custkey").cast("long").as("rec_id"),
+        md5(col("c_name")).as("rec_key"))
+      val twins = base.filter(col("rec_id") % 97 === 0).select(
+        (col("rec_id") + 1000000L).as("rec_id"),
+        concat(substring(col("rec_key"), 1, 4), lit("z"),
+          substring(col("rec_key"), 6, 15), lit("z"),
+          substring(col("rec_key"), 22, 11)).as("rec_key"))
+      Linkage.hammingLinkage(base.unionByName(twins),
+        "rec_id", "rec_key", width = 32, maxDist = 2)
     }),
     "salted_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -1674,6 +1694,18 @@ object SparkEntry {
         |       count(*) FILTER (WHERE value >= 50) AS n_high
         |FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the ALL-PAIRS hamming self-join over the same planted records
+    "record_linkage" ->
+      """WITH base AS (SELECT c_custkey AS rec_id, md5(c_name) AS rec_key FROM customer),
+        | twins AS (SELECT rec_id + 1000000 AS rec_id,
+        |                  substr(rec_key, 1, 4) || 'z' || substr(rec_key, 6, 15) || 'z' || substr(rec_key, 22, 11) AS rec_key
+        |           FROM base WHERE rec_id % 97 = 0),
+        | allr AS (SELECT * FROM base UNION ALL SELECT * FROM twins)
+        |SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+        |       CAST(hamming(a.rec_key, b.rec_key) AS INT) AS dist
+        |FROM allr a JOIN allr b
+        |  ON a.rec_id < b.rec_id AND hamming(a.rec_key, b.rec_key) <= 2
+        |ORDER BY 1, 2""".stripMargin,
     // the PLAIN join again — bucketing is physical layout, not semantics
     "bucketed_join" ->
       """SELECT o_orderpriority, CAST(sum(l_quantity) AS BIGINT) AS total_qty

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.Linkage
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Linkage.hammingLinkage vs brute force: the pigeonhole slice
+  * blocking must be candidate-COMPLETE (every pair within maxDist
+  * found — the property the blocking's pigeonhole argument proves)
+  * and the verify must be exact (nothing beyond maxDist survives).
+  * Keys are drawn from a 3-letter alphabet so near pairs are dense.
+  */
+class LinkageSpec extends SparkSpec {
+
+  private def brute(recs: Seq[(Long, String)], maxDist: Int): Set[(Long, Long, Int)] =
+    (for {
+      (ia, ka) <- recs; (ib, kb) <- recs
+      if ia < ib
+      d = ka.zip(kb).count { case (x, y) => x != y }
+      if d <= maxDist
+    } yield (ia, ib, d)).toSet
+
+  test("hammingLinkage == all-pairs brute force over random dense keys") {
+    import spark.implicits._
+    val key = Gen.listOfN(8, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    val gen = Gen.listOfN(40, key).map(_.zipWithIndex.map { case (k, i) => (i.toLong, k) })
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8),
+      Prop.forAll(gen) { recs =>
+        val got = Linkage.hammingLinkage(recs.toDF("id", "k"), "id", "k", width = 8, maxDist = 2)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        got == brute(recs, 2)
+      })
+    assert(res.passed, res.status.toString)
+  }
+
+  test("identical keys link at distance zero; ragged keys fail loudly") {
+    import spark.implicits._
+    val recs = Seq((1L, "aaaa"), (2L, "aaaa"), (3L, "bbbb")).toDF("id", "k")
+    val got = Linkage.hammingLinkage(recs, "id", "k", width = 4, maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq((1L, 2L, 0)))
+    val ragged = Seq((1L, "aaaa"), (2L, "aaaaa")).toDF("id", "k")
+    intercept[Exception] {
+      Linkage.hammingLinkage(ragged, "id", "k", width = 5, maxDist = 1).collect()
+    }
+  }
+}
