@@ -675,6 +675,44 @@ object SparkEntry {
           col("n_events"), col("n_high"))
         .orderBy("dt")
     }),
+    // Hierarchical aggregation (A-family at OLAP granularity): one
+    // ROLLUP pass emits detail, per-type subtotal, and grand total —
+    // one shuffle instead of three scans, the multi-granularity report
+    // shape. Map-side partial aggregation applies at every grouping
+    // set; grouping_id disambiguates rolled-up NULLs from data NULLs.
+    // Sort keys are null-coalesced so both engines' null ordering
+    // agrees.
+    "rollup_summary" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("dt", to_date(col("ts")))
+        .filter(dayofmonth(col("dt")) <= 7)
+      ev.rollup(col("event_type"), col("dt"))
+        .agg(expr("grouping_id(event_type, dt)").cast("int").as("gid"),
+          count(lit(1)).as("n_events"),
+          count(when(col("value") >= 50, 1)).as("n_high"))
+        .select(col("event_type"),
+          date_format(col("dt"), "yyyy-MM-dd").as("dt"),
+          col("gid"), col("n_events"), col("n_high"))
+        .orderBy(col("gid"),
+          expr("coalesce(event_type, '')"), expr("coalesce(dt, '')"))
+    }),
+    // Event-time RANGE window (W3's frame family on TIME, not rows):
+    // per-user trailing-7-day activity peak. ROWS frames count
+    // neighbors; only a RANGE frame over the event-time axis answers
+    // "within the last week" when users emit at irregular rates. One
+    // hash shuffle on user_id; frame state is bounded by the interval.
+    "trailing_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ms"))
+        .rangeBetween(-7L * 86400 * 1000, 0)
+      Tables.events(s, dir)
+        .withColumn("ms", expr("unix_millis(ts)"))
+        .withColumn("tw", count(lit(1)).over(w))
+        .groupBy("user_id")
+        .agg(expr("max(tw)").as("max_week_events"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
     // Record linkage (Linkage.hammingLinkage): the corpus has no real
     // re-keyed entities, so the row PLANTS them (pii_redact's
     // precedent) — one typo twin per custkey % 97 = 0, its md5-derived
@@ -1694,6 +1732,25 @@ object SparkEntry {
         |       count(*) FILTER (WHERE value >= 50) AS n_high
         |FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rollup_summary" ->
+      """SELECT event_type,
+        |       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt,
+        |       CAST(GROUPING(event_type, CAST(ts AS DATE)) AS INT) AS gid,
+        |       count(*) AS n_events,
+        |       count(*) FILTER (WHERE value >= 50) AS n_high
+        |FROM events
+        |WHERE day(CAST(ts AS DATE)) <= 7
+        |GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
+        |ORDER BY gid, coalesce(event_type, ''), coalesce(dt, '')""".stripMargin,
+    "trailing_window" ->
+      """WITH t AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+        | w AS (SELECT user_id,
+        |         count(*) OVER (PARTITION BY user_id ORDER BY ms
+        |                        RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW) AS tw
+        |       FROM t)
+        |SELECT user_id, CAST(max(tw) AS BIGINT) AS max_week_events,
+        |       count(*) AS n_events
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     // the ALL-PAIRS hamming self-join over the same planted records
     "record_linkage" ->
       """WITH base AS (SELECT c_custkey AS rec_id, md5(c_name) AS rec_key FROM customer),
