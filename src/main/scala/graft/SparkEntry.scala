@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{CalabrioSync, Components, Incremental, Linkage, Multimodal, Queries, Sampling, Shred, Similarity, Sketches, Skew, TemporalJoins, TextOps}
-import org.apache.spark.sql.functions.{col, concat, count, countDistinct, date_format, dayofmonth, explode, expr, lit, lpad, md5, size, substring, sum, to_date, when}
+import org.apache.spark.sql.functions.{array, col, concat, count, countDistinct, date_format, dayofmonth, element_at, explode, expr, lit, lpad, md5, size, slice, substring, sum, to_date, when}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -449,6 +449,24 @@ object SparkEntry {
     // complete at sf0.01 (22/22) and sf0.1 (211/211) by NearDupProbe.
     "embedding_neardup" -> ((s, dir) => Similarity.embeddingNearDup(
       Tables.embeddings(s, dir), simE6Threshold = 440000L, sigBits = 2, numTables = 32)),
+    // SemDeDup semantic dedup over cluster-bounded candidates. The
+    // corpus has no high-cosine pairs (measured max 0.513), so the row
+    // PLANTS twins: vec_id % 50 = 0 gets a copy at vec_id + 100000
+    // with coordinate 1 scaled by 1.05f — float×float is exactly
+    // representable in double, so BOTH engines' casts land on the
+    // identical IEEE product and the planted cosine (~0.999) clears
+    // the 0.85 threshold with the same bits. The oracle drops against
+    // the ALL-PAIRS graph, so the multi-probe cluster candidate
+    // generation is checked complete, not assumed.
+    "semantic_dedup" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val twins = base.filter(col("vec_id") % 50 === 0).select(
+        (col("vec_id") + 100000L).as("vec_id"),
+        concat(
+          array(element_at(col("embedding"), 1) * lit(1.05f)),
+          slice(col("embedding"), 2, 63)).as("embedding"))
+      Similarity.semanticDedup(base.unionByName(twins))
+    }),
     // S10: glob-selected PERMISSIVE bulk load (multi-file union) feeding
     // the contacts shred; malformed files quarantine instead of failing.
     // cache=false: this row runs exactly one action over `good`, so an
@@ -1462,6 +1480,24 @@ object SparkEntry {
     "ivf_recall" ->
       """SELECT vec_id AS q_id, true AS floor_met FROM embeddings
         |WHERE vec_id < 5 ORDER BY q_id""".stripMargin,
+    // survivors against the ALL-PAIRS similarity graph: a vector is
+    // dropped iff a smaller-id vector anywhere in the corpus clears
+    // the threshold — cluster-candidate completeness is the claim
+    "semantic_dedup" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        | twins AS (SELECT vec_id + 100000 AS vec_id,
+        |                  [CAST(CAST(embedding[1] AS FLOAT) * CAST(1.05 AS FLOAT) AS FLOAT)] || embedding[2:] AS embedding
+        |           FROM base WHERE vec_id % 50 = 0),
+        | allv AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+        | p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+        |        list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS dot,
+        |        list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))) AS n2a,
+        |        list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS n2b
+        |       FROM allv a JOIN allv b ON a.vec_id < b.vec_id),
+        | s AS (SELECT vb, CAST(round(1e6 * dot / (sqrt(n2a) * sqrt(n2b))) AS BIGINT) AS sim_e6 FROM p)
+        |SELECT vec_id FROM allv
+        |WHERE vec_id NOT IN (SELECT vb FROM s WHERE sim_e6 >= 850000)
+        |ORDER BY vec_id""".stripMargin,
     "staged_load_contacts" ->
       """SELECT id AS contact_id,
         |       strftime(timezone('America/Denver', epoch_ms(startTime)::TIMESTAMPTZ), '%Y-%m-%d %H:%M:%S') AS contact_start_time,

@@ -498,6 +498,29 @@ object Similarity {
     * cells in one narrow map — the probe join shuffles only
     * (cell, query) pairs.
     */
+  /** Sample-fit KMeans shared by ivfTopK and semanticDedup: seeded
+    * (deterministic, task-retry safe), bounded sample — NOT the full
+    * table (see ivfTopK scaladoc for the measured rationale). Input
+    * must carry a `features` vector column.
+    */
+  private def fitKMeans(
+      e: DataFrame,
+      nlist: Int,
+      trainFraction: Double,
+      maxTrainRows: Int,
+      maxIter: Int): org.apache.spark.ml.clustering.KMeansModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    val sampled = e.select("features")
+      .sample(withReplacement = false, trainFraction, seed = 42)
+      .limit(maxTrainRows)
+    // tiny inputs (tests, sf0.001) can sample below nlist points —
+    // fall back to the full table there; the sample path is the one
+    // that runs at scale
+    val train =
+      if (sampled.take(nlist).length < nlist) e.select("features") else sampled
+    new KMeans().setK(nlist).setSeed(42).setMaxIter(maxIter).fit(train)
+  }
+
   def ivfTopK(
       emb: DataFrame,
       nQueries: Int = 5,
@@ -512,7 +535,6 @@ object Similarity {
       // converged centroids) while the fit cost halves — another
       // "centroid quality barely moves nprobe recall" dividend.
       maxIter: Int = 5): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     // no explicit cache: spark.ml KMeans persists its (sampled)
     // training input internally when the input is unpersisted and
@@ -523,15 +545,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         array_to_vector(col("embedding")).as("features"),
         sumSq(col("embedding")).as("n2"))
-    val sampled = e.select("features")
-      .sample(withReplacement = false, trainFraction, seed = 42)
-      .limit(maxTrainRows)
-    // tiny inputs (tests, sf0.001) can sample below nlist points —
-    // fall back to the full table there; the sample path is the one
-    // that runs at scale
-    val train =
-      if (sampled.take(nlist).length < nlist) e.select("features") else sampled
-    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(maxIter).fit(train)
+    val model = fitKMeans(e, nlist, trainFraction, maxTrainRows, maxIter)
     val assigned = model.transform(e)
       .select(col("vec_id"), col("embedding"), col("n2"),
         col("prediction").as("cell"))
@@ -561,6 +575,65 @@ object Similarity {
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("neighbor_id"), sim6.as("sim_e6")),
       k)
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, look for
+    * near-duplicate pairs only WITHIN a cluster, and drop every vector
+    * that has a sufficiently-similar neighbor of smaller id. The
+    * cluster step is what makes it a 100 TB operator — candidates are
+    * bucket-local (cell equi-join), never all-pairs.
+    *
+    * Differences from the paper worth naming: assignment is
+    * multi-probe (each vector joins its `nprobe` nearest cells, so a
+    * pair straddling one cell boundary still meets in the other's
+    * probe set), and the drop rule is "has a similar smaller-id
+    * neighbor" rather than "far from centroid" — deterministic,
+    * order-free, and exactly replayable by the all-pairs oracle.
+    * Centroid fit is the shared seeded sample fit (fitKMeans);
+    * nprobe-cell assignment is MAP-ONLY: centroids ride into the plan
+    * as a literal (nlist×dim doubles — tiny), each vector scores all
+    * cells and explodes its nprobe best, no shuffle until the cell
+    * join. Exact cosine verifies inside the join stage (same
+    * filter-where-born rationale as simhashNearDup).
+    */
+  def semanticDedup(
+      emb: DataFrame,
+      simE6Threshold: Long = 850000L,
+      nlist: Int = 16,
+      nprobe: Int = 2,
+      trainFraction: Double = 0.1,
+      maxTrainRows: Int = 20000,
+      maxIter: Int = 5): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = spread(emb)
+      .select(col("vec_id"), col("embedding"),
+        array_to_vector(col("embedding")).as("features"),
+        sumSq(col("embedding")).as("n2"))
+    val model = fitKMeans(e, nlist, trainFraction, maxTrainRows, maxIter)
+    val cents: Seq[Seq[Double]] = model.clusterCenters.map(_.toArray.toSeq).toSeq
+    val d2s = transform(typedLit(cents), c =>
+      aggregate(zip_with(col("embedding"), c, (x, cc) => {
+        val diff = x.cast("double") - cc
+        diff * diff
+      }), lit(0.0), (a, x) => a + x))
+    val cells = slice(array_sort(transform(d2s, (d, i) =>
+      struct(d.as("d2"), i.as("cell")))), 1, nprobe)
+    val keyed = e
+      .select(col("vec_id"), col("embedding"), col("n2"),
+        explode(cells).as("c"))
+      .select(col("vec_id"), col("embedding"), col("n2"),
+        col("c.cell").as("cell"))
+    val sim6 = round(lit(1e6) * dot(col("x.embedding"), col("y.embedding"))
+      / (sqrt(col("x.n2")) * sqrt(col("y.n2")))).cast("long")
+    val dropped = keyed.as("x").join(keyed.as("y"), Seq("cell"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("y.vec_id").as("vec_id"), sim6.as("sim_e6"))
+      .filter(col("sim_e6") >= simE6Threshold)
+      .select("vec_id").distinct()
+    e.select(col("vec_id"))
+      .join(dropped, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
   }
 
   /** The ANN scale path: MULTI-TABLE random-hyperplane LSH over the

@@ -10,6 +10,21 @@ import org.apache.spark.sql.functions._
 class SimilaritySpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
+  test("semanticDedup: exact twins drop to min id, distinct vectors all survive") {
+    import spark.implicits._
+    // three well-separated directions + exact copies of two of them;
+    // nlist=2 keeps the fit sane at 5 vectors
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f)),
+      (11L, Array(1f, 0f, 0f, 0f)),
+      (12L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(vecs, nlist = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L, 3L))
+  }
+
   test("minhash candidates reproduce the exact all-pairs near-dups") {
     val docs = Tables.documents(spark, dir).cache()
     val got = Similarity.minhashNearDup(docs)
