@@ -128,6 +128,19 @@ object SparkEntry {
       out
     })
 
+  /** The compact_files row's deliberately-fragmented events copy (64
+    * splinter files), written ONCE per sf dir — the row times the
+    * COMPACTION it performs, not the fixture fragmentation.
+    */
+  private val fragmentedEventsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def fragmentedEvents(s: SparkSession, dir: String): String =
+    fragmentedEventsMemo.computeIfAbsent(dir, _ => {
+      val out = s"${tempDir("graft_frag_events")}/ev"
+      Tables.events(s, dir).repartition(64).write.parquet(out)
+      out
+    })
+
   /** Chronologically-chunked single-file copies of the events table —
     * the fixture layout the four streaming rows stream from. Four
     * chunks by day-of-month (the events tables span one month), each
@@ -692,6 +705,50 @@ object SparkEntry {
         .select(date_format(col("dt"), "yyyy-MM-dd").as("dt"),
           col("n_events"), col("n_high"))
         .orderBy("dt")
+    }),
+    // Small-files compaction (Sinks.compact): 64 splinter files
+    // rewritten to ceil(bytes / 256 KiB) — the in-row requires pin the
+    // layout contract (fewer files, exactly the computed count), and
+    // the returned aggregate reads from the COMPACTED copy, so the
+    // oracle equality over the original table is the
+    // content-preservation proof.
+    "compact_files" -> ((s, dir) => {
+      val frag = fragmentedEvents(s, dir)
+      val out = s"${tempDir("graft_compacted")}/ev"
+      val nOut = graft.sources.Sinks.compact(s, frag, out, targetBytes = 256L * 1024)
+      val outFiles = new java.io.File(out).listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+      require(nOut < 64, s"compaction must reduce the file count, got $nOut")
+      require(outFiles == nOut,
+        s"expected $nOut compacted files, found $outFiles")
+      s.read.parquet(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
+    // Time-series gap filling (dense calendar reconstruction): daily
+    // per-user activity re-densified against the month's calendar so
+    // downstream window math sees explicit zeros, not missing rows.
+    // The scaffold is keys × bounded-calendar (30 rows, broadcast) —
+    // a map-side nested loop, linear in keys — then one equi-join
+    // back to the sparse aggregate. ~10% of the user-day grid is
+    // absent in the fixture, so the fill is non-vacuous.
+    "gap_fill" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{broadcast, coalesce}
+      val daily = Tables.events(s, dir)
+        .filter(col("user_id") < 20)
+        .withColumn("dt", to_date(col("ts")))
+        .groupBy("user_id", "dt")
+        .agg(count(lit(1)).as("n_events"))
+      val calendar = s.range(1).select(explode(expr(
+        "sequence(date'2024-01-01', date'2024-01-30', interval 1 day)")).as("dt"))
+      daily.select("user_id").distinct()
+        .crossJoin(broadcast(calendar))
+        .join(daily, Seq("user_id", "dt"), "left")
+        .select(col("user_id"),
+          date_format(col("dt"), "yyyy-MM-dd").as("dt"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy("user_id", "dt")
     }),
     // Hierarchical aggregation (A-family at OLAP granularity): one
     // ROLLUP pass emits detail, per-type subtotal, and grand total —
@@ -1768,6 +1825,20 @@ object SparkEntry {
         |       count(*) FILTER (WHERE value >= 50) AS n_high
         |FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // content preservation: the Spark side reads the COMPACTED copy
+    "compact_files" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "gap_fill" ->
+      """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS dt, count(*) AS n_events
+        |           FROM events WHERE user_id < 20 GROUP BY 1, 2),
+        | u AS (SELECT DISTINCT user_id FROM d),
+        | cal AS (SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS dt)
+        |SELECT u.user_id, strftime(cal.dt, '%Y-%m-%d') AS dt,
+        |       coalesce(d.n_events, 0) AS n_events
+        |FROM u CROSS JOIN cal
+        |LEFT JOIN d ON d.user_id = u.user_id AND d.dt = cal.dt
+        |ORDER BY 1, 2""".stripMargin,
     "rollup_summary" ->
       """SELECT event_type,
         |       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt,

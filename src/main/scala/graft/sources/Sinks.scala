@@ -139,6 +139,34 @@ object Sinks {
       .sortBy(key)
       .saveAsTable(table)
 
+  /** Small-files compaction — the table-hygiene pass every long-lived
+    * ingest needs: micro-batch and per-window writers (writeJsonBatch,
+    * streaming sinks) accrete files far below the scan-efficient size,
+    * and at 100 TB the NameNode/listing and per-file open costs
+    * dominate reads long before the bytes do. Rewrite the directory
+    * into ceil(totalBytes / targetBytes) files and return that count
+    * so callers can assert the layout they paid for. Content is
+    * preserved exactly (one read → repartition → overwrite); the
+    * repartition shuffle IS the cost, which is why compaction runs as
+    * scheduled hygiene, not on the read path.
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      inDir: String,
+      outDir: String,
+      targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val p = new Path(inDir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = f.listStatus(p).filter(_.isFile)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(outDir)
+    nOut
+  }
+
   /** S12: stage purge — remove everything under the stage dir. */
   def purgeStage(spark: org.apache.spark.sql.SparkSession, stageDir: String): Unit = {
     val p = new Path(stageDir)
