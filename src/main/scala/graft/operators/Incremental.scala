@@ -24,22 +24,34 @@ object Incremental {
 
   /** Merge a delta's partial aggregate into a standing aggregate:
     * full outer join on the group keys, measures added with null → 0
-    * (a group may exist in either side only). For any additive
-    * measure set, `mergeAdditive(agg(a), agg(b)) == agg(a union b)` —
-    * the property the driver row proves against the full-recompute
-    * oracle and IncrementalSpec proves for random splits.
+    * (a group may exist in either side only). The join is NULL-SAFE
+    * (<=>): groupBy puts all null keys in ONE group, so the merge
+    * must match them too — a plain equi-join would emit a null-keyed
+    * group twice, once per side (the antiJoin null-key bug class).
+    * For any additive measure set,
+    * `mergeAdditive(agg(a), agg(b)) == agg(a union b)` — the property
+    * the driver row proves against the full-recompute oracle and
+    * PropertySpec proves for random splits including null keys.
     */
   def mergeAdditive(
       state: DataFrame,
       delta: DataFrame,
       keys: Seq[String],
       measures: Seq[String]): DataFrame = {
-    val merged = state
-      .select(keys.map(col) ++ measures.map(m => col(m).as(s"_s_$m")): _*)
-      .join(
-        delta.select(keys.map(col) ++ measures.map(m => col(m).as(s"_d_$m")): _*),
-        keys, "full_outer")
-    measures.foldLeft(merged) { (df, m) =>
+    val s = state.select(
+      keys.map(k => col(k).as(s"_sk_$k")) ++
+        measures.map(m => col(m).as(s"_s_$m")): _*)
+    val d = delta.select(
+      keys.map(k => col(k).as(s"_dk_$k")) ++
+        measures.map(m => col(m).as(s"_d_$m")): _*)
+    val cond = keys.map(k => col(s"_sk_$k") <=> col(s"_dk_$k")).reduce(_ && _)
+    val merged = s.join(d, cond, "full_outer")
+    val withKeys = keys.foldLeft(merged) { (df, k) =>
+      // either side may be absent; on a match both carry the same key
+      // (null included — the join matched it null-safely)
+      df.withColumn(k, coalesce(col(s"_sk_$k"), col(s"_dk_$k")))
+    }
+    measures.foldLeft(withKeys) { (df, m) =>
       df.withColumn(m,
         coalesce(col(s"_s_$m"), lit(0L)) + coalesce(col(s"_d_$m"), lit(0L)))
     }.select((keys ++ measures).map(col): _*)

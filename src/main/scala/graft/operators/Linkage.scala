@@ -29,9 +29,11 @@ import org.apache.spark.sql.functions._
 object Linkage {
 
   /** Pairs (id_a, id_b, dist) with dist = Hamming(key_a, key_b) <=
-    * maxDist, id_a < id_b. Keys must share a fixed width `width`;
-    * hamming_bits throws on ragged input (corrupt keys should fail
-    * loudly, not silently link nothing).
+    * maxDist, id_a < id_b. Every key is width-validated UP FRONT
+    * (raise_error in the projection, before any join): a ragged key
+    * that only hit hamming_bits' length check inside the join stage
+    * could silently link nothing when it happens to share no slice
+    * bucket — corrupt keys must fail loudly, not drop out.
     */
   def hammingLinkage(
       records: DataFrame,
@@ -41,19 +43,13 @@ object Linkage {
       maxDist: Int): DataFrame = {
     val blocks = maxDist + 1
     require(width >= blocks, "need at least one key character per slice")
-    val base = width / blocks
-    val rem = width % blocks
-    // slice i spans [i*base + min(i,rem), ...) — first `rem` slices one
-    // wider, so all `width` positions are covered (simhashNearDup's
-    // block tiling)
-    val sliceCols = (0 until blocks).map { i =>
-      val start = i * base + math.min(i, rem) + 1 // substr is 1-based
-      val len = base + (if (i < rem) 1 else 0)
-      struct(lit(i).as("blk"), col(keyCol).substr(lit(start), lit(len)).as("bkey"))
-    }
+    val validated = when(length(col(keyCol)) === width, col(keyCol))
+      .otherwise(raise_error(concat(
+        lit(s"hammingLinkage: key width != $width: "), col(keyCol))))
     val keyed = records
-      .select(col(idCol).as("_id"), col(keyCol).as("_k"),
-        explode(array(sliceCols: _*)).as("b"))
+      .select(col(idCol).as("_id"), validated.as("_k"))
+      .select(col("_id"), col("_k"),
+        explode(Similarity.sliceBlocks(col("_k"), width, blocks)).as("b"))
       .select(col("_id"), col("_k"), col("b.blk").as("blk"), col("b.bkey").as("bkey"))
     keyed.as("x")
       .join(keyed.as("y"), Seq("blk", "bkey"))

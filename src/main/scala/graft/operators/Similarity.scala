@@ -24,6 +24,33 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Pigeonhole slice tiling shared by simhashNearDup and
+    * Linkage.hammingLinkage: array of (blk, bkey) structs where slice
+    * i spans [i·base + min(i, rem), …) — the first `rem` slices take
+    * one extra position so all `width` positions are covered, and a
+    * pair within Hamming distance blocks−1 agrees on ≥1 slice.
+    */
+  private[operators] def sliceBlocks(c: Column, width: Int, blocks: Int): Column = {
+    val base = width / blocks
+    val rem = width % blocks
+    array((0 until blocks).map { i =>
+      val start = i * base + math.min(i, rem) + 1 // substr is 1-based
+      val len = base + (if (i < rem) 1 else 0)
+      struct(lit(i).as("blk"), c.substr(lit(start), lit(len)).as("bkey"))
+    }: _*)
+  }
+
+  /** Squared euclidean distance to a centroid, shared by ivfTopK
+    * probing and semanticDedup cell assignment — ONE numeric kernel so
+    * the two assignment paths cannot drift.
+    */
+  private def centroidD2(emb: Column, centroid: Column): Column =
+    aggregate(
+      zip_with(emb, centroid, (x, c) => {
+        val diff = x.cast("double") - c
+        diff * diff
+      }), lit(0.0), (a, x) => a + x)
+
   /** Word 3-gram shingles, deduplicated (set semantics for Jaccard).
     * Native WordShingles expression — the equivalent split/transform/
     * array_distinct HOF chain was ~2 ms/doc interpreted and gets
@@ -372,8 +399,6 @@ object Similarity {
       bucketCap: Int = 1000): DataFrame = {
     val blocks = maxHamming + 1
     require(bits >= blocks, "need at least one signature bit per block")
-    val base = bits / blocks
-    val rem = bits % blocks
     // guard empty shingle sets like minhashNearDup: every <n-token doc
     // gets the identical all-'1' empty-input signature, so without the
     // filter N unrelated short docs all "collide" at Hamming 0 AND form
@@ -384,15 +409,9 @@ object Similarity {
       .select(
         col("doc_id"),
         call_function("simhash_bits", col("sh"), lit(bits)).as("sig"))
-    // block i spans [i·base + min(i,rem), …) — the first `rem` blocks
-    // take one extra bit so all `bits` positions are covered
-    val blockCols = (0 until blocks).map { i =>
-      val start = i * base + math.min(i, rem) + 1 // substr is 1-based
-      val len = base + (if (i < rem) 1 else 0)
-      struct(lit(i).as("blk"), col("sig").substr(lit(start), lit(len)).as("bkey"))
-    }
     val keyed = sigs
-      .select(col("doc_id"), col("sig"), explode(array(blockCols: _*)).as("b"))
+      .select(col("doc_id"), col("sig"),
+        explode(sliceBlocks(col("sig"), bits, blocks)).as("b"))
       .select(col("doc_id"), col("sig"), col("b.blk").as("blk"), col("b.bkey").as("bkey"))
     val capped = capBuckets(keyed, Seq("blk", "bkey"), bucketCap)
     // verify INSIDE the join stage, dedup only survivors: natural-text
@@ -559,11 +578,7 @@ object Similarity {
     val q = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("n2").as("qn2"))
     val qDist = q.crossJoin(broadcast(cents)) // nQueries × nlist rows — constant-size
-      .withColumn("d2", aggregate(
-        zip_with(col("q_emb"), col("centroid"), (x, c) => {
-          val diff = x.cast("double") - c
-          diff * diff
-        }), lit(0.0), (a, x) => a + x))
+      .withColumn("d2", centroidD2(col("q_emb"), col("centroid")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("q_id").orderBy(col("d2"), col("cell"))))
       .filter(col("rn") <= nprobe)
@@ -612,11 +627,7 @@ object Similarity {
         sumSq(col("embedding")).as("n2"))
     val model = fitKMeans(e, nlist, trainFraction, maxTrainRows, maxIter)
     val cents: Seq[Seq[Double]] = model.clusterCenters.map(_.toArray.toSeq).toSeq
-    val d2s = transform(typedLit(cents), c =>
-      aggregate(zip_with(col("embedding"), c, (x, cc) => {
-        val diff = x.cast("double") - cc
-        diff * diff
-      }), lit(0.0), (a, x) => a + x))
+    val d2s = transform(typedLit(cents), c => centroidD2(col("embedding"), c))
     val cells = slice(array_sort(transform(d2s, (d, i) =>
       struct(d.as("d2"), i.as("cell")))), 1, nprobe)
     val keyed = e

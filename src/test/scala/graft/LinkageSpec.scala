@@ -42,5 +42,11 @@ class LinkageSpec extends SparkSpec {
     intercept[Exception] {
       Linkage.hammingLinkage(ragged, "id", "k", width = 5, maxDist = 1).collect()
     }
+    // the sneaky ragged case: keys sharing NO slice bucket must STILL
+    // fail loudly (pre-join width validation), not silently link nothing
+    val disjoint = Seq((1L, "aaaa"), (2L, "bbbbb")).toDF("id", "k")
+    intercept[Exception] {
+      Linkage.hammingLinkage(disjoint, "id", "k", width = 5, maxDist = 1).collect()
+    }
   }
 }

@@ -64,18 +64,23 @@ class PropertySpec extends SparkSpec {
     }, n = 10)
   }
 
-  test("mergeAdditive(agg(a), agg(b)) == agg(a union b) for random splits") {
+  test("mergeAdditive(agg(a), agg(b)) == agg(a union b), null group keys included") {
     import graft.operators.Incremental
     import spark.implicits._
+    // null keys MUST merge to one group (groupBy semantics) — the
+    // null-safe-join property a plain equi-join merge violates
+    val keyGen = Gen.frequency(6 -> Gen.choose(0L, 6L).map(Option(_)),
+      1 -> Gen.const(Option.empty[Long]))
     val rowsGen = Gen.listOfN(40,
-      for { k <- Gen.choose(0L, 6L); v <- Gen.choose(0, 99) } yield (k, v))
+      for { k <- keyGen; v <- Gen.choose(0, 99) } yield (k, v))
     holds(Prop.forAll(rowsGen, rowsGen) { (a, b) =>
-      val agg = (rows: List[(Long, Int)]) => rows.toDF("k", "v")
+      val agg = (rows: List[(Option[Long], Int)]) => rows.toDF("k", "v")
         .groupBy("k").agg(count(lit(1)).as("n"), sum(col("v").cast("long")).as("s"))
+      val key = (r: org.apache.spark.sql.Row) =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getLong(1), r.getLong(2))
       val merged = Incremental.mergeAdditive(agg(a), agg(b), Seq("k"), Seq("n", "s"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-      val full = agg(a ++ b)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        .collect().map(key).toSet
+      val full = agg(a ++ b).collect().map(key).toSet
       merged == full
     }, n = 10)
   }
