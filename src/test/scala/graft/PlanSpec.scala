@@ -125,6 +125,30 @@ class PlanSpec extends SparkSpec {
     assert(q.count() > 0)
   }
 
+  test("compact rewrites splinter files to the computed count, content intact") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val frag = s"$base/frag"
+    val out = s"$base/out"
+    val ev = Tables.events(spark, dir)
+    ev.repartition(16).write.parquet(frag)
+    val fragFiles = new java.io.File(frag).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(fragFiles == 16)
+    // a target far above any splinter -> everything folds into 1 file
+    val nOut = graft.sources.Sinks.compact(spark, frag, out, targetBytes = 1L << 30)
+    assert(nOut == 1)
+    val outFiles = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(outFiles == 1)
+    assert(spark.read.parquet(out).count() == ev.count())
+    // and a small target computes the byte-proportional count
+    val bytes = new java.io.File(frag).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val target = math.max(1L, bytes / 4)
+    val n4 = graft.sources.Sinks.compact(spark, s"$base/frag", s"$base/out4", target)
+    assert(n4 == math.ceil(bytes.toDouble / target).toInt)
+  }
+
   test("quality_filter reads only the columns it needs") {
     // sf0.01, not `dir`: other suites cache documents(sf0.001) in the
     // shared session and the cached relation would replace the scan
