@@ -44,7 +44,14 @@ class PlanSpec extends SparkSpec {
       "ann_topk_lsh" -> Similarity.annTopKLsh(emb),
       "embedding_neardup" -> Similarity.embeddingNearDup(emb, 450000L),
       "simhash_neardup" -> Similarity.simhashNearDup(docs),
-      "jaccard_neardup" -> Similarity.jaccardNearDup(docs)
+      "jaccard_neardup" -> Similarity.jaccardNearDup(docs),
+      // cell/slice-bucketed candidates, same equi-join discipline
+      "semantic_dedup" -> Similarity.semanticDedup(
+        emb.select("vec_id", "embedding"), nlist = 4),
+      "hamming_linkage" -> graft.operators.Linkage.hammingLinkage(
+        Tables.customer(spark, dir).select(col("c_custkey").as("id"),
+          org.apache.spark.sql.functions.md5(col("c_name")).as("k")),
+        "id", "k", width = 32, maxDist = 2)
     ).foreach { case (name, df) =>
       val plan = executedPlan(df)
       assert(!plan.contains("CartesianProduct"), s"$name: no cartesian product:\n$plan")
