@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BloomMightContain, CountTokensIn, CountTokensInMulti, FloatDot, FloatNorm2, HammingBits, HyperplaneSig, MinHashBandKeys, MinHashSignature, PiiScrub, SimHashBits, TokenFingerprint, TokenProfile, WordShingles}
+import graft.expressions.{BloomMightContain, CountTokensIn, CountTokensInMulti, FloatDot, FloatNorm2, HammingBits, HyperplaneSig, MinHashBandKeys, MinHashSignature, NfcNormalize, PiiScrub, SimHashBits, TokenFingerprint, TokenProfile, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -118,6 +118,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => HammingBits(a, b)
         case _ => throw new IllegalArgumentException(
           "usage: hamming_bits(sigA, sigB)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => NfcNormalize(c)
+        case _ => throw new IllegalArgumentException(
+          "usage: nfc_normalize(text)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("pii_scrub"),

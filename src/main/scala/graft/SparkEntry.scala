@@ -305,6 +305,20 @@ object SparkEntry {
           .otherwise(lit("")))).drop("_tn")
       TextOps.qualityFilterMultilang(planted)
     }),
+    // Canonical normalization ahead of hash dedup. The ASCII corpus
+    // has nothing to compose, so the row PLANTS decomposed sequences
+    // (combining acute/diaeresis) on doc_id % 7 = 0 — NFC must fuse
+    // them, lowercase must fold the planted uppercase, and the char
+    // counts expose the composition (clean < raw on planted docs).
+    // Both engines implement the same Unicode canonical composition;
+    // the oracle plants via chr() and renormalizes identically.
+    "normalize_text" -> ((s, dir) => {
+      val planted = Tables.documents(s, dir).withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit(" Café NAÏVE"))
+            .otherwise(lit(""))))
+      TextOps.normalizeText(planted)
+    }),
     "lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "token_counts" -> ((s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))),
     // Deterministic curation sampling: hash-gated, so re-runs and
@@ -1844,6 +1858,19 @@ object SparkEntry {
         |FROM u CROSS JOIN cal
         |LEFT JOIN d ON d.user_id = u.user_id AND d.dt = cal.dt
         |ORDER BY 1, 2""".stripMargin,
+    // chr(769)=U+0301 combining acute, chr(776)=U+0308 combining
+    // diaeresis — the same decomposed plant, NFC-composed identically
+    "normalize_text" ->
+      """WITH pl AS (SELECT doc_id,
+        |              text || CASE WHEN doc_id % 7 = 0
+        |                THEN ' Cafe' || chr(769) || ' NAI' || chr(776) || 'VE'
+        |                ELSE '' END AS text
+        |            FROM documents)
+        |SELECT doc_id,
+        |       trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS clean_text,
+        |       length(text) AS n_chars_raw,
+        |       length(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))) AS n_chars_clean
+        |FROM pl ORDER BY doc_id""".stripMargin,
     "rollup_summary" ->
       """SELECT event_type,
         |       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt,

@@ -399,4 +399,18 @@ object HashOps {
     while (j < bits) { sb.append(if (votes(j) >= 0) '1' else '0'); j += 1 }
     UTF8String.fromString(sb.toString)
   }
+
+  /** Unicode NFC canonical composition — the normalization a corpus
+    * needs BEFORE any hash-based dedup: "é" and "e"+U+0301 are the
+    * same text but different bytes, so unnormalized corpora leak
+    * duplicates past every content-hash operator. ASCII input (the
+    * overwhelming case) short-circuits via the JDK's quick check
+    * inside Normalizer.isNormalized-free normalize — already-NFC
+    * strings round-trip unchanged.
+    */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
 }

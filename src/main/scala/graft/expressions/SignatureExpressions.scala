@@ -104,6 +104,22 @@ case class CountTokensIn(child: Expression, csvSet: String, lower: Boolean)
     copy(child = newChild)
 }
 
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+  protected override def nullSafeEval(input: Any): Any =
+    HashOps.nfcNormalize(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashOps.nfcNormalize($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 case class HammingBits(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =

@@ -90,6 +90,24 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Canonical text normalization — the pass that runs BEFORE every
+    * hash-based operator in the family: Unicode NFC composition (so
+    * "é" and "e"+combining-acute hash identically), lowercase, and
+    * whitespace collapse. Map-only, codegen'd (native nfc_normalize
+    * expression); emits n_chars_raw/n_chars_clean so the composition
+    * work is auditable.
+    */
+  def normalizeText(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      trim(regexp_replace(
+        lower(call_function("nfc_normalize", col("text"))),
+        "\\s+", " ")).as("clean_text"),
+      // long, matching the oracle engine's length() type
+      length(col("text")).cast("long").as("n_chars_raw"))
+      .withColumn("n_chars_clean", length(col("clean_text")).cast("long"))
+      .orderBy("doc_id")
+
   /** Per-language corpus stats: doc/char/token totals + extrema.
     * Map-side-combinable aggregate on a tiny key (|langs|). */
   def textStats(docs: DataFrame): DataFrame =

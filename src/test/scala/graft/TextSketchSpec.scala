@@ -9,6 +9,22 @@ import org.apache.spark.sql.functions._
 class TextSketchSpec extends SparkSpec {
   import spark.implicits._
 
+  test("normalizeText composes NFC, folds case, collapses whitespace") {
+    // "Cafe"+U+0301 (decomposed) must equal precomposed "café" after
+    // the pass; ASCII text round-trips; runs of whitespace collapse
+    val docs = Seq(
+      (1L, "Café  AND\tNAÏVE"),
+      (2L, "plain ascii stays"),
+      (3L, "café")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.normalizeText(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got(0) == ((1L, "café and naïve", 17L, 14L)))
+    assert(got(1) == ((2L, "plain ascii stays", 17L, 17L)))
+    // already-composed input is a fixed point
+    assert(got(2) == ((3L, "café", 4L, 4L)))
+  }
+
   test("redactPii scrubs all three categories and counts per category") {
     val docs = Seq(
       (1L, "write a@b.co and c.d+x@e.org then ping 10.0.0.1 or call 303-555-0199"),
