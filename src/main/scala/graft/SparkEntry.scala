@@ -493,6 +493,7 @@ object SparkEntry {
           array(element_at(col("embedding"), 1) * lit(1.05f)),
           slice(col("embedding"), 2, 63)).as("embedding"))
       Similarity.semanticDedup(base.unionByName(twins))
+        .orderBy("vec_id")
     }),
     // S10: glob-selected PERMISSIVE bulk load (multi-file union) feeding
     // the contacts shred; malformed files quarantine instead of failing.
@@ -826,6 +827,7 @@ object SparkEntry {
           substring(col("rec_key"), 22, 11)).as("rec_key"))
       Linkage.hammingLinkage(base.unionByName(twins),
         "rec_id", "rec_key", width = 32, maxDist = 2)
+        .orderBy("id_a", "id_b")
     }),
     "salted_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)

@@ -32,6 +32,15 @@ object Incremental {
     * `mergeAdditive(agg(a), agg(b)) == agg(a union b)` — the property
     * the driver row proves against the full-recompute oracle and
     * PropertySpec proves for random splits including null keys.
+    *
+    * Measure contract: measures must be NON-NULL additive values —
+    * counts, or sums over non-null columns. The absent-side zero is
+    * cast to each measure's own type, but a group whose measure is
+    * legitimately NULL (sum over an all-null column) diverges from a
+    * full recompute: SQL's sum returns NULL there, the merge returns
+    * 0. Pre-aggregate with count/sum-over-non-null (or carry a
+    * companion non-null count and post-derive the NULL) if that
+    * distinction matters.
     */
   def mergeAdditive(
       state: DataFrame,
@@ -52,8 +61,9 @@ object Incremental {
       df.withColumn(k, coalesce(col(s"_sk_$k"), col(s"_dk_$k")))
     }
     measures.foldLeft(withKeys) { (df, m) =>
+      val zero = lit(0L).cast(merged.schema(s"_s_$m").dataType)
       df.withColumn(m,
-        coalesce(col(s"_s_$m"), lit(0L)) + coalesce(col(s"_d_$m"), lit(0L)))
+        coalesce(col(s"_s_$m"), zero) + coalesce(col(s"_d_$m"), zero))
     }.select((keys ++ measures).map(col): _*)
   }
 }

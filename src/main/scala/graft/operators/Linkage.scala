@@ -59,6 +59,5 @@ object Linkage {
         call_function("hamming_bits", col("x._k"), col("y._k")).as("dist"))
       .filter(col("dist") <= maxDist)
       .dropDuplicates("id_a", "id_b")
-      .orderBy("id_a", "id_b")
   }
 }

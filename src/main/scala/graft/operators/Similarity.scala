@@ -600,9 +600,14 @@ object Similarity {
     * bucket-local (cell equi-join), never all-pairs.
     *
     * Differences from the paper worth naming: assignment is
-    * multi-probe (each vector joins its `nprobe` nearest cells, so a
-    * pair straddling one cell boundary still meets in the other's
-    * probe set), and the drop rule is "has a similar smaller-id
+    * multi-probe (each vector joins its `nprobe` nearest cells, which
+    * REDUCES — does not eliminate — boundary misses: a pair whose
+    * nprobe probe sets are disjoint, both vectors near different cell
+    * boundaries, is silently missed, the approximation SemDeDup itself
+    * accepts; recall rises with nprobe at nprobe× candidate cost, and
+    * the driver row's all-pairs oracle proves completeness for the
+    * planted fixture geometry, not in general), and the drop rule is
+    * "has a similar smaller-id
     * neighbor" rather than "far from centroid" — deterministic,
     * order-free, and exactly replayable by the all-pairs oracle.
     * Centroid fit is the shared seeded sample fit (fitKMeans);
@@ -644,7 +649,6 @@ object Similarity {
       .select("vec_id").distinct()
     e.select(col("vec_id"))
       .join(dropped, Seq("vec_id"), "left_anti")
-      .orderBy("vec_id")
   }
 
   /** The ANN scale path: MULTI-TABLE random-hyperplane LSH over the

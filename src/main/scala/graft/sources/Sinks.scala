@@ -158,13 +158,34 @@ object Sinks {
     require(targetBytes > 0, "targetBytes must be positive")
     val p = new Path(inDir)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = f.listStatus(p).filter(_.isFile)
-      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
-    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    spark.read.parquet(inDir)
-      .repartition(nOut)
-      .write.mode("overwrite").parquet(outDir)
-    nOut
+    val entries = f.listStatus(p)
+    val subDirs = entries.filter(_.isDirectory)
+      .filterNot(_.getPath.getName.startsWith("_")) // _SUCCESS-style metadata
+    if (subDirs.nonEmpty) {
+      // A writePartitioned-style tree: compacting the root flat would
+      // size the tree as 0 bytes and flatten every dt= directory into
+      // one unkeyed file set, silently destroying the layout. Recurse
+      // per partition directory instead — each leaf compacts
+      // independently and the key=value path (where the partition
+      // column lives) is reproduced under outDir.
+      require(subDirs.forall(_.getPath.getName.contains("=")),
+        s"compact: $inDir contains non-partition subdirectories " +
+          s"(${subDirs.map(_.getPath.getName).mkString(", ")}); " +
+          "expected a flat file dir or a writePartitioned key=value tree")
+      subDirs.map { d =>
+        compact(spark, d.getPath.toString,
+          s"$outDir/${d.getPath.getName}", targetBytes)
+      }.sum
+    } else {
+      val bytes = entries.filter(_.isFile)
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+      require(bytes > 0, s"compact: no parquet files under $inDir")
+      val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      spark.read.parquet(inDir)
+        .repartition(nOut)
+        .write.mode("overwrite").parquet(outDir)
+      nOut
+    }
   }
 
   /** S12: stage purge — remove everything under the stage dir. */

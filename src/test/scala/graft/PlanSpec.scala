@@ -62,6 +62,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("operators are sort-free: ORDER BY lives at the SparkEntry edge") {
+    // A presentation orderBy inside an operator saddles every
+    // downstream composition with a range exchange; the convention is
+    // sort-free operators, deterministic ORDER BY only at the row
+    // edge. Logical-plan check on purpose: SortMergeJoin adds
+    // physical SortExec nodes that are legitimate.
+    import org.apache.spark.sql.catalyst.plans.logical.Sort
+    val emb = Tables.embeddings(spark, dir)
+    Seq(
+      "semantic_dedup" -> Similarity.semanticDedup(
+        emb.select("vec_id", "embedding"), nlist = 4),
+      "hamming_linkage" -> graft.operators.Linkage.hammingLinkage(
+        Tables.customer(spark, dir).select(col("c_custkey").as("id"),
+          org.apache.spark.sql.functions.md5(col("c_name")).as("k")),
+        "id", "k", width = 32, maxDist = 2)
+    ).foreach { case (name, df) =>
+      val sorts = df.queryExecution.optimizedPlan.collect { case s: Sort => s }
+      assert(sorts.isEmpty, s"$name: operator must not sort (found: $sorts)")
+    }
+  }
+
   test("temporal join queries prune the events scan (props never read)") {
     // `props` is the widest events column; neither temporal query
     // touches it, so it must not survive into ReadSchema
@@ -154,6 +175,43 @@ class PlanSpec extends SparkSpec {
     val target = math.max(1L, bytes / 4)
     val n4 = graft.sources.Sinks.compact(spark, s"$base/frag", s"$base/out4", target)
     assert(n4 == math.ceil(bytes.toDouble / target).toInt)
+  }
+
+  test("compact on a partitioned tree recurses per partition, keeping the layout") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_part").toString
+    val ev = Tables.events(spark, dir)
+      .withColumn("dt", to_date(col("ts")))
+    graft.sources.Sinks.writePartitioned(
+      ev.repartition(8), s"$base/tree", "dt")
+    val nOut = graft.sources.Sinks.compact(
+      spark, s"$base/tree", s"$base/out", targetBytes = 1L << 30)
+    val dtDirs = new java.io.File(s"$base/out").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("dt="))
+    // one output file per partition dir, dt= layout intact
+    assert(dtDirs.nonEmpty)
+    assert(nOut == dtDirs.length)
+    dtDirs.foreach { d =>
+      assert(new java.io.File(s"$base/out/$d").listFiles()
+        .count(_.getName.endsWith(".parquet")) == 1)
+    }
+    // content survives, including the partition column from the path
+    val back = spark.read.parquet(s"$base/out")
+    assert(back.count() == ev.count())
+    assert(back.columns.contains("dt"))
+  }
+
+  test("compact fails loudly on empty and non-partition-subdir inputs") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_bad").toString
+    new java.io.File(s"$base/empty").mkdirs()
+    val e1 = intercept[IllegalArgumentException] {
+      graft.sources.Sinks.compact(spark, s"$base/empty", s"$base/o1", 1L << 20)
+    }
+    assert(e1.getMessage.contains("no parquet files"))
+    new java.io.File(s"$base/weird/not_a_partition").mkdirs()
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sources.Sinks.compact(spark, s"$base/weird", s"$base/o2", 1L << 20)
+    }
+    assert(e2.getMessage.contains("non-partition subdirectories"))
   }
 
   test("quality_filter reads only the columns it needs") {

@@ -20,8 +20,10 @@ class SimilaritySpec extends SparkSpec {
       (3L, Array(0f, 0f, 1f, 0f)),
       (11L, Array(1f, 0f, 0f, 0f)),
       (12L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    // sorted here: the operator is sort-free by convention (ORDER BY
+    // lives at the SparkEntry edge)
     val got = Similarity.semanticDedup(vecs, nlist = 2)
-      .collect().map(_.getLong(0)).toSeq
+      .collect().map(_.getLong(0)).toSeq.sorted
     assert(got == Seq(1L, 2L, 3L))
   }
 
