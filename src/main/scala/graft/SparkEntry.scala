@@ -319,6 +319,27 @@ object SparkEntry {
             .otherwise(lit(""))))
       TextOps.normalizeText(planted)
     }),
+    // Normalize → dedup composition (the consumer normalizeText's
+    // contract promises): plants twin docs that differ ONLY by case /
+    // NFC composition / whitespace — raw md5 dedup provably keeps
+    // both apart (n_raw_variants = 2 on planted groups), the
+    // canonical pass collapses them to the smaller doc_id. Unicode
+    // escapes, not literals, so source encoding can't drift: the
+    // original gets composed " Café", its twin the upper-case
+    // decomposed "  CAFÉ" (double space) — same canonical
+    // bytes, different raw bytes. Oracle replays the identical chain
+    // via lower(nfc_normalize(..)).
+    "dedup_normalized" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val base = d.withColumn("text",
+        when(col("doc_id") % 53 === 0, concat(col("text"), lit(" Caf\u00e9")))
+          .otherwise(col("text")))
+      val twins = d.filter(col("doc_id") % 53 === 0).select(
+        (col("doc_id") + 200000L).as("doc_id"),
+        concat(col("text"), lit("  CAFE\u0301")).as("text"))
+      TextOps.normalizedDedup(base.unionByName(twins))
+        .orderBy("keep_doc_id")
+    }),
     "lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "token_counts" -> ((s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))),
     // Deterministic curation sampling: hash-gated, so re-runs and
@@ -1873,6 +1894,25 @@ object SparkEntry {
         |       length(text) AS n_chars_raw,
         |       length(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))) AS n_chars_clean
         |FROM pl ORDER BY doc_id""".stripMargin,
+    // chr(233)=U+00E9 composed é on the original, chr(769)=U+0301
+    // combining acute on the upper-case twin — identical canonical
+    // bytes through lower(nfc_normalize(..)), distinct raw md5s
+    "dedup_normalized" ->
+      """WITH pl AS (
+        |  SELECT doc_id,
+        |         text || CASE WHEN doc_id % 53 = 0
+        |           THEN ' Caf' || chr(233) ELSE '' END AS text
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id,
+        |         text || '  CAFE' || chr(769) AS text
+        |  FROM documents WHERE doc_id % 53 = 0),
+        |h AS (SELECT doc_id, md5(text) AS raw_md5,
+        |        md5(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))) AS norm_md5
+        |      FROM pl)
+        |SELECT norm_md5, min(doc_id) AS keep_doc_id, count(*) AS dup_count,
+        |       count(DISTINCT raw_md5) AS n_raw_variants
+        |FROM h GROUP BY norm_md5 ORDER BY keep_doc_id""".stripMargin,
     "rollup_summary" ->
       """SELECT event_type,
         |       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt,

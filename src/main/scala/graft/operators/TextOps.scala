@@ -90,6 +90,15 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The canonical clean-text Column — ONE definition shared by
+    * normalizeText and every operator that composes it
+    * (normalizedDedup), so "normalized" always means the same bytes:
+    * Unicode NFC composition, lowercase, whitespace collapse, trim.
+    */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      lower(call_function("nfc_normalize", text)), "\\s+", " "))
+
   /** Canonical text normalization — the pass that runs BEFORE every
     * hash-based operator in the family: Unicode NFC composition (so
     * "é" and "e"+combining-acute hash identically), lowercase, and
@@ -100,13 +109,35 @@ object TextOps {
   def normalizeText(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      trim(regexp_replace(
-        lower(call_function("nfc_normalize", col("text"))),
-        "\\s+", " ")).as("clean_text"),
+      cleanText(col("text")).as("clean_text"),
       // long, matching the oracle engine's length() type
       length(col("text")).cast("long").as("n_chars_raw"))
       .withColumn("n_chars_clean", length(col("clean_text")).cast("long"))
       .orderBy("doc_id")
+
+  /** Normalize-then-dedup — the composition normalizeText's contract
+    * promises (cleanText "runs BEFORE every hash-based operator"):
+    * exact dedup keyed on the CANONICAL text, so case flips,
+    * NFC-decomposed sequences and whitespace variants collapse into
+    * one group where raw exactDedup keeps them apart. n_raw_variants
+    * is the audit contrast: the count of distinct RAW hashes inside
+    * each normalized group — > 1 exactly where normalization dropped
+    * a row the raw pass missed.
+    *
+    * Scale shape: one map-only projection of each document to two
+    * 16-byte hashes (raw + canonical; bodies never shuffle), then a
+    * single partial-aggregating groupBy on the canonical hash.
+    */
+  def normalizedDedup(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        md5(col("text").cast("binary")).as("raw_md5"),
+        md5(cleanText(col("text")).cast("binary")).as("norm_md5"))
+      .groupBy("norm_md5")
+      .agg(
+        min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("dup_count"),
+        countDistinct(col("raw_md5")).as("n_raw_variants"))
 
   /** Per-language corpus stats: doc/char/token totals + extrema.
     * Map-side-combinable aggregate on a tiny key (|langs|). */

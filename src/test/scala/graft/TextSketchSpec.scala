@@ -25,6 +25,23 @@ class TextSketchSpec extends SparkSpec {
     assert(got(2) == ((3L, "café", 4L, 4L)))
   }
 
+  test("normalizedDedup collapses case/NFC/whitespace twins that raw dedup keeps") {
+    // doc 1 composed, doc 2 its decomposed+upper+extra-ws twin, doc 3
+    // genuinely distinct; raw md5 sees three texts, canonical sees two
+    val docs = Seq(
+      (1L, "the Café menu"),
+      (2L, "the  CAFÉ MENU"),
+      (3L, "something else")
+    ).toDF("doc_id", "text")
+    val raw = TextOps.exactDedup(docs)
+    assert(raw.count() == 3, "raw dedup must NOT collapse the variants")
+    val norm = TextOps.normalizedDedup(docs)
+      .orderBy("keep_doc_id")
+      .collect().map(r => (r.getAs[Long]("keep_doc_id"),
+        r.getAs[Long]("dup_count"), r.getAs[Long]("n_raw_variants")))
+    assert(norm.toSeq == Seq((1L, 2L, 2L), (3L, 1L, 1L)))
+  }
+
   test("redactPii scrubs all three categories and counts per category") {
     val docs = Seq(
       (1L, "write a@b.co and c.d+x@e.org then ping 10.0.0.1 or call 303-555-0199"),
