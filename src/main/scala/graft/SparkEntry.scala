@@ -87,6 +87,24 @@ object SparkEntry {
   private def ivfTopKMemo(s: SparkSession, dir: String): DataFrame =
     memoDF(s, s"ivf:$dir")(Similarity.ivfTopK(Tables.embeddings(s, dir)))
 
+  /** The persisted-IVF-index row's build, ONCE per sf dir (bucketed
+    * tables' lifecycle): quantizer fit + corpus assignment written as
+    * parquet under a temp dir. The model object is kept ONLY to
+    * derive the in-JVM parity reference at identical params — the
+    * query path (ivfTopKFromIndex) reads tables and never touches it.
+    */
+  private val ivfIndexMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, org.apache.spark.ml.clustering.KMeansModel)]()
+  private def ivfIndex(
+      s: SparkSession, dir: String): (String, org.apache.spark.ml.clustering.KMeansModel) =
+    ivfIndexMemo.computeIfAbsent(dir, _ => {
+      val out = s"${tempDir("graft_ivf_index")}/idx"
+      val emb = Tables.embeddings(s, dir)
+      val model = Similarity.fitIvfModel(emb)
+      Similarity.buildIvfIndex(emb, out, model)
+      (out, model)
+    })
+
   /** The bucketed_join row's catalog tables, written ONCE per sf dir
     * (VERDICT r6 "What's wrong" #1: every evaluation re-wrote both
     * bucketed tables, so the 2.28 s bench number was mostly setup
@@ -482,6 +500,32 @@ object SparkEntry {
     "ivf_recall" -> ((s, dir) => Similarity.recallAtK(
       exactTopK(s, dir), ivfTopKMemo(s, dir),
       k = 10, floorPct = 20)),
+    // Build-once / query-many ANN: the IVF index persisted as parquet
+    // (centroids + cell-partitioned assignments) and queried back
+    // COLD — no model object, no refit; the probe list prunes the
+    // candidate scan to the probed cell directories (plan-asserted).
+    // Output is per-query parity against the in-JVM ivfTopK sharing
+    // the same quantizer: n_matches == k everywhere ⟺ the parquet
+    // round-trip + pruned read reproduces the in-memory result
+    // EXACTLY (boundedTopK's total order makes both deterministic),
+    // and the oracle states that full-parity truth — any index-path
+    // divergence drops a count and the row goes red.
+    "ivf_index_topk" -> ((s, dir) => {
+      val (idxDir, model) = ivfIndex(s, dir)
+      val fromIdx = Similarity.ivfTopKFromIndex(s, idxDir)
+      val plan = fromIdx.queryExecution.executedPlan.toString
+      require(plan.contains("PartitionFilters: [cell"),
+        s"candidate scan must prune to probed cells:\n$plan")
+      val ref = memoDF(s, s"ivfidxref:$dir")(
+        Similarity.ivfTopK(Tables.embeddings(s, dir), model = Some(model)))
+      fromIdx.as("a").join(ref.as("b"),
+        col("a.q_id") === col("b.q_id") &&
+          col("a.neighbor_id") === col("b.neighbor_id") &&
+          col("a.sim_e6") === col("b.sim_e6"), "left_semi")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_matches"))
+        .orderBy("q_id")
+    }),
     // simhash's measured guarantee (VERDICT r4 #1): the pigeonhole
     // Hamming-≤8 pair set must cover ≥80% of the exact Jaccard-≥½
     // near-dups. Floor measured by graft.tools.NearDupProbe: 96% at
@@ -1579,6 +1623,11 @@ object SparkEntry {
     "ivf_recall" ->
       """SELECT vec_id AS q_id, true AS floor_met FROM embeddings
         |WHERE vec_id < 5 ORDER BY q_id""".stripMargin,
+    // full parity: every query's k=10 index-path results must match
+    // the in-JVM path exactly (same quantizer, deterministic top-k)
+    "ivf_index_topk" ->
+      """SELECT vec_id AS q_id, CAST(10 AS BIGINT) AS n_matches
+        |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin,
     // survivors against the ALL-PAIRS similarity graph: a vector is
     // dropped iff a smaller-id vector anywhere in the corpus clears
     // the threshold — cluster-candidate completeness is the claim

@@ -540,6 +540,30 @@ object Similarity {
     new KMeans().setK(nlist).setSeed(42).setMaxIter(maxIter).fit(train)
   }
 
+  /** The IVF family's prepared frame: parallelism spread, MLlib
+    * vector view for the quantizer, precomputed squared norm. */
+  private def prepIvf(emb: DataFrame): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    spread(emb)
+      .select(col("vec_id"), col("embedding"),
+        array_to_vector(col("embedding")).as("features"),
+        sumSq(col("embedding")).as("n2"))
+  }
+
+  /** The IVF coarse quantizer fit, exposed for build-once callers:
+    * a persisted index (buildIvfIndex) and any in-memory query that
+    * must share ITS model (index-parity checks) fit here once instead
+    * of refitting per call. Deterministic (seeded sample, seeded
+    * init) — task-retry safe.
+    */
+  def fitIvfModel(
+      emb: DataFrame,
+      nlist: Int = 16,
+      trainFraction: Double = 0.1,
+      maxTrainRows: Int = 20000,
+      maxIter: Int = 5): org.apache.spark.ml.clustering.KMeansModel =
+    fitKMeans(prepIvf(emb), nlist, trainFraction, maxTrainRows, maxIter)
+
   def ivfTopK(
       emb: DataFrame,
       nQueries: Int = 5,
@@ -553,23 +577,21 @@ object Similarity {
       // init; probing only needs the assignment structure, not
       // converged centroids) while the fit cost halves — another
       // "centroid quality barely moves nprobe recall" dividend.
-      maxIter: Int = 5): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
+      maxIter: Int = 5,
+      model: Option[org.apache.spark.ml.clustering.KMeansModel] = None): DataFrame = {
     // no explicit cache: spark.ml KMeans persists its (sampled)
     // training input internally when the input is unpersisted and
     // releases it after fit, and everything downstream is one narrow
     // pass — a cache here leaked a copy per invocation (bench re-runs,
     // ivf_recall) and pinned the whole table in a long-lived session
-    val e = spread(emb)
-      .select(col("vec_id"), col("embedding"),
-        array_to_vector(col("embedding")).as("features"),
-        sumSq(col("embedding")).as("n2"))
-    val model = fitKMeans(e, nlist, trainFraction, maxTrainRows, maxIter)
-    val assigned = model.transform(e)
+    val e = prepIvf(emb)
+    val m = model.getOrElse(
+      fitKMeans(e, nlist, trainFraction, maxTrainRows, maxIter))
+    val assigned = m.transform(e)
       .select(col("vec_id"), col("embedding"), col("n2"),
         col("prediction").as("cell"))
     // queries probe their nprobe nearest cells (tiny: nQueries×nlist)
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+    val centroids = m.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray)
     }.toSeq
     val spark = emb.sparkSession
@@ -577,19 +599,97 @@ object Similarity {
     val cents = spark.createDataset(centroids).toDF("cell", "centroid")
     val q = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("n2").as("qn2"))
-    val qDist = q.crossJoin(broadcast(cents)) // nQueries × nlist rows — constant-size
+    rankTopK(assigned, probeSet(q, cents, nprobe), k)
+  }
+
+  /** Each query's nprobe nearest cells: queries × the (tiny,
+    * broadcast, constant-size) centroid table — shared by the
+    * in-memory path (ivfTopK) and the persisted-index path
+    * (ivfTopKFromIndex) so parity between them is a statement about
+    * the index round-trip, not about two probe implementations.
+    * `queries` must carry (q_id, q_emb, qn2).
+    */
+  private def probeSet(queries: DataFrame, cents: DataFrame, nprobe: Int): DataFrame =
+    queries.crossJoin(broadcast(cents)) // nQueries × nlist rows — constant-size
       .withColumn("d2", centroidD2(col("q_emb"), col("centroid")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("q_id").orderBy(col("d2"), col("cell"))))
       .filter(col("rn") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("qn2"), col("cell"))
+
+  /** The shared IVF ranking stage: candidates come from ONE equi-join
+    * on cell against the broadcast probe set, exact cosine ranks
+    * inside the join, boundedTopK caps the shuffle at k·|queries|
+    * rows.
+    */
+  private def rankTopK(candidates: DataFrame, qDist: DataFrame, k: Int): DataFrame = {
     val sim6 = round(lit(1e6) * dot(col("q_emb"), col("embedding"))
       / (sqrt(col("n2")) * sqrt(col("qn2")))).cast("long")
     boundedTopK(
-      assigned.join(broadcast(qDist), Seq("cell"))
+      candidates.join(broadcast(qDist), Seq("cell"))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("neighbor_id"), sim6.as("sim_e6")),
       k)
+  }
+
+  /** Persist the IVF index — the production ANN posture is
+    * build-once, query-many-later: the expensive parts (quantizer
+    * fit, corpus assignment) are written as plain parquet tables an
+    * INDEPENDENT session can reload without refitting. Layout:
+    * `indexDir/centroids` (cell, centroid) and `indexDir/assignments`
+    * (vec_id, embedding, n2) PARTITIONED BY cell — the partitioning
+    * is the index structure: a query that probes nprobe cells opens
+    * nprobe directories and never lists the rest.
+    */
+  def buildIvfIndex(
+      emb: DataFrame,
+      indexDir: String,
+      model: org.apache.spark.ml.clustering.KMeansModel): Unit = {
+    val e = prepIvf(emb)
+    val assigned = model.transform(e)
+      .select(col("vec_id"), col("embedding"), col("n2"),
+        col("prediction").as("cell"))
+    graft.sources.Sinks.writePartitioned(
+      assigned, s"$indexDir/assignments", "cell")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    spark.createDataset(
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq)
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
+  /** Query a persisted IVF index COLD: everything the query needs —
+    * centroids, assignments, precomputed norms — comes off the index
+    * tables; no model object, no refit. Two bounded driver-side
+    * collects, both sized by query parameters, never by data: the
+    * query-vector lookup (≤ nQueries rows, pushed-filter scan — the
+    * production shape, where query vectors arrive from the caller
+    * rather than from a corpus scan) and the probe list
+    * (≤ nQueries·nprobe cells), which is pushed as a STATIC partition
+    * filter so the candidate scan opens only the probed cell
+    * directories (PartitionFilters — the driver row asserts it).
+    */
+  def ivfTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      nQueries: Int = 5,
+      k: Int = 10,
+      nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val assigned = spark.read.parquet(s"$indexDir/assignments")
+    val qRows = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"), col("n2"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+    val q = spark.createDataset(qRows.toSeq).toDF("q_id", "q_emb", "qn2")
+    val qDist = probeSet(q, cents, nprobe)
+    val probeCells = qDist.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    rankTopK(
+      assigned.filter(col("cell").isin(probeCells.map(Int.box): _*)),
+      qDist, k)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,

@@ -27,6 +27,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq(1L, 2L, 3L))
   }
 
+  test("persisted IVF index reproduces the in-memory path exactly") {
+    val emb = Tables.embeddings(spark, dir)
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    val model = Similarity.fitIvfModel(emb, nlist = 8)
+    Similarity.buildIvfIndex(emb, s"$base/idx", model)
+    val inMem = Similarity.ivfTopK(emb, nlist = 8, model = Some(model))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fromIdx = Similarity.ivfTopKFromIndex(spark, s"$base/idx")
+    // the candidate scan must open only the probed cell directories
+    fromIdx.collect()
+    val plan = fromIdx.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"probe list must land in PartitionFilters:\n$plan")
+    val got = fromIdx.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == inMem)
+  }
+
   test("minhash candidates reproduce the exact all-pairs near-dups") {
     val docs = Tables.documents(spark, dir).cache()
     val got = Similarity.minhashNearDup(docs)
