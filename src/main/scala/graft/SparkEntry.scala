@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{CalabrioSync, Components, Incremental, Linkage, Multimodal, Queries, Sampling, Shred, Similarity, Sketches, Skew, TemporalJoins, TextOps}
-import org.apache.spark.sql.functions.{array, col, concat, count, countDistinct, date_format, dayofmonth, element_at, explode, expr, lit, lpad, md5, size, slice, substring, sum, to_date, when}
+import org.apache.spark.sql.functions.{array, col, concat, count, countDistinct, date_format, dayofmonth, element_at, explode, expr, lit, lpad, md5, round, size, slice, substring, sum, to_date, when}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -647,6 +647,27 @@ object SparkEntry {
       Multimodal.resize(Multimodal.synthesizeMedia(Tables.documents(s, dir)), factor = 4)
         .select("doc_id", "media_type", "n_bytes")
         .orderBy("doc_id")),
+    // REAL codec through the decode seam: per-doc PNGs (every pixel a
+    // closed-form function of doc_id) encoded AND decoded with
+    // javax.imageio inside the mapPartitions batch seam; the row
+    // emits the decoded width/height/bands/sample-sum (integers —
+    // byte-exact compare) and mean intensity. The oracle never sees a
+    // PNG byte: it evaluates the same pixel function over a
+    // generate_series grid, so a codec round-trip error of even one
+    // sample goes red.
+    "media_decode" -> ((s, dir) => {
+      val media = Multimodal.synthesizeImages(Tables.documents(s, dir))
+      Multimodal.extractFeatures(media, Multimodal.ImageIoDecoder)
+        .select(col("doc_id"),
+          element_at(col("features"), 1).cast("long").as("width"),
+          element_at(col("features"), 2).cast("long").as("height"),
+          element_at(col("features"), 3).cast("long").as("n_channels"),
+          element_at(col("features"), 4).cast("long").as("sum_gray"))
+        .withColumn("mean_e6",
+          round(lit(1e6) * col("sum_gray") / (col("width") * col("height")))
+            .cast("long"))
+        .orderBy("doc_id")
+    }),
     // S5-shaped transcripts staging: per-response arrays flattened to
     // utterances, empty responses dropped by the inner explode (F6).
     "shred_transcripts" -> ((s, _) =>
@@ -1789,6 +1810,19 @@ object SparkEntry {
         |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
         |       CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the same closed-form pixel grid the PNGs were rendered from:
+    // gray(x,y) = (id*31 + x*7 + y*13) % 256 over w=4+id%5, h=3+id%4.
+    // mean_e6 can't land on a .5 boundary: 1e6 = 2^6*5^6 absorbs every
+    // factor of 2 any w*h <= 48 can carry.
+    "media_decode" ->
+      """WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+        | xs AS (SELECT unnest(range(8)) AS x), ys AS (SELECT unnest(range(6)) AS y),
+        | px AS (SELECT doc_id, w, h, (doc_id * 31 + x * 7 + y * 13) % 256 AS g
+        |        FROM dims CROSS JOIN xs CROSS JOIN ys WHERE x < w AND y < h)
+        |SELECT doc_id, w AS width, h AS height, CAST(1 AS BIGINT) AS n_channels,
+        |       CAST(sum(g) AS BIGINT) AS sum_gray,
+        |       CAST(round(1e6 * sum(g) / (w * h)) AS BIGINT) AS mean_e6
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
     "backup_mirror" ->
       """WITH tgt AS (SELECT id AS contact_id,
         |                    to_json(struct_pack(id := id, startTime := startTime, assocCallId := assocCallId, agent := agent))::VARCHAR AS src

@@ -10,11 +10,14 @@ import org.apache.spark.sql.types._
   * loops (mapPartitions — the JVM analog of mapInPandas: amortized
   * setup per batch, vectorizable inner loop, no per-row UDF overhead).
   *
-  * The container ships no image/audio codecs (zero-egress), so the
-  * decoder behind MediaDecoder is a DETERMINISTIC STUB (byte
-  * histogram); the Spark-side plumbing — schema, batch shape,
-  * partition sizing, feature column layout — is real and tested.
-  * Swapping in a real codec is implementing one trait.
+  * The IMAGE path decodes real bytes: ImageIoDecoder reads PNG/BMP
+  * through javax.imageio (pure JVM, in this container) behind the
+  * same MediaDecoder seam, driver-checked against a closed-form
+  * oracle (media_decode). The audio/video paths keep a DETERMINISTIC
+  * STUB decoder (byte histogram — no pure-JVM codec exists here);
+  * their Spark-side plumbing — schema, batch shape, partition sizing,
+  * feature column layout — is real and tested, and swapping in a real
+  * codec is implementing the same one trait the image path implements.
   *
   * Scale posture: payload bytes never shuffle except where a query
   * explicitly groups them; metadata-only queries prune the binary
@@ -68,6 +71,86 @@ object Multimodal {
       var j = 0
       while (j < featureDim) { h(j) /= n; j += 1 }
       h
+    }
+  }
+
+  /** REAL image payloads, deterministically synthesized: a tiny
+    * 8-bit grayscale PNG per document, dimensions and every pixel a
+    * pure function of doc_id (w = 4 + id%5, h = 3 + id%4,
+    * gray(x,y) = (id·31 + x·7 + y·13) mod 256), encoded with
+    * javax.imageio — pure JVM, zero egress, zero native deps. The
+    * encode runs in the same mapPartitions batch seam a real
+    * ingest-side transcoder would; because the pixel function is
+    * closed-form, a SQL oracle can state the decoded stats without
+    * ever seeing a PNG byte.
+    */
+  def synthesizeImages(docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    docs
+      .filter(col("doc_id").isNotNull)
+      .select("doc_id")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val png = encodePng(id)
+          Row(id, "image", png, png.length.toLong)
+        }
+      }(enc)
+  }
+
+  private[graft] def pixelGray(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x * 7L + y * 13L) % 256).toInt
+
+  private def encodePng(id: Long): Array[Byte] = {
+    val w = (4 + id % 5).toInt
+    val h = (3 + id % 4).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, pixelGray(id, x, y)); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    // in-memory encode: ImageIO's default temp-FILE cache is the wrong
+    // tool inside an executor task
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** REAL decoder behind the same seam the stub occupies: PNG/BMP via
+    * javax.imageio (lossless formats — the 8-bit samples round-trip
+    * exactly, so decoded stats are oracle-exact). Emits
+    * [width, height, n_bands, sum_of_samples] — integer-valued
+    * doubles, exact far below 2^53, so the cross-engine compare is
+    * byte-exact with no float tolerance. The video path keeps the
+    * documented stub (no pure-JVM codec exists in this container).
+    */
+  object ImageIoDecoder extends MediaDecoder {
+    val featureDim = 4
+    def features(payload: Array[Byte]): Array[Double] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null, "undecodable image payload")
+      val raster = img.getRaster
+      val w = img.getWidth
+      val h = img.getHeight
+      val bands = raster.getNumBands
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var b = 0
+          while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      Array(w.toDouble, h.toDouble, bands.toDouble, sum.toDouble)
     }
   }
 

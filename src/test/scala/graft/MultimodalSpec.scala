@@ -99,6 +99,25 @@ class MultimodalSpec extends SparkSpec {
     assert(got(("image", 0)) === 0L)
   }
 
+  test("ImageIoDecoder round-trips the synthesized PNG pixel grid exactly") {
+    import spark.implicits._
+    val docs = Seq((0L, "a"), (7L, "b"), (123L, "c")).toDF("doc_id", "text")
+    val got = Multimodal.extractFeatures(
+      Multimodal.synthesizeImages(docs), Multimodal.ImageIoDecoder)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    Seq(0L, 7L, 123L).foreach { id =>
+      val w = (4 + id % 5).toInt
+      val h = (3 + id % 4).toInt
+      val sum = (for { y <- 0 until h; x <- 0 until w }
+        yield Multimodal.pixelGray(id, x, y)).sum
+      // PNG is lossless and 8-bit gray decodes to one band — the
+      // decoded dims and the sample sum must match the generator bit
+      // for bit
+      assert(got(id) == Seq(w.toDouble, h.toDouble, 1.0, sum.toDouble),
+        s"doc $id decoded ${got(id)}")
+    }
+  }
+
   test("mediaStats prunes the blob column from the scan") {
     val stats = Multimodal.mediaStats(media)
     assert(stats.count() === 3) // image / audio / video
