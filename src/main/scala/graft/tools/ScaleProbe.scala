@@ -1,0 +1,155 @@
+package graft.tools
+
+import graft.{Sessions, Tables}
+import graft.operators.{Linkage, Queries, Similarity}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Volume stress for the heavy candidate-generating families
+  * (VERDICT r8 #1): every 100 TB claim in the codebase was
+  * plan-audited — bucketed candidates, bounded state, pruned
+  * listings — but never RUN above sf0.1. This probe executes the six
+  * heaviest operators on a factor-N corpus synthesized from a real sf
+  * dir and records, per run: wall seconds, peak per-task shuffle
+  * read/write bytes, peak per-task input bytes, and peak per-task
+  * shuffle records. A hot bucket (shingle-prefix skew, KMeans cell
+  * imbalance, session-user blowup) lands in ONE task, so the per-task
+  * peaks are exactly the degeneration signal plan asserts can't see.
+  * Each op also runs at factor 1 in the same JVM so super-linearity
+  * is a measured ratio, not a guess.
+  *
+  * Scaling preserves the planted phenomena instead of manufacturing
+  * new ones:
+  * - documents: replica k suffixes every TOKEN with "_k" — a token
+  *   bijection maps shingle sets bijectively, so every within-replica
+  *   Jaccard/containment relation (including the corpus' real
+  *   near-dup pairs) is preserved EXACTLY, while cross-replica
+  *   similarity drops to ~0. N× docs, same phenomenon density —
+  *   not N² trivial self-pairs.
+  * - embeddings: replica k circularly shifts the vector by k
+  *   coordinates — within-replica cosines are preserved exactly
+  *   (both sides shifted), cross-replica pairs decorrelate.
+  * - events: replica k is a fresh user population (salted user_id),
+  *   same per-user session structure.
+  * - customer keys: salted ids + per-replica names (distinct md5
+  *   keys), typo twins replanted at the row's own density.
+  *
+  * Not part of the driver contract — run with
+  *   sbt "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 10"
+  * under the default capped driver (build.sbt SPARK_DRIVER_MEM, 8g).
+  */
+object ScaleProbe {
+
+  private final class PeakListener extends SparkListener {
+    @volatile var peakShufRead = 0L
+    @volatile var peakShufWrite = 0L
+    @volatile var peakInput = 0L
+    @volatile var peakShufRecords = 0L
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        peakShufRead = math.max(peakShufRead, m.shuffleReadMetrics.totalBytesRead)
+        peakShufWrite = math.max(peakShufWrite, m.shuffleWriteMetrics.bytesWritten)
+        peakInput = math.max(peakInput, m.inputMetrics.bytesRead)
+        peakShufRecords = math.max(peakShufRecords, m.shuffleReadMetrics.recordsRead)
+      }
+    }
+    def reset(): Unit = { peakShufRead = 0; peakShufWrite = 0; peakInput = 0; peakShufRecords = 0 }
+  }
+
+  /** Replica index column 0..factor-1, map-only (explode, no join). */
+  private def replicate(df: DataFrame, factor: Int): DataFrame =
+    df.withColumn("k", explode(sequence(lit(0), lit(factor - 1))))
+
+  private def scaleDocs(docs: DataFrame, factor: Int): DataFrame =
+    replicate(docs.select("doc_id", "text"), factor)
+      .select(
+        (col("doc_id") + col("k") * 10000000L).as("doc_id"),
+        when(col("k") === 0, col("text"))
+          .otherwise(concat_ws(" ",
+            transform(split(col("text"), "\\s+"),
+              t => concat(t, lit("_"), col("k"))))).as("text"))
+
+  private def scaleEmb(emb: DataFrame, factor: Int): DataFrame =
+    replicate(emb.select("vec_id", "embedding"), factor)
+      .select(
+        (col("vec_id") + col("k") * 10000000L).as("vec_id"),
+        expr("concat(slice(embedding, k + 1, size(embedding) - k), " +
+          "slice(embedding, 1, k))").as("embedding"))
+
+  private def scaleEvents(spark: SparkSession, sfDir: String, outDir: String, factor: Int): Unit =
+    replicate(spark.read.parquet(s"$sfDir/events.parquet"), factor)
+      .select(
+        (col("event_id") + col("k") * 1000000000L).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("k") * 10000000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+  /** The record_linkage row's planted corpus at N×: md5-derived keys
+    * over salted names, typo twins at the same ~1/97 density. */
+  private def linkageRecords(cust: DataFrame, factor: Int): DataFrame = {
+    val base = replicate(cust.select("c_custkey", "c_name"), factor)
+      .select(
+        (col("c_custkey").cast("long") + col("k") * 10000000L).as("rec_id"),
+        md5(concat(col("c_name"), lit("_"), col("k"))).as("rec_key"))
+    val twins = base.filter(col("rec_id") % 97 === 0).select(
+      (col("rec_id") + 1000000000L).as("rec_id"),
+      concat(substring(col("rec_key"), 1, 4), lit("z"),
+        substring(col("rec_key"), 6, 15), lit("z"),
+        substring(col("rec_key"), 22, 11)).as("rec_key"))
+    base.unionByName(twins)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    Sessions.quietBoundedWindowWarning()
+    val listener = new PeakListener
+    spark.sparkContext.addSparkListener(listener)
+
+    val scaledBase = java.nio.file.Files.createTempDirectory("graft_scale").toString
+    scaleEvents(spark, sfDir, s"$scaledBase/f1", 1)
+    scaleEvents(spark, sfDir, s"$scaledBase/f$factor", factor)
+
+    def ops(f: Int): Seq[(String, () => DataFrame)] = {
+      val docs = scaleDocs(Tables.documents(spark, sfDir), f)
+      val emb = scaleEmb(Tables.embeddings(spark, sfDir), f)
+      Seq(
+        "minhash_neardup" -> (() => Similarity.minhashNearDup(docs)),
+        "jaccard_neardup" -> (() => Similarity.jaccardNearDup(docs)),
+        "containment_neardup" -> (() => Similarity.containmentNearDup(docs)),
+        "semantic_dedup" -> (() => Similarity.semanticDedup(emb)),
+        "record_linkage" -> (() => Linkage.hammingLinkage(
+          linkageRecords(Tables.customer(spark, sfDir), f),
+          "rec_id", "rec_key", width = 32, maxDist = 2)),
+        "sessionize" -> (() => Queries.sessionize(spark, s"$scaledBase/f$f")))
+    }
+
+    val walls = scala.collection.mutable.Map.empty[(String, Int), Double]
+    for (f <- Seq(1, factor); (name, build) <- ops(f)) {
+      listener.reset()
+      val t0 = System.nanoTime()
+      val rows = build().count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      // listener events post async and the bus drain API is
+      // private[spark]; a short settle sleep is enough for a tool
+      Thread.sleep(1000)
+      walls((name, f)) = secs
+      println(f"SCALE op=$name factor=$f rows=$rows wall=$secs%.2f " +
+        s"peakTaskShufReadB=${listener.peakShufRead} " +
+        s"peakTaskShufWriteB=${listener.peakShufWrite} " +
+        s"peakTaskInputB=${listener.peakInput} " +
+        s"peakTaskShufRecords=${listener.peakShufRecords}")
+    }
+    for ((name, _) <- ops(1)) {
+      val r = walls((name, factor)) / math.max(walls((name, 1)), 1e-9)
+      println(f"SCALE ratio op=$name wall_x=$r%.2f vs data_x=$factor " +
+        f"(sublinear-ok=${r <= factor * 1.2}%s)")
+    }
+    spark.stop()
+  }
+}
