@@ -876,6 +876,24 @@ object SparkEntry {
         .orderBy(col("gid"),
           expr("coalesce(event_type, '')"), expr("coalesce(dt, '')"))
     }),
+    // CUBE completes the grouping-sets family ROLLUP started: all
+    // FOUR grouping sets — detail, per-type, per-day (the set ROLLUP
+    // lacks), grand total — in ONE shuffle (Expand multiplies rows
+    // map-side; no second aggregation pass), grouping_id
+    // disambiguating real NULL keys from subtotal placeholders.
+    "cube_summary" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("dt", to_date(col("ts")))
+        .filter(dayofmonth(col("dt")) <= 7)
+      ev.cube(col("event_type"), col("dt"))
+        .agg(expr("grouping_id(event_type, dt)").cast("int").as("gid"),
+          count(lit(1)).as("n_events"),
+          count(when(col("value") >= 50, 1)).as("n_high"))
+        .select(col("event_type"),
+          date_format(col("dt"), "yyyy-MM-dd").as("dt"),
+          col("gid"), col("n_events"), col("n_high"))
+        .orderBy(col("gid"),
+          expr("coalesce(event_type, '')"), expr("coalesce(dt, '')"))
+    }),
     // Event-time RANGE window (W3's frame family on TIME, not rows):
     // per-user trailing-7-day activity peak. ROWS frames count
     // neighbors; only a RANGE frame over the event-time axis answers
@@ -2005,6 +2023,16 @@ object SparkEntry {
         |FROM events
         |WHERE day(CAST(ts AS DATE)) <= 7
         |GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
+        |ORDER BY gid, coalesce(event_type, ''), coalesce(dt, '')""".stripMargin,
+    "cube_summary" ->
+      """SELECT event_type,
+        |       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt,
+        |       CAST(GROUPING(event_type, CAST(ts AS DATE)) AS INT) AS gid,
+        |       count(*) AS n_events,
+        |       count(*) FILTER (WHERE value >= 50) AS n_high
+        |FROM events
+        |WHERE day(CAST(ts AS DATE)) <= 7
+        |GROUP BY CUBE(event_type, CAST(ts AS DATE))
         |ORDER BY gid, coalesce(event_type, ''), coalesce(dt, '')""".stripMargin,
     "trailing_window" ->
       """WITH t AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
