@@ -759,6 +759,14 @@ object SparkEntry {
     // window over exploded segments.
     "segment_dedup" -> ((s, dir) =>
       TextOps.segmentDedup(Tables.documents(s, dir), segTokens = 10)),
+    // Sliding-window exact span detection (Lee et al. 2021): the
+    // corpus' real near-dup pairs share 10-token spans at arbitrary
+    // offsets (25 pairs at sf0.01, measured 2..84 shared spans), so
+    // no planting — the oracle replays the identical sliding
+    // hash + boilerplate cap + pair count in DuckDB.
+    "duplicate_spans" -> ((s, dir) =>
+      TextOps.duplicateSpans(Tables.documents(s, dir))
+        .orderBy("doc_a", "doc_b")),
     // Skew-salted join ≡ plain join: events fan onto a 5-value
     // event_type key (heavily skewed by construction), the dim side is
     // tiny, and the salted (key, _salt) equi-join must reproduce the
@@ -2075,6 +2083,19 @@ object SparkEntry {
         |SELECT n.doc_id, coalesce(k.clean_text, '') AS clean_text, n.n_segments,
         |       n.n_segments - coalesce(k.n_kept, 0) AS n_dropped
         |FROM n LEFT JOIN kept k USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // identical sliding hash: one window per token offset, ubiquitous
+    // spans (>1000 occurrences) dropped before the pair join
+    "duplicate_spans" ->
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        | t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 10),
+        | w AS (SELECT doc_id, md5(array_to_string(toks[(j+1):(j+10)], ' ')) AS h
+        |       FROM t2, unnest(range(len(toks) - 10 + 1)) AS u(j)),
+        | ok AS (SELECT h FROM w GROUP BY h HAVING count(*) <= 1000),
+        | wf AS (SELECT w.doc_id, w.h FROM w JOIN ok USING (h))
+        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |       count(DISTINCT x.h) AS n_shared_spans
+        |FROM wf x JOIN wf y ON x.h = y.h AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the PLAIN IN-subquery — the bloom prefilter must be invisible
     // in the result (false positives removed by the exact join)
     "bloom_semi_join" ->

@@ -115,6 +115,46 @@ object TextOps {
       .withColumn("n_chars_clean", length(col("clean_text")).cast("long"))
       .orderBy("doc_id")
 
+  /** Exact duplicated-span detection at ANY offset — the dedup mode
+    * fixed-window segmentDedup cannot see (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499, motivates span-granular exact dedup): a
+    * k-token span shared between two documents at offsets that
+    * straddle the stride boundary aligns with no fixed window, so
+    * stride-k hashing misses it; SLIDING windows at every token
+    * offset are offset-invariant by construction. Emits
+    * (doc_a, doc_b, n_shared_spans) per document pair sharing at
+    * least one exact k-token span.
+    *
+    * Scale shape: one md5 per token position — only (hash, doc_id)
+    * rows shuffle, never text; pairs come from an equi-join on the
+    * span hash. Boilerplate guard: a span occurring in >spanCap docs
+    * (license headers, navigation chrome) would contribute O(cap²)
+    * pairs from one bucket, so ubiquitous spans are dropped BEFORE
+    * the self-join (the same hot-bucket discipline as
+    * minhashNearDup's bucketCap) — at the default cap this drops
+    * only degenerate boilerplate, and the cap is replicated in the
+    * oracle so the contract stays exact.
+    */
+  def duplicateSpans(docs: DataFrame, k: Int = 10, spanCap: Int = 1000): DataFrame = {
+    require(k > 0, "k must be positive")
+    val wins = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(toks) - $k), " +
+          s"j -> md5(cast(array_join(slice(toks, j + 1, $k), ' ') as binary)))")).as("h"))
+    val rare = wins.groupBy("h")
+      .agg(count(lit(1)).as("_n"))
+      .where(col("_n") <= spanCap)
+      .select("h")
+    val gated = wins.join(rare, Seq("h"), "left_semi")
+    gated.as("x").join(gated.as("y"), Seq("h"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(countDistinct(col("h")).as("n_shared_spans"))
+  }
+
   /** Normalize-then-dedup — the composition normalizeText's contract
     * promises (cleanText "runs BEFORE every hash-based operator"):
     * exact dedup keyed on the CANONICAL text, so case flips,

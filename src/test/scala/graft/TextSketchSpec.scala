@@ -25,6 +25,36 @@ class TextSketchSpec extends SparkSpec {
     assert(got(2) == ((3L, "café", 4L, 4L)))
   }
 
+  test("duplicateSpans is offset-invariant where fixed-stride segmentDedup is blind") {
+    // docs share an exact 10-token span, but doc 2's copy starts at
+    // token 5 — it straddles every stride-10 boundary, so segment
+    // hashes never align; the sliding window must still find it
+    val span = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$span tail1 tail2"),
+      (2L, s"p1 p2 p3 p4 p5 $span"),
+      (3L, "completely unrelated words here make no span at all x y")
+    ).toDF("doc_id", "text")
+    // fixed windows: no duplicated segment (hashes don't align)
+    val seg = TextOps.segmentDedup(docs, segTokens = 10)
+      .select("doc_id", "n_dropped").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(seg.values.forall(_ == 0L), s"stride windows must miss the span: $seg")
+    // sliding windows: exactly the (1,2) pair, exactly one shared span
+    val got = TextOps.duplicateSpans(docs, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 1L)), s"got $got")
+  }
+
+  test("duplicateSpans drops spans above the boilerplate cap before pairing") {
+    // the same span in 4 docs with cap 3: every window of that span
+    // occurs 4 times -> gated out -> no pairs; cap 10 finds all 6 pairs
+    val span = (1 to 12).map(i => s"b$i").mkString(" ")
+    val docs = (1L to 4L).map(id => (id, s"head$id $span")).toDF("doc_id", "text")
+    assert(TextOps.duplicateSpans(docs, k = 10, spanCap = 3).count() == 0)
+    assert(TextOps.duplicateSpans(docs, k = 10, spanCap = 10).count() == 6)
+  }
+
   test("normalizedDedup collapses case/NFC/whitespace twins that raw dedup keeps") {
     // doc 1 composed, doc 2 its decomposed+upper+extra-ws twin, doc 3
     // genuinely distinct; raw md5 sees three texts, canonical sees two
