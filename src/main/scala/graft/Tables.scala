@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   *
@@ -20,16 +21,32 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects by default; Sessions.local sets the
-    * nanos-as-long legacy flag at session build. Read nanos as long and
-    * normalize to a microsecond TimestampType column. Integer `DIV`
-    * keeps the full 63-bit value — a double division would lose
-    * precision past 2^53.
+  /** events.parquet's `ts` physical type has varied across driver
+    * testdata generations: INT64 TIMESTAMP(NANOS) (read as a nanos
+    * long via the legacy flag Sessions.local sets) and plain
+    * TIMESTAMP(MICROS), which Spark reads as TIMESTAMP_NTZ when the
+    * file isn't UTC-adjusted. Normalize every variant to a
+    * microsecond TimestampType column so downstream `unix_micros`
+    * arithmetic is uniform. The session runs in UTC
+    * (Sessions.scala:31), so the NTZ cast is value-identical. Integer
+    * `DIV` keeps the full 63-bit nanos value — a double division
+    * would lose precision past 2^53.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame =
-    load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    normalizeEventTs(load(spark, sfDir, "events"))
+
+  /** Type-adaptive `ts` normalization — shared by the batch loader and
+    * the file-stream readers, which hit the same parquet with their
+    * own schema plumbing.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case _: LongType => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _: TimestampType => df
+      case _: TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other — expected nanos long or timestamp")
+    }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 }
