@@ -622,6 +622,48 @@ object SparkEntry {
         s"executed plan must show the pushed server-side params:\n$planStr")
       Shred.contacts(raw).orderBy("contact_id")
     }),
+    // DSv2 aggregate pushdown (VERDICT r8 #8): COUNT(*) over the
+    // windowed source pushes to the fetcher's server-side count
+    // endpoint — per-window partial counts that Spark SUMs — so no
+    // row body is fetched, parsed, or shipped. Asserted two ways:
+    // the executed plan carries the counting scan's `agg=count`
+    // description (cluster-valid), and the fixture's recorded calls
+    // are ALL count-mode (shared-JVM recording) — a single body
+    // fetch would fail the row. Composes with filter pushdown: the
+    // evalState equality is consumed server-side, leaving no
+    // residual, which is exactly the precondition Spark checks
+    // before attempting aggregate pushdown.
+    "dsv2_window_counts" -> ((s, _) => {
+      graft.sources.dsv2.FixtureWindowFetcher.register()
+      graft.sources.dsv2.FixtureWindowFetcher.calls.clear()
+      val counted = s.read.format("graft-window")
+        .option("begin", "2024-01-01")
+        .option("end", "2024-01-17")
+        .option("breakDays", "2")
+        .option("fetcher", graft.sources.dsv2.FixtureWindowFetcher.Name)
+        .load()
+        .filter(col("evalState") === "scored")
+        .agg(count(lit(1)).as("n_contacts"))
+      counted.write.format("noop").mode("overwrite").save()
+      val fetched = {
+        val it = graft.sources.dsv2.FixtureWindowFetcher.calls.iterator()
+        val b = Seq.newBuilder[(graft.sources.Ingest.DateWindow, Map[String, String])]
+        while (it.hasNext) b += it.next()
+        b.result()
+      }
+      require(fetched.nonEmpty && fetched.forall(_._2.get("_mode").contains("count")),
+        s"pushed COUNT(*) must hit only the count endpoint (no body fetches), got: $fetched")
+      require(fetched.map(_._1.start).sorted == Seq(
+        "2024-01-01", "2024-01-03", "2024-01-05", "2024-01-07",
+        "2024-01-09", "2024-01-11", "2024-01-13", "2024-01-15"),
+        s"count requests must cover exactly the 8 planned windows, got: $fetched")
+      require(fetched.forall(_._2.get("evalState").contains("scored")),
+        s"count requests must carry the pushed server-side evalState, got: $fetched")
+      val planStr = counted.queryExecution.executedPlan.toString
+      require(planStr.contains("agg=count"),
+        s"executed plan must show the count-pushed scan:\n$planStr")
+      counted
+    }),
     // Multimodal: metadata-only rollup over synthesized media rows —
     // must never read the blob column (plan asserted in MultimodalSpec).
     "media_stats" -> ((s, dir) =>
@@ -1206,9 +1248,8 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       // the file-stream source wants a DIRECTORY; events.parquet is a
       // single file, so stream the sf dir glob-filtered to it
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      val stream = Tables.normalizeEventTs(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
       val counts = graft.streaming.IncrementalSync
         .windowedEventCounts(stream, "10 minutes", "1 day")
       val q = counts.writeStream
@@ -1799,6 +1840,13 @@ object SparkEntry {
         |       'https://calabriocloud.com/index.html#/recordings/' || id || '/ccr' AS contact_url,
         |       assocCallId AS cjp_session_id
         |FROM c ORDER BY contact_id""".stripMargin,
+    // regenerates the count the fixture's count endpoint reports:
+    // 8 two-day windows over [2024-01-01, 2024-01-17), 2 synthesized
+    // contacts per window (FixtureWindowFetcher.count returns 2)
+    "dsv2_window_counts" ->
+      """WITH d AS (SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-15', INTERVAL 2 DAY)) AS day)
+        |SELECT count(*) AS n_contacts
+        |FROM d CROSS JOIN (VALUES (0), (1)) v(i)""".stripMargin,
     "media_stats" ->
       """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
         |       count(*) AS n_items, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes

@@ -41,6 +41,16 @@ object FixtureWindowFetcher {
         s"""[{"id": $id, "startTime": $ms, "assocCallId": "C-${w.start}"},
            | {"id": ${id + 1}, "startTime": ${ms + 3600000}, "assocCallId": null}]""".stripMargin)
     }
+
+    /** The vendor count endpoint: answers without shipping bodies.
+      * Records under a `_mode -> count` marker so callers can assert a
+      * pushed COUNT(*) never triggered a body fetch. Every synthesized
+      * window holds exactly 2 contacts (see fetch above).
+      */
+    override def count(w: DateWindow, params: Map[String, String]): Option[Long] = {
+      calls.add((w, params + ("_mode" -> "count")))
+      Some(2L)
+    }
   }
 
   /** Idempotent registration under [[Name]] (the registry is a

@@ -34,6 +34,17 @@ object Dsv2SourceSpec {
     }
   }
 
+  /** RecordingFetcher plus the vendor count endpoint: COUNT(*) rows
+    * are answerable without shipping bodies. Records count calls under
+    * a `_mode -> count` marker, like the SparkEntry fixture.
+    */
+  class CountingFetcher extends RecordingFetcher {
+    override def count(w: DateWindow, params: Map[String, String]): Option[Long] = {
+      calls.add((w, params + ("_mode" -> "count")))
+      Some(2L)
+    }
+  }
+
   class RecordingFetcher extends WindowedRestSource.ParamWindowFetcher {
     def fetch(w: DateWindow, params: Map[String, String]): Iterator[String] = {
       calls.add((w, params))
@@ -142,6 +153,78 @@ class Dsv2SourceSpec extends SparkSpec {
     val fetched = Dsv2SourceSpec.calls.iterator().asScala.toSeq
     assert(fetched.nonEmpty)
     assert(fetched.forall(_._2("limit") === "3"))
+  }
+
+  test("COUNT(*) pushes to the source's count endpoint — no body fetches") {
+    Dsv2SourceSpec.calls.clear()
+    WindowedRestSource.registerFetcher("spec-counting", new Dsv2SourceSpec.CountingFetcher)
+    val df = spark.read.format("graft-window")
+      .option("begin", "2024-01-01")
+      .option("end", "2024-01-17")
+      .option("breakDays", "2")
+      .option("fetcher", "spec-counting")
+      .load()
+      .agg(count(lit(1)).as("n"))
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(16L))
+    // every recorded call is a count request; a single body fetch
+    // (no _mode marker) would fail this
+    val fetched = Dsv2SourceSpec.calls.iterator().asScala.toSeq
+    assert(fetched.size === 8)
+    assert(fetched.forall(_._2.get("_mode").contains("count")))
+    // and the plan carries the counting scan's marker (cluster-valid)
+    assert(df.queryExecution.executedPlan.toString.contains("agg=count"))
+  }
+
+  test("COUNT(*) over a fetcher without a count endpoint falls back to fetch-and-count") {
+    Dsv2SourceSpec.calls.clear()
+    // spec-fixture's RecordingFetcher leaves count = None: the count
+    // reader fetches documents and counts array elements without
+    // converting any field
+    val df = read().agg(count(lit(1)).as("n"))
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(16L))
+    val fetched = Dsv2SourceSpec.calls.iterator().asScala.toSeq
+    assert(fetched.size === 8)
+    assert(fetched.forall(f => !f._2.contains("_mode")))
+  }
+
+  test("COUNT(*) with a residual filter takes the row-fetch path (stays correct)") {
+    Dsv2SourceSpec.calls.clear()
+    WindowedRestSource.registerFetcher("spec-counting", new Dsv2SourceSpec.CountingFetcher)
+    val cutoffMs = LocalDate.parse("2024-01-09")
+      .atStartOfDay(ZoneOffset.UTC).toInstant.toEpochMilli
+    // the startTime bound stays residual by design, so Spark must NOT
+    // attempt aggregate pushdown — rows are fetched and counted
+    // post-filter (4 surviving windows x 2 docs)
+    val df = spark.read.format("graft-window")
+      .option("begin", "2024-01-01")
+      .option("end", "2024-01-17")
+      .option("breakDays", "2")
+      .option("fetcher", "spec-counting")
+      .load()
+      .filter(col("startTime") >= cutoffMs)
+      .agg(count(lit(1)).as("n"))
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(8L))
+    val fetched = Dsv2SourceSpec.calls.iterator().asScala.toSeq
+    assert(fetched.nonEmpty)
+    assert(fetched.forall(f => !f._2.contains("_mode")),
+      s"residual-filter count must fetch rows, not push the aggregate: $fetched")
+  }
+
+  test("grouped or non-star aggregates are refused and computed from fetched rows") {
+    Dsv2SourceSpec.calls.clear()
+    WindowedRestSource.registerFetcher("spec-counting", new Dsv2SourceSpec.CountingFetcher)
+    val df = spark.read.format("graft-window")
+      .option("begin", "2024-01-01")
+      .option("end", "2024-01-05")
+      .option("breakDays", "2")
+      .option("fetcher", "spec-counting")
+      .load()
+      .groupBy(col("assocCallId").isNotNull.as("has_call"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("s"))
+    assert(df.collect().length === 2)
+    val fetched = Dsv2SourceSpec.calls.iterator().asScala.toSeq
+    assert(fetched.nonEmpty)
+    assert(fetched.forall(f => !f._2.contains("_mode")))
   }
 
   test("nested schema pruning resolves fields by name, not position") {
