@@ -290,7 +290,14 @@ object SparkEntry {
     "rebuild_scores" -> ((s, _) => CalabrioSync.rebuiltScores(s)),
     "backup_mirror" -> ((s, _) => CalabrioSync.backupMirror(s)),
     // LLM training-data pipeline: text analysis + dedup over documents.
-    "dedup_exact" -> ((s, dir) => TextOps.exactDedup(Tables.documents(s, dir))),
+    "dedup_exact" -> ((s, dir) =>
+      TextOps.exactDedup(Tables.documents(s, dir)).orderBy("keep_doc_id")),
+    // The composed corpus-preparation pipeline (normalize → gate →
+    // dedup → audit metrics) as one plan — each stage already has its
+    // own oracle row; this row oracle-checks the COMPOSITION, with the
+    // DuckDB side replaying the identical four-stage chain.
+    "corpus_pipeline" -> ((s, dir) =>
+      TextOps.corpusPipeline(Tables.documents(s, dir)).orderBy("keep_doc_id")),
     "text_stats" -> ((s, dir) => TextOps.textStats(Tables.documents(s, dir))),
     "doc_tokens" -> ((s, dir) => TextOps.docTokens(Tables.documents(s, dir))),
     "quality_filter" -> ((s, dir) => TextOps.qualityFilter(Tables.documents(s, dir))),
@@ -2070,6 +2077,30 @@ object SparkEntry {
         |SELECT norm_md5, min(doc_id) AS keep_doc_id, count(*) AS dup_count,
         |       count(DISTINCT raw_md5) AS n_raw_variants
         |FROM h GROUP BY norm_md5 ORDER BY keep_doc_id""".stripMargin,
+    // the full four-stage chain replayed: normalize (identical
+    // nfc/lower/ws-collapse), gate (identical token/punct/stopword
+    // math on the CANONICAL text), dedup on the canonical md5,
+    // survivor metrics joined back
+    "corpus_pipeline" ->
+      """WITH n AS (SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS text
+        |           FROM documents),
+        | t AS (SELECT doc_id, text, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks,
+        |              length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
+        |              length(text) AS n_chars
+        |       FROM n),
+        | p AS (SELECT doc_id, text, len(toks) AS n_tokens,
+        |              len(list_filter(toks, x -> list_contains(['the','a','an','of','and','or','is','in','to','for'], x))) AS n_stop,
+        |              n_punct, n_chars FROM t),
+        | m AS (SELECT doc_id, text, n_tokens,
+        |              CAST((n_punct * 1000) // greatest(n_chars, 1) AS BIGINT) AS punct_per_mille,
+        |              CAST((n_stop * 1000) // greatest(n_tokens, 1) AS BIGINT) AS stop_per_mille
+        |       FROM p),
+        | g AS (SELECT * FROM m WHERE n_tokens >= 5 AND punct_per_mille <= 150 AND stop_per_mille >= 10),
+        | d AS (SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id, count(*) AS dup_count
+        |       FROM g GROUP BY 1)
+        |SELECT d.keep_doc_id, d.text_md5, d.dup_count, g.n_tokens, g.punct_per_mille, g.stop_per_mille
+        |FROM d JOIN g ON g.doc_id = d.keep_doc_id
+        |ORDER BY keep_doc_id""".stripMargin,
     "rollup_summary" ->
       """SELECT event_type,
         |       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt,

@@ -36,7 +36,40 @@ object TextOps {
       .groupBy(md5(col("text").cast("binary")).as("text_md5"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dup_count"))
       .select("text_md5", "keep_doc_id", "dup_count")
-      .orderBy("keep_doc_id")
+
+  /** The composed corpus-preparation chain a training-data run
+    * executes — normalize → quality-gate → dedup → per-survivor
+    * metrics — as ONE declarative plan (the CCNet/RefinedWeb pipeline
+    * shape):
+    *
+    *  1. canonical normalization (cleanText: NFC composition, case
+    *     fold, whitespace collapse) so variant encodings gate and
+    *     hash identically;
+    *  2. quality gate on the CANONICAL text (token floor, punct
+    *     ceiling, stopword floor);
+    *  3. exact dedup on the canonical hash, min-doc_id survivor;
+    *  4. survivors carry their gate metrics out for audit.
+    *
+    * Every stage is an independently oracle-checked operator
+    * (normalize_text, quality_filter, dedup_exact / dedup_normalized
+    * rows); the composition is the point: Catalyst fuses the map-only
+    * normalize+gate stages into one codegen'd pass over the corpus,
+    * so the chain costs ONE text scan, a 16-byte-hash groupBy (bodies
+    * never shuffle — md5 projects map-side), and the survivor
+    * equi-join back. At 100 TB that is the minimum movement the
+    * semantics allow: no stage materializes an intermediate corpus.
+    */
+  def corpusPipeline(docs: DataFrame): DataFrame = {
+    val gated = qualityGate(
+      docs.select(col("doc_id"), cleanText(col("text")).as("text")))
+    val surv = exactDedup(gated)
+    surv.join(
+        gated.select(col("doc_id").as("keep_doc_id"),
+          col("n_tokens"), col("punct_per_mille"), col("stop_per_mille")),
+        Seq("keep_doc_id"))
+      .select("keep_doc_id", "text_md5", "dup_count",
+        "n_tokens", "punct_per_mille", "stop_per_mille")
+  }
 
   /** Segment-level exact dedup — the span-granular sibling of
     * exactDedup (the line/paragraph dedup of CCNet/RefinedWeb-style
