@@ -81,7 +81,7 @@ object Similarity {
     * estimates as narrow — repartitioning those is at worst one extra
     * shuffle of an already-shuffled frame, never a double execution.
     */
-  private def spread(df: DataFrame): DataFrame = {
+  private[operators] def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     // ALL file-scan leaves, not just a single bare scan (ADVICE r6):
     // a joined/unioned frame over wide scans estimates by the summed

@@ -171,7 +171,12 @@ object TextOps {
     */
   def duplicateSpans(docs: DataFrame, k: Int = 10, spanCap: Int = 1000): DataFrame = {
     require(k > 0, "k must be positive")
-    val wins = docs
+    // spread before the per-position explode: a narrow input keeps the
+    // whole span-hash fan-out (|tokens| hashes per doc) in the scan's
+    // few tasks — ScaleProbe measured a 220 MB single-task shuffle
+    // write at 30× volume without it. Same wide-scan no-op rationale
+    // as the shingle family (Similarity.spread).
+    val wins = Similarity.spread(docs)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .where(size(col("toks")) >= k)
       .select(col("doc_id"), explode(expr(

@@ -122,6 +122,10 @@ object ScaleProbe {
         "minhash_neardup" -> (() => Similarity.minhashNearDup(docs)),
         "jaccard_neardup" -> (() => Similarity.jaccardNearDup(docs)),
         "containment_neardup" -> (() => Similarity.containmentNearDup(docs)),
+        // the token bijection maps k-token spans bijectively too, so
+        // within-replica shared spans carry over exactly — same
+        // preservation argument as the shingle families
+        "duplicate_spans" -> (() => graft.operators.TextOps.duplicateSpans(docs)),
         "semantic_dedup" -> (() => Similarity.semanticDedup(emb)),
         "record_linkage" -> (() => Linkage.hammingLinkage(
           linkageRecords(Tables.customer(spark, sfDir), f),
