@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BloomMightContain, CountTokensIn, CountTokensInMulti, FloatDot, FloatNorm2, HammingBits, HyperplaneSig, MinHashBandKeys, MinHashSignature, NfcNormalize, PiiScrub, SimHashBits, TokenFingerprint, TokenProfile, WordShingles}
+import graft.expressions.{BloomMightContain, CmEstimate, CountTokensIn, CountTokensInMulti, FloatDot, FloatNorm2, HammingBits, HyperplaneSig, MinHashBandKeys, MinHashSignature, NfcNormalize, PiiScrub, SimHashBits, TokenFingerprint, TokenProfile, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -110,6 +110,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(v) => FloatNorm2(v)
         case _ => throw new IllegalArgumentException("usage: float_norm2(vec)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("cm_estimate"),
+      new ExpressionInfo(classOf[CmEstimate].getName, "cm_estimate"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s, t, d, w) =>
+          CmEstimate(s, t, intLit(d, "depth"), intLit(w, "width"))
+        case _ => throw new IllegalArgumentException(
+          "usage: cm_estimate(sketch, term, depth, width)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("hamming_bits"),

@@ -461,6 +461,15 @@ object SparkEntry {
     // regression flips floor_met and the row goes red.
     "hll_distinct_check" -> ((s, dir) =>
       Sketches.hllDistinctCheck(Tables.events(s, dir))),
+    // Count–Min frequency estimates over the full word-term stream:
+    // est ≥ true asserted per row (the deterministic CM half) plus a
+    // measured overestimate ceiling (SketchProbe: max over 0‰ at
+    // sf0.01 AND sf0.1 at depth 5 × width 1024 — the top-k terms sit
+    // far above collision noise; 10‰ of N is the pinned headroom).
+    "count_min_check" -> ((s, dir) =>
+      Sketches.countMinCheck(Tables.documents(s, dir)
+        .select(explode(expr(
+          "filter(split(lower(text), '[^a-z]+'), t -> length(t) >= 2)")).as("term")))),
     "quantile_check" -> ((s, dir) =>
       Sketches.quantileCheck(Tables.documents(s, dir), "n_chars")),
     // Similarity / near-dup family over embeddings + documents.
@@ -1542,6 +1551,13 @@ object SparkEntry {
     // measured sketch-vs-exact error and flips to false on regression.
     "hll_distinct_check" ->
       "SELECT event_type, true AS floor_met FROM events GROUP BY event_type ORDER BY event_type",
+    // exact top-10 word terms; floor_met literal-true — the Spark side
+    // measures est ≥ true and the overestimate ceiling, flips on bug
+    "count_min_check" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term FROM documents),
+        | f AS (SELECT term FROM toks WHERE length(term) >= 2)
+        |SELECT term, count(*) AS n, true AS floor_met
+        |FROM f GROUP BY term ORDER BY n DESC, term LIMIT 10""".stripMargin,
     "quantile_check" ->
       """SELECT * FROM (VALUES (500, true), (900, true), (990, true)) AS t(q_pm, floor_met) ORDER BY q_pm""".stripMargin,
     "doc_tokens" ->

@@ -361,6 +361,46 @@ object HashOps {
     acc
   }
 
+  /** Count–Min row index for a term under hash row `row`: a seeded
+    * FNV-style byte fold finalized with the splitmix64 mixer — one
+    * deterministic independent-ish hash per sketch row, self-contained
+    * so the Aggregator's update path and the cm_estimate expression's
+    * query path CANNOT drift (same method, both sides).
+    */
+  def cmIndex(term: UTF8String, row: Int, width: Int): Int = {
+    val bytes = term.getBytes
+    var h: Long = 0x9E3779B97F4A7C15L * (row + 1).toLong
+    var i = 0
+    while (i < bytes.length) {
+      h ^= bytes(i) & 0xffL
+      h *= 0x100000001B3L
+      i += 1
+    }
+    h ^= h >>> 30; h *= 0xBF58476D1CE4E5B9L
+    h ^= h >>> 27; h *= 0x94D049BB133111EBL
+    h ^= h >>> 31
+    ((h % width + width) % width).toInt
+  }
+
+  /** Count–Min point estimate: min over the depth rows of the counter
+    * each row hashes the term to. Counters only ever overcount
+    * (collisions add), so est ≥ true always — the deterministic half
+    * of the CM guarantee; the probabilistic half (est ≤ true + εN) is
+    * MEASURED by Sketches.countMinCheck, not assumed.
+    */
+  def cmEstimate(sketch: ArrayData, term: UTF8String, depth: Int, width: Int): Long = {
+    require(sketch.numElements() == depth * width,
+      s"cm_estimate: sketch has ${sketch.numElements()} counters, expected ${depth * width}")
+    var est = Long.MaxValue
+    var d = 0
+    while (d < depth) {
+      val c = sketch.getLong(d * width + cmIndex(term, d, width))
+      if (c < est) est = c
+      d += 1
+    }
+    est
+  }
+
   /** Hamming distance between two equal-length '0'/'1' signature
     * strings (as emitted by hyperplaneSig/simhashBits). Signatures are
     * ASCII, so the byte walk IS the character walk.

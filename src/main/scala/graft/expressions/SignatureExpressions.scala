@@ -295,6 +295,36 @@ case class SimHashBits(child: Expression, bits: Int)
   * `true` means "must consult the exact join" — callers rely on
   * exactly this split.
   */
+/** Count–Min point estimate over a sketch array (Cormode &
+  * Muthukrishnan, "An improved data stream summary: the count-min
+  * sketch and its applications", J. Algorithms 2005): min over the
+  * depth rows of the hashed counter. The kernel (HashOps.cmEstimate)
+  * is the SAME static method the CountMin Aggregator's update path
+  * hashes with, so the two sides cannot drift.
+  */
+case class CmEstimate(sketch: Expression, term: Expression, depth: Int, width: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = sketch
+  override def right: Expression = term
+  override def checkInputDataTypes(): TypeCheckResult =
+    (sketch.dataType, term.dataType) match {
+      case (ArrayType(LongType, _), StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, string), got (${l.catalogString}, ${r.catalogString})")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cm_estimate"
+  protected override def nullSafeEval(s: Any, t: Any): Any =
+    HashOps.cmEstimate(s.asInstanceOf[ArrayData],
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], depth, width)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, t) =>
+      s"graft.expressions.HashOps.cmEstimate($s, $t, $depth, $width)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmEstimate =
+    copy(sketch = newLeft, term = newRight)
+}
+
 case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
     extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

@@ -152,6 +152,86 @@ object Sketches {
       .orderBy(col("n").desc, col("term"))
   }
 
+  /** Mergeable Count–Min sketch (Cormode & Muthukrishnan,
+    * J. Algorithms 2005): depth×width counter grid; each update
+    * increments one counter per hash row, merge is elementwise sum —
+    * order-free, so it is a valid map-side-combinable Spark
+    * Aggregator under ANY merge tree. The frequency answer when even
+    * the heavy-hitter VOCABULARY outgrows memory: constant
+    * depth×width longs per partition, one pass, and — unlike
+    * Misra–Gries — point estimates NEVER undercount (collisions only
+    * add), which is the polarity ingestion-side abuse counters and
+    * join-skew detectors want. Hashing is HashOps.cmIndex — the same
+    * static kernel the cm_estimate expression queries with.
+    */
+  final class CountMin(depth: Int, width: Int)
+      extends Aggregator[String, Array[Long], Array[Long]] {
+    require(depth > 0 && width > 0, "depth and width must be positive")
+    def zero: Array[Long] = new Array[Long](depth * width)
+    def reduce(b: Array[Long], term: String): Array[Long] = {
+      val t = org.apache.spark.unsafe.types.UTF8String.fromString(term)
+      var d = 0
+      while (d < depth) {
+        b(d * width + graft.expressions.HashOps.cmIndex(t, d, width)) += 1L
+        d += 1
+      }
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Count–Min accuracy check: the sketch's point estimates vs the
+    * exact top-k term counts on the same frame. Each row asserts the
+    * DETERMINISTIC half of the CM guarantee — est ≥ true, collisions
+    * only overcount — plus a MEASURED ceiling on the overestimate:
+    * (est − true)·1000 ≤ maxOverPerMille·N, integer math throughout.
+    * Theory bounds the overestimate by εN with ε = e/width per row
+    * pair-independently (≈2.7‰ of N at width 1024); the shipped floor
+    * is measured by tools.SketchProbe and pinned with headroom, the
+    * same measured-guarantee pattern as hllDistinctCheck. The sketch
+    * rides the check as a 1-row broadcast (constant depth×width
+    * size); estimates run through the codegen'd cm_estimate
+    * expression — the identical HashOps kernel the update path used.
+    */
+  def countMinCheck(
+      terms: DataFrame, // single string column "term"
+      depth: Int = 5,
+      width: Int = 1024,
+      k: Int = 10,
+      maxOverPerMille: Int = 10): DataFrame = {
+    val spark = terms.sparkSession
+    import spark.implicits._
+    val cm = new CountMin(depth, width)
+    val sketch = terms.as[String].select(cm.toColumn).toDF("_sk")
+    val totals = terms.agg(count(lit(1)).as("_n_total"))
+    val exactTopK = terms
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(k)
+    exactTopK
+      .crossJoin(broadcast(sketch))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("term"), col("n"),
+        {
+          val est = call_function("cm_estimate",
+            col("_sk"), col("term"), lit(depth), lit(width))
+          (est >= col("n") &&
+            (est - col("n")) * lit(1000L) <=
+              col("_n_total") * lit(maxOverPerMille.toLong)).as("floor_met")
+        })
+      .orderBy(col("n").desc, col("term"))
+  }
+
   /** GK quantile-sketch accuracy check over a numeric column: compute
     * percentile_approx at the given per-mille quantiles, then measure
     * each returned value's TRUE rank with one more pass (a 3-row

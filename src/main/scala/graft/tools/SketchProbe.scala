@@ -28,6 +28,30 @@ object SketchProbe {
     hll.foreach(r => println(s"PROBE hll ${r.mkString(" ")}"))
     println(s"PROBE hll max err_pm = ${hll.map(_.getDouble(3)).max}")
 
+    // Count–Min overestimate on the word-term frame the driver row
+    // uses, at the row's depth/width: per exact-top-k term, the
+    // estimate's overshoot as per-mille of the stream length N —
+    // the measured basis for countMinCheck's maxOverPerMille floor.
+    {
+      val terms = Tables.documents(spark, sfDir)
+        .select(explode(expr(
+          "filter(split(lower(text), '[^a-z]+'), t -> length(t) >= 2)")).as("term"))
+      val (depth, width) = (5, 1024)
+      val cm = graft.operators.Sketches.countMinCheck(terms, depth, width, k = 10)
+      cm.collect().foreach(r => println(s"PROBE cm ${r.mkString(" ")}"))
+      import spark.implicits._
+      val agg = new graft.operators.Sketches.CountMin(depth, width)
+      val sk = terms.as[String].select(agg.toColumn).toDF("_sk")
+      val nTotal = terms.count()
+      val over = terms.groupBy("term").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(sk))
+        .select(col("term"), col("n"),
+          (call_function("cm_estimate", col("_sk"), col("term"),
+            lit(depth), lit(width)) - col("n")).as("over"))
+        .agg(max(col("over")).as("max_over")).head().getLong(0)
+      println(f"PROBE cm max over = $over of N=$nTotal (${over * 1000.0 / nTotal}%.3f pm)")
+    }
+
     val docs = Tables.documents(spark, sfDir).select(col("n_chars")).cache()
     val n = docs.count()
     for (qPm <- Seq(500, 900, 990); acc <- Seq(100, 1000)) {

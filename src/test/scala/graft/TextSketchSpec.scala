@@ -216,6 +216,49 @@ class TextSketchSpec extends SparkSpec {
     assert(est.values.sum < 120L)
   }
 
+  test("CountMin: estimates exact on a small vocabulary, floor row green") {
+    // 4 distinct terms under a 5x1024 grid: an overcount would need
+    // some OTHER term colliding in EVERY row — with this corpus and
+    // the deterministic hash, estimates are exact
+    val terms = (Seq.fill(7)("alpha") ++ Seq.fill(4)("beta") ++
+      Seq.fill(2)("gamma") ++ Seq("delta")).toDF("term")
+    val rows = Sketches.countMinCheck(terms, depth = 5, width = 1024, k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.toSeq == Seq(("alpha", 7L, true), ("beta", 4L, true),
+      ("gamma", 2L, true), ("delta", 1L, true)))
+  }
+
+  test("CountMin: never undercounts, even with forced collisions (width 2)") {
+    // width 2, depth 1: heavy collisions by construction — the
+    // deterministic half of the CM guarantee (est >= true) must
+    // survive any amount of collision
+    import org.apache.spark.sql.Row
+    val data = (1 to 50).map(i => s"t${i % 7}")
+    val terms = data.toDF("term")
+    val cm = new Sketches.CountMin(1, 2)
+    val sk = terms.as[String].select(cm.toColumn).toDF("_sk")
+    val got = terms.groupBy("term").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(sk))
+      .select(col("term"), col("n"),
+        call_function("cm_estimate", col("_sk"), col("term"), lit(1), lit(2)).as("est"))
+      .collect()
+    got.foreach { case Row(t: String, n: Long, est: Long) =>
+      assert(est >= n, s"cm_estimate($t) = $est undercounts true $n")
+    }
+    // and the two counters sum to every update made (depth 1)
+    assert(got.map(_.getLong(1)).sum == 50L)
+  }
+
+  test("CountMin: merge-tree invariant — any partitioning yields the same sketch") {
+    val terms = (1 to 200).map(i => s"w${i % 13}").toDF("term")
+    def sketchOf(parts: Int): Seq[Long] = {
+      val cm = new Sketches.CountMin(3, 64)
+      terms.repartition(parts).as[String]
+        .select(cm.toColumn).head().toSeq
+    }
+    assert(sketchOf(1) == sketchOf(7))
+  }
+
   test("hllDistinctCheck holds its floor on the test events table") {
     val out = Sketches.hllDistinctCheck(Tables.events(spark, "/root/testdata/sf0.001"))
       .as[(String, Boolean)].collect()
