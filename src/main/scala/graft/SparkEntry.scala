@@ -1124,6 +1124,30 @@ object SparkEntry {
         .where(col("last_ms") <= cutMs)
         .orderBy("user_id", "started_ms")
     }),
+    // Stream–static enrichment: events stream through a broadcast
+    // left-outer join against the STATIC customer dim — stateless, no
+    // watermark, no join state; every micro-batch re-broadcasts the
+    // dim. The oracle is the plain batch join: stream-static equals
+    // batch by definition for a stateless map-side join, and the row
+    // proves the plumbing (chunked source, per-batch broadcast,
+    // append sink) preserves that.
+    "stream_static_enrich" -> ((s, dir) => streamRow(s) {
+      val src = eventChunks(s, dir)
+      val base = tempDir("graft_stream_se")
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2).parquet(src)
+      val dim = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+      val out = graft.streaming.IncrementalSync.staticEnrich(stream, dim)
+      val q = out.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .format("parquet").option("path", s"$base/target")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/target").orderBy("event_id")
+    }),
     // Streaming document ingest driver row (VERDICT r6 #1): the batch
     // quality gate + first-arrival content dedup running as a real
     // two-micro-batch stream (docChunks splits the corpus by doc_id
@@ -1840,6 +1864,12 @@ object SparkEntry {
       """SELECT (epoch_ms(ts) // 86400000) * 86400000 AS start_ms,
         |       count(event_id) AS tally
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // batch twin of the stateless stream-static join: identical by
+    // definition — the row proves the streaming plumbing preserves it
+    "stream_static_enrich" ->
+      """SELECT e.event_id, e.user_id, coalesce(c.c_mktsegment, 'none') AS segment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY event_id""".stripMargin,
     // batch twin of the streaming insert-only merge: the overlap rows
     // are payload-identical, so DISTINCT reproduces first-batch-wins
     "stream_contacts_sync" ->

@@ -254,6 +254,21 @@ object IncrementalSync {
       "leftOuter")
   }
 
+  /** Stream–static dimension enrichment — the stateless join shape of
+    * a streaming ingest tagging each event with slowly-changing
+    * reference data (the streaming face of J1's LEFT reconcile): a
+    * BROADCAST left-outer join against the dim per micro-batch, so
+    * the stream side never shuffles and no join state accrues — no
+    * watermark needed, append-safe by construction. At scale the dim
+    * is the small side by definition (reference tables), and Spark
+    * re-broadcasts it per batch, picking up dim updates between
+    * batches for free.
+    */
+  def staticEnrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), events("user_id") === dim("c_custkey"), "left_outer")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("c_mktsegment"), lit("none")).as("segment"))
+
   /** Streaming staged-contacts sync: watch `srcDir` for new JSON
     * batches, shred each micro-batch, and insert-only-merge it into
     * the parquet target (J2 semantics — replays and overlapping

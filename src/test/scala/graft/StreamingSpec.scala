@@ -43,6 +43,27 @@ class StreamingSpec extends SparkSpec {
     assert(want.exceptAll(got).count() === 0)
   }
 
+  test("staticEnrich: broadcast left-outer dim join, no stream-side shuffle") {
+    import spark.implicits._
+    val events = Seq((1L, 10L), (2L, 11L), (3L, 99L))
+      .toDF("event_id", "user_id")
+    val dim = Seq((10L, "BUILDING"), (11L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val out = IncrementalSync.staticEnrich(events, dim)
+    assert(out.orderBy("event_id").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq((1L, 10L, "BUILDING"), (2L, 11L, "MACHINERY"), (3L, 99L, "none")))
+    // the dim join must be a broadcast hash join (the stream side
+    // never shuffles) — the property that makes the op stateless and
+    // append-safe on a real stream
+    // string asserts: AQE's wrapper hides the join from node collect
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected BroadcastHashJoin, got:\n$plan")
+    assert(!plan.contains("ShuffleExchange"),
+      s"stream side must not shuffle:\n$plan")
+  }
+
   test("dedupFirstArrival: one row per key within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
