@@ -853,6 +853,28 @@ object SparkEntry {
           col("n_events"), col("n_users"))
         .orderBy("dt")
     }),
+    // Retention purge (the delete half of the partitioned layout):
+    // events land as 30 dt= directories in a PRIVATE copy (the purge
+    // destroys data — it must not share partition_prune's memoized
+    // tree), then everything before the cutoff is aged out as an
+    // O(|partitions|) directory delete — no scan, no rewrite. The
+    // read-back aggregate must equal the oracle's dt >= cutoff
+    // filter, and the in-row require pins that exactly the 9
+    // pre-cutoff directories died.
+    "retention_purge" -> ((s, dir) => {
+      val out = s"${tempDir("graft_retention")}/ev"
+      graft.sources.Sinks.writePartitioned(
+        Tables.events(s, dir).withColumn("dt", to_date(col("ts"))),
+        out, "dt")
+      val purged = graft.sources.Sinks.retentionPurge(s, out, "dt", "2024-01-10")
+      require(purged.size == 9 && purged.forall(_ < "dt=2024-01-10"),
+        s"expected the 9 pre-cutoff dt dirs purged, got: $purged")
+      s.read.parquet(out)
+        .groupBy(col("dt"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(date_format(col("dt"), "yyyy-MM-dd").as("dt"), col("n_events"))
+        .orderBy("dt")
+    }),
     // Incremental aggregate maintenance (Incremental.mergeAdditive):
     // a late-arriving trickle (user_id % 7 = 0, days 10-12) is folded
     // into the standing daily rollup as a delta-sized partial
@@ -1864,6 +1886,12 @@ object SparkEntry {
       """SELECT (epoch_ms(ts) // 86400000) * 86400000 AS start_ms,
         |       count(event_id) AS tally
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the dt >= cutoff filter IS the retention contract: purging
+    // pre-cutoff partition dirs must equal never having had them
+    "retention_purge" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt, count(*) AS n_events
+        |FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
+        |GROUP BY 1 ORDER BY dt""".stripMargin,
     // batch twin of the stateless stream-static join: identical by
     // definition — the row proves the streaming plumbing preserves it
     "stream_static_enrich" ->

@@ -188,6 +188,35 @@ object Sinks {
     }
   }
 
+  /** Retention purge — the delete half of the partitioned-layout
+    * story (writePartitioned writes it, partition pruning reads it,
+    * THIS ages it out): drop every `col=value` partition directory
+    * whose value sorts strictly below `cutoff`. String comparison is
+    * the contract — ISO dates (the dt= convention) sort
+    * lexicographically in time order, which is exactly why the layout
+    * uses them. A whole-directory delete per expired day: no scan, no
+    * rewrite, no row-level tombstones — at 100 TB retention must be
+    * an O(|partitions|) metadata operation, never a data pass.
+    * Returns the purged partition names so schedulers can log them.
+    */
+  def retentionPurge(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      partitionCol: String,
+      cutoff: String): Seq[String] = {
+    val p = new Path(dir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = s"$partitionCol="
+    val parts = f.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith(prefix))
+    require(parts.nonEmpty,
+      s"retentionPurge: no $prefix partitions under $dir — " +
+        "expected a writePartitioned layout")
+    val expired = parts.filter(_.getName.stripPrefix(prefix) < cutoff)
+    expired.foreach(f.delete(_, true))
+    expired.map(_.getName).toSeq.sorted
+  }
+
   /** S12: stage purge — remove everything under the stage dir. */
   def purgeStage(spark: org.apache.spark.sql.SparkSession, stageDir: String): Unit = {
     val p = new Path(stageDir)

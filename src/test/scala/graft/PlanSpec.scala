@@ -214,6 +214,27 @@ class PlanSpec extends SparkSpec {
     assert(e2.getMessage.contains("non-partition subdirectories"))
   }
 
+  test("retentionPurge drops exactly the pre-cutoff partitions, fails loudly off-layout") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_retention_spec").toString
+    val df = Seq(("2024-01-01", 1L), ("2024-01-02", 2L), ("2024-01-03", 3L))
+      .toDF("dt", "v")
+    graft.sources.Sinks.writePartitioned(df, s"$base/t", "dt")
+    val purged = graft.sources.Sinks.retentionPurge(spark, s"$base/t", "dt", "2024-01-03")
+    assert(purged == Seq("dt=2024-01-01", "dt=2024-01-02"))
+    // survivors intact and still partition-discoverable
+    // partition discovery infers dt= values as DateType — cast back
+    assert(spark.read.parquet(s"$base/t")
+      .select(col("dt").cast("string"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("2024-01-03", 3L)))
+    // not a partitioned layout → loud failure, nothing deleted
+    new java.io.File(s"$base/flat").mkdirs()
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Sinks.retentionPurge(spark, s"$base/flat", "dt", "2024-01-03")
+    }
+    assert(e.getMessage.contains("no dt= partitions"))
+  }
+
   test("quality_filter reads only the columns it needs") {
     // sf0.01, not `dir`: other suites cache documents(sf0.001) in the
     // shared session and the cached relation would replace the scan
