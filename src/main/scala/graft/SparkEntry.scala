@@ -1030,6 +1030,31 @@ object SparkEntry {
         .select("event_id", "event_type", "user_id", "type_n")
         .orderBy("event_id")
     }),
+    // Hybrid skew join: a manufactured heavy tail (30% of events
+    // collapse onto key 1, the rest stay per-user) joined to the
+    // customer dim. The census finds key 1 hot (hotMinRows 1000 ≫
+    // any per-user count), so ONLY key 1's dim row replicates across
+    // salts; the uniform tail takes the plain path. Oracle = the
+    // plain join — the hybrid split is a physical rewrite with
+    // identical semantics, same contract as salted_join. The in-row
+    // require pins the two-path shape (a Union of the salted and
+    // plain branches) in the executed plan.
+    "skew_hybrid_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"),
+          when(col("user_id") % 10 < 3, lit(1L))
+            .otherwise(col("user_id")).as("k"),
+          col("user_id"))
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey").as("k"), col("c_mktsegment"))
+      val joined = graft.operators.Skew
+        .hybridSkewJoin(ev, dim, "k", saltFactor = 8, hotMinRows = 1000L)
+      val plan = joined.queryExecution.executedPlan.toString
+      require(plan.contains("Union"),
+        s"hybrid join must plan the salted+plain two-path union:\n$plan")
+      joined.select("event_id", "k", "user_id", "c_mktsegment")
+        .orderBy("event_id")
+    }),
     // Bloom-prefiltered semi join (the F3 IN-subquery shape at 100 TB
     // scale): provably-unmatched lineitem rows drop at a map-only
     // bloom probe BEFORE the exchange; the exact semi join then
@@ -2270,6 +2295,17 @@ object SparkEntry {
       """WITH dim AS (SELECT event_type, count(*) AS type_n FROM events GROUP BY 1)
         |SELECT e.event_id, e.event_type, e.user_id, d.type_n
         |FROM events e JOIN dim d USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+    // the hybrid split is a physical rewrite: the oracle is the PLAIN
+    // join over the same manufactured heavy-tail key
+    "skew_hybrid_join" ->
+      """WITH e AS (SELECT event_id,
+        |                  CASE WHEN user_id % 10 < 3 THEN 1 ELSE user_id END AS k,
+        |                  user_id
+        |           FROM events),
+        | d AS (SELECT c_custkey AS k, c_mktsegment FROM customer)
+        |SELECT e.event_id, e.k, e.user_id, d.c_mktsegment
+        |FROM e JOIN d USING (k)
         |ORDER BY event_id""".stripMargin,
     "table_counts" ->
       s"""SELECT 'qa_contacts' AS table_name, (SELECT count(*) FROM ${contactsShredSql("qa_contacts.json")} t) AS n

@@ -43,4 +43,50 @@ object Skew {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     bigS.join(smallS, Seq(key, "_salt"), joinType).drop("_salt")
   }
+
+  /** Hybrid skew join: salt ONLY the measured-hot keys, join the rest
+    * plain — the production shape when the key histogram is heavy-
+    * tailed (a handful of hot keys over a long uniform tail). Full
+    * salting replicates the ENTIRE small side saltFactor×, taxing the
+    * well-behaved 99% of keys for the 1% that skew; here:
+    *
+    *  1. hot-key census: one partial-aggregating groupBy on the big
+    *     side's key — map-side combine collapses each partition to
+    *     |keys| counter rows, and the hot SET is bounded by
+    *     construction (≤ N/hotMinRows keys can exceed hotMinRows), so
+    *     it broadcasts;
+    *  2. both sides split by a broadcast semi/anti probe (map-only,
+    *     no shuffle);
+    *  3. hot slice → saltedJoin (small-side replicas only for hot
+    *     keys' matches), cold slice → plain equi-join (AQE handles
+    *     residual imbalance), unionByName.
+    *
+    * Result equals the plain join exactly (multiplicity unchanged on
+    * both paths; the key split is a partition of the key space) —
+    * ScalaCheck-verified, and the driver row's oracle IS the plain
+    * join. Null keys ride the cold path: the anti probe keeps them,
+    * and plain-join semantics (drop for inner, preserve-unmatched for
+    * left) are exactly the contract. The census is exact counts, not
+    * a sketch, so the plan is deterministic run-to-run; a streaming
+    * ingest would swap stage 1 for the Count–Min sketch's ≥-true
+    * estimates (Sketches.CountMin) at the same split semantics.
+    */
+  def hybridSkewJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      saltFactor: Int,
+      hotMinRows: Long,
+      joinType: String = "inner"): DataFrame = {
+    require(hotMinRows > 0, "hotMinRows must be positive")
+    val hot = big.groupBy(col(key)).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= hotMinRows)
+      .select(key)
+    val bigHot = big.join(broadcast(hot), Seq(key), "left_semi")
+    val bigCold = big.join(broadcast(hot), Seq(key), "left_anti")
+    val smallHot = small.join(broadcast(hot), Seq(key), "left_semi")
+    val smallCold = small.join(broadcast(hot), Seq(key), "left_anti")
+    saltedJoin(bigHot, smallHot, key, saltFactor, joinType)
+      .unionByName(bigCold.join(smallCold, Seq(key), joinType))
+  }
 }

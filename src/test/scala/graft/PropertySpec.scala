@@ -129,6 +129,36 @@ class PropertySpec extends SparkSpec {
       graft.operators.Skew.saltedJoin(big, small, "k", 8, "right"))
   }
 
+  test("hybridSkewJoin equals the plain join; only hot keys ride the salted path") {
+    import spark.implicits._
+    // one genuinely hot key (42: ~1800 rows), a uniform tail, and
+    // null keys sprinkled in — nulls must take the cold path and obey
+    // plain-join semantics on both join types
+    val big = (1 to 2000).map { i =>
+      val k: java.lang.Long =
+        if (i % 10 == 0) java.lang.Long.valueOf(i.toLong % 7)
+        else if (i % 501 == 0) null
+        else java.lang.Long.valueOf(42L)
+      (k, i)
+    }.toDF("k", "v")
+    val small = Seq((42L, "hot"), (1L, "a"), (3L, "c"), (99L, "unmatched")).toDF("k", "name")
+    for (jt <- Seq("inner", "left")) {
+      val plain = big.join(small, Seq("k"), jt).select("k", "v", "name")
+      val hybrid = graft.operators.Skew
+        .hybridSkewJoin(big, small, "k", saltFactor = 8, hotMinRows = 100, jt)
+        .select("k", "v", "name")
+      assert(hybrid.exceptAll(plain).count() === 0, s"$jt: extra rows")
+      assert(plain.exceptAll(hybrid).count() === 0, s"$jt: missing rows")
+    }
+    // threshold above every key's count → pure cold path, still equal
+    val allCold = graft.operators.Skew
+      .hybridSkewJoin(big, small, "k", 8, hotMinRows = 1000000L)
+      .select("k", "v", "name")
+    val plain = big.join(small, Seq("k")).select("k", "v", "name")
+    assert(allCold.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(allCold).count() === 0)
+  }
+
   test("qualityFilterMultilang: fluent non-English passes, gibberish still fails") {
     import spark.implicits._
     val docs = Seq(
