@@ -461,6 +461,21 @@ object SparkEntry {
     // regression flips floor_met and the row goes red.
     "hll_distinct_check" -> ((s, dir) =>
       Sketches.hllDistinctCheck(Tables.events(s, dir))),
+    // Incremental DISTINCT maintenance: per-day HLL sketches persisted
+    // as a parquet table, reloaded cold, then unioned per query range —
+    // distinct-over-any-range without rescanning events (the
+    // non-additive cousin of incremental_agg). Per range, BOTH the
+    // persisted-union estimate and the one-pass full-scan estimate
+    // must sit inside the measured floor vs exact (union-vs-fullscan
+    // bit-equality is deliberately NOT claimed: set→HLL mode
+    // promotion shifts the estimator — observed at sf0.1).
+    "incremental_distinct" -> ((s, dir) =>
+      Sketches.distinctMaintenanceCheck(
+        Tables.events(s, dir),
+        s"${tempDir("graft_hll_daily")}/sk",
+        Seq((1, "2024-01-01", "2024-01-07"),
+          (2, "2024-01-08", "2024-01-21"),
+          (3, "2024-01-01", "2024-01-30")))),
     // Count–Min frequency estimates over the full word-term stream:
     // est ≥ true asserted per row (the deterministic CM half) plus a
     // measured overestimate ceiling (SketchProbe: max over 0‰ at
@@ -1622,6 +1637,18 @@ object SparkEntry {
     // measured sketch-vs-exact error and flips to false on regression.
     "hll_distinct_check" ->
       "SELECT event_type, true AS floor_met FROM events GROUP BY event_type ORDER BY event_type",
+    // exact distinct per range; the two contract booleans literal-true
+    // (the Spark side computes lossless-merge equality and the
+    // accuracy floor, flips on bug)
+    "incremental_distinct" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS dt, user_id FROM events),
+        | r(range_id, lo, hi) AS (VALUES (1, DATE '2024-01-01', DATE '2024-01-07'),
+        |                                (2, DATE '2024-01-08', DATE '2024-01-21'),
+        |                                (3, DATE '2024-01-01', DATE '2024-01-30'))
+        |SELECT r.range_id, count(DISTINCT e.user_id) AS exact_distinct,
+        |       true AS union_floor_met, true AS fullscan_floor_met
+        |FROM r JOIN e ON e.dt BETWEEN r.lo AND r.hi
+        |GROUP BY r.range_id ORDER BY range_id""".stripMargin,
     // exact top-10 word terms; floor_met literal-true — the Spark side
     // measures est ≥ true and the overestimate ceiling, flips on bug
     "count_min_check" ->

@@ -232,6 +232,60 @@ object Sketches {
       .orderBy(col("n").desc, col("term"))
   }
 
+  /** Incremental DISTINCT maintenance via persisted mergeable HLL
+    * sketches (DataSketches HLL, Spark's hll_sketch_agg family): the
+    * non-additive cousin of Incremental.mergeAdditive. Distinct
+    * counts cannot be maintained by adding per-day numbers — overlap
+    * between days double-counts — but per-day SKETCHES are mergeable
+    * (HLL registers max under a shared hash), so a persisted
+    * sketch-per-partition table answers "distinct users over ANY day
+    * range" by unioning |days| kilobyte-sized sketches, never
+    * rescanning the corpus. Mergeability is an ACCURACY guarantee,
+    * not bit-equality: a day's sketch can sit in exact set mode while
+    * the union promotes to dense HLL, shifting the estimator —
+    * measured at sf0.1, where the union estimate differs from the
+    * full-range scan's estimate yet both stay inside the floor. So
+    * the check builds the per-day sketch table, WRITES it to parquet
+    * and reloads it (persistence is the point — sketches survive as
+    * binary columns), then per query range asserts the floor on BOTH
+    * paths vs the exact recompute:
+    *  - union_floor_met: the persisted-union estimate within
+    *    maxErrPerMille of exact — the answer a maintenance pipeline
+    *    actually serves;
+    *  - fullscan_floor_met: the one-pass raw-scan sketch within the
+    *    same floor — the hllDistinctCheck pattern, pinning that the
+    *    union's error comes from the sketch, not from merge damage.
+    * The exact side recomputes per range (affordable at check scale;
+    * at 100 TB the sketch table IS the answer and exact runs never).
+    */
+  def distinctMaintenanceCheck(
+      events: DataFrame, // needs ts (timestamp) + user_id
+      sketchDir: String,
+      ranges: Seq[(Int, String, String)],
+      maxErrPerMille: Int = 50): DataFrame = {
+    val spark = events.sparkSession
+    val withDt = events.select(to_date(col("ts")).as("dt"), col("user_id"))
+    withDt.groupBy("dt")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .write.mode("overwrite").parquet(sketchDir)
+    val sketches = spark.read.parquet(sketchDir)
+    ranges.map { case (id, lo, hi) =>
+      val est = sketches.filter(col("dt").between(lit(lo), lit(hi)))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val full = withDt.filter(col("dt").between(lit(lo), lit(hi)))
+        .agg(
+          hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("full_est"),
+          countDistinct(col("user_id")).as("exact"))
+      est.crossJoin(full).select( // 1-row × 1-row
+        lit(id).as("range_id"),
+        col("exact").as("exact_distinct"),
+        (abs(col("est") - col("exact")) * lit(1000L)
+          <= col("exact") * lit(maxErrPerMille.toLong)).as("union_floor_met"),
+        (abs(col("full_est") - col("exact")) * lit(1000L)
+          <= col("exact") * lit(maxErrPerMille.toLong)).as("fullscan_floor_met"))
+    }.reduce(_ unionByName _).orderBy("range_id")
+  }
+
   /** GK quantile-sketch accuracy check over a numeric column: compute
     * percentile_approx at the given per-mille quantiles, then measure
     * each returned value's TRUE rank with one more pass (a 3-row
