@@ -832,6 +832,12 @@ object SparkEntry {
     // window over exploded segments.
     "segment_dedup" -> ((s, dir) =>
       TextOps.segmentDedup(Tables.documents(s, dir), segTokens = 10)),
+    // RAG-style overlap chunking: 50-token windows every 40 tokens
+    // (10-token overlap), map-only; the oracle replays the identical
+    // slicing arithmetic over DuckDB list ops.
+    "doc_chunks" -> ((s, dir) =>
+      TextOps.chunkDocs(Tables.documents(s, dir))
+        .orderBy("doc_id", "chunk_idx")),
     // Sliding-window exact span detection (Lee et al. 2021): the
     // corpus' real near-dup pairs share 10-token spans at arbitrary
     // offsets (25 pairs at sf0.01, measured 2..84 shared spans), so
@@ -2290,6 +2296,15 @@ object SparkEntry {
         |FROM n LEFT JOIN kept k USING (doc_id) ORDER BY doc_id""".stripMargin,
     // identical sliding hash: one window per token offset, ubiquitous
     // spans (>1000 occurrences) dropped before the pair join
+    // identical slicing arithmetic over DuckDB list ops: starts every
+    // 40 tokens (one start for empty docs), 50-token 1-based slices
+    "doc_chunks" ->
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        | s AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 40)) AS start FROM t)
+        |SELECT doc_id, CAST(start // 40 AS INT) AS chunk_idx,
+        |       array_to_string(toks[(start+1):(start+50)], ' ') AS chunk_text,
+        |       CAST(least(50, len(toks) - start) AS INT) AS n_chunk_tokens
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
     "duplicate_spans" ->
       """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks FROM documents),
         | t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 10),

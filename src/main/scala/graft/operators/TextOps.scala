@@ -193,6 +193,35 @@ object TextOps {
       .agg(countDistinct(col("h")).as("n_shared_spans"))
   }
 
+  /** Sliding-window document chunking with overlap — the
+    * retrieval/embedding prep pass (RAG-style): each document splits
+    * into `chunkTokens`-token windows starting every `stride` tokens
+    * (overlap = chunkTokens − stride), so no sentence straddling a
+    * hard boundary is lost to both chunks. Emits
+    * (doc_id, chunk_idx, chunk_text, n_chunk_tokens); the final
+    * chunk may run short, and an empty document yields one empty
+    * chunk (the doc stays addressable downstream). Map-only — a
+    * projection + generator, no shuffle, no state; at 100 TB this is
+    * a pure scan-through whose output feeds the embedding UDF batch
+    * seam (Multimodal's mapInPandas shape) or cosineTopK directly.
+    */
+  def chunkDocs(
+      docs: DataFrame,
+      chunkTokens: Int = 50,
+      stride: Int = 40): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      "need 0 < stride <= chunkTokens (overlap = chunkTokens - stride)")
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(expr(s"sequence(0, greatest(size(toks) - 1, 0), $stride)"))
+          .as(Seq("chunk_idx", "start")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("int").as("chunk_idx"),
+        expr(s"array_join(slice(toks, start + 1, $chunkTokens), ' ')").as("chunk_text"),
+        expr(s"cast(least($chunkTokens, size(toks) - start) as int)").as("n_chunk_tokens"))
+  }
+
   /** Normalize-then-dedup — the composition normalizeText's contract
     * promises (cleanText "runs BEFORE every hash-based operator"):
     * exact dedup keyed on the CANONICAL text, so case flips,

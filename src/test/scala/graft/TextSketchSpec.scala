@@ -55,6 +55,26 @@ class TextSketchSpec extends SparkSpec {
     assert(TextOps.duplicateSpans(docs, k = 10, spanCap = 10).count() == 6)
   }
 
+  test("chunkDocs: overlapping windows cover the doc; short tail; empty doc keeps a chunk") {
+    val doc = (1 to 90).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, doc), (2L, "")).toDF("doc_id", "text")
+    val got = TextOps.chunkDocs(docs, chunkTokens = 50, stride = 40)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    // doc 1: starts 0, 40, 80 → lengths 50, 50, 10; 10-token overlap
+    assert(got.map(g => (g._1, g._2, g._4)).toSeq ==
+      Seq((1L, 0, 50), (1L, 1, 50), (1L, 2, 10), (2L, 0, 0)))
+    assert(got(0)._3.startsWith("w1 ") && got(0)._3.endsWith(" w50"))
+    assert(got(1)._3.startsWith("w41 ") && got(1)._3.endsWith(" w90"))
+    assert(got(2)._3 == (81 to 90).map(i => s"w$i").mkString(" "))
+    assert(got(3)._3 == "")
+    // consecutive chunks share exactly the overlap tokens
+    assert(got(0)._3.split(" ").takeRight(10).toSeq ==
+      got(1)._3.split(" ").take(10).toSeq)
+    intercept[IllegalArgumentException](
+      TextOps.chunkDocs(docs, chunkTokens = 10, stride = 20))
+  }
+
   test("normalizedDedup collapses case/NFC/whitespace twins that raw dedup keeps") {
     // doc 1 composed, doc 2 its decomposed+upper+extra-ws twin, doc 3
     // genuinely distinct; raw md5 sees three texts, canonical sees two
