@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{CalabrioSync, Components, Incremental, Linkage, Multimodal, Queries, Sampling, Shred, Similarity, Sketches, Skew, TemporalJoins, TextOps}
-import org.apache.spark.sql.functions.{array, col, concat, count, countDistinct, date_format, dayofmonth, element_at, explode, expr, lit, lpad, md5, round, size, slice, substring, sum, to_date, when}
+import org.apache.spark.sql.functions.{array, coalesce, col, concat, count, countDistinct, date_format, dayofmonth, element_at, explode, expr, lit, lpad, md5, round, size, slice, substring, sum, to_date, when}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -972,6 +972,59 @@ object SparkEntry {
     // set; grouping_id disambiguates rolled-up NULLs from data NULLs.
     // Sort keys are null-coalesced so both engines' null ordering
     // agrees.
+    // Explicit GROUPING SETS — the arbitrary-set form ROLLUP/CUBE are
+    // sugar for: exactly ((event_type), (dt)), the two marginal
+    // rollups with NEITHER the detail set nor the grand total —
+    // expressible by no rollup/cube call, one Expand shuffle.
+    "grouping_sets_summary" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("dt", to_date(col("ts")))
+        .filter(dayofmonth(col("dt")) <= 7)
+      ev.groupingSets(
+          Seq(Seq(col("event_type")), Seq(col("dt"))),
+          col("event_type"), col("dt"))
+        .agg(expr("grouping_id(event_type, dt)").cast("int").as("gid"),
+          count(lit(1)).as("n_events"),
+          count(when(col("value") >= 50, 1)).as("n_high"))
+        .select(col("event_type"),
+          date_format(col("dt"), "yyyy-MM-dd").as("dt"),
+          col("gid"), col("n_events"), col("n_high"))
+        .orderBy(col("gid"),
+          expr("coalesce(event_type, '')"), expr("coalesce(dt, '')"))
+    }),
+    // PIVOT: long→wide reshaping — per-day rows fan the 5 event
+    // types into columns in ONE aggregation pass (values pinned
+    // explicitly, so no extra distinct-discovery job and a STABLE
+    // column set for the oracle compare at any sf).
+    "pivot_daily" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("dt", to_date(col("ts")))
+      ev.groupBy(col("dt"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .select(date_format(col("dt"), "yyyy-MM-dd").as("dt"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("view"), lit(0L)).as("n_view"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"),
+          coalesce(col("error"), lit(0L)).as("n_error"))
+        .orderBy("dt")
+    }),
+    // UNPIVOT (melt): wide→long, the inverse reshape — the pivoted
+    // frame's five count columns stack back into (dt, event_type, n)
+    // rows. Map-only Expand, no shuffle; round-trips pivot_daily.
+    "unpivot_daily" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("dt", to_date(col("ts")))
+      val wide = ev.groupBy(col("dt"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+      wide.unpivot(
+          Array(col("dt")),
+          Array(col("click"), col("view"), col("purchase"),
+            col("signup"), col("error")),
+          "event_type", "n")
+        .select(date_format(col("dt"), "yyyy-MM-dd").as("dt"),
+          col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("dt", "event_type")
+    }),
     "rollup_summary" -> ((s, dir) => {
       val ev = Tables.events(s, dir).withColumn("dt", to_date(col("ts")))
         .filter(dayofmonth(col("dt")) <= 7)
@@ -2233,6 +2286,37 @@ object SparkEntry {
         |SELECT d.keep_doc_id, d.text_md5, d.dup_count, g.n_tokens, g.punct_per_mille, g.stop_per_mille
         |FROM d JOIN g ON g.doc_id = d.keep_doc_id
         |ORDER BY keep_doc_id""".stripMargin,
+    // gid semantics match Spark's grouping_id: (event_type)-set rows
+    // aggregate dt away (gid 1), (dt)-set rows aggregate event_type
+    // away (gid 2); no detail, no grand total
+    "grouping_sets_summary" ->
+      """SELECT event_type,
+        |       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt,
+        |       CAST(GROUPING(event_type, CAST(ts AS DATE)) AS INT) AS gid,
+        |       count(*) AS n_events,
+        |       count(*) FILTER (WHERE value >= 50) AS n_high
+        |FROM events
+        |WHERE day(CAST(ts AS DATE)) <= 7
+        |GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)))
+        |ORDER BY gid, coalesce(event_type, ''), coalesce(dt, '')""".stripMargin,
+    "pivot_daily" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt,
+        |       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |       count(*) FILTER (WHERE event_type = 'view') AS n_view,
+        |       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |       count(*) FILTER (WHERE event_type = 'error') AS n_error
+        |FROM events GROUP BY 1 ORDER BY dt""".stripMargin,
+    // the melt scaffold: every (day, type) cell, zero-filled where no
+    // events landed — exactly the wide frame's cells stacked long
+    "unpivot_daily" ->
+      """WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS dt FROM events),
+        | t(et) AS (VALUES ('click'), ('view'), ('purchase'), ('signup'), ('error')),
+        | c AS (SELECT CAST(ts AS DATE) AS dt, event_type AS et, count(*) AS n
+        |       FROM events GROUP BY 1, 2)
+        |SELECT strftime(d.dt, '%Y-%m-%d') AS dt, t.et AS event_type, coalesce(c.n, 0) AS n
+        |FROM d CROSS JOIN t LEFT JOIN c ON c.dt = d.dt AND c.et = t.et
+        |ORDER BY dt, event_type""".stripMargin,
     "rollup_summary" ->
       """SELECT event_type,
         |       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt,
