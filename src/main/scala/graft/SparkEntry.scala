@@ -680,7 +680,9 @@ object SparkEntry {
         val it = graft.sources.dsv2.FixtureWindowFetcher.calls.iterator()
         val b = Seq.newBuilder[(graft.sources.Ingest.DateWindow, Map[String, String])]
         while (it.hasNext) b += it.next()
-        b.result()
+        // planning-time stats requests (SupportsReportStatistics) also
+        // hit the count endpoint — the row asserts the EXECUTION path
+        b.result().filterNot(_._2.contains("_planning"))
       }
       require(fetched.nonEmpty && fetched.forall(_._2.get("_mode").contains("count")),
         s"pushed COUNT(*) must hit only the count endpoint (no body fetches), got: $fetched")

@@ -42,7 +42,11 @@ import graft.sources.Ingest.DateWindow
   *    (SupportsPushDownAggregates, partial: Spark sums the per-window
   *    partial counts), so count queries fetch no row bodies at all —
   *    the REST analog of the reference's `len(contact_json)` progress
-  *    counts (qa_api_handler.py:130).
+  *    counts (qa_api_handler.py:130);
+  *  - the same count endpoint feeds planning-time statistics
+  *    (SupportsReportStatistics), so a small windowed scan can WIN a
+  *    broadcast join — without reported stats a DSv2 relation is
+  *    presumed huge and every join against it sort-merges.
   *
   * One InputPartition per window — the executor-side fan-out shape of
   * Ingest.fetchWindows, now behind `spark.read.format("graft-window")`.
@@ -260,9 +264,37 @@ private[dsv2] class WindowedScan(
     windows: Seq[DateWindow],
     fetcher: WindowedRestSource.ParamWindowFetcher,
     params: Map[String, String],
-    required: StructType) extends Scan with Batch {
+    required: StructType) extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  /** Planning-time stats from the vendor count endpoint: without
+    * them a DSv2 relation defaults to `defaultSizeInBytes` (treated
+    * as HUGE), so a small windowed scan can never win a broadcast —
+    * every join against it sort-merges. With per-window counts the
+    * source reports numRows and a schema-derived byte estimate, and
+    * Catalyst's existing size logic picks broadcast exactly when
+    * warranted (asserted in Dsv2SourceSpec). Counts cost one
+    * count-endpoint request per window AT PLANNING; a fetcher
+    * without the endpoint (count = None on any window) reports
+    * nothing and Spark keeps its conservative default — never a
+    * fetch-and-count planning pass.
+    */
+  override def estimateStatistics(): Statistics = {
+    // the _planning marker lets recording fetchers (and their call
+    // asserts) distinguish planning-time stats requests from the
+    // pushed-COUNT(*) execution path
+    val counts = windows.map(w =>
+      fetcher.count(w, params + ("_planning" -> "stats")))
+    val total =
+      if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+    new Statistics {
+      override def numRows: java.util.OptionalLong =
+        total.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+      override def sizeInBytes: java.util.OptionalLong =
+        total.fold(java.util.OptionalLong.empty())(n =>
+          java.util.OptionalLong.of(n * required.defaultSize.toLong))
+    }
+  }
   /** Lists the planned window starts (capped at 8 so a years-long
     * plan doesn't bloat every explain/UI/event-log string):
     * BatchScanExec embeds this in the executed plan, so
