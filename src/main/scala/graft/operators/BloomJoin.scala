@@ -60,6 +60,54 @@ object BloomJoin {
     pre.join(keys, pre(bigKey) === keys(keyCol), "leftsemi")
   }
 
+  /** Persist the bloom as a 1-row parquet index (bytes + build
+    * params): the build-once / query-many posture of the IVF index
+    * (Similarity.buildIvfIndex precedent) applied to the join family.
+    * Building the bloom is a full aggregation pass over the key table
+    * — per-query that pass can dominate when the keys are large and
+    * slow-changing (the reference's staging keys change per load, not
+    * per query). The index moves the build to write time; a later,
+    * COLD session reloads kilobytes of bytes instead of re-scanning
+    * the key table. The exact join side still consults `keys` (the
+    * bloom is approximate — false positives need the exact pass), so
+    * the index is a shuffle/scan reducer, never a correctness input.
+    */
+  def buildIndex(
+      keys: DataFrame,
+      keyCol: String,
+      expectedKeys: Long,
+      dir: String,
+      fpp: Double = 0.01): Unit = {
+    val bytes = bloomBytes(keys, keyCol, expectedKeys, fpp)
+    val spark = keys.sparkSession
+    import spark.implicits._
+    Seq((keyCol, expectedKeys, fpp, bytes))
+      .toDF("key_col", "expected_keys", "fpp", "bloom")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** semiJoin against a PERSISTED bloom index: identical result,
+    * zero bloom-build work — the 1-row index read is the only
+    * addition (a bounded driver-side head, like the IVF index's
+    * centroid load). Fails loudly if the index was built over a
+    * different key column than the join asks for.
+    */
+  def semiJoinFromIndex(
+      big: DataFrame,
+      keys: DataFrame,
+      bigKey: String,
+      keyCol: String,
+      indexDir: String): DataFrame = {
+    val row = big.sparkSession.read.parquet(indexDir).head() // 1-row index
+    val builtFor = row.getAs[String]("key_col")
+    require(builtFor == keyCol,
+      s"bloom index at $indexDir was built over '$builtFor', not '$keyCol'")
+    val bytes = row.getAs[Array[Byte]]("bloom")
+    val pre = big
+      .where(call_function("bloom_might_contain", col(bigKey), lit(bytes)))
+    pre.join(keys, pre(bigKey) === keys(keyCol), "leftsemi")
+  }
+
   /** Exact left-anti join of `big` against `keys`: the bloom-negative
     * majority bypasses the join on a map-only branch (a proven
     * non-member IS the anti-join answer), and only bloom-positive rows

@@ -42,6 +42,23 @@ class BloomJoinSpec extends SparkSpec {
       "NOT-EXISTS keeps null keys: the plain leftanti keeps them and so must we")
   }
 
+  test("persisted index round-trips: cold reload equals the in-JVM semi join") {
+    import spark.implicits._
+    val big = spark.range(0, 5000).toDF("k").withColumn("v", col("k") % 5)
+    val keys = spark.range(0, 5000, 4).toDF("j")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom_idx_spec").toString
+    BloomJoin.buildIndex(keys, "j", expectedKeys = 2000, s"$dir/idx")
+    val fromIdx = BloomJoin.semiJoinFromIndex(big, keys, "k", "j", s"$dir/idx")
+    val direct = BloomJoin.semiJoin(big, keys, "k", "j", expectedKeys = 2000)
+    assert(fromIdx.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(fromIdx).count() === 0)
+    // built-for column is validated before any probe
+    val e = intercept[IllegalArgumentException] {
+      BloomJoin.semiJoinFromIndex(big, keys, "k", "wrong_col", s"$dir/idx")
+    }
+    assert(e.getMessage.contains("built over 'j'"))
+  }
+
   test("the prefilter actually reduces: disjoint keys drop before the join") {
     import spark.implicits._
     val big = spark.range(1000, 10000).toDF("k")
