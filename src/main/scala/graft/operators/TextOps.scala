@@ -50,26 +50,32 @@ object TextOps {
     *  3. exact dedup on the canonical hash, min-doc_id survivor;
     *  4. survivors carry their gate metrics out for audit.
     *
-    * Every stage is an independently oracle-checked operator
-    * (normalize_text, quality_filter, dedup_exact / dedup_normalized
-    * rows); the composition is the point: Catalyst fuses the map-only
-    * normalize+gate stages into one codegen'd pass over the corpus,
-    * so the chain costs ONE text scan, a 16-byte-hash groupBy (bodies
-    * never shuffle — md5 projects map-side), and the survivor
-    * equi-join back. At 100 TB that is the minimum movement the
-    * semantics allow: no stage materializes an intermediate corpus.
+    * Every stage semantically matches an independently oracle-checked
+    * operator (normalize_text, quality_filter, dedup_exact /
+    * dedup_normalized rows); the composition is the point: Catalyst
+    * fuses the map-only normalize+gate stages into one codegen'd pass
+    * over the corpus, and the dedup is exactDedup's group-by-hash
+    * shape with the gate metrics riding the aggregate as GROUP
+    * INVARIANTS — every row in a hash group carries the identical
+    * canonical text, so its metrics (pure text functions) are equal
+    * group-wide and `first` is deterministic. The whole chain is ONE
+    * text scan and ONE 16-byte-hash shuffle, no join: a join-back
+    * formulation would recompute the normalize+gate subtree for a
+    * second full scan (Catalyst reuses exchanges, not arbitrary
+    * subtrees). At 100 TB that is the minimum movement the semantics
+    * allow: no stage materializes an intermediate corpus.
     */
-  def corpusPipeline(docs: DataFrame): DataFrame = {
-    val gated = qualityGate(
-      docs.select(col("doc_id"), cleanText(col("text")).as("text")))
-    val surv = exactDedup(gated)
-    surv.join(
-        gated.select(col("doc_id").as("keep_doc_id"),
-          col("n_tokens"), col("punct_per_mille"), col("stop_per_mille")),
-        Seq("keep_doc_id"))
+  def corpusPipeline(docs: DataFrame): DataFrame =
+    qualityGate(docs.select(col("doc_id"), cleanText(col("text")).as("text")))
+      .groupBy(md5(col("text").cast("binary")).as("text_md5"))
+      .agg(
+        min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("dup_count"),
+        first(col("n_tokens")).as("n_tokens"),
+        first(col("punct_per_mille")).as("punct_per_mille"),
+        first(col("stop_per_mille")).as("stop_per_mille"))
       .select("keep_doc_id", "text_md5", "dup_count",
         "n_tokens", "punct_per_mille", "stop_per_mille")
-  }
 
   /** Segment-level exact dedup — the span-granular sibling of
     * exactDedup (the line/paragraph dedup of CCNet/RefinedWeb-style

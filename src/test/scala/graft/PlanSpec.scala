@@ -214,6 +214,17 @@ class PlanSpec extends SparkSpec {
     assert(e2.getMessage.contains("non-partition subdirectories"))
   }
 
+  test("corpusPipeline: one corpus scan, one hash shuffle, no join") {
+    val df = graft.operators.TextOps.corpusPipeline(
+      Tables.documents(spark, "/root/testdata/sf0.01"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"metrics must ride the aggregate as group invariants, not a join-back:\n$plan")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1,
+      s"the normalize+gate+dedup chain must cost ONE corpus scan, found $scans:\n$plan")
+  }
+
   test("retentionPurge drops exactly the pre-cutoff partitions, fails loudly off-layout") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_retention_spec").toString
