@@ -70,6 +70,16 @@ object Skew {
     * a sketch, so the plan is deterministic run-to-run; a streaming
     * ingest would swap stage 1 for the Count–Min sketch's ≥-true
     * estimates (Sketches.CountMin) at the same split semantics.
+    *
+    * Deliberate trade, stated plainly: the big side is SCANNED three
+    * times (census + hot branch + cold branch — Catalyst reuses
+    * exchanges, not scan subtrees) in exchange for shuffling the
+    * small side's replicas only for hot keys. Scans are the cheap
+    * currency (columnar, pruned, often cached); shuffle volume is
+    * the expensive one — full salting replicates |small|·saltFactor
+    * rows through the exchange for EVERY key. A caller re-joining
+    * the same big frame repeatedly should cache it or persist the
+    * census.
     */
   def hybridSkewJoin(
       big: DataFrame,
