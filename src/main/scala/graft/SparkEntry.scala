@@ -359,7 +359,7 @@ object SparkEntry {
         concat(col("text"),
           when(col("doc_id") % 7 === 0, lit(" Café NAÏVE"))
             .otherwise(lit(""))))
-      TextOps.normalizeText(planted)
+      TextOps.normalizeText(planted).orderBy("doc_id")
     }),
     // Normalize → dedup composition (the consumer normalizeText's
     // contract promises): plants twin docs that differ ONLY by case /
@@ -505,14 +505,22 @@ object SparkEntry {
     "quantile_check" -> ((s, dir) =>
       Sketches.quantileCheck(Tables.documents(s, dir), "n_chars")),
     // Similarity / near-dup family over embeddings + documents.
-    "cosine_topk" -> ((s, dir) => Similarity.cosineTopK(Tables.embeddings(s, dir))),
-    "minhash_neardup" -> ((s, dir) => Similarity.minhashNearDup(Tables.documents(s, dir))),
+    // Presentation sorts live HERE at the rows (r9 sort-free sweep):
+    // the operators return unordered frames so compositions (recall
+    // floors, clustering, the index-parity joins) inherit no range
+    // exchange; PlanSpec asserts the operator plans are Sort-free.
+    "cosine_topk" -> ((s, dir) => Similarity.topKOrder(
+      Similarity.cosineTopK(Tables.embeddings(s, dir)))),
+    "minhash_neardup" -> ((s, dir) =>
+      Similarity.minhashNearDup(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
     // EXACT Jaccard near-dup via prefix filtering (candidate-complete,
     // unlike the signature-based variants) — all-pairs DuckDB oracle.
-    "jaccard_neardup" -> ((s, dir) => Similarity.jaccardNearDup(Tables.documents(s, dir))),
+    "jaccard_neardup" -> ((s, dir) =>
+      Similarity.jaccardNearDup(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
     // Asymmetric cousin: directed containment |A∩B| ≥ 0.8·|A| — the
     // quote/subset detector symmetric Jaccard structurally misses.
-    "containment_neardup" -> ((s, dir) => Similarity.containmentNearDup(Tables.documents(s, dir))),
+    "containment_neardup" -> ((s, dir) =>
+      Similarity.containmentNearDup(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
     // Pairs → clusters: connected components over the near-dup edges
     // (alternating star algorithm) and the survivor view that keeps
     // each cluster's minimum doc. Oracle recomputes the components via
@@ -530,13 +538,17 @@ object SparkEntry {
     // Approximate / signature ops — no SQL oracle (rows-only check):
     // ann_topk_lsh trades recall for bucket-local work; simhash uses
     // engine-specific 64-bit hashing. Both are covered by SimilaritySpec.
-    "simhash" -> ((s, dir) => Similarity.simhash(Tables.documents(s, dir))),
+    "simhash" -> ((s, dir) =>
+      Similarity.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
     // the pigeonhole Hamming-≤8 pair set itself (rows-only: pairs are
     // keyed by the engine-specific signature); simhash_recall below is
     // its measured floor against the exact Jaccard near-dups
-    "simhash_neardup" -> ((s, dir) => Similarity.simhashNearDup(Tables.documents(s, dir))),
-    "ann_topk_lsh" -> ((s, dir) => Similarity.annTopKLsh(Tables.embeddings(s, dir))),
-    "ivf_topk" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))),
+    "simhash_neardup" -> ((s, dir) =>
+      Similarity.simhashNearDup(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+    "ann_topk_lsh" -> ((s, dir) => Similarity.topKOrder(
+      Similarity.annTopKLsh(Tables.embeddings(s, dir)))),
+    "ivf_topk" -> ((s, dir) => Similarity.topKOrder(
+      Similarity.ivfTopK(Tables.embeddings(s, dir)))),
     // Recall floors for the approximate family: the oracle can't
     // reproduce engine-specific hashing, but it CAN assert the floor —
     // it states `true` per query id, so a recall regression flips the
@@ -588,7 +600,8 @@ object SparkEntry {
     // bucketed plan must EQUAL the oracle's all-pairs scan — measured
     // complete at sf0.01 (22/22) and sf0.1 (211/211) by NearDupProbe.
     "embedding_neardup" -> ((s, dir) => Similarity.embeddingNearDup(
-      Tables.embeddings(s, dir), simE6Threshold = 440000L, sigBits = 2, numTables = 32)),
+      Tables.embeddings(s, dir), simE6Threshold = 440000L, sigBits = 2, numTables = 32)
+      .orderBy("vec_a", "vec_b")),
     // SemDeDup semantic dedup over cluster-bounded candidates. The
     // corpus has no high-cosine pairs (measured max 0.513), so the row
     // PLANTS twins: vec_id % 50 = 0 gets a copy at vec_id + 100000
@@ -850,7 +863,7 @@ object SparkEntry {
     // from surviving segments. Oracle replays the same first-wins
     // window over exploded segments.
     "segment_dedup" -> ((s, dir) =>
-      TextOps.segmentDedup(Tables.documents(s, dir), segTokens = 10)),
+      TextOps.segmentDedup(Tables.documents(s, dir), segTokens = 10).orderBy("doc_id")),
     // RAG-style overlap chunking: 50-token windows every 40 tokens
     // (10-token overlap), map-only; the oracle replays the identical
     // slicing arithmetic over DuckDB list ops.

@@ -136,8 +136,15 @@ object Similarity {
       .agg(topk(col("sim_e6"), col("neighbor_id")).as("top"))
       .select(col("q_id"), explode(col("top.items")).as("s"))
       .select(col("q_id"), col("s.neighbor_id").as("neighbor_id"), col("s.sim_e6").as("sim_e6"))
-      .orderBy(col("q_id"), col("sim_e6").desc, col("neighbor_id"))
   }
+
+  /** The top-k family's presentation order, applied by CONSUMERS (the
+    * scoreboard rows, ivfTopKFromIndex's cold query) — never inside
+    * the operators themselves, so composing them (recall floors,
+    * index-parity joins) inherits no range exchange.
+    */
+  def topKOrder(df: DataFrame): DataFrame =
+    df.orderBy(col("q_id"), col("sim_e6").desc, col("neighbor_id"))
 
   private def sumSq(v: Column): Column = call_function("float_norm2", v)
 
@@ -220,7 +227,6 @@ object Similarity {
         size(array_intersect(col("sh_a"), col("sh_b"))).as("inter_size"),
         size(array_union(col("sh_a"), col("sh_b"))).as("union_size"))
       .filter(col("inter_size").cast("long") * 2 >= col("union_size").cast("long"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** EXACT n-gram Jaccard near-duplicate pairs (threshold tNum/tDen)
@@ -286,7 +292,6 @@ object Similarity {
         size(array_intersect(col("sh_a"), col("sh_b"))).as("inter_size"),
         size(array_union(col("sh_a"), col("sh_b"))).as("union_size"))
       .filter(col("inter_size").cast("long") * tDen >= col("union_size").cast("long") * tNum)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Shared prefix-filter scaffolding for the EXACT near-dup ops
@@ -400,7 +405,6 @@ object Similarity {
         size(array_intersect(col("sh_a"), col("sh_b"))).as("inter_size"),
         size(col("sh_a")).as("n_a"))
       .filter(col("inter_size").cast("long") * tDen >= col("n_a").cast("long") * tNum)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** SimHash signature per document over word 3-gram shingles:
@@ -423,7 +427,6 @@ object Similarity {
       .select(
         col("doc_id"),
         call_function("simhash_bits", shingles(col("text")), lit(bits)).as("simhash_bits"))
-      .orderBy("doc_id")
 
   /** SimHash near-duplicate pairs: all (doc_a, doc_b) whose simhash
     * signatures differ in at most maxHamming of `bits` positions, with
@@ -479,7 +482,6 @@ object Similarity {
         call_function("hamming_bits", col("x.sig"), col("y.sig")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("doc_a", "doc_b")
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Embedding-cosine near-duplicate pairs: vectors sharing ANY of the
@@ -521,7 +523,6 @@ object Similarity {
         col("n2").as("b_n2")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"), sim6.as("sim_e6"))
       .filter(col("sim_e6") >= simE6Threshold)
-      .orderBy("vec_a", "vec_b")
   }
 
   /** Shared hyperplane-signature projection: vec_id, embedding, sig,

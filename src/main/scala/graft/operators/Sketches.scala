@@ -35,7 +35,6 @@ object Sketches {
       rsd: Double = 0.02): DataFrame =
     df.groupBy(keyCol)
       .agg(approx_count_distinct(col(valueCol), rsd).as("approx_distinct"))
-      .orderBy(keyCol)
 
   /** HLL accuracy check: approx vs exact distinct users per event_type
     * in ONE aggregate (the exact side Expands, which is precisely why

@@ -126,7 +126,6 @@ object TextOps {
           lit("")).as("clean_text"),
         nSegs.as("n_segments"),
         (nSegs - coalesce(size(col("_kept")), lit(0))).as("n_dropped"))
-      .orderBy("doc_id")
   }
 
   /** The canonical clean-text Column — ONE definition shared by
@@ -152,7 +151,6 @@ object TextOps {
       // long, matching the oracle engine's length() type
       length(col("text")).cast("long").as("n_chars_raw"))
       .withColumn("n_chars_clean", length(col("clean_text")).cast("long"))
-      .orderBy("doc_id")
 
   /** Exact duplicated-span detection at ANY offset — the dedup mode
     * fixed-window segmentDedup cannot see (Lee et al. 2021,

@@ -70,13 +70,26 @@ class PlanSpec extends SparkSpec {
     // physical SortExec nodes that are legitimate.
     import org.apache.spark.sql.catalyst.plans.logical.Sort
     val emb = Tables.embeddings(spark, dir)
+    val docs = Tables.documents(spark, dir)
     Seq(
       "semantic_dedup" -> Similarity.semanticDedup(
         emb.select("vec_id", "embedding"), nlist = 4),
       "hamming_linkage" -> graft.operators.Linkage.hammingLinkage(
         Tables.customer(spark, dir).select(col("c_custkey").as("id"),
           org.apache.spark.sql.functions.md5(col("c_name")).as("k")),
-        "id", "k", width = 32, maxDist = 2)
+        "id", "k", width = 32, maxDist = 2),
+      // r9 sweep: the whole near-dup/top-k/text family is sort-free
+      "cosine_topk" -> Similarity.cosineTopK(emb),
+      "minhash_neardup" -> Similarity.minhashNearDup(docs),
+      "jaccard_neardup" -> Similarity.jaccardNearDup(docs),
+      "containment_neardup" -> Similarity.containmentNearDup(docs),
+      "simhash" -> Similarity.simhash(docs),
+      "simhash_neardup" -> Similarity.simhashNearDup(docs),
+      "embedding_neardup" -> Similarity.embeddingNearDup(emb, 450000L),
+      "segment_dedup" -> graft.operators.TextOps.segmentDedup(docs),
+      "normalize_text" -> graft.operators.TextOps.normalizeText(docs),
+      "approx_distinct" -> graft.operators.Sketches.approxDistinct(
+        Tables.events(spark, dir), "event_type", "user_id")
     ).foreach { case (name, df) =>
       val sorts = df.queryExecution.optimizedPlan.collect { case s: Sort => s }
       assert(sorts.isEmpty, s"$name: operator must not sort (found: $sorts)")

@@ -226,9 +226,9 @@ class SimilaritySpec extends SparkSpec {
     ivf.foreach { case (q, n, s) => assert(exactAll.contains((q, n, s))) }
     // probing every cell recovers the exact top-k
     val full = Similarity.ivfTopK(emb, nQueries = 3, k = 5, nlist = 8, nprobe = 8)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val exactTop = Similarity.cosineTopK(emb, nQueries = 3, k = 5)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(full === exactTop)
   }
 

@@ -17,7 +17,7 @@ class TextSketchSpec extends SparkSpec {
       (2L, "plain ascii stays"),
       (3L, "café")
     ).toDF("doc_id", "text")
-    val got = graft.operators.TextOps.normalizeText(docs)
+    val got = graft.operators.TextOps.normalizeText(docs).orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(got(0) == ((1L, "café and naïve", 17L, 14L)))
     assert(got(1) == ((2L, "plain ascii stays", 17L, 17L)))
@@ -131,7 +131,7 @@ class TextSketchSpec extends SparkSpec {
       (3L, "x y z"),               // loses entirely to doc 1's second seg
       (4L, "q r s tail")           // [q r s] loses to doc 2; [tail] survives
     ).toDF("doc_id", "text")
-    val got = TextOps.segmentDedup(docs, segTokens = 3)
+    val got = TextOps.segmentDedup(docs, segTokens = 3).orderBy("doc_id")
       .as[(Long, String, Long, Long)].collect().toSeq
     assert(got === Seq(
       (1L, "a b c x y z", 3L, 1L),
@@ -142,7 +142,7 @@ class TextSketchSpec extends SparkSpec {
 
   test("segmentDedup: duplicate-free corpus passes through unchanged") {
     val docs = Seq((1L, "one two three four"), (2L, "five six")).toDF("doc_id", "text")
-    val got = TextOps.segmentDedup(docs, segTokens = 3)
+    val got = TextOps.segmentDedup(docs, segTokens = 3).orderBy("doc_id")
       .as[(Long, String, Long, Long)].collect().toSeq
     assert(got === Seq(
       (1L, "one two three four", 2L, 0L),
