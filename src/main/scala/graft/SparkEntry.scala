@@ -105,6 +105,28 @@ object SparkEntry {
       (out, model)
     })
 
+  /** ivf_index_append's two indexes, built ONCE per sf dir at the
+    * SAME quantizer (fit on the base — the model that existed before
+    * the delta arrived): index `app` = buildIvfIndex(base) +
+    * appendToIvfIndex(delta) — the incremental-maintenance path;
+    * index `full` = buildIvfIndex(base ∪ delta) — the rebuild the
+    * append replaces. The row queries BOTH cold and states parity.
+    */
+  private val ivfAppendMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def ivfAppendIndexes(s: SparkSession, dir: String): (String, String) =
+    ivfAppendMemo.computeIfAbsent(dir, _ => {
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(col("vec_id") % 5 =!= 3)
+      val delta = emb.filter(col("vec_id") % 5 === 3) // 20% "yesterday" batch
+      val root = tempDir("graft_ivf_append")
+      val model = Similarity.fitIvfModel(base)
+      Similarity.buildIvfIndex(base, s"$root/app", model)
+      Similarity.appendToIvfIndex(delta, s"$root/app")
+      Similarity.buildIvfIndex(emb, s"$root/full", model)
+      (s"$root/app", s"$root/full")
+    })
+
   /** The bucketed_join row's catalog tables, written ONCE per sf dir
     * (VERDICT r6 "What's wrong" #1: every evaluation re-wrote both
     * bucketed tables, so the 2.28 s bench number was mostly setup
@@ -579,6 +601,31 @@ object SparkEntry {
       val ref = memoDF(s, s"ivfidxref:$dir")(
         Similarity.ivfTopK(Tables.embeddings(s, dir), model = Some(model)))
       fromIdx.as("a").join(ref.as("b"),
+        col("a.q_id") === col("b.q_id") &&
+          col("a.neighbor_id") === col("b.neighbor_id") &&
+          col("a.sim_e6") === col("b.sim_e6"), "left_semi")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_matches"))
+        .orderBy("q_id")
+    }),
+    // Incremental index maintenance (the build-once index's missing
+    // update half): index A = build(base) + appendToIvfIndex(delta) —
+    // new batch assigned against the EXISTING persisted centroids, no
+    // refit, dynamic-partition append into the cell directories;
+    // index B = full rebuild over base ∪ delta at the same quantizer.
+    // Both queried COLD; n_matches == k everywhere ⟺ the append path
+    // reproduces the rebuild EXACTLY (assignment parity is structural:
+    // one assignCells kernel over losslessly round-tripped centroids).
+    // The oracle states that full-parity truth.
+    "ivf_index_append" -> ((s, dir) => {
+      val (appIdx, fullIdx) = ivfAppendIndexes(s, dir)
+      val fromApp = Similarity.ivfTopKFromIndex(s, appIdx)
+      val plan = fromApp.queryExecution.executedPlan.toString
+      require(plan.contains("PartitionFilters: [cell"),
+        s"appended index must still prune to probed cells:\n$plan")
+      val fromFull = memoDF(s, s"ivfappref:$dir")(
+        Similarity.ivfTopKFromIndex(s, fullIdx))
+      fromApp.as("a").join(fromFull.as("b"),
         col("a.q_id") === col("b.q_id") &&
           col("a.neighbor_id") === col("b.neighbor_id") &&
           col("a.sim_e6") === col("b.sim_e6"), "left_semi")
@@ -1946,6 +1993,11 @@ object SparkEntry {
     // full parity: every query's k=10 index-path results must match
     // the in-JVM path exactly (same quantizer, deterministic top-k)
     "ivf_index_topk" ->
+      """SELECT vec_id AS q_id, CAST(10 AS BIGINT) AS n_matches
+        |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin,
+    // append-vs-rebuild parity: every query's k=10 results from the
+    // incrementally-appended index must match the full rebuild exactly
+    "ivf_index_append" ->
       """SELECT vec_id AS q_id, CAST(10 AS BIGINT) AS n_matches
         |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin,
     // survivors against the ALL-PAIRS similarity graph: a vector is

@@ -60,6 +60,19 @@ object BloomJoin {
     pre.join(keys, pre(bigKey) === keys(keyCol), "leftsemi")
   }
 
+  /** Distinct-key fingerprint (count + xor) — the staleness guard the
+    * persisted index carries. Computed over the DISTINCT key values so
+    * duplicated key rows (a semi join doesn't care) can't skew it; one
+    * small aggregation over the key side, far cheaper than the bloom
+    * build it stands in for.
+    */
+  private def keyFingerprint(keys: DataFrame, keyCol: String): (Long, Long) = {
+    val r = keys.select(col(keyCol)).where(col(keyCol).isNotNull).distinct()
+      .agg(count(lit(1)), coalesce(expr(s"bit_xor($keyCol)"), lit(0L)))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** Persist the bloom as a 1-row parquet index (bytes + build
     * params): the build-once / query-many posture of the IVF index
     * (Similarity.buildIvfIndex precedent) applied to the join family.
@@ -70,7 +83,10 @@ object BloomJoin {
     * COLD session reloads kilobytes of bytes instead of re-scanning
     * the key table. The exact join side still consults `keys` (the
     * bloom is approximate — false positives need the exact pass), so
-    * the index is a shuffle/scan reducer, never a correctness input.
+    * the index is a shuffle/scan reducer — but a STALE index (keys
+    * gained members after the build) would produce false NEGATIVES,
+    * so the row also carries a distinct-key fingerprint (n_keys +
+    * key_xor) that query time validates against the live key frame.
     */
   def buildIndex(
       keys: DataFrame,
@@ -79,18 +95,63 @@ object BloomJoin {
       dir: String,
       fpp: Double = 0.01): Unit = {
     val bytes = bloomBytes(keys, keyCol, expectedKeys, fpp)
+    val (nKeys, keyXor) = keyFingerprint(keys, keyCol)
     val spark = keys.sparkSession
     import spark.implicits._
-    Seq((keyCol, expectedKeys, fpp, bytes))
-      .toDF("key_col", "expected_keys", "fpp", "bloom")
+    Seq((keyCol, expectedKeys, fpp, bytes, nKeys, keyXor))
+      .toDF("key_col", "expected_keys", "fpp", "bloom", "n_keys", "key_xor")
       .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Incremental maintenance: OR-merge a DELTA key batch into the
+    * persisted index — the daily-append posture (new staging keys
+    * arrive, the old 99.9% is unchanged) without re-scanning the full
+    * key table. Blooms are mergeable by construction: the delta bloom
+    * is sized from the STORED (expected_keys, fpp) so the bit arrays
+    * are compatible, and the union of set bits is exactly the bloom
+    * of the union key set. The fingerprint merges additively
+    * (count + , xor ⊕), which is exact when the delta is DISJOINT
+    * from the already-indexed keys — the append-only load semantics
+    * this maintains. An overlapping delta never yields silent false
+    * negatives: the bloom stays a superset either way, and the
+    * fingerprint drift surfaces as a loud staleness error at query
+    * time (fail-loud, not wrong-answer).
+    */
+  def mergeIntoIndex(
+      deltaKeys: DataFrame,
+      keyCol: String,
+      indexDir: String): Unit = {
+    val spark = deltaKeys.sparkSession
+    val row = spark.read.parquet(indexDir).head()
+    val builtFor = row.getAs[String]("key_col")
+    require(builtFor == keyCol,
+      s"bloom index at $indexDir was built over '$builtFor', not '$keyCol'")
+    val expectedKeys = row.getAs[Long]("expected_keys")
+    val fpp = row.getAs[Double]("fpp")
+    val base = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("bloom")))
+    val delta = deltaKeys.stat.bloomFilter(keyCol, expectedKeys, fpp)
+    base.mergeInPlace(delta) // same (expectedKeys, fpp) ⇒ compatible
+    val bos = new java.io.ByteArrayOutputStream()
+    base.writeTo(bos)
+    val (dN, dXor) = keyFingerprint(deltaKeys, keyCol)
+    import spark.implicits._
+    Seq((keyCol, expectedKeys, fpp, bos.toByteArray,
+        row.getAs[Long]("n_keys") + dN, row.getAs[Long]("key_xor") ^ dXor))
+      .toDF("key_col", "expected_keys", "fpp", "bloom", "n_keys", "key_xor")
+      .coalesce(1).write.mode("overwrite").parquet(indexDir)
   }
 
   /** semiJoin against a PERSISTED bloom index: identical result,
     * zero bloom-build work — the 1-row index read is the only
     * addition (a bounded driver-side head, like the IVF index's
     * centroid load). Fails loudly if the index was built over a
-    * different key column than the join asks for.
+    * different key column than the join asks for, or if the live key
+    * frame's distinct-key fingerprint no longer matches the one the
+    * index was built/merged with — a stale bloom yields false
+    * NEGATIVES (silently dropped matching rows), so staleness is a
+    * hard error directing the caller to mergeIntoIndex/buildIndex,
+    * never a silent result change.
     */
   def semiJoinFromIndex(
       big: DataFrame,
@@ -102,6 +163,13 @@ object BloomJoin {
     val builtFor = row.getAs[String]("key_col")
     require(builtFor == keyCol,
       s"bloom index at $indexDir was built over '$builtFor', not '$keyCol'")
+    val (nKeys, keyXor) = keyFingerprint(keys, keyCol)
+    require(nKeys == row.getAs[Long]("n_keys") && keyXor == row.getAs[Long]("key_xor"),
+      s"bloom index at $indexDir is STALE for this key set " +
+        s"(indexed ${row.getAs[Long]("n_keys")} distinct keys, live frame has $nKeys" +
+        s"${if (nKeys == row.getAs[Long]("n_keys")) " with a different membership" else ""});" +
+        " a stale bloom would silently drop matching big-side rows —" +
+        " mergeIntoIndex the delta or rebuild with buildIndex")
     val bytes = row.getAs[Array[Byte]]("bloom")
     val pre = big
       .where(call_function("bloom_might_contain", col(bigKey), lit(bytes)))

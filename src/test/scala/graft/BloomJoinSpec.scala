@@ -59,6 +59,35 @@ class BloomJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("built over 'j'"))
   }
 
+  test("mergeIntoIndex: delta ORs in; a stale index fails loudly, never silently") {
+    import spark.implicits._
+    val big = spark.range(0, 5000).toDF("k")
+    val base = spark.range(0, 2000, 2).toDF("j")
+    val delta = spark.range(2001, 4000, 2).toDF("j") // disjoint from base
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom_merge_spec")
+      .toString + "/idx"
+    BloomJoin.buildIndex(base, "j", expectedKeys = 2000, dir)
+    val grown = base.unionByName(delta)
+    // querying a grown key set against the un-merged index is the
+    // false-NEGATIVE footgun — it must be a hard error, not a silent
+    // row drop
+    val e = intercept[IllegalArgumentException] {
+      BloomJoin.semiJoinFromIndex(big, grown, "k", "j", dir)
+    }
+    assert(e.getMessage.contains("STALE"))
+    BloomJoin.mergeIntoIndex(delta, "j", dir)
+    val fromIdx = BloomJoin.semiJoinFromIndex(big, grown, "k", "j", dir)
+    val plain = big.join(grown, big("k") === grown("j"), "leftsemi")
+    assert(fromIdx.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(fromIdx).count() === 0)
+    // after the merge the ORIGINAL key set no longer matches either —
+    // the fingerprint pins the exact indexed membership
+    val e2 = intercept[IllegalArgumentException] {
+      BloomJoin.semiJoinFromIndex(big, base, "k", "j", dir)
+    }
+    assert(e2.getMessage.contains("STALE"))
+  }
+
   test("the prefilter actually reduces: disjoint keys drop before the join") {
     import spark.implicits._
     val big = spark.range(1000, 10000).toDF("k")

@@ -216,6 +216,30 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.simhashNearDup(shorties).count() === 0)
   }
 
+  test("appendToIvfIndex equals the full rebuild at the same quantizer") {
+    val emb = Tables.embeddings(spark, dir).cache()
+    val base = emb.filter(col("vec_id") % 5 =!= 3)
+    val delta = emb.filter(col("vec_id") % 5 === 3)
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_append_spec").toString
+    val model = Similarity.fitIvfModel(base, nlist = 8)
+    Similarity.buildIvfIndex(base, s"$root/app", model)
+    Similarity.appendToIvfIndex(delta, s"$root/app")
+    Similarity.buildIvfIndex(emb, s"$root/full", model)
+    // assignment tables identical row-for-row (the structural claim:
+    // one assignCells kernel over round-tripped centroid doubles)
+    def asg(p: String) = spark.read.parquet(s"$p/assignments")
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val a = asg(s"$root/app"); val b = asg(s"$root/full")
+    assert(a == b, s"appended vs rebuilt assignments differ: ${a.diff(b)} / ${b.diff(a)}")
+    assert(a.map(_._1) == emb.select("vec_id").collect().map(_.getLong(0)).toSet,
+      "append must cover every vector exactly once")
+    // and the cold queries agree
+    def cold(p: String) = Similarity.ivfTopKFromIndex(spark, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cold(s"$root/app") == cold(s"$root/full"))
+  }
+
   test("ivf top-k: candidates carry exact similarities; full-probe = exact search") {
     val emb = Tables.embeddings(spark, dir).cache()
     val exactAll = Similarity.cosineTopK(emb, nQueries = 3, k = 1000)
