@@ -758,29 +758,38 @@ object Similarity {
 
   /** Query a persisted IVF index COLD: everything the query needs —
     * centroids, assignments, precomputed norms — comes off the index
-    * tables; no model object, no refit. Two bounded driver-side
-    * collects, both sized by query parameters, never by data: the
-    * query-vector lookup (≤ nQueries rows, pushed-filter scan — the
-    * production shape, where query vectors arrive from the caller
-    * rather than from a corpus scan) and the probe list
-    * (≤ nQueries·nprobe cells), which is pushed as a STATIC partition
-    * filter so the candidate scan opens only the probed cell
-    * directories (PartitionFilters — the driver row asserts it).
+    * tables; no model object, no refit. The production shape passes
+    * `queries` (q_id, q_emb) directly — query vectors arrive FROM THE
+    * CALLER (a request batch, a chunk of new documents), and the
+    * assignments table is never scanned to find them. When `queries`
+    * is None the fixture shape kicks in: the first nQueries corpus
+    * vectors are looked up from the assignments table (a bounded
+    * pushed-filter scan — fixture convenience, not the posture).
+    * Either way the probe list (≤ |queries|·nprobe cells) is pushed
+    * as a STATIC partition filter so the candidate scan opens only
+    * the probed cell directories (PartitionFilters — the driver rows
+    * assert it).
     */
   def ivfTopKFromIndex(
       spark: org.apache.spark.sql.SparkSession,
       indexDir: String,
       nQueries: Int = 5,
       k: Int = 10,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4,
+      queries: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val assigned = spark.read.parquet(s"$indexDir/assignments")
-    val qRows = assigned.filter(col("vec_id") < nQueries)
-      .select(col("vec_id"), col("embedding"), col("n2"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
-    val q = spark.createDataset(qRows.toSeq).toDF("q_id", "q_emb", "qn2")
+    val q = queries match {
+      case Some(qs) =>
+        qs.select(col("q_id"), col("q_emb"), sumSq(col("q_emb")).as("qn2"))
+      case None =>
+        val qRows = assigned.filter(col("vec_id") < nQueries)
+          .select(col("vec_id"), col("embedding"), col("n2"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+        spark.createDataset(qRows.toSeq).toDF("q_id", "q_emb", "qn2")
+    }
     val qDist = probeSet(q, cents, nprobe)
     val probeCells = qDist.select("cell").distinct()
       .collect().map(_.getInt(0)).sorted
@@ -788,6 +797,29 @@ object Similarity {
       assigned.filter(col("cell").isin(probeCells.map(Int.box): _*)),
       qDist, k)
   }
+
+  /** Deterministic hash-projection text embedding — the zero-egress
+    * stand-in for a learned embedding model at the chunk→embed seam
+    * (chunkDocs' scaladoc points here): dimension j of a chunk is the
+    * sum over its whitespace tokens of a ±1 sign drawn from
+    * md5(token ":" j) (first hex digit < '8' ⇒ +1). Signs are i.i.d.
+    * uniform per (token, j), so this IS a random projection of the
+    * token-count vector — near-duplicate chunks land at high cosine —
+    * while staying exactly replayable by the DuckDB oracle (md5 and
+    * integer sums, no engine-specific hashing; the values are small
+    * integers, exact in float). Map-only, no shuffle; a real model
+    * would slot in via the Multimodal mapInPandas batch seam with the
+    * same (id, vector) contract.
+    */
+  def hashEmbedding(chunkText: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)), j =>
+      aggregate(
+        split(chunkText, " "),
+        lit(0),
+        (acc, t) => acc + when(
+          ascii(substring(md5(concat(t, lit(":"), j.cast("string"))), 1, 1)) < 56,
+          1).otherwise(-1))
+        .cast("float"))
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space, look for

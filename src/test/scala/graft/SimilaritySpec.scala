@@ -216,6 +216,21 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.simhashNearDup(shorties).count() === 0)
   }
 
+  test("ivfTopKFromIndex: caller-supplied queries equal the fixture lookup") {
+    val emb = Tables.embeddings(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_q_spec").toString
+    val model = Similarity.fitIvfModel(emb, nlist = 8)
+    Similarity.buildIvfIndex(emb, s"$root/idx", model)
+    val legacy = Similarity.ivfTopKFromIndex(spark, s"$root/idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val param = Similarity.ivfTopKFromIndex(spark, s"$root/idx", queries = Some(qs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(param == legacy,
+      "the parameterized production path must reproduce the fixture lookup")
+  }
+
   test("appendToIvfIndex equals the full rebuild at the same quantizer") {
     val emb = Tables.embeddings(spark, dir).cache()
     val base = emb.filter(col("vec_id") % 5 =!= 3)
