@@ -1444,6 +1444,37 @@ object SparkEntry {
     // contract itself, deterministic under any survivor choice. The
     // generous watermark makes state span the fixture (dedup = global
     // here); production bounds it exactly like the 30-day lookback.
+    // Streaming skew-aware join (the streaming family's skew story):
+    // key heat accrues across micro-batches in a mergeable Count-Min
+    // sketch; each batch splits hot/cold by cm_estimate ≥ hotMinRows
+    // (≥-true: a hot key can never be missed) and routes through the
+    // salted/plain two-path union. At sf0.01 per-user event counts
+    // run 49-86 over two micro-batches, so hotMinRows = 40 makes the
+    // first batch route mostly cold (cumulative counts ~25-43) and
+    // the second mostly hot — both paths carry rows, which the row
+    // REQUIREs. Oracle = the plain batch left join: the sketch split
+    // must be invisible in the result.
+    "stream_skew_join" -> ((s, dir) => streamRow(s) {
+      val src = eventChunks(s, dir)
+      val base = tempDir("graft_stream_skew")
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2).parquet(src)
+        .select("event_id", "user_id")
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val (q, branches) = graft.streaming.IncrementalSync.skewJoinSync(
+        stream, dim, "user_id",
+        s"$base/target", s"$base/ckpt", hotMinRows = 40L)
+      q.awaitTermination()
+      val (hotN, coldN) = branches()
+      require(hotN > 0 && coldN > 0,
+        s"both routes must carry rows (hot=$hotN cold=$coldN) — the sketch split is the thing under test")
+      s.read.parquet(s"$base/target")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("c_mktsegment"), lit("none")).as("segment"))
+        .orderBy("event_id")
+    }),
     "stream_doc_ingest" -> ((s, dir) => streamRow(s) {
       val src = docChunks(s, dir)
       val base = tempDir("graft_stream_di")
@@ -2211,6 +2242,13 @@ object SparkEntry {
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt, count(*) AS n_events
         |FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
         |GROUP BY 1 ORDER BY dt""".stripMargin,
+    // the plain batch join — the cumulative-sketch hot/cold routing
+    // must be invisible in the result (same contract as
+    // skew_hybrid_join's oracle)
+    "stream_skew_join" ->
+      """SELECT e.event_id, e.user_id, coalesce(c.c_mktsegment, 'none') AS segment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY event_id""".stripMargin,
     // batch twin of the stateless stream-static join: identical by
     // definition — the row proves the streaming plumbing preserves it
     "stream_static_enrich" ->

@@ -68,8 +68,9 @@ object Skew {
     * and plain-join semantics (drop for inner, preserve-unmatched for
     * left) are exactly the contract. The census is exact counts, not
     * a sketch, so the plan is deterministic run-to-run; a streaming
-    * ingest would swap stage 1 for the Count–Min sketch's ≥-true
-    * estimates (Sketches.CountMin) at the same split semantics.
+    * ingest swaps stage 1 for the Count–Min sketch's ≥-true estimates
+    * at the same split semantics — cmSkewJoin below, driven
+    * per-micro-batch by IncrementalSync.skewJoinSync.
     *
     * Deliberate trade, stated plainly: the big side is SCANNED three
     * times (census + hot branch + cold branch — Catalyst reuses
@@ -96,6 +97,49 @@ object Skew {
     val bigCold = big.join(broadcast(hot), Seq(key), "left_anti")
     val smallHot = small.join(broadcast(hot), Seq(key), "left_semi")
     val smallCold = small.join(broadcast(hot), Seq(key), "left_anti")
+    saltedJoin(bigHot, smallHot, key, saltFactor, joinType)
+      .unionByName(bigCold.join(smallCold, Seq(key), joinType))
+  }
+
+  /** The Count–Min-driven variant of hybridSkewJoin — the census
+    * replacement a STREAMING ingest needs (hybridSkewJoin's exact
+    * groupBy census re-counts from zero each call; a stream must
+    * accumulate key frequencies ACROSS micro-batches, which is
+    * exactly what the mergeable Sketches.CountMin does). The hot/cold
+    * split is a deterministic map-only predicate on
+    * `cm_estimate(sketch, key) >= hotMinRows`, applied to BOTH sides,
+    * so the key space is partitioned consistently without ever
+    * materializing a hot-key set. Polarity does the safety work: CM
+    * estimates never undercount, so a truly-hot key can NEVER be
+    * missed — misclassification only ever salts a cold key (a spread
+    * tax, not a correctness risk). Result equals the plain join
+    * exactly, same argument as hybridSkewJoin (both paths preserve
+    * multiplicity; the predicate partitions the key space; null keys
+    * ride the cold path with plain-join semantics).
+    */
+  def cmSkewJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      sketch: Array[Long],
+      depth: Int,
+      width: Int,
+      hotMinRows: Long,
+      saltFactor: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(hotMinRows > 0, "hotMinRows must be positive")
+    require(sketch.length == depth * width,
+      s"sketch has ${sketch.length} counters, expected ${depth * width}")
+    // unresolved column expressions — they re-resolve against each
+    // frame they filter, so one definition splits both sides
+    val est = call_function("cm_estimate",
+      lit(sketch), col(key).cast("string"), lit(depth), lit(width))
+    val hotPred = col(key).isNotNull && est >= hotMinRows
+    val coldPred = col(key).isNull || est < hotMinRows
+    val bigHot = big.where(hotPred)
+    val bigCold = big.where(coldPred)
+    val smallHot = small.where(hotPred)
+    val smallCold = small.where(coldPred)
     saltedJoin(bigHot, smallHot, key, saltFactor, joinType)
       .unionByName(bigCold.join(smallCold, Seq(key), joinType))
   }

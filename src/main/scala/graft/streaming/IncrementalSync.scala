@@ -269,6 +269,72 @@ object IncrementalSync {
       .select(col("event_id"), col("user_id"),
         coalesce(col("c_mktsegment"), lit("none")).as("segment"))
 
+  /** Streaming skew-aware enrichment join — the skew story the
+    * stream–static family was missing: staticEnrich broadcasts the
+    * dim (fine when it fits), but a dim too large to broadcast forces
+    * a shuffled join where one hot stream key degenerates a task.
+    * hybridSkewJoin's exact census can't help a stream (it re-counts
+    * from zero; a key's heat accrues ACROSS micro-batches), so this
+    * maintains the mergeable Count–Min sketch instead: each batch's
+    * key counts fold into the cumulative sketch (merge = elementwise
+    * add — the sketch is a linear projection), then the batch routes
+    * through Skew.cmSkewJoin against the up-to-date estimates. The
+    * ≥-true polarity means a key that has EVER crossed hotMinRows
+    * salts from that batch on — no hot key is ever missed; a cold key
+    * occasionally over-estimated just pays the salting tax. The
+    * sketch is depth×width longs of driver state; a restart rebuilds
+    * it by replaying the checkpointed source (or persist it per batch
+    * beside the checkpoint, the per-day-HLL pattern — constant KBs).
+    * Returns the query plus a branch-row observer so callers (the
+    * driver row, ops dashboards) can see both paths carrying rows.
+    */
+  def skewJoinSync(
+      events: DataFrame,
+      dim: DataFrame,
+      key: String,
+      targetDir: String,
+      checkpointDir: String,
+      hotMinRows: Long,
+      saltFactor: Int = 4,
+      depth: Int = 5,
+      width: Int = 1024): (StreamingQuery, () => (Long, Long)) = {
+    val sketch = new java.util.concurrent.atomic.AtomicReference(
+      new Array[Long](depth * width))
+    val hotRows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val coldRows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val cm = new graft.operators.Sketches.CountMin(depth, width)
+        val delta = batch.select(col(key).cast("string"))
+          .where(col(key).isNotNull)
+          .as[String].select(cm.toColumn).head()
+        // fold the WHOLE batch in before splitting, so a key crossing
+        // the threshold inside this batch already salts this batch
+        val merged = sketch.get().clone()
+        var i = 0
+        while (i < merged.length) { merged(i) += delta(i); i += 1 }
+        sketch.set(merged)
+        val out = graft.operators.Skew.cmSkewJoin(
+          batch, dim, key, merged, depth, width, hotMinRows, saltFactor, "left")
+        out.write.mode("append").parquet(targetDir)
+        // branch observability (scoreboard + ops): two bounded count
+        // jobs per batch; drop them where batch latency is precious
+        val est = call_function("cm_estimate",
+          lit(merged), col(key).cast("string"), lit(depth), lit(width))
+        val n = batch.count()
+        val h = batch.where(col(key).isNotNull && est >= hotMinRows).count()
+        hotRows.addAndGet(h)
+        coldRows.addAndGet(n - h)
+        ()
+      }
+      .start()
+    (q, () => (hotRows.get(), coldRows.get()))
+  }
+
   /** Streaming staged-contacts sync: watch `srcDir` for new JSON
     * batches, shred each micro-batch, and insert-only-merge it into
     * the parquet target (J2 semantics — replays and overlapping

@@ -159,6 +159,48 @@ class PropertySpec extends SparkSpec {
     assert(plain.exceptAll(allCold).count() === 0)
   }
 
+  test("cmSkewJoin: sketch-driven split equals the plain join, both routes used") {
+    import spark.implicits._
+    // same heavy-tailed fixture as the hybrid test: hot key 42, a
+    // uniform tail, nulls sprinkled in
+    val big = (1 to 2000).map { i =>
+      val k: java.lang.Long =
+        if (i % 10 == 0) java.lang.Long.valueOf(i.toLong % 7)
+        else if (i % 501 == 0) null
+        else java.lang.Long.valueOf(42L)
+      (k, i)
+    }.toDF("k", "v")
+    val small = Seq((42L, "hot"), (1L, "a"), (3L, "c"), (99L, "unmatched")).toDF("k", "name")
+    val depth = 5; val width = 64
+    val cm = new graft.operators.Sketches.CountMin(depth, width)
+    val sketch = big.select(col("k").cast("string")).where(col("k").isNotNull)
+      .as[String].select(cm.toColumn).head()
+    for (jt <- Seq("inner", "left")) {
+      val plain = big.join(small, Seq("k"), jt).select("k", "v", "name")
+      val got = graft.operators.Skew
+        .cmSkewJoin(big, small, "k", sketch, depth, width,
+          hotMinRows = 100, saltFactor = 8, jt)
+        .select("k", "v", "name")
+      assert(got.exceptAll(plain).count() === 0, s"$jt: extra rows")
+      assert(plain.exceptAll(got).count() === 0, s"$jt: missing rows")
+    }
+    // ≥-true polarity: the sketch estimate for the hot key can never
+    // undercount, so it MUST route hot at any threshold ≤ true count
+    val est42 = graft.expressions.HashOps.cmEstimate(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(sketch),
+      org.apache.spark.unsafe.types.UTF8String.fromString("42"), depth, width)
+    assert(est42 >= big.where(col("k") === 42).count(),
+      "CM estimates never undercount — the no-missed-hot-key guarantee")
+    // a threshold above every count degenerates to the pure cold path
+    val allCold = graft.operators.Skew
+      .cmSkewJoin(big, small, "k", sketch, depth, width,
+        hotMinRows = 1000000L, saltFactor = 8)
+      .select("k", "v", "name")
+    val plain = big.join(small, Seq("k")).select("k", "v", "name")
+    assert(allCold.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(allCold).count() === 0)
+  }
+
   test("qualityFilterMultilang: fluent non-English passes, gibberish still fails") {
     import spark.implicits._
     val docs = Seq(
