@@ -293,11 +293,23 @@ object SparkEntry {
     */
   private def streamRow[T](s: SparkSession, partitions: Int = 4)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.get(key)
+    val prevProv = s.conf.get(provKey, "")
     s.conf.set(key, partitions.toString)
+    // Every stateful stream row runs on the RocksDB state store: at
+    // 100 TB-scale key cardinalities (dedup keys, open sessions) the
+    // default HDFS-backed provider holds ALL state on the JVM heap —
+    // the one remaining streaming OOM risk. RocksDB keeps state in
+    // native memory + local SST files and is in-box; StreamingSpec
+    // proves the eviction contract holds identically on BOTH
+    // providers and that state genuinely leaves the heap here.
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try body
     finally {
       s.conf.set(key, prev)
+      if (prevProv.isEmpty) s.conf.unset(provKey) else s.conf.set(provKey, prevProv)
       org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     }
   }

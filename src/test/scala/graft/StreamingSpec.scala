@@ -305,37 +305,88 @@ class StreamingSpec extends SparkSpec {
       "quiet user's trailing session emits; user 2's open session stays in state")
   }
 
-  test("dedup state EVICTS at the watermark: a beyond-bound duplicate re-emits") {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    def ts(ms: Long) = new java.sql.Timestamp(ms)
-    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
-    val deduped = IncrementalSync.dedupFirstArrival(
-      stream.toDF().toDF("id", "ts", "payload"),
-      keyCols = Seq("id"), eventTimeCol = "ts", watermark = "10 seconds")
-    val q = deduped.writeStream.format("memory").queryName("dedup_evict")
-      .outputMode("append").start()
-    // batch 1: key 1's first arrival emits and registers state
-    stream.addData(Seq((1L, ts(1000), "first")))
-    q.processAllAvailable()
-    // batch 2: the in-watermark duplicate still drops (state present),
-    // and the far-future probe advances the watermark to 90 000 —
-    // beyond key 1's state expiry (first_ts + delay = 11 000), so the
-    // maintenance pass EVICTS it
-    stream.addData(Seq((1L, ts(2000), "in-watermark-dup"), (2L, ts(100000), "probe")))
-    q.processAllAvailable()
-    // batch 3: key 1 arrives again, beyond the watermark bound: its
-    // state is gone, so it RE-EMITS — this is the state-bound contract
-    // (VERDICT r7 "What's missing" #2): dedup is exact only within the
-    // watermark, and state does not grow with stream length. If state
-    // were unbounded this row would be suppressed and the test fails.
-    stream.addData(Seq((1L, ts(95000), "beyond-watermark-dup")))
-    q.processAllAvailable()
-    q.stop()
-    val got = spark.table("dedup_evict").select("payload").as[String]
-      .collect().toSeq.sorted
-    assert(got === Seq("beyond-watermark-dup", "first", "probe"),
-      "in-watermark dup drops; beyond-watermark dup re-emits after eviction")
+  // the two in-box state store providers: the heap-backed default and
+  // the RocksDB provider the driver rows run on (streamRow pins it) —
+  // the eviction CONTRACT must hold identically on both
+  private val stateProviders = Seq(
+    "hdfs" ->
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    "rocksdb" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+  private def withStateProvider[T](providerClass: String)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(key, "")
+    spark.conf.set(key, providerClass)
+    try body
+    finally if (prev.isEmpty) spark.conf.unset(key) else spark.conf.set(key, prev)
+  }
+
+  for ((label, providerClass) <- stateProviders)
+    test(s"dedup state EVICTS at the watermark ($label provider): beyond-bound dup re-emits") {
+      withStateProvider(providerClass) {
+        import spark.implicits._
+        implicit val sqlCtx = spark.sqlContext
+        def ts(ms: Long) = new java.sql.Timestamp(ms)
+        val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+        val deduped = IncrementalSync.dedupFirstArrival(
+          stream.toDF().toDF("id", "ts", "payload"),
+          keyCols = Seq("id"), eventTimeCol = "ts", watermark = "10 seconds")
+        val q = deduped.writeStream.format("memory")
+          .queryName(s"dedup_evict_$label")
+          .outputMode("append").start()
+        // batch 1: key 1's first arrival emits and registers state
+        stream.addData(Seq((1L, ts(1000), "first")))
+        q.processAllAvailable()
+        // batch 2: the in-watermark duplicate still drops (state present),
+        // and the far-future probe advances the watermark to 90 000 —
+        // beyond key 1's state expiry (first_ts + delay = 11 000), so the
+        // maintenance pass EVICTS it
+        stream.addData(Seq((1L, ts(2000), "in-watermark-dup"), (2L, ts(100000), "probe")))
+        q.processAllAvailable()
+        // batch 3: key 1 arrives again, beyond the watermark bound: its
+        // state is gone, so it RE-EMITS — this is the state-bound contract
+        // (VERDICT r7 "What's missing" #2): dedup is exact only within the
+        // watermark, and state does not grow with stream length. If state
+        // were unbounded this row would be suppressed and the test fails.
+        stream.addData(Seq((1L, ts(95000), "beyond-watermark-dup")))
+        q.processAllAvailable()
+        q.stop()
+        val got = spark.table(s"dedup_evict_$label").select("payload").as[String]
+          .collect().toSeq.sorted
+        assert(got === Seq("beyond-watermark-dup", "first", "probe"),
+          "in-watermark dup drops; beyond-watermark dup re-emits after eviction")
+      }
+    }
+
+  test("RocksDB provider actually holds the state: rocksdb metrics report it") {
+    withStateProvider(stateProviders.toMap.apply("rocksdb")) {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      def ts(ms: Long) = new java.sql.Timestamp(ms)
+      val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val deduped = IncrementalSync.dedupFirstArrival(
+        stream.toDF().toDF("id", "ts", "payload"),
+        keyCols = Seq("id"), eventTimeCol = "ts", watermark = "1 hour")
+      val q = deduped.writeStream.format("memory").queryName("dedup_rocks_metrics")
+        .outputMode("append").start()
+      stream.addData((1L to 200L).map(i => (i, ts(1000 + i), s"p$i")))
+      q.processAllAvailable()
+      val progress = q.lastProgress
+      q.stop()
+      val op = progress.stateOperators.head
+      assert(op.numRowsTotal === 200L, "all 200 keys must be in state")
+      // the provider's own metrics prove WHERE the state lives: the
+      // RocksDB provider reports its native-memory/SST footprint —
+      // absent entirely on the heap-backed default
+      val custom = op.customMetrics
+      val rocksKeys = custom.keySet().toArray.map(_.toString).filter(_.startsWith("rocksdb"))
+      assert(rocksKeys.nonEmpty, s"expected rocksdb* metrics, got ${custom.keySet()}")
+      assert(custom.get("rocksdbPutCount").longValue() === 200L,
+        "every state row must have been written through RocksDB")
+      assert(custom.get("rocksdbTotalBytesWritten").longValue() > 0L,
+        "state bytes must flow through RocksDB, not the JVM heap")
+    }
   }
 
   test("stage sink: batch-numbered gzip JSON write then purge (S7/S9/S12)") {
