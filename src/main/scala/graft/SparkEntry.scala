@@ -785,7 +785,11 @@ object SparkEntry {
         val it = graft.sources.dsv2.FixtureWindowFetcher.calls.iterator()
         val b = Seq.newBuilder[(graft.sources.Ingest.DateWindow, Map[String, String])]
         while (it.hasNext) b += it.next()
-        b.result()
+        // planning-time stats requests (SupportsReportStatistics) also
+        // hit the fetcher — the asserts below are about the EXECUTION
+        // fetches (ADVICE r9: any plan shape that consults stats, e.g.
+        // a future join against this scan, would otherwise break them)
+        b.result().filterNot(_._2.contains("_planning"))
       }
       require(fetched.map(_._1.start).sorted ==
         Seq("2024-01-09", "2024-01-11", "2024-01-13", "2024-01-15"),
@@ -849,6 +853,52 @@ object SparkEntry {
       val planStr = counted.queryExecution.executedPlan.toString
       require(planStr.contains("agg=count"),
         s"executed plan must show the count-pushed scan:\n$planStr")
+      counted
+    }),
+    // Grouped-count pushdown — the reference's actual reporting shape
+    // (qa_api_handler.py:146-152 loops per-state counts): GROUP BY
+    // evalState pushes with the COUNT(*), because evalState is a
+    // request param — every row of a scan carries the same tag, so
+    // each window's count request already answers its single group and
+    // Spark's final aggregation merges the per-window (state, count)
+    // partials. The row runs the reference's per-state loop as one
+    // union of two count-pushed scans: still ZERO body fetches
+    // (all-count-mode recording), 8 count requests per state, and the
+    // plan shows the grouped counting scan.
+    "dsv2_window_counts_by_state" -> ((s, _) => {
+      graft.sources.dsv2.FixtureWindowFetcher.register()
+      graft.sources.dsv2.FixtureWindowFetcher.calls.clear()
+      def stateCounts(state: String) = s.read.format("graft-window")
+        .option("begin", "2024-01-01")
+        .option("end", "2024-01-17")
+        .option("breakDays", "2")
+        .option("fetcher", graft.sources.dsv2.FixtureWindowFetcher.Name)
+        .load()
+        .filter(col("evalState") === state)
+        .groupBy(col("evalState"))
+        .agg(count(lit(1)).as("n_contacts"))
+      val counted = stateCounts("scored").unionByName(stateCounts("unscored"))
+        .orderBy("evalState")
+      counted.write.format("noop").mode("overwrite").save()
+      val fetched = {
+        val it = graft.sources.dsv2.FixtureWindowFetcher.calls.iterator()
+        val b = Seq.newBuilder[(graft.sources.Ingest.DateWindow, Map[String, String])]
+        while (it.hasNext) b += it.next()
+        b.result().filterNot(_._2.contains("_planning"))
+      }
+      require(fetched.nonEmpty && fetched.forall(_._2.get("_mode").contains("count")),
+        s"grouped COUNT must hit only the count endpoint (no body fetches), got: $fetched")
+      val allWindows = Seq(
+        "2024-01-01", "2024-01-03", "2024-01-05", "2024-01-07",
+        "2024-01-09", "2024-01-11", "2024-01-13", "2024-01-15")
+      Seq("scored", "unscored").foreach { st =>
+        require(fetched.filter(_._2.get("evalState").contains(st))
+          .map(_._1.start).sorted == allWindows,
+          s"count requests for '$st' must cover exactly the 8 planned windows, got: $fetched")
+      }
+      val planStr = counted.queryExecution.executedPlan.toString
+      require(planStr.contains("agg=count groupBy=evalState"),
+        s"executed plan must show the grouped count-pushed scan:\n$planStr")
       counted
     }),
     // Multimodal: metadata-only rollup over synthesized media rows —
@@ -2297,6 +2347,14 @@ object SparkEntry {
       """WITH d AS (SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-15', INTERVAL 2 DAY)) AS day)
         |SELECT count(*) AS n_contacts
         |FROM d CROSS JOIN (VALUES (0), (1)) v(i)""".stripMargin,
+    // the per-state loop's expected shape: 8 windows × 2 contacts per
+    // state, one row per requested state
+    "dsv2_window_counts_by_state" ->
+      """WITH d AS (SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-15', INTERVAL 2 DAY)) AS day),
+        | n AS (SELECT count(*) AS n_contacts FROM d CROSS JOIN (VALUES (0), (1)) v(i))
+        |SELECT s.evalState, n.n_contacts
+        |FROM (VALUES ('scored'), ('unscored')) s(evalState) CROSS JOIN n
+        |ORDER BY evalState""".stripMargin,
     "media_stats" ->
       """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
         |       count(*) AS n_items, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes

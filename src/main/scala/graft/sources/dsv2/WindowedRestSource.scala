@@ -93,6 +93,15 @@ object WindowedRestSource {
     * this request).
     */
   trait ParamWindowFetcher extends Serializable {
+    /** RESERVED KEYS: params whose name starts with `_` are internal
+      * markers from the scan machinery (`_planning -> stats` tags
+      * planning-time statistics requests; recording fetchers add
+      * `_mode -> count`), never request parameters. An implementation
+      * that forwards params verbatim as query params MUST strip
+      * `_`-prefixed keys first — sending them to a vendor API leaks
+      * engine internals into the request (and some vendors reject
+      * unknown params outright).
+      */
     def fetch(w: DateWindow, params: Map[String, String]): Iterator[String]
 
     /** Server-side row count for the window — the REST analog of the
@@ -162,24 +171,38 @@ private[dsv2] class WindowedScanBuilder(options: CaseInsensitiveStringMap)
     * per window, so Spark plans the final SUM over the partial
     * counts — the same merge shape it uses for parquet row-group
     * count pushdown, and the reason this stays correct when windows
-    * land on different executors. Anything beyond plain COUNT(*) —
-    * grouping, COUNT(col), COUNT(DISTINCT), sums — is refused and
-    * computed by Spark from fetched rows. Spark only attempts this
-    * pushdown when every filter was fully consumed by the source, so
-    * a residual-filter query (e.g. a startTime bound, which stays
+    * land on different executors. GROUP BY evalState is the ONE
+    * accepted grouping (the reference's actual reporting shape —
+    * qa_api_handler.py:146-152 loops per-state counts): evalState is
+    * a REQUEST param, so every row a scan returns carries the same
+    * tag — each window's count request already answers its single
+    * group, and Spark's final aggregation re-groups the per-window
+    * (state, count) partials. Anything else — other group columns,
+    * COUNT(col), COUNT(DISTINCT), sums — is refused and computed by
+    * Spark from fetched rows. Spark only attempts this pushdown when
+    * every filter was fully consumed by the source, so a
+    * residual-filter query (e.g. a startTime bound, which stays
     * residual by design) transparently takes the fetch-rows path.
     */
   override def supportCompletePushDown(agg: Aggregation): Boolean = false
 
-  override def pushAggregation(agg: Aggregation): Boolean =
-    if (agg.groupByExpressions().nonEmpty) false
-    else {
-      val exprs = agg.aggregateExpressions()
-      if (exprs.nonEmpty && exprs.forall(_.isInstanceOf[CountStar])) {
-        countCols = exprs.length
-        true
-      } else false
-    }
+  private var groupByEvalState = false
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val gb = agg.groupByExpressions()
+    val gbOk = gb.isEmpty || (gb.length == 1 && (gb.head match {
+      case fr: org.apache.spark.sql.connector.expressions.NamedReference =>
+        fr.fieldNames().length == 1 &&
+          fr.fieldNames()(0).equalsIgnoreCase(WindowedRestSource.EvalStateCol)
+      case _ => false
+    }))
+    val exprs = agg.aggregateExpressions()
+    if (gbOk && exprs.nonEmpty && exprs.forall(_.isInstanceOf[CountStar])) {
+      groupByEvalState = gb.nonEmpty
+      countCols = exprs.length
+      true
+    } else false
+  }
 
   /** LIMIT rides the request's `limit` param (qa_api_handler.py:103) —
     * `df.limit(n)` stops the SERVER from sending more than n rows per
@@ -255,7 +278,10 @@ private[dsv2] class WindowedScanBuilder(options: CaseInsensitiveStringMap)
       effLimit.map(l => "limit" -> l.toString).toMap ++
         evalState.map(WindowedRestSource.EvalStateCol -> _).toMap
     val f = WindowedRestSource.fetcher(options.get("fetcher"))
-    if (countCols > 0) new WindowedCountScan(windows, f, params, countCols)
+    if (countCols > 0)
+      new WindowedCountScan(windows, f, params, countCols,
+        groupByEvalState = groupByEvalState,
+        groupValue = evalState)
     else new WindowedScan(windows, f, params, required)
   }
 }
@@ -324,35 +350,52 @@ private[dsv2] class WindowedCountScan(
     windows: Seq[DateWindow],
     fetcher: WindowedRestSource.ParamWindowFetcher,
     params: Map[String, String],
-    countCols: Int) extends Scan with Batch {
-  override def readSchema(): StructType =
-    StructType((1 to countCols).map(i =>
-      StructField(s"count_$i", LongType, nullable = false)))
+    countCols: Int,
+    groupByEvalState: Boolean,
+    groupValue: Option[String]) extends Scan with Batch {
+  override def readSchema(): StructType = {
+    val counts = (1 to countCols).map(i =>
+      StructField(s"count_$i", LongType, nullable = false))
+    if (groupByEvalState)
+      StructType(StructField(WindowedRestSource.EvalStateCol, StringType) +: counts)
+    else StructType(counts)
+  }
   override def toBatch: Batch = this
   override def description(): String = {
     val starts = windows.take(8).map(_.start) ++
       (if (windows.size > 8) Seq(s"…+${windows.size - 8}") else Nil)
-    s"graft-window agg=count windows=[${starts.mkString(",")}] params=$params"
+    val gb = if (groupByEvalState) " groupBy=evalState" else ""
+    s"graft-window agg=count$gb windows=[${starts.mkString(",")}] params=$params"
   }
   override def planInputPartitions(): Array[InputPartition] =
     windows.map(w => WindowPartition(w, fetcher, params): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new WindowCountReaderFactory(countCols)
+    new WindowCountReaderFactory(countCols,
+      if (groupByEvalState) Some(groupValue) else None)
 }
 
-private[dsv2] class WindowCountReaderFactory(countCols: Int)
+/** `group` is None for ungrouped COUNT(*); Some(stateOrNull) when the
+  * scan was built for GROUP BY evalState — the group value is the
+  * pushed request param itself (every row of this scan carries it),
+  * or null when no state filter was pushed (unfetched-state rows are
+  * tagged null, so the single group IS the null group).
+  */
+private[dsv2] class WindowCountReaderFactory(
+    countCols: Int, group: Option[Option[String]])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new WindowCountReader(p.asInstanceOf[WindowPartition], countCols)
+    new WindowCountReader(p.asInstanceOf[WindowPartition], countCols, group)
 }
 
-/** Emits the window's single partial-count row. Prefers the fetcher's
-  * server-side count (no bodies cross the wire); falls back to
-  * fetching and counting documents with the same array-explode
+/** Emits the window's single partial-count row (prefixed with the
+  * constant group value under GROUP BY evalState). Prefers the
+  * fetcher's server-side count (no bodies cross the wire); falls back
+  * to fetching and counting documents with the same array-explode
   * semantics as the row reader — but without converting a single
   * field, so even the fallback skips all JSON-to-row work.
   */
-private[dsv2] class WindowCountReader(p: WindowPartition, countCols: Int)
+private[dsv2] class WindowCountReader(
+    p: WindowPartition, countCols: Int, group: Option[Option[String]])
     extends PartitionReader[InternalRow] {
   private var emitted = false
   override def next(): Boolean = !emitted && { emitted = true; true }
@@ -364,7 +407,11 @@ private[dsv2] class WindowCountReader(p: WindowPartition, countCols: Int)
         if (node.isArray) node.size().toLong else 1L
       }.sum
     }
-    new GenericInternalRow(Array.fill[Any](countCols)(n))
+    val counts = Array.fill[Any](countCols)(n)
+    new GenericInternalRow(group match {
+      case Some(g) => (g.map(UTF8String.fromString).orNull: Any) +: counts
+      case None => counts
+    })
   }
   override def close(): Unit = ()
 }

@@ -227,6 +227,37 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(fetched.forall(f => !f._2.contains("_mode")))
   }
 
+  test("GROUP BY evalState pushes with COUNT(*): per-state counts, zero body fetches") {
+    Dsv2SourceSpec.calls.clear()
+    WindowedRestSource.registerFetcher("spec-counting", new Dsv2SourceSpec.CountingFetcher)
+    def counting = spark.read.format("graft-window")
+      .option("begin", "2024-01-01")
+      .option("end", "2024-01-05")
+      .option("breakDays", "2")
+      .option("fetcher", "spec-counting")
+      .load()
+    // filtered: the group value is the pushed request param
+    val scored = counting
+      .filter(col("evalState") === "scored")
+      .groupBy(col("evalState")).agg(count(lit(1)).as("n"))
+      .collect()
+    assert(scored.toSeq.map(r => (r.getString(0), r.getLong(1))) ===
+      Seq(("scored", 4L))) // 2 windows × count-endpoint 2
+    assert(recordedCalls().filterNot(_._2.contains("_planning"))
+      .forall(_._2.get("_mode").contains("count")),
+      "a grouped pushed count must never fetch a body")
+    // unfiltered: every fetched row is tagged null, so the single
+    // group IS the null group — still answered by the count endpoint
+    Dsv2SourceSpec.calls.clear()
+    val nullGroup = counting
+      .groupBy(col("evalState")).agg(count(lit(1)).as("n"))
+      .collect()
+    assert(nullGroup.length === 1 && nullGroup(0).isNullAt(0) &&
+      nullGroup(0).getLong(1) === 4L)
+    assert(recordedCalls().filterNot(_._2.contains("_planning"))
+      .forall(_._2.get("_mode").contains("count")))
+  }
+
   test("count-endpoint statistics let Catalyst broadcast the windowed source") {
     // big side deliberately ABOVE autoBroadcastJoinThreshold (10 MB):
     // 2M range rows ≈ 16 MB, so the only broadcastable side is the
