@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{CalabrioSync, Components, Incremental, Linkage, Multimodal, Queries, Sampling, Shred, Similarity, Sketches, Skew, TemporalJoins, TextOps}
-import org.apache.spark.sql.functions.{array, call_function, coalesce, col, concat, count, countDistinct, date_format, dayofmonth, element_at, explode, expr, lit, lpad, md5, posexplode, round, size, slice, substring, sum, to_date, when}
+import org.apache.spark.sql.functions.{array, array_max, array_min, call_function, coalesce, col, concat, count, countDistinct, date_format, dayofmonth, element_at, explode, expr, lit, lpad, md5, posexplode, round, size, slice, substring, sum, to_date, when}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -205,6 +205,32 @@ object SparkEntry {
       out
     })
 
+  /** The quantized top-k, same replay treatment as ivfTopKMemo: the
+    * `quantized_topk` row runs the real distributed query; the
+    * `quant_recall` floor row replays this memo against exactTopK.
+    */
+  private def quantizedTopKMemo(s: SparkSession, dir: String): DataFrame =
+    memoDF(s, s"qtopk:$dir")(Similarity.quantizedTopK(Tables.embeddings(s, dir)))
+
+  /** minhash_index_delta's persisted band index, built ONCE per sf
+    * dir — and built THROUGH the append path: buildMinhashIndex over
+    * one corpus slice, appendToMinhashIndex of a second, so the row's
+    * green oracle simultaneously pins the build, the incremental
+    * append (appended docs must be exactly as discoverable as built
+    * ones — the oracle's corpus side spans both slices), and the cold
+    * delta query.
+    */
+  private val minhashIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def minhashIndexDir(s: SparkSession, dir: String): String =
+    minhashIndexMemo.computeIfAbsent(dir, _ => {
+      val out = s"${tempDir("graft_mh_index")}/idx"
+      val docs = Tables.documents(s, dir)
+      Similarity.buildMinhashIndex(docs.filter(col("doc_id") % 3 === 0), out)
+      Similarity.appendToMinhashIndex(docs.filter(col("doc_id") % 3 === 2), out)
+      out
+    })
+
   private val partitionedEventsMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def partitionedEvents(s: SparkSession, dir: String): String =
@@ -370,6 +396,42 @@ object SparkEntry {
     "merge_contacts" -> ((s, _) => CalabrioSync.mergedContacts(s)),
     "merge_evaluations" -> ((s, _) => CalabrioSync.mergedEvaluations(s)),
     "rebuild_scores" -> ((s, _) => CalabrioSync.rebuiltScores(s)),
+    // SCD Type-2 dimension maintenance: one batch exercises all four
+    // outcomes — %7∧even keys change segment (close + new version),
+    // %7∧odd keys arrive identical (idempotent no-op), +1000000 keys
+    // are brand new (insert), %11 keys carry pre-seeded history rows
+    // (untouched pass-through). Oracle replays the full branch logic.
+    "scd2_merge" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .select("c_custkey", "c_mktsegment", "c_nationkey")
+      val hist = cust.filter(col("c_custkey") % 11 === 0)
+        .select(col("c_custkey"),
+          concat(col("c_mktsegment"), lit("_old")).as("c_mktsegment"),
+          col("c_nationkey"),
+          to_date(lit("2023-01-01")).as("valid_from"),
+          to_date(lit("2024-01-01")).as("valid_to"),
+          lit(false).as("is_current"))
+      val cur = cust.select(col("c_custkey"), col("c_mktsegment"),
+        col("c_nationkey"),
+        to_date(lit("2024-01-01")).as("valid_from"),
+        lit(null).cast("date").as("valid_to"),
+        lit(true).as("is_current"))
+      val updates = cust.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 2 === 0,
+            concat(col("c_mktsegment"), lit("_v2")))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+          col("c_nationkey"),
+          to_date(lit("2024-06-01")).as("eff_date"))
+        .unionByName(cust.filter(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            col("c_mktsegment"), col("c_nationkey"),
+            to_date(lit("2024-06-01")).as("eff_date")))
+      graft.operators.Maintenance.scd2Merge(
+        hist.unionByName(cur), updates, "c_custkey",
+        Seq("c_mktsegment", "c_nationkey"), "eff_date")
+        .orderBy("c_custkey", "valid_from", "is_current")
+    }),
     "backup_mirror" -> ((s, _) => CalabrioSync.backupMirror(s)),
     // LLM training-data pipeline: text analysis + dedup over documents.
     "dedup_exact" -> ((s, dir) =>
@@ -578,6 +640,23 @@ object SparkEntry {
       Similarity.cosineTopK(Tables.embeddings(s, dir)))),
     "minhash_neardup" -> ((s, dir) =>
       Similarity.minhashNearDup(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+    // Incremental corpus dedup off the PERSISTED minhash band index:
+    // the standing corpus (two slices — one built, one APPENDED, so
+    // the append path is under the same oracle) is never re-shingled;
+    // the delta batch signs itself, band-collides against the index,
+    // and exact-verifies against the index's stored shingle sets.
+    // Oracle = brute-force exact Jaccard between the two splits.
+    "minhash_index_delta" -> ((s, dir) => {
+      val idx = minhashIndexDir(s, dir)
+      val delta = Tables.documents(s, dir).filter(col("doc_id") % 3 === 1)
+      val pairs = Similarity.minhashNearDupFromIndex(delta, idx)
+      // the index's point is that the corpus side comes off the
+      // persisted tables: both index paths must appear as scans
+      val plan = pairs.queryExecution.executedPlan.toString
+      require(plan.contains(s"$idx/bands") && plan.contains(s"$idx/shingles"),
+        s"delta query must read the persisted band+shingle index at $idx:\n$plan")
+      pairs.orderBy("doc_a", "doc_b")
+    }),
     // EXACT Jaccard near-dup via prefix filtering (candidate-complete,
     // unlike the signature-based variants) — all-pairs DuckDB oracle.
     "jaccard_neardup" -> ((s, dir) =>
@@ -619,6 +698,28 @@ object SparkEntry {
     // it states `true` per query id, so a recall regression flips the
     // Spark side false and the row goes red (measurable guarantee for
     // the two rows-only ops above).
+    // SQ8 scalar quantization: per-vector int8 codes + scale. The
+    // whole row is integer/deterministic-double arithmetic, so the
+    // DuckDB replay is bit-exact (codes, norms, sums, extrema).
+    "embedding_quantize" -> ((s, dir) =>
+      Similarity.quantizeEmbeddings(Tables.embeddings(s, dir))
+        .select(col("vec_id"),
+          round(col("scale") * lit(1e9)).cast("long").as("scale_e9"),
+          expr("aggregate(q, 0L, (acc, x) -> acc + CAST(x AS BIGINT) * x)").as("q_norm2"),
+          expr("aggregate(q, 0L, (acc, x) -> acc + x)").as("q_sum"),
+          array_min(col("q")).as("q_min"),
+          array_max(col("q")).as("q_max"))
+        .orderBy("vec_id")),
+    // Cosine top-k over the int8 codes — the scale cancels out of
+    // cosine, so no dequantize pass; full-parity oracle replays the
+    // quantization and the integer-exact folds.
+    "quantized_topk" -> ((s, dir) => Similarity.topKOrder(
+      Similarity.quantizedTopK(Tables.embeddings(s, dir)))),
+    // What int8 costs in ranking: measured overlap@10 vs the exact
+    // float top-k, floor pinned from RecallProbe-style measurement.
+    "quant_recall" -> ((s, dir) => Similarity.recallAtK(
+      exactTopK(s, dir), quantizedTopKMemo(s, dir),
+      k = 10, floorPct = 80)),
     "ann_recall" -> ((s, dir) => Similarity.recallAtK(
       exactTopK(s, dir), Similarity.annTopKLsh(Tables.embeddings(s, dir)),
       k = 10, floorPct = 40)),
@@ -1883,6 +1984,37 @@ object SparkEntry {
          |SELECT * FROM (SELECT * FROM tgt WHERE contact_id NOT IN (SELECT contact_id FROM rc)
          |               UNION ALL SELECT * FROM fresh)
          |ORDER BY evaluation_id, section_id, question_id""".stripMargin,
+    // full branch replay of the SCD2 merge: kept / closed+new /
+    // insert-only / history pass-through, null-safe change detection
+    "scd2_merge" ->
+      """WITH cust AS (SELECT c_custkey, c_mktsegment, c_nationkey FROM customer),
+        | hist AS (SELECT c_custkey, c_mktsegment || '_old' AS seg, c_nationkey AS nat,
+        |          DATE '2023-01-01' AS valid_from, DATE '2024-01-01' AS valid_to, false AS is_current
+        |          FROM cust WHERE c_custkey % 11 = 0),
+        | cur AS (SELECT c_custkey, c_mktsegment AS seg, c_nationkey AS nat,
+        |         DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to, true AS is_current FROM cust),
+        | upd AS (SELECT c_custkey, CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment || '_v2' ELSE c_mktsegment END AS seg,
+        |          c_nationkey AS nat, DATE '2024-06-01' AS eff FROM cust WHERE c_custkey % 7 = 0
+        |         UNION ALL
+        |         SELECT c_custkey + 1000000, c_mktsegment, c_nationkey, DATE '2024-06-01' FROM cust WHERE c_custkey % 13 = 0),
+        | j AS (SELECT coalesce(c.c_custkey, u.c_custkey) AS k,
+        |        c.seg AS c_seg, c.nat AS c_nat, c.valid_from AS c_vf, c.valid_to AS c_vt, c.is_current AS c_cur,
+        |        u.seg AS u_seg, u.nat AS u_nat, u.eff,
+        |        c.c_custkey IS NOT NULL AS has_c, u.c_custkey IS NOT NULL AS has_u
+        |       FROM cur c FULL OUTER JOIN upd u ON c.c_custkey = u.c_custkey),
+        | ch AS (SELECT *, NOT (c_seg IS NOT DISTINCT FROM u_seg AND c_nat IS NOT DISTINCT FROM u_nat) AS changed FROM j),
+        | outrows AS (
+        |   SELECT k AS c_custkey, c_seg AS c_mktsegment, c_nat AS c_nationkey,
+        |          c_vf AS valid_from, c_vt AS valid_to, c_cur AS is_current
+        |   FROM ch WHERE has_c AND (NOT has_u OR NOT changed)
+        |   UNION ALL
+        |   SELECT k, c_seg, c_nat, c_vf, eff, false FROM ch WHERE has_c AND has_u AND changed
+        |   UNION ALL
+        |   SELECT k, u_seg, u_nat, eff, CAST(NULL AS DATE), true FROM ch WHERE has_u AND (NOT has_c OR changed)
+        |   UNION ALL
+        |   SELECT * FROM hist)
+        |SELECT c_custkey, c_mktsegment, c_nationkey, valid_from, valid_to, is_current
+        |FROM outrows ORDER BY c_custkey, valid_from, is_current""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id, count(*) AS dup_count
         |FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""".stripMargin,
@@ -2106,6 +2238,64 @@ object SparkEntry {
         |        len(list_intersect(a.sh, b.sh)) AS inter_size,
         |        len(list_distinct(list_concat(a.sh, b.sh))) AS union_size
         |       FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, inter_size, union_size FROM p
+        |WHERE inter_size * 2 >= union_size
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // full replay of the SQ8 quantizer: scale = max|x|/127 in double,
+    // codes = round(x/scale) — both engines HALF-AWAY-FROM-ZERO over
+    // identical IEEE doubles, so every code matches bit-exact
+    "embedding_quantize" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |        CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0 AS scale
+        |       FROM embeddings),
+        | q AS (SELECT vec_id, scale,
+        |        CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+        |             ELSE list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT)) END AS q
+        |       FROM s)
+        |SELECT vec_id, CAST(round(scale * 1e9) AS BIGINT) AS scale_e9,
+        |  CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS q_norm2,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  CAST(list_min(q) AS INT) AS q_min,
+        |  CAST(list_max(q) AS INT) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin,
+    // quantize → integer-exact folds → the cosine_topk presentation:
+    // per-vector scales cancel out of cosine, so the replay never
+    // dequantizes — dot/norms over the int codes, same double math
+    "quantized_topk" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |        CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0 AS scale
+        |       FROM embeddings),
+        | qv AS (SELECT vec_id,
+        |        CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+        |             ELSE list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT)) END AS q
+        |       FROM s),
+        | n AS (SELECT vec_id, q,
+        |        list_sum(list_transform(q, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+        |       FROM qv),
+        | f AS (SELECT * FROM n WHERE n2 > 0),
+        | qq AS (SELECT vec_id AS q_id, q AS q_emb, n2 AS qn2 FROM f WHERE vec_id < 5),
+        | p AS (SELECT q_id, f.vec_id AS neighbor_id,
+        |        list_sum(list_transform(range(1, 65), i -> CAST(q_emb[i] AS DOUBLE) * CAST(f.q[i] AS DOUBLE))) AS dot,
+        |        n2, qn2
+        |       FROM f, qq WHERE f.vec_id <> qq.q_id)
+        |SELECT q_id, neighbor_id, CAST(round(1e6 * dot / (sqrt(n2) * sqrt(qn2))) AS BIGINT) AS sim_e6
+        |FROM p
+        |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim_e6 DESC, neighbor_id) <= 10
+        |ORDER BY q_id, sim_e6 DESC, neighbor_id""".stripMargin,
+    "quant_recall" ->
+      """SELECT vec_id AS q_id, true AS floor_met FROM embeddings
+        |WHERE vec_id < 5 ORDER BY q_id""".stripMargin,
+    // delta (doc_id % 3 = 1) against the standing corpus (the other
+    // two slices — one built, one appended into the index); exact
+    // brute-force cross Jaccard, same threshold as minhash_neardup
+    "minhash_index_delta" ->
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        | s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |       FROM t WHERE len(toks) >= 3),
+        | p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        len(list_intersect(a.sh, b.sh)) AS inter_size,
+        |        len(list_distinct(list_concat(a.sh, b.sh))) AS union_size
+        |       FROM s a JOIN s b ON a.doc_id % 3 <> 1 AND b.doc_id % 3 = 1)
         |SELECT doc_a, doc_b, inter_size, union_size FROM p
         |WHERE inter_size * 2 >= union_size
         |ORDER BY doc_a, doc_b""".stripMargin,

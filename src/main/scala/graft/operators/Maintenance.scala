@@ -74,6 +74,68 @@ object Maintenance {
       .drop("_in_c", "_in_e")
   }
 
+  /** SCD Type-2 merge — the history-keeping upsert the J2/J3 family
+    * deliberately lacks: where upsertKeepCols REPLACES a matched row,
+    * this closes it out and versions it, so the dimension answers
+    * "what was this customer's segment on date X" forever after. The
+    * contract the warehouse literature calls slowly-changing
+    * dimensions type 2 (Kimball), and the lineage-tracking shape a
+    * training-data pipeline needs for dataset cards ("which quality
+    * tier was this source in when we sampled it").
+    *
+    * `dim` must carry exactly (key, tracked…, valid_from, valid_to,
+    * is_current); `updates` carries (key, tracked…, effCol) with AT
+    * MOST ONE row per key (pre-aggregate a multi-day backlog to
+    * latest-per-key first — the W2 dedup shape). Per update key:
+    *  - no current row → insert (valid_from=eff, open, current);
+    *  - current row differs on ANY tracked column (null-safe <=>) →
+    *    close it (valid_to=eff, not current) AND insert the new
+    *    version;
+    *  - identical tracked values → no-op (idempotent replay).
+    * History rows (is_current=false) pass through untouched.
+    *
+    * Scale shape: ONE full-outer equi-join of the CURRENT slice
+    * against the delta, then a map-only conditional explode emits
+    * 1-or-2 output rows per joined row — the three outcome branches
+    * are NOT three filters over the join (that would re-execute the
+    * join subtree per branch); history never joins anything. Presence
+    * markers (_c/_u), not key-null checks, decide matching — a null
+    * dimension key row stays inert instead of cross-matching.
+    */
+  def scd2Merge(
+      dim: DataFrame,
+      updates: DataFrame,
+      key: String,
+      tracked: Seq[String],
+      effCol: String): DataFrame = {
+    val vtType = dim.schema("valid_to").dataType
+    val vfType = dim.schema("valid_from").dataType
+    val cur = dim.filter(col("is_current")).withColumn("_c", lit(1)).as("c")
+    val hist = dim.filter(!col("is_current"))
+    val u = updates
+      .select((col(key) +: (tracked.map(col) :+ col(effCol))): _*)
+      .withColumn("_u", lit(1)).as("u")
+    val j = cur.join(u, Seq(key), "full_outer")
+    val changed = tracked.map(t => !(col(s"c.$t") <=> col(s"u.$t")))
+      .reduce(_ || _)
+    val names = tracked ++ Seq("valid_from", "valid_to", "is_current")
+    def mk(vals: Seq[org.apache.spark.sql.Column]) =
+      struct(vals.zip(names).map { case (c, n) => c.as(n) }: _*)
+    val curRow = mk(tracked.map(t => col(s"c.$t")) ++ Seq(
+      col("c.valid_from"), col("c.valid_to"), col("c.is_current")))
+    val closedRow = mk(tracked.map(t => col(s"c.$t")) ++ Seq(
+      col("c.valid_from"), col(s"u.$effCol").cast(vtType), lit(false)))
+    val newRow = mk(tracked.map(t => col(s"u.$t")) ++ Seq(
+      col(s"u.$effCol").cast(vfType), lit(null).cast(vtType), lit(true)))
+    val out = when(col("_u").isNull, array(curRow))
+      .when(col("_c").isNull, array(newRow))
+      .when(changed, array(closedRow, newRow))
+      .otherwise(array(curRow))
+    hist.select((col(key) +: names.map(col)): _*)
+      .unionByName(
+        j.select(col(key), explode(out).as("_r")).select(col(key), col("_r.*")))
+  }
+
   /** DELETE-then-INSERT partition rebuild keyed on contact_id (D2/J6):
     * wipe every target row belonging to a restated contact, then
     * append the freshly shredded rows. Reference: Update…sql:140-170

@@ -172,6 +172,65 @@ object Similarity {
       k)
   }
 
+  /** Symmetric per-vector int8 scalar quantization — the embedding
+    * family's storage/IO story at 100 TB: a float32 corpus drops to
+    * ~1/4 the bytes (plus one float scale per vector) before it ever
+    * reaches an index build or a scan, which is the difference
+    * between an ANN candidate scan that is IO-bound and one that
+    * isn't. The scheme is the standard SQ8 of the ANN literature
+    * (FAISS's ScalarQuantizer; Jégou, Douze & Schmid, TPAMI'11
+    * frames the rate/recall trade): q_i = round(x_i / s) with
+    * s = max|x|/127, so codes live in [−127, 127] and the max
+    * coordinate is exactly ±127. Per-vector scales (not global)
+    * make the quantizer norm-invariant — COSINE over codes needs no
+    * dequantization at all, because the scale cancels in
+    * dot/(‖a‖·‖b‖); quantizedTopK exploits exactly that. A zero
+    * vector has scale 0 and quantizes to all-zero codes (guarded —
+    * no 0/0). Map-only, codegen'd arithmetic; every number that
+    * crosses the oracle boundary is an integer code or a
+    * deterministically-rounded double, so the DuckDB replay is
+    * bit-exact.
+    */
+  def quantizeEmbeddings(emb: DataFrame): DataFrame =
+    spread(emb)
+      .withColumn("scale",
+        array_max(transform(col("embedding"), x => abs(x))).cast("double") / lit(127.0))
+      .select(col("vec_id"), col("scale"),
+        when(col("scale") === 0.0,
+          transform(col("embedding"), _ => lit(0)))
+          .otherwise(transform(col("embedding"),
+            x => round(x.cast("double") / col("scale")).cast("int"))).as("q"))
+
+  /** Exact cosine top-k over the QUANTIZED codes — cosineTopK's shape
+    * with int8 codes in place of floats. The per-vector scale cancels
+    * out of cosine (q ≈ x/s elementwise, and dot(q_a,q_b) /
+    * (‖q_a‖‖q_b‖) is scale-free), so ranking needs no dequantize
+    * pass; the residual vs float cosine is only the rounding error,
+    * and the quant_recall row pins how much ranking that costs as a
+    * measured floor against the exact float top-k. Codes ride as
+    * floats through the SAME native float_dot/float_norm2 kernels as
+    * the float path (|q| ≤ 127 ⇒ every product ≤ 16129 and every
+    * 64-term sum ≤ ~10⁶ — exactly representable, the folds stay
+    * integer-exact), so the DuckDB oracle reproduces sim_e6
+    * bit-identically from the integer codes. Zero vectors (all-zero
+    * codes) carry no direction and leave the similarity universe on
+    * both engines.
+    */
+  def quantizedTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val e = quantizeEmbeddings(emb)
+      .select(col("vec_id"), col("q").cast("array<float>").as("qf"))
+      .select(col("vec_id"), col("qf"), sumSq(col("qf")).as("n2"))
+      .filter(col("n2") > 0)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("qf").as("q_emb"), col("n2").as("qn2"))
+    val sim6 = round(lit(1e6) * dot(col("q_emb"), col("qf"))
+      / (sqrt(col("n2")) * sqrt(col("qn2")))).cast("long")
+    boundedTopK(
+      e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), sim6.as("sim_e6")),
+      k)
+  }
+
   /** MinHash-LSH near-duplicate pairs: shingle → numHashes minhashes →
     * bands of (numHashes/bands) rows → equi-join on (band, band-key)
     * for candidates → exact Jaccard verification (≥ 1/2 via the
@@ -222,6 +281,137 @@ object Similarity {
     // an int would wrap for a ~1B-shingle document (same guard class
     // as dfOrderedPrefixes' prefLen)
     withShingleSets(cand, sh)
+      .select(
+        col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter_size"),
+        size(array_union(col("sh_a"), col("sh_b"))).as("union_size"))
+      .filter(col("inter_size").cast("long") * 2 >= col("union_size").cast("long"))
+  }
+
+  /** Persist the MinHash-LSH band index — the near-dup family's
+    * build-once/query-many posture (the IVF/bloom index precedent
+    * applied to text dedup). The production shape this serves is
+    * INCREMENTAL corpus dedup: a standing 100 TB corpus, a daily
+    * delta batch, and the question "which delta docs duplicate
+    * something already ingested" — answered WITHOUT re-shingling or
+    * re-signing the standing corpus (the CPU-dominant work: shingling
+    * + 64 minhashes per doc), and without any corpus-vs-corpus pair
+    * generation. Layout under `indexDir`:
+    *
+    *  - `bands`    (band, bkey, doc_id) — the banded-signature
+    *    inverted index, UNCAPPED by design: a bucket cap is a QUERY
+    *    policy (capping at build time would silently make late-
+    *    appended docs undiscoverable in their hot buckets, the same
+    *    false-negative class the bloom index's staleness guard
+    *    exists for);
+    *  - `shingles` (doc_id, sh) — the corpus shingle sets the exact
+    *    verify stage consumes. This is the index's dominant storage
+    *    term (≈ corpus token volume) and the price of EXACT Jaccard
+    *    answers off the index alone; it is read only for docs that
+    *    band-collide with the delta, and only the (doc_id, sh)
+    *    columns exist to read;
+    *  - `meta`     1 row (num_hashes, bands) — the signature params
+    *    queries and appends must reuse: band keys from different
+    *    (numHashes, bands) never collide meaningfully, so both
+    *    query and append read their params from here rather than
+    *    trusting the caller to re-supply them consistently.
+    */
+  def buildMinhashIndex(
+      docs: DataFrame,
+      indexDir: String,
+      numHashes: Int = 64,
+      bands: Int = 16): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = spread(docs)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    sh.write.mode("overwrite").parquet(s"$indexDir/shingles")
+    // re-read the persisted shingles rather than recomputing them for
+    // the band table — shingling is the expensive half of the build
+    spark.read.parquet(s"$indexDir/shingles")
+      .select(col("doc_id"), posexplode(
+        call_function("minhash_band_keys", col("sh"), lit(numHashes), lit(bands)))
+        .as(Seq("band", "bkey")))
+      .write.mode("overwrite").parquet(s"$indexDir/bands")
+    Seq((numHashes, bands)).toDF("num_hashes", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+  }
+
+  /** Incremental maintenance: shingle + sign a NEW document batch at
+    * the index's OWN stored params and append to both tables — the
+    * daily-append posture. Appending is narrow (map-only signature
+    * work over the delta plus two file appends); nothing standing is
+    * rewritten, and a doc appended today is discoverable by tomorrow's
+    * delta query exactly as if it had been in the original build —
+    * build(A)+append(B) and build(A∪B) produce identical tables up to
+    * file layout, because signature params come from `meta` and the
+    * band table carries no build-time ordering or cap.
+    */
+  def appendToMinhashIndex(newDocs: DataFrame, indexDir: String): Unit = {
+    val spark = newDocs.sparkSession
+    val meta = spark.read.parquet(s"$indexDir/meta").head()
+    val numHashes = meta.getAs[Int]("num_hashes")
+    val nBands = meta.getAs[Int]("bands")
+    val sh = spread(newDocs)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    sh.write.mode("append").parquet(s"$indexDir/shingles")
+    sh.select(col("doc_id"), posexplode(
+        call_function("minhash_band_keys", col("sh"), lit(numHashes), lit(nBands)))
+        .as(Seq("band", "bkey")))
+      .write.mode("append").parquet(s"$indexDir/bands")
+  }
+
+  /** Near-dup pairs between a DELTA batch and the PERSISTED index:
+    * (doc_a = indexed doc, doc_b = delta doc, inter_size, union_size)
+    * at Jaccard ≥ 1/2 — minhashNearDup's contract restricted to
+    * delta-vs-corpus pairs. Only the delta is shingled and signed
+    * (the driver row asserts both index tables appear as scans in the
+    * executed plan — the corpus text is never re-shingled); the corpus side
+    * contributes its band rows to one equi-join and the shingle sets
+    * of colliding docs to the exact verify. Delta-vs-delta pairs are
+    * OUT of contract by sequencing: dedup today's batch against the
+    * standing index first, then appendToMinhashIndex it — tomorrow's
+    * batch sees it. A delta doc whose id already exists in the index
+    * (re-ingestion) self-pairs at Jaccard 1 and is excluded by the
+    * doc_a ≠ doc_b guard. The bucket cap applies at query time to
+    * BOTH sides (lowest doc_ids kept, the minhashNearDup recall
+    * argument unchanged); the candidate equi-join shuffles only
+    * (band, bkey) rows restricted to the delta's buckets.
+    */
+  def minhashNearDupFromIndex(
+      delta: DataFrame,
+      indexDir: String,
+      bucketCap: Int = 1000): DataFrame = {
+    val spark = delta.sparkSession
+    val meta = spark.read.parquet(s"$indexDir/meta").head()
+    val numHashes = meta.getAs[Int]("num_hashes")
+    val nBands = meta.getAs[Int]("bands")
+    val dsh = spread(delta)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val dKeys = dsh.select(col("doc_id"), posexplode(
+        call_function("minhash_band_keys", col("sh"), lit(numHashes), lit(nBands)))
+        .as(Seq("band", "bkey")))
+    // restrict the index to the delta's probed buckets BEFORE the cap
+    // window: restriction takes whole buckets, so cap-after-restrict
+    // keeps exactly the docs cap-before-restrict would — but the
+    // window only shuffles the probed sliver, not the corpus-sized
+    // band table (AQE turns the semi probe into a broadcast when the
+    // delta is small, the daily-batch case)
+    val probed = spark.read.parquet(s"$indexDir/bands")
+      .join(dKeys.select("band", "bkey").distinct(), Seq("band", "bkey"), "left_semi")
+    val cand = capBuckets(probed, Seq("band", "bkey"), bucketCap).as("x")
+      .join(capBuckets(dKeys, Seq("band", "bkey"), bucketCap).as("y"),
+        Seq("band", "bkey"))
+      .filter(col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(spark.read.parquet(s"$indexDir/shingles")
+        .select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(dsh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .select(
         col("doc_a"), col("doc_b"),
         size(array_intersect(col("sh_a"), col("sh_b"))).as("inter_size"),

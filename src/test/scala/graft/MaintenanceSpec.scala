@@ -86,4 +86,50 @@ class MaintenanceSpec extends SparkSpec {
     val twice = Maintenance.rebuildForContacts(once, rc, fresh)
     assertSameRows(once, twice)
   }
+
+  private def scd2Fixture = {
+    import spark.implicits._
+    val dim = Seq(
+      // key 1: history + current, update arrives CHANGED
+      (1L, "gold", Some(10), "2023-01-01", Some("2024-01-01"), false),
+      (1L, "silver", Some(10), "2024-01-01", None, true),
+      // key 2: current only, update arrives IDENTICAL (incl. null col)
+      (2L, "bronze", None, "2024-01-01", None, true),
+      // key 3: current only, no update
+      (3L, "gold", Some(30), "2024-01-01", None, true))
+      .toDF("k", "seg", "tier", "valid_from", "valid_to", "is_current")
+      .select(col("k"), col("seg"), col("tier"),
+        to_date(col("valid_from")).as("valid_from"),
+        to_date(col("valid_to")).as("valid_to"), col("is_current"))
+    val upd = Seq(
+      (1L, "platinum", Some(10), "2024-06-01"),
+      (2L, "bronze", None: Option[Int], "2024-06-01"),
+      (9L, "new", Some(90), "2024-06-01"))
+      .toDF("k", "seg", "tier", "eff")
+      .select(col("k"), col("seg"), col("tier"), to_date(col("eff")).as("eff"))
+    (dim, upd)
+  }
+
+  test("scd2Merge: change closes + versions, identical no-ops, new inserts, history passes") {
+    val (dim, upd) = scd2Fixture
+    val out = Maintenance.scd2Merge(dim, upd, "k", Seq("seg", "tier"), "eff")
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)), String.valueOf(r.getDate(3)),
+        Option(r.getDate(4)).map(String.valueOf(_)), r.getBoolean(5)))
+    assert(out.toSeq === Seq(
+      (1L, "gold", Some(10), "2023-01-01", Some("2024-01-01"), false),
+      (1L, "silver", Some(10), "2024-01-01", Some("2024-06-01"), false),
+      (1L, "platinum", Some(10), "2024-06-01", None, true),
+      (2L, "bronze", None, "2024-01-01", None, true),
+      (3L, "gold", Some(30), "2024-01-01", None, true),
+      (9L, "new", Some(90), "2024-06-01", None, true)))
+  }
+
+  test("scd2Merge: replaying the same batch is a no-op") {
+    val (dim, upd) = scd2Fixture
+    val once = Maintenance.scd2Merge(dim, upd, "k", Seq("seg", "tier"), "eff").cache()
+    val twice = Maintenance.scd2Merge(once, upd, "k", Seq("seg", "tier"), "eff")
+    assertSameRows(once, twice)
+  }
 }

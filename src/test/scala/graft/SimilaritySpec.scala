@@ -64,6 +64,50 @@ class SimilaritySpec extends SparkSpec {
     assert(want.nonEmpty, "testdata should contain planted near-dups")
   }
 
+  test("minhash index: build+append+delta-query equals brute-force cross pairs") {
+    val docs = Tables.documents(spark, dir).cache()
+    val idx = s"${java.nio.file.Files.createTempDirectory("mh_idx_spec")}/idx"
+    Similarity.buildMinhashIndex(docs.filter(col("doc_id") % 3 === 0), idx)
+    Similarity.appendToMinhashIndex(docs.filter(col("doc_id") % 3 === 2), idx)
+    val delta = docs.filter(col("doc_id") % 3 === 1)
+    val got = Similarity.minhashNearDupFromIndex(delta, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val sh = docs.select(col("doc_id"), Similarity.shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val want = sh.as("a").crossJoin(sh.as("b"))
+      .filter(col("a.doc_id") % 3 =!= 1 && col("b.doc_id") % 3 === 1)
+      .select(
+        col("a.doc_id"), col("b.doc_id"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).as("i"),
+        size(array_union(col("a.sh"), col("b.sh"))).as("u"))
+      .filter(col("i") * 2 >= col("u"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(got === want)
+  }
+
+  test("minhash index: APPENDED docs are exactly as discoverable as built ones") {
+    import spark.implicits._
+    val baseA = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val baseB = "red orange yellow green blue indigo violet cyan magenta " +
+      "teal maroon olive navy coral amber jade ruby pearl onyx slate"
+    // slice A (built): doc 3 + unrelated doc 6; slice B (appended):
+    // doc 8 — a twin of delta doc 10; delta: doc 10 (pairs with the
+    // APPENDED 8), doc 7 (pairs with the BUILT 3), doc 1 (unique)
+    val corpusA = Seq((3L, baseA), (6L, "one two three four five six seven eight nine ten"))
+    val corpusB = Seq((8L, baseB))
+    val delta = Seq((10L, baseB.replace("slate", "quartz")),
+      (7L, baseA.replace("upsilon", "psi")),
+      (1L, "unrelated words only here nothing shared at all"))
+    val idx = s"${java.nio.file.Files.createTempDirectory("mh_idx_app")}/idx"
+    Similarity.buildMinhashIndex(corpusA.toDF("doc_id", "text"), idx)
+    Similarity.appendToMinhashIndex(corpusB.toDF("doc_id", "text"), idx)
+    val got = Similarity.minhashNearDupFromIndex(delta.toDF("doc_id", "text"), idx)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((3L, 7L), (8L, 10L)),
+      "one pair against the built slice, one against the appended slice")
+  }
+
   test("jaccardNearDup: prefix filtering is candidate-complete (equals all-pairs)") {
     val docs = Tables.documents(spark, dir).cache()
     val sh = docs.select(col("doc_id"), Similarity.shingles(col("text")).as("sh"))
