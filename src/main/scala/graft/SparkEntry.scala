@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{CalabrioSync, Components, Incremental, Linkage, Multimodal, Queries, Sampling, Shred, Similarity, Sketches, Skew, TemporalJoins, TextOps}
-import org.apache.spark.sql.functions.{array, array_max, array_min, call_function, coalesce, col, concat, count, countDistinct, date_format, dayofmonth, element_at, explode, expr, lit, lpad, md5, posexplode, round, size, slice, substring, sum, to_date, when}
+import org.apache.spark.sql.functions.{array, array_max, array_min, call_function, coalesce, col, concat, count, countDistinct, date_format, datediff, dayofmonth, element_at, explode, expr, lit, lpad, md5, posexplode, round, size, slice, substring, sum, to_date, when}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -229,6 +229,32 @@ object SparkEntry {
       Similarity.buildMinhashIndex(docs.filter(col("doc_id") % 3 === 0), out)
       Similarity.appendToMinhashIndex(docs.filter(col("doc_id") % 3 === 2), out)
       out
+    })
+
+  /** zorder_prune's two layouts of the SAME events projection, written
+    * ONCE per sf dir: `z` = Z-ordered on (user_id, day) via
+    * Sinks.writeZOrdered; `t` = the natural time-ordered ingest layout
+    * (range-partitioned + sorted by day alone) that serves as the
+    * contrast — both with identical file counts and row-group sizing,
+    * so the only variable is the clustering key.
+    */
+  private val zorderMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def zorderLayouts(s: SparkSession, dir: String): (String, String) =
+    zorderMemo.computeIfAbsent(dir, _ => {
+      val base = tempDir("graft_zorder")
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), to_date(col("ts")).as("dt"),
+        col("event_type"), col("value"))
+        .withColumn("day",
+          datediff(col("dt"), to_date(lit("2024-01-01"))))
+      graft.sources.Sinks.writeZOrdered(
+        ev, s"$base/z", "user_id", "day", numFiles = 32, bits = 12)
+      ev.repartitionByRange(32, col("day"))
+        .sortWithinPartitions("day")
+        .write.option("parquet.block.size", 64L * 1024)
+        .parquet(s"$base/t")
+      (s"$base/z", s"$base/t")
     })
 
   private val partitionedEventsMemo =
@@ -551,6 +577,12 @@ object SparkEntry {
     // partial aggregation, no countDistinct Expand.
     "top_terms" -> ((s, dir) => TextOps.topTerms(Tables.documents(s, dir))),
     // Per-doc top-3 keywords by log-free (linear-idf) TF-IDF.
+    // Sparse TF-IDF cosine pairs over the df-pruned vocabulary —
+    // integer weights so the distributed dot/norm sums are exact in
+    // any order; the oracle replays the identical space and weights.
+    "tfidf_cosine" -> ((s, dir) =>
+      TextOps.tfidfCosinePairs(Tables.documents(s, dir))
+        .orderBy("doc_a", "doc_b")),
     "tfidf_topk" -> ((s, dir) =>
       TextOps.tfidfTopK(Tables.documents(s, dir), k = 3)),
     // Misra-Gries heavy hitters vs exact top-10, PODS'12 bound
@@ -1048,6 +1080,21 @@ object SparkEntry {
             .cast("long"))
         .orderBy("doc_id")
     }),
+    // The audio twin of media_decode: per-doc 16-bit PCM WAVs (every
+    // sample a closed-form function of doc_id) containerized AND
+    // parsed back with javax.sound.sampled in the same seam; PCM is
+    // lossless, so the decoded sample sum is integer-exact and the
+    // oracle replays it from the sample formula alone.
+    "audio_decode" -> ((s, dir) => {
+      val audio = Multimodal.synthesizeAudio(Tables.documents(s, dir))
+      Multimodal.extractFeatures(audio, Multimodal.WavDecoder)
+        .select(col("doc_id"),
+          element_at(col("features"), 1).cast("long").as("n_samples"),
+          element_at(col("features"), 2).cast("long").as("n_channels"),
+          element_at(col("features"), 3).cast("long").as("sample_rate"),
+          element_at(col("features"), 4).cast("long").as("sum_samples"))
+        .orderBy("doc_id")
+    }),
     // S5-shaped transcripts staging: per-response arrays flattened to
     // utterances, empty responses dropped by the inner explode (F6).
     "shred_transcripts" -> ((s, _) =>
@@ -1180,6 +1227,48 @@ object SparkEntry {
         .select(date_format(col("dt"), "yyyy-MM-dd").as("dt"),
           col("n_events"), col("n_users"))
         .orderBy("dt")
+    }),
+    // Z-ordered layout (the TWO-dimensional cousin of partition_prune):
+    // the same events projection written twice — z-sorted on the
+    // Morton interleave of (user_id, day) vs the natural time-ordered
+    // ingest sort — and a (user range × date range) query executed
+    // against both. Parquet min-max row-group/file skipping surfaces
+    // as the SCAN's numOutputRows; the in-row requires pin that the
+    // z layout physically surfaces FEWER rows than the time layout
+    // (which the user predicate can't prune) and under half the
+    // table. Oracle = the same filter+aggregate off the raw events
+    // table: layout is physical, not semantic.
+    "zorder_prune" -> ((s, dir) => {
+      val (zDir, tDir) = zorderLayouts(s, dir)
+      def filtered(p: String) = s.read.parquet(p).filter(
+        col("user_id").between(10, 24) &&
+          col("dt").between(
+            lit("2024-01-05").cast("date"), lit("2024-01-22").cast("date")))
+      // bare filter per layout (no exchange, so no AQE wrapper) —
+      // collect, then read the scan's numOutputRows: the parquet
+      // reader emits whole surviving row groups, so the metric is
+      // exactly the post-skipping physical row count
+      def scanRows(p: String): Long = {
+        val q = filtered(p).select("event_id")
+        q.collect()
+        q.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metrics("numOutputRows").value
+        }.sum
+      }
+      val total = s.read.parquet(zDir).count()
+      val zRows = scanRows(zDir)
+      val tRows = scanRows(tDir)
+      require(zRows < tRows,
+        s"z-layout must skip more than the time layout: z=$zRows t=$tRows")
+      require(zRows * 2 <= total,
+        s"z-layout must surface under half the table: z=$zRows total=$total")
+      filtered(zDir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+        .orderBy("event_type")
     }),
     // Retention purge (the delete half of the partitioned layout):
     // events land as 30 dt= directories in a PRIVATE copy (the purge
@@ -1638,6 +1727,25 @@ object SparkEntry {
           coalesce(col("c_mktsegment"), lit("none")).as("segment"))
         .orderBy("event_id")
     }),
+    // Continuous incremental corpus dedup — the persisted MinHash
+    // index driven by a stream: batch 1 builds the index from the
+    // lower-id chunk, batch 2 dedups the upper chunk against it (plus
+    // within itself) and appends. Drop rule = "some earlier-ingested
+    // doc is near-dup", so the batch oracle is the plain
+    // exists-smaller-id exact-Jaccard check over the whole corpus —
+    // no streaming machinery to simulate.
+    "stream_index_dedup" -> ((s, dir) => streamRow(s) {
+      val src = docChunks(s, dir)
+      val base = tempDir("graft_stream_xd")
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .select("doc_id", "text")
+      val q = graft.streaming.IncrementalSync.corpusDedupSync(
+        stream, s"$base/idx", s"$base/target", s"$base/ckpt")
+      q.awaitTermination()
+      s.read.parquet(s"$base/target").orderBy("doc_id")
+    }),
     "stream_doc_ingest" -> ((s, dir) => streamRow(s) {
       val src = docChunks(s, dir)
       val base = tempDir("graft_stream_di")
@@ -2052,6 +2160,28 @@ object SparkEntry {
         | td AS (SELECT term, doc_id, count(*) AS tf FROM f GROUP BY term, doc_id)
         |SELECT term, CAST(sum(tf) AS BIGINT) AS n, count(*) AS df
         |FROM td GROUP BY term ORDER BY n DESC, term LIMIT 25""".stripMargin,
+    // same pruned space, same integer weights, same rounding — the
+    // sparse-cosine replay is exact end to end
+    "tfidf_cosine" ->
+      """WITH tok AS (SELECT doc_id, u.t AS term
+        |             FROM documents, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> len(x) >= 2)) AS u(t)),
+        | ft AS (SELECT doc_id, term FROM tok
+        |        WHERE term NOT IN ('the','a','an','of','and','or','is','in','to','for')),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM ft GROUP BY doc_id, term),
+        | dfT AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        | n AS (SELECT count(*) AS n FROM documents),
+        | w AS (SELECT doc_id, term, tf * least(20, n // df) AS w
+        |       FROM tf JOIN dfT USING (term) CROSS JOIN n WHERE df <= 100),
+        | norms AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY doc_id),
+        | dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+        |          FROM w a JOIN w b USING (term) WHERE a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        | s AS (SELECT doc_a, doc_b,
+        |        CAST(round(1e6 * dot / (sqrt(na.n2) * sqrt(nb.n2))) AS BIGINT) AS sim_e6
+        |       FROM dots JOIN norms na ON na.doc_id = doc_a
+        |                 JOIN norms nb ON nb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, sim_e6 FROM s WHERE sim_e6 >= 400000
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "tfidf_topk" ->
       """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term FROM documents),
         | f AS (SELECT doc_id, term FROM toks WHERE length(term) >= 2
@@ -2435,6 +2565,18 @@ object SparkEntry {
         |WHERE last_ms <= (SELECT max(ms) FROM e) - 1860000
         |ORDER BY user_id, started_ms""".stripMargin,
     // gate-passing distinct texts, each emitted exactly once
+    // the streamed build+append+query lifecycle collapses to one
+    // batch truth: dup ⟺ exists a smaller-id near-dup (ingest order
+    // is doc_id order by fixture construction; dups are indexed too,
+    // so the rule is non-recursive)
+    "stream_index_dedup" ->
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        | s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |       FROM t WHERE len(toks) >= 3),
+        | dup AS (SELECT DISTINCT b.doc_id FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |         WHERE len(list_intersect(a.sh, b.sh)) * 2 >= len(list_distinct(list_concat(a.sh, b.sh))))
+        |SELECT d.doc_id, (d.doc_id IN (SELECT doc_id FROM dup)) AS is_dup
+        |FROM documents d ORDER BY d.doc_id""".stripMargin,
     "stream_doc_ingest" ->
       """WITH t AS (SELECT doc_id, text, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks,
         |                  length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
@@ -2595,6 +2737,16 @@ object SparkEntry {
         |       CAST(sum(g) AS BIGINT) AS sum_gray,
         |       CAST(round(1e6 * sum(g) / (w * h)) AS BIGINT) AS mean_e6
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    // the WAV round-trip stated from the sample formula alone — the
+    // oracle never sees a WAV byte; PCM is lossless so sums are exact
+    "audio_decode" ->
+      """SELECT doc_id,
+        |       CAST(20 + doc_id % 13 AS BIGINT) AS n_samples,
+        |       CAST(1 AS BIGINT) AS n_channels,
+        |       CAST(8000 AS BIGINT) AS sample_rate,
+        |       CAST(list_sum(list_transform(range(0, CAST(20 + doc_id % 13 AS INT)),
+        |            i -> (doc_id * 37 + i * 101) % 4001 - 2000)) AS BIGINT) AS sum_samples
+        |FROM documents WHERE doc_id IS NOT NULL ORDER BY doc_id""".stripMargin,
     "backup_mirror" ->
       """WITH tgt AS (SELECT id AS contact_id,
         |                    to_json(struct_pack(id := id, startTime := startTime, assocCallId := assocCallId, agent := agent))::VARCHAR AS src
@@ -2715,6 +2867,16 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // layout is physical: the z-ordered copy must answer exactly the
+    // raw table's filter+aggregate (integer-exact cents, no double sums)
+    "zorder_prune" ->
+      """SELECT event_type, count(*) AS n_rows,
+        |       count(DISTINCT user_id) AS n_users,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events
+        |WHERE user_id BETWEEN 10 AND 24
+        |  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-22'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the FULL recompute — incremental merge must equal it exactly
     "incremental_agg" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt,

@@ -10,14 +10,16 @@ import org.apache.spark.sql.types._
   * loops (mapPartitions — the JVM analog of mapInPandas: amortized
   * setup per batch, vectorizable inner loop, no per-row UDF overhead).
   *
-  * The IMAGE path decodes real bytes: ImageIoDecoder reads PNG/BMP
-  * through javax.imageio (pure JVM, in this container) behind the
-  * same MediaDecoder seam, driver-checked against a closed-form
-  * oracle (media_decode). The audio/video paths keep a DETERMINISTIC
-  * STUB decoder (byte histogram — no pure-JVM codec exists here);
-  * their Spark-side plumbing — schema, batch shape, partition sizing,
-  * feature column layout — is real and tested, and swapping in a real
-  * codec is implementing the same one trait the image path implements.
+  * The IMAGE and AUDIO paths decode real bytes: ImageIoDecoder reads
+  * PNG/BMP through javax.imageio and WavDecoder reads PCM WAV through
+  * javax.sound.sampled (both pure JVM, in this container) behind the
+  * same MediaDecoder seam, each driver-checked against a closed-form
+  * oracle (media_decode, audio_decode). The VIDEO path keeps a
+  * DETERMINISTIC STUB decoder (byte histogram — no pure-JVM video
+  * codec exists here); its Spark-side plumbing — schema, batch shape,
+  * partition sizing, feature column layout — is real and tested, and
+  * swapping in a real codec is implementing the same one trait the
+  * image and audio paths implement.
   *
   * Scale posture: payload bytes never shuffle except where a query
   * explicitly groups them; metadata-only queries prune the binary
@@ -119,6 +121,81 @@ object Multimodal {
     javax.imageio.ImageIO.setUseCache(false)
     javax.imageio.ImageIO.write(img, "png", baos)
     baos.toByteArray
+  }
+
+  /** REAL audio payloads, deterministically synthesized — the audio
+    * twin of synthesizeImages: a tiny 16-bit signed PCM mono WAV per
+    * document (8 kHz), length and every sample a pure function of
+    * doc_id (n = 20 + id%13, sample(i) = (id·37 + i·101) mod 4001 −
+    * 2000), containerized with javax.sound.sampled — pure JVM, zero
+    * egress, zero native deps. PCM is lossless, so decoded samples
+    * round-trip exactly and a SQL oracle can state the decoded stats
+    * without ever seeing a WAV byte. This retires the audio leg of
+    * the ByteHistogramDecoder stub; video remains the one documented
+    * stub (no pure-JVM codec exists in this container).
+    */
+  def synthesizeAudio(docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    docs
+      .filter(col("doc_id").isNotNull)
+      .select("doc_id")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val wav = encodeWav(id)
+          Row(id, "audio", wav, wav.length.toLong)
+        }
+      }(enc)
+  }
+
+  private[graft] def sampleAt(id: Long, i: Int): Int =
+    ((id * 37 + i * 101L) % 4001).toInt - 2000
+
+  private val wavFormat = new javax.sound.sampled.AudioFormat(
+    8000f, 16, 1, /*signed=*/ true, /*bigEndian=*/ false)
+
+  private def encodeWav(id: Long): Array[Byte] = {
+    val n = (20 + id % 13).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = sampleAt(id, i)
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), wavFormat, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** REAL WAV decoder behind the same seam: javax.sound.sampled parses
+    * the container, the 16-bit little-endian signed samples decode
+    * exactly. Emits [n_samples, n_channels, sample_rate, sum_of_samples]
+    * — integer-valued doubles far below 2^53, byte-exact cross-engine.
+    */
+  object WavDecoder extends MediaDecoder {
+    val featureDim = 4
+    def features(payload: Array[Byte]): Array[Double] = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+        s"expected 16-bit little-endian PCM, got $fmt")
+      val bytes = ais.readAllBytes()
+      val channels = fmt.getChannels
+      var sum = 0L
+      var i = 0
+      while (i + 1 < bytes.length) {
+        sum += ((bytes(i) & 0xff) | (bytes(i + 1).toInt << 8)).toShort.toLong
+        i += 2
+      }
+      Array(bytes.length / 2.0 / channels, channels.toDouble,
+        fmt.getSampleRate.toDouble, sum.toDouble)
+    }
   }
 
   /** REAL decoder behind the same seam the stub occupies: PNG/BMP via

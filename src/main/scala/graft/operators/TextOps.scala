@@ -548,6 +548,58 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** Sparse TF-IDF cosine similarity pairs — the SPARSE complement of
+    * the dense embedding near-dup family: topical/lexical similarity
+    * from the term-weight vectors themselves, no embedding model in
+    * the loop. The vector space is the df-PRUNED vocabulary: terms in
+    * more than `dfCap` documents are dropped from every vector (their
+    * idf carries ~no signal, and — the scale reason — each surviving
+    * term joins at most dfCap docs, so the term self-join fans out
+    * ≤ dfCap²/2 pairs per term BY CONSTRUCTION, an absolute bound
+    * that does not grow with the corpus; the hot-term blowup every
+    * naive sparse-similarity join dies on is excluded from the space,
+    * not capped after the fact). Weights are integer on purpose:
+    * w = tf · min(idfCap, N div df) — a distributed double dot-sum is
+    * order-dependent, but integer dots/norms are exact in any order,
+    * so sim_e6 = round(1e6·dot/(‖a‖‖b‖)) is bit-identical on both
+    * engine sides. The idf cap saturates the rarity boost (the
+    * log-free analog of tfidfTopK's linear idf, bounded so w² sums
+    * stay far from overflow). Candidate generation and the dot ride
+    * ONE self-join on term (a pair's dot aggregates its shared
+    * surviving terms; pairs sharing nothing never materialize).
+    */
+  def tfidfCosinePairs(
+      docs: DataFrame,
+      dfCap: Int = 100,
+      idfCap: Int = 20,
+      simE6Min: Long = 400000L): DataFrame = {
+    val terms = docs
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "[^a-z]+"),
+          t => length(t) >= 2)).as("term"))
+      .filter(!col("term").isin(stopwords: _*))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfTbl = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("_n"))
+    val w = tf.join(dfTbl, "term")
+      .filter(col("df") <= dfCap)
+      .crossJoin(broadcast(n)) // 1-row corpus size
+      .withColumn("w", col("tf") * least(lit(idfCap.toLong), expr("_n div df")))
+      .select("doc_id", "term", "w")
+    val norms = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+    val dots = w.as("a").join(w.as("b"), Seq("term"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("n2_a")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("n2_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(lit(1e6) * col("dot") / (sqrt(col("n2_a")) * sqrt(col("n2_b"))))
+          .cast("long").as("sim_e6"))
+      .filter(col("sim_e6") >= simE6Min)
+  }
+
   /** Benchmark decontamination: which corpus documents share ANY word
     * 3-gram with a probe (evaluation/benchmark) set, and how many
     * distinct shingles overlap. The standard pre-training hygiene

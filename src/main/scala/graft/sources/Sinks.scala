@@ -3,7 +3,8 @@ package graft.sources
 import java.util.UUID
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, lit, pmod, shiftleft, shiftright}
 
 /** File-side write path (SURVEY §2.1 S7/S9/S11-S13, §2.9 D3): the
   * reference's stage-upload / truncate-reload / CTAS-replace cycle
@@ -138,6 +139,53 @@ object Sinks {
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+
+  /** Morton/Z-order interleave of two non-negative integer columns —
+    * the multi-dimensional clustering key behind Z-ordered layouts
+    * (Morton 1966; the OPTIMIZE ZORDER of the lakehouse engines,
+    * re-expressed as plain Spark). Bit i of each input lands at output
+    * bits 2i / 2i+1, so sorting by the z-value makes file and
+    * row-group min–max ranges narrow in BOTH dimensions at once —
+    * a single-column sort only ever serves predicates on that column.
+    * Pure codegen'd integer bit ops, no UDF. Inputs are taken mod
+    * 2^bits: the caller picks `bits` to cover the real domain —
+    * wraparound aliases distant values into one z-cell, which degrades
+    * clustering (never correctness; the layout is physical, queries
+    * still filter exactly).
+    */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
+    val an = pmod(a.cast("long"), lit(1L << bits))
+    val bn = pmod(b.cast("long"), lit(1L << bits))
+    (0 until bits).map { i =>
+      shiftleft(shiftright(an, i).bitwiseAND(1L), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(bn, i).bitwiseAND(1L), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-ordered rewrite: range-partition + sort by the interleaved key,
+    * with deliberately small parquet row groups so min–max skipping
+    * has granularity to work with. The layout pass every 100 TB table
+    * with TWO hot filter dimensions needs (time × user, time × key):
+    * a time-sorted ingest layout serves time predicates and nothing
+    * else, full salting serves neither; the z-sort lets the SAME file
+    * set serve both, paid for once at write time. The z column is
+    * dropped before write — it is a sort key, not data — and the sort
+    * survives the projection (order-preserving).
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      dir: String,
+      a: String,
+      b: String,
+      numFiles: Int,
+      bits: Int = 16,
+      rowGroupBytes: Long = 64 * 1024): Unit =
+    df.withColumn("_z", zValue(col(a), col(b), bits))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.option("parquet.block.size", rowGroupBytes)
+      .mode("overwrite").parquet(dir)
 
   /** Small-files compaction — the table-hygiene pass every long-lived
     * ingest needs: micro-batch and per-window writers (writeJsonBatch,

@@ -335,6 +335,59 @@ object IncrementalSync {
     (q, () => (hotRows.get(), coldRows.get()))
   }
 
+  /** Streaming incremental corpus dedup off the persisted MinHash
+    * band index — the lifecycle the batch `minhash_index_delta` row
+    * exercises once, run CONTINUOUSLY: each arriving document batch
+    * (a) dedups against everything ingested before it via the
+    * standing index (Similarity.minhashNearDupFromIndex — the corpus
+    * is never re-shingled), (b) dedups within itself (batch-local
+    * banded pairs, smaller doc_id wins), and (c) appends itself to
+    * the index so every later batch sees it. Ingested docs are
+    * appended EVEN IF flagged duplicate: the index is a discovery
+    * structure, and indexing dups keeps the drop rule non-recursive —
+    * "d is a duplicate iff some earlier-ingested document is near-dup
+    * with d" — which is exactly replayable by a batch oracle (no
+    * greedy survivor chain to simulate). Output: one (doc_id, is_dup)
+    * row per ingested doc.
+    *
+    * Caveat, stated: the index append inside foreachBatch is
+    * append-mode parquet — exactly-once only under AvailableNow on a
+    * reliable source; a production retry-safe variant versions the
+    * append by batchId (the writeJsonBatch pattern) and skips
+    * already-committed ids.
+    */
+  def corpusDedupSync(
+      docs: DataFrame,
+      indexDir: String,
+      targetDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist() // three consumers per batch
+        try {
+          val indexed = graft.sources.Sinks.exists(s"$indexDir/meta")
+          val vsIndex =
+            if (indexed)
+              graft.operators.Similarity.minhashNearDupFromIndex(b, indexDir)
+                .select(col("doc_b").as("doc_id"))
+            else b.sparkSession.emptyDataFrame
+              .withColumn("doc_id", lit(0L)).limit(0)
+          val within = graft.operators.Similarity.minhashNearDup(b)
+            .select(col("doc_b").as("doc_id"))
+          val dups = vsIndex.unionByName(within).distinct()
+            .withColumn("_d", lit(1))
+          b.select("doc_id")
+            .join(dups, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("_d").isNotNull.as("is_dup"))
+            .write.mode("append").parquet(targetDir)
+          if (indexed) graft.operators.Similarity.appendToMinhashIndex(b, indexDir)
+          else graft.operators.Similarity.buildMinhashIndex(b, indexDir)
+        } finally { b.unpersist(); () }
+      }
+      .start()
+
   /** Streaming staged-contacts sync: watch `srcDir` for new JSON
     * batches, shred each micro-batch, and insert-only-merge it into
     * the parquet target (J2 semantics — replays and overlapping

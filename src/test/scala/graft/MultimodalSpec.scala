@@ -118,6 +118,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WavDecoder round-trips the synthesized PCM samples exactly") {
+    import spark.implicits._
+    val docs = Seq((0L, "a"), (7L, "b"), (123L, "c")).toDF("doc_id", "text")
+    val got = Multimodal.extractFeatures(
+      Multimodal.synthesizeAudio(docs), Multimodal.WavDecoder)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    Seq(0L, 7L, 123L).foreach { id =>
+      val n = (20 + id % 13).toInt
+      val sum = (0 until n).map(Multimodal.sampleAt(id, _)).sum
+      // PCM is lossless: decoded sample count, mono channel, rate, and
+      // the signed-sample sum must match the generator bit for bit
+      assert(got(id) == Seq(n.toDouble, 1.0, 8000.0, sum.toDouble),
+        s"doc $id decoded ${got(id)}")
+    }
+  }
+
   test("mediaStats prunes the blob column from the scan") {
     val stats = Multimodal.mediaStats(media)
     assert(stats.count() === 3) // image / audio / video

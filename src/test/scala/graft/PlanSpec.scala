@@ -374,4 +374,46 @@ class PlanSpec extends SparkSpec {
       assert(s >= 400000L)
     }
   }
+
+  test("zValue: bit interleave matches the reference Morton encoding") {
+    import spark.implicits._
+    def morton(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).map(i =>
+        (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1)))
+        .reduce(_ | _)
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 9L),
+      (1499L, 29L), (4095L, 4095L), (4096L, 1L)) // last wraps mod 2^12
+    val got = cases.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.sources.Sinks.zValue(col("a"), col("b"), bits = 12).as("z"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) === morton(r.getLong(0) % 4096, r.getLong(1) % 4096, 12),
+        s"(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
+  test("writeZOrdered: z-sorted layout skips more than a one-dim sort on a 2-d query") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), to_date(col("ts")).as("dt"))
+      .withColumn("day", datediff(col("dt"), to_date(lit("2024-01-01"))))
+    val base = java.nio.file.Files.createTempDirectory("zorder_spec").toString
+    graft.sources.Sinks.writeZOrdered(ev, s"$base/z", "user_id", "day",
+      numFiles = 16, bits = 12)
+    ev.repartitionByRange(16, col("day")).sortWithinPartitions("day")
+      .write.option("parquet.block.size", 64L * 1024).parquet(s"$base/t")
+    def scanRows(p: String): Long = {
+      val q = spark.read.parquet(p)
+        .filter(col("user_id").between(2, 5) &&
+          col("day").between(4, 21))
+        .select("event_id")
+      q.collect()
+      q.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numOutputRows").value
+      }.sum
+    }
+    val (z, t) = (scanRows(s"$base/z"), scanRows(s"$base/t"))
+    assert(z < t, s"z=$z should skip more than t=$t")
+  }
 }
