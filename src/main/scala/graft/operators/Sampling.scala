@@ -66,4 +66,38 @@ object Sampling {
     }
     df.filter(cond)
   }
+
+  /** Square-root temperature mixing — the α-sampling of the
+    * multilingual pre-training literature (mT5, Xue et al. 2021:
+    * sample stratum l with probability ∝ n_l^α) at the common
+    * α = 1/2, which flattens head strata and boosts the tail without
+    * drowning it. Rates are DERIVED from the corpus itself: one
+    * bounded groupBy (|strata| rows collect to the driver — the same
+    * bounded-collect class as the 1-row sketch reads), weights
+    * w_l = √n_l, target share = w_l / Σw, per-stratum keep-rate =
+    * min(1, share·target/n_l), quantized to per-mille and gated
+    * through the SAME md5 rule as mixByRate — so the selection stays
+    * a pure function of row id. α is pinned to 1/2 BY DESIGN: √ is
+    * IEEE-correctly-rounded on every engine, general pow() is not,
+    * and the oracle must reproduce the rate table bit-for-bit. The
+    * Σw fold runs over strata sorted by name (left fold, matching the
+    * oracle's ordered list_sum) — double addition is not commutative
+    * across orders and the floor sits on the quantization boundary.
+    */
+  def sqrtTemperatureMix(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      targetRows: Long): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1) // deterministic Σw fold order, mirrored by the oracle
+    val tw = counts.foldLeft(0.0) { case (a, (_, n)) => a + math.sqrt(n.toDouble) }
+    val rates = counts.map { case (s, n) =>
+      val w = math.sqrt(n.toDouble)
+      s -> math.min(1000L,
+        math.floor(1000.0 * (w / tw) * targetRows / n).toLong).toInt
+    }.toMap
+    mixByRate(df, strataCol, idCol, rates)
+  }
 }

@@ -231,6 +231,75 @@ object Similarity {
       k)
   }
 
+  /** Maximal Marginal Relevance rerank (Carbonell & Goldstein,
+    * SIGIR'98) — the diversification stage between retrieval and the
+    * context window: greedily re-pick from a query's top-k so each
+    * pick balances relevance against redundancy with what's already
+    * picked, score = λ·sim(q,d) − (1−λ)·max_{s∈picked} sim(d,s).
+    * Near-duplicate passages waste context tokens; retrieval alone
+    * happily returns five copies of the same paragraph.
+    *
+    * Arithmetic is INTEGER by design: λ is tenths (λ=0.7 →
+    * score_e7 = 7·sim_e6 − 3·maxPair_e6), inputs are the family's
+    * sim_e6 longs, so the greedy argmax compares exact integers and
+    * the DuckDB recursive-CTE oracle replays every pick bit-for-bit
+    * (ties break on neighbor id; an empty picked set carries no
+    * penalty). Scale shape: candidates are the RETRIEVAL OUTPUT —
+    * nQueries·k rows, bounded — so the pairwise stage is |C|² per
+    * query against a k² ceiling, and the greedy loop runs inside
+    * cogroup-per-query (distributed across queries, O(k²) work and
+    * O(k²) state per group; never a driver-side loop).
+    */
+  def mmrRerank(
+      topk: DataFrame,
+      emb: DataFrame,
+      k: Int,
+      lambdaTenths: Int = 7): DataFrame = {
+    require(lambdaTenths >= 0 && lambdaTenths <= 10, "lambdaTenths in [0,10]")
+    val spark = topk.sparkSession
+    import spark.implicits._
+    val ce = topk.select(col("q_id"), col("neighbor_id"), col("sim_e6"))
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        Seq("neighbor_id"))
+      .select(col("q_id"), col("neighbor_id"), col("sim_e6"), col("embedding"),
+        sumSq(col("embedding")).as("n2"))
+    val pairSim = round(lit(1e6) * dot(col("a.embedding"), col("b.embedding"))
+      / (sqrt(col("a.n2")) * sqrt(col("b.n2")))).cast("long")
+    val pairs = ce.as("a").join(ce.as("b"),
+        col("a.q_id") === col("b.q_id") &&
+          col("a.neighbor_id") < col("b.neighbor_id"))
+      .select(col("a.q_id").as("q_id"), col("a.neighbor_id").as("na"),
+        col("b.neighbor_id").as("nb"), pairSim.as("ps"))
+    val candDs = ce.select("q_id", "neighbor_id", "sim_e6").as[(Long, Long, Long)]
+    val pairDs = pairs.as[(Long, Long, Long, Long)]
+    candDs.groupByKey(_._1).cogroup(pairDs.groupByKey(_._1)) { (q, cs, psIt) =>
+      val cands = cs.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+      val ps = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+      psIt.foreach { case (_, a, b, s) => ps((a, b)) = s; ps((b, a)) = s }
+      val simq = cands.toMap
+      val remaining = scala.collection.mutable.LinkedHashSet(cands.map(_._1): _*)
+      val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Long)]
+      var r = 1
+      while (r <= k && remaining.nonEmpty) {
+        var bestN = -1L
+        var bestScore = Long.MinValue
+        for (n <- remaining) {
+          val pen =
+            if (picked.isEmpty) 0L
+            else picked.map(p => ps.getOrElse((n, p), 0L)).max
+          val score = lambdaTenths * simq(n) - (10 - lambdaTenths) * pen
+          if (score > bestScore) { bestScore = score; bestN = n }
+        }
+        out += ((q, r, bestN, bestScore))
+        picked += bestN
+        remaining -= bestN
+        r += 1
+      }
+      out.iterator
+    }.toDF("q_id", "rank", "neighbor_id", "score_e7")
+  }
+
   /** MinHash-LSH near-duplicate pairs: shingle → numHashes minhashes →
     * bands of (numHashes/bands) rows → equi-join on (band, band-key)
     * for candidates → exact Jaccard verification (≥ 1/2 via the
@@ -1002,14 +1071,14 @@ object Similarity {
     * same (id, vector) contract.
     */
   def hashEmbedding(chunkText: Column, dim: Int): Column =
-    transform(sequence(lit(0), lit(dim - 1)), j =>
-      aggregate(
-        split(chunkText, " "),
-        lit(0),
-        (acc, t) => acc + when(
-          ascii(substring(md5(concat(t, lit(":"), j.cast("string"))), 1, 1)) < 56,
-          1).otherwise(-1))
-        .cast("float"))
+    // native HashProjEmbed, bit-identical to the HOF formulation
+    //   transform(sequence(0, dim-1), j => aggregate(split(text, " "),
+    //     0, (acc, t) => acc ± 1 by md5(t ":" j) first-hex-digit))
+    // which evaluated dim×|tokens| md5s through interpreted
+    // per-element expression trees — 8.9 s of the sf0.1 chunk_embed
+    // row collapsed to the one fused pass (equality spec-pinned, and
+    // the DuckDB oracle still replays the md5 formula verbatim)
+    call_function("hash_proj_embed", chunkText, lit(dim))
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space, look for

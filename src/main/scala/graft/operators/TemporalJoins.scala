@@ -90,6 +90,37 @@ object TemporalJoins {
         rightVals.map(c => col(s"_m.$c").as(c)): _*)
   }
 
+  /** As-of FORWARD left join: for every left row, the single right
+    * row with the SMALLEST `rightTime` ≥ `leftTime` among rows sharing
+    * the key — "next event at-or-after" (next action after a
+    * conversion, next deploy after an alert), the mirror of asofJoin's
+    * "latest at-or-before". Implemented BY that mirror: negate the
+    * time axis and delegate — min(rt ≥ lt) on the real axis IS
+    * max(−rt ≤ −lt) on the negated one, so the whole
+    * union/shuffle/running-window machinery (and its null-key,
+    * equal-time, and scale behavior) is inherited rather than
+    * re-proven. Times must therefore be NUMERIC (epoch ms/us longs —
+    * the convention every driver row already uses; a timestamp has no
+    * unary minus). Duplicate rights at the matched (key, time) resolve
+    * to the greatest `rightVals` tuple, same rule as asofJoin.
+    */
+  def asofForwardJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[String]): DataFrame = {
+    require(!left.columns.contains("_negt") && !right.columns.contains("_negt_r"),
+      "asofForwardJoin reserves the column names _negt/_negt_r")
+    asofJoin(
+      left.withColumn("_negt", -col(leftTime)),
+      right.withColumn("_negt_r", -col(rightTime)),
+      leftKey, rightKey, "_negt", "_negt_r", rightVals)
+      .drop("_negt")
+  }
+
   /** Band (bounded-range) INNER join: all (left, right) pairs with
     * |leftTime − rightTime| ≤ band. No equi-key required — the
     * equi-key is MANUFACTURED: rows bucket to floor(t/band); a right

@@ -63,4 +63,28 @@ class SamplingSpec extends SparkSpec {
     }.toSet
     assert(kept == expected)
   }
+
+  test("sqrtTemperatureMix: tail strata keep a HIGHER rate than head strata") {
+    // 800 en vs 40 zh: α=1/2 flattening must sample zh at a higher
+    // per-row rate than en, while the total lands near the target
+    val skewed = ((0L until 800L).map((_, "en")) ++ (800L until 840L).map((_, "zh")))
+      .toDF("doc_id", "lang")
+    val kept = Sampling.sqrtTemperatureMix(skewed, "lang", "doc_id", targetRows = 200L)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = kept.getOrElse("en", 0L).toDouble / 800
+    val zhRate = kept.getOrElse("zh", 0L).toDouble / 40
+    assert(zhRate > enRate,
+      s"temperature flattening must boost the tail: en=$enRate zh=$zhRate")
+    val total = kept.values.sum
+    assert(total > 100 && total < 320, s"total $total should land near the 200 target")
+  }
+
+  test("sqrtTemperatureMix is deterministic across runs and layouts") {
+    val a = Sampling.sqrtTemperatureMix(docs, "lang", "doc_id", 300L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.sqrtTemperatureMix(docs.repartition(13), "lang", "doc_id", 300L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
 }

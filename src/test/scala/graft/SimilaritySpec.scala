@@ -108,6 +108,43 @@ class SimilaritySpec extends SparkSpec {
       "one pair against the built slice, one against the appended slice")
   }
 
+  test("mmrRerank: a near-duplicate of the first pick is deferred behind diverse results") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),      // the query
+      (1L, Seq(0.99f, 0.1f, 0f, 0f)), // closest to q
+      (2L, Seq(0.99f, 0.1f, 0f, 0f)), // exact duplicate of 1
+      (3L, Seq(0.7f, 0.7f, 0f, 0f)),  // diverse
+      (4L, Seq(0.6f, 0f, 0.8f, 0f)))  // diverse
+      .toDF("vec_id", "embedding")
+    val topk = Similarity.cosineTopK(emb, nQueries = 1, k = 4)
+    val picks = Similarity.mmrRerank(topk, emb, k = 3, lambdaTenths = 3)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(Set(1L, 2L).contains(picks.head), s"rank 1 must be the most relevant: $picks")
+    assert(!Set(1L, 2L).contains(picks(1)),
+      s"the duplicate of the first pick must rank behind the diverse candidates: $picks")
+    // plain relevance order WOULD put the duplicate second — that's
+    // exactly what MMR exists to prevent
+  }
+
+  test("hash_proj_embed equals the interpreted md5 HOF formula bit for bit") {
+    import spark.implicits._
+    // edge shapes the split(-1) contract pins: empty string (one ""
+    // token), interior double space, trailing space
+    val texts = Seq("alpha beta gamma", "", "a  b ", "single",
+      "x y z w v u t s r q").toDF("t")
+    val hof = transform(sequence(lit(0), lit(7)), j =>
+      aggregate(split(col("t"), " "), lit(0), (acc, tk) => acc + when(
+        ascii(substring(md5(concat(tk, lit(":"), j.cast("string"))), 1, 1)) < 56,
+        1).otherwise(-1)).cast("float"))
+    val rows = texts.select(col("t"),
+      call_function("hash_proj_embed", col("t"), lit(8)).as("native"),
+      hof.as("hofv")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Float](1) === r.getSeq[Float](2), s"text='${r.getString(0)}'")
+    }
+  }
+
   test("jaccardNearDup: prefix filtering is candidate-complete (equals all-pairs)") {
     val docs = Tables.documents(spark, dir).cache()
     val sh = docs.select(col("doc_id"), Similarity.shingles(col("text")).as("sh"))

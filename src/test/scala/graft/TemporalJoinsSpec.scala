@@ -42,6 +42,32 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(want.contains((1L, 50L, None, None)))
   }
 
+  test("asofForwardJoin picks the earliest right at-or-after each left, nulls otherwise") {
+    val l = lefts.toDF("k", "t")
+    val r = rights.toDF("rk", "rt", "tag")
+    val got = TemporalJoins.asofForwardJoin(l, r, "k", "rk", "t", "rt", Seq("rt", "tag"))
+      .select("k", "t", "rt", "tag").as[(Long, Long, Option[Long], Option[String])]
+      .collect().toSet
+    val want = lefts.map { case (k, t) =>
+      val m = rights.filter(r => r._1 == k && r._2 >= t).sortBy(_._2).headOption
+      (k, t, m.map(_._2), m.map(_._3))
+    }.toSet
+    assert(got === want)
+    // spot the semantics: equal time matches forward; a left past every
+    // right gets nulls; an early left reaches the first future right
+    assert(want.contains((1L, 200L, Some(200L), Some("r-b"))))
+    assert(want.contains((2L, 1000L, None, None)))
+    assert(want.contains((1L, 50L, Some(100L), Some("r-a"))))
+  }
+
+  test("asofForwardJoin preserves left columns and drops the internal axis") {
+    val l = lefts.toDF("k", "t").withColumn("extra", col("t") * 2)
+    val r = rights.toDF("rk", "rt", "tag")
+    val out = TemporalJoins.asofForwardJoin(l, r, "k", "rk", "t", "rt", Seq("tag"))
+    assert(out.count() === lefts.size)
+    assert(out.columns.toSeq === Seq("k", "t", "extra", "tag"))
+  }
+
   test("asofJoin preserves every left row and all left columns") {
     val l = lefts.toDF("k", "t").withColumn("extra", col("t") * 2)
     val r = rights.toDF("rk", "rt", "tag")
