@@ -639,6 +639,23 @@ object SparkEntry {
         d, "doc_id", size(TextOps.tokens(col("text"))), capacity = 200L)
         .orderBy("doc_id")
     }),
+    // The CURATION composition (the training-data twin of
+    // corpus_pipeline's cleaning chain): quality gate → √n temperature
+    // mix (rates derived from the GATED counts) → next-fit packing →
+    // materialized sequences, one declarative plan. The oracle replays
+    // all four stages — gates, rate table, md5 gate, recursive
+    // packing, ordered concat — so any drift anywhere in the chain
+    // lands on a different sequence md5.
+    "curation_pipeline" -> ((s, dir) => {
+      val gated = TextOps.qualityGate(Tables.documents(s, dir))
+        .select("doc_id", "lang", "text")
+      val sampled = Sampling.sqrtTemperatureMix(
+        gated, "lang", "doc_id", targetRows = 200L)
+      operators.Packing.materializeBins(
+        sampled, "doc_id", "text", size(TextOps.tokens(col("text"))),
+        capacity = 200L)
+        .orderBy("bucket", "bin")
+    }),
     // The packing story's second half: bins materialized into actual
     // training sequences (texts joined back, concatenated in id order
     // around a <|doc|> boundary token) — every byte pinned via the
@@ -2920,6 +2937,44 @@ object SparkEntry {
         |    CASE WHEN p.fill + o.w > 200 THEN CAST(o.w AS BIGINT) ELSE p.fill + o.w END
         |  FROM packed p JOIN o ON o.bucket = p.bucket AND o.rn = p.rn + 1)
         |SELECT doc_id, bucket, bin, fill FROM packed ORDER BY doc_id""".stripMargin,
+    // all four curation stages replayed: gate metrics → √n rate table
+    // over the GATED counts → md5 gate → recursive next-fit → ordered
+    // concat, md5-pinned per bin
+    "curation_pipeline" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, lang, text, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks,
+        |              length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct, length(text) AS n_chars
+        |       FROM documents),
+        | m AS (SELECT doc_id, lang, text, len(toks) AS n_tokens,
+        |         (n_punct * 1000) // greatest(n_chars, 1) AS punct_pm,
+        |         (len(list_filter(toks, x -> list_contains(['the','a','an','of','and','or','is','in','to','for'], x))) * 1000) // greatest(len(toks), 1) AS stop_pm
+        |       FROM t),
+        | g AS (SELECT doc_id, lang, text FROM m
+        |       WHERE n_tokens >= 5 AND punct_pm <= 150 AND stop_pm >= 10),
+        | c AS (SELECT lang, count(*) AS n FROM g GROUP BY lang),
+        | tw AS (SELECT list_sum(list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang)) AS tw FROM c),
+        | r AS (SELECT lang, n,
+        |        least(1000, CAST(floor(1000.0 * (sqrt(CAST(n AS DOUBLE)) / tw) * 200 / n) AS BIGINT)) AS rate
+        |       FROM c CROSS JOIN tw),
+        | gg AS (SELECT lang, rate, printf('%04x', rate * 65536 // 1000) AS thr FROM r),
+        | samp AS (SELECT g.doc_id, g.text FROM g JOIN gg USING (lang)
+        |          WHERE gg.rate >= 1000 OR (gg.rate > 0 AND substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 4) < gg.thr)),
+        | d2 AS (SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+        |         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w
+        |        FROM samp),
+        | o AS (SELECT doc_id, bucket, w, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM d2),
+        | packed AS (
+        |  SELECT doc_id, bucket, w, rn, CAST(0 AS BIGINT) AS bin, CAST(w AS BIGINT) AS fill
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.doc_id, o.bucket, o.w, o.rn,
+        |    CASE WHEN p.fill + o.w > 200 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.fill + o.w > 200 THEN CAST(o.w AS BIGINT) ELSE p.fill + o.w END
+        |  FROM packed p JOIN o ON o.bucket = p.bucket AND o.rn = p.rn + 1),
+        | j AS (SELECT p.bucket, p.bin, p.doc_id, p.fill, samp.text
+        |       FROM packed p JOIN samp USING (doc_id))
+        |SELECT bucket, bin, count(*) AS n_docs, CAST(max(fill) AS BIGINT) AS bin_tokens,
+        |       md5(string_agg(text, '<|doc|>' ORDER BY doc_id)) AS seq_md5
+        |FROM j GROUP BY bucket, bin ORDER BY bucket, bin""".stripMargin,
     // same recursive packing replay, then the sequences themselves:
     // ordered string_agg around the boundary token, md5-pinned
     "pack_sequences" ->

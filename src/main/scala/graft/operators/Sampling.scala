@@ -89,7 +89,11 @@ object Sampling {
       strataCol: String,
       idCol: String,
       targetRows: Long): DataFrame = {
-    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+    // null strata can't be rate-keyed (and mixByRate drops unlisted
+    // strata anyway) — exclude them from the census so the name-sort
+    // below can't NPE and null rows don't distort the budget
+    val counts = df.where(col(strataCol).isNotNull)
+      .groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .sortBy(_._1) // deterministic Σw fold order, mirrored by the oracle
     val tw = counts.foldLeft(0.0) { case (a, (_, n)) => a + math.sqrt(n.toDouble) }

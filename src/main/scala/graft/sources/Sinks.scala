@@ -179,13 +179,15 @@ object Sinks {
       b: String,
       numFiles: Int,
       bits: Int = 16,
-      rowGroupBytes: Long = 64 * 1024): Unit =
+      rowGroupBytes: Long = 64 * 1024): Unit = {
+    require(!df.columns.contains("_z"), "writeZOrdered reserves the column name _z")
     df.withColumn("_z", zValue(col(a), col(b), bits))
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
       .write.option("parquet.block.size", rowGroupBytes)
       .mode("overwrite").parquet(dir)
+  }
 
   /** Small-files compaction — the table-hygiene pass every long-lived
     * ingest needs: micro-batch and per-window writers (writeJsonBatch,

@@ -169,6 +169,12 @@ object ScaleProbe {
       val emb = scaleEmb(Tables.embeddings(spark, sfDir), f)
       Similarity.buildIvfIndex(emb, s"$scaledBase/f$f/ivf_idx",
         Similarity.fitIvfModel(emb))
+      // standing corpus = 2/3 of the scaled docs; the timed op below
+      // is the DELTA query against this N×-bigger persisted index
+      Similarity.buildMinhashIndex(
+        scaleDocs(Tables.documents(spark, sfDir), f)
+          .filter(col("doc_id") % 3 =!= 1),
+        s"$scaledBase/f$f/mh_idx")
     }
 
     def ops(f: Int): Seq[(String, () => DataFrame)] = {
@@ -202,7 +208,14 @@ object ScaleProbe {
             "l_orderkey", "o_orderkey", s"$scaledBase/f$f/bloom_idx")
         }),
         "ivf_index_topk" -> (() =>
-          Similarity.ivfTopKFromIndex(spark, s"$scaledBase/f$f/ivf_idx")))
+          Similarity.ivfTopKFromIndex(spark, s"$scaledBase/f$f/ivf_idx")),
+        // token bijection ⇒ per-replica term spaces are disjoint, so
+        // the df table and the dfCap-bounded self-join scale exactly N×
+        "tfidf_cosine" -> (() =>
+          graft.operators.TextOps.tfidfCosinePairs(docs)),
+        "minhash_index_delta" -> (() =>
+          Similarity.minhashNearDupFromIndex(
+            docs.filter(col("doc_id") % 3 === 1), s"$scaledBase/f$f/mh_idx")))
     }
 
     val walls = scala.collection.mutable.Map.empty[(String, Int), Double]

@@ -62,6 +62,52 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-10 operators keep the equi-join discipline (no cartesian, no nested-loop)") {
+    val docs = Tables.documents(spark, dir)
+    val idx = s"${java.nio.file.Files.createTempDirectory("plan_mh_idx")}/idx"
+    Similarity.buildMinhashIndex(docs.filter(col("doc_id") % 2 === 0), idx)
+    Seq(
+      "tfidf_cosine" -> graft.operators.TextOps.tfidfCosinePairs(docs),
+      "minhash_index_delta" -> Similarity.minhashNearDupFromIndex(
+        docs.filter(col("doc_id") % 2 === 1), idx),
+      "scd2_merge" -> graft.operators.Maintenance.scd2Merge(
+        Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"),
+          to_date(lit("2024-01-01")).as("valid_from"),
+          lit(null).cast("date").as("valid_to"), lit(true).as("is_current")),
+        Tables.customer(spark, dir).select(col("c_custkey"),
+          concat(col("c_mktsegment"), lit("x")).as("c_mktsegment"),
+          to_date(lit("2024-06-01")).as("eff")),
+        "c_custkey", Seq("c_mktsegment"), "eff")
+    ).foreach { case (name, df) =>
+      val plan = executedPlan(df)
+      assert(!plan.contains("CartesianProduct"), s"$name: no cartesian:\n$plan")
+      // tfidf_cosine's one sanctioned nested loop is the 1-row
+      // broadcast(corpus-size) — the constant-size-side allowance every
+      // sketch/calendar broadcast already uses; everything data-sized
+      // must equi-join
+      if (name != "tfidf_cosine")
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name: equi-joins only:\n$plan")
+    }
+  }
+
+  test("scd2Merge is ONE join + a conditional explode — never three filters over the join") {
+    val dim = Tables.customer(spark, dir).select(col("c_custkey"),
+      col("c_mktsegment"), to_date(lit("2024-01-01")).as("valid_from"),
+      lit(null).cast("date").as("valid_to"), lit(true).as("is_current"))
+    val upd = Tables.customer(spark, dir).select(col("c_custkey"),
+      concat(col("c_mktsegment"), lit("x")).as("c_mktsegment"),
+      to_date(lit("2024-06-01")).as("eff"))
+    val plan = executedPlan(graft.operators.Maintenance.scd2Merge(
+      dim, upd, "c_custkey", Seq("c_mktsegment"), "eff"))
+      // AQE prints Final + Initial plan sections; count joins once
+      .split("== Initial Plan ==").head
+    val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(plan).size
+    assert(joins === 1, s"expected exactly one join, got $joins:\n$plan")
+    assert(plan.contains("Generate explode"), s"outcome branches must ride ONE explode:\n$plan")
+  }
+
   test("operators are sort-free: ORDER BY lives at the SparkEntry edge") {
     // A presentation orderBy inside an operator saddles every
     // downstream composition with a range exchange; the convention is
