@@ -688,6 +688,19 @@ object SparkEntry {
         Seq((1, "2024-01-01", "2024-01-07"),
           (2, "2024-01-08", "2024-01-21"),
           (3, "2024-01-01", "2024-01-30")))),
+    // Incremental QUANTILE maintenance: per-day quantized-frequency
+    // sketches persisted + reloaded, merged per query range by adding
+    // counts (EXACT merge — all error is the 1/scale quantization,
+    // deterministic), CDF walked on the KB-sized sketch. The oracle
+    // replays the full bucket→cumsum→threshold chain, so this row is
+    // hash-checked end to end — no floor booleans.
+    "incremental_quantile" -> ((s, dir) =>
+      Sketches.quantileMaintenance(
+        Tables.events(s, dir),
+        s"${tempDir("graft_quant_daily")}/sk",
+        Seq((1, "2024-01-01", "2024-01-07"),
+          (2, "2024-01-08", "2024-01-21"),
+          (3, "2024-01-01", "2024-01-30")))),
     // Count–Min frequency estimates over the full word-term stream:
     // est ≥ true asserted per row (the deterministic CM half) plus a
     // measured overestimate ceiling (SketchProbe: max over 0‰ at
@@ -1551,6 +1564,27 @@ object SparkEntry {
         "rec_id", "rec_key", width = 32, maxDist = 2)
         .orderBy("id_a", "id_b")
     }),
+    // Variable-length linkage (Linkage.editDistanceJoin): Levenshtein
+    // ≤ 1 over customer names via FastSS deletion-neighborhood
+    // blocking. The name population is itself edit-dense (names differ
+    // in single digits), and the row ADDITIONALLY plants one
+    // char-DELETED twin per custkey % 89 = 0 so the insert/delete edit
+    // path — the one Hamming linkage structurally cannot see — is
+    // exercised, not just substitutions. Oracle = the all-pairs DuckDB
+    // levenshtein self-join over the same records, so FastSS
+    // candidate-completeness is checked against brute force.
+    "edit_distance_join" -> ((s, dir) => {
+      val base = Tables.customer(s, dir).select(
+        col("c_custkey").cast("long").as("rec_id"),
+        col("c_name").as("rec_name"))
+      val twins = base.filter(col("rec_id") % 89 === 0).select(
+        (col("rec_id") + 2000000L).as("rec_id"),
+        concat(substring(col("rec_name"), 1, 9),
+          substring(col("rec_name"), 11, 9)).as("rec_name"))
+      Linkage.editDistanceJoin(base.unionByName(twins),
+        "rec_id", "rec_name", maxDist = 1)
+        .orderBy("id_a", "id_b")
+    }),
     "salted_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("event_type"), col("user_id"))
@@ -2287,6 +2321,27 @@ object SparkEntry {
         |       true AS union_floor_met, true AS fullscan_floor_met
         |FROM r JOIN e ON e.dt BETWEEN r.lo AND r.hi
         |GROUP BY r.range_id ORDER BY range_id""".stripMargin,
+    // full replay of the quantized-frequency chain: bucket → per-range
+    // merged counts → cumulative walk → smallest bucket reaching
+    // ⌈q·N/1000⌉ (identical integer cross-multiplication)
+    "incremental_quantile" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS dt, CAST(floor(value * 100) AS BIGINT) AS bucket FROM events),
+        | r(range_id, lo, hi) AS (VALUES (1, DATE '2024-01-01', DATE '2024-01-07'),
+        |                                (2, DATE '2024-01-08', DATE '2024-01-21'),
+        |                                (3, DATE '2024-01-01', DATE '2024-01-30')),
+        | b AS (SELECT r.range_id, e.bucket, count(*) AS n
+        |       FROM r JOIN e ON e.dt BETWEEN r.lo AND r.hi GROUP BY 1, 2),
+        | c AS (SELECT range_id, bucket,
+        |              CAST(sum(n) OVER (PARTITION BY range_id ORDER BY bucket) AS BIGINT) AS cum,
+        |              CAST(sum(n) OVER (PARTITION BY range_id) AS BIGINT) AS total
+        |       FROM b),
+        | q(q_pm) AS (VALUES (500), (900), (990))
+        |SELECT range_id, q_pm,
+        |       CAST(min(bucket) AS DOUBLE) / 100 AS q_value,
+        |       max(total) AS n_rows
+        |FROM c JOIN q ON c.cum * 1000 >= q.q_pm * c.total
+        |GROUP BY range_id, q_pm
+        |ORDER BY range_id, q_pm""".stripMargin,
     // exact top-10 word terms; floor_met literal-true — the Spark side
     // measures est ≥ true and the overestimate ceiling, flips on bug
     "count_min_check" ->
@@ -3208,6 +3263,18 @@ object SparkEntry {
         |       CAST(hamming(a.rec_key, b.rec_key) AS INT) AS dist
         |FROM allr a JOIN allr b
         |  ON a.rec_id < b.rec_id AND hamming(a.rec_key, b.rec_key) <= 2
+        |ORDER BY 1, 2""".stripMargin,
+    // the ALL-PAIRS levenshtein self-join over the same planted records
+    "edit_distance_join" ->
+      """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS rec_id, c_name AS rec_name FROM customer),
+        | twins AS (SELECT rec_id + 2000000 AS rec_id,
+        |                  substr(rec_name, 1, 9) || substr(rec_name, 11, 9) AS rec_name
+        |           FROM base WHERE rec_id % 89 = 0),
+        | allr AS (SELECT * FROM base UNION ALL SELECT * FROM twins)
+        |SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+        |       CAST(levenshtein(a.rec_name, b.rec_name) AS BIGINT) AS dist
+        |FROM allr a JOIN allr b ON a.rec_id < b.rec_id
+        |WHERE levenshtein(a.rec_name, b.rec_name) <= 1
         |ORDER BY 1, 2""".stripMargin,
     // the PLAIN join again — bucketing is physical layout, not semantics
     "bucketed_join" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Record linkage (entity resolution) over fixed-width identity keys —
@@ -59,5 +59,83 @@ object Linkage {
         call_function("hamming_bits", col("x._k"), col("y._k")).as("dist"))
       .filter(col("dist") <= maxDist)
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** All strings reachable from `s` by deleting at most `maxDel`
+    * characters (the FastSS deletion neighborhood, Bocek et al.,
+    * U. Zurich TR ifi-2007.02 "Fast Similarity Search in Large
+    * Dictionaries"). Built by composing the single-deletion transform
+    * `maxDel` times and keeping every intermediate level, distinct.
+    * Sizes are small for identity-shaped strings: |s|+1 variants at
+    * maxDel=1, O(|s|²) at 2 — and each variant travels as an 8-byte
+    * hash, never as the string (see editDistanceJoin).
+    */
+  private def deletionNeighborhood(s: Column, maxDel: Int): Column = {
+    // one deletion applied to every member of an ARRAY of strings;
+    // sequence() is guarded because sequence(1, 0) would DESCEND
+    def delLevel(arr: Column): Column = array_distinct(flatten(transform(
+      arr,
+      v => when(length(v) === 0, array(v)).otherwise(
+        transform(
+          sequence(lit(1), length(v)),
+          i => concat(v.substr(lit(1), i - 1), v.substr(i + 1, length(v))))))))
+    (1 to maxDel).foldLeft(array(s)) { (acc, _) =>
+      array_distinct(concat(acc, delLevel(acc)))
+    }
+  }
+
+  /** Variable-length cousin of hammingLinkage: pairs (id_a, id_b,
+    * dist) with dist = Levenshtein(s_a, s_b) ≤ maxDist, id_a < id_b —
+    * the classic fuzzy identity join (typo'd names, re-keyed IDs whose
+    * edits include insertions/deletions, which Hamming slices cannot
+    * see).
+    *
+    * Candidate generation is the FastSS deletion-neighborhood scheme:
+    * if ed(a, b) ≤ k, deleting the ≤k positions a's edit script
+    * touches from a and the ≤k positions it touches from b yields the
+    * SAME string, so the ≤k-deletion neighborhoods of a and b
+    * intersect — an equi-join on neighborhood members is
+    * candidate-complete. Each record therefore contributes
+    * O(|s|^maxDist) short rows keyed by an 8-byte xxhash64 of the
+    * variant (a hash collision only ever ADDS a candidate; the exact
+    * verify removes it), and the codegen'd built-in
+    * `levenshtein(a, b, threshold)` verifies with early exit inside
+    * the join stage — no all-pairs product, no UDF.
+    *
+    * Scale posture: the variant-hash shuffle carries (hash, id,
+    * string); bucket size is the number of records within edit
+    * distance ~2·maxDist of each other, i.e. proportional to the true
+    * answer's neighborhood structure, not to n². Low-entropy string
+    * populations (every value sharing one long template) concentrate
+    * buckets exactly as their true pair count does.
+    */
+  def editDistanceJoin(
+      records: DataFrame,
+      idCol: String,
+      strCol: String,
+      maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val keyed = records
+      .select(col(idCol).as("_id"), col(strCol).as("_s"))
+      .select(col("_id"), col("_s"),
+        explode(deletionNeighborhood(col("_s"), maxDist)).as("v"))
+      .select(col("_id"), col("_s"), xxhash64(col("v")).as("vh"))
+      .distinct()
+    keyed.as("x")
+      .join(keyed.as("y"), Seq("vh"))
+      .filter(col("x._id") < col("y._id"))
+      // cheap length filter ahead of the verify; then dedup candidate
+      // pairs (two records can share MANY variants) before computing
+      // the distance once per pair
+      .filter(
+        abs(length(col("x._s")) - length(col("y._s"))) <= maxDist)
+      .select(
+        col("x._id").as("id_a"), col("y._id").as("id_b"),
+        col("x._s").as("_sa"), col("y._s").as("_sb"))
+      .distinct()
+      // 3-arg levenshtein early-exits past the threshold (returns -1)
+      .withColumn("dist", levenshtein(col("_sa"), col("_sb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
   }
 }

@@ -3,7 +3,7 @@ package graft.operators
 import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Sketch aggregates — the operators that replace exact DISTINCT and
@@ -283,6 +283,63 @@ object Sketches {
         (abs(col("full_est") - col("exact")) * lit(1000L)
           <= col("exact") * lit(maxErrPerMille.toLong)).as("fullscan_floor_met"))
     }.reduce(_ unionByName _).orderBy("range_id")
+  }
+
+  /** Incremental range QUANTILES via persisted per-day quantized
+    * frequency sketches — the rank-statistics member of the engine's
+    * incremental trilogy (Incremental.mergeAdditive = additive
+    * aggregates, distinctMaintenanceCheck = HLL distinct, this =
+    * quantiles). GK/KLL sketches merge with accuracy loss; a
+    * QUANTIZED FREQUENCY table (bucket = ⌊value·scale⌋ → count)
+    * merges EXACTLY — counts are additive — which moves ALL error
+    * into quantization: the answered quantile is the lower edge of a
+    * width-1/scale bucket containing the true quantile, so
+    * |est − true| ≤ 1/scale by construction, deterministic, and
+    * independent of how many days were merged. Per-day sketch size is
+    * O(value_range · scale) buckets regardless of row count, so a
+    * range query touches |days| KB-sized sketches and the corpus is
+    * never rescanned.
+    *
+    * The per-day sketch table is WRITTEN to parquet and reloaded
+    * (persistence is the point); per query range the merged CDF walks
+    * the bucket axis in ONE single-partition window — sanctioned
+    * because it runs on the kilobyte sketch, never the data — and
+    * answers each q‰ as the smallest bucket whose cumulative count
+    * reaches ⌈q·N/1000⌉ (integer cross-multiplied). Everything is
+    * integer/IEEE-deterministic, so the driver oracle replays the
+    * whole chain exactly — no floor booleans needed.
+    */
+  def quantileMaintenance(
+      events: DataFrame, // needs ts (timestamp) + value (double)
+      sketchDir: String,
+      ranges: Seq[(Int, String, String)],
+      qsPerMille: Seq[Int] = Seq(500, 900, 990),
+      scale: Int = 100): DataFrame = {
+    val spark = events.sparkSession
+    events
+      .select(to_date(col("ts")).as("dt"),
+        floor(col("value") * scale).as("bucket"))
+      .groupBy("dt", "bucket").agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(sketchDir)
+    val sk = spark.read.parquet(sketchDir)
+    val qArr = array(qsPerMille.map(lit): _*)
+    ranges.map { case (id, lo, hi) =>
+      val merged = sk.filter(col("dt").between(lit(lo), lit(hi)))
+        .groupBy("bucket").agg(sum(col("n")).as("n"))
+      val cum = merged.select(
+        col("bucket"),
+        sum(col("n")).over(Window.orderBy("bucket")).as("cum"),
+        sum(col("n")).over(Window.partitionBy()).as("total"))
+      cum.select(col("bucket"), col("cum"), col("total"),
+          explode(qArr).as("q_pm"))
+        .filter(col("cum") * 1000L >= col("q_pm").cast("long") * col("total"))
+        .groupBy("q_pm")
+        .agg(min(col("bucket")).as("_qb"), max(col("total")).as("n_rows"))
+        .select(
+          lit(id).as("range_id"), col("q_pm"),
+          (col("_qb").cast("double") / scale).as("q_value"),
+          col("n_rows"))
+    }.reduce(_ unionByName _).orderBy("range_id", "q_pm")
   }
 
   /** GK quantile-sketch accuracy check over a numeric column: compute

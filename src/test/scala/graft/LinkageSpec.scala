@@ -49,4 +49,54 @@ class LinkageSpec extends SparkSpec {
       Linkage.hammingLinkage(disjoint, "id", "k", width = 5, maxDist = 1).collect()
     }
   }
+
+  // --- editDistanceJoin: FastSS deletion-neighborhood blocking ---
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1) {
+      j => if (i == 0) j else if (j == 0) i else 0
+    })
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(
+        math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private def bruteEd(recs: Seq[(Long, String)], maxDist: Int): Set[(Long, Long, Long)] =
+    (for {
+      (ia, sa) <- recs; (ib, sb) <- recs
+      if ia < ib
+      d = lev(sa, sb)
+      if d <= maxDist
+    } yield (ia, ib, d.toLong)).toSet
+
+  test("editDistanceJoin == all-pairs brute force incl. ins/del edits, k=1 and k=2") {
+    import spark.implicits._
+    // variable-length strings over a tiny alphabet: substitutions,
+    // insertions, and deletions are all dense
+    val str = for {
+      n <- Gen.choose(3, 7)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b'))
+    } yield cs.mkString
+    val gen = Gen.listOfN(30, str).map(_.zipWithIndex.map { case (s, i) => (i.toLong, s) })
+    for (k <- Seq(1, 2)) {
+      val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6),
+        Prop.forAll(gen) { recs =>
+          val got = Linkage.editDistanceJoin(recs.toDF("id", "s"), "id", "s", maxDist = k)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+          got == bruteEd(recs, k)
+        })
+      assert(res.passed, s"k=$k: ${res.status}")
+    }
+  }
+
+  test("editDistanceJoin handles empty strings and exact duplicates") {
+    import spark.implicits._
+    val recs = Seq((1L, ""), (2L, "a"), (3L, "a"), (4L, "ab"), (5L, "xyz")).toDF("id", "s")
+    val got = Linkage.editDistanceJoin(recs, "id", "s", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 0L),
+      (2L, 4L, 1L), (3L, 4L, 1L)))
+  }
 }

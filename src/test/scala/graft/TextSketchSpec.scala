@@ -307,6 +307,44 @@ class TextSketchSpec extends SparkSpec {
     assert(t.as[(Int, Boolean)].collect().forall(_._2))
   }
 
+  test("quantileMaintenance: merged per-day sketches answer within bucket width; merge is exact") {
+    import java.sql.Timestamp
+    val rows = (0 until 1000).map { i =>
+      // two "days", deterministic skewed values in [0, ~10)
+      val day = if (i % 2 == 0) "2024-01-01" else "2024-01-02"
+      val v = (i % 97) * 0.1 + (i % 7) * 0.01
+      (Timestamp.valueOf(s"$day 12:00:00"), v)
+    }
+    val df = rows.toDF("ts", "value")
+    val dir = java.nio.file.Files.createTempDirectory("quant_spec").toString
+    val out = Sketches.quantileMaintenance(df, s"$dir/sk",
+      Seq((1, "2024-01-01", "2024-01-01"), (2, "2024-01-01", "2024-01-02")),
+      qsPerMille = Seq(500, 900), scale = 100)
+      .as[(Int, Int, Double, Long)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) ==
+      Seq((1, 500), (1, 900), (2, 500), (2, 900)))
+    // the range-2 answer must be within one bucket width (1/scale) of
+    // the exact quantile over BOTH days — the merge adds counts
+    // exactly, so the only error source is quantization
+    val all = rows.map(_._2).sorted
+    for ((rid, qpm, qv, n) <- out) {
+      val vals = if (rid == 1) rows.filter(_._1.toString.startsWith("2024-01-01")).map(_._2).sorted else all
+      assert(n == vals.size)
+      val target = math.ceil(qpm * vals.size / 1000.0).toInt
+      val exact = vals(target - 1)
+      assert(math.abs(qv - exact) <= 0.01 + 1e-9,
+        s"range $rid q$qpm: got $qv, exact $exact")
+    }
+    // exact-merge invariant: querying [d1,d2] through the sketch union
+    // equals building ONE sketch over the whole frame directly
+    val whole = Sketches.quantileMaintenance(
+      df.withColumn("ts", lit(Timestamp.valueOf("2024-01-01 00:00:00"))),
+      s"$dir/sk2", Seq((2, "2024-01-01", "2024-01-02")),
+      qsPerMille = Seq(500, 900), scale = 100)
+      .as[(Int, Int, Double, Long)].collect().toSeq
+    assert(out.filter(_._1 == 2) == whole)
+  }
+
   test("decontaminate flags exactly the docs sharing a 3-gram with the probe") {
     val probe = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
     val corpus = Seq(
