@@ -746,6 +746,20 @@ object SparkEntry {
     // quote/subset detector symmetric Jaccard structurally misses.
     "containment_neardup" -> ((s, dir) =>
       Similarity.containmentNearDup(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+    // Cross-corpus decontamination at the NEAR-dup level (J ≥ 1/2 vs
+    // any held-out doc ⇒ dropped): doc_id % 37 = 0 plays the eval
+    // benchmark, the rest the training corpus, and the surviving
+    // corpus ids are the row. Oracle = brute-force cross-split Jaccard
+    // + anti-join, so prefix-filter candidate-completeness across two
+    // corpora under the shared union DF-order is checked, not assumed.
+    "cross_corpus_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Similarity.crossCorpusDedup(
+        d.filter(col("doc_id") % 37 =!= 0),
+        d.filter(col("doc_id") % 37 === 0))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
     // Pairs → clusters: connected components over the near-dup edges
     // (alternating star algorithm) and the survivor view that keeps
     // each cluster's minimum doc. Oracle recomputes the components via
@@ -2609,6 +2623,19 @@ object SparkEntry {
         |SELECT doc_a, doc_b, inter_size, union_size FROM p
         |WHERE inter_size * 5 >= union_size * 4
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // brute-force cross-split Jaccard at 1/2, then the anti-join: the
+    // surviving training-corpus ids
+    "cross_corpus_dedup" ->
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        | s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |       FROM t WHERE len(toks) >= 3),
+        | bad AS (SELECT DISTINCT a.doc_id
+        |         FROM s a JOIN s b ON a.doc_id % 37 <> 0 AND b.doc_id % 37 = 0
+        |          AND len(list_intersect(a.sh, b.sh)) * 2 >=
+        |              len(list_distinct(list_concat(a.sh, b.sh))))
+        |SELECT d.doc_id, d.lang FROM documents d
+        |WHERE d.doc_id % 37 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
     "neardup_clusters" ->
       s"""WITH RECURSIVE $componentLabelsSqlCtes
          |SELECT doc_id, component FROM labels ORDER BY doc_id""".stripMargin,

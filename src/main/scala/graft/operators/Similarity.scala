@@ -553,6 +553,86 @@ object Similarity {
       .filter(col("inter_size").cast("long") * tDen >= col("union_size").cast("long") * tNum)
   }
 
+  /** Cross-corpus near-dup DECONTAMINATION: remove from `corpus`
+    * every document whose shingle Jaccard against ANY `heldOut`
+    * document reaches tNum/tDen — the near-dup generalization of
+    * TextOps.decontaminate's exact n-gram containment. A lightly
+    * edited eval document shares most shingles without necessarily
+    * sharing a verbatim n-gram run, so exact decontamination misses
+    * it; this is the train/test-overlap scrub an LLM data pipeline
+    * runs before training (Lee et al., arXiv:2107.06499 §6 measure
+    * exactly this leakage class).
+    *
+    * Same DF-ordered prefix filtering as jaccardNearDup — but the
+    * document-frequency order is computed over the UNION of both
+    * corpora, because prefix completeness needs both sides' prefixes
+    * drawn under ONE shared total order. Candidates come from
+    * corpus-prefix × heldOut-prefix on the shingle (never corpus ×
+    * corpus — within-side duplicates are jaccardNearDup's job), with
+    * the symmetric length-ratio and PPJoin positional filters, then
+    * exact array_intersect verify; survivors anti-join out. The
+    * default threshold is the minhash family's 1/2 (paraphrase-loose),
+    * not jaccardNearDup's 4/5 (near-exact) — contamination hunts
+    * rewordings, so looser is safer; prefixes are correspondingly
+    * longer (≈ n/2), priced in because the heldOut side is the small
+    * one (an eval benchmark, not a second corpus).
+    *
+    * Contract: doc_id is unique ACROSS both frames (the verify joins
+    * shingle sets back by bare doc_id).
+    *
+    * Scale posture: the shuffled unit is (shingle, doc_id, n, pos) —
+    * text never crosses the wire after shingling; candidate volume is
+    * bounded by prefix collisions against the SMALL held side, and a
+    * corpus doc matching many held docs dedups to one drop decision
+    * before the anti-join.
+    */
+  def crossCorpusDedup(
+      corpus: DataFrame,
+      heldOut: DataFrame,
+      tNum: Int = 1,
+      tDen: Int = 2): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    val union = corpus.select(col("doc_id"), col("text"), lit(false).as("_held"))
+      .unionByName(heldOut.select(col("doc_id"), col("text"), lit(true).as("_held")))
+    val sh = spread(union)
+      .select(col("doc_id"), col("_held"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val ex = sh.select(col("doc_id"), col("_held"),
+      size(col("sh")).as("n"), explode(col("sh")).as("shingle"))
+    val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val prefLen =
+      (col("n") - expr(s"(CAST(n AS BIGINT) * $tNum + ${tDen - 1}) div $tDen") + 1)
+        .cast("int")
+    val ordered = ex.join(dfreq, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(
+        sort_array(collect_list(struct(col("df"), col("shingle")))).as("ord"),
+        max(col("n")).as("n"), max(col("_held")).as("_held"))
+      .select(col("doc_id"), col("n"), col("_held"),
+        transform(col("ord"), s => s.getField("shingle")).as("ord"))
+    val prefixes = ordered.select(
+      col("doc_id"), col("n"), col("_held"),
+      posexplode(slice(col("ord"), lit(1), prefLen)).as(Seq("pos", "shingle")))
+    val cand = prefixes.filter(!col("_held")).as("x")
+      .join(prefixes.filter(col("_held")).as("y"), Seq("shingle"))
+      .filter(
+        col("x.n").cast("long") * tDen >= col("y.n").cast("long") * tNum &&
+          col("y.n").cast("long") * tDen >= col("x.n").cast("long") * tNum)
+      .filter(
+        positionalBound(col("x.pos"), col("y.pos"), col("x.n"), col("y.n")) *
+          (tNum + tDen) >=
+          (col("x.n").cast("long") + col("y.n").cast("long")) * tNum)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val contaminated = withShingleSets(cand, sh.select("doc_id", "sh"))
+      .filter(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long") * tDen >=
+          size(array_union(col("sh_a"), col("sh_b"))).cast("long") * tNum)
+      .select(col("doc_a").as("doc_id"))
+      .distinct()
+    corpus.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   /** Shared prefix-filter scaffolding for the EXACT near-dup ops
     * (jaccardNearDup, containmentNearDup): distinct shingle sets, the
     * exploded (doc, n, shingle) inverted index, and each doc's

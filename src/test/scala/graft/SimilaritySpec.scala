@@ -168,6 +168,41 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("crossCorpusDedup: survivors equal brute-force cross-Jaccard anti-join") {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir).cache()
+    val held = d.filter(col("doc_id") % 37 === 0)
+    val corpus = d.filter(col("doc_id") % 37 =!= 0)
+    val sh = d.select(col("doc_id"), Similarity.shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val bad = sh.as("a").crossJoin(sh.as("b"))
+      .filter(col("a.doc_id") % 37 =!= 0 && col("b.doc_id") % 37 === 0)
+      .filter(
+        size(array_intersect(col("a.sh"), col("b.sh"))) * 2 >=
+          size(array_union(col("a.sh"), col("b.sh"))))
+      .select(col("a.doc_id")).as[Long].collect().toSet
+    assert(bad.nonEmpty, "testdata should contaminate across the split")
+    val want = corpus.select("doc_id").as[Long].collect().toSet -- bad
+    val got = Similarity.crossCorpusDedup(corpus, held)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === want)
+  }
+
+  test("crossCorpusDedup: copies and light edits drop, unrelated and shingle-less survive") {
+    import spark.implicits._
+    val held = Seq((1000L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // exact copy → drop
+      (2L, "alpha beta gamma delta epsilon eta"), // light edit, J=3/5 → drop
+      (3L, "completely different words entirely here now"), // survive
+      (4L, "hi there")) // < 3 tokens, no shingles → survive
+      .toDF("doc_id", "text")
+    val got = Similarity.crossCorpusDedup(corpus, held)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === Set(3L, 4L))
+  }
+
   test("containmentNearDup: candidate-complete (equals all directed pairs)") {
     val docs = Tables.documents(spark, dir).cache()
     val sh = docs.select(col("doc_id"), Similarity.shingles(col("text")).as("sh"))
