@@ -87,6 +87,9 @@ object SparkEntry {
   private def ivfTopKMemo(s: SparkSession, dir: String): DataFrame =
     memoDF(s, s"ivf:$dir")(Similarity.ivfTopK(Tables.embeddings(s, dir)))
 
+  private def pqTopKMemo(s: SparkSession, dir: String): DataFrame =
+    memoDF(s, s"pq:$dir")(Similarity.pqTopK(Tables.embeddings(s, dir)))
+
   /** The persisted-IVF-index row's build, ONCE per sf dir (bucketed
     * tables' lifecycle): quantizer fit + corpus assignment written as
     * parquet under a temp dir. The model object is kept ONLY to
@@ -822,6 +825,17 @@ object SparkEntry {
     "quant_recall" -> ((s, dir) => Similarity.recallAtK(
       exactTopK(s, dir), quantizedTopKMemo(s, dir),
       k = 10, floorPct = 80)),
+    // Product quantization (TPAMI'11): 16 four-bit codes per vector —
+    // 32× store compression, the step past SQ8 on the rate/recall
+    // curve. Codes come from seeded per-subspace k-means
+    // (engine-specific) → rows-only; pq_recall pins the measured
+    // ranking cost of the compression as a floor (RecallProbe: 30%/20%
+    // per-query minimum at sf0.01/sf0.1).
+    "pq_topk" -> ((s, dir) => Similarity.topKOrder(
+      Similarity.pqTopK(Tables.embeddings(s, dir)))),
+    "pq_recall" -> ((s, dir) => Similarity.recallAtK(
+      exactTopK(s, dir), pqTopKMemo(s, dir),
+      k = 10, floorPct = 20)),
     "ann_recall" -> ((s, dir) => Similarity.recallAtK(
       exactTopK(s, dir), Similarity.annTopKLsh(Tables.embeddings(s, dir)),
       k = 10, floorPct = 40)),
@@ -2596,6 +2610,9 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim_e6 DESC, neighbor_id) <= 10
         |ORDER BY q_id, sim_e6 DESC, neighbor_id""".stripMargin,
     "quant_recall" ->
+      """SELECT vec_id AS q_id, true AS floor_met FROM embeddings
+        |WHERE vec_id < 5 ORDER BY q_id""".stripMargin,
+    "pq_recall" ->
       """SELECT vec_id AS q_id, true AS floor_met FROM embeddings
         |WHERE vec_id < 5 ORDER BY q_id""".stripMargin,
     // delta (doc_id % 3 = 1) against the standing corpus (the other

@@ -38,6 +38,19 @@ object RecallProbe {
       println(f"PROBE ivf maxIter=$iters recall@10 per query: ${perQ.mkString(",")} " +
         f"total=${perQ.sum}/50 (${secs}%.2f s)")
     }
+    // PQ: measured recall of the code-compressed ADC ranking per
+    // (numSub, ncodes) — pins the pq_recall floor
+    for ((m, c) <- Seq((8, 16), (8, 32), (16, 16))) {
+      val t0 = System.nanoTime()
+      val pq = Similarity.pqTopK(e, numSub = m, ncodes = c)
+      val hits = exact.join(pq, Seq("q_id", "neighbor_id"), "left_semi")
+        .groupBy("q_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val secs = (System.nanoTime() - t0) / 1e9
+      val perQ = (0L until 5L).map(q => hits.getOrElse(q, 0L))
+      println(f"PROBE pq m=$m ncodes=$c recall@10 per query: ${perQ.mkString(",")} " +
+        f"total=${perQ.sum}/50 (${secs}%.2f s)")
+    }
     spark.stop()
   }
 }

@@ -108,6 +108,33 @@ class SimilaritySpec extends SparkSpec {
       "one pair against the built slice, one against the appended slice")
   }
 
+  test("pqEncode: codes bounded by ncodes, deterministic across runs") {
+    val e = Tables.embeddings(spark, dir)
+    val codes = Similarity.pqEncode(e, numSub = 16, ncodes = 16)
+    assert(codes.select(explode(col("codes")).as("c"))
+      .filter(col("c") < 0 || col("c") >= 16).count() == 0)
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toList)).sortBy(_._1).toList
+    assert(snap(codes) == snap(Similarity.pqEncode(e, numSub = 16, ncodes = 16)))
+  }
+
+  test("pqTopK: exact-recovery regime (one code per distinct subvector) equals exact top-k") {
+    import spark.implicits._
+    // 8 well-separated vectors; with ncodes = n the per-subspace
+    // k-means can place a centroid on every subvector, so the
+    // reconstruction is exact and ADC ranking == float cosine ranking
+    val vecs = (0 until 8).map { i =>
+      (i.toLong, Array.tabulate(4)(d =>
+        (if (d == i % 4) 10f + i else 1f + 0.1f * i * d)))
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.topKOrder(Similarity.cosineTopK(vecs, nQueries = 2, k = 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val pq = Similarity.topKOrder(Similarity.pqTopK(vecs, nQueries = 2, k = 3,
+      numSub = 2, ncodes = 8, maxIter = 20))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pq == exact)
+  }
+
   test("mmrRerank: a near-duplicate of the first pick is deferred behind diverse results") {
     import spark.implicits._
     val emb = Seq(
