@@ -588,6 +588,11 @@ object SparkEntry {
     // document frequency alongside (the IDF numerator) — two-level
     // partial aggregation, no countDistinct Expand.
     "top_terms" -> ((s, dir) => TextOps.topTerms(Tables.documents(s, dir))),
+    // Rank-id vocabulary (count desc, token asc — shard-agreement by
+    // construction); minCount 2, capped at 1000 ids.
+    "build_vocab" -> ((s, dir) =>
+      TextOps.buildVocab(Tables.documents(s, dir), minCount = 2L, maxSize = 1000)
+        .orderBy("token_id")),
     // Per-doc top-3 keywords by log-free (linear-idf) TF-IDF.
     // Sparse TF-IDF cosine pairs over the df-pruned vocabulary —
     // integer weights so the distributed dot/norm sums are exact in
@@ -1287,6 +1292,12 @@ object SparkEntry {
     // window over exploded segments.
     "segment_dedup" -> ((s, dir) =>
       TextOps.segmentDedup(Tables.documents(s, dir), segTokens = 10).orderBy("doc_id")),
+    // Boilerplate strip: segments occurring in ≥3 DISTINCT docs are
+    // template chrome and are removed from EVERY doc (segmentDedup
+    // keeps the first copy; this keeps none). Oracle replays the
+    // census + strip + reassembly on the raw segment text.
+    "boilerplate_strip" -> ((s, dir) =>
+      TextOps.stripBoilerplate(Tables.documents(s, dir)).orderBy("doc_id")),
     // RAG-style overlap chunking: 50-token windows every 40 tokens
     // (10-token overlap), map-only; the oracle replays the identical
     // slicing arithmetic over DuckDB list ops.
@@ -2282,6 +2293,14 @@ object SparkEntry {
         | td AS (SELECT term, doc_id, count(*) AS tf FROM f GROUP BY term, doc_id)
         |SELECT term, CAST(sum(tf) AS BIGINT) AS n, count(*) AS df
         |FROM td GROUP BY term ORDER BY n DESC, term LIMIT 25""".stripMargin,
+    // identical rank rule: (count desc, token asc), minCount 2, cap 1000
+    "build_vocab" ->
+      """WITH toks AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS token FROM documents),
+        | c AS (SELECT token, count(*) AS n FROM toks GROUP BY token HAVING count(*) >= 2),
+        | r AS (SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS token_id,
+        |              token, n FROM c)
+        |SELECT token_id, token, n FROM r WHERE token_id <= 1000
+        |ORDER BY token_id""".stripMargin,
     // same pruned space, same integer weights, same rounding — the
     // sparse-cosine replay is exact end to end
     "tfidf_cosine" ->
@@ -3339,6 +3358,23 @@ object SparkEntry {
         | n AS (SELECT doc_id, CAST(ceil(len(toks) / 10.0) AS BIGINT) AS n_segments FROM t)
         |SELECT n.doc_id, coalesce(k.clean_text, '') AS clean_text, n.n_segments,
         |       n.n_segments - coalesce(k.n_kept, 0) AS n_dropped
+        |FROM n LEFT JOIN kept k USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // census on the raw segment text (Spark censuses md5 marks —
+    // equivalent modulo md5 collisions, the segment_dedup precedent);
+    // segments in ≥3 distinct docs stripped everywhere, then reassembly
+    "boilerplate_strip" ->
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        | seg AS (SELECT doc_id, unnest(list_transform(range(CAST(ceil(len(toks) / 10.0) AS BIGINT)),
+        |                 i -> {'i': i, 's': array_to_string(toks[(i*10+1):(i*10+10)], ' ')})) AS u
+        |         FROM t WHERE len(toks) > 0),
+        | c AS (SELECT u.s AS seg, count(DISTINCT doc_id) AS nd
+        |       FROM seg GROUP BY u.s),
+        | kept AS (SELECT doc_id, array_to_string(list(u.s ORDER BY u.i), ' ') AS clean_text,
+        |                 count(*) AS n_kept
+        |          FROM seg JOIN c ON seg.u.s = c.seg WHERE c.nd < 3 GROUP BY doc_id),
+        | n AS (SELECT doc_id, CAST(ceil(len(toks) / 10.0) AS BIGINT) AS n_segments FROM t)
+        |SELECT n.doc_id, coalesce(k.clean_text, '') AS clean_text, n.n_segments,
+        |       n.n_segments - coalesce(k.n_kept, 0) AS n_boiler
         |FROM n LEFT JOIN kept k USING (doc_id) ORDER BY doc_id""".stripMargin,
     // identical sliding hash: one window per token offset, ubiquitous
     // spans (>1000 occurrences) dropped before the pair join

@@ -231,27 +231,95 @@ object Similarity {
       k)
   }
 
-  /** Per-subspace codebooks for product quantization: split the d-dim
-    * space into numSub contiguous subspaces and k-means each to ncodes
-    * centroids over a seeded bounded sample (fitKMeans discipline).
-    * numSub small independent fits of dimension d/numSub — cheap, and
-    * each codebook is ncodes × d/numSub doubles, kilobytes total.
+  /** Per-subspace codebooks for product quantization: ONE seeded
+    * bounded sample collected once (fitKMeans's sampling discipline —
+    * maxTrainRows × dim floats, sub-MB at the defaults), then numSub
+    * independent Lloyd's runs over the d/numSub-dim subvectors on the
+    * driver. Driver-side deliberately: numSub MLlib fits cost numSub
+    * job launches (~8 s of pure scheduling at 16 subspaces, measured)
+    * to cluster vectors of dimension FOUR — the sample is bounded by
+    * construction, so local Lloyd's is the scale-correct shape, not a
+    * shortcut. Deterministic end to end: seeded sample, vec_id-sorted,
+    * farthest-point (maxmin) init with index tie-breaks, empty
+    * clusters keep their centroid — task-retry and relaunch safe, and
+    * the exact-recovery regime (ncodes ≥ distinct subvectors) picks
+    * every distinct point as a centroid by construction (a duplicate
+    * is only ever chosen once all positive distances are exhausted).
     */
   private def fitPqCodebooks(
-      e: DataFrame, // needs embedding
+      e: DataFrame, // needs vec_id + embedding
       dim: Int,
       numSub: Int,
       ncodes: Int,
       trainFraction: Double,
       maxTrainRows: Int,
       maxIter: Int): Seq[Seq[Seq[Double]]] = {
-    import org.apache.spark.ml.functions.array_to_vector
     val sub = dim / numSub
+    val sampled = e.select(col("vec_id"), col("embedding"))
+      .sample(withReplacement = false, trainFraction, seed = 42)
+      .limit(maxTrainRows)
+    val base =
+      if (sampled.take(ncodes).length < ncodes) e.select(col("vec_id"), col("embedding"))
+      else sampled
+    val train = base.orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
     (0 until numSub).map { j =>
-      val sj = e.select(array_to_vector(
-        slice(col("embedding"), j * sub + 1, sub)).as("features"))
-      fitKMeans(sj, ncodes, trainFraction, maxTrainRows, maxIter)
-        .clusterCenters.map(_.toArray.toSeq).toSeq
+      val pts = train.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      // deterministic farthest-point (maxmin) init: first point, then
+      // repeatedly the point farthest from its nearest chosen centroid
+      // (ties → lower index) — no RNG, and it spreads the codebook
+      // across the subspace the way kmeans++ does in expectation
+      val init = scala.collection.mutable.ArrayBuffer(pts.head)
+      val minD2 = pts.map { p =>
+        var d = 0.0; var i = 0
+        while (i < sub) { val t = p(i) - pts.head(i); d += t * t; i += 1 }
+        d
+      }
+      while (init.length < math.min(ncodes, pts.length)) {
+        var best = 0; var bestD = -1.0
+        var x = 0
+        while (x < pts.length) {
+          if (minD2(x) > bestD) { bestD = minD2(x); best = x }
+          x += 1
+        }
+        if (bestD <= 0.0) { init += pts(best); minD2(best) = -1.0 }
+        else {
+          val c = pts(best)
+          init += c
+          var y = 0
+          while (y < pts.length) {
+            var d = 0.0; var i = 0
+            while (i < sub) { val t = pts(y)(i) - c(i); d += t * t; i += 1 }
+            if (d < minD2(y)) minD2(y) = d
+            y += 1
+          }
+        }
+      }
+      var cents = init.toArray
+      var iter = 0
+      while (iter < maxIter) {
+        val sums = Array.fill(cents.length)(new Array[Double](sub))
+        val counts = new Array[Long](cents.length)
+        pts.foreach { p =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            var d = 0.0; var i = 0
+            while (i < sub) { val t = p(i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < sub) { sums(best)(i) += p(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0L) old
+          else sums(c).map(_ / counts(c))
+        }
+        iter += 1
+      }
+      cents.map(_.toSeq).toSeq
     }
   }
 

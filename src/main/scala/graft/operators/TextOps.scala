@@ -128,6 +128,59 @@ object TextOps {
         (nSegs - coalesce(size(col("_kept")), lit(0))).as("n_dropped"))
   }
 
+  /** Boilerplate STRIP — the other answer to repeated text:
+    * segmentDedup keeps a shared segment's FIRST occurrence (dedup
+    * semantics), but template text (headers, footers, license
+    * blurbs, nav chrome) shouldn't survive anywhere — the
+    * RefinedWeb/CCNet line-dedup rationale (Penedo et al.,
+    * arXiv:2306.01116 §3.2) applied at the fixed-token-segment
+    * grain: a segment occurring in ≥ minDocs DISTINCT documents is
+    * boilerplate and is removed from EVERY document, including the
+    * first. minDocs separates template chrome (many docs) from
+    * pairwise duplication (two docs — near-dup dedup's job, not
+    * ours).
+    *
+    * Same scale shape as segmentDedup: the census and the strip
+    * decision run on 16-byte md5 marks (text never shuffles), the
+    * boilerplate hash set is small by construction (it's the heavy
+    * tail of the segment-frequency distribution) so the anti-join
+    * broadcasts, and reassembly slices the already-co-located token
+    * array per doc.
+    */
+  def stripBoilerplate(
+      docs: DataFrame,
+      segTokens: Int = 10,
+      minDocs: Int = 3): DataFrame = {
+    require(segTokens > 0, "segTokens must be positive")
+    require(minDocs >= 2, "minDocs < 2 would strip every segment")
+    val k = segTokens
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val marks = toks
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - 1, $k), " +
+          s"j -> md5(cast(array_join(slice(toks, j + 1, $k), ' ') as binary)))")))
+      .toDF("doc_id", "seg_idx", "seg_h")
+    val boiler = marks.groupBy("seg_h")
+      .agg(count_distinct(col("doc_id")).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select("seg_h")
+    val keptIdx = marks
+      .join(broadcast(boiler), Seq("seg_h"), "left_anti")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("seg_idx"))).as("_kept"))
+    val nSegs = ceil(size(col("toks")) / lit(k.toDouble)).cast("long")
+    toks
+      .join(keptIdx, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(expr(
+          s"array_join(transform(_kept, i -> array_join(slice(toks, i * $k + 1, $k), ' ')), ' ')"),
+          lit("")).as("clean_text"),
+        nSegs.as("n_segments"),
+        (nSegs - coalesce(size(col("_kept")), lit(0))).as("n_boiler"))
+  }
+
   /** The canonical clean-text Column — ONE definition shared by
     * normalizeText and every operator that composes it
     * (normalizedDedup), so "normalized" always means the same bytes:
@@ -512,6 +565,38 @@ object TextOps {
       .groupBy("term").agg(sum("tf").as("n"), count(lit(1)).as("df"))
       .orderBy(col("n").desc, col("term"))
       .limit(k)
+
+  /** Rank-id VOCABULARY build — the tokenizer-training precursor
+    * (word-level; a BPE trainer starts from exactly this frequency
+    * table): count every whitespace token corpus-wide, cut the tail
+    * below minCount, cap at maxSize, and assign ids by
+    * (count desc, token asc). The id rule is a pure function of the
+    * counts, so independently-built shards agree on every id without
+    * coordination, and the DuckDB oracle replays it exactly.
+    *
+    * Scale: one map-side-combinable count per token (the only
+    * corpus-wide shuffle, token-keyed), then the cap happens as a
+    * DISTRIBUTED top-maxSize (TakeOrderedAndProject — each partition
+    * forwards ≤ maxSize rows) BEFORE the rank window, so the
+    * single-partition window only ever sees the maxSize-bounded
+    * result, never the raw vocabulary (a web-scale corpus has
+    * hundreds of millions of distinct tokens; ranking those in one
+    * window would be the classic silent degeneration).
+    */
+  def buildVocab(
+      docs: DataFrame,
+      minCount: Long = 2L,
+      maxSize: Int = 10000): DataFrame = {
+    val counts = docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+    counts
+      .orderBy(col("n").desc, col("token")).limit(maxSize)
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("n").desc, col("token"))))
+      .select("token_id", "token", "n")
+  }
 
   /** Per-document top-k terms by TF-IDF — the keyword/relevance
     * weighting downstream of topTerms' vocabulary table. Deliberately

@@ -105,6 +105,28 @@ object ScaleProbe {
     base.unionByName(twins)
   }
 
+  /** The edit_distance_join row's corpus at N×: each replica carries
+    * an 8-char md5 tag PREFIX — a shared prefix preserves every
+    * within-replica edit distance exactly (the name-digit edits are
+    * untouched), while cross-replica pairs differ in ≥7 of the 8 tag
+    * chars, so no cross-replica pair can enter ed ≤ 1 and output
+    * scales N×, not N². Char-deleted twins replanted per replica at
+    * the row's own 1/89 density (the deleted char sits in the NAME
+    * digits, after the tag).
+    */
+  private def edNames(cust: DataFrame, f: Int): DataFrame = {
+    val base = replicate(cust.select("c_custkey", "c_name"), f)
+      .select(
+        (col("c_custkey").cast("long") + col("k") * 10000000L).as("rec_id"),
+        concat(substring(md5(col("k").cast("string")), 1, 8), lit("_"),
+          col("c_name")).as("rec_name"))
+    val twins = base.filter(col("rec_id") % 89 === 0).select(
+      (col("rec_id") + 1000000000L).as("rec_id"),
+      concat(substring(col("rec_name"), 1, 18),
+        substring(col("rec_name"), 20, 9)).as("rec_name"))
+    base.unionByName(twins)
+  }
+
   /** The skew_hybrid_join row's corpus at N×: replica k is a fresh
     * user population (same salt as scaleEvents), and the `user_id %
     * 10 < 3` → key 1 mapping survives salting (the salt is a multiple
@@ -215,7 +237,27 @@ object ScaleProbe {
           graft.operators.TextOps.tfidfCosinePairs(docs)),
         "minhash_index_delta" -> (() =>
           Similarity.minhashNearDupFromIndex(
-            docs.filter(col("doc_id") % 3 === 1), s"$scaledBase/f$f/mh_idx")))
+            docs.filter(col("doc_id") % 3 === 1), s"$scaledBase/f$f/mh_idx")),
+        // r10 additions. edit_distance_join: FastSS variant-hash
+        // blocking under an N×-growing typo-twin population (the md5
+        // tag prefix kills cross-replica candidates — see edNames)
+        "edit_distance_join" -> (() => Linkage.editDistanceJoin(
+          edNames(Tables.customer(spark, sfDir), f),
+          "rec_id", "rec_name", maxDist = 1)),
+        // cross_corpus_dedup: the token bijection preserves
+        // cross-split within-replica Jaccard exactly, so contamination
+        // density is constant and the survivor count scales N×
+        "cross_corpus_dedup" -> (() => Similarity.crossCorpusDedup(
+          docs.filter(col("doc_id") % 37 =!= 0),
+          docs.filter(col("doc_id") % 37 === 0))),
+        // boilerplate_strip: per-replica token spaces are disjoint, so
+        // each replica's segment census reproduces the base corpus's
+        // ≥3-doc template segments at N× total volume
+        "boilerplate_strip" -> (() =>
+          graft.operators.TextOps.stripBoilerplate(docs)),
+        // pq_topk: the bounded-sample fit is constant-size by
+        // construction; what grows is the code/reconstruction scan
+        "pq_topk" -> (() => Similarity.pqTopK(emb)))
     }
 
     val walls = scala.collection.mutable.Map.empty[(String, Int), Double]

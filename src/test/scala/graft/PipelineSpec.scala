@@ -45,15 +45,15 @@ class PipelineSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("driver contract: every oracle key has a query; rows-only set is exactly the documented four") {
+  test("driver contract: every oracle key has a query; rows-only set is exactly the documented five") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),
       s"orphan oracle keys: ${SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet}")
     // rows-only (no-oracle) queries are engine-hash-specific BY DESIGN
     // and each is floor-backed by a green companion row (simhash and
-    // simhash_neardup both by simhash_recall); anything else appearing
-    // here is an unmeasured surface — fail loudly
+    // simhash_neardup both by simhash_recall; pq_topk by pq_recall);
+    // anything else appearing here is an unmeasured surface — fail loudly
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-      === Set("simhash", "simhash_neardup", "ann_topk_lsh", "ivf_topk"))
+      === Set("simhash", "simhash_neardup", "ann_topk_lsh", "ivf_topk", "pq_topk"))
   }
 
   test("queryString builds the reference's windowed-scan URL shape (P13)") {

@@ -122,6 +122,33 @@ class TextSketchSpec extends SparkSpec {
     assert(r(1) == (("mail me at root@<IP> ok", 0, 1)))
   }
 
+  test("stripBoilerplate: >=minDocs segments vanish everywhere, pairwise dups survive") {
+    def words(prefix: String) = (1 to 10).map(i => s"$prefix$i").mkString(" ")
+    val footer = words("foot")
+    val pair = words("pair")
+    val docs = Seq(
+      (1L, words("a") + " " + footer), // footer as segment 1
+      (2L, words("b") + " " + footer),
+      (3L, footer + " " + words("c")), // footer as segment 0 — alignment-independent
+      (4L, words("d") + " " + pair), // pair segment: only 2 docs → kept
+      (5L, words("e") + " " + pair))
+      .toDF("doc_id", "text")
+    val out = TextOps.stripBoilerplate(docs, segTokens = 10, minDocs = 3)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, words("a"), 2L, 1L),
+      (2L, words("b"), 2L, 1L),
+      (3L, words("c"), 2L, 1L),
+      (4L, words("d") + " " + pair, 2L, 0L),
+      (5L, words("e") + " " + pair, 2L, 0L)))
+    // segmentDedup contrast on the same corpus: the FIRST footer copy
+    // survives there — strip semantics are strictly stronger
+    val dedup = TextOps.segmentDedup(docs, segTokens = 10)
+      .filter(col("doc_id") === 1L).select("clean_text").as[String].head()
+    assert(dedup.contains("foot1"))
+  }
+
   test("segmentDedup: first occurrence wins corpus-wide, docs reassemble in order") {
     // seg size 3; "a b c" appears in doc 1 (twice) and doc 2; doc 3 is
     // entirely made of doc 1's segments; doc 4 has a short tail segment
