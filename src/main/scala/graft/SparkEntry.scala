@@ -1879,6 +1879,29 @@ object SparkEntry {
       q.awaitTermination()
       s.read.parquet(s"$base/target").orderBy("doc_id")
     }),
+    // Streaming sketch maintenance: the per-day quantile sketch table
+    // kept current by additive foreachBatch merges over four
+    // chronological micro-batches, then queried COLD through the same
+    // CDF walk as incremental_quantile. The sketch's exact-merge
+    // property makes the streamed table bit-identical to the batch
+    // build, so the oracle is the IDENTICAL deterministic replay —
+    // hash-checked, no floors, despite arriving via four partial
+    // merges.
+    "stream_quantile_sync" -> ((s, dir) => streamRow(s) {
+      val src = eventChunks(s, dir)
+      val base = tempDir("graft_stream_qs")
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .select(col("ts"), col("value"))
+      val q = graft.streaming.IncrementalSync.quantileSync(
+        stream, s"$base/sk", s"$base/ckpt")
+      q.awaitTermination()
+      Sketches.quantileFromSketch(s, s"$base/sk",
+        Seq((1, "2024-01-01", "2024-01-07"),
+          (2, "2024-01-08", "2024-01-21"),
+          (3, "2024-01-01", "2024-01-30")))
+    }),
     "stream_doc_ingest" -> ((s, dir) => streamRow(s) {
       val src = docChunks(s, dir)
       val base = tempDir("graft_stream_di")
@@ -2371,6 +2394,26 @@ object SparkEntry {
     // full replay of the quantized-frequency chain: bucket → per-range
     // merged counts → cumulative walk → smallest bucket reaching
     // ⌈q·N/1000⌉ (identical integer cross-multiplication)
+    // the stream-maintained sketch must hash-match the BATCH replay
+    // (exact additive merge — no stream-specific truth needed)
+    "stream_quantile_sync" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS dt, CAST(floor(value * 100) AS BIGINT) AS bucket FROM events),
+        | r(range_id, lo, hi) AS (VALUES (1, DATE '2024-01-01', DATE '2024-01-07'),
+        |                                (2, DATE '2024-01-08', DATE '2024-01-21'),
+        |                                (3, DATE '2024-01-01', DATE '2024-01-30')),
+        | b AS (SELECT r.range_id, e.bucket, count(*) AS n
+        |       FROM r JOIN e ON e.dt BETWEEN r.lo AND r.hi GROUP BY 1, 2),
+        | c AS (SELECT range_id, bucket,
+        |              CAST(sum(n) OVER (PARTITION BY range_id ORDER BY bucket) AS BIGINT) AS cum,
+        |              CAST(sum(n) OVER (PARTITION BY range_id) AS BIGINT) AS total
+        |       FROM b),
+        | q(q_pm) AS (VALUES (500), (900), (990))
+        |SELECT range_id, q_pm,
+        |       CAST(min(bucket) AS DOUBLE) / 100 AS q_value,
+        |       max(total) AS n_rows
+        |FROM c JOIN q ON c.cum * 1000 >= q.q_pm * c.total
+        |GROUP BY range_id, q_pm
+        |ORDER BY range_id, q_pm""".stripMargin,
     "incremental_quantile" ->
       """WITH e AS (SELECT CAST(ts AS DATE) AS dt, CAST(floor(value * 100) AS BIGINT) AS bucket FROM events),
         | r(range_id, lo, hi) AS (VALUES (1, DATE '2024-01-01', DATE '2024-01-07'),

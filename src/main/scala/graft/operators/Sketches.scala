@@ -309,18 +309,26 @@ object Sketches {
     * integer/IEEE-deterministic, so the driver oracle replays the
     * whole chain exactly — no floor booleans needed.
     */
-  def quantileMaintenance(
-      events: DataFrame, // needs ts (timestamp) + value (double)
-      sketchDir: String,
-      ranges: Seq[(Int, String, String)],
-      qsPerMille: Seq[Int] = Seq(500, 900, 990),
-      scale: Int = 100): DataFrame = {
-    val spark = events.sparkSession
+  /** The (dt, bucket, n) projection of a raw event frame — the unit
+    * both the batch build and the streaming merge aggregate from, ONE
+    * definition so they cannot drift (quantileSync's bit-equality
+    * claim rests on it). */
+  def quantileBuckets(events: DataFrame, scale: Int = 100): DataFrame =
     events
       .select(to_date(col("ts")).as("dt"),
         floor(col("value") * scale).as("bucket"))
       .groupBy("dt", "bucket").agg(count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(sketchDir)
+
+  /** Range-quantile answers off an EXISTING persisted sketch table —
+    * the query half of quantileMaintenance, exposed so a
+    * streaming-maintained sketch (IncrementalSync.quantileSync)
+    * answers through the identical CDF walk. */
+  def quantileFromSketch(
+      spark: org.apache.spark.sql.SparkSession,
+      sketchDir: String,
+      ranges: Seq[(Int, String, String)],
+      qsPerMille: Seq[Int] = Seq(500, 900, 990),
+      scale: Int = 100): DataFrame = {
     val sk = spark.read.parquet(sketchDir)
     val qArr = array(qsPerMille.map(lit): _*)
     ranges.map { case (id, lo, hi) =>
@@ -340,6 +348,17 @@ object Sketches {
           (col("_qb").cast("double") / scale).as("q_value"),
           col("n_rows"))
     }.reduce(_ unionByName _).orderBy("range_id", "q_pm")
+  }
+
+  def quantileMaintenance(
+      events: DataFrame, // needs ts (timestamp) + value (double)
+      sketchDir: String,
+      ranges: Seq[(Int, String, String)],
+      qsPerMille: Seq[Int] = Seq(500, 900, 990),
+      scale: Int = 100): DataFrame = {
+    quantileBuckets(events, scale)
+      .write.mode("overwrite").parquet(sketchDir)
+    quantileFromSketch(events.sparkSession, sketchDir, ranges, qsPerMille, scale)
   }
 
   /** GK quantile-sketch accuracy check over a numeric column: compute

@@ -388,6 +388,38 @@ object IncrementalSync {
       }
       .start()
 
+  /** Streaming maintenance of the quantized-frequency quantile
+    * sketches (Sketches.quantileMaintenance's per-day table): each
+    * micro-batch's (dt, bucket) counts merge into the persisted
+    * sketch by ADDING counts. The sketch merges EXACTLY (counts are
+    * additive; all error is the build-time 1/scale quantization), so
+    * a streaming-maintained table is BIT-IDENTICAL to a batch rebuild
+    * over the same rows — the driver row's oracle states batch truth
+    * and the stream must hash-match it. No state store at all: the
+    * "state" is the KB-sized sketch table itself, reread and
+    * atomically rewritten per micro-batch (the additive-aggregate
+    * twin of contactsSync's merge posture), so arbitrarily many days
+    * of history cost O(sketch), not O(events).
+    */
+  def quantileSync(
+      events: DataFrame,
+      sketchDir: String,
+      checkpointDir: String,
+      scale: Int = 100): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val add = graft.operators.Sketches.quantileBuckets(batch, scale)
+        val cur = graft.sources.Sinks.readOr(s, sketchDir, add.limit(0))
+        val merged = cur.unionByName(add)
+          .groupBy("dt", "bucket").agg(sum(col("n")).as("n"))
+        graft.sources.Sinks.overwriteAtomic(merged, sketchDir)
+        ()
+      }
+      .start()
+
   /** Streaming staged-contacts sync: watch `srcDir` for new JSON
     * batches, shred each micro-batch, and insert-only-merge it into
     * the parquet target (J2 semantics — replays and overlapping
