@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{CalabrioSync, Components, Incremental, Linkage, Multimodal, Queries, Sampling, Shred, Similarity, Sketches, Skew, TemporalJoins, TextOps}
-import org.apache.spark.sql.functions.{array, array_max, array_min, call_function, coalesce, col, concat, count, countDistinct, date_format, datediff, dayofmonth, element_at, explode, expr, lit, lpad, md5, posexplode, round, size, slice, substring, sum, to_date, when}
+import org.apache.spark.sql.functions.{array, array_max, array_min, call_function, coalesce, col, concat, count, countDistinct, date_format, datediff, dayofmonth, element_at, explode, expr, lit, lpad, max, md5, min, posexplode, round, size, slice, substring, sum, to_date, when}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -830,12 +830,12 @@ object SparkEntry {
     "quant_recall" -> ((s, dir) => Similarity.recallAtK(
       exactTopK(s, dir), quantizedTopKMemo(s, dir),
       k = 10, floorPct = 80)),
-    // Product quantization (TPAMI'11): 16 four-bit codes per vector —
-    // 32× store compression, the step past SQ8 on the rate/recall
-    // curve. Codes come from seeded per-subspace k-means
+    // Product quantization (TPAMI'11): 16 five-bit codes per vector —
+    // ~26× store compression, the step past SQ8 on the rate/recall
+    // curve. Codes come from deterministic per-subspace k-means
     // (engine-specific) → rows-only; pq_recall pins the measured
-    // ranking cost of the compression as a floor (RecallProbe: 30%/20%
-    // per-query minimum at sf0.01/sf0.1).
+    // ranking cost of the compression as a floor (RecallProbe: 40%/30%
+    // per-query minimum at sf0.01/sf0.1, invariant to parallelism).
     "pq_topk" -> ((s, dir) => Similarity.topKOrder(
       Similarity.pqTopK(Tables.embeddings(s, dir)))),
     "pq_recall" -> ((s, dir) => Similarity.recallAtK(
@@ -1730,6 +1730,59 @@ object SparkEntry {
     "sessionize" -> ((s, dir) => Queries.sessionize(s, dir)),
     // The troubleshooting row-count surface as one relation.
     "table_counts" -> ((s, _) => CalabrioSync.tableCounts(s)),
+    // Footer-metadata aggregates: COUNT/MIN/MAX answered from parquet
+    // row-group statistics — zero data pages read, the O(row groups)
+    // shape a 100 TB "how big is this table" query must have. Scoped
+    // to a child session (newSession shares the SparkContext, owns its
+    // SQLConf): the V2 read path + aggregatePushdown stay local to
+    // this row. The in-row require pins PushedAggregation in the scan;
+    // the oracle recomputes the same aggregates from the data.
+    "parquet_agg_pushdown" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.sources.useV1SourceList", "")
+      s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      val df = s2.read.parquet(s"$dir/lineitem.parquet")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("PushedAggregation: [COUNT(*)"),
+        s"footer-metadata aggregate must reach the scan:\n$plan")
+      df
+    }),
+    // AQE runtime bloom filter: the urgent-orders filter's keys become
+    // a bloom filter INJECTED into lineitem's scan side at
+    // optimization time, so non-matching probe rows die before the
+    // join shuffle — the runtime cousin of BloomJoin's explicit
+    // prefilter, here planner-owned. Child session scopes the
+    // thresholds (broadcast off so the join actually shuffles;
+    // application-side threshold lowered to the test scale). Oracle =
+    // the plain join aggregate — the filter is a physical rewrite.
+    "runtime_filter_join" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // production keeps the 10GB default (runtime filters only pay
+      // off against big probe scans); 1KB puts the test-scale lineitem
+      // over the threshold so the injection path actually exercises
+      s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      val li = s2.read.parquet(s"$dir/lineitem.parquet")
+      val ord = s2.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity"))).cast("long").as("total_qty"))
+        .orderBy("l_returnflag")
+      val plan = joined.queryExecution.optimizedPlan.toString
+      require(plan.toLowerCase.contains("might_contain"),
+        s"runtime bloom filter must be injected into the probe side:\n$plan")
+      joined
+    }),
     // Streaming sink-compare (the streaming surface's first driver
     // row): contactsSync runs AvailableNow over the two fixture
     // batches at ONE file per trigger — so the insert-only merge
@@ -3482,6 +3535,21 @@ object SparkEntry {
         |SELECT e.event_id, e.k, e.user_id, d.c_mktsegment
         |FROM e JOIN d USING (k)
         |ORDER BY event_id""".stripMargin,
+    // same aggregates recomputed from the data (Spark answers them
+    // from row-group footers; min/max/count are exact either way)
+    "parquet_agg_pushdown" ->
+      """SELECT count(*) AS n_rows,
+        |       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |       min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+        |FROM lineitem""".stripMargin,
+    // the PLAIN join aggregate — the injected bloom filter is a
+    // physical rewrite with identical semantics
+    "runtime_filter_join" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |       CAST(round(sum(l_quantity)) AS BIGINT) AS total_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "table_counts" ->
       s"""SELECT 'qa_contacts' AS table_name, (SELECT count(*) FROM ${contactsShredSql("qa_contacts.json")} t) AS n
          |UNION ALL

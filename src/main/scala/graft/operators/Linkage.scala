@@ -115,7 +115,10 @@ object Linkage {
       strCol: String,
       maxDist: Int = 1): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1")
-    val keyed = records
+    // narrow inputs would explode the whole variant fan-out in one
+    // task (ScaleProbe measured a 64 MB single-task shuffle write on
+    // a one-split scan); wide scans pass through untouched
+    val keyed = Similarity.spread(records)
       .select(col(idCol).as("_id"), col(strCol).as("_s"))
       .select(col("_id"), col("_s"),
         explode(deletionNeighborhood(col("_s"), maxDist)).as("v"))

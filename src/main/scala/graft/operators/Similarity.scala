@@ -255,13 +255,22 @@ object Similarity {
       maxTrainRows: Int,
       maxIter: Int): Seq[Seq[Seq[Double]]] = {
     val sub = dim / numSub
+    // hash-gated sample, NOT df.sample(): Bernoulli sampling seeds per
+    // PARTITION, so the drawn set — and therefore the codebooks and
+    // the measured recall — would change with the session's
+    // parallelism (caught when Verify at 4 cpus trained on a worse
+    // draw than the 8-cpu probe that pinned the floor). The md5 gate
+    // (Sampling.mixByRate's discipline) + global orderBy-limit is a
+    // pure function of the DATA.
+    val gate = (trainFraction * 1000).toInt.max(1)
     val sampled = e.select(col("vec_id"), col("embedding"))
-      .sample(withReplacement = false, trainFraction, seed = 42)
-      .limit(maxTrainRows)
+      .filter(pmod(xxhash64(col("vec_id"), lit(42)), lit(1000)) < gate)
+      .orderBy("vec_id").limit(maxTrainRows)
     val base =
-      if (sampled.take(ncodes).length < ncodes) e.select(col("vec_id"), col("embedding"))
+      if (sampled.take(ncodes).length < ncodes)
+        e.select(col("vec_id"), col("embedding")).orderBy("vec_id").limit(maxTrainRows)
       else sampled
-    val train = base.orderBy("vec_id").collect()
+    val train = base.collect()
       .map(_.getSeq[Float](1).toArray.map(_.toDouble))
     (0 until numSub).map { j =>
       val pts = train.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
@@ -333,11 +342,22 @@ object Similarity {
   private def pqColumns(
       codebooks: Seq[Seq[Seq[Double]]], sub: Int): (Column, Column) = {
     val codes = (0 until codebooks.size).map { j =>
-      val cb = typedLit(codebooks(j).zipWithIndex.map { case (c, i) => (i, c) })
       val sliceJ = slice(col("embedding"), j * sub + 1, sub)
-      array_sort(transform(cb, c => struct(
-        centroidD2(sliceJ, c.getField("_2")).as("d2"),
-        c.getField("_1").as("code")))).getItem(0).getField("code")
+      // argmin_c ‖x−c‖² = argmin_c (‖c‖²/2 − x·c) — ‖x‖² is constant
+      // per row, ‖c‖²/2 folds to a driver-side literal, and the dot
+      // runs through the native codegen'd float_dot kernel instead of
+      // an interpreted zip_with/aggregate per centroid (ScaleProbe
+      // measured the interpreted form at ~6× the whole query's wall).
+      // least() on (score, code) structs keeps the tie-to-lower-code
+      // rule without materializing + sorting a 16-struct array.
+      val scored = codebooks(j).zipWithIndex.map { case (c, i) =>
+        struct(
+          (lit(c.map(x => x * x).sum / 2.0) -
+            call_function("float_dot", sliceJ,
+              typedLit(c.map(_.toFloat)))).as("d"),
+          lit(i).as("code"))
+      }
+      least(scored: _*).getField("code")
     }
     val recon = flatten(array(codes.zipWithIndex.map { case (code, j) =>
       element_at(typedLit(codebooks(j)), code + 1)
@@ -348,21 +368,23 @@ object Similarity {
   /** Product-quantization codes (Jégou, Douze & Schmid, TPAMI 2011,
     * "Product Quantization for Nearest Neighbor Search"): each vector
     * stored as numSub small codes — at the defaults (16 subspaces ×
-    * 16 codes) that is 16 four-bit codes = 8 bytes against 256 float
-    * bytes, a 32× candidate-store compression, the step past
+    * 32 codes) that is 16 five-bit codes = 10 bytes against 256 float
+    * bytes, a ~26× candidate-store compression, the step past
     * quantizeEmbeddings' int8 (4×) on the same rate/recall curve
-    * (RecallProbe-measured: recall@10 floors 30%/20% per query at
-    * sf0.01/sf0.1 vs 80% for SQ8 — rate buys bytes, not rank).
+    * (RecallProbe-measured: recall@10 per-query minimum 40%/30% at
+    * sf0.01/sf0.1 vs 80% for SQ8 — rate buys bytes, not rank; the
+    * sample gate is partitioning-invariant, so these numbers are a
+    * property of the DATA, not the session's parallelism).
     * At 100 TB this is the difference between an ANN candidate scan
     * that fits in page cache and one that doesn't.
     */
   def pqEncode(
       emb: DataFrame,
       numSub: Int = 16,
-      ncodes: Int = 16,
+      ncodes: Int = 32,
       trainFraction: Double = 0.1,
       maxTrainRows: Int = 20000,
-      maxIter: Int = 5): DataFrame = {
+      maxIter: Int = 20): DataFrame = {
     val e = spread(emb)
     val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
     require(dim % numSub == 0, s"dim $dim must split into $numSub subspaces")
@@ -389,10 +411,10 @@ object Similarity {
       nQueries: Int = 5,
       k: Int = 10,
       numSub: Int = 16,
-      ncodes: Int = 16,
+      ncodes: Int = 32,
       trainFraction: Double = 0.1,
       maxTrainRows: Int = 20000,
-      maxIter: Int = 5): DataFrame = {
+      maxIter: Int = 20): DataFrame = {
     val e = spread(emb)
       .select(col("vec_id"), col("embedding"), sumSq(col("embedding")).as("n2"))
     val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)

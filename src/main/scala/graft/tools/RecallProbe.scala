@@ -40,15 +40,15 @@ object RecallProbe {
     }
     // PQ: measured recall of the code-compressed ADC ranking per
     // (numSub, ncodes) — pins the pq_recall floor
-    for ((m, c) <- Seq((8, 16), (8, 32), (16, 16))) {
+    for ((m, c, it) <- Seq((16, 16, 5), (16, 16, 20), (16, 32, 20))) {
       val t0 = System.nanoTime()
-      val pq = Similarity.pqTopK(e, numSub = m, ncodes = c)
+      val pq = Similarity.pqTopK(e, numSub = m, ncodes = c, maxIter = it)
       val hits = exact.join(pq, Seq("q_id", "neighbor_id"), "left_semi")
         .groupBy("q_id").count().collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       val secs = (System.nanoTime() - t0) / 1e9
       val perQ = (0L until 5L).map(q => hits.getOrElse(q, 0L))
-      println(f"PROBE pq m=$m ncodes=$c recall@10 per query: ${perQ.mkString(",")} " +
+      println(f"PROBE pq m=$m ncodes=$c it=$it recall@10 per query: ${perQ.mkString(",")} " +
         f"total=${perQ.sum}/50 (${secs}%.2f s)")
     }
     spark.stop()
