@@ -1569,6 +1569,11 @@ object SparkEntry {
     // neighbors; only a RANGE frame over the event-time axis answers
     // "within the last week" when users emit at irregular rates. One
     // hash shuffle on user_id; frame state is bounded by the interval.
+    // Rolling z-score anomaly flags (Queries.rollingZScore): a user
+    // event >3σ from their own trailing week is flagged. All-integer
+    // cents arithmetic, cross-multiplied z² test — hash-checked.
+    "rolling_zscore" -> ((s, dir) =>
+      Queries.rollingZScore(Tables.events(s, dir)).orderBy("event_id")),
     "trailing_window" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id")
@@ -3402,6 +3407,21 @@ object SparkEntry {
         |WHERE day(CAST(ts AS DATE)) <= 7
         |GROUP BY CUBE(event_type, CAST(ts AS DATE))
         |ORDER BY gid, coalesce(event_type, ''), coalesce(dt, '')""".stripMargin,
+    // identical integer chain: cents → trailing sums (frame excludes
+    // the current row) → cross-multiplied z² > 9 flag
+    "rolling_zscore" ->
+      """WITH t AS (SELECT event_id, user_id, epoch_ms(ts) AS ms,
+        |                  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        | w AS (SELECT event_id, c,
+        |         count(*) OVER win AS n,
+        |         coalesce(sum(c) OVER win, 0) AS s1,
+        |         coalesce(sum(c*c) OVER win, 0) AS s2
+        |       FROM t
+        |       WINDOW win AS (PARTITION BY user_id ORDER BY ms
+        |                      RANGE BETWEEN 604800000 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, CAST(n AS BIGINT) AS n_window,
+        |       (n >= 5 AND (c*n - s1)*(c*n - s1) > 9*(n*s2 - s1*s1)) AS is_anomaly
+        |FROM w ORDER BY event_id""".stripMargin,
     "trailing_window" ->
       """WITH t AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
         | w AS (SELECT user_id,

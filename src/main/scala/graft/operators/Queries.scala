@@ -167,6 +167,43 @@ object Queries {
     * Runs over the Calabrio fixture evaluations (see Fixtures).
     * Covers F2 (IS NULL), P12 (column pruning: one col out of ten).
     */
+  /** Rolling z-score anomaly flags over each user's trailing week —
+    * the metric-drift detector of the OLAP family: an event is
+    * anomalous when its value sits more than 3 standard deviations
+    * from the mean of that user's PRIOR 7 days. INTEGER arithmetic
+    * throughout: values quantize to cents (exact — the fixture
+    * carries two decimals) and the flag is the cross-multiplied
+    * z² > 9 test, (x·n − S₁)² > 9·(n·S₂ − S₁²) over trailing window
+    * sums — no division, no sqrt, so the DuckDB oracle hash-matches
+    * bit for bit. The frame EXCLUDES the current row (RANGE … 1
+    * PRECEDING): self-inclusion dilutes the very deviation under
+    * test. Fewer than minN prior points → not flaggable (cold-start
+    * guard). Zero prior variance makes ANY deviation anomalous —
+    * the z→∞ limit, stated rather than special-cased.
+    *
+    * Long-arithmetic bound: exact while n·C² < 2⁶³ for C = max
+    * cents — n ≤ 10⁹ at C ≤ 10³, far beyond any 7-day user window.
+    * Scale: ONE shuffle on user_id (the window partition), map-only
+    * flag math; per-user state is the frame Spark already maintains
+    * for RANGE windows (a bounded buffer of one week per user).
+    */
+  def rollingZScore(events: DataFrame, minN: Int = 5): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"))
+      .rangeBetween(-7L * 86400 * 1000, -1L)
+    val dev = col("c") * col("n") - col("s1")
+    events
+      .withColumn("ms", expr("unix_millis(ts)"))
+      .withColumn("c", round(col("value") * 100).cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1", coalesce(sum(col("c")).over(w), lit(0L)))
+      .withColumn("s2", coalesce(sum(col("c") * col("c")).over(w), lit(0L)))
+      .select(
+        col("event_id"), col("n").as("n_window"),
+        (col("n") >= minN &&
+          dev * dev > lit(9L) * (col("n") * col("s2") - col("s1") * col("s1")))
+          .as("is_anomaly"))
+  }
+
   def troubleChildren(evaluations: DataFrame): DataFrame =
     evaluations
       .filter(col("evaluator_id").isNull)

@@ -109,6 +109,30 @@ class PropertySpec extends SparkSpec {
     }, n = 10)
   }
 
+  test("rollingZScore: cold start unflaggable, spike flagged, post-spike value absorbed") {
+    import java.sql.Timestamp
+    import graft.operators.Queries
+    import spark.implicits._
+    // one user, hourly events: 6 constant values, a spike, then a
+    // return to constant (whose window now CONTAINS the spike, so its
+    // variance absorbs the deviation)
+    val vals = Seq(10.00, 10.00, 10.00, 10.00, 10.00, 10.00, 99.99, 10.00)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, Timestamp.valueOf(f"2024-01-01 ${i}%02d:00:00"), 7L, v)
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "value")
+    val got = Queries.rollingZScore(df).orderBy("event_id")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    // events 0-4: fewer than 5 prior points → never flagged
+    assert(got.take(5).forall(!_._3))
+    assert(got(5) == (5L, 5L, false)) // constant history, constant value
+    // the spike: zero prior variance, any deviation → anomalous
+    assert(got(6) == (6L, 6L, true))
+    // back to 10.00: the spike inflates the window variance enough
+    // that an ordinary value is NOT anomalous
+    assert(got(7) == (7L, 7L, false))
+  }
+
   test("saltedJoin equals the unsalted join under heavy key skew") {
     import spark.implicits._
     // 90% of big rows share one hot key
