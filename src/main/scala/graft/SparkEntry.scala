@@ -90,6 +90,15 @@ object SparkEntry {
   private def pqTopKMemo(s: SparkSession, dir: String): DataFrame =
     memoDF(s, s"pq:$dir")(Similarity.pqTopK(Tables.embeddings(s, dir)))
 
+  private val pqIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def pqIndex(s: SparkSession, dir: String): String =
+    pqIndexMemo.computeIfAbsent(dir, _ => {
+      val out = s"${tempDir("graft_pq_index")}/idx"
+      Similarity.buildPqIndex(Tables.embeddings(s, dir), out)
+      out
+    })
+
   /** The persisted-IVF-index row's build, ONCE per sf dir (bucketed
     * tables' lifecycle): quantizer fit + corpus assignment written as
     * parquet under a temp dir. The model object is kept ONLY to
@@ -841,6 +850,22 @@ object SparkEntry {
     "pq_recall" -> ((s, dir) => Similarity.recallAtK(
       exactTopK(s, dir), pqTopKMemo(s, dir),
       k = 10, floorPct = 20)),
+    // Build-once/query-many PQ: codebooks + code rows persisted as
+    // parquet (the ~26× compression realized on disk), queried back
+    // COLD with caller-supplied query vectors — full per-query parity
+    // vs the in-JVM pqTopK at the same deterministic fit (the
+    // ivf_index_topk contract: n_matches == k everywhere ⟺ the
+    // parquet round-trip + code-reconstruction scan reproduces the
+    // in-memory ADC ranking exactly).
+    "pq_index_topk" -> ((s, dir) => {
+      val idxDir = pqIndex(s, dir)
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val cold = Similarity.pqTopKFromIndex(s, idxDir, q, k = 10)
+      cold.join(pqTopKMemo(s, dir), Seq("q_id", "neighbor_id", "sim_e6"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_matches"))
+        .orderBy("q_id")
+    }),
     "ann_recall" -> ((s, dir) => Similarity.recallAtK(
       exactTopK(s, dir), Similarity.annTopKLsh(Tables.embeddings(s, dir)),
       k = 10, floorPct = 40)),
@@ -2735,6 +2760,11 @@ object SparkEntry {
     "pq_recall" ->
       """SELECT vec_id AS q_id, true AS floor_met FROM embeddings
         |WHERE vec_id < 5 ORDER BY q_id""".stripMargin,
+    // full parity: every query's k=10 index-path results must match
+    // the in-JVM pqTopK exactly (same deterministic fit + ADC)
+    "pq_index_topk" ->
+      """SELECT vec_id AS q_id, CAST(10 AS BIGINT) AS n_matches
+        |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin,
     // delta (doc_id % 3 = 1) against the standing corpus (the other
     // two slices — one built, one appended into the index); exact
     // brute-force cross Jaccard, same threshold as minhash_neardup

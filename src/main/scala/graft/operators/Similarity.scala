@@ -436,6 +436,78 @@ object Similarity {
       k)
   }
 
+  /** Persist the PQ index: codebooks as one small parquet table
+    * ((subspace, code, centroid) — kilobytes) and the corpus as its
+    * code rows ((vec_id, codes) — the ~26× compression REALIZED on
+    * disk: ~10 bytes of codes per 256-byte vector). Build-once/
+    * query-many, the same discipline as buildIvfIndex/buildMinhashIndex;
+    * the float corpus is read once at build and never again by the
+    * query path. (IVF-PQ — cells over codes — is the natural
+    * composition of this table with buildIvfIndex's partitioning;
+    * not built here.)
+    */
+  def buildPqIndex(
+      emb: DataFrame,
+      indexDir: String,
+      numSub: Int = 16,
+      ncodes: Int = 32,
+      trainFraction: Double = 0.1,
+      maxTrainRows: Int = 20000,
+      maxIter: Int = 20): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = spread(emb)
+    val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
+    require(dim % numSub == 0, s"dim $dim must split into $numSub subspaces")
+    val cbs = fitPqCodebooks(e, dim, numSub, ncodes,
+      trainFraction, maxTrainRows, maxIter)
+    cbs.zipWithIndex
+      .flatMap { case (cb, j) => cb.zipWithIndex.map { case (c, i) => (j, i, c) } }
+      .toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    val (codes, _) = pqColumns(cbs, dim / numSub)
+    e.select(col("vec_id"), codes.as("codes"))
+      .write.mode("overwrite").parquet(s"$indexDir/codes")
+  }
+
+  /** Cold PQ query: reload the codebooks (kilobytes), reconstruct
+    * candidates from their STORED codes in one narrow scan of the
+    * code table (the float corpus is never touched), and rank the
+    * caller's query vectors by ADC cosine — parameter-driven queries
+    * by design (the production shape: queries arrive from outside,
+    * they are not row N of the corpus). Deterministic end to end, so
+    * the driver row pins full per-query parity against the in-JVM
+    * pqTopK at the same fit parameters.
+    */
+  def pqTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      queries: DataFrame, // (q_id, q_emb)
+      k: Int = 10): DataFrame = {
+    val cbRows = spark.read.parquet(s"$indexDir/codebooks")
+      .orderBy("subspace", "code").collect()
+    val cbs: Seq[Seq[Seq[Double]]] = cbRows
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toSeq).toSeq
+      }
+    val recon = flatten(array(cbs.indices.map { j =>
+      element_at(typedLit(cbs(j)), element_at(col("codes"), j + 1) + 1)
+    }: _*)).cast("array<float>")
+    val enc = spark.read.parquet(s"$indexDir/codes")
+      .select(col("vec_id"), recon.as("recon"))
+      .withColumn("rn2", sumSq(col("recon")))
+      .filter(col("rn2") > 0)
+    val q = queries.select(col("q_id"), col("q_emb"),
+      sumSq(col("q_emb")).as("qn2"))
+    val sim6 = round(lit(1e6) * dot(col("q_emb"), col("recon"))
+      / (sqrt(col("rn2")) * sqrt(col("qn2")))).cast("long")
+    boundedTopK(
+      enc.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), sim6.as("sim_e6")),
+      k)
+  }
+
   /** Maximal Marginal Relevance rerank (Carbonell & Goldstein,
     * SIGIR'98) — the diversification stage between retrieval and the
     * context window: greedily re-pick from a query's top-k so each

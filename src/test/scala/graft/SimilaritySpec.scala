@@ -135,6 +135,26 @@ class SimilaritySpec extends SparkSpec {
     assert(pq == exact)
   }
 
+  test("persisted PQ index reproduces the in-JVM ADC ranking exactly") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("pq_idx_spec").toString
+    Similarity.buildPqIndex(e, idx)
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cold = Similarity.topKOrder(
+      Similarity.pqTopKFromIndex(spark, idx, q, k = 5))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val warm = Similarity.topKOrder(Similarity.pqTopK(e, nQueries = 3, k = 5))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(cold == warm)
+    // the code table IS the compression: only ids + small int codes
+    val codes = spark.read.parquet(s"$idx/codes")
+    assert(codes.columns.toSet == Set("vec_id", "codes"))
+    assert(codes.select(explode(col("codes")).as("c"))
+      .filter(col("c") < 0 || col("c") >= 32).count() == 0)
+  }
+
   test("mmrRerank: a near-duplicate of the first pick is deferred behind diverse results") {
     import spark.implicits._
     val emb = Seq(
