@@ -99,6 +99,15 @@ object SparkEntry {
       out
     })
 
+  private val ivfPqIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfPqIndex(s: SparkSession, dir: String): String =
+    ivfPqIndexMemo.computeIfAbsent(dir, _ => {
+      val out = s"${tempDir("graft_ivfpq_index")}/idx"
+      Similarity.buildIvfPqIndex(Tables.embeddings(s, dir), out)
+      out
+    })
+
   /** The persisted-IVF-index row's build, ONCE per sf dir (bucketed
     * tables' lifecycle): quantizer fit + corpus assignment written as
     * parquet under a temp dir. The model object is kept ONLY to
@@ -865,6 +874,23 @@ object SparkEntry {
       cold.join(pqTopKMemo(s, dir), Seq("q_id", "neighbor_id", "sim_e6"))
         .groupBy("q_id").agg(count(lit(1)).as("n_matches"))
         .orderBy("q_id")
+    }),
+    // IVF-PQ (IVFADC): cell pruning stacked on residual codes — the
+    // billion-scale composition of the two persisted halves. The cold
+    // query must open ONLY the probed code directories (in-row
+    // PartitionFilters require) and its measured recall floors at 10%
+    // per query (strictly more approximate than either half alone:
+    // pruning × code rounding; RecallProbe measured 20-60% per query
+    // at both scales, floor pinned below with margin).
+    "ivfpq_recall" -> ((s, dir) => {
+      val idxDir = ivfPqIndex(s, dir)
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val cold = Similarity.ivfPqTopKFromIndex(s, idxDir, q, k = 10)
+      val plan = cold.queryExecution.executedPlan.toString
+      require(plan.contains("PartitionFilters: [cell"),
+        s"IVF-PQ cold query must prune to the probed cell directories:\n$plan")
+      Similarity.recallAtK(exactTopK(s, dir), cold, k = 10, floorPct = 10)
     }),
     "ann_recall" -> ((s, dir) => Similarity.recallAtK(
       exactTopK(s, dir), Similarity.annTopKLsh(Tables.embeddings(s, dir)),
@@ -2765,6 +2791,9 @@ object SparkEntry {
     "pq_index_topk" ->
       """SELECT vec_id AS q_id, CAST(10 AS BIGINT) AS n_matches
         |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin,
+    "ivfpq_recall" ->
+      """SELECT vec_id AS q_id, true AS floor_met FROM embeddings
+        |WHERE vec_id < 5 ORDER BY q_id""".stripMargin,
     // delta (doc_id % 3 = 1) against the standing corpus (the other
     // two slices — one built, one appended into the index); exact
     // brute-force cross Jaccard, same threshold as minhash_neardup

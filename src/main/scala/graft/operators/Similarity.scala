@@ -508,6 +508,104 @@ object Similarity {
       k)
   }
 
+  /** IVF-PQ composed index (the IVFADC recipe of Jégou, Douze &
+    * Schmid, TPAMI'11 §V — the standard billion-scale layout): the
+    * coarse quantizer's cells PRUNE the candidate scan (buildIvfIndex's
+    * cell-partitioned layout) while product-quantized RESIDUALS
+    * (x − cell centroid) COMPRESS the stored candidates to ~10-byte
+    * code rows. Residual coding is what makes the composition better
+    * than either half alone: within a cell the residuals are small,
+    * so the code rate is spent on local structure instead of global
+    * position, and reconstruction (centroid + decoded residual) sits
+    * materially closer to x than raw-vector PQ at the same rate.
+    * Layout: `centroids` (cell, centroid), `codebooks`
+    * (subspace, code, centroid) — both kilobytes — and `codes`
+    * (vec_id, codes) PARTITIONED BY cell, so a query opens nprobe
+    * code directories of ~10-byte rows and never touches a float of
+    * the corpus.
+    */
+  def buildIvfPqIndex(
+      emb: DataFrame,
+      indexDir: String,
+      nlist: Int = 16,
+      numSub: Int = 16,
+      ncodes: Int = 32,
+      trainFraction: Double = 0.1,
+      maxTrainRows: Int = 20000,
+      maxIter: Int = 20): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
+    require(dim % numSub == 0, s"dim $dim must split into $numSub subspaces")
+    val model = fitIvfModel(emb, nlist)
+    val centSeq = centroidSeq(model)
+    val assigned = assignCells(prepIvf(emb), centSeq)
+    val centArrF = typedLit(centSeq.sortBy(_._1).map(_._2.map(_.toFloat)))
+    val residual = zip_with(
+      col("embedding"), element_at(centArrF, col("cell") + 1),
+      (x, c) => x - c).cast("array<float>")
+    // fitPqCodebooks + pqColumns read `embedding` — hand them the
+    // residual under that name so the SAME kernels serve both PQ forms
+    val residFrame = assigned.select(
+      col("vec_id"), col("cell"), residual.as("embedding"))
+    val cbs = fitPqCodebooks(residFrame, dim, numSub, ncodes,
+      trainFraction, maxTrainRows, maxIter)
+    val (codes, _) = pqColumns(cbs, dim / numSub)
+    spark.createDataset(centSeq).toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    cbs.zipWithIndex
+      .flatMap { case (cb, j) => cb.zipWithIndex.map { case (c, i) => (j, i, c) } }
+      .toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    graft.sources.Sinks.writePartitioned(
+      residFrame.select(col("vec_id"), col("cell"), codes.as("codes")),
+      s"$indexDir/codes", "cell")
+  }
+
+  /** Cold IVF-PQ query: probe nprobe cells (static partition filter —
+    * only the probed code directories are opened), reconstruct each
+    * candidate as centroid + decoded residual in the same narrow scan
+    * that reads its codes, and rank by ADC cosine through the shared
+    * rankTopK stage. Caller-supplied queries (the production shape).
+    * Approximation stacks cell pruning ON TOP of code rounding, so
+    * recall sits at-or-below plain IVF at equal nprobe — the
+    * ivfpq_recall row pins the measured floor.
+    */
+  def ivfPqTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      queries: DataFrame, // (q_id, q_emb)
+      k: Int = 10,
+      nprobe: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val centSeq = cents.collect() // bounded: nlist rows
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).sortBy(_._1).toSeq
+    val cbs: Seq[Seq[Seq[Double]]] = spark.read.parquet(s"$indexDir/codebooks")
+      .orderBy("subspace", "code").collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toSeq).toSeq
+      }
+    val q = queries.select(col("q_id"), col("q_emb"),
+      sumSq(col("q_emb")).as("qn2"))
+    val qDist = probeSet(q, cents, nprobe)
+    val probeCells = qDist.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val centArrF = typedLit(centSeq.map(_._2.map(_.toFloat)))
+    val reconRes = flatten(array(cbs.indices.map { j =>
+      element_at(typedLit(cbs(j)), element_at(col("codes"), j + 1) + 1)
+    }: _*)).cast("array<float>")
+    val recon = zip_with(
+      element_at(centArrF, col("cell") + 1), reconRes,
+      (c, r) => c + r).cast("array<float>")
+    val cand = spark.read.parquet(s"$indexDir/codes")
+      .filter(col("cell").isin(probeCells.map(Int.box): _*))
+      .select(col("vec_id"), col("cell"), recon.as("embedding"))
+      .withColumn("n2", sumSq(col("embedding")))
+      .filter(col("n2") > 0)
+    rankTopK(cand, qDist, k)
+  }
+
   /** Maximal Marginal Relevance rerank (Carbonell & Goldstein,
     * SIGIR'98) — the diversification stage between retrieval and the
     * context window: greedily re-pick from a query's top-k so each

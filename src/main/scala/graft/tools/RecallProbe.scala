@@ -51,6 +51,22 @@ object RecallProbe {
       println(f"PROBE pq m=$m ncodes=$c it=$it recall@10 per query: ${perQ.mkString(",")} " +
         f"total=${perQ.sum}/50 (${secs}%.2f s)")
     }
+    // IVF-PQ: cell pruning stacked on residual codes — recall vs nprobe
+    val ivfpqDir = java.nio.file.Files.createTempDirectory("ivfpq_probe").toString
+    Similarity.buildIvfPqIndex(e, ivfpqDir)
+    val qs = e.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+      .selectExpr("vec_id as q_id", "embedding as q_emb")
+    for (np <- Seq(4, 8, 16)) {
+      val t0 = System.nanoTime()
+      val a = Similarity.ivfPqTopKFromIndex(spark, ivfpqDir, qs, k = 10, nprobe = np)
+      val hits = exact.join(a, Seq("q_id", "neighbor_id"), "left_semi")
+        .groupBy("q_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val secs = (System.nanoTime() - t0) / 1e9
+      val perQ = (0L until 5L).map(q => hits.getOrElse(q, 0L))
+      println(f"PROBE ivfpq nprobe=$np recall@10 per query: ${perQ.mkString(",")} " +
+        f"total=${perQ.sum}/50 (${secs}%.2f s)")
+    }
     spark.stop()
   }
 }

@@ -155,6 +155,27 @@ class SimilaritySpec extends SparkSpec {
       .filter(col("c") < 0 || col("c") >= 32).count() == 0)
   }
 
+  test("IVF-PQ: full probe at exact-recovery rate equals exact cosine ranking") {
+    import spark.implicits._
+    val vecs = (0 until 8).map { i =>
+      (i.toLong, Array.tabulate(4)(d =>
+        (if (d == i % 4) 10f + i else 1f + 0.1f * i * d)))
+    }.toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_spec").toString
+    // nlist 2 cells, one code per distinct residual: probing BOTH
+    // cells removes the pruning, exact residual recovery removes the
+    // rounding — the composed index must reproduce exact ranking
+    Similarity.buildIvfPqIndex(vecs, idx, nlist = 2, numSub = 2, ncodes = 8)
+    val q = vecs.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val got = Similarity.topKOrder(
+      Similarity.ivfPqTopKFromIndex(spark, idx, q, k = 3, nprobe = 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exact = Similarity.topKOrder(Similarity.cosineTopK(vecs, nQueries = 2, k = 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == exact)
+  }
+
   test("mmrRerank: a near-duplicate of the first pick is deferred behind diverse results") {
     import spark.implicits._
     val emb = Seq(
