@@ -99,6 +99,26 @@ object SparkEntry {
       out
     })
 
+  /** pq_index_append's two indexes at the SAME codebooks (fit on the
+    * base — the quantizer that existed before the delta arrived):
+    * `app` = build(base) + append(delta); `full` = one-pass encode of
+    * base∪delta at base-fit codebooks (the rebuild the append must
+    * equal). Deterministic fit ⇒ both paths share codebooks without
+    * passing a model object around. */
+  private val pqAppendMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def pqAppendIndexes(s: SparkSession, dir: String): (String, String) =
+    pqAppendMemo.computeIfAbsent(dir, _ => {
+      val base0 = tempDir("graft_pq_append")
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(col("vec_id") % 5 =!= 0)
+      val delta = emb.filter(col("vec_id") % 5 === 0)
+      Similarity.buildPqIndex(base, s"$base0/app")
+      Similarity.appendToPqIndex(delta, s"$base0/app")
+      Similarity.buildPqIndex(emb, s"$base0/full", fitOn = Some(base))
+      (s"$base0/app", s"$base0/full")
+    })
+
   private val ivfPqIndexMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ivfPqIndex(s: SparkSession, dir: String): String =
@@ -872,6 +892,22 @@ object SparkEntry {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val cold = Similarity.pqTopKFromIndex(s, idxDir, q, k = 10)
       cold.join(pqTopKMemo(s, dir), Seq("q_id", "neighbor_id", "sim_e6"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_matches"))
+        .orderBy("q_id")
+    }),
+    // Incremental PQ maintenance: the appended index's cold query
+    // must equal the one-pass encode of base∪delta at the SAME
+    // (base-fit) codebooks — encoding is a pure function of
+    // (vector, codebooks), so append-vs-rebuild parity is structural
+    // and any divergence (refit, partial write, code drift) drops an
+    // n_matches below k and the row goes red.
+    "pq_index_append" -> ((s, dir) => {
+      val (appDir, fullDir) = pqAppendIndexes(s, dir)
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.pqTopKFromIndex(s, appDir, q, k = 10)
+        .join(Similarity.pqTopKFromIndex(s, fullDir, q, k = 10),
+          Seq("q_id", "neighbor_id", "sim_e6"))
         .groupBy("q_id").agg(count(lit(1)).as("n_matches"))
         .orderBy("q_id")
     }),
@@ -2794,6 +2830,11 @@ object SparkEntry {
     "ivfpq_recall" ->
       """SELECT vec_id AS q_id, true AS floor_met FROM embeddings
         |WHERE vec_id < 5 ORDER BY q_id""".stripMargin,
+    // append-vs-rebuild parity at shared codebooks: every query's k=10
+    // results from the appended index must match the one-pass encode
+    "pq_index_append" ->
+      """SELECT vec_id AS q_id, CAST(10 AS BIGINT) AS n_matches
+        |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin,
     // delta (doc_id % 3 = 1) against the standing corpus (the other
     // two slices — one built, one appended into the index); exact
     // brute-force cross Jaccard, same threshold as minhash_neardup

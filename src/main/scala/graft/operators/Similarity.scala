@@ -453,13 +453,18 @@ object Similarity {
       ncodes: Int = 32,
       trainFraction: Double = 0.1,
       maxTrainRows: Int = 20000,
-      maxIter: Int = 20): Unit = {
+      maxIter: Int = 20,
+      // fit the codebooks on a DIFFERENT frame than the one encoded —
+      // the append-parity construction (encode base∪delta at the
+      // quantizer that existed before the delta arrived); None = fit
+      // on `emb` itself
+      fitOn: Option[DataFrame] = None): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     val e = spread(emb)
     val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
     require(dim % numSub == 0, s"dim $dim must split into $numSub subspaces")
-    val cbs = fitPqCodebooks(e, dim, numSub, ncodes,
+    val cbs = fitPqCodebooks(fitOn.map(spread).getOrElse(e), dim, numSub, ncodes,
       trainFraction, maxTrainRows, maxIter)
     cbs.zipWithIndex
       .flatMap { case (cb, j) => cb.zipWithIndex.map { case (c, i) => (j, i, c) } }
@@ -468,6 +473,43 @@ object Similarity {
     val (codes, _) = pqColumns(cbs, dim / numSub)
     e.select(col("vec_id"), codes.as("codes"))
       .write.mode("overwrite").parquet(s"$indexDir/codes")
+  }
+
+  /** The persisted codebooks, reloaded: (subspace → code → centroid).
+    * Bounded — numSub·ncodes rows, kilobytes. */
+  private def loadCodebooks(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Seq[Seq[Seq[Double]]] =
+    spark.read.parquet(s"$indexDir/codebooks")
+      .orderBy("subspace", "code").collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toSeq).toSeq
+      }
+
+  /** Incremental PQ maintenance: encode a NEW batch at the EXISTING
+    * persisted codebooks — frozen quantizer, no refit (the
+    * appendToIvfIndex rationale: the codebooks are the index's
+    * identity, and encode quality of a modest delta barely moves
+    * under a refit) — and append its code rows. Appending a 0.1%
+    * delta costs one narrow encode map over the delta plus kilobytes
+    * of codebook IO, never a corpus re-encode; and because encoding
+    * is a pure function of (vector, codebooks), build(base)+append(delta)
+    * is row-identical to a one-pass encode of base∪delta at the same
+    * codebooks — the pq_index_append driver row states that parity
+    * through the cold query path.
+    */
+  def appendToPqIndex(newVecs: DataFrame, indexDir: String): Unit = {
+    val spark = newVecs.sparkSession
+    val cbs = loadCodebooks(spark, indexDir)
+    val sub = cbs.head.head.size
+    val dim = cbs.size * sub
+    val e = spread(newVecs)
+    require(newVecs.select(size(col("embedding")).as("d")).head().getInt(0) == dim,
+      s"appendToPqIndex: batch dimension must match the index's $dim")
+    val (codes, _) = pqColumns(cbs, sub)
+    e.select(col("vec_id"), codes.as("codes"))
+      .write.mode("append").parquet(s"$indexDir/codes")
   }
 
   /** Cold PQ query: reload the codebooks (kilobytes), reconstruct
@@ -484,13 +526,7 @@ object Similarity {
       indexDir: String,
       queries: DataFrame, // (q_id, q_emb)
       k: Int = 10): DataFrame = {
-    val cbRows = spark.read.parquet(s"$indexDir/codebooks")
-      .orderBy("subspace", "code").collect()
-    val cbs: Seq[Seq[Seq[Double]]] = cbRows
-      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
-      .map { case (_, rows) =>
-        rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toSeq).toSeq
-      }
+    val cbs = loadCodebooks(spark, indexDir)
     val recon = flatten(array(cbs.indices.map { j =>
       element_at(typedLit(cbs(j)), element_at(col("codes"), j + 1) + 1)
     }: _*)).cast("array<float>")
@@ -580,12 +616,7 @@ object Similarity {
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val centSeq = cents.collect() // bounded: nlist rows
       .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).sortBy(_._1).toSeq
-    val cbs: Seq[Seq[Seq[Double]]] = spark.read.parquet(s"$indexDir/codebooks")
-      .orderBy("subspace", "code").collect()
-      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
-      .map { case (_, rows) =>
-        rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toSeq).toSeq
-      }
+    val cbs = loadCodebooks(spark, indexDir)
     val q = queries.select(col("q_id"), col("q_emb"),
       sumSq(col("q_emb")).as("qn2"))
     val qDist = probeSet(q, cents, nprobe)
