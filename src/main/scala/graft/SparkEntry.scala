@@ -333,6 +333,23 @@ object SparkEntry {
     * exactly as they would on a live stream. Memoized per sf dir; the
     * dirs die with the JVM.
     */
+  /** Four embedding chunks (vec_id mod 4) as separate parquet files
+    * with pinned mtimes — the file-stream fixture for the ANN ingest
+    * row; chunk 0 arrives first, so the streamed index's codebooks
+    * are deterministically the chunk-0 fit. */
+  private val embChunksMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def embChunks(s: SparkSession, dir: String): String =
+    embChunksMemo.computeIfAbsent(dir, _ => {
+      val base = tempDir("graft_emb_chunks")
+      val out = s"$base/emb"
+      val emb = Tables.embeddings(s, dir)
+      (0 until 4).foreach { i =>
+        writeChunk(emb.filter(col("vec_id") % 4 === i), s"$base/tmp_$i", out, i)
+      }
+      out
+    })
+
   private val eventChunksMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def eventChunks(s: SparkSession, dir: String): String =
@@ -2047,6 +2064,33 @@ object SparkEntry {
           (2, "2024-01-08", "2024-01-21"),
           (3, "2024-01-01", "2024-01-30")))
     }),
+    // Streaming ANN ingest: chunk 0 builds the PQ index (fits the
+    // codebooks), chunks 1-3 encode at the frozen codebooks and
+    // append — then the streamed index's cold query must equal the
+    // one-pass encode of the whole corpus at the same (chunk-0-fit)
+    // codebooks. Pure-function encoding makes the parity structural;
+    // any stream-side drift (refit on a later batch, double append,
+    // lost batch) drops an n_matches below k.
+    "stream_pq_ingest" -> ((s, dir) => streamRow(s) {
+      val src = embChunks(s, dir)
+      val base = tempDir("graft_stream_pq")
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val ingest = graft.streaming.IncrementalSync.pqIngestSync(
+        stream, s"$base/idx", s"$base/ckpt")
+      ingest.awaitTermination()
+      val emb = Tables.embeddings(s, dir)
+      Similarity.buildPqIndex(emb, s"$base/full",
+        fitOn = Some(emb.filter(col("vec_id") % 4 === 0)))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.pqTopKFromIndex(s, s"$base/idx", q, k = 10)
+        .join(Similarity.pqTopKFromIndex(s, s"$base/full", q, k = 10),
+          Seq("q_id", "neighbor_id", "sim_e6"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_matches"))
+        .orderBy("q_id")
+    }),
     "stream_doc_ingest" -> ((s, dir) => streamRow(s) {
       val src = docChunks(s, dir)
       val base = tempDir("graft_stream_di")
@@ -2833,6 +2877,10 @@ object SparkEntry {
     // append-vs-rebuild parity at shared codebooks: every query's k=10
     // results from the appended index must match the one-pass encode
     "pq_index_append" ->
+      """SELECT vec_id AS q_id, CAST(10 AS BIGINT) AS n_matches
+        |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin,
+    // streamed-index-vs-one-pass parity at the chunk-0 codebooks
+    "stream_pq_ingest" ->
       """SELECT vec_id AS q_id, CAST(10 AS BIGINT) AS n_matches
         |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin,
     // delta (doc_id % 3 = 1) against the standing corpus (the other

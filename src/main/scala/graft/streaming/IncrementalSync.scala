@@ -420,6 +420,34 @@ object IncrementalSync {
       }
       .start()
 
+  /** Streaming ANN ingest: the corpusDedupSync posture applied to the
+    * vector side. The FIRST embedding batch builds the PQ index (fits
+    * the codebooks — from then on they are the index's frozen
+    * identity); every subsequent batch encodes at those persisted
+    * codebooks and appends its code rows (appendToPqIndex). Encoding
+    * is a pure function of (vector, codebooks), so the streamed index
+    * is row-identical to a one-pass encode of the full corpus at the
+    * first batch's codebooks — the stream_pq_ingest row states that
+    * parity through the cold query path. Per-batch cost is one narrow
+    * encode map over the batch plus kilobytes of codebook IO; the
+    * standing corpus is never re-read.
+    */
+  def pqIngestSync(
+      vecs: DataFrame,
+      indexDir: String,
+      checkpointDir: String): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (graft.sources.Sinks.exists(s"$indexDir/codebooks"))
+          graft.operators.Similarity.appendToPqIndex(batch, indexDir)
+        else
+          graft.operators.Similarity.buildPqIndex(batch, indexDir)
+        ()
+      }
+      .start()
+
   /** Streaming staged-contacts sync: watch `srcDir` for new JSON
     * batches, shred each micro-batch, and insert-only-merge it into
     * the parquet target (J2 semantics — replays and overlapping
