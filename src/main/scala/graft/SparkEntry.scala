@@ -763,7 +763,18 @@ object SparkEntry {
         s"${tempDir("graft_quant_daily")}/sk",
         Seq((1, "2024-01-01", "2024-01-07"),
           (2, "2024-01-08", "2024-01-21"),
-          (3, "2024-01-01", "2024-01-30")))),
+          (3, "2024-01-01", "2024-01-30")))
+        .orderBy("range_id", "q_pm")),
+    // Per-group range quantiles off the grouped sketch: one window
+    // pass partitioned by event_type walks EVERY group's CDF at once —
+    // |groups| quantile sets for one sketch-sized shuffle.
+    "group_quantiles" -> ((s, dir) =>
+      Sketches.groupQuantileMaintenance(
+        Tables.events(s, dir), "event_type",
+        s"${tempDir("graft_gquant_daily")}/sk",
+        Seq((1, "2024-01-01", "2024-01-14"),
+          (2, "2024-01-01", "2024-01-30")))
+        .orderBy("range_id", "event_type", "q_pm")),
     // Count–Min frequency estimates over the full word-term stream:
     // est ≥ true asserted per row (the deterministic CM half) plus a
     // measured overestimate ceiling (SketchProbe: max over 0‰ at
@@ -2063,6 +2074,7 @@ object SparkEntry {
         Seq((1, "2024-01-01", "2024-01-07"),
           (2, "2024-01-08", "2024-01-21"),
           (3, "2024-01-01", "2024-01-30")))
+        .orderBy("range_id", "q_pm")
     }),
     // Streaming ANN ingest: chunk 0 builds the PQ index (fits the
     // codebooks), chunks 1-3 encode at the frozen codebooks and
@@ -2603,6 +2615,25 @@ object SparkEntry {
         |FROM c JOIN q ON c.cum * 1000 >= q.q_pm * c.total
         |GROUP BY range_id, q_pm
         |ORDER BY range_id, q_pm""".stripMargin,
+    // identical grouped chain: per-(group, bucket) counts → per-group
+    // CDF walk → smallest bucket reaching ⌈q·N/1000⌉
+    "group_quantiles" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS dt, CAST(floor(value * 100) AS BIGINT) AS bucket FROM events),
+        | r(range_id, lo, hi) AS (VALUES (1, DATE '2024-01-01', DATE '2024-01-14'),
+        |                                (2, DATE '2024-01-01', DATE '2024-01-30')),
+        | b AS (SELECT r.range_id, e.event_type, e.bucket, count(*) AS n
+        |       FROM r JOIN e ON e.dt BETWEEN r.lo AND r.hi GROUP BY 1, 2, 3),
+        | c AS (SELECT range_id, event_type, bucket,
+        |              CAST(sum(n) OVER (PARTITION BY range_id, event_type ORDER BY bucket) AS BIGINT) AS cum,
+        |              CAST(sum(n) OVER (PARTITION BY range_id, event_type) AS BIGINT) AS total
+        |       FROM b),
+        | q(q_pm) AS (VALUES (500), (900))
+        |SELECT range_id, event_type, q_pm,
+        |       CAST(min(bucket) AS DOUBLE) / 100 AS q_value,
+        |       max(total) AS n_rows
+        |FROM c JOIN q ON c.cum * 1000 >= q.q_pm * c.total
+        |GROUP BY range_id, event_type, q_pm
+        |ORDER BY range_id, event_type, q_pm""".stripMargin,
     "incremental_quantile" ->
       """WITH e AS (SELECT CAST(ts AS DATE) AS dt, CAST(floor(value * 100) AS BIGINT) AS bucket FROM events),
         | r(range_id, lo, hi) AS (VALUES (1, DATE '2024-01-01', DATE '2024-01-07'),

@@ -347,7 +347,50 @@ object Sketches {
           lit(id).as("range_id"), col("q_pm"),
           (col("_qb").cast("double") / scale).as("q_value"),
           col("n_rows"))
-    }.reduce(_ unionByName _).orderBy("range_id", "q_pm")
+    }.reduce(_ unionByName _) // unordered — presentation sorts live at the rows
+  }
+
+  /** Per-GROUP range quantiles off the same persisted sketch family:
+    * quantileBuckets keyed by an extra group column (dt, group,
+    * bucket, n), then per query range ONE window pass partitioned by
+    * group walks every group's CDF simultaneously — still on the
+    * KB-scale sketch, but now |groups| CDFs in one shuffle instead of
+    * a per-group loop. Same exact-merge property, same deterministic
+    * integer walk, so the oracle replays the whole chain per group.
+    */
+  def groupQuantileMaintenance(
+      events: DataFrame, // needs ts + value + the group column
+      groupCol: String,
+      sketchDir: String,
+      ranges: Seq[(Int, String, String)],
+      qsPerMille: Seq[Int] = Seq(500, 900),
+      scale: Int = 100): DataFrame = {
+    val spark = events.sparkSession
+    events
+      .select(col(groupCol).as("grp"), to_date(col("ts")).as("dt"),
+        floor(col("value") * scale).as("bucket"))
+      .groupBy("grp", "dt", "bucket").agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(sketchDir)
+    val sk = spark.read.parquet(sketchDir)
+    val qArr = array(qsPerMille.map(lit): _*)
+    ranges.map { case (id, lo, hi) =>
+      val merged = sk.filter(col("dt").between(lit(lo), lit(hi)))
+        .groupBy("grp", "bucket").agg(sum(col("n")).as("n"))
+      val w = Window.partitionBy("grp").orderBy("bucket")
+      val cum = merged.select(
+        col("grp"), col("bucket"),
+        sum(col("n")).over(w).as("cum"),
+        sum(col("n")).over(Window.partitionBy("grp")).as("total"))
+      cum.select(col("grp"), col("bucket"), col("cum"), col("total"),
+          explode(qArr).as("q_pm"))
+        .filter(col("cum") * 1000L >= col("q_pm").cast("long") * col("total"))
+        .groupBy("grp", "q_pm")
+        .agg(min(col("bucket")).as("_qb"), max(col("total")).as("n_rows"))
+        .select(
+          lit(id).as("range_id"), col("grp").as(groupCol), col("q_pm"),
+          (col("_qb").cast("double") / scale).as("q_value"),
+          col("n_rows"))
+    }.reduce(_ unionByName _)
   }
 
   def quantileMaintenance(
