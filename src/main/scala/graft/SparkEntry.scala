@@ -643,6 +643,23 @@ object SparkEntry {
     // document frequency alongside (the IDF numerator) — two-level
     // partial aggregation, no countDistinct Expand.
     "top_terms" -> ((s, dir) => TextOps.topTerms(Tables.documents(s, dir))),
+    // Deterministic shard assignment: 8 near-equal shards as a pure
+    // function of doc_id (md5 threshold strings) — the same doc lands
+    // in the same shard on every rerun or engine. Row = per-shard
+    // doc/token census, hash-checked.
+    "shard_corpus" -> ((s, dir) =>
+      Sampling.shardAssign(Tables.documents(s, dir), "doc_id", nShards = 8)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextOps.tokens(col("text"))).cast("long")).as("n_tokens"))
+        .orderBy("shard")),
+    // Deterministic token-budget slice: the first 20k tokens of the
+    // corpus in md5 order, exact two-phase prefix (bucket offsets +
+    // within-bucket running sums — no global-order window).
+    "token_budget" -> ((s, dir) =>
+      Sampling.tokenBudgetSlice(Tables.documents(s, dir), "doc_id",
+        size(TextOps.tokens(col("text"))), budget = 20000L)
+        .select("doc_id", "lang").orderBy("doc_id")),
     // Rank-id vocabulary (count desc, token asc — shard-agreement by
     // construction); minCount 2, capped at 1000 ids.
     "build_vocab" -> ((s, dir) =>
@@ -2517,6 +2534,25 @@ object SparkEntry {
         | td AS (SELECT term, doc_id, count(*) AS tf FROM f GROUP BY term, doc_id)
         |SELECT term, CAST(sum(tf) AS BIGINT) AS n, count(*) AS df
         |FROM td GROUP BY term ORDER BY n DESC, term LIMIT 25""".stripMargin,
+    // identical md5-threshold shard rule, identical token count
+    "shard_corpus" ->
+      """WITH t AS (SELECT doc_id, len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tok,
+        |            substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS draw FROM documents),
+        | s AS (SELECT doc_id, n_tok,
+        |        CAST(draw >= '2000' AS INT) + CAST(draw >= '4000' AS INT) +
+        |        CAST(draw >= '6000' AS INT) + CAST(draw >= '8000' AS INT) +
+        |        CAST(draw >= 'a000' AS INT) + CAST(draw >= 'c000' AS INT) +
+        |        CAST(draw >= 'e000' AS INT) AS shard
+        |       FROM t)
+        |SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+    // the naive global-order prefix — the two-phase Spark plan must
+    // select the identical doc set
+    "token_budget" ->
+      """WITH t AS (SELECT doc_id, lang, len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tok,
+        |            md5(CAST(doc_id AS VARCHAR)) AS draw FROM documents),
+        | w AS (SELECT doc_id, lang, sum(n_tok) OVER (ORDER BY draw, doc_id) AS cum FROM t)
+        |SELECT doc_id, lang FROM w WHERE cum <= 20000 ORDER BY doc_id""".stripMargin,
     // identical rank rule: (count desc, token asc), minCount 2, cap 1000
     "build_vocab" ->
       """WITH toks AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS token FROM documents),

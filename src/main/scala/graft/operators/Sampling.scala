@@ -104,4 +104,59 @@ object Sampling {
     }.toMap
     mixByRate(df, strataCol, idCol, rates)
   }
+
+  /** Deterministic shard assignment — the last step before training:
+    * spread the final corpus across nShards near-equal shards as a
+    * pure function of the row's id (drawHex thresholds, so the same
+    * doc lands in the same shard on every rerun, partial re-write, or
+    * engine). shard = number of thresholds ⌊i·65536/n⌋ (4-hex) at or
+    * below the draw — string comparisons only, replayable verbatim by
+    * the oracle; widths are exact when n divides 65536, off by at
+    * most one draw-value otherwise. Map-only.
+    */
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 2 && nShards <= 65536, "nShards in [2, 65536]")
+    val shard = (1 until nShards)
+      .map(i => (drawHex(col(idCol)) >= lit(f"${i * 65536L / nShards}%04x")).cast("int"))
+      .reduce(_ + _)
+    df.withColumn("shard", shard)
+  }
+
+  /** Deterministic token-budget slice: the first `budget` tokens of
+    * the corpus in md5 order — "give me a 20M-token training slice,
+    * the same slice every time". A doc is kept iff the running token
+    * total over the (draw, id) order — INCLUDING the doc itself —
+    * stays within budget.
+    *
+    * Scale shape: the naive formulation is one global-order window
+    * (single partition over the corpus — the classic silent
+    * degeneration). This runs the exact TWO-PHASE version instead:
+    * per-bucket token sums over the draw's first 3 hex chars (4096
+    * buckets, map-side combinable), a cumulative walk over the
+    * 4096-row bucket table (sanctioned sketch-sized window) giving
+    * each bucket its tokens-before offset, then a within-bucket
+    * running sum (window PARTITIONED by bucket — distributed, each
+    * partition ~1/4096 of the corpus). Identical result to the global
+    * order because the bucket is a prefix of the draw.
+    */
+  def tokenBudgetSlice(
+      df: DataFrame,
+      idCol: String,
+      tokenCount: Column,
+      budget: Long): DataFrame = {
+    val d = df
+      .withColumn("_draw", md5(col(idCol).cast("string").cast("binary")))
+      .withColumn("_tok", tokenCount.cast("long"))
+      .withColumn("_b", substring(col("_draw"), 1, 3))
+    val bcum = d.groupBy("_b").agg(sum(col("_tok")).as("_bs"))
+      .withColumn("_before", coalesce(
+        sum(col("_bs")).over(
+          Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val w = Window.partitionBy("_b").orderBy(col("_draw"), col(idCol))
+    d.join(broadcast(bcum), Seq("_b"))
+      .withColumn("_cum", col("_before") + sum(col("_tok")).over(w))
+      .filter(col("_cum") <= budget)
+      .drop("_draw", "_tok", "_b", "_bs", "_before", "_cum")
+  }
 }

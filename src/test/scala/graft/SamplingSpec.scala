@@ -15,6 +15,37 @@ class SamplingSpec extends SparkSpec {
     .map(i => (i, if (i % 4 == 0) "en" else if (i % 4 == 1) "de" else if (i % 4 == 2) "es" else "zh"))
     .toDF("doc_id", "lang")
 
+  test("shardAssign: near-equal shards, pure function of id, layout-invariant") {
+    val n = 8
+    val a = Sampling.shardAssign(docs, "doc_id", n)
+    val sizes = a.groupBy("shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == (0 until n).toSet)
+    // uniform md5 draws: each shard within a loose band of 1000/8
+    assert(sizes.values.forall(c => c > 60 && c < 190), sizes.toString)
+    val b = Sampling.shardAssign(docs.repartition(13), "doc_id", n)
+      .select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(a.select("doc_id", "shard").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet == b)
+  }
+
+  test("tokenBudgetSlice: two-phase prefix equals the naive global-order prefix") {
+    val withTok = docs.withColumn("n_tok", (col("doc_id") % 17 + 1).cast("long"))
+    val budget = 3000L
+    val got = Sampling.tokenBudgetSlice(withTok, "doc_id", col("n_tok"), budget)
+      .select("doc_id").as[Long].collect().toSet
+    // naive reference: global order by (md5 draw, id), running total
+    val naive = withTok
+      .withColumn("_d", md5(col("doc_id").cast("string").cast("binary")))
+      .orderBy("_d", "doc_id")
+      .select("doc_id", "n_tok").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var cum = 0L
+    val want = naive.takeWhile { case (_, t) => { cum += t; cum <= budget } }
+      .map(_._1).toSet
+    assert(got == want && got.nonEmpty && got.size < 1000)
+  }
+
   test("stratifiedTopN: exactly n per stratum, identical across runs and layouts") {
     val a = Sampling.stratifiedTopN(docs, "lang", "doc_id", 10)
       .select("doc_id").as[Long].collect().sorted.toSeq
