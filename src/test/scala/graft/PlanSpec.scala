@@ -135,11 +135,35 @@ class PlanSpec extends SparkSpec {
       "segment_dedup" -> graft.operators.TextOps.segmentDedup(docs),
       "normalize_text" -> graft.operators.TextOps.normalizeText(docs),
       "approx_distinct" -> graft.operators.Sketches.approxDistinct(
-        Tables.events(spark, dir), "event_type", "user_id")
+        Tables.events(spark, dir), "event_type", "user_id"),
+      // r10 additions to the convention
+      "edit_distance_join" -> graft.operators.Linkage.editDistanceJoin(
+        Tables.customer(spark, dir).select(col("c_custkey").cast("long").as("id"),
+          col("c_name").as("s")), "id", "s", maxDist = 1),
+      "cross_corpus_dedup" -> Similarity.crossCorpusDedup(
+        docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1)),
+      "boilerplate_strip" -> graft.operators.TextOps.stripBoilerplate(docs),
+      "rolling_zscore" -> graft.operators.Queries.rollingZScore(
+        Tables.events(spark, dir))
     ).foreach { case (name, df) =>
       val sorts = df.queryExecution.optimizedPlan.collect { case s: Sort => s }
       assert(sorts.isEmpty, s"$name: operator must not sort (found: $sorts)")
     }
+    // tokenBudgetSlice DOES sort (within-bucket windows — that is its
+    // algorithm), but never globally: no single-partition global-order
+    // window may appear (the two-phase claim is exactly this)
+    val tb = graft.operators.Sampling.tokenBudgetSlice(
+      docs, "doc_id", org.apache.spark.sql.functions.size(
+        graft.operators.TextOps.tokens(col("text"))), 20000L)
+    val wins = tb.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty)
+    // exactly ONE unpartitioned window — the walk over the 4096-row
+    // bucket table; the corpus-sized running sum must be partitioned
+    assert(wins.count(_.partitionSpec.isEmpty) == 1 &&
+      wins.exists(_.partitionSpec.nonEmpty),
+      s"tokenBudgetSlice must window per bucket, not globally: $wins")
   }
 
   test("temporal join queries prune the events scan (props never read)") {
