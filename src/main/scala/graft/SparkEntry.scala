@@ -2106,11 +2106,16 @@ object SparkEntry {
       val schema = s.read.parquet(src).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
+      // (8, 16) codebooks for the STREAM row: the row tests the
+      // ingest mechanics (build-then-append, frozen codebooks, batch
+      // accounting), not the rate/recall point — and the encode
+      // expression is codegen'd per micro-batch, so the smaller
+      // geometry halves the row's wall without touching the contract
       val ingest = graft.streaming.IncrementalSync.pqIngestSync(
-        stream, s"$base/idx", s"$base/ckpt")
+        stream, s"$base/idx", s"$base/ckpt", numSub = 8, ncodes = 16)
       ingest.awaitTermination()
       val emb = Tables.embeddings(s, dir)
-      Similarity.buildPqIndex(emb, s"$base/full",
+      Similarity.buildPqIndex(emb, s"$base/full", numSub = 8, ncodes = 16,
         fitOn = Some(emb.filter(col("vec_id") % 4 === 0)))
       val q = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))

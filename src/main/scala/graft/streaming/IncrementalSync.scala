@@ -435,15 +435,19 @@ object IncrementalSync {
   def pqIngestSync(
       vecs: DataFrame,
       indexDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      numSub: Int = 16,
+      ncodes: Int = 32): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (graft.sources.Sinks.exists(s"$indexDir/codebooks"))
+          // append derives the geometry from the persisted codebooks
           graft.operators.Similarity.appendToPqIndex(batch, indexDir)
         else
-          graft.operators.Similarity.buildPqIndex(batch, indexDir)
+          graft.operators.Similarity.buildPqIndex(batch, indexDir,
+            numSub = numSub, ncodes = ncodes)
         ()
       }
       .start()
