@@ -1706,6 +1706,25 @@ object SparkEntry {
     // cents arithmetic, cross-multiplied z² test — hash-checked.
     "rolling_zscore" -> ((s, dir) =>
       Queries.rollingZScore(Tables.events(s, dir)).orderBy("event_id")),
+    // Spark's BUILT-IN session_window aggregate — the prefer-built-ins
+    // counterpart of the hand-rolled lag/gap `sessionize` (and of the
+    // stateful streaming sessionizer): one groupBy, engine-managed
+    // window merging, no window-function pass at all. Session
+    // semantics: merge while the next event starts BEFORE the current
+    // window's end (last + gap, exclusive) — the oracle replays that
+    // exact rule at MICROsecond precision (a millisecond-floored
+    // replay could disagree within 1 ms of the gap boundary).
+    "session_window_agg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"),
+          org.apache.spark.sql.functions.session_window(
+            col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          expr("unix_micros(w.start) DIV 1000").as("start_ms"),
+          expr("unix_micros(w.end) DIV 1000").as("end_ms"),
+          col("n_events"))
+        .orderBy("user_id", "start_ms")),
     "trailing_window" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id")
@@ -3627,6 +3646,24 @@ object SparkEntry {
         |WHERE day(CAST(ts AS DATE)) <= 7
         |GROUP BY CUBE(event_type, CAST(ts AS DATE))
         |ORDER BY gid, coalesce(event_type, ''), coalesce(dt, '')""".stripMargin,
+    // gap-chained sessions at MICROsecond precision (new session iff
+    // the micro gap >= 30 min — session_window's exclusive end), ms
+    // floors applied only to the output
+    "session_window_agg" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        | g AS (SELECT user_id, event_id, us,
+        |        lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        |       FROM e),
+        | f AS (SELECT user_id, event_id, us,
+        |        CASE WHEN prev IS NULL OR us - prev >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |       FROM g),
+        | x AS (SELECT user_id, us,
+        |        sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |       FROM f)
+        |SELECT user_id, min(us) // 1000 AS start_ms,
+        |       max(us) // 1000 + 1800000 AS end_ms, count(*) AS n_events
+        |FROM x GROUP BY user_id, sess ORDER BY user_id, start_ms""".stripMargin,
     // identical integer chain: cents → trailing sums (frame excludes
     // the current row) → cross-multiplied z² > 9 flag
     "rolling_zscore" ->
