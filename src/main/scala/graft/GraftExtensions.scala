@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BloomMightContain, CmEstimate, CountTokensIn, CountTokensInMulti, FloatDot, FloatNorm2, HammingBits, HashProjEmbed, HyperplaneSig, MinHashBandKeys, MinHashSignature, NfcNormalize, PiiScrub, SimHashBits, TokenFingerprint, TokenProfile, WordShingles}
+import graft.expressions.{BloomMightContain, CmEstimate, CountTokensIn, CountTokensInMulti, FloatDot, FloatNorm2, HammingBits, HashProjEmbed, HyperplaneSig, MinHashBandKeys, MinHashSignature, NfcNormalize, PiiScrub, PqAssign, SimHashBits, TokenFingerprint, TokenProfile, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -18,6 +18,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case Literal(n: Int, IntegerType) => n
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
+  }
+
+  /** Fold a nested-array codebook literal ([numSub][ncodes][sub]
+    * doubles — typedLit at the Scala face, array(array(array(...)))
+    * in SQL) down to the Scala shape PqAssign carries. Foldable-only:
+    * the codebooks are plan constants, not per-row data.
+    */
+  private def codebookLit(e: Expression): Seq[Seq[Seq[Double]]] = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    e.dataType match {
+      case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _) if e.foldable =>
+        val a = e.eval().asInstanceOf[ArrayData]
+        (0 until a.numElements()).map { j =>
+          val cb = a.getArray(j)
+          (0 until cb.numElements()).map { c =>
+            val cent = cb.getArray(c)
+            (0 until cent.numElements()).map(cent.getDouble)
+          }
+        }
+      case other => throw new IllegalArgumentException(
+        s"pq_assign codebooks must be a foldable array<array<array<double>>>, got $other")
+    }
   }
 
   private def strLit(e: Expression, what: String): String = e match {
@@ -158,6 +181,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c, Literal(b: Array[Byte], BinaryType)) => BloomMightContain(c, b)
         case _ => throw new IllegalArgumentException(
           "usage: bloom_might_contain(bigintKey, <serialized bloom binary literal>)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("pq_assign"),
+      new ExpressionInfo(classOf[PqAssign].getName, "pq_assign"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, cb) => PqAssign(v, codebookLit(cb))
+        case _ => throw new IllegalArgumentException(
+          "usage: pq_assign(vec, <array<array<array<double>>> codebook literal>)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("word_shingles"),

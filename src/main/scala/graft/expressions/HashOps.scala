@@ -495,4 +495,58 @@ object HashOps {
     }
     new GenericArrayData(out)
   }
+
+  /** Product-quantization assignment kernel: per subspace, the
+    * argmin-centroid code (score = ‖c‖²/2 − x·c, ties to the lower
+    * code — the assignCells discipline) plus the concatenated
+    * reconstruction. One tight loop over numSub×ncodes×sub replaces
+    * the 512-term `least(struct(...))` column tree the same math used
+    * to generate: the answer is bit-identical (halfNorm is the exact
+    * driver-side double fold the literal carried; the dot multiplies
+    * float-rounded operands in double, floatDot's rule), but the
+    * generated source is one static call instead of ~2 MB of janino
+    * input — the one-time 5.5 s codegen wall `pq_topk` used to pay,
+    * and paid again per micro-batch in `stream_pq_ingest`.
+    */
+  def pqAssign(
+      vec: ArrayData,
+      cbFloat: Array[Array[Array[Float]]],
+      halfNorm: Array[Array[Double]]): org.apache.spark.sql.catalyst.InternalRow = {
+    val numSub = cbFloat.length
+    val sub = cbFloat(0)(0).length
+    val dim = numSub * sub
+    require(vec.numElements() == dim,
+      s"pq_assign: vector length ${vec.numElements()} != codebook dim $dim")
+    val codes = new Array[Int](numSub)
+    val recon = new Array[Float](dim)
+    var j = 0
+    while (j < numSub) {
+      val off = j * sub
+      val cbj = cbFloat(j)
+      val hnj = halfNorm(j)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cbj.length) {
+        val cent = cbj(c)
+        var dot = 0.0
+        var i = 0
+        while (i < sub) {
+          if (vec.isNullAt(off + i))
+            throw new IllegalArgumentException(
+              s"pq_assign: null element at index ${off + i}")
+          dot += vec.getFloat(off + i).toDouble * cent(i).toDouble
+          i += 1
+        }
+        val d = hnj(c) - dot
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(j) = best
+      System.arraycopy(cbj(best), 0, recon, off, sub)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](new GenericArrayData(codes), new GenericArrayData(recon)))
+  }
 }

@@ -273,6 +273,44 @@ case class PiiScrub(child: Expression)
     copy(child = newChild)
 }
 
+/** Product-quantization assign: codes + reconstruction in one call
+  * into HashOps.pqAssign (rationale there — the unrolled 512-term
+  * column tree this replaces compiled for seconds per plan). The
+  * codebooks travel as a constructor argument like count_tokens_in's
+  * marker csv; the float view and the exact double half-norms are
+  * precomputed once per executor via the transient lazies, so
+  * per-row work is the arithmetic alone.
+  */
+case class PqAssign(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+  require(codebooks.nonEmpty && codebooks.head.nonEmpty &&
+    codebooks.forall(cb => cb.size == codebooks.head.size &&
+      cb.forall(_.size == codebooks.head.head.size)),
+    "pq_assign: codebooks must be a non-empty rectangular [numSub][ncodes][sub]")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("recon", ArrayType(FloatType, containsNull = false), nullable = false)))
+  override def prettyName: String = "pq_assign"
+  @transient private lazy val cbFloat: Array[Array[Array[Float]]] =
+    codebooks.map(_.map(_.map(_.toFloat).toArray).toArray).toArray
+  @transient private lazy val halfNorm: Array[Array[Double]] =
+    codebooks.map(_.map(c => c.map(x => x * x).sum / 2.0).toArray).toArray
+  protected override def nullSafeEval(input: Any): Any =
+    HashOps.pqAssign(input.asInstanceOf[ArrayData], cbFloat, halfNorm)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCbFloat", cbFloat, "float[][][]")
+    val hnRef = ctx.addReferenceObj("pqHalfNorm", halfNorm, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashOps.pqAssign($c, $cbRef, $hnRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqAssign =
+    copy(child = newChild)
+}
+
 case class SimHashBits(child: Expression, bits: Int)
     extends UnaryExpression with StringArrayInput {
   override def dataType: DataType = StringType

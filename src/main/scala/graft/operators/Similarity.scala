@@ -333,36 +333,21 @@ object Similarity {
   }
 
   /** The PQ encode + reconstruct pass shared by pqEncode and pqTopK:
-    * per subspace, the nearest codebook centroid (centroidD2 kernel,
-    * ties to the lower code — same array_sort discipline as
-    * assignCells) becomes the vector's code, and the reconstruction
-    * concatenates the chosen centroids. Map-only: codebooks ride as
-    * typedLit arrays into codegen, no shuffle, no broadcast join.
+    * per subspace, the nearest codebook centroid (‖c‖²/2 − x·c
+    * argmin, ties to the lower code — same discipline as assignCells)
+    * becomes the vector's code, and the reconstruction concatenates
+    * the chosen centroids. Map-only: the codebooks ride as a plan
+    * constant into the native pq_assign kernel, no shuffle, no
+    * broadcast join. One expression, not an unrolled per-centroid
+    * column tree — the unrolled form generated ~numSub×ncodes struct
+    * terms whose one-time janino compile cost 5.5 s at the defaults
+    * (and again per stream micro-batch); the kernel call compiles in
+    * milliseconds and computes bit-identical codes
+    * (HashOps.pqAssign's scaladoc pins the arithmetic contract).
     */
-  private def pqColumns(
-      codebooks: Seq[Seq[Seq[Double]]], sub: Int): (Column, Column) = {
-    val codes = (0 until codebooks.size).map { j =>
-      val sliceJ = slice(col("embedding"), j * sub + 1, sub)
-      // argmin_c ‖x−c‖² = argmin_c (‖c‖²/2 − x·c) — ‖x‖² is constant
-      // per row, ‖c‖²/2 folds to a driver-side literal, and the dot
-      // runs through the native codegen'd float_dot kernel instead of
-      // an interpreted zip_with/aggregate per centroid (ScaleProbe
-      // measured the interpreted form at ~6× the whole query's wall).
-      // least() on (score, code) structs keeps the tie-to-lower-code
-      // rule without materializing + sorting a 16-struct array.
-      val scored = codebooks(j).zipWithIndex.map { case (c, i) =>
-        struct(
-          (lit(c.map(x => x * x).sum / 2.0) -
-            call_function("float_dot", sliceJ,
-              typedLit(c.map(_.toFloat)))).as("d"),
-          lit(i).as("code"))
-      }
-      least(scored: _*).getField("code")
-    }
-    val recon = flatten(array(codes.zipWithIndex.map { case (code, j) =>
-      element_at(typedLit(codebooks(j)), code + 1)
-    }: _*)).cast("array<float>")
-    (array(codes: _*), recon)
+  private def pqColumns(codebooks: Seq[Seq[Seq[Double]]]): (Column, Column) = {
+    val a = call_function("pq_assign", col("embedding"), typedLit(codebooks))
+    (a.getField("codes"), a.getField("recon"))
   }
 
   /** Product-quantization codes (Jégou, Douze & Schmid, TPAMI 2011,
@@ -390,7 +375,7 @@ object Similarity {
     require(dim % numSub == 0, s"dim $dim must split into $numSub subspaces")
     val cbs = fitPqCodebooks(e, dim, numSub, ncodes,
       trainFraction, maxTrainRows, maxIter)
-    val (codes, _) = pqColumns(cbs, dim / numSub)
+    val (codes, _) = pqColumns(cbs)
     e.select(col("vec_id"), codes.as("codes"))
   }
 
@@ -421,7 +406,7 @@ object Similarity {
     require(dim % numSub == 0, s"dim $dim must split into $numSub subspaces")
     val cbs = fitPqCodebooks(e, dim, numSub, ncodes,
       trainFraction, maxTrainRows, maxIter)
-    val (_, recon) = pqColumns(cbs, dim / numSub)
+    val (_, recon) = pqColumns(cbs)
     val enc = e.select(col("vec_id"), recon.as("recon"))
       .withColumn("rn2", sumSq(col("recon")))
       .filter(col("rn2") > 0)
@@ -470,7 +455,7 @@ object Similarity {
       .flatMap { case (cb, j) => cb.zipWithIndex.map { case (c, i) => (j, i, c) } }
       .toDF("subspace", "code", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
-    val (codes, _) = pqColumns(cbs, dim / numSub)
+    val (codes, _) = pqColumns(cbs)
     e.select(col("vec_id"), codes.as("codes"))
       .write.mode("overwrite").parquet(s"$indexDir/codes")
   }
@@ -507,7 +492,7 @@ object Similarity {
     val e = spread(newVecs)
     require(newVecs.select(size(col("embedding")).as("d")).head().getInt(0) == dim,
       s"appendToPqIndex: batch dimension must match the index's $dim")
-    val (codes, _) = pqColumns(cbs, sub)
+    val (codes, _) = pqColumns(cbs)
     e.select(col("vec_id"), codes.as("codes"))
       .write.mode("append").parquet(s"$indexDir/codes")
   }
@@ -586,7 +571,7 @@ object Similarity {
       col("vec_id"), col("cell"), residual.as("embedding"))
     val cbs = fitPqCodebooks(residFrame, dim, numSub, ncodes,
       trainFraction, maxTrainRows, maxIter)
-    val (codes, _) = pqColumns(cbs, dim / numSub)
+    val (codes, _) = pqColumns(cbs)
     spark.createDataset(centSeq).toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
     cbs.zipWithIndex

@@ -118,6 +118,21 @@ class SimilaritySpec extends SparkSpec {
     assert(snap(codes) == snap(Similarity.pqEncode(e, numSub = 16, ncodes = 16)))
   }
 
+  test("pq_assign kernel: argmin codes with ties to the lower code, recon = chosen centroids") {
+    import spark.implicits._
+    // codebook [2 subspaces][3 codes][2 dims]; vector (1,0, 3,4):
+    // subspace 0 ties codes 0 and 2 exactly (same centroid) → 0 wins;
+    // subspace 1's nearest is code 1
+    val cbs = Seq(
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 0.0)),
+      Seq(Seq(0.0, 0.0), Seq(3.0, 4.0), Seq(-3.0, -4.0)))
+    val row = Seq((1L, Array(1f, 0f, 3f, 4f))).toDF("vec_id", "embedding")
+      .select(call_function("pq_assign", col("embedding"), typedLit(cbs)).as("a"))
+      .select(col("a.codes"), col("a.recon")).head()
+    assert(row.getSeq[Int](0) == Seq(0, 1))
+    assert(row.getSeq[Float](1) == Seq(1f, 0f, 3f, 4f))
+  }
+
   test("pqTopK: exact-recovery regime (one code per distinct subvector) equals exact top-k") {
     import spark.implicits._
     // 8 well-separated vectors; with ncodes = n the per-subspace
