@@ -50,6 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Optimizer tier: materialized-view routing (plans.MvRewrite).
+    // No-op while the registry is empty, so sessions that never
+    // register a view pay one map lookup per optimize.
+    ext.injectOptimizerRule(spark => graft.plans.MvRewriteRule(spark))
     ext.injectFunction((
       new FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),

@@ -90,6 +90,26 @@ object SparkEntry {
   private def pqTopKMemo(s: SparkSession, dir: String): DataFrame =
     memoDF(s, s"pq:$dir")(Similarity.pqTopK(Tables.embeddings(s, dir)))
 
+  /** mv_rewrite's summary table: built + registered once per sf dir
+    * (MvRewrite.register is session-global on purpose — ANY matching
+    * aggregate over this base routes, and each routed row's own
+    * oracle re-proves answer preservation). */
+  private val mvMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def mvSummary(s: SparkSession, dir: String): String =
+    mvMemo.computeIfAbsent(dir, _ => {
+      val out = s"${tempDir("graft_mv")}/lineitem_rf_ls"
+      graft.plans.MvRewrite.materialize(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        Seq("l_returnflag", "l_linestatus"), sumCols = Seq("l_quantity"),
+        minCols = Seq("l_extendedprice"), maxCols = Seq("l_extendedprice"),
+        mvDir = out)
+      graft.plans.MvRewrite.register(s, s"$dir/lineitem.parquet", out,
+        Seq("l_returnflag", "l_linestatus"), sumCols = Seq("l_quantity"),
+        minCols = Seq("l_extendedprice"), maxCols = Seq("l_extendedprice"))
+      out
+    })
+
   private val pqIndexMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def pqIndex(s: SparkSession, dir: String): String =
@@ -1555,6 +1575,30 @@ object SparkEntry {
         .select(date_format(col("dt"), "yyyy-MM-dd").as("dt"),
           col("n_events"), col("n_high"))
         .orderBy("dt")
+    }),
+    // Materialized-view routing (plans.MvRewrite — the injected
+    // optimizer-rule tier): the aggregate below names only the BASE
+    // table; Catalyst rewrites it onto the registered summary mid-
+    // optimization. The in-row requires prove the executed scan reads
+    // the view and never the base; the DuckDB oracle computes the
+    // same aggregate from the BASE rows — answer-preservation is the
+    // thing the driver checks. At 100 TB this is the 1000-executor
+    // scan that becomes a kilobyte summary read, with the file-listing
+    // fingerprint disabling the route the moment the base moves.
+    "mv_rewrite" -> ((s, dir) => {
+      val mvDir = mvSummary(s, dir)
+      val q = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_returnflag") =!= "N")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"),
+          min("l_extendedprice").as("min_price"),
+          max("l_extendedprice").as("max_price"))
+      val plan = q.queryExecution.executedPlan.toString
+      require(plan.contains(mvDir),
+        s"aggregate must route to the materialized view:\n$plan")
+      require(!plan.contains("lineitem.parquet"),
+        s"routed plan must not scan the base table:\n$plan")
+      q.orderBy("l_returnflag", "l_linestatus")
     }),
     // Small-files compaction (Sinks.compact): 64 splinter files
     // rewritten to ceil(bytes / 256 KiB) — the in-row requires pin the
@@ -3525,6 +3569,16 @@ object SparkEntry {
         |       count(*) FILTER (WHERE value >= 50) AS n_high
         |FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // answer preservation under routing: the Spark side reads the
+    // registered summary (plan-asserted in-row); the oracle computes
+    // the same aggregate from the BASE rows
+    "mv_rewrite" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+        |       sum(l_quantity) AS sum_qty,
+        |       min(l_extendedprice) AS min_price,
+        |       max(l_extendedprice) AS max_price
+        |FROM lineitem WHERE l_returnflag <> 'N'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // content preservation: the Spark side reads the COMPACTED copy
     "compact_files" ->
       """SELECT event_type, count(*) AS n_events

@@ -1,0 +1,256 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Coalesce, Expression, Literal, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Materialized-view routing: a registered summary table answers
+  * matching aggregates over its base table, so a full corpus scan
+  * becomes a kilobyte summary read. This is the optimizer-extension
+  * tier of the engine (SparkSessionExtensions.injectOptimizerRule —
+  * the one extension point the expression family doesn't exercise):
+  * the rewrite happens INSIDE Catalyst's fixed-point batch, so plain
+  * `spark.read.parquet(base).groupBy(...).agg(...)` — or the SQL
+  * equivalent — is routed with no query-side opt-in, and later
+  * rules (column pruning, partition pruning) then optimize the
+  * summary scan they were handed. Mirrors the reference's summary
+  * tables over QA contact aggregates (`qa_api_handler.py:146-152`
+  * reports grouped counts the handler recomputes per call — the shape
+  * this rule memoizes).
+  *
+  * The classic rollup-compatibility contract (Gupta & Mumick,
+  * "Maintenance of Materialized Views", IEEE DE Bull. 1995; same
+  * re-aggregation algebra as Incremental.mergeAdditive): a query
+  * Aggregate routes iff its grouping columns are a SUBSET of the
+  * view's, every aggregate is derivable (count(*) → sum(cnt),
+  * sum(x) → sum(sum_x), min(x) → min(min_x), max(x) → max(max_x)
+  * — no distinct, no filter clauses), and any WHERE conjuncts
+  * reference grouping columns only (they re-apply to the view rows
+  * unchanged). Anything else leaves the plan untouched — the rule is
+  * fail-open by construction: not rewriting is always correct.
+  *
+  * Staleness is the footgun of every summary-routing design (the
+  * BloomJoin index carries the same scar — its key fingerprint was an
+  * ADVICE r9 fix): a view built yesterday silently answers for rows
+  * appended today. register() therefore captures the base table's
+  * file-listing fingerprint (names + total bytes — metadata-only),
+  * and the rule re-checks it against the query's own already-listed
+  * FileIndex at rewrite time: zero extra IO, and any file added,
+  * dropped, or replaced under the base path flips the fingerprint and
+  * the rule falls back to the base scan. The VIEW side is a snapshot
+  * by contract — rebuild + re-register after maintenance.
+  */
+object MvRewrite {
+
+  /** One registered view: the analyzed scan of its parquet (snapshot),
+    * its grouping columns, the measure map ((fn, baseCol) → view
+    * column), and the base fingerprint guarding freshness. */
+  private[plans] case class MvDef(
+      mvAnalyzed: LogicalPlan,
+      groupCols: Seq[String],
+      measures: Map[(String, String), String],
+      baseFingerprint: Long)
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
+
+  private[plans] def lookup(rootPath: String): Option[MvDef] =
+    Option(registry.get(rootPath))
+  private[plans] def isEmpty: Boolean = registry.isEmpty
+
+  /** Build the summary parquet for (groupCols, count(*) + per-column
+    * sum/min/max) — the only write shape register() accepts, so the
+    * measure-name convention (cnt, sum_c, min_c, max_c) can't drift
+    * between build and rewrite. One shuffle on the grouping key;
+    * output is |distinct groups| rows, the 100 TB → kilobytes step.
+    */
+  def materialize(
+      base: DataFrame,
+      groupCols: Seq[String],
+      sumCols: Seq[String] = Nil,
+      minCols: Seq[String] = Nil,
+      maxCols: Seq[String] = Nil,
+      mvDir: String): Unit = {
+    require(groupCols.nonEmpty, "materialize: need at least one grouping column")
+    val aggs = count(lit(1)).as("cnt") +:
+      (sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
+        minCols.map(c => min(col(c)).as(s"min_$c")) ++
+        maxCols.map(c => max(col(c)).as(s"max_$c")))
+    base.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(mvDir)
+  }
+
+  /** Register mvDir (written by materialize with the same column
+    * lists) as the summary of basePath. Captures the base
+    * fingerprint NOW — queries rewrite only while the base listing
+    * still matches it.
+    */
+  def register(
+      spark: SparkSession,
+      basePath: String,
+      mvDir: String,
+      groupCols: Seq[String],
+      sumCols: Seq[String] = Nil,
+      minCols: Seq[String] = Nil,
+      maxCols: Seq[String] = Nil): Unit = {
+    val baseScan = relationOf(spark.read.parquet(basePath).queryExecution.analyzed)
+      .getOrElse(throw new IllegalArgumentException(
+        s"register: $basePath did not analyze to a file relation"))
+    val measures = Map(("count", "*") -> "cnt") ++
+      sumCols.map(c => ("sum", c) -> s"sum_$c") ++
+      minCols.map(c => ("min", c) -> s"min_$c") ++
+      maxCols.map(c => ("max", c) -> s"max_$c")
+    registry.put(rootOf(baseScan), MvDef(
+      spark.read.parquet(mvDir).queryExecution.analyzed,
+      groupCols, measures, fingerprint(baseScan)))
+  }
+
+  def deregister(spark: SparkSession, basePath: String): Unit =
+    relationOf(spark.read.parquet(basePath).queryExecution.analyzed)
+      .foreach(lr => registry.remove(rootOf(lr)))
+
+  def clear(): Unit = registry.clear()
+
+  private[plans] def relationOf(plan: LogicalPlan): Option[LogicalRelation] =
+    plan.collectFirst {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] => lr
+    }
+
+  private[plans] def rootOf(lr: LogicalRelation): String =
+    lr.relation.asInstanceOf[HadoopFsRelation]
+      .location.rootPaths.map(_.toString).sorted.mkString(",")
+
+  /** Metadata-only freshness token: murmur over the sorted file list
+    * plus the listed total size. Parquet writers use unique part
+    * names, so append/overwrite/compact all move it.
+    */
+  private[plans] def fingerprint(lr: LogicalRelation): Long = {
+    val fs = lr.relation.asInstanceOf[HadoopFsRelation]
+    val names = fs.location.inputFiles.sorted
+    var h = 1125899906842597L
+    names.foreach { n => h = h * 31 + n.hashCode }
+    h * 31 + fs.sizeInBytes
+  }
+}
+
+/** The rule itself — injected per session by GraftExtensions. Runs in
+  * the operator-optimization fixed point, so it must be (and is)
+  * idempotent: a rewritten Aggregate's child is the VIEW's relation,
+  * whose root path is not a registry key.
+  */
+case class MvRewriteRule(spark: SparkSession)
+    extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (MvRewrite.isEmpty) plan
+    else plan.transformDown {
+      case agg: Aggregate => rewrite(agg).getOrElse(agg)
+    }
+
+  /** Aggregate → (base relation, accumulated WHERE conjuncts), seeing
+    * through the pruning Projects and pushed Filters the earlier
+    * optimizer rounds leave between them. Attribute-only Projects:
+    * anything computed would need its own derivability proof.
+    */
+  private def unwrap(
+      p: LogicalPlan,
+      conds: Seq[Expression]): Option[(LogicalRelation, Seq[Expression])] =
+    p match {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        Some((lr, conds))
+      case Project(pl, ch) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        unwrap(ch, conds)
+      case Filter(c, ch) => unwrap(ch, conds ++ splitConjunctivePredicates(c))
+      case _ => None
+    }
+
+  private def rewrite(agg: Aggregate): Option[Aggregate] = for {
+    (lr, conds) <- unwrap(agg.child, Nil)
+    d <- MvRewrite.lookup(MvRewrite.rootOf(lr))
+    if MvRewrite.fingerprint(lr) == d.baseFingerprint
+    groupAttrs <- attrsOnly(agg.groupingExpressions)
+    if groupAttrs.forall(g => d.groupCols.contains(g.name))
+    if conds.forall(_.references.forall(r => d.groupCols.contains(r.name)))
+    mv = d.mvAnalyzed.transformUp {
+      case m: LogicalPlan with MultiInstanceRelation =>
+        m.newInstance().asInstanceOf[LogicalPlan]
+    }
+    mvAttr = mv.output.map(a => a.name -> a).toMap
+    newAggs <- traverseOpt(agg.aggregateExpressions)(mapAggExpr(_, d, mvAttr))
+  } yield {
+    val newConds = conds.map(_.transform {
+      case a: AttributeReference => mvAttr(a.name)
+    })
+    val child = if (newConds.isEmpty) mv else Filter(newConds.reduce(And), mv)
+    agg.copy(
+      groupingExpressions = groupAttrs.map(g => mvAttr(g.name)),
+      aggregateExpressions = newAggs,
+      child = child)
+  }
+
+  private def attrsOnly(es: Seq[Expression]): Option[Seq[AttributeReference]] =
+    traverseOpt(es) {
+      case a: AttributeReference => Some(a)
+      case _ => None
+    }
+
+  /** Map one output expression onto the view, preserving the original
+    * name AND exprId so parent operators' references survive the
+    * swap. None anywhere → the whole Aggregate stays on the base.
+    */
+  private def mapAggExpr(
+      ne: NamedExpression,
+      d: MvRewrite.MvDef,
+      mvAttr: Map[String, Attribute]): Option[NamedExpression] = {
+    def reAlias(e: Expression, old: NamedExpression): NamedExpression =
+      Alias(e, old.name)(old.exprId, old.qualifier)
+    def viewCol(fn: String, baseCol: String): Option[Attribute] =
+      d.measures.get((fn, baseCol)).flatMap(mvAttr.get)
+    ne match {
+      case g: AttributeReference if d.groupCols.contains(g.name) =>
+        Some(reAlias(mvAttr(g.name), g))
+      case al @ Alias(g: AttributeReference, _) if d.groupCols.contains(g.name) =>
+        Some(reAlias(mvAttr(g.name), al))
+      case al @ Alias(ae: AggregateExpression, _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        val derived: Option[Expression] = ae.aggregateFunction match {
+          // count over any non-null literal (count(*) analyzes to
+          // count(1)) → re-sum of partial counts; Coalesce pins the
+          // empty-view global-aggregate edge to count's 0, and keeps
+          // count's non-null output type
+          case Count(Seq(Literal(v, _))) if v != null =>
+            viewCol("count", "*").map(c => Coalesce(Seq(
+              Sum(c).toAggregateExpression(), Literal(0L, LongType))))
+          case s: Sum => s.child match {
+            case a: AttributeReference =>
+              viewCol("sum", a.name).map(c => s.copy(child = c).toAggregateExpression())
+            case _ => None
+          }
+          case m: Min => m.child match {
+            case a: AttributeReference =>
+              viewCol("min", a.name).map(c => Min(c).toAggregateExpression())
+            case _ => None
+          }
+          case m: Max => m.child match {
+            case a: AttributeReference =>
+              viewCol("max", a.name).map(c => Max(c).toAggregateExpression())
+            case _ => None
+          }
+          case _ => None
+        }
+        derived.map(reAlias(_, al))
+      case _ => None
+    }
+  }
+
+  private def traverseOpt[A, B](as: Seq[A])(f: A => Option[B]): Option[Seq[B]] = {
+    val bs = as.map(f)
+    if (bs.forall(_.isDefined)) Some(bs.map(_.get)) else None
+  }
+}

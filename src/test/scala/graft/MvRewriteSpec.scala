@@ -1,0 +1,89 @@
+package graft
+
+import graft.plans.MvRewrite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterEach
+
+/** The materialized-view routing rule: matching aggregates read the
+  * summary, non-matching or stale ones fall back to the base — and
+  * either way the ANSWER is the base answer.
+  */
+class MvRewriteSpec extends SparkSpec with BeforeAndAfterEach {
+  import spark.implicits._
+
+  override def afterEach(): Unit = MvRewrite.clear()
+
+  private def freshBase(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("mv_spec").toString
+    (1 to 100).map(i => (i.toLong, s"g${i % 4}", i * 1.5))
+      .toDF("id", "grp", "v")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/base")
+    dir
+  }
+
+  private def scansMv(df: DataFrame, mvDir: String): Boolean =
+    df.queryExecution.executedPlan.toString.contains(mvDir)
+
+  private def setup(dir: String): String = {
+    val mvDir = s"$dir/mv"
+    val base = spark.read.parquet(s"$dir/base")
+    MvRewrite.materialize(base, Seq("grp"),
+      sumCols = Seq("v"), minCols = Seq("v"), maxCols = Seq("v"), mvDir = mvDir)
+    MvRewrite.register(spark, s"$dir/base", mvDir, Seq("grp"),
+      sumCols = Seq("v"), minCols = Seq("v"), maxCols = Seq("v"))
+    mvDir
+  }
+
+  test("matching aggregate routes to the view and answers exactly") {
+    val dir = freshBase()
+    val mvDir = setup(dir)
+    val q = spark.read.parquet(s"$dir/base").groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"),
+        min("v").as("mn"), max("v").as("mx"))
+    assert(scansMv(q, mvDir), "rewrite must fire for the covered shape")
+    MvRewrite.clear()
+    val baseAns = spark.read.parquet(s"$dir/base").groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"),
+        min("v").as("mn"), max("v").as("mx"))
+    assert(q.collect().sortBy(_.getString(0)).toSeq ==
+      baseAns.collect().sortBy(_.getString(0)).toSeq)
+  }
+
+  test("filter on a grouping column re-applies to the view; global rollup routes too") {
+    val dir = freshBase()
+    val mvDir = setup(dir)
+    val filtered = spark.read.parquet(s"$dir/base")
+      .filter(col("grp") =!= "g0").groupBy("grp").agg(count(lit(1)).as("n"))
+    assert(scansMv(filtered, mvDir))
+    assert(filtered.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("g1", 25L), ("g2", 25L), ("g3", 25L)))
+    // grouping subset: global count over the grouped view
+    val global = spark.read.parquet(s"$dir/base").agg(count(lit(1)).as("n"))
+    assert(scansMv(global, mvDir))
+    assert(global.head().getLong(0) == 100L)
+  }
+
+  test("non-derivable shapes stay on the base: avg, distinct, non-group filter, finer grouping") {
+    val dir = freshBase()
+    val mvDir = setup(dir)
+    val base = spark.read.parquet(s"$dir/base")
+    Seq(
+      base.groupBy("grp").agg(avg("v").as("a")),
+      base.groupBy("grp").agg(countDistinct("v").as("a")),
+      base.filter(col("v") > 10).groupBy("grp").agg(count(lit(1)).as("a")),
+      base.groupBy("grp", "id").agg(count(lit(1)).as("a"))
+    ).foreach(q => assert(!scansMv(q, mvDir), q.queryExecution.toString))
+  }
+
+  test("a base write after register flips the fingerprint and disables routing") {
+    val dir = freshBase()
+    val mvDir = setup(dir)
+    Seq((1000L, "g9", 2.0)).toDF("id", "grp", "v")
+      .write.mode("append").parquet(s"$dir/base")
+    val q = spark.read.parquet(s"$dir/base").groupBy("grp")
+      .agg(count(lit(1)).as("n"))
+    assert(!scansMv(q, mvDir), "stale view must not answer")
+    assert(q.filter(col("grp") === "g9").head().getLong(1) == 1L)
+  }
+}
