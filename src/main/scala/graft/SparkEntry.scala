@@ -885,6 +885,26 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")
     }),
+    // Link-analysis centrality: weighted PageRank over the bipartite
+    // customer↔supplier order graph (edges both ways, weight = items
+    // traded). Integer-e12 arithmetic (PageRank scaladoc) makes three
+    // damped iterations a pure function of the edges, so the DuckDB
+    // oracle replays them as three chained CTEs — any drift in the
+    // join/teleport/floor-div algebra lands on a different rank.
+    "pagerank" -> ((s, dir) => {
+      val pairs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+        .agg(count(lit(1)).as("w"))
+      val edges = pairs.select((col("c") * 2).as("src"),
+        (col("sup") * 2 + 1).as("dst"), col("w"))
+        .union(pairs.select((col("sup") * 2 + 1).as("src"),
+          (col("c") * 2).as("dst"), col("w")))
+      graft.operators.PageRank.run(edges, iterations = 3)
+        .select(col("node"), col("rank").as("rank_e12"))
+        .orderBy(col("rank_e12").desc, col("node")).limit(50)
+    }),
     // Approximate / signature ops — no SQL oracle (rows-only check):
     // ann_topk_lsh trades recall for bucket-local work; simhash uses
     // engine-specific 64-bit hashing. Both are covered by SimilaritySpec.
@@ -3064,6 +3084,37 @@ object SparkEntry {
          |SELECT d.doc_id, d.lang FROM documents d
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM labels WHERE component <> doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    // three unrolled integer-PageRank iterations — identical floor-div
+    // algebra to operators.PageRank.run (DuckDB `//` == Spark `div`
+    // on the positive longs involved); CAST collapses the hugeint the
+    // sums promote to back to the BIGINT the Spark side carries
+    "pagerank" ->
+      """WITH pairs AS (
+        |  SELECT o_custkey AS c, l_suppkey AS s, count(*) AS w
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT c*2 AS src, s*2+1 AS dst, w FROM pairs
+        |  UNION ALL SELECT s*2+1, c*2, w FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |par AS (SELECT count(*) AS n FROM nodes),
+        |outw AS (SELECT src, sum(w) AS wout FROM edges GROUP BY 1),
+        |tele AS (SELECT (1000000000000 * 15) // 100 // n AS t FROM par),
+        |r0 AS (SELECT node, 1000000000000 // n AS rank FROM nodes, par),
+        |r1 AS (SELECT e.dst AS node,
+        |         sum((r.rank * 85 * e.w) // (100 * o.wout)) + (SELECT t FROM tele) AS rank
+        |       FROM edges e JOIN r0 r ON e.src = r.node
+        |       JOIN outw o ON e.src = o.src GROUP BY 1),
+        |r2 AS (SELECT e.dst AS node,
+        |         sum((r.rank * 85 * e.w) // (100 * o.wout)) + (SELECT t FROM tele) AS rank
+        |       FROM edges e JOIN r1 r ON e.src = r.node
+        |       JOIN outw o ON e.src = o.src GROUP BY 1),
+        |r3 AS (SELECT e.dst AS node,
+        |         sum((r.rank * 85 * e.w) // (100 * o.wout)) + (SELECT t FROM tele) AS rank
+        |       FROM edges e JOIN r2 r ON e.src = r.node
+        |       JOIN outw o ON e.src = o.src GROUP BY 1)
+        |SELECT node, CAST(rank AS BIGINT) AS rank_e12 FROM r3
+        |ORDER BY rank_e12 DESC, node LIMIT 50""".stripMargin,
     "ann_recall" ->
       """SELECT vec_id AS q_id, true AS floor_met FROM embeddings
         |WHERE vec_id < 5 ORDER BY q_id""".stripMargin,

@@ -92,6 +92,25 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("PageRank: hub of a star out-ranks the leaves; symmetric pairs tie; deterministic") {
+    import spark.implicits._
+    import graft.operators.PageRank
+    // star 0↔{1,2,3,4} plus a detached symmetric pair 10↔11
+    val und = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (10L, 11L))
+    val edges = (und ++ und.map(_.swap)).map { case (a, b) => (a, b, 1L) }
+      .toDF("src", "dst", "w")
+    val ranks = PageRank.run(edges, iterations = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks.size == 7)
+    assert((1L to 4L).forall(l => ranks(0L) > ranks(l)),
+      s"hub must out-rank leaves: $ranks")
+    assert(ranks(1L) == ranks(2L) && ranks(10L) == ranks(11L),
+      s"symmetric nodes must tie exactly: $ranks")
+    val again = PageRank.run(edges, iterations = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == ranks, "integer arithmetic must be run-stable")
+  }
+
   test("leaves no persisted RDDs behind") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     labelsOf(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
