@@ -110,6 +110,43 @@ object SparkEntry {
       out
     })
 
+  /** mv_refresh's full maintenance cycle, once per sf dir: copy a
+    * writable base, register a view and prove it routes, append a
+    * delta and prove the fingerprint FALLS BACK, then refresh the
+    * summary incrementally (old summary + delta aggregate via
+    * mergeAdditive — the base is never rescanned) and re-register.
+    * The returned pair feeds the row's final routed query.
+    */
+  private val mvRefreshMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def mvRefreshSetup(s: SparkSession, dir: String): (String, String) =
+    mvRefreshMemo.computeIfAbsent(dir, _ => {
+      val root = tempDir("graft_mv_refresh")
+      val baseDir = s"$root/events_base"
+      val ev = Tables.events(s, dir).select("event_id", "event_type")
+      ev.filter(col("event_id") % 5 =!= 0).write.parquet(baseDir)
+      val mv1 = s"$root/mv1"
+      graft.plans.MvRewrite.materialize(
+        s.read.parquet(baseDir), Seq("event_type"), mvDir = mv1)
+      graft.plans.MvRewrite.register(s, baseDir, mv1, Seq("event_type"))
+      def agg() = s.read.parquet(baseDir)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      require(agg().queryExecution.executedPlan.toString.contains(mv1),
+        "fresh view must route")
+      // yesterday's data arrives under the base path
+      ev.filter(col("event_id") % 5 === 0).write.mode("append").parquet(baseDir)
+      require(!agg().queryExecution.executedPlan.toString.contains(mv1),
+        "stale view must fall back to the base scan")
+      val deltaAgg = ev.filter(col("event_id") % 5 === 0)
+        .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      val mv2 = s"$root/mv2"
+      Incremental.mergeAdditive(
+        s.read.parquet(mv1), deltaAgg, Seq("event_type"), Seq("cnt"))
+        .write.parquet(mv2)
+      graft.plans.MvRewrite.register(s, baseDir, mv2, Seq("event_type"))
+      (baseDir, mv2)
+    })
+
   private val pqIndexMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def pqIndex(s: SparkSession, dir: String): String =
@@ -830,6 +867,20 @@ object SparkEntry {
     // exchange; PlanSpec asserts the operator plans are Sort-free.
     "cosine_topk" -> ((s, dir) => Similarity.topKOrder(
       Similarity.cosineTopK(Tables.embeddings(s, dir)))),
+    // Matryoshka first-stage retrieval (prefix-16 cosine) and its
+    // truncation cost vs the full-dim ranking — BOTH value-checked:
+    // the prefix math is exact, so the oracle replays the ranking and
+    // the per-query overlap alike (Similarity.matryoshkaTopK scaladoc)
+    "matryoshka_topk" -> ((s, dir) => Similarity.topKOrder(
+      Similarity.matryoshkaTopK(Tables.embeddings(s, dir)))),
+    "matryoshka_recall" -> ((s, dir) => {
+      val full = memoDF(s, s"cosfull:$dir")(
+        Similarity.cosineTopK(Tables.embeddings(s, dir)))
+      Similarity.matryoshkaTopK(Tables.embeddings(s, dir))
+        .join(full, Seq("q_id", "neighbor_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_overlap"))
+        .orderBy("q_id")
+    }),
     "minhash_neardup" -> ((s, dir) =>
       Similarity.minhashNearDup(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
     // Incremental corpus dedup off the PERSISTED minhash band index:
@@ -1619,6 +1670,23 @@ object SparkEntry {
       require(!plan.contains("lineitem.parquet"),
         s"routed plan must not scan the base table:\n$plan")
       q.orderBy("l_returnflag", "l_linestatus")
+    }),
+    // The view-maintenance CYCLE (mv_rewrite's update half, the
+    // index-family incremental discipline applied to summaries):
+    // route → base append flips the fingerprint → fall back → refresh
+    // the summary from old-summary + delta-aggregate (mergeAdditive,
+    // never a base rescan) → re-register → route again. The memoized
+    // setup requires each leg; the row's own require pins the final
+    // routed state, and the oracle recomputes the answer from ALL the
+    // base rows — refresh correctness is the checked thing.
+    "mv_refresh" -> ((s, dir) => {
+      val (baseDir, mv2) = mvRefreshSetup(s, dir)
+      val q = s.read.parquet(baseDir)
+        .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+      val plan = q.queryExecution.executedPlan.toString
+      require(plan.contains(mv2),
+        s"refreshed view must route:\n$plan")
+      q.orderBy("event_type")
     }),
     // Small-files compaction (Sinks.compact): 64 splinter files
     // rewritten to ceil(bytes / 256 KiB) — the in-row requires pin the
@@ -2921,6 +2989,48 @@ object SparkEntry {
         |FROM p
         |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim_e6 DESC, neighbor_id) <= 10
         |ORDER BY q_id, sim_e6 DESC, neighbor_id""".stripMargin,
+    // prefix-16 cosine: cosine_topk's oracle with range(1, 17) and the
+    // zero-prefix guard the operator applies
+    "matryoshka_topk" ->
+      """WITH e0 AS (SELECT vec_id, embedding,
+        |        list_sum(list_transform(range(1, 17), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS n2
+        |       FROM embeddings),
+        | e AS (SELECT * FROM e0 WHERE n2 > 0),
+        | q AS (SELECT vec_id AS q_id, embedding AS q_emb, n2 AS qn2 FROM e WHERE vec_id < 5),
+        | p AS (SELECT q_id, e.vec_id AS neighbor_id,
+        |        list_sum(list_transform(range(1, 17), i -> CAST(q_emb[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS dot,
+        |        e.n2 AS n2, qn2
+        |       FROM e, q WHERE e.vec_id <> q.q_id)
+        |SELECT q_id, neighbor_id, CAST(round(1e6 * dot / (sqrt(n2) * sqrt(qn2))) AS BIGINT) AS sim_e6
+        |FROM p
+        |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim_e6 DESC, neighbor_id) <= 10
+        |ORDER BY q_id, sim_e6 DESC, neighbor_id""".stripMargin,
+    // exact truncation cost: overlap of the two deterministic top-10s
+    "matryoshka_recall" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        | fp AS (SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+        |         list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS dot,
+        |         list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS n2,
+        |         list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) AS qn2
+        |        FROM e, e q WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id),
+        | full_k AS (SELECT q_id, neighbor_id,
+        |             CAST(round(1e6 * dot / (sqrt(n2) * sqrt(qn2))) AS BIGINT) AS sim_e6
+        |            FROM fp
+        |            QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim_e6 DESC, neighbor_id) <= 10),
+        | tp AS (SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+        |         list_sum(list_transform(range(1, 17), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS dot,
+        |         list_sum(list_transform(range(1, 17), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS n2,
+        |         list_sum(list_transform(range(1, 17), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) AS qn2
+        |        FROM e, e q WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id AND
+        |         list_sum(list_transform(range(1, 17), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) > 0 AND
+        |         list_sum(list_transform(range(1, 17), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) > 0),
+        | pre_k AS (SELECT q_id, neighbor_id,
+        |            CAST(round(1e6 * dot / (sqrt(n2) * sqrt(qn2))) AS BIGINT) AS sim_e6
+        |           FROM tp
+        |           QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim_e6 DESC, neighbor_id) <= 10)
+        |SELECT q_id, count(*) AS n_overlap
+        |FROM pre_k JOIN full_k USING (q_id, neighbor_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "minhash_neardup" ->
       """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks FROM documents),
         | s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
@@ -3623,6 +3733,11 @@ object SparkEntry {
     // answer preservation under routing: the Spark side reads the
     // registered summary (plan-asserted in-row); the oracle computes
     // the same aggregate from the BASE rows
+    // the refreshed summary must answer for the WHOLE base (original
+    // slice + appended delta = all events)
+    "mv_refresh" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "mv_rewrite" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
         |       sum(l_quantity) AS sum_qty,

@@ -231,6 +231,27 @@ object Similarity {
       k)
   }
 
+  /** Prefix-truncated ("Matryoshka") cosine top-k — Kusupati et al.,
+    * "Matryoshka Representation Learning", NeurIPS 2022: with
+    * importance-ordered embeddings, ranking on the first `dims`
+    * coordinates is the cheap first-stage retrieval (dims/64 of the
+    * dot-product flops AND of the bytes a candidate scan moves — the
+    * rate knob between SQ8's 4× and PQ's 26×). Exact math over the
+    * prefix, so unlike the trained quantizers this one is fully
+    * oracle-replayable — including its recall row: both rankings are
+    * deterministic, so matryoshka_recall's per-query overlap vs the
+    * full-dim top-k is value-checked by the oracle, not floor-asserted.
+    * Zero prefixes (possible even for nonzero vectors) leave the
+    * similarity universe, the quantizedTopK rule.
+    */
+  def matryoshkaTopK(
+      emb: DataFrame, nQueries: Int = 5, k: Int = 10, dims: Int = 16): DataFrame =
+    cosineTopK(
+      spread(emb)
+        .select(col("vec_id"), slice(col("embedding"), 1, dims).as("embedding"))
+        .filter(sumSq(col("embedding")) > 0),
+      nQueries, k)
+
   /** Per-subspace codebooks for product quantization: ONE seeded
     * bounded sample collected once (fitKMeans's sampling discipline —
     * maxTrainRows × dim floats, sub-MB at the defaults), then numSub

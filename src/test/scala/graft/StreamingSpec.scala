@@ -206,6 +206,28 @@ class StreamingSpec extends SparkSpec {
     assert(expect.exceptAll(after3).count() === 0)
   }
 
+  test("same-checkpoint restart resumes exactly-once: earlier batches never re-read") {
+    // contactsSync's replay test proves the MERGE is idempotent under
+    // a FRESH checkpoint (re-reading is harmless there); this one
+    // proves the checkpoint itself: a second query on the SAME
+    // checkpoint must pick up only the new file — the plain append
+    // sink would double batch 1's rows if the source re-read it.
+    val base = Files.createTempDirectory("graft_ckpt").toString
+    val src = s"$base/src"; Files.createDirectories(Paths.get(src))
+    val out = s"$base/out"; val ckpt = s"$base/chk"
+    import spark.implicits._
+    def start() = spark.readStream.schema("id LONG").json(src)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    Files.write(Paths.get(s"$src/b1.json"), "{\"id\":1}\n{\"id\":2}".getBytes)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    Files.write(Paths.get(s"$src/b2.json"), "{\"id\":3}".getBytes)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(out).select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L),
+      s"exactly-once resume must yield 1,2,3 — got ${got.toSeq}")
+  }
+
   test("sessionize: data-driven sessions close on gap, state per key") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
