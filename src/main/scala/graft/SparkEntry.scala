@@ -90,6 +90,23 @@ object SparkEntry {
   private def pqTopKMemo(s: SparkSession, dir: String): DataFrame =
     memoDF(s, s"pq:$dir")(Similarity.pqTopK(Tables.embeddings(s, dir)))
 
+  /** The graph rows' shared bipartite customer↔supplier order graph:
+    * customer node = 2·custkey, supplier node = 2·suppkey+1, edges
+    * both directions with weight = lineitems traded. The oracle SQLs
+    * re-derive it with the same pairs/edges CTEs.
+    */
+  private def orderGraph(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+      .agg(count(lit(1)).as("w"))
+    pairs.select((col("c") * 2).as("src"),
+      (col("sup") * 2 + 1).as("dst"), col("w"))
+      .union(pairs.select((col("sup") * 2 + 1).as("src"),
+        (col("c") * 2).as("dst"), col("w")))
+  }
+
   /** mv_rewrite's summary table: built + registered once per sf dir
     * (MvRewrite.register is session-global on purpose — ANY matching
     * aggregate over this base routes, and each routed row's own
@@ -942,20 +959,26 @@ object SparkEntry {
     // damped iterations a pure function of the edges, so the DuckDB
     // oracle replays them as three chained CTEs — any drift in the
     // join/teleport/floor-div algebra lands on a different rank.
-    "pagerank" -> ((s, dir) => {
-      val pairs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-        .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
-        .agg(count(lit(1)).as("w"))
-      val edges = pairs.select((col("c") * 2).as("src"),
-        (col("sup") * 2 + 1).as("dst"), col("w"))
-        .union(pairs.select((col("sup") * 2 + 1).as("src"),
-          (col("c") * 2).as("dst"), col("w")))
-      graft.operators.PageRank.run(edges, iterations = 3)
+    "pagerank" -> ((s, dir) =>
+      graft.operators.PageRank.run(orderGraph(s, dir), iterations = 3)
         .select(col("node"), col("rank").as("rank_e12"))
-        .orderBy(col("rank_e12").desc, col("node")).limit(50)
-    }),
+        .orderBy(col("rank_e12").desc, col("node")).limit(50)),
+    // Personalized PageRank: the same walk with teleport pinned to a
+    // seed set (customer nodes 0..48 even) — proximity-to-seeds
+    // ranking, the recommendation form. Identical integer algebra;
+    // the oracle threads the seed CASE through all three CTEs.
+    "pagerank_personalized" -> ((s, dir) =>
+      graft.operators.PageRank.runPersonalized(
+        orderGraph(s, dir),
+        s.range(25).select((col("id") * 2).as("node")), iterations = 3)
+        .select(col("node"), col("rank").as("rank_e12"))
+        .orderBy(col("rank_e12").desc, col("node")).limit(50)),
+    // Synchronous weighted label propagation, 2 rounds, ties to the
+    // lower label (LabelProp scaladoc) — community structure over the
+    // same graph; every round is replayed by the oracle's vote CTEs.
+    "label_prop" -> ((s, dir) =>
+      graft.operators.LabelProp.run(orderGraph(s, dir), iterations = 2)
+        .orderBy("node")),
     // Approximate / signature ops — no SQL oracle (rows-only check):
     // ann_topk_lsh trades recall for bucket-local work; simhash uses
     // engine-specific 64-bit hashing. Both are covered by SimilaritySpec.
@@ -3225,6 +3248,65 @@ object SparkEntry {
         |       JOIN outw o ON e.src = o.src GROUP BY 1)
         |SELECT node, CAST(rank AS BIGINT) AS rank_e12 FROM r3
         |ORDER BY rank_e12 DESC, node LIMIT 50""".stripMargin,
+    // the personalized walk: same algebra with the teleport CASE
+    // pinned to the seed set in every iteration
+    "pagerank_personalized" ->
+      """WITH pairs AS (
+        |  SELECT o_custkey AS c, l_suppkey AS s, count(*) AS w
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT c*2 AS src, s*2+1 AS dst, w FROM pairs
+        |  UNION ALL SELECT s*2+1, c*2, w FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |seeds AS (SELECT 2 * range AS node FROM range(25)),
+        |par AS (SELECT count(*) AS n FROM seeds),
+        |outw AS (SELECT src, sum(w) AS wout FROM edges GROUP BY 1),
+        |r0 AS (SELECT n.node,
+        |         CASE WHEN n.node IN (SELECT node FROM seeds)
+        |           THEN 1000000000000 // (SELECT n FROM par) ELSE 0 END AS rank
+        |       FROM nodes n),
+        |r1 AS (SELECT e.dst AS node,
+        |         sum((r.rank * 85 * e.w) // (100 * o.wout)) +
+        |         CASE WHEN e.dst IN (SELECT node FROM seeds)
+        |           THEN (15000000000000 // 100) // (SELECT n FROM par) ELSE 0 END AS rank
+        |       FROM edges e JOIN r0 r ON e.src = r.node
+        |       JOIN outw o ON e.src = o.src GROUP BY e.dst),
+        |r2 AS (SELECT e.dst AS node,
+        |         sum((r.rank * 85 * e.w) // (100 * o.wout)) +
+        |         CASE WHEN e.dst IN (SELECT node FROM seeds)
+        |           THEN (15000000000000 // 100) // (SELECT n FROM par) ELSE 0 END AS rank
+        |       FROM edges e JOIN r1 r ON e.src = r.node
+        |       JOIN outw o ON e.src = o.src GROUP BY e.dst),
+        |r3 AS (SELECT e.dst AS node,
+        |         sum((r.rank * 85 * e.w) // (100 * o.wout)) +
+        |         CASE WHEN e.dst IN (SELECT node FROM seeds)
+        |           THEN (15000000000000 // 100) // (SELECT n FROM par) ELSE 0 END AS rank
+        |       FROM edges e JOIN r2 r ON e.src = r.node
+        |       JOIN outw o ON e.src = o.src GROUP BY e.dst)
+        |SELECT node, CAST(rank AS BIGINT) AS rank_e12 FROM r3
+        |ORDER BY rank_e12 DESC, node LIMIT 50""".stripMargin,
+    // two synchronous LPA rounds: per-node weighted vote, tie to the
+    // lower label — the row_number ordering IS the tie rule
+    "label_prop" ->
+      """WITH pairs AS (
+        |  SELECT o_custkey AS c, l_suppkey AS s, count(*) AS w
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT c*2 AS src, s*2+1 AS dst, w FROM pairs
+        |  UNION ALL SELECT s*2+1, c*2, w FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |l0 AS (SELECT node, node AS label FROM nodes),
+        |v1 AS (SELECT e.dst AS node, r.label, CAST(sum(e.w) AS BIGINT) AS wt
+        |       FROM edges e JOIN l0 r ON e.src = r.node GROUP BY 1, 2),
+        |l1 AS (SELECT node, label FROM v1
+        |       QUALIFY row_number() OVER (PARTITION BY node ORDER BY wt DESC, label) = 1),
+        |v2 AS (SELECT e.dst AS node, r.label, CAST(sum(e.w) AS BIGINT) AS wt
+        |       FROM edges e JOIN l1 r ON e.src = r.node GROUP BY 1, 2),
+        |l2 AS (SELECT node, label FROM v2
+        |       QUALIFY row_number() OVER (PARTITION BY node ORDER BY wt DESC, label) = 1)
+        |SELECT node, label FROM l2 ORDER BY node""".stripMargin,
     "ann_recall" ->
       """SELECT vec_id AS q_id, true AS floor_met FROM embeddings
         |WHERE vec_id < 5 ORDER BY q_id""".stripMargin,

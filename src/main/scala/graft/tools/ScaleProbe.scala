@@ -176,12 +176,17 @@ object ScaleProbe {
     * inside the timer: it is part of what the row pays.
     */
   private def prEdges(spark: SparkSession, sfDir: String, f: Int): DataFrame = {
+    // repartition BEFORE the replica explode — the sf0.1 scans are one
+    // split, so without it the join's whole 30× shuffle write funnels
+    // through those few tasks (first 30× probe run: 194 MB in one
+    // task; the duplicate_spans/edit_distance spread story again)
+    val par = spark.sparkContext.defaultParallelism
     val o = replicate(Tables.orders(spark, sfDir)
-      .select("o_orderkey", "o_custkey"), f)
+      .select("o_orderkey", "o_custkey").repartition(par), f)
       .select((col("o_orderkey") + col("k") * 1000000000L).as("ok"),
         (col("o_custkey") + col("k") * 10000000L).as("c"))
     val l = replicate(Tables.lineitem(spark, sfDir)
-      .select("l_orderkey", "l_suppkey"), f)
+      .select("l_orderkey", "l_suppkey").repartition(par), f)
       .select((col("l_orderkey") + col("k") * 1000000000L).as("lk"),
         (col("l_suppkey") + col("k") * 10000000L).as("sup"))
     val pairs = o.join(l, col("ok") === col("lk"))

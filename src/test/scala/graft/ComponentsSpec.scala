@@ -111,6 +111,43 @@ class ComponentsSpec extends SparkSpec {
     assert(again == ranks, "integer arithmetic must be run-stable")
   }
 
+  test("PageRank personalized: mass concentrates at the seed; symmetric non-seeds tie; unreachable stays 0") {
+    import spark.implicits._
+    import graft.operators.PageRank
+    // star 0↔{1,2,3}, detached pair 10↔11; teleport pinned to node 0
+    val und = Seq((0L, 1L), (0L, 2L), (0L, 3L), (10L, 11L))
+    val edges = (und ++ und.map(_.swap)).map { case (a, b) => (a, b, 1L) }
+      .toDF("src", "dst", "w")
+    val seeds = Seq(0L).toDF("node")
+    val ranks = PageRank.runPersonalized(edges, seeds, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks.size == 6)
+    assert((1L to 3L).forall(l => ranks(0L) > ranks(l)), s"seed must dominate: $ranks")
+    assert(ranks(1L) == ranks(2L) && ranks(2L) == ranks(3L))
+    assert(ranks(10L) == 0L && ranks(11L) == 0L,
+      s"nodes unreachable from the seed carry zero rank: $ranks")
+  }
+
+  test("LabelProp: synchronous votes are deterministic; the heavier edge wins") {
+    import spark.implicits._
+    import graft.operators.LabelProp
+    // star 0↔{1,2,3,4}: round 1 gives leaves the hub's 0 and the hub
+    // the lowest leaf label; round 2 swaps them back through the votes
+    val und = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    val star = (und ++ und.map(_.swap)).map { case (a, b) => (a, b, 1L) }
+      .toDF("src", "dst", "w")
+    val l2 = LabelProp.run(star, iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l2 == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L),
+      s"two sync rounds on the star: $l2")
+    // weight beats count of equal labels: node 1 hears 2 (w=5) and 3 (w=1)
+    val w = Seq((2L, 1L, 5L), (3L, 1L, 1L), (1L, 2L, 5L), (1L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val l1 = LabelProp.run(w, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l1(1L) == 2L, s"the w=5 neighbor's label must win: $l1")
+  }
+
   test("leaves no persisted RDDs behind") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     labelsOf(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
