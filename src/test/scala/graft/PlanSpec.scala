@@ -13,6 +13,14 @@ import org.apache.spark.sql.functions._
 class PlanSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
+  /** Tiny symmetric edge list for the graph-operator plan checks. */
+  private lazy val toyEdges: DataFrame = {
+    import spark.implicits._
+    val und = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L))
+    (und ++ und.map(_.swap)).map { case (a, b) => (a, b, 1L) }
+      .toDF("src", "dst", "w")
+  }
+
   private def executedPlan(df: DataFrame): String = {
     df.collect() // force execution so AQE finalizes the plan
     df.queryExecution.executedPlan.toString
@@ -144,7 +152,14 @@ class PlanSpec extends SparkSpec {
         docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1)),
       "boilerplate_strip" -> graft.operators.TextOps.stripBoilerplate(docs),
       "rolling_zscore" -> graft.operators.Queries.rollingZScore(
-        Tables.events(spark, dir))
+        Tables.events(spark, dir)),
+      // graph family: iterations shuffle on dst / vote keys, never sort
+      "pagerank" -> graft.operators.PageRank.run(
+        toyEdges, iterations = 2),
+      "pagerank_personalized" -> graft.operators.PageRank.runPersonalized(
+        toyEdges, toyEdges.select(col("src").as("node")).limit(1), iterations = 2),
+      "label_prop" -> graft.operators.LabelProp.run(toyEdges, iterations = 2),
+      "matryoshka_topk" -> Similarity.matryoshkaTopK(emb)
     ).foreach { case (name, df) =>
       val sorts = df.queryExecution.optimizedPlan.collect { case s: Sort => s }
       assert(sorts.isEmpty, s"$name: operator must not sort (found: $sorts)")
