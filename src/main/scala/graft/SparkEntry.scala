@@ -107,6 +107,22 @@ object SparkEntry {
         (col("c") * 2).as("dst"), col("w")))
   }
 
+  /** The snapshot rows' two-version table, once per sf dir: v1 = the
+    * event_id %5 != 0 slice, v2 = append of the rest — head == all
+    * events, v1 == the filtered subset, both oracle-expressible. */
+  private val snapMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def snapshotTable(s: SparkSession, dir: String): String =
+    snapMemo.computeIfAbsent(dir, _ => {
+      val out = s"${tempDir("graft_snap")}/events_tbl"
+      val ev = Tables.events(s, dir).select("event_id", "event_type")
+      graft.sources.SnapshotTable.commitAppend(
+        ev.filter(col("event_id") % 5 =!= 0), out)
+      graft.sources.SnapshotTable.commitAppend(
+        ev.filter(col("event_id") % 5 === 0), out)
+      out
+    })
+
   /** mv_rewrite's summary table: built + registered once per sf dir
     * (MvRewrite.register is session-global on purpose — ANY matching
     * aggregate over this base routes, and each routed row's own
@@ -1702,6 +1718,27 @@ object SparkEntry {
     // setup requires each leg; the row's own require pins the final
     // routed state, and the oracle recomputes the answer from ALL the
     // base rows — refresh correctness is the checked thing.
+    // Snapshot-manifest versioned table (sources.SnapshotTable — the
+    // commit-semantics layer over the plain parquet sinks): v1 = 4/5
+    // of events, v2 = the appended rest. The head read answers for
+    // the WHOLE table and time travel answers for exactly v1, both
+    // oracle-checked against the base rows; in-row requires pin the
+    // version ledger. Readers are plain multi-file parquet scans, so
+    // pushdown survives (spec-asserted).
+    "snapshot_table_read" -> ((s, dir) => {
+      val tbl = snapshotTable(s, dir)
+      require(graft.sources.SnapshotTable.versions(s, tbl) == Seq(1L, 2L),
+        "setup must leave exactly versions 1 and 2")
+      graft.sources.SnapshotTable.read(s, tbl)
+        .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
+    "snapshot_time_travel" -> ((s, dir) => {
+      val tbl = snapshotTable(s, dir)
+      graft.sources.SnapshotTable.read(s, tbl, Some(1L))
+        .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
     "mv_refresh" -> ((s, dir) => {
       val (baseDir, mv2) = mvRefreshSetup(s, dir)
       val q = s.read.parquet(baseDir)
@@ -2298,6 +2335,33 @@ object SparkEntry {
           Seq("q_id", "neighbor_id", "sim_e6"))
         .groupBy("q_id").agg(count(lit(1)).as("n_matches"))
         .orderBy("q_id")
+    }),
+    // Streaming ingest into the snapshot table: one atomic versioned
+    // commit per micro-batch, keyed by batch id. The in-row replay
+    // (same source, FRESH checkpoint → the same batch ids 0..n) must
+    // leave the version ledger untouched — the exactly-once proof —
+    // and the final read answers for every streamed row. One ingest
+    // stream per table by contract (the ledger keys on batch id; a
+    // multi-writer production format keys on (appId, batchId)).
+    "stream_snapshot_ingest" -> ((s, dir) => streamRow(s) {
+      val src = docChunks(s, dir)
+      val base = tempDir("graft_stream_snap")
+      val schema = s.read.parquet(src).schema
+      def ingest(ckpt: String) = {
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        graft.streaming.IncrementalSync.snapshotIngest(
+          stream, s"$base/tbl", s"$base/$ckpt").awaitTermination()
+      }
+      ingest("ckpt")
+      val vs = graft.sources.SnapshotTable.versions(s, s"$base/tbl")
+      require(vs.size >= 2, s"two source chunks must land as two commits: $vs")
+      ingest("ckpt_replay")
+      require(graft.sources.SnapshotTable.versions(s, s"$base/tbl") == vs,
+        "a full replay must no-op against the version ledger")
+      graft.sources.SnapshotTable.read(s, s"$base/tbl")
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")
     }),
     "stream_doc_ingest" -> ((s, dir) => streamRow(s) {
       val src = docChunks(s, dir)
@@ -3815,6 +3879,19 @@ object SparkEntry {
     // answer preservation under routing: the Spark side reads the
     // registered summary (plan-asserted in-row); the oracle computes
     // the same aggregate from the BASE rows
+    // every streamed document row, exactly once, across the replay
+    "stream_snapshot_ingest" ->
+      """SELECT lang, count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // head = both committed versions = every event row
+    "snapshot_table_read" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // v1 = exactly the pre-append slice
+    "snapshot_time_travel" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM events WHERE event_id % 5 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the refreshed summary must answer for the WHOLE base (original
     // slice + appended delta = all events)
     "mv_refresh" ->

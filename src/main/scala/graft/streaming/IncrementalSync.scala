@@ -485,4 +485,26 @@ object IncrementalSync {
       }
       .start()
   }
+
+  /** Stream → snapshot table: every micro-batch lands as ONE atomic
+    * versioned commit keyed by its batch id
+    * (SnapshotTable.commitStreamBatch), so the at-least-once
+    * foreachBatch contract becomes exactly-once appends — a replayed
+    * batch finds its id in the version ledger and no-ops. Contrast
+    * with contactsSync above, which gets idempotency from the MERGE
+    * algebra; here the TABLE provides it, and downstream readers get
+    * time travel over the ingest history for free.
+    */
+  def snapshotIngest(
+      stream: DataFrame,
+      tableDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.SnapshotTable.commitStreamBatch(batch, tableDir, id)
+        ()
+      }
+      .start()
 }
