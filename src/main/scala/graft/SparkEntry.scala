@@ -1385,6 +1385,44 @@ object SparkEntry {
         s"executed plan must show the grouped count-pushed scan:\n$planStr")
       counted
     }),
+    // MIN/MAX(startTime) pushdown — the data-freshness query shape
+    // ("how current is the feed"): startTime is the vendor's sortable
+    // request field, so each window answers its extreme with ONE
+    // sort-ordered limit-1 request (ParamWindowFetcher.extreme), and
+    // COUNT(*) rides the count endpoint in the same pushed scan. The
+    // recording assert admits ONLY count/extreme-mode calls — a
+    // single body fetch fails the row — and the plan shows the mixed
+    // agg scan; Spark merges the per-window partials.
+    "dsv2_window_extremes" -> ((s, _) => {
+      graft.sources.dsv2.FixtureWindowFetcher.register()
+      graft.sources.dsv2.FixtureWindowFetcher.calls.clear()
+      val q = s.read.format("graft-window")
+        .option("begin", "2024-01-01")
+        .option("end", "2024-01-17")
+        .option("breakDays", "2")
+        .option("fetcher", graft.sources.dsv2.FixtureWindowFetcher.Name)
+        .load()
+        .filter(col("evalState") === "scored")
+        .agg(count(lit(1)).as("n_contacts"),
+          min(col("startTime")).as("first_start"),
+          max(col("startTime")).as("last_start"))
+      q.write.format("noop").mode("overwrite").save()
+      val fetched = {
+        val it = graft.sources.dsv2.FixtureWindowFetcher.calls.iterator()
+        val b = Seq.newBuilder[(graft.sources.Ingest.DateWindow, Map[String, String])]
+        while (it.hasNext) b += it.next()
+        b.result().filterNot(_._2.contains("_planning"))
+      }
+      require(fetched.nonEmpty && fetched.forall(f =>
+        Set("count", "extreme").contains(f._2.getOrElse("_mode", ""))),
+        s"pushed COUNT+MIN/MAX must hit only count/sort endpoints, got: $fetched")
+      require(fetched.count(_._2.get("_mode").contains("extreme")) == 16,
+        s"each of the 8 windows must issue one min and one max request, got: $fetched")
+      val planStr = q.queryExecution.executedPlan.toString
+      require(planStr.contains("agg=count+min(startTime)+max(startTime)"),
+        s"executed plan must show the mixed pushed-agg scan:\n$planStr")
+      q
+    }),
     // Multimodal: metadata-only rollup over synthesized media rows —
     // must never read the blob column (plan asserted in MultimodalSpec).
     "media_stats" -> ((s, dir) =>
@@ -3610,6 +3648,14 @@ object SparkEntry {
         |SELECT s.evalState, n.n_contacts
         |FROM (VALUES ('scored'), ('unscored')) s(evalState) CROSS JOIN n
         |ORDER BY evalState""".stripMargin,
+    // the fixture synthesis rule replayed: 8 two-day windows, two
+    // contacts per window at window-start midnight and midnight + 1 h
+    "dsv2_window_extremes" ->
+      """WITH d AS (SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-15', INTERVAL 2 DAY)) AS day),
+        | t AS (SELECT CAST(epoch_ms(CAST(day AS TIMESTAMP)) AS BIGINT) + i * 3600000 AS st
+        |       FROM d CROSS JOIN (VALUES (0), (1)) v(i))
+        |SELECT count(*) AS n_contacts, min(st) AS first_start, max(st) AS last_start
+        |FROM t""".stripMargin,
     "media_stats" ->
       """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
         |       count(*) AS n_items, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes

@@ -51,6 +51,25 @@ object FixtureWindowFetcher {
       calls.add((w, params + ("_mode" -> "count")))
       Some(2L)
     }
+
+    /** The vendor's sort-order facility (`sort=<field>&order=…&
+      * limit=1`): answers an extreme without shipping bodies. Records
+      * under `_mode -> extreme` so callers can assert a pushed
+      * MIN/MAX never triggered a body fetch. Mirrors fetch() above:
+      * each window holds startTime = window-start midnight and
+      * midnight + 1 h.
+      */
+    override def extreme(
+        w: DateWindow, field: String, smallest: Boolean,
+        params: Map[String, String]): Option[Long] = {
+      calls.add((w, params + ("_mode" -> "extreme")))
+      if (!field.equalsIgnoreCase("startTime")) None
+      else {
+        val ms = LocalDate.parse(w.start)
+          .atStartOfDay(ZoneOffset.UTC).toInstant.toEpochMilli
+        Some(if (smallest) ms else ms + 3600000L)
+      }
+    }
   }
 
   /** Idempotent registration under [[Name]] (the registry is a

@@ -9,8 +9,8 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -113,7 +113,29 @@ object WindowedRestSource {
       * fetching and counting documents.
       */
     def count(w: DateWindow, params: Map[String, String]): Option[Long] = None
+
+    /** Server-side extreme of a sortable long request field — the
+      * endpoint mechanism is the vendor's ordering itself
+      * (`sort=<field>&order=asc|desc&limit=1`: one row ships, its one
+      * field answers MIN/MAX). None (the default) means the facility
+      * is absent and the caller falls back to fetching documents and
+      * reducing the field — the count() contract exactly.
+      */
+    def extreme(
+        w: DateWindow, field: String, smallest: Boolean,
+        params: Map[String, String]): Option[Long] = None
   }
+
+  /** The pushed-aggregate shapes the windowed scan serves per window:
+    * COUNT(*) partials, and MIN/MAX(startTime) via the sort-order
+    * endpoint. Spark merges the per-window partials (SUM the counts,
+    * MIN the mins, MAX the maxes) — supportCompletePushDown stays
+    * false for exactly that reason.
+    */
+  private[dsv2] sealed trait AggKind
+  private[dsv2] case object AggCount extends AggKind
+  private[dsv2] case object AggMinStart extends AggKind
+  private[dsv2] case object AggMaxStart extends AggKind
 
   private val fetchers =
     new java.util.concurrent.ConcurrentHashMap[String, ParamWindowFetcher]()
@@ -161,7 +183,7 @@ private[dsv2] class WindowedScanBuilder(options: CaseInsensitiveStringMap)
   private var beginClamp: Option[LocalDate] = None
   private var endClamp: Option[LocalDate] = None
   private var limitPushed: Option[Int] = None
-  private var countCols: Int = 0
+  private var aggKinds: Seq[WindowedRestSource.AggKind] = Nil
 
   /** COUNT(*) pushes into the source as a per-window count request
     * (qa_api_handler.py:130's `len(contact_json)` progress counts,
@@ -197,9 +219,26 @@ private[dsv2] class WindowedScanBuilder(options: CaseInsensitiveStringMap)
       case _ => false
     }))
     val exprs = agg.aggregateExpressions()
-    if (gbOk && exprs.nonEmpty && exprs.forall(_.isInstanceOf[CountStar])) {
+    // MIN/MAX(startTime) join COUNT(*) in the accepted set: startTime
+    // is the vendor's sortable request field, so each window answers
+    // its extreme with ONE sort-ordered limit-1 request (fetcher
+    // .extreme) — the data-freshness query shape, no bodies shipped.
+    def startTimeRef(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case nr: NamedReference => nr.fieldNames().length == 1 &&
+          nr.fieldNames()(0).equalsIgnoreCase("startTime")
+        case _ => false
+      }
+    def kindOf(e: AggregateFunc): Option[WindowedRestSource.AggKind] = e match {
+      case _: CountStar => Some(WindowedRestSource.AggCount)
+      case m: Min if startTimeRef(m.column) => Some(WindowedRestSource.AggMinStart)
+      case m: Max if startTimeRef(m.column) => Some(WindowedRestSource.AggMaxStart)
+      case _ => None
+    }
+    val kinds = exprs.map(kindOf)
+    if (gbOk && exprs.nonEmpty && kinds.forall(_.isDefined)) {
       groupByEvalState = gb.nonEmpty
-      countCols = exprs.length
+      aggKinds = kinds.flatten.toSeq
       true
     } else false
   }
@@ -278,8 +317,8 @@ private[dsv2] class WindowedScanBuilder(options: CaseInsensitiveStringMap)
       effLimit.map(l => "limit" -> l.toString).toMap ++
         evalState.map(WindowedRestSource.EvalStateCol -> _).toMap
     val f = WindowedRestSource.fetcher(options.get("fetcher"))
-    if (countCols > 0)
-      new WindowedCountScan(windows, f, params, countCols,
+    if (aggKinds.nonEmpty)
+      new WindowedAggScan(windows, f, params, aggKinds,
         groupByEvalState = groupByEvalState,
         groupValue = evalState)
     else new WindowedScan(windows, f, params, required)
@@ -339,38 +378,52 @@ private[dsv2] class WindowedScan(
     new WindowReaderFactory(required)
 }
 
-/** The COUNT(*)-pushed face of the scan: one partition per window,
-  * each emitting a single count row. readSchema is exactly the pushed
-  * aggregation's output (one non-null LongType per COUNT(*) column —
-  * Spark asserts the arity), and the description carries `agg=count`
-  * so the pushdown is assertable from the executed plan string on a
-  * real cluster, like the window list (VERDICT r7 #6 precedent).
+/** The aggregate-pushed face of the scan: one partition per window,
+  * each emitting a single partial row — COUNT(*) partials and
+  * MIN/MAX(startTime) extremes, in the pushed expressions' order
+  * (Spark asserts the arity and merges the partials). readSchema
+  * marks count columns non-null and extreme columns nullable (an
+  * empty window has no extreme). The description carries the agg
+  * list (`agg=count`, `agg=count+min(startTime)`, …) so the pushdown
+  * is assertable from the executed plan string on a real cluster,
+  * like the window list (VERDICT r7 #6 precedent).
   */
-private[dsv2] class WindowedCountScan(
+private[dsv2] class WindowedAggScan(
     windows: Seq[DateWindow],
     fetcher: WindowedRestSource.ParamWindowFetcher,
     params: Map[String, String],
-    countCols: Int,
+    aggKinds: Seq[WindowedRestSource.AggKind],
     groupByEvalState: Boolean,
     groupValue: Option[String]) extends Scan with Batch {
   override def readSchema(): StructType = {
-    val counts = (1 to countCols).map(i =>
-      StructField(s"count_$i", LongType, nullable = false))
+    val cols = aggKinds.zipWithIndex.map {
+      case (WindowedRestSource.AggCount, i) =>
+        StructField(s"count_$i", LongType, nullable = false)
+      case (WindowedRestSource.AggMinStart, i) =>
+        StructField(s"min_$i", LongType, nullable = true)
+      case (WindowedRestSource.AggMaxStart, i) =>
+        StructField(s"max_$i", LongType, nullable = true)
+    }
     if (groupByEvalState)
-      StructType(StructField(WindowedRestSource.EvalStateCol, StringType) +: counts)
-    else StructType(counts)
+      StructType(StructField(WindowedRestSource.EvalStateCol, StringType) +: cols)
+    else StructType(cols)
   }
   override def toBatch: Batch = this
   override def description(): String = {
     val starts = windows.take(8).map(_.start) ++
       (if (windows.size > 8) Seq(s"…+${windows.size - 8}") else Nil)
+    val kinds = aggKinds.map {
+      case WindowedRestSource.AggCount => "count"
+      case WindowedRestSource.AggMinStart => "min(startTime)"
+      case WindowedRestSource.AggMaxStart => "max(startTime)"
+    }.distinct.mkString("+")
     val gb = if (groupByEvalState) " groupBy=evalState" else ""
-    s"graft-window agg=count$gb windows=[${starts.mkString(",")}] params=$params"
+    s"graft-window agg=$kinds$gb windows=[${starts.mkString(",")}] params=$params"
   }
   override def planInputPartitions(): Array[InputPartition] =
     windows.map(w => WindowPartition(w, fetcher, params): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new WindowCountReaderFactory(countCols,
+    new WindowAggReaderFactory(aggKinds,
       if (groupByEvalState) Some(groupValue) else None)
 }
 
@@ -380,38 +433,69 @@ private[dsv2] class WindowedCountScan(
   * or null when no state filter was pushed (unfetched-state rows are
   * tagged null, so the single group IS the null group).
   */
-private[dsv2] class WindowCountReaderFactory(
-    countCols: Int, group: Option[Option[String]])
+private[dsv2] class WindowAggReaderFactory(
+    aggKinds: Seq[WindowedRestSource.AggKind], group: Option[Option[String]])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new WindowCountReader(p.asInstanceOf[WindowPartition], countCols, group)
+    new WindowAggReader(p.asInstanceOf[WindowPartition], aggKinds, group)
 }
 
-/** Emits the window's single partial-count row (prefixed with the
+/** Emits the window's single partial-aggregate row (prefixed with the
   * constant group value under GROUP BY evalState). Prefers the
-  * fetcher's server-side count (no bodies cross the wire); falls back
-  * to fetching and counting documents with the same array-explode
-  * semantics as the row reader — but without converting a single
-  * field, so even the fallback skips all JSON-to-row work.
+  * fetcher's server-side facilities — count endpoint for COUNT(*),
+  * sort-ordered limit-1 requests for the extremes — so no bodies
+  * cross the wire; a fetcher without them falls back to ONE document
+  * fetch that serves every needed quantity in a single pass (count +
+  * startTime min/max), still skipping all JSON-to-row conversion.
   */
-private[dsv2] class WindowCountReader(
-    p: WindowPartition, countCols: Int, group: Option[Option[String]])
+private[dsv2] class WindowAggReader(
+    p: WindowPartition,
+    aggKinds: Seq[WindowedRestSource.AggKind],
+    group: Option[Option[String]])
     extends PartitionReader[InternalRow] {
   private var emitted = false
   override def next(): Boolean = !emitted && { emitted = true; true }
-  override def get(): InternalRow = {
-    val n = p.fetcher.count(p.window, p.params).getOrElse {
-      val mapper = new ObjectMapper
-      p.fetcher.fetch(p.window, p.params).map { s =>
-        val node = mapper.readTree(s)
-        if (node.isArray) node.size().toLong else 1L
-      }.sum
+
+  /** One fallback fetch pass covering count and both extremes. */
+  private lazy val fallback: (Long, Option[Long], Option[Long]) = {
+    val mapper = new ObjectMapper
+    var n = 0L
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    var seen = false
+    p.fetcher.fetch(p.window, p.params).foreach { s =>
+      val node = mapper.readTree(s)
+      val docs = if (node.isArray) node.elements().asScala else Iterator(node)
+      docs.foreach { d =>
+        n += 1
+        val st = d.get("startTime")
+        if (st != null && !st.isNull && st.canConvertToLong) {
+          seen = true
+          val v = st.asLong
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+        }
+      }
     }
-    val counts = Array.fill[Any](countCols)(n)
-    new GenericInternalRow(group match {
-      case Some(g) => (g.map(UTF8String.fromString).orNull: Any) +: counts
-      case None => counts
-    })
+    (n, if (seen) Some(mn) else None, if (seen) Some(mx) else None)
+  }
+
+  override def get(): InternalRow = {
+    val values: Seq[Any] = aggKinds.map {
+      case WindowedRestSource.AggCount =>
+        java.lang.Long.valueOf(
+          p.fetcher.count(p.window, p.params).getOrElse(fallback._1))
+      case WindowedRestSource.AggMinStart =>
+        p.fetcher.extreme(p.window, "startTime", smallest = true, p.params)
+          .orElse(fallback._2).map(java.lang.Long.valueOf).orNull
+      case WindowedRestSource.AggMaxStart =>
+        p.fetcher.extreme(p.window, "startTime", smallest = false, p.params)
+          .orElse(fallback._3).map(java.lang.Long.valueOf).orNull
+    }
+    new GenericInternalRow((group match {
+      case Some(g) => (g.map(UTF8String.fromString).orNull: Any) +: values
+      case None => values
+    }).toArray)
   }
   override def close(): Unit = ()
 }

@@ -187,6 +187,55 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(fetched.forall(f => !f._2.contains("_mode")))
   }
 
+  test("MIN/MAX(startTime) push to the sort-order endpoint; no endpoint falls back, same answer") {
+    // with the facility (SparkEntry's fixture fetcher): extremes come
+    // from sort-ordered limit-1 requests, zero body fetches
+    graft.sources.dsv2.FixtureWindowFetcher.register()
+    graft.sources.dsv2.FixtureWindowFetcher.calls.clear()
+    def extremes(fetcher: String) = spark.read.format("graft-window")
+      .option("begin", "2024-01-01")
+      .option("end", "2024-01-05")
+      .option("breakDays", "2")
+      .option("fetcher", fetcher)
+      .load()
+      .agg(min(col("startTime")).as("mn"), max(col("startTime")).as("mx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val jan1 = LocalDate.parse("2024-01-01")
+      .atStartOfDay(ZoneOffset.UTC).toInstant.toEpochMilli
+    val jan3 = LocalDate.parse("2024-01-03")
+      .atStartOfDay(ZoneOffset.UTC).toInstant.toEpochMilli
+    val expect = Seq((jan1, jan3 + 3600000L))
+    assert(extremes(graft.sources.dsv2.FixtureWindowFetcher.Name) === expect)
+    val served = {
+      val it = graft.sources.dsv2.FixtureWindowFetcher.calls.iterator()
+      val b = Seq.newBuilder[(DateWindow, Map[String, String])]
+      while (it.hasNext) b += it.next()
+      b.result().filterNot(_._2.contains("_planning"))
+    }
+    assert(served.nonEmpty && served.forall(_._2.get("_mode").contains("extreme")),
+      s"extreme-capable fetcher must never ship bodies: $served")
+    // without the facility (spec RecordingFetcher): one fallback body
+    // fetch per window serves both extremes — identical answer
+    Dsv2SourceSpec.calls.clear()
+    assert(extremes("spec-fixture") === expect)
+    val fell = recordedCalls()
+    assert(fell.size === 2 && fell.forall(f => !f._2.contains("_mode")),
+      s"facility-less fetcher must fall back to one body fetch per window: $fell")
+  }
+
+  test("MIN over a non-sortable column is refused and computed from fetched rows") {
+    Dsv2SourceSpec.calls.clear()
+    val df = spark.read.format("graft-window")
+      .option("begin", "2024-01-01")
+      .option("end", "2024-01-05")
+      .option("breakDays", "2")
+      .option("fetcher", "spec-fixture")
+      .load()
+      .agg(min(col("id")).as("mn"))
+    assert(df.collect().head.getLong(0) === 20240101L)
+    assert(recordedCalls().forall(f => !f._2.contains("_mode")))
+  }
+
   test("COUNT(*) with a residual filter takes the row-fetch path (stays correct)") {
     Dsv2SourceSpec.calls.clear()
     WindowedRestSource.registerFetcher("spec-counting", new Dsv2SourceSpec.CountingFetcher)
