@@ -123,6 +123,36 @@ object SparkEntry {
       out
     })
 
+  /** snapshot_merge's table, once per sf dir: v1 = all events, v2 =
+    * the MERGE (a tenth of the ids restated in place + as many brand
+    * new ids), v3 = OPTIMIZE (head rewritten compacted, content
+    * identical). The memo requires pin the ledger and the layout; the
+    * row's oracle checks the merged content.
+    */
+  private val snapMergeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def snapMergeTable(s: SparkSession, dir: String): String =
+    snapMergeMemo.computeIfAbsent(dir, _ => {
+      import graft.sources.SnapshotTable
+      val out = s"${tempDir("graft_snap_merge")}/events_tbl"
+      val ev = Tables.events(s, dir).select("event_id", "event_type")
+        .repartition(8)
+      SnapshotTable.commitAppend(ev, out)
+      val tenth = ev.filter(col("event_id") % 10 === 0)
+      val delta = tenth.withColumn("event_type", lit("restated"))
+        .unionByName(tenth.select((col("event_id") + 10000000L).as("event_id"),
+          lit("new").as("event_type")))
+      SnapshotTable.commitMerge(delta, out, Seq("event_id"))
+      // layout-reduction exactness lives in SnapshotTableSpec (AQE may
+      // already coalesce the merge write to one file at small sf);
+      // here OPTIMIZE must land as v3 and the row's oracle proves it
+      // content-neutral
+      val v3 = SnapshotTable.compactHead(s, out, targetBytes = 4L * 1024 * 1024)
+      require(v3 == 3L && SnapshotTable.files(s, out, 3L).nonEmpty,
+        "OPTIMIZE must land as version 3")
+      out
+    })
+
   /** mv_rewrite's summary table: built + registered once per sf dir
     * (MvRewrite.register is session-global on purpose — ANY matching
     * aggregate over this base routes, and each routed row's own
@@ -1774,6 +1804,23 @@ object SparkEntry {
     "snapshot_time_travel" -> ((s, dir) => {
       val tbl = snapshotTable(s, dir)
       graft.sources.SnapshotTable.read(s, tbl, Some(1L))
+        .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
+    // MERGE + OPTIMIZE as versioned commits (snapMergeTable memo):
+    // v2 upserts a tenth of the ids in place and inserts as many new
+    // ones; v3 rewrites the head compacted. The row reads the
+    // OPTIMIZED head, so the oracle's merged-content replay checks
+    // both operations at once (compaction must be content-neutral),
+    // and v1 time travel still answers pre-merge (require below).
+    "snapshot_merge" -> ((s, dir) => {
+      val tbl = snapMergeTable(s, dir)
+      require(graft.sources.SnapshotTable.versions(s, tbl) == Seq(1L, 2L, 3L),
+        "append, merge, optimize must be the whole ledger")
+      require(graft.sources.SnapshotTable.read(s, tbl, Some(1L))
+        .filter(col("event_type").isin("restated", "new")).isEmpty,
+        "time travel to v1 must predate the merge")
+      graft.sources.SnapshotTable.read(s, tbl)
         .groupBy("event_type").agg(count(lit(1)).as("n_events"))
         .orderBy("event_type")
     }),
@@ -3929,6 +3976,17 @@ object SparkEntry {
     "stream_snapshot_ingest" ->
       """SELECT lang, count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the merge algebra replayed: a tenth restated in place + as many
+    // new ids; OPTIMIZE between must not change a row
+    "snapshot_merge" ->
+      """WITH merged AS (
+        |  SELECT event_id,
+        |         CASE WHEN event_id % 10 = 0 THEN 'restated' ELSE event_type END AS event_type
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id + 10000000, 'new' FROM events WHERE event_id % 10 = 0)
+        |SELECT event_type, count(*) AS n_events
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     // head = both committed versions = every event row
     "snapshot_table_read" ->
       """SELECT event_type, count(*) AS n_events

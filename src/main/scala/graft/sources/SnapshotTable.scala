@@ -69,6 +69,12 @@ object SnapshotTable {
     "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(body).map(_.group(1)).toSeq
   }
 
+  /** The file list version `v` names (paths relative to `dir`) — the
+    * public face of the manifest, for compaction accounting and
+    * layout asserts. */
+  def files(spark: SparkSession, dir: String, v: Long): Seq[String] =
+    manifestFiles(spark, dir, v)
+
   /** Read the table at `version` (default: the head). The scan is a
     * plain multi-file parquet read over exactly the manifest's files.
     */
@@ -144,6 +150,37 @@ object SnapshotTable {
     }
     -1L // unreachable
   }
+
+  /** OPTIMIZE: rewrite the head's file set into ceil(bytes / target)
+    * compacted files and commit the result as a NEW version — the
+    * Sinks.compact operation lifted into the format, where it belongs
+    * at scale: readers of in-flight older versions are untouched (they
+    * hold their manifest's files, which vacuum respects), and the
+    * swap is the same manifest rename every commit uses — no
+    * rename-aside dance over live directories. Returns the committed
+    * version.
+    */
+  def compactHead(spark: SparkSession, dir: String, targetBytes: Long): Long = {
+    require(targetBytes > 0)
+    val f = fs(spark, dir)
+    val head = versions(spark, dir).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"snapshot table $dir has no committed version"))
+    val files = manifestFiles(spark, dir, head)
+    val bytes = files.map(p => f.getFileStatus(new Path(s"$dir/$p")).getLen).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    commitOverwrite(read(spark, dir).coalesce(n), dir)
+  }
+
+  /** MERGE: upsert `delta` into the head by key (update matched rows,
+    * insert new ones — Maintenance.upsertKeepCols' algebra) and
+    * commit the merged state as a new version. One full-outer join +
+    * one batch write; history stays time-travelable.
+    */
+  def commitMerge(delta: DataFrame, dir: String, keys: Seq[String]): Long =
+    commitOverwrite(
+      graft.operators.Maintenance.upsertKeepCols(
+        read(delta.sparkSession, dir), delta, keys, keepCols = Set.empty),
+      dir)
 
   /** Drop data files referenced by NO retained manifest, keeping the
     * newest `keepVersions` manifests (and every version's

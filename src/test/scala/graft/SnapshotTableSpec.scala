@@ -74,6 +74,26 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.committedBatchIds(spark, dir) == Set(0L, 1L))
   }
 
+  test("commitMerge upserts by key as a new version; compactHead rewrites content-neutral") {
+    val dir = freshDir()
+    SnapshotTable.commitAppend(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").repartition(3), dir)
+    val v2 = SnapshotTable.commitMerge(
+      Seq((2L, "B"), (9L, "z")).toDF("id", "v"), dir, Seq("id"))
+    assert(v2 == 2L)
+    def snap(ver: Option[Long]) = SnapshotTable.read(spark, dir, ver)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(snap(None) == Seq((1L, "a"), (2L, "B"), (3L, "c"), (9L, "z")))
+    assert(snap(Some(1L)) == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      "the pre-merge snapshot must stay intact")
+    val before = SnapshotTable.files(spark, dir, 2L).size
+    val v3 = SnapshotTable.compactHead(spark, dir, targetBytes = 64L * 1024 * 1024)
+    assert(v3 == 3L && SnapshotTable.files(spark, dir, 3L).size == 1)
+    assert(before >= 1)
+    assert(snap(None) == Seq((1L, "a"), (2L, "B"), (3L, "c"), (9L, "z")),
+      "OPTIMIZE must not change a row")
+  }
+
   test("readers compose as plain parquet scans: filters push down") {
     val dir = freshDir()
     SnapshotTable.commitAppend(
