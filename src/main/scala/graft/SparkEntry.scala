@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{CalabrioSync, Components, Incremental, Linkage, Multimodal, Queries, Sampling, Shred, Similarity, Sketches, Skew, TemporalJoins, TextOps}
-import org.apache.spark.sql.functions.{array, array_max, array_min, call_function, coalesce, col, concat, count, countDistinct, date_format, datediff, dayofmonth, element_at, explode, expr, lit, lpad, max, md5, min, posexplode, round, size, slice, substring, sum, to_date, when}
+import org.apache.spark.sql.functions.{array, array_max, array_min, call_function, coalesce, col, concat, count, countDistinct, cume_dist, date_format, datediff, dayofmonth, dense_rank, element_at, explode, expr, lag, lead, lit, lpad, max, md5, min, ntile, percent_rank, posexplode, round, size, slice, substring, sum, to_date, when}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1025,6 +1025,24 @@ object SparkEntry {
     "label_prop" -> ((s, dir) =>
       graft.operators.LabelProp.run(orderGraph(s, dir), iterations = 2)
         .orderBy("node")),
+    // The analytic window-function suite in one row — lag/lead, ntile,
+    // percent_rank, cume_dist, dense_rank over per-user event order
+    // (event_id tie-break makes every ordering total, so the rank
+    // doubles are single divisions of identical integers on both
+    // engines — IEEE-identical, no rounding dance needed).
+    "window_suite" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir).filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"),
+          lag(col("event_id"), 1).over(w).as("prev_event"),
+          lead(col("event_id"), 1).over(w).as("next_event"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          dense_rank().over(w).as("drank"))
+        .orderBy("user_id", "event_id")
+    }),
     // Approximate / signature ops — no SQL oracle (rows-only check):
     // ann_topk_lsh trades recall for bucket-local work; simhash uses
     // engine-specific 64-bit hashing. Both are covered by SimilaritySpec.
@@ -3366,6 +3384,17 @@ object SparkEntry {
          |SELECT d.doc_id, d.lang FROM documents d
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM labels WHERE component <> doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    "window_suite" ->
+      """SELECT user_id, event_id,
+        |  lag(event_id, 1) OVER w AS prev_event,
+        |  lead(event_id, 1) OVER w AS next_event,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  dense_rank() OVER w AS drank
+        |FROM events WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
     // three unrolled integer-PageRank iterations — identical floor-div
     // algebra to operators.PageRank.run (DuckDB `//` == Spark `div`
     // on the positive longs involved); CAST collapses the hugeint the

@@ -84,7 +84,12 @@ object SnapshotTable {
     val v = version.getOrElse(vs.last)
     val files = manifestFiles(spark, dir, v)
     require(files.nonEmpty, s"version $v of $dir is empty")
-    spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+    // mergeSchema: additive evolution for free — a version whose
+    // batches carry different (compatible) schemas reads as their
+    // union, old rows null in the new columns. The footer pass is
+    // per-manifest-file, bounded by the version's file list.
+    spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => s"$dir/$f"): _*)
   }
 
   /** Append `df` as a new version; returns the committed version. */

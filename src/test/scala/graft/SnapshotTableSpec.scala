@@ -94,6 +94,20 @@ class SnapshotTableSpec extends SparkSpec {
       "OPTIMIZE must not change a row")
   }
 
+  test("additive schema evolution: a widened batch unions in, old rows read null") {
+    val dir = freshDir()
+    SnapshotTable.commitAppend(Seq((1L, "a")).toDF("id", "v"), dir)
+    SnapshotTable.commitAppend(
+      Seq((2L, "b", 7L)).toDF("id", "v", "extra"), dir)
+    val head = SnapshotTable.read(spark, dir)
+    assert(head.columns.toSeq == Seq("id", "v", "extra"))
+    assert(head.collect().map(r =>
+      (r.getLong(0), r.getString(1), Option(r.get(2)))).sortBy(_._1).toSeq ==
+      Seq((1L, "a", None), (2L, "b", Some(7L))))
+    // time travel predates the widening: v1 has the narrow schema
+    assert(SnapshotTable.read(spark, dir, Some(1L)).columns.toSeq == Seq("id", "v"))
+  }
+
   test("readers compose as plain parquet scans: filters push down") {
     val dir = freshDir()
     SnapshotTable.commitAppend(
