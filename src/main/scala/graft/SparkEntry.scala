@@ -1787,6 +1787,7 @@ object SparkEntry {
         .filter(col("l_returnflag") =!= "N")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"),
+          org.apache.spark.sql.functions.avg("l_quantity").as("avg_qty"),
           min("l_extendedprice").as("min_price"),
           max("l_extendedprice").as("max_price"))
       val plan = q.queryExecution.executedPlan.toString
@@ -4033,6 +4034,7 @@ object SparkEntry {
     "mv_rewrite" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
         |       sum(l_quantity) AS sum_qty,
+        |       avg(l_quantity) AS avg_qty,
         |       min(l_extendedprice) AS min_price,
         |       max(l_extendedprice) AS max_price
         |FROM lineitem WHERE l_returnflag <> 'N'

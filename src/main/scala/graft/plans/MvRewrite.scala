@@ -2,13 +2,13 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Coalesce, Expression, Literal, NamedExpression, PredicateHelper}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Coalesce, Divide, Expression, Literal, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Materialized-view routing: a registered summary table answers
   * matching aggregates over its base table, so a full corpus scan
@@ -29,8 +29,8 @@ import org.apache.spark.sql.types.LongType
   * re-aggregation algebra as Incremental.mergeAdditive): a query
   * Aggregate routes iff its grouping columns are a SUBSET of the
   * view's, every aggregate is derivable (count(*) → sum(cnt),
-  * sum(x) → sum(sum_x), min(x) → min(min_x), max(x) → max(max_x)
-  * — no distinct, no filter clauses), and any WHERE conjuncts
+  * sum(x) → sum(sum_x), min(x) → min(min_x), max(x) → max(max_x),
+  * avg(x) → sum(sum_x)/sum(cnt) — no distinct, no filter clauses), and any WHERE conjuncts
   * reference grouping columns only (they re-apply to the view rows
   * unchanged). Anything else leaves the plan untouched — the rule is
   * fail-open by construction: not rewriting is always correct.
@@ -240,6 +240,20 @@ case class MvRewriteRule(spark: SparkSession)
           case m: Max => m.child match {
             case a: AttributeReference =>
               viewCol("max", a.name).map(c => Max(c).toAggregateExpression())
+            case _ => None
+          }
+          // avg(x) = sum(sum_x) / sum(cnt) — needs BOTH measures.
+          // Exact when the sums are (integral values held in doubles,
+          // the SUM caveat); double division of equal operands is
+          // IEEE-identical.
+          case a: Average => a.child match {
+            case attr: AttributeReference =>
+              for {
+                sumC <- viewCol("sum", attr.name)
+                cntC <- viewCol("count", "*")
+              } yield Divide(
+                Cast(Sum(sumC).toAggregateExpression(), DoubleType),
+                Cast(Sum(cntC).toAggregateExpression(), DoubleType))
             case _ => None
           }
           case _ => None

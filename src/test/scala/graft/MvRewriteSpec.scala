@@ -39,12 +39,12 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterEach {
     val dir = freshBase()
     val mvDir = setup(dir)
     val q = spark.read.parquet(s"$dir/base").groupBy("grp")
-      .agg(count(lit(1)).as("n"), sum("v").as("sv"),
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"), avg("v").as("av"),
         min("v").as("mn"), max("v").as("mx"))
     assert(scansMv(q, mvDir), "rewrite must fire for the covered shape")
     MvRewrite.clear()
     val baseAns = spark.read.parquet(s"$dir/base").groupBy("grp")
-      .agg(count(lit(1)).as("n"), sum("v").as("sv"),
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"), avg("v").as("av"),
         min("v").as("mn"), max("v").as("mx"))
     assert(q.collect().sortBy(_.getString(0)).toSeq ==
       baseAns.collect().sortBy(_.getString(0)).toSeq)
@@ -64,12 +64,12 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterEach {
     assert(global.head().getLong(0) == 100L)
   }
 
-  test("non-derivable shapes stay on the base: avg, distinct, non-group filter, finer grouping") {
+  test("non-derivable shapes stay on the base: unmeasured avg, distinct, non-group filter, finer grouping") {
     val dir = freshBase()
     val mvDir = setup(dir)
     val base = spark.read.parquet(s"$dir/base")
     Seq(
-      base.groupBy("grp").agg(avg("v").as("a")),
+      base.groupBy("grp").agg(avg("id").as("a")), // no sum_id measure
       base.groupBy("grp").agg(countDistinct("v").as("a")),
       base.filter(col("v") > 10).groupBy("grp").agg(count(lit(1)).as("a")),
       base.groupBy("grp", "id").agg(count(lit(1)).as("a"))
