@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BloomMightContain, CmEstimate, CountTokensIn, CountTokensInMulti, FloatDot, FloatNorm2, HammingBits, HashProjEmbed, HyperplaneSig, MinHashBandKeys, MinHashSignature, NfcNormalize, PiiScrub, PqAssign, SimHashBits, TokenFingerprint, TokenProfile, WordShingles}
+import graft.expressions.{BloomMightContain, CmEstimate, CountTokensIn, CountTokensInMulti, FloatDot, FloatNorm2, HammingBits, HashProjEmbed, HyperplaneSig, MinHashBandKeys, MinHashSignature, NfcNormalize, PiiScrub, PqAssign, SimHashBits, TokenFingerprint, TokenProfile, WordpieceEncode, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -40,6 +40,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       case other => throw new IllegalArgumentException(
         s"pq_assign codebooks must be a foldable array<array<array<double>>>, got $other")
+    }
+  }
+
+  /** Fold a flat array literal down to Scala (the codebookLit
+    * discipline, one level): plan constants only. */
+  private def stringArrayLit(e: Expression, what: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    e.dataType match {
+      case ArrayType(StringType, _) if e.foldable =>
+        val a = e.eval().asInstanceOf[ArrayData]
+        (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+      case other => throw new IllegalArgumentException(
+        s"$what must be a foldable array<string>, got $other")
+    }
+  }
+
+  private def intArrayLit(e: Expression, what: String): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, IntegerType}
+    e.dataType match {
+      case ArrayType(IntegerType, _) if e.foldable =>
+        val a = e.eval().asInstanceOf[ArrayData]
+        (0 until a.numElements()).map(a.getInt)
+      case other => throw new IllegalArgumentException(
+        s"$what must be a foldable array<int>, got $other")
     }
   }
 
@@ -185,6 +211,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c, Literal(b: Array[Byte], BinaryType)) => BloomMightContain(c, b)
         case _ => throw new IllegalArgumentException(
           "usage: bloom_might_contain(bigintKey, <serialized bloom binary literal>)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("wordpiece_encode"),
+      new ExpressionInfo(classOf[WordpieceEncode].getName, "wordpiece_encode"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, us, is) =>
+          WordpieceEncode(t, stringArrayLit(us, "units"), intArrayLit(is, "ids"))
+        case _ => throw new IllegalArgumentException(
+          "usage: wordpiece_encode(text, <array<string> units>, <array<int> ids>)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("pq_assign"),

@@ -785,6 +785,17 @@ object SparkEntry {
     "build_vocab" -> ((s, dir) =>
       TextOps.buildVocab(Tables.documents(s, dir), minCount = 2L, maxSize = 1000)
         .orderBy("token_id")),
+    // Subword tokenizer pair: the character-n-gram vocabulary (same
+    // rank discipline as build_vocab, one level down) and the greedy
+    // longest-match encode against it — MaxMatch/WordPiece inference,
+    // whose deterministic walk the oracle replays as a recursive CTE
+    // (one state row per (word, cursor), terminal row = the encoding).
+    "subword_vocab" -> ((s, dir) =>
+      TextOps.buildSubwordVocab(Tables.documents(s, dir)).orderBy("token_id")),
+    "subword_encode" -> ((s, dir) =>
+      TextOps.subwordEncode(Tables.documents(s, dir),
+        TextOps.buildSubwordVocab(Tables.documents(s, dir)))
+        .orderBy("doc_id")),
     // Per-doc top-3 keywords by log-free (linear-idf) TF-IDF.
     // Sparse TF-IDF cosine pairs over the df-pruned vocabulary —
     // integer weights so the distributed dot/norm sums are exact in
@@ -2908,6 +2919,61 @@ object SparkEntry {
         |              token, n FROM c)
         |SELECT token_id, token, n FROM r WHERE token_id <= 1000
         |ORDER BY token_id""".stripMargin,
+    // identical n-gram enumeration, count floor, and rank rule
+    "subword_vocab" ->
+      """WITH w0 AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w FROM documents),
+        | g AS (
+        |   SELECT unnest(list_transform(range(1, len(w) + 1), i -> substr(w, i, 1))) AS unit FROM w0
+        |   UNION ALL
+        |   SELECT unnest(CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)), i -> substr(w, i, 2)) ELSE [] END) FROM w0
+        |   UNION ALL
+        |   SELECT unnest(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> substr(w, i, 3)) ELSE [] END) FROM w0
+        |   UNION ALL
+        |   SELECT unnest(CASE WHEN len(w) >= 4 THEN list_transform(range(1, len(w) - 2), i -> substr(w, i, 4)) ELSE [] END) FROM w0),
+        | c AS (SELECT unit, count(*) AS n FROM g GROUP BY unit HAVING count(*) >= 5)
+        |SELECT CAST(row_number() OVER (ORDER BY n DESC, unit) AS INT) AS token_id, unit, n
+        |FROM c QUALIFY row_number() OVER (ORDER BY n DESC, unit) <= 512
+        |ORDER BY token_id""".stripMargin,
+    // the greedy walk replayed: per distinct word, cursor states
+    // advance by the longest match (or 1 char as UNK); terminal rows
+    // roll up through the per-occurrence join
+    "subword_encode" ->
+      """WITH RECURSIVE
+        | w0 AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w FROM documents),
+        | g AS (
+        |   SELECT unnest(list_transform(range(1, len(w) + 1), i -> substr(w, i, 1))) AS unit FROM w0
+        |   UNION ALL
+        |   SELECT unnest(CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)), i -> substr(w, i, 2)) ELSE [] END) FROM w0
+        |   UNION ALL
+        |   SELECT unnest(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> substr(w, i, 3)) ELSE [] END) FROM w0
+        |   UNION ALL
+        |   SELECT unnest(CASE WHEN len(w) >= 4 THEN list_transform(range(1, len(w) - 2), i -> substr(w, i, 4)) ELSE [] END) FROM w0),
+        | c AS (SELECT unit, count(*) AS n FROM g GROUP BY unit HAVING count(*) >= 5),
+        | r AS (SELECT CAST(row_number() OVER (ORDER BY n DESC, unit) AS INT) AS token_id, unit, n FROM c
+        |       QUALIFY row_number() OVER (ORDER BY n DESC, unit) <= 512),
+        | dist AS (SELECT DISTINCT w FROM w0),
+        | pos AS (SELECT w, unnest(range(0, len(w))) AS p FROM dist),
+        | m AS (SELECT pos.w, pos.p, r.token_id, len(r.unit) AS l
+        |       FROM pos JOIN r ON substr(pos.w, pos.p + 1, len(r.unit)) = r.unit
+        |       WHERE pos.p + len(r.unit) <= len(pos.w)),
+        | best AS (SELECT w, p, token_id, l FROM m
+        |          QUALIFY row_number() OVER (PARTITION BY w, p ORDER BY l DESC) = 1),
+        | enc AS (
+        |   SELECT w, 0 AS p, 0 AS n_pieces, 0 AS n_unk, CAST(0 AS BIGINT) AS id_sum FROM dist
+        |   UNION ALL
+        |   SELECT e.w, e.p + coalesce(b.l, 1), e.n_pieces + 1,
+        |          e.n_unk + CASE WHEN b.l IS NULL THEN 1 ELSE 0 END,
+        |          e.id_sum + coalesce(b.token_id, 0)
+        |   FROM enc e LEFT JOIN best b ON b.w = e.w AND b.p = e.p
+        |   WHERE e.p < len(e.w)),
+        | done AS (SELECT w, n_pieces, n_unk, id_sum FROM enc WHERE p = len(w)),
+        | per AS (SELECT w0.doc_id, sum(d.n_pieces) AS np, sum(d.n_unk) AS nu, sum(d.id_sum) AS ids
+        |         FROM w0 JOIN done d USING (w) GROUP BY 1)
+        |SELECT doc_id, CAST(coalesce(np, 0) AS INT) AS n_pieces,
+        |       CAST(coalesce(nu, 0) AS INT) AS n_unk,
+        |       CAST(coalesce(ids, 0) AS BIGINT) AS id_sum
+        |FROM documents LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // same pruned space, same integer weights, same rounding — the
     // sparse-cosine replay is exact end to end
     "tfidf_cosine" ->

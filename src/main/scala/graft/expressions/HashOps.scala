@@ -496,6 +496,51 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** Greedy longest-match subword encoding (MaxMatch — WordPiece
+    * inference, Devlin et al. NAACL 2019 §4.4 / Song et al. EMNLP
+    * 2021): per whitespace word (the tokens() split), repeatedly take
+    * the LONGEST vocab unit matching at the cursor; no match emits
+    * UNK (id 0) and advances one character. Deterministic — the
+    * longest match at a position is a unique string — so the DuckDB
+    * oracle replays the walk as a recursive CTE. Returns the
+    * per-text rollup (n_pieces, n_unk, id_sum): the full id sequence
+    * is derivable but corpus-sized, and the rollup pins the walk
+    * exactly (any divergent step lands on a different triple).
+    * BMP-only contract: positions are UTF-16 units here and code
+    * points in SQL, equal while every char is BMP (asserted over the
+    * corpus; a surrogate would shift positions, not crash).
+    */
+  def wordpieceEncode(
+      text: UTF8String,
+      units: java.util.HashMap[String, Integer],
+      maxLen: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    var nPieces = 0
+    var nUnk = 0
+    var idSum = 0L
+    val words = text.toString.split("\\s+")
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (w.nonEmpty) {
+        var pos = 0
+        while (pos < w.length) {
+          var len = math.min(maxLen, w.length - pos)
+          var matched = false
+          while (len >= 1 && !matched) {
+            val id = units.get(w.substring(pos, pos + len))
+            if (id != null) {
+              nPieces += 1; idSum += id.longValue(); pos += len; matched = true
+            } else len -= 1
+          }
+          if (!matched) { nPieces += 1; nUnk += 1; pos += 1 }
+        }
+      }
+      wi += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nPieces, nUnk, idSum))
+  }
+
   /** Product-quantization assignment kernel: per subspace, the
     * argmin-centroid code (score = ‖c‖²/2 − x·c, ties to the lower
     * code — the assignCells discipline) plus the concatenated

@@ -311,6 +311,45 @@ case class PqAssign(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
     copy(child = newChild)
 }
 
+/** Greedy longest-match subword encode over a fixed vocabulary
+  * (HashOps.wordpieceEncode has the algorithm contract). The vocab
+  * rides as parallel constructor seqs (bounded — buildSubwordVocab
+  * caps it) and compiles to one executor-local HashMap via the
+  * transient lazy, so per-row work is hash probes alone.
+  */
+case class WordpieceEncode(child: Expression, units: Seq[String], ids: Seq[Int])
+    extends UnaryExpression {
+  require(units.nonEmpty && units.size == ids.size,
+    "wordpiece_encode: units and ids must be parallel and non-empty")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_pieces", IntegerType, nullable = false),
+    StructField("n_unk", IntegerType, nullable = false),
+    StructField("id_sum", LongType, nullable = false)))
+  override def prettyName: String = "wordpiece_encode"
+  @transient private lazy val table: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](units.size * 2)
+    units.iterator.zip(ids.iterator).foreach { case (u, i) => m.put(u, i) }
+    m
+  }
+  @transient private lazy val maxLen: Int = units.map(_.length).max
+  protected override def nullSafeEval(input: Any): Any =
+    HashOps.wordpieceEncode(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], table, maxLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("wpUnits", table,
+      classOf[java.util.HashMap[String, Integer]].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.HashOps.wordpieceEncode($c, $tRef, $maxLen)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): WordpieceEncode =
+    copy(child = newChild)
+}
+
 case class SimHashBits(child: Expression, bits: Int)
     extends UnaryExpression with StringArrayInput {
   override def dataType: DataType = StringType

@@ -598,6 +598,52 @@ object TextOps {
       .select("token_id", "token", "n")
   }
 
+  /** Subword vocabulary for the wordpiece encoder: the most frequent
+    * character n-grams (1..maxNgram) of the corpus' whitespace words,
+    * counted by OCCURRENCE, floored at minCount, capped at maxSize by
+    * (count desc, unit asc) — buildVocab's exact discipline one level
+    * down (same distributed top-maxSize shape; the single-partition
+    * rank window only ever sees the bounded result). Ids are 1-based;
+    * 0 is the encoder's reserved UNK. A character too rare to make
+    * the cut simply encodes as UNK — the vocabulary IS the model.
+    */
+  def buildSubwordVocab(
+      docs: DataFrame,
+      maxNgram: Int = 4,
+      minCount: Long = 5L,
+      maxSize: Int = 512): DataFrame = {
+    val grams = (1 to maxNgram).map(n => expr(
+      s"""CASE WHEN length(w) >= $n
+         | THEN transform(sequence(1, length(w) - $n + 1), i -> substr(w, i, $n))
+         | ELSE array() END""".stripMargin))
+    val counts = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .select(explode(flatten(array(grams: _*))).as("unit"))
+      .groupBy("unit").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+    counts
+      .orderBy(col("n").desc, col("unit")).limit(maxSize)
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("n").desc, col("unit"))))
+      .select("token_id", "unit", "n")
+  }
+
+  /** Encode every document against a subword vocabulary (greedy
+    * longest-match — the wordpiece_encode expression; HashOps has the
+    * algorithm contract). The vocab is bounded by construction
+    * (buildSubwordVocab caps it), so the driver-side collect here is
+    * the centroid/codebook discipline, and the encode itself is one
+    * codegen'd map pass — no shuffle, no join against the vocab.
+    */
+  def subwordEncode(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val rows = vocab.select("unit", "token_id").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    val enc = call_function("wordpiece_encode", col("text"),
+      typedLit(rows.map(_._1).toSeq), typedLit(rows.map(_._2).toSeq))
+    docs.select(col("doc_id"), enc.as("e"))
+      .select(col("doc_id"), col("e.n_pieces"), col("e.n_unk"), col("e.id_sum"))
+  }
+
   /** Per-document top-k terms by TF-IDF — the keyword/relevance
     * weighting downstream of topTerms' vocabulary table. Deliberately
     * LOG-FREE like lmScore: idf is the rational N/df, not ln(N/df)

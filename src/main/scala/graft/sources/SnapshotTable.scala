@@ -190,6 +190,13 @@ object SnapshotTable {
   /** Drop data files referenced by NO retained manifest, keeping the
     * newest `keepVersions` manifests (and every version's
     * readability within them). Returns the number of files deleted.
+    *
+    * Interaction with the streaming ledger: dropped manifests take
+    * their batch ids with them, so a batch REPLAYED from before the
+    * retained window would re-commit. Keep `keepVersions` beyond the
+    * longest plausible replay horizon (a restarted AvailableNow run
+    * replays only uncommitted offsets, so in practice this means:
+    * don't vacuum between a crash and its restart).
     */
   def vacuum(spark: SparkSession, dir: String, keepVersions: Int): Int = {
     require(keepVersions >= 1, "vacuum must keep at least the head version")

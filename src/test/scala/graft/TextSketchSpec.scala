@@ -9,6 +9,29 @@ import org.apache.spark.sql.functions._
 class TextSketchSpec extends SparkSpec {
   import spark.implicits._
 
+  test("wordpiece encode: longest match wins, UNK advances one char, multi-word sums") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{call_function, col, typedLit}
+    // vocab: ab=1, abc=2, c=3, d=4 (no 'z', no lone 'a'/'b')
+    val units = Seq("ab", "abc", "c", "d")
+    val ids = Seq(1, 2, 3, 4)
+    def enc(text: String) =
+      Seq(text).toDF("text")
+        .select(call_function("wordpiece_encode", col("text"),
+          typedLit(units), typedLit(ids)).as("e"))
+        .select(col("e.n_pieces"), col("e.n_unk"), col("e.id_sum"))
+        .head() match { case r => (r.getInt(0), r.getInt(1), r.getLong(2)) }
+    // "abcd": greedy takes abc (2) then d (4) — never ab+c+d
+    assert(enc("abcd") == (2, 0, 6L))
+    // "abd": abc fails, ab (1) matches, then d (4)
+    assert(enc("abd") == (2, 0, 5L))
+    // "azc": no 'a', UNK; no 'z', UNK; then c (3)
+    assert(enc("azc") == (3, 2, 3L))
+    // two words sum; leading/trailing whitespace tokenizes away
+    assert(enc("  abcd abd ") == (4, 0, 11L))
+    assert(enc("") == (0, 0, 0L))
+  }
+
   test("normalizeText composes NFC, folds case, collapses whitespace") {
     // "Cafe"+U+0301 (decomposed) must equal precomposed "café" after
     // the pass; ASCII text round-trips; runs of whitespace collapse
