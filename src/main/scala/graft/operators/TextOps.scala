@@ -636,8 +636,13 @@ object TextOps {
     * codegen'd map pass — no shuffle, no join against the vocab.
     */
   def subwordEncode(docs: DataFrame, vocab: DataFrame): DataFrame = {
-    val rows = vocab.select("unit", "token_id").collect()
+    val rows = vocab.select("unit", "token_id").limit(65537).collect()
       .map(r => (r.getString(0), r.getInt(1)))
+    // the collect is safe ONLY because the vocab is bounded; an
+    // unbounded frame here would be a driver OOM, so fail loudly
+    // instead (the fitPqCodebooks bounded-collect discipline)
+    require(rows.length <= 65536,
+      "subwordEncode: vocab exceeds 65536 units — pass a bounded vocabulary")
     val enc = call_function("wordpiece_encode", col("text"),
       typedLit(rows.map(_._1).toSeq), typedLit(rows.map(_._2).toSeq))
     docs.select(col("doc_id"), enc.as("e"))

@@ -58,10 +58,10 @@ object MvRewrite {
       baseFingerprint: Long)
 
   private val registry =
-    new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
+    new java.util.concurrent.ConcurrentHashMap[String, List[MvDef]]()
 
-  private[plans] def lookup(rootPath: String): Option[MvDef] =
-    Option(registry.get(rootPath))
+  private[plans] def lookup(rootPath: String): List[MvDef] =
+    Option(registry.get(rootPath)).getOrElse(Nil)
   private[plans] def isEmpty: Boolean = registry.isEmpty
 
   /** Build the summary parquet for (groupCols, count(*) + per-column
@@ -87,9 +87,11 @@ object MvRewrite {
   }
 
   /** Register mvDir (written by materialize with the same column
-    * lists) as the summary of basePath. Captures the base
-    * fingerprint NOW — queries rewrite only while the base listing
-    * still matches it.
+    * lists) as A summary of basePath — several views may coexist per
+    * base (the rule picks the coarsest fresh one that answers);
+    * re-registering the same grouping replaces that view. Captures
+    * the base fingerprint NOW — queries rewrite only while the base
+    * listing still matches it.
     */
   def register(
       spark: SparkSession,
@@ -106,9 +108,13 @@ object MvRewrite {
       sumCols.map(c => ("sum", c) -> s"sum_$c") ++
       minCols.map(c => ("min", c) -> s"min_$c") ++
       maxCols.map(c => ("max", c) -> s"max_$c")
-    registry.put(rootOf(baseScan), MvDef(
+    val d = MvDef(
       spark.read.parquet(mvDir).queryExecution.analyzed,
-      groupCols, measures, fingerprint(baseScan)))
+      groupCols, measures, fingerprint(baseScan))
+    // several views per base (daily + monthly + ...); re-registering
+    // the same grouping replaces that view's snapshot
+    registry.compute(rootOf(baseScan), (_, old) =>
+      Option(old).getOrElse(Nil).filterNot(_.groupCols == groupCols) :+ d)
   }
 
   def deregister(spark: SparkSession, basePath: String): Unit =
@@ -170,10 +176,26 @@ case class MvRewriteRule(spark: SparkSession)
       case _ => None
     }
 
-  private def rewrite(agg: Aggregate): Option[Aggregate] = for {
-    (lr, conds) <- unwrap(agg.child, Nil)
-    d <- MvRewrite.lookup(MvRewrite.rootOf(lr))
-    if MvRewrite.fingerprint(lr) == d.baseFingerprint
+  /** Among every registered-and-fresh view of the base, the COARSEST
+    * one that can answer wins (fewest grouping columns ⊇ the query's
+    * = fewest summary rows re-aggregated) — the view-selection half
+    * of summary routing: a daily AND a monthly rollup can both be
+    * registered, and a month-grain query reads the monthly one.
+    */
+  private def rewrite(agg: Aggregate): Option[Aggregate] =
+    unwrap(agg.child, Nil).flatMap { case (lr, conds) =>
+      val fp = MvRewrite.fingerprint(lr)
+      MvRewrite.lookup(MvRewrite.rootOf(lr))
+        .filter(_.baseFingerprint == fp)
+        .flatMap(d => attempt(agg, conds, d).map(d -> _))
+        .sortBy(_._1.groupCols.size)
+        .headOption.map(_._2)
+    }
+
+  private def attempt(
+      agg: Aggregate,
+      conds: Seq[Expression],
+      d: MvRewrite.MvDef): Option[Aggregate] = for {
     groupAttrs <- attrsOnly(agg.groupingExpressions)
     if groupAttrs.forall(g => d.groupCols.contains(g.name))
     if conds.forall(_.references.forall(r => d.groupCols.contains(r.name)))

@@ -304,7 +304,14 @@ object ScaleProbe {
         // bipartite order graph (see prEdges) — iteration shuffles
         // grow N×, the unrolled plan depth stays constant
         "pagerank" -> (() =>
-          graft.operators.PageRank.run(prEdges(spark, sfDir, f), iterations = 3)))
+          graft.operators.PageRank.run(prEdges(spark, sfDir, f), iterations = 3)),
+        // subword_encode: the token bijection suffixes every word, so
+        // replica k's words are disjoint strings — the vocab build's
+        // n-gram census grows N× while the encode stays one map pass
+        "subword_encode" -> (() => {
+          val v = graft.operators.TextOps.buildSubwordVocab(docs)
+          graft.operators.TextOps.subwordEncode(docs, v)
+        }))
     }
 
     def selected(f: Int) = ops(f).filter { case (n, _) => wanted(n) }

@@ -76,6 +76,27 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterEach {
     ).foreach(q => assert(!scansMv(q, mvDir), q.queryExecution.toString))
   }
 
+  test("view selection: with fine and coarse views registered, the coarsest covering one wins") {
+    val dir = freshBase()
+    val fineDir = s"$dir/mv_fine"
+    val coarseDir = s"$dir/mv_coarse"
+    val base = spark.read.parquet(s"$dir/base")
+    // fine = (grp, id) — as many rows as the base; coarse = (grp) — 4 rows
+    MvRewrite.materialize(base, Seq("grp", "id"), sumCols = Seq("v"), mvDir = fineDir)
+    MvRewrite.register(spark, s"$dir/base", fineDir, Seq("grp", "id"), sumCols = Seq("v"))
+    MvRewrite.materialize(base, Seq("grp"), sumCols = Seq("v"), mvDir = coarseDir)
+    MvRewrite.register(spark, s"$dir/base", coarseDir, Seq("grp"), sumCols = Seq("v"))
+    val byGrp = base.groupBy("grp").agg(sum("v").as("sv"))
+    assert(scansMv(byGrp, coarseDir) && !scansMv(byGrp, fineDir),
+      "a grp-grain query must read the 4-row view, not the id-grain one")
+    val byId = base.groupBy("grp", "id").agg(sum("v").as("sv"))
+    assert(scansMv(byId, fineDir),
+      "an id-grain query can only be answered by the fine view")
+    assert(byGrp.collect().map(r => (r.getString(0), r.getDouble(1))).toMap ==
+      byId.collect().groupBy(_.getString(0))
+        .map { case (g, rs) => g -> rs.map(_.getDouble(2)).sum })
+  }
+
   test("a base write after register flips the fingerprint and disables routing") {
     val dir = freshBase()
     val mvDir = setup(dir)
