@@ -324,6 +324,15 @@ object ScaleProbe {
       // listener events post async and the bus drain API is
       // private[spark]; a short settle sleep is enough for a tool
       Thread.sleep(1000)
+      // release between ops: localCheckpoint block cleanup rides the
+      // ContextCleaner, which only fires after the owning RDD is
+      // GC'd — a 35-op sweep otherwise accumulates dead checkpoint
+      // blocks until a 30× op's execution memory starves (measured:
+      // the full sweep OOM'd on an op that passes solo under the
+      // same 8 GiB cap). Probe-tool concern only.
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
+      Thread.sleep(500)
       walls((name, f)) = secs
       println(f"SCALE op=$name factor=$f rows=$rows wall=$secs%.2f " +
         s"peakTaskShufReadB=${listener.peakShufRead} " +
