@@ -239,6 +239,24 @@ object SparkEntry {
       (s"$base0/app", s"$base0/full")
     })
 
+  /** ivfpq_index_append's two indexes at the SAME frozen quantizer
+    * pair (cells + residual codebooks fit on the base): app =
+    * build(base)+append(delta), full = one-pass build of base∪delta
+    * at fitOn=base — the pqAppendIndexes construction two fits deep. */
+  private val ivfPqAppendMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def ivfPqAppendIndexes(s: SparkSession, dir: String): (String, String) =
+    ivfPqAppendMemo.computeIfAbsent(dir, _ => {
+      val base0 = tempDir("graft_ivfpq_append")
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(col("vec_id") % 5 =!= 0)
+      val delta = emb.filter(col("vec_id") % 5 === 0)
+      Similarity.buildIvfPqIndex(base, s"$base0/app")
+      Similarity.appendToIvfPqIndex(delta, s"$base0/app")
+      Similarity.buildIvfPqIndex(emb, s"$base0/full", fitOn = Some(base))
+      (s"$base0/app", s"$base0/full")
+    })
+
   private val ivfPqIndexMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ivfPqIndex(s: SparkSession, dir: String): String =
@@ -1141,6 +1159,21 @@ object SparkEntry {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       Similarity.pqTopKFromIndex(s, appDir, q, k = 10)
         .join(Similarity.pqTopKFromIndex(s, fullDir, q, k = 10),
+          Seq("q_id", "neighbor_id", "sim_e6"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_matches"))
+        .orderBy("q_id")
+    }),
+    // The composed index's append half (pq_index_append's contract,
+    // two frozen quantizers deep): the appended IVF-PQ index's cold
+    // query must equal the one-pass build of base∪delta at the
+    // base-fit cells + codebooks — full per-query parity, any refit
+    // or partial write drops an n_matches below 10.
+    "ivfpq_index_append" -> ((s, dir) => {
+      val (appDir, fullDir) = ivfPqAppendIndexes(s, dir)
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.ivfPqTopKFromIndex(s, appDir, q, k = 10)
+        .join(Similarity.ivfPqTopKFromIndex(s, fullDir, q, k = 10),
           Seq("q_id", "neighbor_id", "sim_e6"))
         .groupBy("q_id").agg(count(lit(1)).as("n_matches"))
         .orderBy("q_id")
@@ -3396,6 +3429,10 @@ object SparkEntry {
     "ivfpq_recall" ->
       """SELECT vec_id AS q_id, true AS floor_met FROM embeddings
         |WHERE vec_id < 5 ORDER BY q_id""".stripMargin,
+    // append-vs-rebuild parity at the shared frozen quantizer pair
+    "ivfpq_index_append" ->
+      """SELECT vec_id AS q_id, CAST(10 AS BIGINT) AS n_matches
+        |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin,
     // append-vs-rebuild parity at shared codebooks: every query's k=10
     // results from the appended index must match the one-pass encode
     "pq_index_append" ->

@@ -574,23 +574,28 @@ object Similarity {
       ncodes: Int = 32,
       trainFraction: Double = 0.1,
       maxTrainRows: Int = 20000,
-      maxIter: Int = 20): Unit = {
+      maxIter: Int = 20,
+      // fit BOTH quantizers (cells and residual codebooks) on a
+      // different frame than the one encoded — buildPqIndex's
+      // append-parity construction, two fits deep
+      fitOn: Option[DataFrame] = None): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
     require(dim % numSub == 0, s"dim $dim must split into $numSub subspaces")
-    val model = fitIvfModel(emb, nlist)
+    val fitFrame = fitOn.getOrElse(emb)
+    val model = fitIvfModel(fitFrame, nlist)
     val centSeq = centroidSeq(model)
-    val assigned = assignCells(prepIvf(emb), centSeq)
     val centArrF = typedLit(centSeq.sortBy(_._1).map(_._2.map(_.toFloat)))
     val residual = zip_with(
       col("embedding"), element_at(centArrF, col("cell") + 1),
       (x, c) => x - c).cast("array<float>")
     // fitPqCodebooks + pqColumns read `embedding` — hand them the
     // residual under that name so the SAME kernels serve both PQ forms
-    val residFrame = assigned.select(
+    def residOf(df: DataFrame) = assignCells(prepIvf(df), centSeq).select(
       col("vec_id"), col("cell"), residual.as("embedding"))
-    val cbs = fitPqCodebooks(residFrame, dim, numSub, ncodes,
+    val residFrame = residOf(emb)
+    val cbs = fitPqCodebooks(residOf(fitFrame), dim, numSub, ncodes,
       trainFraction, maxTrainRows, maxIter)
     val (codes, _) = pqColumns(cbs)
     spark.createDataset(centSeq).toDF("cell", "centroid")
@@ -641,6 +646,39 @@ object Similarity {
       .withColumn("n2", sumSq(col("embedding")))
       .filter(col("n2") > 0)
     rankTopK(cand, qDist, k)
+  }
+
+  /** Incremental IVF-PQ maintenance — the composed index's append
+    * half, completing the family (appendToIvfIndex's cells,
+    * appendToPqIndex's codes, in one pass): assign the new batch to
+    * the EXISTING persisted centroids, residual-encode at the
+    * EXISTING codebooks (both quantizers frozen — they are the
+    * index's identity), and dynamic-partition-append the code rows
+    * into the cell dirs. Encoding is a pure function of
+    * (vector, centroids, codebooks), so build(base)+append(delta) is
+    * row-identical to a one-pass build of base∪delta at the base-fit
+    * quantizers — the ivfpq_index_append row states that parity
+    * through the cold query path.
+    */
+  def appendToIvfPqIndex(newVecs: DataFrame, indexDir: String): Unit = {
+    val spark = newVecs.sparkSession
+    val centSeq = spark.read.parquet(s"$indexDir/centroids")
+      .collect() // bounded: nlist rows
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toList: Seq[Double]))
+      .sortBy(_._1).toSeq
+    val cbs = loadCodebooks(spark, indexDir)
+    val dim = cbs.size * cbs.head.head.size
+    require(newVecs.select(size(col("embedding")).as("d")).head().getInt(0) == dim,
+      s"appendToIvfPqIndex: batch dimension must match the index's $dim")
+    val centArrF = typedLit(centSeq.map(_._2.map(_.toFloat)))
+    val residual = zip_with(
+      col("embedding"), element_at(centArrF, col("cell") + 1),
+      (x, c) => x - c).cast("array<float>")
+    val residFrame = assignCells(prepIvf(newVecs), centSeq).select(
+      col("vec_id"), col("cell"), residual.as("embedding"))
+    val (codes, _) = pqColumns(cbs)
+    residFrame.select(col("vec_id"), col("cell"), codes.as("codes"))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/codes")
   }
 
   /** Maximal Marginal Relevance rerank (Carbonell & Goldstein,

@@ -117,6 +117,8 @@ object MvRewrite {
       Option(old).getOrElse(Nil).filterNot(_.groupCols == groupCols) :+ d)
   }
 
+  /** Drops EVERY registered view of basePath (the whole-base reset;
+    * re-register the survivors to keep a subset). */
   def deregister(spark: SparkSession, basePath: String): Unit =
     relationOf(spark.read.parquet(basePath).queryExecution.analyzed)
       .foreach(lr => registry.remove(rootOf(lr)))

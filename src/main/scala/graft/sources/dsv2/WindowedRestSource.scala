@@ -199,9 +199,12 @@ private[dsv2] class WindowedScanBuilder(options: CaseInsensitiveStringMap)
     * a REQUEST param, so every row a scan returns carries the same
     * tag — each window's count request already answers its single
     * group, and Spark's final aggregation re-groups the per-window
-    * (state, count) partials. Anything else — other group columns,
-    * COUNT(col), COUNT(DISTINCT), sums — is refused and computed by
-    * Spark from fetched rows. Spark only attempts this pushdown when
+    * (state, count) partials. MIN/MAX(startTime) also ride the pushed
+    * scan (the fetcher's sort-order facility — see kindOf below).
+    * Anything else — other group columns, COUNT(col),
+    * COUNT(DISTINCT), sums, extremes of non-sortable columns — is
+    * refused and computed by Spark from fetched rows. Spark only
+    * attempts this pushdown when
     * every filter was fully consumed by the source, so a
     * residual-filter query (e.g. a startTime bound, which stays
     * residual by design) transparently takes the fetch-rows path.
