@@ -150,6 +150,13 @@ object SparkEntry {
       val v3 = SnapshotTable.compactHead(s, out, targetBytes = 4L * 1024 * 1024)
       require(v3 == 3L && SnapshotTable.files(s, out, 3L).nonEmpty,
         "OPTIMIZE must land as version 3")
+      // v4 = DELETE of the merged-in synthetic ids — snapshot_delete's
+      // head; snapshot_merge reads v3 explicitly
+      val v4 = SnapshotTable.commitDelete(
+        ev.filter(col("event_id") % 10 === 0)
+          .select((col("event_id") + 10000000L).as("event_id")),
+        out, Seq("event_id"))
+      require(v4 == 4L, "DELETE must land as version 4")
       out
     })
 
@@ -1878,11 +1885,22 @@ object SparkEntry {
     // and v1 time travel still answers pre-merge (require below).
     "snapshot_merge" -> ((s, dir) => {
       val tbl = snapMergeTable(s, dir)
-      require(graft.sources.SnapshotTable.versions(s, tbl) == Seq(1L, 2L, 3L),
-        "append, merge, optimize must be the whole ledger")
+      require(graft.sources.SnapshotTable.versions(s, tbl) ==
+        Seq(1L, 2L, 3L, 4L),
+        "append, merge, optimize, delete must be the whole ledger")
       require(graft.sources.SnapshotTable.read(s, tbl, Some(1L))
         .filter(col("event_type").isin("restated", "new")).isEmpty,
         "time travel to v1 must predate the merge")
+      graft.sources.SnapshotTable.read(s, tbl, Some(3L))
+        .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
+    // DELETE as a version (snapMergeTable's v4): the synthetic ids
+    // the merge inserted are retracted by one anti join; the head
+    // answers without them while v3 still time-travels to the
+    // pre-delete state (snapshot_merge reads it).
+    "snapshot_delete" -> ((s, dir) => {
+      val tbl = snapMergeTable(s, dir)
       graft.sources.SnapshotTable.read(s, tbl)
         .groupBy("event_type").agg(count(lit(1)).as("n_events"))
         .orderBy("event_type")
@@ -2510,6 +2528,42 @@ object SparkEntry {
       graft.sources.SnapshotTable.read(s, s"$base/tbl")
         .groupBy("lang").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang")
+    }),
+    // Streaming-maintained materialized view — three families in one
+    // row: each micro-batch folds its counts into the summary with
+    // mergeAdditive (never a base rescan), and registering the final
+    // summary makes the optimizer ROUTE a plain base aggregate to it
+    // (plan require). The oracle recomputes from all the base rows,
+    // so incremental maintenance + routing are both answer-checked.
+    "stream_mv_refresh" -> ((s, dir) => streamRow(s) {
+      val base = tempDir("graft_stream_mv")
+      val baseDir = s"$base/events_base"
+      val ev = Tables.events(s, dir).select("event_id", "event_type")
+      ev.filter(col("event_id") % 2 === 0).write.parquet(baseDir)
+      ev.filter(col("event_id") % 2 =!= 0).write.mode("append").parquet(baseDir)
+      val schema = s.read.parquet(baseDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(baseDir)
+      val mvDir = s"$base/mv"
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val delta = b.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+          val cur = graft.sources.Sinks.readOr(s, mvDir, delta.limit(0))
+          graft.sources.Sinks.overwriteAtomic(
+            Incremental.mergeAdditive(cur, delta, Seq("event_type"), Seq("cnt")),
+            mvDir)
+          ()
+        }.start()
+      q.awaitTermination()
+      graft.plans.MvRewrite.register(s, baseDir, mvDir, Seq("event_type"))
+      val agg = s.read.parquet(baseDir)
+        .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+      val plan = agg.queryExecution.executedPlan.toString
+      require(plan.contains(mvDir),
+        s"the stream-maintained view must route the base aggregate:\n$plan")
+      agg.orderBy("event_type")
     }),
     "stream_doc_ingest" -> ((s, dir) => streamRow(s) {
       val src = docChunks(s, dir)
@@ -4105,10 +4159,21 @@ object SparkEntry {
     // answer preservation under routing: the Spark side reads the
     // registered summary (plan-asserted in-row); the oracle computes
     // the same aggregate from the BASE rows
+    // the stream-maintained summary must answer for every base row
+    "stream_mv_refresh" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // every streamed document row, exactly once, across the replay
     "stream_snapshot_ingest" ->
       """SELECT lang, count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // post-delete head: the restatements remain, the synthetic
+    // inserts are gone
+    "snapshot_delete" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM (SELECT CASE WHEN event_id % 10 = 0 THEN 'restated'
+        |             ELSE event_type END AS event_type FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the merge algebra replayed: a tenth restated in place + as many
     // new ids; OPTIMIZE between must not change a row
     "snapshot_merge" ->

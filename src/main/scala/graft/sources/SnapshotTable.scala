@@ -187,6 +187,20 @@ object SnapshotTable {
         read(delta.sparkSession, dir), delta, keys, keepCols = Set.empty),
       dir)
 
+  /** DELETE by key: drop the head rows whose key appears in `keys`
+    * (one anti join) and commit the survivors as a new version — the
+    * GDPR-erasure / retraction shape, with the deleted rows still
+    * time-travelable until vacuum ages their versions out (the
+    * retention caveat of every versioned format: erasure completes at
+    * vacuum, not at commit).
+    */
+  def commitDelete(keys: DataFrame, dir: String, keyCols: Seq[String]): Long =
+    commitOverwrite(
+      read(keys.sparkSession, dir)
+        .join(keys.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+          .distinct(), keyCols, "left_anti"),
+      dir)
+
   /** Drop data files referenced by NO retained manifest, keeping the
     * newest `keepVersions` manifests (and every version's
     * readability within them). Returns the number of files deleted.

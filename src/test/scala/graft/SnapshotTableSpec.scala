@@ -92,6 +92,14 @@ class SnapshotTableSpec extends SparkSpec {
     assert(before >= 1)
     assert(snap(None) == Seq((1L, "a"), (2L, "B"), (3L, "c"), (9L, "z")),
       "OPTIMIZE must not change a row")
+    // DELETE by key: survivors only at the head, pre-delete snapshot intact
+    val v4 = SnapshotTable.commitDelete(
+      Seq(2L, 9L, 777L).toDF("id"), dir, Seq("id"))
+    assert(v4 == 4L)
+    assert(snap(None) == Seq((1L, "a"), (3L, "c")),
+      "deleted keys must be gone (absent keys are a no-op)")
+    assert(snap(Some(3L)) == Seq((1L, "a"), (2L, "B"), (3L, "c"), (9L, "z")),
+      "the pre-delete snapshot must remain time-travelable")
   }
 
   test("additive schema evolution: a widened batch unions in, old rows read null") {
