@@ -1895,6 +1895,16 @@ object SparkEntry {
         .groupBy("event_type").agg(count(lit(1)).as("n_events"))
         .orderBy("event_type")
     }),
+    // CDC across the MERGE commit (v1→v2 of the same ledger): the
+    // manifests show a rewrite, so the content-diff path runs —
+    // inserts are the restatements + synthetic ids, deletes their
+    // originals. The oracle derives the identical change set from
+    // the base rows; the append-only zero-compute path is spec-tested.
+    "snapshot_changes" -> ((s, dir) => {
+      val tbl = snapMergeTable(s, dir)
+      graft.sources.SnapshotTable.changesBetween(s, tbl, 1L, 2L)
+        .orderBy("_change", "event_id", "event_type")
+    }),
     // DELETE as a version (snapMergeTable's v4): the synthetic ids
     // the merge inserted are retracted by one anti join; the head
     // answers without them while v3 still time-travels to the
@@ -4167,6 +4177,19 @@ object SparkEntry {
     "stream_snapshot_ingest" ->
       """SELECT lang, count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the merge commit's change set, derived from the base rows
+    "snapshot_changes" ->
+      """WITH ch AS (
+        |  SELECT event_id, 'restated' AS event_type, 'insert' AS _change
+        |  FROM events WHERE event_id % 10 = 0
+        |  UNION ALL
+        |  SELECT event_id + 10000000, 'new', 'insert'
+        |  FROM events WHERE event_id % 10 = 0
+        |  UNION ALL
+        |  SELECT event_id, event_type, 'delete'
+        |  FROM events WHERE event_id % 10 = 0)
+        |SELECT event_id, event_type, _change FROM ch
+        |ORDER BY _change, event_id, event_type""".stripMargin,
     // post-delete head: the restatements remain, the synthetic
     // inserts are gone
     "snapshot_delete" ->

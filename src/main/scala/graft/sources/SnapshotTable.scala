@@ -201,6 +201,39 @@ object SnapshotTable {
           .distinct(), keyCols, "left_anti"),
       dir)
 
+  /** CDC between two versions: every row added or removed from
+    * `fromV` to `toV`, tagged `_change` ∈ insert|delete. Two paths,
+    * picked by the MANIFESTS alone: if the from-version's file set is
+    * a subset of the to-version's (pure appends — the common history
+    * shape), the change set IS the added files, read directly — a
+    * zero-compute file-level diff no matter how large the table; any
+    * rewriting commit between them (merge, delete, optimize) falls
+    * back to a content diff (exceptAll both ways — multiset-exact,
+    * one shuffle each). Downstream incremental consumers (a
+    * mergeAdditive refresh, a sync) read the changes instead of
+    * rescanning the corpus.
+    */
+  def changesBetween(
+      spark: SparkSession, dir: String, fromV: Long, toV: Long): DataFrame = {
+    require(fromV < toV, s"changesBetween: need fromV < toV, got $fromV >= $toV")
+    val ff = manifestFiles(spark, dir, fromV).toSet
+    val tf = manifestFiles(spark, dir, toV).toSet
+    import org.apache.spark.sql.functions.lit
+    if (ff.subsetOf(tf)) {
+      val added = (tf -- ff).toSeq.sorted
+      if (added.isEmpty)
+        read(spark, dir, Some(toV)).limit(0).withColumn("_change", lit("insert"))
+      else spark.read.option("mergeSchema", "true")
+        .parquet(added.map(f => s"$dir/$f"): _*)
+        .withColumn("_change", lit("insert"))
+    } else {
+      val from = read(spark, dir, Some(fromV))
+      val to = read(spark, dir, Some(toV))
+      to.exceptAll(from).withColumn("_change", lit("insert"))
+        .unionByName(from.exceptAll(to).withColumn("_change", lit("delete")))
+    }
+  }
+
   /** Drop data files referenced by NO retained manifest, keeping the
     * newest `keepVersions` manifests (and every version's
     * readability within them). Returns the number of files deleted.

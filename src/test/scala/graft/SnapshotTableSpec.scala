@@ -116,6 +116,26 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, dir, Some(1L)).columns.toSeq == Seq("id", "v"))
   }
 
+  test("changesBetween: appends diff at the file level; rewrites fall back to content diff") {
+    val dir = freshDir()
+    SnapshotTable.commitAppend(Seq(1L, 2L).toDF("id"), dir)
+    SnapshotTable.commitAppend(Seq(3L, 4L).toDF("id"), dir)
+    def ch(a: Long, b: Long) = SnapshotTable.changesBetween(spark, dir, a, b)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    // append-only: the change set is exactly the added batch
+    assert(ch(1L, 2L) == Seq((3L, "insert"), (4L, "insert")))
+    // a rewriting commit (merge) forces the content diff
+    val d2 = freshDir()
+    SnapshotTable.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), d2)
+    SnapshotTable.commitMerge(Seq((2L, "B"), (9L, "z")).toDF("id", "v"), d2, Seq("id"))
+    val got = SnapshotTable.changesBetween(spark, d2, 1L, 2L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((2L, "B", "insert"), (9L, "z", "insert"), (2L, "b", "delete")))
+    intercept[IllegalArgumentException] {
+      SnapshotTable.changesBetween(spark, d2, 2L, 2L)
+    }
+  }
+
   test("readers compose as plain parquet scans: filters push down") {
     val dir = freshDir()
     SnapshotTable.commitAppend(
