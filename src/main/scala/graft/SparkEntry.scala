@@ -1905,6 +1905,24 @@ object SparkEntry {
       graft.sources.SnapshotTable.changesBetween(s, tbl, 1L, 2L)
         .orderBy("_change", "event_id", "event_type")
     }),
+    // CDC-driven incremental view maintenance — the loop closed: the
+    // v1 summary plus the SIGNED rollup of changesBetween(1,2)
+    // (insert +1, delete −1, one mergeAdditive) must equal the direct
+    // v2 summary, which is exactly what the oracle computes from the
+    // base rows. No v2 rescan anywhere on the Spark side: the refresh
+    // reads the old summary and the change set only.
+    "snapshot_ivm" -> ((s, dir) => {
+      val tbl = snapMergeTable(s, dir)
+      val v1sum = graft.sources.SnapshotTable.read(s, tbl, Some(1L))
+        .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      val delta = graft.sources.SnapshotTable.changesBetween(s, tbl, 1L, 2L)
+        .groupBy("event_type")
+        .agg(sum(when(col("_change") === "insert", 1L).otherwise(-1L)).as("cnt"))
+      Incremental.mergeAdditive(v1sum, delta, Seq("event_type"), Seq("cnt"))
+        .filter(col("cnt") > 0) // groups a rewrite empties drop out
+        .select(col("event_type"), col("cnt").as("n_events"))
+        .orderBy("event_type")
+    }),
     // DELETE as a version (snapMergeTable's v4): the synthetic ids
     // the merge inserted are retracted by one anti join; the head
     // answers without them while v3 still time-travels to the
@@ -4177,6 +4195,16 @@ object SparkEntry {
     "stream_snapshot_ingest" ->
       """SELECT lang, count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the CDC-refreshed summary must equal the direct v2 (post-merge)
+    // summary, computed here from the base rows
+    "snapshot_ivm" ->
+      """WITH merged AS (
+        |  SELECT CASE WHEN event_id % 10 = 0 THEN 'restated'
+        |         ELSE event_type END AS event_type FROM events
+        |  UNION ALL
+        |  SELECT 'new' FROM events WHERE event_id % 10 = 0)
+        |SELECT event_type, count(*) AS n_events
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     // the merge commit's change set, derived from the base rows
     "snapshot_changes" ->
       """WITH ch AS (
