@@ -160,6 +160,22 @@ object SparkEntry {
       out
     })
 
+  /** snapshot_prune's table, once per sf dir: ONE append of the
+    * events slice range-partitioned on event_id into 8 files with
+    * per-file min/max stats — disjoint ranges, so a range filter can
+    * prove most files irrelevant from the manifest alone. */
+  private val snapPruneMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def snapPruneTable(s: SparkSession, dir: String): String =
+    snapPruneMemo.computeIfAbsent(dir, _ => {
+      val out = s"${tempDir("graft_snap_prune")}/events_tbl"
+      graft.sources.SnapshotTable.commitAppend(
+        Tables.events(s, dir).select("event_id", "event_type")
+          .repartitionByRange(8, col("event_id")),
+        out, statsCols = Seq("event_id"))
+      out
+    })
+
   /** mv_rewrite's summary table: built + registered once per sf dir
     * (MvRewrite.register is session-global on purpose — ANY matching
     * aggregate over this base routes, and each routed row's own
@@ -1931,6 +1947,29 @@ object SparkEntry {
       val tbl = snapMergeTable(s, dir)
       graft.sources.SnapshotTable.read(s, tbl)
         .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
+    // Planning-time FILE pruning from manifest stats (the
+    // partition_prune discipline lifted into the versioned format):
+    // the bottom-quartile range filter must keep strictly fewer files
+    // than the head names — decided from the manifest alone, zero
+    // data I/O — and readFiltered is a superset scan the residual
+    // row filter then narrows; the oracle replays the same filter
+    // over the full base table.
+    "snapshot_prune" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val tbl = snapPruneTable(s, dir)
+      val maxId = Tables.events(s, dir)
+        .agg(max(col("event_id"))).collect()(0).getLong(0)
+      val hi = (maxId + 1) / 4 - 1
+      val f = Seq(SnapshotTable.StatFilter("event_id", upper = Some(hi)))
+      val (kept, total) = SnapshotTable.pruneFiles(s, tbl, f)
+      require(kept.size < total,
+        s"manifest stats must prune files: kept ${kept.size} of $total")
+      SnapshotTable.readFiltered(s, tbl, f)
+        .filter(col("event_id") <= hi)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_id"))
         .orderBy("event_type")
     }),
     "mv_refresh" -> ((s, dir) => {
@@ -4236,6 +4275,14 @@ object SparkEntry {
         |  SELECT event_id + 10000000, 'new' FROM events WHERE event_id % 10 = 0)
         |SELECT event_type, count(*) AS n_events
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the pruned+filtered read must equal the same filter over the
+    // whole base (file pruning is invisible to the answer)
+    "snapshot_prune" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM events
+        |WHERE event_id <= (SELECT (max(event_id)+1)//4 - 1 FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // head = both committed versions = every event row
     "snapshot_table_read" ->
       """SELECT event_type, count(*) AS n_events

@@ -69,6 +69,15 @@ object MvRewrite {
     * measure-name convention (cnt, sum_c, min_c, max_c) can't drift
     * between build and rewrite. One shuffle on the grouping key;
     * output is |distinct groups| rows, the 100 TB → kilobytes step.
+    *
+    * Answer-preservation caveat (applies to register() too): every
+    * derivation is exact EXCEPT avg over fractional doubles when the
+    * view grouping is strictly finer than the query's — there
+    * sum(sum_x)/sum(cnt) re-associates double additions and can
+    * differ from the unrouted avg in the last ULPs. Integral values
+    * (even when held in doubles) re-associate exactly. Callers
+    * comparing routed vs unrouted answers BITWISE should register
+    * fractional sum columns only at the grain they query.
     */
   def materialize(
       base: DataFrame,
@@ -91,7 +100,13 @@ object MvRewrite {
     * base (the rule picks the coarsest fresh one that answers);
     * re-registering the same grouping replaces that view. Captures
     * the base fingerprint NOW — queries rewrite only while the base
-    * listing still matches it.
+    * listing still matches it — and PERSISTS the registration as
+    * `_mv_catalog.json` beside the summary (underscore-prefixed, so
+    * parquet readers of mvDir never see it): a registration is not
+    * JVM-lifetime state, `loadCatalog` — or the
+    * `spark.graft.mv.autoload` session conf — restores routing in a
+    * fresh session with no re-register call. See materialize() for
+    * the avg-over-fractional-doubles ULP caveat.
     */
   def register(
       spark: SparkSession,
@@ -101,6 +116,55 @@ object MvRewrite {
       sumCols: Seq[String] = Nil,
       minCols: Seq[String] = Nil,
       maxCols: Seq[String] = Nil): Unit = {
+    val fp = registerWith(spark, basePath, mvDir, groupCols, sumCols, minCols, maxCols, None)
+    // persist the registration beside the summary it describes
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("basePath", basePath)
+    root.put("baseFingerprint", fp)
+    def arr(k: String, vs: Seq[String]): Unit = {
+      val a = root.putArray(k); vs.foreach(a.add)
+    }
+    arr("groupCols", groupCols); arr("sumCols", sumCols)
+    arr("minCols", minCols); arr("maxCols", maxCols)
+    val p = new org.apache.hadoop.fs.Path(s"$mvDir/_mv_catalog.json")
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fsys.create(p, true)
+    try out.write(mapper.writeValueAsString(root)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Restore a persisted registration from `mvDir/_mv_catalog.json`
+    * (written by register) into THIS session's registry — the
+    * catalog, not the JVM, is the durable home of a registration.
+    * The STORED base fingerprint is restored, not recaptured: a base
+    * that changed since materialization must stay unroutable, exactly
+    * as it would mid-session. */
+  def loadCatalog(spark: SparkSession, mvDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$mvDir/_mv_catalog.json")
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fsys.exists(p), s"loadCatalog: no _mv_catalog.json under $mvDir")
+    val in = fsys.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    def arr(k: String): Seq[String] = {
+      val a = root.get(k); (0 until a.size).map(a.get(_).asText)
+    }
+    registerWith(spark, root.get("basePath").asText, mvDir,
+      arr("groupCols"), arr("sumCols"), arr("minCols"), arr("maxCols"),
+      Some(root.get("baseFingerprint").asLong))
+  }
+
+  private def registerWith(
+      spark: SparkSession,
+      basePath: String,
+      mvDir: String,
+      groupCols: Seq[String],
+      sumCols: Seq[String],
+      minCols: Seq[String],
+      maxCols: Seq[String],
+      storedFp: Option[Long]): Long = {
     val baseScan = relationOf(spark.read.parquet(basePath).queryExecution.analyzed)
       .getOrElse(throw new IllegalArgumentException(
         s"register: $basePath did not analyze to a file relation"))
@@ -108,13 +172,15 @@ object MvRewrite {
       sumCols.map(c => ("sum", c) -> s"sum_$c") ++
       minCols.map(c => ("min", c) -> s"min_$c") ++
       maxCols.map(c => ("max", c) -> s"max_$c")
+    val fp = storedFp.getOrElse(fingerprint(baseScan))
     val d = MvDef(
       spark.read.parquet(mvDir).queryExecution.analyzed,
-      groupCols, measures, fingerprint(baseScan))
+      groupCols, measures, fp)
     // several views per base (daily + monthly + ...); re-registering
     // the same grouping replaces that view's snapshot
     registry.compute(rootOf(baseScan), (_, old) =>
       Option(old).getOrElse(Nil).filterNot(_.groupCols == groupCols) :+ d)
+    fp
   }
 
   /** Drops EVERY registered view of basePath (the whole-base reset;
@@ -155,11 +221,27 @@ object MvRewrite {
 case class MvRewriteRule(spark: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  /** Once per session: restore persisted registrations named by the
+    * `spark.graft.mv.autoload` conf (comma-separated summary dirs) —
+    * a restarted session routes again without any re-register call.
+    * Best-effort: a missing/unreadable catalog is logged and skipped,
+    * never a query failure (fail-open, like the rewrite itself). */
+  private lazy val autoloaded: Unit =
+    spark.conf.getOption("spark.graft.mv.autoload").foreach {
+      _.split(",").map(_.trim).filter(_.nonEmpty).foreach { d =>
+        try MvRewrite.loadCatalog(spark, d)
+        catch { case e: Exception =>
+          logWarning(s"mv autoload skipped $d: ${e.getMessage}") }
+      }
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    autoloaded
     if (MvRewrite.isEmpty) plan
     else plan.transformDown {
       case agg: Aggregate => rewrite(agg).getOrElse(agg)
     }
+  }
 
   /** Aggregate → (base relation, accumulated WHERE conjuncts), seeing
     * through the pruning Projects and pushed Filters the earlier
@@ -200,7 +282,14 @@ case class MvRewriteRule(spark: SparkSession)
       d: MvRewrite.MvDef): Option[Aggregate] = for {
     groupAttrs <- attrsOnly(agg.groupingExpressions)
     if groupAttrs.forall(g => d.groupCols.contains(g.name))
-    if conds.forall(_.references.forall(r => d.groupCols.contains(r.name)))
+    // every WHERE conjunct must (a) be deterministic — re-applying
+    // rand() < 0.5 to SUMMARY rows would turn a row sample into a
+    // group sample with full counts, a wrong answer — and (b)
+    // actually reference a grouping column: a reference-free
+    // predicate proves nothing about per-group invariance, so it is
+    // refused conservatively rather than vacuously admitted
+    if conds.forall(c => c.deterministic && c.references.nonEmpty &&
+      c.references.forall(r => d.groupCols.contains(r.name)))
     mv = d.mvAnalyzed.transformUp {
       case m: LogicalPlan with MultiInstanceRelation =>
         m.newInstance().asInstanceOf[LogicalPlan]

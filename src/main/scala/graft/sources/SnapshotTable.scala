@@ -1,7 +1,11 @@
 package graft.sources
 
-import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import java.nio.charset.StandardCharsets.UTF_8
 import java.util.UUID
 
@@ -16,19 +20,40 @@ import java.util.UUID
   *  - Data files are immutable: every commit writes its rows under a
   *    fresh `batch-<uuid>/` subdir — never into a live one.
   *  - A version is a MANIFEST, `_manifests/v<n>.json`: the explicit
-  *    file list that IS the table at that version. Readers list one
-  *    small JSON and scan exactly those files — no directory listing
-  *    of the data tree, which at 100 TB is the difference between a
-  *    metadata read and a million-file LIST.
-  *  - Commits are optimistic concurrency via rename-if-absent: the
-  *    manifest is staged as a tmp file and renamed to the next
-  *    version slot; Hadoop rename fails if the destination exists, so
-  *    two racing committers serialize — the loser re-reads the new
-  *    head and retries on top of it (snapshot isolation: readers of
-  *    version n are never affected).
-  *  - Append = head manifest's files + the new batch; overwrite = the
-  *    new batch alone. Old versions stay readable (time travel) until
-  *    `vacuum` drops the files only unreferenced manifests name.
+  *    file list that IS the table at that version, each entry
+  *    optionally carrying per-file min/max statistics for the table's
+  *    declared `statsCols`. Readers list one small JSON and scan
+  *    exactly those files — no directory listing of the data tree,
+  *    which at 100 TB is the difference between a metadata read and a
+  *    million-file LIST — and a stats-filtered read drops whole files
+  *    at PLANNING time, before Spark ever opens a footer.
+  *  - Commits are optimistic concurrency via an atomic no-overwrite
+  *    publish: the manifest is staged fully-written as a tmp file and
+  *    moved into the next version slot with
+  *    `FileContext.rename(…, Options.Rename.NONE)`, which REFUSES an
+  *    existing destination (unlike `FileSystem.rename`, which on
+  *    LocalFileSystem silently overwrites). On HDFS the no-overwrite
+  *    rename is enforced atomically by the NameNode; on a local FS it
+  *    is an existence check + rename at the FileContext layer — a far
+  *    smaller window than silent overwrite, and the loser of any
+  *    detected race re-reads the new head and retries on top of it
+  *    (snapshot isolation: readers of version n are never affected).
+  *    Readers never observe a partial manifest: the slot is populated
+  *    by rename of a fully-written file, never by in-place writes.
+  *  - Append = head manifest's entries + the new batch; overwrite =
+  *    the new batch alone; MERGE/DELETE are FILE-GRANULAR
+  *    copy-on-write — only data files that actually contain an
+  *    affected key are rewritten, every untouched file is carried
+  *    forward BY REFERENCE (path and stats verbatim) into the new
+  *    manifest, so a 0.1% upsert into a 100 TB table rewrites ~0.1%
+  *    of the files, not the table. Old versions stay readable (time
+  *    travel) until `vacuum` drops the files only unreferenced
+  *    manifests name.
+  *  - Each manifest carries the FULL set of committed streaming batch
+  *    ids (the head's set plus this commit's), so the exactly-once
+  *    ledger is answered by ONE head-manifest read — O(1) per
+  *    micro-batch, not O(versions) — and survives both overwrites and
+  *    vacuum (the head always carries the union).
   *
   * Readers get plain parquet scans (pushdown, pruning, codegen — the
   * manifest only chooses the file set), so every downstream operator
@@ -37,6 +62,33 @@ import java.util.UUID
 object SnapshotTable {
 
   private val ManifestDir = "_manifests"
+  private val mapper = new ObjectMapper()
+
+  /** Per-file min/max for one column. Values are normalized to
+    * `java.math.BigDecimal` (all numerics) or `String` (strings, and
+    * dates canonicalized to ISO `yyyy-MM-dd`, whose lexicographic
+    * order is chronological). */
+  private[graft] final case class FileStat(min: Any, max: Any)
+
+  /** One data file of a version: its dir-relative path and its stats
+    * (possibly empty — e.g. a file committed before a stat column was
+    * declared, or an all-null column; absent stats always mean "keep
+    * this file" to the pruner). */
+  private[graft] final case class Entry(path: String, stats: Map[String, FileStat])
+
+  private[graft] final case class Manifest(
+      version: Long,
+      batchIds: Set[Long],
+      statsCols: Seq[String],
+      entries: Seq[Entry])
+
+  /** An inclusive-bounds range predicate over one stat column, used
+    * for planning-time file pruning. `lower`/`upper` accept any
+    * numeric or String; a `None` bound is unbounded. Pruning is
+    * conservative: a file survives unless its stats PROVE the range
+    * excludes it, so the pruned scan is always a superset of the
+    * matching rows — callers still apply the row-level filter. */
+  final case class StatFilter(colName: String, lower: Option[Any] = None, upper: Option[Any] = None)
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -56,24 +108,111 @@ object SnapshotTable {
       .sorted
   }
 
-  /** The file list a version names (paths relative to `dir`). */
-  private def manifestFiles(spark: SparkSession, dir: String, v: Long): Seq[String] = {
+  // ---------------------------------------------------------------
+  // Manifest serialization (Jackson — already the repo's JSON layer)
+  // ---------------------------------------------------------------
+
+  private def statToNode(node: ObjectNode, field: String, v: Any): Unit = v match {
+    case d: java.math.BigDecimal => node.put(field, d): Unit
+    case s: String => node.put(field, s): Unit
+    case other => throw new IllegalStateException(s"unsupported stat value $other")
+  }
+
+  private def nodeToStat(n: com.fasterxml.jackson.databind.JsonNode): Any =
+    if (n.isNumber) n.decimalValue() else n.asText()
+
+  private def renderManifest(m: Manifest): String = {
+    val root = mapper.createObjectNode()
+    root.put("version", m.version)
+    val bids = root.putArray("batchIds")
+    m.batchIds.toSeq.sorted.foreach(bids.add)
+    val scols = root.putArray("statsCols")
+    m.statsCols.foreach(scols.add)
+    val es = root.putArray("entries")
+    m.entries.foreach { e =>
+      val en = es.addObject()
+      en.put("path", e.path)
+      if (e.stats.nonEmpty) {
+        val st = en.putObject("stats")
+        e.stats.toSeq.sortBy(_._1).foreach { case (c, fsr) =>
+          val cn = st.putObject(c)
+          statToNode(cn, "min", fsr.min)
+          statToNode(cn, "max", fsr.max)
+        }
+      }
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  private[graft] def readManifest(spark: SparkSession, dir: String, v: Long): Manifest = {
     val f = fs(spark, dir)
     val p = manifestPath(dir, v)
     if (!f.exists(p))
       throw new IllegalArgumentException(s"snapshot table $dir has no version $v")
     val in = f.open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    // the manifest is our own write (one "files" array of quoted
-    // relative paths) — a full JSON parser would be dead weight
-    "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(body).map(_.group(1)).toSeq
+    val root = mapper.readTree(body)
+    val batchIds = Option(root.get("batchIds")).map { a =>
+      (0 until a.size).map(a.get(_).asLong).toSet
+    }.getOrElse(Set.empty[Long])
+    val statsCols = Option(root.get("statsCols")).map { a =>
+      (0 until a.size).map(a.get(_).asText)
+    }.getOrElse(Seq.empty)
+    val entries = Option(root.get("entries")).map { a =>
+      (0 until a.size).map { i =>
+        val en = a.get(i)
+        val stats = Option(en.get("stats")).map { st =>
+          val it = st.fields()
+          val b = Map.newBuilder[String, FileStat]
+          while (it.hasNext) {
+            val kv = it.next()
+            b += kv.getKey -> FileStat(nodeToStat(kv.getValue.get("min")),
+              nodeToStat(kv.getValue.get("max")))
+          }
+          b.result()
+        }.getOrElse(Map.empty[String, FileStat])
+        Entry(en.get("path").asText, stats)
+      }
+    }.getOrElse(Seq.empty)
+    // the slot NAME is authoritative for the version — a manifest can
+    // land in a slot other than the one its writer targeted only via
+    // out-of-band copies (the race spec does exactly that), and the
+    // ledger must follow the slot, not the stale body field
+    Manifest(v, batchIds, statsCols, entries)
   }
 
   /** The file list version `v` names (paths relative to `dir`) — the
     * public face of the manifest, for compaction accounting and
     * layout asserts. */
   def files(spark: SparkSession, dir: String, v: Long): Seq[String] =
-    manifestFiles(spark, dir, v)
+    readManifest(spark, dir, v).entries.map(_.path)
+
+  /** Publish `m` into its version slot atomically-if-absent: stage
+    * the fully-rendered manifest as a tmp file, then
+    * `FileContext.rename(tmp, slot, Rename.NONE)` — an existing slot
+    * raises FileAlreadyExistsException instead of being overwritten
+    * (the LocalFileSystem `FileSystem.rename` behavior that would
+    * silently lose a racing commit). Returns false on a lost race. */
+  private[graft] def tryPublish(spark: SparkSession, dir: String, m: Manifest): Boolean = {
+    val f = fs(spark, dir)
+    f.mkdirs(new Path(s"$dir/$ManifestDir"))
+    val tmp = new Path(s"$dir/$ManifestDir/.tmp-${UUID.randomUUID()}.json")
+    val out = f.create(tmp, false)
+    try out.write(renderManifest(m).getBytes(UTF_8)) finally out.close()
+    val fc = FileContext.getFileContext(f.getUri, spark.sparkContext.hadoopConfiguration)
+    try {
+      fc.rename(tmp, manifestPath(dir, m.version), Options.Rename.NONE)
+      true
+    } catch {
+      case _: FileAlreadyExistsException =>
+        f.delete(tmp, false)
+        false
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // Reads
+  // ---------------------------------------------------------------
 
   /** Read the table at `version` (default: the head). The scan is a
     * plain multi-file parquet read over exactly the manifest's files.
@@ -82,32 +221,103 @@ object SnapshotTable {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"snapshot table $dir has no committed version")
     val v = version.getOrElse(vs.last)
-    val files = manifestFiles(spark, dir, v)
-    require(files.nonEmpty, s"version $v of $dir is empty")
+    val fls = files(spark, dir, v)
+    require(fls.nonEmpty, s"version $v of $dir is empty")
     // mergeSchema: additive evolution for free — a version whose
     // batches carry different (compatible) schemas reads as their
     // union, old rows null in the new columns. The footer pass is
     // per-manifest-file, bounded by the version's file list.
     spark.read.option("mergeSchema", "true")
-      .parquet(files.map(f => s"$dir/$f"): _*)
+      .parquet(fls.map(f => s"$dir/$f"): _*)
   }
 
-  /** Append `df` as a new version; returns the committed version. */
-  def commitAppend(df: DataFrame, dir: String): Long = commit(df, dir, append = true)
+  /** Order-preserving comparison of two normalized stat values;
+    * None when the pair is incomparable (mixed types — the pruner
+    * then keeps the file). */
+  private def cmpStat(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => Some(x.compareTo(y))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case _ => None
+  }
+
+  private def toStatVal(v: Any): Any = v match {
+    case d: java.math.BigDecimal => d
+    case d: BigDecimal => d.bigDecimal
+    case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double) =>
+      new java.math.BigDecimal(n.toString)
+    case b: BigInt => new java.math.BigDecimal(b.bigInteger)
+    case s: String => s
+    case d: java.sql.Date => d.toString // ISO yyyy-MM-dd, matches the stored canonical form
+    case other => throw new IllegalArgumentException(
+      s"unsupported stat filter value $other (${other.getClass.getName})")
+  }
+
+  /** The subset of version `v`'s files that MAY satisfy `filters`,
+    * decided from manifest stats alone (no data or footer I/O),
+    * plus the version's total file count. A file without stats for a
+    * filtered column always survives (conservative). */
+  def pruneFiles(
+      spark: SparkSession, dir: String,
+      filters: Seq[StatFilter], version: Option[Long] = None): (Seq[String], Int) = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"snapshot table $dir has no committed version")
+    val m = readManifest(spark, dir, version.getOrElse(vs.last))
+    val norm = filters.map(f =>
+      (f.colName, f.lower.map(toStatVal), f.upper.map(toStatVal)))
+    val kept = m.entries.filter { e =>
+      norm.forall { case (c, lo, hi) =>
+        e.stats.get(c) match {
+          case None => true
+          case Some(st) =>
+            val aboveLo = lo.forall(l => cmpStat(st.max, l).forall(_ >= 0))
+            val belowHi = hi.forall(h => cmpStat(st.min, h).forall(_ <= 0))
+            aboveLo && belowHi
+        }
+      }
+    }
+    (kept.map(_.path), m.entries.size)
+  }
+
+  /** Read only the files whose manifest stats admit `filters` — the
+    * planning-time half of predicate pushdown, at FILE granularity
+    * and with zero data I/O for the decision. The result is a
+    * SUPERSET of the matching rows (file stats are ranges); callers
+    * compose the row-level filter on top, which the parquet scan then
+    * pushes to row groups as usual. Empty prune → empty frame with
+    * the table's head schema. */
+  def readFiltered(
+      spark: SparkSession, dir: String,
+      filters: Seq[StatFilter], version: Option[Long] = None): DataFrame = {
+    val (kept, _) = pruneFiles(spark, dir, filters, version)
+    if (kept.isEmpty) read(spark, dir, version).limit(0)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(kept.map(f => s"$dir/$f"): _*)
+  }
+
+  // ---------------------------------------------------------------
+  // Commits
+  // ---------------------------------------------------------------
+
+  /** Append `df` as a new version; returns the committed version.
+    * `statsCols` declares columns to record per-file min/max for —
+    * the declaration is sticky (unioned into the table's existing
+    * stat columns and recomputed for every future batch). Supported
+    * stat types: integral, fractional, string, date. */
+  def commitAppend(df: DataFrame, dir: String, statsCols: Seq[String] = Nil): Long =
+    commitBatch(df, dir, append = true, statsCols = statsCols)
 
   /** Replace the table contents with `df` as a new version (old
     * versions stay readable until vacuum). */
-  def commitOverwrite(df: DataFrame, dir: String): Long = commit(df, dir, append = false)
+  def commitOverwrite(df: DataFrame, dir: String, statsCols: Seq[String] = Nil): Long =
+    commitBatch(df, dir, append = false, statsCols = statsCols)
 
-  /** Stream-batch ids already committed to the table's manifests. */
-  def committedBatchIds(spark: SparkSession, dir: String): Set[Long] = {
-    val f = fs(spark, dir)
-    versions(spark, dir).flatMap { v =>
-      val in = f.open(manifestPath(dir, v))
-      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      "\"batchId\": (\\d+)".r.findFirstMatchIn(body).map(_.group(1).toLong)
-    }.toSet
-  }
+  /** Stream-batch ids already committed to the table — ONE read of
+    * the head manifest, which carries the full id set forward
+    * (O(1) per micro-batch; survives overwrite, compaction, vacuum). */
+  def committedBatchIds(spark: SparkSession, dir: String): Set[Long] =
+    versions(spark, dir).lastOption
+      .map(readManifest(spark, dir, _).batchIds)
+      .getOrElse(Set.empty)
 
   /** Idempotent streaming append: the committed manifest carries the
     * micro-batch id, so a REPLAYED batch (foreachBatch is
@@ -117,41 +327,85 @@ object SnapshotTable {
     * transactional formats use. Returns the committed version, or
     * None for a recognized replay.
     */
-  def commitStreamBatch(df: DataFrame, dir: String, batchId: Long): Option[Long] =
+  def commitStreamBatch(
+      df: DataFrame, dir: String, batchId: Long, statsCols: Seq[String] = Nil): Option[Long] =
     if (committedBatchIds(df.sparkSession, dir).contains(batchId)) None
-    else Some(commit(df, dir, append = true, batchId = Some(batchId)))
+    else Some(commitBatch(df, dir, append = true, batchId = Some(batchId), statsCols = statsCols))
 
-  private def commit(
-      df: DataFrame, dir: String, append: Boolean,
-      batchId: Option[Long] = None): Long = {
-    val spark = df.sparkSession
-    val f = fs(spark, dir)
+  /** Write `df` under a fresh batch dir; returns dir-relative paths. */
+  private def writeBatch(df: DataFrame, dir: String): Seq[String] = {
+    val f = fs(df.sparkSession, dir)
     val batch = s"batch-${UUID.randomUUID().toString}"
     df.write.parquet(s"$dir/$batch")
-    val batchFiles = f.listStatus(new Path(s"$dir/$batch")).toSeq
+    f.listStatus(new Path(s"$dir/$batch")).toSeq
       .map(_.getPath.getName).filter(_.endsWith(".parquet"))
       .map(n => s"$batch/$n")
+  }
+
+  /** Entries (with per-file min/max over `statsCols`) for
+    * just-written batch files: ONE aggregate over the batch grouped
+    * by `input_file_name` — cost proportional to the DELTA, never the
+    * table. Dates are canonicalized to ISO strings (lexicographic
+    * order == chronological); unsupported stat column types fail
+    * loudly rather than record stats that can't be compared. */
+  private def batchEntries(
+      spark: SparkSession, dir: String,
+      relPaths: Seq[String], statsCols: Seq[String]): Seq[Entry] = {
+    if (relPaths.isEmpty) return Seq.empty
+    if (statsCols.isEmpty) return relPaths.map(Entry(_, Map.empty))
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(relPaths.map(p => s"$dir/$p"): _*)
+    val present = statsCols.filter(df.columns.contains)
+    if (present.isEmpty) return relPaths.map(Entry(_, Map.empty))
+    val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    def statExpr(c: String): Column = fields(c) match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+           _: FloatType | _: DoubleType | _: DecimalType | _: StringType => col(c)
+      case _: DateType => date_format(col(c), "yyyy-MM-dd")
+      case dt => throw new IllegalArgumentException(
+        s"stat column $c has unsupported type $dt (supported: numeric, string, date)")
+    }
+    val aggs = present.flatMap(c =>
+      Seq(min(statExpr(c)).as(s"__min_$c"), max(statExpr(c)).as(s"__max_$c")))
+    val rows = df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val byRel: Map[String, Map[String, FileStat]] = rows.flatMap { r =>
+      val abs = r.getString(0)
+      relPaths.find(rp => abs.endsWith(rp)).map { rp =>
+        val stats = present.flatMap { c =>
+          (Option(r.getAs[Any](s"__min_$c")), Option(r.getAs[Any](s"__max_$c"))) match {
+            case (Some(mn), Some(mx)) => Some(c -> FileStat(toStatVal(mn), toStatVal(mx)))
+            case _ => None // all-null column in this file: no stat, pruner keeps it
+          }
+        }.toMap
+        rp -> stats
+      }
+    }.toMap
+    relPaths.map(p => Entry(p, byRel.getOrElse(p, Map.empty)))
+  }
+
+  private def commitBatch(
+      df: DataFrame, dir: String, append: Boolean,
+      batchId: Option[Long] = None, statsCols: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val batchFiles = writeBatch(df, dir)
+    var newEntries: Seq[Entry] = null
+    var entriesFor: Seq[String] = null
     var attempts = 0
     while (true) {
       attempts += 1
       require(attempts <= 20, s"commit to $dir lost 20 straight races; giving up")
-      val head = versions(spark, dir).lastOption
-      val files =
-        (if (append) head.map(manifestFiles(spark, dir, _)).getOrElse(Nil) else Nil) ++
-          batchFiles
-      val next = head.getOrElse(0L) + 1
-      val bid = batchId.map(b => s""", "batchId": $b""").getOrElse("")
-      val body = files.map(p => "\"" + p + "\"").mkString(
-        s"""{"version": $next$bid, "files": [""", ", ", "]}")
-      val tmp = new Path(s"$dir/$ManifestDir/.tmp-${UUID.randomUUID()}.json")
-      f.mkdirs(new Path(s"$dir/$ManifestDir"))
-      val out = f.create(tmp, false)
-      try out.write(body.getBytes(UTF_8)) finally out.close()
-      // rename-if-absent IS the commit: a racing writer that landed
-      // v(next) first makes this rename fail, and we retry on top of
-      // the new head — its files join ours on the append path
-      if (f.rename(tmp, manifestPath(dir, next))) return next
-      f.delete(tmp, false)
+      val head = versions(spark, dir).lastOption.map(readManifest(spark, dir, _))
+      val tableStats = (head.map(_.statsCols).getOrElse(Nil) ++ statsCols).distinct
+      if (newEntries == null || entriesFor != tableStats) {
+        newEntries = batchEntries(spark, dir, batchFiles, tableStats)
+        entriesFor = tableStats
+      }
+      val carried = if (append) head.map(_.entries).getOrElse(Nil) else Nil
+      val next = head.map(_.version).getOrElse(0L) + 1
+      val ids = head.map(_.batchIds).getOrElse(Set.empty) ++ batchId
+      if (tryPublish(spark, dir, Manifest(next, ids, tableStats, carried ++ newEntries)))
+        return next
     }
     -1L // unreachable
   }
@@ -161,7 +415,7 @@ object SnapshotTable {
     * Sinks.compact operation lifted into the format, where it belongs
     * at scale: readers of in-flight older versions are untouched (they
     * hold their manifest's files, which vacuum respects), and the
-    * swap is the same manifest rename every commit uses — no
+    * swap is the same atomic manifest publish every commit uses — no
     * rename-aside dance over live directories. Returns the committed
     * version.
     */
@@ -170,55 +424,159 @@ object SnapshotTable {
     val f = fs(spark, dir)
     val head = versions(spark, dir).lastOption.getOrElse(
       throw new IllegalArgumentException(s"snapshot table $dir has no committed version"))
-    val files = manifestFiles(spark, dir, head)
-    val bytes = files.map(p => f.getFileStatus(new Path(s"$dir/$p")).getLen).sum
+    val fls = files(spark, dir, head)
+    val bytes = fls.map(p => f.getFileStatus(new Path(s"$dir/$p")).getLen).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     commitOverwrite(read(spark, dir).coalesce(n), dir)
   }
 
+  /** The head files that contain at least one key of `keyed` (a frame
+    * holding exactly the distinct key columns): manifest-stats
+    * pruning on the FIRST key narrows the candidate set with zero
+    * I/O, then one key-bounded semi-style join over the candidates
+    * (projecting `input_file_name` BEFORE the shuffle) names the
+    * exact touched files. The collect is bounded by the file count of
+    * the candidates — never row-scaled. */
+  private def touchedFiles(
+      spark: SparkSession, dir: String, m: Manifest,
+      keyed: DataFrame, keys: Seq[String]): Seq[Entry] = {
+    val statKey = keys.headOption.filter(m.statsCols.contains)
+    val candidates = statKey match {
+      case None => m.entries
+      case Some(k) =>
+        // the delta's key range is small to compute (delta-sized agg)
+        // and discards every head file whose stats lie outside it
+        val r = keyed.agg(min(col(k)).as("mn"), max(col(k)).as("mx")).collect()(0)
+        (Option(r.get(0)), Option(r.get(1))) match {
+          case (Some(mn), Some(mx)) =>
+            val (lo, hi) = (toStatVal(mn), toStatVal(mx))
+            m.entries.filter { e =>
+              e.stats.get(k) match {
+                case None => true
+                case Some(st) =>
+                  cmpStat(st.max, lo).forall(_ >= 0) && cmpStat(st.min, hi).forall(_ <= 0)
+              }
+            }
+          case _ => m.entries
+        }
+    }
+    if (candidates.isEmpty) return Seq.empty
+    val cand = spark.read.option("mergeSchema", "true")
+      .parquet(candidates.map(e => s"$dir/${e.path}"): _*)
+    // input_file_name is only defined before the first exchange, so
+    // project it at the scan, then join
+    val touchedAbs = cand
+      .select(keys.map(col) :+ input_file_name().as("__f"): _*)
+      .join(keyed, keys, "inner")
+      .select("__f").distinct().collect().map(_.getString(0))
+    candidates.filter(e => touchedAbs.exists(_.endsWith(e.path)))
+  }
+
   /** MERGE: upsert `delta` into the head by key (update matched rows,
     * insert new ones — Maintenance.upsertKeepCols' algebra) and
-    * commit the merged state as a new version. One full-outer join +
-    * one batch write; history stays time-travelable.
+    * commit the merged state as a new version, at FILE granularity:
+    * only head files that actually contain a delta key are rewritten
+    * (touched-rows ⋈ delta through upsertKeepCols, plus all inserts);
+    * every other file is carried forward BY REFERENCE — path and
+    * stats verbatim — so the write cost scales with the delta's key
+    * locality, not the table (a 0.1% upsert into 100 TB rewrites
+    * ~0.1%, and a pure-insert merge rewrites NOTHING, degrading to an
+    * append whose CDC stays the zero-compute file diff). History
+    * stays time-travelable. A lost commit race recomputes the touched
+    * set against the new head (the conflict-detection retry of the
+    * real formats, at whole-commit granularity).
     */
-  def commitMerge(delta: DataFrame, dir: String, keys: Seq[String]): Long =
-    commitOverwrite(
-      graft.operators.Maintenance.upsertKeepCols(
-        read(delta.sparkSession, dir), delta, keys, keepCols = Set.empty),
-      dir)
+  def commitMerge(delta: DataFrame, dir: String, keys: Seq[String]): Long = {
+    val spark = delta.sparkSession
+    val keyed = delta.select(keys.map(col): _*).distinct()
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 20, s"merge into $dir lost 20 straight races; giving up")
+      val headV = versions(spark, dir).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"snapshot table $dir has no committed version"))
+      val m = readManifest(spark, dir, headV)
+      val touched = touchedFiles(spark, dir, m, keyed, keys)
+      val untouched = m.entries.filterNot(e => touched.exists(_.path == e.path))
+      val rewritten =
+        if (touched.isEmpty) delta
+        else graft.operators.Maintenance.upsertKeepCols(
+          spark.read.option("mergeSchema", "true")
+            .parquet(touched.map(e => s"$dir/${e.path}"): _*),
+          delta, keys, keepCols = Set.empty)
+      val batchFiles = writeBatch(rewritten, dir)
+      val newEntries = batchEntries(spark, dir, batchFiles, m.statsCols)
+      if (tryPublish(spark, dir,
+        Manifest(headV + 1, m.batchIds, m.statsCols, untouched ++ newEntries)))
+        return headV + 1
+      // lost the race: our batch is orphaned (no manifest names it);
+      // drop it and recompute against the new head
+      batchFiles.headOption.foreach(p =>
+        fs(spark, dir).delete(new Path(s"$dir/${p.split('/').head}"), true))
+    }
+    -1L // unreachable
+  }
 
   /** DELETE by key: drop the head rows whose key appears in `keys`
-    * (one anti join) and commit the survivors as a new version — the
-    * GDPR-erasure / retraction shape, with the deleted rows still
-    * time-travelable until vacuum ages their versions out (the
+    * and commit the survivors as a new version — the GDPR-erasure /
+    * retraction shape, file-granular like MERGE: only files that
+    * contain a doomed key are rewritten (one anti join over exactly
+    * those files); the rest carry forward by reference. Deleted rows
+    * stay time-travelable until vacuum ages their versions out (the
     * retention caveat of every versioned format: erasure completes at
     * vacuum, not at commit).
     */
-  def commitDelete(keys: DataFrame, dir: String, keyCols: Seq[String]): Long =
-    commitOverwrite(
-      read(keys.sparkSession, dir)
-        .join(keys.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
-          .distinct(), keyCols, "left_anti"),
-      dir)
+  def commitDelete(keys: DataFrame, dir: String, keyCols: Seq[String]): Long = {
+    val spark = keys.sparkSession
+    val keyed = keys.select(keyCols.map(col): _*).distinct()
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 20, s"delete from $dir lost 20 straight races; giving up")
+      val headV = versions(spark, dir).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"snapshot table $dir has no committed version"))
+      val m = readManifest(spark, dir, headV)
+      val touched = touchedFiles(spark, dir, m, keyed, keyCols)
+      if (touched.isEmpty) {
+        // nothing holds a doomed key: the delete is a metadata-only
+        // no-op commit (every entry carried forward)
+        if (tryPublish(spark, dir, Manifest(headV + 1, m.batchIds, m.statsCols, m.entries)))
+          return headV + 1
+      } else {
+        val untouched = m.entries.filterNot(e => touched.exists(_.path == e.path))
+        val survivors = spark.read.option("mergeSchema", "true")
+          .parquet(touched.map(e => s"$dir/${e.path}"): _*)
+          .join(keyed, keyCols, "left_anti")
+        val batchFiles = writeBatch(survivors, dir)
+        val newEntries = batchEntries(spark, dir, batchFiles, m.statsCols)
+        if (tryPublish(spark, dir,
+          Manifest(headV + 1, m.batchIds, m.statsCols, untouched ++ newEntries)))
+          return headV + 1
+        batchFiles.headOption.foreach(p =>
+          fs(spark, dir).delete(new Path(s"$dir/${p.split('/').head}"), true))
+      }
+    }
+    -1L // unreachable
+  }
 
   /** CDC between two versions: every row added or removed from
     * `fromV` to `toV`, tagged `_change` ∈ insert|delete. Two paths,
     * picked by the MANIFESTS alone: if the from-version's file set is
-    * a subset of the to-version's (pure appends — the common history
-    * shape), the change set IS the added files, read directly — a
+    * a subset of the to-version's (pure appends — including
+    * insert-only MERGEs, which the file-granular commit leaves as
+    * appends), the change set IS the added files, read directly — a
     * zero-compute file-level diff no matter how large the table; any
-    * rewriting commit between them (merge, delete, optimize) falls
-    * back to a content diff (exceptAll both ways — multiset-exact,
-    * one shuffle each). Downstream incremental consumers (a
-    * mergeAdditive refresh, a sync) read the changes instead of
-    * rescanning the corpus.
+    * rewriting commit between them (key-touching merge, delete,
+    * optimize) falls back to a content diff (exceptAll both ways —
+    * multiset-exact, one shuffle each). Downstream incremental
+    * consumers (a mergeAdditive refresh, a sync) read the changes
+    * instead of rescanning the corpus.
     */
   def changesBetween(
       spark: SparkSession, dir: String, fromV: Long, toV: Long): DataFrame = {
     require(fromV < toV, s"changesBetween: need fromV < toV, got $fromV >= $toV")
-    val ff = manifestFiles(spark, dir, fromV).toSet
-    val tf = manifestFiles(spark, dir, toV).toSet
-    import org.apache.spark.sql.functions.lit
+    val ff = files(spark, dir, fromV).toSet
+    val tf = files(spark, dir, toV).toSet
     if (ff.subsetOf(tf)) {
       val added = (tf -- ff).toSeq.sorted
       if (added.isEmpty)
@@ -238,20 +596,17 @@ object SnapshotTable {
     * newest `keepVersions` manifests (and every version's
     * readability within them). Returns the number of files deleted.
     *
-    * Interaction with the streaming ledger: dropped manifests take
-    * their batch ids with them, so a batch REPLAYED from before the
-    * retained window would re-commit. Keep `keepVersions` beyond the
-    * longest plausible replay horizon (a restarted AvailableNow run
-    * replays only uncommitted offsets, so in practice this means:
-    * don't vacuum between a crash and its restart).
+    * The streaming ledger SURVIVES vacuum: every manifest carries the
+    * full committed-batch-id set forward, so the retained head still
+    * answers for batches whose manifests were dropped.
     */
   def vacuum(spark: SparkSession, dir: String, keepVersions: Int): Int = {
     require(keepVersions >= 1, "vacuum must keep at least the head version")
     val f = fs(spark, dir)
     val vs = versions(spark, dir)
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
-    val live = keep.flatMap(manifestFiles(spark, dir, _)).toSet
-    val dead = drop.flatMap(manifestFiles(spark, dir, _)).toSet -- live
+    val live = keep.flatMap(files(spark, dir, _)).toSet
+    val dead = drop.flatMap(files(spark, dir, _)).toSet -- live
     dead.foreach(p => f.delete(new Path(s"$dir/$p"), false))
     drop.foreach(v => f.delete(manifestPath(dir, v), false))
     // empty batch dirs left behind are litter, not state — sweep them

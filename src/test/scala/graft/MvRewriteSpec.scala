@@ -97,6 +97,47 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterEach {
         .map { case (g, rs) => g -> rs.map(_.getDouble(2)).sum })
   }
 
+  test("non-deterministic and reference-free predicates refuse the rewrite") {
+    val dir = freshBase()
+    val mvDir = setup(dir)
+    val base = spark.read.parquet(s"$dir/base")
+    // rand() < 0.5 references nothing and is non-deterministic:
+    // routing it would re-sample at GROUP granularity (a ~50% GROUP
+    // sample with FULL counts) — must stay on the base. (A provably
+    // true rand() < 2.0 is eliminated by Spark before our rule runs,
+    // which is equally sound.)
+    val sampled = base.filter(rand() < 0.5).groupBy("grp").agg(count(lit(1)).as("n"))
+    assert(!scansMv(sampled, mvDir),
+      "a non-deterministic predicate must never route")
+    // sanity: a ROW sample sums to at most the base rows
+    assert(sampled.collect().map(_.getLong(1)).sum <= 100L)
+  }
+
+  test("a persisted catalog restores routing in a fresh session with NO register call") {
+    val dir = freshBase()
+    val mvDir = setup(dir) // register() persisted _mv_catalog.json
+    MvRewrite.clear()      // simulate a JVM restart: in-memory registry gone
+    val q0 = spark.read.parquet(s"$dir/base").groupBy("grp").agg(count(lit(1)).as("n"))
+    assert(!scansMv(q0, mvDir), "cleared registry must not route")
+    // explicit restore from the catalog file alone
+    MvRewrite.loadCatalog(spark, mvDir)
+    val q1 = spark.read.parquet(s"$dir/base").groupBy("grp").agg(count(lit(1)).as("n"))
+    assert(scansMv(q1, mvDir), "loadCatalog must restore routing")
+    assert(q1.collect().map(_.getLong(1)).toSeq.sorted == Seq(25L, 25L, 25L, 25L))
+    // autoload: a FRESH session (new rule instance, cleared registry)
+    // with only the conf set routes with no in-JVM call at all
+    MvRewrite.clear()
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.mv.autoload", mvDir)
+    val q2 = s2.read.parquet(s"$dir/base").groupBy("grp").agg(count(lit(1)).as("n"))
+    assert(scansMv(q2, mvDir), "the autoload conf must restore routing unaided")
+    // the stored fingerprint still guards freshness after restore
+    Seq((1000L, "g9", 2.0)).toDF("id", "grp", "v")
+      .write.mode("append").parquet(s"$dir/base")
+    val q3 = s2.read.parquet(s"$dir/base").groupBy("grp").agg(count(lit(1)).as("n"))
+    assert(!scansMv(q3, mvDir), "a restored registration must still detect staleness")
+  }
+
   test("a base write after register flips the fingerprint and disables routing") {
     val dir = freshBase()
     val mvDir = setup(dir)

@@ -60,6 +60,45 @@ class SnapshotTableSpec extends SparkSpec {
     assert(ids(SnapshotTable.read(spark, dir)) == Seq(1L, 2L))
   }
 
+  test("a true same-slot collision: the second publish FAILS and the winner's manifest survives") {
+    val dir = freshDir()
+    SnapshotTable.commitAppend(Seq(1L).toDF("id"), dir)
+    // two committers race for slot 2 — stage both manifests, publish
+    // in sequence: the loser must get `false` (FileContext rename
+    // with Rename.NONE refuses an existing destination; the plain
+    // FileSystem.rename on LocalFileSystem would silently overwrite)
+    val head = SnapshotTable.readManifest(spark, dir, 1L)
+    val a = head.copy(version = 2L, batchIds = Set(100L))
+    val b = head.copy(version = 2L, batchIds = Set(200L))
+    assert(SnapshotTable.tryPublish(spark, dir, a), "first publish must win the slot")
+    assert(!SnapshotTable.tryPublish(spark, dir, b),
+      "second publish into the SAME slot must fail, not silently overwrite")
+    assert(SnapshotTable.readManifest(spark, dir, 2L).batchIds == Set(100L),
+      "the winner's manifest content must survive the collision")
+    // no tmp litter left behind by the loser
+    val tmps = new java.io.File(s"$dir/_manifests").listFiles()
+      .map(_.getName).filter(_.startsWith(".tmp-"))
+    assert(tmps.isEmpty, s"loser must clean its staged tmp: ${tmps.toSeq}")
+  }
+
+  test("two genuinely concurrent appends both land; neither commit is lost") {
+    val dir = freshDir()
+    SnapshotTable.commitAppend(Seq(0L).toDF("id"), dir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fa = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = SnapshotTable.commitAppend(Seq(1L).toDF("id"), dir)
+      })
+      val fb = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = SnapshotTable.commitAppend(Seq(2L).toDF("id"), dir)
+      })
+      assert(Set(fa.get(), fb.get()) == Set(2L, 3L),
+        "racing appends must serialize into distinct versions")
+    } finally pool.shutdown()
+    assert(ids(SnapshotTable.read(spark, dir)) == Seq(0L, 1L, 2L),
+      "the head must contain BOTH racing appends")
+  }
+
   test("commitStreamBatch: a replayed batch id no-ops; distinct ids append") {
     val dir = freshDir()
     assert(SnapshotTable.commitStreamBatch(Seq(1L).toDF("id"), dir, batchId = 0L)
@@ -72,6 +111,111 @@ class SnapshotTableSpec extends SparkSpec {
     // a plain (non-stream) append carries no batch id and never blocks one
     SnapshotTable.commitAppend(Seq(3L).toDF("id"), dir)
     assert(SnapshotTable.committedBatchIds(spark, dir) == Set(0L, 1L))
+  }
+
+  test("the batch-id ledger is answered by the HEAD manifest alone (O(1) per micro-batch)") {
+    val dir = freshDir()
+    SnapshotTable.commitStreamBatch(Seq(1L).toDF("id"), dir, batchId = 0L)
+    SnapshotTable.commitStreamBatch(Seq(2L).toDF("id"), dir, batchId = 1L)
+    // an OVERWRITE between stream batches must not lose the ledger
+    SnapshotTable.commitOverwrite(Seq(9L).toDF("id"), dir)
+    SnapshotTable.commitStreamBatch(Seq(3L).toDF("id"), dir, batchId = 2L)
+    // destroy every non-head manifest: if committedBatchIds still
+    // answers, it read ONLY the head (ids carried forward, not rescanned)
+    val m = java.nio.file.Paths.get(dir, "_manifests")
+    Seq("v1.json", "v2.json", "v3.json").foreach(n =>
+      java.nio.file.Files.delete(m.resolve(n)))
+    assert(SnapshotTable.committedBatchIds(spark, dir) == Set(0L, 1L, 2L),
+      "the head manifest must carry the full committed-batch-id set")
+    assert(SnapshotTable.commitStreamBatch(Seq(99L).toDF("id"), dir, batchId = 0L).isEmpty,
+      "a replay from before the overwrite must still no-op")
+    // vacuum keeps the ledger too (head carries the union)
+    SnapshotTable.vacuum(spark, dir, keepVersions = 1)
+    assert(SnapshotTable.committedBatchIds(spark, dir) == Set(0L, 1L, 2L))
+  }
+
+  test("MERGE is file-granular copy-on-write: untouched files carry forward BY REFERENCE") {
+    val dir = freshDir()
+    // four appends = four range-disjoint file groups with id stats
+    Seq(0L until 10L, 10L until 20L, 20L until 30L, 30L until 40L).foreach { r =>
+      SnapshotTable.commitAppend(
+        r.map(i => (i, s"v$i")).toDF("id", "v").coalesce(1), dir,
+        statsCols = Seq("id"))
+    }
+    val before = SnapshotTable.files(spark, dir, 4L)
+    assert(before.size == 4)
+    // delta touches ONLY the 10..19 file (update 12, insert 1000)
+    val v5 = SnapshotTable.commitMerge(
+      Seq((12L, "V12"), (1000L, "new")).toDF("id", "v"), dir, Seq("id"))
+    assert(v5 == 5L)
+    val after = SnapshotTable.files(spark, dir, 5L)
+    val carried = before.toSet.intersect(after.toSet)
+    assert(carried.size == before.size - 1,
+      s"exactly N-1 files must carry forward verbatim; carried=$carried")
+    // the carried entries keep their STATS by reference too
+    val m5 = SnapshotTable.readManifest(spark, dir, 5L)
+    val carriedStats = m5.entries.filter(e => carried.contains(e.path))
+    assert(carriedStats.forall(_.stats.contains("id")),
+      "carried-forward entries must keep their min/max stats")
+    // and the merged content is exact
+    val got = SnapshotTable.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val want = ((0L until 40L).map(i => (i, if (i == 12L) "V12" else s"v$i")) :+
+      (1000L, "new")).sortBy(_._1)
+    assert(got == want)
+    // a PURE-INSERT merge touches nothing: all 5 head files carry
+    // forward and CDC stays the zero-compute file-level diff
+    val v6 = SnapshotTable.commitMerge(
+      Seq((2000L, "ins")).toDF("id", "v"), dir, Seq("id"))
+    assert(SnapshotTable.files(spark, dir, 6L).toSet.intersect(after.toSet) == after.toSet,
+      "insert-only merge must rewrite NO existing file")
+    val ch = SnapshotTable.changesBetween(spark, dir, 5L, v6)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(ch == Seq((2000L, "ins", "insert")))
+  }
+
+  test("DELETE is file-granular: only files holding a doomed key are rewritten") {
+    val dir = freshDir()
+    Seq(0L until 10L, 10L until 20L, 20L until 30L).foreach { r =>
+      SnapshotTable.commitAppend(r.toDF("id").coalesce(1), dir, statsCols = Seq("id"))
+    }
+    val before = SnapshotTable.files(spark, dir, 3L)
+    assert(before.size == 3)
+    val v4 = SnapshotTable.commitDelete(Seq(25L, 27L).toDF("id"), dir, Seq("id"))
+    assert(v4 == 4L)
+    val after = SnapshotTable.files(spark, dir, 4L)
+    assert(before.toSet.intersect(after.toSet).size == 2,
+      "the two untouched files must carry forward verbatim")
+    assert(ids(SnapshotTable.read(spark, dir)) ==
+      (0L until 30L).filterNot(Set(25L, 27L)).toSeq)
+    // deleting only ABSENT keys is a metadata-only commit: same entries
+    val v5 = SnapshotTable.commitDelete(Seq(777L).toDF("id"), dir, Seq("id"))
+    assert(SnapshotTable.files(spark, dir, v5) == after,
+      "an all-absent delete must not rewrite or add any file")
+  }
+
+  test("manifest stats prune files at planning time; readFiltered is a correct superset scan") {
+    val dir = freshDir()
+    Seq(0L until 10L, 10L until 20L, 20L until 30L, 30L until 40L).foreach { r =>
+      SnapshotTable.commitAppend(r.toDF("id").coalesce(1), dir, statsCols = Seq("id"))
+    }
+    val (kept, total) = SnapshotTable.pruneFiles(spark, dir,
+      Seq(SnapshotTable.StatFilter("id", lower = Some(12L), upper = Some(27L))))
+    assert(total == 4 && kept.size == 2,
+      s"id in [12,27] must keep exactly the 10..19 and 20..29 files, got $kept")
+    val rows = SnapshotTable.readFiltered(spark, dir,
+        Seq(SnapshotTable.StatFilter("id", lower = Some(12L), upper = Some(27L))))
+      .filter(col("id") >= 12 && col("id") <= 27) // residual row filter
+    assert(ids(rows) == (12L to 27L).toSeq)
+    // one-sided bound; string stats; empty prune
+    assert(SnapshotTable.pruneFiles(spark, dir,
+      Seq(SnapshotTable.StatFilter("id", lower = Some(30L))))._1.size == 1)
+    assert(SnapshotTable.readFiltered(spark, dir,
+      Seq(SnapshotTable.StatFilter("id", lower = Some(99L)))).count() == 0,
+      "a range beyond every file must scan nothing yet keep the schema")
+    // a column with no stats never prunes (conservative)
+    assert(SnapshotTable.pruneFiles(spark, dir,
+      Seq(SnapshotTable.StatFilter("nope", lower = Some(1L))))._1.size == 4)
   }
 
   test("commitMerge upserts by key as a new version; compactHead rewrites content-neutral") {
