@@ -176,6 +176,23 @@ object SparkEntry {
       out
     })
 
+  /** snapshot_zorder_prune's table, once per sf dir: append the
+    * (event_id, user_id, event_type) slice, then OPTIMIZE ZORDER on
+    * (event_id, user_id) — the two-hot-dimension layout committed as
+    * v2 with per-file stats on BOTH columns. bits=17 covers the
+    * largest sf's domains (event_id < 2^17). */
+  private val snapZMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def snapZTable(s: SparkSession, dir: String): String =
+    snapZMemo.computeIfAbsent(dir, _ => {
+      val out = s"${tempDir("graft_snap_z")}/events_tbl"
+      graft.sources.SnapshotTable.commitAppend(
+        Tables.events(s, dir).select("event_id", "user_id", "event_type"), out)
+      graft.sources.SnapshotTable.compactHeadZOrdered(
+        s, out, "event_id", "user_id", targetBytes = 24L * 1024, bits = 17)
+      out
+    })
+
   /** mv_rewrite's summary table: built + registered once per sf dir
     * (MvRewrite.register is session-global on purpose — ANY matching
     * aggregate over this base routes, and each routed row's own
@@ -278,6 +295,66 @@ object SparkEntry {
       Similarity.appendToIvfPqIndex(delta, s"$base0/app")
       Similarity.buildIvfPqIndex(emb, s"$base0/full", fitOn = Some(base))
       (s"$base0/app", s"$base0/full")
+    })
+
+  /** pq_index_delete's two indexes at the SAME codebooks (fit on the
+    * FULL corpus — the index's identity survives the erasure): `del`
+    * = build(all) then removeFromPqIndex(doomed); `full` = one-pass
+    * encode of the survivors at fitOn=all — the rebuild that never
+    * saw the doomed vectors. Encoding is a pure function of
+    * (vector, codebooks), so delete-vs-rebuild parity is structural. */
+  private val pqDeleteMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def pqDeleteIndexes(s: SparkSession, dir: String): (String, String) =
+    pqDeleteMemo.computeIfAbsent(dir, _ => {
+      val base0 = tempDir("graft_pq_delete")
+      val emb = Tables.embeddings(s, dir)
+      Similarity.buildPqIndex(emb, s"$base0/del")
+      Similarity.removeFromPqIndex(
+        emb.filter(col("vec_id") % 7 === 0).select("vec_id"), s"$base0/del")
+      Similarity.buildPqIndex(
+        emb.filter(col("vec_id") % 7 =!= 0), s"$base0/full", fitOn = Some(emb))
+      (s"$base0/del", s"$base0/full")
+    })
+
+  /** ivf_index_delete's two indexes at the SAME quantizer (fit on the
+    * full corpus), plus the cell-granularity evidence: the memo
+    * captures each cell directory's (file name, length) listing
+    * before and after the remove and records whether every UNTOUCHED
+    * cell (no doomed vector assigned to it) kept its files verbatim —
+    * the carried-by-reference contract at the index layer. Doomed =
+    * three specific ids, so most of the 16 cells must be untouched. */
+  private val ivfDeleteMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, Boolean)]()
+  private def ivfDeleteIndexes(s: SparkSession, dir: String): (String, String, Boolean) =
+    ivfDeleteMemo.computeIfAbsent(dir, _ => {
+      val root = tempDir("graft_ivf_delete")
+      val emb = Tables.embeddings(s, dir)
+      val doomedIds = Seq(10L, 11L, 12L)
+      val doomed = emb.filter(col("vec_id").isin(doomedIds.map(Long.box): _*))
+      val model = Similarity.fitIvfModel(emb)
+      Similarity.buildIvfIndex(emb, s"$root/del", model)
+      def listing(): Map[String, Seq[(String, Long)]] = {
+        val p = new org.apache.hadoop.fs.Path(s"$root/del/assignments")
+        val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        f.listStatus(p).filter(_.getPath.getName.startsWith("cell="))
+          .map(d => d.getPath.getName ->
+            f.listStatus(d.getPath).map(x => (x.getPath.getName, x.getLen))
+              .sortBy(_._1).toSeq).toMap
+      }
+      val doomedCells = s.read.parquet(s"$root/del/assignments")
+        .join(doomed.select("vec_id"), Seq("vec_id"), "left_semi")
+        .select("cell").distinct().collect().map(r => s"cell=${r.getInt(0)}").toSet
+      val before = listing()
+      Similarity.removeFromIvfIndex(doomed.select("vec_id"), s"$root/del")
+      val after = listing()
+      val untouched = before.keySet -- doomedCells
+      val carried = untouched.nonEmpty &&
+        untouched.forall(c => after.get(c).contains(before(c)))
+      Similarity.buildIvfIndex(
+        emb.filter(!col("vec_id").isin(doomedIds.map(Long.box): _*)),
+        s"$root/full", model)
+      (s"$root/del", s"$root/full", carried)
     })
 
   private val ivfPqIndexMemo =
@@ -688,9 +765,12 @@ object SparkEntry {
     "corpus_pipeline" -> ((s, dir) =>
       TextOps.corpusPipeline(Tables.documents(s, dir)).orderBy("keep_doc_id")),
     "text_stats" -> ((s, dir) => TextOps.textStats(Tables.documents(s, dir))),
-    "doc_tokens" -> ((s, dir) => TextOps.docTokens(Tables.documents(s, dir))),
-    "quality_filter" -> ((s, dir) => TextOps.qualityFilter(Tables.documents(s, dir))),
-    "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
+    "doc_tokens" -> ((s, dir) =>
+      TextOps.docTokens(Tables.documents(s, dir)).orderBy("doc_id")),
+    "quality_filter" -> ((s, dir) =>
+      TextOps.qualityFilter(Tables.documents(s, dir)).orderBy("doc_id")),
+    "doc_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
     // Per-language quality gate through the plant-markers pattern
     // (pii_redact's precedent): the synthetic corpus text is English
     // regardless of the `lang` label, so the row PLANTS deterministic
@@ -717,7 +797,7 @@ object SparkEntry {
           .when(col("lang") === "fr", plant(" le les et est une"))
           .when(col("lang") === "zh", plant(" 的 是 了 在 有"))
           .otherwise(lit("")))).drop("_tn")
-      TextOps.qualityFilterMultilang(planted)
+      TextOps.qualityFilterMultilang(planted).orderBy("doc_id")
     }),
     // Canonical normalization ahead of hash dedup. The ASCII corpus
     // has nothing to compose, so the row PLANTS decomposed sequences
@@ -755,7 +835,8 @@ object SparkEntry {
         .orderBy("keep_doc_id")
     }),
     "lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
-    "token_counts" -> ((s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))),
+    "token_counts" -> ((s, dir) =>
+      TextOps.tokenCounts(Tables.documents(s, dir)).orderBy("doc_id")),
     // Deterministic curation sampling: hash-gated, so re-runs and
     // retries select identical rows and the oracle can replay the
     // exact md5 rule.
@@ -845,7 +926,7 @@ object SparkEntry {
       TextOps.tfidfCosinePairs(Tables.documents(s, dir))
         .orderBy("doc_a", "doc_b")),
     "tfidf_topk" -> ((s, dir) =>
-      TextOps.tfidfTopK(Tables.documents(s, dir), k = 3)),
+      TextOps.tfidfTopK(Tables.documents(s, dir), k = 3).orderBy("doc_id", "rank")),
     // Misra-Gries heavy hitters vs exact top-10, PODS'12 bound
     // asserted per row (the sketch-floor pattern).
     "heavy_hitters_check" -> ((s, dir) => {
@@ -874,12 +955,14 @@ object SparkEntry {
       val d = Tables.documents(s, dir)
       TextOps.decontaminate(
         d.where(col("doc_id") % 97 =!= 0), d.where(col("doc_id") % 97 === 0))
+        .orderBy("doc_id")
     }),
     "repetition_score" -> ((s, dir) =>
-      TextOps.repetitionScore(Tables.documents(s, dir))),
+      TextOps.repetitionScore(Tables.documents(s, dir)).orderBy("doc_id")),
     // Corpus-fit bigram LM fluency score (log-free so both engines
     // compute identical integers — see TextOps.lmScore).
-    "lm_score" -> ((s, dir) => TextOps.lmScore(Tables.documents(s, dir))),
+    "lm_score" -> ((s, dir) =>
+      TextOps.lmScore(Tables.documents(s, dir)).orderBy("doc_id")),
     // Sequence packing: next-fit into 200-token context windows inside
     // md5 buckets. The oracle replays the identical scan as a
     // recursive CTE; fill-after-placement travels in the row so any
@@ -1182,6 +1265,39 @@ object SparkEntry {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       Similarity.pqTopKFromIndex(s, appDir, q, k = 10)
         .join(Similarity.pqTopKFromIndex(s, fullDir, q, k = 10),
+          Seq("q_id", "neighbor_id", "sim_e6"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_matches"))
+        .orderBy("q_id")
+    }),
+    // Retraction parity: after removeFromPqIndex(doomed), the cold
+    // query must equal a rebuild that NEVER saw the doomed vectors
+    // (same full-corpus codebooks both sides); and no doomed id may
+    // surface as a neighbor — both checks collapse into n_matches=10
+    // plus the in-row require.
+    "pq_index_delete" -> ((s, dir) => {
+      val (delDir, fullDir) = pqDeleteIndexes(s, dir)
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val cold = Similarity.pqTopKFromIndex(s, delDir, q, k = 10)
+      require(cold.filter(col("neighbor_id") % 7 === 0).isEmpty,
+        "an erased vector must never surface as a neighbor")
+      cold.join(Similarity.pqTopKFromIndex(s, fullDir, q, k = 10),
+          Seq("q_id", "neighbor_id", "sim_e6"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_matches"))
+        .orderBy("q_id")
+    }),
+    // Cell-granular IVF retraction: only cell dirs holding a doomed
+    // vector were rewritten (memo-captured listing — the in-row
+    // require), and the cold query equals the never-saw-them rebuild
+    // at the same quantizer.
+    "ivf_index_delete" -> ((s, dir) => {
+      val (delDir, fullDir, carried) = ivfDeleteIndexes(s, dir)
+      require(carried,
+        "every untouched cell dir must carry its files verbatim through the delete")
+      val cold = Similarity.ivfTopKFromIndex(s, delDir, nQueries = 5, k = 10)
+      require(cold.filter(col("neighbor_id").isin(10L, 11L, 12L)).isEmpty,
+        "an erased vector must never surface as a neighbor")
+      cold.join(Similarity.ivfTopKFromIndex(s, fullDir, nQueries = 5, k = 10),
           Seq("q_id", "neighbor_id", "sim_e6"))
         .groupBy("q_id").agg(count(lit(1)).as("n_matches"))
         .orderBy("q_id")
@@ -1971,6 +2087,66 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_id"))
         .orderBy("event_type")
+    }),
+    // OPTIMIZE ZORDER inside the versioned format: after the z-sorted
+    // rewrite, the quadrant filter (both dimensions bounded) must
+    // prune files from the manifest stats alone — the zorder_prune
+    // discipline carried into snapshot commits, so compaction never
+    // downgrades pruning. Content stays exact (the oracle replays the
+    // filter over the base rows, blind to the layout).
+    "snapshot_zorder_prune" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val tbl = snapZTable(s, dir)
+      val f = Seq(
+        SnapshotTable.StatFilter("event_id", upper = Some(4095L)),
+        SnapshotTable.StatFilter("user_id", upper = Some(63L)))
+      val (kept, total) = SnapshotTable.pruneFiles(s, tbl, f)
+      require(kept.size < total,
+        s"z-order stats must prune the quadrant query: kept ${kept.size} of $total")
+      SnapshotTable.readFiltered(s, tbl, f)
+        .filter(col("event_id") <= 4095 && col("user_id") <= 63)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum(col("user_id")).as("sum_uid"))
+        .orderBy("event_type")
+    }),
+    // Index-drift monitors (the refit trigger the frozen-quantizer
+    // family lacked): an in-distribution batch must NOT flag drift,
+    // a +5-offset distribution shift MUST — both REQUIREd in-row;
+    // the returned (probe, n_recent, drift) rows are oracle-checked
+    // against the base counts.
+    "pq_drift_check" -> ((s, dir) => {
+      val idxDir = pqIndex(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val inDist = emb.filter(col("vec_id") % 5 === 0)
+      val shifted = emb.filter(col("vec_id") % 5 === 1)
+        .withColumn("embedding",
+          org.apache.spark.sql.functions.transform(
+            col("embedding"), x => (x + lit(5.0f)).cast("float")))
+      val a = Similarity.pqDriftCheck(inDist, idxDir)
+      val b = Similarity.pqDriftCheck(shifted, idxDir)
+      require(!a.head().getBoolean(2), "in-distribution batch must not flag drift")
+      require(b.head().getBoolean(2), "shifted batch must flag drift")
+      a.select(lit("in_dist").as("probe"), col("n_recent"), col("drift"))
+        .unionByName(
+          b.select(lit("shifted").as("probe"), col("n_recent"), col("drift")))
+        .orderBy("probe")
+    }),
+    "ivf_drift_check" -> ((s, dir) => {
+      val (idxDir, _) = ivfIndex(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val inDist = emb.filter(col("vec_id") % 5 === 0)
+      val shifted = emb.filter(col("vec_id") % 5 === 1)
+        .withColumn("embedding",
+          org.apache.spark.sql.functions.transform(
+            col("embedding"), x => (x + lit(5.0f)).cast("float")))
+      val a = Similarity.ivfDriftCheck(inDist, idxDir)
+      val b = Similarity.ivfDriftCheck(shifted, idxDir)
+      require(!a.head().getBoolean(2), "in-distribution batch must not flag drift")
+      require(b.head().getBoolean(2), "shifted batch must flag drift")
+      a.select(lit("in_dist").as("probe"), col("n_recent"), col("drift"))
+        .unionByName(
+          b.select(lit("shifted").as("probe"), col("n_recent"), col("drift")))
+        .orderBy("probe")
     }),
     "mv_refresh" -> ((s, dir) => {
       val (baseDir, mv2) = mvRefreshSetup(s, dir)
@@ -3550,6 +3726,16 @@ object SparkEntry {
     "ivfpq_recall" ->
       """SELECT vec_id AS q_id, true AS floor_met FROM embeddings
         |WHERE vec_id < 5 ORDER BY q_id""".stripMargin,
+    // delete-vs-rebuild parity at shared codebooks: every query's
+    // k=10 results from the erased index must match a rebuild that
+    // never saw the doomed vectors
+    "pq_index_delete" ->
+      """SELECT vec_id AS q_id, CAST(10 AS BIGINT) AS n_matches
+        |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin,
+    // cell-granular delete parity at the shared quantizer
+    "ivf_index_delete" ->
+      """SELECT vec_id AS q_id, CAST(10 AS BIGINT) AS n_matches
+        |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin,
     // append-vs-rebuild parity at the shared frozen quantizer pair
     "ivfpq_index_append" ->
       """SELECT vec_id AS q_id, CAST(10 AS BIGINT) AS n_matches
@@ -4275,6 +4461,29 @@ object SparkEntry {
         |  SELECT event_id + 10000000, 'new' FROM events WHERE event_id % 10 = 0)
         |SELECT event_type, count(*) AS n_events
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the z-ordered pruned read must equal the same quadrant filter
+    // over the base rows (layout is invisible to the answer)
+    "snapshot_zorder_prune" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(user_id) AS BIGINT) AS sum_uid
+        |FROM events WHERE event_id <= 4095 AND user_id <= 63
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // drift flags: deterministic integer error sums; the oracle pins
+    // the probe row counts and the REQUIREd flag polarity
+    "pq_drift_check" ->
+      """SELECT 'in_dist' AS probe, count(*) AS n_recent, false AS drift
+        |FROM embeddings WHERE vec_id % 5 = 0
+        |UNION ALL
+        |SELECT 'shifted', count(*), true
+        |FROM embeddings WHERE vec_id % 5 = 1
+        |ORDER BY probe""".stripMargin,
+    "ivf_drift_check" ->
+      """SELECT 'in_dist' AS probe, count(*) AS n_recent, false AS drift
+        |FROM embeddings WHERE vec_id % 5 = 0
+        |UNION ALL
+        |SELECT 'shifted', count(*), true
+        |FROM embeddings WHERE vec_id % 5 = 1
+        |ORDER BY probe""".stripMargin,
     // the pruned+filtered read must equal the same filter over the
     // whole base (file pruning is invisible to the answer)
     "snapshot_prune" ->

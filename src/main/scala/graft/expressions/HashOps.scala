@@ -507,8 +507,14 @@ object HashOps {
     * is derivable but corpus-sized, and the rollup pins the walk
     * exactly (any divergent step lands on a different triple).
     * BMP-only contract: positions are UTF-16 units here and code
-    * points in SQL, equal while every char is BMP (asserted over the
-    * corpus; a surrogate would shift positions, not crash).
+    * points in SQL, equal while every char is BMP — ENFORCED, not
+    * assumed: a supplementary-plane char (UTF-16 surrogate) raises
+    * IllegalArgumentException instead of silently emitting positions
+    * that diverge from the code-point oracle. Every encoded document
+    * passes through this check, so the corpus-wide assertion is the
+    * encode itself; pre-filter or transliterate supplementary text
+    * before tokenizing (the quality/langId gates upstream already
+    * screen most of it).
     */
   def wordpieceEncode(
       text: UTF8String,
@@ -524,6 +530,12 @@ object HashOps {
       if (w.nonEmpty) {
         var pos = 0
         while (pos < w.length) {
+          if (Character.isSurrogate(w.charAt(pos)))
+            throw new IllegalArgumentException(
+              "wordpiece_encode: supplementary-plane char (U+" +
+                Integer.toHexString(w.codePointAt(pos)).toUpperCase +
+                ") violates the BMP-only position contract — filter or " +
+                "transliterate supplementary text before encoding")
           var len = math.min(maxLen, w.length - pos)
           var matched = false
           while (len >= 1 && !matched) {

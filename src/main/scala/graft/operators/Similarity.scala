@@ -518,6 +518,122 @@ object Similarity {
       .write.mode("append").parquet(s"$indexDir/codes")
   }
 
+  /** Retraction (the GDPR-erasure shape the snapshot table's
+    * commitDelete gives rows, now for index entries): drop `keys`
+    * (single col `vec_id`) from the PQ code table. The code table is
+    * flat (not cell-partitioned), so the rewrite is a staged
+    * anti-join over the CODES — ~10-byte rows, 26× smaller than the
+    * float corpus — swapped in with the rename-aside discipline of
+    * Sinks.overwriteAtomic; the codebooks (the index's identity) are
+    * untouched, so a query after remove(delta) is row-identical to a
+    * rebuild that never saw delta at the same codebooks — the
+    * pq_index_delete driver row states that parity through the cold
+    * query path. */
+  def removeFromPqIndex(keys: DataFrame, indexDir: String): Unit = {
+    val spark = keys.sparkSession
+    val survivors = spark.read.parquet(s"$indexDir/codes")
+      .join(keys.select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+    graft.sources.Sinks.overwriteAtomic(survivors, s"$indexDir/codes")
+  }
+
+  /** Distribution-drift monitor for the persisted PQ index — the
+    * refit trigger the frozen-quantizer appends deliberately lack
+    * (appendToPqIndex's scaladoc: encode quality of a modest delta
+    * barely moves; this is the op that CHECKS that, so the "until a
+    * scheduled refit" trade is measured instead of assumed). Signal:
+    * encode `recent` at the standing codebooks and compare its CODE
+    * USAGE HISTOGRAMS — per subspace, TV distance (half the L1 gap
+    * between the two empirical distributions, in thousandths) against
+    * the histograms of the codes the index already stores, averaged
+    * over subspaces. Histogram shift is the right drift statistic for
+    * a quantizer in high dimension: distortion ratios saturate (every
+    * isotropic vector is ~equally far from every centroid — the
+    * concentration of distances), while a distribution the codebooks
+    * don't cover collapses code usage onto a few codes and moves TV
+    * toward 1000 immediately. The baseline comes from the index's own
+    * code table (no extra build artifact; appends move the baseline
+    * with the corpus), counts are exact integers, the TV fold is
+    * driver-side BigDecimal over numSub·ncodes histogram rows — fully
+    * deterministic. A flagged batch means: schedule a refit+rebuild;
+    * meanwhile appends stay correct (PQ never loses rows, only
+    * ranking quality). Sampling note: TV of an n-row batch against a
+    * large baseline has E[TV] ≈ Σ√(p(1−p)/n)/2 noise — at the 32-code
+    * default, n=100 gives ~270e3 — so the default threshold 500 keeps
+    * small in-distribution batches quiet while a genuine collapse
+    * (one hot code per subspace → TV ≥ ~750) still trips.
+    */
+  def pqDriftCheck(
+      recent: DataFrame, indexDir: String, maxTvE3: Long = 500L): DataFrame = {
+    val spark = recent.sparkSession
+    import spark.implicits._
+    val cbs = loadCodebooks(spark, indexDir)
+    val dim = cbs.size * cbs.head.head.size
+    require(recent.select(size(col("embedding")).as("d")).head().getInt(0) == dim,
+      s"pqDriftCheck: batch dimension must match the index's $dim")
+    val (codes, _) = pqColumns(cbs)
+    def hist(df: DataFrame): Map[(Int, Int), Long] =
+      df.select(posexplode(col("codes")).as(Seq("subspace", "code")))
+        .groupBy("subspace", "code").agg(count(lit(1)).as("n"))
+        .collect() // bounded: ≤ numSub·ncodes rows
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val base = hist(spark.read.parquet(s"$indexDir/codes"))
+    val rec = hist(spread(recent).select(codes.as("codes")))
+    val nRecent = rec.valuesIterator.sum / math.max(1, cbs.size)
+    val tvE3 = meanTvE3(base, rec, cbs.size)
+    Seq((nRecent, tvE3, tvE3 > maxTvE3))
+      .toDF("n_recent", "drift_tv_e3", "drift")
+  }
+
+  /** The IVF twin of pqDriftCheck: TV distance between the recent
+    * batch's CELL-ASSIGNMENT histogram and the stored assignments'
+    * (one histogram, nlist bins). A shifted distribution crowds into
+    * cells the standing corpus barely uses — exactly what degrades
+    * probe recall, since nprobe cells are chosen by query geometry
+    * while the data sits elsewhere. Baseline from the index itself
+    * (tracks appends); the per-cell counts ride the cell-partitioned
+    * layout's metadata-cheap groupBy. */
+  def ivfDriftCheck(
+      recent: DataFrame, indexDir: String, maxTvE3: Long = 500L): DataFrame = {
+    val spark = recent.sparkSession
+    import spark.implicits._
+    val centSeq = spark.read.parquet(s"$indexDir/centroids")
+      .collect() // bounded: nlist rows
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toList: Seq[Double]))
+      .sortBy(_._1).toSeq
+    def hist(df: DataFrame): Map[(Int, Int), Long] =
+      df.groupBy("cell").agg(count(lit(1)).as("n"))
+        .collect() // bounded: nlist rows
+        .map(r => (0, r.getInt(0)) -> r.getLong(1)).toMap
+    val base = hist(spark.read.parquet(s"$indexDir/assignments"))
+    val recAssigned = assignCells(prepIvf(recent), centSeq)
+    val rec = hist(recAssigned)
+    val nRecent = rec.valuesIterator.sum
+    val tvE3 = meanTvE3(base, rec, 1)
+    Seq((nRecent, tvE3, tvE3 > maxTvE3))
+      .toDF("n_recent", "drift_tv_e3", "drift")
+  }
+
+  /** Mean (over `groups` histogram groups) total-variation distance
+    * between two count histograms keyed (group, bin), in thousandths:
+    * TV = ½·Σ|p̂ − q̂| per group. Exact BigDecimal arithmetic over
+    * integer counts — deterministic under any partitioning. */
+  private def meanTvE3(
+      a: Map[(Int, Int), Long], b: Map[(Int, Int), Long], groups: Int): Long = {
+    require(a.nonEmpty, "driftCheck: empty baseline histogram")
+    require(b.nonEmpty, "driftCheck: empty recent histogram")
+    val tv = (0 until groups).map { g =>
+      val ag = a.collect { case ((`g`, bin), n) => bin -> n }
+      val bg = b.collect { case ((`g`, bin), n) => bin -> n }
+      val an = BigDecimal(ag.valuesIterator.sum.max(1L))
+      val bn = BigDecimal(bg.valuesIterator.sum.max(1L))
+      (ag.keySet ++ bg.keySet).toSeq.map { bin =>
+        (BigDecimal(ag.getOrElse(bin, 0L)) / an -
+          BigDecimal(bg.getOrElse(bin, 0L)) / bn).abs
+      }.sum / 2
+    }.sum / groups
+    (tv * 1000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+  }
+
   /** Cold PQ query: reload the codebooks (kilobytes), reconstruct
     * candidates from their STORED codes in one narrow scan of the
     * code table (the float corpus is never touched), and rank the
@@ -1544,6 +1660,62 @@ object Similarity {
       .write.mode("append").partitionBy("cell")
       .parquet(s"$indexDir/assignments")
   }
+
+  /** Cell-granular retraction core shared by removeFromIvfIndex and
+    * removeFromIvfPqIndex: both index layouts partition their row
+    * table BY CELL, so erasing keys rewrites exactly the cell
+    * directories that hold a doomed row and never touches the rest —
+    * the file-granular commitDelete discipline, with the cell dirs
+    * playing the manifest's role. Steps: (1) one narrow (vec_id,
+    * cell) scan semi-joined to the keys names the touched cells
+    * (collect bounded by nlist); (2) the touched cells' survivors are
+    * staged to a sibling tmp dir partitioned by cell; (3) each
+    * touched live cell dir is dropped and the staged one renamed in —
+    * a cell whose rows ALL died simply has no staged dir and
+    * disappears. The swap is per-cell rename, not a transactional
+    * commit: a crash mid-swap can leave some cells erased and others
+    * not (re-run the same remove to converge — it is idempotent);
+    * readers of an in-flight swap may see a cell vanish briefly.
+    */
+  private def removeFromCellTable(keys: DataFrame, tableDir: String): Unit = {
+    val spark = keys.sparkSession
+    val k = keys.select(col("vec_id")).distinct()
+    val tbl = spark.read.parquet(tableDir)
+    val touched = tbl.select(col("vec_id"), col("cell"))
+      .join(k, Seq("vec_id"), "left_semi")
+      .select("cell").distinct().collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+    val survivors = tbl
+      .filter(col("cell").isin(touched.map(Int.box): _*))
+      .join(k, Seq("vec_id"), "left_anti")
+    val p = new org.apache.hadoop.fs.Path(tableDir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      tableDir + ".del-" + java.util.UUID.randomUUID().toString)
+    survivors.write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    touched.foreach(c =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$tableDir/cell=$c"), true))
+    f.listStatus(tmp).filter(_.getPath.getName.startsWith("cell="))
+      .foreach(s => f.rename(s.getPath,
+        new org.apache.hadoop.fs.Path(s"$tableDir/${s.getPath.getName}")))
+    f.delete(tmp, true)
+  }
+
+  /** Retraction from the persisted IVF index: erase `keys` (single
+    * col `vec_id`) from the cell-partitioned assignments — only the
+    * cell directories holding a doomed vector are rewritten, the
+    * centroids (the index's identity) are untouched, so a cold query
+    * after remove(delta) is row-identical to a rebuild at the same
+    * model that never saw delta (the ivf_index_delete driver row
+    * states that parity). */
+  def removeFromIvfIndex(keys: DataFrame, indexDir: String): Unit =
+    removeFromCellTable(keys, s"$indexDir/assignments")
+
+  /** Retraction from the composed IVF-PQ index: same cell-granular
+    * erase over the residual-code table; centroids and codebooks
+    * stay frozen. */
+  def removeFromIvfPqIndex(keys: DataFrame, indexDir: String): Unit =
+    removeFromCellTable(keys, s"$indexDir/codes")
 
   /** Query a persisted IVF index COLD: everything the query needs —
     * centroids, assignments, precomputed norms — comes off the index

@@ -350,7 +350,6 @@ object TextOps {
         col("p.n_stop_tokens").as("n_stop_tokens"),
         col("p.n_punct_chars").as("n_punct_chars"),
         col("p.n_chars").as("n_chars_measured"))
-      .orderBy("doc_id")
 
   /** The quality GATE a training-data pipeline actually runs (docTokens
     * is the profile; this is the filter): keep documents with at least
@@ -368,7 +367,6 @@ object TextOps {
       minStopPerMille: Int = 10): DataFrame =
     qualityGate(docs, minTokens, maxPunctPerMille, minStopPerMille)
       .select("doc_id", "n_tokens", "punct_per_mille", "stop_per_mille")
-      .orderBy("doc_id")
 
   /** The same gate PRESERVING the document row (plus the three gate
     * metrics): what an ingest pipeline — batch or streaming — applies
@@ -419,7 +417,6 @@ object TextOps {
       call_function("token_fingerprint", col("text"))
         .getField("n_tokens").as("ws_tokens"),
       size(regexp_extract_all(col("text"), lit(bpeIsh), lit(0))).as("bpe_ish_tokens"))
-      .orderBy("doc_id")
 
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is"),
@@ -478,7 +475,6 @@ object TextOps {
         case ((lang, _), i) => col("_h").getItem(i).as(s"hits_$lang")
       }: _*)
       .withColumn("lang_guess", voteLang(h))
-      .orderBy("doc_id")
   }
 
   /** Per-language quality gate (the multilingual composition the
@@ -523,7 +519,6 @@ object TextOps {
         col("punct_per_mille") <= maxPunctPerMille &&
         col("stop_per_mille") >= minStopPerMille)
       .select("doc_id", "lang_guess", "n_tokens", "stop_per_mille", "passes_en_floor")
-      .orderBy("doc_id")
   }
 
   /** PII redaction — the scrub a training-data pipeline runs before
@@ -681,7 +676,6 @@ object TextOps {
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select("doc_id", "rank", "term", "tf", "df", "tfidf_e6")
-      .orderBy("doc_id", "rank")
   }
 
   /** Sparse TF-IDF cosine similarity pairs — the SPARSE complement of
@@ -756,7 +750,6 @@ object TextOps {
       .select(col("doc_id"), explode(Similarity.shingles(col("text"))).as("sh"))
       .join(broadcast(probeShingles), "sh")
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
-      .orderBy("doc_id")
   }
 
   /** Gopher-style repetition screens: the fraction of duplicate
@@ -781,7 +774,6 @@ object TextOps {
       .select(col("doc_id"), size(col("toks")).as("n_toks"),
         dupE6(col("toks")).as("dup_tok_e6"),
         dupE6(col("bigrams")).as("dup_bigram_e6"))
-      .orderBy("doc_id")
   }
 
   /** Corpus-fit bigram LM fluency score (the CCNet-style quality
@@ -831,7 +823,6 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("p_e9")) * lit(1.0) / count(lit(1))).cast("long").as("lm_score_e9"))
-      .orderBy("doc_id")
   }
 
   /** Positional token fingerprint: sum_i (i+1)·(131·len(tᵢ)+ascii(tᵢ)).
@@ -851,5 +842,4 @@ object TextOps {
         col("doc_id"),
         col("f.n_tokens").as("n_tokens"),
         col("f.fingerprint").as("fingerprint"))
-      .orderBy("doc_id")
 }

@@ -430,6 +430,40 @@ object SnapshotTable {
     commitOverwrite(read(spark, dir).coalesce(n), dir)
   }
 
+  /** OPTIMIZE ZORDER: compactHead with a Morton-interleaved layout
+    * (Sinks.zValue — bit i of each dimension lands at output bits
+    * 2i/2i+1), committed as a new version whose manifest records
+    * per-file min/max for BOTH dimensions. The z-sort is what makes
+    * those stats sharp: range-partitioning on the interleaved key
+    * narrows every file's range in both columns at once, so a
+    * StatFilter on either (or both) prunes files from the manifest
+    * alone — the two-hot-dimension layout (time × user, id × key)
+    * the plain zorder_prune row proves for bare dirs, lifted into the
+    * versioned format so OPTIMIZE never downgrades pruning. `bits`
+    * must cover the larger column domain (wraparound aliases distant
+    * values into one z-cell — clustering degrades, correctness
+    * doesn't). Returns the committed version.
+    */
+  def compactHeadZOrdered(
+      spark: SparkSession, dir: String, colA: String, colB: String,
+      targetBytes: Long, bits: Int = 16): Long = {
+    require(targetBytes > 0)
+    val f = fs(spark, dir)
+    val head = versions(spark, dir).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"snapshot table $dir has no committed version"))
+    val fls = files(spark, dir, head)
+    val bytes = fls.map(p => f.getFileStatus(new Path(s"$dir/$p")).getLen).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = read(spark, dir)
+    require(!df.columns.contains("_z"), "compactHeadZOrdered reserves the column name _z")
+    val sorted = df
+      .withColumn("_z", Sinks.zValue(col(colA), col(colB), bits))
+      .repartitionByRange(n, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+    commitOverwrite(sorted, dir, statsCols = Seq(colA, colB))
+  }
+
   /** The head files that contain at least one key of `keyed` (a frame
     * holding exactly the distinct key columns): manifest-stats
     * pruning on the FIRST key narrows the candidate set with zero

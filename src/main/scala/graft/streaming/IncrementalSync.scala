@@ -282,9 +282,18 @@ object IncrementalSync {
     * ≥-true polarity means a key that has EVER crossed hotMinRows
     * salts from that batch on — no hot key is ever missed; a cold key
     * occasionally over-estimated just pays the salting tax. The
-    * sketch is depth×width longs of driver state; a restart rebuilds
-    * it by replaying the checkpointed source (or persist it per batch
-    * beside the checkpoint, the per-day-HLL pattern — constant KBs).
+    * sketch is depth×width longs of driver state, CHECKPOINTED: each
+    * batch's post-fold sketch is persisted as a 1-row parquet beside
+    * the checkpoint (rename-aside overwrite — constant ~40 KB, the
+    * per-day-HLL pattern), and a restarted query reloads it, so a key
+    * that got hot before the restart salts from the FIRST post-restart
+    * batch instead of re-accruing from zero. A replayed batch
+    * (foreachBatch is at-least-once) whose fold was already persisted
+    * is detected by batch id and NOT re-folded — the sketch sees every
+    * batch exactly once; it may be a few batches AHEAD of a replayed
+    * batch's original routing decision, which is ≥-true-safe (at most
+    * extra salting, never a missed hot key, and the split stays
+    * consistent across both join sides within the batch).
     * Returns the query plus a branch-row observer so callers (the
     * driver row, ops dashboards) can see both paths carrying rows.
     */
@@ -298,26 +307,48 @@ object IncrementalSync {
       saltFactor: Int = 4,
       depth: Int = 5,
       width: Int = 1024): (StreamingQuery, () => (Long, Long)) = {
+    val sketchDir = s"$checkpointDir/_cm_sketch"
+    // restore the persisted sketch (if any): the pre-restart heat
+    val restored: Option[(Long, Array[Long])] = {
+      val p = new org.apache.hadoop.fs.Path(sketchDir)
+      val f = p.getFileSystem(events.sparkSession.sparkContext.hadoopConfiguration)
+      if (!f.exists(p)) None
+      else {
+        val r = events.sparkSession.read.parquet(sketchDir)
+          .select("batch_id", "sketch").head()
+        Some((r.getLong(0), r.getSeq[Long](1).toArray))
+      }
+    }
     val sketch = new java.util.concurrent.atomic.AtomicReference(
-      new Array[Long](depth * width))
+      restored.map(_._2).getOrElse(new Array[Long](depth * width)))
+    val lastFolded = new java.util.concurrent.atomic.AtomicLong(
+      restored.map(_._1).getOrElse(-1L))
     val hotRows = new java.util.concurrent.atomic.AtomicLong(0L)
     val coldRows = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = events.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         import s.implicits._
-        val cm = new graft.operators.Sketches.CountMin(depth, width)
-        val delta = batch.select(col(key).cast("string"))
-          .where(col(key).isNotNull)
-          .as[String].select(cm.toColumn).head()
-        // fold the WHOLE batch in before splitting, so a key crossing
-        // the threshold inside this batch already salts this batch
-        val merged = sketch.get().clone()
-        var i = 0
-        while (i < merged.length) { merged(i) += delta(i); i += 1 }
-        sketch.set(merged)
+        if (batchId > lastFolded.get()) {
+          val cm = new graft.operators.Sketches.CountMin(depth, width)
+          val delta = batch.select(col(key).cast("string"))
+            .where(col(key).isNotNull)
+            .as[String].select(cm.toColumn).head()
+          // fold the WHOLE batch in before splitting, so a key crossing
+          // the threshold inside this batch already salts this batch
+          val next = sketch.get().clone()
+          var i = 0
+          while (i < next.length) { next(i) += delta(i); i += 1 }
+          sketch.set(next)
+          // persist post-fold: a restart resumes at this heat, and a
+          // replay of THIS batch (id ≤ the persisted one) skips the fold
+          graft.sources.Sinks.overwriteAtomic(
+            Seq((batchId, next.toSeq)).toDF("batch_id", "sketch"), sketchDir)
+          lastFolded.set(batchId)
+        } // else: replayed batch — its counts are already in the sketch
+        val merged = sketch.get()
         val out = graft.operators.Skew.cmSkewJoin(
           batch, dim, key, merged, depth, width, hotMinRows, saltFactor, "left")
         out.write.mode("append").parquet(targetDir)

@@ -241,6 +241,32 @@ object ScaleProbe {
         s"$scaledBase/f$f/mh_idx")
     }
 
+    // Snapshot-table volume fixtures (r10 VERDICT #8): v1 = the scaled
+    // events keyed+range-partitioned with event_id stats (8f files,
+    // replica ranges disjoint); v2 = a SETUP merge restating ~1% of
+    // replica 0's keys — a rewriting commit, so the timed
+    // changesBetween(1,2) below takes the content-diff path (two
+    // exceptAll shuffles over the N× table). The timed snapshot_merge
+    // then commits v3: its delta lives entirely in replica 0's key
+    // range, so manifest-stats pruning + the touched-file join bound
+    // the copy-on-write to a CONSTANT file set — the merge wall should
+    // stay ~flat as f grows, which is exactly the file-granular claim.
+    def snapDelta(salt: Int) = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), lit(s"restated_$salt").as("event_type"))
+      .filter(col("event_id") % 100 === salt)
+    if (Seq("snapshot_merge", "snapshot_changes_diff").exists(wanted))
+      for (f <- Seq(1, factor)) {
+        val dir = s"$scaledBase/f$f/snap_tbl"
+        val ev = replicate(
+          spark.read.parquet(s"$sfDir/events.parquet")
+            .select("event_id", "event_type"), f)
+          .select((col("event_id") + col("k") * 1000000000L).as("event_id"),
+            col("event_type"))
+          .repartitionByRange(8 * f, col("event_id"))
+        graft.sources.SnapshotTable.commitAppend(ev, dir, statsCols = Seq("event_id"))
+        graft.sources.SnapshotTable.commitMerge(snapDelta(7), dir, Seq("event_id"))
+      }
+
     def ops(f: Int): Seq[(String, () => DataFrame)] = {
       val docs = scaleDocs(Tables.documents(spark, sfDir), f)
       val emb = scaleEmb(Tables.embeddings(spark, sfDir), f)
@@ -311,7 +337,18 @@ object ScaleProbe {
         "subword_encode" -> (() => {
           val v = graft.operators.TextOps.buildSubwordVocab(docs)
           graft.operators.TextOps.subwordEncode(docs, v)
-        }))
+        }),
+        // r11 additions (VERDICT r10 #8): the timed merge's delta is
+        // bounded to replica 0's key range, so the COW write should be
+        // ~constant in f; the CDC content diff is the table-sized op
+        "snapshot_merge" -> (() => {
+          val v = graft.sources.SnapshotTable.commitMerge(
+            snapDelta(13), s"$scaledBase/f$f/snap_tbl", Seq("event_id"))
+          spark.range(v).toDF()
+        }),
+        "snapshot_changes_diff" -> (() =>
+          graft.sources.SnapshotTable.changesBetween(
+            spark, s"$scaledBase/f$f/snap_tbl", 1L, 2L)))
     }
 
     def selected(f: Int) = ops(f).filter { case (n, _) => wanted(n) }

@@ -159,7 +159,20 @@ class PlanSpec extends SparkSpec {
       "pagerank_personalized" -> graft.operators.PageRank.runPersonalized(
         toyEdges, toyEdges.select(col("src").as("node")).limit(1), iterations = 2),
       "label_prop" -> graft.operators.LabelProp.run(toyEdges, iterations = 2),
-      "matryoshka_topk" -> Similarity.matryoshkaTopK(emb)
+      "matryoshka_topk" -> Similarity.matryoshkaTopK(emb),
+      // r11: the sweep closes — the whole map-only text family
+      "doc_tokens" -> graft.operators.TextOps.docTokens(docs),
+      "quality_filter_op" -> graft.operators.TextOps.qualityFilter(docs),
+      "token_counts" -> graft.operators.TextOps.tokenCounts(docs),
+      "quality_filter_multilang" ->
+        graft.operators.TextOps.qualityFilterMultilang(docs),
+      "redact_pii" -> graft.operators.TextOps.redactPii(docs),
+      "tfidf_topk" -> graft.operators.TextOps.tfidfTopK(docs, k = 3),
+      "decontaminate" -> graft.operators.TextOps.decontaminate(
+        docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1)),
+      "repetition_score" -> graft.operators.TextOps.repetitionScore(docs),
+      "lm_score" -> graft.operators.TextOps.lmScore(docs),
+      "doc_fingerprint" -> graft.operators.TextOps.fingerprint(docs)
     ).foreach { case (name, df) =>
       val sorts = df.queryExecution.optimizedPlan.collect { case s: Sort => s }
       assert(sorts.isEmpty, s"$name: operator must not sort (found: $sorts)")

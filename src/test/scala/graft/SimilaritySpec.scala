@@ -454,6 +454,131 @@ class SimilaritySpec extends SparkSpec {
     assert(cold(s"$root/app") == cold(s"$root/full"))
   }
 
+  test("removeFromIvfIndex: cell-granular erase equals the never-saw-them rebuild") {
+    val emb = Tables.embeddings(spark, dir).cache()
+    val doomed = Seq(10L, 11L, 12L)
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_del_spec").toString
+    val model = Similarity.fitIvfModel(emb, nlist = 8)
+    Similarity.buildIvfIndex(emb, s"$root/del", model)
+    // which cells hold a doomed vector (they get rewritten; the rest must not)
+    import spark.implicits._
+    val doomedCells = spark.read.parquet(s"$root/del/assignments")
+      .filter(col("vec_id").isin(doomed.map(Long.box): _*))
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    def listing(): Map[String, Seq[(String, Long)]] = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/del/assignments")
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.listStatus(p).filter(_.getPath.getName.startsWith("cell="))
+        .map(d => d.getPath.getName ->
+          f.listStatus(d.getPath).map(x => (x.getPath.getName, x.getLen))
+            .sortBy(_._1).toSeq).toMap
+    }
+    val before = listing()
+    Similarity.removeFromIvfIndex(doomed.toDF("vec_id"), s"$root/del")
+    val after = listing()
+    val untouched = before.keySet -- doomedCells.map(c => s"cell=$c")
+    assert(untouched.nonEmpty, "fixture must leave some cells untouched")
+    untouched.foreach(c => assert(after.get(c).contains(before(c)),
+      s"untouched cell $c must keep its files verbatim"))
+    Similarity.buildIvfIndex(
+      emb.filter(!col("vec_id").isin(doomed.map(Long.box): _*)), s"$root/full", model)
+    def asg(p: String) = spark.read.parquet(s"$p/assignments")
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(asg(s"$root/del") == asg(s"$root/full"),
+      "post-delete assignments must equal the rebuild's")
+    // idempotent: removing the same keys again is a no-op
+    Similarity.removeFromIvfIndex(doomed.toDF("vec_id"), s"$root/del")
+    assert(asg(s"$root/del") == asg(s"$root/full"))
+  }
+
+  test("removeFromCellTable: a fully-emptied cell DISAPPEARS (no stale rows, no litter)") {
+    import spark.implicits._
+    // two tight clusters; nlist=2 puts each in its own cell
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0.9f, 0.1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f)), (4L, Array(0f, 0.1f, 0.9f, 0f))
+    ).toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_empty_spec").toString
+    val model = Similarity.fitIvfModel(vecs, nlist = 2)
+    Similarity.buildIvfIndex(vecs, s"$root/idx", model)
+    val cellOf1 = spark.read.parquet(s"$root/idx/assignments")
+      .filter(col("vec_id") === 1L).select("cell").head().getInt(0)
+    val doomed = spark.read.parquet(s"$root/idx/assignments")
+      .filter(col("cell") === cellOf1).select("vec_id")
+    Similarity.removeFromIvfIndex(doomed, s"$root/idx")
+    val left = spark.read.parquet(s"$root/idx/assignments")
+      .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(left.forall(_._2 != cellOf1), s"emptied cell must hold no rows: ${left.toSeq}")
+    assert(left.nonEmpty, "the other cell must survive")
+    val f = new org.apache.hadoop.fs.Path(s"$root/idx/assignments")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(
+      s"$root/idx/assignments/cell=$cellOf1")),
+      "the emptied cell directory itself must be gone")
+    // no staging litter
+    assert(!f.listStatus(new org.apache.hadoop.fs.Path(s"$root/idx")).exists(
+      _.getPath.getName.contains(".del-")), "staged tmp dirs must be cleaned")
+  }
+
+  test("removeFromPqIndex and removeFromIvfPqIndex equal rebuilds at frozen quantizers") {
+    val emb = Tables.embeddings(spark, dir).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_del_spec").toString
+    // PQ: flat code table, staged anti-join rewrite
+    Similarity.buildPqIndex(emb, s"$root/pq")
+    Similarity.removeFromPqIndex(
+      emb.filter(col("vec_id") % 7 === 0).select("vec_id"), s"$root/pq")
+    Similarity.buildPqIndex(
+      emb.filter(col("vec_id") % 7 =!= 0), s"$root/pq_full", fitOn = Some(emb))
+    def codes(p: String) = spark.read.parquet(s"$p/codes")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq)).toSet
+    assert(codes(s"$root/pq") == codes(s"$root/pq_full"),
+      "post-delete PQ codes must equal the never-saw-them rebuild's")
+    // IVF-PQ: cell-partitioned residual codes, cell-granular rewrite
+    Similarity.buildIvfPqIndex(emb, s"$root/ivfpq", nlist = 8)
+    Similarity.removeFromIvfPqIndex(
+      emb.filter(col("vec_id") % 7 === 0).select("vec_id"), s"$root/ivfpq")
+    val doomedLeft = spark.read.parquet(s"$root/ivfpq/codes")
+      .filter(col("vec_id") % 7 === 0).count()
+    assert(doomedLeft == 0, "no erased vector may remain in the code table")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val neigh = Similarity.ivfPqTopKFromIndex(spark, s"$root/ivfpq", q, k = 5)
+      .filter(col("neighbor_id") % 7 === 0).count()
+    assert(neigh == 0, "an erased vector must never surface as a neighbor")
+  }
+
+  test("drift checks: the index's own mixture is quiet, a collapsed mixture trips") {
+    import spark.implicits._
+    // 100 vectors in 4 tight one-hot clusters, 25 each — the balanced
+    // mixture the quantizers are fit on
+    val vecs = (0 until 100).map { i =>
+      val d = i % 4
+      (i.toLong, Array.tabulate(4)(j => if (j == d) 1f else 0.01f * (i % 3)))
+    }.toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft_drift_spec").toString
+    val model = Similarity.fitIvfModel(vecs, nlist = 4, trainFraction = 1.0)
+    Similarity.buildIvfIndex(vecs, s"$root/ivf", model)
+    // a recent batch with the SAME mixture: TV 0, quiet
+    val sameMix = vecs.filter(col("vec_id") < 40)
+    val q = Similarity.ivfDriftCheck(sameMix, s"$root/ivf").head()
+    assert(!q.getBoolean(2) && q.getLong(1) == 0L,
+      s"the index's own mixture must measure TV 0: $q")
+    // a batch collapsed onto ONE cluster: TV = ½(¾ + 3·¼) = 750e3
+    val collapsed = vecs.filter(col("vec_id") % 4 === 0).limit(20)
+    val d = Similarity.ivfDriftCheck(collapsed, s"$root/ivf").head()
+    assert(d.getBoolean(2) && d.getLong(1) == 750L,
+      s"a single-cluster batch must trip at exactly 750e3: $d")
+    // PQ twin: code-usage histograms move the same way
+    Similarity.buildPqIndex(vecs, s"$root/pq", numSub = 2, ncodes = 4,
+      trainFraction = 1.0, maxTrainRows = 200)
+    val qp = Similarity.pqDriftCheck(sameMix, s"$root/pq").head()
+    val dp = Similarity.pqDriftCheck(collapsed, s"$root/pq").head()
+    assert(qp.getLong(1) <= 100L, s"same-mixture PQ TV must stay near 0: $qp")
+    assert(dp.getLong(1) > qp.getLong(1),
+      s"the collapsed batch must measure worse: $dp vs $qp")
+  }
+
   test("ivf top-k: candidates carry exact similarities; full-probe = exact search") {
     val emb = Tables.embeddings(spark, dir).cache()
     val exactAll = Similarity.cosineTopK(emb, nQueries = 3, k = 1000)

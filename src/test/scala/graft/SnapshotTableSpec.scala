@@ -218,6 +218,35 @@ class SnapshotTableSpec extends SparkSpec {
       Seq(SnapshotTable.StatFilter("nope", lower = Some(1L))))._1.size == 4)
   }
 
+  test("compactHeadZOrdered: content-neutral rewrite whose stats prune BOTH dimensions") {
+    val dir = freshDir()
+    val grid = for { a <- 0L until 16L; b <- 0L until 16L } yield (a, b)
+    SnapshotTable.commitAppend(grid.toDF("a", "b").repartition(4), dir)
+    val v2 = SnapshotTable.compactHeadZOrdered(spark, dir, "a", "b",
+      targetBytes = 1024L, bits = 4)
+    assert(v2 == 2L)
+    val got = SnapshotTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == grid.toSet, "OPTIMIZE ZORDER must not change a row")
+    // the (a<8, b<8) quadrant is the lowest quarter of z-space: most
+    // files must be provably irrelevant from the manifest alone
+    val quad = Seq(SnapshotTable.StatFilter("a", upper = Some(7L)),
+      SnapshotTable.StatFilter("b", upper = Some(7L)))
+    val (kept, total) = SnapshotTable.pruneFiles(spark, dir, quad)
+    assert(total >= 4, s"fixture needs several files, got $total")
+    assert(kept.size < total, s"quadrant must prune: kept ${kept.size} of $total")
+    // EACH single dimension prunes too — the whole point of z-order
+    // over a single-column sort
+    Seq("a", "b").foreach { c =>
+      val (k1, _) = SnapshotTable.pruneFiles(spark, dir,
+        Seq(SnapshotTable.StatFilter(c, lower = Some(12L))))
+      assert(k1.size < total, s"high-$c filter must prune files")
+    }
+    val rows = SnapshotTable.readFiltered(spark, dir, quad)
+      .filter(col("a") <= 7 && col("b") <= 7)
+    assert(rows.count() == 64L)
+  }
+
   test("commitMerge upserts by key as a new version; compactHead rewrites content-neutral") {
     val dir = freshDir()
     SnapshotTable.commitAppend(

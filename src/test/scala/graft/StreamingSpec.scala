@@ -228,6 +228,46 @@ class StreamingSpec extends SparkSpec {
       s"exactly-once resume must yield 1,2,3 — got ${got.toSeq}")
   }
 
+  test("skewJoinSync: persisted Count-Min heat salts the FIRST post-restart batch") {
+    val base = Files.createTempDirectory("graft_cm_restart").toString
+    val src = s"$base/src"; Files.createDirectories(Paths.get(src))
+    import spark.implicits._
+    val dim = (1L to 10L).map(k => (k, s"seg$k")).toDF("user_id", "segment")
+    def rows(n: Int, uid: Long, from: Int): String =
+      (from until from + n).map(i => s"""{"event_id":$i,"user_id":$uid}""").mkString("\n")
+    def start(ckpt: String, source: String) = {
+      val stream = spark.readStream.schema("event_id LONG, user_id LONG").json(source)
+      IncrementalSync.skewJoinSync(stream, dim, "user_id",
+        s"$base/target-${ckpt.hashCode}", s"$base/$ckpt", hotMinRows = 40L)
+    }
+    // run 1: user 1 is hot (50 ≥ 40), user 2 cold (2)
+    Files.write(Paths.get(s"$src/b1.json"),
+      (rows(50, 1L, 0) + "\n" + rows(2, 2L, 100)).getBytes)
+    val (q1, br1) = start("ckpt", src)
+    q1.awaitTermination()
+    assert(br1() == (50L, 2L), s"run 1 split must be (50 hot, 2 cold), got ${br1()}")
+    // run 2, SAME checkpoint: user 1 sends only 5 events — far below
+    // the threshold on their own; only the RESTORED sketch can know
+    // they are hot, so hot=5 proves the persistence
+    Files.write(Paths.get(s"$src/b2.json"),
+      (rows(5, 1L, 200) + "\n" + rows(3, 2L, 300)).getBytes)
+    val (q2, br2) = start("ckpt", src)
+    q2.awaitTermination()
+    assert(br2() == (5L, 3L),
+      s"pre-restart heat must salt the first post-restart batch, got ${br2()}")
+    // control: the SAME small batch under a fresh checkpoint (no
+    // persisted sketch) routes everything cold — the restore above,
+    // not batch-local counting, made user 1 hot
+    val src2 = s"$base/src2"; Files.createDirectories(Paths.get(src2))
+    Files.copy(Paths.get(s"$src/b2.json"), Paths.get(s"$src2/b2.json"))
+    val (q3, br3) = start("ckpt-fresh", src2)
+    q3.awaitTermination()
+    assert(br3() == (0L, 8L), s"fresh sketch must route all cold, got ${br3()}")
+    // and the answer stays the plain join regardless of routing
+    val got = spark.read.parquet(s"$base/target-${"ckpt".hashCode}")
+    assert(got.count() == 60L && got.filter(col("segment").isNull).isEmpty)
+  }
+
   test("sessionize: data-driven sessions close on gap, state per key") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -30,6 +30,15 @@ class TextSketchSpec extends SparkSpec {
     // two words sum; leading/trailing whitespace tokenizes away
     assert(enc("  abcd abd ") == (4, 0, 11L))
     assert(enc("") == (0, 0, 0L))
+    // BMP-only contract is ENFORCED: a supplementary-plane char
+    // (UTF-16 surrogate pair) raises instead of silently emitting
+    // positions that diverge from the code-point oracle
+    val boom = intercept[Exception] { enc("ab😀cd") }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(boom).contains("BMP-only"),
+      s"surrogate input must fail the contract loudly: ${rootMsg(boom)}")
   }
 
   test("normalizeText composes NFC, folds case, collapses whitespace") {
@@ -219,7 +228,7 @@ class TextSketchSpec extends SparkSpec {
       (2L, "common mid"),
       (3L, "common common"),
       (4L, "common")).toDF("doc_id", "text")
-    val got = TextOps.tfidfTopK(docs, k = 2)
+    val got = TextOps.tfidfTopK(docs, k = 2).orderBy("doc_id", "rank")
       .as[(Long, Long, String, Long, Long, Long)].collect().toSeq
     // doc 1: rare tf=2 df=1 -> 2*1e6*4/1 = 8e6; mid tf=1 df=2 -> 2e6; common tf=1 df=4 -> 1e6
     assert(got.filter(_._1 == 1L) === Seq(
@@ -403,7 +412,7 @@ class TextSketchSpec extends SparkSpec {
       (3L, "entirely unrelated words in this one"),
       (4L, "brown fox jumps highest of all")       // shares 1
     ).toDF("doc_id", "text")
-    val got = TextOps.decontaminate(corpus, probe)
+    val got = TextOps.decontaminate(corpus, probe).orderBy("doc_id")
       .as[(Long, Long)].collect().toList
     assert(got === List((1L, 2L), (4L, 1L)))
   }
@@ -445,7 +454,7 @@ class TextSketchSpec extends SparkSpec {
       (4L, "solo"),             // 1 tok: no bigrams — guard path, not negative-index
       (5L, "")                  // empty: n=0 → all zeros
     ).toDF("doc_id", "text")
-    val got = TextOps.repetitionScore(docs)
+    val got = TextOps.repetitionScore(docs).orderBy("doc_id")
       .as[(Long, Int, Long, Long)].collect().toList
     assert(got === List(
       (1L, 4, 750000L, 666667L),
