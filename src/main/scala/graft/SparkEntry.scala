@@ -2772,6 +2772,39 @@ object SparkEntry {
         .groupBy("lang").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang")
     }),
+    // Streaming ingest + exactly-once CDC-maintained summary — the
+    // snapshot_ivm loop run CONTINUOUSLY: each micro-batch commits as
+    // a version (ledger no-ops replays) and reconciles the summary to
+    // the head via the zero-compute file-diff CDC + one signed
+    // mergeAdditive; the summary's _asof cursor rides its rows
+    // atomically. In-row requires pin the cursor at the head and the
+    // full-replay no-op (ledger AND summary); the oracle recomputes
+    // the lang census from the base rows.
+    "stream_snapshot_summary" -> ((s, dir) => streamRow(s) {
+      val src = docChunks(s, dir)
+      val base = tempDir("graft_stream_snapsum")
+      val schema = s.read.parquet(src).schema
+      def run(ckpt: String) = {
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        graft.streaming.IncrementalSync.snapshotIngestWithSummary(
+          stream, s"$base/tbl", s"$base/sum", "lang", s"$base/$ckpt")
+          .awaitTermination()
+      }
+      run("ckpt")
+      val vs = graft.sources.SnapshotTable.versions(s, s"$base/tbl")
+      require(vs.size >= 2, s"two source chunks must land as two commits: $vs")
+      def asof = s.read.parquet(s"$base/sum")
+        .agg(max(col("_asof"))).head().getLong(0)
+      require(asof == vs.last, "the summary must answer for the head version")
+      run("ckpt_replay")
+      require(graft.sources.SnapshotTable.versions(s, s"$base/tbl") == vs &&
+        asof == vs.last,
+        "a full replay must no-op the ledger AND the summary")
+      s.read.parquet(s"$base/sum")
+        .select(col("lang"), col("cnt").as("n_docs"))
+        .orderBy("lang")
+    }),
     // Streaming-maintained materialized view — three families in one
     // row: each micro-batch folds its counts into the summary with
     // mergeAdditive (never a base rescan), and registering the final
@@ -4416,6 +4449,11 @@ object SparkEntry {
     "stream_mv_refresh" ->
       """SELECT event_type, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the continuously-maintained summary must equal the direct lang
+    // census over every streamed row, exactly once, across the replay
+    "stream_snapshot_summary" ->
+      """SELECT lang, count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // every streamed document row, exactly once, across the replay
     "stream_snapshot_ingest" ->
       """SELECT lang, count(*) AS n_docs

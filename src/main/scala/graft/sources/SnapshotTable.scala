@@ -466,34 +466,41 @@ object SnapshotTable {
 
   /** The head files that contain at least one key of `keyed` (a frame
     * holding exactly the distinct key columns): manifest-stats
-    * pruning on the FIRST key narrows the candidate set with zero
-    * I/O, then one key-bounded semi-style join over the candidates
-    * (projecting `input_file_name` BEFORE the shuffle) names the
-    * exact touched files. The collect is bounded by the file count of
-    * the candidates — never row-scaled. */
+    * pruning on EVERY key column that carries stats narrows the
+    * candidate set with zero I/O (one delta-sized aggregate yields
+    * all the key ranges), then one key-bounded semi-style join over
+    * the candidates (projecting `input_file_name` BEFORE the shuffle)
+    * names the exact touched files. The collect is bounded by the
+    * file count of the candidates — never row-scaled. */
   private def touchedFiles(
       spark: SparkSession, dir: String, m: Manifest,
       keyed: DataFrame, keys: Seq[String]): Seq[Entry] = {
-    val statKey = keys.headOption.filter(m.statsCols.contains)
-    val candidates = statKey match {
-      case None => m.entries
-      case Some(k) =>
-        // the delta's key range is small to compute (delta-sized agg)
-        // and discards every head file whose stats lie outside it
-        val r = keyed.agg(min(col(k)).as("mn"), max(col(k)).as("mx")).collect()(0)
-        (Option(r.get(0)), Option(r.get(1))) match {
-          case (Some(mn), Some(mx)) =>
-            val (lo, hi) = (toStatVal(mn), toStatVal(mx))
-            m.entries.filter { e =>
-              e.stats.get(k) match {
-                case None => true
-                case Some(st) =>
-                  cmpStat(st.max, lo).forall(_ >= 0) && cmpStat(st.min, hi).forall(_ <= 0)
-              }
-            }
-          case _ => m.entries
+    val statKeys = keys.filter(m.statsCols.contains)
+    val candidates =
+      if (statKeys.isEmpty) m.entries
+      else {
+        // the delta's key ranges are small to compute (ONE delta-sized
+        // agg) and discard every head file whose stats lie outside ANY
+        // of them (a file must overlap on every key to hold a match)
+        val aggs = statKeys.flatMap(k =>
+          Seq(min(col(k)).as(s"mn_$k"), max(col(k)).as(s"mx_$k")))
+        val r = keyed.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val ranges = statKeys.flatMap { k =>
+          (Option(r.getAs[Any](s"mn_$k")), Option(r.getAs[Any](s"mx_$k"))) match {
+            case (Some(mn), Some(mx)) => Some(k -> (toStatVal(mn), toStatVal(mx)))
+            case _ => None
+          }
         }
-    }
+        m.entries.filter { e =>
+          ranges.forall { case (k, (lo, hi)) =>
+            e.stats.get(k) match {
+              case None => true
+              case Some(st) =>
+                cmpStat(st.max, lo).forall(_ >= 0) && cmpStat(st.min, hi).forall(_ <= 0)
+            }
+          }
+        }
+      }
     if (candidates.isEmpty) return Seq.empty
     val cand = spark.read.option("mergeSchema", "true")
       .parquet(candidates.map(e => s"$dir/${e.path}"): _*)

@@ -538,4 +538,64 @@ object IncrementalSync {
         ()
       }
       .start()
+
+  /** Streaming ingest into the snapshot table WITH an exactly-once
+    * incrementally-maintained summary — the snapshot_ivm CDC loop run
+    * CONTINUOUSLY: each micro-batch (a) commits itself as a version
+    * through the batch-id ledger (replays no-op) and (b) reconciles
+    * the summary to the table's HEAD via CDC. The summary carries the
+    * version it answers for (`_asof`, a constant column riding every
+    * row, rewritten rename-aside-atomically WITH the content), and
+    * maintenance applies changesBetween(_asof, head) — the
+    * zero-compute file diff for this append-only history — through
+    * one signed mergeAdditive. Cursor-reconcile, not per-batch
+    * bookkeeping, is what makes the pair exactly-once under
+    * at-least-once foreachBatch: a crash between commit and summary
+    * write leaves the summary one version behind and the NEXT batch's
+    * reconcile catches it up (any out-of-band batch commit is picked
+    * up the same way); a replayed batch finds ledger and cursor
+    * already advanced and no-ops both. Reads are delta-sized only —
+    * the change files plus the old kilobyte summary, never a table
+    * rescan.
+    */
+  def snapshotIngestWithSummary(
+      stream: DataFrame,
+      tableDir: String,
+      summaryDir: String,
+      groupCol: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        import graft.sources.SnapshotTable
+        SnapshotTable.commitStreamBatch(batch, tableDir, id)
+        val head = SnapshotTable.versions(s, tableDir).last
+        val sumPath = new org.apache.hadoop.fs.Path(summaryDir)
+        val fsys = sumPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val cur: Option[Long] =
+          if (!fsys.exists(sumPath)) None
+          else Some(s.read.parquet(summaryDir)
+            .agg(max(col("_asof"))).head().getLong(0))
+        if (cur.forall(_ < head)) {
+          val next = cur match {
+            case None =>
+              SnapshotTable.read(s, tableDir, Some(head))
+                .groupBy(groupCol).agg(count(lit(1)).as("cnt"))
+            case Some(c) =>
+              val delta = SnapshotTable.changesBetween(s, tableDir, c, head)
+                .groupBy(groupCol)
+                .agg(sum(when(col("_change") === "insert", 1L)
+                  .otherwise(-1L)).as("cnt"))
+              graft.operators.Incremental.mergeAdditive(
+                s.read.parquet(summaryDir).drop("_asof"), delta,
+                Seq(groupCol), Seq("cnt")).filter(col("cnt") =!= 0)
+          }
+          graft.sources.Sinks.overwriteAtomic(
+            next.withColumn("_asof", lit(head)), summaryDir)
+        }
+        ()
+      }
+      .start()
 }

@@ -268,6 +268,38 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() == 60L && got.filter(col("segment").isNull).isEmpty)
   }
 
+  test("snapshotIngestWithSummary: a crash between commit and summary write reconciles on the next batch") {
+    val base = Files.createTempDirectory("graft_snapsum").toString
+    val src = s"$base/src"; Files.createDirectories(Paths.get(src))
+    import spark.implicits._
+    def run() = {
+      val stream = spark.readStream.schema("id LONG, grp STRING").json(src)
+      IncrementalSync.snapshotIngestWithSummary(
+        stream, s"$base/tbl", s"$base/sum", "grp", s"$base/ckpt")
+        .awaitTermination()
+    }
+    def summary(): Map[String, Long] = spark.read.parquet(s"$base/sum")
+      .select("grp", "cnt").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def asof(): Long = spark.read.parquet(s"$base/sum")
+      .agg(max(col("_asof"))).head().getLong(0)
+    Files.write(Paths.get(s"$src/b1.json"),
+      """{"id":1,"grp":"a"}
+        |{"id":2,"grp":"b"}""".stripMargin.getBytes)
+    run()
+    assert(summary() == Map("a" -> 1L, "b" -> 1L) && asof() == 1L)
+    // simulate a crashed run that COMMITTED a version but died before
+    // the summary write: the table advances out-of-band, summary lags
+    graft.sources.SnapshotTable.commitStreamBatch(
+      Seq((3L, "a")).toDF("id", "grp"), s"$base/tbl", batchId = 99L)
+    assert(asof() == 1L, "summary must lag the out-of-band commit")
+    // the next streamed batch reconciles BOTH its own rows and the lag
+    Files.write(Paths.get(s"$src/b2.json"), """{"id":4,"grp":"b"}""".getBytes)
+    run()
+    assert(summary() == Map("a" -> 2L, "b" -> 2L),
+      s"reconcile must fold the lagged version AND the new batch: ${summary()}")
+    assert(asof() == graft.sources.SnapshotTable.versions(spark, s"$base/tbl").last)
+  }
+
   test("sessionize: data-driven sessions close on gap, state per key") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
