@@ -193,6 +193,10 @@ object SparkEntry {
       out
     })
 
+  /** snapshot_small_compact's table (built lazily inside the row). */
+  private val snapSmallMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** mv_rewrite's summary table: built + registered once per sf dir
     * (MvRewrite.register is session-global on purpose — ANY matching
     * aggregate over this base routes, and each routed row's own
@@ -2006,6 +2010,53 @@ object SparkEntry {
     "snapshot_time_travel" -> ((s, dir) => {
       val tbl = snapshotTable(s, dir)
       graft.sources.SnapshotTable.read(s, tbl, Some(1L))
+        .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
+    // Timestamp time travel: "the table as of v1's commit instant"
+    // must be exactly v1 — versionAt resolves the latest version
+    // committed at-or-before the instant, so the same oracle as
+    // snapshot_time_travel answers (an off-by-one in the resolver
+    // reads the head and goes red on row counts).
+    "snapshot_time_travel_ts" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val tbl = snapshotTable(s, dir)
+      val t1 = SnapshotTable.readManifest(s, tbl, 1L).committedAtMs
+      val t2 = SnapshotTable.readManifest(s, tbl, 2L).committedAtMs
+      require(t2 > t1, "fixture commits must carry increasing instants")
+      require(SnapshotTable.versionAt(s, tbl, t2 - 1) == 1L,
+        "an instant between commits must resolve to the earlier version")
+      SnapshotTable.readAsOf(s, tbl, t1)
+        .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
+    // File-granular OPTIMIZE: only the splinter tail rewrites; the
+    // well-sized base file must carry into the new manifest verbatim
+    // (in-row require), and the content — base + the five appended
+    // 1%-slices — is what the oracle recomputes from the base rows.
+    "snapshot_small_compact" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val tbl = snapSmallMemo.computeIfAbsent(dir, _ => {
+        val out = s"${tempDir("graft_snap_small")}/events_tbl"
+        val ev = Tables.events(s, dir).select("event_id", "event_type")
+        SnapshotTable.commitAppend(ev.coalesce(1), out, statsCols = Seq("event_id"))
+        (0 until 5).foreach(i => SnapshotTable.commitAppend(
+          ev.filter(col("event_id") % 97 === i).coalesce(1), out))
+        val before = SnapshotTable.files(s, out, 6L)
+        val f = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val bigSize = f.getFileStatus(
+          new org.apache.hadoop.fs.Path(s"$out/${before.head}")).getLen
+        val v = SnapshotTable.compactSmallFiles(s, out,
+          smallBytes = bigSize, targetBytes = 1L << 30)
+        require(v == 7L, s"compaction must land as version 7, got $v")
+        val after = SnapshotTable.files(s, out, v)
+        require(after.contains(before.head) && after.size < before.size,
+          s"the big file must carry by reference and the tail must shrink: " +
+            s"${before.size} -> ${after.size}")
+        out
+      })
+      SnapshotTable.read(s, tbl)
         .groupBy("event_type").agg(count(lit(1)).as("n_events"))
         .orderBy("event_type")
     }),
@@ -4534,6 +4585,18 @@ object SparkEntry {
     "snapshot_table_read" ->
       """SELECT event_type, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // "as of v1's instant" = exactly the v1 slice
+    "snapshot_time_travel_ts" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM events WHERE event_id % 5 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // base + the five appended 1%-slices, layout-blind
+    "snapshot_small_compact" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM (SELECT event_type FROM events
+        |      UNION ALL
+        |      SELECT event_type FROM events WHERE event_id % 97 < 5)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // v1 = exactly the pre-append slice
     "snapshot_time_travel" ->
       """SELECT event_type, count(*) AS n_events

@@ -80,7 +80,8 @@ object SnapshotTable {
       version: Long,
       batchIds: Set[Long],
       statsCols: Seq[String],
-      entries: Seq[Entry])
+      entries: Seq[Entry],
+      committedAtMs: Long = 0L)
 
   /** An inclusive-bounds range predicate over one stat column, used
     * for planning-time file pruning. `lower`/`upper` accept any
@@ -124,6 +125,7 @@ object SnapshotTable {
   private def renderManifest(m: Manifest): String = {
     val root = mapper.createObjectNode()
     root.put("version", m.version)
+    root.put("committedAtMs", m.committedAtMs)
     val bids = root.putArray("batchIds")
     m.batchIds.toSeq.sorted.foreach(bids.add)
     val scols = root.putArray("statsCols")
@@ -178,7 +180,8 @@ object SnapshotTable {
     // land in a slot other than the one its writer targeted only via
     // out-of-band copies (the race spec does exactly that), and the
     // ledger must follow the slot, not the stale body field
-    Manifest(v, batchIds, statsCols, entries)
+    Manifest(v, batchIds, statsCols, entries,
+      Option(root.get("committedAtMs")).map(_.asLong).getOrElse(0L))
   }
 
   /** The file list version `v` names (paths relative to `dir`) — the
@@ -198,7 +201,11 @@ object SnapshotTable {
     f.mkdirs(new Path(s"$dir/$ManifestDir"))
     val tmp = new Path(s"$dir/$ManifestDir/.tmp-${UUID.randomUUID()}.json")
     val out = f.create(tmp, false)
-    try out.write(renderManifest(m).getBytes(UTF_8)) finally out.close()
+    // the commit instant is stamped HERE — publish time, one writer,
+    // one clock — so timestamp travel resolves against the same
+    // ordering the version numbers express
+    val stamped = m.copy(committedAtMs = System.currentTimeMillis())
+    try out.write(renderManifest(stamped).getBytes(UTF_8)) finally out.close()
     val fc = FileContext.getFileContext(f.getUri, spark.sparkContext.hadoopConfiguration)
     try {
       fc.rename(tmp, manifestPath(dir, m.version), Options.Rename.NONE)
@@ -230,6 +237,24 @@ object SnapshotTable {
     spark.read.option("mergeSchema", "true")
       .parquet(fls.map(f => s"$dir/$f"): _*)
   }
+
+  /** The latest version committed at or before `tsMs` — timestamp
+    * time travel's resolver ("the table as of last night 02:00").
+    * Commit instants are stamped at publish; ties (same-millisecond
+    * commits) resolve to the LATER version, matching "as of" reading.
+    * Errors if the table has no version that old. */
+  def versionAt(spark: SparkSession, dir: String, tsMs: Long): Long = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"snapshot table $dir has no committed version")
+    val at = vs.filter(v => readManifest(spark, dir, v).committedAtMs <= tsMs)
+    require(at.nonEmpty,
+      s"snapshot table $dir has no version committed at or before $tsMs")
+    at.max
+  }
+
+  /** Read the table as of a commit TIMESTAMP (versionAt + read). */
+  def readAsOf(spark: SparkSession, dir: String, tsMs: Long): DataFrame =
+    read(spark, dir, Some(versionAt(spark, dir, tsMs)))
 
   /** Order-preserving comparison of two normalized stat values;
     * None when the pair is incomparable (mixed types — the pruner
@@ -428,6 +453,50 @@ object SnapshotTable {
     val bytes = fls.map(p => f.getFileStatus(new Path(s"$dir/$p")).getLen).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     commitOverwrite(read(spark, dir).coalesce(n), dir)
+  }
+
+  /** OPTIMIZE at FILE granularity — the compaction shape the real
+    * formats run on schedule: rewrite ONLY files smaller than
+    * `smallBytes` (micro-batch and per-window commits accrete these)
+    * into ceil(smallTotal/targetBytes) coalesced files; every
+    * already-well-sized file carries into the new manifest BY
+    * REFERENCE, path and stats verbatim — so compacting a streaming
+    * table's splinter tail costs the tail, never the table (the
+    * commitMerge copy-on-write discipline applied to hygiene).
+    * Returns the committed version, or the current head when fewer
+    * than two small files exist (nothing to coalesce — no empty
+    * commit). Stats for the compacted output are recomputed over the
+    * new batch only.
+    */
+  def compactSmallFiles(
+      spark: SparkSession, dir: String,
+      smallBytes: Long, targetBytes: Long): Long = {
+    require(smallBytes > 0 && targetBytes > 0)
+    val f = fs(spark, dir)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 20, s"compactSmallFiles on $dir lost 20 straight races; giving up")
+      val headV = versions(spark, dir).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"snapshot table $dir has no committed version"))
+      val m = readManifest(spark, dir, headV)
+      val sized = m.entries.map(e =>
+        e -> f.getFileStatus(new Path(s"$dir/${e.path}")).getLen)
+      val (small, large) = sized.partition(_._2 < smallBytes)
+      if (small.size <= 1) return headV
+      val bytes = small.map(_._2).sum
+      val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      val compacted = spark.read.option("mergeSchema", "true")
+        .parquet(small.map(s => s"$dir/${s._1.path}"): _*).coalesce(n)
+      val batchFiles = writeBatch(compacted, dir)
+      val newEntries = batchEntries(spark, dir, batchFiles, m.statsCols)
+      if (tryPublish(spark, dir,
+        Manifest(headV + 1, m.batchIds, m.statsCols, large.map(_._1) ++ newEntries)))
+        return headV + 1
+      batchFiles.headOption.foreach(p =>
+        f.delete(new Path(s"$dir/${p.split('/').head}"), true))
+    }
+    -1L // unreachable
   }
 
   /** OPTIMIZE ZORDER: compactHead with a Morton-interleaved layout

@@ -218,6 +218,53 @@ class SnapshotTableSpec extends SparkSpec {
       Seq(SnapshotTable.StatFilter("nope", lower = Some(1L))))._1.size == 4)
   }
 
+  test("timestamp time travel: versionAt resolves the latest commit at-or-before the instant") {
+    val dir = freshDir()
+    SnapshotTable.commitAppend(Seq(1L).toDF("id"), dir)
+    Thread.sleep(20) // distinct commit instants
+    SnapshotTable.commitAppend(Seq(2L).toDF("id"), dir)
+    val t1 = SnapshotTable.readManifest(spark, dir, 1L).committedAtMs
+    val t2 = SnapshotTable.readManifest(spark, dir, 2L).committedAtMs
+    assert(t1 > 0 && t2 > t1, "publish must stamp increasing commit instants")
+    assert(SnapshotTable.versionAt(spark, dir, t1) == 1L)
+    assert(SnapshotTable.versionAt(spark, dir, t2 - 1) == 1L,
+      "an instant between commits must resolve to the earlier version")
+    assert(SnapshotTable.versionAt(spark, dir, t2) == 2L)
+    assert(ids(SnapshotTable.readAsOf(spark, dir, t1)) == Seq(1L))
+    intercept[IllegalArgumentException] {
+      SnapshotTable.versionAt(spark, dir, t1 - 1)
+    }
+  }
+
+  test("compactSmallFiles rewrites ONLY the splinter tail; well-sized files carry by reference") {
+    val dir = freshDir()
+    // one "big" file then four splinters
+    SnapshotTable.commitAppend((0L until 500L).toDF("id").coalesce(1), dir,
+      statsCols = Seq("id"))
+    (0 until 4).foreach(i =>
+      SnapshotTable.commitAppend(Seq(1000L + i).toDF("id").coalesce(1), dir))
+    val before = SnapshotTable.files(spark, dir, 5L)
+    assert(before.size == 5)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bigSize = f.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/${before.head}")).getLen
+    val v = SnapshotTable.compactSmallFiles(spark, dir,
+      smallBytes = bigSize, targetBytes = 1L << 30)
+    assert(v == 6L)
+    val after = SnapshotTable.files(spark, dir, v)
+    assert(after.contains(before.head),
+      "the well-sized file must carry forward verbatim")
+    assert(after.size == 2, s"four splinters must coalesce to one file: $after")
+    // stats survive: the carried entry keeps its min/max, the new one computes
+    val m = SnapshotTable.readManifest(spark, dir, v)
+    assert(m.entries.forall(_.stats.contains("id")))
+    assert(ids(SnapshotTable.read(spark, dir)) ==
+      ((0L until 500L) ++ (1000L until 1004L)).toSeq)
+    // nothing left to coalesce: no empty commit
+    assert(SnapshotTable.compactSmallFiles(spark, dir, bigSize, 1L << 30) == v)
+  }
+
   test("compactHeadZOrdered: content-neutral rewrite whose stats prune BOTH dimensions") {
     val dir = freshDir()
     val grid = for { a <- 0L until 16L; b <- 0L until 16L } yield (a, b)
