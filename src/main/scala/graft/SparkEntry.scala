@@ -2199,6 +2199,23 @@ object SparkEntry {
           b.select(lit("shifted").as("probe"), col("n_recent"), col("drift")))
         .orderBy("probe")
     }),
+    // Corpus drift gate (the index-drift discipline for the text
+    // pipeline): an in-distribution slice must stay quiet on BOTH
+    // histograms, a language-collapsed batch must trip the lang
+    // metric — and unlike the index rows, the TV VALUES themselves
+    // are integer-exact and oracle-replayed, not just the flags.
+    "corpus_drift_check" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val inDist = TextOps.corpusDriftCheck(d, d.filter(col("doc_id") % 5 === 0))
+      val collapsed = TextOps.corpusDriftCheck(d, d.filter(col("lang") === "en"))
+      require(inDist.filter(col("drift")).isEmpty,
+        "an in-distribution slice must not flag corpus drift")
+      require(collapsed.filter(col("metric") === "lang" && col("drift")).count() == 1,
+        "a language-collapsed batch must trip the lang metric")
+      inDist.select(lit("in_dist").as("probe"), col("*"))
+        .unionByName(collapsed.select(lit("collapsed").as("probe"), col("*")))
+        .orderBy("probe", "metric")
+    }),
     "mv_refresh" -> ((s, dir) => {
       val (baseDir, mv2) = mvRefreshSetup(s, dir)
       val q = s.read.parquet(baseDir)
@@ -4557,6 +4574,41 @@ object SparkEntry {
         |       CAST(sum(user_id) AS BIGINT) AS sum_uid
         |FROM events WHERE event_id <= 4095 AND user_id <= 63
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // full integer replay of the TV distances: cross-multiplied
+    // histogram counts, one floor division — both engines exact
+    "corpus_drift_check" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |         LEAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) // 50, 20) AS b
+        |  FROM documents),
+        |probes AS (
+        |  SELECT 'in_dist' AS probe, * FROM tok WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT 'collapsed', * FROM tok WHERE lang = 'en'),
+        |nc AS (SELECT count(*) AS ncorp FROM tok),
+        |tot AS (SELECT probe, count(*) AS nr FROM probes GROUP BY 1),
+        |cl AS (SELECT lang AS bin, count(*) AS n FROM tok GROUP BY 1),
+        |pl AS (SELECT probe, lang AS bin, count(*) AS n FROM probes GROUP BY 1, 2),
+        |cb AS (SELECT b AS bin, count(*) AS n FROM tok GROUP BY 1),
+        |pb AS (SELECT probe, b AS bin, count(*) AS n FROM probes GROUP BY 1, 2),
+        |tvl AS (
+        |  SELECT t.probe, 'lang' AS metric, t.nr,
+        |         sum(abs(cl.n * t.nr - COALESCE(pl.n, 0) * nc.ncorp)) * 500000
+        |           // (nc.ncorp * t.nr) AS tv_e6
+        |  FROM cl CROSS JOIN tot t CROSS JOIN nc
+        |  LEFT JOIN pl ON pl.probe = t.probe AND pl.bin = cl.bin
+        |  GROUP BY t.probe, t.nr, nc.ncorp),
+        |tvb AS (
+        |  SELECT t.probe, 'tok_bucket' AS metric, t.nr,
+        |         sum(abs(cb.n * t.nr - COALESCE(pb.n, 0) * nc.ncorp)) * 500000
+        |           // (nc.ncorp * t.nr) AS tv_e6
+        |  FROM cb CROSS JOIN tot t CROSS JOIN nc
+        |  LEFT JOIN pb ON pb.probe = t.probe AND pb.bin = cb.bin
+        |  GROUP BY t.probe, t.nr, nc.ncorp)
+        |SELECT probe, metric, CAST(nr AS BIGINT) AS n_recent,
+        |       CAST(tv_e6 AS BIGINT) AS tv_e6, tv_e6 > 300000 AS drift
+        |FROM (SELECT * FROM tvl UNION ALL SELECT * FROM tvb)
+        |ORDER BY probe, metric""".stripMargin,
     // drift flags: deterministic integer error sums; the oracle pins
     // the probe row counts and the REQUIREd flag polarity
     "pq_drift_check" ->

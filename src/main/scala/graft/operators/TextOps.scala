@@ -842,4 +842,55 @@ object TextOps {
         col("doc_id"),
         col("f.n_tokens").as("n_tokens"),
         col("f.fingerprint").as("fingerprint"))
+
+  /** Corpus distribution drift — the Similarity.pq/ivfDriftCheck
+    * discipline applied to the TEXT pipeline: compare a recent
+    * document batch against the standing corpus on two
+    * pipeline-meaningful histograms — language labels and
+    * token-count buckets (`n_tokens div 50`, capped at 20) — by
+    * total-variation distance. A language-mixture collapse, a
+    * truncation bug shifting lengths, a silent source swap: all move
+    * TV immediately, before the bad batch lands. Gate a day's ingest
+    * with it, and compose with the index drift checks for the full
+    * refit-trigger story.
+    *
+    * Arithmetic is EXACT integers end-to-end:
+    * `tv_e6 = Σ_i |a_i·nb − b_i·na| · 500000 div (na·nb)` — cross-
+    * multiplied counts, one floor division at the end (BigInt fold on
+    * the driver over the ≤ dozens of collected bins) — so unlike the
+    * index drift rows' flag-only oracles, the DuckDB oracle replays
+    * the VALUE itself. Both inputs are aggregated once; nothing is
+    * collected beyond the bounded histograms.
+    */
+  def corpusDriftCheck(
+      corpus: DataFrame, recent: DataFrame, maxTvE6: Long = 300000L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def hists(df: DataFrame): (Map[String, Long], Map[Long, Long]) = {
+      val lang = df.groupBy("lang").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val buck = df
+        .select(expr("least(size(filter(split(text, '\\\\s+'), t -> t != '')) div 50, 20)")
+          .cast("long").as("b"))
+        .groupBy("b").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (lang, buck)
+    }
+    def tvE6[K](a: Map[K, Long], b: Map[K, Long]): Long = {
+      require(a.nonEmpty && b.nonEmpty, "corpusDriftCheck: empty histogram")
+      val na = BigInt(a.valuesIterator.sum max 1L)
+      val nb = BigInt(b.valuesIterator.sum max 1L)
+      val s = (a.keySet ++ b.keySet).toSeq.map(k =>
+        (BigInt(a.getOrElse(k, 0L)) * nb - BigInt(b.getOrElse(k, 0L)) * na).abs).sum
+      (s * 500000 / (na * nb)).toLong
+    }
+    val (cl, cb) = hists(corpus)
+    val (rl, rb) = hists(recent)
+    val nRec = rl.valuesIterator.sum
+    val lt = tvE6(cl, rl)
+    val bt = tvE6(cb, rb)
+    Seq(("lang", nRec, lt, lt > maxTvE6),
+      ("tok_bucket", nRec, bt, bt > maxTvE6))
+      .toDF("metric", "n_recent", "tv_e6", "drift")
+  }
 }

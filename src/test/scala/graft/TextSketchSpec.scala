@@ -446,6 +446,24 @@ class TextSketchSpec extends SparkSpec {
     assert(got(4L) === ((4L, 3L, 142857143L)))
   }
 
+  test("corpusDriftCheck: identical mixture is TV 0, disjoint languages are TV 1e6") {
+    val corpus = Seq(
+      (1L, "en", "one two three"), (2L, "en", "four five six"),
+      (3L, "de", "ein zwei drei"), (4L, "de", "vier funf sechs")
+    ).toDF("doc_id", "lang", "text")
+    // the corpus against itself: both histograms identical
+    val same = TextOps.corpusDriftCheck(corpus, corpus)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(same("lang") == (0L, false) && same("tok_bucket") == (0L, false))
+    // a batch in a language the corpus has never seen: lang TV = 1.0
+    val alien = Seq((9L, "zz", "uno dos tres")).toDF("doc_id", "lang", "text")
+    val d = TextOps.corpusDriftCheck(corpus, alien)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(d("lang") == (1000000L, true), s"disjoint languages must be TV 1e6: $d")
+    // same token-length bucket though: that metric stays quiet
+    assert(d("tok_bucket") == (0L, false))
+  }
+
   test("repetitionScore measures duplicate token and bigram fractions") {
     val docs = Seq(
       (1L, "a a a a"),          // 4 toks 1 distinct → 750000; bigrams "a a"×3 → 666667
