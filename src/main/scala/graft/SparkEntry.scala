@@ -197,6 +197,10 @@ object SparkEntry {
   private val snapSmallMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** snapshot_expectations' table (built lazily inside the row). */
+  private val snapExpectMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** mv_rewrite's summary table: built + registered once per sf dir
     * (MvRewrite.register is session-global on purpose — ANY matching
     * aggregate over this base routes, and each routed row's own
@@ -2198,6 +2202,37 @@ object SparkEntry {
         .unionByName(
           b.select(lit("shifted").as("probe"), col("n_recent"), col("drift")))
         .orderBy("probe")
+    }),
+    // Commit-time expectations (the production formats' constraints
+    // gate): a clean commit under NOT-NULL constraints passes; a
+    // corrupted delta is refused WHOLESALE — named violation counts,
+    // nothing published, ledger unchanged (in-row requires) — and the
+    // head the oracle replays is exactly the clean commit.
+    "snapshot_expectations" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val tbl = snapExpectMemo.computeIfAbsent(dir, _ => {
+        val out = s"${tempDir("graft_snap_exp")}/events_tbl"
+        val ev = Tables.events(s, dir).select("event_id", "event_type")
+        val exp = Seq(
+          "event_id_nonnull" -> "event_id IS NOT NULL",
+          "type_known" -> "event_type IS NOT NULL AND length(event_type) > 0")
+        SnapshotTable.commitAppend(ev, out, expectations = exp)
+        val corrupt = ev.limit(10).select(
+          when(col("event_id") % 2 === 0, col("event_id"))
+            .otherwise(lit(null)).as("event_id"),
+          col("event_type"))
+        val refused =
+          try { SnapshotTable.commitAppend(corrupt, out, expectations = exp); false }
+          catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("event_id_nonnull") }
+        require(refused, "a corrupted delta must be refused with named counts")
+        require(SnapshotTable.versions(s, out) == Seq(1L),
+          "a refused commit must not publish a version")
+        out
+      })
+      SnapshotTable.read(s, tbl)
+        .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        .orderBy("event_type")
     }),
     // Corpus drift gate (the index-drift discipline for the text
     // pipeline): an in-distribution slice must stay quiet on BOTH
@@ -4635,6 +4670,10 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // head = both committed versions = every event row
     "snapshot_table_read" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the clean (and only) commit: every event row
+    "snapshot_expectations" ->
       """SELECT event_type, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // "as of v1's instant" = exactly the v1 slice

@@ -323,13 +323,43 @@ object SnapshotTable {
   // Commits
   // ---------------------------------------------------------------
 
+  /** Commit-time expectations — the constraints gate of the
+    * production formats: each (name, boolean SQL predicate) must hold
+    * on EVERY batch row; any violation REFUSES the commit loudly with
+    * per-expectation violation counts and publishes nothing. All
+    * expectations are counted in ONE aggregate pass over the batch
+    * (delta-sized, never the table). A null predicate result counts
+    * as a violation (three-valued logic never sneaks a row past a
+    * constraint). */
+  private def checkExpectations(
+      df: DataFrame, expectations: Seq[(String, String)], dir: String): Unit = {
+    if (expectations.isEmpty) return
+    val aggs = expectations.map { case (name, pred) =>
+      sum(when(coalesce(expr(pred), lit(false)), 0L).otherwise(1L)).as(name)
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val bad = expectations.map(_._1).zipWithIndex
+      .map { case (n, i) => n -> (if (r.isNullAt(i)) 0L else r.getLong(i)) }
+      .filter(_._2 > 0)
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"commit to $dir refused: expectation violations " +
+          bad.map { case (n, c) => s"$n=$c" }.mkString("[", ", ", "]"))
+  }
+
   /** Append `df` as a new version; returns the committed version.
     * `statsCols` declares columns to record per-file min/max for —
     * the declaration is sticky (unioned into the table's existing
     * stat columns and recomputed for every future batch). Supported
-    * stat types: integral, fractional, string, date. */
-  def commitAppend(df: DataFrame, dir: String, statsCols: Seq[String] = Nil): Long =
+    * stat types: integral, fractional, string, date. `expectations`
+    * are (name, boolean SQL) constraints checked on the batch BEFORE
+    * anything is written — a violation refuses the whole commit. */
+  def commitAppend(
+      df: DataFrame, dir: String, statsCols: Seq[String] = Nil,
+      expectations: Seq[(String, String)] = Nil): Long = {
+    checkExpectations(df, expectations, dir)
     commitBatch(df, dir, append = true, statsCols = statsCols)
+  }
 
   /** Replace the table contents with `df` as a new version (old
     * versions stay readable until vacuum). */
@@ -353,9 +383,13 @@ object SnapshotTable {
     * None for a recognized replay.
     */
   def commitStreamBatch(
-      df: DataFrame, dir: String, batchId: Long, statsCols: Seq[String] = Nil): Option[Long] =
+      df: DataFrame, dir: String, batchId: Long, statsCols: Seq[String] = Nil,
+      expectations: Seq[(String, String)] = Nil): Option[Long] =
     if (committedBatchIds(df.sparkSession, dir).contains(batchId)) None
-    else Some(commitBatch(df, dir, append = true, batchId = Some(batchId), statsCols = statsCols))
+    else {
+      checkExpectations(df, expectations, dir)
+      Some(commitBatch(df, dir, append = true, batchId = Some(batchId), statsCols = statsCols))
+    }
 
   /** Write `df` under a fresh batch dir; returns dir-relative paths. */
   private def writeBatch(df: DataFrame, dir: String): Seq[String] = {

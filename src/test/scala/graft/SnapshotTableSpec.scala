@@ -218,6 +218,61 @@ class SnapshotTableSpec extends SparkSpec {
       Seq(SnapshotTable.StatFilter("nope", lower = Some(1L))))._1.size == 4)
   }
 
+  test("commit expectations: a violated constraint refuses the commit and publishes NOTHING") {
+    val dir = freshDir()
+    val exp = Seq("id_nonneg" -> "id >= 0", "id_nonnull" -> "id IS NOT NULL")
+    SnapshotTable.commitAppend(Seq(1L, 2L).toDF("id"), dir, expectations = exp)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.commitAppend(
+        Seq(Some(3L), None, Some(-5L)).toDF("id"), dir, expectations = exp)
+    }
+    // null predicate result = violation (three-valued logic never
+    // sneaks a row past a constraint), so id_nonneg counts the null too
+    assert(e.getMessage.contains("id_nonneg=2") && e.getMessage.contains("id_nonnull=1"),
+      s"violation counts must be named per expectation: ${e.getMessage}")
+    assert(SnapshotTable.versions(spark, dir) == Seq(1L),
+      "a refused commit must not publish a version")
+    assert(ids(SnapshotTable.read(spark, dir)) == Seq(1L, 2L))
+    // and no orphaned batch dir was staged (check runs BEFORE any write)
+    val f = new java.io.File(dir)
+    assert(f.listFiles().count(_.getName.startsWith("batch-")) == 1,
+      "the refused batch must never reach disk")
+    // streaming commits enforce the same gate
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotTable.commitStreamBatch(
+        Seq(-1L).toDF("id"), dir, batchId = 7L, expectations = exp)
+    }
+    assert(e2.getMessage.contains("id_nonneg=1"))
+    assert(SnapshotTable.committedBatchIds(spark, dir).isEmpty)
+  }
+
+  test("a MERGE racing an APPEND: both land, no rows lost, whatever the slot order") {
+    val dir = freshDir()
+    SnapshotTable.commitAppend(
+      (0L until 10L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1),
+      dir, statsCols = Seq("id"))
+    SnapshotTable.commitAppend(
+      (10L until 20L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1), dir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fm = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = SnapshotTable.commitMerge(
+          Seq((5L, "X"), (100L, "new")).toDF("id", "v"), dir, Seq("id"))
+      })
+      val fa = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = SnapshotTable.commitAppend(
+          Seq((200L, "a"), (201L, "a")).toDF("id", "v"), dir)
+      })
+      assert(Set(fm.get(), fa.get()) == Set(3L, 4L),
+        "racing merge+append must serialize into distinct versions")
+    } finally pool.shutdown()
+    val got = SnapshotTable.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val want = ((0L until 20L).map(i => (i, if (i == 5L) "X" else s"v$i")) ++
+      Seq((100L, "new"), (200L, "a"), (201L, "a"))).sortBy(_._1)
+    assert(got == want, "the loser's retry must apply on top of the winner's head")
+  }
+
   test("timestamp time travel: versionAt resolves the latest commit at-or-before the instant") {
     val dir = freshDir()
     SnapshotTable.commitAppend(Seq(1L).toDF("id"), dir)
