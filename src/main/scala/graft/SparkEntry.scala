@@ -2875,6 +2875,36 @@ object SparkEntry {
         .groupBy("lang").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang")
     }),
+    // Drift-gated streaming ingest — corpusDriftCheck standing at the
+    // door: the in-distribution chunk lands in the target, the
+    // language-collapsed chunk is diverted WHOLE to quarantine with
+    // its per-metric TV audit tag (in-row requires pin both routes
+    // and that nothing was dropped); the oracle recomputes the landed
+    // census from the base rows. Verdicts are judged against the
+    // FIXED reference corpus, so batch order cannot change them.
+    "stream_gated_ingest" -> ((s, dir) => streamRow(s) {
+      val base = tempDir("graft_stream_gate")
+      val d = Tables.documents(s, dir).select("doc_id", "lang", "text")
+      val src = s"$base/chunks"
+      writeChunk(d.filter(col("doc_id") % 2 === 0), s"$base/tmp_0", src, 0)
+      writeChunk(d.filter(col("doc_id") % 2 === 1 && col("lang") === "en"),
+        s"$base/tmp_1", src, 1)
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      graft.streaming.IncrementalSync.gatedDocumentIngest(
+        stream, d, s"$base/target", s"$base/quarantine", s"$base/ckpt")
+        .awaitTermination()
+      val landed = s.read.parquet(s"$base/target")
+      val held = s.read.parquet(s"$base/quarantine")
+      require(held.count() ==
+        d.filter(col("doc_id") % 2 === 1 && col("lang") === "en").count(),
+        "the collapsed chunk must be quarantined whole, not dropped")
+      require(held.select("_drift").head().getString(0).contains("lang="),
+        "quarantine rows must carry the per-metric TV audit tag")
+      landed.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    }),
     // Streaming ingest + exactly-once CDC-maintained summary — the
     // snapshot_ivm loop run CONTINUOUSLY: each micro-batch commits as
     // a version (ledger no-ops replays) and reconciles the summary to
@@ -4552,6 +4582,11 @@ object SparkEntry {
     "stream_mv_refresh" ->
       """SELECT event_type, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // only the in-distribution chunk lands
+    "stream_gated_ingest" ->
+      """SELECT lang, count(*) AS n_docs
+        |FROM documents WHERE doc_id % 2 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the continuously-maintained summary must equal the direct lang
     // census over every streamed row, exactly once, across the replay
     "stream_snapshot_summary" ->

@@ -58,6 +58,49 @@ object IncrementalSync {
     * batch and streaming drivers (same reuse story as contactsSync
     * reusing Maintenance). State holds hashes, never documents.
     */
+  /** Gated streaming ingest — TextOps.corpusDriftCheck standing at
+    * the door: each arriving micro-batch is measured against the
+    * REFERENCE corpus (language + token-length-bucket TV distance);
+    * a quiet batch appends to `targetDir`, a drifted one is diverted
+    * WHOLE to `quarantineDir` with its batch id, per-metric TV values
+    * and flags (the audit record an operator needs to triage — was it
+    * the lang mixture or the lengths?). Nothing is dropped: quarantine
+    * is a holding pen, not a deletion, and a false-positive batch can
+    * be re-landed from it verbatim. The reference corpus is fixed by
+    * the caller (the curated standing corpus), so the gate's verdicts
+    * are deterministic per batch content — drifted data never poisons
+    * the yardstick it is judged against.
+    */
+  def gatedDocumentIngest(
+      docs: DataFrame,
+      reference: DataFrame,
+      targetDir: String,
+      quarantineDir: String,
+      checkpointDir: String,
+      maxTvE6: Long = 300000L): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val verdict = graft.operators.TextOps
+            .corpusDriftCheck(reference, batch, maxTvE6)
+            .collect() // 2 bounded metric rows
+          if (verdict.exists(_.getBoolean(3))) {
+            val tags = verdict.map(r =>
+              s"${r.getString(0)}=${r.getLong(2)}${if (r.getBoolean(3)) "!" else ""}")
+              .mkString(",")
+            batch.withColumn("_batch_id", lit(id))
+              .withColumn("_drift", lit(tags))
+              .write.mode("append").parquet(quarantineDir)
+          } else {
+            batch.write.mode("append").parquet(targetDir)
+          }
+        }
+        ()
+      }
+      .start()
+
   def documentIngest(
       docs: DataFrame,
       eventTimeCol: String,
