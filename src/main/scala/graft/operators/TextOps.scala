@@ -863,19 +863,34 @@ object TextOps {
     * collected beyond the bounded histograms.
     */
   def corpusDriftCheck(
-      corpus: DataFrame, recent: DataFrame, maxTvE6: Long = 300000L): DataFrame = {
-    val spark = corpus.sparkSession
+      corpus: DataFrame, recent: DataFrame, maxTvE6: Long = 300000L): DataFrame =
+    driftAgainst(corpus.sparkSession, corpusHistograms(corpus), recent, maxTvE6)
+
+  /** The (language, token-bucket) histograms of a corpus — the
+    * BOUNDED yardstick (≤ |langs| + 21 bins) a repeated drift check
+    * should compute ONCE and reuse: gatedDocumentIngest captures it
+    * at stream start instead of rescanning the reference per
+    * micro-batch. */
+  def corpusHistograms(df: DataFrame): (Map[String, Long], Map[Long, Long]) = {
+    val lang = df.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val buck = df
+      .select(expr("least(size(filter(split(text, '\\\\s+'), t -> t != '')) div 50, 20)")
+        .cast("long").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (lang, buck)
+  }
+
+  /** Drift verdict of `recent` against precomputed reference
+    * histograms (corpusDriftCheck's second half; cost = two
+    * delta-sized aggregates, reference never rescanned). */
+  def driftAgainst(
+      spark: org.apache.spark.sql.SparkSession,
+      reference: (Map[String, Long], Map[Long, Long]),
+      recent: DataFrame,
+      maxTvE6: Long = 300000L): DataFrame = {
     import spark.implicits._
-    def hists(df: DataFrame): (Map[String, Long], Map[Long, Long]) = {
-      val lang = df.groupBy("lang").agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val buck = df
-        .select(expr("least(size(filter(split(text, '\\\\s+'), t -> t != '')) div 50, 20)")
-          .cast("long").as("b"))
-        .groupBy("b").agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      (lang, buck)
-    }
     def tvE6[K](a: Map[K, Long], b: Map[K, Long]): Long = {
       require(a.nonEmpty && b.nonEmpty, "corpusDriftCheck: empty histogram")
       val na = BigInt(a.valuesIterator.sum max 1L)
@@ -884,8 +899,8 @@ object TextOps {
         (BigInt(a.getOrElse(k, 0L)) * nb - BigInt(b.getOrElse(k, 0L)) * na).abs).sum
       (s * 500000 / (na * nb)).toLong
     }
-    val (cl, cb) = hists(corpus)
-    val (rl, rb) = hists(recent)
+    val (cl, cb) = reference
+    val (rl, rb) = corpusHistograms(recent)
     val nRec = rl.valuesIterator.sum
     val lt = tvE6(cl, rl)
     val bt = tvE6(cb, rb)

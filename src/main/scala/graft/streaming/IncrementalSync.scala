@@ -50,14 +50,6 @@ object IncrementalSync {
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
-  /** Streaming training-data ingest: the batch text screens run
-    * unchanged on a document stream (TextOps.qualityGate is a
-    * stateless, codegen'd narrow map) and exact dedup becomes
-    * first-arrival-wins on the 16-byte content hash with
-    * watermark-bounded state — one screen + one dedup implementation,
-    * batch and streaming drivers (same reuse story as contactsSync
-    * reusing Maintenance). State holds hashes, never documents.
-    */
   /** Gated streaming ingest — TextOps.corpusDriftCheck standing at
     * the door: each arriving micro-batch is measured against the
     * REFERENCE corpus (language + token-length-bucket TV distance);
@@ -69,7 +61,9 @@ object IncrementalSync {
     * be re-landed from it verbatim. The reference corpus is fixed by
     * the caller (the curated standing corpus), so the gate's verdicts
     * are deterministic per batch content — drifted data never poisons
-    * the yardstick it is judged against.
+    * the yardstick it is judged against — and its bounded histograms
+    * are computed ONCE at stream start: per micro-batch the gate
+    * costs two delta-sized aggregates, never a reference rescan.
     */
   def gatedDocumentIngest(
       docs: DataFrame,
@@ -77,14 +71,15 @@ object IncrementalSync {
       targetDir: String,
       quarantineDir: String,
       checkpointDir: String,
-      maxTvE6: Long = 300000L): StreamingQuery =
+      maxTvE6: Long = 300000L): StreamingQuery = {
+    val refHists = graft.operators.TextOps.corpusHistograms(reference)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) {
           val verdict = graft.operators.TextOps
-            .corpusDriftCheck(reference, batch, maxTvE6)
+            .driftAgainst(batch.sparkSession, refHists, batch, maxTvE6)
             .collect() // 2 bounded metric rows
           if (verdict.exists(_.getBoolean(3))) {
             val tags = verdict.map(r =>
@@ -100,7 +95,16 @@ object IncrementalSync {
         ()
       }
       .start()
+  }
 
+  /** Streaming training-data ingest: the batch text screens run
+    * unchanged on a document stream (TextOps.qualityGate is a
+    * stateless, codegen'd narrow map) and exact dedup becomes
+    * first-arrival-wins on the 16-byte content hash with
+    * watermark-bounded state — one screen + one dedup implementation,
+    * batch and streaming drivers (same reuse story as contactsSync
+    * reusing Maintenance). State holds hashes, never documents.
+    */
   def documentIngest(
       docs: DataFrame,
       eventTimeCol: String,
