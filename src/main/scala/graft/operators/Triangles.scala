@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact triangle counting with degree-ordered orientation (Suri &
+  * Vassilvitskii, WWW'11, "Counting triangles and the curse of the
+  * last reducer") — the graph-family census op the PageRank/label-
+  * propagation pair lacked, and the canonical example of why naive
+  * wedge enumeration dies at scale: a hub of degree d spawns d²
+  * wedges, and real graphs have hubs. The fix is structural, not a
+  * cap: orient every undirected edge from its LOWER-(degree, id)
+  * endpoint to the higher, so every node's ORIENTED out-degree is
+  * O(√m) on any graph, total wedge work is O(m^1.5), and each
+  * triangle is generated exactly once (at its unique minimum-degree
+  * corner) — no post-hoc dedup, no /3, no hub task.
+  *
+  * Input: (src, dst) rows in any direction, duplicates and self-loops
+  * tolerated — normalized to the canonical undirected simple edge set
+  * first. Output: ONE row (n_edges, n_wedges, n_triangles) over that
+  * simple graph. Sort-free; plain equi-joins only (orientation =
+  * two degree joins; closure = one semi join of wedges against the
+  * canonical edge set).
+  */
+object Triangles {
+
+  def count(edges: DataFrame): DataFrame = {
+    // canonical undirected simple edges: (a=min, b=max), loops dropped
+    val und = edges.select(
+      least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("n"))
+      .unionAll(und.select(col("b").as("n")))
+      .groupBy("n").agg(org.apache.spark.sql.functions.count(lit(1)).as("d"))
+    // orient (a,b) from the lower-(degree, id) endpoint: ties on
+    // degree break by id, so the orientation is total and acyclic
+    val withDeg = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+    val fromA = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(fromA, col("a")).otherwise(col("b")).as("u"),
+      when(fromA, col("b")).otherwise(col("a")).as("v"))
+    // wedges at each oriented source (v1 < v2 by id — one canonical
+    // enumeration per out-neighbor pair); the closing edge is probed
+    // against the canonical undirected set, which since v1 < v2 is
+    // exactly (a=v1, b=v2)
+    // Edge-iterator closure on ADJACENCY LISTS — the formulation that
+    // never materializes the m^1.5 wedge stream (the probe measured a
+    // 1.2B-row wedge intermediate OOMing every join strategy at 30×
+    // under the capped driver: sort-merge mid-spill, shuffled-hash
+    // build, even aggregate-first). Each node's ORIENTED out-list is
+    // ≤ O(√m) elements by the orientation theorem, so collect_list
+    // state per group is bounded; each oriented edge (u,v) then
+    // carries its two bounded lists once and counts
+    // |N⁺(u) ∩ N⁺(v)| per row — every triangle scored exactly once,
+    // at the edge whose head is the directed 2-path's midpoint. All
+    // shuffles are EDGE-scaled (m rows); the wedge census is
+    // Σ C(outdeg, 2) off the same adjacency table, no wedge row ever
+    // exists.
+    val adj = oriented.groupBy("u")
+      .agg(collect_list(col("v")).as("nbrs"))
+    val e = und.agg(org.apache.spark.sql.functions.count(lit(1)).as("n_edges"))
+    val w = adj.agg(coalesce(
+      sum(size(col("nbrs")).cast("long") * (size(col("nbrs")) - 1) / 2),
+      lit(0L)).cast("long").as("n_wedges"))
+    val closing = oriented
+      .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
+      .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
+      .select(size(array_intersect(col("nu"), col("nv"))).cast("long").as("c"))
+    val t = closing.agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
+    e.crossJoin(w).crossJoin(t) // three 1-row aggregates
+  }
+}

@@ -630,8 +630,11 @@ object SnapshotTable {
     * set against the new head (the conflict-detection retry of the
     * real formats, at whole-commit granularity).
     */
-  def commitMerge(delta: DataFrame, dir: String, keys: Seq[String]): Long = {
+  def commitMerge(
+      delta: DataFrame, dir: String, keys: Seq[String],
+      expectations: Seq[(String, String)] = Nil): Long = {
     val spark = delta.sparkSession
+    checkExpectations(delta, expectations, dir)
     val keyed = delta.select(keys.map(col): _*).distinct()
     var attempts = 0
     while (true) {

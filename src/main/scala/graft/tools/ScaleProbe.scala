@@ -348,7 +348,22 @@ object ScaleProbe {
         }),
         "snapshot_changes_diff" -> (() =>
           graft.sources.SnapshotTable.changesBetween(
-            spark, s"$scaledBase/f$f/snap_tbl", 1L, 2L)))
+            spark, s"$scaledBase/f$f/snap_tbl", 1L, 2L)),
+        // triangle census over N disjoint replicas of the part
+        // co-order graph (both ids salted per replica): triangles
+        // scale exactly N×, per-replica wedge structure — and the
+        // degree-orientation's hub cap — are preserved verbatim
+        "triangle_count" -> (() => {
+          val li = replicate(
+            Tables.lineitem(spark, sfDir)
+              .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")), f)
+            .select((col("ok") + col("k") * 1000000000L).as("ok"),
+              (col("pk") + col("k") * 100000000L).as("pk"))
+          val li2 = li.withColumnRenamed("pk", "pk2")
+          graft.operators.Triangles.count(
+            li.join(li2, "ok").where(col("pk") < col("pk2"))
+              .select(col("pk").as("src"), col("pk2").as("dst")))
+        }))
     }
 
     def selected(f: Int) = ops(f).filter { case (n, _) => wanted(n) }

@@ -148,6 +148,29 @@ class ComponentsSpec extends SparkSpec {
     assert(l1(1L) == 2L, s"the w=5 neighbor's label must win: $l1")
   }
 
+  test("triangle count: hand graphs land exactly; direction/dup/loop noise normalizes away") {
+    import graft.operators.Triangles
+    def tri(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
+      val r = Triangles.count(edges.toDF("src", "dst")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // K3: 3 edges, 1 wedge at the orientation source, 1 triangle
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 1L))) == (3L, 1L, 1L))
+    // K4: 6 edges, C(4,3)=4 triangles
+    assert(tri(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))._3 == 4L)
+    // a path and a star are triangle-free (wedges exist, closures don't)
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L)))._3 == 0L)
+    assert(tri(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)))._3 == 0L)
+    // hub + one rim edge: exactly the one triangle through the hub
+    assert(tri(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L)))._3 == 1L)
+    // duplicates, reversed direction, and self-loops normalize away
+    assert(tri(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L),
+      (1L, 1L), (2L, 2L))) == (3L, 1L, 1L))
+    // two disjoint triangles count independently
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L)))._3 == 2L)
+  }
+
   test("leaves no persisted RDDs behind") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     labelsOf(Seq((1L, 2L), (2L, 3L), (10L, 11L)))

@@ -194,6 +194,53 @@ class SnapshotTableSpec extends SparkSpec {
       "an all-absent delete must not rewrite or add any file")
   }
 
+  test("string and DATE stat columns prune too (dates canonicalized to ISO strings)") {
+    val dir = freshDir()
+    // three appends with disjoint name/date ranges
+    def chunk(rows: Seq[(String, String)]) = rows.toDF("name", "d")
+      .withColumn("d", col("d").cast("date")).coalesce(1)
+    SnapshotTable.commitAppend(
+      chunk(Seq(("alpha", "2024-01-05"), ("beta", "2024-01-20"))), dir,
+      statsCols = Seq("name", "d"))
+    SnapshotTable.commitAppend(
+      chunk(Seq(("karl", "2024-02-10"), ("mona", "2024-02-25"))), dir)
+    SnapshotTable.commitAppend(
+      chunk(Seq(("xena", "2024-03-03"), ("zara", "2024-03-30"))), dir)
+    // string range [k, n] keeps only the middle file
+    val (byName, total) = SnapshotTable.pruneFiles(spark, dir,
+      Seq(SnapshotTable.StatFilter("name", lower = Some("k"), upper = Some("n"))))
+    assert(total == 3 && byName.size == 1, s"name range must keep 1 of 3: $byName")
+    // date range as ISO strings OR java.sql.Date — both prune identically
+    val (byStr, _) = SnapshotTable.pruneFiles(spark, dir,
+      Seq(SnapshotTable.StatFilter("d", lower = Some("2024-02-01"), upper = Some("2024-02-28"))))
+    assert(byStr.size == 1, s"ISO date range must keep the February file: $byStr")
+    val (byDate, _) = SnapshotTable.pruneFiles(spark, dir,
+      Seq(SnapshotTable.StatFilter("d",
+        lower = Some(java.sql.Date.valueOf("2024-02-01")),
+        upper = Some(java.sql.Date.valueOf("2024-02-28")))))
+    assert(byDate == byStr, "java.sql.Date bounds must normalize to the same ISO compare")
+    // and the filtered read is the right rows
+    val rows = SnapshotTable.readFiltered(spark, dir,
+        Seq(SnapshotTable.StatFilter("name", lower = Some("k"), upper = Some("n"))))
+      .filter(col("name") >= "k" && col("name") <= "n")
+      .collect().map(_.getString(0)).sorted
+    assert(rows.toSeq == Seq("karl", "mona"))
+  }
+
+  test("commitMerge enforces expectations on the delta before any copy-on-write work") {
+    val dir = freshDir()
+    SnapshotTable.commitAppend(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir, statsCols = Seq("id"))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.commitMerge(
+        Seq((2L, null.asInstanceOf[String])).toDF("id", "v"), dir, Seq("id"),
+        expectations = Seq("v_nonnull" -> "v IS NOT NULL"))
+    }
+    assert(e.getMessage.contains("v_nonnull=1"))
+    assert(SnapshotTable.versions(spark, dir) == Seq(1L),
+      "a refused merge must not publish")
+  }
+
   test("manifest stats prune files at planning time; readFiltered is a correct superset scan") {
     val dir = freshDir()
     Seq(0L until 10L, 10L until 20L, 20L until 30L, 30L until 40L).foreach { r =>
