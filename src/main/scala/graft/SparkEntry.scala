@@ -1189,6 +1189,21 @@ object SparkEntry {
         .select(col("pk").as("src"), col("pk2").as("dst"))
       graft.operators.Triangles.count(edges)
     }),
+    // Per-node neighborhood density over the same graph: exact
+    // integer coefficients (2·tri·1e6 div d(d−1)), top-50 with a
+    // total tie-break; the oracle derives triangles by the three-way
+    // ordered join and credits corners identically.
+    "clustering_coeff" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .where(col("l_orderkey") % 2 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val li2 = li.withColumnRenamed("pk", "pk2")
+      val edges = li.join(li2, "ok")
+        .where(col("pk") < col("pk2"))
+        .select(col("pk").as("src"), col("pk2").as("dst"))
+      graft.operators.Triangles.clusteringCoefficient(edges)
+        .orderBy(col("coeff_e6").desc, col("node")).limit(50)
+    }),
     // The analytic window-function suite in one row — lag/lead, ntile,
     // percent_rank, cume_dist, dense_rank over per-user event order
     // (event_id tie-break makes every ordering total, so the rank
@@ -4062,6 +4077,29 @@ object SparkEntry {
         |       JOIN outw o ON e.src = o.src GROUP BY e.dst)
         |SELECT node, CAST(rank AS BIGINT) AS rank_e12 FROM r3
         |ORDER BY rank_e12 DESC, node LIMIT 50""".stripMargin,
+    // triangles via the three-way ordered join (x<y<z pairwise
+    // connected), corners credited, integer coefficients exact
+    "clustering_coeff" ->
+      """WITH pe AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  WHERE x.l_orderkey % 2 = 0),
+        |tri AS (SELECT p1.a AS x, p1.b AS y, p2.b AS z
+        |        FROM pe p1 JOIN pe p2 ON p2.a = p1.b
+        |        JOIN pe p3 ON p3.a = p1.a AND p3.b = p2.b),
+        |deg AS (SELECT n, count(*) AS d
+        |        FROM (SELECT a AS n FROM pe UNION ALL SELECT b FROM pe)
+        |        GROUP BY 1),
+        |pn AS (SELECT n, count(*) AS n_tri FROM (
+        |        SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+        |        UNION ALL SELECT z FROM tri) GROUP BY 1)
+        |SELECT pn.n AS node, CAST(deg.d AS BIGINT) AS degree,
+        |       CAST(pn.n_tri AS BIGINT) AS n_tri,
+        |       CAST((2 * pn.n_tri * 1000000) // (deg.d * (deg.d - 1)) AS BIGINT)
+        |         AS coeff_e6
+        |FROM pn JOIN deg ON deg.n = pn.n
+        |ORDER BY coeff_e6 DESC, node LIMIT 50""".stripMargin,
     // the full degree-ordered pipeline replayed: canonical edges →
     // degrees → orientation → wedges → closure; three exact counts
     "triangle_count" ->

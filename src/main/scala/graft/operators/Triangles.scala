@@ -74,4 +74,49 @@ object Triangles {
     val t = closing.agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
     e.crossJoin(w).crossJoin(t) // three 1-row aggregates
   }
+
+  /** Per-node local clustering coefficient (Watts & Strogatz 1998:
+    * of the C(d,2) possible links among a node's neighbors, how many
+    * exist — the neighborhood-density signal behind community/spam
+    * structure detection). Same orientation + adjacency machinery as
+    * count(), but the closure EXPLODES its intersection into concrete
+    * (u, v, w) triangle rows — one row per triangle, never
+    * wedge-scaled — and each triangle credits all three corners.
+    * Output (only nodes on ≥1 triangle): (node, degree, n_tri,
+    * coeff_e6) with coeff_e6 = 2·n_tri·10⁶ div (d·(d−1)) — exact
+    * integer arithmetic, replayable to the digit by a SQL engine.
+    * Sort-free; callers order/limit at the edge.
+    */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+      least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("n"))
+      .unionAll(und.select(col("b").as("n")))
+      .groupBy("n").agg(org.apache.spark.sql.functions.count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+    val fromA = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(fromA, col("a")).otherwise(col("b")).as("u"),
+      when(fromA, col("b")).otherwise(col("a")).as("v"))
+    val adj = oriented.groupBy("u")
+      .agg(collect_list(col("v")).as("nbrs"))
+    val triCorners = oriented
+      .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
+      .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
+      .select(col("u"), col("v"),
+        explode(array_intersect(col("nu"), col("nv"))).as("w"))
+    val perNode = triCorners.select(col("u").as("n"))
+      .unionAll(triCorners.select(col("v").as("n")))
+      .unionAll(triCorners.select(col("w").as("n")))
+      .groupBy("n").agg(org.apache.spark.sql.functions.count(lit(1)).as("n_tri"))
+    perNode.join(deg, "n")
+      .select(col("n").as("node"), col("d").as("degree"), col("n_tri"),
+        expr("(2 * n_tri * 1000000) div (d * (d - 1))").as("coeff_e6"))
+  }
 }

@@ -171,6 +171,24 @@ class ComponentsSpec extends SparkSpec {
       (10L, 11L), (11L, 12L), (12L, 10L)))._3 == 2L)
   }
 
+  test("clustering coefficient: triangle+pendant and K4 land on the hand-computed integers") {
+    import graft.operators.Triangles
+    def cc(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] =
+      Triangles.clusteringCoefficient(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // triangle 1-2-3 with pendant 3-4: nodes 1,2 are fully clustered
+    // (d=2, 1 triangle -> 1e6); node 3 has d=3 -> 2*1e6/6; node 4
+    // touches no triangle and is absent
+    val m = cc(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)))
+    assert(m == Map(
+      1L -> (2L, 1L, 1000000L),
+      2L -> (2L, 1L, 1000000L),
+      3L -> (3L, 1L, 333333L)), s"got $m")
+    // K4: every node d=3, on 3 triangles -> coefficient exactly 1e6
+    val k4 = cc(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    assert(k4.values.forall(_ == (3L, 3L, 1000000L)), s"got $k4")
+  }
+
   test("leaves no persisted RDDs behind") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     labelsOf(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
