@@ -1204,6 +1204,21 @@ object SparkEntry {
       graft.operators.Triangles.clusteringCoefficient(edges)
         .orderBy(col("coeff_e6").desc, col("node")).limit(50)
     }),
+    // k-core peeling over the same graph (k=55 ≈ the median co-order
+    // degree, so both rounds remove real mass: 2000 → 1186 → 286
+    // nodes at sf0.01); the oracle replays each synchronous round as
+    // degree → keep → edge-restriction CTEs.
+    "kcore_decompose" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .where(col("l_orderkey") % 2 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val li2 = li.withColumnRenamed("pk", "pk2")
+      val edges = li.join(li2, "ok")
+        .where(col("pk") < col("pk2"))
+        .select(col("pk").as("src"), col("pk2").as("dst"))
+      graft.operators.Triangles.kCore(edges, k = 55, rounds = 2)
+        .orderBy("node")
+    }),
     // The analytic window-function suite in one row — lag/lead, ntile,
     // percent_rank, cume_dist, dense_rank over per-user event order
     // (event_id tie-break makes every ordering total, so the rank
@@ -4077,6 +4092,27 @@ object SparkEntry {
         |       JOIN outw o ON e.src = o.src GROUP BY e.dst)
         |SELECT node, CAST(rank AS BIGINT) AS rank_e12 FROM r3
         |ORDER BY rank_e12 DESC, node LIMIT 50""".stripMargin,
+    // two peel rounds replayed: degree census → keep ≥ k → restrict
+    // edges, twice; output = the post-peel degree table
+    "kcore_decompose" ->
+      """WITH pe AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  WHERE x.l_orderkey % 2 = 0),
+        |d0 AS (SELECT n, count(*) AS d
+        |       FROM (SELECT a AS n FROM pe UNION ALL SELECT b FROM pe) GROUP BY 1),
+        |k0 AS (SELECT n FROM d0 WHERE d >= 55),
+        |e1 AS (SELECT a, b FROM pe
+        |       WHERE a IN (SELECT n FROM k0) AND b IN (SELECT n FROM k0)),
+        |d1 AS (SELECT n, count(*) AS d
+        |       FROM (SELECT a AS n FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
+        |k1 AS (SELECT n FROM d1 WHERE d >= 55),
+        |e2 AS (SELECT a, b FROM e1
+        |       WHERE a IN (SELECT n FROM k1) AND b IN (SELECT n FROM k1))
+        |SELECT n AS node, CAST(count(*) AS BIGINT) AS degree
+        |FROM (SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // triangles via the three-way ordered join (x<y<z pairwise
     // connected), corners credited, integer coefficients exact
     "clustering_coeff" ->

@@ -119,4 +119,37 @@ object Triangles {
       .select(col("n").as("node"), col("d").as("degree"), col("n_tri"),
         expr("(2 * n_tri * 1000000) div (d * (d - 1))").as("coeff_e6"))
   }
+
+  /** k-core peeling, `rounds` synchronous rounds (Seidman 1983's
+    * coreness, in the fixed-iteration discipline of PageRank/
+    * LabelProp — a bounded unrolled plan whose result is a pure
+    * function of the edges, so a SQL oracle replays every round):
+    * each round drops every node whose CURRENT degree is below k,
+    * then the edges touching it; surviving degrees shrink
+    * monotonically, so the fixpoint is approached from above and a
+    * converged round is a no-op (idempotent past convergence). The
+    * classic density screen — spam/boilerplate link farms live in
+    * high cores, long-tail content in low ones. Returns the
+    * post-peel (node, degree) table; sort-free. Each round is one
+    * degree aggregation + two semi joins — all equi-shuffles on node
+    * ids, nothing driver-side.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    var und = edges.select(
+      least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+        .groupBy("n").agg(org.apache.spark.sql.functions.count(lit(1)).as("d"))
+    for (_ <- 1 to rounds) {
+      val keep = degrees(und).where(col("d") >= k)
+      und = und
+        .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+    }
+    degrees(und).select(col("n").as("node"), col("d").as("degree"))
+  }
 }

@@ -189,6 +189,22 @@ class ComponentsSpec extends SparkSpec {
     assert(k4.values.forall(_ == (3L, 3L, 1000000L)), s"got $k4")
   }
 
+  test("kCore: a pendant chain peels off the triangle round by round; converged rounds no-op") {
+    import graft.operators.Triangles
+    // triangle 1-2-3 with chain 3-4-5; k=2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    def core(rounds: Int): Map[Long, Long] =
+      Triangles.kCore(edges, k = 2, rounds = rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1 drops only node 5 (degree 1); node 4 still holds its 3-edge
+    assert(core(1) == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+    // round 2 drops node 4 (its degree FELL below k after the peel)
+    assert(core(2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // converged: a third round changes nothing (idempotent fixpoint)
+    assert(core(3) == core(2))
+  }
+
   test("leaves no persisted RDDs behind") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     labelsOf(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
