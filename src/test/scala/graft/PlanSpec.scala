@@ -172,7 +172,11 @@ class PlanSpec extends SparkSpec {
         docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1)),
       "repetition_score" -> graft.operators.TextOps.repetitionScore(docs),
       "lm_score" -> graft.operators.TextOps.lmScore(docs),
-      "doc_fingerprint" -> graft.operators.TextOps.fingerprint(docs)
+      "doc_fingerprint" -> graft.operators.TextOps.fingerprint(docs),
+      // r11 graph family: census + density ops shuffle on node ids only
+      "triangle_count" -> graft.operators.Triangles.count(toyEdges),
+      "clustering_coeff" -> graft.operators.Triangles.clusteringCoefficient(toyEdges),
+      "kcore" -> graft.operators.Triangles.kCore(toyEdges, k = 2, rounds = 2)
     ).foreach { case (name, df) =>
       val sorts = df.queryExecution.optimizedPlan.collect { case s: Sort => s }
       assert(sorts.isEmpty, s"$name: operator must not sort (found: $sorts)")
