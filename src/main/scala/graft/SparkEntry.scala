@@ -201,6 +201,10 @@ object SparkEntry {
   private val snapExpectMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** snapshot_restore's table (built lazily inside the row). */
+  private val snapRestoreMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** mv_rewrite's summary table: built + registered once per sf dir
     * (MvRewrite.register is session-global on purpose — ANY matching
     * aggregate over this base routes, and each routed row's own
@@ -2253,6 +2257,30 @@ object SparkEntry {
         .unionByName(
           b.select(lit("shifted").as("probe"), col("n_recent"), col("drift")))
         .orderBy("probe")
+    }),
+    // RESTORE as a forward commit: after a (deliberately bad) DELETE,
+    // restore(v1) makes the head answer as v1 again — METADATA-ONLY
+    // (the in-row require proves v3 names exactly v1's files, zero
+    // data I/O) while the bad delete stays time-travelable. Oracle =
+    // the full pre-delete census.
+    "snapshot_restore" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val tbl = snapRestoreMemo.computeIfAbsent(dir, _ => {
+        val out = s"${tempDir("graft_snap_restore")}/events_tbl"
+        val ev = Tables.events(s, dir).select("event_id", "event_type")
+        SnapshotTable.commitAppend(ev, out, statsCols = Seq("event_id"))
+        SnapshotTable.commitDelete(
+          ev.filter(col("event_id") % 3 === 0).select("event_id"),
+          out, Seq("event_id"))
+        val v3 = SnapshotTable.restore(s, out, 1L)
+        require(v3 == 3L &&
+          SnapshotTable.files(s, out, 3L) == SnapshotTable.files(s, out, 1L),
+          "restore must be a metadata-only carry of v1's files")
+        out
+      })
+      SnapshotTable.read(s, tbl)
+        .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        .orderBy("event_type")
     }),
     // Commit-time expectations (the production formats' constraints
     // gate): a clean commit under NOT-NULL constraints passes; a
@@ -4823,6 +4851,10 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // head = both committed versions = every event row
     "snapshot_table_read" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // post-restore head = the full pre-delete table
+    "snapshot_restore" ->
       """SELECT event_type, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // the clean (and only) commit: every event row

@@ -489,6 +489,30 @@ object SnapshotTable {
     commitOverwrite(read(spark, dir).coalesce(n), dir)
   }
 
+  /** RESTORE: make version `v`'s contents the new HEAD — rollback as
+    * a forward commit, exactly the real formats' shape: the new
+    * manifest carries v's entries BY REFERENCE (a metadata-only
+    * commit, zero data I/O at any table size), history between v and
+    * the old head stays time-travelable, and the batch-id ledger is
+    * carried forward so stream replays keep no-oping. The undo button
+    * for a bad merge/delete/overwrite, without losing the evidence of
+    * what it undid. Returns the committed version.
+    */
+  def restore(spark: SparkSession, dir: String, v: Long): Long = {
+    val target = readManifest(spark, dir, v) // throws if absent
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 20, s"restore on $dir lost 20 straight races; giving up")
+      val headV = versions(spark, dir).last
+      val head = readManifest(spark, dir, headV)
+      if (tryPublish(spark, dir,
+        Manifest(headV + 1, head.batchIds, head.statsCols, target.entries)))
+        return headV + 1
+    }
+    -1L // unreachable
+  }
+
   /** OPTIMIZE at FILE granularity — the compaction shape the real
     * formats run on schedule: rewrite ONLY files smaller than
     * `smallBytes` (micro-batch and per-window commits accrete these)
@@ -647,10 +671,24 @@ object SnapshotTable {
       val untouched = m.entries.filterNot(e => touched.exists(_.path == e.path))
       val rewritten =
         if (touched.isEmpty) delta
-        else graft.operators.Maintenance.upsertKeepCols(
-          spark.read.option("mergeSchema", "true")
-            .parquet(touched.map(e => s"$dir/${e.path}"): _*),
-          delta, keys, keepCols = Set.empty)
+        else {
+          // additive schema evolution ON MERGE: delta columns absent
+          // from the table widen it (old rows read null through the
+          // per-version mergeSchema union); table columns the delta
+          // does NOT mention are RETAINED on matched rows (keepCols),
+          // never nulled — a partial-column upsert is an update, not
+          // an erasure
+          val target = spark.read.option("mergeSchema", "true")
+            .parquet(touched.map(e => s"$dir/${e.path}"): _*)
+          val union = target.columns ++
+            delta.columns.filterNot(target.columns.contains)
+          def fill(df: DataFrame, other: DataFrame) = df.select(union.map(c =>
+            if (df.columns.contains(c)) col(c)
+            else lit(null).cast(other.schema(c).dataType).as(c)): _*)
+          graft.operators.Maintenance.upsertKeepCols(
+            fill(target, delta), fill(delta, target), keys,
+            keepCols = target.columns.filterNot(delta.columns.contains).toSet)
+        }
       val batchFiles = writeBatch(rewritten, dir)
       val newEntries = batchEntries(spark, dir, batchFiles, m.statsCols)
       if (tryPublish(spark, dir,

@@ -320,6 +320,48 @@ class SnapshotTableSpec extends SparkSpec {
     assert(got == want, "the loser's retry must apply on top of the winner's head")
   }
 
+  test("restore: rollback is a metadata-only forward commit; history and ledger survive") {
+    val dir = freshDir()
+    SnapshotTable.commitStreamBatch(Seq(1L, 2L).toDF("id"), dir, batchId = 0L)
+    SnapshotTable.commitDelete(Seq(2L).toDF("id"), dir, Seq("id"))
+    assert(ids(SnapshotTable.read(spark, dir)) == Seq(1L))
+    val v3 = SnapshotTable.restore(spark, dir, 1L)
+    assert(v3 == 3L)
+    assert(ids(SnapshotTable.read(spark, dir)) == Seq(1L, 2L),
+      "the head must answer as v1 again")
+    // metadata-only: v3 names exactly v1's files, no new batch dir
+    assert(SnapshotTable.files(spark, dir, 3L) == SnapshotTable.files(spark, dir, 1L))
+    // the bad delete stays time-travelable (evidence, not erasure)
+    assert(ids(SnapshotTable.read(spark, dir, Some(2L))) == Seq(1L))
+    // the stream ledger carried through the rollback
+    assert(SnapshotTable.committedBatchIds(spark, dir) == Set(0L))
+    intercept[IllegalArgumentException] { SnapshotTable.restore(spark, dir, 99L) }
+  }
+
+  test("MERGE evolves schema additively: new delta columns widen, unmentioned columns are retained") {
+    val dir = freshDir()
+    SnapshotTable.commitAppend(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir, statsCols = Seq("id"))
+    // delta carries a NEW column: matched row takes it, old rows read null
+    SnapshotTable.commitMerge(
+      Seq((2L, "B", 7L), (3L, "c", 9L)).toDF("id", "v", "extra"), dir, Seq("id"))
+    val head = SnapshotTable.read(spark, dir)
+    assert(head.columns.sorted.toSeq == Seq("extra", "id", "v"))
+    val got = head.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("v"),
+        Option(r.getAs[Any]("extra")))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a", None), (2L, "B", Some(7L)), (3L, "c", Some(9L))))
+    // a delta that does NOT mention `v` must RETAIN it on matched
+    // rows (update, not erasure) while updating the mentioned column
+    SnapshotTable.commitMerge(
+      Seq((2L, 77L)).toDF("id", "extra"), dir, Seq("id"))
+    val got2 = SnapshotTable.read(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("v"),
+        Option(r.getAs[Any]("extra")))).sortBy(_._1).toSeq
+    assert(got2 == Seq((1L, "a", None), (2L, "B", Some(77L)), (3L, "c", Some(9L))),
+      s"unmentioned columns must survive a partial-column upsert: $got2")
+  }
+
   test("timestamp time travel: versionAt resolves the latest commit at-or-before the instant") {
     val dir = freshDir()
     SnapshotTable.commitAppend(Seq(1L).toDF("id"), dir)
