@@ -138,6 +138,19 @@ class MvRewriteSpec extends SparkSpec with BeforeAndAfterEach {
     assert(!scansMv(q3, mvDir), "a restored registration must still detect staleness")
   }
 
+  test("autoload is fail-open: a missing catalog dir is skipped, good entries still load") {
+    val dir = freshBase()
+    val mvDir = setup(dir)
+    MvRewrite.clear()
+    val s2 = spark.newSession()
+    // one bogus dir, one real one — the bad entry must not poison the good
+    s2.conf.set("spark.graft.mv.autoload", s"/nonexistent/nope,$mvDir")
+    val q = s2.read.parquet(s"$dir/base").groupBy("grp").agg(count(lit(1)).as("n"))
+    assert(scansMv(q, mvDir),
+      "a broken autoload entry must be skipped, not abort the query or the list")
+    assert(q.collect().map(_.getLong(1)).sum == 100L)
+  }
+
   test("a base write after register flips the fingerprint and disables routing") {
     val dir = freshBase()
     val mvDir = setup(dir)

@@ -263,6 +263,11 @@ class SnapshotTableSpec extends SparkSpec {
     // a column with no stats never prunes (conservative)
     assert(SnapshotTable.pruneFiles(spark, dir,
       Seq(SnapshotTable.StatFilter("nope", lower = Some(1L))))._1.size == 4)
+    // a TYPE-MISMATCHED bound (string filter on numeric stats) is
+    // incomparable and must keep every file, never wrongly drop
+    assert(SnapshotTable.pruneFiles(spark, dir,
+      Seq(SnapshotTable.StatFilter("id", lower = Some("zzz"))))._1.size == 4,
+      "incomparable bounds must be conservative")
   }
 
   test("commit expectations: a violated constraint refuses the commit and publishes NOTHING") {
