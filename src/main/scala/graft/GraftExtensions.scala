@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BloomMightContain, CmEstimate, CountTokensIn, CountTokensInMulti, FloatDot, FloatNorm2, HammingBits, HashProjEmbed, HyperplaneSig, MinHashBandKeys, MinHashSignature, NfcNormalize, PiiScrub, PqAssign, SimHashBits, TokenFingerprint, TokenProfile, WordpieceEncode, WordShingles}
+import graft.expressions.{BloomAgg, BloomMightContain, CmEstimate, CountTokensIn, CountTokensInMulti, FloatDot, FloatNorm2, HammingBits, HashProjEmbed, HyperplaneSig, MinHashBandKeys, MinHashSignature, NfcNormalize, PiiScrub, PqAssign, SimHashBits, TokenFingerprint, TokenProfile, WordpieceEncode, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -67,6 +67,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case other => throw new IllegalArgumentException(
         s"$what must be a foldable array<int>, got $other")
     }
+  }
+
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(n: Long, _) => n
+    case Literal(n: Int, IntegerType) => n.toLong
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def doubleLit(e: Expression, what: String): Double = e match {
+    case Literal(d: Double, _) => d
+    case other => throw new IllegalArgumentException(
+      s"$what must be a double literal, got $other")
   }
 
   private def strLit(e: Expression, what: String): String = e match {
@@ -211,6 +224,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c, Literal(b: Array[Byte], BinaryType)) => BloomMightContain(c, b)
         case _ => throw new IllegalArgumentException(
           "usage: bloom_might_contain(bigintKey, <serialized bloom binary literal>)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomAgg].getName, "bloom_agg"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, n, f) =>
+          BloomAgg(c, longLit(n, "expectedKeys"), doubleLit(f, "fpp"))
+        case _ => throw new IllegalArgumentException(
+          "usage: bloom_agg(bigintKey, expectedKeys, fpp)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("wordpiece_encode"),

@@ -176,6 +176,24 @@ object SparkEntry {
       out
     })
 
+  /** snapshot_bloom_prune's table, once per sf dir: the events slice
+    * HASH-clustered on event_id into 8 files carrying BOTH min/max
+    * stats and bloom fingerprints on event_id. Hash clustering makes
+    * every file span the full id range — the layout of any table
+    * written clustered on a different column, or bucketed for joins —
+    * so range stats can prove nothing and only the blooms prune. */
+  private val snapBloomMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def snapBloomTable(s: SparkSession, dir: String): String =
+    snapBloomMemo.computeIfAbsent(dir, _ => {
+      val out = s"${tempDir("graft_snap_bloom")}/events_tbl"
+      graft.sources.SnapshotTable.commitAppend(
+        Tables.events(s, dir).select("event_id", "event_type")
+          .repartition(8, col("event_id")),
+        out, statsCols = Seq("event_id"), bloomCols = Seq("event_id"))
+      out
+    })
+
   /** snapshot_zorder_prune's table, once per sf dir: append the
     * (event_id, user_id, event_type) slice, then OPTIMIZE ZORDER on
     * (event_id, user_id) — the two-hot-dimension layout committed as
@@ -2218,6 +2236,32 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"), sum(col("user_id")).as("sum_uid"))
         .orderBy("event_type")
+    }),
+    // Planning-time file pruning by BLOOM fingerprint (point/IN
+    // lookups on a hash-clustered id column): the layout defeats
+    // range stats by construction — the in-row require proves the
+    // covering RANGE filter keeps every file — while the bloom probe
+    // keeps strictly fewer, decided from the manifest alone with
+    // zero data I/O; a bloom negative is a proven absence, so the
+    // pruned read is a superset the residual isin then narrows. The
+    // oracle replays the IN-list over the full base table, blind to
+    // the layout.
+    "snapshot_bloom_prune" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val tbl = snapBloomTable(s, dir)
+      val ids = Seq(11L, 222L, 333L)
+      val (rangeKept, total) = SnapshotTable.pruneFiles(s, tbl,
+        Seq(SnapshotTable.StatFilter("event_id",
+          lower = Some(ids.min), upper = Some(ids.max))))
+      require(rangeKept.size == total,
+        s"hash clustering must defeat range stats here: kept ${rangeKept.size} of $total")
+      val (kept, _) = SnapshotTable.pruneFilesByKeys(s, tbl, "event_id", ids)
+      require(kept.size < total,
+        s"manifest blooms must prune the point lookup: kept ${kept.size} of $total")
+      SnapshotTable.readKeysFiltered(s, tbl, "event_id", ids)
+        .filter(col("event_id").isin(ids: _*))
+        .select(col("event_id"), col("event_type"))
+        .orderBy("event_id")
     }),
     // Index-drift monitors (the refit trigger the frozen-quantizer
     // family lacked): an in-distribution batch must NOT flag drift,
@@ -4841,6 +4885,12 @@ object SparkEntry {
         |SELECT 'shifted', count(*), true
         |FROM embeddings WHERE vec_id % 5 = 1
         |ORDER BY probe""".stripMargin,
+    // the bloom-pruned IN-list read must equal the same IN-list over
+    // the whole base (file pruning is invisible to the answer)
+    "snapshot_bloom_prune" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE event_id IN (11, 222, 333)
+        |ORDER BY event_id""".stripMargin,
     // the pruned+filtered read must equal the same filter over the
     // whole base (file pruning is invisible to the answer)
     "snapshot_prune" ->

@@ -22,11 +22,16 @@ import java.util.UUID
   *  - A version is a MANIFEST, `_manifests/v<n>.json`: the explicit
   *    file list that IS the table at that version, each entry
   *    optionally carrying per-file min/max statistics for the table's
-  *    declared `statsCols`. Readers list one small JSON and scan
+  *    declared `statsCols` and per-file bloom fingerprints for its
+  *    declared `bloomCols`. Readers list one small JSON and scan
   *    exactly those files — no directory listing of the data tree,
   *    which at 100 TB is the difference between a metadata read and a
-  *    million-file LIST — and a stats-filtered read drops whole files
-  *    at PLANNING time, before Spark ever opens a footer.
+  *    million-file LIST — and a stats- or key-filtered read drops
+  *    whole files at PLANNING time, before Spark ever opens a footer:
+  *    range predicates prune on min/max, point/IN lookups prune on
+  *    the blooms (decisive on hash-clustered id columns, where every
+  *    file's min/max spans the whole domain), and MERGE/DELETE use
+  *    both to bound their rewrite set.
   *  - Commits are optimistic concurrency via an atomic no-overwrite
   *    publish: the manifest is staged fully-written as a tmp file and
   *    moved into the next version slot with
@@ -70,18 +75,25 @@ object SnapshotTable {
     * order is chronological). */
   private[graft] final case class FileStat(min: Any, max: Any)
 
-  /** One data file of a version: its dir-relative path and its stats
+  /** One data file of a version: its dir-relative path, its stats
     * (possibly empty — e.g. a file committed before a stat column was
     * declared, or an all-null column; absent stats always mean "keep
-    * this file" to the pruner). */
-  private[graft] final case class Entry(path: String, stats: Map[String, FileStat])
+    * this file" to the pruner), and its per-column bloom fingerprints
+    * (same absence discipline: no bloom ⇒ the file always survives
+    * key pruning). */
+  private[graft] final case class Entry(
+      path: String,
+      stats: Map[String, FileStat],
+      blooms: Map[String, Array[Byte]] = Map.empty)
 
   private[graft] final case class Manifest(
       version: Long,
       batchIds: Set[Long],
       statsCols: Seq[String],
       entries: Seq[Entry],
-      committedAtMs: Long = 0L)
+      committedAtMs: Long = 0L,
+      bloomCols: Seq[String] = Nil,
+      bloomFpp: Double = 0.01)
 
   /** An inclusive-bounds range predicate over one stat column, used
     * for planning-time file pruning. `lower`/`upper` accept any
@@ -130,6 +142,11 @@ object SnapshotTable {
     m.batchIds.toSeq.sorted.foreach(bids.add)
     val scols = root.putArray("statsCols")
     m.statsCols.foreach(scols.add)
+    if (m.bloomCols.nonEmpty) {
+      val bcols = root.putArray("bloomCols")
+      m.bloomCols.foreach(bcols.add)
+      root.put("bloomFpp", m.bloomFpp): Unit
+    }
     val es = root.putArray("entries")
     m.entries.foreach { e =>
       val en = es.addObject()
@@ -140,6 +157,12 @@ object SnapshotTable {
           val cn = st.putObject(c)
           statToNode(cn, "min", fsr.min)
           statToNode(cn, "max", fsr.max)
+        }
+      }
+      if (e.blooms.nonEmpty) {
+        val bl = en.putObject("blooms")
+        e.blooms.toSeq.sortBy(_._1).foreach { case (c, bytes) =>
+          bl.put(c, java.util.Base64.getEncoder.encodeToString(bytes)): Unit
         }
       }
     }
@@ -160,6 +183,10 @@ object SnapshotTable {
     val statsCols = Option(root.get("statsCols")).map { a =>
       (0 until a.size).map(a.get(_).asText)
     }.getOrElse(Seq.empty)
+    val bloomCols = Option(root.get("bloomCols")).map { a =>
+      (0 until a.size).map(a.get(_).asText)
+    }.getOrElse(Seq.empty)
+    val bloomFpp = Option(root.get("bloomFpp")).map(_.asDouble).getOrElse(0.01)
     val entries = Option(root.get("entries")).map { a =>
       (0 until a.size).map { i =>
         val en = a.get(i)
@@ -173,7 +200,16 @@ object SnapshotTable {
           }
           b.result()
         }.getOrElse(Map.empty[String, FileStat])
-        Entry(en.get("path").asText, stats)
+        val blooms = Option(en.get("blooms")).map { bl =>
+          val it = bl.fields()
+          val b = Map.newBuilder[String, Array[Byte]]
+          while (it.hasNext) {
+            val kv = it.next()
+            b += kv.getKey -> java.util.Base64.getDecoder.decode(kv.getValue.asText)
+          }
+          b.result()
+        }.getOrElse(Map.empty[String, Array[Byte]])
+        Entry(en.get("path").asText, stats, blooms)
       }
     }.getOrElse(Seq.empty)
     // the slot NAME is authoritative for the version — a manifest can
@@ -181,7 +217,8 @@ object SnapshotTable {
     // out-of-band copies (the race spec does exactly that), and the
     // ledger must follow the slot, not the stale body field
     Manifest(v, batchIds, statsCols, entries,
-      Option(root.get("committedAtMs")).map(_.asLong).getOrElse(0L))
+      Option(root.get("committedAtMs")).map(_.asLong).getOrElse(0L),
+      bloomCols, bloomFpp)
   }
 
   /** The file list version `v` names (paths relative to `dir`) — the
@@ -319,6 +356,61 @@ object SnapshotTable {
       .parquet(kept.map(f => s"$dir/$f"): _*)
   }
 
+  /** The subset of version `v`'s files that MAY contain any of
+    * `values` in `colName`, decided from the manifest alone — bloom
+    * fingerprints where the file carries them (the decisive test on
+    * hash-clustered id columns, where every file's min/max spans the
+    * whole domain and range pruning proves nothing), min/max stats
+    * where it carries those, both per value (a file survives when
+    * SOME value passes both tests). Conservative by construction: a
+    * file without a bloom/stat for the column always survives, a
+    * bloom negative is a proven absence (same canonical hash on both
+    * sides), so the kept set is always a superset of the files
+    * holding matches. Returns (kept paths, total file count).
+    * `values` must be the column's type (integral/string/date — the
+    * bloom-eligible set). */
+  def pruneFilesByKeys(
+      spark: SparkSession, dir: String, colName: String, values: Seq[Any],
+      version: Option[Long] = None): (Seq[String], Int) = {
+    require(values.nonEmpty, "pruneFilesByKeys needs at least one key value")
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"snapshot table $dir has no committed version")
+    val m = readManifest(spark, dir, version.getOrElse(vs.last))
+    val canon = values.map(bloomKeyString)
+    val hashes = hashKeyStrings(spark, canon)
+    val statVals = values.map(v => scala.util.Try(toStatVal(v)).toOption)
+    val kept = m.entries.filter { e =>
+      val bloom = e.blooms.get(colName).map(b =>
+        org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(b)))
+      values.indices.exists { i =>
+        val bloomOk = bloom.forall(_.mightContainLong(hashes(i)))
+        val statOk = (e.stats.get(colName), statVals(i)) match {
+          case (Some(st), Some(v)) =>
+            cmpStat(st.min, v).forall(_ <= 0) && cmpStat(st.max, v).forall(_ >= 0)
+          case _ => true
+        }
+        bloomOk && statOk
+      }
+    }
+    (kept.map(_.path), m.entries.size)
+  }
+
+  /** Read only the files whose manifest blooms/stats admit any of
+    * `values` in `colName` — the point-lookup / IN-list half of
+    * planning-time pruning. SUPERSET semantics like readFiltered:
+    * blooms admit false positives, so callers compose the row-level
+    * `isin` filter on top. Empty prune → empty frame with the head
+    * schema. */
+  def readKeysFiltered(
+      spark: SparkSession, dir: String, colName: String, values: Seq[Any],
+      version: Option[Long] = None): DataFrame = {
+    val (kept, _) = pruneFilesByKeys(spark, dir, colName, values, version)
+    if (kept.isEmpty) read(spark, dir, version).limit(0)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(kept.map(f => s"$dir/$f"): _*)
+  }
+
   // ---------------------------------------------------------------
   // Commits
   // ---------------------------------------------------------------
@@ -351,20 +443,29 @@ object SnapshotTable {
     * `statsCols` declares columns to record per-file min/max for —
     * the declaration is sticky (unioned into the table's existing
     * stat columns and recomputed for every future batch). Supported
-    * stat types: integral, fractional, string, date. `expectations`
-    * are (name, boolean SQL) constraints checked on the batch BEFORE
-    * anything is written — a violation refuses the whole commit. */
+    * stat types: integral, fractional, string, date. `bloomCols`
+    * declares columns to record per-file BLOOM fingerprints for (same
+    * sticky discipline; integral/string/date only) — the
+    * data-skipping shape for point/IN lookups and key-bounded
+    * MERGE/DELETE on id-like columns whose per-file min/max ranges
+    * all overlap (hash-clustered layouts), where range stats prove
+    * nothing. `expectations` are (name, boolean SQL) constraints
+    * checked on the batch BEFORE anything is written — a violation
+    * refuses the whole commit. */
   def commitAppend(
       df: DataFrame, dir: String, statsCols: Seq[String] = Nil,
-      expectations: Seq[(String, String)] = Nil): Long = {
+      expectations: Seq[(String, String)] = Nil,
+      bloomCols: Seq[String] = Nil): Long = {
     checkExpectations(df, expectations, dir)
-    commitBatch(df, dir, append = true, statsCols = statsCols)
+    commitBatch(df, dir, append = true, statsCols = statsCols, bloomCols = bloomCols)
   }
 
   /** Replace the table contents with `df` as a new version (old
     * versions stay readable until vacuum). */
-  def commitOverwrite(df: DataFrame, dir: String, statsCols: Seq[String] = Nil): Long =
-    commitBatch(df, dir, append = false, statsCols = statsCols)
+  def commitOverwrite(
+      df: DataFrame, dir: String, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long =
+    commitBatch(df, dir, append = false, statsCols = statsCols, bloomCols = bloomCols)
 
   /** Stream-batch ids already committed to the table — ONE read of
     * the head manifest, which carries the full id set forward
@@ -384,11 +485,13 @@ object SnapshotTable {
     */
   def commitStreamBatch(
       df: DataFrame, dir: String, batchId: Long, statsCols: Seq[String] = Nil,
-      expectations: Seq[(String, String)] = Nil): Option[Long] =
+      expectations: Seq[(String, String)] = Nil,
+      bloomCols: Seq[String] = Nil): Option[Long] =
     if (committedBatchIds(df.sparkSession, dir).contains(batchId)) None
     else {
       checkExpectations(df, expectations, dir)
-      Some(commitBatch(df, dir, append = true, batchId = Some(batchId), statsCols = statsCols))
+      Some(commitBatch(df, dir, append = true, batchId = Some(batchId),
+        statsCols = statsCols, bloomCols = bloomCols))
     }
 
   /** Write `df` under a fresh batch dir; returns dir-relative paths. */
@@ -401,21 +504,74 @@ object SnapshotTable {
       .map(n => s"$batch/$n")
   }
 
-  /** Entries (with per-file min/max over `statsCols`) for
-    * just-written batch files: ONE aggregate over the batch grouped
-    * by `input_file_name` — cost proportional to the DELTA, never the
-    * table. Dates are canonicalized to ISO strings (lexicographic
-    * order == chronological); unsupported stat column types fail
-    * loudly rather than record stats that can't be compared. */
+  /** The canonical bigint key a bloom records and a probe hashes: the
+    * value's STRING form (dates as ISO) through xxhash64. Both sides
+    * of every probe — the commit-time build, the delta-frame probe in
+    * `touchedFiles`, and the literal-value probe in
+    * `pruneFilesByKeys` — derive the key through THIS expression, so
+    * a bloom negative is a proven absence (false negatives would
+    * silently skip a file; false positives only cost a scan).
+    * Bloom columns are restricted to integral / string / date types:
+    * their string forms are canonical (no scale or float-rendering
+    * ambiguity between a column value and a caller's literal), and
+    * they are the id-shaped columns blooms exist for — range stats
+    * already serve columns with numeric locality. */
+  private def bloomKeyHash(c: Column, dt: DataType, name: String): Column = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+         _: StringType => xxhash64(c.cast(StringType))
+    case _: DateType => xxhash64(date_format(c, "yyyy-MM-dd"))
+    case other => throw new IllegalArgumentException(
+      s"bloom column $name has unsupported type $other " +
+        "(supported: integral, string, date)")
+  }
+
+  /** Driver-side canonical string of a caller-supplied key literal —
+    * must render exactly as the column's Spark `cast(... as string)`
+    * does, which the restricted bloom type set guarantees. */
+  private def bloomKeyString(v: Any): String = v match {
+    case s: String => s
+    case n @ (_: Byte | _: Short | _: Int | _: Long) => n.toString
+    case b: BigInt => b.toString
+    case d: java.sql.Date => d.toString // ISO yyyy-MM-dd
+    case other => throw new IllegalArgumentException(
+      s"unsupported bloom key value $other (${other.getClass.getName}; " +
+        "supported: integral, string, date)")
+  }
+
+  /** xxhash64 of canonical key strings, computed by Spark itself so
+    * the hash family matches the build side bit-for-bit. One tiny
+    * local job over |values| rows — bounded by the caller's IN-list,
+    * never data-scaled. */
+  private def hashKeyStrings(spark: SparkSession, values: Seq[String]): Seq[Long] = {
+    import spark.implicits._
+    values.toDF("__k").select(xxhash64(col("__k"))).collect().map(_.getLong(0)).toSeq
+  }
+
+  /** Entries (per-file min/max over `statsCols`, per-file bloom
+    * fingerprints over `bloomCols`) for just-written batch files. Two
+    * delta-sized passes, never table-scaled: ONE aggregate grouped by
+    * `input_file_name` yields all stats plus per-file row counts; a
+    * second (only when blooms are declared) builds every file's bloom
+    * sized to the batch's largest file at `bloomFpp`. Dates are
+    * canonicalized to ISO strings (lexicographic order ==
+    * chronological); unsupported column types fail loudly rather than
+    * record stats/blooms that can't be compared. Blooms live in the
+    * manifest (≈1.2 bytes/key at 1% fpp, base64) — the right trade up
+    * to a few million keys per file; beyond that the loud cap below
+    * says to lower fpp or shrink files. */
   private def batchEntries(
       spark: SparkSession, dir: String,
-      relPaths: Seq[String], statsCols: Seq[String]): Seq[Entry] = {
+      relPaths: Seq[String], statsCols: Seq[String],
+      bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01): Seq[Entry] = {
     if (relPaths.isEmpty) return Seq.empty
-    if (statsCols.isEmpty) return relPaths.map(Entry(_, Map.empty))
+    if (statsCols.isEmpty && bloomCols.isEmpty)
+      return relPaths.map(Entry(_, Map.empty))
     val df = spark.read.option("mergeSchema", "true")
       .parquet(relPaths.map(p => s"$dir/$p"): _*)
     val present = statsCols.filter(df.columns.contains)
-    if (present.isEmpty) return relPaths.map(Entry(_, Map.empty))
+    val bloomPresent = bloomCols.filter(df.columns.contains)
+    if (present.isEmpty && bloomPresent.isEmpty)
+      return relPaths.map(Entry(_, Map.empty))
     val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
     def statExpr(c: String): Column = fields(c) match {
       case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
@@ -424,11 +580,14 @@ object SnapshotTable {
       case dt => throw new IllegalArgumentException(
         s"stat column $c has unsupported type $dt (supported: numeric, string, date)")
     }
+    // fail loudly on a bad bloom type BEFORE any aggregate runs
+    bloomPresent.foreach(c => bloomKeyHash(col(c), fields(c), c))
     val aggs = present.flatMap(c =>
-      Seq(min(statExpr(c)).as(s"__min_$c"), max(statExpr(c)).as(s"__max_$c")))
+      Seq(min(statExpr(c)).as(s"__min_$c"), max(statExpr(c)).as(s"__max_$c"))) :+
+      count(lit(1)).as("__cnt")
     val rows = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect()
-    val byRel: Map[String, Map[String, FileStat]] = rows.flatMap { r =>
+    val statsByRel: Map[String, Map[String, FileStat]] = rows.flatMap { r =>
       val abs = r.getString(0)
       relPaths.find(rp => abs.endsWith(rp)).map { rp =>
         val stats = present.flatMap { c =>
@@ -440,30 +599,52 @@ object SnapshotTable {
         rp -> stats
       }
     }.toMap
-    relPaths.map(p => Entry(p, byRel.getOrElse(p, Map.empty)))
+    val bloomsByRel: Map[String, Map[String, Array[Byte]]] =
+      if (bloomPresent.isEmpty) Map.empty
+      else {
+        val maxRows = rows.map(_.getAs[Long]("__cnt")).max.max(1L)
+        require(maxRows <= 10_000_000L,
+          s"a $maxRows-row file's bloom would exceed ~12 MB in the manifest — " +
+            "write smaller data files (or raise bloomFpp) before declaring bloom columns")
+        val bAggs = bloomPresent.map(c => call_function("bloom_agg",
+          bloomKeyHash(col(c), fields(c), c), lit(maxRows), lit(bloomFpp)).as(s"__bl_$c"))
+        df.groupBy(input_file_name().as("__f"))
+          .agg(bAggs.head, bAggs.tail: _*).collect().flatMap { r =>
+            val abs = r.getString(0)
+            relPaths.find(rp => abs.endsWith(rp)).map { rp =>
+              rp -> bloomPresent.map(c => c -> r.getAs[Array[Byte]](s"__bl_$c")).toMap
+            }
+          }.toMap
+      }
+    relPaths.map(p => Entry(p,
+      statsByRel.getOrElse(p, Map.empty), bloomsByRel.getOrElse(p, Map.empty)))
   }
 
   private def commitBatch(
       df: DataFrame, dir: String, append: Boolean,
-      batchId: Option[Long] = None, statsCols: Seq[String] = Nil): Long = {
+      batchId: Option[Long] = None, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val batchFiles = writeBatch(df, dir)
     var newEntries: Seq[Entry] = null
-    var entriesFor: Seq[String] = null
+    var entriesFor: (Seq[String], Seq[String]) = null
     var attempts = 0
     while (true) {
       attempts += 1
       require(attempts <= 20, s"commit to $dir lost 20 straight races; giving up")
       val head = versions(spark, dir).lastOption.map(readManifest(spark, dir, _))
       val tableStats = (head.map(_.statsCols).getOrElse(Nil) ++ statsCols).distinct
-      if (newEntries == null || entriesFor != tableStats) {
-        newEntries = batchEntries(spark, dir, batchFiles, tableStats)
-        entriesFor = tableStats
+      val tableBlooms = (head.map(_.bloomCols).getOrElse(Nil) ++ bloomCols).distinct
+      val fpp = head.map(_.bloomFpp).getOrElse(0.01)
+      if (newEntries == null || entriesFor != ((tableStats, tableBlooms))) {
+        newEntries = batchEntries(spark, dir, batchFiles, tableStats, tableBlooms, fpp)
+        entriesFor = (tableStats, tableBlooms)
       }
       val carried = if (append) head.map(_.entries).getOrElse(Nil) else Nil
       val next = head.map(_.version).getOrElse(0L) + 1
       val ids = head.map(_.batchIds).getOrElse(Set.empty) ++ batchId
-      if (tryPublish(spark, dir, Manifest(next, ids, tableStats, carried ++ newEntries)))
+      if (tryPublish(spark, dir, Manifest(next, ids, tableStats, carried ++ newEntries,
+        bloomCols = tableBlooms, bloomFpp = fpp)))
         return next
     }
     -1L // unreachable
@@ -507,7 +688,8 @@ object SnapshotTable {
       val headV = versions(spark, dir).last
       val head = readManifest(spark, dir, headV)
       if (tryPublish(spark, dir,
-        Manifest(headV + 1, head.batchIds, head.statsCols, target.entries)))
+        Manifest(headV + 1, head.batchIds, head.statsCols, target.entries,
+          bloomCols = head.bloomCols, bloomFpp = head.bloomFpp)))
         return headV + 1
     }
     -1L // unreachable
@@ -547,9 +729,11 @@ object SnapshotTable {
       val compacted = spark.read.option("mergeSchema", "true")
         .parquet(small.map(s => s"$dir/${s._1.path}"): _*).coalesce(n)
       val batchFiles = writeBatch(compacted, dir)
-      val newEntries = batchEntries(spark, dir, batchFiles, m.statsCols)
+      val newEntries = batchEntries(spark, dir, batchFiles, m.statsCols,
+        m.bloomCols, m.bloomFpp)
       if (tryPublish(spark, dir,
-        Manifest(headV + 1, m.batchIds, m.statsCols, large.map(_._1) ++ newEntries)))
+        Manifest(headV + 1, m.batchIds, m.statsCols, large.map(_._1) ++ newEntries,
+          bloomCols = m.bloomCols, bloomFpp = m.bloomFpp)))
         return headV + 1
       batchFiles.headOption.foreach(p =>
         f.delete(new Path(s"$dir/${p.split('/').head}"), true))
@@ -591,19 +775,63 @@ object SnapshotTable {
     commitOverwrite(sorted, dir, statsCols = Seq(colA, colB))
   }
 
+  /** The candidate entries of `entries` that a bloom probe cannot rule
+    * out: an entry survives when SOME delta key row hits the entry's
+    * bloom on EVERY probed column (a row the file actually contains
+    * hashes into all of its blooms, so dropping an entry is a proven
+    * absence — tighter than per-column independent tests, still
+    * conservative). Entries missing a bloom for any probed column
+    * always survive. The probe is distributed: file blooms ride to
+    * executors once via broadcast, each deserialized once per
+    * partition; the collect is bounded by the candidate FILE count,
+    * never row-scaled. */
+  private def bloomSurvivors(
+      spark: SparkSession, entries: Seq[Entry],
+      keyed: DataFrame, bloomKeys: Seq[String],
+      fields: Map[String, DataType]): Seq[Entry] = {
+    val (probed, unprobed) =
+      entries.partition(e => bloomKeys.forall(e.blooms.contains))
+    if (probed.isEmpty) return entries
+    val hashed = keyed.select(bloomKeys.map(k =>
+      bloomKeyHash(col(k), fields(k), k).as(s"__h_$k")): _*)
+    val bcast = spark.sparkContext.broadcast(
+      probed.map(e => e.path -> bloomKeys.map(e.blooms)).toArray)
+    try {
+      import spark.implicits._
+      val nk = bloomKeys.size
+      val hitPaths = hashed.mapPartitions { it =>
+        val files = bcast.value.map { case (p, bs) =>
+          p -> bs.map(b => org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(b)))
+        }
+        it.flatMap { row =>
+          val hs = Array.tabulate(nk)(row.getLong)
+          files.iterator.collect {
+            case (p, bls) if (0 until nk).forall(i => bls(i).mightContainLong(hs(i))) => p
+          }
+        }
+      }.distinct().collect().toSet
+      unprobed ++ probed.filter(e => hitPaths.contains(e.path))
+    } finally bcast.unpersist()
+  }
+
   /** The head files that contain at least one key of `keyed` (a frame
     * holding exactly the distinct key columns): manifest-stats
     * pruning on EVERY key column that carries stats narrows the
     * candidate set with zero I/O (one delta-sized aggregate yields
-    * all the key ranges), then one key-bounded semi-style join over
-    * the candidates (projecting `input_file_name` BEFORE the shuffle)
-    * names the exact touched files. The collect is bounded by the
-    * file count of the candidates — never row-scaled. */
+    * all the key ranges), a bloom probe on every key column that
+    * carries blooms narrows it further (the layout-independent half:
+    * on a hash-clustered id column every file spans the full range,
+    * so stats keep everything and ONLY the blooms bound the rewrite
+    * set), then one key-bounded semi-style join over the survivors
+    * (projecting `input_file_name` BEFORE the shuffle) names the
+    * exact touched files. The collects are bounded by the candidate
+    * file count — never row-scaled. */
   private def touchedFiles(
       spark: SparkSession, dir: String, m: Manifest,
       keyed: DataFrame, keys: Seq[String]): Seq[Entry] = {
     val statKeys = keys.filter(m.statsCols.contains)
-    val candidates =
+    val ranged =
       if (statKeys.isEmpty) m.entries
       else {
         // the delta's key ranges are small to compute (ONE delta-sized
@@ -628,6 +856,12 @@ object SnapshotTable {
           }
         }
       }
+    val bloomKeys = keys.filter(m.bloomCols.contains)
+      .filter(k => keyed.columns.contains(k))
+    val candidates =
+      if (bloomKeys.isEmpty || ranged.isEmpty) ranged
+      else bloomSurvivors(spark, ranged, keyed, bloomKeys,
+        keyed.schema.fields.map(f => f.name -> f.dataType).toMap)
     if (candidates.isEmpty) return Seq.empty
     val cand = spark.read.option("mergeSchema", "true")
       .parquet(candidates.map(e => s"$dir/${e.path}"): _*)
@@ -690,9 +924,11 @@ object SnapshotTable {
             keepCols = target.columns.filterNot(delta.columns.contains).toSet)
         }
       val batchFiles = writeBatch(rewritten, dir)
-      val newEntries = batchEntries(spark, dir, batchFiles, m.statsCols)
+      val newEntries = batchEntries(spark, dir, batchFiles, m.statsCols,
+        m.bloomCols, m.bloomFpp)
       if (tryPublish(spark, dir,
-        Manifest(headV + 1, m.batchIds, m.statsCols, untouched ++ newEntries)))
+        Manifest(headV + 1, m.batchIds, m.statsCols, untouched ++ newEntries,
+          bloomCols = m.bloomCols, bloomFpp = m.bloomFpp)))
         return headV + 1
       // lost the race: our batch is orphaned (no manifest names it);
       // drop it and recompute against the new head
@@ -725,7 +961,8 @@ object SnapshotTable {
       if (touched.isEmpty) {
         // nothing holds a doomed key: the delete is a metadata-only
         // no-op commit (every entry carried forward)
-        if (tryPublish(spark, dir, Manifest(headV + 1, m.batchIds, m.statsCols, m.entries)))
+        if (tryPublish(spark, dir, Manifest(headV + 1, m.batchIds, m.statsCols, m.entries,
+          bloomCols = m.bloomCols, bloomFpp = m.bloomFpp)))
           return headV + 1
       } else {
         val untouched = m.entries.filterNot(e => touched.exists(_.path == e.path))
@@ -733,9 +970,11 @@ object SnapshotTable {
           .parquet(touched.map(e => s"$dir/${e.path}"): _*)
           .join(keyed, keyCols, "left_anti")
         val batchFiles = writeBatch(survivors, dir)
-        val newEntries = batchEntries(spark, dir, batchFiles, m.statsCols)
+        val newEntries = batchEntries(spark, dir, batchFiles, m.statsCols,
+          m.bloomCols, m.bloomFpp)
         if (tryPublish(spark, dir,
-          Manifest(headV + 1, m.batchIds, m.statsCols, untouched ++ newEntries)))
+          Manifest(headV + 1, m.batchIds, m.statsCols, untouched ++ newEntries,
+            bloomCols = m.bloomCols, bloomFpp = m.bloomFpp)))
           return headV + 1
         batchFiles.headOption.foreach(p =>
           fs(spark, dir).delete(new Path(s"$dir/${p.split('/').head}"), true))

@@ -505,6 +505,146 @@ class SnapshotTableSpec extends SparkSpec {
     }
   }
 
+  test("bloom_agg + probe round-trip: grouped build across partitions, members always hit") {
+    // >1 shuffle partition forces partial-aggregate merges of the
+    // bloom buffers; every member must probe positive afterwards
+    val bytes = spark.range(0, 1000, 1, 8)
+      .selectExpr("id % 3 AS g", "xxhash64(cast(id AS string)) AS h")
+      .groupBy("g")
+      .agg(call_function("bloom_agg", col("h"), lit(400L), lit(0.01)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("b")).toMap
+    assert(bytes.keySet == Set(0L, 1L, 2L))
+    bytes.foreach { case (g, b) =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(b))
+      val misses = spark.range(0, 1000).filter(col("id") % 3 === g)
+        .selectExpr("xxhash64(cast(id AS string)) AS h").as[Long].collect()
+        .count(h => !bf.mightContainLong(h))
+      assert(misses == 0, s"group $g: a bloom may never false-negative a member")
+    }
+  }
+
+  test("manifest blooms prune point lookups where min/max stats cannot (hash-clustered keys)") {
+    val dir = freshDir()
+    SnapshotTable.commitAppend(
+      (0L until 200L).toDF("id").repartition(8, col("id")), dir,
+      statsCols = Seq("id"), bloomCols = Seq("id"))
+    val total = SnapshotTable.files(spark, dir, 1L).size
+    assert(total >= 4, s"fixture needs several files, got $total")
+    // hash clustering defeats range stats: a narrow range keeps ALL files
+    assert(SnapshotTable.pruneFiles(spark, dir,
+      Seq(SnapshotTable.StatFilter("id", lower = Some(50L), upper = Some(52L))))
+      ._1.size == total, "every hash-clustered file spans the full range")
+    // CONSERVATISM, exhaustively: for every committed key the pruned
+    // read must still contain the key's row (a false negative would
+    // silently drop it)
+    (0L until 200L).foreach { k =>
+      val got = SnapshotTable.readKeysFiltered(spark, dir, "id", Seq(k))
+        .filter(col("id") === k).count()
+      assert(got == 1L, s"bloom pruning lost key $k")
+    }
+    // EFFECTIVENESS: a present key keeps strictly fewer than all
+    // files, and an absent key keeps (almost) none — both decided
+    // from the manifest alone (blooms are deterministic on this
+    // fixed data, so these are stable asserts, not flakes)
+    val (kept, t) = SnapshotTable.pruneFilesByKeys(spark, dir, "id", Seq(7L))
+    assert(kept.size < t, s"point lookup must prune: kept ${kept.size} of $t")
+    val (keptAbsent, _) = SnapshotTable.pruneFilesByKeys(spark, dir, "id", Seq(987654L))
+    assert(keptAbsent.size < t,
+      "an absent key must be bloom-excluded from (nearly) every file")
+    // the empty-prune path keeps the schema
+    if (keptAbsent.isEmpty)
+      assert(SnapshotTable.readKeysFiltered(spark, dir, "id", Seq(987654L)).count() == 0)
+  }
+
+  test("MERGE/DELETE candidate scans are bloom-bounded: a bloom-negative file is never opened") {
+    val dir = freshDir()
+    SnapshotTable.commitAppend(
+      (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v").repartition(6, col("id")),
+      dir, statsCols = Seq("id"), bloomCols = Seq("id"))
+    val before = SnapshotTable.files(spark, dir, 1L)
+    assert(before.size >= 4)
+    // pick a delta key and a file whose bloom EXCLUDES it, then make
+    // that file unreadable: if the merge consults blooms, the file is
+    // carried by reference and never opened; without them the
+    // candidate scan (stats keep everything here) would crash on it
+    val key = 42L
+    val (cands, _) = SnapshotTable.pruneFilesByKeys(spark, dir, "id", Seq(key))
+    val negative = before.filterNot(cands.contains)
+    assert(negative.nonEmpty, "fixture needs a bloom-negative file")
+    val victim = negative.head
+    val victimPath = java.nio.file.Paths.get(dir, victim)
+    val original = java.nio.file.Files.readAllBytes(victimPath)
+    java.nio.file.Files.write(victimPath, "not parquet".getBytes)
+    val v2 = SnapshotTable.commitMerge(
+      Seq((key, "X"), (1000L, "new")).toDF("id", "v"), dir, Seq("id"))
+    assert(SnapshotTable.files(spark, dir, v2).contains(victim),
+      "the unopened file must carry forward by reference")
+    // DELETE takes the same bloom-bounded path
+    val v3 = SnapshotTable.commitDelete(Seq(1000L).toDF("id"), dir, Seq("id"))
+    assert(SnapshotTable.files(spark, dir, v3).contains(victim))
+    // restore the bytes and prove the merge applied exactly
+    java.nio.file.Files.write(victimPath, original)
+    val got = SnapshotTable.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val want = (0L until 100L).map(i => (i, if (i == key) "X" else s"v$i")).sortBy(_._1)
+    assert(got == want, "bloom narrowing must not change merge/delete semantics")
+  }
+
+  test("bloom declaration is sticky; pre-declaration files stay conservatively unpruned") {
+    val dir = freshDir()
+    // v1 predates the declaration: its entries carry no blooms
+    SnapshotTable.commitAppend((0L until 50L).toDF("id").coalesce(1), dir)
+    SnapshotTable.commitAppend((50L until 100L).toDF("id").coalesce(1), dir,
+      bloomCols = Seq("id"))
+    val m = SnapshotTable.readManifest(spark, dir, 2L)
+    assert(m.bloomCols == Seq("id"))
+    val (old, fresh) = m.entries.partition(_.blooms.isEmpty)
+    assert(old.size == 1 && fresh.size == 1,
+      "v1's entry has no bloom; v2's batch must compute one without redeclaration...")
+    // ...wait: v2's batch was committed WITH the declaration; v3's
+    // must inherit it with no bloomCols argument at all
+    SnapshotTable.commitAppend((100L until 150L).toDF("id").coalesce(1), dir)
+    val m3 = SnapshotTable.readManifest(spark, dir, 3L)
+    assert(m3.entries.count(_.blooms.contains("id")) == 2,
+      "the sticky declaration must bloom every post-declaration batch")
+    // a key in the pre-declaration file: that file always survives
+    val (kept, _) = SnapshotTable.pruneFilesByKeys(spark, dir, "id", Seq(7L))
+    assert(kept.contains(old.head.path),
+      "a file without a bloom must never be pruned by a key probe")
+    // a key in the newest file: the other bloomed file is excluded,
+    // the no-bloom file still survives (conservative)
+    val (kept2, _) = SnapshotTable.pruneFilesByKeys(spark, dir, "id", Seq(120L))
+    assert(kept2.contains(old.head.path) && !kept2.contains(fresh.head.path))
+  }
+
+  test("bloom keys: strings and dates canonicalize; fractional types are refused loudly") {
+    val dir = freshDir()
+    SnapshotTable.commitAppend(
+      Seq(("alpha", "2024-01-05"), ("beta", "2024-02-20")).toDF("name", "d")
+        .withColumn("d", col("d").cast("date")).repartition(2, col("name")),
+      dir, bloomCols = Seq("name", "d"))
+    val (k1, t1) = SnapshotTable.pruneFilesByKeys(spark, dir, "name", Seq("alpha"))
+    assert(k1.nonEmpty && k1.size <= t1)
+    assert(SnapshotTable.readKeysFiltered(spark, dir, "name", Seq("alpha"))
+      .filter(col("name") === "alpha").count() == 1)
+    // java.sql.Date probes hit through the ISO canonical form
+    assert(SnapshotTable.readKeysFiltered(spark, dir, "d",
+        Seq(java.sql.Date.valueOf("2024-02-20")))
+      .filter(col("d") === "2024-02-20").count() == 1)
+    // a fractional bloom column is a declaration error, not a silent
+    // wrong-hash time bomb
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.commitAppend(Seq(1.5, 2.5).toDF("x"), freshDir(),
+        bloomCols = Seq("x"))
+    }
+    assert(e.getMessage.contains("unsupported type"))
+    // and an unsupported probe VALUE fails loudly too
+    intercept[IllegalArgumentException] {
+      SnapshotTable.pruneFilesByKeys(spark, dir, "name", Seq(1.5))
+    }
+  }
+
   test("readers compose as plain parquet scans: filters push down") {
     val dir = freshDir()
     SnapshotTable.commitAppend(
