@@ -84,7 +84,8 @@ object SnapshotTable {
   private[graft] final case class Entry(
       path: String,
       stats: Map[String, FileStat],
-      blooms: Map[String, Array[Byte]] = Map.empty)
+      blooms: Map[String, Array[Byte]] = Map.empty,
+      sidecarBloomCols: Set[String] = Set.empty)
 
   private[graft] final case class Manifest(
       version: Long,
@@ -159,10 +160,14 @@ object SnapshotTable {
           statToNode(cn, "max", fsr.max)
         }
       }
-      if (e.blooms.nonEmpty) {
+      if (e.blooms.nonEmpty || e.sidecarBloomCols.nonEmpty) {
         val bl = en.putObject("blooms")
-        e.blooms.toSeq.sortBy(_._1).foreach { case (c, bytes) =>
-          bl.put(c, java.util.Base64.getEncoder.encodeToString(bytes)): Unit
+        (e.blooms.keySet ++ e.sidecarBloomCols).toSeq.sorted.foreach { c =>
+          e.blooms.get(c) match {
+            case Some(bytes) =>
+              bl.put(c, java.util.Base64.getEncoder.encodeToString(bytes)): Unit
+            case None => bl.put(c, SidecarMarker): Unit
+          }
         }
       }
     }
@@ -200,16 +205,19 @@ object SnapshotTable {
           }
           b.result()
         }.getOrElse(Map.empty[String, FileStat])
+        var sidecars = Set.empty[String]
         val blooms = Option(en.get("blooms")).map { bl =>
           val it = bl.fields()
           val b = Map.newBuilder[String, Array[Byte]]
           while (it.hasNext) {
             val kv = it.next()
-            b += kv.getKey -> java.util.Base64.getDecoder.decode(kv.getValue.asText)
+            val s = kv.getValue.asText
+            if (s == SidecarMarker) sidecars += kv.getKey
+            else b += kv.getKey -> java.util.Base64.getDecoder.decode(s)
           }
           b.result()
         }.getOrElse(Map.empty[String, Array[Byte]])
-        Entry(en.get("path").asText, stats, blooms)
+        Entry(en.get("path").asText, stats, blooms, sidecars)
       }
     }.getOrElse(Seq.empty)
     // the slot NAME is authoritative for the version — a manifest can
@@ -380,7 +388,7 @@ object SnapshotTable {
     val hashes = hashKeyStrings(spark, canon)
     val statVals = values.map(v => scala.util.Try(toStatVal(v)).toOption)
     val kept = m.entries.filter { e =>
-      val bloom = e.blooms.get(colName).map(b =>
+      val bloom = entryBloom(spark, dir, e, colName).map(b =>
         org.apache.spark.util.sketch.BloomFilter.readFrom(
           new java.io.ByteArrayInputStream(b)))
       values.indices.exists { i =>
@@ -504,6 +512,17 @@ object SnapshotTable {
       .map(n => s"$batch/$n")
   }
 
+  /** Drop a lost-race orphan batch: the data dir AND its `_blooms`
+    * sidecar mirror (no manifest names either). */
+  private def dropOrphanBatch(
+      spark: SparkSession, dir: String, batchFiles: Seq[String]): Unit =
+    batchFiles.headOption.foreach { p =>
+      val batch = p.split('/').head
+      val f = fs(spark, dir)
+      f.delete(new Path(s"$dir/$batch"), true)
+      f.delete(new Path(s"$dir/_blooms/$batch"), true): Unit
+    }
+
   /** The canonical bigint key a bloom records and a probe hashes: the
     * value's STRING form (dates as ISO) through xxhash64. Both sides
     * of every probe — the commit-time build, the delta-frame probe in
@@ -516,6 +535,51 @@ object SnapshotTable {
     * ambiguity between a column value and a caller's literal), and
     * they are the id-shaped columns blooms exist for — range stats
     * already serve columns with numeric locality. */
+  /** Manifest JSON value marking a bloom stored OUT of line. Blooms
+    * above [[InlineBloomMaxBytes]] live as sidecar files at a path
+    * derived from the data file's own relative path
+    * (`_blooms/<relpath>.<col>.bloom`), so the manifest stays a
+    * kilobytes-scale metadata read no matter how many keys the files
+    * hold — a 1M-key bloom is ~1.2 MB; inlining it per file per
+    * column would turn a 1000-file manifest into gigabytes. The
+    * deterministic mapping keeps lifecycle management free: a
+    * carried-forward entry carries its sidecar untouched (same data
+    * path ⇒ same sidecar path, and a data file's bloom never changes
+    * after commit), and vacuum deletes a dead file's sidecars by the
+    * same name derivation. Probe sites read a sidecar only for files
+    * that survive to the probe — bounded by the candidate file count,
+    * never table-scaled. */
+  private val SidecarMarker = "@sidecar"
+  private[graft] val InlineBloomMaxBytes = 64 << 10
+
+  private def sidecarBloomPath(dir: String, relPath: String, c: String): Path =
+    new Path(s"$dir/_blooms/$relPath.$c.bloom")
+
+  private def entryHasBloom(e: Entry, c: String): Boolean =
+    e.blooms.contains(c) || e.sidecarBloomCols.contains(c)
+
+  /** The entry's bloom bytes for column `c`: inline from the manifest,
+    * or one sidecar read. A missing sidecar file is a loud error —
+    * the manifest names it, so absence means the table dir was
+    * corrupted, and treating it as "no bloom" would silently degrade
+    * pruning forever. */
+  private def entryBloom(
+      spark: SparkSession, dir: String, e: Entry, c: String): Option[Array[Byte]] =
+    e.blooms.get(c).orElse {
+      if (!e.sidecarBloomCols.contains(c)) None
+      else {
+        val f = fs(spark, dir)
+        val p = sidecarBloomPath(dir, e.path, c)
+        require(f.exists(p), s"manifest names bloom sidecar $p but it is missing")
+        val in = f.open(p)
+        try {
+          val bos = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 64 << 10, false)
+          Some(bos.toByteArray)
+        } finally in.close()
+      }
+    }
+
   private def bloomKeyHash(c: Column, dt: DataType, name: String): Column = dt match {
     case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
          _: StringType => xxhash64(c.cast(StringType))
@@ -604,7 +668,7 @@ object SnapshotTable {
       else {
         val maxRows = rows.map(_.getAs[Long]("__cnt")).max.max(1L)
         require(maxRows <= 10_000_000L,
-          s"a $maxRows-row file's bloom would exceed ~12 MB in the manifest — " +
+          s"a $maxRows-row file's bloom is a ~12 MB aggregation buffer — " +
             "write smaller data files (or raise bloomFpp) before declaring bloom columns")
         val bAggs = bloomPresent.map(c => call_function("bloom_agg",
           bloomKeyHash(col(c), fields(c), c), lit(maxRows), lit(bloomFpp)).as(s"__bl_$c"))
@@ -616,8 +680,16 @@ object SnapshotTable {
             }
           }.toMap
       }
-    relPaths.map(p => Entry(p,
-      statsByRel.getOrElse(p, Map.empty), bloomsByRel.getOrElse(p, Map.empty)))
+    val f = fs(spark, dir)
+    relPaths.map { p =>
+      val all = bloomsByRel.getOrElse(p, Map.empty)
+      val (big, inline) = all.partition(_._2.length > InlineBloomMaxBytes)
+      big.foreach { case (c, bytes) =>
+        val out = f.create(sidecarBloomPath(dir, p, c), true)
+        try out.write(bytes) finally out.close()
+      }
+      Entry(p, statsByRel.getOrElse(p, Map.empty), inline, big.keySet)
+    }
   }
 
   private def commitBatch(
@@ -735,8 +807,7 @@ object SnapshotTable {
         Manifest(headV + 1, m.batchIds, m.statsCols, large.map(_._1) ++ newEntries,
           bloomCols = m.bloomCols, bloomFpp = m.bloomFpp)))
         return headV + 1
-      batchFiles.headOption.foreach(p =>
-        f.delete(new Path(s"$dir/${p.split('/').head}"), true))
+      dropOrphanBatch(spark, dir, batchFiles)
     }
     -1L // unreachable
   }
@@ -786,16 +857,17 @@ object SnapshotTable {
     * partition; the collect is bounded by the candidate FILE count,
     * never row-scaled. */
   private def bloomSurvivors(
-      spark: SparkSession, entries: Seq[Entry],
+      spark: SparkSession, dir: String, entries: Seq[Entry],
       keyed: DataFrame, bloomKeys: Seq[String],
       fields: Map[String, DataType]): Seq[Entry] = {
     val (probed, unprobed) =
-      entries.partition(e => bloomKeys.forall(e.blooms.contains))
+      entries.partition(e => bloomKeys.forall(entryHasBloom(e, _)))
     if (probed.isEmpty) return entries
     val hashed = keyed.select(bloomKeys.map(k =>
       bloomKeyHash(col(k), fields(k), k).as(s"__h_$k")): _*)
     val bcast = spark.sparkContext.broadcast(
-      probed.map(e => e.path -> bloomKeys.map(e.blooms)).toArray)
+      probed.map(e => e.path ->
+        bloomKeys.map(c => entryBloom(spark, dir, e, c).get)).toArray)
     try {
       import spark.implicits._
       val nk = bloomKeys.size
@@ -860,7 +932,7 @@ object SnapshotTable {
       .filter(k => keyed.columns.contains(k))
     val candidates =
       if (bloomKeys.isEmpty || ranged.isEmpty) ranged
-      else bloomSurvivors(spark, ranged, keyed, bloomKeys,
+      else bloomSurvivors(spark, dir, ranged, keyed, bloomKeys,
         keyed.schema.fields.map(f => f.name -> f.dataType).toMap)
     if (candidates.isEmpty) return Seq.empty
     val cand = spark.read.option("mergeSchema", "true")
@@ -932,8 +1004,7 @@ object SnapshotTable {
         return headV + 1
       // lost the race: our batch is orphaned (no manifest names it);
       // drop it and recompute against the new head
-      batchFiles.headOption.foreach(p =>
-        fs(spark, dir).delete(new Path(s"$dir/${p.split('/').head}"), true))
+      dropOrphanBatch(spark, dir, batchFiles)
     }
     -1L // unreachable
   }
@@ -976,8 +1047,7 @@ object SnapshotTable {
           Manifest(headV + 1, m.batchIds, m.statsCols, untouched ++ newEntries,
             bloomCols = m.bloomCols, bloomFpp = m.bloomFpp)))
           return headV + 1
-        batchFiles.headOption.foreach(p =>
-          fs(spark, dir).delete(new Path(s"$dir/${p.split('/').head}"), true))
+        dropOrphanBatch(spark, dir, batchFiles)
       }
     }
     -1L // unreachable
@@ -1032,6 +1102,18 @@ object SnapshotTable {
     val live = keep.flatMap(files(spark, dir, _)).toSet
     val dead = drop.flatMap(files(spark, dir, _)).toSet -- live
     dead.foreach(p => f.delete(new Path(s"$dir/$p"), false))
+    // a dead file's bloom sidecars die with it (deterministic name
+    // derivation: _blooms/<relpath>.<col>.bloom)
+    dead.groupBy(_.split('/').head).foreach { case (batch, paths) =>
+      val bdir = new Path(s"$dir/_blooms/$batch")
+      if (f.exists(bdir)) {
+        val names = paths.map(p => p.split('/').last + ".").toSeq
+        f.listStatus(bdir).toSeq
+          .filter(s => names.exists(s.getPath.getName.startsWith))
+          .foreach(s => f.delete(s.getPath, false))
+        if (f.listStatus(bdir).isEmpty) f.delete(bdir, false): Unit
+      }
+    }
     drop.foreach(v => f.delete(manifestPath(dir, v), false))
     // empty batch dirs left behind are litter, not state — sweep them
     f.listStatus(new Path(dir)).toSeq

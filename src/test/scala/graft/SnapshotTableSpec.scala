@@ -618,6 +618,56 @@ class SnapshotTableSpec extends SparkSpec {
     assert(kept2.contains(old.head.path) && !kept2.contains(fresh.head.path))
   }
 
+  test("big blooms spill to sidecar files; the manifest stays a metadata read") {
+    val dir = freshDir()
+    SnapshotTable.commitAppend(
+      spark.range(0, 120000).toDF("id").repartition(2, col("id")), dir,
+      bloomCols = Seq("id"))
+    // a 60k-key bloom is ~72 KB > the 64 KB inline cap: the manifest
+    // must carry the marker, never megabytes of base64
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_manifests", "v1.json")))
+    assert(manifest.contains("@sidecar"), "big blooms must not inline")
+    assert(manifest.length < 64 * 1024, s"manifest bloated to ${manifest.length} bytes")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_blooms")))
+    // probes resolve through the sidecar: members kept, absentees pruned
+    val (kept, total) = SnapshotTable.pruneFilesByKeys(spark, dir, "id", Seq(7L))
+    assert(total == 2 && kept.nonEmpty)
+    val (keptAbs, _) = SnapshotTable.pruneFilesByKeys(spark, dir, "id", Seq(99999999L))
+    assert(keptAbs.size < total, "an absent key must be bloom-excluded")
+    assert(SnapshotTable.readKeysFiltered(spark, dir, "id", Seq(7L))
+      .filter(col("id") === 7L).count() == 1)
+    // a key-bounded MERGE carries the untouched file's sidecar BY
+    // REFERENCE: same derived path, bytes untouched
+    val before = SnapshotTable.files(spark, dir, 1L)
+    val v2 = SnapshotTable.commitMerge(Seq(7L).toDF("id"), dir, Seq("id"))
+    val after = SnapshotTable.files(spark, dir, v2)
+    val untouched = before.filter(after.contains)
+    assert(untouched.nonEmpty, "the 7-free file must carry forward")
+    untouched.foreach { p =>
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "_blooms", p.split('/')(0),
+          p.split('/')(1) + ".id.bloom")))
+    }
+    assert(SnapshotTable.readKeysFiltered(spark, dir, "id", Seq(7L))
+      .filter(col("id") === 7L).count() == 1)
+    // vacuum kills the replaced file's sidecars with it
+    val replaced = before.filterNot(after.contains)
+    SnapshotTable.vacuum(spark, dir, keepVersions = 1)
+    replaced.foreach { p =>
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "_blooms", p.split('/')(0),
+          p.split('/')(1) + ".id.bloom")),
+        s"vacuum must drop dead sidecar for $p")
+    }
+    untouched.foreach { p =>
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "_blooms", p.split('/')(0),
+          p.split('/')(1) + ".id.bloom")),
+        "vacuum must keep live sidecars")
+    }
+  }
+
   test("bloom keys: strings and dates canonicalize; fractional types are refused loudly") {
     val dir = freshDir()
     SnapshotTable.commitAppend(
