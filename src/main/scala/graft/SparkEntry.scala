@@ -957,6 +957,20 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")),
     "tfidf_topk" -> ((s, dir) =>
       TextOps.tfidfTopK(Tables.documents(s, dir), k = 3).orderBy("doc_id", "rank")),
+    // Sparse ranked retrieval: BM25 top-10 for a fixed term query,
+    // integer-exact (saturated linear idf, e3-scaled k1/b) so the
+    // oracle replays the arithmetic bit-for-bit.
+    "bm25_topk" -> ((s, dir) =>
+      TextOps.bm25TopK(Tables.documents(s, dir),
+          Seq("vector", "query", "join"), k = 10)
+        .orderBy("rank")),
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 list and
+    // the dense hash-embedding dot-product list for the same query —
+    // only RANKS enter the fusion, e6-integer rrf on both engines.
+    "hybrid_rrf" -> ((s, dir) =>
+      TextOps.hybridRrfTopK(Tables.documents(s, dir),
+          Seq("vector", "query", "join"), k = 10, poolK = 20)
+        .orderBy("rank")),
     // Misra-Gries heavy hitters vs exact top-10, PODS'12 bound
     // asserted per row (the sketch-floor pattern).
     "heavy_hitters_check" -> ((s, dir) => {
@@ -3628,6 +3642,61 @@ object SparkEntry {
         |SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
         |       CAST(tfidf_e6 AS BIGINT) AS tfidf_e6
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // BM25 replayed term-for-term: same tokenization, same saturated
+    // linear idf, same e3-scaled k1/b integer arithmetic
+    "bm25_topk" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term FROM documents),
+        | f AS (SELECT doc_id, term FROM toks WHERE length(term) >= 2
+        |        AND term NOT IN ('the','a','an','of','and','or','is','in','to','for')),
+        | dl AS (SELECT doc_id, count(*) AS dl FROM f GROUP BY 1),
+        | corpus AS (SELECT count(*) AS n, sum(dl) AS tot FROM dl),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM f
+        |        WHERE term IN ('vector','query','join') GROUP BY 1, 2),
+        | dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | c AS (SELECT doc_id,
+        |        least(1000, n // df) * tf * 2200 * 1000000 // (tf * 1000 + ((1200 * ((1000 - 750) + ((750 * dl * 1000) // ((tot * 1000) // n)))) // 1000)) AS contrib_e6
+        |       FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus),
+        | g AS (SELECT doc_id, count(*) AS n_hits, sum(contrib_e6) AS score_e6 FROM c GROUP BY 1),
+        | top AS (SELECT * FROM g ORDER BY score_e6 DESC, doc_id LIMIT 10)
+        |SELECT CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rank,
+        |       doc_id, CAST(n_hits AS BIGINT) AS n_hits, CAST(score_e6 AS BIGINT) AS score_e6
+        |FROM top ORDER BY rank""".stripMargin,
+    // the full hybrid chain replayed: BM25 list + md5-sign dense list
+    // + integer reciprocal-rank fusion
+    "hybrid_rrf" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term FROM documents),
+        | f AS (SELECT doc_id, term FROM toks WHERE length(term) >= 2
+        |        AND term NOT IN ('the','a','an','of','and','or','is','in','to','for')),
+        | dl AS (SELECT doc_id, count(*) AS dl FROM f GROUP BY 1),
+        | corpus AS (SELECT count(*) AS n, sum(dl) AS tot FROM dl),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM f
+        |        WHERE term IN ('vector','query','join') GROUP BY 1, 2),
+        | dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | c AS (SELECT doc_id,
+        |        least(1000, n // df) * tf * 2200 * 1000000 // (tf * 1000 + ((1200 * ((1000 - 750) + ((750 * dl * 1000) // ((tot * 1000) // n)))) // 1000)) AS contrib_e6
+        |       FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus),
+        | g AS (SELECT doc_id, count(*) AS n_hits, sum(contrib_e6) AS score_e6 FROM c GROUP BY 1),
+        | sp AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS s_rank
+        |        FROM (SELECT * FROM g ORDER BY score_e6 DESC, doc_id LIMIT 20)),
+        | dtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        | demb AS (SELECT doc_id, d.j AS dim,
+        |           sum(CASE WHEN ascii(substr(md5(t || ':' || CAST(d.j AS VARCHAR)), 1, 1)) < 56 THEN 1 ELSE -1 END) AS v
+        |          FROM dtok CROSS JOIN (SELECT unnest(range(0, 8)) AS j) d GROUP BY 1, 2),
+        | qtok AS (SELECT unnest(string_split('vector query join', ' ')) AS t),
+        | qemb AS (SELECT d.j AS dim,
+        |           sum(CASE WHEN ascii(substr(md5(t || ':' || CAST(d.j AS VARCHAR)), 1, 1)) < 56 THEN 1 ELSE -1 END) AS v
+        |          FROM qtok CROSS JOIN (SELECT unnest(range(0, 8)) AS j) d GROUP BY 1),
+        | dot AS (SELECT doc_id, CAST(sum(demb.v * qemb.v) AS BIGINT) AS dot
+        |         FROM demb JOIN qemb USING (dim) GROUP BY 1),
+        | dn AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY dot DESC, doc_id) AS BIGINT) AS d_rank
+        |        FROM (SELECT * FROM dot ORDER BY dot DESC, doc_id LIMIT 20)),
+        | fused AS (SELECT COALESCE(sp.doc_id, dn.doc_id) AS doc_id, s_rank, d_rank,
+        |            COALESCE(1000000 // (60 + s_rank), 0) + COALESCE(1000000 // (60 + d_rank), 0) AS rrf_e6
+        |           FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id),
+        | topf AS (SELECT * FROM fused ORDER BY rrf_e6 DESC, doc_id LIMIT 10)
+        |SELECT CAST(row_number() OVER (ORDER BY rrf_e6 DESC, doc_id) AS BIGINT) AS rank,
+        |       doc_id, CAST(rrf_e6 AS BIGINT) AS rrf_e6, s_rank, d_rank
+        |FROM topf ORDER BY rank""".stripMargin,
     // exact top-10 with the floor contract literal-true per row; the
     // Spark side measures the sketch and flips on regression
     "heavy_hitters_check" ->

@@ -752,6 +752,101 @@ object TextOps {
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** BM25 ranked retrieval (Okapi BM25, Robertson & Zaragoza FnTIR'09
+    * eq. 3.15) — the SPARSE half of the retrieval family, next to the
+    * dense cosine/ANN chain: rank documents for a bag of query terms
+    * by term-frequency saturation (k1) and length normalization (b).
+    * Integer-exact variant: the log idf is replaced by the saturated
+    * linear idf tfidfCosinePairs already uses (min(idfCap, N div df)
+    * — monotone in rarity, capped), and k1/b arrive e3-scaled, so
+    * every score is a pure integer expression both engines evaluate
+    * bit-identically (a distributed double sum is order-dependent;
+    * integer sums are exact in any order).
+    *
+    * Scale: the scored set is bounded by docs CONTAINING a query term
+    * (the posting lists, never the corpus); dl/avgdl ride two
+    * map-side-combinable counts; df is |queryTerms| rows; the final
+    * top-k is orderBy+limit = TakeOrderedAndProject (per-partition k
+    * then merge — no global sort, no single-partition window; the
+    * row_number ranking runs on the ≤k survivors only).
+    */
+  def bm25TopK(
+      docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
+      k1E3: Long = 1200L, bE3: Long = 750L, idfCap: Long = 1000L): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    val toks = docs
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "[^a-z]+"),
+          t => length(t) >= 2)).as("term"))
+      .filter(!col("term").isin(stopwords: _*))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("_n"), sum(col("dl")).as("_tot"))
+    val tf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfTbl = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(dfTbl, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("contrib_e6", expr(
+        s"least(${idfCap}L, _n div df) * tf * ${k1E3 + 1000}L * 1000000 div " +
+          s"(tf * 1000 + ((${k1E3}L * ((1000 - ${bE3}L) + " +
+          s"((${bE3}L * dl * 1000) div ((_tot * 1000) div _n)))) div 1000))"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), sum(col("contrib_e6")).as("score_e6"))
+      .orderBy(col("score_e6").desc, col("doc_id")).limit(k)
+    scored.withColumn("rank", row_number().over(
+        Window.orderBy(col("score_e6").desc, col("doc_id"))).cast("long"))
+      .select("rank", "doc_id", "n_hits", "score_e6")
+  }
+
+  /** Hybrid retrieval by reciprocal-rank fusion (Cormack, Clarke &
+    * Buettcher SIGIR'09): fuse the sparse BM25 ranking with a dense
+    * embedding ranking by Σ 1/(rrfK + rank) — the standard hybrid
+    * search combiner, robust to the two scores living on
+    * incommensurable scales because only RANKS enter the fusion.
+    * The dense list ranks documents by integer dot product against
+    * the query text's own hash-projection embedding (the zero-egress
+    * stand-in at the model seam; Similarity.hashEmbedding — sign
+    * sums, so the dot is integer-exact in floats and the DuckDB
+    * oracle replays it through the md5 formula). rrf contribution is
+    * e6-scaled integer division, so fusion is exact on both engines;
+    * a doc absent from one list contributes 0 from it.
+    *
+    * Scale: two independent top-poolK retrievals (each
+    * TakeOrderedAndProject, corpus never globally sorted), then a
+    * ≤2·poolK-row fusion — the fuse step is driver-trivial by
+    * construction, and each retrieval carries its own 100 TB posture
+    * (posting-list-bounded sparse side; map-only embed + top-k dense
+    * side).
+    */
+  def hybridRrfTopK(
+      docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
+      poolK: Int = 20, rrfK: Long = 60L, dim: Int = 8): DataFrame = {
+    val sparse = bm25TopK(docs, queryTerms, poolK)
+      .select(col("doc_id"), col("rank").as("s_rank"))
+    val qText = queryTerms.mkString(" ")
+    val dense = docs
+      .select(col("doc_id"),
+        Similarity.hashEmbedding(col("text"), dim).as("emb"))
+      .withColumn("q", Similarity.hashEmbedding(lit(qText), dim))
+      .withColumn("dot", expr(
+        "cast(aggregate(zip_with(emb, q, (x, y) -> x * y), " +
+          "cast(0 as double), (acc, v) -> acc + v) as long)"))
+      .orderBy(col("dot").desc, col("doc_id")).limit(poolK)
+      .withColumn("d_rank", row_number().over(
+        Window.orderBy(col("dot").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("d_rank"), col("dot"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_e6", expr(
+        s"coalesce(1000000 div (${rrfK}L + s_rank), 0L) + " +
+          s"coalesce(1000000 div (${rrfK}L + d_rank), 0L)"))
+      .orderBy(col("rrf_e6").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_e6").desc, col("doc_id"))).cast("long"))
+      .select("rank", "doc_id", "rrf_e6", "s_rank", "d_rank")
+  }
+
   /** Gopher-style repetition screens: the fraction of duplicate
     * tokens and duplicate token-bigrams per document (boilerplate and
     * template spam score high; prose scores low). Map-only, integer

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Sketches, TextOps}
+import graft.operators.{Similarity, Sketches, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Behavior specs for the round-5 additions: PII redaction, corpus
@@ -236,6 +236,51 @@ class TextSketchSpec extends SparkSpec {
       (1L, 2L, "mid", 1L, 2L, 2000000L)))
     // doc 3: common tf=2 df=4 -> 2*1e6*4/4 = 2e6, only term
     assert(got.filter(_._1 == 3L) === Seq((3L, 1L, "common", 2L, 4L, 2000000L)))
+  }
+
+  test("bm25TopK: saturation and length normalization match hand math") {
+    val docs = Seq(
+      (1L, "cat cat dog bird"),
+      (2L, "cat bird bird"),
+      (3L, "dog worm"),
+      (4L, "bird worm worm")).toDF("doc_id", "text")
+    // N=4, tot=12, avgdl_e3=3000; df(cat)=df(dog)=2 so idf_i=2
+    // doc1: cat tf=2 dl=4 -> norm 1250, denom 3500 -> 2514285;
+    //       dog tf=1 -> denom 2500 -> 1760000; sum 4274285
+    // doc3: dog tf=1 dl=2 -> norm 750, denom 1900 -> 2315789
+    // doc2: cat tf=1 dl=3 -> norm 1000, denom 2200 -> 2000000
+    val got = TextOps.bm25TopK(docs, Seq("cat", "dog"), k = 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 2L, 4274285L),
+      (2L, 3L, 1L, 2315789L),
+      (3L, 2L, 1L, 2000000L)))
+  }
+
+  test("hybridRrfTopK equals a Scala-side fusion of the two public rankings") {
+    val docs = Seq(
+      (1L, "cat cat dog bird"), (2L, "cat bird bird"), (3L, "dog worm"),
+      (4L, "bird worm worm"), (5L, "fish fish cat"), (6L, "dog dog dog"),
+      (7L, "worm bird cat dog"), (8L, "moss fern")).toDF("doc_id", "text")
+    val qs = Seq("cat", "dog")
+    val sparse = TextOps.bm25TopK(docs, qs, k = 20)
+      .select("doc_id", "rank").as[(Long, Long)].collect().toMap
+    val dense = docs
+      .select(col("doc_id"), Similarity.hashEmbedding(col("text"), 8).as("emb"))
+      .withColumn("q", Similarity.hashEmbedding(lit("cat dog"), 8))
+      .withColumn("dot", expr("cast(aggregate(zip_with(emb, q, (x, y) -> x * y), " +
+        "cast(0 as double), (acc, v) -> acc + v) as long)"))
+      .orderBy(col("dot").desc, col("doc_id")).limit(20)
+      .select("doc_id").as[Long].collect().toSeq
+      .zipWithIndex.map { case (d, i) => d -> (i + 1).toLong }.toMap
+    val expect = (sparse.keySet ++ dense.keySet).toSeq.map { d =>
+      val s = sparse.get(d).map(r => 1000000L / (60L + r)).getOrElse(0L)
+      val dn = dense.get(d).map(r => 1000000L / (60L + r)).getOrElse(0L)
+      (d, s + dn)
+    }.sortBy { case (d, v) => (-v, d) }.take(5)
+    val got = TextOps.hybridRrfTopK(docs, qs, k = 5, poolK = 20)
+      .select("doc_id", "rrf_e6").as[(Long, Long)].collect().toSeq
+    assert(got === expect)
   }
 
   test("MisraGries: PODS'12 bound holds in the lossy regime (capacity << vocab)") {
