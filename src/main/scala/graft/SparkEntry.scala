@@ -957,6 +957,16 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")),
     "tfidf_topk" -> ((s, dir) =>
       TextOps.tfidfTopK(Tables.documents(s, dir), k = 3).orderBy("doc_id", "rank")),
+    // DSIR-style data selection: rank the non-English pool by
+    // target-likeness against the English slice via integer smoothed
+    // count-ratio weights — the curation step between crawl and
+    // training, deterministic top-20.
+    "importance_select" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextOps.importanceSelect(
+          d.filter(col("lang") =!= "en"), d.filter(col("lang") === "en"), n = 20)
+        .orderBy("rank")
+    }),
     // Sparse ranked retrieval: BM25 top-10 for a fixed term query,
     // integer-exact (saturated linear idf, e3-scaled k1/b) so the
     // oracle replays the arithmetic bit-for-bit.
@@ -3642,6 +3652,28 @@ object SparkEntry {
         |SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
         |       CAST(tfidf_e6 AS BIGINT) AS tfidf_e6
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // the selection replayed: same tokenization, same smoothed
+    // integer count-ratio weights, same mean-over-tokens score
+    "importance_select" ->
+      """WITH pt AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+        |            FROM documents WHERE lang <> 'en'),
+        | pf AS (SELECT doc_id, term FROM pt WHERE length(term) >= 2
+        |        AND term NOT IN ('the','a','an','of','and','or','is','in','to','for')),
+        | tt AS (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+        |        FROM documents WHERE lang = 'en'),
+        | tf2 AS (SELECT term FROM tt WHERE length(term) >= 2
+        |         AND term NOT IN ('the','a','an','of','and','or','is','in','to','for')),
+        | cp AS (SELECT term, count(*) AS cp FROM pf GROUP BY 1),
+        | ct AS (SELECT term, count(*) AS ct FROM tf2 GROUP BY 1),
+        | r AS (SELECT cp.term, ((COALESCE(ct, 0) + 1) * 1000000) // (cp + 1) AS ratio_e6
+        |       FROM cp LEFT JOIN ct USING (term)),
+        | g AS (SELECT doc_id, count(*) AS n_toks, sum(ratio_e6) AS tot_e6
+        |       FROM pf JOIN r USING (term) GROUP BY 1),
+        | s AS (SELECT doc_id, n_toks, tot_e6 // n_toks AS score_e6 FROM g),
+        | top AS (SELECT * FROM s ORDER BY score_e6 DESC, doc_id LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rank,
+        |       doc_id, CAST(n_toks AS BIGINT) AS n_toks, CAST(score_e6 AS BIGINT) AS score_e6
+        |FROM top ORDER BY rank""".stripMargin,
     // BM25 replayed term-for-term: same tokenization, same saturated
     // linear idf, same e3-scaled k1/b integer arithmetic
     "bm25_topk" ->

@@ -752,6 +752,53 @@ object TextOps {
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** DSIR-style importance selection (Xie et al. NeurIPS'23,
+    * arXiv:2302.03169): pick from a raw POOL the documents whose
+    * token distribution looks most like a TARGET corpus — the
+    * data-selection step between crawling and training, with the
+    * target standing in for "quality" (the paper uses Wikipedia+books;
+    * the driver row uses the corpus's own English slice). The paper
+    * weights docs by a hashed-n-gram log-likelihood ratio and
+    * Gumbel-resamples; this is the repo's integer-exact analog: each
+    * term carries a smoothed count-ratio weight
+    * `ratio_e6 = ((ct+1)·1e6) div (cp+1)` (target count over pool
+    * count — rises for target-distinctive vocabulary, falls toward 0
+    * for pool-only vocabulary; add-one smoothing keeps it defined
+    * everywhere), a doc scores the MEAN ratio over its tokens (the
+    * per-token normalization that removes length bias, standing in
+    * for the per-token log-LR mean), and selection is deterministic
+    * top-n. Monotonicity, not the paper's exact estimator, is the
+    * contract — and it is bit-replayable on both engines.
+    *
+    * Scale: two corpus-sized map-side-combinable counts, ONE
+    * token→weight equi-join (shuffle keyed on term — the weight table
+    * is vocabulary-sized, built from the pool's own tokens so every
+    * pool token hits), and a TakeOrderedAndProject top-n. Docs with
+    * zero alphabetic tokens carry no evidence either way and are
+    * absent from the output. */
+  def importanceSelect(pool: DataFrame, target: DataFrame, n: Int = 20): DataFrame = {
+    def toks(docs: DataFrame) = docs
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "[^a-z]+"),
+          t => length(t) >= 2)).as("term"))
+      .filter(!col("term").isin(stopwords: _*))
+    val poolToks = toks(pool)
+    val cp = poolToks.groupBy("term").agg(count(lit(1)).as("cp"))
+    val ct = toks(target).groupBy("term").agg(count(lit(1)).as("ct"))
+    val ratio = cp.join(ct, Seq("term"), "left_outer")
+      .withColumn("ratio_e6",
+        expr("((coalesce(ct, 0L) + 1) * 1000000) div (cp + 1)"))
+      .select("term", "ratio_e6")
+    val scored = poolToks.join(ratio, "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum(col("ratio_e6")).as("tot_e6"))
+      .withColumn("score_e6", expr("tot_e6 div n_toks"))
+      .orderBy(col("score_e6").desc, col("doc_id")).limit(n)
+    scored.withColumn("rank", row_number().over(
+        Window.orderBy(col("score_e6").desc, col("doc_id"))).cast("long"))
+      .select("rank", "doc_id", "n_toks", "score_e6")
+  }
+
   /** BM25 ranked retrieval (Okapi BM25, Robertson & Zaragoza FnTIR'09
     * eq. 3.15) — the SPARSE half of the retrieval family, next to the
     * dense cosine/ANN chain: rank documents for a bag of query terms

@@ -238,6 +238,25 @@ class TextSketchSpec extends SparkSpec {
     assert(got.filter(_._1 == 3L) === Seq((3L, 1L, "common", 2L, 4L, 2000000L)))
   }
 
+  test("importanceSelect: target-like vocabulary outranks pool-only vocabulary, hand math") {
+    val pool = Seq(
+      (1L, "alpha alpha beta"),
+      (2L, "beta gamma"),
+      (3L, "delta delta delta")).toDF("doc_id", "text")
+    val target = Seq((9L, "alpha alpha alpha beta")).toDF("doc_id", "text")
+    // cp: alpha 2, beta 2, gamma 1, delta 3; ct: alpha 3, beta 1
+    // ratio_e6: alpha (3+1)e6/3=1333333, beta 2e6/3=666666,
+    //           gamma 1e6/2=500000, delta 1e6/4=250000
+    // doc1 (2*1333333+666666)/3=1111110; doc2 1166666/2=583333;
+    // doc3 750000/3=250000
+    val got = TextOps.importanceSelect(pool, target, n = 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 3L, 1111110L),
+      (2L, 2L, 2L, 583333L),
+      (3L, 3L, 3L, 250000L)))
+  }
+
   test("bm25TopK: saturation and length normalization match hand math") {
     val docs = Seq(
       (1L, "cat cat dog bird"),
