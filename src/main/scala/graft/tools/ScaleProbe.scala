@@ -267,6 +267,27 @@ object ScaleProbe {
         graft.sources.SnapshotTable.commitMerge(snapDelta(7), dir, Seq("event_id"))
       }
 
+    // r11 bloom-manifest fixture: the scaled events HASH-clustered on
+    // event_id into a CONSTANT 8 files with stats AND blooms declared
+    // — the layout where every file spans the full key range, so
+    // range stats keep everything and only the blooms prune. Files
+    // grow with f (not file count), so per-file keys cross the 64 KB
+    // inline cap and the blooms take the SIDECAR path at 10×/30× —
+    // the probe runs the format at exactly the scale the sidecar
+    // design exists for. The fixture serves the timed prune; the
+    // timed commit writes its own fresh dir.
+    def scaledHashClustered(f: Int) = replicate(
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .select("event_id", "event_type"), f)
+      .select((col("event_id") + col("k") * 1000000000L).as("event_id"),
+        col("event_type"))
+      .repartition(8, col("event_id"))
+    if (Seq("snapshot_bloom_commit", "snapshot_bloom_prune").exists(wanted))
+      for (f <- Seq(1, factor))
+        graft.sources.SnapshotTable.commitAppend(scaledHashClustered(f),
+          s"$scaledBase/f$f/snap_bloom_tbl",
+          statsCols = Seq("event_id"), bloomCols = Seq("event_id"))
+
     def ops(f: Int): Seq[(String, () => DataFrame)] = {
       val docs = scaleDocs(Tables.documents(spark, sfDir), f)
       val emb = scaleEmb(Tables.embeddings(spark, sfDir), f)
@@ -349,6 +370,31 @@ object ScaleProbe {
         "snapshot_changes_diff" -> (() =>
           graft.sources.SnapshotTable.changesBetween(
             spark, s"$scaledBase/f$f/snap_tbl", 1L, 2L)),
+        // commit-time bloom overhead: one extra delta-sized grouped
+        // aggregate + sidecar writes riding the ordinary commit — the
+        // wall should track the batch (it IS the delta), never worse
+        "snapshot_bloom_commit" -> (() => {
+          val v = graft.sources.SnapshotTable.commitAppend(
+            scaledHashClustered(f), s"$scaledBase/f$f/snap_bloom_commit",
+            statsCols = Seq("event_id"), bloomCols = Seq("event_id"))
+          spark.range(v).toDF()
+        }),
+        // planning-time point-lookup at volume: a 3-key probe against
+        // the 8f-file manifest keeps O(keys) files whatever f is, so
+        // the pruned read should stay ~FLAT while the table grows N×
+        // (manifest parse + per-candidate sidecar reads are the only
+        // f-scaled costs)
+        "snapshot_bloom_prune" -> (() => {
+          val dir = s"$scaledBase/f$f/snap_bloom_tbl"
+          val keys = Seq(11L, 222L, 333L)
+          val (kept, total) = graft.sources.SnapshotTable
+            .pruneFilesByKeys(spark, dir, "event_id", keys)
+          require(kept.size < total,
+            s"blooms must prune the hash-clustered lookup: ${kept.size} of $total")
+          graft.sources.SnapshotTable
+            .readKeysFiltered(spark, dir, "event_id", keys)
+            .filter(col("event_id").isin(keys: _*))
+        }),
         // triangle census over N disjoint replicas of the part
         // co-order graph (both ids salted per replica): triangles
         // scale exactly N×, per-replica wedge structure — and the
