@@ -967,6 +967,15 @@ object SparkEntry {
           d.filter(col("lang") =!= "en"), d.filter(col("lang") === "en"), n = 20)
         .orderBy("rank")
     }),
+    // The DSIR resampling step, de-randomized: keep each pool doc
+    // with probability score/max via the standard md5 id-gate —
+    // distribution-preserving where top-n collapses onto the mode.
+    "importance_sample" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextOps.importanceSample(
+          d.filter(col("lang") =!= "en"), d.filter(col("lang") === "en"))
+        .orderBy("doc_id")
+    }),
     // Sparse ranked retrieval: BM25 top-10 for a fixed term query,
     // integer-exact (saturated linear idf, e3-scaled k1/b) so the
     // oracle replays the arithmetic bit-for-bit.
@@ -3652,6 +3661,31 @@ object SparkEntry {
         |SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
         |       CAST(tfidf_e6 AS BIGINT) AS tfidf_e6
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // the proportional gate replayed: same scores, same md5 u16 draw
+    // (hex parsed via the 0x cast), same integer comparison
+    "importance_sample" ->
+      """WITH pt AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+        |            FROM documents WHERE lang <> 'en'),
+        | pf AS (SELECT doc_id, term FROM pt WHERE length(term) >= 2
+        |        AND term NOT IN ('the','a','an','of','and','or','is','in','to','for')),
+        | tt AS (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+        |        FROM documents WHERE lang = 'en'),
+        | tf2 AS (SELECT term FROM tt WHERE length(term) >= 2
+        |         AND term NOT IN ('the','a','an','of','and','or','is','in','to','for')),
+        | cp AS (SELECT term, count(*) AS cp FROM pf GROUP BY 1),
+        | ct AS (SELECT term, count(*) AS ct FROM tf2 GROUP BY 1),
+        | r AS (SELECT cp.term, ((COALESCE(ct, 0) + 1) * 1000000) // (cp + 1) AS ratio_e6
+        |       FROM cp LEFT JOIN ct USING (term)),
+        | g AS (SELECT doc_id, count(*) AS n_toks, sum(ratio_e6) AS tot_e6
+        |       FROM pf JOIN r USING (term) GROUP BY 1),
+        | s AS (SELECT doc_id, n_toks, tot_e6 // n_toks AS score_e6 FROM g),
+        | m AS (SELECT max(score_e6) AS mx FROM s),
+        | d AS (SELECT doc_id, n_toks, score_e6,
+        |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) AS u16
+        |       FROM s CROSS JOIN m WHERE
+        |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) * mx < score_e6 * 65536)
+        |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks, CAST(score_e6 AS BIGINT) AS score_e6
+        |FROM d ORDER BY doc_id""".stripMargin,
     // the selection replayed: same tokenization, same smoothed
     // integer count-ratio weights, same mean-over-tokens score
     "importance_select" ->

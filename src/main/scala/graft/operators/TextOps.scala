@@ -776,7 +776,9 @@ object TextOps {
     * pool token hits), and a TakeOrderedAndProject top-n. Docs with
     * zero alphabetic tokens carry no evidence either way and are
     * absent from the output. */
-  def importanceSelect(pool: DataFrame, target: DataFrame, n: Int = 20): DataFrame = {
+  /** The shared scoring pass: (doc_id, n_toks, score_e6) for every
+    * pool doc with ≥1 alphabetic token. */
+  private def importanceScores(pool: DataFrame, target: DataFrame): DataFrame = {
     def toks(docs: DataFrame) = docs
       .select(col("doc_id"),
         explode(filter(split(lower(col("text")), "[^a-z]+"),
@@ -789,14 +791,44 @@ object TextOps {
       .withColumn("ratio_e6",
         expr("((coalesce(ct, 0L) + 1) * 1000000) div (cp + 1)"))
       .select("term", "ratio_e6")
-    val scored = poolToks.join(ratio, "term")
+    poolToks.join(ratio, "term")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"), sum(col("ratio_e6")).as("tot_e6"))
       .withColumn("score_e6", expr("tot_e6 div n_toks"))
+      .select("doc_id", "n_toks", "score_e6")
+  }
+
+  def importanceSelect(pool: DataFrame, target: DataFrame, n: Int = 20): DataFrame = {
+    val scored = importanceScores(pool, target)
       .orderBy(col("score_e6").desc, col("doc_id")).limit(n)
     scored.withColumn("rank", row_number().over(
         Window.orderBy(col("score_e6").desc, col("doc_id"))).cast("long"))
       .select("rank", "doc_id", "n_toks", "score_e6")
+  }
+
+  /** The RESAMPLING half of DSIR (the paper's step 3, de-randomized):
+    * instead of a deterministic top-n, keep each pool doc with
+    * probability proportional to its importance score — the shape
+    * that preserves distributional coverage where top-n collapses
+    * onto the mode. The coin is the repo's standard md5 gate (a pure
+    * function of doc_id — the same doc gets the same verdict on both
+    * engines and across reruns): keep iff u16·max < score·65536,
+    * where u16 is the first 4 md5 hex digits of the id as an integer,
+    * so inclusion probability is score_e6/max_score_e6 exactly (the
+    * top-scoring doc is always kept, a zero-score doc never). All
+    * integer comparisons — no float thresholds to drift.
+    *
+    * Scale: the scoring pass is importanceSelect's; the gate adds one
+    * broadcast 1-row max aggregate and a map-only filter. */
+  def importanceSample(pool: DataFrame, target: DataFrame): DataFrame = {
+    val mx = importanceScores(pool, target).agg(max(col("score_e6")).as("_mx"))
+    importanceScores(pool, target)
+      .crossJoin(broadcast(mx))
+      .withColumn("u16", expr(
+        "cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 4), " +
+          "16, 10) as bigint)"))
+      .filter(expr("u16 * _mx < score_e6 * 65536"))
+      .select("doc_id", "n_toks", "score_e6")
   }
 
   /** BM25 ranked retrieval (Okapi BM25, Robertson & Zaragoza FnTIR'09

@@ -257,6 +257,33 @@ class TextSketchSpec extends SparkSpec {
       (3L, 3L, 3L, 250000L)))
   }
 
+  test("importanceSample: proportional md5 gate — max-score doc always kept, gate replayed") {
+    val pool = (1L to 60L).map { i =>
+      // thirds: target-like, mixed, pool-only vocabulary
+      val t = if (i % 3 == 0) "alpha alpha beta"
+      else if (i % 3 == 1) "alpha delta" else "delta gamma"
+      (i, t)
+    }.toDF("doc_id", "text")
+    val target = Seq((99L, "alpha alpha alpha beta")).toDF("doc_id", "text")
+    val scores = TextOps.importanceSelect(pool, target, n = 60)
+      .select("doc_id", "score_e6").as[(Long, Long)].collect().toMap
+    val mx = scores.values.max
+    def u16(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(2).map("%02x".format(_)).mkString, 16)
+    }
+    val expect = scores.keys.filter(d => u16(d) * mx < scores(d) * 65536L).toSeq.sorted
+    val got = TextOps.importanceSample(pool, target)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(got === expect)
+    // every max-score doc clears the gate by construction (u16 < 65536)
+    val maxDocs = scores.filter(_._2 == mx).keys.toSet
+    assert(maxDocs.subsetOf(got.toSet))
+    // the gate is a real filter on this fixture, not a pass-through
+    assert(got.size < scores.size)
+  }
+
   test("bm25TopK: saturation and length normalization match hand math") {
     val docs = Seq(
       (1L, "cat cat dog bird"),
