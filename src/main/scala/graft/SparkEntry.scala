@@ -2279,6 +2279,22 @@ object SparkEntry {
     // pruned read is a superset the residual isin then narrows. The
     // oracle replays the IN-list over the full base table, blind to
     // the layout.
+    // Metadata-only aggregates: COUNT(*) and MIN/MAX answered from
+    // the manifest ALONE (per-file row counts + stats summed/folded
+    // driver-side — zero data I/O at any table size, the real
+    // formats' metadata fast path; the corrupt-every-data-file spec
+    // proves no file is opened). Oracle recomputes from the base.
+    "snapshot_meta_agg" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val tbl = snapBloomTable(s, dir)
+      val n = SnapshotTable.countRows(s, tbl)
+      val (mn, mx) = SnapshotTable.statExtremes(s, tbl, "event_id")
+      def asLong(v: Any) = v.asInstanceOf[java.math.BigDecimal].longValueExact
+      s.range(1).select(
+        lit(n).as("n_rows"),
+        lit(asLong(mn)).as("min_event_id"),
+        lit(asLong(mx)).as("max_event_id"))
+    }),
     "snapshot_bloom_prune" -> ((s, dir) => {
       import graft.sources.SnapshotTable
       val tbl = snapBloomTable(s, dir)
@@ -5020,6 +5036,10 @@ object SparkEntry {
         |SELECT 'shifted', count(*), true
         |FROM embeddings WHERE vec_id % 5 = 1
         |ORDER BY probe""".stripMargin,
+    // the manifest-only count/extremes must equal the base aggregate
+    "snapshot_meta_agg" ->
+      """SELECT count(*) AS n_rows, min(event_id) AS min_event_id,
+        |       max(event_id) AS max_event_id FROM events""".stripMargin,
     // the bloom-pruned IN-list read must equal the same IN-list over
     // the whole base (file pruning is invisible to the answer)
     "snapshot_bloom_prune" ->

@@ -85,7 +85,8 @@ object SnapshotTable {
       path: String,
       stats: Map[String, FileStat],
       blooms: Map[String, Array[Byte]] = Map.empty,
-      sidecarBloomCols: Set[String] = Set.empty)
+      sidecarBloomCols: Set[String] = Set.empty,
+      rows: Long = -1L)
 
   private[graft] final case class Manifest(
       version: Long,
@@ -152,6 +153,7 @@ object SnapshotTable {
     m.entries.foreach { e =>
       val en = es.addObject()
       en.put("path", e.path)
+      if (e.rows >= 0L) en.put("rows", e.rows): Unit
       if (e.stats.nonEmpty) {
         val st = en.putObject("stats")
         e.stats.toSeq.sortBy(_._1).foreach { case (c, fsr) =>
@@ -217,7 +219,8 @@ object SnapshotTable {
           }
           b.result()
         }.getOrElse(Map.empty[String, Array[Byte]])
-        Entry(en.get("path").asText, stats, blooms, sidecars)
+        Entry(en.get("path").asText, stats, blooms, sidecars,
+          Option(en.get("rows")).map(_.asLong).getOrElse(-1L))
       }
     }.getOrElse(Seq.empty)
     // the slot NAME is authoritative for the version — a manifest can
@@ -419,6 +422,53 @@ object SnapshotTable {
       .parquet(kept.map(f => s"$dir/$f"): _*)
   }
 
+  /** COUNT(*) answered from the MANIFEST ALONE — zero data I/O at any
+    * table size (the real formats' metadata-aggregate fast path;
+    * every commit records per-file row counts, so the head count is a
+    * sum over the entry list). Refuses loudly when any entry predates
+    * row-count recording (an unknown file could hide any number of
+    * rows — guessing would be a silent wrong answer; OPTIMIZE or a
+    * rewriting commit refreshes its entries). */
+  def countRows(spark: SparkSession, dir: String, version: Option[Long] = None): Long = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"snapshot table $dir has no committed version")
+    val m = readManifest(spark, dir, version.getOrElse(vs.last))
+    val unknown = m.entries.filter(_.rows < 0L)
+    require(unknown.isEmpty,
+      s"countRows needs per-file row counts on every entry; missing on " +
+        s"${unknown.map(_.path).mkString(", ")} — rewrite those files " +
+        "(OPTIMIZE) or count the data directly")
+    m.entries.map(_.rows).sum
+  }
+
+  /** (min, max) of a declared stat column from the manifest alone —
+    * the metadata-only extreme: fold the per-file mins/maxes. Every
+    * entry must carry the stat (a file without it could hide the true
+    * extreme) and the values must be mutually comparable; both
+    * violations are loud errors, never silent wrong answers. Values
+    * come back in the stored canonical forms: `java.math.BigDecimal`
+    * for numerics, `String` for strings and ISO dates. */
+  def statExtremes(
+      spark: SparkSession, dir: String, colName: String,
+      version: Option[Long] = None): (Any, Any) = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"snapshot table $dir has no committed version")
+    val m = readManifest(spark, dir, version.getOrElse(vs.last))
+    require(m.entries.nonEmpty, s"version has no files — no extremes to report")
+    val missing = m.entries.filterNot(_.stats.contains(colName))
+    require(missing.isEmpty,
+      s"statExtremes($colName) needs the stat on every entry; missing on " +
+        s"${missing.map(_.path).mkString(", ")}")
+    val stats = m.entries.map(_.stats(colName))
+    def pick(a: Any, b: Any, wantMin: Boolean): Any = cmpStat(a, b) match {
+      case Some(c) => if ((c <= 0) == wantMin) a else b
+      case None => throw new IllegalArgumentException(
+        s"incomparable $colName stats ($a vs $b) — mixed types across files")
+    }
+    (stats.map(_.min).reduce(pick(_, _, wantMin = true)),
+      stats.map(_.max).reduce(pick(_, _, wantMin = false)))
+  }
+
   // ---------------------------------------------------------------
   // Commits
   // ---------------------------------------------------------------
@@ -614,28 +664,27 @@ object SnapshotTable {
   /** Entries (per-file min/max over `statsCols`, per-file bloom
     * fingerprints over `bloomCols`) for just-written batch files. Two
     * delta-sized passes, never table-scaled: ONE aggregate grouped by
-    * `input_file_name` yields all stats plus per-file row counts; a
-    * second (only when blooms are declared) builds every file's bloom
-    * sized to the batch's largest file at `bloomFpp`. Dates are
-    * canonicalized to ISO strings (lexicographic order ==
-    * chronological); unsupported column types fail loudly rather than
-    * record stats/blooms that can't be compared. Blooms live in the
-    * manifest (≈1.2 bytes/key at 1% fpp, base64) — the right trade up
-    * to a few million keys per file; beyond that the loud cap below
-    * says to lower fpp or shrink files. */
+    * `input_file_name` yields all stats plus per-file ROW COUNTS
+    * (always recorded — they make COUNT(*) and, with stats, MIN/MAX a
+    * manifest-only read via `countRows`/`statExtremes`; on a plain
+    * no-stats commit this pass projects zero data columns, so it is a
+    * metadata-speed count scan of the delta); a second (only when
+    * blooms are declared) builds every file's bloom sized to the
+    * batch's largest file at `bloomFpp`. Dates are canonicalized to
+    * ISO strings (lexicographic order == chronological); unsupported
+    * column types fail loudly rather than record stats/blooms that
+    * can't be compared. Blooms over [[InlineBloomMaxBytes]] spill to
+    * sidecar files; the build buffer cap below bounds executor
+    * aggregation memory. */
   private def batchEntries(
       spark: SparkSession, dir: String,
       relPaths: Seq[String], statsCols: Seq[String],
       bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01): Seq[Entry] = {
     if (relPaths.isEmpty) return Seq.empty
-    if (statsCols.isEmpty && bloomCols.isEmpty)
-      return relPaths.map(Entry(_, Map.empty))
     val df = spark.read.option("mergeSchema", "true")
       .parquet(relPaths.map(p => s"$dir/$p"): _*)
     val present = statsCols.filter(df.columns.contains)
     val bloomPresent = bloomCols.filter(df.columns.contains)
-    if (present.isEmpty && bloomPresent.isEmpty)
-      return relPaths.map(Entry(_, Map.empty))
     val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
     def statExpr(c: String): Column = fields(c) match {
       case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
@@ -663,6 +712,10 @@ object SnapshotTable {
         rp -> stats
       }
     }.toMap
+    val rowsByRel: Map[String, Long] = rows.flatMap { r =>
+      val abs = r.getString(0)
+      relPaths.find(rp => abs.endsWith(rp)).map(_ -> r.getAs[Long]("__cnt"))
+    }.toMap
     val bloomsByRel: Map[String, Map[String, Array[Byte]]] =
       if (bloomPresent.isEmpty) Map.empty
       else {
@@ -688,7 +741,10 @@ object SnapshotTable {
         val out = f.create(sidecarBloomPath(dir, p, c), true)
         try out.write(bytes) finally out.close()
       }
-      Entry(p, statsByRel.getOrElse(p, Map.empty), inline, big.keySet)
+      // a file the grouped count never saw is empty-or-unmatched:
+      // record unknown (-1), countRows refuses rather than guesses
+      Entry(p, statsByRel.getOrElse(p, Map.empty), inline, big.keySet,
+        rowsByRel.getOrElse(p, -1L))
     }
   }
 

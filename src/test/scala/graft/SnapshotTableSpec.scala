@@ -668,6 +668,34 @@ class SnapshotTableSpec extends SparkSpec {
     }
   }
 
+  test("countRows/statExtremes answer from the manifest alone — every data file corrupt") {
+    val dir = freshDir()
+    SnapshotTable.commitAppend(
+      (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v").repartition(4, col("id")),
+      dir, statsCols = Seq("id"))
+    SnapshotTable.commitAppend(
+      (100L until 150L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1),
+      dir, statsCols = Seq("id"))
+    // destroy the DATA; the metadata aggregates must not notice
+    SnapshotTable.files(spark, dir, 2L).foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, p), "gone".getBytes)
+    }
+    assert(SnapshotTable.countRows(spark, dir) == 150L)
+    assert(SnapshotTable.countRows(spark, dir, Some(1L)) == 100L)
+    val (mn, mx) = SnapshotTable.statExtremes(spark, dir, "id")
+    assert(mn.asInstanceOf[java.math.BigDecimal].longValueExact == 0L)
+    assert(mx.asInstanceOf[java.math.BigDecimal].longValueExact == 149L)
+    val (_, mx1) = SnapshotTable.statExtremes(spark, dir, "id", Some(1L))
+    assert(mx1.asInstanceOf[java.math.BigDecimal].longValueExact == 99L)
+    // a column without universal stats is a loud refusal
+    intercept[IllegalArgumentException] {
+      SnapshotTable.statExtremes(spark, dir, "v")
+    }
+    // the plain read DOES die on the corrupt files — the aggregates
+    // really did come from metadata, not a lucky cache
+    intercept[Throwable] { SnapshotTable.read(spark, dir).count() }
+  }
+
   test("bloom keys: strings and dates canonicalize; fractional types are refused loudly") {
     val dir = freshDir()
     SnapshotTable.commitAppend(
