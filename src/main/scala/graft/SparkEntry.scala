@@ -3047,6 +3047,42 @@ object SparkEntry {
         .groupBy("lang").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang")
     }),
+    // Streaming bloom maintenance: every micro-batch commit records
+    // its per-file blooms through the sticky declaration (in-row
+    // require: EVERY streamed file carries one), so planning-time key
+    // pruning works cold the moment the stream stops — the
+    // incremental-index-maintenance contract applied to the manifest
+    // bloom family. Chunks are hash-sliced so each spans the full id
+    // range: range stats keep everything, only blooms prune.
+    "stream_bloom_ingest" -> ((s, dir) => streamRow(s) {
+      import graft.sources.SnapshotTable
+      val base = tempDir("graft_stream_bloom")
+      val src = s"$base/chunks"
+      Tables.events(s, dir).select("event_id", "event_type")
+        .repartition(4, col("event_id")).write.parquet(src)
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      graft.streaming.IncrementalSync.snapshotIngest(
+        stream, s"$base/tbl", s"$base/ckpt",
+        statsCols = Seq("event_id"), bloomCols = Seq("event_id"))
+        .awaitTermination()
+      val vs = SnapshotTable.versions(s, s"$base/tbl")
+      require(vs.size >= 4, s"four hash chunks must land as four commits: $vs")
+      val m = SnapshotTable.readManifest(s, s"$base/tbl", vs.last)
+      require(m.entries.forall(e =>
+        e.blooms.contains("event_id") || e.sidecarBloomCols("event_id")),
+        "every streamed batch must carry its bloom fingerprint")
+      val ids = Seq(11L, 222L, 333L)
+      val (kept, total) = SnapshotTable.pruneFilesByKeys(
+        s, s"$base/tbl", "event_id", ids)
+      require(kept.size < total,
+        s"stream-maintained blooms must prune: kept ${kept.size} of $total")
+      SnapshotTable.readKeysFiltered(s, s"$base/tbl", "event_id", ids)
+        .filter(col("event_id").isin(ids: _*))
+        .select(col("event_id"), col("event_type"))
+        .orderBy("event_id")
+    }),
     // Drift-gated streaming ingest — corpusDriftCheck standing at the
     // door: the in-distribution chunk lands in the target, the
     // language-collapsed chunk is diverted WHOLE to quarantine with
@@ -4933,6 +4969,12 @@ object SparkEntry {
     "stream_snapshot_summary" ->
       """SELECT lang, count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the stream-maintained bloom-pruned IN-list read must equal the
+    // same IN-list over the base, blind to the chunking
+    "stream_bloom_ingest" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE event_id IN (11, 222, 333)
+        |ORDER BY event_id""".stripMargin,
     // every streamed document row, exactly once, across the replay
     "stream_snapshot_ingest" ->
       """SELECT lang, count(*) AS n_docs

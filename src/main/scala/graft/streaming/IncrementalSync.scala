@@ -576,12 +576,15 @@ object IncrementalSync {
   def snapshotIngest(
       stream: DataFrame,
       tableDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        graft.sources.SnapshotTable.commitStreamBatch(batch, tableDir, id)
+        graft.sources.SnapshotTable.commitStreamBatch(batch, tableDir, id,
+          statsCols = statsCols, bloomCols = bloomCols)
         ()
       }
       .start()
