@@ -957,6 +957,12 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")),
     "tfidf_topk" -> ((s, dir) =>
       TextOps.tfidfTopK(Tables.documents(s, dir), k = 3).orderBy("doc_id", "rank")),
+    // BPE merge-pair training: the top-8 learned merges (the
+    // artifact a tokenizer ships), each round deterministic and
+    // replayed by the chained-CTE oracle.
+    "bpe_train" -> ((s, dir) =>
+      TextOps.bpeTrain(Tables.documents(s, dir), nMerges = 8)
+        .orderBy("round")),
     // DSIR-style data selection: rank the non-English pool by
     // target-likeness against the English slice via integer smoothed
     // count-ratio weights — the curation step between crawl and
@@ -3409,7 +3415,36 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** The BPE oracle, generated: round k's CTE trio (pair counts over
+    * seqs_{k-1}, deterministic argmax, fold-applied merge) chained K
+    * times — the PageRank chained-CTE replay discipline applied to
+    * tokenizer training. The list_reduce lambda is the same exact
+    * left-to-right non-overlapping merge fold the Spark side runs. */
+  private def bpeOracleSql(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      s""" pairs_$r AS (SELECT l[i] AS a, l[i+1] AS b, sum(n) AS cnt
+         |   FROM (SELECT string_split(seq, ' ') AS l, n FROM seqs_${r - 1}), unnest(range(1, len(l))) AS t(i)
+         |   GROUP BY 1, 2),
+         | best_$r AS (SELECT a, b, a || b AS m, cnt FROM pairs_$r ORDER BY cnt DESC, a, b LIMIT 1),
+         | seqs_$r AS (SELECT w, n, list_reduce(string_split(seq, ' '), (acc, x) ->
+         |   CASE WHEN (acc = b.a OR acc LIKE '% ' || b.a) AND x = b.b
+         |        THEN CASE WHEN acc = b.a THEN b.m ELSE left(acc, length(acc) - length(b.a) - 1) || ' ' || b.m END
+         |        ELSE acc || ' ' || x END) AS seq
+         |  FROM seqs_${r - 1} CROSS JOIN best_$r b)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to k).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, a AS lhs, b AS rhs, m AS merged, CAST(cnt AS BIGINT) AS pair_n FROM best_$r")
+      .mkString("\n UNION ALL ")
+    s"""WITH words AS (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w FROM documents),
+       | vocab AS (SELECT w, count(*) AS n FROM words WHERE length(w) >= 1 GROUP BY 1),
+       | seqs_0 AS (SELECT w, n, array_to_string(list_transform(range(1, length(w)+1), i -> substr(w, i, 1)), ' ') AS seq FROM vocab),
+       |$rounds
+       |$sel
+       |ORDER BY round""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "bpe_train" -> bpeOracleSql(8),
     "running_tally" ->
       """WITH rawd AS (
         |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt,

@@ -776,6 +776,70 @@ object TextOps {
     * pool token hits), and a TakeOrderedAndProject top-n. Docs with
     * zero alphabetic tokens carry no evidence either way and are
     * absent from the output. */
+  /** BPE merge-pair training (Sennrich, Haddow & Birch ACL'16) — the
+    * TRAINING half of the tokenizer family, next to the wordpiece
+    * greedy-inference encode: learn the top `nMerges` byte-pair
+    * merges from the corpus, returning the merge table itself
+    * (round, lhs, rhs, merged, pair_n) — the artifact a tokenizer
+    * ships. Each round merges the most frequent adjacent symbol pair
+    * (ties: count desc, lhs asc, rhs asc — fully deterministic, so
+    * the DuckDB oracle replays every round as a chained CTE).
+    *
+    * Scale: training runs on the WORD VOCABULARY with occurrence
+    * counts (one corpus-sized count up front; every round after is
+    * vocabulary-sized — pair statistics are identical because a
+    * word's pairs are weighted by its count, the standard BPE scale
+    * trick). A round is one map-side-combinable pair aggregate, a
+    * 1-row argmax collect, and a map-only fold applying the merge.
+    * The fold IS exact left-to-right non-overlapping BPE merging:
+    * the accumulator's last symbol merges with the incoming symbol
+    * iff they form the pair, and a just-merged symbol (now `lhs‖rhs`)
+    * can never re-merge as `lhs` in the same round (spec-pinned on
+    * the aaa/abab shapes). localCheckpoint per round keeps the plan
+    * flat across rounds (the PageRank discipline). */
+  def bpeTrain(docs: DataFrame, nMerges: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs
+      .select(explode(filter(split(lower(col("text")), "[^a-z]+"),
+        t => length(t) >= 1)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .withColumn("seq", expr(
+        "array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), ' ')"))
+      .select("w", "n", "seq")
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (round <- 1 to nMerges) {
+      // zip_with over shifted slices: a 1-symbol word yields zero
+      // pairs (slice length 0 → empty), never a negative-step
+      // sequence or an out-of-range subscript
+      val best = vocab
+        .select(col("n"), split(col("seq"), " ").as("s"))
+        .select(col("n"), explode(expr(
+          "zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1), " +
+            "(x, y) -> struct(x AS a, y AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b")).agg(sum("n").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .collect()
+      require(best.nonEmpty,
+        s"corpus exhausted after ${round - 1} merges — every word is one symbol; " +
+          "ask for fewer merges")
+      val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      val m = a + b
+      merges += ((round.toLong, a, b, m, cnt))
+      def q(s: String) = "'" + s + "'" // symbols are [a-z]+ — no escaping needed
+      vocab = vocab.withColumn("seq", expr(
+        s"aggregate(split(seq, ' '), '', (acc, x) -> " +
+          s"CASE WHEN acc = '' THEN x " +
+          s"WHEN (acc = ${q(a)} OR acc LIKE ${q("% " + a)}) AND x = ${q(b)} " +
+          s"THEN CASE WHEN acc = ${q(a)} THEN ${q(m)} " +
+          s"ELSE concat(left(acc, length(acc) - ${a.length + 1}), ' ', ${q(m)}) END " +
+          s"ELSE concat(acc, ' ', x) END)"))
+        .localCheckpoint(true)
+    }
+    merges.result().toDF("round", "lhs", "rhs", "merged", "pair_n")
+  }
+
   /** The shared scoring pass: (doc_id, n_toks, score_e6) for every
     * pool doc with ≥1 alphabetic token. */
   private def importanceScores(pool: DataFrame, target: DataFrame): DataFrame = {

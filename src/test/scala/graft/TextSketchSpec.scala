@@ -257,6 +257,26 @@ class TextSketchSpec extends SparkSpec {
       (3L, 3L, 3L, 250000L)))
   }
 
+  test("bpeTrain: exact left-to-right merges with deterministic ties (aaa/abab shapes)") {
+    val docs = Seq((1L, "aaa abab")).toDF("doc_id", "text")
+    // r1: (a,a)=2 ties (a,b)=2, lhs-asc wins → aa; "aaa"→"aa a"
+    //     (the fold merges ONE leftmost pair of the run — never "aa"
+    //     twice from three a's)
+    // r2: (a,b)=2 → ab; "abab"→"ab ab" (both alternating pairs — the
+    //     second merges even though the first consumed its left space)
+    // r3: (aa,a)=1 ties (ab,ab)=1, lhs asc → aaa
+    // r4: (ab,ab)=1 → abab
+    val got = TextOps.bpeTrain(docs, nMerges = 4)
+      .as[(Long, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq(
+      (1L, "a", "a", "aa", 2L),
+      (2L, "a", "b", "ab", 2L),
+      (3L, "aa", "a", "aaa", 1L),
+      (4L, "ab", "ab", "abab", 1L)))
+    // a fifth merge has no pairs left — loud error, not a short table
+    intercept[IllegalArgumentException] { TextOps.bpeTrain(docs, nMerges = 5) }
+  }
+
   test("importanceSample: proportional md5 gate — max-score doc always kept, gate replayed") {
     val pool = (1L to 60L).map { i =>
       // thirds: target-like, mixed, pool-only vocabulary
