@@ -3089,6 +3089,39 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"))
         .orderBy("event_id")
     }),
+    // Multi-writer exactly-once: TWO streaming queries ingest
+    // disjoint halves into the SAME table under distinct appIds —
+    // both emit micro-batch ids starting at 0, the appId-scoped
+    // ledger keeps them independent (in-row requires: both landed,
+    // a full replay of EACH no-ops), and the final census covers
+    // every row exactly once. The single-writer contract the
+    // snapshot_ingest scaladoc documented is now the empty-appId
+    // special case.
+    "stream_multi_writer" -> ((s, dir) => streamRow(s) {
+      import graft.sources.SnapshotTable
+      val base = tempDir("graft_stream_mw")
+      val ev = Tables.events(s, dir).select("event_id", "event_type")
+      ev.filter(col("event_id") % 2 === 0).repartition(2)
+        .write.parquet(s"$base/even")
+      ev.filter(col("event_id") % 2 === 1).repartition(2)
+        .write.parquet(s"$base/odd")
+      def ingest(src: String, app: String, ckpt: String) = {
+        val schema = s.read.parquet(s"$base/$src").schema
+        graft.streaming.IncrementalSync.snapshotIngest(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(s"$base/$src"),
+          s"$base/tbl", s"$base/$ckpt", appId = app).awaitTermination()
+      }
+      ingest("even", "w_even", "ck1"); ingest("odd", "w_odd", "ck2")
+      val vs = SnapshotTable.versions(s, s"$base/tbl")
+      require(vs.size >= 4, s"both writers' chunks must land: $vs")
+      ingest("even", "w_even", "ck1_replay"); ingest("odd", "w_odd", "ck2_replay")
+      require(SnapshotTable.versions(s, s"$base/tbl") == vs,
+        "a full replay of EITHER writer must no-op the ledger")
+      SnapshotTable.read(s, s"$base/tbl")
+        .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
     // Drift-gated streaming ingest — corpusDriftCheck standing at the
     // door: the in-distribution chunk lands in the target, the
     // language-collapsed chunk is diverted WHOLE to quarantine with
@@ -5010,6 +5043,10 @@ object SparkEntry {
       """SELECT event_id, event_type FROM events
         |WHERE event_id IN (11, 222, 333)
         |ORDER BY event_id""".stripMargin,
+    // every event exactly once across two writers and their replays
+    "stream_multi_writer" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // every streamed document row, exactly once, across the replay
     "stream_snapshot_ingest" ->
       """SELECT lang, count(*) AS n_docs

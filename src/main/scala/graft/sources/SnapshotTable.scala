@@ -95,7 +95,8 @@ object SnapshotTable {
       entries: Seq[Entry],
       committedAtMs: Long = 0L,
       bloomCols: Seq[String] = Nil,
-      bloomFpp: Double = 0.01)
+      bloomFpp: Double = 0.01,
+      streamKeys: Set[String] = Set.empty)
 
   /** An inclusive-bounds range predicate over one stat column, used
     * for planning-time file pruning. `lower`/`upper` accept any
@@ -142,6 +143,10 @@ object SnapshotTable {
     root.put("committedAtMs", m.committedAtMs)
     val bids = root.putArray("batchIds")
     m.batchIds.toSeq.sorted.foreach(bids.add)
+    if (m.streamKeys.nonEmpty) {
+      val sk = root.putArray("streamKeys")
+      m.streamKeys.toSeq.sorted.foreach(sk.add)
+    }
     val scols = root.putArray("statsCols")
     m.statsCols.foreach(scols.add)
     if (m.bloomCols.nonEmpty) {
@@ -187,6 +192,9 @@ object SnapshotTable {
     val batchIds = Option(root.get("batchIds")).map { a =>
       (0 until a.size).map(a.get(_).asLong).toSet
     }.getOrElse(Set.empty[Long])
+    val streamKeys = Option(root.get("streamKeys")).map { a =>
+      (0 until a.size).map(a.get(_).asText).toSet
+    }.getOrElse(Set.empty[String])
     val statsCols = Option(root.get("statsCols")).map { a =>
       (0 until a.size).map(a.get(_).asText)
     }.getOrElse(Seq.empty)
@@ -229,7 +237,7 @@ object SnapshotTable {
     // ledger must follow the slot, not the stale body field
     Manifest(v, batchIds, statsCols, entries,
       Option(root.get("committedAtMs")).map(_.asLong).getOrElse(0L),
-      bloomCols, bloomFpp)
+      bloomCols, bloomFpp, streamKeys)
   }
 
   /** The file list version `v` names (paths relative to `dir`) — the
@@ -533,6 +541,13 @@ object SnapshotTable {
       .map(readManifest(spark, dir, _).batchIds)
       .getOrElse(Set.empty)
 
+  /** Stream keys `appId:batchId` already committed — the multi-writer
+    * ledger, same O(1) head-only read as `committedBatchIds`. */
+  def committedStreamKeys(spark: SparkSession, dir: String): Set[String] =
+    versions(spark, dir).lastOption
+      .map(readManifest(spark, dir, _).streamKeys)
+      .getOrElse(Set.empty)
+
   /** Idempotent streaming append: the committed manifest carries the
     * micro-batch id, so a REPLAYED batch (foreachBatch is
     * at-least-once on failure/restart) finds its id in the ledger and
@@ -540,17 +555,31 @@ object SnapshotTable {
     * contract into exactly-once appends, the same ledger trick the
     * transactional formats use. Returns the committed version, or
     * None for a recognized replay.
-    */
+    *
+    * `appId` scopes the ledger per WRITER (the transactional formats'
+    * (appId, batchId) key): two streaming queries ingesting into the
+    * same table can both emit batch 0 — with distinct appIds each
+    * replays exactly-once independently, because the manifest records
+    * `appId:batchId` keys and only a writer's OWN key no-ops it. The
+    * empty appId keeps the original single-writer contract (and its
+    * numeric ledger) for existing tables and checkpoints. */
   def commitStreamBatch(
       df: DataFrame, dir: String, batchId: Long, statsCols: Seq[String] = Nil,
       expectations: Seq[(String, String)] = Nil,
-      bloomCols: Seq[String] = Nil): Option[Long] =
-    if (committedBatchIds(df.sparkSession, dir).contains(batchId)) None
+      bloomCols: Seq[String] = Nil, appId: String = ""): Option[Long] = {
+    require(!appId.contains(":"), s"appId must not contain ':' — got $appId")
+    val replay =
+      if (appId.isEmpty) committedBatchIds(df.sparkSession, dir).contains(batchId)
+      else committedStreamKeys(df.sparkSession, dir).contains(s"$appId:$batchId")
+    if (replay) None
     else {
       checkExpectations(df, expectations, dir)
-      Some(commitBatch(df, dir, append = true, batchId = Some(batchId),
-        statsCols = statsCols, bloomCols = bloomCols))
+      Some(commitBatch(df, dir, append = true,
+        batchId = if (appId.isEmpty) Some(batchId) else None,
+        statsCols = statsCols, bloomCols = bloomCols,
+        streamKey = if (appId.isEmpty) None else Some(s"$appId:$batchId")))
     }
+  }
 
   /** Write `df` under a fresh batch dir; returns dir-relative paths. */
   private def writeBatch(df: DataFrame, dir: String): Seq[String] = {
@@ -751,7 +780,7 @@ object SnapshotTable {
   private def commitBatch(
       df: DataFrame, dir: String, append: Boolean,
       batchId: Option[Long] = None, statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Long = {
+      bloomCols: Seq[String] = Nil, streamKey: Option[String] = None): Long = {
     val spark = df.sparkSession
     val batchFiles = writeBatch(df, dir)
     var newEntries: Seq[Entry] = null
@@ -771,8 +800,9 @@ object SnapshotTable {
       val carried = if (append) head.map(_.entries).getOrElse(Nil) else Nil
       val next = head.map(_.version).getOrElse(0L) + 1
       val ids = head.map(_.batchIds).getOrElse(Set.empty) ++ batchId
+      val keys = head.map(_.streamKeys).getOrElse(Set.empty) ++ streamKey
       if (tryPublish(spark, dir, Manifest(next, ids, tableStats, carried ++ newEntries,
-        bloomCols = tableBlooms, bloomFpp = fpp)))
+        bloomCols = tableBlooms, bloomFpp = fpp, streamKeys = keys)))
         return next
     }
     -1L // unreachable
@@ -817,7 +847,8 @@ object SnapshotTable {
       val head = readManifest(spark, dir, headV)
       if (tryPublish(spark, dir,
         Manifest(headV + 1, head.batchIds, head.statsCols, target.entries,
-          bloomCols = head.bloomCols, bloomFpp = head.bloomFpp)))
+          bloomCols = head.bloomCols, bloomFpp = head.bloomFpp,
+          streamKeys = head.streamKeys)))
         return headV + 1
     }
     -1L // unreachable
@@ -861,7 +892,8 @@ object SnapshotTable {
         m.bloomCols, m.bloomFpp)
       if (tryPublish(spark, dir,
         Manifest(headV + 1, m.batchIds, m.statsCols, large.map(_._1) ++ newEntries,
-          bloomCols = m.bloomCols, bloomFpp = m.bloomFpp)))
+          bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
+          streamKeys = m.streamKeys)))
         return headV + 1
       dropOrphanBatch(spark, dir, batchFiles)
     }
@@ -1056,7 +1088,8 @@ object SnapshotTable {
         m.bloomCols, m.bloomFpp)
       if (tryPublish(spark, dir,
         Manifest(headV + 1, m.batchIds, m.statsCols, untouched ++ newEntries,
-          bloomCols = m.bloomCols, bloomFpp = m.bloomFpp)))
+          bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
+          streamKeys = m.streamKeys)))
         return headV + 1
       // lost the race: our batch is orphaned (no manifest names it);
       // drop it and recompute against the new head
@@ -1089,7 +1122,8 @@ object SnapshotTable {
         // nothing holds a doomed key: the delete is a metadata-only
         // no-op commit (every entry carried forward)
         if (tryPublish(spark, dir, Manifest(headV + 1, m.batchIds, m.statsCols, m.entries,
-          bloomCols = m.bloomCols, bloomFpp = m.bloomFpp)))
+          bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
+          streamKeys = m.streamKeys)))
           return headV + 1
       } else {
         val untouched = m.entries.filterNot(e => touched.exists(_.path == e.path))
@@ -1101,7 +1135,8 @@ object SnapshotTable {
           m.bloomCols, m.bloomFpp)
         if (tryPublish(spark, dir,
           Manifest(headV + 1, m.batchIds, m.statsCols, untouched ++ newEntries,
-            bloomCols = m.bloomCols, bloomFpp = m.bloomFpp)))
+            bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
+            streamKeys = m.streamKeys)))
           return headV + 1
         dropOrphanBatch(spark, dir, batchFiles)
       }

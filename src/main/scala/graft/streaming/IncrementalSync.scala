@@ -578,13 +578,14 @@ object IncrementalSync {
       tableDir: String,
       checkpointDir: String,
       statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): StreamingQuery =
+      bloomCols: Seq[String] = Nil,
+      appId: String = ""): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
         graft.sources.SnapshotTable.commitStreamBatch(batch, tableDir, id,
-          statsCols = statsCols, bloomCols = bloomCols)
+          statsCols = statsCols, bloomCols = bloomCols, appId = appId)
         ()
       }
       .start()

@@ -668,6 +668,31 @@ class SnapshotTableSpec extends SparkSpec {
     }
   }
 
+  test("multi-writer ledger: same batchId from distinct appIds both land, each replays once") {
+    val dir = freshDir()
+    def b(app: String, id: Long, lo: Long) =
+      SnapshotTable.commitStreamBatch((lo until lo + 10L).toDF("id"), dir, id, appId = app)
+    assert(b("w1", 0L, 0L).isDefined)
+    assert(b("w2", 0L, 100L).isDefined, "another writer's batch 0 is NOT a replay")
+    assert(b("w1", 0L, 999L).isEmpty, "w1's own batch 0 IS a replay")
+    assert(b("w2", 0L, 999L).isEmpty)
+    assert(b("w1", 1L, 10L).isDefined)
+    // the legacy numeric ledger is an independent namespace
+    assert(SnapshotTable.commitStreamBatch(
+      (200L until 210L).toDF("id"), dir, 0L).isDefined)
+    assert(SnapshotTable.commitStreamBatch(
+      (999L until 1009L).toDF("id"), dir, 0L).isEmpty)
+    val got = SnapshotTable.read(spark, dir).as[Long].collect().sorted.toSeq
+    assert(got == ((0L until 20L) ++ (100L until 110L) ++ (200L until 210L)).sorted)
+    // both ledgers ride compaction — still exactly-once after OPTIMIZE
+    SnapshotTable.compactHead(spark, dir, targetBytes = 1L << 20)
+    assert(b("w2", 0L, 999L).isEmpty)
+    assert(SnapshotTable.commitStreamBatch(
+      (999L until 1009L).toDF("id"), dir, 0L).isEmpty)
+    // the key separator cannot be smuggled into an appId
+    intercept[IllegalArgumentException] { b("a:b", 9L, 0L) }
+  }
+
   test("countRows/statExtremes answer from the manifest alone — every data file corrupt") {
     val dir = freshDir()
     SnapshotTable.commitAppend(
