@@ -1203,6 +1203,23 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")
     }),
+    // Leakage-safe split: near-dup clusters assigned WHOLE to
+    // train/val by an md5 draw on the component id — the in-row
+    // require proves NO minhash near-dup pair straddles the split
+    // (the contamination a doc-level split invites); the oracle
+    // replays the component labels and the same gate.
+    "leakage_split" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val pairs = minhashPairs(s, dir)
+      val split = Components.leakageSafeSplit(d, pairs, valPerMille = 200)
+      val straddling = pairs
+        .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+        .join(split.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+        .filter(col("sa") =!= col("sb")).count()
+      require(straddling == 0L,
+        s"$straddling near-dup pairs straddle the split — leakage")
+      split.orderBy("doc_id")
+    }),
     // Link-analysis centrality: weighted PageRank over the bipartite
     // customer↔supplier order graph (edges both ways, weight = items
     // traded). Integer-e12 arithmetic (PageRank scaladoc) makes three
@@ -4339,6 +4356,16 @@ object SparkEntry {
          |SELECT d.doc_id, d.lang FROM documents d
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM labels WHERE component <> doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    // the same component labels + the same md5 component-id gate
+    // (200‰ → 0x3333); singletons draw on their own id
+    "leakage_split" ->
+      s"""WITH RECURSIVE $componentLabelsSqlCtes,
+         | comp AS (SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS component
+         |          FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id)
+         |SELECT doc_id, component,
+         |       CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 4) < '3333'
+         |            THEN 'val' ELSE 'train' END AS split
+         |FROM comp ORDER BY doc_id""".stripMargin,
     "window_suite" ->
       """SELECT user_id, event_id,
         |  lag(event_id, 1) OVER w AS prev_event,

@@ -97,6 +97,39 @@ object Components {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Leakage-safe train/validation split: assign at near-dup CLUSTER
+    * granularity, so a near-duplicate pair can never straddle the
+    * split — the contamination a doc-level random split invites (a
+    * validation doc's near-twin in train inflates every eval; the
+    * failure mode the dedup literature measures, Lee et al. ACL'22).
+    * Every doc follows its connected component's verdict: the repo's
+    * standard md5 id-gate draws on the COMPONENT id (per-mille rate
+    * quantized to the 16-bit draw exactly like Sampling.mixByRate),
+    * unpaired docs are their own singleton component. Deterministic —
+    * a pure function of (pairs, valPerMille) — so the DuckDB oracle
+    * replays the alternating-star labels and the same gate.
+    *
+    * Scale: the component labels are the existing alternating-star
+    * fixpoint; the gate adds one broadcast-free left join of docs
+    * against the (pairs-bounded) label table and a map-only draw. */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      pairs: DataFrame,
+      valPerMille: Int = 200,
+      idCol: String = "doc_id"): DataFrame = {
+    require(valPerMille > 0 && valPerMille < 1000,
+      s"valPerMille must be in (0, 1000), got $valPerMille")
+    val labels = connectedComponents(pairs)
+      .withColumnRenamed("id", idCol)
+    val thr = f"${valPerMille * 65536L / 1000L}%04x"
+    docs.select(col(idCol))
+      .join(labels, Seq(idCol), "left_outer")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .withColumn("split",
+        when(substring(md5(col("component").cast("string").cast("binary")), 1, 4)
+          < lit(thr), "val").otherwise("train"))
+  }
+
   /** Large-star: for each node u (over BOTH edge orientations), link
     * every strictly-larger neighbor to m = min(Γ(u) ∪ {u}). Keeps
     * connectivity (each original edge is processed from its smaller

@@ -84,6 +84,35 @@ class ComponentsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(0L, 1L, 4L, 5L, 6L, 8L, 7L).sorted)
   }
 
+  test("leakageSafeSplit: clusters move whole; singletons draw on their own id; gate exact") {
+    val docs = (0L to 99L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    // two chains and one pair; everything else singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (9L, 7L), (40L, 41L), (41L, 42L))
+      .toDF("doc_a", "doc_b")
+    val got = Components.leakageSafeSplit(docs, pairs, valPerMille = 200)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got.size == 100)
+    // cluster members share their component's verdict — no straddling
+    for (cluster <- Seq(Seq(1L, 2L, 3L), Seq(7L, 9L), Seq(40L, 41L, 42L))) {
+      assert(cluster.map(got(_)._2).distinct.size == 1,
+        s"cluster $cluster straddles the split")
+      assert(cluster.map(got(_)._1).distinct == Seq(cluster.min),
+        s"cluster $cluster must label as its minimum")
+    }
+    // the gate replayed in plain Scala: md5 of the component id
+    def draw(id: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString
+    val thr = f"${200 * 65536L / 1000L}%04x"
+    got.foreach { case (_, (comp, split)) =>
+      assert(split == (if (draw(comp) < thr) "val" else "train"))
+    }
+    // at 200‰ over 100 docs both sides must be non-empty (md5 spreads)
+    assert(got.values.map(_._2).toSet == Set("train", "val"))
+    intercept[IllegalArgumentException] {
+      Components.leakageSafeSplit(docs, pairs, valPerMille = 1000)
+    }
+  }
+
   test("non-convergent budget throws instead of returning partial labels") {
     val path = (0L until 64L).sliding(2).map(s => (s(0), s(1))).toSeq
     intercept[IllegalStateException] {
