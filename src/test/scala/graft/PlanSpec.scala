@@ -198,6 +198,24 @@ class PlanSpec extends SparkSpec {
       s"tokenBudgetSlice must window per bucket, not globally: $wins")
   }
 
+  test("retrieval/selection top-k plans as TakeOrderedAndProject — no global corpus sort") {
+    // orderBy+limit is the scalable global top-k (per-partition k then
+    // merge); a full range-exchange Sort over the corpus would be the
+    // degeneration. The trailing rank window runs on ≤k rows only.
+    val docs = Tables.documents(spark, dir)
+    for ((name, df) <- Seq(
+      "bm25_topk" -> graft.operators.TextOps.bm25TopK(
+        docs, Seq("vector", "query"), k = 10),
+      "hybrid_rrf" -> graft.operators.TextOps.hybridRrfTopK(
+        docs, Seq("vector", "query"), k = 5),
+      "importance_select" -> graft.operators.TextOps.importanceSelect(
+        docs.filter(col("lang") =!= "en"), docs.filter(col("lang") === "en")))) {
+      val phys = executedPlan(df)
+      assert(phys.contains("TakeOrderedAndProject"),
+        s"$name: the global top-k must plan as TakeOrderedAndProject\n$phys")
+    }
+  }
+
   test("temporal join queries prune the events scan (props never read)") {
     // `props` is the widest events column; neither temporal query
     // touches it, so it must not survive into ReadSchema
