@@ -359,6 +359,24 @@ object ScaleProbe {
           val v = graft.operators.TextOps.buildSubwordVocab(docs)
           graft.operators.TextOps.subwordEncode(docs, v)
         }),
+        // r11 retrieval/selection/tokenizer additions. NOTE the
+        // alphabetic tokenization STRIPS scaleDocs' "_k" suffixes
+        // (underscore+digit are separators), so replicas share one
+        // term space: posting lists and token counts grow N× while
+        // the vocabulary stays constant — which is exactly the shape
+        // each claim needs measuring against.
+        "bm25_topk" -> (() => graft.operators.TextOps.bm25TopK(
+          docs, Seq("vector", "query", "join"), k = 10)),
+        // pool/target split by id parity inside the scaled corpus;
+        // the weight table stays vocabulary-sized while both token
+        // streams grow N×
+        "importance_select" -> (() => graft.operators.TextOps.importanceSelect(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), n = 20)),
+        // vocabulary-bounded training: the initial word count is the
+        // only corpus-sized pass; all 8 rounds run on the (constant
+        // here) vocabulary, so wall should stay near-FLAT at N×
+        "bpe_train" -> (() => graft.operators.TextOps.bpeTrain(docs, nMerges = 8)),
         // r11 additions (VERDICT r10 #8): the timed merge's delta is
         // bounded to replica 0's key range, so the COW write should be
         // ~constant in f; the CDC content diff is the table-sized op
