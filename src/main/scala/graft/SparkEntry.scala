@@ -2302,6 +2302,23 @@ object SparkEntry {
     // pruned read is a superset the residual isin then narrows. The
     // oracle replays the IN-list over the full base table, blind to
     // the layout.
+    // Catalyst-predicate pushdown UX: the caller hands readWhere ONE
+    // ordinary Column predicate; the IN conjunct is extracted and
+    // pruned through the blooms automatically (in-row require: the
+    // scan's inputFiles are strictly fewer than the head names), the
+    // residual conjunct just filters rows. Oracle replays the full
+    // predicate over the base, blind to the pruning.
+    "snapshot_read_where" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val tbl = snapBloomTable(s, dir)
+      val total = SnapshotTable.files(s, tbl,
+        SnapshotTable.versions(s, tbl).last).size
+      val df = SnapshotTable.readWhere(s, tbl,
+        col("event_id").isin(11L, 222L, 333L) && col("event_type").isNotNull)
+      require(df.inputFiles.length < total,
+        s"readWhere must prune the IN conjunct: ${df.inputFiles.length} of $total files")
+      df.select("event_id", "event_type").orderBy("event_id")
+    }),
     // Metadata-only aggregates: COUNT(*) and MIN/MAX answered from
     // the manifest ALONE (per-file row counts + stats summed/folded
     // driver-side — zero data I/O at any table size, the real
@@ -5177,6 +5194,12 @@ object SparkEntry {
         |SELECT 'shifted', count(*), true
         |FROM embeddings WHERE vec_id % 5 = 1
         |ORDER BY probe""".stripMargin,
+    // the pruned-and-refiltered read must equal the predicate over
+    // the whole base
+    "snapshot_read_where" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE event_id IN (11, 222, 333) AND event_type IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
     // the manifest-only count/extremes must equal the base aggregate
     "snapshot_meta_agg" ->
       """SELECT count(*) AS n_rows, min(event_id) AS min_event_id,

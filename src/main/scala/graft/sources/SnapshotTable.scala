@@ -430,6 +430,111 @@ object SnapshotTable {
       .parquet(kept.map(f => s"$dir/$f"): _*)
   }
 
+  /** Read with Catalyst-predicate-driven pruning: the caller hands ONE
+    * arbitrary `Column` predicate — the way they'd write a `.filter` —
+    * and the prunable conjuncts are extracted automatically: equality
+    * and IN-lists prune through blooms AND stats, range comparisons
+    * (`>`, `>=`, `<`, `<=`) prune through stats, everything else
+    * (ORs, expressions over columns, UDF-ish conjuncts) prunes nothing
+    * but still filters rows — the FULL predicate is re-applied on the
+    * pruned scan, so the answer is always exactly the filter's rows.
+    * This is the pushdown UX of a planner-integrated source without
+    * the caller decomposing predicates into StatFilters/key lists by
+    * hand. Strict bounds are relaxed to inclusive for the file test
+    * (conservative superset; the row filter restores strictness). */
+  def readWhere(
+      spark: SparkSession, dir: String, predicate: Column,
+      version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      And, AttributeReference, EqualTo, Expression, GreaterThan,
+      GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def attr(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    // foldable covers bare literals AND the implicit Casts analysis
+    // wraps them in (int literal vs bigint column, etc.)
+    def litOf(e: Expression): Option[Any] =
+      if (!e.foldable) None
+      else Option(e.eval()).map {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case days: Int if e.dataType.isInstanceOf[DateType] =>
+          java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.toLong))
+        case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+        case other => other
+      }
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"snapshot table $dir has no committed version")
+    val v = version.getOrElse(vs.last)
+    val all = readManifest(spark, dir, v).entries.map(_.path)
+    var kept: Set[String] = all.toSet
+    // resolve the predicate against the table schema (one footer read
+    // — never the whole listing) to get a catalyst condition via the
+    // PUBLIC api; analysis failure = no pruning, never a wrong answer
+    val resolved: Seq[Expression] = scala.util.Try {
+      val schema = spark.read.parquet(s"$dir/${all.head}").schema
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      empty.filter(predicate).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.toSeq.flatMap(conjuncts)
+    }.getOrElse(Seq.empty)
+    resolved.foreach {
+      case EqualTo(l, r) =>
+        for (c <- attr(l).orElse(attr(r)); value <- litOf(r).orElse(litOf(l)))
+          scala.util.Try(pruneFilesByKeys(spark, dir, c, Seq(value), Some(v)))
+            .foreach { case (k, _) => kept = kept.intersect(k.toSet) }
+      case In(l, list) =>
+        for (c <- attr(l)) {
+          val values = list.flatMap(litOf)
+          if (values.nonEmpty && values.size == list.size)
+            scala.util.Try(pruneFilesByKeys(spark, dir, c, values, Some(v)))
+              .foreach { case (k, _) => kept = kept.intersect(k.toSet) }
+        }
+      case GreaterThan(l, r) => rangeHalf(spark, dir, v, attr(l), litOf(r),
+        attr(r), litOf(l), lowerOnAttrLeft = true).foreach(k => kept = kept.intersect(k))
+      case GreaterThanOrEqual(l, r) => rangeHalf(spark, dir, v, attr(l), litOf(r),
+        attr(r), litOf(l), lowerOnAttrLeft = true).foreach(k => kept = kept.intersect(k))
+      case LessThan(l, r) => rangeHalf(spark, dir, v, attr(l), litOf(r),
+        attr(r), litOf(l), lowerOnAttrLeft = false).foreach(k => kept = kept.intersect(k))
+      case LessThanOrEqual(l, r) => rangeHalf(spark, dir, v, attr(l), litOf(r),
+        attr(r), litOf(l), lowerOnAttrLeft = false).foreach(k => kept = kept.intersect(k))
+      case _ => () // not decomposable: prunes nothing, row filter handles it
+    }
+    val ordered = all.filter(kept)
+    (if (ordered.isEmpty) read(spark, dir, Some(v)).limit(0)
+     else spark.read.option("mergeSchema", "true")
+       .parquet(ordered.map(f => s"$dir/$f"): _*))
+      .filter(predicate)
+  }
+
+  /** One half-bounded StatFilter prune for `attr ⋛ lit` (or the
+    * mirrored `lit ⋛ attr`); None when neither side decomposes. */
+  private def rangeHalf(
+      spark: SparkSession, dir: String, v: Long,
+      attrL: Option[String], litR: Option[Any],
+      attrR: Option[String], litL: Option[Any],
+      lowerOnAttrLeft: Boolean): Option[Set[String]] = {
+    val f = (attrL, litR) match {
+      case (Some(c), Some(value)) =>
+        Some(if (lowerOnAttrLeft) StatFilter(c, lower = Some(value))
+        else StatFilter(c, upper = Some(value)))
+      case _ => (attrR, litL) match {
+        case (Some(c), Some(value)) =>
+          // lit > attr  ⇔  attr < lit (mirror the bound)
+          Some(if (lowerOnAttrLeft) StatFilter(c, upper = Some(value))
+          else StatFilter(c, lower = Some(value)))
+        case _ => None
+      }
+    }
+    f.flatMap(sf => scala.util.Try(
+      pruneFiles(spark, dir, Seq(sf), Some(v))._1.toSet).toOption)
+  }
+
   /** COUNT(*) answered from the MANIFEST ALONE — zero data I/O at any
     * table size (the real formats' metadata-aggregate fast path;
     * every commit records per-file row counts, so the head count is a

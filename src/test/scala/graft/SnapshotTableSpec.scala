@@ -668,6 +668,41 @@ class SnapshotTableSpec extends SparkSpec {
     }
   }
 
+  test("readWhere: prunable conjuncts prune, the rest filter; answers always exact") {
+    // range-clustered with stats: range conjuncts prune at file level
+    val rdir = freshDir()
+    SnapshotTable.commitAppend(
+      (0L until 200L).map(i => (i, s"v$i")).toDF("id", "v")
+        .repartitionByRange(8, col("id")),
+      rdir, statsCols = Seq("id"))
+    val total = SnapshotTable.files(spark, rdir, 1L).size
+    val r1 = SnapshotTable.readWhere(spark, rdir,
+      col("id") >= 150L && col("id") < 160L && col("v").isNotNull)
+    assert(r1.inputFiles.length < total, "range conjuncts must prune files")
+    assert(r1.select("id").as[Long].collect().sorted.toSeq == (150L until 160L))
+    // mirrored literal-first comparison decomposes too
+    val r2 = SnapshotTable.readWhere(spark, rdir, lit(25L) > col("id"))
+    assert(r2.inputFiles.length < total)
+    assert(r2.count() == 25L)
+    // strict bounds stay strict at ROW level even though the file
+    // test is inclusive
+    assert(SnapshotTable.readWhere(spark, rdir, col("id") > 199L).count() == 0L)
+    // a non-decomposable predicate prunes nothing but answers exactly
+    val r3 = SnapshotTable.readWhere(spark, rdir,
+      col("id") % 7L === 3L || col("v") === "v0")
+    assert(r3.inputFiles.length == total)
+    assert(r3.count() == (0L until 200L).count(i => i % 7 == 3 || i == 0))
+    // hash-clustered with blooms: equality prunes through the bloom
+    val bdir = freshDir()
+    SnapshotTable.commitAppend(
+      (0L until 200L).toDF("id").repartition(8, col("id")), bdir,
+      statsCols = Seq("id"), bloomCols = Seq("id"))
+    val btotal = SnapshotTable.files(spark, bdir, 1L).size
+    val b1 = SnapshotTable.readWhere(spark, bdir, col("id") === 42L)
+    assert(b1.inputFiles.length < btotal, "equality must prune through the bloom")
+    assert(b1.as[Long].collect().toSeq == Seq(42L))
+  }
+
   test("multi-writer ledger: same batchId from distinct appIds both land, each replays once") {
     val dir = freshDir()
     def b(app: String, id: Long, lo: Long) =
