@@ -194,6 +194,37 @@ object SparkEntry {
       out
     })
 
+  /** snapshot_join_ivm's two versioned tables, once per sf dir:
+    * customers (minus the [400,500) key band) and orders (minus the
+    * %5==0 order ids) as v1, the held-out slices appended as v2 —
+    * both range-clustered on the join key with stats AND blooms, so
+    * the delta-key-bounded base reads of the refresh can prune. */
+  private val joinIvmMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def joinIvmTables(s: SparkSession, dir: String): (String, String) =
+    joinIvmMemo.computeIfAbsent(dir, _ => {
+      import graft.sources.SnapshotTable
+      val root = tempDir("graft_join_ivm")
+      val rDir = s"$root/cust"; val sDir = s"$root/ord"
+      val cust = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+      val ord = Tables.orders(s, dir)
+        .select(col("o_custkey").as("c_custkey"), col("o_orderkey"))
+      val band = col("c_custkey") >= 400L && col("c_custkey") < 500L
+      SnapshotTable.commitAppend(
+        cust.filter(!band).repartitionByRange(4, col("c_custkey")), rDir,
+        statsCols = Seq("c_custkey"), bloomCols = Seq("c_custkey"))
+      SnapshotTable.commitAppend(
+        ord.filter(col("o_orderkey") % 5 =!= 0)
+          .repartitionByRange(8, col("c_custkey")), sDir,
+        statsCols = Seq("c_custkey"), bloomCols = Seq("c_custkey"))
+      SnapshotTable.commitAppend(
+        cust.filter(band).repartitionByRange(1, col("c_custkey")), rDir)
+      SnapshotTable.commitAppend(
+        ord.filter(col("o_orderkey") % 5 === 0)
+          .repartitionByRange(2, col("c_custkey")), sDir)
+      (rDir, sDir)
+    })
+
   /** snapshot_zorder_prune's table, once per sf dir: append the
     * (event_id, user_id, event_type) slice, then OPTIMIZE ZORDER on
     * (event_id, user_id) — the two-hot-dimension layout committed as
@@ -2302,6 +2333,29 @@ object SparkEntry {
     // pruned read is a superset the residual isin then narrows. The
     // oracle replays the IN-list over the full base table, blind to
     // the layout.
+    // Join IVM over snapshot CDC (Gupta-Mumick delta rules): the
+    // refresh reads the two deltas plus KEY-BOUNDED slices of the old
+    // bases — readMatching prunes S@v1's files through the blooms
+    // keyed by deltaR's own key frame (in-row require: strictly fewer
+    // files than v1 names) — never a full rescan of either table. The
+    // oracle computes the head join directly, blind to the
+    // incremental path.
+    "snapshot_join_ivm" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val (rDir, sDir) = joinIvmTables(s, dir)
+      val oldJoin = SnapshotTable.read(s, rDir, Some(1L))
+        .join(SnapshotTable.read(s, sDir, Some(1L)), "c_custkey")
+      val dR = SnapshotTable.changesBetween(s, rDir, 1L, 2L).drop("_change")
+      val sTotal = SnapshotTable.files(s, sDir, 1L).size
+      val bounded = SnapshotTable.readMatching(
+        s, sDir, dR.select("c_custkey"), Seq("c_custkey"), Some(1L))
+      require(bounded.inputFiles.length < sTotal,
+        s"the delta-key-bounded base read must prune: " +
+          s"${bounded.inputFiles.length} of $sTotal files")
+      operators.Incremental.snapshotJoinIvm(
+          oldJoin, rDir, sDir, "c_custkey", rFrom = 1L, sFrom = 1L)
+        .orderBy("c_custkey", "o_orderkey")
+    }),
     // Catalyst-predicate pushdown UX: the caller hands readWhere ONE
     // ordinary Column predicate; the IN conjunct is extracted and
     // pruned through the blooms automatically (in-row require: the
@@ -5194,6 +5248,12 @@ object SparkEntry {
         |SELECT 'shifted', count(*), true
         |FROM embeddings WHERE vec_id % 5 = 1
         |ORDER BY probe""".stripMargin,
+    // the incrementally refreshed join must equal the direct join of
+    // both FULL tables
+    "snapshot_join_ivm" ->
+      """SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
     // the pruned-and-refiltered read must equal the predicate over
     // the whole base
     "snapshot_read_where" ->

@@ -66,4 +66,53 @@ object Incremental {
         coalesce(col(s"_s_$m"), zero) + coalesce(col(s"_d_$m"), zero))
     }.select((keys ++ measures).map(col): _*)
   }
+
+  /** Incrementally maintain a materialized equi-JOIN M = R ⋈ₖ S over
+    * two APPEND-ONLY snapshot tables — the join half of incremental
+    * view maintenance (Gupta & Mumick, IEEE DE Bull. '95 delta
+    * rules): ΔM = ΔR⋈S₀ ∪ R₀⋈ΔS ∪ ΔR⋈ΔS, so the refresh reads the
+    * deltas plus KEY-BOUNDED slices of the old bases — never a full
+    * rescan of either table. The base-side bounding is the manifest
+    * machinery composed: `SnapshotTable.readMatching` prunes S₀'s
+    * files through stats ranges and bloom fingerprints keyed by ΔR's
+    * OWN key frame (and symmetrically R₀ by ΔS), which at 100 TB is
+    * the difference between "join the delta against the table" and
+    * "scan the table to join the delta". Old-version reads are time
+    * travel (S₀ = S at `sFrom`), so a refresh is correct even after
+    * further commits land mid-refresh.
+    *
+    * Contract: both histories `from → head` must be APPEND-ONLY
+    * (pure-insert CDC — rewriting commits fail loudly; the
+    * aggregate path `mergeAdditive` + signed CDC handles those) and
+    * `oldJoin` must be R@rFrom ⋈ S@sFrom on `key`. Returns the join
+    * at (rHead, sHead) with columns (key, R-cols, S-cols). */
+  def snapshotJoinIvm(
+      oldJoin: DataFrame, rDir: String, sDir: String, key: String,
+      rFrom: Long, sFrom: Long): DataFrame = {
+    import graft.sources.SnapshotTable
+    val spark = oldJoin.sparkSession
+    val rHead = SnapshotTable.versions(spark, rDir).last
+    val sHead = SnapshotTable.versions(spark, sDir).last
+    def delta(dir: String, from: Long, head: Long): Option[DataFrame] =
+      if (from == head) None
+      else {
+        val ch = SnapshotTable.changesBetween(spark, dir, from, head)
+        val nonInsert = ch.filter(col("_change") =!= "insert").count()
+        require(nonInsert == 0L,
+          s"snapshotJoinIvm needs append-only history in $dir " +
+            s"($from → $head); found $nonInsert non-insert changes")
+        Some(ch.drop("_change"))
+      }
+    val dR = delta(rDir, rFrom, rHead)
+    val dS = delta(sDir, sFrom, sHead)
+    val terms = Seq(
+      dR.map(d => d.join(
+        SnapshotTable.readMatching(spark, sDir, d.select(key), Seq(key), Some(sFrom)),
+        key)),
+      dS.map(d => SnapshotTable
+        .readMatching(spark, rDir, d.select(key), Seq(key), Some(rFrom))
+        .join(d, key)),
+      for (a <- dR; b <- dS) yield a.join(b, key)).flatten
+    terms.foldLeft(oldJoin)(_ unionByName _)
+  }
 }

@@ -1092,7 +1092,12 @@ object SnapshotTable {
     * (projecting `input_file_name` BEFORE the shuffle) names the
     * exact touched files. The collects are bounded by the candidate
     * file count — never row-scaled. */
-  private def touchedFiles(
+  /** The stats+bloom HALF of touchedFiles: the entries of `m` a
+    * key-frame cannot rule out, decided with zero data I/O (one
+    * delta-sized range aggregate + the broadcast bloom probe).
+    * Superset semantics — exactness, when needed, is the caller's
+    * join. */
+  private def prunedCandidates(
       spark: SparkSession, dir: String, m: Manifest,
       keyed: DataFrame, keys: Seq[String]): Seq[Entry] = {
     val statKeys = keys.filter(m.statsCols.contains)
@@ -1123,10 +1128,35 @@ object SnapshotTable {
       }
     val bloomKeys = keys.filter(m.bloomCols.contains)
       .filter(k => keyed.columns.contains(k))
-    val candidates =
-      if (bloomKeys.isEmpty || ranged.isEmpty) ranged
-      else bloomSurvivors(spark, dir, ranged, keyed, bloomKeys,
-        keyed.schema.fields.map(f => f.name -> f.dataType).toMap)
+    if (bloomKeys.isEmpty || ranged.isEmpty) ranged
+    else bloomSurvivors(spark, dir, ranged, keyed, bloomKeys,
+      keyed.schema.fields.map(f => f.name -> f.dataType).toMap)
+  }
+
+  /** Read only the files of `version` (default head) that MAY contain
+    * a key row of `keyed` — the delta-frame form of readKeysFiltered,
+    * for key sets too large for a driver-side IN-list: stats ranges
+    * and the distributed bloom probe decide from the manifest alone.
+    * SUPERSET semantics: callers compose the exact join on top (the
+    * incremental-view delta rules do exactly that — the base side of
+    * ΔR ⋈ S is bounded by ΔR's keys instead of scanning S). */
+  def readMatching(
+      spark: SparkSession, dir: String, keyed: DataFrame, keys: Seq[String],
+      version: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"snapshot table $dir has no committed version")
+    val v = version.getOrElse(vs.last)
+    val m = readManifest(spark, dir, v)
+    val kept = prunedCandidates(spark, dir, m, keyed, keys)
+    if (kept.isEmpty) read(spark, dir, Some(v)).limit(0)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(kept.map(e => s"$dir/${e.path}"): _*)
+  }
+
+  private def touchedFiles(
+      spark: SparkSession, dir: String, m: Manifest,
+      keyed: DataFrame, keys: Seq[String]): Seq[Entry] = {
+    val candidates = prunedCandidates(spark, dir, m, keyed, keys)
     if (candidates.isEmpty) return Seq.empty
     val cand = spark.read.option("mergeSchema", "true")
       .parquet(candidates.map(e => s"$dir/${e.path}"): _*)

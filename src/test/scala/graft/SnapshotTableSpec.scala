@@ -703,6 +703,40 @@ class SnapshotTableSpec extends SparkSpec {
     assert(b1.as[Long].collect().toSeq == Seq(42L))
   }
 
+  test("snapshotJoinIvm: delta rules equal the direct join; rewriting history refused") {
+    import graft.operators.Incremental
+    val rDir = freshDir(); val sDir = freshDir()
+    SnapshotTable.commitAppend(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "rv"), rDir,
+      statsCols = Seq("k"))
+    SnapshotTable.commitAppend(
+      Seq((1L, 10L), (1L, 11L), (3L, 30L), (9L, 90L)).toDF("k", "sv"), sDir,
+      statsCols = Seq("k"))
+    val oldJoin = SnapshotTable.read(spark, rDir, Some(1L))
+      .join(SnapshotTable.read(spark, sDir, Some(1L)), "k")
+    // both sides move: new R key 9 matches OLD S rows; new S rows
+    // match OLD R key 2 AND new R key 9 (the ΔR⋈ΔS term)
+    SnapshotTable.commitAppend(Seq((9L, "i")).toDF("k", "rv"), rDir)
+    SnapshotTable.commitAppend(Seq((2L, 20L), (9L, 91L)).toDF("k", "sv"), sDir)
+    val got = Incremental.snapshotJoinIvm(oldJoin, rDir, sDir, "k", 1L, 1L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    val want = SnapshotTable.read(spark, rDir)
+      .join(SnapshotTable.read(spark, sDir), "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(got == want && want.size == 6)
+    // cursors at head = pure no-op (the old join IS the answer)
+    val noop = Incremental.snapshotJoinIvm(
+      SnapshotTable.read(spark, rDir).join(SnapshotTable.read(spark, sDir), "k"),
+      rDir, sDir, "k", 2L, 2L)
+    assert(noop.count() == 6)
+    // a rewriting commit breaks the append-only contract LOUDLY
+    SnapshotTable.commitDelete(Seq(1L).toDF("k"), rDir, Seq("k"))
+    val e = intercept[IllegalArgumentException] {
+      Incremental.snapshotJoinIvm(oldJoin, rDir, sDir, "k", 1L, 1L).count()
+    }
+    assert(e.getMessage.contains("append-only"))
+  }
+
   test("multi-writer ledger: same batchId from distinct appIds both land, each replays once") {
     val dir = freshDir()
     def b(app: String, id: Long, lo: Long) =
