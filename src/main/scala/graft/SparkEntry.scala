@@ -3210,6 +3210,51 @@ object SparkEntry {
         .groupBy("event_type").agg(count(lit(1)).as("n_events"))
         .orderBy("event_type")
     }),
+    // Streaming join IVM: the snapshot_join_ivm delta rules run
+    // CONTINUOUSLY — each micro-batch commits to R through the ledger
+    // and reconciles the materialized customer⋈orders to BOTH heads
+    // via cursor compare, reading deltas + key-bounded base slices
+    // only. The replay pass proves two things at once (in-row
+    // requires): R's ledger no-ops the replayed batches, AND the
+    // reconcile catches the OUT-OF-BAND S append that landed between
+    // the runs (the cursor tracks S's head, not this stream's
+    // history). Oracle = the census over the direct full join.
+    "stream_join_ivm" -> ((s, dir) => streamRow(s) {
+      import graft.sources.SnapshotTable
+      val base = tempDir("graft_stream_jivm")
+      val sDir = s"$base/ord"; val rDir = s"$base/cust"
+      val ord = Tables.orders(s, dir)
+        .select(col("o_custkey").as("c_custkey"), col("o_orderkey"))
+      SnapshotTable.commitAppend(
+        ord.filter(col("o_orderkey") % 5 =!= 0)
+          .repartitionByRange(8, col("c_custkey")),
+        sDir, statsCols = Seq("c_custkey"), bloomCols = Seq("c_custkey"))
+      Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+        .repartition(3, col("c_custkey")).write.parquet(s"$base/chunks")
+      val schema = s.read.parquet(s"$base/chunks").schema
+      def ingest(ckpt: String) = {
+        graft.streaming.IncrementalSync.snapshotIngestWithJoin(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(s"$base/chunks"),
+          rDir, sDir, "c_custkey", s"$base/join", s"$base/$ckpt")
+          .awaitTermination()
+      }
+      ingest("ck")
+      val rVersions = SnapshotTable.versions(s, rDir)
+      require(rVersions.size >= 3, s"three chunks must land: $rVersions")
+      // S moves out-of-band; the replay must no-op R yet catch S
+      SnapshotTable.commitAppend(
+        ord.filter(col("o_orderkey") % 5 === 0)
+          .repartitionByRange(2, col("c_custkey")), sDir)
+      ingest("ck_replay")
+      require(SnapshotTable.versions(s, rDir) == rVersions,
+        "a full replay must no-op R's version ledger")
+      val joined = s.read.parquet(s"$base/join")
+      require(joined.agg(max(col("_asof_s"))).head().getLong(0) == 2L,
+        "the reconcile must catch the out-of-band S append")
+      joined.groupBy("c_mktsegment").agg(count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment")
+    }),
     // Drift-gated streaming ingest — corpusDriftCheck standing at the
     // door: the in-distribution chunk lands in the target, the
     // language-collapsed chunk is diverted WHOLE to quarantine with
@@ -5141,6 +5186,12 @@ object SparkEntry {
       """SELECT event_id, event_type FROM events
         |WHERE event_id IN (11, 222, 333)
         |ORDER BY event_id""".stripMargin,
+    // the continuously maintained join must equal the census over the
+    // direct full join of both tables
+    "stream_join_ivm" ->
+      """SELECT c.c_mktsegment, count(*) AS n_orders
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // every event exactly once across two writers and their replays
     "stream_multi_writer" ->
       """SELECT event_type, count(*) AS n_events

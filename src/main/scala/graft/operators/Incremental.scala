@@ -88,11 +88,12 @@ object Incremental {
     * at (rHead, sHead) with columns (key, R-cols, S-cols). */
   def snapshotJoinIvm(
       oldJoin: DataFrame, rDir: String, sDir: String, key: String,
-      rFrom: Long, sFrom: Long): DataFrame = {
+      rFrom: Long, sFrom: Long,
+      rTo: Option[Long] = None, sTo: Option[Long] = None): DataFrame = {
     import graft.sources.SnapshotTable
     val spark = oldJoin.sparkSession
-    val rHead = SnapshotTable.versions(spark, rDir).last
-    val sHead = SnapshotTable.versions(spark, sDir).last
+    val rHead = rTo.getOrElse(SnapshotTable.versions(spark, rDir).last)
+    val sHead = sTo.getOrElse(SnapshotTable.versions(spark, sDir).last)
     def delta(dir: String, from: Long, head: Long): Option[DataFrame] =
       if (from == head) None
       else {

@@ -649,4 +649,61 @@ object IncrementalSync {
         ()
       }
       .start()
+
+  /** Streaming ingest into R WITH an exactly-once incrementally
+    * maintained materialized JOIN M = R ⋈ₖ S —
+    * `Incremental.snapshotJoinIvm`'s delta rules run CONTINUOUSLY
+    * under the summary row's cursor-reconcile discipline: each
+    * micro-batch (a) commits itself to R through the batch-id ledger
+    * (replays no-op) and (b) reconciles M to BOTH tables' heads,
+    * reading only the two deltas plus key-bounded base slices
+    * (`readMatching`). The cursors (_asof_r, _asof_s) ride every
+    * materialized row and are rewritten rename-aside-atomically WITH
+    * the content, so a crash between commit and join write self-heals
+    * on the next batch, full replays no-op both sides — and S
+    * advancing OUT-OF-BAND between batches is caught up the same way
+    * (the cursor compares against S's head, not against what this
+    * stream last saw). */
+  def snapshotIngestWithJoin(
+      stream: DataFrame,
+      rDir: String,
+      sDir: String,
+      key: String,
+      joinDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        import graft.sources.SnapshotTable
+        SnapshotTable.commitStreamBatch(batch, rDir, id)
+        val rHead = SnapshotTable.versions(s, rDir).last
+        val sHead = SnapshotTable.versions(s, sDir).last
+        val jp = new org.apache.hadoop.fs.Path(joinDir)
+        val fsys = jp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val cur: Option[(Long, Long)] =
+          if (!fsys.exists(jp)) None
+          else {
+            val r = s.read.parquet(joinDir)
+              .agg(max(col("_asof_r")), max(col("_asof_s"))).head()
+            Some((r.getLong(0), r.getLong(1)))
+          }
+        if (cur.forall { case (r0, s0) => r0 < rHead || s0 < sHead }) {
+          val next = cur match {
+            case None =>
+              SnapshotTable.read(s, rDir, Some(rHead))
+                .join(SnapshotTable.read(s, sDir, Some(sHead)), key)
+            case Some((r0, s0)) =>
+              graft.operators.Incremental.snapshotJoinIvm(
+                s.read.parquet(joinDir).drop("_asof_r", "_asof_s"),
+                rDir, sDir, key, r0, s0, Some(rHead), Some(sHead))
+          }
+          graft.sources.Sinks.overwriteAtomic(
+            next.withColumn("_asof_r", lit(rHead))
+              .withColumn("_asof_s", lit(sHead)), joinDir)
+        }
+        ()
+      }
+      .start()
 }
