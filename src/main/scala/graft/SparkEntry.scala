@@ -3249,10 +3249,15 @@ object SparkEntry {
       ingest("ck_replay")
       require(SnapshotTable.versions(s, rDir) == rVersions,
         "a full replay must no-op R's version ledger")
-      val joined = s.read.parquet(s"$base/join")
-      require(joined.agg(max(col("_asof_s"))).head().getLong(0) == 2L,
-        "the reconcile must catch the out-of-band S append")
-      joined.groupBy("c_mktsegment").agg(count(lit(1)).as("n_orders"))
+      // M is append-only: its own ledger IS the cursor — the max
+      // committed ivm key must target S's post-append head
+      val cursorS = SnapshotTable.committedStreamKeys(s, s"$base/join")
+        .collect { case k if k.startsWith("ivm:") => k.stripPrefix("ivm:").toLong }
+        .max % 1000000L
+      require(cursorS == 2L,
+        s"the reconcile must catch the out-of-band S append, cursor at $cursorS")
+      SnapshotTable.read(s, s"$base/join")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_orders"))
         .orderBy("c_mktsegment")
     }),
     // Drift-gated streaming ingest — corpusDriftCheck standing at the

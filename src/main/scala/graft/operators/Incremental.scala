@@ -94,6 +94,20 @@ object Incremental {
     val spark = oldJoin.sparkSession
     val rHead = rTo.getOrElse(SnapshotTable.versions(spark, rDir).last)
     val sHead = sTo.getOrElse(SnapshotTable.versions(spark, sDir).last)
+    snapshotJoinDelta(spark, rDir, sDir, key, rFrom, sFrom, rHead, sHead)
+      .map(oldJoin.unionByName(_)).getOrElse(oldJoin)
+  }
+
+  /** JUST the delta terms ΔM (None when both cursors already sit at
+    * their targets) — the piece an append-only materialization
+    * commits, instead of rewriting M: for append-only bases M itself
+    * is append-only, so a refresh is `commitAppend(ΔM)`, O(Δ) write
+    * at any |M|. */
+  def snapshotJoinDelta(
+      spark: org.apache.spark.sql.SparkSession,
+      rDir: String, sDir: String, key: String,
+      rFrom: Long, sFrom: Long, rTo: Long, sTo: Long): Option[DataFrame] = {
+    import graft.sources.SnapshotTable
     def delta(dir: String, from: Long, head: Long): Option[DataFrame] =
       if (from == head) None
       else {
@@ -104,8 +118,8 @@ object Incremental {
             s"($from → $head); found $nonInsert non-insert changes")
         Some(ch.drop("_change"))
       }
-    val dR = delta(rDir, rFrom, rHead)
-    val dS = delta(sDir, sFrom, sHead)
+    val dR = delta(rDir, rFrom, rTo)
+    val dS = delta(sDir, sFrom, sTo)
     val terms = Seq(
       dR.map(d => d.join(
         SnapshotTable.readMatching(spark, sDir, d.select(key), Seq(key), Some(sFrom)),
@@ -114,6 +128,6 @@ object Incremental {
         .readMatching(spark, rDir, d.select(key), Seq(key), Some(rFrom))
         .join(d, key)),
       for (a <- dR; b <- dS) yield a.join(b, key)).flatten
-    terms.foldLeft(oldJoin)(_ unionByName _)
+    terms.reduceOption(_ unionByName _)
   }
 }

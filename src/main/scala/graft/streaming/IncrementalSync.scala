@@ -652,18 +652,24 @@ object IncrementalSync {
 
   /** Streaming ingest into R WITH an exactly-once incrementally
     * maintained materialized JOIN M = R ⋈ₖ S —
-    * `Incremental.snapshotJoinIvm`'s delta rules run CONTINUOUSLY
-    * under the summary row's cursor-reconcile discipline: each
+    * `Incremental.snapshotJoinDelta`'s rules run CONTINUOUSLY: each
     * micro-batch (a) commits itself to R through the batch-id ledger
     * (replays no-op) and (b) reconciles M to BOTH tables' heads,
     * reading only the two deltas plus key-bounded base slices
-    * (`readMatching`). The cursors (_asof_r, _asof_s) ride every
-    * materialized row and are rewritten rename-aside-atomically WITH
-    * the content, so a crash between commit and join write self-heals
-    * on the next batch, full replays no-op both sides — and S
-    * advancing OUT-OF-BAND between batches is caught up the same way
-    * (the cursor compares against S's head, not against what this
-    * stream last saw). */
+    * (`readMatching`). M is itself a snapshot table and — the bases
+    * being append-only — APPEND-ONLY too: a refresh commits ΔM, an
+    * O(Δ) write at any |M|, never a rewrite of the materialization.
+    *
+    * The cursor lives in M's OWN multi-writer stream ledger: each ΔM
+    * commits under appId "ivm" with the TARGET (rHead, sHead) encoded
+    * as its batch id, so cursor recovery is one head-manifest read
+    * (the max committed key), a replayed reconcile no-ops through the
+    * ordinary ledger check, and — because the ledger entry and the ΔM
+    * rows land in the SAME manifest publish — there is no crash
+    * window between "delta written" and "cursor advanced" at all. S
+    * advancing out-of-band between batches is caught up the same way
+    * (the cursor compares against S's head, not this stream's
+    * history). */
   def snapshotIngestWithJoin(
       stream: DataFrame,
       rDir: String,
@@ -680,28 +686,27 @@ object IncrementalSync {
         SnapshotTable.commitStreamBatch(batch, rDir, id)
         val rHead = SnapshotTable.versions(s, rDir).last
         val sHead = SnapshotTable.versions(s, sDir).last
-        val jp = new org.apache.hadoop.fs.Path(joinDir)
-        val fsys = jp.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val cur: Option[(Long, Long)] =
-          if (!fsys.exists(jp)) None
-          else {
-            val r = s.read.parquet(joinDir)
-              .agg(max(col("_asof_r")), max(col("_asof_s"))).head()
-            Some((r.getLong(0), r.getLong(1)))
-          }
-        if (cur.forall { case (r0, s0) => r0 < rHead || s0 < sHead }) {
-          val next = cur match {
-            case None =>
+        require(sHead < 1000000L && rHead < 9000000000000L,
+          "cursor encoding caps: sHead < 1e6, rHead < 9e12")
+        val cur: Option[(Long, Long)] = SnapshotTable
+          .committedStreamKeys(s, joinDir)
+          .collect { case k if k.startsWith("ivm:") => k.stripPrefix("ivm:").toLong }
+          .reduceOption(_ max _)
+          .map(b => (b / 1000000L, b % 1000000L))
+        val enc = rHead * 1000000L + sHead
+        cur match {
+          case None =>
+            SnapshotTable.commitStreamBatch(
               SnapshotTable.read(s, rDir, Some(rHead))
-                .join(SnapshotTable.read(s, sDir, Some(sHead)), key)
-            case Some((r0, s0)) =>
-              graft.operators.Incremental.snapshotJoinIvm(
-                s.read.parquet(joinDir).drop("_asof_r", "_asof_s"),
-                rDir, sDir, key, r0, s0, Some(rHead), Some(sHead))
-          }
-          graft.sources.Sinks.overwriteAtomic(
-            next.withColumn("_asof_r", lit(rHead))
-              .withColumn("_asof_s", lit(sHead)), joinDir)
+                .join(SnapshotTable.read(s, sDir, Some(sHead)), key),
+              joinDir, batchId = enc, appId = "ivm")
+          case Some((r0, s0)) if r0 < rHead || s0 < sHead =>
+            graft.operators.Incremental.snapshotJoinDelta(
+              s, rDir, sDir, key, r0, s0, rHead, sHead).foreach { dM =>
+              SnapshotTable.commitStreamBatch(
+                dM, joinDir, batchId = enc, appId = "ivm")
+            }
+          case _ => () // cursor already at both heads
         }
         ()
       }
