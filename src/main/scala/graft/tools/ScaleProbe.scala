@@ -288,6 +288,36 @@ object ScaleProbe {
           s"$scaledBase/f$f/snap_bloom_tbl",
           statsCols = Seq("event_id"), bloomCols = Seq("event_id"))
 
+    // r11 join-IVM fixture: S = the scaled orders (grows N×), R = the
+    // scaled customers MINUS replica 0's [400,500) key band (v1), the
+    // band appended as v2 — a CONSTANT-size ΔR whatever f is. The
+    // timed op computes ΔM = ΔR⋈S₀ via the delta-key-bounded base
+    // read; if readMatching really bounds the S-side scan, the
+    // refresh wall stays ~flat while S grows N×.
+    if (wanted("snapshot_join_delta"))
+      for (f <- Seq(1, factor)) {
+        val rDir = s"$scaledBase/f$f/jivm_cust"
+        val sDir = s"$scaledBase/f$f/jivm_ord"
+        val cust = replicate(
+          Tables.customer(spark, sfDir).select("c_custkey", "c_mktsegment"), f)
+          .select((col("c_custkey") + col("k") * 1000000000L).as("c_custkey"),
+            col("c_mktsegment"))
+        val ord = replicate(
+          Tables.orders(spark, sfDir)
+            .select(col("o_custkey").as("c_custkey"), col("o_orderkey")), f)
+          .select((col("c_custkey") + col("k") * 1000000000L).as("c_custkey"),
+            col("o_orderkey"))
+        val band = col("c_custkey") >= 400L && col("c_custkey") < 500L
+        graft.sources.SnapshotTable.commitAppend(
+          cust.filter(!band).repartitionByRange(4 * f, col("c_custkey")), rDir,
+          statsCols = Seq("c_custkey"), bloomCols = Seq("c_custkey"))
+        graft.sources.SnapshotTable.commitAppend(
+          ord.repartitionByRange(8 * f, col("c_custkey")), sDir,
+          statsCols = Seq("c_custkey"), bloomCols = Seq("c_custkey"))
+        graft.sources.SnapshotTable.commitAppend(
+          cust.filter(band).coalesce(1), rDir)
+      }
+
     def ops(f: Int): Seq[(String, () => DataFrame)] = {
       val docs = scaleDocs(Tables.documents(spark, sfDir), f)
       val emb = scaleEmb(Tables.embeddings(spark, sfDir), f)
@@ -388,6 +418,13 @@ object ScaleProbe {
         "snapshot_changes_diff" -> (() =>
           graft.sources.SnapshotTable.changesBetween(
             spark, s"$scaledBase/f$f/snap_tbl", 1L, 2L)),
+        // the constant-size ΔR refresh against the N×-growing S: the
+        // delta-key-bounded base read is the whole claim
+        "snapshot_join_delta" -> (() =>
+          graft.operators.Incremental.snapshotJoinDelta(
+            spark, s"$scaledBase/f$f/jivm_cust", s"$scaledBase/f$f/jivm_ord",
+            "c_custkey", rFrom = 1L, sFrom = 1L, rTo = 2L, sTo = 1L)
+            .getOrElse(spark.range(0).toDF())),
         // commit-time bloom overhead: one extra delta-sized grouped
         // aggregate + sidecar writes riding the ordinary commit — the
         // wall should track the batch (it IS the delta), never worse
