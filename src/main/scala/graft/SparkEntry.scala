@@ -994,6 +994,12 @@ object SparkEntry {
     "bpe_train" -> ((s, dir) =>
       TextOps.bpeTrain(Tables.documents(s, dir), nMerges = 8)
         .orderBy("round")),
+    // the learned merges APPLIED back to the vocabulary — the
+    // segmentation a trained tokenizer ships; oracle = the terminal
+    // seqs CTE of the same 8-round chain
+    "bpe_segment" -> ((s, dir) =>
+      TextOps.bpeSegmentation(Tables.documents(s, dir), nMerges = 8)
+        .orderBy("w")),
     // DSIR-style data selection: rank the non-English pool by
     // target-likeness against the English slice via integer smoothed
     // count-ratio weights — the curation step between crawl and
@@ -3591,7 +3597,7 @@ object SparkEntry {
     * times — the PageRank chained-CTE replay discipline applied to
     * tokenizer training. The list_reduce lambda is the same exact
     * left-to-right non-overlapping merge fold the Spark side runs. */
-  private def bpeOracleSql(k: Int): String = {
+  private def bpeCtes(k: Int): String = {
     val rounds = (1 to k).map { r =>
       s""" pairs_$r AS (SELECT l[i] AS a, l[i+1] AS b, sum(n) AS cnt
          |   FROM (SELECT string_split(seq, ' ') AS l, n FROM seqs_${r - 1}), unnest(range(1, len(l))) AS t(i)
@@ -3603,19 +3609,30 @@ object SparkEntry {
          |        ELSE acc || ' ' || x END) AS seq
          |  FROM seqs_${r - 1} CROSS JOIN best_$r b)""".stripMargin
     }.mkString(",\n")
+    s"""words AS (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w FROM documents),
+       | vocab AS (SELECT w, count(*) AS n FROM words WHERE length(w) >= 1 GROUP BY 1),
+       | seqs_0 AS (SELECT w, n, array_to_string(list_transform(range(1, length(w)+1), i -> substr(w, i, 1)), ' ') AS seq FROM vocab),
+       |$rounds""".stripMargin
+  }
+
+  private def bpeOracleSql(k: Int): String = {
     val sel = (1 to k).map(r =>
       s"SELECT CAST($r AS BIGINT) AS round, a AS lhs, b AS rhs, m AS merged, CAST(cnt AS BIGINT) AS pair_n FROM best_$r")
       .mkString("\n UNION ALL ")
-    s"""WITH words AS (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w FROM documents),
-       | vocab AS (SELECT w, count(*) AS n FROM words WHERE length(w) >= 1 GROUP BY 1),
-       | seqs_0 AS (SELECT w, n, array_to_string(list_transform(range(1, length(w)+1), i -> substr(w, i, 1)), ' ') AS seq FROM vocab),
-       |$rounds
+    s"""WITH ${bpeCtes(k)}
        |$sel
        |ORDER BY round""".stripMargin
   }
 
+  private def bpeSegOracleSql(k: Int): String =
+    s"""WITH ${bpeCtes(k)}
+       |SELECT w, CAST(n AS BIGINT) AS n, seq,
+       |       CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_pieces
+       |FROM seqs_$k ORDER BY w""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "bpe_train" -> bpeOracleSql(8),
+    "bpe_segment" -> bpeSegOracleSql(8),
     "running_tally" ->
       """WITH rawd AS (
         |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt,

@@ -797,7 +797,21 @@ object TextOps {
     * can never re-merge as `lhs` in the same round (spec-pinned on
     * the aaa/abab shapes). localCheckpoint per round keeps the plan
     * flat across rounds (the PageRank discipline). */
-  def bpeTrain(docs: DataFrame, nMerges: Int = 8): DataFrame = {
+  def bpeTrain(docs: DataFrame, nMerges: Int = 8): DataFrame =
+    bpeCore(docs, nMerges)._1
+
+  /** The corpus segmentation AT the learned merges — what a trained
+    * tokenizer actually ships applied back to its own vocabulary:
+    * every distinct word with its occurrence count, its piece
+    * sequence after all `nMerges` merges, and the piece count. Same
+    * fold, same determinism; the oracle replays the full merge chain
+    * and reads the terminal seqs CTE. */
+  def bpeSegmentation(docs: DataFrame, nMerges: Int = 8): DataFrame =
+    bpeCore(docs, nMerges)._2
+      .withColumn("n_pieces", size(split(col("seq"), " ")).cast("long"))
+      .select("w", "n", "seq", "n_pieces")
+
+  private def bpeCore(docs: DataFrame, nMerges: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     var vocab = docs
@@ -837,7 +851,7 @@ object TextOps {
           s"ELSE concat(acc, ' ', x) END)"))
         .localCheckpoint(true)
     }
-    merges.result().toDF("round", "lhs", "rhs", "merged", "pair_n")
+    (merges.result().toDF("round", "lhs", "rhs", "merged", "pair_n"), vocab)
   }
 
   /** The shared scoring pass: (doc_id, n_toks, score_e6) for every

@@ -1348,4 +1348,18 @@ object SnapshotTable {
       .foreach(s => f.delete(s.getPath, false))
     dead.size
   }
+
+  /** Age-based retention: vacuum every version whose commit instant
+    * predates `olderThanMs`, ALWAYS keeping the head (a table never
+    * loses its current contents to a retention policy, however old
+    * the last commit is) — the scheduled-hygiene companion of the
+    * count-based `vacuum`, expressed through it so the liveness rule,
+    * sidecar cleanup, and ledger survival are one code path. */
+  def vacuumOlderThan(spark: SparkSession, dir: String, olderThanMs: Long): Int = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"snapshot table $dir has no committed version")
+    val aged = vs.count(v =>
+      readManifest(spark, dir, v).committedAtMs < olderThanMs)
+    vacuum(spark, dir, keepVersions = math.max(1, vs.size - aged))
+  }
 }

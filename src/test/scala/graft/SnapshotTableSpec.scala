@@ -668,6 +668,21 @@ class SnapshotTableSpec extends SparkSpec {
     }
   }
 
+  test("vacuumOlderThan: ages out old versions but never the head; epoch-0 is a no-op") {
+    val dir = freshDir()
+    SnapshotTable.commitAppend(Seq(1L).toDF("id"), dir)
+    SnapshotTable.commitAppend(Seq(2L).toDF("id"), dir)
+    SnapshotTable.commitAppend(Seq(3L).toDF("id"), dir)
+    assert(SnapshotTable.vacuumOlderThan(spark, dir, 0L) == 0,
+      "nothing predates the epoch — retention must be a no-op")
+    assert(SnapshotTable.versions(spark, dir) == Seq(1L, 2L, 3L))
+    // everything is older than the far future, but the HEAD survives
+    SnapshotTable.vacuumOlderThan(spark, dir, Long.MaxValue)
+    assert(SnapshotTable.versions(spark, dir) == Seq(3L))
+    assert(ids(SnapshotTable.read(spark, dir)) == Seq(1L, 2L, 3L),
+      "the head's contents must survive any retention policy")
+  }
+
   test("readWhere: prunable conjuncts prune, the rest filter; answers always exact") {
     // range-clustered with stats: range conjuncts prune at file level
     val rdir = freshDir()
@@ -701,6 +716,19 @@ class SnapshotTableSpec extends SparkSpec {
     val b1 = SnapshotTable.readWhere(spark, bdir, col("id") === 42L)
     assert(b1.inputFiles.length < btotal, "equality must prune through the bloom")
     assert(b1.as[Long].collect().toSeq == Seq(42L))
+    // DATE ranges canonicalize to the stored ISO form: a month filter
+    // over date-clustered files prunes and answers exactly
+    val ddir = freshDir()
+    SnapshotTable.commitAppend(
+      (1 to 120).map(i => (i.toLong,
+          java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i - 1))))
+        .toDF("id", "d").repartitionByRange(4, col("d")),
+      ddir, statsCols = Seq("d"))
+    val d1 = SnapshotTable.readWhere(spark, ddir,
+      col("d") >= lit(java.sql.Date.valueOf("2024-03-01")) &&
+        col("d") < lit(java.sql.Date.valueOf("2024-04-01")))
+    assert(d1.inputFiles.length < 4, "the date range must prune files")
+    assert(d1.count() == 31L)
   }
 
   test("snapshotJoinIvm: delta rules equal the direct join; rewriting history refused") {
