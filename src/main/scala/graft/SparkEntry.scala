@@ -1019,6 +1019,16 @@ object SparkEntry {
           d.filter(col("lang") =!= "en"), d.filter(col("lang") === "en"))
         .orderBy("doc_id")
     }),
+    // BATCH retrieval: three queries against the corpus in ONE plan —
+    // shared term statistics, per-query top-5 via the rank-pushdown
+    // window (WindowGroupLimit, no corpus-wide sort).
+    "bm25_multi" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq((1L, "vector"), (1L, "query"), (2L, "join"),
+        (2L, "merge"), (3L, "hash")).toDF("query_id", "term")
+      TextOps.bm25BatchTopK(Tables.documents(s, dir), queries, k = 5)
+        .orderBy("query_id", "rank")
+    }),
     // Sparse ranked retrieval: BM25 top-10 for a fixed term query,
     // integer-exact (saturated linear idf, e3-scaled k1/b) so the
     // oracle replays the arithmetic bit-for-bit.
@@ -3983,6 +3993,25 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rank,
         |       doc_id, CAST(n_toks AS BIGINT) AS n_toks, CAST(score_e6 AS BIGINT) AS score_e6
         |FROM top ORDER BY rank""".stripMargin,
+    // the batch replayed: shared stats, per-query rank windows
+    "bm25_multi" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term FROM documents),
+        | f AS (SELECT doc_id, term FROM toks WHERE length(term) >= 2
+        |        AND term NOT IN ('the','a','an','of','and','or','is','in','to','for')),
+        | dl AS (SELECT doc_id, count(*) AS dl FROM f GROUP BY 1),
+        | corpus AS (SELECT count(*) AS n, sum(dl) AS tot FROM dl),
+        | q(query_id, term) AS (VALUES (1, 'vector'), (1, 'query'), (2, 'join'), (2, 'merge'), (3, 'hash')),
+        | qterms AS (SELECT DISTINCT term FROM q),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM f JOIN qterms USING (term) GROUP BY 1, 2),
+        | dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | c AS (SELECT q.query_id, doc_id,
+        |        least(1000, n // df) * tf * 2200 * 1000000 // (tf * 1000 + ((1200 * ((1000 - 750) + ((750 * dl * 1000) // ((tot * 1000) // n)))) // 1000)) AS contrib_e6
+        |       FROM tf JOIN dfx USING (term) JOIN q USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus),
+        | g AS (SELECT query_id, doc_id, count(*) AS n_hits, sum(contrib_e6) AS score_e6 FROM c GROUP BY 1, 2),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_e6 DESC, doc_id) AS rank FROM g)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+        |       CAST(n_hits AS BIGINT) AS n_hits, CAST(score_e6 AS BIGINT) AS score_e6
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // BM25 replayed term-for-term: same tokenization, same saturated
     // linear idf, same e3-scaled k1/b integer arithmetic
     "bm25_topk" ->

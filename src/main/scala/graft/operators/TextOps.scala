@@ -957,6 +957,49 @@ object TextOps {
       .select("rank", "doc_id", "n_hits", "score_e6")
   }
 
+  /** BM25 for a BATCH of queries — the production retrieval shape
+    * (N queries against the corpus in one plan, not N plans): same
+    * integer-exact scoring as bm25TopK, with the query set arriving
+    * as a (query_id, term) DataFrame. Term statistics (tf, df, dl,
+    * avgdl) are computed ONCE and shared across queries — a term's
+    * df is a corpus property, not a query property — then each
+    * query's contributions assemble through one broadcast join
+    * against the (small) query-term table. The per-query top-k is a
+    * rank-over-partition window, which Spark plans as
+    * WindowGroupLimit: ≤k rows per query survive per task BEFORE the
+    * shuffle (the stratifiedTopN discipline — no per-query global
+    * sort, no corpus-wide window). */
+  def bm25BatchTopK(
+      docs: DataFrame, queries: DataFrame, k: Int = 10,
+      k1E3: Long = 1200L, bE3: Long = 750L, idfCap: Long = 1000L): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "[^a-z]+"),
+          t => length(t) >= 2)).as("term"))
+      .filter(!col("term").isin(stopwords: _*))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("_n"), sum(col("dl")).as("_tot"))
+    val qt = queries.select("query_id", "term").distinct()
+    val tf = toks.join(broadcast(qt.select("term").distinct()), "term")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfTbl = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_e6").desc, col("doc_id"))
+    tf.join(dfTbl, "term")
+      .join(broadcast(qt), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("contrib_e6", expr(
+        s"least(${idfCap}L, _n div df) * tf * ${k1E3 + 1000}L * 1000000 div " +
+          s"(tf * 1000 + ((${k1E3}L * ((1000 - ${bE3}L) + " +
+          s"((${bE3}L * dl * 1000) div ((_tot * 1000) div _n)))) div 1000))"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_hits"), sum(col("contrib_e6")).as("score_e6"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "n_hits", "score_e6")
+  }
+
   /** Hybrid retrieval by reciprocal-rank fusion (Cormack, Clarke &
     * Buettcher SIGIR'09): fuse the sparse BM25 ranking with a dense
     * embedding ranking by Σ 1/(rrfK + rank) — the standard hybrid

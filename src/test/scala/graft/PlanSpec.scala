@@ -214,6 +214,13 @@ class PlanSpec extends SparkSpec {
       assert(phys.contains("TakeOrderedAndProject"),
         s"$name: the global top-k must plan as TakeOrderedAndProject\n$phys")
     }
+    // the BATCH variant's per-query top-k is a rank-pushdown window:
+    // ≤k rows per query survive per task BEFORE the shuffle
+    import spark.implicits._
+    val batch = graft.operators.TextOps.bm25BatchTopK(docs,
+      Seq((1L, "vector"), (2L, "query")).toDF("query_id", "term"), k = 5)
+    assert(executedPlan(batch).contains("WindowGroupLimit"),
+      "bm25BatchTopK must plan the per-query rank as WindowGroupLimit")
   }
 
   test("temporal join queries prune the events scan (props never read)") {

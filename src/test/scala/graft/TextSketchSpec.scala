@@ -323,6 +323,24 @@ class TextSketchSpec extends SparkSpec {
       (3L, 2L, 1L, 2000000L)))
   }
 
+  test("bm25BatchTopK: each query's slice equals the single-query ranking") {
+    val docs = Seq(
+      (1L, "cat cat dog bird"), (2L, "cat bird bird"), (3L, "dog worm"),
+      (4L, "bird worm worm"), (5L, "fish fish cat"), (6L, "dog dog dog"))
+      .toDF("doc_id", "text")
+    val queries = Seq((10L, "cat"), (10L, "dog"), (20L, "bird"))
+      .toDF("query_id", "term")
+    val batch = TextOps.bm25BatchTopK(docs, queries, k = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    for ((qid, terms) <- Seq(10L -> Seq("cat", "dog"), 20L -> Seq("bird"))) {
+      val single = TextOps.bm25TopK(docs, terms, k = 10)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+        .map { case (r, d, h, sc) => (qid, r, d, h, sc) }
+      assert(batch.filter(_._1 == qid).sortBy(_._2) === single.sortBy(_._2),
+        s"query $qid must rank identically to the single-query path")
+    }
+  }
+
   test("hybridRrfTopK equals a Scala-side fusion of the two public rankings") {
     val docs = Seq(
       (1L, "cat cat dog bird"), (2L, "cat bird bird"), (3L, "dog worm"),
