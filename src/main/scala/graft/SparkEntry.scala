@@ -3246,7 +3246,7 @@ object SparkEntry {
           .repartitionByRange(8, col("c_custkey")),
         sDir, statsCols = Seq("c_custkey"), bloomCols = Seq("c_custkey"))
       Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
-        .repartition(3, col("c_custkey")).write.parquet(s"$base/chunks")
+        .repartition(2, col("c_custkey")).write.parquet(s"$base/chunks")
       val schema = s.read.parquet(s"$base/chunks").schema
       def ingest(ckpt: String) = {
         graft.streaming.IncrementalSync.snapshotIngestWithJoin(
@@ -3257,7 +3257,7 @@ object SparkEntry {
       }
       ingest("ck")
       val rVersions = SnapshotTable.versions(s, rDir)
-      require(rVersions.size >= 3, s"three chunks must land: $rVersions")
+      require(rVersions.size >= 2, s"both chunks must land: $rVersions")
       // S moves out-of-band; the replay must no-op R yet catch S
       SnapshotTable.commitAppend(
         ord.filter(col("o_orderkey") % 5 === 0)

@@ -897,7 +897,13 @@ object TextOps {
     * integer comparisons — no float thresholds to drift.
     *
     * Scale: the scoring pass is importanceSelect's; the gate adds one
-    * broadcast 1-row max aggregate and a map-only filter. */
+    * broadcast 1-row max aggregate and a map-only filter. Stated
+    * trade: the max branch RE-DERIVES the scoring plan (Spark shares
+    * no subplans without materialization), so the corpus is scored
+    * twice; at a scale where that matters, materialize
+    * importanceScores once (e.g. a snapshot commit) and gate the
+    * stored frame — the gate itself is a pure function of
+    * (doc_id, score, max). */
   def importanceSample(pool: DataFrame, target: DataFrame): DataFrame = {
     val mx = importanceScores(pool, target).agg(max(col("score_e6")).as("_mx"))
     importanceScores(pool, target)
