@@ -1036,6 +1036,16 @@ object SparkEntry {
       TextOps.bm25TopK(Tables.documents(s, dir),
           Seq("vector", "query", "join"), k = 10)
         .orderBy("rank")),
+    // Batch hybrid: two text queries fused sparse+dense in one plan —
+    // per-query WindowGroupLimit pools, shared corpus statistics.
+    "hybrid_rrf_multi" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq((1L, "vector query join"), (2L, "hash merge"))
+        .toDF("query_id", "qtext")
+      TextOps.hybridRrfBatchTopK(Tables.documents(s, dir), queries,
+          k = 5, poolK = 20)
+        .orderBy("query_id", "rank")
+    }),
     // Hybrid retrieval: reciprocal-rank fusion of the BM25 list and
     // the dense hash-embedding dot-product list for the same query —
     // only RANKS enter the fusion, e6-integer rrf on both engines.
@@ -3993,6 +4003,49 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rank,
         |       doc_id, CAST(n_toks AS BIGINT) AS n_toks, CAST(score_e6 AS BIGINT) AS score_e6
         |FROM top ORDER BY rank""".stripMargin,
+    // the batch hybrid replayed end-to-end: derived query terms,
+    // shared BM25 stats, per-query md5-sign dense lists, integer RRF
+    "hybrid_rrf_multi" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term FROM documents),
+        | f AS (SELECT doc_id, term FROM toks WHERE length(term) >= 2
+        |        AND term NOT IN ('the','a','an','of','and','or','is','in','to','for')),
+        | dl AS (SELECT doc_id, count(*) AS dl FROM f GROUP BY 1),
+        | corpus AS (SELECT count(*) AS n, sum(dl) AS tot FROM dl),
+        | q(query_id, qtext) AS (VALUES (1, 'vector query join'), (2, 'hash merge')),
+        | qt AS (SELECT DISTINCT query_id, t AS term FROM
+        |         (SELECT query_id, unnest(regexp_split_to_array(lower(qtext), '[^a-z]+')) AS t FROM q)
+        |        WHERE length(t) >= 2
+        |         AND t NOT IN ('the','a','an','of','and','or','is','in','to','for')),
+        | qterms AS (SELECT DISTINCT term FROM qt),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM f JOIN qterms USING (term) GROUP BY 1, 2),
+        | dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        | c AS (SELECT qt.query_id, doc_id,
+        |        least(1000, n // df) * tf * 2200 * 1000000 // (tf * 1000 + ((1200 * ((1000 - 750) + ((750 * dl * 1000) // ((tot * 1000) // n)))) // 1000)) AS contrib_e6
+        |       FROM tf JOIN dfx USING (term) JOIN qt USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus),
+        | g AS (SELECT query_id, doc_id, sum(contrib_e6) AS score_e6 FROM c GROUP BY 1, 2),
+        | sp AS (SELECT query_id, doc_id, s_rank FROM
+        |         (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_e6 DESC, doc_id) AS s_rank FROM g)
+        |        WHERE s_rank <= 20),
+        | dtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        | demb AS (SELECT doc_id, d.j AS dim,
+        |           sum(CASE WHEN ascii(substr(md5(t || ':' || CAST(d.j AS VARCHAR)), 1, 1)) < 56 THEN 1 ELSE -1 END) AS v
+        |          FROM dtok CROSS JOIN (SELECT unnest(range(0, 8)) AS j) d GROUP BY 1, 2),
+        | qtok AS (SELECT query_id, unnest(string_split(qtext, ' ')) AS t FROM q),
+        | qemb AS (SELECT query_id, d.j AS dim,
+        |           sum(CASE WHEN ascii(substr(md5(t || ':' || CAST(d.j AS VARCHAR)), 1, 1)) < 56 THEN 1 ELSE -1 END) AS v
+        |          FROM qtok CROSS JOIN (SELECT unnest(range(0, 8)) AS j) d GROUP BY 1, 2),
+        | dot AS (SELECT query_id, doc_id, CAST(sum(demb.v * qemb.v) AS BIGINT) AS dot
+        |         FROM demb JOIN qemb USING (dim) GROUP BY 1, 2),
+        | dn AS (SELECT query_id, doc_id, d_rank FROM
+        |         (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, doc_id) AS d_rank FROM dot)
+        |        WHERE d_rank <= 20),
+        | fused AS (SELECT query_id, doc_id, s_rank, d_rank,
+        |            COALESCE(1000000 // (60 + s_rank), 0) + COALESCE(1000000 // (60 + d_rank), 0) AS rrf_e6
+        |           FROM sp FULL OUTER JOIN dn USING (query_id, doc_id)),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_e6 DESC, doc_id) AS rank FROM fused)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+        |       CAST(rrf_e6 AS BIGINT) AS rrf_e6, CAST(s_rank AS BIGINT) AS s_rank, CAST(d_rank AS BIGINT) AS d_rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // the batch replayed: shared stats, per-query rank windows
     "bm25_multi" ->
       """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term FROM documents),

@@ -1026,6 +1026,49 @@ object TextOps {
     * (posting-list-bounded sparse side; map-only embed + top-k dense
     * side).
     */
+  /** Hybrid retrieval for a BATCH of queries — bm25BatchTopK's shared
+    * statistics on the sparse side, one corpus embedding pass scored
+    * against every broadcast query embedding on the dense side (each
+    * per-query top-poolK is a rank-pushdown WindowGroupLimit), and
+    * the same e6-integer RRF fusion per (query, doc). Queries arrive
+    * as (query_id, qtext); the sparse terms derive from qtext by the
+    * standard tokenization, the dense vector by the same
+    * hash-projection the single-query path uses — so each query's
+    * lists match its single-query run. */
+  def hybridRrfBatchTopK(
+      docs: DataFrame, queries: DataFrame, k: Int = 10,
+      poolK: Int = 20, rrfK: Long = 60L, dim: Int = 8): DataFrame = {
+    val qterms = queries
+      .select(col("query_id"),
+        explode(filter(split(lower(col("qtext")), "[^a-z]+"),
+          t => length(t) >= 2)).as("term"))
+      .filter(!col("term").isin(stopwords: _*))
+    val sparse = bm25BatchTopK(docs, qterms, poolK)
+      .select(col("query_id"), col("doc_id"), col("rank").as("s_rank"))
+    val qe = queries.select(col("query_id"),
+      Similarity.hashEmbedding(col("qtext"), dim).as("q"))
+    val dense = docs
+      .select(col("doc_id"), Similarity.hashEmbedding(col("text"), dim).as("emb"))
+      .crossJoin(broadcast(qe))
+      .withColumn("dot", expr(
+        "cast(aggregate(zip_with(emb, q, (x, y) -> x * y), " +
+          "cast(0 as double), (acc, v) -> acc + v) as long)"))
+      .withColumn("d_rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dot").desc, col("doc_id")))
+        .cast("long"))
+      .where(col("d_rank") <= poolK)
+      .select("query_id", "doc_id", "d_rank")
+    sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_e6", expr(
+        s"coalesce(1000000 div (${rrfK}L + s_rank), 0L) + " +
+          s"coalesce(1000000 div (${rrfK}L + d_rank), 0L)"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("rrf_e6").desc, col("doc_id")))
+        .cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "rrf_e6", "s_rank", "d_rank")
+  }
+
   def hybridRrfTopK(
       docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
       poolK: Int = 20, rrfK: Long = 60L, dim: Int = 8): DataFrame = {

@@ -341,6 +341,25 @@ class TextSketchSpec extends SparkSpec {
     }
   }
 
+  test("hybridRrfBatchTopK: each query's fusion equals its single-query hybrid") {
+    val docs = Seq(
+      (1L, "cat cat dog bird"), (2L, "cat bird bird"), (3L, "dog worm"),
+      (4L, "bird worm worm"), (5L, "fish fish cat"), (6L, "dog dog dog"),
+      (7L, "worm bird cat dog"), (8L, "moss fern")).toDF("doc_id", "text")
+    val queries = Seq((10L, "cat dog"), (20L, "bird")).toDF("query_id", "qtext")
+    val batch = TextOps.hybridRrfBatchTopK(docs, queries, k = 5, poolK = 20)
+      .select("query_id", "rank", "doc_id", "rrf_e6")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    for ((qid, terms) <- Seq(10L -> Seq("cat", "dog"), 20L -> Seq("bird"))) {
+      val single = TextOps.hybridRrfTopK(docs, terms, k = 5, poolK = 20)
+        .select("rank", "doc_id", "rrf_e6")
+        .as[(Long, Long, Long)].collect().toSeq
+        .map { case (r, d, v) => (qid, r, d, v) }
+      assert(batch.filter(_._1 == qid).sortBy(_._2) === single.sortBy(_._2),
+        s"query $qid must fuse identically to the single-query path")
+    }
+  }
+
   test("hybridRrfTopK equals a Scala-side fusion of the two public rankings") {
     val docs = Seq(
       (1L, "cat cat dog bird"), (2L, "cat bird bird"), (3L, "dog worm"),
