@@ -2312,6 +2312,25 @@ object SparkEntry {
     // than the head names — decided from the manifest alone, zero
     // data I/O — and readFiltered is a superset scan the residual
     // row filter then narrows; the oracle replays the same filter
+    // Metadata-accelerated filtered COUNT: range-covered files answer
+    // rows−nulls from the manifest, only boundary files scan (in-row
+    // requires: some files answered from metadata, the scan touched
+    // strictly fewer files than the table holds). Oracle recomputes
+    // the count over the base, blind to the acceleration.
+    "snapshot_fast_count" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val tbl = snapPruneTable(s, dir)
+      val maxId = Tables.events(s, dir)
+        .agg(max(col("event_id"))).collect()(0).getLong(0)
+      val hi = maxId / 2
+      val (n, covered, scanned, total) = SnapshotTable.countRowsWhere(
+        s, tbl, SnapshotTable.StatFilter("event_id",
+          lower = Some(100L), upper = Some(hi)))
+      require(covered > 0, "some files must be answered from metadata alone")
+      require(scanned < total,
+        s"the boundary scan must touch fewer files: $scanned of $total")
+      s.range(1).select(lit(n).as("n_rows"), lit(100L).as("lo"), lit(hi).as("hi"))
+    }),
     // over the full base table.
     "snapshot_prune" -> ((s, dir) => {
       import graft.sources.SnapshotTable
@@ -5415,6 +5434,13 @@ object SparkEntry {
       """SELECT event_id, event_type FROM events
         |WHERE event_id IN (11, 222, 333) AND event_type IS NOT NULL
         |ORDER BY event_id""".stripMargin,
+    // the accelerated count must equal the plain filtered count; the
+    // bound columns replay the row's own range derivation
+    "snapshot_fast_count" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events)
+        |SELECT (SELECT count(*) FROM events, m
+        |        WHERE event_id BETWEEN 100 AND mx // 2) AS n_rows,
+        |       CAST(100 AS BIGINT) AS lo, (SELECT mx // 2 FROM m) AS hi""".stripMargin,
     // the manifest-only count/extremes must equal the base aggregate
     "snapshot_meta_agg" ->
       """SELECT count(*) AS n_rows, min(event_id) AS min_event_id,

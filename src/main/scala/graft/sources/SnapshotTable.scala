@@ -73,7 +73,12 @@ object SnapshotTable {
     * `java.math.BigDecimal` (all numerics) or `String` (strings, and
     * dates canonicalized to ISO `yyyy-MM-dd`, whose lexicographic
     * order is chronological). */
-  private[graft] final case class FileStat(min: Any, max: Any)
+  /** `nulls` = the column's null count in the file (−1 when the file
+    * predates null-count recording) — what lets a range-covered
+    * file's match count be answered as `rows − nulls` from metadata
+    * alone (stats min/max ignore nulls, so containment proves only
+    * the NON-null values match). */
+  private[graft] final case class FileStat(min: Any, max: Any, nulls: Long = -1L)
 
   /** One data file of a version: its dir-relative path, its stats
     * (possibly empty — e.g. a file committed before a stat column was
@@ -165,6 +170,7 @@ object SnapshotTable {
           val cn = st.putObject(c)
           statToNode(cn, "min", fsr.min)
           statToNode(cn, "max", fsr.max)
+          if (fsr.nulls >= 0L) cn.put("nulls", fsr.nulls): Unit
         }
       }
       if (e.blooms.nonEmpty || e.sidecarBloomCols.nonEmpty) {
@@ -211,7 +217,8 @@ object SnapshotTable {
           while (it.hasNext) {
             val kv = it.next()
             b += kv.getKey -> FileStat(nodeToStat(kv.getValue.get("min")),
-              nodeToStat(kv.getValue.get("max")))
+              nodeToStat(kv.getValue.get("max")),
+              Option(kv.getValue.get("nulls")).map(_.asLong).getOrElse(-1L))
           }
           b.result()
         }.getOrElse(Map.empty[String, FileStat])
@@ -554,6 +561,71 @@ object SnapshotTable {
     m.entries.map(_.rows).sum
   }
 
+  /** COUNT(*) under an inclusive range predicate with METADATA
+    * acceleration — the engine-grade filtered count: every file whose
+    * stats prove FULL containment ([min,max] inside the bounds)
+    * answers `rows − nulls` from the manifest (stats ignore nulls, so
+    * containment proves exactly the non-null values match), files the
+    * range provably excludes contribute zero, and only the BOUNDARY
+    * files — those the stats can neither include nor exclude whole —
+    * are scanned with the row filter. Exact always; zero data I/O
+    * when the range aligns with the file layout (range-clustered
+    * tables make that the common case). Returns
+    * (count, coveredFiles, scannedFiles, totalFiles) so callers can
+    * see how much the metadata answered. Files without the stat, a
+    * row count, or a null count are conservatively scanned. */
+  def countRowsWhere(
+      spark: SparkSession, dir: String, filter: StatFilter,
+      version: Option[Long] = None): (Long, Int, Int, Int) = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"snapshot table $dir has no committed version")
+    val m = readManifest(spark, dir, version.getOrElse(vs.last))
+    val lo = filter.lower.map(toStatVal)
+    val hi = filter.upper.map(toStatVal)
+    sealed trait Cls; object Covered extends Cls
+    object Excluded extends Cls; object Boundary extends Cls
+    def classify(e: Entry): Cls = e.stats.get(filter.colName) match {
+      case Some(st) if e.rows >= 0L && st.nulls >= 0L =>
+        val overlaps =
+          lo.forall(l => cmpStat(st.max, l).forall(_ >= 0)) &&
+            hi.forall(h => cmpStat(st.min, h).forall(_ <= 0))
+        val contained =
+          lo.forall(l => cmpStat(st.min, l).forall(_ >= 0)) &&
+            hi.forall(h => cmpStat(st.max, h).forall(_ <= 0)) &&
+          lo.forall(l => cmpStat(st.min, l).isDefined) &&
+          hi.forall(h => cmpStat(st.max, h).isDefined)
+        if (!overlaps &&
+          lo.forall(l => cmpStat(st.max, l).isDefined) &&
+          hi.forall(h => cmpStat(st.min, h).isDefined)) Excluded
+        else if (contained) Covered
+        else Boundary
+      case _ => Boundary
+    }
+    val classed = m.entries.map(e => e -> classify(e))
+    val metaCount = classed.collect {
+      case (e, Covered) => e.rows - e.stats(filter.colName).nulls
+    }.sum
+    val boundary = classed.collect { case (e, Boundary) => e }
+    val scanned =
+      if (boundary.isEmpty) 0L
+      else {
+        val df = spark.read.option("mergeSchema", "true")
+          .parquet(boundary.map(e => s"$dir/${e.path}"): _*)
+        val c = col(filter.colName)
+        val preds = lo.map(v => c >= lit(statLit(v))).toSeq ++
+          hi.map(v => c <= lit(statLit(v)))
+        preds.reduceOption(_ && _).map(df.filter).getOrElse(df).count()
+      }
+    (metaCount + scanned,
+      classed.count(_._2 == Covered), boundary.size, m.entries.size)
+  }
+
+  /** A stored stat value as a literal-friendly external value. */
+  private def statLit(v: Any): Any = v match {
+    case d: java.math.BigDecimal => d
+    case other => other
+  }
+
   /** (min, max) of a declared stat column from the manifest alone —
     * the metadata-only extreme: fold the per-file mins/maxes. Every
     * entry must carry the stat (a file without it could hide the true
@@ -830,7 +902,8 @@ object SnapshotTable {
     // fail loudly on a bad bloom type BEFORE any aggregate runs
     bloomPresent.foreach(c => bloomKeyHash(col(c), fields(c), c))
     val aggs = present.flatMap(c =>
-      Seq(min(statExpr(c)).as(s"__min_$c"), max(statExpr(c)).as(s"__max_$c"))) :+
+      Seq(min(statExpr(c)).as(s"__min_$c"), max(statExpr(c)).as(s"__max_$c"),
+        count(col(c)).as(s"__nn_$c"))) :+
       count(lit(1)).as("__cnt")
     val rows = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect()
@@ -839,7 +912,8 @@ object SnapshotTable {
       relPaths.find(rp => abs.endsWith(rp)).map { rp =>
         val stats = present.flatMap { c =>
           (Option(r.getAs[Any](s"__min_$c")), Option(r.getAs[Any](s"__max_$c"))) match {
-            case (Some(mn), Some(mx)) => Some(c -> FileStat(toStatVal(mn), toStatVal(mx)))
+            case (Some(mn), Some(mx)) => Some(c -> FileStat(toStatVal(mn), toStatVal(mx),
+              r.getAs[Long]("__cnt") - r.getAs[Long](s"__nn_$c")))
             case _ => None // all-null column in this file: no stat, pruner keeps it
           }
         }.toMap

@@ -790,6 +790,41 @@ class SnapshotTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { b("a:b", 9L, 0L) }
   }
 
+  test("countRowsWhere: covered files answer rows−nulls from metadata; only boundary scans") {
+    val dir = freshDir()
+    // four range-disjoint files, each with 25 keyed rows + 5 null-key
+    // rows (stats min/max ignore nulls — the null count is what makes
+    // the covered-file shortcut exact)
+    for (i <- 0 until 4) {
+      val keyed = (i * 25L until i * 25L + 25L).map(v => (Some(v), s"v$v"))
+      val nulls = (1 to 5).map(n => (Option.empty[Long], s"n$i$n"))
+      SnapshotTable.commitAppend(
+        (keyed ++ nulls).toDF("k", "v").coalesce(1), dir, statsCols = Seq("k"))
+    }
+    // [10, 60]: file0 boundary (10..24), file1 covered whole (25..49),
+    // file2 boundary (50..60), file3 excluded
+    // prove the covered/excluded files are never OPENED: corrupt them
+    val files = SnapshotTable.files(spark, dir, 4L)
+    Seq(1, 3).foreach { i =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, files(i)), "gone".getBytes)
+    }
+    val (n, covered, scanned, total) = SnapshotTable.countRowsWhere(
+      spark, dir, SnapshotTable.StatFilter("k",
+        lower = Some(10L), upper = Some(60L)))
+    assert((n, covered, scanned, total) == ((15L + 25L + 11L, 1, 2, 4)),
+      s"got ($n, $covered, $scanned, $total)")
+    // a fully-aligned range is zero-scan
+    val (n2, c2, s2, _) = SnapshotTable.countRowsWhere(
+      spark, dir, SnapshotTable.StatFilter("k",
+        lower = Some(25L), upper = Some(49L)))
+    assert((n2, c2, s2) == ((25L, 1, 0)))
+    // unbounded = IS NOT NULL semantics, all from metadata
+    val (n3, _, s3, _) = SnapshotTable.countRowsWhere(
+      spark, dir, SnapshotTable.StatFilter("k"))
+    assert(n3 == 100L && s3 == 0)
+  }
+
   test("countRows/statExtremes answer from the manifest alone — every data file corrupt") {
     val dir = freshDir()
     SnapshotTable.commitAppend(
