@@ -477,7 +477,8 @@ object SnapshotTable {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"snapshot table $dir has no committed version")
     val v = version.getOrElse(vs.last)
-    val all = readManifest(spark, dir, v).entries.map(_.path)
+    val allEntries = readManifest(spark, dir, v).entries
+    val all = allEntries.map(_.path)
     var kept: Set[String] = all.toSet
     // resolve the predicate against the table schema (one footer read
     // — never the whole listing) to get a catalyst condition via the
@@ -510,6 +511,15 @@ object SnapshotTable {
         attr(r), litOf(l), lowerOnAttrLeft = false).foreach(k => kept = kept.intersect(k))
       case LessThanOrEqual(l, r) => rangeHalf(spark, dir, v, attr(l), litOf(r),
         attr(r), litOf(l), lowerOnAttrLeft = false).foreach(k => kept = kept.intersect(k))
+      case org.apache.spark.sql.catalyst.expressions.IsNull(a1) =>
+        // a file whose recorded null count is ZERO provably holds no
+        // IS NULL matches; unknown counts (or absent stats — an
+        // all-null file never records min/max) conservatively survive
+        attr(a1).foreach { c =>
+          kept = kept.intersect(allEntries
+            .filter(e => e.stats.get(c).forall(_.nulls != 0L))
+            .map(_.path).toSet)
+        }
       case _ => () // not decomposable: prunes nothing, row filter handles it
     }
     val ordered = all.filter(kept)

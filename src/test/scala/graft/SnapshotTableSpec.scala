@@ -825,6 +825,25 @@ class SnapshotTableSpec extends SparkSpec {
     assert(n3 == 100L && s3 == 0)
   }
 
+  test("readWhere prunes IS NULL through the recorded null counts") {
+    val dir = freshDir()
+    // only file 1 holds null keys; files 0 and 2 record nulls == 0
+    for (i <- 0 until 3) {
+      val keyed = (i * 10L until i * 10L + 10L).map(v => (Some(v), s"v$v"))
+      val rows = if (i == 1) keyed ++ Seq((Option.empty[Long], "missing1"),
+        (Option.empty[Long], "missing2")) else keyed
+      SnapshotTable.commitAppend(rows.toDF("k", "v").coalesce(1), dir,
+        statsCols = Seq("k"))
+    }
+    val r = SnapshotTable.readWhere(spark, dir, col("k").isNull)
+    assert(r.inputFiles.length == 1, "zero-null files must be pruned")
+    assert(r.count() == 2L)
+    // composes with a residual conjunct
+    val r2 = SnapshotTable.readWhere(spark, dir,
+      col("k").isNull && col("v") === "missing1")
+    assert(r2.inputFiles.length == 1 && r2.count() == 1L)
+  }
+
   test("countRows/statExtremes answer from the manifest alone — every data file corrupt") {
     val dir = freshDir()
     SnapshotTable.commitAppend(
