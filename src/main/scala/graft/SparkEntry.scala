@@ -2331,6 +2331,23 @@ object SparkEntry {
         s"the boundary scan must touch fewer files: $scanned of $total")
       s.range(1).select(lit(n).as("n_rows"), lit(100L).as("lo"), lit(hi).as("hi"))
     }),
+    // Metadata-accelerated filtered SUM: covered files contribute
+    // their stored per-file sums, only boundary files scan — same
+    // layout, same in-row discipline as fast_count.
+    "snapshot_fast_sum" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val tbl = snapPruneTable(s, dir)
+      val maxId = Tables.events(s, dir)
+        .agg(max(col("event_id"))).collect()(0).getLong(0)
+      val hi = maxId / 2
+      val (total, covered, scanned, nFiles) = SnapshotTable.sumWhere(
+        s, tbl, SnapshotTable.StatFilter("event_id",
+          lower = Some(100L), upper = Some(hi)))
+      require(covered > 0, "some files must sum from metadata alone")
+      require(scanned < nFiles,
+        s"the boundary scan must touch fewer files: $scanned of $nFiles")
+      s.range(1).select(lit(total.longValueExact).as("sum_id"), lit(hi).as("hi"))
+    }),
     // over the full base table.
     "snapshot_prune" -> ((s, dir) => {
       import graft.sources.SnapshotTable
@@ -5441,6 +5458,12 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM events, m
         |        WHERE event_id BETWEEN 100 AND mx // 2) AS n_rows,
         |       CAST(100 AS BIGINT) AS lo, (SELECT mx // 2 FROM m) AS hi""".stripMargin,
+    // the accelerated sum must equal the plain filtered sum
+    "snapshot_fast_sum" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events)
+        |SELECT (SELECT CAST(sum(event_id) AS BIGINT) FROM events, m
+        |        WHERE event_id BETWEEN 100 AND mx // 2) AS sum_id,
+        |       (SELECT mx // 2 FROM m) AS hi""".stripMargin,
     // the manifest-only count/extremes must equal the base aggregate
     "snapshot_meta_agg" ->
       """SELECT count(*) AS n_rows, min(event_id) AS min_event_id,

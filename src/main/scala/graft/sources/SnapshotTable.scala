@@ -78,7 +78,8 @@ object SnapshotTable {
     * file's match count be answered as `rows − nulls` from metadata
     * alone (stats min/max ignore nulls, so containment proves only
     * the NON-null values match). */
-  private[graft] final case class FileStat(min: Any, max: Any, nulls: Long = -1L)
+  private[graft] final case class FileStat(
+      min: Any, max: Any, nulls: Long = -1L, sum: Any = null)
 
   /** One data file of a version: its dir-relative path, its stats
     * (possibly empty — e.g. a file committed before a stat column was
@@ -171,6 +172,8 @@ object SnapshotTable {
           statToNode(cn, "min", fsr.min)
           statToNode(cn, "max", fsr.max)
           if (fsr.nulls >= 0L) cn.put("nulls", fsr.nulls): Unit
+          if (fsr.sum != null)
+            cn.put("sum", fsr.sum.asInstanceOf[java.math.BigDecimal]): Unit
         }
       }
       if (e.blooms.nonEmpty || e.sidecarBloomCols.nonEmpty) {
@@ -218,7 +221,8 @@ object SnapshotTable {
             val kv = it.next()
             b += kv.getKey -> FileStat(nodeToStat(kv.getValue.get("min")),
               nodeToStat(kv.getValue.get("max")),
-              Option(kv.getValue.get("nulls")).map(_.asLong).getOrElse(-1L))
+              Option(kv.getValue.get("nulls")).map(_.asLong).getOrElse(-1L),
+              Option(kv.getValue.get("sum")).map(_.decimalValue()).orNull)
           }
           b.result()
         }.getOrElse(Map.empty[String, FileStat])
@@ -587,47 +591,86 @@ object SnapshotTable {
   def countRowsWhere(
       spark: SparkSession, dir: String, filter: StatFilter,
       version: Option[Long] = None): (Long, Int, Int, Int) = {
+    val (covered, boundary, total) = classifyByRange(spark, dir, filter, version)
+    val metaCount = covered.map(e => e.rows - e.stats(filter.colName).nulls).sum
+    val scanned =
+      if (boundary.isEmpty) 0L
+      else boundaryFrame(spark, dir, boundary, filter).count()
+    (metaCount + scanned, covered.size, boundary.size, total)
+  }
+
+  /** SUM(col) under the same inclusive range predicate, metadata-
+    * accelerated the same way: a range-COVERED file contributes its
+    * per-file stored sum (exactly the sum of its non-null values —
+    * which containment proves are exactly the matches), only BOUNDARY
+    * files scan. Per-file sums are recorded for INTEGRAL stat columns
+    * only (exact in any order as BigDecimal; a distributed double sum
+    * is order-dependent, so fractional columns never record one) — a
+    * covered file without a stored sum falls back to the boundary
+    * scan, keeping the answer exact, never approximate. Returns
+    * (sum, coveredFromMetadata, scannedFiles, totalFiles). */
+  def sumWhere(
+      spark: SparkSession, dir: String, filter: StatFilter,
+      version: Option[Long] = None): (java.math.BigDecimal, Int, Int, Int) = {
+    val (covered, boundary0, total) = classifyByRange(spark, dir, filter, version)
+    val (summed, unsummed) =
+      covered.partition(_.stats(filter.colName).sum != null)
+    val boundary = boundary0 ++ unsummed
+    val metaSum = summed.foldLeft(java.math.BigDecimal.ZERO)((acc, e) =>
+      acc.add(e.stats(filter.colName).sum.asInstanceOf[java.math.BigDecimal]))
+    val scanned =
+      if (boundary.isEmpty) java.math.BigDecimal.ZERO
+      else {
+        val v = boundaryFrame(spark, dir, boundary, filter)
+          .agg(sum(col(filter.colName).cast(DecimalType(38, 0)))).head().get(0)
+        if (v == null) java.math.BigDecimal.ZERO
+        else v.asInstanceOf[java.math.BigDecimal].setScale(0)
+      }
+    (metaSum.add(scanned), summed.size, boundary.size, total)
+  }
+
+  /** Range classification shared by the metadata-accelerated
+    * aggregates: (fully-covered entries, boundary entries, total).
+    * Files the range provably excludes appear in neither list. */
+  private def classifyByRange(
+      spark: SparkSession, dir: String, filter: StatFilter,
+      version: Option[Long]): (Seq[Entry], Seq[Entry], Int) = {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"snapshot table $dir has no committed version")
     val m = readManifest(spark, dir, version.getOrElse(vs.last))
     val lo = filter.lower.map(toStatVal)
     val hi = filter.upper.map(toStatVal)
-    sealed trait Cls; object Covered extends Cls
-    object Excluded extends Cls; object Boundary extends Cls
-    def classify(e: Entry): Cls = e.stats.get(filter.colName) match {
-      case Some(st) if e.rows >= 0L && st.nulls >= 0L =>
-        val overlaps =
-          lo.forall(l => cmpStat(st.max, l).forall(_ >= 0)) &&
-            hi.forall(h => cmpStat(st.min, h).forall(_ <= 0))
-        val contained =
-          lo.forall(l => cmpStat(st.min, l).forall(_ >= 0)) &&
-            hi.forall(h => cmpStat(st.max, h).forall(_ <= 0)) &&
-          lo.forall(l => cmpStat(st.min, l).isDefined) &&
-          hi.forall(h => cmpStat(st.max, h).isDefined)
-        if (!overlaps &&
-          lo.forall(l => cmpStat(st.max, l).isDefined) &&
-          hi.forall(h => cmpStat(st.min, h).isDefined)) Excluded
-        else if (contained) Covered
-        else Boundary
-      case _ => Boundary
-    }
-    val classed = m.entries.map(e => e -> classify(e))
-    val metaCount = classed.collect {
-      case (e, Covered) => e.rows - e.stats(filter.colName).nulls
-    }.sum
-    val boundary = classed.collect { case (e, Boundary) => e }
-    val scanned =
-      if (boundary.isEmpty) 0L
-      else {
-        val df = spark.read.option("mergeSchema", "true")
-          .parquet(boundary.map(e => s"$dir/${e.path}"): _*)
-        val c = col(filter.colName)
-        val preds = lo.map(v => c >= lit(statLit(v))).toSeq ++
-          hi.map(v => c <= lit(statLit(v)))
-        preds.reduceOption(_ && _).map(df.filter).getOrElse(df).count()
+    var covered = Vector.empty[Entry]
+    var boundary = Vector.empty[Entry]
+    m.entries.foreach { e =>
+      e.stats.get(filter.colName) match {
+        case Some(st) if e.rows >= 0L && st.nulls >= 0L =>
+          val overlaps =
+            lo.forall(l => cmpStat(st.max, l).forall(_ >= 0)) &&
+              hi.forall(h => cmpStat(st.min, h).forall(_ <= 0))
+          val contained =
+            lo.forall(l => cmpStat(st.min, l).exists(_ >= 0)) &&
+              hi.forall(h => cmpStat(st.max, h).exists(_ <= 0))
+          val provablyOut = !overlaps &&
+            lo.forall(l => cmpStat(st.max, l).isDefined) &&
+            hi.forall(h => cmpStat(st.min, h).isDefined)
+          if (contained) covered :+= e
+          else if (!provablyOut) boundary :+= e
+        case _ => boundary :+= e
       }
-    (metaCount + scanned,
-      classed.count(_._2 == Covered), boundary.size, m.entries.size)
+    }
+    (covered, boundary, m.entries.size)
+  }
+
+  private def boundaryFrame(
+      spark: SparkSession, dir: String, boundary: Seq[Entry],
+      filter: StatFilter): DataFrame = {
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(boundary.map(e => s"$dir/${e.path}"): _*)
+    val c = col(filter.colName)
+    val preds = filter.lower.map(toStatVal).map(v => c >= lit(statLit(v))).toSeq ++
+      filter.upper.map(toStatVal).map(v => c <= lit(statLit(v)))
+    preds.reduceOption(_ && _).map(df.filter).getOrElse(df)
   }
 
   /** A stored stat value as a literal-friendly external value. */
@@ -911,9 +954,15 @@ object SnapshotTable {
     }
     // fail loudly on a bad bloom type BEFORE any aggregate runs
     bloomPresent.foreach(c => bloomKeyHash(col(c), fields(c), c))
+    def integral(c: String): Boolean = fields(c) match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType => true
+      case _ => false
+    }
     val aggs = present.flatMap(c =>
       Seq(min(statExpr(c)).as(s"__min_$c"), max(statExpr(c)).as(s"__max_$c"),
-        count(col(c)).as(s"__nn_$c"))) :+
+        count(col(c)).as(s"__nn_$c")) ++
+        (if (integral(c))
+          Seq(sum(col(c).cast(DecimalType(38, 0))).as(s"__sum_$c")) else Nil)) :+
       count(lit(1)).as("__cnt")
     val rows = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect()
@@ -923,7 +972,11 @@ object SnapshotTable {
         val stats = present.flatMap { c =>
           (Option(r.getAs[Any](s"__min_$c")), Option(r.getAs[Any](s"__max_$c"))) match {
             case (Some(mn), Some(mx)) => Some(c -> FileStat(toStatVal(mn), toStatVal(mx),
-              r.getAs[Long]("__cnt") - r.getAs[Long](s"__nn_$c")))
+              r.getAs[Long]("__cnt") - r.getAs[Long](s"__nn_$c"),
+              if (integral(c))
+                Option(r.getAs[java.math.BigDecimal](s"__sum_$c"))
+                  .map(_.setScale(0)).orNull
+              else null))
             case _ => None // all-null column in this file: no stat, pruner keeps it
           }
         }.toMap

@@ -825,6 +825,35 @@ class SnapshotTableSpec extends SparkSpec {
     assert(n3 == 100L && s3 == 0)
   }
 
+  test("sumWhere: covered files sum from stored metadata; fractional columns fall back") {
+    val dir = freshDir()
+    for (i <- 0 until 3) {
+      val rows = (i * 10L until i * 10L + 10L).map(v => (v, v * 0.5))
+      SnapshotTable.commitAppend(rows.toDF("k", "x").coalesce(1), dir,
+        statsCols = Seq("k", "x"))
+    }
+    // [10,19] aligns with file 1 exactly; corrupt it — its sum must
+    // come from the manifest, never a scan
+    val f1 = SnapshotTable.files(spark, dir, 3L)(1)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, f1), "gone".getBytes)
+    val (sm, covered, scanned, _) = SnapshotTable.sumWhere(
+      spark, dir, SnapshotTable.StatFilter("k",
+        lower = Some(10L), upper = Some(19L)))
+    assert(sm.longValueExact == (10L until 20L).sum && covered == 1 && scanned == 0)
+    // a partially-covering range scans only the boundary file
+    val (sm2, c2, s2, _) = SnapshotTable.sumWhere(
+      spark, dir, SnapshotTable.StatFilter("k",
+        lower = Some(10L), upper = Some(25L)))
+    assert(sm2.longValueExact == (10L until 26L).sum && c2 == 1 && s2 == 1)
+    // fractional columns record NO per-file sum (a distributed double
+    // sum is order-dependent) — covered files fall back to the scan,
+    // exactness preserved; the corrupt file makes the fallback LOUD
+    intercept[Throwable] {
+      SnapshotTable.sumWhere(spark, dir, SnapshotTable.StatFilter("x",
+        lower = Some(5.0), upper = Some(9.5)))._1
+    }
+  }
+
   test("readWhere prunes IS NULL through the recorded null counts") {
     val dir = freshDir()
     // only file 1 holds null keys; files 0 and 2 record nulls == 0
