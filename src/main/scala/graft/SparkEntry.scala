@@ -194,6 +194,50 @@ object SparkEntry {
       out
     })
 
+  /** snapshot_delete_mor / snapshot_mor_fold's table, once per sf
+    * dir: the events slice HASH-clustered on event_id (every file
+    * spans the whole id domain, so a COW delete of scattered keys
+    * would rewrite the entire table — the layout merge-on-read
+    * deletes exist for). v1 = append; v2/v3 = two MoR deletes (%7 and
+    * %11 ids) that touch ZERO data files; v4 = applyDeletes, folding
+    * both in and restoring the metadata fast paths. */
+  private val snapMorMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def snapMorTable(s: SparkSession, dir: String): String =
+    snapMorMemo.computeIfAbsent(dir, _ => {
+      import graft.sources.SnapshotTable
+      val out = s"${tempDir("graft_snap_mor")}/events_tbl"
+      val ev = Tables.events(s, dir).select("event_id", "event_type")
+      SnapshotTable.commitAppend(ev.repartition(8, col("event_id")),
+        out, statsCols = Seq("event_id"), bloomCols = Seq("event_id"))
+      val v2 = SnapshotTable.commitDeleteMoR(
+        ev.filter(col("event_id") % 7 === 0).select("event_id"),
+        out, Seq("event_id"))
+      val v3 = SnapshotTable.commitDeleteMoR(
+        ev.filter(col("event_id") % 11 === 0).select("event_id"),
+        out, Seq("event_id"))
+      require(v2 == 2L && v3 == 3L, "the two MoR deletes must land as v2, v3")
+      val v4 = SnapshotTable.applyDeletes(s, out)
+      require(v4 == 4L, "applyDeletes must land as version 4")
+      out
+    })
+
+  /** snapshot_group_count's table, once per sf dir: the events slice
+    * range-clustered on event_type with event_type stats — the
+    * layout that makes most files single-group, so GROUP BY answers
+    * mostly from the manifest. */
+  private val snapGroupMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def snapGroupTable(s: SparkSession, dir: String): String =
+    snapGroupMemo.computeIfAbsent(dir, _ => {
+      val out = s"${tempDir("graft_snap_group")}/events_tbl"
+      graft.sources.SnapshotTable.commitAppend(
+        Tables.events(s, dir).select("event_id", "event_type")
+          .repartitionByRange(4, col("event_type")),
+        out, statsCols = Seq("event_type"))
+      out
+    })
+
   /** snapshot_join_ivm's two versioned tables, once per sf dir:
     * customers (minus the [400,500) key band) and orders (minus the
     * %5==0 order ids) as v1, the held-out slices appended as v2 —
@@ -2304,6 +2348,61 @@ object SparkEntry {
       val tbl = snapMergeTable(s, dir)
       graft.sources.SnapshotTable.read(s, tbl)
         .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
+    // GROUP BY answered (mostly) from the MANIFEST: on the
+    // range-clustered layout every single-group file contributes
+    // rows−nulls to its group with zero data I/O, only group-boundary
+    // files scan — the countRowsWhere covered/boundary discipline,
+    // grouped. In-row: most files must answer from metadata, and the
+    // oracle recomputes the counts blind to the acceleration.
+    "snapshot_group_count" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val tbl = snapGroupTable(s, dir)
+      val (out, metaFiles, scannedFiles, total) =
+        SnapshotTable.groupCounts(s, tbl, "event_type")
+      require(metaFiles > 0 && metaFiles + scannedFiles == total,
+        s"expected metadata-answered files, got meta=$metaFiles scan=$scannedFiles of $total")
+      require(scannedFiles < total,
+        "the grouped count must not scan every file on a clustered layout")
+      out.orderBy("event_type")
+    }),
+    // Merge-on-read DELETE: the two delete commits (v2, v3) touched
+    // ZERO data files — on this hash-clustered layout a COW delete
+    // would have rewritten all of them — and the v3 read is the
+    // LOGICAL rows: the raw scan with both pending equality-delete
+    // key files anti-joined out at read time. The oracle replays the
+    // same logical content from the base rows.
+    "snapshot_delete_mor" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val tbl = snapMorTable(s, dir)
+      val v1Files = SnapshotTable.files(s, tbl, 1L)
+      require(SnapshotTable.files(s, tbl, 2L) == v1Files &&
+        SnapshotTable.files(s, tbl, 3L) == v1Files,
+        "MoR deletes must touch zero data files")
+      val pending = SnapshotTable.pendingDeletes(s, tbl, Some(3L))
+      require(pending.map(_._2) == Seq(2L, 3L) &&
+        pending.forall(_._1 == Seq("event_id")),
+        s"v3 must carry both pending deletes, got $pending")
+      SnapshotTable.read(s, tbl, Some(3L))
+        .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
+    // The fold half of the MoR lifecycle: applyDeletes (v4) rewrote
+    // the doomed rows out file-granularly, cleared the delete list,
+    // and restored the metadata fast paths — in-row, countRows (a
+    // manifest-only read, which REFUSES while deletes are pending)
+    // must equal the data count it accelerates. Same oracle content
+    // as the pending-delete read: folding is answer-preserving.
+    "snapshot_mor_fold" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val tbl = snapMorTable(s, dir)
+      require(SnapshotTable.pendingDeletes(s, tbl).isEmpty,
+        "v4 must have folded every pending delete")
+      val head = SnapshotTable.read(s, tbl)
+      require(SnapshotTable.countRows(s, tbl) == head.count(),
+        "the restored metadata count must equal the data count")
+      head.groupBy("event_type").agg(count(lit(1)).as("n_events"))
         .orderBy("event_type")
     }),
     // Planning-time FILE pruning from manifest stats (the
@@ -5363,6 +5462,24 @@ object SparkEntry {
         |  FROM events WHERE event_id % 10 = 0)
         |SELECT event_id, event_type, _change FROM ch
         |ORDER BY _change, event_id, event_type""".stripMargin,
+    // grouped counts are layout-invariant: the metadata-accelerated
+    // answer must equal the plain GROUP BY over the base rows
+    "snapshot_group_count" ->
+      """SELECT event_type, count(*) AS n_rows
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the merge-on-read logical contents: base rows minus both
+    // pending equality-delete key sets — v3 answers this with the
+    // read-time anti joins, v4 (the fold) with a plain scan
+    "snapshot_delete_mor" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM events
+        |WHERE event_id % 7 <> 0 AND event_id % 11 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "snapshot_mor_fold" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM events
+        |WHERE event_id % 7 <> 0 AND event_id % 11 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // post-delete head: the restatements remain, the synthetic
     // inserts are gone
     "snapshot_delete" ->

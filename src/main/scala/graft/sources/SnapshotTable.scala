@@ -92,7 +92,20 @@ object SnapshotTable {
       stats: Map[String, FileStat],
       blooms: Map[String, Array[Byte]] = Map.empty,
       sidecarBloomCols: Set[String] = Set.empty,
-      rows: Long = -1L)
+      rows: Long = -1L,
+      seq: Long = 0L)
+
+  /** One merge-on-read EQUALITY DELETE: `paths` name delta-sized
+    * parquet files holding the doomed key tuples (columns =
+    * `keyCols`), `seq` is the version that committed it. A delete
+    * applies to data entries with `entry.seq < seq` ONLY — a row
+    * re-inserted AFTER the delete (a later merge/append, whose entry
+    * carries a higher seq) is never retro-deleted, the real formats'
+    * sequence-number scoping. Rows are materialized out at read time
+    * by an anti join; `applyDeletes` folds them into the data
+    * file-granularly and clears the list. */
+  private[graft] final case class DeleteFile(
+      paths: Seq[String], keyCols: Seq[String], seq: Long, rows: Long = -1L)
 
   private[graft] final case class Manifest(
       version: Long,
@@ -102,7 +115,8 @@ object SnapshotTable {
       committedAtMs: Long = 0L,
       bloomCols: Seq[String] = Nil,
       bloomFpp: Double = 0.01,
-      streamKeys: Set[String] = Set.empty)
+      streamKeys: Set[String] = Set.empty,
+      deletes: Seq[DeleteFile] = Nil)
 
   /** An inclusive-bounds range predicate over one stat column, used
     * for planning-time file pruning. `lower`/`upper` accept any
@@ -160,11 +174,24 @@ object SnapshotTable {
       m.bloomCols.foreach(bcols.add)
       root.put("bloomFpp", m.bloomFpp): Unit
     }
+    if (m.deletes.nonEmpty) {
+      val ds = root.putArray("deletes")
+      m.deletes.foreach { d =>
+        val dn = ds.addObject()
+        val ps = dn.putArray("paths")
+        d.paths.foreach(ps.add)
+        val ks = dn.putArray("keyCols")
+        d.keyCols.foreach(ks.add)
+        dn.put("seq", d.seq)
+        if (d.rows >= 0L) dn.put("rows", d.rows): Unit
+      }
+    }
     val es = root.putArray("entries")
     m.entries.foreach { e =>
       val en = es.addObject()
       en.put("path", e.path)
       if (e.rows >= 0L) en.put("rows", e.rows): Unit
+      if (e.seq > 0L) en.put("seq", e.seq): Unit
       if (e.stats.nonEmpty) {
         val st = en.putObject("stats")
         e.stats.toSeq.sortBy(_._1).foreach { case (c, fsr) =>
@@ -239,7 +266,17 @@ object SnapshotTable {
           b.result()
         }.getOrElse(Map.empty[String, Array[Byte]])
         Entry(en.get("path").asText, stats, blooms, sidecars,
-          Option(en.get("rows")).map(_.asLong).getOrElse(-1L))
+          Option(en.get("rows")).map(_.asLong).getOrElse(-1L),
+          Option(en.get("seq")).map(_.asLong).getOrElse(0L))
+      }
+    }.getOrElse(Seq.empty)
+    val deletes = Option(root.get("deletes")).map { a =>
+      (0 until a.size).map { i =>
+        val dn = a.get(i)
+        val paths = (0 until dn.get("paths").size).map(dn.get("paths").get(_).asText)
+        val keyCols = (0 until dn.get("keyCols").size).map(dn.get("keyCols").get(_).asText)
+        DeleteFile(paths, keyCols, dn.get("seq").asLong,
+          Option(dn.get("rows")).map(_.asLong).getOrElse(-1L))
       }
     }.getOrElse(Seq.empty)
     // the slot NAME is authoritative for the version — a manifest can
@@ -248,7 +285,7 @@ object SnapshotTable {
     // ledger must follow the slot, not the stale body field
     Manifest(v, batchIds, statsCols, entries,
       Option(root.get("committedAtMs")).map(_.asLong).getOrElse(0L),
-      bloomCols, bloomFpp, streamKeys)
+      bloomCols, bloomFpp, streamKeys, deletes)
   }
 
   /** The file list version `v` names (paths relative to `dir`) — the
@@ -295,14 +332,54 @@ object SnapshotTable {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"snapshot table $dir has no committed version")
     val v = version.getOrElse(vs.last)
-    val fls = files(spark, dir, v)
-    require(fls.nonEmpty, s"version $v of $dir is empty")
-    // mergeSchema: additive evolution for free — a version whose
-    // batches carry different (compatible) schemas reads as their
-    // union, old rows null in the new columns. The footer pass is
-    // per-manifest-file, bounded by the version's file list.
+    val m = readManifest(spark, dir, v)
+    require(m.entries.nonEmpty, s"version $v of $dir is empty")
+    entriesFrame(spark, dir, m, m.entries)
+  }
+
+  /** A plain multi-file parquet scan over `entries` — mergeSchema
+    * gives additive evolution for free (a version whose batches carry
+    * different compatible schemas reads as their union, old rows null
+    * in the new columns; the footer pass is bounded by the file
+    * list). No delete application — the PHYSICAL rows. */
+  private def rawRead(spark: SparkSession, dir: String, entries: Seq[Entry]): DataFrame =
     spark.read.option("mergeSchema", "true")
-      .parquet(fls.map(f => s"$dir/$f"): _*)
+      .parquet(entries.map(e => s"$dir/${e.path}"): _*)
+
+  /** The LOGICAL rows of `entries` under `m`: the physical scan with
+    * every applicable merge-on-read delete anti-joined out. A delete
+    * of seq d applies only to entries with seq < d (rows re-inserted
+    * after the delete survive), so entries are grouped by their first
+    * applicable delete in the seq-ascending list — the applicable set
+    * is always a suffix, giving ≤ |deletes|+1 groups, each one scan +
+    * a chain of delta-sized anti joins (AQE broadcasts the key
+    * frames). The common no-pending-deletes case is exactly the old
+    * single scan. */
+  private[graft] def entriesFrame(
+      spark: SparkSession, dir: String, m: Manifest, entries: Seq[Entry]): DataFrame = {
+    require(entries.nonEmpty, "entriesFrame needs at least one entry")
+    val dels = m.deletes.sortBy(_.seq)
+    if (dels.isEmpty) rawRead(spark, dir, entries)
+    else {
+      val groups = entries.groupBy { e =>
+        val i = dels.indexWhere(_.seq > e.seq)
+        if (i < 0) dels.length else i
+      }
+      groups.toSeq.sortBy(_._1).map { case (i, es) =>
+        dels.drop(i).foldLeft(rawRead(spark, dir, es)) { (df, d) =>
+          // a group whose files all predate a delete's key column
+          // reads null there under the merged schema — null never
+          // equals a key, every row survives; skip the join
+          if (!d.keyCols.forall(df.columns.contains)) df
+          else {
+            val keyFrame = spark.read
+              .parquet(d.paths.map(p => s"$dir/$p"): _*)
+              .select(d.keyCols.map(col): _*).distinct()
+            df.join(keyFrame, d.keyCols, "left_anti")
+          }
+        }
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
   }
 
   /** The latest version committed at or before `tsMs` — timestamp
@@ -351,6 +428,13 @@ object SnapshotTable {
   def pruneFiles(
       spark: SparkSession, dir: String,
       filters: Seq[StatFilter], version: Option[Long] = None): (Seq[String], Int) = {
+    val (m, kept) = pruneEntries(spark, dir, filters, version)
+    (kept.map(_.path), m.entries.size)
+  }
+
+  private def pruneEntries(
+      spark: SparkSession, dir: String,
+      filters: Seq[StatFilter], version: Option[Long]): (Manifest, Seq[Entry]) = {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"snapshot table $dir has no committed version")
     val m = readManifest(spark, dir, version.getOrElse(vs.last))
@@ -367,7 +451,7 @@ object SnapshotTable {
         }
       }
     }
-    (kept.map(_.path), m.entries.size)
+    (m, kept)
   }
 
   /** Read only the files whose manifest stats admit `filters` — the
@@ -380,10 +464,9 @@ object SnapshotTable {
   def readFiltered(
       spark: SparkSession, dir: String,
       filters: Seq[StatFilter], version: Option[Long] = None): DataFrame = {
-    val (kept, _) = pruneFiles(spark, dir, filters, version)
+    val (m, kept) = pruneEntries(spark, dir, filters, version)
     if (kept.isEmpty) read(spark, dir, version).limit(0)
-    else spark.read.option("mergeSchema", "true")
-      .parquet(kept.map(f => s"$dir/$f"): _*)
+    else entriesFrame(spark, dir, m, kept)
   }
 
   /** The subset of version `v`'s files that MAY contain any of
@@ -402,6 +485,13 @@ object SnapshotTable {
   def pruneFilesByKeys(
       spark: SparkSession, dir: String, colName: String, values: Seq[Any],
       version: Option[Long] = None): (Seq[String], Int) = {
+    val (m, kept) = pruneEntriesByKeys(spark, dir, colName, values, version)
+    (kept.map(_.path), m.entries.size)
+  }
+
+  private def pruneEntriesByKeys(
+      spark: SparkSession, dir: String, colName: String, values: Seq[Any],
+      version: Option[Long]): (Manifest, Seq[Entry]) = {
     require(values.nonEmpty, "pruneFilesByKeys needs at least one key value")
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"snapshot table $dir has no committed version")
@@ -423,7 +513,7 @@ object SnapshotTable {
         bloomOk && statOk
       }
     }
-    (kept.map(_.path), m.entries.size)
+    (m, kept)
   }
 
   /** Read only the files whose manifest blooms/stats admit any of
@@ -435,10 +525,9 @@ object SnapshotTable {
   def readKeysFiltered(
       spark: SparkSession, dir: String, colName: String, values: Seq[Any],
       version: Option[Long] = None): DataFrame = {
-    val (kept, _) = pruneFilesByKeys(spark, dir, colName, values, version)
+    val (m, kept) = pruneEntriesByKeys(spark, dir, colName, values, version)
     if (kept.isEmpty) read(spark, dir, version).limit(0)
-    else spark.read.option("mergeSchema", "true")
-      .parquet(kept.map(f => s"$dir/$f"): _*)
+    else entriesFrame(spark, dir, m, kept)
   }
 
   /** Read with Catalyst-predicate-driven pruning: the caller hands ONE
@@ -481,7 +570,8 @@ object SnapshotTable {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"snapshot table $dir has no committed version")
     val v = version.getOrElse(vs.last)
-    val allEntries = readManifest(spark, dir, v).entries
+    val mf = readManifest(spark, dir, v)
+    val allEntries = mf.entries
     val all = allEntries.map(_.path)
     var kept: Set[String] = all.toSet
     // resolve the predicate against the table schema (one footer read
@@ -526,10 +616,9 @@ object SnapshotTable {
         }
       case _ => () // not decomposable: prunes nothing, row filter handles it
     }
-    val ordered = all.filter(kept)
+    val ordered = allEntries.filter(e => kept.contains(e.path))
     (if (ordered.isEmpty) read(spark, dir, Some(v)).limit(0)
-     else spark.read.option("mergeSchema", "true")
-       .parquet(ordered.map(f => s"$dir/$f"): _*))
+     else entriesFrame(spark, dir, mf, ordered))
       .filter(predicate)
   }
 
@@ -563,10 +652,20 @@ object SnapshotTable {
     * row-count recording (an unknown file could hide any number of
     * rows — guessing would be a silent wrong answer; OPTIMIZE or a
     * rewriting commit refreshes its entries). */
+  /** The metadata fast paths answer from per-file stats, which are
+    * PHYSICAL — a pending merge-on-read delete makes them overcount
+    * (the deleted rows still sit in the files). Refuse loudly rather
+    * than answer wrong; `applyDeletes` restores the fast path. */
+  private def requireNoPendingDeletes(m: Manifest, dir: String, what: String): Unit =
+    require(m.deletes.isEmpty,
+      s"$what on $dir cannot answer from metadata while ${m.deletes.size} " +
+        "merge-on-read delete(s) are pending — run applyDeletes (or read the data)")
+
   def countRows(spark: SparkSession, dir: String, version: Option[Long] = None): Long = {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"snapshot table $dir has no committed version")
     val m = readManifest(spark, dir, version.getOrElse(vs.last))
+    requireNoPendingDeletes(m, dir, "countRows")
     val unknown = m.entries.filter(_.rows < 0L)
     require(unknown.isEmpty,
       s"countRows needs per-file row counts on every entry; missing on " +
@@ -629,6 +728,58 @@ object SnapshotTable {
     (metaSum.add(scanned), summed.size, boundary.size, total)
   }
 
+  /** GROUP BY `groupCol` COUNT(*) with METADATA acceleration — the
+    * grouped companion of `countRows`: a file whose recorded min and
+    * max for the column are EQUAL provably holds one group, so it
+    * contributes `rows − nulls` to that group and `nulls` to the NULL
+    * group straight from the manifest; only MIXED files (min < max,
+    * or missing stats/rows/null counts) are scanned and grouped.
+    * Exact always; zero data I/O when the layout clusters by the
+    * group column (partitioned/range-clustered tables make that the
+    * common case — the same discipline `countRowsWhere` applies to
+    * ranges). Returns (grouped frame with columns (`groupCol`,
+    * `n_rows`), metadataFiles, scannedFiles, totalFiles). Stat values
+    * come back in the stored canonical forms (BigDecimal / String),
+    * cast to the column's actual type through the scan schema. */
+  def groupCounts(
+      spark: SparkSession, dir: String, groupCol: String,
+      version: Option[Long] = None): (DataFrame, Int, Int, Int) = {
+    import spark.implicits._
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"snapshot table $dir has no committed version")
+    val m = readManifest(spark, dir, version.getOrElse(vs.last))
+    requireNoPendingDeletes(m, dir, s"groupCounts($groupCol)")
+    require(m.entries.nonEmpty, s"version of $dir has no files — nothing to group")
+    val (covered, mixed) = m.entries.partition { e =>
+      e.rows >= 0L && e.stats.get(groupCol).exists(st =>
+        st.nulls >= 0L && cmpStat(st.min, st.max).contains(0))
+    }
+    // metadata side: one tiny local frame of (canonical group string
+    // or null, count) — group values ride as strings and are cast to
+    // the column's type below, the stored canonical forms' contract
+    val metaRows: Seq[(Option[String], Long)] = covered.flatMap { e =>
+      val st = e.stats(groupCol)
+      val g = st.min match {
+        case d: java.math.BigDecimal => d.toPlainString
+        case s: String => s
+        case other => throw new IllegalStateException(s"unexpected stat $other")
+      }
+      Seq(Some(g) -> (e.rows - st.nulls)) ++
+        (if (st.nulls > 0L) Seq(Option.empty[String] -> st.nulls) else Nil)
+    }
+    val head = rawRead(spark, dir, m.entries)
+    val dt = head.schema(groupCol).dataType
+    val meta = metaRows.toDF("__g", "__n")
+      .select(col("__g").cast(StringType).cast(dt).as(groupCol), col("__n"))
+    val scanned =
+      if (mixed.isEmpty) meta.limit(0)
+      else rawRead(spark, dir, mixed)
+        .groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val out = meta.unionByName(scanned)
+      .groupBy(col(groupCol)).agg(sum("__n").as("n_rows"))
+    (out, covered.size, mixed.size, m.entries.size)
+  }
+
   /** Range classification shared by the metadata-accelerated
     * aggregates: (fully-covered entries, boundary entries, total).
     * Files the range provably excludes appear in neither list. */
@@ -638,6 +789,7 @@ object SnapshotTable {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"snapshot table $dir has no committed version")
     val m = readManifest(spark, dir, version.getOrElse(vs.last))
+    requireNoPendingDeletes(m, dir, "countRowsWhere/sumWhere")
     val lo = filter.lower.map(toStatVal)
     val hi = filter.upper.map(toStatVal)
     var covered = Vector.empty[Entry]
@@ -692,6 +844,7 @@ object SnapshotTable {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"snapshot table $dir has no committed version")
     val m = readManifest(spark, dir, version.getOrElse(vs.last))
+    requireNoPendingDeletes(m, dir, s"statExtremes($colName)")
     require(m.entries.nonEmpty, s"version has no files — no extremes to report")
     val missing = m.entries.filterNot(_.stats.contains(colName))
     require(missing.isEmpty,
@@ -1040,11 +1193,17 @@ object SnapshotTable {
         entriesFor = (tableStats, tableBlooms)
       }
       val carried = if (append) head.map(_.entries).getOrElse(Nil) else Nil
+      // an overwrite replaces the logical contents, so pending
+      // merge-on-read deletes die with the old entries; an append
+      // carries them (they still apply to the carried files)
+      val dels = if (append) head.map(_.deletes).getOrElse(Nil) else Nil
       val next = head.map(_.version).getOrElse(0L) + 1
       val ids = head.map(_.batchIds).getOrElse(Set.empty) ++ batchId
       val keys = head.map(_.streamKeys).getOrElse(Set.empty) ++ streamKey
-      if (tryPublish(spark, dir, Manifest(next, ids, tableStats, carried ++ newEntries,
-        bloomCols = tableBlooms, bloomFpp = fpp, streamKeys = keys)))
+      if (tryPublish(spark, dir, Manifest(next, ids, tableStats,
+        carried ++ newEntries.map(_.copy(seq = next)),
+        bloomCols = tableBlooms, bloomFpp = fpp, streamKeys = keys,
+        deletes = dels)))
         return next
     }
     -1L // unreachable
@@ -1090,7 +1249,7 @@ object SnapshotTable {
       if (tryPublish(spark, dir,
         Manifest(headV + 1, head.batchIds, head.statsCols, target.entries,
           bloomCols = head.bloomCols, bloomFpp = head.bloomFpp,
-          streamKeys = head.streamKeys)))
+          streamKeys = head.streamKeys, deletes = target.deletes)))
         return headV + 1
     }
     -1L // unreachable
@@ -1127,15 +1286,19 @@ object SnapshotTable {
       if (small.size <= 1) return headV
       val bytes = small.map(_._2).sum
       val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-      val compacted = spark.read.option("mergeSchema", "true")
-        .parquet(small.map(s => s"$dir/${s._1.path}"): _*).coalesce(n)
+      // the compacted output is the small files' LOGICAL rows: pending
+      // merge-on-read deletes are folded in here (the rewrite carries
+      // a fresh seq, past which they no longer apply), while the
+      // manifest keeps the delete list for the carried large files
+      val compacted = entriesFrame(spark, dir, m, small.map(_._1)).coalesce(n)
       val batchFiles = writeBatch(compacted, dir)
       val newEntries = batchEntries(spark, dir, batchFiles, m.statsCols,
         m.bloomCols, m.bloomFpp)
       if (tryPublish(spark, dir,
-        Manifest(headV + 1, m.batchIds, m.statsCols, large.map(_._1) ++ newEntries,
+        Manifest(headV + 1, m.batchIds, m.statsCols,
+          large.map(_._1) ++ newEntries.map(_.copy(seq = headV + 1)),
           bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
-          streamKeys = m.streamKeys)))
+          streamKeys = m.streamKeys, deletes = m.deletes)))
         return headV + 1
       dropOrphanBatch(spark, dir, batchFiles)
     }
@@ -1236,10 +1399,12 @@ object SnapshotTable {
     * join. */
   private def prunedCandidates(
       spark: SparkSession, dir: String, m: Manifest,
-      keyed: DataFrame, keys: Seq[String]): Seq[Entry] = {
+      keyed: DataFrame, keys: Seq[String],
+      among: Seq[Entry] = null): Seq[Entry] = {
+    val pool = if (among == null) m.entries else among
     val statKeys = keys.filter(m.statsCols.contains)
     val ranged =
-      if (statKeys.isEmpty) m.entries
+      if (statKeys.isEmpty) pool
       else {
         // the delta's key ranges are small to compute (ONE delta-sized
         // agg) and discard every head file whose stats lie outside ANY
@@ -1253,7 +1418,7 @@ object SnapshotTable {
             case _ => None
           }
         }
-        m.entries.filter { e =>
+        pool.filter { e =>
           ranges.forall { case (k, (lo, hi)) =>
             e.stats.get(k) match {
               case None => true
@@ -1286,14 +1451,14 @@ object SnapshotTable {
     val m = readManifest(spark, dir, v)
     val kept = prunedCandidates(spark, dir, m, keyed, keys)
     if (kept.isEmpty) read(spark, dir, Some(v)).limit(0)
-    else spark.read.option("mergeSchema", "true")
-      .parquet(kept.map(e => s"$dir/${e.path}"): _*)
+    else entriesFrame(spark, dir, m, kept)
   }
 
   private def touchedFiles(
       spark: SparkSession, dir: String, m: Manifest,
-      keyed: DataFrame, keys: Seq[String]): Seq[Entry] = {
-    val candidates = prunedCandidates(spark, dir, m, keyed, keys)
+      keyed: DataFrame, keys: Seq[String],
+      among: Seq[Entry] = null): Seq[Entry] = {
+    val candidates = prunedCandidates(spark, dir, m, keyed, keys, among)
     if (candidates.isEmpty) return Seq.empty
     val cand = spark.read.option("mergeSchema", "true")
       .parquet(candidates.map(e => s"$dir/${e.path}"): _*)
@@ -1343,9 +1508,10 @@ object SnapshotTable {
           // per-version mergeSchema union); table columns the delta
           // does NOT mention are RETAINED on matched rows (keepCols),
           // never nulled — a partial-column upsert is an update, not
-          // an erasure
-          val target = spark.read.option("mergeSchema", "true")
-            .parquet(touched.map(e => s"$dir/${e.path}"): _*)
+          // an erasure. The target is the LOGICAL rows (pending
+          // merge-on-read deletes anti-joined out) — upserting against
+          // the physical rows would resurrect deleted keys
+          val target = entriesFrame(spark, dir, m, touched)
           val union = target.columns ++
             delta.columns.filterNot(target.columns.contains)
           def fill(df: DataFrame, other: DataFrame) = df.select(union.map(c =>
@@ -1359,9 +1525,10 @@ object SnapshotTable {
       val newEntries = batchEntries(spark, dir, batchFiles, m.statsCols,
         m.bloomCols, m.bloomFpp)
       if (tryPublish(spark, dir,
-        Manifest(headV + 1, m.batchIds, m.statsCols, untouched ++ newEntries,
+        Manifest(headV + 1, m.batchIds, m.statsCols,
+          untouched ++ newEntries.map(_.copy(seq = headV + 1)),
           bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
-          streamKeys = m.streamKeys)))
+          streamKeys = m.streamKeys, deletes = m.deletes)))
         return headV + 1
       // lost the race: our batch is orphaned (no manifest names it);
       // drop it and recompute against the new head
@@ -1395,18 +1562,121 @@ object SnapshotTable {
         // no-op commit (every entry carried forward)
         if (tryPublish(spark, dir, Manifest(headV + 1, m.batchIds, m.statsCols, m.entries,
           bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
-          streamKeys = m.streamKeys)))
+          streamKeys = m.streamKeys, deletes = m.deletes)))
           return headV + 1
       } else {
         val untouched = m.entries.filterNot(e => touched.exists(_.path == e.path))
-        val survivors = spark.read.option("mergeSchema", "true")
-          .parquet(touched.map(e => s"$dir/${e.path}"): _*)
+        val survivors = entriesFrame(spark, dir, m, touched)
           .join(keyed, keyCols, "left_anti")
         val batchFiles = writeBatch(survivors, dir)
         val newEntries = batchEntries(spark, dir, batchFiles, m.statsCols,
           m.bloomCols, m.bloomFpp)
         if (tryPublish(spark, dir,
-          Manifest(headV + 1, m.batchIds, m.statsCols, untouched ++ newEntries,
+          Manifest(headV + 1, m.batchIds, m.statsCols,
+            untouched ++ newEntries.map(_.copy(seq = headV + 1)),
+            bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
+            streamKeys = m.streamKeys, deletes = m.deletes)))
+          return headV + 1
+        dropOrphanBatch(spark, dir, batchFiles)
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** DELETE by key, MERGE-ON-READ: commit only a delta-sized key file
+    * and a manifest naming it — ZERO data files touched, at any table
+    * size. The copy-on-write `commitDelete` costs one rewrite per
+    * touched file, which on a hash-clustered table (where a scattered
+    * key set touches every file) is the whole table; this is the real
+    * formats' other half — equality-delete files applied at read
+    * time (one delta-sized anti join per pending delete, AQE
+    * broadcasts the keys) and folded in later by `applyDeletes` on a
+    * maintenance schedule. Sequence scoping keeps later writes safe:
+    * the delete applies only to data files committed BEFORE it, so a
+    * merge that re-inserts a deleted key afterwards is never
+    * retro-deleted. Metadata fast paths (countRows/statExtremes/
+    * countRowsWhere/sumWhere) refuse loudly while deletes are pending
+    * — their per-file stats are physical. Returns the committed
+    * version.
+    */
+  def commitDeleteMoR(keys: DataFrame, dir: String, keyCols: Seq[String]): Long = {
+    val spark = keys.sparkSession
+    require(keyCols.nonEmpty, "commitDeleteMoR needs at least one key column")
+    val keyed = keys.select(keyCols.map(col): _*).distinct()
+    val f = fs(spark, dir)
+    val ddir = s"delete-${UUID.randomUUID().toString}"
+    keyed.write.parquet(s"$dir/$ddir")
+    val paths = f.listStatus(new Path(s"$dir/$ddir")).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+      .map(n => s"$ddir/$n")
+    require(paths.nonEmpty, "delete key frame wrote no files")
+    val nKeys = spark.read.parquet(paths.map(p => s"$dir/$p"): _*).count()
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 20, s"MoR delete on $dir lost 20 straight races; giving up")
+      val headV = versions(spark, dir).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"snapshot table $dir has no committed version"))
+      val m = readManifest(spark, dir, headV)
+      val next = headV + 1
+      if (tryPublish(spark, dir,
+        Manifest(next, m.batchIds, m.statsCols, m.entries,
+          bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
+          streamKeys = m.streamKeys,
+          deletes = m.deletes :+ DeleteFile(paths, keyCols, next, nKeys))))
+        return next
+    }
+    -1L // unreachable
+  }
+
+  /** Fold every pending merge-on-read delete into the data and clear
+    * the list — the maintenance half of `commitDeleteMoR`, run on the
+    * OPTIMIZE schedule. File-granular like the COW paths: for each
+    * pending delete, only the data files it APPLIES to (seq-eligible)
+    * that actually contain a doomed key (stats + blooms + one exact
+    * join) are rewritten — through `entriesFrame`, so every
+    * applicable delete folds at once; all other files carry forward
+    * by reference. After the commit the metadata fast paths answer
+    * again and reads are back to a single scan. The delete key files
+    * themselves stay on disk for time travel until vacuum. Returns
+    * the committed version (the current head when no deletes are
+    * pending). */
+  def applyDeletes(spark: SparkSession, dir: String): Long = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 20, s"applyDeletes on $dir lost 20 straight races; giving up")
+      val headV = versions(spark, dir).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"snapshot table $dir has no committed version"))
+      val m = readManifest(spark, dir, headV)
+      if (m.deletes.isEmpty) return headV
+      val touched = m.deletes.flatMap { d =>
+        val eligible = m.entries.filter(_.seq < d.seq)
+        if (eligible.isEmpty) Nil
+        else {
+          val keyFrame = spark.read
+            .parquet(d.paths.map(p => s"$dir/$p"): _*)
+            .select(d.keyCols.map(col): _*).distinct()
+          touchedFiles(spark, dir, m, keyFrame, d.keyCols, eligible)
+        }
+      }.groupBy(_.path).map(_._2.head).toSeq
+      if (touched.isEmpty) {
+        // no eligible file holds any doomed key: clearing the list is
+        // a metadata-only commit (logical contents unchanged)
+        if (tryPublish(spark, dir,
+          Manifest(headV + 1, m.batchIds, m.statsCols, m.entries,
+            bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
+            streamKeys = m.streamKeys)))
+          return headV + 1
+      } else {
+        val untouched = m.entries.filterNot(e => touched.exists(_.path == e.path))
+        val rewritten = entriesFrame(spark, dir, m, touched)
+        val batchFiles = writeBatch(rewritten, dir)
+        val newEntries = batchEntries(spark, dir, batchFiles, m.statsCols,
+          m.bloomCols, m.bloomFpp)
+        if (tryPublish(spark, dir,
+          Manifest(headV + 1, m.batchIds, m.statsCols,
+            untouched ++ newEntries.map(_.copy(seq = headV + 1)),
             bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
             streamKeys = m.streamKeys)))
           return headV + 1
@@ -1414,6 +1684,18 @@ object SnapshotTable {
       }
     }
     -1L // unreachable
+  }
+
+  /** The pending merge-on-read deletes of a version (default head):
+    * (key columns, committed seq, recorded key count) per delete —
+    * the observability hook the rows and specs assert on. */
+  def pendingDeletes(
+      spark: SparkSession, dir: String,
+      version: Option[Long] = None): Seq[(Seq[String], Long, Long)] = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"snapshot table $dir has no committed version")
+    readManifest(spark, dir, version.getOrElse(vs.last)).deletes
+      .map(d => (d.keyCols, d.seq, d.rows))
   }
 
   /** CDC between two versions: every row added or removed from
@@ -1432,9 +1714,20 @@ object SnapshotTable {
   def changesBetween(
       spark: SparkSession, dir: String, fromV: Long, toV: Long): DataFrame = {
     require(fromV < toV, s"changesBetween: need fromV < toV, got $fromV >= $toV")
-    val ff = files(spark, dir, fromV).toSet
-    val tf = files(spark, dir, toV).toSet
-    if (ff.subsetOf(tf)) {
+    val fm = readManifest(spark, dir, fromV)
+    val tm = readManifest(spark, dir, toV)
+    val ff = fm.entries.map(_.path).toSet
+    val tf = tm.entries.map(_.path).toSet
+    // the append fast path also requires IDENTICAL pending delete
+    // lists: a merge-on-read delete commit changes the logical
+    // contents while changing no data file (ff ⊆ tf would wrongly
+    // read as "no changes"), and files added after a shared delete
+    // list always carry higher seqs than every shared delete, so
+    // reading them raw IS their logical content
+    val sameDeletes =
+      fm.deletes.map(d => (d.paths, d.seq)).toSet ==
+        tm.deletes.map(d => (d.paths, d.seq)).toSet
+    if (ff.subsetOf(tf) && sameDeletes) {
       val added = (tf -- ff).toSeq.sorted
       if (added.isEmpty)
         read(spark, dir, Some(toV)).limit(0).withColumn("_change", lit("insert"))
@@ -1462,8 +1755,14 @@ object SnapshotTable {
     val f = fs(spark, dir)
     val vs = versions(spark, dir)
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
-    val live = keep.flatMap(files(spark, dir, _)).toSet
-    val dead = drop.flatMap(files(spark, dir, _)).toSet -- live
+    // liveness covers data files AND merge-on-read delete key files —
+    // a retained manifest's pending deletes must stay readable
+    def named(v: Long): Set[String] = {
+      val m = readManifest(spark, dir, v)
+      m.entries.map(_.path).toSet ++ m.deletes.flatMap(_.paths)
+    }
+    val live = keep.flatMap(named).toSet
+    val dead = drop.flatMap(named).toSet -- live
     dead.foreach(p => f.delete(new Path(s"$dir/$p"), false))
     // a dead file's bloom sidecars die with it (deterministic name
     // derivation: _blooms/<relpath>.<col>.bloom)
@@ -1478,9 +1777,11 @@ object SnapshotTable {
       }
     }
     drop.foreach(v => f.delete(manifestPath(dir, v), false))
-    // empty batch dirs left behind are litter, not state — sweep them
+    // empty batch/delete dirs left behind are litter, not state
     f.listStatus(new Path(dir)).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-"))
+      .filter(s => s.isDirectory &&
+        (s.getPath.getName.startsWith("batch-") ||
+          s.getPath.getName.startsWith("delete-")))
       .filter(s => f.listStatus(s.getPath).isEmpty)
       .foreach(s => f.delete(s.getPath, false))
     dead.size

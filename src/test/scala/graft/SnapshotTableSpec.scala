@@ -938,4 +938,131 @@ class SnapshotTableSpec extends SparkSpec {
       s"manifest reads must keep parquet pushdown:\n$plan")
     assert(q.count() == 10)
   }
+
+  test("groupCounts: single-group files answer from metadata; mixed files scan; exact always") {
+    val dir = freshDir()
+    // file 1: one group, no nulls — pure metadata
+    SnapshotTable.commitAppend(
+      Seq.fill(5)("a").toDF("grp").coalesce(1), dir, statsCols = Seq("grp"))
+    // file 2: one group PLUS nulls — metadata answers both the group
+    // and the NULL group (rows − nulls / nulls)
+    SnapshotTable.commitAppend(
+      (Seq.fill(3)(Some("b")) ++ Seq.fill(2)(Option.empty[String]))
+        .toDF("grp").coalesce(1), dir)
+    // file 3: mixed groups — must scan
+    SnapshotTable.commitAppend(
+      Seq("a", "c", "c").toDF("grp").coalesce(1), dir)
+    val (out, metaFiles, scannedFiles, total) =
+      SnapshotTable.groupCounts(spark, dir, "grp")
+    assert((metaFiles, scannedFiles, total) == (2, 1, 3))
+    val got = out.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(got == Map(Some("a") -> 6L, Some("b") -> 3L, Some("c") -> 2L, None -> 2L))
+    // numeric group columns cast back through the canonical decimal form
+    val nd = freshDir()
+    SnapshotTable.commitAppend(Seq(7L, 7L).toDF("g").coalesce(1), nd,
+      statsCols = Seq("g"))
+    val (nout, nm, ns, _) = SnapshotTable.groupCounts(spark, nd, "g")
+    assert((nm, ns) == (1, 0))
+    assert(nout.as[(Long, Long)].collect().toSeq == Seq((7L, 2L)))
+    // pending MoR deletes make per-file stats physical — refuse
+    SnapshotTable.commitDeleteMoR(Seq("a").toDF("grp"), dir, Seq("grp"))
+    assert(intercept[IllegalArgumentException] {
+      SnapshotTable.groupCounts(spark, dir, "grp")
+    }.getMessage.contains("pending"))
+  }
+
+  test("merge-on-read DELETE: zero data files touched; applyDeletes folds file-granularly") {
+    val dir = freshDir()
+    // hash-clustered on id: a scattered key set touches every file,
+    // so a COW delete would rewrite the whole table — exactly the
+    // layout MoR deletes exist for
+    SnapshotTable.commitAppend(
+      (1L to 100L).toDF("id").repartition(4, col("id")),
+      dir, statsCols = Seq("id"), bloomCols = Seq("id"))
+    val before = SnapshotTable.files(spark, dir, 1L)
+    val v2 = SnapshotTable.commitDeleteMoR(
+      (1L to 100L by 10).toDF("id"), dir, Seq("id"))
+    assert(v2 == 2L)
+    assert(SnapshotTable.files(spark, dir, 2L) == before,
+      "a MoR delete must touch ZERO data files")
+    assert(SnapshotTable.pendingDeletes(spark, dir) ==
+      Seq((Seq("id"), 2L, 10L)))
+    val expect = (1L to 100L).filterNot(k => (k - 1) % 10 == 0)
+    assert(ids(SnapshotTable.read(spark, dir)) == expect,
+      "the head must read the logical rows (deletes anti-joined out)")
+    assert(ids(SnapshotTable.read(spark, dir, Some(1L))) == (1L to 100L),
+      "time travel to v1 must predate the delete")
+    // filtered readers apply deletes too
+    assert(!ids(SnapshotTable.readKeysFiltered(spark, dir, "id", Seq(11L, 12L)))
+      .contains(11L))
+    assert(ids(SnapshotTable.readWhere(spark, dir, col("id") <= 12L)) ==
+      Seq(2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L, 12L))
+    // metadata fast paths refuse rather than overcount
+    assert(intercept[IllegalArgumentException] {
+      SnapshotTable.countRows(spark, dir)
+    }.getMessage.contains("pending"))
+    assert(intercept[IllegalArgumentException] {
+      SnapshotTable.statExtremes(spark, dir, "id")
+    }.getMessage.contains("pending"))
+    // applyDeletes: folds in, clears the list, restores the fast path
+    val v3 = SnapshotTable.applyDeletes(spark, dir)
+    assert(v3 == 3L)
+    assert(SnapshotTable.pendingDeletes(spark, dir).isEmpty)
+    assert(ids(SnapshotTable.read(spark, dir)) == expect)
+    assert(SnapshotTable.countRows(spark, dir) == 90L)
+    assert(SnapshotTable.applyDeletes(spark, dir) == 3L,
+      "applyDeletes with nothing pending is a no-op, not an empty commit")
+  }
+
+  test("MoR delete is sequence-scoped: a later re-insert of a deleted key survives") {
+    val dir = freshDir()
+    SnapshotTable.commitAppend(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), dir,
+      statsCols = Seq("id"))
+    SnapshotTable.commitDeleteMoR(Seq(2L).toDF("id"), dir, Seq("id"))
+    assert(ids(SnapshotTable.read(spark, dir)) == Seq(1L, 3L))
+    // a merge AFTER the delete re-inserts key 2: its file carries a
+    // higher seq than the delete, so the pending delete must not
+    // retro-apply — and the upsert target is the LOGICAL rows, so the
+    // physically-present deleted row is not resurrected as an update
+    SnapshotTable.commitMerge(Seq((2L, "revived")).toDF("id", "v"), dir, Seq("id"))
+    val head = SnapshotTable.read(spark, dir)
+    assert(head.filter(col("id") === 2L).select("v").as[String].collect()
+      .toSeq == Seq("revived"))
+    assert(ids(head) == Seq(1L, 2L, 3L))
+    // folding keeps the revived row
+    SnapshotTable.applyDeletes(spark, dir)
+    assert(ids(SnapshotTable.read(spark, dir)) == Seq(1L, 2L, 3L))
+    assert(SnapshotTable.read(spark, dir)
+      .filter(col("id") === 2L).select("v").as[String].collect()
+      .toSeq == Seq("revived"))
+  }
+
+  test("applyDeletes is file-granular; CDC across a MoR delete takes the content diff") {
+    val dir = freshDir()
+    // range-clustered: the delete keys live entirely in one file
+    SnapshotTable.commitAppend(
+      (1L to 100L).toDF("id").repartitionByRange(4, col("id")),
+      dir, statsCols = Seq("id"))
+    val before = SnapshotTable.files(spark, dir, 1L)
+    SnapshotTable.commitDeleteMoR(Seq(1L, 2L, 3L).toDF("id"), dir, Seq("id"))
+    // ff ⊆ tf here (no data file changed) — the append fast path
+    // would wrongly report "no changes"; the delete-list mismatch
+    // must force the content diff
+    val ch = SnapshotTable.changesBetween(spark, dir, 1L, 2L)
+    assert(ch.filter(col("_change") === "delete").select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(ch.filter(col("_change") === "insert").isEmpty)
+    val v3 = SnapshotTable.applyDeletes(spark, dir)
+    val after = SnapshotTable.files(spark, dir, v3)
+    assert(before.toSet.intersect(after.toSet).size == before.size - 1,
+      "only the one file holding the doomed keys may be rewritten")
+    assert(ids(SnapshotTable.read(spark, dir)) == (4L to 100L))
+    // the delete key file stays readable for time travel until vacuum
+    assert(ids(SnapshotTable.read(spark, dir, Some(2L))) == (4L to 100L))
+    SnapshotTable.vacuum(spark, dir, keepVersions = 1)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.read(spark, dir, Some(2L))
+    }
+  }
 }
