@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{CalabrioSync, Components, Incremental, Linkage, Multimodal, Queries, Sampling, Shred, Similarity, Sketches, Skew, TemporalJoins, TextOps}
-import org.apache.spark.sql.functions.{array, array_max, array_min, call_function, coalesce, col, concat, count, countDistinct, cume_dist, date_format, datediff, dayofmonth, dense_rank, element_at, explode, expr, lag, lead, lit, lpad, max, md5, min, ntile, percent_rank, posexplode, round, size, slice, substring, sum, to_date, when}
+import org.apache.spark.sql.functions.{array, array_max, array_min, call_function, coalesce, col, concat, count, countDistinct, cume_dist, date_format, datediff, dayofmonth, dense_rank, element_at, explode, expr, lag, lead, lit, lpad, max, md5, min, ntile, percent_rank, posexplode, round, size, slice, substring, sum, to_date, transform, when}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -460,6 +460,29 @@ object SparkEntry {
         emb.filter(!col("vec_id").isin(doomedIds.map(Long.box): _*)),
         s"$root/full", model)
       (s"$root/del", s"$root/full", carried)
+    })
+
+  /** ivf_distortion_drift's index + measured verdicts, once per sf dir:
+    * quantizer fit on the %5≠4 slice; the held-out %5==4 slice is the
+    * same-distribution batch, and the same slice shifted +1.0 in
+    * every coordinate (the data spans ±~0.3, so the shift moves every
+    * vector ~dim·1.0 in d2 — far off any frozen centroid) is the
+    * drifted one. Ratios ride back so the row pins the margins. */
+  private val ivfDriftMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Double, Double, Boolean, Boolean)]()
+  private def ivfDriftVerdicts(
+      s: SparkSession, dir: String): (Double, Double, Boolean, Boolean) =
+    ivfDriftMemo.computeIfAbsent(dir, _ => {
+      val root = tempDir("graft_ivf_drift")
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(col("vec_id") % 5 =!= 4)
+      Similarity.buildIvfIndex(base, s"$root/idx", Similarity.fitIvfModel(base))
+      val held = emb.filter(col("vec_id") % 5 === 4)
+      val shifted = held.select(col("vec_id"),
+        transform(col("embedding"), x => x + lit(1.0f)).as("embedding"))
+      val (_, _, rSame, fSame) = Similarity.ivfDriftStats(s, s"$root/idx", held)
+      val (_, _, rShift, fShift) = Similarity.ivfDriftStats(s, s"$root/idx", shifted)
+      (rSame, rShift, fSame, fShift)
     })
 
   private val ivfPqIndexMemo =
@@ -1540,6 +1563,24 @@ object SparkEntry {
         .groupBy("q_id").agg(count(lit(1)).as("n_matches"))
         .orderBy("q_id")
     }),
+    // Distortion-drift trigger — the RADIAL complement to
+    // ivf_drift_check's cell-histogram TV statistic (a variance
+    // widening keeps the histogram quiet while recall decays; this
+    // monitor owns that regime): a held-out same-distribution batch
+    // must NOT recommend a refit, the same batch shifted +1.0 per
+    // coordinate MUST. Measured mean quantization distortion vs the
+    // standing corpus's own, same persisted centroids, same
+    // centroidD2 kernel. The in-row require pins the margins well
+    // clear of the 2.0 threshold so the oracle booleans are never
+    // knife-edge.
+    "ivf_distortion_drift" -> ((s, dir) => {
+      import s.implicits._
+      val (rSame, rShift, fSame, fShift) = ivfDriftVerdicts(s, dir)
+      require(rSame <= 1.5 && rShift > 10.0,
+        s"drift ratios must sit far from the threshold: same=$rSame shifted=$rShift")
+      Seq(("same_distribution", fSame), ("shifted", fShift))
+        .toDF("scenario", "refit").orderBy("scenario")
+    }),
     // The composed index's append half (pq_index_append's contract,
     // two frozen quantizers deep): the appended IVF-PQ index's cold
     // query must equal the one-pass build of base∪delta at the
@@ -1698,6 +1739,26 @@ object SparkEntry {
       Similarity.semanticDedup(base.unionByName(twins))
         .orderBy("vec_id")
     }),
+    // Exact integer k-means (Lloyd over e3-quantized coordinates, the
+    // PageRank integer-fixpoint discipline applied to curation
+    // clustering): init = the 8 smallest vec_ids' codes, 2 assignment
+    // passes, truncating-division centroid means, ties to the smaller
+    // cluster id — the oracle replays the whole fixpoint in SQL and
+    // every one of the 500 assignments must hash-match.
+    "kmeans_assign" -> ((s, dir) =>
+      graft.operators.Clustering.kmeansAssign(
+        Tables.embeddings(s, dir).select("vec_id", "embedding"))
+        .orderBy("vec_id")),
+    // The diversification step: 5 survivors per cluster (smallest
+    // vec_ids — deterministic), selected through the TopK bounded
+    // aggregator so a skewed giant cluster shuffles ≤ k·5 rows, never
+    // a full-cluster window sort.
+    "cluster_balanced_sample" -> ((s, dir) =>
+      graft.operators.Clustering.clusterBalancedSample(
+        graft.operators.Clustering.kmeansAssign(
+          Tables.embeddings(s, dir).select("vec_id", "embedding")),
+        perCluster = 5)
+        .orderBy("vec_id")),
     // S10: glob-selected PERMISSIVE bulk load (multi-file union) feeding
     // the contacts shred; malformed files quarantine instead of failing.
     // cache=false: this row runs exactly one action over `good`, so an
@@ -4652,6 +4713,11 @@ object SparkEntry {
     "ivf_index_delete" ->
       """SELECT vec_id AS q_id, CAST(10 AS BIGINT) AS n_matches
         |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin,
+    // drift polarity: in-distribution appends keep the frozen
+    // quantizer, a shifted batch must recommend the refit
+    "ivf_distortion_drift" ->
+      """SELECT 'same_distribution' AS scenario, false AS refit
+        |UNION ALL SELECT 'shifted', true ORDER BY scenario""".stripMargin,
     // append-vs-rebuild parity at the shared frozen quantizer pair
     "ivfpq_index_append" ->
       """SELECT vec_id AS q_id, CAST(10 AS BIGINT) AS n_matches
@@ -4961,6 +5027,53 @@ object SparkEntry {
     // survivors against the ALL-PAIRS similarity graph: a vector is
     // dropped iff a smaller-id vector anywhere in the corpus clears
     // the threshold — cluster-candidate completeness is the claim
+    // full SQL replay of the integer Lloyd fixpoint: e3 quantization,
+    // init = the 8 smallest vec_ids' codes, assign (d2 then cluster-id
+    // ties), truncating-integer-mean refresh (DuckDB // and Spark div
+    // both truncate toward zero), assign again; range(1,65) is the
+    // testdata's fixed 64-dim embedding width
+    "kmeans_assign" ->
+      """WITH e AS (SELECT vec_id,
+        |        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |       FROM embeddings),
+        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, q
+        |       FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT 8)),
+        |a1 AS (SELECT vec_id, cl FROM (
+        |        SELECT e.vec_id, c.cl, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |          list_sum(list_transform(list_zip(e.q, c.q), p -> (p[1]-p[2])*(p[1]-p[2]))), c.cl) AS rn
+        |        FROM e CROSS JOIN c0 c) WHERE rn = 1),
+        |m1 AS (SELECT a1.cl, t.i, CAST(sum(e.q[t.i]) AS BIGINT) // count(*) AS m
+        |       FROM a1 JOIN e USING (vec_id) CROSS JOIN range(1, 65) t(i)
+        |       GROUP BY a1.cl, t.i),
+        |c1 AS (SELECT c.cl, coalesce(n.q, c.q) AS q
+        |       FROM c0 c LEFT JOIN (SELECT cl, list(m ORDER BY i) AS q FROM m1 GROUP BY cl) n USING (cl)),
+        |a2 AS (SELECT vec_id, cl FROM (
+        |        SELECT e.vec_id, c.cl, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |          list_sum(list_transform(list_zip(e.q, c.q), p -> (p[1]-p[2])*(p[1]-p[2]))), c.cl) AS rn
+        |        FROM e CROSS JOIN c1 c) WHERE rn = 1)
+        |SELECT vec_id, CAST(cl AS INT) AS cluster FROM a2 ORDER BY vec_id""".stripMargin,
+    // the same fixpoint, then 5 smallest vec_ids per final cluster
+    "cluster_balanced_sample" ->
+      """WITH e AS (SELECT vec_id,
+        |        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |       FROM embeddings),
+        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, q
+        |       FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT 8)),
+        |a1 AS (SELECT vec_id, cl FROM (
+        |        SELECT e.vec_id, c.cl, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |          list_sum(list_transform(list_zip(e.q, c.q), p -> (p[1]-p[2])*(p[1]-p[2]))), c.cl) AS rn
+        |        FROM e CROSS JOIN c0 c) WHERE rn = 1),
+        |m1 AS (SELECT a1.cl, t.i, CAST(sum(e.q[t.i]) AS BIGINT) // count(*) AS m
+        |       FROM a1 JOIN e USING (vec_id) CROSS JOIN range(1, 65) t(i)
+        |       GROUP BY a1.cl, t.i),
+        |c1 AS (SELECT c.cl, coalesce(n.q, c.q) AS q
+        |       FROM c0 c LEFT JOIN (SELECT cl, list(m ORDER BY i) AS q FROM m1 GROUP BY cl) n USING (cl)),
+        |a2 AS (SELECT vec_id, cl FROM (
+        |        SELECT e.vec_id, c.cl, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |          list_sum(list_transform(list_zip(e.q, c.q), p -> (p[1]-p[2])*(p[1]-p[2]))), c.cl) AS rn
+        |        FROM e CROSS JOIN c1 c) WHERE rn = 1),
+        |sel AS (SELECT vec_id, cl, row_number() OVER (PARTITION BY cl ORDER BY vec_id) AS rn FROM a2)
+        |SELECT vec_id, CAST(cl AS INT) AS cluster FROM sel WHERE rn <= 5 ORDER BY vec_id""".stripMargin,
     "semantic_dedup" ->
       """WITH base AS (SELECT vec_id, embedding FROM embeddings),
         | twins AS (SELECT vec_id + 100000 AS vec_id,

@@ -1661,6 +1661,57 @@ object Similarity {
       .parquet(s"$indexDir/assignments")
   }
 
+  /** Quantization-DISTORTION drift monitor — the radial complement to
+    * `ivfDriftCheck`'s cell-histogram TV statistic. The two see
+    * disjoint failure modes: a batch whose mass MOVES BETWEEN cells
+    * trips the histogram while its distortion can stay flat, and a
+    * batch that widens RADIALLY (same means, higher variance — a
+    * noisier encoder, a precision regression) keeps the cell
+    * histogram quiet while every vector lands farther from its
+    * nearest centroid and recall@nprobe decays; run both on the
+    * maintenance schedule. Statistic: mean squared d2 to the assigned
+    * (nearest) centroid of a candidate batch vs the standing corpus's
+    * own, against the SAME persisted centroids through the same
+    * centroidD2 kernel. Concentration-of-distances does compress this
+    * ratio as dimension grows (why the histogram monitor is the
+    * primary), but a variance widening moves mean distortion
+    * PROPORTIONALLY at any dimension — the regime this monitor owns.
+    * The baseline needs no stored build-time figure: the assignments
+    * table IS the build distribution, and its stored cell makes the
+    * baseline pass join-free (the cell IS the argmin), so the monitor
+    * retrofits onto every existing index. Map-only on both sides: the
+    * centroid table rides as a plan literal (nlist×dim doubles), no
+    * shuffle, no collect beyond the two 1-row averages. Returns
+    * (baseMeanD2, batchMeanD2, ratio, refit = ratio > threshold). The
+    * `ivf_distortion_drift` driver row pins both polarities.
+    */
+  def ivfDriftStats(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      batch: DataFrame,
+      threshold: Double = 2.0): (Double, Double, Double, Boolean) = {
+    val centSeq = spark.read.parquet(s"$indexDir/centroids")
+      .collect() // bounded: nlist rows
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toList: Seq[Double]))
+      .sortBy(_._1).toSeq
+    val centArr = typedLit(centSeq)
+    // base: one narrow pass over (embedding, cell) — the stored cell
+    // is the argmin, so distortion is a single centroidD2 per row
+    val baseMean = spark.read.parquet(s"$indexDir/assignments")
+      .select(col("embedding"), col("cell"))
+      .withColumn("__c", filter(centArr, c => c.getField("_1") === col("cell")))
+      .select(avg(centroidD2(col("embedding"), col("__c").getItem(0).getField("_2")))
+        .as("d2"))
+      .head().getDouble(0)
+    // batch: argmin distortion (min d2 over the centroid literal)
+    val batchMean = spread(batch)
+      .select(avg(array_min(transform(centArr,
+        c => centroidD2(col("embedding"), c.getField("_2"))))).as("d2"))
+      .head().getDouble(0)
+    val ratio = batchMean / math.max(baseMean, 1e-12)
+    (baseMean, batchMean, ratio, ratio > threshold)
+  }
+
   /** Cell-granular retraction core shared by removeFromIvfIndex and
     * removeFromIvfPqIndex: both index layouts partition their row
     * table BY CELL, so erasing keys rewrites exactly the cell

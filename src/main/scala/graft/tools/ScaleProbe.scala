@@ -318,6 +318,49 @@ object ScaleProbe {
           cust.filter(band).coalesce(1), rDir)
       }
 
+    // r11 merge-on-read fixtures. snap_mor_hash: the hash-clustered
+    // layout MoR deletes exist for — every file spans the key domain,
+    // so a COW delete of scattered keys would rewrite the whole N×
+    // table; the timed commitDeleteMoR writes one delta-sized key
+    // file and ZERO data files, so its wall should stay ~FLAT.
+    // snap_mor_range: range-clustered with a pending delete whose
+    // keys live entirely in replica 0's key range — applyDeletes'
+    // stats+bloom touched-file join should bound the fold to a
+    // CONSTANT file set while the table grows N×.
+    if (wanted("snapshot_mor_delete"))
+      for (f <- Seq(1, factor))
+        graft.sources.SnapshotTable.commitAppend(scaledHashClustered(f),
+          s"$scaledBase/f$f/snap_mor_hash",
+          statsCols = Seq("event_id"), bloomCols = Seq("event_id"))
+    if (wanted("snapshot_mor_fold"))
+      for (f <- Seq(1, factor)) {
+        val dir = s"$scaledBase/f$f/snap_mor_range"
+        val ev = replicate(
+          spark.read.parquet(s"$sfDir/events.parquet")
+            .select("event_id", "event_type"), f)
+          .select((col("event_id") + col("k") * 1000000000L).as("event_id"),
+            col("event_type"))
+          .repartitionByRange(8 * f, col("event_id"))
+        graft.sources.SnapshotTable.commitAppend(ev, dir,
+          statsCols = Seq("event_id"), bloomCols = Seq("event_id"))
+        graft.sources.SnapshotTable.commitDeleteMoR(
+          spark.read.parquet(s"$sfDir/events.parquet")
+            .select("event_id").filter(col("event_id") % 100 === 23),
+          dir, Seq("event_id"))
+      }
+    // snap_group: range-clustered by (event_type, event_id) into a
+    // CONSTANT 8 files, so most files are single-type — groupCounts
+    // answers those from the manifest and scans only the group
+    // boundaries; scanned bytes are a strict subset of the table.
+    if (wanted("snapshot_group_count"))
+      for (f <- Seq(1, factor))
+        graft.sources.SnapshotTable.commitAppend(
+          replicate(spark.read.parquet(s"$sfDir/events.parquet")
+            .select("event_id", "event_type"), f)
+            .select(col("event_id"), col("event_type"))
+            .repartitionByRange(8, col("event_type"), col("event_id")),
+          s"$scaledBase/f$f/snap_group", statsCols = Seq("event_type"))
+
     def ops(f: Int): Seq[(String, () => DataFrame)] = {
       val docs = scaleDocs(Tables.documents(spark, sfDir), f)
       val emb = scaleEmb(Tables.embeddings(spark, sfDir), f)
@@ -449,6 +492,32 @@ object ScaleProbe {
           graft.sources.SnapshotTable
             .readKeysFiltered(spark, dir, "event_id", keys)
             .filter(col("event_id").isin(keys: _*))
+        }),
+        // MoR delete commit at volume: the key frame is constant-size
+        // (replica 0's %997 ids), the table N× — zero data files
+        // touched, so the wall is the delta write + manifest swap
+        "snapshot_mor_delete" -> (() => {
+          val v = graft.sources.SnapshotTable.commitDeleteMoR(
+            spark.read.parquet(s"$sfDir/events.parquet")
+              .select("event_id").filter(col("event_id") % 997 === 0),
+            s"$scaledBase/f$f/snap_mor_hash", Seq("event_id"))
+          spark.range(v).toDF()
+        }),
+        // the fold half: pending keys bounded to replica 0's range,
+        // so the touched-file join rewrites a constant file set
+        "snapshot_mor_fold" -> (() => {
+          val v = graft.sources.SnapshotTable.applyDeletes(
+            spark, s"$scaledBase/f$f/snap_mor_range")
+          spark.range(v).toDF()
+        }),
+        // grouped count from metadata: single-type files answer from
+        // the manifest, only group-boundary files scan
+        "snapshot_group_count" -> (() => {
+          val (out, meta, scanned, total) = graft.sources.SnapshotTable
+            .groupCounts(spark, s"$scaledBase/f$f/snap_group", "event_type")
+          require(meta > 0 && scanned < total,
+            s"groupCounts must answer mostly from metadata: meta=$meta scan=$scanned of $total")
+          out
         }),
         // triangle census over N disjoint replicas of the part
         // co-order graph (both ids salted per replica): triangles
