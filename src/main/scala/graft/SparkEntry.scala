@@ -3363,6 +3363,45 @@ object SparkEntry {
         .groupBy("lang").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang")
     }),
+    // Streaming RETRACTION: a forget-me key feed lands as zero-data-
+    // file MoR delete commits through the multi-writer ledger —
+    // in-row requires pin the mechanics (3 chunks → 3 delete
+    // versions, every data file of v1 carried untouched, full replay
+    // no-ops the ledger), and the head read is the logical rows with
+    // all three pending key frames anti-joined out. Oracle replays
+    // the survivors from base.
+    "stream_snapshot_delete" -> ((s, dir) => streamRow(s) {
+      import graft.sources.SnapshotTable
+      val base = tempDir("graft_stream_mor")
+      val ev = Tables.events(s, dir).select("event_id", "event_type")
+      SnapshotTable.commitAppend(ev.repartition(4, col("event_id")),
+        s"$base/tbl", statsCols = Seq("event_id"), bloomCols = Seq("event_id"))
+      val v1Files = SnapshotTable.files(s, s"$base/tbl", 1L)
+      val src = s"$base/doomed"
+      ev.filter(col("event_id") % 7 === 0).select("event_id")
+        .repartition(3, col("event_id")).write.parquet(src)
+      val schema = s.read.parquet(src).schema
+      def retract(ckpt: String) = {
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        graft.streaming.IncrementalSync.retractionSync(
+          stream, s"$base/tbl", Seq("event_id"), s"$base/$ckpt")
+          .awaitTermination()
+      }
+      retract("ckpt")
+      val vs = SnapshotTable.versions(s, s"$base/tbl")
+      require(vs.size == 4, s"three doomed chunks must land as three deletes: $vs")
+      require(vs.tail.forall(v => SnapshotTable.files(s, s"$base/tbl", v) == v1Files),
+        "a streaming retraction must never touch a data file")
+      require(SnapshotTable.pendingDeletes(s, s"$base/tbl").size == 3,
+        "all three delete batches must be pending")
+      retract("ckpt_replay")
+      require(SnapshotTable.versions(s, s"$base/tbl") == vs,
+        "a full replay must no-op against the stream ledger")
+      SnapshotTable.read(s, s"$base/tbl")
+        .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
     // Streaming bloom maintenance: every micro-batch commit records
     // its per-file blooms through the sticky declaration (in-row
     // require: EVERY streamed file carries one), so planning-time key
@@ -5552,6 +5591,11 @@ object SparkEntry {
     "stream_snapshot_ingest" ->
       """SELECT lang, count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the streamed retractions' logical survivors, replayed from base
+    "stream_snapshot_delete" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM events WHERE event_id % 7 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the CDC-refreshed summary must equal the direct v2 (post-merge)
     // summary, computed here from the base rows
     "snapshot_ivm" ->

@@ -1599,7 +1599,31 @@ object SnapshotTable {
     * — their per-file stats are physical. Returns the committed
     * version.
     */
-  def commitDeleteMoR(keys: DataFrame, dir: String, keyCols: Seq[String]): Long = {
+  def commitDeleteMoR(keys: DataFrame, dir: String, keyCols: Seq[String]): Long =
+    commitDeleteMoRInternal(keys, dir, keyCols, None)
+
+  /** Streaming retraction: `commitDeleteMoR` under the multi-writer
+    * stream ledger — a micro-batch of doomed keys commits as one
+    * zero-data-file MoR delete keyed `appId:batchId`, so foreachBatch's
+    * at-least-once contract becomes exactly-once retraction (a
+    * replayed batch finds its key in the head manifest and no-ops
+    * BEFORE writing anything). The GDPR shape on a live ingest: the
+    * forget-me stream never rewrites data inline; `applyDeletes`
+    * folds on the maintenance schedule. Returns the committed
+    * version, or None for a recognized replay. */
+  def commitStreamDeleteMoR(
+      keys: DataFrame, dir: String, keyCols: Seq[String],
+      batchId: Long, appId: String = "retract"): Option[Long] = {
+    require(appId.nonEmpty && !appId.contains(":"),
+      s"appId must be non-empty without ':' — got '$appId'")
+    val key = s"$appId:$batchId"
+    if (committedStreamKeys(keys.sparkSession, dir).contains(key)) None
+    else Some(commitDeleteMoRInternal(keys, dir, keyCols, Some(key)))
+  }
+
+  private def commitDeleteMoRInternal(
+      keys: DataFrame, dir: String, keyCols: Seq[String],
+      streamKey: Option[String]): Long = {
     val spark = keys.sparkSession
     require(keyCols.nonEmpty, "commitDeleteMoR needs at least one key column")
     val keyed = keys.select(keyCols.map(col): _*).distinct()
@@ -1622,7 +1646,7 @@ object SnapshotTable {
       if (tryPublish(spark, dir,
         Manifest(next, m.batchIds, m.statsCols, m.entries,
           bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
-          streamKeys = m.streamKeys,
+          streamKeys = m.streamKeys ++ streamKey,
           deletes = m.deletes :+ DeleteFile(paths, keyCols, next, nKeys))))
         return next
     }

@@ -590,6 +590,32 @@ object IncrementalSync {
       }
       .start()
 
+  /** Stream of RETRACTIONS → snapshot table: each micro-batch of
+    * doomed keys commits as one zero-data-file merge-on-read delete
+    * through the multi-writer stream ledger (exactly-once: replays
+    * no-op before writing anything), so a forget-me/takedown feed
+    * retracts from a 100 TB table at delta cost while ingest streams
+    * keep writing — sequence scoping guarantees a key RE-INSERTED
+    * after its retraction batch survives. Empty batches skip (nothing
+    * to retract; skipping is idempotent). `applyDeletes` folds the
+    * accumulated deletes on the maintenance schedule. */
+  def retractionSync(
+      keyStream: DataFrame,
+      tableDir: String,
+      keyCols: Seq[String],
+      checkpointDir: String,
+      appId: String = "retract"): StreamingQuery =
+    keyStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.SnapshotTable.commitStreamDeleteMoR(
+            batch, tableDir, keyCols, id, appId)
+        ()
+      }
+      .start()
+
   /** Streaming ingest into the snapshot table WITH an exactly-once
     * incrementally-maintained summary — the snapshot_ivm CDC loop run
     * CONTINUOUSLY: each micro-batch (a) commits itself as a version

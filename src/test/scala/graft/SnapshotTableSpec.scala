@@ -1038,6 +1038,29 @@ class SnapshotTableSpec extends SparkSpec {
       .toSeq == Seq("revived"))
   }
 
+  test("commitStreamDeleteMoR: ledger-keyed exactly-once; re-insert after retraction survives the fold") {
+    val dir = freshDir()
+    SnapshotTable.commitAppend((1L to 10L).toDF("id"), dir, statsCols = Seq("id"))
+    assert(SnapshotTable.commitStreamDeleteMoR(
+      Seq(3L).toDF("id"), dir, Seq("id"), batchId = 0).contains(2L))
+    // replay of the same (appId, batchId) no-ops — and writes nothing
+    // (no new delete-* dir appears)
+    val before = SnapshotTable.pendingDeletes(spark, dir)
+    assert(SnapshotTable.commitStreamDeleteMoR(
+      Seq(3L).toDF("id"), dir, Seq("id"), batchId = 0).isEmpty)
+    assert(SnapshotTable.pendingDeletes(spark, dir) == before)
+    // a DIFFERENT writer's batch 0 is its own ledger scope
+    assert(SnapshotTable.commitStreamDeleteMoR(
+      Seq(5L).toDF("id"), dir, Seq("id"), batchId = 0, appId = "other").contains(3L))
+    // a merge AFTER the retraction re-inserts key 3 at a higher seq —
+    // pending deletes must not retro-apply, and folding keeps it
+    SnapshotTable.commitMerge(Seq(3L).toDF("id"), dir, Seq("id"))
+    SnapshotTable.applyDeletes(spark, dir)
+    assert(SnapshotTable.pendingDeletes(spark, dir).isEmpty)
+    assert(ids(SnapshotTable.read(spark, dir)) ==
+      Seq(1L, 2L, 3L, 4L, 6L, 7L, 8L, 9L, 10L))
+  }
+
   test("applyDeletes is file-granular; CDC across a MoR delete takes the content diff") {
     val dir = freshDir()
     // range-clustered: the delete keys live entirely in one file
