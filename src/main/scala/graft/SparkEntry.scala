@@ -462,6 +462,32 @@ object SparkEntry {
       (s"$root/del", s"$root/full", carried)
     })
 
+  /** snapshot_clone's source + diverged clone, once per sf dir: src =
+    * one range-clustered append; dst = cloneTable (zero data copied —
+    * the memo asserts no batch dir exists post-clone) then a merge
+    * restating the %10 ids ONLY in the clone. */
+  private val snapCloneMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def snapCloneTables(s: SparkSession, dir: String): (String, String) =
+    snapCloneMemo.computeIfAbsent(dir, _ => {
+      import graft.sources.SnapshotTable
+      val root = tempDir("graft_snap_clone")
+      val ev = Tables.events(s, dir).select("event_id", "event_type")
+      SnapshotTable.commitAppend(ev.repartitionByRange(4, col("event_id")),
+        s"$root/src", statsCols = Seq("event_id"))
+      SnapshotTable.cloneTable(s, s"$root/src", s"$root/dst")
+      val f = new org.apache.hadoop.fs.Path(s"$root/dst")
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      require(!f.listStatus(new org.apache.hadoop.fs.Path(s"$root/dst"))
+        .exists(_.getPath.getName.startsWith("batch-")),
+        "a shallow clone must copy no data files")
+      SnapshotTable.commitMerge(
+        ev.filter(col("event_id") % 10 === 0)
+          .select(col("event_id"), lit("cloned").as("event_type")),
+        s"$root/dst", Seq("event_id"))
+      (s"$root/src", s"$root/dst")
+    })
+
   /** ivf_distortion_drift's index + measured verdicts, once per sf dir:
     * quantizer fit on the %5≠4 slice; the held-out %5==4 slice is the
     * same-distribution batch, and the same slice shifted +1.0 in
@@ -2427,6 +2453,24 @@ object SparkEntry {
       require(scannedFiles < total,
         "the grouped count must not scan every file on a clustered layout")
       out.orderBy("event_type")
+    }),
+    // Zero-copy SHALLOW CLONE + copy-on-write divergence: the clone's
+    // v1 references the source's files by absolute path (memo asserts
+    // no data dir appears), a merge restates the %10 ids ONLY in the
+    // clone, and the source must stay at v1 with its original
+    // contents — the dev/experiment-fork shape at 100 TB for one
+    // manifest write. In-row requires pin source isolation; the
+    // oracle replays the diverged clone from base.
+    "snapshot_clone" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val (src, dst) = snapCloneTables(s, dir)
+      require(SnapshotTable.versions(s, src) == Seq(1L),
+        "the source must never see the clone's writes")
+      require(SnapshotTable.versions(s, dst) == Seq(1L, 2L),
+        "the clone must carry its own ledger")
+      SnapshotTable.read(s, dst)
+        .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        .orderBy("event_type")
     }),
     // Merge-on-read DELETE: the two delete commits (v2, v3) touched
     // ZERO data files — on this hash-clustered layout a COW delete
@@ -5623,6 +5667,14 @@ object SparkEntry {
     // answer must equal the plain GROUP BY over the base rows
     "snapshot_group_count" ->
       """SELECT event_type, count(*) AS n_rows
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the diverged clone: base rows with the %10 ids restated — and
+    // the source's own oracle-checked rows everywhere else prove the
+    // fork wrote nothing back
+    "snapshot_clone" ->
+      """SELECT CASE WHEN event_id % 10 = 0 THEN 'cloned'
+        |            ELSE event_type END AS event_type,
+        |       count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // the merge-on-read logical contents: base rows minus both
     // pending equality-delete key sets — v3 answers this with the

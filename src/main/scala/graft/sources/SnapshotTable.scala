@@ -342,9 +342,18 @@ object SnapshotTable {
     * different compatible schemas reads as their union, old rows null
     * in the new columns; the footer pass is bounded by the file
     * list). No delete application — the PHYSICAL rows. */
+  /** Resolve a manifest-recorded path against the table dir. Paths
+    * are dir-relative, except EXTERNAL absolute references — the
+    * shallow clone's zero-copy sharing: a cloned manifest names the
+    * source's data files verbatim, and every rewriting commit on the
+    * clone replaces the entries it touches with ordinary relative
+    * ones. */
+  private def resolve(dir: String, p: String): String =
+    if (p.startsWith("/") || p.contains("://")) p else s"$dir/$p"
+
   private def rawRead(spark: SparkSession, dir: String, entries: Seq[Entry]): DataFrame =
     spark.read.option("mergeSchema", "true")
-      .parquet(entries.map(e => s"$dir/${e.path}"): _*)
+      .parquet(entries.map(e => resolve(dir, e.path)): _*)
 
   /** The LOGICAL rows of `entries` under `m`: the physical scan with
     * every applicable merge-on-read delete anti-joined out. A delete
@@ -373,7 +382,7 @@ object SnapshotTable {
           if (!d.keyCols.forall(df.columns.contains)) df
           else {
             val keyFrame = spark.read
-              .parquet(d.paths.map(p => s"$dir/$p"): _*)
+              .parquet(d.paths.map(p => resolve(dir, p)): _*)
               .select(d.keyCols.map(col): _*).distinct()
             df.join(keyFrame, d.keyCols, "left_anti")
           }
@@ -818,7 +827,7 @@ object SnapshotTable {
       spark: SparkSession, dir: String, boundary: Seq[Entry],
       filter: StatFilter): DataFrame = {
     val df = spark.read.option("mergeSchema", "true")
-      .parquet(boundary.map(e => s"$dir/${e.path}"): _*)
+      .parquet(boundary.map(e => resolve(dir, e.path)): _*)
     val c = col(filter.colName)
     val preds = filter.lower.map(toStatVal).map(v => c >= lit(statLit(v))).toSeq ++
       filter.upper.map(toStatVal).map(v => c <= lit(statLit(v)))
@@ -1224,7 +1233,7 @@ object SnapshotTable {
     val head = versions(spark, dir).lastOption.getOrElse(
       throw new IllegalArgumentException(s"snapshot table $dir has no committed version"))
     val fls = files(spark, dir, head)
-    val bytes = fls.map(p => f.getFileStatus(new Path(s"$dir/$p")).getLen).sum
+    val bytes = fls.map(p => f.getFileStatus(new Path(resolve(dir, p))).getLen).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     commitOverwrite(read(spark, dir).coalesce(n), dir)
   }
@@ -1281,7 +1290,7 @@ object SnapshotTable {
         throw new IllegalArgumentException(s"snapshot table $dir has no committed version"))
       val m = readManifest(spark, dir, headV)
       val sized = m.entries.map(e =>
-        e -> f.getFileStatus(new Path(s"$dir/${e.path}")).getLen)
+        e -> f.getFileStatus(new Path(resolve(dir, e.path))).getLen)
       val (small, large) = sized.partition(_._2 < smallBytes)
       if (small.size <= 1) return headV
       val bytes = small.map(_._2).sum
@@ -1327,7 +1336,7 @@ object SnapshotTable {
     val head = versions(spark, dir).lastOption.getOrElse(
       throw new IllegalArgumentException(s"snapshot table $dir has no committed version"))
     val fls = files(spark, dir, head)
-    val bytes = fls.map(p => f.getFileStatus(new Path(s"$dir/$p")).getLen).sum
+    val bytes = fls.map(p => f.getFileStatus(new Path(resolve(dir, p))).getLen).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = read(spark, dir)
     require(!df.columns.contains("_z"), "compactHeadZOrdered reserves the column name _z")
@@ -1461,7 +1470,7 @@ object SnapshotTable {
     val candidates = prunedCandidates(spark, dir, m, keyed, keys, among)
     if (candidates.isEmpty) return Seq.empty
     val cand = spark.read.option("mergeSchema", "true")
-      .parquet(candidates.map(e => s"$dir/${e.path}"): _*)
+      .parquet(candidates.map(e => resolve(dir, e.path)): _*)
     // input_file_name is only defined before the first exchange, so
     // project it at the scan, then join
     val touchedAbs = cand
@@ -1653,6 +1662,60 @@ object SnapshotTable {
     -1L // unreachable
   }
 
+  /** SHALLOW CLONE: a new table whose v1 manifest references the
+    * source version's data files BY ABSOLUTE PATH — zero data copied
+    * at any table size (the real formats' zero-copy clone: a 100 TB
+    * dev/experiment fork costs one manifest write plus kilobyte
+    * sidecar copies). Stats, blooms, and declarations carry verbatim;
+    * bloom SIDECARS are copied (metadata-sized) so key pruning works
+    * on the clone without reaching into the source's `_blooms` tree.
+    * The clone then diverges copy-on-write: every rewriting commit
+    * replaces exactly the entries it touches with ordinary relative
+    * files, external references carry forward untouched, and the
+    * clone's vacuum never deletes an external file — they belong to
+    * the source. Caveats, both documented properties of every shallow
+    * clone: (1) vacuuming the SOURCE can orphan files the clone still
+    * references (retain source history for the clone's lifetime, or
+    * compact the clone to localize it); (2) the clone starts a FRESH
+    * stream ledger — point a stream at it with a new checkpoint, not
+    * a resumed one. Pending merge-on-read deletes do not transplant
+    * (their sequence scoping is ledger-relative): run `applyDeletes`
+    * on the source first — refused loudly otherwise. Returns the
+    * clone's version (always 1). */
+  def cloneTable(
+      spark: SparkSession, srcDir: String, dstDir: String,
+      version: Option[Long] = None): Long = {
+    val vs = versions(spark, srcDir)
+    require(vs.nonEmpty, s"snapshot table $srcDir has no committed version")
+    val v = version.getOrElse(vs.last)
+    val m = readManifest(spark, srcDir, v)
+    require(m.deletes.isEmpty,
+      s"cloneTable: $srcDir@$v carries pending merge-on-read deletes, whose " +
+        "sequence scoping is ledger-relative and does not transplant — run " +
+        "applyDeletes on the source first")
+    require(versions(spark, dstDir).isEmpty,
+      s"cloneTable target $dstDir already has a committed version")
+    val f = fs(spark, dstDir)
+    val srcFs = fs(spark, srcDir)
+    val ext = m.entries.map { e =>
+      val abs = resolve(srcDir, e.path)
+      // carried entries restart at seq 0: a future MoR delete on the
+      // clone (seq ≥ 2) applies to them, as it must
+      e.sidecarBloomCols.foreach { c =>
+        org.apache.hadoop.fs.FileUtil.copy(
+          srcFs, sidecarBloomPath(srcDir, e.path, c),
+          f, sidecarBloomPath(dstDir, abs, c),
+          false, spark.sparkContext.hadoopConfiguration)
+      }
+      e.copy(path = abs, seq = 0L)
+    }
+    require(tryPublish(spark, dstDir,
+      Manifest(1L, Set.empty, m.statsCols, ext,
+        bloomCols = m.bloomCols, bloomFpp = m.bloomFpp)),
+      s"cloneTable lost a creation race on $dstDir")
+    1L
+  }
+
   /** Fold every pending merge-on-read delete into the data and clear
     * the list — the maintenance half of `commitDeleteMoR`, run on the
     * OPTIMIZE schedule. File-granular like the COW paths: for each
@@ -1679,7 +1742,7 @@ object SnapshotTable {
         if (eligible.isEmpty) Nil
         else {
           val keyFrame = spark.read
-            .parquet(d.paths.map(p => s"$dir/$p"): _*)
+            .parquet(d.paths.map(p => resolve(dir, p)): _*)
             .select(d.keyCols.map(col): _*).distinct()
           touchedFiles(spark, dir, m, keyFrame, d.keyCols, eligible)
         }
@@ -1756,7 +1819,7 @@ object SnapshotTable {
       if (added.isEmpty)
         read(spark, dir, Some(toV)).limit(0).withColumn("_change", lit("insert"))
       else spark.read.option("mergeSchema", "true")
-        .parquet(added.map(f => s"$dir/$f"): _*)
+        .parquet(added.map(f => resolve(dir, f)): _*)
         .withColumn("_change", lit("insert"))
     } else {
       val from = read(spark, dir, Some(fromV))
@@ -1786,7 +1849,10 @@ object SnapshotTable {
       m.entries.map(_.path).toSet ++ m.deletes.flatMap(_.paths)
     }
     val live = keep.flatMap(named).toSet
-    val dead = drop.flatMap(named).toSet -- live
+    // EXTERNAL (absolute) references belong to the clone's source
+    // table — never ours to delete, whatever manifests age out
+    val dead = (drop.flatMap(named).toSet -- live)
+      .filterNot(p => p.startsWith("/") || p.contains("://"))
     dead.foreach(p => f.delete(new Path(s"$dir/$p"), false))
     // a dead file's bloom sidecars die with it (deterministic name
     // derivation: _blooms/<relpath>.<col>.bloom)

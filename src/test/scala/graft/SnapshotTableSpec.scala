@@ -1038,6 +1038,50 @@ class SnapshotTableSpec extends SparkSpec {
       .toSeq == Seq("revived"))
   }
 
+  test("cloneTable: zero-copy fork, COW divergence, vacuum never touches externals") {
+    val src = freshDir()
+    SnapshotTable.commitAppend(
+      (1L to 100L).toDF("id").repartitionByRange(4, col("id")),
+      src, statsCols = Seq("id"), bloomCols = Seq("id"))
+    val dst = freshDir()
+    assert(SnapshotTable.cloneTable(spark, src, dst) == 1L)
+    // zero data copied: the clone dir holds only manifests (+ sidecars)
+    val f = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = f.listStatus(new org.apache.hadoop.fs.Path(dst))
+      .map(_.getPath.getName).toSet
+    assert(!dirs.exists(_.startsWith("batch-")),
+      s"a shallow clone must copy no data: $dirs")
+    assert(ids(SnapshotTable.read(spark, dst)) == (1L to 100L))
+    // stats pruning works through external references
+    val (kept, total) = SnapshotTable.pruneFilesByKeys(spark, dst, "id", Seq(7L))
+    assert(kept.size < total)
+    // COW divergence: a merge on the clone rewrites only touched
+    // entries locally; the source is untouched
+    SnapshotTable.commitMerge(Seq(101L).toDF("id"), dst, Seq("id"))
+    SnapshotTable.commitDelete(Seq(7L).toDF("id"), dst, Seq("id"))
+    assert(ids(SnapshotTable.read(spark, dst)) ==
+      ((1L to 100L).filterNot(_ == 7L) :+ 101L))
+    assert(ids(SnapshotTable.read(spark, src)) == (1L to 100L),
+      "the source must never see the clone's writes")
+    assert(SnapshotTable.versions(spark, src) == Seq(1L))
+    // clone's vacuum drops its own aged rewrites but never an external
+    SnapshotTable.vacuum(spark, dst, keepVersions = 1)
+    assert(ids(SnapshotTable.read(spark, dst)) ==
+      ((1L to 100L).filterNot(_ == 7L) :+ 101L))
+    assert(ids(SnapshotTable.read(spark, src)) == (1L to 100L))
+    // pending MoR deletes refuse to transplant
+    val src2 = freshDir()
+    SnapshotTable.commitAppend((1L to 5L).toDF("id"), src2)
+    SnapshotTable.commitDeleteMoR(Seq(2L).toDF("id"), src2, Seq("id"))
+    assert(intercept[IllegalArgumentException] {
+      SnapshotTable.cloneTable(spark, src2, freshDir())
+    }.getMessage.contains("applyDeletes"))
+    // a MoR delete ON the clone applies to carried externals (seq 0)
+    SnapshotTable.commitDeleteMoR(Seq(50L).toDF("id"), dst, Seq("id"))
+    assert(!ids(SnapshotTable.read(spark, dst)).contains(50L))
+  }
+
   test("commitStreamDeleteMoR: ledger-keyed exactly-once; re-insert after retraction survives the fold") {
     val dir = freshDir()
     SnapshotTable.commitAppend((1L to 10L).toDF("id"), dir, statsCols = Seq("id"))
