@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{CalabrioSync, Components, Incremental, Linkage, Multimodal, Queries, Sampling, Shred, Similarity, Sketches, Skew, TemporalJoins, TextOps}
-import org.apache.spark.sql.functions.{array, array_max, array_min, call_function, coalesce, col, concat, count, countDistinct, cume_dist, date_format, datediff, dayofmonth, dense_rank, element_at, explode, expr, lag, lead, lit, lpad, max, md5, min, ntile, percent_rank, posexplode, round, size, slice, substring, sum, to_date, transform, when}
+import org.apache.spark.sql.functions.{array, array_max, array_min, call_function, coalesce, col, concat, count, countDistinct, cume_dist, date_format, datediff, dayofmonth, dense_rank, element_at, explode, expr, greatest, lag, lead, least, lit, lpad, max, md5, min, ntile, percent_rank, posexplode, round, size, slice, substring, sum, to_date, transform, when}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -2116,6 +2116,28 @@ object SparkEntry {
         .groupBy("type_a", "type_b")
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("type_a", "type_b")
+    }),
+    // Interval OVERLAP join (the band join's two-sided sibling):
+    // variable-length event intervals vs a disjoint window set, as a
+    // bucketed EQUI-join with the canonical-bucket rule making every
+    // overlapping pair survive exactly once — no distinct, no
+    // nested-loop plan. DuckDB's IEJoin answers the same raw
+    // inequality predicate as the oracle.
+    "interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("ms", expr("unix_micros(ts) DIV 1000"))
+      val l = ev.filter(col("user_id") % 2 === 0)
+        .select(col("event_id").as("l_id"), col("ms").as("l_start"),
+          (col("ms") + (col("event_id") % 50) * 1000L).as("l_end"))
+      val r = ev.filter(col("user_id") % 2 === 1)
+        .select(col("event_id").as("r_id"), col("ms").as("r_start"),
+          (col("ms") + (col("event_id") % 97) * 500L).as("r_end"))
+      TemporalJoins.intervalJoin(
+        l, r, "l_start", "l_end", "r_start", "r_end", bucketMs = 60000L)
+        .select(col("l_id"), col("r_id"),
+          (least(col("l_end"), col("r_end")) -
+            greatest(col("l_start"), col("r_start"))).as("overlap_ms"))
+        .orderBy("l_id", "r_id")
     }),
     // Bucketed zero-exchange join: both sides land as bucketed catalog
     // tables on their join keys, and the recurring join then plans
@@ -5573,6 +5595,20 @@ object SparkEntry {
         |FROM e a JOIN e b
         |  ON a.event_id < b.event_id AND b.ms BETWEEN a.ms - 1000 AND a.ms + 1000
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the raw inequality overlap predicate (DuckDB IEJoin) replays
+    // the bucketed canonical-bucket equi-join pair-for-pair
+    "interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events),
+        | l AS (SELECT event_id AS l_id, ms AS l_start,
+        |              ms + (event_id % 50) * 1000 AS l_end
+        |       FROM e WHERE user_id % 2 = 0),
+        | r AS (SELECT event_id AS r_id, ms AS r_start,
+        |              ms + (event_id % 97) * 500 AS r_end
+        |       FROM e WHERE user_id % 2 = 1)
+        |SELECT l_id, r_id,
+        |       least(l_end, r_end) - greatest(l_start, r_start) AS overlap_ms
+        |FROM l JOIN r ON l_start <= r_end AND r_start <= l_end
+        |ORDER BY l_id, r_id""".stripMargin,
     // the same week off the UNPARTITIONED table — layout is physical
     "partition_prune" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt,

@@ -166,4 +166,47 @@ object TemporalJoins {
       .where(abs(col(leftTime) - col(rightTime)) <= band)
       .drop("_bucket")
   }
+
+  /** Interval OVERLAP join: every (l, r) pair with [lStart,lEnd] ∩
+    * [rStart,rEnd] ≠ ∅ (closed intervals — touching endpoints match),
+    * WITHOUT the broadcast-nested-loop plan Spark gives the raw
+    * inequality predicate. Both sides explode their intervals into
+    * fixed-width time buckets, the join is a plain shuffled equi-join
+    * on bucket, and the CANONICAL-BUCKET rule — keep a pair only in
+    * the bucket holding max(lStart, rStart), which any overlapping
+    * pair provably co-occupies — makes every match survive EXACTLY
+    * once: no distinct, no post-dedup shuffle. Work is Σ per-bucket
+    * |L|·|R| (data-proximity bound; AQE splits a skewed bucket), and
+    * the explode fan-out is interval_length/bucketMs + 1 per row, so
+    * pick bucketMs near the typical interval length. Times must be
+    * integral epoch ms; an end before its start is a loud per-row
+    * error (a silently-descending `sequence` would bucket wrong, and
+    * dropping the row would silently under-join). Column names must
+    * be disjoint; self-joins alias first.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      lStart: String, lEnd: String,
+      rStart: String, rEnd: String,
+      bucketMs: Long): DataFrame = {
+    require(bucketMs > 0, "bucketMs must be positive")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"interval join requires disjoint column names, both sides have: $overlap")
+    require(!(left.columns ++ right.columns).contains("_bucket"),
+      "interval join reserves the column name _bucket")
+    def bucketOf(c: Column): Column =
+      call_function("div", c - pmod(c, lit(bucketMs)), lit(bucketMs))
+    def buckets(s: String, e: String): Column =
+      explode(sequence(bucketOf(col(s)),
+        bucketOf(when(col(e) >= col(s), col(e)).otherwise(raise_error(
+          concat(lit(s"interval join: $e < $s on row with $s="), col(s).cast("string")))))))
+    val l = left.withColumn("_bucket", buckets(lStart, lEnd))
+    val r = right.withColumn("_bucket", buckets(rStart, rEnd))
+    l.join(r, Seq("_bucket"))
+      .where(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .where(col("_bucket") === bucketOf(greatest(col(lStart), col(rStart))))
+      .drop("_bucket")
+  }
 }

@@ -166,4 +166,50 @@ class TemporalJoinsSpec extends SparkSpec {
       TemporalJoins.bandJoin(a, b, "t_a", "t_b", 1L)
     }
   }
+
+  test("intervalJoin: overlap semantics, exactly-once across shared buckets") {
+    val l = Seq(
+      (1L, 0L, 100L),    // overlaps r1 (touching), r2 (contained)
+      (2L, 500L, 2500L), // spans 3 buckets; overlaps r3 twice-bucketed
+      (3L, 9000L, 9100L) // overlaps nothing
+    ).toDF("l_id", "l_start", "l_end")
+    val r = Seq(
+      (10L, 100L, 200L),  // touches l1 at 100 exactly — closed intervals match
+      (20L, 40L, 60L),    // contained in l1
+      (30L, 400L, 2600L), // shares buckets 0,1,2 with l2 — must pair ONCE
+      (40L, 3000L, 3100L) // disjoint from everything
+    ).toDF("r_id", "r_start", "r_end")
+    val got = TemporalJoins.intervalJoin(
+      l, r, "l_start", "l_end", "r_start", "r_end", bucketMs = 1000L)
+      .select("l_id", "r_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, 10L), (1L, 20L), (2L, 30L)))
+  }
+
+  test("intervalJoin equals the brute-force inequality join on random-ish data") {
+    val l = (1L to 60L).map(i => (i, i * 37 % 500, i * 37 % 500 + i % 90))
+      .toDF("l_id", "l_start", "l_end")
+    val r = (1L to 60L).map(i => (i, i * 53 % 500, i * 53 % 500 + i % 70))
+      .toDF("r_id", "r_start", "r_end")
+    val got = TemporalJoins.intervalJoin(
+      l, r, "l_start", "l_end", "r_start", "r_end", bucketMs = 64L)
+      .select("l_id", "r_id").as[(Long, Long)].collect().sorted.toSeq
+    val brute = l.join(r,
+        col("l_start") <= col("r_end") && col("r_start") <= col("l_end"))
+      .select("l_id", "r_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == brute && got.distinct == got)
+  }
+
+  test("intervalJoin plans an equi-join and rejects malformed intervals loudly") {
+    val l = (1L to 20L).map(i => (i, i * 10, i * 10 + 5)).toDF("l_id", "l_start", "l_end")
+    val r = (1L to 20L).map(i => (i, i * 7, i * 7 + 3)).toDF("r_id", "r_start", "r_end")
+    val p = plan(TemporalJoins.intervalJoin(
+      l, r, "l_start", "l_end", "r_start", "r_end", 16L))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val bad = Seq((1L, 100L, 50L)).toDF("l_id", "l_start", "l_end")
+    val e = intercept[Exception] {
+      TemporalJoins.intervalJoin(
+        bad, r, "l_start", "l_end", "r_start", "r_end", 16L).count()
+    }
+    assert(e.getMessage != null)
+  }
 }
