@@ -2515,6 +2515,21 @@ object SparkEntry {
         .groupBy("event_type").agg(count(lit(1)).as("n_events"))
         .orderBy("event_type")
     }),
+    // CDC across the two MoR delete commits at DELTA cost: the
+    // in-row require pins the "mor-delete" path (manifest-classified
+    // — identical file set, extended delete list), under which the
+    // change set is computed from key-pruned candidate slices, never
+    // a table-sized exceptAll; keys retracted by BOTH deletes (%77)
+    // report once, at the first. Oracle replays the doomed rows.
+    "snapshot_mor_changes" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val tbl = snapMorTable(s, dir)
+      require(SnapshotTable.changesPath(s, tbl, 1L, 3L) == "mor-delete",
+        "CDC across pure MoR delete commits must take the delta-bounded path")
+      SnapshotTable.changesBetween(s, tbl, 1L, 3L)
+        .select("event_id", "event_type", "_change")
+        .orderBy("event_id")
+    }),
     // The fold half of the MoR lifecycle: applyDeletes (v4) rewrote
     // the doomed rows out file-granularly, cleared the delete list,
     // and restored the metadata fast paths — in-row, countRows (a
@@ -5725,6 +5740,12 @@ object SparkEntry {
         |FROM events
         |WHERE event_id % 7 <> 0 AND event_id % 11 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the retracted rows across both MoR deletes, each exactly once
+    "snapshot_mor_changes" ->
+      """SELECT event_id, event_type, 'delete' AS _change
+        |FROM events
+        |WHERE event_id % 7 = 0 OR event_id % 11 = 0
+        |ORDER BY event_id""".stripMargin,
     // post-delete head: the restatements remain, the synthetic
     // inserts are gone
     "snapshot_delete" ->

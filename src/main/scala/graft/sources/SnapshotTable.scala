@@ -1798,34 +1798,82 @@ object SnapshotTable {
     * consumers (a mergeAdditive refresh, a sync) read the changes
     * instead of rescanning the corpus.
     */
+  /** The path `changesBetween(fromV, toV)` will take — pure manifest
+    * inspection, no data read: "append" (file-set diff, zero
+    * compute), "mor-delete" (delta-bounded doomed-row lookup), or
+    * "content-diff" (the multiset-exact fallback). The observability
+    * hook the CDC rows' in-row requires assert on. */
+  def changesPath(
+      spark: SparkSession, dir: String, fromV: Long, toV: Long): String = {
+    require(fromV < toV, s"changesPath: need fromV < toV, got $fromV >= $toV")
+    val fm = readManifest(spark, dir, fromV)
+    val tm = readManifest(spark, dir, toV)
+    classifyChanges(fm, tm)
+  }
+
+  private def classifyChanges(fm: Manifest, tm: Manifest): String = {
+    val ff = fm.entries.map(_.path).toSet
+    val tf = tm.entries.map(_.path).toSet
+    val fd = fm.deletes.map(d => (d.paths, d.seq))
+    val td = tm.deletes.map(d => (d.paths, d.seq))
+    if (ff.subsetOf(tf) && fd.toSet == td.toSet) "append"
+    // the MoR-delete fast path needs the delete list to EXTEND from's
+    // (seq order preserved) over an IDENTICAL file set
+    else if (ff == tf && td.size > fd.size && td.take(fd.size) == fd) "mor-delete"
+    else "content-diff"
+  }
+
   def changesBetween(
       spark: SparkSession, dir: String, fromV: Long, toV: Long): DataFrame = {
     require(fromV < toV, s"changesBetween: need fromV < toV, got $fromV >= $toV")
     val fm = readManifest(spark, dir, fromV)
     val tm = readManifest(spark, dir, toV)
-    val ff = fm.entries.map(_.path).toSet
-    val tf = tm.entries.map(_.path).toSet
-    // the append fast path also requires IDENTICAL pending delete
-    // lists: a merge-on-read delete commit changes the logical
-    // contents while changing no data file (ff ⊆ tf would wrongly
-    // read as "no changes"), and files added after a shared delete
-    // list always carry higher seqs than every shared delete, so
-    // reading them raw IS their logical content
-    val sameDeletes =
-      fm.deletes.map(d => (d.paths, d.seq)).toSet ==
-        tm.deletes.map(d => (d.paths, d.seq)).toSet
-    if (ff.subsetOf(tf) && sameDeletes) {
-      val added = (tf -- ff).toSeq.sorted
-      if (added.isEmpty)
-        read(spark, dir, Some(toV)).limit(0).withColumn("_change", lit("insert"))
-      else spark.read.option("mergeSchema", "true")
-        .parquet(added.map(f => resolve(dir, f)): _*)
-        .withColumn("_change", lit("insert"))
-    } else {
-      val from = read(spark, dir, Some(fromV))
-      val to = read(spark, dir, Some(toV))
-      to.exceptAll(from).withColumn("_change", lit("insert"))
-        .unionByName(from.exceptAll(to).withColumn("_change", lit("delete")))
+    classifyChanges(fm, tm) match {
+      // the append fast path requires IDENTICAL pending delete lists:
+      // a merge-on-read delete commit changes the logical contents
+      // while changing no data file (ff ⊆ tf would wrongly read as
+      // "no changes"), and files added after a shared delete list
+      // always carry higher seqs than every shared delete, so reading
+      // them raw IS their logical content
+      case "append" =>
+        val ff = fm.entries.map(_.path).toSet
+        val added = (tm.entries.map(_.path).toSet -- ff).toSeq.sorted
+        if (added.isEmpty)
+          read(spark, dir, Some(toV)).limit(0).withColumn("_change", lit("insert"))
+        else spark.read.option("mergeSchema", "true")
+          .parquet(added.map(f => resolve(dir, f)): _*)
+          .withColumn("_change", lit("insert"))
+      // MoR-delete fast path: identical file set, to's delete list
+      // extends from's — the changes are EXACTLY the from-state rows
+      // matching the new delete keys, computed at DELTA cost: per new
+      // delete (in seq order), stats+bloom pruning bounds the
+      // candidate files, and the "before" frame applies from's
+      // deletes plus the new deletes already processed, so a key
+      // doubly-retracted by two new deletes reports once, at the
+      // first. A retraction stream's CDC consumer reads key-bounded
+      // slices, never the table.
+      case "mor-delete" =>
+        val newDels = tm.deletes.drop(fm.deletes.size)
+        val frames = newDels.zipWithIndex.flatMap { case (d, i) =>
+          val mState = fm.copy(deletes = fm.deletes ++ newDels.take(i))
+          val eligible = fm.entries.filter(_.seq < d.seq)
+          val keyFrame = spark.read
+            .parquet(d.paths.map(p => resolve(dir, p)): _*)
+            .select(d.keyCols.map(col): _*).distinct()
+          val cand = prunedCandidates(spark, dir, fm, keyFrame, d.keyCols, eligible)
+          if (cand.isEmpty) None
+          else Some(entriesFrame(spark, dir, mState, cand)
+            .join(keyFrame, d.keyCols, "left_semi"))
+        }
+        if (frames.isEmpty)
+          read(spark, dir, Some(fromV)).limit(0).withColumn("_change", lit("delete"))
+        else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+          .withColumn("_change", lit("delete"))
+      case _ =>
+        val from = read(spark, dir, Some(fromV))
+        val to = read(spark, dir, Some(toV))
+        to.exceptAll(from).withColumn("_change", lit("insert"))
+          .unionByName(from.exceptAll(to).withColumn("_change", lit("delete")))
     }
   }
 

@@ -519,6 +519,29 @@ object ScaleProbe {
             s"groupCounts must answer mostly from metadata: meta=$meta scan=$scanned of $total")
           out
         }),
+        // interval overlap join over N TIME-SHIFTED replicas (each
+        // replica's axis moves by k·60 days, past any interval reach,
+        // so per-bucket density — and the pair count — scales exactly
+        // N×, never N² from a densifying shared timeline)
+        "interval_join" -> (() => {
+          val ev = Tables.events(spark, sfDir)
+            .select(col("event_id"), col("user_id"),
+              expr("unix_micros(ts) DIV 1000").as("ms"))
+            .repartition(spark.sparkContext.defaultParallelism)
+          val shifted = replicate(ev, f)
+            .select(
+              (col("event_id") + col("k") * 1000000000L).as("event_id"),
+              col("user_id"),
+              (col("ms") + col("k") * 5184000000L).as("ms"))
+          val l = shifted.filter(col("user_id") % 2 === 0)
+            .select(col("event_id").as("l_id"), col("ms").as("l_start"),
+              (col("ms") + (col("event_id") % 50) * 1000L).as("l_end"))
+          val r = shifted.filter(col("user_id") % 2 === 1)
+            .select(col("event_id").as("r_id"), col("ms").as("r_start"),
+              (col("ms") + (col("event_id") % 97) * 500L).as("r_end"))
+          graft.operators.TemporalJoins.intervalJoin(
+            l, r, "l_start", "l_end", "r_start", "r_end", bucketMs = 60000L)
+        }),
         // triangle census over N disjoint replicas of the part
         // co-order graph (both ids salted per replica): triangles
         // scale exactly N×, per-replica wedge structure — and the

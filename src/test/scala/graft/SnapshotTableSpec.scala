@@ -1105,7 +1105,31 @@ class SnapshotTableSpec extends SparkSpec {
       Seq(1L, 2L, 3L, 4L, 6L, 7L, 8L, 9L, 10L))
   }
 
-  test("applyDeletes is file-granular; CDC across a MoR delete takes the content diff") {
+  test("changesBetween MoR fast path: delta-bounded deletes, double-retraction once, polarity") {
+    val dir = freshDir()
+    SnapshotTable.commitAppend(
+      (1L to 100L).toDF("id").repartitionByRange(4, col("id")),
+      dir, statsCols = Seq("id"), bloomCols = Seq("id"))
+    SnapshotTable.commitDeleteMoR(Seq(3L, 7L).toDF("id"), dir, Seq("id"))
+    SnapshotTable.commitDeleteMoR(Seq(7L, 11L, 999L).toDF("id"), dir, Seq("id"))
+    assert(SnapshotTable.changesPath(spark, dir, 1L, 3L) == "mor-delete")
+    assert(SnapshotTable.changesPath(spark, dir, 2L, 3L) == "mor-delete")
+    // across both deletes: 7 reported ONCE (first retraction), 999
+    // never (matched nothing)
+    val ch = SnapshotTable.changesBetween(spark, dir, 1L, 3L)
+    assert(ch.filter(col("_change") =!= "delete").isEmpty)
+    assert(ids(ch) == Seq(3L, 7L, 11L))
+    // from v2 (3,7 already gone): only 11 remains to retract
+    assert(ids(SnapshotTable.changesBetween(spark, dir, 2L, 3L)) == Seq(11L))
+    // a re-insert AFTER the deletes breaks the identical-file-set
+    // precondition — falls back to the content diff and stays exact
+    SnapshotTable.commitMerge(Seq(7L).toDF("id"), dir, Seq("id"))
+    assert(SnapshotTable.changesPath(spark, dir, 3L, 4L) == "content-diff")
+    assert(ids(SnapshotTable.changesBetween(spark, dir, 3L, 4L)
+      .filter(col("_change") === "insert")) == Seq(7L))
+  }
+
+  test("applyDeletes is file-granular; CDC across a MoR delete never reads as no-changes") {
     val dir = freshDir()
     // range-clustered: the delete keys live entirely in one file
     SnapshotTable.commitAppend(
@@ -1114,8 +1138,9 @@ class SnapshotTableSpec extends SparkSpec {
     val before = SnapshotTable.files(spark, dir, 1L)
     SnapshotTable.commitDeleteMoR(Seq(1L, 2L, 3L).toDF("id"), dir, Seq("id"))
     // ff ⊆ tf here (no data file changed) — the append fast path
-    // would wrongly report "no changes"; the delete-list mismatch
-    // must force the content diff
+    // would wrongly report "no changes"; the delete-list extension
+    // routes to the delta-bounded MoR path instead
+    assert(SnapshotTable.changesPath(spark, dir, 1L, 2L) == "mor-delete")
     val ch = SnapshotTable.changesBetween(spark, dir, 1L, 2L)
     assert(ch.filter(col("_change") === "delete").select("id").as[Long]
       .collect().sorted.toSeq == Seq(1L, 2L, 3L))
