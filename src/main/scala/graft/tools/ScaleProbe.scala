@@ -519,6 +519,12 @@ object ScaleProbe {
             s"groupCounts must answer mostly from metadata: meta=$meta scan=$scanned of $total")
           out
         }),
+        // integer k-means: the assignment passes are map-only N×
+        // (the centroid table rides as a codegen literal), the
+        // refresh shuffle is k·dim rows whatever the corpus — wall
+        // should track the scan, never the fixpoint bookkeeping
+        "kmeans_assign" -> (() =>
+          graft.operators.Clustering.kmeansAssign(emb, k = 8, iters = 2)),
         // interval overlap join over N TIME-SHIFTED replicas (each
         // replica's axis moves by k·60 days, past any interval reach,
         // so per-bucket density — and the pair count — scales exactly
