@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{CalabrioSync, Components, Incremental, Linkage, Multimodal, Queries, Sampling, Shred, Similarity, Sketches, Skew, TemporalJoins, TextOps}
-import org.apache.spark.sql.functions.{array, array_max, array_min, call_function, coalesce, col, concat, count, countDistinct, cume_dist, date_format, datediff, dayofmonth, dense_rank, element_at, explode, expr, greatest, lag, lead, least, lit, lpad, max, md5, min, ntile, percent_rank, posexplode, round, size, slice, substring, sum, to_date, transform, when}
+import org.apache.spark.sql.functions.{array, array_max, array_min, call_function, coalesce, col, concat, count, countDistinct, cume_dist, date_format, datediff, dayofmonth, dense_rank, element_at, explode, expr, greatest, lag, lead, least, length, lit, lpad, max, md5, min, ntile, percent_rank, posexplode, round, size, slice, substring, sum, to_date, transform, when}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1404,6 +1404,14 @@ object SparkEntry {
         s.range(25).select((col("id") * 2).as("node")), iterations = 3)
         .select(col("node"), col("rank").as("rank_e12"))
         .orderBy(col("rank_e12").desc, col("node")).limit(50)),
+    // Multi-source BFS hop distances over the same graph, horizon 3 —
+    // exact within the horizon, absent beyond it; the oracle replays
+    // all three relaxation rounds as CTEs, hash-exact.
+    "bfs_distances" -> ((s, dir) =>
+      graft.operators.Paths.bfsDistances(
+        orderGraph(s, dir),
+        s.range(25).select((col("id") * 2).as("node")), iterations = 3)
+        .orderBy("node")),
     // Synchronous weighted label propagation, 2 rounds, ties to the
     // lower label (LabelProp scaladoc) — community structure over the
     // same graph; every round is replayed by the oracle's vote CTEs.
@@ -1778,6 +1786,24 @@ object SparkEntry {
           slice(col("embedding"), 2, 63)).as("embedding"))
       Similarity.semanticDedup(base.unionByName(twins))
         .orderBy("vec_id")
+    }),
+    // Markup strip over synthetic HTML wrapping (script payloads with
+    // '<' inside, comments, attributes, all five entities including
+    // the one-level "&amp;amp;" case) — the pre-step of every text
+    // operator on web scrapes; the oracle replays the identical
+    // regex/replace chain byte-for-byte.
+    "strip_markup" -> ((s, dir) => {
+      val wrapped = Tables.documents(s, dir).select(col("doc_id"),
+        concat(
+          lit("<html><head><title>t</title><style>p { color: red }" +
+            "</style></head><body onload=\"x()\"><!-- nav chrome --><p>"),
+          col("text"),
+          lit("</p><script type=\"text/js\">if (1 < 2) { x(); }</script>" +
+            "&amp;amp; &lt;tail&gt; &quot;q&quot; &#39;s&#39;</body></html>"))
+          .as("text"))
+      graft.operators.TextOps.stripMarkup(wrapped)
+        .withColumn("n_chars", length(col("clean_text")).cast("long"))
+        .orderBy("doc_id")
     }),
     // Exact integer k-means (Lloyd over e3-quantized coordinates, the
     // PageRank integer-fixpoint discipline applied to curation
@@ -5068,6 +5094,28 @@ object SparkEntry {
         |       CAST((SELECT count(*) FROM wed w WHERE EXISTS
         |         (SELECT 1 FROM pe WHERE pe.a = w.v1 AND pe.b = w.v2)) AS BIGINT)
         |         AS n_triangles""".stripMargin,
+    // three BFS relaxation rounds as chained CTEs: union the frontier
+    // expansion with the standing distances, grouped min each round
+    "bfs_distances" ->
+      """WITH pairs AS (SELECT o_custkey AS c, l_suppkey AS sup
+        |        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |        GROUP BY 1, 2),
+        | e AS (SELECT c*2 AS src, sup*2+1 AS dst FROM pairs
+        |       UNION ALL SELECT sup*2+1, c*2 FROM pairs),
+        | d0 AS (SELECT i*2 AS node, CAST(0 AS BIGINT) AS dist FROM range(0, 25) t(i)),
+        | d1 AS (SELECT node, min(dist) AS dist FROM (
+        |         SELECT node, dist FROM d0
+        |         UNION ALL SELECT e.dst, d.dist + 1 FROM d0 d JOIN e ON d.node = e.src)
+        |        GROUP BY node),
+        | d2 AS (SELECT node, min(dist) AS dist FROM (
+        |         SELECT node, dist FROM d1
+        |         UNION ALL SELECT e.dst, d.dist + 1 FROM d1 d JOIN e ON d.node = e.src)
+        |        GROUP BY node),
+        | d3 AS (SELECT node, min(dist) AS dist FROM (
+        |         SELECT node, dist FROM d2
+        |         UNION ALL SELECT e.dst, d.dist + 1 FROM d2 d JOIN e ON d.node = e.src)
+        |        GROUP BY node)
+        |SELECT CAST(node AS BIGINT) AS node, dist FROM d3 ORDER BY node""".stripMargin,
     // two synchronous LPA rounds: per-node weighted vote, tie to the
     // lower label — the row_number ordering IS the tie rule
     "label_prop" ->
@@ -5161,6 +5209,22 @@ object SparkEntry {
     // survivors against the ALL-PAIRS similarity graph: a vector is
     // dropped iff a smaller-id vector anywhere in the corpus clears
     // the threshold — cluster-candidate completeness is the claim
+    // identical strip chain replayed in DuckDB (same RE2-safe regex
+    // subset; entity decode as literal replaces in the same order)
+    "strip_markup" ->
+      """WITH w AS (SELECT doc_id,
+        |        '<html><head><title>t</title><style>p { color: red }</style></head><body onload="x()"><!-- nav chrome --><p>'
+        |        || text ||
+        |        '</p><script type="text/js">if (1 < 2) { x(); }</script>&amp;amp; &lt;tail&gt; &quot;q&quot; &#39;s&#39;</body></html>' AS text
+        |       FROM documents),
+        | s1 AS (SELECT doc_id, regexp_replace(text, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t FROM w),
+        | s2 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s1),
+        | s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s2),
+        | s4 AS (SELECT doc_id, replace(replace(replace(replace(replace(t,
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t FROM s3),
+        | s5 AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text FROM s4)
+        |SELECT doc_id, clean_text, length(clean_text) AS n_chars
+        |FROM s5 ORDER BY doc_id""".stripMargin,
     // full SQL replay of the integer Lloyd fixpoint: e3 quantization,
     // init = the 8 smallest vec_ids' codes, assign (d2 then cluster-id
     // ties), truncating-integer-mean refresh (DuckDB // and Spark div

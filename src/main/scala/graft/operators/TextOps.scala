@@ -205,6 +205,32 @@ object TextOps {
       length(col("text")).cast("long").as("n_chars_raw"))
       .withColumn("n_chars_clean", length(col("clean_text")).cast("long"))
 
+  /** Markup strip for web-scraped corpora — the step BEFORE every
+    * text operator when the source is HTML: drop <script>/<style>
+    * blocks WITH their payload (code and CSS are not training text),
+    * drop HTML comments, drop every remaining tag, decode the five
+    * standard entities ONE level (lt/gt/quot/#39 first, amp LAST —
+    * this order decodes exactly one level: "&amp;lt;" → "&lt;", never
+    * the double-decode to "<"), collapse whitespace runs, trim. A
+    * regexp_replace chain, not a parser: map-only whole-stage
+    * codegen, malformed nesting degrades gracefully (leftover text
+    * survives, nothing throws) — the right trade for trillion-token
+    * scrapes, and the regex subset used ((?is), non-greedy, character
+    * classes) means the SAME patterns run under the DuckDB oracle
+    * byte-for-byte.
+    */
+  def stripMarkup(docs: DataFrame): DataFrame = {
+    val noScript = regexp_replace(col("text"),
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(noTags,
+        "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"), "&amp;", "&")
+    docs.select(col("doc_id"),
+      trim(regexp_replace(decoded, "\\s+", " ")).as("clean_text"))
+  }
+
   /** Exact duplicated-span detection at ANY offset — the dedup mode
     * fixed-window segmentDedup cannot see (Lee et al. 2021,
     * "Deduplicating Training Data Makes Language Models Better",

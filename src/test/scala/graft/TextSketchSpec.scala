@@ -629,4 +629,25 @@ class TextSketchSpec extends SparkSpec {
       (4L, 1, 0L, 0L),
       (5L, 0, 0L, 0L)))
   }
+
+  test("stripMarkup: script payload dies, entities decode ONE level, malformed degrades") {
+    val docs = Seq(
+      (1L, "<p>a <b>b</b></p><script>if (1 < 2) x();</script> c"),
+      (2L, "<style>p { color: red }</style>keep<!-- gone -->"),
+      (3L, "&amp;lt; stays-escaped &lt;real&gt; &quot;q&quot; &#39;s&#39; &amp; done"),
+      (4L, "broken <tag attr=\"x\" unclosed text < alone stays"),
+      (5L, "  spaced\t\tout\n\nlines  ")
+    ).toDF("doc_id", "text")
+    val got = TextOps.stripMarkup(docs).orderBy("doc_id")
+      .as[(Long, String)].collect().toList
+    assert(got === List(
+      (1L, "a b c"),
+      (2L, "keep"),
+      // one-level decode: "&amp;lt;" → "&lt;", NEVER the double-decode to "<"
+      (3L, "&lt; stays-escaped <real> \"q\" 's' & done"),
+      // "<tag attr=\"x\" unclosed text <" spans to the next '>' it finds —
+      // none here, so the '<'-run survives as text (graceful, no throw)
+      (4L, "broken <tag attr=\"x\" unclosed text < alone stays"),
+      (5L, "spaced out lines")))
+  }
 }
