@@ -2516,6 +2516,37 @@ object SparkEntry {
         "the grouped count must not scan every file on a clustered layout")
       out.orderBy("event_type")
     }),
+    // Named tag into the version history: "baseline" pins v1, reads
+    // resolve through the tag — human-meaningful time travel. Tag
+    // creation is atomic-if-absent (re-tagging fails loudly), so the
+    // row creates it only when absent and pins its resolution.
+    "snapshot_tag" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val tbl = snapshotTable(s, dir)
+      if (scala.util.Try(SnapshotTable.tagVersion(s, tbl, "baseline")).isFailure)
+        SnapshotTable.createTag(s, tbl, "baseline", 1L)
+      require(SnapshotTable.tagVersion(s, tbl, "baseline") == 1L,
+        "the baseline tag must resolve to v1")
+      SnapshotTable.readTag(s, tbl, "baseline")
+        .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
+    // Clustering-health report from the manifest alone (zero data
+    // I/O): the hash-clustered layout must report EVERY file spanning
+    // the key domain (range stats prune nothing — the signal to
+    // re-cluster or lean on blooms), the range-clustered layout must
+    // not; the oracle pins both verdicts.
+    "snapshot_cluster_depth" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.SnapshotTable
+      val (hd, ht, hu) = SnapshotTable.clusteringDepth(s, snapMorTable(s, dir), "event_id")
+      val (rd, rt, ru) = SnapshotTable.clusteringDepth(s, snapGroupTable(s, dir), "event_type")
+      require(hu == 0 && ru == 0, "every file must carry stats for its declared column")
+      require(hd == ht, s"hash layout must span the domain everywhere: depth $hd of $ht")
+      require(rd < rt, s"range layout must not: depth $rd of $rt")
+      Seq(("hash", hd == ht), ("range", rd == rt))
+        .toDF("layout", "full_span").orderBy("layout")
+    }),
     // Zero-copy SHALLOW CLONE + copy-on-write divergence: the clone's
     // v1 references the source's files by absolute path (memo asserts
     // no data dir appears), a merge restates the %10 ids ONLY in the
@@ -5972,6 +6003,16 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events
         |FROM events WHERE event_id % 5 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the tag resolves to v1, so the read is v1's slice
+    "snapshot_tag" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM events WHERE event_id % 5 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // clustering verdicts: hash layout spans the domain in every
+    // file, range layout does not — both measured from the manifest
+    "snapshot_cluster_depth" ->
+      """SELECT 'hash' AS layout, true AS full_span
+        |UNION ALL SELECT 'range', false ORDER BY layout""".stripMargin,
     // the refreshed summary must answer for the WHOLE base (original
     // slice + appended delta = all events)
     "mv_refresh" ->

@@ -1264,6 +1264,93 @@ object SnapshotTable {
     -1L // unreachable
   }
 
+  /** Named TAGS — human-meaningful pointers into the version history
+    * ("baseline", "v2024-audit", "pre-migration"): a tag is one tiny
+    * json under `_tags/`, created atomically-if-absent (the
+    * tryPublish discipline — re-tagging a taken name fails loudly,
+    * never silently repoints), resolved by `readTag`/`tagVersion`.
+    * Tags are REFERENCES, not retention: vacuum keeps manifests by
+    * count, so tag anything you vacuum past and the read fails loudly
+    * at resolve time — pass keepVersions generous enough to cover
+    * live tags (the same caveat every versioned format documents).
+    * Deleting a tag never touches data. */
+  def createTag(spark: SparkSession, dir: String, name: String, version: Long): Unit = {
+    require(name.nonEmpty && name.matches("[A-Za-z0-9._-]+"),
+      s"tag name must be [A-Za-z0-9._-]+ — got '$name'")
+    readManifest(spark, dir, version) // throws if the version is absent
+    val f = fs(spark, dir)
+    f.mkdirs(new Path(s"$dir/_tags"))
+    val tmp = new Path(s"$dir/_tags/.tmp-${UUID.randomUUID()}.json")
+    val out = f.create(tmp, false)
+    try out.write(s"""{"version": $version}""".getBytes(UTF_8)) finally out.close()
+    val fc = FileContext.getFileContext(f.getUri, spark.sparkContext.hadoopConfiguration)
+    try fc.rename(tmp, new Path(s"$dir/_tags/$name.json"), Options.Rename.NONE)
+    catch {
+      case _: FileAlreadyExistsException =>
+        f.delete(tmp, false)
+        throw new IllegalArgumentException(
+          s"tag '$name' already exists on $dir — tags never repoint silently; " +
+            "deleteTag first if you mean it")
+    }
+  }
+
+  def tagVersion(spark: SparkSession, dir: String, name: String): Long = {
+    val f = fs(spark, dir)
+    val p = new Path(s"$dir/_tags/$name.json")
+    require(f.exists(p), s"no tag '$name' on $dir")
+    val in = f.open(p)
+    val bytes = try in.readAllBytes() finally in.close()
+    mapper.readTree(bytes).get("version").asLong
+  }
+
+  /** Read the table at a named tag — `read` at the tag's version (a
+    * vacuumed-away version fails loudly at manifest resolve). */
+  def readTag(spark: SparkSession, dir: String, name: String): DataFrame =
+    read(spark, dir, Some(tagVersion(spark, dir, name)))
+
+  def deleteTag(spark: SparkSession, dir: String, name: String): Unit = {
+    val f = fs(spark, dir)
+    require(f.delete(new Path(s"$dir/_tags/$name.json"), false),
+      s"no tag '$name' on $dir")
+  }
+
+  /** Clustering-health report from the MANIFEST alone (zero data
+    * I/O at any table size): for a stats column, the maximum number
+    * of files whose [min,max] ranges overlap at any point — depth 1
+    * means a range/point query opens one file (perfectly clustered),
+    * depth = |files| means every file spans the domain (hash-layout;
+    * range stats prune nothing) — plus how many files a mid-domain
+    * point lookup would keep. The OPTIMIZE advisor: re-cluster when
+    * maxDepth crosses the caller's budget. Sweep over the collected
+    * bounds, O(|files| log |files|) driver work on metadata the
+    * manifest already holds. Files without stats for the column are
+    * counted in `untracked` (they'd never prune — the conservative
+    * read). Returns (maxOverlapDepth, totalFiles, untracked). */
+  def clusteringDepth(
+      spark: SparkSession, dir: String, colName: String,
+      version: Option[Long] = None): (Int, Int, Int) = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"snapshot table $dir has no committed version")
+    val m = readManifest(spark, dir, version.getOrElse(vs.last))
+    val (tracked, untracked) = m.entries.partition(_.stats.contains(colName))
+    val events = tracked.flatMap { e =>
+      val st = e.stats(colName)
+      Seq((st.min, 1), (st.max, -1))
+    }
+    // close AFTER open at the same point: closed intervals touching at
+    // a bound DO overlap there, so opens sort first
+    val sorted = events.sortWith { (a, b) =>
+      val c = cmpStat(a._1, b._1).getOrElse(
+        throw new IllegalStateException(
+          s"incomparable stat bounds for $colName — mixed canonical forms"))
+      if (c != 0) c < 0 else a._2 > b._2
+    }
+    var depth = 0
+    var maxDepth = 0
+    sorted.foreach { case (_, d) => depth += d; if (depth > maxDepth) maxDepth = depth }
+    (maxDepth, m.entries.size, untracked.size)
+  }
+
   /** OPTIMIZE at FILE granularity — the compaction shape the real
     * formats run on schedule: rewrite ONLY files smaller than
     * `smallBytes` (micro-batch and per-window commits accrete these)

@@ -1038,6 +1038,52 @@ class SnapshotTableSpec extends SparkSpec {
       .toSeq == Seq("revived"))
   }
 
+  test("tags: atomic create, loud re-tag refusal, delete, vacuumed tag fails at resolve") {
+    val dir = freshDir()
+    SnapshotTable.commitAppend(Seq(1L, 2L).toDF("id"), dir)
+    SnapshotTable.commitOverwrite(Seq(3L).toDF("id"), dir)
+    SnapshotTable.createTag(spark, dir, "baseline", 1L)
+    assert(SnapshotTable.tagVersion(spark, dir, "baseline") == 1L)
+    assert(ids(SnapshotTable.readTag(spark, dir, "baseline")) == Seq(1L, 2L))
+    // a taken name never repoints silently
+    assert(intercept[IllegalArgumentException] {
+      SnapshotTable.createTag(spark, dir, "baseline", 2L)
+    }.getMessage.contains("already exists"))
+    assert(SnapshotTable.tagVersion(spark, dir, "baseline") == 1L)
+    // tagging an absent version refuses
+    intercept[Exception] { SnapshotTable.createTag(spark, dir, "nope", 9L) }
+    // bad names refuse
+    intercept[IllegalArgumentException] {
+      SnapshotTable.createTag(spark, dir, "bad name", 1L)
+    }
+    // tags are references, not retention: vacuum past the tag, then
+    // the read fails loudly at resolve — never a silent wrong answer
+    SnapshotTable.vacuum(spark, dir, keepVersions = 1)
+    intercept[Exception] { SnapshotTable.readTag(spark, dir, "baseline") }
+    SnapshotTable.deleteTag(spark, dir, "baseline")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.tagVersion(spark, dir, "baseline")
+    }
+  }
+
+  test("clusteringDepth: hand-computed overlap depths; touching bounds count as overlap") {
+    val dir = freshDir()
+    // three files with ranges [1,10], [5,20], [30,40] → max depth 2
+    SnapshotTable.commitAppend(Seq(1L, 10L).toDF("id").coalesce(1), dir,
+      statsCols = Seq("id"))
+    SnapshotTable.commitAppend(Seq(5L, 20L).toDF("id").coalesce(1), dir)
+    SnapshotTable.commitAppend(Seq(30L, 40L).toDF("id").coalesce(1), dir)
+    assert(SnapshotTable.clusteringDepth(spark, dir, "id") == (2, 3, 0))
+    // touching at a closed bound IS overlap: [30,40] + [40,50] → 2
+    SnapshotTable.commitAppend(Seq(40L, 50L).toDF("id").coalesce(1), dir)
+    val (d, t, u) = SnapshotTable.clusteringDepth(spark, dir, "id")
+    assert((d, t, u) == (2, 4, 0))
+    // a stats-free file counts as untracked, not silently pruned
+    val nd = freshDir()
+    SnapshotTable.commitAppend(Seq(1L).toDF("id").coalesce(1), nd) // no statsCols
+    assert(SnapshotTable.clusteringDepth(spark, nd, "id") == (0, 1, 1))
+  }
+
   test("cloneTable: zero-copy fork, COW divergence, vacuum never touches externals") {
     val src = freshDir()
     SnapshotTable.commitAppend(
