@@ -476,6 +476,33 @@ object SparkEntry {
       out
     })
 
+  /** snapshot_gc's table, once per sf dir: one real commit, one
+    * fabricated orphan (a batch dir no manifest names — the crashed-
+    * writer residue), then gcOrphans(grace 0) with requires pinning
+    * that exactly the orphan died and every live file survived. */
+  private val snapGcMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def snapGcTable(s: SparkSession, dir: String): String =
+    snapGcMemo.computeIfAbsent(dir, _ => {
+      import graft.sources.SnapshotTable
+      val out = s"${tempDir("graft_snap_gc")}/events_tbl"
+      SnapshotTable.commitAppend(
+        Tables.events(s, dir).select("event_id", "event_type"), out)
+      s.range(10).toDF("event_id").write.parquet(s"$out/batch-orphaned-fake")
+      val p = new org.apache.hadoop.fs.Path(out)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      def names() = f.listStatus(p).map(_.getPath.getName).toSet
+      require(names().contains("batch-orphaned-fake"), "fixture orphan must exist")
+      val live = SnapshotTable.files(s, out, 1L).toSet
+      val n = SnapshotTable.gcOrphans(s, out, graceMs = 0L)
+      require(n >= 1, s"the sweep must delete the orphan's files, got $n")
+      require(!names().contains("batch-orphaned-fake"),
+        "the emptied orphan dir must be swept")
+      require(SnapshotTable.files(s, out, 1L).toSet == live,
+        "live files must survive the sweep")
+      out
+    })
+
   /** snapshot_clone's source + diverged clone, once per sf dir: src =
     * one range-clustered append; dst = cloneTable (zero data copied —
     * the memo asserts no batch dir exists post-clone) then a merge
@@ -572,6 +599,40 @@ object SparkEntry {
       Similarity.appendToIvfIndex(delta, s"$root/app")
       Similarity.buildIvfIndex(emb, s"$root/full", model)
       (s"$root/app", s"$root/full")
+    })
+
+  /** ivf_index_compact's pair, once per sf dir: `app` = base build +
+    * TWO appends (per-cell splinter files) then compactIvfIndex;
+    * `full` = the one-pass build at the same quantizer. The memo
+    * records the assignments file census before/after compaction so
+    * the row can require real shrinkage and the ≤1-file-per-cell
+    * postcondition. */
+  private val ivfCompactMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, Int, Int, Boolean)]()
+  private def ivfCompactIndexes(
+      s: SparkSession, dir: String): (String, String, Int, Int, Boolean) =
+    ivfCompactMemo.computeIfAbsent(dir, _ => {
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(col("vec_id") % 5 <= 2)
+      val root = tempDir("graft_ivf_compact")
+      val model = Similarity.fitIvfModel(base)
+      Similarity.buildIvfIndex(base, s"$root/app", model)
+      Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 5 === 3), s"$root/app")
+      Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 5 === 4), s"$root/app")
+      def census(): Map[String, Int] = {
+        val p = new org.apache.hadoop.fs.Path(s"$root/app/assignments")
+        val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        f.listStatus(p).filter(_.getPath.getName.startsWith("cell="))
+          .map(d => d.getPath.getName ->
+            f.listStatus(d.getPath).count(_.getPath.getName.endsWith(".parquet")))
+          .toMap
+      }
+      val before = census()
+      Similarity.compactIvfIndex(s, s"$root/app")
+      val after = census()
+      Similarity.buildIvfIndex(emb, s"$root/full", model)
+      (s"$root/app", s"$root/full",
+        before.values.sum, after.values.sum, after.values.forall(_ <= 1))
     })
 
   /** The retrieval chain's chunk-level embeddings: chunkDocs →
@@ -1595,6 +1656,21 @@ object SparkEntry {
         .groupBy("q_id").agg(count(lit(1)).as("n_matches"))
         .orderBy("q_id")
     }),
+    // Index OPTIMIZE: two appends splinter the cell dirs, compaction
+    // coalesces every multi-file cell to one file (in-row requires:
+    // census shrank, ≤1 file per cell) and the quantizer never moves —
+    // so the compacted cold query equals the one-pass build's,
+    // row-for-row.
+    "ivf_index_compact" -> ((s, dir) => {
+      val (appDir, fullDir, nBefore, nAfter, onePerCell) = ivfCompactIndexes(s, dir)
+      require(nAfter < nBefore && onePerCell,
+        s"compaction must coalesce the splinters: $nBefore files -> $nAfter")
+      Similarity.ivfTopKFromIndex(s, appDir, nQueries = 5, k = 10)
+        .join(Similarity.ivfTopKFromIndex(s, fullDir, nQueries = 5, k = 10),
+          Seq("q_id", "neighbor_id", "sim_e6"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_matches"))
+        .orderBy("q_id")
+    }),
     // Cell-granular IVF retraction: only cell dirs holding a doomed
     // vector were rewritten (memo-captured listing — the in-row
     // require), and the cold query equals the never-saw-them rebuild
@@ -2515,6 +2591,18 @@ object SparkEntry {
       require(scannedFiles < total,
         "the grouped count must not scan every file on a clustered layout")
       out.orderBy("event_type")
+    }),
+    // Orphan GC: a crashed writer's unreferenced batch file is swept
+    // (grace 0 in-row), live files and the logical contents are
+    // untouched — the maintenance action that keeps a 100 TB table
+    // dir from accreting dead bytes vacuum can't see. Memoized: the
+    // fabricated orphan + sweep happen once per sf dir.
+    "snapshot_gc" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val tbl = snapGcTable(s, dir)
+      SnapshotTable.read(s, tbl)
+        .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        .orderBy("event_type")
     }),
     // Named tag into the version history: "baseline" pins v1, reads
     // resolve through the tag — human-meaningful time travel. Tag
@@ -4900,6 +4988,10 @@ object SparkEntry {
     "pq_index_delete" ->
       """SELECT vec_id AS q_id, CAST(10 AS BIGINT) AS n_matches
         |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin,
+    // compaction-vs-one-pass parity at the shared quantizer
+    "ivf_index_compact" ->
+      """SELECT vec_id AS q_id, CAST(10 AS BIGINT) AS n_matches
+        |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin,
     // cell-granular delete parity at the shared quantizer
     "ivf_index_delete" ->
       """SELECT vec_id AS q_id, CAST(10 AS BIGINT) AS n_matches
@@ -6003,6 +6095,10 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events
         |FROM events WHERE event_id % 5 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the sweep never changes logical contents: the head is intact
+    "snapshot_gc" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // the tag resolves to v1, so the read is v1's slice
     "snapshot_tag" ->
       """SELECT event_type, count(*) AS n_events

@@ -1752,6 +1752,57 @@ object Similarity {
     f.delete(tmp, true)
   }
 
+  /** Small-file compaction for the cell-partitioned index tables —
+    * the OPTIMIZE half of the append lifecycle: every
+    * appendToIvfIndex/appendToIvfPqIndex adds one file per touched
+    * cell, so a daily-append index accretes splinter files and the
+    * cold query's nprobe directory opens degrade into
+    * splinters-per-cell footer reads. Only cells holding MORE than
+    * one parquet file rewrite (each coalesced through the staged
+    * rename-aside swap removeFromCellTable uses); single-file cells
+    * are untouched, and the quantizer — the index's identity — is
+    * never touched, so the compacted index is row-identical to the
+    * uncompacted one (the driver row states that through cold-query
+    * parity). Same non-transactional per-cell swap caveat as the
+    * retraction path: re-run to converge after a crash. Returns the
+    * number of cells rewritten. */
+  private def compactCellTable(
+      spark: org.apache.spark.sql.SparkSession, tableDir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(tableDir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val multi = f.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .filter(d => f.listStatus(d.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) > 1)
+      .map(_.getPath.getName.stripPrefix("cell=").toInt).sorted
+    if (multi.isEmpty) return 0
+    val rows = spark.read.parquet(tableDir)
+      .filter(col("cell").isin(multi.map(Int.box): _*))
+      // one partition per touched cell, then partitionBy splits by
+      // cell — at most one file per cell lands in the staging dir
+      .repartition(multi.size, col("cell"))
+    val tmp = new org.apache.hadoop.fs.Path(
+      tableDir + ".compact-" + java.util.UUID.randomUUID().toString)
+    rows.write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    multi.foreach(c =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$tableDir/cell=$c"), true))
+    f.listStatus(tmp).filter(_.getPath.getName.startsWith("cell="))
+      .foreach(s => f.rename(s.getPath,
+        new org.apache.hadoop.fs.Path(s"$tableDir/${s.getPath.getName}")))
+    f.delete(tmp, true)
+    multi.size
+  }
+
+  /** Compact the IVF assignments table (see compactCellTable). */
+  def compactIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String): Int =
+    compactCellTable(spark, s"$indexDir/assignments")
+
+  /** Compact the IVF-PQ residual-code table (see compactCellTable). */
+  def compactIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String): Int =
+    compactCellTable(spark, s"$indexDir/codes")
+
   /** Retraction from the persisted IVF index: erase `keys` (single
     * col `vec_id`) from the cell-partitioned assignments — only the
     * cell directories holding a doomed vector are rewritten, the

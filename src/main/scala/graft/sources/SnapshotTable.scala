@@ -1264,6 +1264,53 @@ object SnapshotTable {
     -1L // unreachable
   }
 
+  /** Garbage-collect ORPHANS: parquet files under batch-* and
+    * delete-* dirs that NO manifest references — crashed writers and lost
+    * races whose own cleanup died. Vacuum ages out manifest HISTORY;
+    * this sweeps what never made it into a manifest at all (the real
+    * formats' "remove orphan files" maintenance action). `graceMs`
+    * guards in-flight writers: a file younger than the grace is
+    * assumed to belong to a commit still racing toward its publish
+    * and is skipped. An orphan data file's bloom sidecars die with it
+    * (same name derivation as vacuum's). Returns files deleted. */
+  def gcOrphans(spark: SparkSession, dir: String, graceMs: Long): Int = {
+    val f = fs(spark, dir)
+    val live: Set[String] = versions(spark, dir).flatMap { v =>
+      val m = readManifest(spark, dir, v)
+      m.entries.map(_.path) ++ m.deletes.flatMap(_.paths)
+    }.toSet
+    val now = System.currentTimeMillis()
+    var n = 0
+    f.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isDirectory &&
+        (s.getPath.getName.startsWith("batch-") ||
+          s.getPath.getName.startsWith("delete-")))
+      .foreach { d =>
+        f.listStatus(d.getPath).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach { st =>
+            val rel = s"${d.getPath.getName}/${st.getPath.getName}"
+            if (!live.contains(rel) && now - st.getModificationTime >= graceMs) {
+              val bdir = new Path(s"$dir/_blooms/${d.getPath.getName}")
+              if (f.exists(bdir))
+                f.listStatus(bdir).toSeq
+                  .filter(_.getPath.getName.startsWith(st.getPath.getName + "."))
+                  .foreach(b => f.delete(b.getPath, false))
+              f.delete(st.getPath, false)
+              n += 1
+            }
+          }
+        // a dir left with no parquet holds only writer markers
+        // (_SUCCESS) — sweep it whole; any surviving live parquet
+        // keeps the dir, and the grace guards a mid-write dir whose
+        // parquet has not landed yet
+        if (now - d.getModificationTime >= graceMs &&
+          !f.listStatus(d.getPath).exists(_.getPath.getName.endsWith(".parquet")))
+          f.delete(d.getPath, true): Unit
+      }
+    n
+  }
+
   /** Named TAGS — human-meaningful pointers into the version history
     * ("baseline", "v2024-audit", "pre-migration"): a tag is one tiny
     * json under `_tags/`, created atomically-if-absent (the

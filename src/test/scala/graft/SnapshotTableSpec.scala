@@ -1038,6 +1038,32 @@ class SnapshotTableSpec extends SparkSpec {
       .toSeq == Seq("revived"))
   }
 
+  test("gcOrphans: sweeps unreferenced batch files, honors grace, leaves live + delete frames") {
+    val dir = freshDir()
+    SnapshotTable.commitAppend((1L to 10L).toDF("id"), dir,
+      statsCols = Seq("id"), bloomCols = Seq("id"))
+    SnapshotTable.commitDeleteMoR(Seq(3L).toDF("id"), dir, Seq("id"))
+    val live = SnapshotTable.files(spark, dir, 1L)
+    // fabricate two orphans: a full batch dir and a stray file
+    spark.range(5).toDF("id").coalesce(1).write.parquet(s"$dir/batch-dead")
+    spark.range(5).toDF("id").coalesce(1).write.parquet(s"$dir/delete-dead")
+    // an infinite grace protects everything (the in-flight-writer case)
+    assert(SnapshotTable.gcOrphans(spark, dir, graceMs = Long.MaxValue) == 0)
+    val n = SnapshotTable.gcOrphans(spark, dir, graceMs = 0L)
+    assert(n >= 2, s"both orphans must die, got $n")
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = f.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).toSet
+    assert(!names.contains("batch-dead") && !names.contains("delete-dead"))
+    // live data AND the referenced MoR delete key frame survive
+    assert(SnapshotTable.files(spark, dir, 1L) == live)
+    assert(ids(SnapshotTable.read(spark, dir)) ==
+      (1L to 10L).filterNot(_ == 3L))
+    // idempotent: nothing left to sweep
+    assert(SnapshotTable.gcOrphans(spark, dir, graceMs = 0L) == 0)
+  }
+
   test("tags: atomic create, loud re-tag refusal, delete, vacuumed tag fails at resolve") {
     val dir = freshDir()
     SnapshotTable.commitAppend(Seq(1L, 2L).toDF("id"), dir)
