@@ -2233,6 +2233,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("type_a", "type_b")
     }),
+    // Ordered funnel: view → click → purchase within 7 days of the
+    // first view, greedy-earliest completion per step — one
+    // declarative plan, counts cumulative by construction; the
+    // oracle replays the per-step min-chain as CTEs.
+    "funnel_counts" -> ((s, dir) =>
+      Queries.funnelCounts(Tables.events(s, dir),
+        Seq("view", "click", "purchase"), windowMs = 7L * 86400000L)
+        .orderBy("step_idx")),
+    // Weekly cohort retention triangle: cohort = epoch-week of the
+    // user's first event, cells count distinct users active k weeks
+    // on — integer week arithmetic on both engines.
+    "cohort_retention" -> ((s, dir) =>
+      Queries.cohortRetention(Tables.events(s, dir), maxWeeks = 3)
+        .orderBy("cohort_wk", "k")),
     // Interval OVERLAP join (the band join's two-sided sibling):
     // variable-length event intervals vs a disjoint window set, as a
     // bucketed EQUI-join with the canonical-bucket rule making every
@@ -5810,6 +5824,35 @@ object SparkEntry {
         |SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_pairs
         |FROM e a JOIN e b
         |  ON a.event_id < b.event_id AND b.ms BETWEEN a.ms - 1000 AND a.ms + 1000
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the greedy-earliest min-chain replayed per step
+    "funnel_counts" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |        epoch_ms(ts) AS ms FROM events),
+        | s0 AS (SELECT user_id, min(ms) AS t, min(ms) AS t0 FROM e
+        |        WHERE event_type = 'view' GROUP BY 1),
+        | s1 AS (SELECT e.user_id, min(e.ms) AS t, min(s0.t0) AS t0
+        |        FROM e JOIN s0 ON e.user_id = s0.user_id
+        |        WHERE e.event_type = 'click' AND e.ms > s0.t
+        |          AND e.ms <= s0.t0 + 604800000 GROUP BY 1),
+        | s2 AS (SELECT e.user_id, min(e.ms) AS t
+        |        FROM e JOIN s1 ON e.user_id = s1.user_id
+        |        WHERE e.event_type = 'purchase' AND e.ms > s1.t
+        |          AND e.ms <= s1.t0 + 604800000 GROUP BY 1)
+        |SELECT CAST(0 AS INT) AS step_idx, 'view' AS step,
+        |       (SELECT count(*) FROM s0) AS n_users
+        |UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+        |UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+        |ORDER BY step_idx""".stripMargin,
+    // the retention triangle from first-event weeks
+    "cohort_retention" ->
+      """WITH e AS (SELECT user_id,
+        |        epoch_ms(ts) // 604800000 AS wk FROM events),
+        | c AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1)
+        |SELECT c.cohort_wk, e.wk - c.cohort_wk AS k,
+        |       count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |WHERE e.wk - c.cohort_wk <= 3
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the raw inequality overlap predicate (DuckDB IEJoin) replays
     // the bucketed canonical-bucket equi-join pair-for-pair

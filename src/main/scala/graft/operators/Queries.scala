@@ -204,6 +204,59 @@ object Queries {
           .as("is_anomaly"))
   }
 
+  /** Ordered funnel conversion — the product-analytics census over
+    * event streams: a user completes step i when the step's event
+    * type occurs STRICTLY AFTER their step-(i−1) completion and
+    * within `windowMs` of entering the funnel (step 0's completion —
+    * the classic "converted within 7 days of first view" anchor).
+    * Completion time per step is the EARLIEST eligible event
+    * (greedy-earliest, the standard and the SQL-replayable choice).
+    * Returns one row per step: (step_idx, step, n_users), a cumulative
+    * funnel by construction (level i requires level i−1). ONE
+    * declarative plan — the per-step frames chain through user-keyed
+    * equi-joins (each level only shrinks) and the counts union
+    * lazily; no driver-side actions, no window over the full stream.
+    */
+  def funnelCounts(
+      events: DataFrame, steps: Seq[String], windowMs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnelCounts needs at least one step")
+    require(windowMs > 0, "windowMs must be positive")
+    val ev = events.select(col("user_id"), col("event_type"),
+      expr("unix_micros(ts) DIV 1000").as("ms"))
+    val first = ev.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("ms").as("t"))
+      .withColumn("t0", col("t"))
+    val levels = steps.tail.scanLeft(first) { (cur, s) =>
+      ev.filter(col("event_type") === s).select(col("user_id"), col("ms"))
+        .join(cur.select("user_id", "t", "t0"), "user_id")
+        .where(col("ms") > col("t") && col("ms") <= col("t0") + windowMs)
+        .groupBy("user_id").agg(min("ms").as("t"), min("t0").as("t0"))
+    }
+    levels.zip(steps).zipWithIndex.map { case ((df, s), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i).as("step_idx"), lit(s).as("step"), col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Weekly cohort retention: cohort = the epoch-week of each user's
+    * FIRST event, and cell (cohort_wk, k) counts distinct users from
+    * that cohort active k weeks later — the standard retention
+    * triangle. Integer epoch-week arithmetic (ms div week) keeps the
+    * bucketing engine-neutral. Two shuffles: the per-user min and the
+    * (cohort, k) distinct count.
+    */
+  def cohortRetention(events: DataFrame, maxWeeks: Int = 3): DataFrame = {
+    require(maxWeeks >= 0, "maxWeeks must be non-negative")
+    val ev = events.select(col("user_id"),
+      expr("(unix_micros(ts) DIV 1000) DIV 604800000").as("wk"))
+    val cohort = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    ev.join(cohort, "user_id")
+      .withColumn("k", col("wk") - col("cohort_wk"))
+      .filter(col("k") <= maxWeeks)
+      .groupBy("cohort_wk", "k")
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+
   def troubleChildren(evaluations: DataFrame): DataFrame =
     evaluations
       .filter(col("evaluator_id").isNull)
