@@ -234,7 +234,9 @@ object SparkEntry {
       graft.sources.SnapshotTable.commitAppend(
         Tables.events(s, dir).select("event_id", "event_type")
           .repartitionByRange(4, col("event_type")),
-        out, statsCols = Seq("event_type"))
+        // event_id declared too: its per-file stored sums feed the
+        // metadata-grouped SUM row
+        out, statsCols = Seq("event_type", "event_id"))
       out
     })
 
@@ -2665,6 +2667,22 @@ object SparkEntry {
         "the clone must carry its own ledger")
       SnapshotTable.read(s, dst)
         .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
+    // GROUP BY SUM answered (mostly) from the manifest: single-group
+    // zero-null files contribute their stored per-file sums, only
+    // boundary files scan — groupCounts composed with the
+    // integral-column sum recording.
+    "snapshot_group_sum" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val tbl = snapGroupTable(s, dir)
+      val (out, metaFiles, scannedFiles, total) =
+        SnapshotTable.groupSums(s, tbl, "event_type", "event_id")
+      require(metaFiles > 0 && metaFiles + scannedFiles == total,
+        s"expected metadata-summed files, got meta=$metaFiles scan=$scannedFiles of $total")
+      require(scannedFiles < total,
+        "the grouped sum must not scan every file on a clustered layout")
+      out.select(col("event_type"), col("sum_val").cast("long").as("sum_id"))
         .orderBy("event_type")
     }),
     // Merge-on-read DELETE: the two delete commits (v2, v3) touched
@@ -5958,6 +5976,10 @@ object SparkEntry {
         |  FROM events WHERE event_id % 10 = 0)
         |SELECT event_id, event_type, _change FROM ch
         |ORDER BY _change, event_id, event_type""".stripMargin,
+    // the metadata-accelerated grouped sum equals the plain one
+    "snapshot_group_sum" ->
+      """SELECT event_type, CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // grouped counts are layout-invariant: the metadata-accelerated
     // answer must equal the plain GROUP BY over the base rows
     "snapshot_group_count" ->

@@ -789,6 +789,55 @@ object SnapshotTable {
     (out, covered.size, mixed.size, m.entries.size)
   }
 
+  /** GROUP BY `groupCol` SUM(`sumCol`) with METADATA acceleration —
+    * groupCounts composed with the per-file stored sums: a file is
+    * metadata-answerable when it provably holds ONE group (min = max)
+    * with ZERO group-column nulls (a null would smear its sum between
+    * the value group and the NULL group — unsplittable from file
+    * totals) AND carries a stored sum for `sumCol` (recorded for
+    * integral stat columns; exact BigDecimal, order-independent).
+    * Everything else scans. Exact always; SUM is over non-null
+    * `sumCol` values, the SQL convention. Returns (grouped frame
+    * (`groupCol`, sum_val: decimal(38,0)), metadataFiles,
+    * scannedFiles, totalFiles). */
+  def groupSums(
+      spark: SparkSession, dir: String, groupCol: String, sumCol: String,
+      version: Option[Long] = None): (DataFrame, Int, Int, Int) = {
+    import spark.implicits._
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"snapshot table $dir has no committed version")
+    val m = readManifest(spark, dir, version.getOrElse(vs.last))
+    requireNoPendingDeletes(m, dir, s"groupSums($groupCol, $sumCol)")
+    require(m.entries.nonEmpty, s"version of $dir has no files — nothing to group")
+    val (covered, mixed) = m.entries.partition { e =>
+      e.stats.get(groupCol).exists(st =>
+        st.nulls == 0L && cmpStat(st.min, st.max).contains(0)) &&
+        e.stats.get(sumCol).exists(_.sum != null)
+    }
+    val metaRows: Seq[(String, java.math.BigDecimal)] = covered.map { e =>
+      val g = e.stats(groupCol).min match {
+        case d: java.math.BigDecimal => d.toPlainString
+        case s: String => s
+        case other => throw new IllegalStateException(s"unexpected stat $other")
+      }
+      g -> e.stats(sumCol).sum.asInstanceOf[java.math.BigDecimal]
+    }
+    val head = rawRead(spark, dir, m.entries)
+    val dt = head.schema(groupCol).dataType
+    val meta = metaRows.toDF("__g", "__s")
+      .select(col("__g").cast(StringType).cast(dt).as(groupCol),
+        col("__s").cast(DecimalType(38, 0)).as("__s"))
+    val scanned =
+      if (mixed.isEmpty) meta.limit(0)
+      else rawRead(spark, dir, mixed)
+        .groupBy(col(groupCol))
+        .agg(sum(col(sumCol).cast(DecimalType(38, 0))).as("__s"))
+    val out = meta.unionByName(scanned)
+      .groupBy(col(groupCol))
+      .agg(sum("__s").cast(DecimalType(38, 0)).as("sum_val"))
+    (out, covered.size, mixed.size, m.entries.size)
+  }
+
   /** Range classification shared by the metadata-accelerated
     * aggregates: (fully-covered entries, boundary entries, total).
     * Files the range provably excludes appear in neither list. */

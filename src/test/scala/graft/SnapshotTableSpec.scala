@@ -1038,6 +1038,35 @@ class SnapshotTableSpec extends SparkSpec {
       .toSeq == Seq("revived"))
   }
 
+  test("groupSums: stored sums answer single-group files; group-col nulls force the scan") {
+    val dir = freshDir()
+    // file 1: one group, no group nulls, stored sum → metadata (5+7=12)
+    SnapshotTable.commitAppend(
+      Seq(("a", 5L), ("a", 7L)).toDF("grp", "v").coalesce(1), dir,
+      statsCols = Seq("grp", "v"))
+    // file 2: single-group BUT a group-col null — the file total
+    // can't split between 'b' and the NULL group → must scan
+    SnapshotTable.commitAppend(
+      Seq((Some("b"), 10L), (None, 100L)).toDF("grp", "v").coalesce(1), dir)
+    // file 3: mixed groups → scans
+    SnapshotTable.commitAppend(
+      Seq(("a", 1L), ("c", 2L)).toDF("grp", "v").coalesce(1), dir)
+    val (out, meta, scanned, total) = SnapshotTable.groupSums(spark, dir, "grp", "v")
+    assert((meta, scanned, total) == (1, 2, 3))
+    val got = out.collect()
+      .map(r => Option(r.getString(0)) -> r.getDecimal(1).longValueExact).toMap
+    assert(got == Map(Some("a") -> 13L, Some("b") -> 10L, Some("c") -> 2L,
+      None -> 100L))
+    // null sum values count as zero contribution, never poison
+    val nd = freshDir()
+    SnapshotTable.commitAppend(
+      Seq(("x", Some(4L)), ("x", Option.empty[Long])).toDF("grp", "v").coalesce(1),
+      nd, statsCols = Seq("grp", "v"))
+    val (nout, _, _, _) = SnapshotTable.groupSums(spark, nd, "grp", "v")
+    assert(nout.collect().map(r =>
+      r.getString(0) -> r.getDecimal(1).longValueExact).toMap == Map("x" -> 4L))
+  }
+
   test("gcOrphans: sweeps unreferenced batch files, honors grace, leaves live + delete frames") {
     val dir = freshDir()
     SnapshotTable.commitAppend((1L to 10L).toDF("id"), dir,
