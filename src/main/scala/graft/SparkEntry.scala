@@ -478,6 +478,44 @@ object SparkEntry {
       out
     })
 
+  /** snapshot_maintain's degraded table, once per sf dir: splinter
+    * micro-commits + a pending MoR delete + a fabricated orphan, then
+    * ONE maintainTable pass with requires pinning that every symptom
+    * was cured — deletes folded, splinters coalesced, orphan swept —
+    * while the logical contents stayed put (the row's oracle). */
+  private val snapMaintainMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def snapMaintainTable(s: SparkSession, dir: String): String =
+    snapMaintainMemo.computeIfAbsent(dir, _ => {
+      import graft.sources.SnapshotTable
+      val out = s"${tempDir("graft_snap_maintain")}/events_tbl"
+      val ev = Tables.events(s, dir).select("event_id", "event_type")
+      // four splinter commits, the micro-batch accretion shape
+      (0 to 3).foreach(i => SnapshotTable.commitAppend(
+        ev.filter(col("event_id") % 4 === i).coalesce(2), out,
+        statsCols = Seq("event_id")))
+      SnapshotTable.commitDeleteMoR(
+        ev.filter(col("event_id") % 9 === 0).select("event_id"),
+        out, Seq("event_id"))
+      s.range(3).toDF("event_id").write.parquet(s"$out/batch-crashed-writer")
+      val nFilesBefore = SnapshotTable.files(
+        s, out, SnapshotTable.versions(s, out).last).size
+      val r = SnapshotTable.maintainTable(s, out,
+        smallBytes = 64L << 20, targetBytes = 64L << 20,
+        orphanGraceMs = 0L, keepVersions = 3)
+      require(r.deletesFolded == 1 && r.foldVersion.nonEmpty,
+        s"the pass must fold the pending delete: $r")
+      require(r.compactVersion.nonEmpty && r.orphansSwept >= 1,
+        s"the pass must compact the splinters and sweep the orphan: $r")
+      require(SnapshotTable.pendingDeletes(s, out).isEmpty,
+        "metadata fast paths must be restored")
+      val nFilesAfter = SnapshotTable.files(
+        s, out, SnapshotTable.versions(s, out).last).size
+      require(nFilesAfter < nFilesBefore,
+        s"compaction must shrink the file census: $nFilesBefore -> $nFilesAfter")
+      out
+    })
+
   /** snapshot_gc's table, once per sf dir: one real commit, one
     * fabricated orphan (a batch dir no manifest names — the crashed-
     * writer residue), then gcOrphans(grace 0) with requires pinning
@@ -2607,6 +2645,16 @@ object SparkEntry {
       require(scannedFiles < total,
         "the grouped count must not scan every file on a clustered layout")
       out.orderBy("event_type")
+    }),
+    // ONE maintenance pass curing three symptoms at once — pending
+    // MoR delete folded, splinter commits compacted, crashed-writer
+    // orphan swept (memo requires pin each) — and the logical
+    // contents unmoved: the nightly-OPTIMIZE composition.
+    "snapshot_maintain" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      SnapshotTable.read(s, snapMaintainTable(s, dir))
+        .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        .orderBy("event_type")
     }),
     // Orphan GC: a crashed writer's unreferenced batch file is swept
     // (grace 0 in-row), live files and the logical contents are
@@ -6159,6 +6207,12 @@ object SparkEntry {
     "snapshot_time_travel" ->
       """SELECT event_type, count(*) AS n_events
         |FROM events WHERE event_id % 5 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // maintenance is answer-preserving: minus the folded retraction,
+    // the head equals the base slice
+    "snapshot_maintain" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM events WHERE event_id % 9 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the sweep never changes logical contents: the head is intact
     "snapshot_gc" ->

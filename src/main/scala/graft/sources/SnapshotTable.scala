@@ -1313,6 +1313,48 @@ object SnapshotTable {
     -1L // unreachable
   }
 
+  /** The report one `maintainTable` pass leaves behind — which
+    * primitives fired and what they found. */
+  final case class MaintenanceReport(
+      deletesFolded: Int,
+      foldVersion: Option[Long],
+      compactVersion: Option[Long],
+      orphansSwept: Int,
+      versionsDropped: Int)
+
+  /** ONE scheduled maintenance pass — the OPTIMIZE job a production
+    * table runs nightly, composing the already-proven primitives in
+    * the order that matters: (1) `applyDeletes` folds pending
+    * merge-on-read deletes (restoring the metadata fast paths and
+    * single-scan reads), (2) `compactSmallFiles` coalesces the
+    * splinter tail micro-batch commits accrete, (3) `gcOrphans`
+    * sweeps crashed-writer residue under the grace, (4) `vacuum` ages
+    * manifest history out by count. Each step is answer-preserving on
+    * its own (its driver row/spec states it), so the composition is
+    * answer-preserving by construction; each commits separately, so a
+    * crash mid-pass leaves a valid table that the next pass finishes.
+    * `keepVersions` must cover live tags and in-flight time-travel
+    * readers — the vacuum contract, unchanged. Returns what fired. */
+  def maintainTable(
+      spark: SparkSession, dir: String,
+      smallBytes: Long = 8L << 20, targetBytes: Long = 128L << 20,
+      orphanGraceMs: Long = 24L * 3600 * 1000,
+      keepVersions: Int = 10): MaintenanceReport = {
+    val pending = pendingDeletes(spark, dir).size
+    val headBefore = versions(spark, dir).last
+    val folded = if (pending > 0) Some(applyDeletes(spark, dir)) else None
+    val compactHeadBefore = versions(spark, dir).last
+    val compacted = compactSmallFiles(spark, dir, smallBytes, targetBytes)
+    val orphans = gcOrphans(spark, dir, orphanGraceMs)
+    val dropped = vacuum(spark, dir, keepVersions)
+    MaintenanceReport(
+      deletesFolded = pending,
+      foldVersion = folded.filter(_ > headBefore),
+      compactVersion = Some(compacted).filter(_ > compactHeadBefore),
+      orphansSwept = orphans,
+      versionsDropped = dropped)
+  }
+
   /** Garbage-collect ORPHANS: parquet files under batch-* and
     * delete-* dirs that NO manifest references — crashed writers and lost
     * races whose own cleanup died. Vacuum ages out manifest HISTORY;
