@@ -516,6 +516,36 @@ object SparkEntry {
       out
     })
 
+  /** snapshot_rename's table, once per sf dir: append with stats +
+    * blooms on event_id, then the METADATA-ONLY rename event_id →
+    * record_id (memo requires: zero files touched, planning-time
+    * pruning keeps working on the NEW name over the OLD files), then
+    * a MERGE keyed on the new name restating the %10 ids. */
+  private val snapRenameMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def snapRenameTable(s: SparkSession, dir: String): String =
+    snapRenameMemo.computeIfAbsent(dir, _ => {
+      import graft.sources.SnapshotTable
+      val out = s"${tempDir("graft_snap_rename")}/events_tbl"
+      val ev = Tables.events(s, dir).select("event_id", "event_type")
+      SnapshotTable.commitAppend(ev.repartitionByRange(4, col("event_id")),
+        out, statsCols = Seq("event_id"), bloomCols = Seq("event_id"))
+      val v1Files = SnapshotTable.files(s, out, 1L)
+      require(SnapshotTable.commitRenameColumn(s, out, "event_id", "record_id") == 2L)
+      require(SnapshotTable.files(s, out, 2L) == v1Files,
+        "a column rename must touch zero data files")
+      val (kept, total) = SnapshotTable.pruneFilesByKeys(
+        s, out, "record_id", Seq(7L))
+      require(kept.size < total,
+        s"pruning on the renamed column must keep working: ${kept.size} of $total")
+      SnapshotTable.commitMerge(
+        ev.filter(col("event_id") % 10 === 0)
+          .select(col("event_id").as("record_id"),
+            lit("restated").as("event_type")),
+        out, Seq("record_id"))
+      out
+    })
+
   /** snapshot_gc's table, once per sf dir: one real commit, one
     * fabricated orphan (a batch dir no manifest names — the crashed-
     * writer residue), then gcOrphans(grace 0) with requires pinning
@@ -2645,6 +2675,23 @@ object SparkEntry {
       require(scannedFiles < total,
         "the grouped count must not scan every file on a clustered layout")
       out.orderBy("event_type")
+    }),
+    // Column RENAME as schema evolution beyond additive: one
+    // metadata commit (memo requires: zero files touched, pruning
+    // keeps working on the new name over old files), a MERGE keyed
+    // on the NEW name upserting into OLD files, and the head census
+    // proving every value rode the rename — the oracle replays it
+    // all from the base rows under the original name.
+    "snapshot_rename" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val tbl = snapRenameTable(s, dir)
+      val head = SnapshotTable.read(s, tbl)
+      require(head.columns.sorted.toSeq == Seq("event_type", "record_id"),
+        s"the head must surface the renamed schema: ${head.columns.toSeq}")
+      head.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("record_id")).as("sum_rid"))
+        .orderBy("event_type")
     }),
     // ONE maintenance pass curing three symptoms at once — pending
     // MoR delete folded, splinter commits compacted, crashed-writer
@@ -6208,6 +6255,14 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events
         |FROM events WHERE event_id % 5 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the renamed head: original values under the new name, the %10
+    // restatement merged through it
+    "snapshot_rename" ->
+      """SELECT CASE WHEN event_id % 10 = 0 THEN 'restated'
+        |            ELSE event_type END AS event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_rid
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // maintenance is answer-preserving: minus the folded retraction,
     // the head equals the base slice
     "snapshot_maintain" ->

@@ -107,6 +107,16 @@ object SnapshotTable {
   private[graft] final case class DeleteFile(
       paths: Seq[String], keyCols: Seq[String], seq: Long, rows: Long = -1L)
 
+  /** One COLUMN RENAME, seq-scoped like the deletes: it applies to
+    * data entries with `entry.seq < seq` only — files written AFTER
+    * the rename already carry the new name, and a rewriting commit
+    * (merge/compact/OPTIMIZE) normalizes the files it touches, so the
+    * rename list self-drains as the table churns. Reads apply the
+    * applicable renames per entry group; per-file STATS stay keyed by
+    * the write-time name and every metadata consumer maps a current
+    * name back through the rename history before the lookup. */
+  private[graft] final case class Rename(from: String, to: String, seq: Long)
+
   private[graft] final case class Manifest(
       version: Long,
       batchIds: Set[Long],
@@ -116,7 +126,24 @@ object SnapshotTable {
       bloomCols: Seq[String] = Nil,
       bloomFpp: Double = 0.01,
       streamKeys: Set[String] = Set.empty,
-      deletes: Seq[DeleteFile] = Nil)
+      deletes: Seq[DeleteFile] = Nil,
+      renames: Seq[Rename] = Nil)
+
+  /** The CURRENT name of a column recorded as `name` at `fromSeq`:
+    * fold the renames committed after it, oldest first. */
+  private def currentName(m: Manifest, name: String, fromSeq: Long): String =
+    m.renames.filter(_.seq > fromSeq).sortBy(_.seq)
+      .foldLeft(name)((n, r) => if (r.from == n) r.to else n)
+
+  /** The WRITE-TIME name an entry recorded for today's `current`
+    * column: unfold the renames newer than the entry, newest first. */
+  private def writeTimeName(m: Manifest, current: String, entrySeq: Long): String =
+    m.renames.filter(_.seq > entrySeq).sortBy(-_.seq)
+      .foldLeft(current)((n, r) => if (r.to == n) r.from else n)
+
+  /** An entry's stat for TODAY'S `current` column name. */
+  private def entryStat(m: Manifest, e: Entry, current: String): Option[FileStat] =
+    e.stats.get(writeTimeName(m, current, e.seq))
 
   /** An inclusive-bounds range predicate over one stat column, used
     * for planning-time file pruning. `lower`/`upper` accept any
@@ -184,6 +211,15 @@ object SnapshotTable {
         d.keyCols.foreach(ks.add)
         dn.put("seq", d.seq)
         if (d.rows >= 0L) dn.put("rows", d.rows): Unit
+      }
+    }
+    if (m.renames.nonEmpty) {
+      val rs = root.putArray("renames")
+      m.renames.foreach { r =>
+        val rn = rs.addObject()
+        rn.put("from", r.from)
+        rn.put("to", r.to)
+        rn.put("seq", r.seq): Unit
       }
     }
     val es = root.putArray("entries")
@@ -279,13 +315,19 @@ object SnapshotTable {
           Option(dn.get("rows")).map(_.asLong).getOrElse(-1L))
       }
     }.getOrElse(Seq.empty)
+    val renames = Option(root.get("renames")).map { a =>
+      (0 until a.size).map { i =>
+        val rn = a.get(i)
+        Rename(rn.get("from").asText, rn.get("to").asText, rn.get("seq").asLong)
+      }
+    }.getOrElse(Seq.empty)
     // the slot NAME is authoritative for the version — a manifest can
     // land in a slot other than the one its writer targeted only via
     // out-of-band copies (the race spec does exactly that), and the
     // ledger must follow the slot, not the stale body field
     Manifest(v, batchIds, statsCols, entries,
       Option(root.get("committedAtMs")).map(_.asLong).getOrElse(0L),
-      bloomCols, bloomFpp, streamKeys, deletes)
+      bloomCols, bloomFpp, streamKeys, deletes, renames)
   }
 
   /** The file list version `v` names (paths relative to `dir`) — the
@@ -355,6 +397,27 @@ object SnapshotTable {
     spark.read.option("mergeSchema", "true")
       .parquet(entries.map(e => resolve(dir, e.path)): _*)
 
+  private def applyRenames(df: DataFrame, rens: Seq[Rename]): DataFrame =
+    rens.foldLeft(df)((d, r) =>
+      if (d.columns.contains(r.from)) d.withColumnRenamed(r.from, r.to) else d)
+
+  /** The PHYSICAL rows of `entries` surfaced under TODAY'S column
+    * names (renames applied per entry group, merge-on-read deletes
+    * NOT applied) — what the touched-file selection joins against:
+    * physically-present rows are the right superset there, and key
+    * columns arrive in current names. */
+  private def renamedRawRead(
+      spark: SparkSession, dir: String, m: Manifest, entries: Seq[Entry]): DataFrame = {
+    val rens = m.renames.sortBy(_.seq)
+    if (rens.isEmpty) rawRead(spark, dir, entries)
+    else entries.groupBy { e =>
+      val i = rens.indexWhere(_.seq > e.seq)
+      if (i < 0) rens.length else i
+    }.toSeq.sortBy(_._1).map { case (ri, es) =>
+      applyRenames(rawRead(spark, dir, es), rens.drop(ri))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** The LOGICAL rows of `entries` under `m`: the physical scan with
     * every applicable merge-on-read delete anti-joined out. A delete
     * of seq d applies only to entries with seq < d (rows re-inserted
@@ -368,23 +431,38 @@ object SnapshotTable {
       spark: SparkSession, dir: String, m: Manifest, entries: Seq[Entry]): DataFrame = {
     require(entries.nonEmpty, "entriesFrame needs at least one entry")
     val dels = m.deletes.sortBy(_.seq)
-    if (dels.isEmpty) rawRead(spark, dir, entries)
+    val rens = m.renames.sortBy(_.seq)
+    if (dels.isEmpty && rens.isEmpty) rawRead(spark, dir, entries)
     else {
-      val groups = entries.groupBy { e =>
-        val i = dels.indexWhere(_.seq > e.seq)
-        if (i < 0) dels.length else i
+      // both lists are seq-scoped, so an entry's applicable set is
+      // always a SUFFIX of each — group by the two suffix starts
+      def suffix[A](xs: Seq[A], seqOf: A => Long, e: Entry): Int = {
+        val i = xs.indexWhere(seqOf(_) > e.seq)
+        if (i < 0) xs.length else i
       }
-      groups.toSeq.sortBy(_._1).map { case (i, es) =>
-        dels.drop(i).foldLeft(rawRead(spark, dir, es)) { (df, d) =>
+      val groups = entries.groupBy(e =>
+        (suffix[Rename](rens, _.seq, e), suffix[DeleteFile](dels, _.seq, e)))
+      groups.toSeq.sortBy(_._1).map { case ((ri, di), es) =>
+        // renames first: the group's frame surfaces under TODAY'S
+        // names, so delete keys (mapped to today's names too) and
+        // the cross-group unionByName line up
+        val renamed = applyRenames(rawRead(spark, dir, es), rens.drop(ri))
+        dels.drop(di).foldLeft(renamed) { (df, d) =>
+          // the delete recorded its key columns under the names
+          // CURRENT AT ITS COMMIT — map both sides to today's
+          val cur = d.keyCols.map(k => currentName(m, k, d.seq))
           // a group whose files all predate a delete's key column
           // reads null there under the merged schema — null never
           // equals a key, every row survives; skip the join
-          if (!d.keyCols.forall(df.columns.contains)) df
+          if (!cur.forall(df.columns.contains)) df
           else {
-            val keyFrame = spark.read
-              .parquet(d.paths.map(p => resolve(dir, p)): _*)
-              .select(d.keyCols.map(col): _*).distinct()
-            df.join(keyFrame, d.keyCols, "left_anti")
+            val keyFrame = d.keyCols.zip(cur)
+              .foldLeft(spark.read
+                .parquet(d.paths.map(p => resolve(dir, p)): _*)
+                .select(d.keyCols.map(col): _*)) { case (kf, (o, n)) =>
+                if (o == n) kf else kf.withColumnRenamed(o, n)
+              }.distinct()
+            df.join(keyFrame, cur, "left_anti")
           }
         }
       }.reduce(_.unionByName(_, allowMissingColumns = true))
@@ -451,7 +529,7 @@ object SnapshotTable {
       (f.colName, f.lower.map(toStatVal), f.upper.map(toStatVal)))
     val kept = m.entries.filter { e =>
       norm.forall { case (c, lo, hi) =>
-        e.stats.get(c) match {
+        entryStat(m, e, c) match {
           case None => true
           case Some(st) =>
             val aboveLo = lo.forall(l => cmpStat(st.max, l).forall(_ >= 0))
@@ -509,12 +587,12 @@ object SnapshotTable {
     val hashes = hashKeyStrings(spark, canon)
     val statVals = values.map(v => scala.util.Try(toStatVal(v)).toOption)
     val kept = m.entries.filter { e =>
-      val bloom = entryBloom(spark, dir, e, colName).map(b =>
+      val bloom = entryBloom(spark, dir, e, writeTimeName(m, colName, e.seq)).map(b =>
         org.apache.spark.util.sketch.BloomFilter.readFrom(
           new java.io.ByteArrayInputStream(b)))
       values.indices.exists { i =>
         val bloomOk = bloom.forall(_.mightContainLong(hashes(i)))
-        val statOk = (e.stats.get(colName), statVals(i)) match {
+        val statOk = (entryStat(m, e, colName), statVals(i)) match {
           case (Some(st), Some(v)) =>
             cmpStat(st.min, v).forall(_ <= 0) && cmpStat(st.max, v).forall(_ >= 0)
           case _ => true
@@ -620,7 +698,7 @@ object SnapshotTable {
         // all-null file never records min/max) conservatively survive
         attr(a1).foreach { c =>
           kept = kept.intersect(allEntries
-            .filter(e => e.stats.get(c).forall(_.nulls != 0L))
+            .filter(e => entryStat(mf, e, c).forall(_.nulls != 0L))
             .map(_.path).toSet)
         }
       case _ => () // not decomposable: prunes nothing, row filter handles it
@@ -699,11 +777,12 @@ object SnapshotTable {
   def countRowsWhere(
       spark: SparkSession, dir: String, filter: StatFilter,
       version: Option[Long] = None): (Long, Int, Int, Int) = {
-    val (covered, boundary, total) = classifyByRange(spark, dir, filter, version)
-    val metaCount = covered.map(e => e.rows - e.stats(filter.colName).nulls).sum
+    val (m, covered, boundary, total) = classifyByRange(spark, dir, filter, version)
+    val metaCount = covered.map(e =>
+      e.rows - entryStat(m, e, filter.colName).get.nulls).sum
     val scanned =
       if (boundary.isEmpty) 0L
-      else boundaryFrame(spark, dir, boundary, filter).count()
+      else boundaryFrame(spark, dir, m, boundary, filter).count()
     (metaCount + scanned, covered.size, boundary.size, total)
   }
 
@@ -720,16 +799,17 @@ object SnapshotTable {
   def sumWhere(
       spark: SparkSession, dir: String, filter: StatFilter,
       version: Option[Long] = None): (java.math.BigDecimal, Int, Int, Int) = {
-    val (covered, boundary0, total) = classifyByRange(spark, dir, filter, version)
+    val (m, covered, boundary0, total) = classifyByRange(spark, dir, filter, version)
     val (summed, unsummed) =
-      covered.partition(_.stats(filter.colName).sum != null)
+      covered.partition(e => entryStat(m, e, filter.colName).get.sum != null)
     val boundary = boundary0 ++ unsummed
     val metaSum = summed.foldLeft(java.math.BigDecimal.ZERO)((acc, e) =>
-      acc.add(e.stats(filter.colName).sum.asInstanceOf[java.math.BigDecimal]))
+      acc.add(entryStat(m, e, filter.colName).get.sum
+        .asInstanceOf[java.math.BigDecimal]))
     val scanned =
       if (boundary.isEmpty) java.math.BigDecimal.ZERO
       else {
-        val v = boundaryFrame(spark, dir, boundary, filter)
+        val v = boundaryFrame(spark, dir, m, boundary, filter)
           .agg(sum(col(filter.colName).cast(DecimalType(38, 0)))).head().get(0)
         if (v == null) java.math.BigDecimal.ZERO
         else v.asInstanceOf[java.math.BigDecimal].setScale(0)
@@ -760,14 +840,14 @@ object SnapshotTable {
     requireNoPendingDeletes(m, dir, s"groupCounts($groupCol)")
     require(m.entries.nonEmpty, s"version of $dir has no files — nothing to group")
     val (covered, mixed) = m.entries.partition { e =>
-      e.rows >= 0L && e.stats.get(groupCol).exists(st =>
+      e.rows >= 0L && entryStat(m, e, groupCol).exists(st =>
         st.nulls >= 0L && cmpStat(st.min, st.max).contains(0))
     }
     // metadata side: one tiny local frame of (canonical group string
     // or null, count) — group values ride as strings and are cast to
     // the column's type below, the stored canonical forms' contract
     val metaRows: Seq[(Option[String], Long)] = covered.flatMap { e =>
-      val st = e.stats(groupCol)
+      val st = entryStat(m, e, groupCol).get
       val g = st.min match {
         case d: java.math.BigDecimal => d.toPlainString
         case s: String => s
@@ -776,13 +856,13 @@ object SnapshotTable {
       Seq(Some(g) -> (e.rows - st.nulls)) ++
         (if (st.nulls > 0L) Seq(Option.empty[String] -> st.nulls) else Nil)
     }
-    val head = rawRead(spark, dir, m.entries)
+    val head = entriesFrame(spark, dir, m, m.entries)
     val dt = head.schema(groupCol).dataType
     val meta = metaRows.toDF("__g", "__n")
       .select(col("__g").cast(StringType).cast(dt).as(groupCol), col("__n"))
     val scanned =
       if (mixed.isEmpty) meta.limit(0)
-      else rawRead(spark, dir, mixed)
+      else entriesFrame(spark, dir, m, mixed)
         .groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
     val out = meta.unionByName(scanned)
       .groupBy(col(groupCol)).agg(sum("__n").as("n_rows"))
@@ -810,26 +890,26 @@ object SnapshotTable {
     requireNoPendingDeletes(m, dir, s"groupSums($groupCol, $sumCol)")
     require(m.entries.nonEmpty, s"version of $dir has no files — nothing to group")
     val (covered, mixed) = m.entries.partition { e =>
-      e.stats.get(groupCol).exists(st =>
+      entryStat(m, e, groupCol).exists(st =>
         st.nulls == 0L && cmpStat(st.min, st.max).contains(0)) &&
-        e.stats.get(sumCol).exists(_.sum != null)
+        entryStat(m, e, sumCol).exists(_.sum != null)
     }
     val metaRows: Seq[(String, java.math.BigDecimal)] = covered.map { e =>
-      val g = e.stats(groupCol).min match {
+      val g = entryStat(m, e, groupCol).get.min match {
         case d: java.math.BigDecimal => d.toPlainString
         case s: String => s
         case other => throw new IllegalStateException(s"unexpected stat $other")
       }
-      g -> e.stats(sumCol).sum.asInstanceOf[java.math.BigDecimal]
+      g -> entryStat(m, e, sumCol).get.sum.asInstanceOf[java.math.BigDecimal]
     }
-    val head = rawRead(spark, dir, m.entries)
+    val head = entriesFrame(spark, dir, m, m.entries)
     val dt = head.schema(groupCol).dataType
     val meta = metaRows.toDF("__g", "__s")
       .select(col("__g").cast(StringType).cast(dt).as(groupCol),
         col("__s").cast(DecimalType(38, 0)).as("__s"))
     val scanned =
       if (mixed.isEmpty) meta.limit(0)
-      else rawRead(spark, dir, mixed)
+      else entriesFrame(spark, dir, m, mixed)
         .groupBy(col(groupCol))
         .agg(sum(col(sumCol).cast(DecimalType(38, 0))).as("__s"))
     val out = meta.unionByName(scanned)
@@ -843,7 +923,7 @@ object SnapshotTable {
     * Files the range provably excludes appear in neither list. */
   private def classifyByRange(
       spark: SparkSession, dir: String, filter: StatFilter,
-      version: Option[Long]): (Seq[Entry], Seq[Entry], Int) = {
+      version: Option[Long]): (Manifest, Seq[Entry], Seq[Entry], Int) = {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"snapshot table $dir has no committed version")
     val m = readManifest(spark, dir, version.getOrElse(vs.last))
@@ -853,7 +933,7 @@ object SnapshotTable {
     var covered = Vector.empty[Entry]
     var boundary = Vector.empty[Entry]
     m.entries.foreach { e =>
-      e.stats.get(filter.colName) match {
+      entryStat(m, e, filter.colName) match {
         case Some(st) if e.rows >= 0L && st.nulls >= 0L =>
           val overlaps =
             lo.forall(l => cmpStat(st.max, l).forall(_ >= 0)) &&
@@ -869,14 +949,13 @@ object SnapshotTable {
         case _ => boundary :+= e
       }
     }
-    (covered, boundary, m.entries.size)
+    (m, covered, boundary, m.entries.size)
   }
 
   private def boundaryFrame(
-      spark: SparkSession, dir: String, boundary: Seq[Entry],
+      spark: SparkSession, dir: String, m: Manifest, boundary: Seq[Entry],
       filter: StatFilter): DataFrame = {
-    val df = spark.read.option("mergeSchema", "true")
-      .parquet(boundary.map(e => resolve(dir, e.path)): _*)
+    val df = entriesFrame(spark, dir, m, boundary)
     val c = col(filter.colName)
     val preds = filter.lower.map(toStatVal).map(v => c >= lit(statLit(v))).toSeq ++
       filter.upper.map(toStatVal).map(v => c <= lit(statLit(v)))
@@ -904,11 +983,11 @@ object SnapshotTable {
     val m = readManifest(spark, dir, version.getOrElse(vs.last))
     requireNoPendingDeletes(m, dir, s"statExtremes($colName)")
     require(m.entries.nonEmpty, s"version has no files — no extremes to report")
-    val missing = m.entries.filterNot(_.stats.contains(colName))
+    val missing = m.entries.filter(e => entryStat(m, e, colName).isEmpty)
     require(missing.isEmpty,
       s"statExtremes($colName) needs the stat on every entry; missing on " +
         s"${missing.map(_.path).mkString(", ")}")
-    val stats = m.entries.map(_.stats(colName))
+    val stats = m.entries.map(e => entryStat(m, e, colName).get)
     def pick(a: Any, b: Any, wantMin: Boolean): Any = cmpStat(a, b) match {
       case Some(c) => if ((c <= 0) == wantMin) a else b
       case None => throw new IllegalArgumentException(
@@ -1261,7 +1340,8 @@ object SnapshotTable {
       if (tryPublish(spark, dir, Manifest(next, ids, tableStats,
         carried ++ newEntries.map(_.copy(seq = next)),
         bloomCols = tableBlooms, bloomFpp = fpp, streamKeys = keys,
-        deletes = dels)))
+        deletes = dels,
+        renames = if (append) head.map(_.renames).getOrElse(Nil) else Nil)))
         return next
     }
     -1L // unreachable
@@ -1307,8 +1387,52 @@ object SnapshotTable {
       if (tryPublish(spark, dir,
         Manifest(headV + 1, head.batchIds, head.statsCols, target.entries,
           bloomCols = head.bloomCols, bloomFpp = head.bloomFpp,
-          streamKeys = head.streamKeys, deletes = target.deletes)))
+          streamKeys = head.streamKeys, deletes = target.deletes,
+          renames = target.renames)))
         return headV + 1
+    }
+    -1L // unreachable
+  }
+
+  /** RENAME a column — METADATA-ONLY schema evolution beyond the
+    * additive default: one manifest commit, zero data files touched
+    * at any table size. The rename is seq-scoped like the
+    * merge-on-read deletes: it applies at read time to files written
+    * BEFORE it (their frames surface under the new name), files
+    * written after already carry it, and every rewriting commit
+    * (merge/delete/OPTIMIZE) normalizes the files it touches — the
+    * list self-drains as the table churns. Per-file STATS stay keyed
+    * by the write-time name; every metadata consumer (pruning,
+    * blooms, grouped/filtered aggregates, clustering report) maps a
+    * current name back through the rename history before the lookup,
+    * so planning-time pruning on the NEW name keeps working over OLD
+    * files. The declared statsCols/bloomCols follow the rename
+    * (future commits record under the new name). Refused when `from`
+    * is absent from the logical schema or `to` already present —
+    * renames never shadow. Returns the committed version. */
+  def commitRenameColumn(
+      spark: SparkSession, dir: String, from: String, to: String): Long = {
+    require(from != to, "commitRenameColumn needs distinct names")
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 20, s"rename on $dir lost 20 straight races; giving up")
+      val headV = versions(spark, dir).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"snapshot table $dir has no committed version"))
+      val m = readManifest(spark, dir, headV)
+      val cols = entriesFrame(spark, dir, m, m.entries).columns.toSet
+      require(cols.contains(from),
+        s"commitRenameColumn: no column '$from' in the logical schema of $dir")
+      require(!cols.contains(to),
+        s"commitRenameColumn: '$to' already exists in $dir — renames never shadow")
+      val next = headV + 1
+      def follow(c: String) = if (c == from) to else c
+      if (tryPublish(spark, dir,
+        Manifest(next, m.batchIds, m.statsCols.map(follow), m.entries,
+          bloomCols = m.bloomCols.map(follow), bloomFpp = m.bloomFpp,
+          streamKeys = m.streamKeys, deletes = m.deletes,
+          renames = m.renames :+ Rename(from, to, next))))
+        return next
     }
     -1L // unreachable
   }
@@ -1470,9 +1594,10 @@ object SnapshotTable {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"snapshot table $dir has no committed version")
     val m = readManifest(spark, dir, version.getOrElse(vs.last))
-    val (tracked, untracked) = m.entries.partition(_.stats.contains(colName))
+    val (tracked, untracked) =
+      m.entries.partition(e => entryStat(m, e, colName).nonEmpty)
     val events = tracked.flatMap { e =>
-      val st = e.stats(colName)
+      val st = entryStat(m, e, colName).get
       Seq((st.min, 1), (st.max, -1))
     }
     // close AFTER open at the same point: closed intervals touching at
@@ -1532,7 +1657,8 @@ object SnapshotTable {
         Manifest(headV + 1, m.batchIds, m.statsCols,
           large.map(_._1) ++ newEntries.map(_.copy(seq = headV + 1)),
           bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
-          streamKeys = m.streamKeys, deletes = m.deletes)))
+          streamKeys = m.streamKeys, deletes = m.deletes,
+          renames = m.renames)))
         return headV + 1
       dropOrphanBatch(spark, dir, batchFiles)
     }
@@ -1584,17 +1710,18 @@ object SnapshotTable {
     * partition; the collect is bounded by the candidate FILE count,
     * never row-scaled. */
   private def bloomSurvivors(
-      spark: SparkSession, dir: String, entries: Seq[Entry],
+      spark: SparkSession, dir: String, m: Manifest, entries: Seq[Entry],
       keyed: DataFrame, bloomKeys: Seq[String],
       fields: Map[String, DataType]): Seq[Entry] = {
+    def wt(e: Entry, c: String): String = writeTimeName(m, c, e.seq)
     val (probed, unprobed) =
-      entries.partition(e => bloomKeys.forall(entryHasBloom(e, _)))
+      entries.partition(e => bloomKeys.forall(c => entryHasBloom(e, wt(e, c))))
     if (probed.isEmpty) return entries
     val hashed = keyed.select(bloomKeys.map(k =>
       bloomKeyHash(col(k), fields(k), k).as(s"__h_$k")): _*)
     val bcast = spark.sparkContext.broadcast(
       probed.map(e => e.path ->
-        bloomKeys.map(c => entryBloom(spark, dir, e, c).get)).toArray)
+        bloomKeys.map(c => entryBloom(spark, dir, e, wt(e, c)).get)).toArray)
     try {
       import spark.implicits._
       val nk = bloomKeys.size
@@ -1654,7 +1781,7 @@ object SnapshotTable {
         }
         pool.filter { e =>
           ranges.forall { case (k, (lo, hi)) =>
-            e.stats.get(k) match {
+            entryStat(m, e, k) match {
               case None => true
               case Some(st) =>
                 cmpStat(st.max, lo).forall(_ >= 0) && cmpStat(st.min, hi).forall(_ <= 0)
@@ -1665,7 +1792,7 @@ object SnapshotTable {
     val bloomKeys = keys.filter(m.bloomCols.contains)
       .filter(k => keyed.columns.contains(k))
     if (bloomKeys.isEmpty || ranged.isEmpty) ranged
-    else bloomSurvivors(spark, dir, ranged, keyed, bloomKeys,
+    else bloomSurvivors(spark, dir, m, ranged, keyed, bloomKeys,
       keyed.schema.fields.map(f => f.name -> f.dataType).toMap)
   }
 
@@ -1694,8 +1821,7 @@ object SnapshotTable {
       among: Seq[Entry] = null): Seq[Entry] = {
     val candidates = prunedCandidates(spark, dir, m, keyed, keys, among)
     if (candidates.isEmpty) return Seq.empty
-    val cand = spark.read.option("mergeSchema", "true")
-      .parquet(candidates.map(e => resolve(dir, e.path)): _*)
+    val cand = renamedRawRead(spark, dir, m, candidates)
     // input_file_name is only defined before the first exchange, so
     // project it at the scan, then join
     val touchedAbs = cand
@@ -1762,7 +1888,8 @@ object SnapshotTable {
         Manifest(headV + 1, m.batchIds, m.statsCols,
           untouched ++ newEntries.map(_.copy(seq = headV + 1)),
           bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
-          streamKeys = m.streamKeys, deletes = m.deletes)))
+          streamKeys = m.streamKeys, deletes = m.deletes,
+          renames = m.renames)))
         return headV + 1
       // lost the race: our batch is orphaned (no manifest names it);
       // drop it and recompute against the new head
@@ -1796,7 +1923,8 @@ object SnapshotTable {
         // no-op commit (every entry carried forward)
         if (tryPublish(spark, dir, Manifest(headV + 1, m.batchIds, m.statsCols, m.entries,
           bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
-          streamKeys = m.streamKeys, deletes = m.deletes)))
+          streamKeys = m.streamKeys, deletes = m.deletes,
+          renames = m.renames)))
           return headV + 1
       } else {
         val untouched = m.entries.filterNot(e => touched.exists(_.path == e.path))
@@ -1809,7 +1937,8 @@ object SnapshotTable {
           Manifest(headV + 1, m.batchIds, m.statsCols,
             untouched ++ newEntries.map(_.copy(seq = headV + 1)),
             bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
-            streamKeys = m.streamKeys, deletes = m.deletes)))
+            streamKeys = m.streamKeys, deletes = m.deletes,
+            renames = m.renames)))
           return headV + 1
         dropOrphanBatch(spark, dir, batchFiles)
       }
@@ -1881,7 +2010,8 @@ object SnapshotTable {
         Manifest(next, m.batchIds, m.statsCols, m.entries,
           bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
           streamKeys = m.streamKeys ++ streamKey,
-          deletes = m.deletes :+ DeleteFile(paths, keyCols, next, nKeys))))
+          deletes = m.deletes :+ DeleteFile(paths, keyCols, next, nKeys),
+          renames = m.renames)))
         return next
     }
     -1L // unreachable
@@ -1918,6 +2048,10 @@ object SnapshotTable {
       s"cloneTable: $srcDir@$v carries pending merge-on-read deletes, whose " +
         "sequence scoping is ledger-relative and does not transplant — run " +
         "applyDeletes on the source first")
+    require(m.renames.forall(r => m.entries.forall(_.seq >= r.seq)),
+      s"cloneTable: $srcDir@$v has files still subject to a column rename, " +
+        "whose sequence scoping does not transplant — compact/OPTIMIZE the " +
+        "source first to normalize them")
     require(versions(spark, dstDir).isEmpty,
       s"cloneTable target $dstDir already has a committed version")
     val f = fs(spark, dstDir)
@@ -1966,10 +2100,16 @@ object SnapshotTable {
         val eligible = m.entries.filter(_.seq < d.seq)
         if (eligible.isEmpty) Nil
         else {
-          val keyFrame = spark.read
-            .parquet(d.paths.map(p => resolve(dir, p)): _*)
-            .select(d.keyCols.map(col): _*).distinct()
-          touchedFiles(spark, dir, m, keyFrame, d.keyCols, eligible)
+          // the delete recorded its keys under the names current at
+          // ITS commit — map both frame and key list to today's
+          val cur = d.keyCols.map(k => currentName(m, k, d.seq))
+          val keyFrame = d.keyCols.zip(cur)
+            .foldLeft(spark.read
+              .parquet(d.paths.map(p => resolve(dir, p)): _*)
+              .select(d.keyCols.map(col): _*)) { case (kf, (o, n)) =>
+              if (o == n) kf else kf.withColumnRenamed(o, n)
+            }.distinct()
+          touchedFiles(spark, dir, m, keyFrame, cur, eligible)
         }
       }.groupBy(_.path).map(_._2.head).toSeq
       if (touched.isEmpty) {
@@ -1978,7 +2118,7 @@ object SnapshotTable {
         if (tryPublish(spark, dir,
           Manifest(headV + 1, m.batchIds, m.statsCols, m.entries,
             bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
-            streamKeys = m.streamKeys)))
+            streamKeys = m.streamKeys, renames = m.renames)))
           return headV + 1
       } else {
         val untouched = m.entries.filterNot(e => touched.exists(_.path == e.path))
@@ -1990,7 +2130,7 @@ object SnapshotTable {
           Manifest(headV + 1, m.batchIds, m.statsCols,
             untouched ++ newEntries.map(_.copy(seq = headV + 1)),
             bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
-            streamKeys = m.streamKeys)))
+            streamKeys = m.streamKeys, renames = m.renames)))
           return headV + 1
         dropOrphanBatch(spark, dir, batchFiles)
       }
@@ -2053,6 +2193,12 @@ object SnapshotTable {
     require(fromV < toV, s"changesBetween: need fromV < toV, got $fromV >= $toV")
     val fm = readManifest(spark, dir, fromV)
     val tm = readManifest(spark, dir, toV)
+    // a rename is a SCHEMA change, not a row change — diffing across
+    // one would misreport every row as changed (or throw on the
+    // mismatched schemas); consumers re-sync from the renamed head
+    require(fm.renames == tm.renames,
+      s"changesBetween($fromV, $toV) crosses a column rename — a schema " +
+        "change, not a row change; re-sync CDC consumers from the renamed head")
     classifyChanges(fm, tm) match {
       // the append fast path requires IDENTICAL pending delete lists:
       // a merge-on-read delete commit changes the logical contents

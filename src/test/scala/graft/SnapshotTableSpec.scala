@@ -1038,6 +1038,80 @@ class SnapshotTableSpec extends SparkSpec {
       .toSeq == Seq("revived"))
   }
 
+  test("commitRenameColumn: metadata-only; reads, pruning, aggregates, merges follow the new name") {
+    val dir = freshDir()
+    SnapshotTable.commitAppend(
+      (1L to 100L).toDF("id").repartitionByRange(4, col("id")),
+      dir, statsCols = Seq("id"), bloomCols = Seq("id"))
+    val v1Files = SnapshotTable.files(spark, dir, 1L)
+    assert(SnapshotTable.commitRenameColumn(spark, dir, "id", "record_id") == 2L)
+    assert(SnapshotTable.files(spark, dir, 2L) == v1Files,
+      "a rename must touch zero data files")
+    // the head surfaces the new name with the old values
+    val head = SnapshotTable.read(spark, dir)
+    assert(head.columns.toSeq == Seq("record_id"))
+    assert(head.select("record_id").as[Long].collect().sorted.toSeq == (1L to 100L))
+    // time travel BEFORE the rename keeps the original name
+    assert(SnapshotTable.read(spark, dir, Some(1L)).columns.toSeq == Seq("id"))
+    // planning-time pruning on the NEW name over OLD files: stats,
+    // blooms, and range classification all map through the history
+    val (kept, total) = SnapshotTable.pruneFilesByKeys(spark, dir, "record_id", Seq(7L))
+    assert(kept.size < total, s"pruning must keep working: ${kept.size} of $total")
+    assert(SnapshotTable.readKeysFiltered(spark, dir, "record_id", Seq(7L))
+      .filter(col("record_id") === 7L).count() == 1)
+    assert(SnapshotTable.statExtremes(spark, dir, "record_id") ==
+      (java.math.BigDecimal.valueOf(1), java.math.BigDecimal.valueOf(100)))
+    val (n, covered, _, _) = SnapshotTable.countRowsWhere(
+      spark, dir, SnapshotTable.StatFilter("record_id",
+        lower = Some(1L), upper = Some(50L)))
+    assert(n == 50 && covered > 0)
+    // MERGE on the new name: only the touched file rewrites, and the
+    // rewritten file carries the new name physically
+    SnapshotTable.commitMerge(Seq(101L).toDF("record_id"), dir, Seq("record_id"))
+    assert(SnapshotTable.read(spark, dir).count() == 101)
+    // a rename CHAIN composes
+    SnapshotTable.commitRenameColumn(spark, dir, "record_id", "rid")
+    assert(SnapshotTable.read(spark, dir).columns.toSeq == Seq("rid"))
+    assert(SnapshotTable.readKeysFiltered(spark, dir, "rid", Seq(7L))
+      .filter(col("rid") === 7L).count() == 1)
+    // guards: absent source, shadowing target
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commitRenameColumn(spark, dir, "nope", "x")
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commitRenameColumn(spark, dir, "rid", "rid")
+    }
+  }
+
+  test("renames and MoR deletes interleave: delete keys map through their commit-time names") {
+    val dir = freshDir()
+    SnapshotTable.commitAppend((1L to 10L).toDF("id"), dir, statsCols = Seq("id"))
+    SnapshotTable.commitDeleteMoR(Seq(3L).toDF("id"), dir, Seq("id"))
+    SnapshotTable.commitRenameColumn(spark, dir, "id", "rid")
+    SnapshotTable.commitDeleteMoR(Seq(5L).toDF("rid"), dir, Seq("rid"))
+    def got() = SnapshotTable.read(spark, dir)
+      .select("rid").as[Long].collect().sorted.toSeq
+    assert(got() == Seq(1L, 2L, 4L, 6L, 7L, 8L, 9L, 10L),
+      "both deletes must apply, each under its own commit-time name")
+    // the fold normalizes: rewritten files carry the current name
+    SnapshotTable.applyDeletes(spark, dir)
+    assert(got() == Seq(1L, 2L, 4L, 6L, 7L, 8L, 9L, 10L))
+    assert(SnapshotTable.pendingDeletes(spark, dir).isEmpty)
+    // CDC across the rename refuses loudly — schema, not rows
+    assert(intercept[IllegalArgumentException] {
+      SnapshotTable.changesBetween(spark, dir, 2L, 3L)
+    }.getMessage.contains("rename"))
+    // clone refuses while files are still subject to a rename...
+    assert(intercept[IllegalArgumentException] {
+      SnapshotTable.cloneTable(spark, dir, freshDir())
+    }.getMessage.contains("rename"))
+    // ...and works after a rewrite normalizes them
+    SnapshotTable.compactHead(spark, dir, targetBytes = 1L << 30)
+    val dst = freshDir()
+    SnapshotTable.cloneTable(spark, dir, dst)
+    assert(SnapshotTable.read(spark, dst).columns.toSeq == Seq("rid"))
+  }
+
   test("groupSums: stored sums answer single-group files; group-col nulls force the scan") {
     val dir = freshDir()
     // file 1: one group, no group nulls, stored sum → metadata (5+7=12)
