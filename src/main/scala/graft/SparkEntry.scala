@@ -546,6 +546,31 @@ object SparkEntry {
       out
     })
 
+  /** snapshot_drop's table, once per sf dir: v1 carries a `score`
+    * column (event_id % 100), v2 DROPS it (memo requires zero files
+    * touched), v3 re-adds the NAME via an append of the %10 slice at
+    * score=777 — the head sum proving the erased generation never
+    * resurfaces is the row's oracle. */
+  private val snapDropMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def snapDropTable(s: SparkSession, dir: String): String =
+    snapDropMemo.computeIfAbsent(dir, _ => {
+      import graft.sources.SnapshotTable
+      val out = s"${tempDir("graft_snap_drop")}/events_tbl"
+      val ev = Tables.events(s, dir).select("event_id", "event_type")
+      SnapshotTable.commitAppend(
+        ev.withColumn("score", col("event_id") % 100L), out,
+        statsCols = Seq("event_id"))
+      val v1Files = SnapshotTable.files(s, out, 1L)
+      require(SnapshotTable.commitDropColumn(s, out, "score") == 2L)
+      require(SnapshotTable.files(s, out, 2L) == v1Files,
+        "a column drop must touch zero data files")
+      SnapshotTable.commitAppend(
+        ev.filter(col("event_id") % 10 === 0)
+          .withColumn("score", lit(777L)), out)
+      out
+    })
+
   /** snapshot_gc's table, once per sf dir: one real commit, one
     * fabricated orphan (a batch dir no manifest names — the crashed-
     * writer residue), then gcOrphans(grace 0) with requires pinning
@@ -2675,6 +2700,20 @@ object SparkEntry {
       require(scannedFiles < total,
         "the grouped count must not scan every file on a clustered layout")
       out.orderBy("event_type")
+    }),
+    // Column DROP as erasure — and the re-add semantics that make it
+    // honest: the head carries the re-added `score` generation where
+    // OLD rows read null (their erased event_id%100 values never
+    // resurface — the oracle sum would catch a single leaked value),
+    // new rows carry 777.
+    "snapshot_drop" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val head = SnapshotTable.read(s, snapDropTable(s, dir))
+      require(head.columns.sorted.toSeq == Seq("event_id", "event_type", "score"),
+        s"the re-added generation must surface: ${head.columns.toSeq}")
+      head.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum(col("score")).as("sum_score"))
+        .orderBy("event_type")
     }),
     // Column RENAME as schema evolution beyond additive: one
     // metadata commit (memo requires: zero files touched, pruning
@@ -6255,6 +6294,16 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events
         |FROM events WHERE event_id % 5 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the erased generation contributes NULL, the re-added one 777 —
+    // one leaked pre-drop value breaks the sum
+    "snapshot_drop" ->
+      """WITH u AS (
+        |  SELECT event_type, CAST(NULL AS BIGINT) AS score FROM events
+        |  UNION ALL
+        |  SELECT event_type, 777 FROM events WHERE event_id % 10 = 0)
+        |SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(score) AS BIGINT) AS sum_score
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     // the renamed head: original values under the new name, the %10
     // restatement merged through it
     "snapshot_rename" ->

@@ -117,6 +117,15 @@ object SnapshotTable {
     * name back through the rename history before the lookup. */
   private[graft] final case class Rename(from: String, to: String, seq: Long)
 
+  /** One COLUMN DROP, seq-scoped the same way: files written before
+    * it hide the column at read time (their values are logically
+    * erased — and stay erased even if a later append RE-ADDS the
+    * name: the old generation never resurfaces), files written after
+    * simply don't carry it. Refused while a pending merge-on-read
+    * delete keys on the column — the delete would silently stop
+    * applying. */
+  private[graft] final case class Drop(name: String, seq: Long)
+
   private[graft] final case class Manifest(
       version: Long,
       batchIds: Set[Long],
@@ -127,7 +136,17 @@ object SnapshotTable {
       bloomFpp: Double = 0.01,
       streamKeys: Set[String] = Set.empty,
       deletes: Seq[DeleteFile] = Nil,
-      renames: Seq[Rename] = Nil)
+      renames: Seq[Rename] = Nil,
+      drops: Seq[Drop] = Nil)
+
+  /** Renames and drops interleaved in commit order — the one
+    * schema-op stream every read and metadata lookup walks. */
+  private def schemaOps(m: Manifest): Seq[Either[Rename, Drop]] =
+    (m.renames.map(Left(_): Either[Rename, Drop]) ++
+      m.drops.map(Right(_): Either[Rename, Drop]))
+      .sortBy(_.fold(_.seq, _.seq))
+
+  private def opSeq(op: Either[Rename, Drop]): Long = op.fold(_.seq, _.seq)
 
   /** The CURRENT name of a column recorded as `name` at `fromSeq`:
     * fold the renames committed after it, oldest first. */
@@ -136,14 +155,22 @@ object SnapshotTable {
       .foldLeft(name)((n, r) => if (r.from == n) r.to else n)
 
   /** The WRITE-TIME name an entry recorded for today's `current`
-    * column: unfold the renames newer than the entry, newest first. */
-  private def writeTimeName(m: Manifest, current: String, entrySeq: Long): String =
-    m.renames.filter(_.seq > entrySeq).sortBy(-_.seq)
-      .foldLeft(current)((n, r) => if (r.to == n) r.from else n)
+    * column — None when the lineage crosses a DROP (today's column is
+    * a re-added generation; the entry's values for that name are
+    * erased, so its stats must never serve today's queries). Walks
+    * the schema ops newer than the entry, newest first. */
+  private def writeTimeName(
+      m: Manifest, current: String, entrySeq: Long): Option[String] =
+    schemaOps(m).filter(opSeq(_) > entrySeq).reverse
+      .foldLeft(Option(current)) {
+        case (None, _) => None
+        case (Some(n), Left(r)) => Some(if (r.to == n) r.from else n)
+        case (Some(n), Right(d)) => if (d.name == n) None else Some(n)
+      }
 
   /** An entry's stat for TODAY'S `current` column name. */
   private def entryStat(m: Manifest, e: Entry, current: String): Option[FileStat] =
-    e.stats.get(writeTimeName(m, current, e.seq))
+    writeTimeName(m, current, e.seq).flatMap(e.stats.get)
 
   /** An inclusive-bounds range predicate over one stat column, used
     * for planning-time file pruning. `lower`/`upper` accept any
@@ -220,6 +247,14 @@ object SnapshotTable {
         rn.put("from", r.from)
         rn.put("to", r.to)
         rn.put("seq", r.seq): Unit
+      }
+    }
+    if (m.drops.nonEmpty) {
+      val ds2 = root.putArray("drops")
+      m.drops.foreach { d =>
+        val dn = ds2.addObject()
+        dn.put("name", d.name)
+        dn.put("seq", d.seq): Unit
       }
     }
     val es = root.putArray("entries")
@@ -321,13 +356,19 @@ object SnapshotTable {
         Rename(rn.get("from").asText, rn.get("to").asText, rn.get("seq").asLong)
       }
     }.getOrElse(Seq.empty)
+    val drops = Option(root.get("drops")).map { a =>
+      (0 until a.size).map { i =>
+        val dn = a.get(i)
+        Drop(dn.get("name").asText, dn.get("seq").asLong)
+      }
+    }.getOrElse(Seq.empty)
     // the slot NAME is authoritative for the version — a manifest can
     // land in a slot other than the one its writer targeted only via
     // out-of-band copies (the race spec does exactly that), and the
     // ledger must follow the slot, not the stale body field
     Manifest(v, batchIds, statsCols, entries,
       Option(root.get("committedAtMs")).map(_.asLong).getOrElse(0L),
-      bloomCols, bloomFpp, streamKeys, deletes, renames)
+      bloomCols, bloomFpp, streamKeys, deletes, renames, drops)
   }
 
   /** The file list version `v` names (paths relative to `dir`) — the
@@ -397,9 +438,14 @@ object SnapshotTable {
     spark.read.option("mergeSchema", "true")
       .parquet(entries.map(e => resolve(dir, e.path)): _*)
 
-  private def applyRenames(df: DataFrame, rens: Seq[Rename]): DataFrame =
-    rens.foldLeft(df)((d, r) =>
-      if (d.columns.contains(r.from)) d.withColumnRenamed(r.from, r.to) else d)
+  private def applySchemaOps(
+      df: DataFrame, ops: Seq[Either[Rename, Drop]]): DataFrame =
+    ops.foldLeft(df) {
+      case (d, Left(r)) =>
+        if (d.columns.contains(r.from)) d.withColumnRenamed(r.from, r.to) else d
+      case (d, Right(dr)) =>
+        if (d.columns.contains(dr.name)) d.drop(dr.name) else d
+    }
 
   /** The PHYSICAL rows of `entries` surfaced under TODAY'S column
     * names (renames applied per entry group, merge-on-read deletes
@@ -408,13 +454,13 @@ object SnapshotTable {
     * columns arrive in current names. */
   private def renamedRawRead(
       spark: SparkSession, dir: String, m: Manifest, entries: Seq[Entry]): DataFrame = {
-    val rens = m.renames.sortBy(_.seq)
-    if (rens.isEmpty) rawRead(spark, dir, entries)
+    val ops = schemaOps(m)
+    if (ops.isEmpty) rawRead(spark, dir, entries)
     else entries.groupBy { e =>
-      val i = rens.indexWhere(_.seq > e.seq)
-      if (i < 0) rens.length else i
-    }.toSeq.sortBy(_._1).map { case (ri, es) =>
-      applyRenames(rawRead(spark, dir, es), rens.drop(ri))
+      val i = ops.indexWhere(opSeq(_) > e.seq)
+      if (i < 0) ops.length else i
+    }.toSeq.sortBy(_._1).map { case (oi, es) =>
+      applySchemaOps(rawRead(spark, dir, es), ops.drop(oi))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -431,8 +477,8 @@ object SnapshotTable {
       spark: SparkSession, dir: String, m: Manifest, entries: Seq[Entry]): DataFrame = {
     require(entries.nonEmpty, "entriesFrame needs at least one entry")
     val dels = m.deletes.sortBy(_.seq)
-    val rens = m.renames.sortBy(_.seq)
-    if (dels.isEmpty && rens.isEmpty) rawRead(spark, dir, entries)
+    val ops = schemaOps(m)
+    if (dels.isEmpty && ops.isEmpty) rawRead(spark, dir, entries)
     else {
       // both lists are seq-scoped, so an entry's applicable set is
       // always a SUFFIX of each — group by the two suffix starts
@@ -441,12 +487,14 @@ object SnapshotTable {
         if (i < 0) xs.length else i
       }
       val groups = entries.groupBy(e =>
-        (suffix[Rename](rens, _.seq, e), suffix[DeleteFile](dels, _.seq, e)))
-      groups.toSeq.sortBy(_._1).map { case ((ri, di), es) =>
-        // renames first: the group's frame surfaces under TODAY'S
-        // names, so delete keys (mapped to today's names too) and
-        // the cross-group unionByName line up
-        val renamed = applyRenames(rawRead(spark, dir, es), rens.drop(ri))
+        (suffix[Either[Rename, Drop]](ops, opSeq, e),
+          suffix[DeleteFile](dels, _.seq, e)))
+      groups.toSeq.sortBy(_._1).map { case ((oi, di), es) =>
+        // schema ops first: the group's frame surfaces under TODAY'S
+        // names (dropped generations hidden), so delete keys (mapped
+        // to today's names too) and the cross-group unionByName line
+        // up
+        val renamed = applySchemaOps(rawRead(spark, dir, es), ops.drop(oi))
         dels.drop(di).foldLeft(renamed) { (df, d) =>
           // the delete recorded its key columns under the names
           // CURRENT AT ITS COMMIT — map both sides to today's
@@ -587,9 +635,10 @@ object SnapshotTable {
     val hashes = hashKeyStrings(spark, canon)
     val statVals = values.map(v => scala.util.Try(toStatVal(v)).toOption)
     val kept = m.entries.filter { e =>
-      val bloom = entryBloom(spark, dir, e, writeTimeName(m, colName, e.seq)).map(b =>
-        org.apache.spark.util.sketch.BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(b)))
+      val bloom = writeTimeName(m, colName, e.seq)
+        .flatMap(wt => entryBloom(spark, dir, e, wt)).map(b =>
+          org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(b)))
       values.indices.exists { i =>
         val bloomOk = bloom.forall(_.mightContainLong(hashes(i)))
         val statOk = (entryStat(m, e, colName), statVals(i)) match {
@@ -1341,7 +1390,8 @@ object SnapshotTable {
         carried ++ newEntries.map(_.copy(seq = next)),
         bloomCols = tableBlooms, bloomFpp = fpp, streamKeys = keys,
         deletes = dels,
-        renames = if (append) head.map(_.renames).getOrElse(Nil) else Nil)))
+        renames = if (append) head.map(_.renames).getOrElse(Nil) else Nil,
+        drops = if (append) head.map(_.drops).getOrElse(Nil) else Nil)))
         return next
     }
     -1L // unreachable
@@ -1388,7 +1438,7 @@ object SnapshotTable {
         Manifest(headV + 1, head.batchIds, head.statsCols, target.entries,
           bloomCols = head.bloomCols, bloomFpp = head.bloomFpp,
           streamKeys = head.streamKeys, deletes = target.deletes,
-          renames = target.renames)))
+          renames = target.renames, drops = target.drops)))
         return headV + 1
     }
     -1L // unreachable
@@ -1431,7 +1481,46 @@ object SnapshotTable {
         Manifest(next, m.batchIds, m.statsCols.map(follow), m.entries,
           bloomCols = m.bloomCols.map(follow), bloomFpp = m.bloomFpp,
           streamKeys = m.streamKeys, deletes = m.deletes,
-          renames = m.renames :+ Rename(from, to, next))))
+          renames = m.renames :+ Rename(from, to, next),
+          drops = m.drops)))
+        return next
+    }
+    -1L // unreachable
+  }
+
+  /** DROP a column — the erasure half of schema evolution, also
+    * METADATA-ONLY and seq-scoped: files written before the drop hide
+    * the column at read time (their values are logically erased and
+    * NEVER resurface, even if a later append re-adds the name — a
+    * re-added column is a fresh generation, old files read null under
+    * it and their old stats never serve it), files written after
+    * simply don't carry it, and rewriting commits physically shed it
+    * from the files they touch. The declared statsCols/bloomCols shed
+    * the name. Refused while a pending merge-on-read delete keys on
+    * the column (the delete would silently stop applying — apply the
+    * deletes first) and when the column is absent. Returns the
+    * committed version. */
+  def commitDropColumn(spark: SparkSession, dir: String, name: String): Long = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 20, s"drop on $dir lost 20 straight races; giving up")
+      val headV = versions(spark, dir).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"snapshot table $dir has no committed version"))
+      val m = readManifest(spark, dir, headV)
+      require(entriesFrame(spark, dir, m, m.entries).columns.contains(name),
+        s"commitDropColumn: no column '$name' in the logical schema of $dir")
+      m.deletes.foreach { d =>
+        require(!d.keyCols.map(k => currentName(m, k, d.seq)).contains(name),
+          s"commitDropColumn: a pending merge-on-read delete keys on '$name' — " +
+            "run applyDeletes first, or the retraction would silently stop applying")
+      }
+      val next = headV + 1
+      if (tryPublish(spark, dir,
+        Manifest(next, m.batchIds, m.statsCols.filterNot(_ == name), m.entries,
+          bloomCols = m.bloomCols.filterNot(_ == name), bloomFpp = m.bloomFpp,
+          streamKeys = m.streamKeys, deletes = m.deletes,
+          renames = m.renames, drops = m.drops :+ Drop(name, next))))
         return next
     }
     -1L // unreachable
@@ -1658,7 +1747,7 @@ object SnapshotTable {
           large.map(_._1) ++ newEntries.map(_.copy(seq = headV + 1)),
           bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
           streamKeys = m.streamKeys, deletes = m.deletes,
-          renames = m.renames)))
+          renames = m.renames, drops = m.drops)))
         return headV + 1
       dropOrphanBatch(spark, dir, batchFiles)
     }
@@ -1713,15 +1802,16 @@ object SnapshotTable {
       spark: SparkSession, dir: String, m: Manifest, entries: Seq[Entry],
       keyed: DataFrame, bloomKeys: Seq[String],
       fields: Map[String, DataType]): Seq[Entry] = {
-    def wt(e: Entry, c: String): String = writeTimeName(m, c, e.seq)
+    def wt(e: Entry, c: String): Option[String] = writeTimeName(m, c, e.seq)
     val (probed, unprobed) =
-      entries.partition(e => bloomKeys.forall(c => entryHasBloom(e, wt(e, c))))
+      entries.partition(e =>
+        bloomKeys.forall(c => wt(e, c).exists(entryHasBloom(e, _))))
     if (probed.isEmpty) return entries
     val hashed = keyed.select(bloomKeys.map(k =>
       bloomKeyHash(col(k), fields(k), k).as(s"__h_$k")): _*)
     val bcast = spark.sparkContext.broadcast(
       probed.map(e => e.path ->
-        bloomKeys.map(c => entryBloom(spark, dir, e, wt(e, c)).get)).toArray)
+        bloomKeys.map(c => entryBloom(spark, dir, e, wt(e, c).get).get)).toArray)
     try {
       import spark.implicits._
       val nk = bloomKeys.size
@@ -1889,7 +1979,7 @@ object SnapshotTable {
           untouched ++ newEntries.map(_.copy(seq = headV + 1)),
           bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
           streamKeys = m.streamKeys, deletes = m.deletes,
-          renames = m.renames)))
+          renames = m.renames, drops = m.drops)))
         return headV + 1
       // lost the race: our batch is orphaned (no manifest names it);
       // drop it and recompute against the new head
@@ -1924,7 +2014,7 @@ object SnapshotTable {
         if (tryPublish(spark, dir, Manifest(headV + 1, m.batchIds, m.statsCols, m.entries,
           bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
           streamKeys = m.streamKeys, deletes = m.deletes,
-          renames = m.renames)))
+          renames = m.renames, drops = m.drops)))
           return headV + 1
       } else {
         val untouched = m.entries.filterNot(e => touched.exists(_.path == e.path))
@@ -1938,7 +2028,7 @@ object SnapshotTable {
             untouched ++ newEntries.map(_.copy(seq = headV + 1)),
             bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
             streamKeys = m.streamKeys, deletes = m.deletes,
-            renames = m.renames)))
+            renames = m.renames, drops = m.drops)))
           return headV + 1
         dropOrphanBatch(spark, dir, batchFiles)
       }
@@ -2011,7 +2101,7 @@ object SnapshotTable {
           bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
           streamKeys = m.streamKeys ++ streamKey,
           deletes = m.deletes :+ DeleteFile(paths, keyCols, next, nKeys),
-          renames = m.renames)))
+          renames = m.renames, drops = m.drops)))
         return next
     }
     -1L // unreachable
@@ -2048,8 +2138,8 @@ object SnapshotTable {
       s"cloneTable: $srcDir@$v carries pending merge-on-read deletes, whose " +
         "sequence scoping is ledger-relative and does not transplant — run " +
         "applyDeletes on the source first")
-    require(m.renames.forall(r => m.entries.forall(_.seq >= r.seq)),
-      s"cloneTable: $srcDir@$v has files still subject to a column rename, " +
+    require(schemaOps(m).forall(op => m.entries.forall(_.seq >= opSeq(op))),
+      s"cloneTable: $srcDir@$v has files still subject to a column rename/drop, " +
         "whose sequence scoping does not transplant — compact/OPTIMIZE the " +
         "source first to normalize them")
     require(versions(spark, dstDir).isEmpty,
@@ -2118,7 +2208,7 @@ object SnapshotTable {
         if (tryPublish(spark, dir,
           Manifest(headV + 1, m.batchIds, m.statsCols, m.entries,
             bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
-            streamKeys = m.streamKeys, renames = m.renames)))
+            streamKeys = m.streamKeys, renames = m.renames, drops = m.drops)))
           return headV + 1
       } else {
         val untouched = m.entries.filterNot(e => touched.exists(_.path == e.path))
@@ -2130,7 +2220,7 @@ object SnapshotTable {
           Manifest(headV + 1, m.batchIds, m.statsCols,
             untouched ++ newEntries.map(_.copy(seq = headV + 1)),
             bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
-            streamKeys = m.streamKeys, renames = m.renames)))
+            streamKeys = m.streamKeys, renames = m.renames, drops = m.drops)))
           return headV + 1
         dropOrphanBatch(spark, dir, batchFiles)
       }
@@ -2196,9 +2286,9 @@ object SnapshotTable {
     // a rename is a SCHEMA change, not a row change — diffing across
     // one would misreport every row as changed (or throw on the
     // mismatched schemas); consumers re-sync from the renamed head
-    require(fm.renames == tm.renames,
-      s"changesBetween($fromV, $toV) crosses a column rename — a schema " +
-        "change, not a row change; re-sync CDC consumers from the renamed head")
+    require(fm.renames == tm.renames && fm.drops == tm.drops,
+      s"changesBetween($fromV, $toV) crosses a column rename/drop — a schema " +
+        "change, not a row change; re-sync CDC consumers from the evolved head")
     classifyChanges(fm, tm) match {
       // the append fast path requires IDENTICAL pending delete lists:
       // a merge-on-read delete commit changes the logical contents

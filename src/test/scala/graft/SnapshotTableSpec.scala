@@ -1112,6 +1112,42 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, dst).columns.toSeq == Seq("rid"))
   }
 
+  test("commitDropColumn: metadata-only erasure; a re-added name never resurfaces old values") {
+    val dir = freshDir()
+    SnapshotTable.commitAppend(
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), dir, statsCols = Seq("id", "v"))
+    val v1Files = SnapshotTable.files(spark, dir, 1L)
+    assert(SnapshotTable.commitDropColumn(spark, dir, "v") == 2L)
+    assert(SnapshotTable.files(spark, dir, 2L) == v1Files,
+      "a drop must touch zero data files")
+    assert(SnapshotTable.read(spark, dir).columns.toSeq == Seq("id"))
+    // time travel before the drop still sees the column
+    assert(SnapshotTable.read(spark, dir, Some(1L)).columns.toSeq == Seq("id", "v"))
+    // re-adding the name is a FRESH generation: old rows read null
+    // under it, the erased values never resurface
+    SnapshotTable.commitAppend(Seq((3L, 777L)).toDF("id", "v"), dir)
+    val head = SnapshotTable.read(spark, dir).orderBy("id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+    assert(head.toSeq == Seq((1L, None), (2L, None), (3L, Some(777L))))
+    // ...and the old generation's STATS never serve the new name
+    assert(intercept[IllegalArgumentException] {
+      SnapshotTable.statExtremes(spark, dir, "v")
+    }.getMessage.contains("missing"))
+    // guards: absent column; a pending MoR delete keyed on the column
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commitDropColumn(spark, dir, "nope")
+    }
+    SnapshotTable.commitDeleteMoR(Seq(2L).toDF("id"), dir, Seq("id"))
+    assert(intercept[IllegalArgumentException] {
+      SnapshotTable.commitDropColumn(spark, dir, "id")
+    }.getMessage.contains("applyDeletes"))
+    SnapshotTable.applyDeletes(spark, dir)
+    // a rewrite (the fold) physically shed nothing here — but drop
+    // after fold is now legal and the logical read follows
+    SnapshotTable.commitDropColumn(spark, dir, "id")
+    assert(SnapshotTable.read(spark, dir).columns.toSeq == Seq("v"))
+  }
+
   test("groupSums: stored sums answer single-group files; group-col nulls force the scan") {
     val dir = freshDir()
     // file 1: one group, no group nulls, stored sum → metadata (5+7=12)
