@@ -1088,6 +1088,25 @@ object SparkEntry {
     // DuckDB side replaying the identical four-stage chain.
     "corpus_pipeline" -> ((s, dir) =>
       TextOps.corpusPipeline(Tables.documents(s, dir)).orderBy("keep_doc_id")),
+    // The web-scrape composition — what a crawl actually runs, ONE
+    // declarative plan end-to-end: synthetic HTML wrapping →
+    // stripMarkup (script payloads die, entities decode once) →
+    // normalize → quality gate → exact dedup; the oracle replays
+    // every stage. Map-only until the final 16-byte-hash dedup
+    // shuffle — the corpus text crosses the wire zero times.
+    "web_pipeline" -> ((s, dir) => {
+      val wrapped = Tables.documents(s, dir).select(col("doc_id"),
+        concat(
+          lit("<html><head><style>p { color: red }</style></head>" +
+            "<body><!-- chrome --><p>"),
+          col("text"),
+          lit("</p><script>if (1 < 2) { x(); }</script>&amp;amp; " +
+            "&lt;tail&gt;</body></html>")).as("text"))
+      TextOps.corpusPipeline(
+        TextOps.stripMarkup(wrapped)
+          .select(col("doc_id"), col("clean_text").as("text")))
+        .orderBy("keep_doc_id")
+    }),
     "text_stats" -> ((s, dir) => TextOps.textStats(Tables.documents(s, dir))),
     "doc_tokens" -> ((s, dir) =>
       TextOps.docTokens(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -6398,6 +6417,38 @@ object SparkEntry {
     "corpus_pipeline" ->
       """WITH n AS (SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS text
         |           FROM documents),
+        | t AS (SELECT doc_id, text, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks,
+        |              length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
+        |              length(text) AS n_chars
+        |       FROM n),
+        | p AS (SELECT doc_id, text, len(toks) AS n_tokens,
+        |              len(list_filter(toks, x -> list_contains(['the','a','an','of','and','or','is','in','to','for'], x))) AS n_stop,
+        |              n_punct, n_chars FROM t),
+        | m AS (SELECT doc_id, text, n_tokens,
+        |              CAST((n_punct * 1000) // greatest(n_chars, 1) AS BIGINT) AS punct_per_mille,
+        |              CAST((n_stop * 1000) // greatest(n_tokens, 1) AS BIGINT) AS stop_per_mille
+        |       FROM p),
+        | g AS (SELECT * FROM m WHERE n_tokens >= 5 AND punct_per_mille <= 150 AND stop_per_mille >= 10),
+        | d AS (SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id, count(*) AS dup_count
+        |       FROM g GROUP BY 1)
+        |SELECT d.keep_doc_id, d.text_md5, d.dup_count, g.n_tokens, g.punct_per_mille, g.stop_per_mille
+        |FROM d JOIN g ON g.doc_id = d.keep_doc_id
+        |ORDER BY keep_doc_id""".stripMargin,
+    // the whole crawl chain replayed: strip → normalize → gate → dedup
+    "web_pipeline" ->
+      """WITH w AS (SELECT doc_id,
+        |        '<html><head><style>p { color: red }</style></head><body><!-- chrome --><p>'
+        |        || text ||
+        |        '</p><script>if (1 < 2) { x(); }</script>&amp;amp; &lt;tail&gt;</body></html>' AS text
+        |       FROM documents),
+        | s1 AS (SELECT doc_id, regexp_replace(text, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t FROM w),
+        | s2 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s1),
+        | s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s2),
+        | s4 AS (SELECT doc_id, replace(replace(replace(replace(replace(t,
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t FROM s3),
+        | s5 AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS text FROM s4),
+        | n AS (SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS text
+        |       FROM s5),
         | t AS (SELECT doc_id, text, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks,
         |              length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
         |              length(text) AS n_chars
