@@ -1435,8 +1435,13 @@ object SnapshotTable {
       val headV = versions(spark, dir).last
       val head = readManifest(spark, dir, headV)
       if (tryPublish(spark, dir,
-        Manifest(headV + 1, head.batchIds, head.statsCols, target.entries,
-          bloomCols = head.bloomCols, bloomFpp = head.bloomFpp,
+        // stats/bloom declarations revert WITH the target: they name
+        // columns under the target's rename/drop state, and keeping
+        // the head's would leave future commits recording stats under
+        // names the restored schema may not carry. The LEDGER stays
+        // the head's — batch ids are monotone facts, not schema.
+        Manifest(headV + 1, head.batchIds, target.statsCols, target.entries,
+          bloomCols = target.bloomCols, bloomFpp = target.bloomFpp,
           streamKeys = head.streamKeys, deletes = target.deletes,
           renames = target.renames, drops = target.drops)))
         return headV + 1
@@ -2271,7 +2276,8 @@ object SnapshotTable {
     val tf = tm.entries.map(_.path).toSet
     val fd = fm.deletes.map(d => (d.paths, d.seq))
     val td = tm.deletes.map(d => (d.paths, d.seq))
-    if (ff.subsetOf(tf) && fd.toSet == td.toSet) "append"
+    if (fm.renames != tm.renames || fm.drops != tm.drops) "schema-evolution"
+    else if (ff.subsetOf(tf) && fd.toSet == td.toSet) "append"
     // the MoR-delete fast path needs the delete list to EXTEND from's
     // (seq order preserved) over an IDENTICAL file set
     else if (ff == tf && td.size > fd.size && td.take(fd.size) == fd) "mor-delete"
@@ -2283,13 +2289,15 @@ object SnapshotTable {
     require(fromV < toV, s"changesBetween: need fromV < toV, got $fromV >= $toV")
     val fm = readManifest(spark, dir, fromV)
     val tm = readManifest(spark, dir, toV)
-    // a rename is a SCHEMA change, not a row change — diffing across
-    // one would misreport every row as changed (or throw on the
-    // mismatched schemas); consumers re-sync from the renamed head
-    require(fm.renames == tm.renames && fm.drops == tm.drops,
-      s"changesBetween($fromV, $toV) crosses a column rename/drop — a schema " +
-        "change, not a row change; re-sync CDC consumers from the evolved head")
     classifyChanges(fm, tm) match {
+      // a rename/drop is a SCHEMA change, not a row change — diffing
+      // across one would misreport every row as changed (or throw on
+      // the mismatched schemas); consumers re-sync from the evolved head
+      case "schema-evolution" =>
+        throw new IllegalArgumentException(
+          s"changesBetween($fromV, $toV) crosses a column rename/drop — a " +
+            "schema change, not a row change; re-sync CDC consumers from " +
+            "the evolved head")
       // the append fast path requires IDENTICAL pending delete lists:
       // a merge-on-read delete commit changes the logical contents
       // while changing no data file (ff ⊆ tf would wrongly read as

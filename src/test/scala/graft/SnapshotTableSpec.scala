@@ -1097,7 +1097,9 @@ class SnapshotTableSpec extends SparkSpec {
     SnapshotTable.applyDeletes(spark, dir)
     assert(got() == Seq(1L, 2L, 4L, 6L, 7L, 8L, 9L, 10L))
     assert(SnapshotTable.pendingDeletes(spark, dir).isEmpty)
-    // CDC across the rename refuses loudly — schema, not rows
+    // CDC across the rename refuses loudly — schema, not rows — and
+    // the path classifier names it without reading data
+    assert(SnapshotTable.changesPath(spark, dir, 2L, 3L) == "schema-evolution")
     assert(intercept[IllegalArgumentException] {
       SnapshotTable.changesBetween(spark, dir, 2L, 3L)
     }.getMessage.contains("rename"))
@@ -1110,6 +1112,33 @@ class SnapshotTableSpec extends SparkSpec {
     val dst = freshDir()
     SnapshotTable.cloneTable(spark, dir, dst)
     assert(SnapshotTable.read(spark, dst).columns.toSeq == Seq("rid"))
+  }
+
+  test("restore past a rename reverts the stat declarations with it; renamed read adds no exchange") {
+    val dir = freshDir()
+    SnapshotTable.commitAppend((1L to 20L).toDF("id"), dir, statsCols = Seq("id"))
+    SnapshotTable.commitRenameColumn(spark, dir, "id", "rid")
+    // declarations follow the rename forward...
+    SnapshotTable.commitAppend(Seq(21L).toDF("rid"), dir, statsCols = Seq("rid"))
+    // ...and revert with a restore past it (future commits must not
+    // record stats under a name the restored schema lacks)
+    SnapshotTable.restore(spark, dir, 1L)
+    assert(SnapshotTable.read(spark, dir).columns.toSeq == Seq("id"))
+    SnapshotTable.commitAppend(Seq(22L).toDF("id"), dir)
+    assert(SnapshotTable.statExtremes(spark, dir, "id") ==
+      (java.math.BigDecimal.valueOf(1), java.math.BigDecimal.valueOf(22)))
+    // the renamed read is plan-level only: same exchange count as a
+    // plain scan (withColumnRenamed + union never add a shuffle)
+    val d2 = freshDir()
+    SnapshotTable.commitAppend((1L to 20L).toDF("id"), d2)
+    val before = SnapshotTable.read(spark, d2)
+      .queryExecution.executedPlan.toString
+    SnapshotTable.commitRenameColumn(spark, d2, "id", "rid")
+    val after = SnapshotTable.read(spark, d2)
+      .queryExecution.executedPlan.toString
+    def exchanges(p: String) = p.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges(after) == exchanges(before),
+      s"a renamed read must not add an exchange:\n$after")
   }
 
   test("commitDropColumn: metadata-only erasure; a re-added name never resurfaces old values") {
