@@ -215,7 +215,8 @@ object ScaleProbe {
       .map(_.split(",").map(_.trim).toSet)
     def wanted(n: String): Boolean = only.forall(_.contains(n))
 
-    if (Seq("sessionize", "skew_hybrid_join").exists(wanted)) {
+    if (Seq("sessionize", "skew_hybrid_join", "funnel_counts",
+      "cohort_retention").exists(wanted)) {
       scaleEvents(spark, sfDir, s"$scaledBase/f1", 1)
       scaleEvents(spark, sfDir, s"$scaledBase/f$factor", factor)
     }
@@ -377,6 +378,14 @@ object ScaleProbe {
           linkageRecords(Tables.customer(spark, sfDir), f),
           "rec_id", "rec_key", width = 32, maxDist = 2)),
         "sessionize" -> (() => Queries.sessionize(spark, s"$scaledBase/f$f")),
+        // funnel/cohort over the fresh-user-population replicas: the
+        // per-user join keys and first-event cohorts scale N×, the
+        // step list and week span stay constant
+        "funnel_counts" -> (() => Queries.funnelCounts(
+          Tables.events(spark, s"$scaledBase/f$f"),
+          Seq("view", "click", "purchase"), windowMs = 7L * 86400000L)),
+        "cohort_retention" -> (() => Queries.cohortRetention(
+          Tables.events(spark, s"$scaledBase/f$f"), maxWeeks = 3)),
         // r9 VERDICT #4: the join/index families, previously the only
         // heavy ops with no volume evidence. skew_hybrid_join's hot
         // key grows N× (see skewBig); the index ops time the cold
