@@ -2720,6 +2720,20 @@ object SparkEntry {
         "the grouped count must not scan every file on a clustered layout")
       out.orderBy("event_type")
     }),
+    // DESCRIBE HISTORY from the manifests alone over the MoR
+    // lifecycle table: v1 create, two zero-data-file retraction
+    // commits, the content-rewriting fold — classes and file-census
+    // deltas pinned by the oracle (the two MoR versions MUST show
+    // zero added/removed files; the fold must rewrite).
+    "snapshot_history" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val h = SnapshotTable.history(s, snapMorTable(s, dir))
+      require(h.count() == 4, "the MoR lifecycle table has exactly 4 versions")
+      h.select(col("version"),
+        (col("n_added") === 0 && col("n_removed") === 0).as("zero_rewrite"),
+        col("n_pending_deletes"), col("op_class"))
+        .orderBy("version")
+    }),
     // Column DROP as erasure — and the re-add semantics that make it
     // honest: the head carries the re-added `score` generation where
     // OLD rows read null (their erased event_id%100 values never
@@ -6313,6 +6327,16 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events
         |FROM events WHERE event_id % 5 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the audited lifecycle: creation writes, both retractions touch
+    // zero files, the fold rewrites
+    "snapshot_history" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), false, 0, 'create'),
+        |  (CAST(2 AS BIGINT), true, 1, 'mor-delete'),
+        |  (CAST(3 AS BIGINT), true, 2, 'mor-delete'),
+        |  (CAST(4 AS BIGINT), false, 0, 'content-diff'))
+        |AS t(version, zero_rewrite, n_pending_deletes, op_class)
+        |ORDER BY version""".stripMargin,
     // the erased generation contributes NULL, the re-added one 777 —
     // one leaked pre-drop value breaks the sum
     "snapshot_drop" ->

@@ -1531,6 +1531,35 @@ object SnapshotTable {
     -1L // unreachable
   }
 
+  /** DESCRIBE HISTORY — one row per committed version, answered from
+    * the MANIFESTS alone (zero data I/O): file-census deltas
+    * (added/removed/carried vs the previous version), the pending
+    * merge-on-read delete count, and the same manifest-only
+    * classification `changesPath` uses — "create" for v1, then
+    * append | mor-delete | schema-evolution | content-diff. The audit
+    * surface every versioned format ships: who-did-what reads off the
+    * ledger, not the data tree. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"snapshot table $dir has no committed version")
+    val ms = vs.map(v => v -> readManifest(spark, dir, v))
+    val rows = ms.zip(None +: ms.map(Some(_))).map {
+      case ((v, m), prev) =>
+        val cur = m.entries.map(_.path).toSet
+        val before = prev.map(_._2.entries.map(_.path).toSet).getOrElse(Set.empty)
+        val opClass = prev match {
+          case None => "create"
+          case Some((_, pm)) => classifyChanges(pm, m)
+        }
+        (v, m.committedAtMs, m.entries.size,
+          (cur -- before).size, (before -- cur).size,
+          cur.intersect(before).size, m.deletes.size, opClass)
+    }
+    rows.toDF("version", "committed_at_ms", "n_files", "n_added",
+      "n_removed", "n_carried", "n_pending_deletes", "op_class")
+  }
+
   /** The report one `maintainTable` pass leaves behind — which
     * primitives fired and what they found. */
   final case class MaintenanceReport(
