@@ -528,6 +528,20 @@ object ScaleProbe {
             s"groupCounts must answer mostly from metadata: meta=$meta scan=$scanned of $total")
           out
         }),
+        // the composed crawl chain (strip → normalize → gate → dedup,
+        // ONE plan) over the token-bijection replicas, wrapped in the
+        // driver row's synthetic markup — the claim under measure is
+        // that composition stays map-only until the 16-byte-hash
+        // dedup shuffle at any volume
+        "web_pipeline" -> (() => {
+          val wrapped = docs.select(col("doc_id"),
+            concat(lit("<html><body><!-- chrome --><p>"), col("text"),
+              lit("</p><script>if (1 < 2) { x(); }</script>&amp;amp;</body></html>"))
+              .as("text"))
+          graft.operators.TextOps.corpusPipeline(
+            graft.operators.TextOps.stripMarkup(wrapped)
+              .select(col("doc_id"), col("clean_text").as("text")))
+        }),
         // integer k-means: the assignment passes are map-only N×
         // (the centroid table rides as a codegen literal), the
         // refresh shuffle is k·dim rows whatever the corpus — wall
