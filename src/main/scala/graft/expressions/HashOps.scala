@@ -506,15 +506,13 @@ object HashOps {
     * per-text rollup (n_pieces, n_unk, id_sum): the full id sequence
     * is derivable but corpus-sized, and the rollup pins the walk
     * exactly (any divergent step lands on a different triple).
-    * BMP-only contract: positions are UTF-16 units here and code
-    * points in SQL, equal while every char is BMP — ENFORCED, not
-    * assumed: a supplementary-plane char (UTF-16 surrogate) raises
-    * IllegalArgumentException instead of silently emitting positions
-    * that diverge from the code-point oracle. Every encoded document
-    * passes through this check, so the corpus-wide assertion is the
-    * encode itself; pre-filter or transliterate supplementary text
-    * before tokenizing (the quality/langId gates upstream already
-    * screen most of it).
+    * Positions are CODE POINTS, the same unit the SQL oracle's
+    * length/substring speak — the walk runs over the word's code-point
+    * array, so emoji, CJK-extension and every other supplementary-
+    * plane character tokenizes identically on both engine sides (the
+    * r11 BMP-only contract and its loud raise are retired: real web
+    * text carries supplementary characters and the encode must ingest
+    * it, VERDICT r11 #2).
     */
   def wordpieceEncode(
       text: UTF8String,
@@ -528,18 +526,15 @@ object HashOps {
     while (wi < words.length) {
       val w = words(wi)
       if (w.nonEmpty) {
+        // the code-point array: positions/lengths below are code
+        // points, matching the oracle's substring arithmetic exactly
+        val cps = w.codePoints().toArray
         var pos = 0
-        while (pos < w.length) {
-          if (Character.isSurrogate(w.charAt(pos)))
-            throw new IllegalArgumentException(
-              "wordpiece_encode: supplementary-plane char (U+" +
-                Integer.toHexString(w.codePointAt(pos)).toUpperCase +
-                ") violates the BMP-only position contract — filter or " +
-                "transliterate supplementary text before encoding")
-          var len = math.min(maxLen, w.length - pos)
+        while (pos < cps.length) {
+          var len = math.min(maxLen, cps.length - pos)
           var matched = false
           while (len >= 1 && !matched) {
-            val id = units.get(w.substring(pos, pos + len))
+            val id = units.get(new String(cps, pos, len))
             if (id != null) {
               nPieces += 1; idSum += id.longValue(); pos += len; matched = true
             } else len -= 1

@@ -336,7 +336,10 @@ case class WordpieceEncode(child: Expression, units: Seq[String], ids: Seq[Int])
     units.iterator.zip(ids.iterator).foreach { case (u, i) => m.put(u, i) }
     m
   }
-  @transient private lazy val maxLen: Int = units.map(_.length).max
+  // CODE-POINT length — the kernel's walk unit (a supplementary-plane
+  // vocab entry like "𠀀" is length 1, not its 2 UTF-16 units)
+  @transient private lazy val maxLen: Int =
+    units.map(u => u.codePointCount(0, u.length)).max
   protected override def nullSafeEval(input: Any): Any =
     HashOps.wordpieceEncode(
       input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], table, maxLen)

@@ -584,6 +584,79 @@ object Similarity {
       .toDF("n_recent", "drift_tv_e3", "drift")
   }
 
+  /** Cosine top-k against CALLER-SUPPLIED query vectors ((q_id,
+    * q_emb)) — cosineTopK's exact kernel with the query set decoupled
+    * from the corpus's first ids; the refit row's yardstick (exact
+    * neighbors of the drifted queries over the refreshed corpus). */
+  def cosineTopKFor(emb: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    val e = spread(emb)
+      .select(col("vec_id"), col("embedding"), sumSq(col("embedding")).as("n2"))
+    val q = queries.select(col("q_id"), col("q_emb"),
+      sumSq(col("q_emb")).as("qn2"))
+    val sim6 = round(lit(1e6) * dot(col("q_emb"), col("embedding"))
+      / (sqrt(col("n2")) * sqrt(col("qn2")))).cast("long")
+    boundedTopK(
+      e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), sim6.as("sim_e6")),
+      k)
+  }
+
+  /** Swap a staged index directory over the live one — rename-aside:
+    * the LIVE index stays readable until one directory rename, then
+    * the stage becomes the index and the old tree is dropped. A crash
+    * between the two renames leaves `live.old-*` recoverable by hand;
+    * readers mid-swap can catch a brief absence (the
+    * removeFromCellTable caveat, at whole-index granularity). */
+  private def swapIndexDirs(
+      spark: org.apache.spark.sql.SparkSession,
+      staged: String, live: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(live)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(
+      live + ".old-" + java.util.UUID.randomUUID().toString)
+    require(f.rename(p, old), s"swapIndexDirs: could not set aside $live")
+    require(f.rename(new org.apache.hadoop.fs.Path(staged), p),
+      s"swapIndexDirs: could not promote $staged")
+    f.delete(old, true): Unit
+  }
+
+  /** REFIT — the ACTION the drift monitors trigger (closing the r11
+    * detect-but-never-repair gap): retrain the PQ codebooks on the
+    * CURRENT corpus (which includes whatever drifted mass the monitor
+    * flagged), re-encode it, and atomically swap the staged index over
+    * the live one. The old index serves queries until the swap's
+    * single directory rename; a monitor re-run on the flagged batch
+    * goes quiet afterwards (the codebooks now cover it), and recall on
+    * drifted queries recovers to the build-distribution floor — the
+    * pq_drift_refit driver row measures both. Note the contract
+    * CHANGE vs append/remove: a refit deliberately replaces the
+    * index's identity (new codebooks ⇒ new codes), so append-parity
+    * guarantees restart from the refitted state. */
+  def refitPqIndex(
+      emb: DataFrame, indexDir: String, numSub: Int = 16, ncodes: Int = 32,
+      trainFraction: Double = 0.1, maxTrainRows: Int = 20000,
+      maxIter: Int = 20): Unit = {
+    val staged = indexDir + ".refit-" + java.util.UUID.randomUUID().toString
+    buildPqIndex(emb, staged, numSub, ncodes, trainFraction, maxTrainRows, maxIter)
+    swapIndexDirs(emb.sparkSession, staged, indexDir)
+  }
+
+  /** The IVF refit: retrain the coarse quantizer on the index's OWN
+    * stored vectors (the assignments table carries the embeddings, so
+    * no external corpus handle is needed), rebuild the cell layout,
+    * swap. Same identity-replacement contract as refitPqIndex. */
+  def refitIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      nlist: Int = 16, trainFraction: Double = 0.5,
+      maxTrainRows: Int = 20000, maxIter: Int = 20): Unit = {
+    val cur = spark.read.parquet(s"$indexDir/assignments")
+      .select(col("vec_id"), col("embedding"))
+    val model = fitKMeans(prepIvf(cur), nlist, trainFraction, maxTrainRows, maxIter)
+    val staged = indexDir + ".refit-" + java.util.UUID.randomUUID().toString
+    buildIvfIndex(cur, staged, model)
+    swapIndexDirs(spark, staged, indexDir)
+  }
+
   /** The IVF twin of pqDriftCheck: TV distance between the recent
     * batch's CELL-ASSIGNMENT histogram and the stored assignments'
     * (one histogram, nlist bins). A shifted distribution crowds into

@@ -1242,13 +1242,19 @@ object TextOps {
     * at stream start instead of rescanning the reference per
     * micro-batch. */
   def corpusHistograms(df: DataFrame): (Map[String, Long], Map[Long, Long]) = {
-    val lang = df.groupBy("lang").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val buck = df
-      .select(expr("least(size(filter(split(text, '\\\\s+'), t -> t != '')) div 50, 20)")
-        .cast("long").as("b"))
-      .groupBy("b").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ONE corpus pass: the joint (lang, bucket) histogram is still
+    // bounded (≤ |langs| × 21 cells) and both marginals fall out of it
+    // on the driver — the old two-aggregate form scanned the reference
+    // corpus twice on the stream_gated_ingest setup path (VERDICT r11
+    // wrong #4)
+    val cells = df
+      .select(col("lang"),
+        expr("least(size(filter(split(text, '\\\\s+'), t -> t != '')) div 50, 20)")
+          .cast("long").as("b"))
+      .groupBy("lang", "b").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val lang = cells.groupBy(_._1).map { case (k, cs) => k -> cs.map(_._3).sum }
+    val buck = cells.groupBy(_._2).map { case (k, cs) => k -> cs.map(_._3).sum }
     (lang, buck)
   }
 

@@ -156,6 +156,17 @@ object MvRewrite {
       Some(root.get("baseFingerprint").asLong))
   }
 
+  /** The base's analyzed scan: a SNAPSHOT-TABLE dir reads through its
+    * manifest (head version), a plain dir through spark.read.parquet. */
+  private def baseRelation(
+      spark: SparkSession, basePath: String): Option[LogicalRelation] = {
+    val df =
+      if (graft.sources.SnapshotTable.versions(spark, basePath).nonEmpty)
+        graft.sources.SnapshotTable.read(spark, basePath)
+      else spark.read.parquet(basePath)
+    relationOf(df.queryExecution.analyzed)
+  }
+
   private def registerWith(
       spark: SparkSession,
       basePath: String,
@@ -165,7 +176,7 @@ object MvRewrite {
       minCols: Seq[String],
       maxCols: Seq[String],
       storedFp: Option[Long]): Long = {
-    val baseScan = relationOf(spark.read.parquet(basePath).queryExecution.analyzed)
+    val baseScan = baseRelation(spark, basePath)
       .getOrElse(throw new IllegalArgumentException(
         s"register: $basePath did not analyze to a file relation"))
     val measures = Map(("count", "*") -> "cnt") ++
@@ -186,7 +197,7 @@ object MvRewrite {
   /** Drops EVERY registered view of basePath (the whole-base reset;
     * re-register the survivors to keep a subset). */
   def deregister(spark: SparkSession, basePath: String): Unit =
-    relationOf(spark.read.parquet(basePath).queryExecution.analyzed)
+    baseRelation(spark, basePath)
       .foreach(lr => registry.remove(rootOf(lr)))
 
   def clear(): Unit = registry.clear()
@@ -196,21 +207,78 @@ object MvRewrite {
       case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] => lr
     }
 
+  /** Registry key. A snapshot-table read keys on the TABLE DIR — its
+    * root paths are per-version data files, so keying on them would
+    * unmatch the registration after every commit; the version guard is
+    * the fingerprint's job, not the key's. */
   private[plans] def rootOf(lr: LogicalRelation): String =
-    lr.relation.asInstanceOf[HadoopFsRelation]
-      .location.rootPaths.map(_.toString).sorted.mkString(",")
+    snapshotDirOf(lr).map(_.toString).getOrElse(
+      lr.relation.asInstanceOf[HadoopFsRelation]
+        .location.rootPaths.map(_.toString).sorted.mkString(","))
 
-  /** Metadata-only freshness token: murmur over the sorted file list
-    * plus the listed total size. Parquet writers use unique part
-    * names, so append/overwrite/compact all move it.
-    */
-  private[plans] def fingerprint(lr: LogicalRelation): Long = {
-    val fs = lr.relation.asInstanceOf[HadoopFsRelation]
-    val names = fs.location.inputFiles.sorted
-    var h = 1125899906842597L
-    names.foreach { n => h = h * 31 + n.hashCode }
-    h * 31 + fs.sizeInBytes
+  /** Test hook: how many times the LISTING fingerprint ran (the
+    * O(files) fallback). MvRewriteSpec asserts it stays ZERO on the
+    * snapshot-table path — the r11 "O(files) listing per planning
+    * pass" finding, closed. */
+  private[graft] val listingFingerprints =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The snapshot-table dir behind a relation, when the relation IS a
+    * snapshot read: every root path is a data file under a
+    * `<dir>/batch-…` subdir, and `<dir>/_manifests` exists (ONE
+    * existence probe, gated behind the cheap name test so plain
+    * parquet scans never pay it). A clone's mixed absolute externals
+    * fail the same-dir check and fall back — conservative. */
+  private def snapshotDirOf(lr: LogicalRelation): Option[org.apache.hadoop.fs.Path] = {
+    val rel = lr.relation.asInstanceOf[HadoopFsRelation]
+    val roots = rel.location.rootPaths
+    val parent0 = if (roots.isEmpty) null else roots.head.getParent
+    if (parent0 == null || !parent0.getName.startsWith("batch-")) None
+    else {
+      val dir = parent0.getParent
+      if (dir == null) None
+      else if (!roots.forall { p =>
+        val par = p.getParent
+        par != null && par.getName.startsWith("batch-") && par.getParent == dir
+      }) None
+      else {
+        val mPath = new org.apache.hadoop.fs.Path(dir, "_manifests")
+        val fs = dir.getFileSystem(
+          rel.sparkSession.sparkContext.hadoopConfiguration)
+        if (fs.exists(mPath)) Some(dir) else None
+      }
+    }
   }
+
+  /** Metadata-only freshness token. SNAPSHOT-TABLE bases (the relation
+    * scans `<dir>/batch-*` files and `<dir>/_manifests` exists) pay
+    * O(1): the head manifest VERSION — one tiny directory listing of
+    * version names, no data-file listing at any table size — combined
+    * with an order-independent hash of the relation's own root paths
+    * (already in memory; guards a time-travel read of an OLD version
+    * from routing to a head-registered view). Plain dirs fall back to
+    * the murmur over the sorted file list plus total size; parquet
+    * writers use unique part names, so append/overwrite/compact all
+    * move it.
+    */
+  private[plans] def fingerprint(lr: LogicalRelation): Long =
+    snapshotDirOf(lr) match {
+      case Some(dir) =>
+        val rel = lr.relation.asInstanceOf[HadoopFsRelation]
+        val head = graft.sources.SnapshotTable
+          .versions(rel.sparkSession, dir.toString).lastOption.getOrElse(-1L)
+        // commutative fold: root order varies, the set does not
+        var h = 0L
+        rel.location.rootPaths.foreach(p => h += p.toString.hashCode.toLong)
+        head * 1000003L + h
+      case None =>
+        listingFingerprints.incrementAndGet()
+        val fs = lr.relation.asInstanceOf[HadoopFsRelation]
+        val names = fs.location.inputFiles.sorted
+        var h = 1125899906842597L
+        names.foreach { n => h = h * 31 + n.hashCode }
+        h * 31 + fs.sizeInBytes
+    }
 }
 
 /** The rule itself — injected per session by GraftExtensions. Runs in
@@ -268,12 +336,19 @@ case class MvRewriteRule(spark: SparkSession)
     */
   private def rewrite(agg: Aggregate): Option[Aggregate] =
     unwrap(agg.child, Nil).flatMap { case (lr, conds) =>
-      val fp = MvRewrite.fingerprint(lr)
-      MvRewrite.lookup(MvRewrite.rootOf(lr))
-        .filter(_.baseFingerprint == fp)
-        .flatMap(d => attempt(agg, conds, d).map(d -> _))
-        .sortBy(_._1.groupCols.size)
-        .headOption.map(_._2)
+      // registry lookup FIRST: unregistered bases (including the
+      // view's own relation after a rewrite) must never pay a
+      // fingerprint — the listing form is O(files)
+      val views = MvRewrite.lookup(MvRewrite.rootOf(lr))
+      if (views.isEmpty) None
+      else {
+        val fp = MvRewrite.fingerprint(lr)
+        views
+          .filter(_.baseFingerprint == fp)
+          .flatMap(d => attempt(agg, conds, d).map(d -> _))
+          .sortBy(_._1.groupCols.size)
+          .headOption.map(_._2)
+      }
     }
 
   private def attempt(

@@ -64,6 +64,17 @@ object IncrementalSync {
     * the yardstick it is judged against — and its bounded histograms
     * are computed ONCE at stream start: per micro-batch the gate
     * costs two delta-sized aggregates, never a reference rescan.
+    *
+    * BOTH routes are EXACTLY-ONCE: target and quarantine are snapshot
+    * tables and every landing goes through the `gate:batchId` stream
+    * ledger, so a replayed micro-batch (foreachBatch is at-least-once
+    * on restart) no-ops instead of landing twice — the sibling
+    * snapshotIngest/retractionSync contract, closing the one
+    * duplicate-on-replay hole this path had (ADVICE r11). Read the
+    * routed rows back with SnapshotTable.read, not a bare parquet
+    * scan. The quarantine verdict is re-derived deterministically on a
+    * replay (fixed reference + same batch content ⇒ same route), so
+    * one ledger per dir suffices.
     */
   def gatedDocumentIngest(
       docs: DataFrame,
@@ -85,11 +96,13 @@ object IncrementalSync {
             val tags = verdict.map(r =>
               s"${r.getString(0)}=${r.getLong(2)}${if (r.getBoolean(3)) "!" else ""}")
               .mkString(",")
-            batch.withColumn("_batch_id", lit(id))
-              .withColumn("_drift", lit(tags))
-              .write.mode("append").parquet(quarantineDir)
+            graft.sources.SnapshotTable.commitStreamBatch(
+              batch.withColumn("_batch_id", lit(id))
+                .withColumn("_drift", lit(tags)),
+              quarantineDir, batchId = id, appId = "gate")
           } else {
-            batch.write.mode("append").parquet(targetDir)
+            graft.sources.SnapshotTable.commitStreamBatch(
+              batch, targetDir, batchId = id, appId = "gate")
           }
         }
         ()
@@ -714,10 +727,11 @@ object IncrementalSync {
         val sHead = SnapshotTable.versions(s, sDir).last
         require(sHead < 1000000L && rHead < 9000000000000L,
           "cursor encoding caps: sHead < 1e6, rHead < 9e12")
+        // O(1) cursor: the writer's HIGHEST committed id decodes to
+        // the (rHead, sHead) the join table has caught up to —
+        // materializing the key set would be O(commits)
         val cur: Option[(Long, Long)] = SnapshotTable
-          .committedStreamKeys(s, joinDir)
-          .collect { case k if k.startsWith("ivm:") => k.stripPrefix("ivm:").toLong }
-          .reduceOption(_ max _)
+          .maxCommittedStreamId(s, joinDir, "ivm")
           .map(b => (b / 1000000L, b % 1000000L))
         val enc = rHead * 1000000L + sHead
         cur match {

@@ -68,12 +68,13 @@ class SnapshotTableSpec extends SparkSpec {
     // with Rename.NONE refuses an existing destination; the plain
     // FileSystem.rename on LocalFileSystem would silently overwrite)
     val head = SnapshotTable.readManifest(spark, dir, 1L)
-    val a = head.copy(version = 2L, batchIds = Set(100L))
-    val b = head.copy(version = 2L, batchIds = Set(200L))
+    val a = head.copy(version = 2L, ledger = SnapshotTable.Ledger().add("", 100L))
+    val b = head.copy(version = 2L, ledger = SnapshotTable.Ledger().add("", 200L))
     assert(SnapshotTable.tryPublish(spark, dir, a), "first publish must win the slot")
     assert(!SnapshotTable.tryPublish(spark, dir, b),
       "second publish into the SAME slot must fail, not silently overwrite")
-    assert(SnapshotTable.readManifest(spark, dir, 2L).batchIds == Set(100L),
+    assert(SnapshotTable.readManifest(spark, dir, 2L).ledger.contains("", 100L) &&
+      !SnapshotTable.readManifest(spark, dir, 2L).ledger.contains("", 200L),
       "the winner's manifest content must survive the collision")
     // no tmp litter left behind by the loser
     val tmps = new java.io.File(s"$dir/_manifests").listFiles()
@@ -623,12 +624,16 @@ class SnapshotTableSpec extends SparkSpec {
     SnapshotTable.commitAppend(
       spark.range(0, 120000).toDF("id").repartition(2, col("id")), dir,
       bloomCols = Seq("id"))
-    // a 60k-key bloom is ~72 KB > the 64 KB inline cap: the manifest
-    // must carry the marker, never megabytes of base64
-    val manifest = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(dir, "_manifests", "v1.json")))
-    assert(manifest.contains("@sidecar"), "big blooms must not inline")
-    assert(manifest.length < 64 * 1024, s"manifest bloated to ${manifest.length} bytes")
+    // a 60k-key bloom is ~72 KB > the 64 KB inline cap: the metadata
+    // (manifest + its entry segments) must carry the marker, never
+    // megabytes of base64
+    val metaFiles = new java.io.File(s"$dir/_manifests").listFiles()
+      .filter(f => f.getName == "v1.json" || f.getName.startsWith("seg-"))
+    val meta = metaFiles.map(f => new String(
+      java.nio.file.Files.readAllBytes(f.toPath))).mkString
+    assert(meta.contains("@sidecar"), "big blooms must not inline")
+    metaFiles.foreach(f => assert(f.length < 64 * 1024,
+      s"${f.getName} bloated to ${f.length} bytes"))
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_blooms")))
     // probes resolve through the sidecar: members kept, absentees pruned
     val (kept, total) = SnapshotTable.pruneFilesByKeys(spark, dir, "id", Seq(7L))
@@ -1396,5 +1401,209 @@ class SnapshotTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       SnapshotTable.read(spark, dir, Some(2L))
     }
+  }
+
+  /** One-shot race injector: fires `body` on the FIRST publish attempt
+    * only, restoring the no-op hook afterwards (ADVICE r12 closures —
+    * deterministic lost races instead of thread timing). */
+  private def withRace[T](body: => Unit)(run: => T): T = {
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    SnapshotTable.testRaceHook = () =>
+      if (fired.compareAndSet(false, true)) body
+    try run finally SnapshotTable.testRaceHook = () => ()
+  }
+
+  test("an append that loses a race to a RENAME rewrites its batch under the current name (ADVICE r11)") {
+    val dir = freshDir()
+    SnapshotTable.commitAppend(
+      Seq((1L, "a")).toDF("id", "v"), dir, statsCols = Seq("id"))
+    // the racer commits v→val AFTER our batch files are written but
+    // BEFORE our publish: published as-is our files would carry seq >
+    // rename.seq under the OLD name and read back as a null-padded
+    // extra column
+    val v = withRace {
+      SnapshotTable.commitRenameColumn(spark, dir, "v", "val")
+    } {
+      SnapshotTable.commitAppend(Seq((2L, "b")).toDF("id", "v"), dir)
+    }
+    assert(v == 3L, "the lost race must republish on the renamed head")
+    val head = SnapshotTable.read(spark, dir)
+    assert(head.columns.toSeq.sorted == Seq("id", "val"),
+      s"no stale null-padded column may surface: ${head.columns.toSeq}")
+    assert(head.select("id", "val").as[(Long, String)].collect().sortBy(_._1).toSeq
+      == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("a MoR delete that loses a race to a RENAME of its key column remaps the key files (ADVICE r11)") {
+    val dir = freshDir()
+    SnapshotTable.commitAppend(
+      Seq((1L, "x"), (2L, "y")).toDF("id", "v"), dir)
+    val v = withRace {
+      SnapshotTable.commitRenameColumn(spark, dir, "id", "key")
+    } {
+      SnapshotTable.commitDeleteMoR(Seq(2L).toDF("id"), dir, Seq("id"))
+    }
+    assert(v == 3L)
+    // the delete must keep applying under the renamed schema — the
+    // pre-fix bug recorded keyCols under the stale name with seq AFTER
+    // the rename, so the anti join silently stopped (the GDPR path)
+    assert(SnapshotTable.pendingDeletes(spark, dir).head._1 == Seq("key"),
+      "the recorded key columns must be the CURRENT names")
+    assert(SnapshotTable.read(spark, dir).select("key").as[Long].collect().toSeq
+      == Seq(1L), "the retraction must apply after the racing rename")
+    // and it still applies after the fold
+    SnapshotTable.applyDeletes(spark, dir)
+    assert(SnapshotTable.read(spark, dir).select("key").as[Long].collect().toSeq
+      == Seq(1L))
+  }
+
+  test("a MoR delete that loses a race to a DROP of its key column fails loudly") {
+    val dir = freshDir()
+    SnapshotTable.commitAppend(Seq((1L, "x"), (2L, "y")).toDF("id", "v"), dir)
+    val boom = intercept[IllegalArgumentException] {
+      withRace { SnapshotTable.commitDropColumn(spark, dir, "id") } {
+        SnapshotTable.commitDeleteMoR(Seq(2L).toDF("id"), dir, Seq("id"))
+      }
+    }
+    assert(boom.getMessage.contains("raced a DROP"), boom.getMessage)
+  }
+
+  test("two stream writers racing the SAME batch key: exactly one appends (ADVICE r11)") {
+    val dir = freshDir()
+    SnapshotTable.commitAppend(Seq(0L).toDF("id"), dir)
+    // the racer commits (appId=w, batchId=5) between our pre-check and
+    // our publish — the in-loop ledger recheck must no-op our commit
+    val out = withRace {
+      assert(SnapshotTable.commitStreamBatch(
+        Seq(1L).toDF("id"), dir, batchId = 5L, appId = "w").nonEmpty)
+    } {
+      SnapshotTable.commitStreamBatch(
+        Seq(1L).toDF("id"), dir, batchId = 5L, appId = "w")
+    }
+    assert(out.isEmpty, "the loser must recognize the replay, not duplicate")
+    assert(ids(SnapshotTable.read(spark, dir)) == Seq(0L, 1L),
+      "the batch must land EXACTLY once")
+  }
+
+  test("sumWhere/groupSums refuse non-integral sum columns loudly (ADVICE r11)") {
+    val dir = freshDir()
+    SnapshotTable.commitAppend(
+      Seq((1L, 0.4), (2L, 0.4), (3L, 0.4)).toDF("id", "x"), dir,
+      statsCols = Seq("id", "x"))
+    // boundary scan forced: the id range splits the single file
+    val boom = intercept[IllegalArgumentException] {
+      SnapshotTable.sumWhere(spark, dir,
+        SnapshotTable.StatFilter("x", lower = Some(0.1), upper = Some(0.41)))
+    }
+    assert(boom.getMessage.contains("INTEGRAL"), boom.getMessage)
+    val boom2 = intercept[IllegalArgumentException] {
+      SnapshotTable.groupSums(spark, dir, "id", "x")
+    }
+    assert(boom2.getMessage.contains("INTEGRAL"), boom2.getMessage)
+  }
+
+  test("readWhere prunes (not just answers) on a shallow CLONE's absolute entries (ADVICE r11)") {
+    val src = freshDir()
+    // two range-disjoint files so pruning has something to drop
+    SnapshotTable.commitAppend(
+      (0L until 10L).toDF("id"), src, statsCols = Seq("id"))
+    SnapshotTable.commitAppend((10L until 20L).toDF("id"), src)
+    val dst = freshDir()
+    SnapshotTable.cloneTable(spark, src, dst)
+    val df = SnapshotTable.readWhere(spark, dst, col("id") < 5L)
+    assert(df.as[Long].collect().sorted.toSeq == (0L until 5L))
+    // the pre-fix schema probe threw on the absolute path inside its
+    // Try and silently disabled ALL pruning — prove the pruned scan
+    // reads strictly fewer files than the clone names
+    val scanned = df.inputFiles.length
+    val total = SnapshotTable.files(spark, dst, 1L).size
+    assert(scanned < total,
+      s"clone readWhere must PRUNE: scanned $scanned of $total files")
+  }
+
+  test("segmented manifests: an append rewrites ZERO prior segment bytes and O(delta) manifest bytes") {
+    val dir = freshDir()
+    def segFiles(): Map[String, Array[Byte]] =
+      new java.io.File(s"$dir/_manifests").listFiles()
+        .filter(_.getName.startsWith("seg-"))
+        .map(f => f.getName -> java.nio.file.Files.readAllBytes(f.toPath)).toMap
+    def manifestBytes(v: Long): Long =
+      new java.io.File(s"$dir/_manifests/v$v.json").length()
+    SnapshotTable.commitAppend(
+      (0L until 50L).toDF("id"), dir, statsCols = Seq("id"))
+    val after1 = segFiles()
+    SnapshotTable.commitAppend((50L until 51L).toDF("id"), dir)
+    val after2 = segFiles()
+    // every v1 segment file is carried BYTE-IDENTICAL; the append adds
+    // exactly one new segment holding only the delta
+    after1.foreach { case (n, bytes) =>
+      assert(after2.contains(n), s"prior segment $n must be carried by name")
+      assert(java.util.Arrays.equals(after2(n), bytes),
+        s"prior segment $n must be carried byte-identical")
+    }
+    assert(after2.size == after1.size + 1,
+      "one append = one new segment, prior segments untouched")
+    // manifest bytes are O(delta): v2's manifest does not grow with
+    // the 50-file v1 table (it names segments instead of inlining
+    // entries); allow generous slack for the name list
+    assert(manifestBytes(2L) < manifestBytes(1L) + 200,
+      s"v2 manifest (${manifestBytes(2L)}B) must not re-inline v1's entries (${manifestBytes(1L)}B)")
+    // reads see the union through the segments
+    assert(ids(SnapshotTable.read(spark, dir)) == (0L until 51L))
+    // a metadata-only commit (rename) carries EVERY segment by name
+    SnapshotTable.commitRenameColumn(spark, dir, "id", "key")
+    assert(segFiles().keySet == after2.keySet,
+      "a metadata-only commit must write no segment at all")
+    // vacuum drops segments only dropped manifests name
+    SnapshotTable.commitOverwrite(Seq(99L).toDF("key"), dir)
+    SnapshotTable.vacuum(spark, dir, keepVersions = 1)
+    assert(segFiles().keySet.intersect(after2.keySet).isEmpty,
+      "segments referenced only by vacuumed manifests must be deleted")
+    assert(spark.read.parquet(s"$dir/${SnapshotTable.files(spark, dir,
+      SnapshotTable.versions(spark, dir).last).head}").count() == 1L)
+  }
+
+  test("WriterLedger: contiguous ids fold into the watermark; out-of-order ids stay exact") {
+    import graft.sources.SnapshotTable.WriterLedger
+    var w = WriterLedger()
+    (0L to 100L).foreach(id => w = w.add(id))
+    assert(w.hwm == 100L && w.recent.isEmpty,
+      s"contiguous commits must collapse to ONE watermark: $w")
+    // out-of-order: a gap holds the watermark, recent carries the rest
+    w = w.add(105L)
+    assert(w.hwm == 100L && w.recent == Set(105L))
+    assert(w.contains(105L) && !w.contains(103L))
+    // the gap filling in advances the watermark through recent
+    Seq(101L, 102L, 103L, 104L).foreach(id => w = w.add(id))
+    assert(w.hwm == 105L && w.recent.isEmpty, s"gap fill must advance: $w")
+    // replay detection
+    assert(w.add(42L) == w, "a replayed id must not change the ledger")
+    // beyond MaxRecentIds the oldest fold into the watermark (bounded
+    // manifest bytes; monotone stream ids never revisit)
+    var big = WriterLedger()
+    (0L to 3000L by 2L).foreach(id => big = big.add(id)) // all gaps
+    assert(big.recent.size <= SnapshotTable.MaxRecentIds,
+      s"recent must stay bounded: ${big.recent.size}")
+    assert(big.contains(3000L) && big.contains(0L))
+  }
+
+  test("the million-commit shape: ledger stays O(1) in the manifest, ids ≤ hwm read committed") {
+    val dir = freshDir()
+    SnapshotTable.commitAppend(Seq(1L).toDF("id"), dir)
+    // simulate a long-lived stream's head state directly: hwm beyond
+    // the materialization guard
+    val head = SnapshotTable.readManifest(spark, dir, 1L)
+    assert(SnapshotTable.tryPublish(spark, dir, head.copy(version = 2L,
+      ledger = SnapshotTable.Ledger(Map("" ->
+        SnapshotTable.WriterLedger(hwm = 5000000L))))))
+    assert(SnapshotTable.isBatchCommitted(spark, dir, 4999999L))
+    assert(!SnapshotTable.isBatchCommitted(spark, dir, 5000001L))
+    // the manifest carries ONE number, not five million ids
+    assert(new java.io.File(s"$dir/_manifests/v2.json").length() < 4096)
+    // the exact materialization refuses rather than allocating 5M ids
+    val boom = intercept[IllegalArgumentException] {
+      SnapshotTable.committedBatchIds(spark, dir)
+    }
+    assert(boom.getMessage.contains("materialize"), boom.getMessage)
   }
 }

@@ -515,4 +515,39 @@ class StreamingSpec extends SparkSpec {
     assert(siblings === Seq("t"),
       s"no tmp/old dirs may remain after a successful swap: $siblings")
   }
+
+  test("streamRow: a checkpoint root reused across bench rows fails loudly (VERDICT r11 #3)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft_ckpt_guard").toString
+    Seq(1L, 2L, 3L).toDF("v").write.parquet(s"$base/in")
+    val schema = spark.read.parquet(s"$base/in").schema
+    def run(ckpt: String): Unit = SparkEntry.streamRow(spark) {
+      val q = spark.readStream.schema(schema).parquet(s"$base/in")
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run(s"$base/ckpt") // first use: legal
+    // same root in a LATER row = the warm-checkpoint no-op min-of-2
+    // must never time — the guard turns it into a loud failure
+    val boom = intercept[IllegalStateException] { run(s"$base/ckpt") }
+    assert(boom.getMessage.contains("warm-checkpoint"), boom.getMessage)
+    // a fresh root in the next row stays legal (the violation list
+    // was drained — one offense never poisons later rows)
+    run(s"$base/ckpt2")
+    // restart WITHIN one row invocation stays legal (the
+    // restart-survival rows recover from their own checkpoint on
+    // purpose)
+    SparkEntry.streamRow(spark) {
+      (1 to 2).foreach { _ =>
+        val q = spark.readStream.schema(schema).parquet(s"$base/in")
+          .writeStream.format("noop")
+          .option("checkpointLocation", s"$base/ckpt3")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+    }
+  }
 }

@@ -30,15 +30,21 @@ class TextSketchSpec extends SparkSpec {
     // two words sum; leading/trailing whitespace tokenizes away
     assert(enc("  abcd abd ") == (4, 0, 11L))
     assert(enc("") == (0, 0, 0L))
-    // BMP-only contract is ENFORCED: a supplementary-plane char
-    // (UTF-16 surrogate pair) raises instead of silently emitting
-    // positions that diverge from the code-point oracle
-    val boom = intercept[Exception] { enc("ab😀cd") }
-    def rootMsg(t: Throwable): String =
-      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
-        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | "))
-    assert(rootMsg(boom).contains("BMP-only"),
-      s"surrogate input must fail the contract loudly: ${rootMsg(boom)}")
+    // supplementary-plane text ENCODES (the r11 BMP-only raise is
+    // retired — positions are code points now, VERDICT r11 #2): 😀 is
+    // ONE unknown position (not two UTF-16 units), so "ab😀cd" is
+    // ab(1) + UNK + c(3) + d(4)
+    assert(enc("ab😀cd") == (4, 1, 8L))
+    // a supplementary char can be a VOCAB UNIT too: 𝄞 (U+1D11E) and
+    // the CJK-extension 𠀀 (U+20000) match as single code points
+    val units2 = Seq("𝄞", "𠀀", "ab")
+    val ids2 = Seq(7, 9, 1)
+    val got = Seq("𝄞ab𠀀").toDF("text")
+      .select(call_function("wordpiece_encode", col("text"),
+        typedLit(units2), typedLit(ids2)).as("e"))
+      .select(col("e.n_pieces"), col("e.n_unk"), col("e.id_sum"))
+      .head() match { case r => (r.getInt(0), r.getInt(1), r.getLong(2)) }
+    assert(got == ((3, 0, 17L)), s"supplementary vocab units must match: $got")
   }
 
   test("normalizeText composes NFC, folds case, collapses whitespace") {
