@@ -1355,6 +1355,23 @@ object SparkEntry {
       TextOps.subwordEncode(Tables.documents(s, dir),
         TextOps.buildSubwordVocab(Tables.documents(s, dir)))
         .orderBy("doc_id")),
+    // The same encode over a corpus with PLANTED supplementary-plane
+    // docs (emoji, U+1D11E, the CJK-extension U+20000) — the r11
+    // BMP-only contract retired (VERDICT r11 #2): the kernel walks
+    // CODE POINTS, the oracle's substr/len already do, so the hash
+    // compare IS the UTF-16-vs-code-point divergence detector (a
+    // UTF-16 walk emits different n_pieces for the planted rows).
+    "subword_encode_unicode" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (-1L, "ab😀cd hello𝄞world"),
+        (-2L, "𠀀𠀀abc 😀😀😀"),
+        (-3L, "naïve café 🎉party")).toDF("doc_id", "text")
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+        .unionByName(planted)
+      TextOps.subwordEncode(docs, TextOps.buildSubwordVocab(docs))
+        .orderBy("doc_id")
+    }),
     // Per-doc top-3 keywords by log-free (linear-idf) TF-IDF.
     // Sparse TF-IDF cosine pairs over the df-pruned vocabulary —
     // integer weights so the distributed dot/norm sums are exact in
@@ -3105,6 +3122,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_id"))
         .orderBy("event_type")
     }),
+    // The format's SQL/catalog face (VERDICT r11 missing #2 closed):
+    // the same table read through spark.read.format("graft-snapshot")
+    // — file listing from the manifest, the range conjunct pruning
+    // whole files at planning time through the source's
+    // SupportsPushDownFilters (in-row require reads the source's
+    // kept/total census: strictly fewer files scanned than the head
+    // names), execution through the V1 parquet bridge so MoR deletes
+    // and schema ops apply exactly as the API read applies them. The
+    // oracle replays the filter over the base rows, blind to the
+    // source machinery.
+    "snapshot_sql_read" -> ((s, dir) => {
+      import graft.sources.dsv2.GraftSnapshotSource
+      val tbl = snapPruneTable(s, dir)
+      val maxId = Tables.events(s, dir)
+        .agg(max(col("event_id"))).collect()(0).getLong(0)
+      val hi = (maxId + 1) / 4 - 1
+      val df = s.read.format("graft-snapshot").load(tbl)
+        .filter(col("event_id") <= hi)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_id"))
+        .orderBy("event_type")
+      df.head() // force one end-to-end run so the prune census is real
+      val (kept, total) = GraftSnapshotSource.lastPrune.get(tbl)
+      require(kept < total,
+        s"the SQL read must prune from the manifest: scanned $kept of $total files")
+      df
+    }),
     // OPTIMIZE ZORDER inside the versioned format: after the z-sorted
     // rewrite, the quadrant filter (both dimensions bounded) must
     // prune files from the manifest stats alone — the zorder_prune
@@ -4747,6 +4791,51 @@ object SparkEntry {
         |       CAST(coalesce(nu, 0) AS INT) AS n_unk,
         |       CAST(coalesce(ids, 0) AS BIGINT) AS id_sum
         |FROM documents LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // the code-point walk replayed over the corpus + the planted
+    // supplementary docs: DuckDB's len/substr count code points, so
+    // the CTE is UNCHANGED except for the augmented input
+    "subword_encode_unicode" ->
+      """WITH RECURSIVE
+        | docs_aug AS (SELECT doc_id, text FROM documents
+        |   UNION ALL SELECT * FROM (VALUES
+        |     (CAST(-1 AS BIGINT), 'ab😀cd hello𝄞world'),
+        |     (CAST(-2 AS BIGINT), '𠀀𠀀abc 😀😀😀'),
+        |     (CAST(-3 AS BIGINT), 'naïve café 🎉party')) v(doc_id, text)),
+        | w0 AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w FROM docs_aug),
+        | g AS (
+        |   SELECT unnest(list_transform(range(1, len(w) + 1), i -> substr(w, i, 1))) AS unit FROM w0
+        |   UNION ALL
+        |   SELECT unnest(CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)), i -> substr(w, i, 2)) ELSE [] END) FROM w0
+        |   UNION ALL
+        |   SELECT unnest(CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> substr(w, i, 3)) ELSE [] END) FROM w0
+        |   UNION ALL
+        |   SELECT unnest(CASE WHEN len(w) >= 4 THEN list_transform(range(1, len(w) - 2), i -> substr(w, i, 4)) ELSE [] END) FROM w0),
+        | c AS (SELECT unit, count(*) AS n FROM g GROUP BY unit HAVING count(*) >= 5),
+        | r AS (SELECT CAST(row_number() OVER (ORDER BY n DESC, unit) AS INT) AS token_id, unit, n FROM c
+        |       QUALIFY row_number() OVER (ORDER BY n DESC, unit) <= 512),
+        | dist AS (SELECT DISTINCT w FROM w0),
+        | pos AS (SELECT w, unnest(range(0, len(w))) AS p FROM dist),
+        | m AS (SELECT pos.w, pos.p, r.token_id, len(r.unit) AS l
+        |       FROM pos JOIN r ON substr(pos.w, pos.p + 1, len(r.unit)) = r.unit
+        |       WHERE pos.p + len(r.unit) <= len(pos.w)),
+        | best AS (SELECT w, p, token_id, l FROM m
+        |          QUALIFY row_number() OVER (PARTITION BY w, p ORDER BY l DESC) = 1),
+        | enc AS (
+        |   SELECT w, 0 AS p, 0 AS n_pieces, 0 AS n_unk, CAST(0 AS BIGINT) AS id_sum FROM dist
+        |   UNION ALL
+        |   SELECT e.w, e.p + coalesce(b.l, 1), e.n_pieces + 1,
+        |          e.n_unk + CASE WHEN b.l IS NULL THEN 1 ELSE 0 END,
+        |          e.id_sum + coalesce(b.token_id, 0)
+        |   FROM enc e LEFT JOIN best b ON b.w = e.w AND b.p = e.p
+        |   WHERE e.p < len(e.w)),
+        | done AS (SELECT w, n_pieces, n_unk, id_sum FROM enc WHERE p = len(w)),
+        | per AS (SELECT w0.doc_id, sum(d.n_pieces) AS np, sum(d.n_unk) AS nu, sum(d.id_sum) AS ids
+        |         FROM w0 JOIN done d USING (w) GROUP BY 1)
+        |SELECT doc_id, CAST(coalesce(np, 0) AS INT) AS n_pieces,
+        |       CAST(coalesce(nu, 0) AS INT) AS n_unk,
+        |       CAST(coalesce(ids, 0) AS BIGINT) AS id_sum
+        |FROM docs_aug LEFT JOIN per USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     // same pruned space, same integer weights, same rounding — the
     // sparse-cosine replay is exact end to end
@@ -6490,6 +6579,14 @@ object SparkEntry {
     // the pruned+filtered read must equal the same filter over the
     // whole base (file pruning is invisible to the answer)
     "snapshot_prune" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM events
+        |WHERE event_id <= (SELECT (max(event_id)+1)//4 - 1 FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the DSv2 read is answer-invisible too: same filter, same rows,
+    // whatever the source pruned
+    "snapshot_sql_read" ->
       """SELECT event_type, count(*) AS n_events,
         |       CAST(sum(event_id) AS BIGINT) AS sum_id
         |FROM events

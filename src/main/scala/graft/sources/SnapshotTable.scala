@@ -2270,6 +2270,24 @@ object SnapshotTable {
     * SUPERSET semantics: callers compose the exact join on top (the
     * incremental-view delta rules do exactly that — the base side of
     * ΔR ⋈ S is bounded by ΔR's keys instead of scanning S). */
+  /** The version's LOGICAL rows restricted to the entries whose paths
+    * appear in `paths` — the DSv2 source's execution half: the scan
+    * builder prunes through the manifest, this reads exactly the
+    * survivors (MoR deletes and schema ops applied, like every read).
+    * Empty `paths` → empty frame with the version's schema. */
+  def readPaths(
+      spark: SparkSession, dir: String, paths: Seq[String],
+      version: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"snapshot table $dir has no committed version")
+    val v = version.getOrElse(vs.last)
+    val m = readManifest(spark, dir, v)
+    val want = paths.toSet
+    val kept = m.entries.filter(e => want.contains(e.path))
+    if (kept.isEmpty) read(spark, dir, Some(v)).limit(0)
+    else entriesFrame(spark, dir, m, kept)
+  }
+
   def readMatching(
       spark: SparkSession, dir: String, keyed: DataFrame, keys: Seq[String],
       version: Option[Long] = None): DataFrame = {

@@ -268,6 +268,32 @@ object ScaleProbe {
         graft.sources.SnapshotTable.commitMerge(snapDelta(7), dir, Seq("event_id"))
       }
 
+    // r12 segmented-manifest fixtures: one standing table of 8f
+    // range-disjoint files (ONE segment). snapshot_commit_bytes then
+    // times a CONSTANT-size append and measures the metadata bytes
+    // that commit wrote — under segmentation that is one small
+    // manifest + one delta segment whatever f is (the r11
+    // manifest-monolith claim, measured); snapshot_sql_read times the
+    // DSv2 read whose range conjunct keeps ~1 file at any f.
+    // pq_refit's index fixture is built OUTSIDE the timer; the refit
+    // itself is corpus-linear BY DESIGN (it re-fits and re-encodes
+    // the whole index — the honest baseline is a rebuild).
+    if (Seq("snapshot_commit_bytes", "snapshot_sql_read").exists(wanted))
+      for (f <- Seq(1, factor)) {
+        val dir = s"$scaledBase/f$f/snap_seg_tbl"
+        val ev = replicate(
+          spark.read.parquet(s"$sfDir/events.parquet")
+            .select("event_id", "event_type"), f)
+          .select((col("event_id") + col("k") * 1000000000L).as("event_id"),
+            col("event_type"))
+          .repartitionByRange(8 * f, col("event_id"))
+        graft.sources.SnapshotTable.commitAppend(ev, dir, statsCols = Seq("event_id"))
+      }
+    if (wanted("pq_refit"))
+      for (f <- Seq(1, factor))
+        Similarity.buildPqIndex(scaleEmb(Tables.embeddings(spark, sfDir), f),
+          s"$scaledBase/f$f/pq_refit_idx")
+
     // r11 bloom-manifest fixture: the scaled events HASH-clustered on
     // event_id into a CONSTANT 8 files with stats AND blooms declared
     // — the layout where every file spans the full key range, so
@@ -585,6 +611,59 @@ object ScaleProbe {
           graft.operators.Triangles.count(
             li.join(li2, "ok").where(col("pk") < col("pk2"))
               .select(col("pk").as("src"), col("pk2").as("dst")))
+        }),
+        // r12 additions. The DOULION coin on the same scaled graph:
+        // the p=1/4 sparsifier discounts triangle work by p³ BEFORE
+        // the closure — the scale path beside the exact census whose
+        // 30× wall measured 12×
+        "approx_triangle" -> (() => {
+          val li = replicate(
+            Tables.lineitem(spark, sfDir)
+              .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")), f)
+            .select((col("ok") + col("k") * 1000000000L).as("ok"),
+              (col("pk") + col("k") * 100000000L).as("pk"))
+          val li2 = li.withColumnRenamed("pk", "pk2")
+          graft.operators.Triangles.approxCount(
+            li.join(li2, "ok").where(col("pk") < col("pk2"))
+              .select(col("pk").as("src"), col("pk2").as("dst")))
+        }),
+        // segmented-manifest commit at volume: a constant-size append
+        // against the 8f-file table — the metadata this ONE commit
+        // writes must be O(delta), not O(table); the in-op require
+        // pins it below 16 KB whatever f is, and rows= carries the
+        // measured byte count into the probe record
+        "snapshot_commit_bytes" -> (() => {
+          val dir = s"$scaledBase/f$f/snap_seg_tbl"
+          val md = new java.io.File(s"$dir/_manifests")
+          val before = md.listFiles().map(_.getName).toSet
+          graft.sources.SnapshotTable.commitAppend(
+            spark.read.parquet(s"$sfDir/events.parquet")
+              .select("event_id", "event_type")
+              .filter(col("event_id") % 1000 === 1).coalesce(1), dir)
+          val wrote = md.listFiles().filterNot(s => before.contains(s.getName))
+          val bytes = wrote.map(_.length).sum
+          require(bytes < 16384,
+            s"commit metadata must be O(delta): $bytes B against ${8 * f} standing files")
+          spark.range(bytes).toDF()
+        }),
+        // the format's SQL face at volume: the pushed range conjunct
+        // keeps ~1 of 8f files from the manifest, so the read wall
+        // should stay ~FLAT while the table grows N×
+        "snapshot_sql_read" -> (() => {
+          val dir = s"$scaledBase/f$f/snap_seg_tbl"
+          val df = spark.read.format("graft-snapshot").load(dir)
+            .filter(col("event_id") <= 1000L)
+            .groupBy("event_type").agg(count(lit(1)).as("n"))
+          df
+        }),
+        // the drift-triggered refit at volume: re-fit + full re-encode
+        // + swap — corpus-LINEAR BY DESIGN (a refit IS a rebuild; the
+        // probe documents the baseline the monitors gate against)
+        "pq_refit" -> (() => {
+          Similarity.refitPqIndex(
+            scaleEmb(Tables.embeddings(spark, sfDir), f),
+            s"$scaledBase/f$f/pq_refit_idx")
+          spark.range(1).toDF()
         }))
     }
 

@@ -416,4 +416,45 @@ class Dsv2SourceSpec extends SparkSpec {
       def next(): A = it.next()
     }
   }
+
+  test("graft-snapshot source: manifest-pruned read, time travel, MoR deletes applied") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    import graft.sources.dsv2.GraftSnapshotSource
+    val dir = java.nio.file.Files.createTempDirectory("snap_src").toString + "/tbl"
+    // four range-disjoint files with id stats, then a MoR delete
+    Seq(0L until 25L, 25L until 50L, 50L until 75L, 75L until 100L).foreach { r =>
+      SnapshotTable.commitAppend(
+        r.map(i => (i, s"g${i % 3}")).toDF("id", "grp").coalesce(1),
+        dir, statsCols = Seq("id"))
+    }
+    SnapshotTable.commitDeleteMoR(Seq(7L, 80L).toDF("id"), dir, Seq("id"))
+    // head read parity with the API read (deletes applied)
+    val sql = spark.read.format("graft-snapshot").load(dir)
+    assert(sql.count() == 98L)
+    assert(sql.filter(col("id").isin(7L, 80L)).isEmpty,
+      "merge-on-read deletes must apply through the source")
+    // the range conjunct prunes whole files through the manifest
+    val pruned = spark.read.format("graft-snapshot").load(dir)
+      .filter(col("id") < 20L)
+    assert(pruned.select("id").as[Long].collect().sorted.toSeq ==
+      ((0L until 20L).filterNot(_ == 7L)))
+    val (kept, total) = GraftSnapshotSource.lastPrune.get(dir)
+    assert(total == 4 && kept == 1,
+      s"the id<20 read must open 1 of 4 files from the manifest: $kept/$total")
+    // PushedFilters surface in the executed plan
+    assert(pruned.queryExecution.executedPlan.toString.contains("LessThan"),
+      "the pruning conjunct must surface in the plan")
+    // time travel: version 1 predates everything but the first file
+    val v1 = spark.read.format("graft-snapshot")
+      .option("versionAsOf", "1").load(dir)
+    assert(v1.count() == 25L)
+    // tag resolution rides the same option surface
+    SnapshotTable.createTag(spark, dir, "first", 1L)
+    assert(spark.read.format("graft-snapshot")
+      .option("tag", "first").load(dir).count() == 25L)
+    // column pruning: a grp-only projection still answers
+    assert(spark.read.format("graft-snapshot").load(dir)
+      .groupBy("grp").count().collect().map(_.getLong(1)).sum == 98L)
+  }
 }

@@ -619,4 +619,30 @@ class SimilaritySpec extends SparkSpec {
     // bucketing actually prunes: ANN candidate sets are smaller than N
     assert(ann.nonEmpty)
   }
+
+  test("refitIvfIndex: retrains on the index's own rows, swaps atomically, keeps every vector queryable") {
+    val emb = Tables.embeddings(spark, dir)
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_refit").toString
+    val model = Similarity.fitIvfModel(emb, nlist = 4)
+    Similarity.buildIvfIndex(emb, s"$base/idx", model)
+    // plant drift: a shifted batch appended at the stale centroids
+    val drift = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x + lit(1.0f)).as("embedding"))
+    Similarity.appendToIvfIndex(drift, s"$base/idx")
+    val before = spark.read.parquet(s"$base/idx/assignments").count()
+    Similarity.refitIvfIndex(spark, s"$base/idx", nlist = 4)
+    // every vector survives the refit (identity replaced, rows kept)
+    val after = spark.read.parquet(s"$base/idx/assignments")
+    assert(after.count() == before, "the refit must re-encode every stored vector")
+    // fresh centroids actually cover the drifted mass: the drifted
+    // ids' assigned cells are non-empty and the cold query still
+    // answers with full k
+    val cold = Similarity.ivfTopKFromIndex(spark, s"$base/idx", nQueries = 3, k = 5)
+    assert(cold.groupBy("q_id").count().collect().forall(_.getLong(1) == 5L))
+    // no refit debris: neither the staged dir nor the set-aside old
+    // index survives the swap
+    val siblings = new java.io.File(base).list().toSeq
+    assert(siblings == Seq("idx"),
+      s"rename-aside must leave no .refit-/.old- debris: $siblings")
+  }
 }
