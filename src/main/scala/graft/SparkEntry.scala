@@ -3149,6 +3149,29 @@ object SparkEntry {
         s"the SQL read must prune from the manifest: scanned $kept of $total files")
       df
     }),
+    // The WRITE half of the SQL face: two df.write.format appends land
+    // as ordinary versioned commits (in-row require pins the 2-version
+    // ledger), an unconditional overwrite truncates to v3, and the
+    // read-back census equals the base — the full DataFrame write API
+    // against the format, same commit code path as the method calls.
+    "snapshot_sql_write" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val tbl = s"${tempDir("graft_snap_sqlw")}/tbl"
+      val ev = Tables.events(s, dir).select("event_id", "event_type")
+      ev.filter(col("event_id") % 3 === 0).write.format("graft-snapshot")
+        .option("statsCols", "event_id").mode("append").save(tbl)
+      ev.filter(col("event_id") % 3 =!= 0).write.format("graft-snapshot")
+        .mode("append").save(tbl)
+      require(SnapshotTable.versions(s, tbl) == Seq(1L, 2L),
+        "two SQL writes must land as two versions")
+      // unconditional overwrite = TRUNCATE semantics, a third version
+      ev.write.format("graft-snapshot").mode("overwrite").save(tbl)
+      require(SnapshotTable.versions(s, tbl) == Seq(1L, 2L, 3L),
+        "the overwrite must commit a third version, not erase history")
+      s.read.format("graft-snapshot").load(tbl)
+        .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
     // OPTIMIZE ZORDER inside the versioned format: after the z-sorted
     // rewrite, the quadrant filter (both dimensions bounded) must
     // prune files from the manifest stats alone — the zorder_prune
@@ -6584,6 +6607,10 @@ object SparkEntry {
         |FROM events
         |WHERE event_id <= (SELECT (max(event_id)+1)//4 - 1 FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // SQL writes land the same rows the method-call commits land
+    "snapshot_sql_write" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // the DSv2 read is answer-invisible too: same filter, same rows,
     // whatever the source pruned
     "snapshot_sql_read" ->

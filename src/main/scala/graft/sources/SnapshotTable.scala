@@ -1567,11 +1567,17 @@ object SnapshotTable {
         (if (integral(c))
           Seq(sum(col(c).cast(DecimalType(38, 0))).as(s"__sum_$c")) else Nil)) :+
       count(lit(1)).as("__cnt")
+    // EXACT path resolution (the touchedFiles discipline): map each
+    // qualified batch-file path back to its dir-relative name — never
+    // an endsWith suffix scan
+    val relByQualified: Map[String, String] =
+      relPaths.map(rp => qualifiedPath(spark, s"$dir/$rp") -> rp).toMap
+    def relOf(abs: String): Option[String] =
+      relByQualified.get(qualifiedPath(spark, abs))
     val rows = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect()
     val statsByRel: Map[String, Map[String, FileStat]] = rows.flatMap { r =>
-      val abs = r.getString(0)
-      relPaths.find(rp => abs.endsWith(rp)).map { rp =>
+      relOf(r.getString(0)).map { rp =>
         val stats = present.flatMap { c =>
           (Option(r.getAs[Any](s"__min_$c")), Option(r.getAs[Any](s"__max_$c"))) match {
             case (Some(mn), Some(mx)) => Some(c -> FileStat(toStatVal(mn), toStatVal(mx),
@@ -1587,8 +1593,7 @@ object SnapshotTable {
       }
     }.toMap
     val rowsByRel: Map[String, Long] = rows.flatMap { r =>
-      val abs = r.getString(0)
-      relPaths.find(rp => abs.endsWith(rp)).map(_ -> r.getAs[Long]("__cnt"))
+      relOf(r.getString(0)).map(_ -> r.getAs[Long]("__cnt"))
     }.toMap
     val bloomsByRel: Map[String, Map[String, Array[Byte]]] =
       if (bloomPresent.isEmpty) Map.empty
@@ -1601,8 +1606,7 @@ object SnapshotTable {
           bloomKeyHash(col(c), fields(c), c), lit(maxRows), lit(bloomFpp)).as(s"__bl_$c"))
         df.groupBy(input_file_name().as("__f"))
           .agg(bAggs.head, bAggs.tail: _*).collect().flatMap { r =>
-            val abs = r.getString(0)
-            relPaths.find(rp => abs.endsWith(rp)).map { rp =>
+            relOf(r.getString(0)).map { rp =>
               rp -> bloomPresent.map(c => c -> r.getAs[Array[Byte]](s"__bl_$c")).toMap
             }
           }.toMap

@@ -5,7 +5,7 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SparkSession, SQLContext}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
@@ -73,8 +73,25 @@ object GraftSnapshotSource {
         SnapshotTable.tagVersion(spark, dir, t)))
 }
 
-class GraftSnapshotSource extends TableProvider with DataSourceRegister {
+/** The WRITE half of the SQL face: `df.write.format("graft-snapshot")
+  * .mode("append"|"overwrite").save(dir)` lands as an ordinary
+  * `commitAppend`/`commitOverwrite` — one atomic manifest publish,
+  * stats/bloom declarations via the `statsCols`/`bloomCols` options
+  * (comma-separated; sticky table declarations thereafter). This is
+  * the CreatableRelationProvider face — exactly where DataFrameWriter
+  * routes a path-based save for a source whose table exposes no
+  * DSv2 batch write — so every commit guarantee (optimistic retry,
+  * schema-race revalidation, segmented metadata, version history)
+  * is THE SAME code path the API writes take: an overwrite is a NEW
+  * version, never an erasure. ErrorIfExists/Ignore honor the
+  * table's existence (a committed version = exists). */
+class GraftSnapshotSource extends TableProvider with DataSourceRegister
+    with CreatableRelationProvider {
   override def shortName(): String = "graft-snapshot"
+  // writes hand their own schema in, so the FIRST write can CREATE the
+  // table — without this the writer's table lookup calls inferSchema
+  // and dies on the empty dir before the V1 write fallback can run
+  override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val dir = GraftSnapshotSource.dirOf(options)
@@ -86,6 +103,41 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister {
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new SnapshotV2Table(schema, new CaseInsensitiveStringMap(properties))
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    val dir = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-snapshot needs a path: df.write.format(\"graft-snapshot\").save(dir)"))
+    def cols(k: String): Seq[String] =
+      parameters.get(k).map(_.split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val exists = SnapshotTable.versions(sqlContext.sparkSession, dir).nonEmpty
+    import org.apache.spark.sql.SaveMode._
+    mode match {
+      case Append =>
+        SnapshotTable.commitAppend(data, dir,
+          statsCols = cols("statsCols"), bloomCols = cols("bloomCols"))
+      case Overwrite =>
+        SnapshotTable.commitOverwrite(data, dir,
+          statsCols = cols("statsCols"), bloomCols = cols("bloomCols"))
+      case ErrorIfExists =>
+        if (exists) throw new IllegalArgumentException(
+          s"snapshot table $dir already has a committed version " +
+            "(SaveMode.ErrorIfExists)")
+        SnapshotTable.commitAppend(data, dir,
+          statsCols = cols("statsCols"), bloomCols = cols("bloomCols"))
+      case Ignore =>
+        if (!exists) SnapshotTable.commitAppend(data, dir,
+          statsCols = cols("statsCols"), bloomCols = cols("bloomCols"))
+    }
+    new BaseRelation {
+      override def sqlContext: SQLContext = sqlContext
+      override def schema: StructType = data.schema
+    }
+  }
 }
 
 private[dsv2] class SnapshotV2Table(

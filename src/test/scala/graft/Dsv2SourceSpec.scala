@@ -457,4 +457,31 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(spark.read.format("graft-snapshot").load(dir)
       .groupBy("grp").count().collect().map(_.getLong(1)).sum == 98L)
   }
+
+  test("graft-snapshot write path: append/overwrite land as versioned commits, first write creates") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val dir = java.nio.file.Files.createTempDirectory("snap_w").toString + "/tbl"
+    // the FIRST write creates the table (supportsExternalMetadata:
+    // the df's schema rides in, nothing to infer from an empty dir)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.format("graft-snapshot").option("statsCols", "id")
+      .mode("append").save(dir)
+    Seq((3L, "c")).toDF("id", "v")
+      .write.format("graft-snapshot").mode("append").save(dir)
+    assert(SnapshotTable.versions(spark, dir) == Seq(1L, 2L))
+    assert(SnapshotTable.read(spark, dir).count() == 3L)
+    // the statsCols declaration is live: the manifest prunes on id
+    val (kept, total) = SnapshotTable.pruneFiles(spark, dir,
+      Seq(SnapshotTable.StatFilter("id", upper = Some(1L))))
+    assert(kept.size < total, s"declared stats must prune: $kept of $total")
+    // unconditional overwrite truncates as a NEW version; history stays
+    Seq((9L, "z")).toDF("id", "v")
+      .write.format("graft-snapshot").mode("overwrite").save(dir)
+    assert(SnapshotTable.versions(spark, dir) == Seq(1L, 2L, 3L))
+    assert(SnapshotTable.read(spark, dir).select("id").as[Long].collect().toSeq
+      == Seq(9L))
+    assert(SnapshotTable.read(spark, dir, Some(2L)).count() == 3L,
+      "pre-overwrite versions stay readable")
+  }
 }
