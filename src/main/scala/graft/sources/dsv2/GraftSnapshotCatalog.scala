@@ -1,0 +1,213 @@
+package graft.sources.dsv2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Column, Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.SnapshotTable
+
+/** SQL CATALOG over snapshot tables — the last mile of the format's
+  * SQL face: with
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft",
+  *     "graft.sources.dsv2.GraftSnapshotCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.root", "/data/tables")
+  * }}}
+  *
+  * a pure-SQL client can `CREATE TABLE graft.ns.t (id BIGINT, v STRING)`,
+  * `INSERT INTO graft.ns.t SELECT …`, `SELECT … FROM graft.ns.t`,
+  * time-travel with `VERSION AS OF n` / `TIMESTAMP AS OF …`, and
+  * `DROP TABLE` — no `graft.sources.SnapshotTable` method call in
+  * sight. Identifiers map to directories under the configured root
+  * (`ns.t` → `<root>/ns/t`); a table EXISTS when it has a committed
+  * version. Reads ride the same manifest-pruned scan as the
+  * `graft-snapshot` source; INSERTs ride the V1 write bridge into
+  * `commitStreamBatch`-grade commits (`commitAppend`/`commitOverwrite`
+  * — optimistic retry, schema-race revalidation, segmented metadata).
+  *
+  * CREATE TABLE without data commits an EMPTY v1 manifest and stores
+  * the declared schema as `_schema.json` beside the manifests (the
+  * manifest derives schemas from data files, which an empty table has
+  * none of); the first INSERT widens from there under the ordinary
+  * additive rules. Renames/ALTERs beyond the format's own evolution
+  * commits are refused loudly.
+  */
+class GraftSnapshotCatalog extends TableCatalog {
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(
+      name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(throw new IllegalArgumentException(
+      s"catalog $name needs spark.sql.catalog.$name.root = <dir>"))
+  }
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+  private def dirOf(ident: Identifier): String =
+    (root +: ident.namespace() :+ ident.name()).mkString("/")
+  private def exists(ident: Identifier): Boolean =
+    SnapshotTable.versions(spark, dirOf(ident)).nonEmpty
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsDir = new Path((root +: namespace).mkString("/"))
+    val fs = nsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(nsDir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(nsDir).toSeq
+      .filter(s => s.isDirectory &&
+        fs.exists(new Path(s.getPath, "_manifests")))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean = exists(ident)
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    new SnapshotCatalogTable(dirOf(ident), ident.toString, None)
+  }
+
+  /** SQL time travel: `VERSION AS OF n` hands the version string here. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    new SnapshotCatalogTable(dirOf(ident), ident.toString,
+      Some(version.toLong))
+  }
+
+  /** `TIMESTAMP AS OF …` arrives in MICROseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    val dir = dirOf(ident)
+    new SnapshotCatalogTable(dir, ident.toString,
+      Some(SnapshotTable.versionAt(spark, dir, timestamp / 1000L)))
+  }
+
+  override def createTable(
+      ident: Identifier,
+      columns: Array[Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (exists(ident)) throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty,
+      "graft-snapshot tables cluster via statsCols/bloomCols + OPTIMIZE, " +
+        "not catalog partitions")
+    val dir = dirOf(ident)
+    val schema = new StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(
+        c.name(), c.dataType(), c.nullable())))
+    // the declared schema lives beside the manifests: an empty table
+    // has no data file to derive one from
+    val p = new Path(s"$dir/_manifests/_schema.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, false)
+    try out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // CTAS appends right after; a plain CREATE leaves the empty v1
+    SnapshotTable.commitAppend(
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        schema).limit(0), dir)
+    new SnapshotCatalogTable(dir, ident.toString, None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE: use the format's own evolution commits " +
+        "(SnapshotTable.commitRenameColumn/commitDropColumn) — they are " +
+        "seq-scoped versioned operations, not catalog metadata edits")
+
+  override def dropTable(ident: Identifier): Boolean =
+    if (!exists(ident)) false
+    else {
+      val p = new Path(dirOf(ident))
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!exists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (exists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val src = new Path(dirOf(oldIdent))
+    val dst = new Path(dirOf(newIdent))
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dst.getParent)
+    require(fs.rename(src, dst), s"rename $src -> $dst failed")
+  }
+}
+
+/** A catalog-resolved snapshot table: manifest-pruned reads (the
+  * graft-snapshot source's scan builder, version pinned when the
+  * query time-traveled) and V1-bridged INSERTs. V1_BATCH_WRITE is the
+  * capability that routes `INSERT INTO` through the
+  * InsertableRelation bridge (AppendDataExecV1); TRUNCATE serves
+  * `INSERT OVERWRITE`. */
+private[dsv2] class SnapshotCatalogTable(
+    dir: String, ident: String, version: Option[Long])
+    extends Table with SupportsRead with SupportsWrite {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = ident
+
+  /** Head (or pinned-version) schema; the stored `_schema.json` covers
+    * the empty table no data file can describe. */
+  override def schema(): StructType = {
+    val m = SnapshotTable.readManifest(spark, dir,
+      version.getOrElse(SnapshotTable.versions(spark, dir).last))
+    if (m.entries.nonEmpty)
+      SnapshotTable.read(spark, dir, version).schema
+    else storedSchema.getOrElse(new StructType())
+  }
+
+  private def storedSchema: Option[StructType] = {
+    val p = new Path(s"$dir/_manifests/_schema.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(body)
+        .asInstanceOf[StructType])
+    }
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val opts = new util.HashMap[String, String](options.asCaseSensitiveMap())
+    opts.put("path", dir)
+    version.foreach(v => opts.put("versionAsOf", v.toString))
+    new SnapshotScanBuilder(schema(), new CaseInsensitiveStringMap(opts))
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(
+                data: org.apache.spark.sql.DataFrame, ov: Boolean): Unit = {
+              if (overwrite || ov) SnapshotTable.commitOverwrite(data, dir)
+              else SnapshotTable.commitAppend(data, dir)
+              ()
+            }
+          }
+      }
+    }
+}

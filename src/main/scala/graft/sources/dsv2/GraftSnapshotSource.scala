@@ -240,6 +240,11 @@ private[dsv2] class SnapshotV1Scan(
           case _ => ()
         }
         val total = SnapshotTable.files(spark, dir, v.get)
+        // a freshly CREATEd catalog table has a committed version with
+        // zero entries — its scan is the empty relation, not an error
+        if (total.isEmpty)
+          return spark.createDataFrame(
+            new java.util.ArrayList[Row](), required).rdd
         val keptPaths = kept.fold(total)(s => total.filter(s.contains))
         GraftSnapshotSource.lastPrune.put(dir, (keptPaths.size, total.size))
         val base = SnapshotTable.readPaths(spark, dir, keptPaths, v)

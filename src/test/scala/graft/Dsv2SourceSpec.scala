@@ -484,4 +484,40 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, dir, Some(2L)).count() == 3L,
       "pre-overwrite versions stay readable")
   }
+
+  test("graft-snapshot catalog: SQL DDL/DML lifecycle — create, insert, time travel, rename, drop") {
+    import graft.sources.SnapshotTable
+    val root = java.nio.file.Files.createTempDirectory("snap_cat").toString
+    spark.conf.set("spark.sql.catalog.gcat",
+      classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat.root", root)
+    new java.io.File(s"$root/ns1").mkdirs()
+    spark.sql("CREATE TABLE gcat.ns1.t (id BIGINT, v STRING)")
+    assert(SnapshotTable.versions(spark, s"$root/ns1/t") == Seq(1L),
+      "CREATE TABLE must commit an empty v1")
+    assert(spark.sql("SELECT * FROM gcat.ns1.t").count() == 0L)
+    spark.sql("INSERT INTO gcat.ns1.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    assert(spark.sql("SELECT sum(id) FROM gcat.ns1.t").head().getLong(0) == 6L)
+    // INSERT appended a version; SQL time travel sees the empty v1
+    assert(SnapshotTable.versions(spark, s"$root/ns1/t") == Seq(1L, 2L))
+    assert(spark.sql("SELECT * FROM gcat.ns1.t VERSION AS OF 1").count() == 0L)
+    // INSERT OVERWRITE = truncate-as-new-version, history intact
+    spark.sql("INSERT OVERWRITE gcat.ns1.t VALUES (9, 'z')")
+    assert(spark.sql("SELECT id FROM gcat.ns1.t").head().getLong(0) == 9L)
+    assert(spark.sql("SELECT count(*) FROM gcat.ns1.t VERSION AS OF 2")
+      .head().getLong(0) == 3L)
+    // WHERE conjuncts still prune through the manifest on catalog reads
+    assert(spark.sql("SELECT * FROM gcat.ns1.t WHERE id < 5").count() == 0L)
+    // lifecycle: list/rename/drop (listTables via the catalog API —
+    // SHOW TABLES additionally needs SupportsNamespaces plumbing)
+    val cat = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    assert(cat.listTables(Array("ns1")).map(_.name).toSeq == Seq("t"))
+    // the rename TARGET resolves inside the table's own catalog
+    spark.sql("ALTER TABLE gcat.ns1.t RENAME TO ns1.t2")
+    assert(SnapshotTable.versions(spark, s"$root/ns1/t2").nonEmpty)
+    spark.sql("DROP TABLE gcat.ns1.t2")
+    assert(!new java.io.File(s"$root/ns1/t2").exists())
+    intercept[Exception] { spark.sql("SELECT * FROM gcat.ns1.t2").collect() }
+  }
 }
