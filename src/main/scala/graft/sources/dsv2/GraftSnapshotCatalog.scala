@@ -6,8 +6,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Column, Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Column, Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
@@ -44,7 +44,7 @@ import graft.sources.SnapshotTable
   * additive rules. Renames/ALTERs beyond the format's own evolution
   * commits are refused loudly.
   */
-class GraftSnapshotCatalog extends TableCatalog {
+class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   private var root: String = _
 
@@ -143,6 +143,68 @@ class GraftSnapshotCatalog extends TableCatalog {
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dst.getParent)
     require(fs.rename(src, dst), s"rename $src -> $dst failed")
+  }
+
+  // ---------------------------------------------------------------
+  // Namespaces — SHOW TABLES / CREATE NAMESPACE plumbing: a namespace
+  // IS a directory level under the root (no properties stored)
+  // ---------------------------------------------------------------
+
+  private def nsPath(namespace: Array[String]): Path =
+    new Path((root +: namespace).mkString("/"))
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(s => Array(s.getPath.getName)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val p = nsPath(namespace)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory &&
+        !fs.exists(new Path(s.getPath, "_manifests"))) // tables aren't namespaces
+      .map(s => namespace :+ s.getPath.getName).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val p = nsPath(namespace)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    new util.HashMap[String, String]()
+  }
+
+  override def createNamespace(
+      namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace))
+      throw new NamespaceAlreadyExistsException(namespace)
+    val p = nsPath(namespace)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p): Unit
+  }
+
+  override def alterNamespace(
+      namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft-snapshot namespaces are directories; they carry no properties")
+
+  override def dropNamespace(
+      namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) false
+    else {
+      require(cascade || listTables(namespace).isEmpty,
+        s"namespace ${namespace.mkString(".")} is not empty — DROP … CASCADE")
+      val p = nsPath(namespace)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
   }
 }
 

@@ -508,11 +508,14 @@ class Dsv2SourceSpec extends SparkSpec {
       .head().getLong(0) == 3L)
     // WHERE conjuncts still prune through the manifest on catalog reads
     assert(spark.sql("SELECT * FROM gcat.ns1.t WHERE id < 5").count() == 0L)
-    // lifecycle: list/rename/drop (listTables via the catalog API —
-    // SHOW TABLES additionally needs SupportsNamespaces plumbing)
-    val cat = spark.sessionState.catalogManager.catalog("gcat")
-      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
-    assert(cat.listTables(Array("ns1")).map(_.name).toSeq == Seq("t"))
+    // lifecycle: SHOW TABLES works through SupportsNamespaces, pure SQL
+    assert(spark.sql("SHOW TABLES IN gcat.ns1").collect()
+      .map(_.getString(1)).toSeq == Seq("t"))
+    // SQL namespace DDL: create, list, drop-refuses-nonempty
+    spark.sql("CREATE NAMESPACE gcat.ns2")
+    assert(spark.sql("SHOW TABLES IN gcat.ns2").collect().isEmpty)
+    intercept[Exception] { spark.sql("DROP NAMESPACE gcat.ns1") }
+    spark.sql("DROP NAMESPACE gcat.ns2")
     // the rename TARGET resolves inside the table's own catalog
     spark.sql("ALTER TABLE gcat.ns1.t RENAME TO ns1.t2")
     assert(SnapshotTable.versions(spark, s"$root/ns1/t2").nonEmpty)
