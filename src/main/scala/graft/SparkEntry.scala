@@ -3165,6 +3165,44 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_id"))
         .orderBy("event_type")
     }),
+    // Planning-time pruning through a DISJUNCTION: readWhere's prune
+    // lattice unions the two id-band branch prunes (a file survives
+    // iff EITHER band might hit it), so the two-tail filter opens a
+    // strict subset of the files (df.inputFiles require) — the OR
+    // shape every log-slice query writes, pruned without the caller
+    // decomposing anything. Oracle replays the filter over the base.
+    "snapshot_or_prune" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val tbl = snapPruneTable(s, dir)
+      val maxId = Tables.events(s, dir)
+        .agg(max(col("event_id"))).collect()(0).getLong(0)
+      val lo = (maxId + 1) / 8
+      val hi = maxId - (maxId + 1) / 8
+      val df = SnapshotTable.readWhere(s, tbl,
+        col("event_id") <= lo || col("event_id") > hi)
+      val total = SnapshotTable.files(s, tbl,
+        SnapshotTable.versions(s, tbl).last).size
+      require(df.inputFiles.length < total,
+        s"the OR of two bands must prune: ${df.inputFiles.length} of $total")
+      df.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_id"))
+        .orderBy("event_type")
+    }),
+    // LIKE-prefix pruning: `event_type LIKE 'pu%'` prunes as the
+    // string range [prefix, successor] over the type-clustered
+    // table's manifest stats — the categorical-slice query shape,
+    // planned to a file subset with zero data I/O.
+    "snapshot_prefix_prune" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val tbl = snapGroupTable(s, dir)
+      val df = SnapshotTable.readWhere(s, tbl, col("event_type").startsWith("pu"))
+      val total = SnapshotTable.files(s, tbl,
+        SnapshotTable.versions(s, tbl).last).size
+      require(df.inputFiles.length < total,
+        s"the prefix range must prune: ${df.inputFiles.length} of $total")
+      df.groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
     // The format's SQL/catalog face (VERDICT r11 missing #2 closed):
     // the same table read through spark.read.format("graft-snapshot")
     // — file listing from the manifest, the range conjunct pruning
@@ -6661,6 +6699,19 @@ object SparkEntry {
         |       CAST(sum(event_id) AS BIGINT) AS sum_id
         |FROM events
         |WHERE event_id <= (SELECT (max(event_id)+1)//4 - 1 FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // pruning is answer-invisible: the OR / LIKE filters replayed
+    // over the whole base
+    "snapshot_or_prune" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM events
+        |WHERE event_id <= (SELECT (max(event_id)+1)//8 FROM events)
+        |   OR event_id > (SELECT max(event_id) - (max(event_id)+1)//8 FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "snapshot_prefix_prune" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM events WHERE event_type LIKE 'pu%'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the catalog route lands and reads the same rows
     "snapshot_sql_catalog" ->

@@ -926,42 +926,74 @@ object SnapshotTable {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
       }.toSeq.flatMap(conjuncts)
     }.getOrElse(Seq.empty)
-    resolved.foreach {
+    // The prune lattice, recursive so DISJUNCTIONS compose: AND
+    // intersects (either side alone is a valid upper bound), OR
+    // UNIONS — a file survives when EITHER branch might match, so the
+    // union of the branch prunes is exact-conservative, but only when
+    // BOTH branches decompose (an unprunable branch makes the whole
+    // OR unprunable). LIKE 'abc%' (StartsWith) prunes as the string
+    // range [prefix, prefixSuccessor] — every prefixed string sorts
+    // inside it, strict boundaries only over-keep. None = "prunes
+    // nothing", the fail-open default.
+    def pruneFor(e: Expression): Option[Set[String]] = e match {
+      case And(l, r) => (pruneFor(l), pruneFor(r)) match {
+        case (Some(a), Some(b)) => Some(a.intersect(b))
+        case (a, b) => a.orElse(b)
+      }
+      case org.apache.spark.sql.catalyst.expressions.Or(l, r) =>
+        for (a <- pruneFor(l); b <- pruneFor(r)) yield a.union(b)
       case EqualTo(l, r) =>
-        for (c <- attr(l).orElse(attr(r)); value <- litOf(r).orElse(litOf(l)))
-          scala.util.Try(pruneFilesByKeys(spark, dir, c, Seq(value), Some(v)))
-            .foreach { case (k, _) => kept = kept.intersect(k.toSet) }
+        (for (c <- attr(l).orElse(attr(r)); value <- litOf(r).orElse(litOf(l)))
+          yield scala.util.Try(
+            pruneFilesByKeys(spark, dir, c, Seq(value), Some(v))._1.toSet)
+            .toOption).flatten
       case In(l, list) =>
-        for (c <- attr(l)) {
+        attr(l).flatMap { c =>
           val values = list.flatMap(litOf)
           if (values.nonEmpty && values.size == list.size)
-            scala.util.Try(pruneFilesByKeys(spark, dir, c, values, Some(v)))
-              .foreach { case (k, _) => kept = kept.intersect(k.toSet) }
+            scala.util.Try(
+              pruneFilesByKeys(spark, dir, c, values, Some(v))._1.toSet).toOption
+          else None
         }
       case GreaterThan(l, r) => rangeHalf(spark, dir, v, attr(l), litOf(r),
-        attr(r), litOf(l), lowerOnAttrLeft = true).foreach(k => kept = kept.intersect(k))
+        attr(r), litOf(l), lowerOnAttrLeft = true)
       case GreaterThanOrEqual(l, r) => rangeHalf(spark, dir, v, attr(l), litOf(r),
-        attr(r), litOf(l), lowerOnAttrLeft = true).foreach(k => kept = kept.intersect(k))
+        attr(r), litOf(l), lowerOnAttrLeft = true)
       case LessThan(l, r) => rangeHalf(spark, dir, v, attr(l), litOf(r),
-        attr(r), litOf(l), lowerOnAttrLeft = false).foreach(k => kept = kept.intersect(k))
+        attr(r), litOf(l), lowerOnAttrLeft = false)
       case LessThanOrEqual(l, r) => rangeHalf(spark, dir, v, attr(l), litOf(r),
-        attr(r), litOf(l), lowerOnAttrLeft = false).foreach(k => kept = kept.intersect(k))
+        attr(r), litOf(l), lowerOnAttrLeft = false)
+      case org.apache.spark.sql.catalyst.expressions.StartsWith(l, r) =>
+        (for (c <- attr(l); prefix <- litOf(r).collect {
+          case s: String if s.nonEmpty => s
+        }) yield scala.util.Try(pruneFiles(spark, dir,
+          Seq(StatFilter(c, lower = Some(prefix), upper = prefixRange(prefix))),
+          Some(v))._1.toSet).toOption).flatten
       case org.apache.spark.sql.catalyst.expressions.IsNull(a1) =>
         // a file whose recorded null count is ZERO provably holds no
         // IS NULL matches; unknown counts (or absent stats — an
         // all-null file never records min/max) conservatively survive
-        attr(a1).foreach { c =>
-          kept = kept.intersect(allEntries
-            .filter(e => entryStat(mf, e, c).forall(_.nulls != 0L))
-            .map(_.path).toSet)
-        }
-      case _ => () // not decomposable: prunes nothing, row filter handles it
+        attr(a1).map(c => allEntries
+          .filter(e => entryStat(mf, e, c).forall(_.nulls != 0L))
+          .map(_.path).toSet)
+      case _ => None // not decomposable: prunes nothing, row filter handles it
     }
+    resolved.foreach(e => pruneFor(e).foreach(k => kept = kept.intersect(k)))
     val ordered = allEntries.filter(e => kept.contains(e.path))
     (if (ordered.isEmpty) read(spark, dir, Some(v)).limit(0)
      else entriesFrame(spark, dir, mf, ordered))
       .filter(predicate)
   }
+
+  /** The INCLUSIVE upper bound covering every string with `prefix`:
+    * the prefix with its last char incremented (every prefixed string
+    * sorts strictly below it; the bound itself only over-keeps). None
+    * at the ￿ edge — no safe successor, the caller prunes on the
+    * lower bound alone (fail-open on the upper side, never a wrongly
+    * dropped file). */
+  private[graft] def prefixRange(prefix: String): Option[String] =
+    if (prefix.last == '￿') None
+    else Some(prefix.init + (prefix.last + 1).toChar)
 
   /** One half-bounded StatFilter prune for `attr ⋛ lit` (or the
     * mirrored `lit ⋛ attr`); None when neither side decomposes. */

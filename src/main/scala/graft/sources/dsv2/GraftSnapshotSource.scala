@@ -166,14 +166,22 @@ private[dsv2] class SnapshotScanBuilder(
     * file-level pruning is a superset decision — min/max ranges and
     * blooms admit false positives by construction — so the row-level
     * predicate must always re-apply. Exactly `readWhere`'s contract,
-    * spelled through the source API. */
+    * spelled through the source API; DISJUNCTIONS and LIKE-prefix
+    * conjuncts prune too (readWhere's OR-union / prefix-range
+    * lattice). */
+  private def prunable(f: Filter): Boolean = f match {
+    case And(l, r) => prunable(l) || prunable(r)
+    case Or(l, r) => prunable(l) && prunable(r)
+    case EqualTo(_, value) => value != null
+    case In(_, vs) => vs.nonEmpty && !vs.contains(null)
+    case GreaterThan(_, _) | GreaterThanOrEqual(_, _) |
+         LessThan(_, _) | LessThanOrEqual(_, _) => true
+    case StringStartsWith(_, p) => p.nonEmpty
+    case _ => false
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pruneWith = filters.filter {
-      case EqualTo(_, _) | In(_, _) | GreaterThan(_, _) |
-           GreaterThanOrEqual(_, _) | LessThan(_, _) |
-           LessThanOrEqual(_, _) => true
-      case _ => false
-    }
+    pruneWith = filters.filter(prunable)
     filters
   }
   override def pushedFilters(): Array[Filter] = pruneWith
@@ -217,18 +225,25 @@ private[dsv2] class SnapshotV1Scan(
         val v = GraftSnapshotSource.versionOf(spark, options, dir)
           .orElse(SnapshotTable.versions(spark, dir).lastOption)
         require(v.nonEmpty, s"snapshot table $dir has no committed version")
-        var kept: Option[Set[String]] = None
-        def intersect(paths: Seq[String]): Unit =
-          kept = Some(kept.fold(paths.toSet)(_.intersect(paths.toSet)))
-        def tryKeys(c: String, values: Seq[Any]): Unit =
-          scala.util.Try(SnapshotTable.pruneFilesByKeys(spark, dir, c, values, v))
-            .foreach { case (k, _) => intersect(k) }
-        def tryRange(f: SnapshotTable.StatFilter): Unit =
-          scala.util.Try(SnapshotTable.pruneFiles(spark, dir, Seq(f), v))
-            .foreach { case (k, _) => intersect(k) }
-        pruneWith.foreach {
+        def tryKeys(c: String, values: Seq[Any]): Option[Set[String]] =
+          scala.util.Try(SnapshotTable
+            .pruneFilesByKeys(spark, dir, c, values, v)._1.toSet).toOption
+        def tryRange(f: SnapshotTable.StatFilter): Option[Set[String]] =
+          scala.util.Try(SnapshotTable
+            .pruneFiles(spark, dir, Seq(f), v)._1.toSet).toOption
+        // readWhere's prune lattice over V1 filters: AND intersects
+        // (either side alone bounds), OR unions when BOTH branches
+        // decompose, LIKE-prefix prunes as [prefix, successor]
+        def pruneFor(f: Filter): Option[Set[String]] = f match {
+          case And(l, r) => (pruneFor(l), pruneFor(r)) match {
+            case (Some(a), Some(b)) => Some(a.intersect(b))
+            case (a, b) => a.orElse(b)
+          }
+          case Or(l, r) =>
+            for (a <- pruneFor(l); b <- pruneFor(r)) yield a.union(b)
           case EqualTo(a, value) if value != null => tryKeys(a, Seq(value))
-          case In(a, vs) if vs.nonEmpty && !vs.contains(null) => tryKeys(a, vs.toSeq)
+          case In(a, vs) if vs.nonEmpty && !vs.contains(null) =>
+            tryKeys(a, vs.toSeq)
           case GreaterThan(a, value) =>
             tryRange(SnapshotTable.StatFilter(a, lower = Some(value)))
           case GreaterThanOrEqual(a, value) =>
@@ -237,8 +252,14 @@ private[dsv2] class SnapshotV1Scan(
             tryRange(SnapshotTable.StatFilter(a, upper = Some(value)))
           case LessThanOrEqual(a, value) =>
             tryRange(SnapshotTable.StatFilter(a, upper = Some(value)))
-          case _ => ()
+          case StringStartsWith(a, p) if p.nonEmpty =>
+            tryRange(SnapshotTable.StatFilter(a, lower = Some(p),
+              upper = SnapshotTable.prefixRange(p)))
+          case _ => None
         }
+        var kept: Option[Set[String]] = None
+        pruneWith.foreach(f => pruneFor(f).foreach(k =>
+          kept = Some(kept.fold(k)(_.intersect(k)))))
         val total = SnapshotTable.files(spark, dir, v.get)
         // a freshly CREATEd catalog table has a committed version with
         // zero entries — its scan is the empty relation, not an error

@@ -1521,6 +1521,40 @@ class SnapshotTableSpec extends SparkSpec {
       s"clone readWhere must PRUNE: scanned $scanned of $total files")
   }
 
+  test("readWhere prune lattice: OR unions branch prunes, LIKE-prefix prunes as a range, unprunable branches fail open") {
+    val dir = freshDir()
+    // four range-disjoint id files; names clustered with the ids
+    Seq(("apple", 0L), ("melon", 25L), ("peach", 50L), ("zebra", 75L))
+      .foreach { case (n, base) =>
+        SnapshotTable.commitAppend(
+          (base until base + 25L).map(i => (i, s"$n$i")).toDF("id", "nm")
+            .coalesce(1),
+          dir, statsCols = Seq("id", "nm"))
+      }
+    def total = SnapshotTable.files(spark, dir, 4L).size
+    // OR of two outer bands: union of the branch prunes = 2 of 4 files
+    val or = SnapshotTable.readWhere(spark, dir,
+      col("id") < 10L || col("id") >= 90L)
+    assert(or.inputFiles.length == 2, s"OR must union branch prunes: ${or.inputFiles.length} of $total")
+    assert(or.select("id").as[Long].collect().sorted.toSeq ==
+      ((0L until 10L) ++ (90L until 100L)))
+    // LIKE-prefix: [prefix, successor] range over the name stats
+    val pre = SnapshotTable.readWhere(spark, dir, col("nm").startsWith("me"))
+    assert(pre.inputFiles.length == 1, s"prefix must prune: ${pre.inputFiles.length} of $total")
+    assert(pre.count() == 25L)
+    // an OR with an UNPRUNABLE branch prunes nothing but answers right
+    val open = SnapshotTable.readWhere(spark, dir,
+      col("id") < 10L || col("nm").contains("5"))
+    assert(open.inputFiles.length == total, "unprunable branch must fail open")
+    assert(open.count() ==
+      (0L until 100L).count(i => i < 10L || s"x$i".contains("5")).toLong)
+    // AND nested under OR still prunes: each branch intersects
+    val nested = SnapshotTable.readWhere(spark, dir,
+      (col("id") >= 0L && col("id") < 10L) || (col("nm").startsWith("ze")))
+    assert(nested.inputFiles.length == 2)
+    assert(nested.count() == 35L)
+  }
+
   test("segmented manifests: an append rewrites ZERO prior segment bytes and O(delta) manifest bytes") {
     val dir = freshDir()
     def segFiles(): Map[String, Array[Byte]] =
