@@ -969,6 +969,23 @@ object SnapshotTable {
         }) yield scala.util.Try(pruneFiles(spark, dir,
           Seq(StatFilter(c, lower = Some(prefix), upper = prefixRange(prefix))),
           Some(v))._1.toSet).toOption).flatten
+      case org.apache.spark.sql.catalyst.expressions.EqualNullSafe(l, r)
+          if litOf(r).orElse(litOf(l)).isDefined =>
+        // <=> with a NON-NULL literal matches exactly what = matches
+        // (the null-safe half only differs when the literal is null)
+        (for (c <- attr(l).orElse(attr(r)); value <- litOf(r).orElse(litOf(l)))
+          yield scala.util.Try(
+            pruneFilesByKeys(spark, dir, c, Seq(value), Some(v))._1.toSet)
+            .toOption).flatten
+      case org.apache.spark.sql.catalyst.expressions.Not(EqualTo(l, r)) =>
+        // a SINGLE-VALUE file (min == max == the literal, zero nulls
+        // immaterial — NULL != v is NULL under 3VL and filters out)
+        // provably yields no `!= v` rows; every other file survives
+        (for (c <- attr(l).orElse(attr(r)); value <- litOf(r).orElse(litOf(l));
+              sv <- scala.util.Try(toStatVal(value)).toOption)
+          yield allEntries.filterNot(e => entryStat(mf, e, c).exists(st =>
+            cmpStat(st.min, sv).contains(0) && cmpStat(st.max, sv).contains(0)))
+            .map(_.path).toSet)
       case org.apache.spark.sql.catalyst.expressions.IsNull(a1) =>
         // a file whose recorded null count is ZERO provably holds no
         // IS NULL matches; unknown counts (or absent stats — an

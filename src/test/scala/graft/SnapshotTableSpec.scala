@@ -1553,6 +1553,17 @@ class SnapshotTableSpec extends SparkSpec {
       (col("id") >= 0L && col("id") < 10L) || (col("nm").startsWith("ze")))
     assert(nested.inputFiles.length == 2)
     assert(nested.count() == 35L)
+    // != prunes SINGLE-VALUE files: commit one, exclude it by ≠
+    SnapshotTable.commitAppend(
+      Seq((100L, "same"), (101L, "same")).toDF("id", "nm").coalesce(1), dir)
+    val ne = SnapshotTable.readWhere(spark, dir, col("nm") =!= "same")
+    assert(ne.inputFiles.length == 4,
+      s"the single-value file must prune under !=: ${ne.inputFiles.length}")
+    assert(ne.count() == 100L)
+    // null-safe equality prunes like equality for a non-null literal
+    val nse = SnapshotTable.readWhere(spark, dir, col("id") <=> 5L)
+    assert(nse.inputFiles.length == 1)
+    assert(nse.count() == 1L)
   }
 
   test("segmented manifests: an append rewrites ZERO prior segment bytes and O(delta) manifest bytes") {
