@@ -105,7 +105,7 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister
     new SnapshotV2Table(schema, new CaseInsensitiveStringMap(properties))
 
   override def createRelation(
-      sqlContext: SQLContext,
+      ctx: SQLContext,
       mode: org.apache.spark.sql.SaveMode,
       parameters: Map[String, String],
       data: DataFrame): BaseRelation = {
@@ -114,7 +114,7 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister
     def cols(k: String): Seq[String] =
       parameters.get(k).map(_.split(",").map(_.trim)
         .filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    val exists = SnapshotTable.versions(sqlContext.sparkSession, dir).nonEmpty
+    val exists = SnapshotTable.versions(ctx.sparkSession, dir).nonEmpty
     import org.apache.spark.sql.SaveMode._
     mode match {
       case Append =>
@@ -134,7 +134,7 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister
           statsCols = cols("statsCols"), bloomCols = cols("bloomCols"))
     }
     new BaseRelation {
-      override def sqlContext: SQLContext = sqlContext
+      override def sqlContext: SQLContext = ctx
       override def schema: StructType = data.schema
     }
   }
