@@ -4261,6 +4261,42 @@ object SparkEntry {
         .groupBy("c_mktsegment").agg(count(lit(1)).as("n_orders"))
         .orderBy("c_mktsegment")
     }),
+    // The format as a STREAMING SOURCE: readStream.format(
+    // "graft-snapshot") follows the table's versions — offsets ARE
+    // version numbers, each micro-batch reads exactly the files its
+    // version range ADDED (entry seq = committing version, zero data
+    // I/O to plan), executor-side Group-API parquet decode, append-only
+    // admission. Three appends land, the sink drains them, a FOURTH
+    // append arrives and a RESUMED checkpoint reads only the delta —
+    // the in-row require pins exactly-once across the restart; the
+    // oracle recomputes the census from the base rows.
+    "stream_snapshot_source" -> ((s, dir) => streamRow(s) {
+      import graft.sources.SnapshotTable
+      import org.apache.spark.sql.streaming.Trigger
+      val base = tempDir("graft_stream_src")
+      val tbl = s"$base/tbl"
+      val ev = Tables.events(s, dir).select("event_id", "event_type")
+      (0 to 2).foreach(k => SnapshotTable.commitAppend(
+        ev.filter(col("event_id") % 4 === k), tbl))
+      def drain(): Unit = {
+        val q = s.readStream.format("graft-snapshot").load(tbl)
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ck")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      drain()
+      val afterFirst = s.read.parquet(s"$base/out").count()
+      SnapshotTable.commitAppend(ev.filter(col("event_id") % 4 === 3), tbl)
+      drain()
+      val out = s.read.parquet(s"$base/out")
+      require(out.count() == ev.count() && afterFirst < out.count(),
+        "the resumed checkpoint must read exactly the missing delta — " +
+          s"no duplicates: first=$afterFirst final=${out.count()} base=${ev.count()}")
+      out.groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
     // Drift-gated streaming ingest — corpusDriftCheck standing at the
     // door: the in-distribution chunk lands in the target, the
     // language-collapsed chunk is diverted WHOLE to quarantine with
@@ -6713,6 +6749,10 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events
         |FROM events WHERE event_type LIKE 'pu%'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the streamed table census equals the base census
+    "stream_snapshot_source" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // the catalog route lands and reads the same rows
     "snapshot_sql_catalog" ->
       """SELECT event_type, count(*) AS n_events

@@ -635,6 +635,11 @@ object SnapshotTable {
   private def resolve(dir: String, p: String): String =
     if (p.startsWith("/") || p.contains("://")) p else s"$dir/$p"
 
+  /** resolve(), for the in-repo DSv2 faces (the streaming source's
+    * partitions carry absolute paths to the executors). */
+  private[graft] def resolvePath(dir: String, p: String): String =
+    resolve(dir, p)
+
   private def rawRead(spark: SparkSession, dir: String, entries: Seq[Entry]): DataFrame =
     spark.read.option("mergeSchema", "true")
       .parquet(entries.map(e => resolve(dir, e.path)): _*)

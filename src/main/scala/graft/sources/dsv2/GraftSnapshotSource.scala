@@ -147,7 +147,7 @@ private[dsv2] class SnapshotV2Table(
   override def name(): String = s"graft_snapshot($dir)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(tableSchema, options)
 }
@@ -213,6 +213,22 @@ private[dsv2] class SnapshotV1Scan(
     val dir = GraftSnapshotSource.dirOf(options)
     s"graft-snapshot dir=$dir pruneOn=[${pruneWith.mkString(", ")}]"
   }
+
+  /** STREAMING face: `spark.readStream.format("graft-snapshot")` — the
+    * table-following source every transactional format ships. Offsets
+    * ARE version numbers; each micro-batch reads exactly the data
+    * files the versions in (start, end] ADDED (entry seq = committing
+    * version), so a downstream exactly-once sink (commitStreamBatch,
+    * foreachBatch ledgers) composes into end-to-end exactly-once.
+    * APPEND-ONLY by contract: a rewriting commit in the range
+    * (merge/delete/compaction/schema op) fails the stream loudly —
+    * re-emitting rewritten rows would double-count; re-sync from a
+    * fresh checkpoint after maintenance (the same discipline the
+    * production formats' streaming sources document). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SnapshotMicroBatchStream(
+      GraftSnapshotSource.dirOf(options), required, options)
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {

@@ -1,0 +1,149 @@
+package graft.sources.dsv2
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.SnapshotTable
+
+/** A table VERSION as a streaming offset. */
+private[dsv2] case class VersionOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+/** The micro-batch stream behind `readStream.format("graft-snapshot")`
+  * (scaladoc contract on [[SnapshotV1Scan.toMicroBatchStream]]):
+  *
+  *  - `initialOffset` = version 0, or `startingVersion − 1` when the
+  *    option is set (its OWN changes are then the first batch —
+  *    startingVersion semantics of the production sources);
+  *  - `latestOffset` = the head version (one `_manifests` listing);
+  *  - `planInputPartitions(start, end)` REQUIRES every commit in the
+  *    range to classify "append" from the manifests alone (the CDC
+  *    classifier), then emits one partition per data file the range
+  *    added — entry `seq` IS the committing version, so the file set
+  *    is exact with zero data I/O;
+  *  - readers decode the parquet files on the EXECUTOR through the
+  *    parquet-hadoop Group API — flat schemas of
+  *    integral/double/float/boolean/string columns (the streaming-
+  *    ingest shape); anything else fails loudly at plan time rather
+  *    than decoding wrong.
+  *
+  * Spark's checkpoint carries the offsets, so restart resumes at the
+  * last committed version and a replayed batch re-reads EXACTLY the
+  * same files — at-least-once delivery a ledgered sink upgrades to
+  * exactly-once (the stream_snapshot_source row proves the loop). */
+private[dsv2] class SnapshotMicroBatchStream(
+    dir: String, schema: StructType, options: CaseInsensitiveStringMap)
+    extends MicroBatchStream {
+
+  private def spark: SparkSession = SparkSession.active
+
+  // plan-time type gate: decode support is explicit, never best-effort
+  schema.fields.foreach { f =>
+    f.dataType match {
+      case LongType | IntegerType | DoubleType | FloatType |
+           BooleanType | StringType => ()
+      case dt => throw new IllegalArgumentException(
+        s"graft-snapshot streaming reads flat " +
+          s"integral/double/float/boolean/string columns; '${f.name}' is " +
+          s"${dt.catalogString} — project it away or cast it in a batch view")
+    }
+  }
+
+  override def initialOffset(): Offset =
+    VersionOffset(Option(options.get("startingVersion"))
+      .map(_.toLong - 1L).getOrElse(0L))
+
+  override def latestOffset(): Offset =
+    VersionOffset(SnapshotTable.versions(spark, dir).lastOption.getOrElse(0L))
+
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset(json.toLong)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[VersionOffset].v
+    val to = end.asInstanceOf[VersionOffset].v
+    if (to <= from) return Array.empty
+    // append-only admission: every commit in the range must be a pure
+    // file ADD (v1 counts — creation is the first append)
+    ((from + 1) to to).foreach { v =>
+      if (v > 1L) {
+        val cls = SnapshotTable.changesPath(spark, dir, v - 1L, v)
+        require(cls == "append",
+          s"graft-snapshot stream: version $v of $dir is '$cls', not an " +
+            "append — rewriting commits would re-emit rows; re-sync from a " +
+            "fresh checkpoint after maintenance")
+      }
+    }
+    val m = SnapshotTable.readManifest(spark, dir, to)
+    m.entries.filter(e => e.seq > from && e.seq <= to)
+      .map(e => SnapshotFilePartition(
+        SnapshotTable.resolvePath(dir, e.path)): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SnapshotStreamReaderFactory(schema)
+}
+
+private[dsv2] final case class SnapshotFilePartition(absPath: String)
+    extends InputPartition
+
+private[dsv2] class SnapshotStreamReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new SnapshotGroupReader(
+      p.asInstanceOf[SnapshotFilePartition].absPath, schema)
+}
+
+/** Executor-side parquet decode through the Group API — no Spark scan
+  * machinery needed inside a streaming partition. Flat supported
+  * types only (gated at plan time); absent/null fields read null. */
+private[dsv2] class SnapshotGroupReader(absPath: String, schema: StructType)
+    extends PartitionReader[InternalRow] {
+  private val reader: ParquetReader[Group] =
+    ParquetReader.builder(new GroupReadSupport(), new Path(absPath))
+      .withConf(new Configuration())
+      .build()
+  private var row: InternalRow = _
+
+  private def convert(g: Group): InternalRow = {
+    val schemaFields = g.getType
+    new GenericInternalRow(schema.fields.map { f =>
+      val idx = schemaFields.getFieldIndex(f.name)
+      if (g.getFieldRepetitionCount(idx) == 0) null
+      else f.dataType match {
+        case LongType => java.lang.Long.valueOf(g.getLong(idx, 0))
+        case IntegerType => java.lang.Integer.valueOf(g.getInteger(idx, 0))
+        case DoubleType => java.lang.Double.valueOf(g.getDouble(idx, 0))
+        case FloatType => java.lang.Float.valueOf(g.getFloat(idx, 0))
+        case BooleanType => java.lang.Boolean.valueOf(g.getBoolean(idx, 0))
+        case StringType => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+        case other => throw new IllegalStateException(
+          s"unreachable: plan-time gate admits no ${other.catalogString}")
+      }
+    }.asInstanceOf[Array[Any]])
+  }
+
+  override def next(): Boolean = {
+    val g = reader.read()
+    if (g == null) false
+    else { row = convert(g); true }
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = reader.close()
+}

@@ -278,7 +278,8 @@ object ScaleProbe {
     // pq_refit's index fixture is built OUTSIDE the timer; the refit
     // itself is corpus-linear BY DESIGN (it re-fits and re-encodes
     // the whole index — the honest baseline is a rebuild).
-    if (Seq("snapshot_commit_bytes", "snapshot_sql_read").exists(wanted))
+    if (Seq("snapshot_commit_bytes", "snapshot_sql_read",
+      "snapshot_stream_drain").exists(wanted))
       for (f <- Seq(1, factor)) {
         val dir = s"$scaledBase/f$f/snap_seg_tbl"
         val ev = replicate(
@@ -663,6 +664,22 @@ object ScaleProbe {
           Similarity.refitPqIndex(
             scaleEmb(Tables.embeddings(spark, sfDir), f),
             s"$scaledBase/f$f/pq_refit_idx")
+          spark.range(1).toDF()
+        }),
+        // the streaming source's full drain at volume: offsets plan
+        // from the manifest (zero data I/O), the decode is one Group-
+        // API pass per file partition — scan-LINEAR by design, wall
+        // bounded by the 8f-way parallel decode
+        "snapshot_stream_drain" -> (() => {
+          val ck = s"$scaledBase/f$f/stream_ck_" +
+            s"${System.nanoTime()}" // fresh per timed iteration
+          val q = spark.readStream.format("graft-snapshot")
+            .load(s"$scaledBase/f$f/snap_seg_tbl")
+            .writeStream.format("noop")
+            .option("checkpointLocation", ck)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
           spark.range(1).toDF()
         }))
     }

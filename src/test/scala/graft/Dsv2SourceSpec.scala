@@ -523,4 +523,56 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(!new java.io.File(s"$root/ns1/t2").exists())
     intercept[Exception] { spark.sql("SELECT * FROM gcat.ns1.t2").collect() }
   }
+
+  test("graft-snapshot STREAMING source: version offsets, exactly-once resume, append-only admission") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("snap_stream").toString
+    val tbl = s"$base/tbl"
+    SnapshotTable.commitAppend(
+      (0L until 10L).map(i => (i, s"g${i % 2}")).toDF("id", "v"), tbl)
+    SnapshotTable.commitAppend(
+      (10L until 20L).map(i => (i, s"g${i % 2}")).toDF("id", "v"), tbl)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-snapshot").load(tbl)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(s"$base/out").count() == 20L)
+    // resume after a THIRD append: only the delta lands, no re-reads
+    SnapshotTable.commitAppend(
+      (20L until 25L).map(i => (i, s"g${i % 2}")).toDF("id", "v"), tbl)
+    drain()
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() == 25L, "resume must read exactly the delta")
+    assert(out.select("id").as[Long].collect().sorted.toSeq == (0L until 25L),
+      "every row exactly once across the restart")
+    // a rewriting commit POISONS the stream: admission fails loudly
+    SnapshotTable.commitMerge(
+      Seq((3L, "rewritten")).toDF("id", "v"), tbl, Seq("id"))
+    SnapshotTable.commitAppend(
+      Seq((99L, "new")).toDF("id", "v"), tbl)
+    val boom = intercept[Exception] { drain() }
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs(boom).contains("not an append"), msgs(boom))
+    // unsupported column types are refused at PLAN time, not decoded wrong
+    val tbl2 = s"$base/tbl2"
+    SnapshotTable.commitAppend(
+      Seq((1L, Array(1.0f))).toDF("id", "emb"), tbl2)
+    val boom2 = intercept[Exception] {
+      val q = spark.readStream.format("graft-snapshot").load(tbl2)
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$base/ck2")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(msgs(boom2).contains("flat"), msgs(boom2))
+  }
 }
