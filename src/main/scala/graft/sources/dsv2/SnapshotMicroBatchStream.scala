@@ -80,14 +80,24 @@ private[dsv2] class SnapshotMicroBatchStream(
     val to = end.asInstanceOf[VersionOffset].v
     if (to <= from) return Array.empty
     // append-only admission: every commit in the range must be a pure
-    // file ADD (v1 counts — creation is the first append)
+    // file ADD (v1 counts — creation is the first append). ONE
+    // exception: the stream's declared STARTING version may be a FULL
+    // REPLACEMENT (overwrite/restore — every entry carries its seq),
+    // whose added files ARE its complete logical contents — the
+    // "start from this snapshot" semantics of the production sources.
+    // A partial rewrite (merge/compaction carries files) never
+    // qualifies: its added files alone are not the table.
+    val startingV = Option(options.get("startingVersion")).map(_.toLong)
     ((from + 1) to to).foreach { v =>
       if (v > 1L) {
         val cls = SnapshotTable.changesPath(spark, dir, v - 1L, v)
-        require(cls == "append",
+        val snapshotStart = startingV.contains(v) && v == from + 1L &&
+          SnapshotTable.readManifest(spark, dir, v).entries.forall(_.seq == v)
+        require(cls == "append" || snapshotStart,
           s"graft-snapshot stream: version $v of $dir is '$cls', not an " +
             "append — rewriting commits would re-emit rows; re-sync from a " +
-            "fresh checkpoint after maintenance")
+            "fresh checkpoint after maintenance (a FULL-replacement version " +
+            "can seed a stream via the startingVersion option)")
       }
     }
     val m = SnapshotTable.readManifest(spark, dir, to)

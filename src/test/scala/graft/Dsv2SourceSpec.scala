@@ -516,6 +516,26 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(spark.sql("SHOW TABLES IN gcat.ns2").collect().isEmpty)
     intercept[Exception] { spark.sql("DROP NAMESPACE gcat.ns1") }
     spark.sql("DROP NAMESPACE gcat.ns2")
+    // SQL TIMESTAMP AS OF resolves through versionAt (micros in, the
+    // head commit instant is >= every earlier one)
+    val headMs = SnapshotTable.readManifest(spark, s"$root/ns1/t",
+      SnapshotTable.versions(spark, s"$root/ns1/t").last).committedAtMs
+    assert(spark.sql(
+      s"SELECT count(*) FROM gcat.ns1.t TIMESTAMP AS OF ${headMs * 1000L}")
+      .head().getLong(0) == 1L)
+    // STREAMING read of a catalog table: readStream.table drains the
+    // same version-offset source; v3 was an INSERT OVERWRITE (a full
+    // replacement), so the stream seeds from it via startingVersion
+    val sout = java.nio.file.Files.createTempDirectory("snap_cat_stream").toString
+    val sq = spark.readStream.option("startingVersion", "3")
+      .table("gcat.ns1.t")
+      .writeStream.format("parquet")
+      .option("path", s"$sout/out").option("checkpointLocation", s"$sout/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    assert(spark.read.parquet(s"$sout/out").count() ==
+      spark.sql("SELECT count(*) FROM gcat.ns1.t").head().getLong(0),
+      "the streamed catalog table must drain to the batch census")
     // the rename TARGET resolves inside the table's own catalog
     spark.sql("ALTER TABLE gcat.ns1.t RENAME TO ns1.t2")
     assert(SnapshotTable.versions(spark, s"$root/ns1/t2").nonEmpty)
