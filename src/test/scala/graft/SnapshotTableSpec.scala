@@ -1608,6 +1608,39 @@ class SnapshotTableSpec extends SparkSpec {
       SnapshotTable.versions(spark, dir).last).head}").count() == 1L)
   }
 
+  test("segmented manifests: a COW merge rewrites ONLY segments that lose an entry") {
+    val dir = freshDir()
+    // four appends = four segments over range-disjoint id files
+    Seq(0L until 25L, 25L until 50L, 50L until 75L, 75L until 100L).foreach { r =>
+      SnapshotTable.commitAppend(
+        r.map(i => (i, s"v$i")).toDF("id", "pay").coalesce(1),
+        dir, statsCols = Seq("id"))
+    }
+    // the segments a VERSION references (old segment files stay on
+    // disk for time travel — liveness is the manifest's, not the
+    // directory's)
+    def segsOf(v: Long): Seq[String] =
+      SnapshotTable.readManifest(spark, dir, v).segments.map(_.name)
+    def bytes(n: String): Array[Byte] = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_manifests/$n"))
+    val before = segsOf(4L).map(n => n -> bytes(n)).toMap
+    assert(before.size == 4)
+    // the delta touches ONLY segment 2's key range
+    SnapshotTable.commitMerge(
+      Seq((30L, "updated")).toDF("id", "pay"), dir, Seq("id"))
+    val after = segsOf(5L)
+    val carried = before.keySet.intersect(after.toSet)
+    assert(carried.size == 3 && after.size == 4,
+      s"three untouched segments must carry by name + one rewrite: $carried")
+    carried.foreach(n => assert(
+      java.util.Arrays.equals(bytes(n), before(n)),
+      s"carried segment $n must be byte-identical"))
+    // merged contents exact
+    assert(SnapshotTable.read(spark, dir)
+      .filter(col("id") === 30L).select("pay").head().getString(0) == "updated")
+    assert(SnapshotTable.read(spark, dir).count() == 100L)
+  }
+
   test("WriterLedger: contiguous ids fold into the watermark; out-of-order ids stay exact") {
     import graft.sources.SnapshotTable.WriterLedger
     var w = WriterLedger()
