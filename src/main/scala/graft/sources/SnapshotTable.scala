@@ -463,8 +463,14 @@ object SnapshotTable {
         .foreach(id => ledger = ledger.add("", id))
     }
     Option(root.get("streamKeys")).foreach { a =>
-      (0 until a.size).map(a.get(_).asText).sorted
-        .foreach(k => ledger = ledger.addKey(k))
+      // sort by (appId, NUMERIC id), not lexicographically — 'app:10'
+      // sorts before 'app:2' as a string, and an out-of-numeric-order
+      // fold burns recent-set slots (or trips the MaxRecentIds fold on
+      // >1024 keys per app) and can advance hwm past a never-committed
+      // gap id, silently no-opping that genuinely new batch (ADVICE r12)
+      (0 until a.size).map(a.get(_).asText)
+        .map(Ledger.splitKey).sorted
+        .foreach { case (app, id) => ledger = ledger.add(app, id) }
     }
     val statsCols = Option(root.get("statsCols")).map { a =>
       (0 until a.size).map(a.get(_).asText)
@@ -2542,7 +2548,11 @@ object SnapshotTable {
     require(appId.nonEmpty && !appId.contains(":"),
       s"appId must be non-empty without ':' — got '$appId'")
     val key = s"$appId:$batchId"
-    if (committedStreamKeys(keys.sparkSession, dir).contains(key)) None
+    // O(1) watermark probe, NOT committedStreamKeys — materializing the
+    // id set is O(commits) per micro-batch and refuses outright once a
+    // writer's watermark passes the boundedIds guard, i.e. on exactly
+    // the long-lived retraction streams this path serves (ADVICE r12)
+    if (isBatchCommitted(keys.sparkSession, dir, batchId, appId)) None
     else commitDeleteMoRInternal(keys, dir, keyCols, Some(key))
   }
 

@@ -109,10 +109,14 @@ class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces {
       org.apache.spark.sql.types.StructField(
         c.name(), c.dataType(), c.nullable())))
     // the declared schema lives beside the manifests: an empty table
-    // has no data file to derive one from
+    // has no data file to derive one from. `exists` already said no
+    // committed version — so a _schema.json found here is the debris
+    // of a CREATE that crashed between schema write and v1 commit;
+    // overwrite it rather than wedging the identifier forever behind
+    // FileAlreadyExistsException (ADVICE r12)
     val p = new Path(s"$dir/_manifests/_schema.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, false)
+    val out = fs.create(p, true)
     try out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     // CTAS appends right after; a plain CREATE leaves the empty v1

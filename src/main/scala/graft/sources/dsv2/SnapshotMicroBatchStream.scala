@@ -13,6 +13,7 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 import graft.sources.SnapshotTable
 
@@ -101,39 +102,51 @@ private[dsv2] class SnapshotMicroBatchStream(
       }
     }
     val m = SnapshotTable.readManifest(spark, dir, to)
+    // the SESSION's Hadoop conf rides the partition to the executor —
+    // a bare `new Configuration()` there would drop custom FS
+    // settings/credentials the session carries (ADVICE r12)
+    val conf = new SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
     m.entries.filter(e => e.seq > from && e.seq <= to)
       .map(e => SnapshotFilePartition(
-        SnapshotTable.resolvePath(dir, e.path)): InputPartition).toArray
+        SnapshotTable.resolvePath(dir, e.path), conf): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SnapshotStreamReaderFactory(schema)
 }
 
-private[dsv2] final case class SnapshotFilePartition(absPath: String)
+private[dsv2] final case class SnapshotFilePartition(
+    absPath: String, conf: SerializableConfiguration)
     extends InputPartition
 
 private[dsv2] class SnapshotStreamReaderFactory(schema: StructType)
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new SnapshotGroupReader(
-      p.asInstanceOf[SnapshotFilePartition].absPath, schema)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val fp = p.asInstanceOf[SnapshotFilePartition]
+    new SnapshotGroupReader(fp.absPath, schema, fp.conf.value)
+  }
 }
 
 /** Executor-side parquet decode through the Group API — no Spark scan
   * machinery needed inside a streaming partition. Flat supported
-  * types only (gated at plan time); absent/null fields read null. */
-private[dsv2] class SnapshotGroupReader(absPath: String, schema: StructType)
+  * types only (gated at plan time); absent/null fields read null —
+  * including columns the FILE does not carry at all (a file written
+  * before a later append widened the table schema; ADVICE r12). */
+private[dsv2] class SnapshotGroupReader(
+    absPath: String, schema: StructType, hadoopConf: Configuration)
     extends PartitionReader[InternalRow] {
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(new GroupReadSupport(), new Path(absPath))
-      .withConf(new Configuration())
+      .withConf(hadoopConf)
       .build()
   private var row: InternalRow = _
 
   private def convert(g: Group): InternalRow = {
     val schemaFields = g.getType
     new GenericInternalRow(schema.fields.map { f =>
+      if (!schemaFields.containsField(f.name)) null
+      else {
       val idx = schemaFields.getFieldIndex(f.name)
       if (g.getFieldRepetitionCount(idx) == 0) null
       else f.dataType match {
@@ -145,6 +158,7 @@ private[dsv2] class SnapshotGroupReader(absPath: String, schema: StructType)
         case StringType => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
         case other => throw new IllegalStateException(
           s"unreachable: plan-time gate admits no ${other.catalogString}")
+      }
       }
     }.asInstanceOf[Array[Any]])
   }

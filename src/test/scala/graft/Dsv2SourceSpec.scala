@@ -595,4 +595,52 @@ class Dsv2SourceSpec extends SparkSpec {
     }
     assert(msgs(boom2).contains("flat"), msgs(boom2))
   }
+
+  test("streaming reader honors schema evolution: a pre-widening file reads null, session conf reaches executors (ADVICE r12)") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("snap_widen").toString
+    val tbl = s"$base/tbl"
+    // file 1 carries (id, v); the second append widens with `extra` —
+    // the old Group reader threw on getFieldIndex("extra") for file 1
+    SnapshotTable.commitAppend(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), tbl)
+    SnapshotTable.commitAppend(
+      Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "v", "extra"), tbl)
+    val q = spark.readStream.format("graft-snapshot").load(tbl)
+      .writeStream.format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() == 4L)
+    assert(out.filter(col("extra").isNull).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L),
+      "pre-widening rows must read null for the added column")
+    assert(out.filter(col("id") === 3L).select("extra").as[Long].head() == 30L)
+  }
+
+  test("CREATE TABLE recovers from a crashed predecessor's orphan _schema.json (ADVICE r12)") {
+    import graft.sources.SnapshotTable
+    val root = java.nio.file.Files.createTempDirectory("snap_crash").toString
+    spark.conf.set("spark.sql.catalog.gcrash",
+      classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcrash.root", root)
+    // simulate a CREATE that crashed between the schema write and the
+    // empty v1 commit: _schema.json exists, no committed version
+    new java.io.File(s"$root/ns/t/_manifests").mkdirs()
+    val stale = new java.io.FileOutputStream(s"$root/ns/t/_manifests/_schema.json")
+    try stale.write("{\"stale\":true}".getBytes("UTF-8")) finally stale.close()
+    assert(!spark.catalog.tableExists("gcrash.ns.t"))
+    // the identifier must not be wedged: CREATE overwrites the debris
+    spark.sql("CREATE TABLE gcrash.ns.t (id BIGINT, v STRING)")
+    assert(SnapshotTable.versions(spark, s"$root/ns/t") == Seq(1L))
+    spark.sql("INSERT INTO gcrash.ns.t VALUES (1, 'a')")
+    assert(spark.sql("SELECT v FROM gcrash.ns.t").head().getString(0) == "a")
+    // and a table that EXISTS still refuses a second CREATE
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gcrash.ns.t (id BIGINT)")
+    }
+  }
 }

@@ -1684,4 +1684,53 @@ class SnapshotTableSpec extends SparkSpec {
     }
     assert(boom.getMessage.contains("materialize"), boom.getMessage)
   }
+
+  test("streaming MoR delete replay-checks O(1): works past the materialization guard (ADVICE r12)") {
+    val dir = freshDir()
+    SnapshotTable.commitAppend((1L to 10L).toDF("id"), dir)
+    // a long-lived retraction stream's head: watermark beyond the
+    // committedStreamKeys guard — the old pre-check REFUSED here
+    val head = SnapshotTable.readManifest(spark, dir, 1L)
+    assert(SnapshotTable.tryPublish(spark, dir, head.copy(version = 2L,
+      ledger = SnapshotTable.Ledger(Map("retract" ->
+        SnapshotTable.WriterLedger(hwm = 5000000L))))))
+    // a replayed batch id no-ops (point probe, no id-set allocation)
+    assert(SnapshotTable.commitStreamDeleteMoR(
+      Seq(3L).toDF("id"), dir, Seq("id"), batchId = 4999999L,
+      appId = "retract").isEmpty)
+    assert(SnapshotTable.read(spark, dir).count() == 10L,
+      "a replayed retraction must not delete anything")
+    // a genuinely new batch id commits the retraction
+    assert(SnapshotTable.commitStreamDeleteMoR(
+      Seq(3L).toDF("id"), dir, Seq("id"), batchId = 5000001L,
+      appId = "retract").nonEmpty)
+    assert(SnapshotTable.read(spark, dir).count() == 9L)
+  }
+
+  test("legacy streamKeys fold numerically, not lexicographically: a gap id never reads committed (ADVICE r12)") {
+    val dir = freshDir()
+    SnapshotTable.commitAppend(Seq(1L).toDF("id"), dir)
+    // hand-write a LEGACY-form v2 manifest: >MaxRecentIds stream keys,
+    // contiguous except a planted gap at 1200. Lexicographic folding
+    // ('app:10' < 'app:2') burned recent-set slots out of order,
+    // tripped the MaxRecentIds fold mid-replay, and could advance hwm
+    // PAST the gap — the never-committed id then silently no-ops.
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val v1Path = new java.io.File(s"$dir/_manifests/v1.json")
+    val root = mapper.readTree(v1Path)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.put("version", 2L)
+    root.remove("ledger")
+    val keys = root.putArray("streamKeys")
+    (0L to 1499L).filter(_ != 1200L)
+      .map(i => s"app:$i").sorted // lexicographic on disk, like legacy writers
+      .foreach(keys.add)
+    val out = new java.io.FileOutputStream(s"$dir/_manifests/v2.json")
+    try out.write(mapper.writeValueAsBytes(root)) finally out.close()
+    assert(SnapshotTable.isBatchCommitted(spark, dir, 1199L, "app"))
+    assert(SnapshotTable.isBatchCommitted(spark, dir, 1499L, "app"))
+    assert(!SnapshotTable.isBatchCommitted(spark, dir, 1200L, "app"),
+      "the planted gap id must NOT read committed — a new batch with " +
+        "this id would silently no-op as a replay")
+  }
 }
