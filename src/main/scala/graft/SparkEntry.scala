@@ -393,6 +393,74 @@ object SparkEntry {
       ns
     })
 
+  /** snapshot_sql_dml's one-time DML lifecycle. Three range-disjoint
+    * slab files on event_id, then the four SQL DML shapes in order,
+    * each with its group-granularity claim REQUIRED in place:
+    *  1. DELETE on the stats-free `tag` column — only the RUNTIME
+    *     group filter (the `_file` metadata column subquery) can bound
+    *     the rewrite, and it must carry 2 of the 3 slabs;
+    *  2. UPDATE bounded by the id stats — static manifest pruning
+    *     alone keeps all but one file;
+    *  3. DELETE of a whole slab range — all-or-none provable per file
+    *     from stats, so the commit is METADATA-ONLY (census shrinks,
+    *     zero new data files);
+    *  4. MERGE — one matched in-place update plus two inserts, one
+    *     rewritten group.
+    * The oracle replays the same four statements as CTE algebra over
+    * the base rows, blind to files, versions, and the catalog. */
+  private val sqlDmlMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sqlDmlSetup(s: SparkSession, dir: String): String =
+    sqlDmlMemo.computeIfAbsent(dir, _ => {
+      import graft.sources.SnapshotTable
+      val root = sqlCatRootMemo.computeIfAbsent("root",
+        _ => tempDir("graft_sql_cat"))
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cat.root", root)
+      val ns = "dml" + Integer.toHexString(dir.hashCode)
+      new java.io.File(s"$root/$ns").mkdirs()
+      val tbl = s"$root/$ns/ev"
+      val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"),
+        concat(lit("t"), col("event_id").cast("string")).as("tag"))
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      val t1 = (maxId + 1L) / 3L
+      val thr = 2L * (maxId + 1L) / 3L
+      def slab(f: org.apache.spark.sql.Column) = ev.filter(f).repartition(1)
+      SnapshotTable.commitAppend(slab(col("event_id") < t1), tbl,
+        statsCols = Seq("event_id"))
+      SnapshotTable.commitAppend(
+        slab(col("event_id") >= t1 && col("event_id") < thr), tbl)
+      SnapshotTable.commitAppend(slab(col("event_id") >= thr), tbl)
+      val orig = SnapshotTable.files(s, tbl, 3L).toSet
+      require(orig.size == 3, s"expected 3 slab files, got $orig")
+      s.sql(s"DELETE FROM graft_cat.$ns.ev WHERE tag = 't150'")
+      val v4 = SnapshotTable.files(s, tbl, 4L).toSet
+      require(orig.intersect(v4).size == 2,
+        s"runtime group filtering must carry 2 of 3 slabs: $orig -> $v4")
+      s.sql(s"UPDATE graft_cat.$ns.ev SET event_type = 'patched' " +
+        "WHERE event_id <= 40")
+      val v5 = SnapshotTable.files(s, tbl, 5L).toSet
+      require(v4.intersect(v5).size == v4.size - 1,
+        s"stat pruning must rewrite exactly one group: $v4 -> $v5")
+      s.sql(s"DELETE FROM graft_cat.$ns.ev WHERE event_id >= $thr")
+      val v6 = SnapshotTable.files(s, tbl, 6L).toSet
+      require(v6.subsetOf(v5) && v5.diff(v6).size == 1,
+        s"a whole-slab DELETE must be metadata-only: $v5 -> $v6")
+      import s.implicits._
+      Seq((77L, "merged", "t77x"), (1000000000001L, "inserted", "tins1"),
+        (1000000000002L, "inserted", "tins2")).toDF("event_id", "event_type", "tag")
+        .createOrReplaceTempView(s"dml_src_$ns")
+      s.sql(s"MERGE INTO graft_cat.$ns.ev t USING dml_src_$ns s " +
+        "ON t.event_id = s.event_id " +
+        "WHEN MATCHED THEN UPDATE SET event_type = s.event_type " +
+        "WHEN NOT MATCHED THEN INSERT (event_id, event_type, tag) " +
+        "VALUES (s.event_id, s.event_type, s.tag)")
+      require(SnapshotTable.versions(s, tbl) == (1L to 7L),
+        "each DML statement must land as ONE version")
+      ns
+    })
+
   private val pqIndexMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def pqIndex(s: SparkSession, dir: String): String =
@@ -3264,6 +3332,20 @@ object SparkEntry {
       val ns = sqlCatalogSetup(s, dir)
       s.sql(s"SELECT event_type, count(*) AS n_events FROM graft_cat.$ns.ev " +
         "GROUP BY event_type ORDER BY event_type")
+    }),
+    // SQL DML — DELETE / UPDATE / MERGE INTO against a catalog
+    // snapshot table (SupportsRowLevelOperations, group-based
+    // copy-on-write): the setup memo runs the four statements with
+    // in-place requires pinning group granularity (runtime `_file`
+    // filtering carries 2/3 slabs on a stats-free predicate, stat
+    // pruning carries all-but-one on a ranged one, a whole-slab
+    // DELETE commits METADATA-ONLY, MERGE updates in place + inserts),
+    // and the row reads the final state; the oracle replays the same
+    // statements as CTE algebra over the base rows.
+    "snapshot_sql_dml" -> ((s, dir) => {
+      val ns = sqlDmlSetup(s, dir)
+      s.sql(s"SELECT event_type, count(*) AS n_events, sum(event_id) AS sum_id " +
+        s"FROM graft_cat.$ns.ev GROUP BY event_type ORDER BY event_type")
     }),
     // OPTIMIZE ZORDER inside the versioned format: after the z-sorted
     // rewrite, the quadrant filter (both dimensions bounded) must
@@ -6757,6 +6839,33 @@ object SparkEntry {
     "snapshot_sql_catalog" ->
       """SELECT event_type, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the four SQL DML statements replayed as CTE algebra over the
+    // base rows — blind to files, groups, versions, and the catalog:
+    // DELETE tag='t150', UPDATE id<=40, DELETE id>=2(max+1)/3 (the
+    // slab the engine answered metadata-only), MERGE (update 77 +
+    // two inserts)
+    "snapshot_sql_dml" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |         't' || CAST(event_id AS VARCHAR) AS tag
+        |  FROM events
+        |), d1 AS (SELECT * FROM base WHERE tag <> 't150'),
+        |u1 AS (SELECT event_id,
+        |         CASE WHEN event_id <= 40 THEN 'patched' ELSE event_type END
+        |           AS event_type, tag
+        |       FROM d1),
+        |d2 AS (SELECT * FROM u1
+        |       WHERE event_id < 2*((SELECT max(event_id)+1 FROM events))//3),
+        |m1 AS (SELECT event_id,
+        |         CASE WHEN event_id = 77 THEN 'merged' ELSE event_type END
+        |           AS event_type, tag
+        |       FROM d2
+        |       UNION ALL
+        |       SELECT * FROM (VALUES (1000000000001, 'inserted', 'tins1'),
+        |                             (1000000000002, 'inserted', 'tins2'))
+        |         AS v(event_id, event_type, tag))
+        |SELECT event_type, count(*) AS n_events, sum(event_id) AS sum_id
+        |FROM m1 GROUP BY 1 ORDER BY 1""".stripMargin,
     // SQL writes land the same rows the method-call commits land
     "snapshot_sql_write" ->
       """SELECT event_type, count(*) AS n_events

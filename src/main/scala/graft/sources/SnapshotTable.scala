@@ -232,7 +232,7 @@ object SnapshotTable {
     * a re-added generation; the entry's values for that name are
     * erased, so its stats must never serve today's queries). Walks
     * the schema ops newer than the entry, newest first. */
-  private def writeTimeName(
+  private[graft] def writeTimeName(
       m: Manifest, current: String, entrySeq: Long): Option[String] =
     schemaOps(m).filter(opSeq(_) > entrySeq).reverse
       .foldLeft(Option(current)) {
@@ -1486,7 +1486,7 @@ object SnapshotTable {
 
   /** Drop a lost-race orphan batch: the data dir AND its `_blooms`
     * sidecar mirror (no manifest names either). */
-  private def dropOrphanBatch(
+  private[graft] def dropOrphanBatch(
       spark: SparkSession, dir: String, batchFiles: Seq[String]): Unit =
     batchFiles.headOption.foreach { p =>
       val batch = p.split('/').head
@@ -2511,6 +2511,179 @@ object SnapshotTable {
       }
     }
     -1L // unreachable
+  }
+
+  // -----------------------------------------------------------------
+  // SQL DML face (DSv2 row-level operations) — the manifest half.
+  // The scan/write glue lives in sources.dsv2.SnapshotRowLevel; these
+  // are the commit primitives it drives.
+  // -----------------------------------------------------------------
+
+  /** A translated SQL DML predicate — the conjunct shapes the manifest
+    * can classify per FILE from stats alone. Range bounds carry an
+    * inclusive flag. The dsv2 layer translates V1 `Filter`s into this;
+    * anything untranslatable simply never reaches the metadata path. */
+  private[graft] sealed trait DmlPred
+  private[graft] final case class PredEq(colName: String, v: Any) extends DmlPred
+  private[graft] final case class PredIn(colName: String, vs: Seq[Any]) extends DmlPred
+  private[graft] final case class PredRange(
+      colName: String,
+      lower: Option[(Any, Boolean)], upper: Option[(Any, Boolean)]) extends DmlPred
+  private[graft] final case class PredAnd(l: DmlPred, r: DmlPred) extends DmlPred
+  private[graft] final case class PredOr(l: DmlPred, r: DmlPred) extends DmlPred
+  private[graft] case object PredTrue extends DmlPred
+
+  private def normDml(v: Any): Any = v match {
+    case ld: java.time.LocalDate => ld.toString // ISO, the stored stat form
+    case other => toStatVal(other)
+  }
+
+  /** Classify one entry against `p`: Some(true) = provably EVERY
+    * physical row matches, Some(false) = provably NO row matches,
+    * None = can't prove either (partial, missing stats, incomparable
+    * types). Full-match additionally needs ZERO nulls in the filtered
+    * column — null satisfies no Eq/In/Range predicate, so a null row
+    * must survive a DELETE. */
+  private def classifyEntry(m: Manifest, e: Entry, p: DmlPred): Option[Boolean] = p match {
+    case PredTrue => Some(true)
+    case PredAnd(l, r) =>
+      (classifyEntry(m, e, l), classifyEntry(m, e, r)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
+    case PredOr(l, r) =>
+      (classifyEntry(m, e, l), classifyEntry(m, e, r)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+    case PredEq(c, v0) =>
+      entryStat(m, e, c).flatMap { s =>
+        val v = normDml(v0)
+        val mn = toStatVal(s.min); val mx = toStatVal(s.max)
+        (cmpStat(v, mn), cmpStat(v, mx)) match {
+          case (Some(a), Some(b)) =>
+            if (a < 0 || b > 0) Some(false)
+            else if (a == 0 && b == 0 && s.nulls == 0L) Some(true)
+            else None
+          case _ => None
+        }
+      }
+    case PredIn(c, vs0) =>
+      entryStat(m, e, c).flatMap { s =>
+        val mn = toStatVal(s.min); val mx = toStatVal(s.max)
+        val cmp = vs0.map(normDml).map(v => (cmpStat(v, mn), cmpStat(v, mx)))
+        if (cmp.exists(t => t._1.isEmpty || t._2.isEmpty)) None
+        else if (cmp.forall { case (Some(a), Some(b)) => a < 0 || b > 0; case _ => false })
+          Some(false)
+        else if (cmpStat(mn, mx).contains(0) && s.nulls == 0L &&
+          cmp.exists { case (Some(0), Some(0)) => true; case _ => false })
+          Some(true)
+        else None
+      }
+    case PredRange(c, lo, hi) =>
+      entryStat(m, e, c).flatMap { s =>
+        val mn = toStatVal(s.min); val mx = toStatVal(s.max)
+        // each bound yields (allRowsSatisfyIt, noRowSatisfiesIt)
+        def eval(bound: Option[(Any, Boolean)], isLower: Boolean)
+            : Option[(Boolean, Boolean)] = bound match {
+          case None => Some((true, false))
+          case Some((b0, incl)) =>
+            val b = normDml(b0)
+            for (cMin <- cmpStat(mn, b); cMax <- cmpStat(mx, b)) yield
+              if (isLower)
+                (if (incl) cMin >= 0 else cMin > 0, // min passes ⇒ all pass
+                  if (incl) cMax < 0 else cMax <= 0) // max fails ⇒ none pass
+              else
+                (if (incl) cMax <= 0 else cMax < 0,
+                  if (incl) cMin > 0 else cMin >= 0)
+        }
+        (for (l <- eval(lo, isLower = true); u <- eval(hi, isLower = false)) yield {
+          if (l._2 || u._2) Some(false)
+          else if (l._1 && u._1 && s.nulls == 0L) Some(true)
+          else None
+        }).flatten
+      }
+  }
+
+  /** Can `DELETE WHERE p` be answered from the manifest ALONE — every
+    * live file provably all-matching or none-matching? The DSv2
+    * `canDeleteWhere` probe; zero data I/O either way. */
+  private[graft] def canDeleteFilesWhere(
+      spark: SparkSession, dir: String, p: DmlPred): Boolean =
+    versions(spark, dir).lastOption.exists { v =>
+      val m = readManifest(spark, dir, v)
+      m.entries.forall(e => classifyEntry(m, e, p).isDefined)
+    }
+
+  /** METADATA-ONLY DELETE: drop every provably-all-matching file from
+    * the manifest and carry the rest — zero data I/O at ANY table
+    * size (the 100 TB `DELETE WHERE ds < retention` shape; the real
+    * formats' partition-drop, at file granularity through stats).
+    * Requires the all-or-none property `canDeleteFilesWhere` proved;
+    * fails loudly if a racing commit broke it mid-flight (the SQL
+    * command then re-runs). Pending MoR deletes coexist safely: a
+    * dropped file's rows were all doomed by the predicate anyway. */
+  private[graft] def deleteFilesWhere(
+      spark: SparkSession, dir: String, p: DmlPred): Long = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 20, s"metadata delete on $dir lost 20 straight races; giving up")
+      val headV = versions(spark, dir).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"snapshot table $dir has no committed version"))
+      val m = readManifest(spark, dir, headV)
+      val classified = m.entries.map(e => e -> classifyEntry(m, e, p))
+      require(classified.forall(_._2.isDefined),
+        s"DELETE on $dir is no longer metadata-answerable (a concurrent commit " +
+          "changed the file census mid-delete); re-run the DELETE")
+      val keep = classified.collect { case (e, Some(false)) => e }
+      if (tryPublish(spark, dir,
+        Manifest(headV + 1, m.ledger, m.statsCols, keep,
+          bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
+          deletes = m.deletes, renames = m.renames, drops = m.drops),
+        carry = m.segments))
+        return headV + 1
+    }
+    -1L // unreachable
+  }
+
+  /** The SQL row-level copy-on-write commit (DSv2 ReplaceData):
+    * atomically swap `replaced` (the file GROUPS the row-level scan
+    * planned) for `newFiles` (what the executors wrote), carrying
+    * every other entry by reference — commitMerge's file-granular
+    * discipline, driven by the engine's own group bookkeeping instead
+    * of a key join. Conflict rule = strict whole-command optimistic
+    * concurrency: the head must still be `basedOn` (the version the
+    * scan read); anything else aborts loudly and the command re-runs
+    * against the new head. */
+  private[graft] def commitReplaceFiles(
+      spark: SparkSession, dir: String, basedOn: Long,
+      replaced: Set[String], newFiles: Seq[String]): Long = {
+    val headV = versions(spark, dir).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"snapshot table $dir has no committed version"))
+    require(headV == basedOn,
+      s"concurrent commit on $dir during SQL DML (scanned v$basedOn, head is " +
+        s"v$headV): aborting — re-run the command against the new head")
+    val m = readManifest(spark, dir, headV)
+    require(m.deletes.isEmpty,
+      s"SQL DML on $dir with merge-on-read deletes pending — fold them first " +
+        "(SnapshotTable.applyDeletes or maintainTable)")
+    val missing = replaced.filterNot(r => m.entries.exists(_.path == r))
+    require(missing.isEmpty,
+      s"SQL DML on $dir would replace files no longer live: ${missing.mkString(", ")}")
+    val untouched = m.entries.filterNot(e => replaced.contains(e.path))
+    val newEntries = batchEntries(spark, dir, newFiles, m.statsCols,
+      m.bloomCols, m.bloomFpp)
+    require(tryPublish(spark, dir,
+      Manifest(headV + 1, m.ledger, m.statsCols,
+        untouched ++ newEntries.map(_.copy(seq = headV + 1)),
+        bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
+        deletes = m.deletes, renames = m.renames, drops = m.drops),
+      carry = m.segments),
+      s"concurrent commit on $dir during SQL DML publish: aborting — re-run")
+    headV + 1
   }
 
   /** DELETE by key, MERGE-ON-READ: commit only a delta-sized key file

@@ -7,11 +7,11 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Column, Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Column, Identifier, MetadataColumn, NamespaceChange, SupportsDelete, SupportsMetadataColumns, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{Filter, InsertableRelation}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -126,11 +126,31 @@ class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces {
     new SnapshotCatalogTable(dir, ident.toString, None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE: use the format's own evolution commits " +
-        "(SnapshotTable.commitRenameColumn/commitDropColumn) — they are " +
-        "seq-scoped versioned operations, not catalog metadata edits")
+  /** `ALTER TABLE … RENAME COLUMN` / `DROP COLUMN` ride the format's
+    * own seq-scoped evolution commits — a rename/drop is a VERSION
+    * (time travel shows the old schema; data files are untouched, old
+    * files keep reading through the rename map), never a catalog
+    * metadata edit. Everything else (type changes, nullability,
+    * reorders) is refused loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    val dir = dirOf(ident)
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1,
+          s"nested column rename unsupported: ${r.fieldNames().mkString(".")}")
+        SnapshotTable.commitRenameColumn(
+          spark, dir, r.fieldNames()(0), r.newName()): Unit
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1,
+          s"nested column drop unsupported: ${d.fieldNames().mkString(".")}")
+        SnapshotTable.commitDropColumn(spark, dir, d.fieldNames()(0)): Unit
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE $ident: unsupported change $other — the snapshot " +
+          "format evolves via RENAME COLUMN / DROP COLUMN commits only")
+    }
+    new SnapshotCatalogTable(dir, ident.toString, None)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     if (!exists(ident)) false
@@ -220,9 +240,49 @@ class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces {
   * `INSERT OVERWRITE`. */
 private[dsv2] class SnapshotCatalogTable(
     dir: String, ident: String, version: Option[Long])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsRowLevelOperations with SupportsMetadataColumns
+    with SupportsDelete {
 
   private def spark: SparkSession = SparkSession.active
+
+  /** `_file`: the data file a row lives in — the GROUP identity the
+    * row-level DML machinery filters on (and a user can SELECT for
+    * lineage debugging, same as the production formats expose). */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(new MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "data file holding this row"
+    })
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(version.isEmpty,
+      s"DML on a time-travel read of $ident — DELETE/UPDATE/MERGE apply " +
+        "to the head only")
+    new SnapshotRowLevelOperationBuilder(dir, info, () => schema())
+  }
+
+  /** Metadata-only DELETE (`OptimizeMetadataOnlyDeleteFromTable`):
+    * claimed ONLY when every live file is provably all-matching or
+    * none-matching from manifest stats — the whole DELETE is then one
+    * manifest publish, zero data I/O at any table size. Anything less
+    * provable falls to the row-level rewrite path. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    version.isEmpty &&
+      DmlFilterTranslation.translateAll(filters).exists(p =>
+        SnapshotTable.canDeleteFilesWhere(spark, dir, p))
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val p = DmlFilterTranslation.translateAll(filters).getOrElse(
+      throw new IllegalArgumentException(
+        s"deleteWhere on $ident with untranslatable filters " +
+          s"${filters.mkString(", ")} — canDeleteWhere said no"))
+    SnapshotTable.deleteFilesWhere(spark, dir, p): Unit
+  }
 
   override def name(): String = ident
 

@@ -152,6 +152,65 @@ private[dsv2] class SnapshotV2Table(
     new SnapshotScanBuilder(tableSchema, options)
 }
 
+/** The manifest prune lattice over V1 filters, shared by the batch
+  * read scan and the row-level DML scan: AND intersects (either side
+  * alone bounds), OR unions when BOTH branches decompose, LIKE-prefix
+  * prunes as [prefix, successor] — `readWhere`'s lattice behind the
+  * source API. Always a SUPERSET decision (a dropped file provably
+  * holds no matching row), so callers re-apply the row predicate. */
+private[dsv2] object SnapshotPrune {
+  def prunable(f: Filter): Boolean = f match {
+    case And(l, r) => prunable(l) || prunable(r)
+    case Or(l, r) => prunable(l) && prunable(r)
+    case EqualTo(_, value) => value != null
+    case In(_, vs) => vs.nonEmpty && !vs.contains(null)
+    case GreaterThan(_, _) | GreaterThanOrEqual(_, _) |
+         LessThan(_, _) | LessThanOrEqual(_, _) => true
+    case StringStartsWith(_, p) => p.nonEmpty
+    case _ => false
+  }
+
+  /** The dir-relative file subset version `v` MAY need for
+    * `pruneWith`, or None when nothing prunes. */
+  def kept(
+      spark: SparkSession, dir: String, v: Option[Long],
+      pruneWith: Array[Filter]): Option[Set[String]] = {
+    def tryKeys(c: String, values: Seq[Any]): Option[Set[String]] =
+      scala.util.Try(SnapshotTable
+        .pruneFilesByKeys(spark, dir, c, values, v)._1.toSet).toOption
+    def tryRange(f: SnapshotTable.StatFilter): Option[Set[String]] =
+      scala.util.Try(SnapshotTable
+        .pruneFiles(spark, dir, Seq(f), v)._1.toSet).toOption
+    def pruneFor(f: Filter): Option[Set[String]] = f match {
+      case And(l, r) => (pruneFor(l), pruneFor(r)) match {
+        case (Some(a), Some(b)) => Some(a.intersect(b))
+        case (a, b) => a.orElse(b)
+      }
+      case Or(l, r) =>
+        for (a <- pruneFor(l); b <- pruneFor(r)) yield a.union(b)
+      case EqualTo(a, value) if value != null => tryKeys(a, Seq(value))
+      case In(a, vs) if vs.nonEmpty && !vs.contains(null) =>
+        tryKeys(a, vs.toSeq)
+      case GreaterThan(a, value) =>
+        tryRange(SnapshotTable.StatFilter(a, lower = Some(value)))
+      case GreaterThanOrEqual(a, value) =>
+        tryRange(SnapshotTable.StatFilter(a, lower = Some(value)))
+      case LessThan(a, value) =>
+        tryRange(SnapshotTable.StatFilter(a, upper = Some(value)))
+      case LessThanOrEqual(a, value) =>
+        tryRange(SnapshotTable.StatFilter(a, upper = Some(value)))
+      case StringStartsWith(a, p) if p.nonEmpty =>
+        tryRange(SnapshotTable.StatFilter(a, lower = Some(p),
+          upper = SnapshotTable.prefixRange(p)))
+      case _ => None
+    }
+    var kept: Option[Set[String]] = None
+    pruneWith.foreach(f => pruneFor(f).foreach(k =>
+      kept = Some(kept.fold(k)(_.intersect(k)))))
+    kept
+  }
+}
+
 private[dsv2] class SnapshotScanBuilder(
     tableSchema: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder
@@ -165,23 +224,9 @@ private[dsv2] class SnapshotScanBuilder(
     * explain as PushedFilters) but returns EVERY filter as residual:
     * file-level pruning is a superset decision — min/max ranges and
     * blooms admit false positives by construction — so the row-level
-    * predicate must always re-apply. Exactly `readWhere`'s contract,
-    * spelled through the source API; DISJUNCTIONS and LIKE-prefix
-    * conjuncts prune too (readWhere's OR-union / prefix-range
-    * lattice). */
-  private def prunable(f: Filter): Boolean = f match {
-    case And(l, r) => prunable(l) || prunable(r)
-    case Or(l, r) => prunable(l) && prunable(r)
-    case EqualTo(_, value) => value != null
-    case In(_, vs) => vs.nonEmpty && !vs.contains(null)
-    case GreaterThan(_, _) | GreaterThanOrEqual(_, _) |
-         LessThan(_, _) | LessThanOrEqual(_, _) => true
-    case StringStartsWith(_, p) => p.nonEmpty
-    case _ => false
-  }
-
+    * predicate must always re-apply (SnapshotPrune's contract). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pruneWith = filters.filter(prunable)
+    pruneWith = filters.filter(SnapshotPrune.prunable)
     filters
   }
   override def pushedFilters(): Array[Filter] = pruneWith
@@ -241,41 +286,7 @@ private[dsv2] class SnapshotV1Scan(
         val v = GraftSnapshotSource.versionOf(spark, options, dir)
           .orElse(SnapshotTable.versions(spark, dir).lastOption)
         require(v.nonEmpty, s"snapshot table $dir has no committed version")
-        def tryKeys(c: String, values: Seq[Any]): Option[Set[String]] =
-          scala.util.Try(SnapshotTable
-            .pruneFilesByKeys(spark, dir, c, values, v)._1.toSet).toOption
-        def tryRange(f: SnapshotTable.StatFilter): Option[Set[String]] =
-          scala.util.Try(SnapshotTable
-            .pruneFiles(spark, dir, Seq(f), v)._1.toSet).toOption
-        // readWhere's prune lattice over V1 filters: AND intersects
-        // (either side alone bounds), OR unions when BOTH branches
-        // decompose, LIKE-prefix prunes as [prefix, successor]
-        def pruneFor(f: Filter): Option[Set[String]] = f match {
-          case And(l, r) => (pruneFor(l), pruneFor(r)) match {
-            case (Some(a), Some(b)) => Some(a.intersect(b))
-            case (a, b) => a.orElse(b)
-          }
-          case Or(l, r) =>
-            for (a <- pruneFor(l); b <- pruneFor(r)) yield a.union(b)
-          case EqualTo(a, value) if value != null => tryKeys(a, Seq(value))
-          case In(a, vs) if vs.nonEmpty && !vs.contains(null) =>
-            tryKeys(a, vs.toSeq)
-          case GreaterThan(a, value) =>
-            tryRange(SnapshotTable.StatFilter(a, lower = Some(value)))
-          case GreaterThanOrEqual(a, value) =>
-            tryRange(SnapshotTable.StatFilter(a, lower = Some(value)))
-          case LessThan(a, value) =>
-            tryRange(SnapshotTable.StatFilter(a, upper = Some(value)))
-          case LessThanOrEqual(a, value) =>
-            tryRange(SnapshotTable.StatFilter(a, upper = Some(value)))
-          case StringStartsWith(a, p) if p.nonEmpty =>
-            tryRange(SnapshotTable.StatFilter(a, lower = Some(p),
-              upper = SnapshotTable.prefixRange(p)))
-          case _ => None
-        }
-        var kept: Option[Set[String]] = None
-        pruneWith.foreach(f => pruneFor(f).foreach(k =>
-          kept = Some(kept.fold(k)(_.intersect(k)))))
+        val kept = SnapshotPrune.kept(spark, dir, v, pruneWith)
         val total = SnapshotTable.files(spark, dir, v.get)
         // a freshly CREATEd catalog table has a committed version with
         // zero entries — its scan is the empty relation, not an error
@@ -284,7 +295,16 @@ private[dsv2] class SnapshotV1Scan(
             new java.util.ArrayList[Row](), required).rdd
         val keptPaths = kept.fold(total)(s => total.filter(s.contains))
         GraftSnapshotSource.lastPrune.put(dir, (keptPaths.size, total.size))
-        val base = SnapshotTable.readPaths(spark, dir, keptPaths, v)
+        val base0 = SnapshotTable.readPaths(spark, dir, keptPaths, v)
+        // `_file` metadata column (SupportsMetadataColumns on the
+        // catalog table): materialized as the scan's input file — the
+        // row-level DML group-filter subquery projects it to find
+        // affected file groups, and users can SELECT it for lineage
+        val base =
+          if (required.fieldNames.contains("_file"))
+            base0.withColumn("_file",
+              org.apache.spark.sql.functions.input_file_name())
+          else base0
         // re-apply the prunable conjuncts on the inner frame too, so
         // parquet row-group pruning fires beneath the V1 bridge
         val filtered = pruneWith.foldLeft(base) { (df, f) =>

@@ -1,0 +1,492 @@
+package graft.sources.dsv2
+
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.{ParquetReader, ParquetWriter}
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal => V2Literal, NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.sources.SnapshotTable
+
+/** SQL DML over snapshot tables — `DELETE FROM` / `UPDATE` /
+  * `MERGE INTO` through Spark's group-based row-level operation
+  * machinery (`SupportsRowLevelOperations` → `ReplaceData`),
+  * copy-on-write at FILE granularity:
+  *
+  *  - the OPERATION's scan exposes a `_file` metadata column and
+  *    implements `SupportsRuntimeV2Filtering` on it, so Spark's
+  *    `RowLevelOperationRuntimeGroupFiltering` first finds the files
+  *    that actually hold matching rows (one pruned pre-scan) and the
+  *    rewrite reads ONLY those groups — a 0.1% DELETE against 100 TB
+  *    rewrites ~0.1%, exactly the `commitMerge` discipline with the
+  *    group bookkeeping done by the engine instead of a key join;
+  *  - the command's WHERE conjuncts ALSO prune statically through the
+  *    manifest stat/bloom lattice (files provably without a matching
+  *    row are never groups at all — superset pruning is exactly
+  *    group-safe: a dropped file has no affected row by proof);
+  *  - the WRITE receives the surviving/updated/merged rows of the
+  *    planned groups and lands them as ordinary parquet files via the
+  *    executor-side Group writer; the commit swaps exactly the planned
+  *    groups for the new files in one atomic manifest publish
+  *    (`commitReplaceFiles` — untouched entries carried by reference,
+  *    history time-travelable, strict whole-command conflict rule).
+  *
+  * Decode/encode ride the same flat-type contract as the streaming
+  * source (integral/double/float/boolean/string/date, plan-time
+  * gate); pending merge-on-read deletes refuse loudly (fold first) —
+  * silently resurrecting MoR-deleted rows through a rewrite would be
+  * worse than the refusal.
+  *
+  * Reference semantics: the reference's `merge_evaluations` /
+  * `table_update_only` flows (qa_api_handler.py:253-273) are MERGE /
+  * DELETE statements a SQL client runs; this face makes the snapshot
+  * format accept them verbatim.
+  */
+private[dsv2] object SnapshotRowLevel {
+  /** Flat types the DML scan/write round-trips (the streaming source's
+    * contract + DATE). */
+  def supported(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | FloatType |
+         BooleanType | StringType | DateType => true
+    case _ => false
+  }
+
+  /** Sentinel physical name marking the `_file` metadata field in a
+    * partition's projection spec (never a real column name: real ones
+    * come from parquet schemas, which cannot carry NUL). */
+  val FileSentinel = "\u0000_file"
+}
+
+private[dsv2] class SnapshotRowLevelOperationBuilder(
+    dir: String, info: RowLevelOperationInfo, tableSchema: () => StructType)
+    extends RowLevelOperationBuilder {
+  override def build(): RowLevelOperation =
+    new SnapshotRowLevelOperation(dir, info.command, tableSchema)
+}
+
+private[dsv2] class SnapshotRowLevelOperation(
+    val dir: String, cmd: Command, tableSchema: () => StructType)
+    extends RowLevelOperation {
+
+  /** Group bookkeeping: the dir-relative paths the row-level scan
+    * PLANNED (post static prune, post runtime group filter) and the
+    * version it planned against — what the write's commit replaces.
+    * Written by the scan at plan time, read by the write at commit;
+    * both happen on the driver within one command execution. */
+  @volatile private[dsv2] var scannedFiles: Set[String] = _
+  @volatile private[dsv2] var scannedVersion: Long = -1L
+
+  override def command(): Command = cmd
+  override def description(): String = s"graft-snapshot $cmd dir=$dir"
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_file"))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val schema = tableSchema()
+    schema.fields.foreach(f => require(SnapshotRowLevel.supported(f.dataType),
+      s"SQL DML on graft-snapshot tables rides the flat-type contract " +
+        s"(integral/double/float/boolean/string/date); '${f.name}' is " +
+        s"${f.dataType.catalogString} — use the SnapshotTable API for this table"))
+    new SnapshotDmlScanBuilder(this, schema)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new SnapshotDmlWriteBuilder(this, info)
+}
+
+private[dsv2] class SnapshotDmlScanBuilder(
+    op: SnapshotRowLevelOperation, tableSchema: StructType)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pruneWith = Array.empty[Filter]
+  private var required: StructType = tableSchema
+
+  /** Same contract as the read source's builder: accept prunable
+    * conjuncts for FILE pruning, return EVERY filter residual. For a
+    * group-based row-level scan this is precisely the safe shape —
+    * dropping a file means PROVING it holds no matching row (so it is
+    * not an affected group), while kept files surface ALL their rows
+    * (group completeness). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pruneWith = filters.filter(SnapshotPrune.prunable)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pruneWith
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new SnapshotDmlScan(op, required, pruneWith)
+}
+
+private[dsv2] class SnapshotDmlScan(
+    op: SnapshotRowLevelOperation, required: StructType,
+    pruneWith: Array[Filter])
+    extends Scan with Batch with SupportsRuntimeV2Filtering {
+
+  private def spark: SparkSession = SparkSession.active
+  private var runtimeKept: Option[Set[String]] = None
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-snapshot-dml dir=${op.dir} pruneOn=[${pruneWith.mkString(", ")}]"
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_file"))
+
+  /** Runtime GROUP filter: Spark hands the distinct `_file` values of
+    * the rows matching the command condition (the group-filter
+    * subquery); only those files are affected groups. Unparseable
+    * predicates are ignored — the scan then reads more groups than
+    * strictly needed, never fewer. */
+  override def filter(predicates: Array[Predicate]): Unit = {
+    def strings(es: Seq[Any]): Option[Seq[String]] = {
+      val vs = es.collect {
+        case l: V2Literal[_] if l.dataType == StringType =>
+          l.value match {
+            case u: UTF8String => u.toString
+            case s: String => s
+            case other => other.toString
+          }
+      }
+      if (vs.size == es.size) Some(vs) else None
+    }
+    def isFileRef(e: Any): Boolean = e match {
+      case r: NamedReference => r.fieldNames().sameElements(Array("_file"))
+      case _ => false
+    }
+    predicates.foreach { p =>
+      val kids = p.children().toSeq
+      val vals = p.name() match {
+        case "IN" if kids.nonEmpty && isFileRef(kids.head) =>
+          strings(kids.tail)
+        case "=" if kids.size == 2 && isFileRef(kids.head) =>
+          strings(kids.tail)
+        case _ => None
+      }
+      vals.foreach { vs =>
+        val s = vs.toSet
+        runtimeKept = Some(runtimeKept.fold(s)(_.intersect(s)))
+      }
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val headV = SnapshotTable.versions(spark, op.dir).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot table ${op.dir} has no committed version"))
+    val m = SnapshotTable.readManifest(spark, op.dir, headV)
+    require(m.deletes.isEmpty,
+      s"SQL DML on ${op.dir} with merge-on-read deletes pending — fold them " +
+        "first (SnapshotTable.applyDeletes or maintainTable)")
+    val statKept = SnapshotPrune.kept(spark, op.dir, Some(headV), pruneWith)
+    // the runtime `_file` values come from whichever scan served the
+    // group-filter subquery (input_file_name() URIs through the V1
+    // bridge, plain paths through this scan) — compare scheme-free
+    def canon(s: String): String = new Path(s).toUri.getPath
+    val runtimeCanon = runtimeKept.map(_.map(canon))
+    val entries = m.entries
+      .filter(e => statKept.forall(_.contains(e.path)))
+      .filter(e => runtimeCanon.forall(_.contains(
+        canon(SnapshotTable.resolvePath(op.dir, e.path)))))
+    op.scannedFiles = entries.map(_.path).toSet
+    op.scannedVersion = headV
+    val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    entries.map { e =>
+      val abs = SnapshotTable.resolvePath(op.dir, e.path)
+      // per-file projection: today's logical name -> the name THIS
+      // file recorded it under (renames walked back to the entry's
+      // seq), null when the lineage crosses a DROP (a re-added
+      // generation — the file's bytes are the dead column, read null)
+      val phys: Array[String] = required.fields.map { f =>
+        if (f.name == "_file") SnapshotRowLevel.FileSentinel
+        else SnapshotTable.writeTimeName(m, f.name, e.seq).orNull
+      }
+      SnapshotDmlPartition(abs, phys, conf): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SnapshotDmlReaderFactory(required)
+}
+
+private[dsv2] final case class SnapshotDmlPartition(
+    absPath: String, phys: Array[String], conf: SerializableConfiguration)
+    extends InputPartition
+
+private[dsv2] class SnapshotDmlReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val fp = p.asInstanceOf[SnapshotDmlPartition]
+    new SnapshotDmlReader(fp.absPath, schema, fp.phys, fp.conf.value)
+  }
+}
+
+/** Executor-side Group-API decode with the per-file projection spec:
+  * `phys(i)` names the physical column backing logical field i — the
+  * FileSentinel emits the file path (the `_file` metadata column), a
+  * null or file-absent physical name reads null (pre-widening files,
+  * dropped-then-readded lineages). */
+private[dsv2] class SnapshotDmlReader(
+    absPath: String, schema: StructType, phys: Array[String],
+    hadoopConf: Configuration)
+    extends PartitionReader[InternalRow] {
+  private val reader: ParquetReader[Group] =
+    ParquetReader.builder(new GroupReadSupport(), new Path(absPath))
+      .withConf(hadoopConf)
+      .build()
+  private val fileValue = UTF8String.fromString(absPath)
+  private var row: InternalRow = _
+
+  private def convert(g: Group): InternalRow = {
+    val fileType = g.getType
+    val out = new Array[Any](schema.fields.length)
+    var i = 0
+    while (i < schema.fields.length) {
+      val p = phys(i)
+      out(i) =
+        if (p == null) null
+        else if (p == SnapshotRowLevel.FileSentinel) fileValue
+        else if (!fileType.containsField(p)) null
+        else {
+          val idx = fileType.getFieldIndex(p)
+          if (g.getFieldRepetitionCount(idx) == 0) null
+          else schema.fields(i).dataType match {
+            case LongType => java.lang.Long.valueOf(g.getLong(idx, 0))
+            case IntegerType => java.lang.Integer.valueOf(g.getInteger(idx, 0))
+            case DoubleType => java.lang.Double.valueOf(g.getDouble(idx, 0))
+            case FloatType => java.lang.Float.valueOf(g.getFloat(idx, 0))
+            case BooleanType => java.lang.Boolean.valueOf(g.getBoolean(idx, 0))
+            case StringType => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+            case DateType => java.lang.Integer.valueOf(g.getInteger(idx, 0))
+            case other => throw new IllegalStateException(
+              s"unreachable: plan-time gate admits no ${other.catalogString}")
+          }
+        }
+      i += 1
+    }
+    new GenericInternalRow(out)
+  }
+
+  override def next(): Boolean = {
+    val g = reader.read()
+    if (g == null) false
+    else { row = convert(g); true }
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = reader.close()
+}
+
+// ---------------------------------------------------------------
+// Write half: executor Group-API parquet writers + the group-swap
+// commit
+// ---------------------------------------------------------------
+
+private[dsv2] class SnapshotDmlWriteBuilder(
+    op: SnapshotRowLevelOperation, info: LogicalWriteInfo) extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new SnapshotDmlBatchWrite(op, info.schema())
+    override def description(): String =
+      s"graft-snapshot-dml-write dir=${op.dir}"
+  }
+}
+
+private[dsv2] final case class SnapshotDmlCommit(relPaths: Seq[String])
+    extends WriterCommitMessage
+
+private[dsv2] class SnapshotDmlBatchWrite(
+    op: SnapshotRowLevelOperation, writeSchema: StructType) extends BatchWrite {
+
+  // one batch dir per command execution; files land under it and the
+  // commit names them in the manifest — a crash before publish leaves
+  // only an unreferenced dir the orphan GC sweeps
+  private val batchDir = s"dml-${UUID.randomUUID().toString}"
+
+  // the replace-data write carries the table's DATA columns; any
+  // metadata column that leaks through the projections is dropped
+  private val dataFields: Array[(StructField, Int)] =
+    writeSchema.fields.zipWithIndex.filter(_._1.name != "_file")
+  dataFields.foreach { case (f, _) =>
+    require(SnapshotRowLevel.supported(f.dataType),
+      s"unreachable: scan-time gate admits no ${f.dataType.catalogString}") }
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val spark = SparkSession.active
+    new SnapshotDmlWriterFactory(op.dir, batchDir,
+      StructType(dataFields.map(_._1)), dataFields.map(_._2),
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val newFiles = messages.flatMap {
+      case SnapshotDmlCommit(ps) => ps
+      case other => throw new IllegalStateException(s"alien commit message $other")
+    }.toSeq
+    require(op.scannedFiles != null,
+      "row-level write committed before its scan planned — no group set")
+    SnapshotTable.commitReplaceFiles(
+      spark, op.dir, op.scannedVersion, op.scannedFiles, newFiles): Unit
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    SnapshotTable.dropOrphanBatch(spark, op.dir, Seq(s"$batchDir/_"))
+  }
+}
+
+private[dsv2] class SnapshotDmlWriterFactory(
+    dir: String, batchDir: String, schema: StructType,
+    srcIdx: Array[Int], conf: SerializableConfiguration)
+    extends DataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new SnapshotDmlWriter(dir, batchDir, schema, srcIdx, conf.value,
+      partitionId, taskId)
+}
+
+/** Parquet Group-API writer: one file per non-empty task, snappy,
+  * logical types annotated so Spark's vectorized reader reads the
+  * output like any of its own files. Opened lazily — an empty task
+  * writes nothing and commits an empty path list. */
+private[dsv2] class SnapshotDmlWriter(
+    dir: String, batchDir: String, schema: StructType,
+    srcIdx: Array[Int], hadoopConf: Configuration,
+    partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val relPath = s"$batchDir/part-$partitionId-$taskId.parquet"
+
+  private def messageType: MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case LongType => b.optional(PrimitiveTypeName.INT64).named(f.name)
+        case IntegerType => b.optional(PrimitiveTypeName.INT32).named(f.name)
+        case DoubleType => b.optional(PrimitiveTypeName.DOUBLE).named(f.name)
+        case FloatType => b.optional(PrimitiveTypeName.FLOAT).named(f.name)
+        case BooleanType => b.optional(PrimitiveTypeName.BOOLEAN).named(f.name)
+        case StringType => b.optional(PrimitiveTypeName.BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name)
+        case DateType => b.optional(PrimitiveTypeName.INT32)
+          .as(LogicalTypeAnnotation.dateType()).named(f.name)
+        case other => throw new IllegalStateException(
+          s"unreachable: gate admits no ${other.catalogString}")
+      }
+    }
+    b.named("graft_dml")
+  }
+
+  private var writer: ParquetWriter[Group] = _
+  private var factory: SimpleGroupFactory = _
+  private var wrote = false
+
+  private def open(): Unit = {
+    val mt = messageType
+    writer = ExampleParquetWriter.builder(
+        new Path(s"$dir/$relPath"))
+      .withConf(hadoopConf)
+      .withType(mt)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    factory = new SimpleGroupFactory(mt)
+  }
+
+  override def write(row: InternalRow): Unit = {
+    if (writer == null) open()
+    wrote = true
+    val g = factory.newGroup()
+    var i = 0
+    while (i < schema.fields.length) {
+      val src = srcIdx(i)
+      if (!row.isNullAt(src)) schema.fields(i).dataType match {
+        case LongType => g.add(i, row.getLong(src))
+        case IntegerType => g.add(i, row.getInt(src))
+        case DoubleType => g.add(i, row.getDouble(src))
+        case FloatType => g.add(i, row.getFloat(src))
+        case BooleanType => g.add(i, row.getBoolean(src))
+        case StringType =>
+          g.add(i, Binary.fromConstantByteArray(row.getUTF8String(src).getBytes))
+        case DateType => g.add(i, row.getInt(src))
+        case other => throw new IllegalStateException(
+          s"unreachable: gate admits no ${other.catalogString}")
+      }
+      i += 1
+    }
+    writer.write(g)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) writer.close()
+    SnapshotDmlCommit(if (wrote) Seq(relPath) else Nil)
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) writer.close()
+    val p = new Path(s"$dir/$relPath")
+    p.getFileSystem(hadoopConf).delete(p, false): Unit
+  }
+
+  override def close(): Unit = ()
+}
+
+/** V1 `Filter` → manifest-classifiable predicate, for the
+  * metadata-only DELETE path (`SupportsDelete`). None = this filter
+  * shape can't be classified from stats — the command then takes the
+  * row-level rewrite path instead. */
+private[dsv2] object DmlFilterTranslation {
+  import org.apache.spark.sql.sources._
+  import SnapshotTable.{DmlPred, PredAnd, PredEq, PredIn, PredOr, PredRange, PredTrue}
+
+  def translate(f: Filter): Option[DmlPred] = f match {
+    case AlwaysTrue() => Some(PredTrue)
+    case EqualTo(a, v) if v != null => Some(PredEq(a, v))
+    case In(a, vs) if vs.nonEmpty && !vs.contains(null) =>
+      Some(PredIn(a, vs.toSeq))
+    case GreaterThan(a, v) if v != null =>
+      Some(PredRange(a, Some((v, false)), None))
+    case GreaterThanOrEqual(a, v) if v != null =>
+      Some(PredRange(a, Some((v, true)), None))
+    case LessThan(a, v) if v != null =>
+      Some(PredRange(a, None, Some((v, false))))
+    case LessThanOrEqual(a, v) if v != null =>
+      Some(PredRange(a, None, Some((v, true))))
+    case And(l, r) =>
+      for (a <- translate(l); b <- translate(r)) yield PredAnd(a, b)
+    case Or(l, r) =>
+      for (a <- translate(l); b <- translate(r)) yield PredOr(a, b)
+    case _ => None
+  }
+
+  def translateAll(fs: Array[Filter]): Option[DmlPred] =
+    fs.foldLeft(Option(PredTrue: DmlPred)) { (acc, f) =>
+      for (a <- acc; t <- translate(f)) yield
+        if (a == PredTrue) t else PredAnd(a, t)
+    }
+}

@@ -621,6 +621,122 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(out.filter(col("id") === 3L).select("extra").as[Long].head() == 30L)
   }
 
+  test("SQL DML: DELETE/UPDATE/MERGE are file-granular COW via runtime group filtering; full-file DELETE is metadata-only") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val root = java.nio.file.Files.createTempDirectory("snap_dml").toString
+    spark.conf.set("spark.sql.catalog.gdml",
+      classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdml.root", root)
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.rowLevelOperationGroupFilter.enabled", "true")
+    val dir = s"$root/ns/t"
+    new java.io.File(s"$root/ns").mkdirs()
+    // three range-disjoint files (one per append) with id stats
+    def slab(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"v$i")).toDF("id", "v").repartition(1)
+    SnapshotTable.commitAppend(slab(0L, 100L), dir, statsCols = Seq("id"))
+    SnapshotTable.commitAppend(slab(100L, 200L), dir, statsCols = Seq("id"))
+    SnapshotTable.commitAppend(slab(200L, 300L), dir, statsCols = Seq("id"))
+    val orig = SnapshotTable.files(spark, dir, 3L)
+    assert(orig.size == 3, s"expected 3 files, got $orig")
+
+    // DELETE on a column with NO stats: static pruning can't help, so
+    // a carried file proves the RUNTIME group filter found the one
+    // affected file through the _file metadata column
+    spark.sql("DELETE FROM gdml.ns.t WHERE v = 'v150'")
+    val afterDelete = SnapshotTable.files(spark, dir, 4L).toSet
+    assert(spark.sql("SELECT count(*) FROM gdml.ns.t").head().getLong(0) == 299L)
+    assert(spark.sql("SELECT count(*) FROM gdml.ns.t WHERE id = 150")
+      .head().getLong(0) == 0L)
+    val carried = orig.toSet.intersect(afterDelete)
+    assert(carried.size == 2,
+      s"runtime group filtering must carry the 2 unaffected files: " +
+        s"orig=$orig after=$afterDelete")
+    assert((afterDelete -- orig).forall(_.startsWith("dml-")),
+      s"the rewritten group must land as a dml batch: $afterDelete")
+
+    // UPDATE prunes statically through the id stats: only the 0-99
+    // file is rewritten
+    spark.sql("UPDATE gdml.ns.t SET v = 'patched' WHERE id = 50")
+    val afterUpdate = SnapshotTable.files(spark, dir, 5L).toSet
+    assert(afterDelete.intersect(afterUpdate).size == 2,
+      s"UPDATE must rewrite only the affected group: $afterDelete -> $afterUpdate")
+    assert(spark.sql("SELECT v FROM gdml.ns.t WHERE id = 50")
+      .head().getString(0) == "patched")
+    assert(spark.sql("SELECT count(*) FROM gdml.ns.t WHERE v = 'patched'")
+      .head().getLong(0) == 1L)
+
+    // MERGE: one matched update (file 200-299) + one insert
+    Seq((250L, "merged"), (1000L, "inserted")).toDF("id", "v")
+      .createOrReplaceTempView("dml_src")
+    spark.sql(
+      """MERGE INTO gdml.ns.t t USING dml_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM gdml.ns.t").head().getLong(0) == 300L)
+    assert(spark.sql("SELECT v FROM gdml.ns.t WHERE id = 250")
+      .head().getString(0) == "merged")
+    assert(spark.sql("SELECT v FROM gdml.ns.t WHERE id = 1000")
+      .head().getString(0) == "inserted")
+    val afterMerge = SnapshotTable.files(spark, dir,
+      SnapshotTable.versions(spark, dir).last).toSet
+
+    // full-file DELETE: every live file is provably all- or
+    // none-matching from stats, so the commit is METADATA-ONLY —
+    // the file census shrinks with ZERO new data files
+    spark.sql("DELETE FROM gdml.ns.t WHERE id >= 0 AND id <= 99")
+    val afterMeta = SnapshotTable.files(spark, dir,
+      SnapshotTable.versions(spark, dir).last).toSet
+    assert(afterMeta.subsetOf(afterMerge),
+      s"metadata-only delete must write no data file: $afterMerge -> $afterMeta")
+    assert(afterMerge.diff(afterMeta).size == 1,
+      "exactly the provably-all-matching file drops from the manifest")
+    assert(spark.sql("SELECT count(*) FROM gdml.ns.t").head().getLong(0) == 200L)
+    assert(spark.sql("SELECT min(id) FROM gdml.ns.t").head().getLong(0) == 100L)
+
+    // the _file metadata column is user-visible lineage
+    assert(spark.sql("SELECT DISTINCT _file FROM gdml.ns.t").count() ==
+      afterMeta.size.toLong)
+
+    // time travel still reads every pre-DML version
+    assert(spark.sql("SELECT count(*) FROM gdml.ns.t VERSION AS OF 3")
+      .head().getLong(0) == 300L)
+    assert(spark.sql("SELECT v FROM gdml.ns.t VERSION AS OF 3 WHERE id = 50")
+      .head().getString(0) == "v50")
+  }
+
+  test("ALTER TABLE RENAME/DROP COLUMN land as seq-scoped evolution commits") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val root = java.nio.file.Files.createTempDirectory("snap_alter").toString
+    spark.conf.set("spark.sql.catalog.galter",
+      classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.galter.root", root)
+    val dir = s"$root/ns/t"
+    new java.io.File(s"$root/ns").mkdirs()
+    SnapshotTable.commitAppend(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "v", "extra"), dir)
+    spark.sql("ALTER TABLE galter.ns.t RENAME COLUMN v TO label")
+    assert(spark.sql("SELECT label FROM galter.ns.t WHERE id = 1")
+      .head().getString(0) == "a", "old files read through the rename map")
+    spark.sql("ALTER TABLE galter.ns.t DROP COLUMN extra")
+    assert(!spark.sql("SELECT * FROM galter.ns.t").columns.contains("extra"))
+    // both ops are VERSIONS: time travel shows the pre-evolution schema
+    assert(spark.sql("SELECT v FROM galter.ns.t VERSION AS OF 1 WHERE id = 1")
+      .head().getString(0) == "a")
+    assert(SnapshotTable.versions(spark, dir) == Seq(1L, 2L, 3L))
+    // unsupported evolution refuses loudly
+    val boom = intercept[Exception] {
+      spark.sql("ALTER TABLE galter.ns.t ALTER COLUMN id TYPE INT")
+    }
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs(boom).toLowerCase.contains("not supported") ||
+      msgs(boom).toLowerCase.contains("unsupported"), msgs(boom))
+  }
+
   test("CREATE TABLE recovers from a crashed predecessor's orphan _schema.json (ADVICE r12)") {
     import graft.sources.SnapshotTable
     val root = java.nio.file.Files.createTempDirectory("snap_crash").toString
