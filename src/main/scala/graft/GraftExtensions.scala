@@ -260,5 +260,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "usage: word_shingles(text[, n])")
       }))
+    // Table-valued tier: the snapshot format's CDC and commit ledger
+    // as SQL TVFs — `SELECT * FROM graft_table_changes('/dir', 1, 5)`
+    // rides changesBetween's classified fast paths (file-diff appends,
+    // delta-bounded MoR deletes) and graft_table_history answers from
+    // the manifests alone; a pure-SQL client needs no API call for
+    // either. Arguments must be literals: the plan is built at
+    // analysis time.
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_table_changes"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_table_changes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "usage: graft_table_changes(dir, fromVersion, toVersion)")
+        graft.sources.SnapshotTable.changesBetween(
+          org.apache.spark.sql.SparkSession.active,
+          strLit(args(0), "dir"), longLit(args(1), "fromVersion"),
+          longLit(args(2), "toVersion")).queryExecution.analyzed
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_table_history"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_table_history"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "usage: graft_table_history(dir)")
+        graft.sources.SnapshotTable.history(
+          org.apache.spark.sql.SparkSession.active,
+          strLit(args(0), "dir")).queryExecution.analyzed
+      }))
   }
 }

@@ -2944,6 +2944,20 @@ object SparkEntry {
       graft.sources.SnapshotTable.changesBetween(s, tbl, 1L, 2L)
         .orderBy("_change", "event_id", "event_type")
     }),
+    // CDC through PURE SQL: the graft_table_changes TVF
+    // (injectTableFunction) splices changesBetween's plan at analysis
+    // time — same classified fast paths, zero API calls; the in-row
+    // require drives graft_table_history over the same table (the
+    // commit ledger as a TVF, answered from manifests alone). The
+    // oracle replays the v1→v2 merge diff and aggregates it.
+    "snapshot_changes_sql" -> ((s, dir) => {
+      val tbl = snapMergeTable(s, dir)
+      require(s.sql(s"SELECT * FROM graft_table_history('$tbl')").count() == 4L,
+        "the history TVF must list all four versions")
+      s.sql("SELECT _change, event_type, count(*) AS n_rows, " +
+        s"sum(event_id) AS sum_id FROM graft_table_changes('$tbl', 1, 2) " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")
+    }),
     // CDC-driven incremental view maintenance — the loop closed: the
     // v1 summary plus the SIGNED rollup of changesBetween(1,2)
     // (insert +1, delete −1, one mergeAdditive) must equal the direct
@@ -4378,6 +4392,39 @@ object SparkEntry {
           s"no duplicates: first=$afterFirst final=${out.count()} base=${ev.count()}")
       out.groupBy("event_type").agg(count(lit(1)).as("n_events"))
         .orderBy("event_type")
+    }),
+    // The CHANGE FEED of the streaming source (readChangeFeed=true):
+    // appends stream as _change='insert' rows and a merge-on-read
+    // DELETE commit streams as its DELTA-SIZED retraction keys
+    // (_change='delete_key', non-key columns null) — the forget-me
+    // stream flows through CDC at key cost, never table cost. The
+    // in-row require pins the MoR commit to zero data files; the
+    // oracle replays inserts ∪ retraction keys from the base rows.
+    "stream_snapshot_cdf" -> ((s, dir) => streamRow(s) {
+      import graft.sources.SnapshotTable
+      import org.apache.spark.sql.streaming.Trigger
+      val base = tempDir("graft_stream_cdf")
+      val tbl = s"$base/tbl"
+      val ev = Tables.events(s, dir).select("event_id", "event_type")
+      SnapshotTable.commitAppend(ev.filter(col("event_id") % 2 === 0), tbl)
+      SnapshotTable.commitAppend(ev.filter(col("event_id") % 2 =!= 0), tbl)
+      val filesBefore = SnapshotTable.files(s, tbl, 2L).toSet
+      SnapshotTable.commitDeleteMoR(
+        ev.filter(col("event_id") % 100 === 0).select("event_id"),
+        tbl, Seq("event_id"))
+      require(SnapshotTable.files(s, tbl, 3L).toSet == filesBefore,
+        "the MoR delete must touch ZERO data files")
+      val q = s.readStream.format("graft-snapshot")
+        .option("readChangeFeed", "true").load(tbl)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .groupBy("_change")
+        .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("sum_id"))
+        .orderBy("_change")
     }),
     // Drift-gated streaming ingest — corpusDriftCheck standing at the
     // door: the in-distribution chunk lands in the target, the
@@ -6663,6 +6710,20 @@ object SparkEntry {
         |  FROM events WHERE event_id % 10 = 0)
         |SELECT event_id, event_type, _change FROM ch
         |ORDER BY _change, event_id, event_type""".stripMargin,
+    // the SQL TVF reads the same change set the API read reads
+    "snapshot_changes_sql" ->
+      """WITH ch AS (
+        |  SELECT event_id, 'restated' AS event_type, 'insert' AS _change
+        |  FROM events WHERE event_id % 10 = 0
+        |  UNION ALL
+        |  SELECT event_id + 10000000, 'new', 'insert'
+        |  FROM events WHERE event_id % 10 = 0
+        |  UNION ALL
+        |  SELECT event_id, event_type, 'delete'
+        |  FROM events WHERE event_id % 10 = 0)
+        |SELECT _change, event_type, count(*) AS n_rows,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM ch GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the metadata-accelerated grouped sum equals the plain one
     "snapshot_group_sum" ->
       """SELECT event_type, CAST(sum(event_id) AS BIGINT) AS sum_id
@@ -6835,6 +6896,16 @@ object SparkEntry {
     "stream_snapshot_source" ->
       """SELECT event_type, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the change feed = every base row as an insert plus the doomed
+    // keys as retractions
+    "stream_snapshot_cdf" ->
+      """WITH ch AS (
+        |  SELECT event_id, 'insert' AS _change FROM events
+        |  UNION ALL
+        |  SELECT event_id, 'delete_key' FROM events WHERE event_id % 100 = 0)
+        |SELECT _change, count(*) AS n_rows,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin,
     // the catalog route lands and reads the same rows
     "snapshot_sql_catalog" ->
       """SELECT event_type, count(*) AS n_events

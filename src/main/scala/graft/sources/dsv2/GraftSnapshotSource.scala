@@ -95,8 +95,11 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val dir = GraftSnapshotSource.dirOf(options)
-    SnapshotTable.read(spark, dir,
+    val base = SnapshotTable.read(spark, dir,
       GraftSnapshotSource.versionOf(spark, options, dir)).schema
+    if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
+      StructType(base.fields ++ SnapshotMicroBatchStream.CdfColumns)
+    else base
   }
   override def getTable(
       schema: StructType,
@@ -283,6 +286,9 @@ private[dsv2] class SnapshotV1Scan(
       override def buildScan(): RDD[Row] = {
         val spark = context.sparkSession
         val dir = GraftSnapshotSource.dirOf(options)
+        require(!Option(options.get("readChangeFeed")).exists(_.toBoolean),
+          "readChangeFeed is a STREAMING option — batch CDC reads go " +
+            "through graft_table_changes(dir, from, to) / changesBetween")
         val v = GraftSnapshotSource.versionOf(spark, options, dir)
           .orElse(SnapshotTable.versions(spark, dir).lastOption)
         require(v.nonEmpty, s"snapshot table $dir has no committed version")

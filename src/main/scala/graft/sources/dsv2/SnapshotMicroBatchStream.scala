@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -20,6 +20,16 @@ import graft.sources.SnapshotTable
 /** A table VERSION as a streaming offset. */
 private[dsv2] case class VersionOffset(v: Long) extends Offset {
   override def json(): String = v.toString
+}
+
+private[dsv2] object SnapshotMicroBatchStream {
+  /** The change-feed columns `readChangeFeed=true` appends to the
+    * table schema. `_change` is 'insert' (an appended row) or
+    * 'delete_key' (a merge-on-read retraction KEY — non-key columns
+    * null); `_commit_version` is the version that committed it. */
+  val CdfColumns: Seq[StructField] = Seq(
+    StructField("_change", StringType, nullable = false),
+    StructField("_commit_version", LongType, nullable = false))
 }
 
 /** The micro-batch stream behind `readStream.format("graft-snapshot")`
@@ -34,6 +44,15 @@ private[dsv2] case class VersionOffset(v: Long) extends Offset {
   *    classifier), then emits one partition per data file the range
   *    added — entry `seq` IS the committing version, so the file set
   *    is exact with zero data I/O;
+  *  - with `readChangeFeed=true`, MERGE-ON-READ DELETE commits are
+  *    admitted too: the batch emits the commit's doomed-key files as
+  *    `_change='delete_key'` rows (non-key columns null) — the
+  *    DELTA-SIZED retraction contract of the format's own MoR design,
+  *    so a forget-me stream flows through CDC at key cost, never
+  *    table cost (emitting full deleted rows would re-read the
+  *    table). Appends emit `_change='insert'` with full rows; COW
+  *    rewrites still fail loudly (their diff is a computation, not a
+  *    file read — batch consumers use graft_table_changes);
   *  - readers decode the parquet files on the EXECUTOR through the
   *    parquet-hadoop Group API — flat schemas of
   *    integral/double/float/boolean/string columns (the streaming-
@@ -46,13 +65,18 @@ private[dsv2] case class VersionOffset(v: Long) extends Offset {
   * exactly-once (the stream_snapshot_source row proves the loop). */
 private[dsv2] class SnapshotMicroBatchStream(
     dir: String, schema: StructType, options: CaseInsensitiveStringMap)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def spark: SparkSession = SparkSession.active
+  private val cdf =
+    Option(options.get("readChangeFeed")).exists(_.toBoolean)
+  private val cdfNames =
+    SnapshotMicroBatchStream.CdfColumns.map(_.name).toSet
 
   // plan-time type gate: decode support is explicit, never best-effort
   schema.fields.foreach { f =>
     f.dataType match {
+      case _ if cdf && cdfNames.contains(f.name) => ()
       case LongType | IntegerType | DoubleType | FloatType |
            BooleanType | StringType => ()
       case dt => throw new IllegalArgumentException(
@@ -66,8 +90,22 @@ private[dsv2] class SnapshotMicroBatchStream(
     VersionOffset(Option(options.get("startingVersion"))
       .map(_.toLong - 1L).getOrElse(0L))
 
-  override def latestOffset(): Offset =
-    VersionOffset(SnapshotTable.versions(spark, dir).lastOption.getOrElse(0L))
+  private def headVersion: Long =
+    SnapshotTable.versions(spark, dir).lastOption.getOrElse(0L)
+
+  override def latestOffset(): Offset = VersionOffset(headVersion)
+
+  // Trigger.AvailableNow (SupportsTriggerAvailableNow): the head at
+  // prepare time is the drain TARGET — the query processes exactly
+  // the versions committed before it started and stops, regardless of
+  // concurrent commits landing mid-drain (they belong to the next run)
+  private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(headVersion)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    VersionOffset(availableNowTarget.getOrElse(headVersion))
+  override def reportLatestOffset(): Offset = VersionOffset(headVersion)
 
   override def deserializeOffset(json: String): Offset =
     VersionOffset(json.toLong)
@@ -87,29 +125,43 @@ private[dsv2] class SnapshotMicroBatchStream(
     // whose added files ARE its complete logical contents — the
     // "start from this snapshot" semantics of the production sources.
     // A partial rewrite (merge/compaction carries files) never
-    // qualifies: its added files alone are not the table.
+    // qualifies: its added files alone are not the table. The change
+    // feed additionally admits "mor-delete" commits (see below).
     val startingV = Option(options.get("startingVersion")).map(_.toLong)
-    ((from + 1) to to).foreach { v =>
-      if (v > 1L) {
-        val cls = SnapshotTable.changesPath(spark, dir, v - 1L, v)
-        val snapshotStart = startingV.contains(v) && v == from + 1L &&
-          SnapshotTable.readManifest(spark, dir, v).entries.forall(_.seq == v)
-        require(cls == "append" || snapshotStart,
-          s"graft-snapshot stream: version $v of $dir is '$cls', not an " +
-            "append — rewriting commits would re-emit rows; re-sync from a " +
-            "fresh checkpoint after maintenance (a FULL-replacement version " +
-            "can seed a stream via the startingVersion option)")
-      }
+    val admitted = ((from + 1) to to).map { v =>
+      val cls =
+        if (v <= 1L) "append"
+        else SnapshotTable.changesPath(spark, dir, v - 1L, v)
+      val snapshotStart = v > 1L && startingV.contains(v) && v == from + 1L &&
+        SnapshotTable.readManifest(spark, dir, v).entries.forall(_.seq == v)
+      require(cls == "append" || snapshotStart || (cdf && cls == "mor-delete"),
+        s"graft-snapshot stream: version $v of $dir is '$cls', not an " +
+          "append — rewriting commits would re-emit rows; re-sync from a " +
+          "fresh checkpoint after maintenance (a FULL-replacement version " +
+          "can seed a stream via the startingVersion option" +
+          (if (cdf) "" else "; readChangeFeed=true additionally streams " +
+            "merge-on-read DELETE commits as delete_key rows") + ")")
+      v -> (if (snapshotStart) "append" else cls)
     }
-    val m = SnapshotTable.readManifest(spark, dir, to)
     // the SESSION's Hadoop conf rides the partition to the executor —
     // a bare `new Configuration()` there would drop custom FS
     // settings/credentials the session carries (ADVICE r12)
     val conf = new SerializableConfiguration(
       spark.sessionState.newHadoopConf())
-    m.entries.filter(e => e.seq > from && e.seq <= to)
+    val m = SnapshotTable.readManifest(spark, dir, to)
+    val inserts = m.entries.filter(e => e.seq > from && e.seq <= to)
       .map(e => SnapshotFilePartition(
-        SnapshotTable.resolvePath(dir, e.path), conf): InputPartition).toArray
+        SnapshotTable.resolvePath(dir, e.path), conf, "insert", e.seq))
+    val deleteKeys =
+      if (!cdf) Seq.empty
+      else admitted.collect { case (v, "mor-delete") =>
+        val before = SnapshotTable.readManifest(spark, dir, v - 1L)
+        val after = SnapshotTable.readManifest(spark, dir, v)
+        after.deletes.drop(before.deletes.size).flatMap(_.paths).map(p =>
+          SnapshotFilePartition(
+            SnapshotTable.resolvePath(dir, p), conf, "delete_key", v))
+      }.flatten
+    (inserts ++ deleteKeys).map(p => p: InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -117,14 +169,16 @@ private[dsv2] class SnapshotMicroBatchStream(
 }
 
 private[dsv2] final case class SnapshotFilePartition(
-    absPath: String, conf: SerializableConfiguration)
+    absPath: String, conf: SerializableConfiguration,
+    changeType: String = "insert", version: Long = -1L)
     extends InputPartition
 
 private[dsv2] class SnapshotStreamReaderFactory(schema: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val fp = p.asInstanceOf[SnapshotFilePartition]
-    new SnapshotGroupReader(fp.absPath, schema, fp.conf.value)
+    new SnapshotGroupReader(fp.absPath, schema, fp.conf.value,
+      fp.changeType, fp.version)
   }
 }
 
@@ -132,20 +186,26 @@ private[dsv2] class SnapshotStreamReaderFactory(schema: StructType)
   * machinery needed inside a streaming partition. Flat supported
   * types only (gated at plan time); absent/null fields read null —
   * including columns the FILE does not carry at all (a file written
-  * before a later append widened the table schema; ADVICE r12). */
+  * before a later append widened the table schema — or a delete-key
+  * file, which carries only the key columns; ADVICE r12). The change
+  * feed's `_change`/`_commit_version` fields are partition constants. */
 private[dsv2] class SnapshotGroupReader(
-    absPath: String, schema: StructType, hadoopConf: Configuration)
+    absPath: String, schema: StructType, hadoopConf: Configuration,
+    changeType: String = "insert", version: Long = -1L)
     extends PartitionReader[InternalRow] {
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(new GroupReadSupport(), new Path(absPath))
       .withConf(hadoopConf)
       .build()
+  private val changeValue = UTF8String.fromString(changeType)
   private var row: InternalRow = _
 
   private def convert(g: Group): InternalRow = {
     val schemaFields = g.getType
     new GenericInternalRow(schema.fields.map { f =>
-      if (!schemaFields.containsField(f.name)) null
+      if (f.name == "_change") changeValue
+      else if (f.name == "_commit_version") java.lang.Long.valueOf(version)
+      else if (!schemaFields.containsField(f.name)) null
       else {
       val idx = schemaFields.getFieldIndex(f.name)
       if (g.getFieldRepetitionCount(idx) == 0) null

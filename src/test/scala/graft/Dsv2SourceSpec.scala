@@ -596,6 +596,64 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(msgs(boom2).contains("flat"), msgs(boom2))
   }
 
+  test("readChangeFeed streams appends as inserts and MoR deletes as delta-sized retraction keys") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("snap_cdf").toString
+    val tbl = s"$base/tbl"
+    SnapshotTable.commitAppend(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), tbl)
+    SnapshotTable.commitAppend(Seq((4L, "d")).toDF("id", "v"), tbl)
+    // v3 = a merge-on-read DELETE: zero data files touched, one key file
+    SnapshotTable.commitDeleteMoR(Seq(2L).toDF("id"), tbl, Seq("id"))
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-snapshot")
+        .option("readChangeFeed", "true").load(tbl)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out").option("checkpointLocation", s"$base/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    val out = spark.read.parquet(s"$base/out")
+    val rows = out.collect().map(r => (r.getAs[Long]("id"),
+      Option(r.getAs[String]("v")), r.getAs[String]("_change"),
+      r.getAs[Long]("_commit_version"))).toSet
+    assert(rows == Set(
+      (1L, Some("a"), "insert", 1L), (2L, Some("b"), "insert", 1L),
+      (3L, Some("c"), "insert", 1L), (4L, Some("d"), "insert", 2L),
+      (2L, None, "delete_key", 3L)),
+      s"change feed must carry inserts + the retraction key: $rows")
+    // resume drains only new commits: another MoR delete
+    SnapshotTable.commitDeleteMoR(Seq(4L).toDF("id"), tbl, Seq("id"))
+    drain()
+    assert(spark.read.parquet(s"$base/out").count() == 6L,
+      "resume must emit exactly the new retraction key")
+    // a COW rewrite still poisons the feed loudly
+    SnapshotTable.commitMerge(Seq((1L, "rewritten")).toDF("id", "v"), tbl, Seq("id"))
+    val boom = intercept[Exception] { drain() }
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs(boom).contains("not an append"), msgs(boom))
+    // and the WITHOUT-cdf stream refuses the MoR delete range too
+    val boom2 = intercept[Exception] {
+      val q = spark.readStream.format("graft-snapshot").load(tbl)
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$base/ck2")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(msgs(boom2).contains("mor-delete"), msgs(boom2))
+    // batch reads refuse the streaming option with a pointer
+    val boom3 = intercept[Exception] {
+      spark.read.format("graft-snapshot").option("readChangeFeed", "true")
+        .load(tbl).collect()
+    }
+    assert(msgs(boom3).contains("graft_table_changes"), msgs(boom3))
+  }
+
   test("streaming reader honors schema evolution: a pre-widening file reads null, session conf reaches executors (ADVICE r12)") {
     import spark.implicits._
     import graft.sources.SnapshotTable

@@ -1685,6 +1685,26 @@ class SnapshotTableSpec extends SparkSpec {
     assert(boom.getMessage.contains("materialize"), boom.getMessage)
   }
 
+  test("CDC and the commit ledger are SQL TVFs: graft_table_changes / graft_table_history") {
+    val dir = freshDir()
+    SnapshotTable.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    SnapshotTable.commitAppend(Seq((3L, "c")).toDF("id", "v"), dir)
+    val ch = spark.sql(s"SELECT * FROM graft_table_changes('$dir', 1, 2)")
+    assert(ch.collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[String]("_change"))).toSet ==
+      Set((3L, "insert")),
+      "the TVF must ride the append fast path's file diff")
+    val h = spark.sql(
+      s"SELECT version, op_class FROM graft_table_history('$dir') ORDER BY version")
+    assert(h.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "create"), (2L, "append")))
+    // non-literal arguments refuse at analysis, not with a wrong plan
+    val boom = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_table_changes('$dir', 1, 2 + id)")
+    }
+    assert(boom.getMessage != null)
+  }
+
   test("streaming MoR delete replay-checks O(1): works past the materialization guard (ADVICE r12)") {
     val dir = freshDir()
     SnapshotTable.commitAppend((1L to 10L).toDF("id"), dir)
