@@ -295,6 +295,38 @@ object ScaleProbe {
         Similarity.buildPqIndex(scaleEmb(Tables.embeddings(spark, sfDir), f),
           s"$scaledBase/f$f/pq_refit_idx")
 
+    // r13 SQL-DML fixtures: 8f range-disjoint files with id stats plus
+    // a stats-free `tag` column; the catalog root is the scaled base so
+    // `gprobe.f<f>.snap_dml_tbl` resolves to the fixture dir. The CDF
+    // fixture carries one CONSTANT-size MoR delete on top (1000 keys
+    // whatever f is) — the retraction feed must drain at key cost.
+    if (Seq("sql_dml_pruned", "sql_dml_unpruned", "stream_cdf_drain")
+      .exists(wanted)) {
+      spark.conf.set("spark.sql.catalog.gprobe",
+        classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gprobe.root", scaledBase)
+      for (f <- Seq(1, factor)) {
+        val ev = replicate(
+          spark.read.parquet(s"$sfDir/events.parquet")
+            .select("event_id", "event_type"), f)
+          .select((col("event_id") + col("k") * 1000000000L).as("event_id"),
+            col("event_type"))
+          .withColumn("tag", concat(lit("t"), col("event_id").cast("string")))
+          .repartitionByRange(8 * f, col("event_id"))
+        if (Seq("sql_dml_pruned", "sql_dml_unpruned").exists(wanted))
+          graft.sources.SnapshotTable.commitAppend(
+            ev, s"$scaledBase/f$f/snap_dml_tbl", statsCols = Seq("event_id"))
+        if (wanted("stream_cdf_drain")) {
+          val dir = s"$scaledBase/f$f/snap_cdf_tbl"
+          graft.sources.SnapshotTable.commitAppend(
+            ev, dir, statsCols = Seq("event_id"))
+          graft.sources.SnapshotTable.commitDeleteMoR(
+            spark.range(0, 1000).select(col("id").as("event_id")),
+            dir, Seq("event_id"))
+        }
+      }
+    }
+
     // r11 bloom-manifest fixture: the scaled events HASH-clustered on
     // event_id into a CONSTANT 8 files with stats AND blooms declared
     // — the layout where every file spans the full key range, so
@@ -664,6 +696,52 @@ object ScaleProbe {
           Similarity.refitPqIndex(
             scaleEmb(Tables.embeddings(spark, sfDir), f),
             s"$scaledBase/f$f/pq_refit_idx")
+          spark.range(1).toDF()
+        }),
+        // SQL DELETE with a stat-prunable predicate at volume: the
+        // WHERE bounds both the group-filter pre-scan AND the rewrite
+        // to ~1 of 8f files from the manifest — wall should stay
+        // ~FLAT while the table grows N×
+        "sql_dml_pruned" -> (() => {
+          spark.sql(s"DELETE FROM gprobe.f$f.snap_dml_tbl " +
+            "WHERE event_id >= 100 AND event_id <= 199")
+          val after = graft.sources.SnapshotTable.files(spark,
+            s"$scaledBase/f$f/snap_dml_tbl",
+            graft.sources.SnapshotTable.versions(spark,
+              s"$scaledBase/f$f/snap_dml_tbl").last)
+          require(after.size >= 8 * f,
+            s"the pruned DELETE must rewrite ~1 group, census: ${after.size}")
+          spark.range(1).toDF()
+        }),
+        // SQL DELETE on the stats-free tag column: group DISCOVERY is
+        // an honest full pre-scan (linear in the table — no stat can
+        // bound it), but the REWRITE is still one file; the probe
+        // documents the discovery-vs-rewrite split
+        "sql_dml_unpruned" -> (() => {
+          spark.sql(s"DELETE FROM gprobe.f$f.snap_dml_tbl " +
+            "WHERE tag = 't501'")
+          spark.range(1).toDF()
+        }),
+        // the retraction change feed at volume: startingVersion pins
+        // the drain to the MoR-delete commit alone, so the batch reads
+        // the CONSTANT-size key file whatever f is — key cost, never
+        // table cost
+        "stream_cdf_drain" -> (() => {
+          val ck = s"$scaledBase/f$f/cdf_ck_${System.nanoTime()}"
+          val out = s"$scaledBase/f$f/cdf_out_${System.nanoTime()}"
+          val q = spark.readStream.format("graft-snapshot")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "2")
+            .load(s"$scaledBase/f$f/snap_cdf_tbl")
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val drained = spark.read.parquet(out)
+          require(drained.count() == 1000L &&
+            drained.filter(col("_change") === "delete_key").count() == 1000L,
+            "the CDF drain from the MoR version must be exactly the keys")
           spark.range(1).toDF()
         }),
         // the streaming source's full drain at volume: offsets plan
