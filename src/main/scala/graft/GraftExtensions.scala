@@ -93,6 +93,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // No-op while the registry is empty, so sessions that never
     // register a view pay one map lookup per optimize.
     ext.injectOptimizerRule(spark => graft.plans.MvRewriteRule(spark))
+    // planner statistics for snapshot reads: pure-read snapshot
+    // relations convert to V1 LogicalRelations whose sizeInBytes is
+    // the manifest byte census, so a small snapshot side statically
+    // broadcasts (the V1ScanWrapper the DSv2 bridge plans through
+    // hides SupportsReportStatistics from computeStats, and no
+    // injectable logical hook runs after pushdown creates it)
+    ext.injectPostHocResolutionRule(spark =>
+      org.apache.spark.sql.execution.datasources.v2
+        .SnapshotV1ConversionRule(spark))
     ext.injectFunction((
       new FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),

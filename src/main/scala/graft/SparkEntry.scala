@@ -461,6 +461,22 @@ object SparkEntry {
       ns
     })
 
+  /** snapshot_broadcast_join's dim side, once per sf dir: the distinct
+    * event types with a derived label, one small snapshot table whose
+    * manifest byte census is what the planner reads. */
+  private val snapDimMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def snapDimTable(s: SparkSession, dir: String): String =
+    snapDimMemo.computeIfAbsent(dir, _ => {
+      val out = s"${tempDir("graft_snap_dim")}/dim"
+      graft.sources.SnapshotTable.commitAppend(
+        Tables.events(s, dir).select("event_type").distinct()
+          .withColumn("label", concat(lit("L:"), col("event_type")))
+          .repartition(1),
+        out)
+      out
+    })
+
   private val pqIndexMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def pqIndex(s: SparkSession, dir: String): String =
@@ -2943,6 +2959,29 @@ object SparkEntry {
       val tbl = snapMergeTable(s, dir)
       graft.sources.SnapshotTable.changesBetween(s, tbl, 1L, 2L)
         .orderBy("_change", "event_id", "event_type")
+    }),
+    // Planner statistics from the manifest: a pure-read snapshot
+    // relation converts to a V1 LogicalRelation whose sizeInBytes is
+    // the manifest byte census (SnapshotV1ConversionRule), so the
+    // small dim side statically broadcasts — no AQE rescue, no big-
+    // side shuffle. In-row requires pin the priced stats (real bytes,
+    // not the never-broadcast default) and the BroadcastHashJoin in
+    // the pre-execution plan; the oracle replays the join aggregate.
+    "snapshot_broadcast_join" -> ((s, dir) => {
+      val tbl = snapDimTable(s, dir)
+      val dim = s.read.format("graft-snapshot").load(tbl)
+      val priced = dim.queryExecution.optimizedPlan.stats.sizeInBytes
+      require(priced < 10L * 1024 * 1024 &&
+        priced != s.sessionState.conf.defaultSizeInBytes,
+        s"the manifest must price the dim side in real bytes: $priced")
+      val joined = Tables.events(s, dir).select("event_id", "event_type")
+        .join(dim, "event_type")
+      require(joined.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "manifest statistics must broadcast the snapshot dim side")
+      joined.groupBy("label")
+        .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_id"))
+        .orderBy("label")
     }),
     // CDC through PURE SQL: the graft_table_changes TVF
     // (injectTableFunction) splices changesBetween's plan at analysis
@@ -6710,6 +6749,15 @@ object SparkEntry {
         |  FROM events WHERE event_id % 10 = 0)
         |SELECT event_id, event_type, _change FROM ch
         |ORDER BY _change, event_id, event_type""".stripMargin,
+    // the broadcast route is answer-invisible: same join, same rows
+    "snapshot_broadcast_join" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT event_type, 'L:' || event_type AS label
+        |  FROM events)
+        |SELECT label, count(*) AS n_events,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM events JOIN dim USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the SQL TVF reads the same change set the API read reads
     "snapshot_changes_sql" ->
       """WITH ch AS (

@@ -93,7 +93,8 @@ object SnapshotTable {
       blooms: Map[String, Array[Byte]] = Map.empty,
       sidecarBloomCols: Set[String] = Set.empty,
       rows: Long = -1L,
-      seq: Long = 0L)
+      seq: Long = 0L,
+      bytes: Long = -1L)
 
   /** One merge-on-read EQUALITY DELETE: `paths` name delta-sized
     * parquet files holding the doomed key tuples (columns =
@@ -346,6 +347,7 @@ object SnapshotTable {
     en.put("path", e.path)
     if (e.rows >= 0L) en.put("rows", e.rows): Unit
     if (e.seq > 0L) en.put("seq", e.seq): Unit
+    if (e.bytes >= 0L) en.put("bytes", e.bytes): Unit
     if (e.stats.nonEmpty) {
       val st = en.putObject("stats")
       e.stats.toSeq.sortBy(_._1).foreach { case (c, fsr) =>
@@ -396,7 +398,8 @@ object SnapshotTable {
     }.getOrElse(Map.empty[String, Array[Byte]])
     Entry(en.get("path").asText, stats, blooms, sidecars,
       Option(en.get("rows")).map(_.asLong).getOrElse(-1L),
-      Option(en.get("seq")).map(_.asLong).getOrElse(0L))
+      Option(en.get("seq")).map(_.asLong).getOrElse(0L),
+      Option(en.get("bytes")).map(_.asLong).getOrElse(-1L))
   }
 
   private def renderSegment(entries: Seq[Entry]): String = {
@@ -525,6 +528,20 @@ object SnapshotTable {
     * layout asserts. */
   def files(spark: SparkSession, dir: String, v: Long): Seq[String] =
     readManifest(spark, dir, v).entries.map(_.path)
+
+  /** Total on-disk bytes of `paths` in version `v`, answered from the
+    * manifest alone — the planner STATISTICS read (auto-broadcast of
+    * small snapshot tables through the SQL face). None when any entry
+    * predates byte recording: the caller then reports the
+    * no-broadcast default rather than guessing small. */
+  private[graft] def pathBytes(
+      spark: SparkSession, dir: String, v: Long,
+      paths: Seq[String]): Option[Long] = {
+    val byPath = readManifest(spark, dir, v).entries
+      .map(e => e.path -> e.bytes).toMap
+    val bs = paths.map(p => byPath.getOrElse(p, -1L))
+    if (bs.exists(_ < 0L)) None else Some(bs.sum)
+  }
 
   /** Publish `m` into its version slot atomically-if-absent: stage
     * the fully-rendered manifest as a tmp file, then
@@ -1680,9 +1697,13 @@ object SnapshotTable {
         try out.write(bytes) finally out.close()
       }
       // a file the grouped count never saw is empty-or-unmatched:
-      // record unknown (-1), countRows refuses rather than guesses
+      // record unknown (-1), countRows refuses rather than guesses.
+      // bytes: one delta-sized getFileStatus per NEW file — planner
+      // statistics (auto-broadcast) read it from the manifest forever
+      val len = scala.util.Try(
+        f.getFileStatus(new Path(s"$dir/$p")).getLen).getOrElse(-1L)
       Entry(p, statsByRel.getOrElse(p, Map.empty), inline, big.keySet,
-        rowsByRel.getOrElse(p, -1L))
+        rowsByRel.getOrElse(p, -1L), bytes = len)
     }
   }
 

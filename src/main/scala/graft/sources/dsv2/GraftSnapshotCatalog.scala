@@ -242,9 +242,13 @@ private[dsv2] class SnapshotCatalogTable(
     dir: String, ident: String, version: Option[Long])
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns
-    with SupportsDelete {
+    with SupportsDelete with SnapshotTableMeta {
 
   private def spark: SparkSession = SparkSession.active
+
+  override def snapshotDir: String = dir
+  override def snapshotVersion: Option[Long] = version
+  override def snapshotCdf: Boolean = false
 
   /** `_file`: the data file a row lives in — the GROUP identity the
     * row-level DML machinery filters on (and a user can SELECT for

@@ -143,9 +143,19 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister
   }
 }
 
+/** What the batch-read V1 conversion needs to know about a snapshot
+  * table, whoever exposes it (the path source or the catalog): where
+  * it lives, which version is pinned, and whether the read is the
+  * change feed (never converted — it is streaming-only anyway). */
+trait SnapshotTableMeta {
+  def snapshotDir: String
+  def snapshotVersion: Option[Long]
+  def snapshotCdf: Boolean
+}
+
 private[dsv2] class SnapshotV2Table(
     tableSchema: StructType, options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SnapshotTableMeta {
   private val dir = GraftSnapshotSource.dirOf(options)
   override def name(): String = s"graft_snapshot($dir)"
   override def schema(): StructType = tableSchema
@@ -153,6 +163,76 @@ private[dsv2] class SnapshotV2Table(
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(tableSchema, options)
+  override def snapshotDir: String = dir
+  override def snapshotVersion: Option[Long] =
+    GraftSnapshotSource.versionOf(SparkSession.active, options, dir)
+  override def snapshotCdf: Boolean =
+    Option(options.get("readChangeFeed")).exists(_.toBoolean)
+}
+
+/** The BATCH read as a V1 relation (what pure-read plans convert to —
+  * GraftExtensions' SnapshotV1ConversionRule): identical semantics to
+  * the DSv2 bridge scan — manifest file listing, stat/bloom file
+  * pruning from the pushed conjuncts, MoR deletes and schema ops via
+  * readPaths, all filters left for Spark to re-apply (superset
+  * pruning) — but as a PrunedFilteredScan the PLANNER can price:
+  * `sizeInBytes` is the manifest's own byte census, so a small
+  * snapshot side statically broadcasts instead of paying the big
+  * side's shuffle and hoping AQE converts. */
+class SnapshotBaseRelation(
+    @transient val sparkSession: SparkSession,
+    dir: String, version: Option[Long], tableSchema: StructType)
+    extends BaseRelation with PrunedFilteredScan {
+
+  private val v: Long = version
+    .orElse(SnapshotTable.versions(sparkSession, dir).lastOption)
+    .getOrElse(throw new IllegalArgumentException(
+      s"snapshot table $dir has no committed version"))
+
+  override def sqlContext: SQLContext = sparkSession.sqlContext
+  override def schema: StructType = tableSchema
+
+  /** Manifest-answered: total on-disk bytes of the version's files.
+    * Entries predating byte recording fall back to the no-broadcast
+    * default — never guess a side small. */
+  override def sizeInBytes: Long = {
+    val total = SnapshotTable.files(sparkSession, dir, v)
+    (if (total.isEmpty) Some(0L)
+     else SnapshotTable.pathBytes(sparkSession, dir, v, total))
+      .getOrElse(super.sizeInBytes)
+  }
+
+  override def buildScan(
+      requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    val spark = sparkSession
+    val pruneWith = filters.filter(SnapshotPrune.prunable)
+    val kept = SnapshotPrune.kept(spark, dir, Some(v), pruneWith)
+    val total = SnapshotTable.files(spark, dir, v)
+    if (total.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[Row](),
+        StructType(requiredColumns.map(c => tableSchema(c)))).rdd
+    val keptPaths = kept.fold(total)(s => total.filter(s.contains))
+    GraftSnapshotSource.lastPrune.put(dir, (keptPaths.size, total.size))
+    val base = SnapshotTable.readPaths(spark, dir, keptPaths, Some(v))
+    // re-apply the prunable conjuncts inside too, so parquet row-group
+    // pruning fires; Spark re-applies the full predicate above
+    // regardless (unhandledFilters default = everything)
+    val filtered = pruneWith.foldLeft(base) { (df, f) =>
+      import org.apache.spark.sql.functions.col
+      f match {
+        case EqualTo(a, value) => df.filter(col(a) === value)
+        case In(a, vs) => df.filter(col(a).isin(vs.toSeq: _*))
+        case GreaterThan(a, value) => df.filter(col(a) > value)
+        case GreaterThanOrEqual(a, value) => df.filter(col(a) >= value)
+        case LessThan(a, value) => df.filter(col(a) < value)
+        case LessThanOrEqual(a, value) => df.filter(col(a) <= value)
+        case _ => df
+      }
+    }
+    filtered
+      .select(requiredColumns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+      .rdd
+  }
 }
 
 /** The manifest prune lattice over V1 filters, shared by the batch
@@ -253,9 +333,47 @@ private[dsv2] class SnapshotScanBuilder(
 private[dsv2] class SnapshotV1Scan(
     options: CaseInsensitiveStringMap,
     required: StructType,
-    pruneWith: Array[Filter]) extends V1Scan {
+    pruneWith: Array[Filter]) extends V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Plan-time state, computed ONCE per scan (manifest-only, no data
+    * I/O): the pruned file set drives the physical read AND prices the
+    * relation for the planner. Join selection happens on the
+    * DataSourceV2ScanRelation BEFORE the V1 bridge converts, so the
+    * statistics must come from the DSv2 `SupportsReportStatistics`
+    * face — without it a snapshot side reports the no-broadcast
+    * default and every dimension join through the SQL face shuffles. */
+  private lazy val planState: (String, Option[Long], Seq[String], Seq[String]) = {
+    val spark = SparkSession.active
+    val dir = GraftSnapshotSource.dirOf(options)
+    val v = GraftSnapshotSource.versionOf(spark, options, dir)
+      .orElse(SnapshotTable.versions(spark, dir).lastOption)
+    require(v.nonEmpty, s"snapshot table $dir has no committed version")
+    val kept = SnapshotPrune.kept(spark, dir, v, pruneWith)
+    val total = SnapshotTable.files(spark, dir, v.get)
+    val keptPaths = kept.fold(total)(s => total.filter(s.contains))
+    GraftSnapshotSource.lastPrune.put(dir, (keptPaths.size, total.size))
+    (dir, v, total, keptPaths)
+  }
+
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val spark = SparkSession.active
+    val (dir, v, total, keptPaths) = planState
+    val bytes: Option[Long] =
+      if (total.isEmpty) Some(0L)
+      else SnapshotTable.pathBytes(spark, dir, v.get, keptPaths)
+    new org.apache.spark.sql.connector.read.Statistics {
+      // entries predating byte recording report EMPTY (the planner
+      // then uses its conservative default) — never guess small
+      override def sizeInBytes(): java.util.OptionalLong =
+        bytes.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
 
   override def description(): String = {
     val dir = GraftSnapshotSource.dirOf(options)
@@ -280,27 +398,23 @@ private[dsv2] class SnapshotV1Scan(
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {
+    require(!Option(options.get("readChangeFeed")).exists(_.toBoolean),
+      "readChangeFeed is a STREAMING option — batch CDC reads go " +
+        "through graft_table_changes(dir, from, to) / changesBetween")
+    val (planDir, planV, totalPaths, planKept) = planState
     val rel = new BaseRelation with TableScan {
       override def sqlContext: SQLContext = context
       override def schema: StructType = required
       override def buildScan(): RDD[Row] = {
         val spark = context.sparkSession
-        val dir = GraftSnapshotSource.dirOf(options)
-        require(!Option(options.get("readChangeFeed")).exists(_.toBoolean),
-          "readChangeFeed is a STREAMING option — batch CDC reads go " +
-            "through graft_table_changes(dir, from, to) / changesBetween")
-        val v = GraftSnapshotSource.versionOf(spark, options, dir)
-          .orElse(SnapshotTable.versions(spark, dir).lastOption)
-        require(v.nonEmpty, s"snapshot table $dir has no committed version")
-        val kept = SnapshotPrune.kept(spark, dir, v, pruneWith)
-        val total = SnapshotTable.files(spark, dir, v.get)
+        val dir = planDir
+        val v = planV
         // a freshly CREATEd catalog table has a committed version with
         // zero entries — its scan is the empty relation, not an error
-        if (total.isEmpty)
+        if (totalPaths.isEmpty)
           return spark.createDataFrame(
             new java.util.ArrayList[Row](), required).rdd
-        val keptPaths = kept.fold(total)(s => total.filter(s.contains))
-        GraftSnapshotSource.lastPrune.put(dir, (keptPaths.size, total.size))
+        val keptPaths = planKept
         val base0 = SnapshotTable.readPaths(spark, dir, keptPaths, v)
         // `_file` metadata column (SupportsMetadataColumns on the
         // catalog table): materialized as the scan's input file — the

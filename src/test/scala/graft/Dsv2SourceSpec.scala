@@ -596,6 +596,47 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(msgs(boom2).contains("flat"), msgs(boom2))
   }
 
+  test("manifest byte statistics auto-broadcast a small snapshot side; legacy manifests never guess small") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val base = java.nio.file.Files.createTempDirectory("snap_stats").toString
+    val dim = s"$base/dim"
+    SnapshotTable.commitAppend(
+      Seq((0L, "g0"), (1L, "g1")).toDF("k", "label"), dim)
+    // facts big enough that Catalyst prices them ABOVE the broadcast
+    // threshold — only the priced dim side can be the broadcast build
+    val facts = spark.range(0, 2000000L)
+      .select((col("id") % 2).as("k"), col("id").as("v"))
+    val joined = facts.join(
+      spark.read.format("graft-snapshot").load(dim), "k")
+    // STATIC planner decision (pre-execution): the manifest prices the
+    // dim side in bytes, so the join broadcasts without AQE's help
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"manifest byte statistics must broadcast the small side:\n$plan")
+    assert(joined.count() == 2000000L)
+    // a LEGACY manifest (entries without bytes) reports the
+    // no-broadcast default — never guess a side small
+    val legacy = s"$base/legacy"
+    Seq((0L, "g0"), (1L, "g1")).toDF("k", "label")
+      .repartition(1).write.parquet(s"$legacy/batch-1")
+    val part = new java.io.File(s"$legacy/batch-1").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).head
+    new java.io.File(s"$legacy/_manifests").mkdirs()
+    val mjson =
+      s"""{"version":1,"committedAtMs":1,"statsCols":[],
+         |"entries":[{"path":"batch-1/$part"}]}""".stripMargin
+    val out = new java.io.FileOutputStream(s"$legacy/_manifests/v1.json")
+    try out.write(mjson.getBytes("UTF-8")) finally out.close()
+    val joinedLegacy = facts.join(
+      spark.read.format("graft-snapshot").load(legacy), "k")
+    val planLegacy = joinedLegacy.queryExecution.executedPlan.toString
+    assert(!planLegacy.contains("BroadcastHashJoin"),
+      s"a byte-less manifest must not claim the side is small:\n$planLegacy")
+    assert(joinedLegacy.count() == 2000000L,
+      "the legacy read itself must stay correct")
+  }
+
   test("readChangeFeed streams appends as inserts and MoR deletes as delta-sized retraction keys") {
     import spark.implicits._
     import graft.sources.SnapshotTable
