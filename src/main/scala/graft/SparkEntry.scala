@@ -4432,6 +4432,35 @@ object SparkEntry {
       out.groupBy("event_type").agg(count(lit(1)).as("n_events"))
         .orderBy("event_type")
     }),
+    // EMBEDDINGS through the streaming source: array<float> columns
+    // decode through the 3-level parquet list walk, so a vector
+    // pipeline streams its corpus from a snapshot table (the ANN
+    // ingest loop's missing first hop). The census is exact-integral
+    // by construction: per-row floor(first_component * 64) is the
+    // same IEEE double op in both engines and the SUM is integer —
+    // associative, partition-order-proof (float SUMS are not).
+    "stream_embedding_source" -> ((s, dir) => streamRow(s) {
+      import graft.sources.SnapshotTable
+      import org.apache.spark.sql.streaming.Trigger
+      val base = tempDir("graft_stream_emb")
+      val tbl = s"$base/tbl"
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      SnapshotTable.commitAppend(emb.filter(col("vec_id") % 2 === 0), tbl)
+      SnapshotTable.commitAppend(emb.filter(col("vec_id") % 2 =!= 0), tbl)
+      val q = s.readStream.format("graft-snapshot").load(tbl)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out").agg(
+        count(lit(1)).as("n_vecs"),
+        sum(size(col("embedding"))).as("total_dims"),
+        sum(org.apache.spark.sql.functions.floor(
+          col("embedding").getItem(0).cast("double") * 64.0)
+          .cast("long")).as("census"),
+        sum(col("vec_id")).as("sum_id"))
+    }),
     // The CHANGE FEED of the streaming source (readChangeFeed=true):
     // appends stream as _change='insert' rows and a merge-on-read
     // DELETE commit streams as its DELTA-SIZED retraction keys
@@ -6944,6 +6973,16 @@ object SparkEntry {
     "stream_snapshot_source" ->
       """SELECT event_type, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the streamed embeddings equal the base table, values intact
+    // (the census floors each first component before summing — an
+    // integer sum is order-proof where a float sum is not)
+    "stream_embedding_source" ->
+      """SELECT count(*) AS n_vecs,
+        |       CAST(sum(len(embedding)) AS BIGINT) AS total_dims,
+        |       CAST(sum(floor(CAST(embedding[1] AS DOUBLE) * 64.0)) AS BIGINT)
+        |         AS census,
+        |       CAST(sum(vec_id) AS BIGINT) AS sum_id
+        |FROM embeddings""".stripMargin,
     // the change feed = every base row as an insert plus the doomed
     // keys as retractions
     "stream_snapshot_cdf" ->

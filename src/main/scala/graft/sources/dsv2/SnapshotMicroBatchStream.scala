@@ -8,6 +8,7 @@ import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
@@ -79,9 +80,15 @@ private[dsv2] class SnapshotMicroBatchStream(
       case _ if cdf && cdfNames.contains(f.name) => ()
       case LongType | IntegerType | DoubleType | FloatType |
            BooleanType | StringType => ()
+      // arrays of the flat set — the EMBEDDING ingest shape (a vector
+      // pipeline streams array<float> rows from a snapshot table into
+      // its ANN indexes); standard 3-level parquet lists
+      case ArrayType(LongType | IntegerType | DoubleType | FloatType |
+           BooleanType | StringType, _) => ()
       case dt => throw new IllegalArgumentException(
         s"graft-snapshot streaming reads flat " +
-          s"integral/double/float/boolean/string columns; '${f.name}' is " +
+          s"integral/double/float/boolean/string columns (and arrays " +
+          s"of them); '${f.name}' is " +
           s"${dt.catalogString} — project it away or cast it in a batch view")
     }
   }
@@ -216,6 +223,32 @@ private[dsv2] class SnapshotGroupReader(
         case FloatType => java.lang.Float.valueOf(g.getFloat(idx, 0))
         case BooleanType => java.lang.Boolean.valueOf(g.getBoolean(idx, 0))
         case StringType => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+        case ArrayType(et, _) =>
+          // standard 3-level list: optional group (LIST) { repeated
+          // group { optional ELEM } } — names vary by writer, so walk
+          // by POSITION (each level has exactly one field)
+          val outer = g.getGroup(idx, 0)
+          val n = outer.getFieldRepetitionCount(0)
+          val arr = new Array[Any](n)
+          var j = 0
+          while (j < n) {
+            val entry = outer.getGroup(0, j)
+            arr(j) =
+              if (entry.getFieldRepetitionCount(0) == 0) null
+              else et match {
+                case LongType => java.lang.Long.valueOf(entry.getLong(0, 0))
+                case IntegerType => java.lang.Integer.valueOf(entry.getInteger(0, 0))
+                case DoubleType => java.lang.Double.valueOf(entry.getDouble(0, 0))
+                case FloatType => java.lang.Float.valueOf(entry.getFloat(0, 0))
+                case BooleanType => java.lang.Boolean.valueOf(entry.getBoolean(0, 0))
+                case StringType =>
+                  UTF8String.fromBytes(entry.getBinary(0, 0).getBytes)
+                case other => throw new IllegalStateException(
+                  s"unreachable: plan-time gate admits no array<${other.catalogString}>")
+              }
+            j += 1
+          }
+          new GenericArrayData(arr)
         case other => throw new IllegalStateException(
           s"unreachable: plan-time gate admits no ${other.catalogString}")
       }

@@ -294,6 +294,12 @@ object ScaleProbe {
       for (f <- Seq(1, factor))
         Similarity.buildPqIndex(scaleEmb(Tables.embeddings(spark, sfDir), f),
           s"$scaledBase/f$f/pq_refit_idx")
+    if (wanted("stream_emb_drain"))
+      for (f <- Seq(1, factor))
+        graft.sources.SnapshotTable.commitAppend(
+          scaleEmb(Tables.embeddings(spark, sfDir), f)
+            .repartition(8 * f),
+          s"$scaledBase/f$f/snap_emb_tbl")
 
     // r13 SQL-DML fixtures: 8f range-disjoint files with id stats plus
     // a stats-free `tag` column; the catalog root is the scaled base so
@@ -742,6 +748,21 @@ object ScaleProbe {
           require(drained.count() == 1000L &&
             drained.filter(col("_change") === "delete_key").count() == 1000L,
             "the CDF drain from the MoR version must be exactly the keys")
+          spark.range(1).toDF()
+        }),
+        // embedding (array<float>) drain at volume: the 3-level list
+        // decode is the per-row kernel — scan-LINEAR by design, wall
+        // bounded by the 8f-way parallel decode; documents the vector-
+        // ingest hop's honest cost
+        "stream_emb_drain" -> (() => {
+          val ck = s"$scaledBase/f$f/emb_ck_${System.nanoTime()}"
+          val q = spark.readStream.format("graft-snapshot")
+            .load(s"$scaledBase/f$f/snap_emb_tbl")
+            .writeStream.format("noop")
+            .option("checkpointLocation", ck)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
           spark.range(1).toDF()
         }),
         // the streaming source's full drain at volume: offsets plan

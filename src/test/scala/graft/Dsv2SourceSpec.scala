@@ -582,14 +582,28 @@ class Dsv2SourceSpec extends SparkSpec {
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
         .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
     assert(msgs(boom).contains("not an append"), msgs(boom))
-    // unsupported column types are refused at PLAN time, not decoded wrong
+    // ARRAY columns stream (the embedding ingest shape) — values
+    // decode through the 3-level list walk, order preserved
     val tbl2 = s"$base/tbl2"
     SnapshotTable.commitAppend(
-      Seq((1L, Array(1.0f))).toDF("id", "emb"), tbl2)
+      Seq((1L, Array(1.0f, -2.5f)), (2L, Array(3.0f))).toDF("id", "emb"), tbl2)
+    val q2 = spark.readStream.format("graft-snapshot").load(tbl2)
+      .writeStream.format("parquet")
+      .option("path", s"$base/out2")
+      .option("checkpointLocation", s"$base/ck2")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.read.parquet(s"$base/out2").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toList)).toSet ==
+      Set((1L, List(1.0f, -2.5f)), (2L, List(3.0f))))
+    // genuinely unsupported types still refuse at PLAN time
+    val tbl3 = s"$base/tbl3"
+    SnapshotTable.commitAppend(
+      Seq((1L, ("a", 2L))).toDF("id", "nested"), tbl3)
     val boom2 = intercept[Exception] {
-      val q = spark.readStream.format("graft-snapshot").load(tbl2)
+      val q = spark.readStream.format("graft-snapshot").load(tbl3)
         .writeStream.format("noop")
-        .option("checkpointLocation", s"$base/ck2")
+        .option("checkpointLocation", s"$base/ck3")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
