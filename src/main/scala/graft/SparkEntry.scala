@@ -4432,6 +4432,39 @@ object SparkEntry {
       out.groupBy("event_type").agg(count(lit(1)).as("n_events"))
         .orderBy("event_type")
     }),
+    // The native streaming SINK (writeStream.format("graft-snapshot"))
+    // closing the table-to-table loop: source table → stream → sink
+    // table, both ends first-class, exactly-once through the (appId,
+    // epoch) watermark ledger. The in-row requires REDELIVER every
+    // epoch from a fresh checkpoint (same appId) and pin zero
+    // duplicates AND zero new versions; the oracle recomputes the sink
+    // census from the base rows, blind to the plumbing.
+    "stream_snapshot_sink" -> ((s, dir) => streamRow(s) {
+      import graft.sources.SnapshotTable
+      import org.apache.spark.sql.streaming.Trigger
+      val base = tempDir("graft_stream_sink")
+      val src = s"$base/src"
+      val sink = s"$base/sink"
+      val ev = Tables.events(s, dir).select("event_id", "event_type")
+      SnapshotTable.commitAppend(ev.filter(col("event_id") % 2 === 0), src)
+      SnapshotTable.commitAppend(ev.filter(col("event_id") % 2 =!= 0), src)
+      def drain(ck: String): Unit = {
+        val q = s.readStream.format("graft-snapshot").load(src)
+          .writeStream.format("graft-snapshot")
+          .option("path", sink).option("appId", "sinkrow")
+          .option("checkpointLocation", s"$base/$ck")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      drain("ck1")
+      val vs = SnapshotTable.versions(s, sink)
+      drain("ck2") // fresh checkpoint, same appId: full redelivery
+      require(SnapshotTable.versions(s, sink) == vs,
+        "replayed epochs must no-op through the ledger, not re-commit")
+      SnapshotTable.read(s, sink)
+        .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
     // EMBEDDINGS through the streaming source: array<float> columns
     // decode through the 3-level parquet list walk, so a vector
     // pipeline streams its corpus from a snapshot table (the ANN
@@ -6971,6 +7004,11 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the streamed table census equals the base census
     "stream_snapshot_source" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the sink table holds the source census exactly once, however
+    // many times the epochs were delivered
+    "stream_snapshot_sink" ->
       """SELECT event_type, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // the streamed embeddings equal the base table, values intact

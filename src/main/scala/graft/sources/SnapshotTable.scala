@@ -2707,6 +2707,58 @@ object SnapshotTable {
     headV + 1
   }
 
+  /** The streaming-SINK commit (DSv2 `writeStream.format(
+    * "graft-snapshot")`): pre-written batch files land as ONE ledgered
+    * append — the executor writers already produced the parquet, this
+    * publishes the manifest that makes them the table. Exactly-once
+    * through the same (appId, batchId) watermark ledger the
+    * foreachBatch sinks use: a replayed epoch finds its key in the
+    * head and no-ops (its orphan files are swept here and by GC).
+    * A first epoch CREATES the table (v1), taking the declared
+    * stats/bloom columns; afterwards the table's sticky declarations
+    * apply. A schema evolution racing the commit fails loudly — the
+    * files' column names were fixed at write time. Returns the
+    * committed version, None for a recognized replay. */
+  private[graft] def commitStreamFiles(
+      spark: SparkSession, dir: String, relPaths: Seq[String],
+      batchId: Long, appId: String,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Option[Long] = {
+    require(appId.nonEmpty && !appId.contains(":"),
+      s"appId must be non-empty without ':' — got '$appId'")
+    var attempts = 0
+    var opsAtFirstRead: (Seq[Rename], Seq[Drop]) = null
+    var newEntries: Seq[Entry] = null
+    while (true) {
+      attempts += 1
+      require(attempts <= 20,
+        s"streaming sink commit on $dir lost 20 straight races; giving up")
+      val headV = versions(spark, dir).lastOption.getOrElse(0L)
+      val m =
+        if (headV == 0L) Manifest(0L, Ledger(), statsCols, Nil,
+          bloomCols = bloomCols)
+        else readManifest(spark, dir, headV)
+      if (m.ledger.contains(appId, batchId)) {
+        if (relPaths.nonEmpty) dropOrphanBatch(spark, dir, relPaths)
+        return None
+      }
+      if (opsAtFirstRead == null) opsAtFirstRead = (m.renames, m.drops)
+      else require((m.renames, m.drops) == opsAtFirstRead,
+        s"streaming sink commit on $dir raced a schema evolution — the " +
+          "batch files carry pre-evolution names; restart the query")
+      if (newEntries == null)
+        newEntries = batchEntries(spark, dir, relPaths, m.statsCols,
+          m.bloomCols, m.bloomFpp)
+      if (tryPublish(spark, dir,
+        Manifest(headV + 1, m.ledger.add(appId, batchId), m.statsCols,
+          m.entries ++ newEntries.map(_.copy(seq = headV + 1)),
+          bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
+          deletes = m.deletes, renames = m.renames, drops = m.drops),
+        carry = m.segments))
+        return Some(headV + 1)
+    }
+    None // unreachable
+  }
+
   /** DELETE by key, MERGE-ON-READ: commit only a delta-sized key file
     * and a manifest naming it — ZERO data files touched, at any table
     * size. The copy-on-write `commitDelete` costs one rewrite per

@@ -315,7 +315,8 @@ private[dsv2] class SnapshotCatalogTable(
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val opts = new util.HashMap[String, String](options.asCaseSensitiveMap())
@@ -338,6 +339,11 @@ private[dsv2] class SnapshotCatalogTable(
               ()
             }
           }
+        // writeStream.toTable: the native ledgered streaming sink
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new SnapshotStreamingWrite(dir, info.schema(), info.options(),
+            info.queryId())
       }
     }
 }

@@ -155,14 +155,32 @@ trait SnapshotTableMeta {
 
 private[dsv2] class SnapshotV2Table(
     tableSchema: StructType, options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead with SnapshotTableMeta {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with SnapshotTableMeta {
   private val dir = GraftSnapshotSource.dirOf(options)
   override def name(): String = s"graft_snapshot($dir)"
   override def schema(): StructType = tableSchema
+  // STREAMING_WRITE but no BATCH_WRITE: path-based batch writes route
+  // to the V1 CreatableRelationProvider face (same commit code path),
+  // while writeStream gets the native ledgered sink
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE).asJava
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(tableSchema, options)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            new SnapshotStreamingWrite(dir, info.schema(), options,
+              info.queryId())
+        }
+    }
   override def snapshotDir: String = dir
   override def snapshotVersion: Option[Long] =
     GraftSnapshotSource.versionOf(SparkSession.active, options, dir)

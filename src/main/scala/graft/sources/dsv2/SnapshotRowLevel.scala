@@ -11,6 +11,7 @@ import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport
 import org.apache.parquet.hadoop.metadata.CompressionCodecName
 import org.apache.parquet.io.api.Binary
 import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
@@ -367,37 +368,60 @@ private[dsv2] class SnapshotDmlWriterFactory(
     extends DataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new SnapshotDmlWriter(dir, batchDir, schema, srcIdx, conf.value,
-      partitionId, taskId)
+    new SnapshotDmlWriter(dir,
+      s"$batchDir/part-$partitionId-$taskId.parquet", schema, srcIdx,
+      conf.value)
 }
 
 /** Parquet Group-API writer: one file per non-empty task, snappy,
   * logical types annotated so Spark's vectorized reader reads the
   * output like any of its own files. Opened lazily — an empty task
-  * writes nothing and commits an empty path list. */
+  * writes nothing and commits an empty path list. Arrays land as
+  * standard 3-level lists (the shape the streaming reader walks). */
 private[dsv2] class SnapshotDmlWriter(
-    dir: String, batchDir: String, schema: StructType,
-    srcIdx: Array[Int], hadoopConf: Configuration,
-    partitionId: Int, taskId: Long)
+    dir: String, relPath: String, schema: StructType,
+    srcIdx: Array[Int], hadoopConf: Configuration)
     extends DataWriter[InternalRow] {
 
-  private val relPath = s"$batchDir/part-$partitionId-$taskId.parquet"
+  private def primitive(
+      b: Types.MessageTypeBuilder, dt: DataType, name: String): Unit = {
+    dt match {
+      case LongType => b.optional(PrimitiveTypeName.INT64).named(name)
+      case IntegerType => b.optional(PrimitiveTypeName.INT32).named(name)
+      case DoubleType => b.optional(PrimitiveTypeName.DOUBLE).named(name)
+      case FloatType => b.optional(PrimitiveTypeName.FLOAT).named(name)
+      case BooleanType => b.optional(PrimitiveTypeName.BOOLEAN).named(name)
+      case StringType => b.optional(PrimitiveTypeName.BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named(name)
+      case DateType => b.optional(PrimitiveTypeName.INT32)
+        .as(LogicalTypeAnnotation.dateType()).named(name)
+      case other => throw new IllegalStateException(
+        s"unreachable: gate admits no ${other.catalogString}")
+    }
+    ()
+  }
 
   private def messageType: MessageType = {
     val b = Types.buildMessage()
     schema.fields.foreach { f =>
       f.dataType match {
-        case LongType => b.optional(PrimitiveTypeName.INT64).named(f.name)
-        case IntegerType => b.optional(PrimitiveTypeName.INT32).named(f.name)
-        case DoubleType => b.optional(PrimitiveTypeName.DOUBLE).named(f.name)
-        case FloatType => b.optional(PrimitiveTypeName.FLOAT).named(f.name)
-        case BooleanType => b.optional(PrimitiveTypeName.BOOLEAN).named(f.name)
-        case StringType => b.optional(PrimitiveTypeName.BINARY)
-          .as(LogicalTypeAnnotation.stringType()).named(f.name)
-        case DateType => b.optional(PrimitiveTypeName.INT32)
-          .as(LogicalTypeAnnotation.dateType()).named(f.name)
-        case other => throw new IllegalStateException(
-          s"unreachable: gate admits no ${other.catalogString}")
+        case ArrayType(et, _) =>
+          // standard 3-level list (repeated group "list" / "element" —
+          // what the streaming reader's positional walk decodes)
+          val lb = Types.optionalList()
+          val listType = (et match {
+            case LongType => lb.optionalElement(PrimitiveTypeName.INT64)
+            case IntegerType => lb.optionalElement(PrimitiveTypeName.INT32)
+            case DoubleType => lb.optionalElement(PrimitiveTypeName.DOUBLE)
+            case FloatType => lb.optionalElement(PrimitiveTypeName.FLOAT)
+            case BooleanType => lb.optionalElement(PrimitiveTypeName.BOOLEAN)
+            case StringType => lb.optionalElement(PrimitiveTypeName.BINARY)
+              .as(LogicalTypeAnnotation.stringType())
+            case other => throw new IllegalStateException(
+              s"unreachable: gate admits no array<${other.catalogString}>")
+          }).named(f.name)
+          b.addField(listType): Unit
+        case dt => primitive(b, dt, f.name)
       }
     }
     b.named("graft_dml")
@@ -434,6 +458,25 @@ private[dsv2] class SnapshotDmlWriter(
         case StringType =>
           g.add(i, Binary.fromConstantByteArray(row.getUTF8String(src).getBytes))
         case DateType => g.add(i, row.getInt(src))
+        case ArrayType(et, _) =>
+          val a: ArrayData = row.getArray(src)
+          val listG = g.addGroup(i)
+          var j = 0
+          while (j < a.numElements()) {
+            val entry = listG.addGroup(0)
+            if (!a.isNullAt(j)) et match {
+              case LongType => entry.add(0, a.getLong(j))
+              case IntegerType => entry.add(0, a.getInt(j))
+              case DoubleType => entry.add(0, a.getDouble(j))
+              case FloatType => entry.add(0, a.getFloat(j))
+              case BooleanType => entry.add(0, a.getBoolean(j))
+              case StringType => entry.add(0,
+                Binary.fromConstantByteArray(a.getUTF8String(j).getBytes))
+              case other => throw new IllegalStateException(
+                s"unreachable: gate admits no array<${other.catalogString}>")
+            }
+            j += 1
+          }
         case other => throw new IllegalStateException(
           s"unreachable: gate admits no ${other.catalogString}")
       }

@@ -1,0 +1,97 @@
+package graft.sources.dsv2
+
+import java.util.UUID
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.sources.SnapshotTable
+
+/** The native streaming SINK — `df.writeStream.format("graft-snapshot")
+  * .option("path", dir)` (or `.toTable` on a catalog table) — closing
+  * the format's streaming face: both ends of a table-to-table pipeline
+  * are now first-class sources/sinks, no foreachBatch glue.
+  *
+  * Exactly-once by construction, not configuration: each epoch's
+  * executor writers land parquet under an epoch-scoped batch dir (the
+  * Group writer — flat columns + arrays, the streaming-ingest shape),
+  * and `commit(epochId)` publishes them through
+  * [[SnapshotTable.commitStreamFiles]] with the (appId, epochId)
+  * watermark-ledger key — a REPLAYED epoch (restart, retry,
+  * re-delivery from a fresh checkpoint over the same data) finds its
+  * key in the head manifest, sweeps its own orphan files, and no-ops.
+  * The appId defaults to the streaming QUERY id (stable across
+  * restarts — it lives in the checkpoint); pass `option("appId", …)`
+  * to scope redelivery across checkpoints or share a table between
+  * writers.
+  *
+  * The first epoch CREATES the table, honoring `statsCols`/`bloomCols`
+  * options; afterwards the table's sticky declarations apply to every
+  * epoch's files, so stat pruning and bloom lookups work on streamed
+  * data exactly as on batch commits. */
+private[dsv2] class SnapshotStreamingWrite(
+    dir: String, schema: StructType, options: CaseInsensitiveStringMap,
+    queryId: String) extends StreamingWrite {
+
+  schema.fields.foreach { f =>
+    def flat(dt: DataType): Boolean = dt match {
+      case LongType | IntegerType | DoubleType | FloatType |
+           BooleanType | StringType | DateType => true
+      case _ => false
+    }
+    val ok = f.dataType match {
+      case ArrayType(et, _) => flat(et) && et != DateType
+      case dt => flat(dt)
+    }
+    require(ok,
+      s"graft-snapshot streaming sink writes flat " +
+        s"integral/double/float/boolean/string/date columns (and arrays " +
+        s"of them); '${f.name}' is ${f.dataType.catalogString}")
+  }
+
+  private def spark: SparkSession = SparkSession.active
+  private val appId =
+    Option(options.get("appId")).getOrElse(s"sink-$queryId")
+  private def cols(k: String): Seq[String] =
+    Option(options.get(k)).map(_.split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+  // one namespace per write instance: epoch dirs under it never
+  // collide across restarts (a fresh instance gets a fresh uuid)
+  private val sinkId = s"sink-${UUID.randomUUID().toString}"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new SnapshotSinkWriterFactory(dir, sinkId, schema,
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+
+  override def commit(
+      epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val relPaths = messages.flatMap {
+      case SnapshotDmlCommit(ps) => ps
+      case other => throw new IllegalStateException(s"alien commit message $other")
+    }.toSeq
+    SnapshotTable.commitStreamFiles(spark, dir, relPaths,
+      batchId = epochId, appId = appId,
+      statsCols = cols("statsCols"), bloomCols = cols("bloomCols")): Unit
+  }
+
+  override def abort(
+      epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    SnapshotTable.dropOrphanBatch(spark, dir,
+      Seq(s"$sinkId-e$epochId/_"))
+}
+
+private[dsv2] class SnapshotSinkWriterFactory(
+    dir: String, sinkId: String, schema: StructType,
+    conf: SerializableConfiguration) extends StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new SnapshotDmlWriter(dir,
+      s"$sinkId-e$epochId/part-$partitionId-$taskId.parquet",
+      schema, schema.fields.indices.toArray, conf.value)
+}

@@ -279,7 +279,7 @@ object ScaleProbe {
     // itself is corpus-linear BY DESIGN (it re-fits and re-encodes
     // the whole index — the honest baseline is a rebuild).
     if (Seq("snapshot_commit_bytes", "snapshot_sql_read",
-      "snapshot_stream_drain").exists(wanted))
+      "snapshot_stream_drain", "stream_sink_drain").exists(wanted))
       for (f <- Seq(1, factor)) {
         val dir = s"$scaledBase/f$f/snap_seg_tbl"
         val ev = replicate(
@@ -749,6 +749,25 @@ object ScaleProbe {
             drained.filter(col("_change") === "delete_key").count() == 1000L,
             "the CDF drain from the MoR version must be exactly the keys")
           spark.range(1).toDF()
+        }),
+        // the table-to-table streaming pipeline at volume: source
+        // drain + Group-writer encode + ledgered sink commits — both
+        // halves scan/write-linear by design, absorbed by the 8f-way
+        // parallelism; the commit metadata stays O(delta) per epoch
+        "stream_sink_drain" -> (() => {
+          val t = System.nanoTime()
+          val sink = s"$scaledBase/f$f/sink_$t"
+          val q = spark.readStream.format("graft-snapshot")
+            .load(s"$scaledBase/f$f/snap_seg_tbl")
+            .writeStream.format("graft-snapshot")
+            .option("path", sink).option("appId", "probe")
+            .option("checkpointLocation", s"$scaledBase/f$f/sink_ck_$t")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val n = graft.sources.SnapshotTable.read(spark, sink).count()
+          require(n > 0, "the sink must hold the drained rows")
+          spark.range(n).toDF()
         }),
         // embedding (array<float>) drain at volume: the 3-level list
         // decode is the per-row kernel — scan-LINEAR by design, wall

@@ -850,6 +850,104 @@ class Dsv2SourceSpec extends SparkSpec {
       msgs(boom).toLowerCase.contains("unsupported"), msgs(boom))
   }
 
+  test("streaming SINK: table-to-table pipeline, exactly-once across fresh-checkpoint redelivery") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("snap_sink").toString
+    val src = s"$base/src"
+    val sink = s"$base/sink"
+    SnapshotTable.commitAppend(
+      (0L until 50L).map(i => (i, s"v$i", Array(i.toFloat, -i.toFloat)))
+        .toDF("id", "v", "emb"), src)
+    SnapshotTable.commitAppend(
+      (50L until 80L).map(i => (i, s"v$i", Array(i.toFloat)))
+        .toDF("id", "v", "emb"), src)
+    def drain(ck: String): Unit = {
+      val q = spark.readStream.format("graft-snapshot").load(src)
+        .writeStream.format("graft-snapshot")
+        .option("path", sink)
+        .option("appId", "sinkspec")
+        .option("statsCols", "id")
+        .option("checkpointLocation", s"$base/$ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain("ck1")
+    val out = SnapshotTable.read(spark, sink)
+    assert(out.count() == 80L)
+    assert(out.filter(col("id") === 7L).select("v").head().getString(0) == "v7")
+    assert(out.filter(col("id") === 7L).select("emb").head()
+      .getSeq[Float](0).toList == List(7.0f, -7.0f),
+      "arrays must round-trip through the sink")
+    // sticky stats declaration: the streamed files prune
+    val (kept, total) = SnapshotTable.pruneFiles(spark, sink,
+      Seq(SnapshotTable.StatFilter("id", upper = Some(5L))))
+    assert(kept.size < total, s"streamed files must carry id stats: $kept/$total")
+    // FRESH checkpoint, same appId: every epoch re-delivers, the
+    // ledger no-ops them all — exactly-once across redelivery
+    val versionsBefore = SnapshotTable.versions(spark, sink)
+    drain("ck2")
+    assert(SnapshotTable.read(spark, sink).count() == 80L,
+      "redelivered epochs must not duplicate rows")
+    assert(SnapshotTable.versions(spark, sink) == versionsBefore,
+      "a recognized replay must not even commit a version")
+    // the replayed epochs' orphan files were swept on no-op
+    val live = SnapshotTable.files(spark, sink,
+      SnapshotTable.versions(spark, sink).last).map(_.split('/').head).toSet
+    val onDisk = new java.io.File(sink).listFiles()
+      .filter(_.isDirectory).map(_.getName).filterNot(_ == "_manifests")
+      .filterNot(_.startsWith("_")).toSet
+    assert(onDisk == live, s"replay must sweep its orphans: disk=$onDisk live=$live")
+    // a NEW append drains incrementally into the standing sink
+    SnapshotTable.commitAppend(
+      Seq((99L, "new", Array(9.0f))).toDF("id", "v", "emb"), src)
+    drain("ck1")
+    assert(SnapshotTable.read(spark, sink).count() == 81L)
+  }
+
+  test("CTAS and REPLACE TABLE AS SELECT land as versioned commits") {
+    import graft.sources.SnapshotTable
+    val root = java.nio.file.Files.createTempDirectory("snap_ctas").toString
+    spark.conf.set("spark.sql.catalog.gctas",
+      classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gctas.root", root)
+    new java.io.File(s"$root/ns").mkdirs()
+    spark.sql("CREATE TABLE gctas.ns.t AS " +
+      "SELECT id, concat('v', id) AS v FROM range(100)")
+    assert(spark.sql("SELECT count(*) FROM gctas.ns.t").head().getLong(0) == 100L)
+    assert(spark.sql("SELECT v FROM gctas.ns.t WHERE id = 7")
+      .head().getString(0) == "v7")
+    // CTAS = CREATE (empty v1) + the insert (v2); history intact
+    assert(SnapshotTable.versions(spark, s"$root/ns/t") == Seq(1L, 2L))
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gctas.ns.t AS SELECT 1 AS id")
+    }
+  }
+
+  test("SQL DML conflict rule: a commit between scan and publish aborts loudly") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val dir = s"${java.nio.file.Files.createTempDirectory("snap_conflict")}/t"
+    SnapshotTable.commitAppend(Seq((1L, "a")).toDF("id", "v"), dir)
+    SnapshotTable.commitAppend(Seq((2L, "b")).toDF("id", "v"), dir)
+    val v2files = SnapshotTable.files(spark, dir, 2L)
+    // simulate the row-level write committing against a STALE scan:
+    // head moved to v3 after the scan planned at v2
+    SnapshotTable.commitAppend(Seq((3L, "c")).toDF("id", "v"), dir)
+    val boom = intercept[IllegalArgumentException] {
+      SnapshotTable.commitReplaceFiles(spark, dir, basedOn = 2L,
+        replaced = v2files.toSet, newFiles = Nil)
+    }
+    assert(boom.getMessage.contains("concurrent commit"), boom.getMessage)
+    // and replacing a file the head no longer names refuses too
+    val boom2 = intercept[IllegalArgumentException] {
+      SnapshotTable.commitReplaceFiles(spark, dir, basedOn = 3L,
+        replaced = Set("batch-gone/nope.parquet"), newFiles = Nil)
+    }
+    assert(boom2.getMessage.contains("no longer live"), boom2.getMessage)
+  }
+
   test("CREATE TABLE recovers from a crashed predecessor's orphan _schema.json (ADVICE r12)") {
     import graft.sources.SnapshotTable
     val root = java.nio.file.Files.createTempDirectory("snap_crash").toString
