@@ -4432,6 +4432,33 @@ object SparkEntry {
       out.groupBy("event_type").agg(count(lit(1)).as("n_events"))
         .orderBy("event_type")
     }),
+    // EVENT TIME through the pipeline: timestamps (INT96, annotated
+    // INT64 millis/micros/nanos — whatever the writing engine chose)
+    // decode to identical micros in the streaming source, ride the
+    // sink's standard INT64-micros encode, and bucket exactly like
+    // the batch path — the prerequisite for every watermark/window
+    // job over streamed snapshot data. The oracle replays the
+    // day-bucket census from the base rows.
+    "stream_event_time" -> ((s, dir) => streamRow(s) {
+      import graft.sources.SnapshotTable
+      import org.apache.spark.sql.streaming.Trigger
+      val base = tempDir("graft_stream_ts")
+      val src = s"$base/src"
+      val sink = s"$base/sink"
+      val ev = Tables.events(s, dir).select("event_id", "ts", "event_type")
+      SnapshotTable.commitAppend(ev.filter(col("event_id") % 2 === 0), src)
+      SnapshotTable.commitAppend(ev.filter(col("event_id") % 2 =!= 0), src)
+      val q = s.readStream.format("graft-snapshot").load(src)
+        .writeStream.format("graft-snapshot")
+        .option("path", sink).option("appId", "tsrow")
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      SnapshotTable.read(s, sink)
+        .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("dt"))
+        .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_id"))
+        .orderBy("dt")
+    }),
     // The native streaming SINK (writeStream.format("graft-snapshot"))
     // closing the table-to-table loop: source table → stream → sink
     // table, both ends first-class, exactly-once through the (appId,
@@ -7005,6 +7032,13 @@ object SparkEntry {
     // the streamed table census equals the base census
     "stream_snapshot_source" ->
       """SELECT event_type, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the day buckets of the streamed-and-resunk events equal the
+    // base's — event times survived two format hops exactly
+    "stream_event_time" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt,
+        |       count(*) AS n_events,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_id
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // the sink table holds the source census exactly once, however
     // many times the epochs were delivered

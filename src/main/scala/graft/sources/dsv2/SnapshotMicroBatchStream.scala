@@ -23,6 +23,51 @@ private[dsv2] case class VersionOffset(v: Long) extends Offset {
   override def json(): String = v.toString
 }
 
+/** Timestamp decode shared by the streaming and DML Group readers:
+  * Spark's own writers emit INT96 (julian day + nanos-of-day, the
+  * default) or annotated INT64 (MILLIS/MICROS/NANOS); both normalize
+  * to the MICROS InternalRow carries. CORRECTED-rebase semantics only
+  * (modern dates) — the pre-1583 julian/gregorian hybrid is out of
+  * contract. */
+private[dsv2] object GroupTime {
+  import org.apache.parquet.schema.{GroupType, LogicalTypeAnnotation}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
+  private val JulianEpochDay = 2440588L // 1970-01-01
+
+  def micros(fileType: GroupType, idx: Int, g: Group): java.lang.Long = {
+    val pt = fileType.getType(idx).asPrimitiveType()
+    pt.getPrimitiveTypeName match {
+      case PrimitiveTypeName.INT96 =>
+        val b = g.getInt96(idx, 0).getBytes // 12 bytes little-endian
+        val buf = java.nio.ByteBuffer.wrap(b)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val nanosOfDay = buf.getLong
+        val julianDay = buf.getInt
+        java.lang.Long.valueOf(
+          (julianDay - JulianEpochDay) * 86400000000L + nanosOfDay / 1000L)
+      case PrimitiveTypeName.INT64 =>
+        val raw = g.getLong(idx, 0)
+        pt.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                java.lang.Long.valueOf(raw * 1000L)
+              case LogicalTypeAnnotation.TimeUnit.MICROS =>
+                java.lang.Long.valueOf(raw)
+              case LogicalTypeAnnotation.TimeUnit.NANOS =>
+                java.lang.Long.valueOf(raw / 1000L)
+            }
+          case other => throw new IllegalArgumentException(
+            s"INT64 timestamp column without a timestamp annotation " +
+              s"($other) — cannot infer the unit")
+        }
+      case other => throw new IllegalArgumentException(
+        s"unsupported physical timestamp type $other")
+    }
+  }
+}
+
 private[dsv2] object SnapshotMicroBatchStream {
   /** The change-feed columns `readChangeFeed=true` appends to the
     * table schema. `_change` is 'insert' (an appended row) or
@@ -79,7 +124,8 @@ private[dsv2] class SnapshotMicroBatchStream(
     f.dataType match {
       case _ if cdf && cdfNames.contains(f.name) => ()
       case LongType | IntegerType | DoubleType | FloatType |
-           BooleanType | StringType => ()
+           BooleanType | StringType | DateType |
+           TimestampType | TimestampNTZType => ()
       // arrays of the flat set — the EMBEDDING ingest shape (a vector
       // pipeline streams array<float> rows from a snapshot table into
       // its ANN indexes); standard 3-level parquet lists
@@ -223,6 +269,9 @@ private[dsv2] class SnapshotGroupReader(
         case FloatType => java.lang.Float.valueOf(g.getFloat(idx, 0))
         case BooleanType => java.lang.Boolean.valueOf(g.getBoolean(idx, 0))
         case StringType => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+        case DateType => java.lang.Integer.valueOf(g.getInteger(idx, 0))
+        case TimestampType | TimestampNTZType =>
+          GroupTime.micros(schemaFields, idx, g)
         case ArrayType(et, _) =>
           // standard 3-level list: optional group (LIST) { repeated
           // group { optional ELEM } } — names vary by writer, so walk

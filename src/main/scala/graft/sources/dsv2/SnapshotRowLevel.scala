@@ -68,7 +68,8 @@ private[dsv2] object SnapshotRowLevel {
     * contract + DATE). */
   def supported(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | FloatType |
-         BooleanType | StringType | DateType => true
+         BooleanType | StringType | DateType |
+         TimestampType | TimestampNTZType => true
     case _ => false
   }
 
@@ -107,7 +108,7 @@ private[dsv2] class SnapshotRowLevelOperation(
     val schema = tableSchema()
     schema.fields.foreach(f => require(SnapshotRowLevel.supported(f.dataType),
       s"SQL DML on graft-snapshot tables rides the flat-type contract " +
-        s"(integral/double/float/boolean/string/date); '${f.name}' is " +
+        s"(integral/double/float/boolean/string/date/timestamp); '${f.name}' is " +
         s"${f.dataType.catalogString} — use the SnapshotTable API for this table"))
     new SnapshotDmlScanBuilder(this, schema)
   }
@@ -284,6 +285,8 @@ private[dsv2] class SnapshotDmlReader(
             case BooleanType => java.lang.Boolean.valueOf(g.getBoolean(idx, 0))
             case StringType => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
             case DateType => java.lang.Integer.valueOf(g.getInteger(idx, 0))
+            case TimestampType | TimestampNTZType =>
+              GroupTime.micros(fileType, idx, g)
             case other => throw new IllegalStateException(
               s"unreachable: plan-time gate admits no ${other.catalogString}")
           }
@@ -395,6 +398,12 @@ private[dsv2] class SnapshotDmlWriter(
         .as(LogicalTypeAnnotation.stringType()).named(name)
       case DateType => b.optional(PrimitiveTypeName.INT32)
         .as(LogicalTypeAnnotation.dateType()).named(name)
+      case TimestampType => b.optional(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(true,
+          LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
+      case TimestampNTZType => b.optional(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(false,
+          LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
       case other => throw new IllegalStateException(
         s"unreachable: gate admits no ${other.catalogString}")
     }
@@ -458,6 +467,7 @@ private[dsv2] class SnapshotDmlWriter(
         case StringType =>
           g.add(i, Binary.fromConstantByteArray(row.getUTF8String(src).getBytes))
         case DateType => g.add(i, row.getInt(src))
+        case TimestampType | TimestampNTZType => g.add(i, row.getLong(src))
         case ArrayType(et, _) =>
           val a: ArrayData = row.getArray(src)
           val listG = g.addGroup(i)

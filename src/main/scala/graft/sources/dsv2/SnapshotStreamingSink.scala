@@ -41,16 +41,22 @@ private[dsv2] class SnapshotStreamingWrite(
   schema.fields.foreach { f =>
     def flat(dt: DataType): Boolean = dt match {
       case LongType | IntegerType | DoubleType | FloatType |
-           BooleanType | StringType | DateType => true
+           BooleanType | StringType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    def arrayElem(dt: DataType): Boolean = dt match {
+      case LongType | IntegerType | DoubleType | FloatType |
+           BooleanType | StringType => true
       case _ => false
     }
     val ok = f.dataType match {
-      case ArrayType(et, _) => flat(et) && et != DateType
+      case ArrayType(et, _) => arrayElem(et)
       case dt => flat(dt)
     }
     require(ok,
       s"graft-snapshot streaming sink writes flat " +
-        s"integral/double/float/boolean/string/date columns (and arrays " +
+        s"integral/double/float/boolean/string/date/timestamp columns (and arrays " +
         s"of them); '${f.name}' is ${f.dataType.catalogString}")
   }
 

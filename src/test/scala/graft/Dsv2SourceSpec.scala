@@ -906,6 +906,50 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, sink).count() == 81L)
   }
 
+  test("timestamps stream through source and sink: INT96 and annotated-INT64 files decode to identical event times") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("snap_ts").toString
+    val src = s"$base/src"
+    val sink = s"$base/sink"
+    val k = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(k)
+    try {
+      // file 1: Spark's default INT96 timestamps (+ NTZ as INT64)
+      spark.conf.set(k, "INT96")
+      SnapshotTable.commitAppend(Seq(
+        (1L, java.sql.Timestamp.valueOf("2024-03-01 10:30:00.123456"),
+          java.time.LocalDateTime.parse("2024-03-01T01:02:03.000004")))
+        .toDF("id", "ts", "nt"), src)
+      // file 2: standard INT64 MILLIS annotation (milli-grain values)
+      spark.conf.set(k, "TIMESTAMP_MILLIS")
+      SnapshotTable.commitAppend(Seq(
+        (2L, java.sql.Timestamp.valueOf("1999-12-31 23:59:59.987"),
+          java.time.LocalDateTime.parse("1999-12-31T23:00:00.001")))
+        .toDF("id", "ts", "nt"), src)
+      // file 3: INT64 MICROS
+      spark.conf.set(k, "TIMESTAMP_MICROS")
+      SnapshotTable.commitAppend(Seq(
+        (3L, java.sql.Timestamp.valueOf("2031-06-15 00:00:00.000001"),
+          java.time.LocalDateTime.parse("2031-06-15T12:00:00.999999")))
+        .toDF("id", "ts", "nt"), src)
+    } finally spark.conf.set(k, prev)
+    val q = spark.readStream.format("graft-snapshot").load(src)
+      .writeStream.format("graft-snapshot")
+      .option("path", sink).option("appId", "tsspec")
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def census(dir: String) = SnapshotTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getAs[java.time.LocalDateTime](2).toString)).toSet
+    assert(census(sink) == census(src),
+      s"event times must survive the pipeline exactly:\n" +
+        s"src=${census(src)}\nsink=${census(sink)}")
+    assert(census(sink).size == 3)
+  }
+
   test("CTAS and REPLACE TABLE AS SELECT land as versioned commits") {
     import graft.sources.SnapshotTable
     val root = java.nio.file.Files.createTempDirectory("snap_ctas").toString
