@@ -296,5 +296,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.SparkSession.active,
           strLit(args(0), "dir")).queryExecution.analyzed
       }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_table_detail"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_table_detail"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "usage: graft_table_detail(dir)")
+        graft.sources.SnapshotTable.detail(
+          org.apache.spark.sql.SparkSession.active,
+          strLit(args(0), "dir")).queryExecution.analyzed
+      }))
   }
 }

@@ -4432,6 +4432,36 @@ object SparkEntry {
       out.groupBy("event_type").agg(count(lit(1)).as("n_events"))
         .orderBy("event_type")
     }),
+    // The full structured-streaming semantics over the snapshot
+    // source: watermark + event-time window aggregation (the same
+    // windowedEventCounts state machine the file-source row runs),
+    // fed by version-offset micro-batches — the format is a
+    // first-class event-time stream, not just a row feed. Oracle =
+    // the day census from the base rows.
+    "stream_snapshot_windowed" -> ((s, dir) => streamRow(s) {
+      import graft.sources.SnapshotTable
+      val base = tempDir("graft_stream_swc")
+      val tbl = s"$base/tbl"
+      val ev = Tables.events(s, dir).select("event_id", "ts")
+      SnapshotTable.commitAppend(ev.filter(col("event_id") % 2 === 0), tbl)
+      SnapshotTable.commitAppend(ev.filter(col("event_id") % 2 =!= 0), tbl)
+      val stream = s.readStream.format("graft-snapshot").load(tbl)
+      val counts = graft.streaming.IncrementalSync
+        .windowedEventCounts(stream, "10 minutes", "1 day")
+      val q = counts.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          graft.sources.Sinks.overwriteAtomic(b, s"$base/target"); ()
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/target")
+        .select(expr("unix_micros(window_start) DIV 1000").as("start_ms"),
+          col("tally"))
+        .orderBy("start_ms")
+    }),
     // EVENT TIME through the pipeline: timestamps (INT96, annotated
     // INT64 millis/micros/nanos — whatever the writing engine chose)
     // decode to identical micros in the streaming source, ride the
@@ -7032,6 +7062,12 @@ object SparkEntry {
     // the streamed table census equals the base census
     "stream_snapshot_source" ->
       """SELECT event_type, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the watermark-windowed census over the snapshot stream equals
+    // the batch day census
+    "stream_snapshot_windowed" ->
+      """SELECT (epoch_ms(ts) // 86400000) * 86400000 AS start_ms,
+        |       count(event_id) AS tally
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // the day buckets of the streamed-and-resunk events equal the
     // base's — event times survived two format hops exactly

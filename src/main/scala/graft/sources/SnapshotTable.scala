@@ -1972,6 +1972,27 @@ object SnapshotTable {
       "n_removed", "n_carried", "n_pending_deletes", "op_class")
   }
 
+  /** One-row table DETAIL from the head manifest alone (the
+    * `graft_table_detail` TVF): version, file/row/byte census, pending
+    * MoR deletes, declared stats/bloom columns. Row and byte totals
+    * are null when ANY entry predates their recording — a partial sum
+    * would read as the whole table. */
+  def detail(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"snapshot table $dir has no committed version")
+    val m = readManifest(spark, dir, vs.last)
+    def total(f: Entry => Long): Option[Long] = {
+      val xs = m.entries.map(f)
+      if (xs.exists(_ < 0L)) None else Some(xs.sum)
+    }
+    Seq((vs.last, m.committedAtMs, m.entries.size,
+      total(_.rows), total(_.bytes), m.deletes.size,
+      m.statsCols.mkString(","), m.bloomCols.mkString(",")))
+      .toDF("version", "committed_at_ms", "n_files", "total_rows",
+        "total_bytes", "n_pending_deletes", "stats_cols", "bloom_cols")
+  }
+
   /** The report one `maintainTable` pass leaves behind — which
     * primitives fired and what they found. */
   final case class MaintenanceReport(

@@ -1703,6 +1703,13 @@ class SnapshotTableSpec extends SparkSpec {
       spark.sql(s"SELECT * FROM graft_table_changes('$dir', 1, 2 + id)")
     }
     assert(boom.getMessage != null)
+    // DETAIL: the one-row census from the head manifest alone
+    val det = spark.sql(s"SELECT * FROM graft_table_detail('$dir')").head()
+    assert(det.getAs[Long]("version") == 2L)
+    assert(det.getAs[Int]("n_files") >= 2)
+    assert(det.getAs[Long]("total_rows") == 3L)
+    assert(det.getAs[Long]("total_bytes") > 0L,
+      "entry byte recording must price the table")
   }
 
   test("streaming MoR delete replay-checks O(1): works past the materialization guard (ADVICE r12)") {
