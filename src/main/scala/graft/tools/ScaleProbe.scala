@@ -306,8 +306,8 @@ object ScaleProbe {
     // `gprobe.f<f>.snap_dml_tbl` resolves to the fixture dir. The CDF
     // fixture carries one CONSTANT-size MoR delete on top (1000 keys
     // whatever f is) — the retraction feed must drain at key cost.
-    if (Seq("sql_dml_pruned", "sql_dml_unpruned", "stream_cdf_drain")
-      .exists(wanted)) {
+    if (Seq("sql_dml_pruned", "sql_dml_unpruned", "sql_dml_merge",
+      "stream_cdf_drain").exists(wanted)) {
       spark.conf.set("spark.sql.catalog.gprobe",
         classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
       spark.conf.set("spark.sql.catalog.gprobe.root", scaledBase)
@@ -319,7 +319,8 @@ object ScaleProbe {
             col("event_type"))
           .withColumn("tag", concat(lit("t"), col("event_id").cast("string")))
           .repartitionByRange(8 * f, col("event_id"))
-        if (Seq("sql_dml_pruned", "sql_dml_unpruned").exists(wanted))
+        if (Seq("sql_dml_pruned", "sql_dml_unpruned", "sql_dml_merge")
+          .exists(wanted))
           graft.sources.SnapshotTable.commitAppend(
             ev, s"$scaledBase/f$f/snap_dml_tbl", statsCols = Seq("event_id"))
         if (wanted("stream_cdf_drain")) {
@@ -717,6 +718,27 @@ object ScaleProbe {
               s"$scaledBase/f$f/snap_dml_tbl").last)
           require(after.size >= 8 * f,
             s"the pruned DELETE must rewrite ~1 group, census: ${after.size}")
+          spark.range(1).toDF()
+        }),
+        // SQL MERGE at volume: a constant-size source whose matched
+        // keys live in ~1 of 8f slabs — join-driven group filtering
+        // bounds the rewrite like the ranged DELETE, inserts ride the
+        // same batch; near-FLAT is the claim
+        "sql_dml_merge" -> (() => {
+          spark.range(0, 500)
+            .select(col("id").as("event_id"),
+              lit("merged").as("event_type"),
+              concat(lit("m"), col("id").cast("string")).as("tag"))
+            .unionByName(spark.range(0, 100)
+              .select((col("id") + 900000000000L).as("event_id"),
+                lit("inserted").as("event_type"),
+                concat(lit("i"), col("id").cast("string")).as("tag")))
+            .createOrReplaceTempView("probe_merge_src")
+          spark.sql(s"MERGE INTO gprobe.f$f.snap_dml_tbl t " +
+            "USING probe_merge_src s ON t.event_id = s.event_id " +
+            "WHEN MATCHED THEN UPDATE SET event_type = s.event_type " +
+            "WHEN NOT MATCHED THEN INSERT (event_id, event_type, tag) " +
+            "VALUES (s.event_id, s.event_type, s.tag)")
           spark.range(1).toDF()
         }),
         // SQL DELETE on the stats-free tag column: group DISCOVERY is

@@ -950,6 +950,39 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(census(sink).size == 3)
   }
 
+  test("SQL DML reads old files through the rename map and re-added columns as null") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val root = java.nio.file.Files.createTempDirectory("snap_dml_ren").toString
+    spark.conf.set("spark.sql.catalog.gren",
+      classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gren.root", root)
+    val dir = s"$root/ns/t"
+    new java.io.File(s"$root/ns").mkdirs()
+    // file 1 physically carries (id, v); the table then renames v→label
+    SnapshotTable.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    SnapshotTable.commitRenameColumn(spark, dir, "v", "label")
+    // file 2 carries the CURRENT name
+    SnapshotTable.commitAppend(Seq((3L, "c")).toDF("id", "label"), dir)
+    // UPDATE through SQL: the row-level scan must decode file 1's
+    // physical 'v' as logical 'label' (writeTimeName), or the rewrite
+    // would null every pre-rename row it carries
+    spark.sql("UPDATE gren.ns.t SET label = 'patched' WHERE id = 2")
+    val rows = spark.sql("SELECT id, label FROM gren.ns.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "patched"), (3L, "c")),
+      s"pre-rename values must survive the COW rewrite: $rows")
+    // drop then re-add the name: the OLD file's 'label' bytes are a
+    // dead generation — DML must read them as null, not resurrect
+    SnapshotTable.commitDropColumn(spark, dir, "label")
+    SnapshotTable.commitAppend(Seq((4L, "fresh")).toDF("id", "label"), dir)
+    spark.sql("DELETE FROM gren.ns.t WHERE id = 1")
+    val after = spark.sql("SELECT id, label FROM gren.ns.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(after == Seq((2L, None), (3L, None), (4L, Some("fresh"))),
+      s"a re-added column must read null on pre-drop files: $after")
+  }
+
   test("CTAS and REPLACE TABLE AS SELECT land as versioned commits") {
     import graft.sources.SnapshotTable
     val root = java.nio.file.Files.createTempDirectory("snap_ctas").toString
