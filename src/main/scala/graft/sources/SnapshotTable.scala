@@ -2769,6 +2769,7 @@ object SnapshotTable {
       if (newEntries == null)
         newEntries = batchEntries(spark, dir, relPaths, m.statsCols,
           m.bloomCols, m.bloomFpp)
+      testRaceHook()
       if (tryPublish(spark, dir,
         Manifest(headV + 1, m.ledger.add(appId, batchId), m.statsCols,
           m.entries ++ newEntries.map(_.copy(seq = headV + 1)),

@@ -1712,6 +1712,35 @@ class SnapshotTableSpec extends SparkSpec {
       "entry byte recording must price the table")
   }
 
+  test("two sinks racing the same (appId, epoch): the loser no-ops and sweeps its files, never duplicates") {
+    val dir = freshDir()
+    SnapshotTable.commitAppend(Seq((0L, "base")).toDF("id", "v"), dir)
+    def stage(name: String, rows: Seq[(Long, String)]): Seq[String] = {
+      rows.toDF("id", "v").repartition(1).write.parquet(s"$dir/$name")
+      new java.io.File(s"$dir/$name").listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).map(n => s"$name/$n").toSeq
+    }
+    val winner = stage("sb-w", Seq((1L, "winner")))
+    val loser = stage("sb-l", Seq((2L, "loser")))
+    // the racer publishes the SAME (appId, epoch) between the loser's
+    // head read and its publish — the loser must lose tryPublish,
+    // re-read, find the key committed, sweep its own files, and no-op
+    val res = withRace {
+      assert(SnapshotTable.commitStreamFiles(
+        spark, dir, winner, batchId = 5L, appId = "race").nonEmpty)
+    } {
+      SnapshotTable.commitStreamFiles(
+        spark, dir, loser, batchId = 5L, appId = "race")
+    }
+    assert(res.isEmpty, "the loser must recognize the replay, not double-commit")
+    val rows = SnapshotTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((0L, "base"), (1L, "winner")),
+      s"exactly one of the racers' batches may land: $rows")
+    assert(!new java.io.File(s"$dir/sb-l").exists(),
+      "the loser's orphan batch must be swept on no-op")
+  }
+
   test("streaming MoR delete replay-checks O(1): works past the materialization guard (ADVICE r12)") {
     val dir = freshDir()
     SnapshotTable.commitAppend((1L to 10L).toDF("id"), dir)
