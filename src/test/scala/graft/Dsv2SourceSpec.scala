@@ -1000,6 +1000,12 @@ class Dsv2SourceSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("CREATE TABLE gctas.ns.t AS SELECT 1 AS id")
     }
+    // REPLACE TABLE AS SELECT: drop + recreate through the catalog
+    spark.sql("CREATE OR REPLACE TABLE gctas.ns.t AS " +
+      "SELECT id, concat('w', id) AS v FROM range(10)")
+    assert(spark.sql("SELECT count(*) FROM gctas.ns.t").head().getLong(0) == 10L)
+    assert(spark.sql("SELECT v FROM gctas.ns.t WHERE id = 3")
+      .head().getString(0) == "w3")
   }
 
   test("SQL DML conflict rule: a commit between scan and publish aborts loudly") {
