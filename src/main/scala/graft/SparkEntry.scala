@@ -2983,6 +2983,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_id"))
         .orderBy("label")
     }),
+    // The manifest's OWN row census against the data it describes:
+    // graft_table_detail answers from the head manifest alone (zero
+    // data I/O), and the oracle counts the base rows — a drifted entry
+    // row count anywhere (merge, compaction, delete) fails the hash.
+    // In-row requires pin the byte census and head version too.
+    "snapshot_detail_sql" -> ((s, dir) => {
+      val tbl = snapMergeTable(s, dir)
+      val det = s.sql(s"SELECT * FROM graft_table_detail('$tbl')").head()
+      require(det.getAs[Long]("version") == 4L,
+        s"detail must report the head version: $det")
+      require(det.getAs[Long]("total_bytes") > 0L,
+        s"the byte census must be recorded: $det")
+      require(det.getAs[Int]("n_pending_deletes") == 0,
+        s"the COW table carries no MoR deletes: $det")
+      s.sql(s"SELECT total_rows AS n_rows FROM graft_table_detail('$tbl')")
+    }),
     // CDC through PURE SQL: the graft_table_changes TVF
     // (injectTableFunction) splices changesBetween's plan at analysis
     // time — same classified fast paths, zero API calls; the in-row
@@ -6877,6 +6893,10 @@ object SparkEntry {
         |       CAST(sum(event_id) AS BIGINT) AS sum_id
         |FROM events JOIN dim USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the manifest's row census equals the logical row count (head v4
+    // = events with the %10 slice restated — same cardinality)
+    "snapshot_detail_sql" ->
+      """SELECT count(*) AS n_rows FROM events""",
     // the SQL TVF reads the same change set the API read reads
     "snapshot_changes_sql" ->
       """WITH ch AS (
