@@ -127,6 +127,17 @@ object SnapshotTable {
     * applying. */
   private[graft] final case class Drop(name: String, seq: Long)
 
+  /** One COLUMN ADD (`ALTER TABLE ADD COLUMN`), seq-scoped: from this
+    * commit on, the logical schema carries the column; files written
+    * before it read NULL under it (they don't carry the field), files
+    * written after carry it physically. `typeJson` is the Spark
+    * DataType JSON — the declared type the injected nulls cast to
+    * when NO read file carries the column yet. Time travel to a
+    * pre-add version shows the pre-widening schema (that manifest has
+    * no add op). A later RENAME follows the added name; a later DROP
+    * kills it (the add stops injecting). */
+  private[graft] final case class AddCol(name: String, typeJson: String, seq: Long)
+
   /** The exactly-once ledger of ONE writer, in O(1)-per-manifest form:
     * `hwm` is a high-watermark (every id ≤ hwm is committed), `recent`
     * the committed ids above it. A contiguously-committing stream
@@ -211,7 +222,8 @@ object SnapshotTable {
       deletes: Seq[DeleteFile] = Nil,
       renames: Seq[Rename] = Nil,
       drops: Seq[Drop] = Nil,
-      segments: Seq[Segment] = Nil)
+      segments: Seq[Segment] = Nil,
+      adds: Seq[AddCol] = Nil)
 
   /** Renames and drops interleaved in commit order — the one
     * schema-op stream every read and metadata lookup walks. */
@@ -245,6 +257,27 @@ object SnapshotTable {
   /** An entry's stat for TODAY'S `current` column name. */
   private def entryStat(m: Manifest, e: Entry, current: String): Option[FileStat] =
     writeTimeName(m, current, e.seq).flatMap(e.stats.get)
+
+  /** The LIVE added columns of `m` under TODAY'S names: each add
+    * followed forward through later renames, killed by a later drop
+    * of its then-current name. */
+  private[graft] def liveAdds(m: Manifest): Seq[(String, DataType)] =
+    m.adds.flatMap { a =>
+      schemaOps(m).filter(opSeq(_) > a.seq).foldLeft(Option(a.name)) {
+        case (None, _) => None
+        case (Some(n), Left(r)) => Some(if (r.from == n) r.to else n)
+        case (Some(n), Right(d)) => if (d.name == n) None else Some(n)
+      }.map(n => n -> DataType.fromJson(a.typeJson))
+    }
+
+  /** Inject every live added column the scanned files don't carry as
+    * a typed NULL — the read-side face of ALTER TABLE ADD COLUMN.
+    * Once any post-add file carries the column physically, mergeSchema
+    * surfaces it and this is a no-op. */
+  private def withLiveAdds(df: DataFrame, m: Manifest): DataFrame =
+    liveAdds(m).foldLeft(df) { case (d, (n, dt)) =>
+      if (d.columns.contains(n)) d else d.withColumn(n, lit(null).cast(dt))
+    }
 
   /** An inclusive-bounds range predicate over one stat column, used
     * for planning-time file pruning. `lower`/`upper` accept any
@@ -334,6 +367,15 @@ object SnapshotTable {
         val dn = ds2.addObject()
         dn.put("name", d.name)
         dn.put("seq", d.seq): Unit
+      }
+    }
+    if (m.adds.nonEmpty) {
+      val as = root.putArray("adds")
+      m.adds.foreach { a =>
+        val an = as.addObject()
+        an.put("name", a.name)
+        an.put("type", a.typeJson)
+        an.put("seq", a.seq): Unit
       }
     }
     val segs = root.putArray("segments")
@@ -514,13 +556,19 @@ object SnapshotTable {
         Drop(dn.get("name").asText, dn.get("seq").asLong)
       }
     }.getOrElse(Seq.empty)
+    val adds = Option(root.get("adds")).map { a =>
+      (0 until a.size).map { i =>
+        val an = a.get(i)
+        AddCol(an.get("name").asText, an.get("type").asText, an.get("seq").asLong)
+      }
+    }.getOrElse(Seq.empty)
     // the slot NAME is authoritative for the version — a manifest can
     // land in a slot other than the one its writer targeted only via
     // out-of-band copies (the race spec does exactly that), and the
     // ledger must follow the slot, not the stale body field
     Manifest(v, ledger, statsCols, entries,
       Option(root.get("committedAtMs")).map(_.asLong).getOrElse(0L),
-      bloomCols, bloomFpp, deletes, renames, drops, segments)
+      bloomCols, bloomFpp, deletes, renames, drops, segments, adds)
   }
 
   /** The file list version `v` names (paths relative to `dir`) — the
@@ -684,13 +732,15 @@ object SnapshotTable {
   private def renamedRawRead(
       spark: SparkSession, dir: String, m: Manifest, entries: Seq[Entry]): DataFrame = {
     val ops = schemaOps(m)
-    if (ops.isEmpty) rawRead(spark, dir, entries)
-    else entries.groupBy { e =>
-      val i = ops.indexWhere(opSeq(_) > e.seq)
-      if (i < 0) ops.length else i
-    }.toSeq.sortBy(_._1).map { case (oi, es) =>
-      applySchemaOps(rawRead(spark, dir, es), ops.drop(oi))
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    val base =
+      if (ops.isEmpty) rawRead(spark, dir, entries)
+      else entries.groupBy { e =>
+        val i = ops.indexWhere(opSeq(_) > e.seq)
+        if (i < 0) ops.length else i
+      }.toSeq.sortBy(_._1).map { case (oi, es) =>
+        applySchemaOps(rawRead(spark, dir, es), ops.drop(oi))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+    withLiveAdds(base, m)
   }
 
   /** The LOGICAL rows of `entries` under `m`: the physical scan with
@@ -707,7 +757,8 @@ object SnapshotTable {
     require(entries.nonEmpty, "entriesFrame needs at least one entry")
     val dels = m.deletes.sortBy(_.seq)
     val ops = schemaOps(m)
-    if (dels.isEmpty && ops.isEmpty) rawRead(spark, dir, entries)
+    if (dels.isEmpty && ops.isEmpty)
+      withLiveAdds(rawRead(spark, dir, entries), m)
     else {
       // both lists are seq-scoped, so an entry's applicable set is
       // always a SUFFIX of each — group by the two suffix starts
@@ -718,7 +769,7 @@ object SnapshotTable {
       val groups = entries.groupBy(e =>
         (suffix[Either[Rename, Drop]](ops, opSeq, e),
           suffix[DeleteFile](dels, _.seq, e)))
-      groups.toSeq.sortBy(_._1).map { case ((oi, di), es) =>
+      val groupsJoined = groups.toSeq.sortBy(_._1).map { case ((oi, di), es) =>
         // schema ops first: the group's frame surfaces under TODAY'S
         // names (dropped generations hidden), so delete keys (mapped
         // to today's names too) and the cross-group unionByName line
@@ -743,6 +794,7 @@ object SnapshotTable {
           }
         }
       }.reduce(_.unionByName(_, allowMissingColumns = true))
+      withLiveAdds(groupsJoined, m)
     }
   }
 
@@ -766,10 +818,17 @@ object SnapshotTable {
 
   /** Order-preserving comparison of two normalized stat values;
     * None when the pair is incomparable (mixed types — the pruner
-    * then keeps the file). */
+    * then keeps the file). Strings compare in UTF-8 BINARY order —
+    * the order Spark's min/max aggregates computed the stats in —
+    * never in java.lang.String's UTF-16 code-unit order: the two
+    * disagree for supplementary characters (U+10000+) mixed with
+    * [U+E000,U+FFFF], and a prune/classify proof in the wrong order
+    * silently drops files that hold matching rows. */
   private def cmpStat(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: java.math.BigDecimal, y: java.math.BigDecimal) => Some(x.compareTo(y))
-    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: String, y: String) =>
+      Some(org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)))
     case _ => None
   }
 
@@ -1797,7 +1856,8 @@ object SnapshotTable {
         bloomCols = tableBlooms, bloomFpp = fpp,
         deletes = dels,
         renames = if (append) head.map(_.renames).getOrElse(Nil) else Nil,
-        drops = if (append) head.map(_.drops).getOrElse(Nil) else Nil),
+        drops = if (append) head.map(_.drops).getOrElse(Nil) else Nil,
+        adds = if (append) head.map(_.adds).getOrElse(Nil) else Nil),
         carry = if (append) head.map(_.segments).getOrElse(Nil) else Nil))
         return Some(next)
     }
@@ -1850,7 +1910,7 @@ object SnapshotTable {
         Manifest(headV + 1, head.ledger, target.statsCols, target.entries,
           bloomCols = target.bloomCols, bloomFpp = target.bloomFpp,
           deletes = target.deletes,
-          renames = target.renames, drops = target.drops),
+          renames = target.renames, drops = target.drops, adds = target.adds),
         // the restore is a metadata-only commit: the target's own
         // segments carry by name, zero entry bytes rewritten
         carry = target.segments))
@@ -1897,7 +1957,7 @@ object SnapshotTable {
           bloomCols = m.bloomCols.map(follow), bloomFpp = m.bloomFpp,
           deletes = m.deletes,
           renames = m.renames :+ Rename(from, to, next),
-          drops = m.drops),
+          drops = m.drops, adds = m.adds),
         carry = m.segments)) // metadata-only: every segment carries
         return next
     }
@@ -1936,7 +1996,44 @@ object SnapshotTable {
         Manifest(next, m.ledger, m.statsCols.filterNot(_ == name), m.entries,
           bloomCols = m.bloomCols.filterNot(_ == name), bloomFpp = m.bloomFpp,
           deletes = m.deletes,
-          renames = m.renames, drops = m.drops :+ Drop(name, next)),
+          renames = m.renames, drops = m.drops :+ Drop(name, next),
+          adds = m.adds),
+        carry = m.segments)) // metadata-only: every segment carries
+        return next
+    }
+    -1L // unreachable
+  }
+
+  /** ADD a column (`ALTER TABLE … ADD COLUMN`) — the widening half of
+    * schema evolution, METADATA-ONLY and seq-scoped like rename/drop:
+    * the commit records the name and declared type; files written
+    * before it read NULL under the column (the format's ordinary
+    * pre-widening behavior), files written after carry it physically
+    * (at which point mergeSchema surfaces it and the recorded add is
+    * inert). Time travel to a pre-add version shows the pre-widening
+    * schema. Refused when the name is already in the logical schema —
+    * including a live prior add. Returns the committed version. */
+  def commitAddColumn(
+      spark: SparkSession, dir: String, name: String, dt: DataType): Long = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 20, s"add-column on $dir lost 20 straight races; giving up")
+      val headV = versions(spark, dir).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"snapshot table $dir has no committed version"))
+      val m = readManifest(spark, dir, headV)
+      val cols: Set[String] =
+        (if (m.entries.nonEmpty)
+          entriesFrame(spark, dir, m, m.entries).columns.toSet
+        else Set.empty) ++ liveAdds(m).map(_._1)
+      require(!cols.contains(name),
+        s"commitAddColumn: '$name' already exists in $dir")
+      val next = headV + 1
+      if (tryPublish(spark, dir,
+        Manifest(next, m.ledger, m.statsCols, m.entries,
+          bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
+          deletes = m.deletes, renames = m.renames, drops = m.drops,
+          adds = m.adds :+ AddCol(name, dt.json, next)),
         carry = m.segments)) // metadata-only: every segment carries
         return next
     }
@@ -2229,7 +2326,7 @@ object SnapshotTable {
           large.map(_._1) ++ newEntries.map(_.copy(seq = headV + 1)),
           bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
           deletes = m.deletes,
-          renames = m.renames, drops = m.drops),
+          renames = m.renames, drops = m.drops, adds = m.adds),
         carry = m.segments)) // all-large segments carry by name
         return headV + 1
       dropOrphanBatch(spark, dir, batchFiles)
@@ -2494,7 +2591,7 @@ object SnapshotTable {
           untouched ++ newEntries.map(_.copy(seq = headV + 1)),
           bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
           deletes = m.deletes,
-          renames = m.renames, drops = m.drops),
+          renames = m.renames, drops = m.drops, adds = m.adds),
         carry = m.segments)) // untouched-file segments carry by name
         return headV + 1
       // lost the race: our batch is orphaned (no manifest names it);
@@ -2531,7 +2628,7 @@ object SnapshotTable {
           Manifest(headV + 1, m.ledger, m.statsCols, m.entries,
             bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
             deletes = m.deletes,
-            renames = m.renames, drops = m.drops),
+            renames = m.renames, drops = m.drops, adds = m.adds),
           carry = m.segments))
           return headV + 1
       } else {
@@ -2546,7 +2643,7 @@ object SnapshotTable {
             untouched ++ newEntries.map(_.copy(seq = headV + 1)),
             bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
             deletes = m.deletes,
-            renames = m.renames, drops = m.drops),
+            renames = m.renames, drops = m.drops, adds = m.adds),
           carry = m.segments))
           return headV + 1
         dropOrphanBatch(spark, dir, batchFiles)
@@ -2684,7 +2781,7 @@ object SnapshotTable {
       if (tryPublish(spark, dir,
         Manifest(headV + 1, m.ledger, m.statsCols, keep,
           bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
-          deletes = m.deletes, renames = m.renames, drops = m.drops),
+          deletes = m.deletes, renames = m.renames, drops = m.drops, adds = m.adds),
         carry = m.segments))
         return headV + 1
     }
@@ -2722,7 +2819,7 @@ object SnapshotTable {
       Manifest(headV + 1, m.ledger, m.statsCols,
         untouched ++ newEntries.map(_.copy(seq = headV + 1)),
         bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
-        deletes = m.deletes, renames = m.renames, drops = m.drops),
+        deletes = m.deletes, renames = m.renames, drops = m.drops, adds = m.adds),
       carry = m.segments),
       s"concurrent commit on $dir during SQL DML publish: aborting — re-run")
     headV + 1
@@ -2774,7 +2871,7 @@ object SnapshotTable {
         Manifest(headV + 1, m.ledger.add(appId, batchId), m.statsCols,
           m.entries ++ newEntries.map(_.copy(seq = headV + 1)),
           bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
-          deletes = m.deletes, renames = m.renames, drops = m.drops),
+          deletes = m.deletes, renames = m.renames, drops = m.drops, adds = m.adds),
         carry = m.segments))
         return Some(headV + 1)
     }
@@ -2911,7 +3008,7 @@ object SnapshotTable {
           streamKey.fold(m.ledger)(m.ledger.addKey), m.statsCols, m.entries,
           bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
           deletes = m.deletes :+ DeleteFile(paths, curCols, next, nKeys),
-          renames = m.renames, drops = m.drops),
+          renames = m.renames, drops = m.drops, adds = m.adds),
         carry = m.segments)) // zero data files touched: all carry
         return Some(next)
     }
@@ -3019,7 +3116,7 @@ object SnapshotTable {
         if (tryPublish(spark, dir,
           Manifest(headV + 1, m.ledger, m.statsCols, m.entries,
             bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
-            renames = m.renames, drops = m.drops),
+            renames = m.renames, drops = m.drops, adds = m.adds),
           carry = m.segments))
           return headV + 1
       } else {
@@ -3032,7 +3129,7 @@ object SnapshotTable {
           Manifest(headV + 1, m.ledger, m.statsCols,
             untouched ++ newEntries.map(_.copy(seq = headV + 1)),
             bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
-            renames = m.renames, drops = m.drops),
+            renames = m.renames, drops = m.drops, adds = m.adds),
           carry = m.segments))
           return headV + 1
         dropOrphanBatch(spark, dir, batchFiles)

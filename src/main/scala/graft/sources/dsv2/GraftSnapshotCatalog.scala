@@ -126,29 +126,60 @@ class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces {
     new SnapshotCatalogTable(dir, ident.toString, None)
   }
 
-  /** `ALTER TABLE … RENAME COLUMN` / `DROP COLUMN` ride the format's
-    * own seq-scoped evolution commits — a rename/drop is a VERSION
-    * (time travel shows the old schema; data files are untouched, old
-    * files keep reading through the rename map), never a catalog
-    * metadata edit. Everything else (type changes, nullability,
-    * reorders) is refused loudly. */
+  /** `ALTER TABLE … ADD COLUMN` / `RENAME COLUMN` / `DROP COLUMN`
+    * ride the format's own seq-scoped evolution commits — each change
+    * is a VERSION (time travel shows the old schema; data files are
+    * untouched, old files keep reading through the rename map / read
+    * null under an add), never a catalog metadata edit. Everything
+    * else (type changes, nullability, reorders) is refused loudly.
+    *
+    * A multi-change ALTER validates EVERY change against the
+    * simulated post-change schema BEFORE committing any — SQL's
+    * all-or-nothing contract: a rejected change list leaves the table
+    * untouched instead of half-evolved (ADVICE r13). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!exists(ident)) throw new NoSuchTableException(ident)
     val dir = dirOf(ident)
-    changes.foreach {
+    var cols: Seq[String] =
+      new SnapshotCatalogTable(dir, ident.toString, None)
+        .schema().fields.map(_.name).toSeq
+    val commits: Seq[() => Unit] = changes.map {
       case r: TableChange.RenameColumn =>
         require(r.fieldNames().length == 1,
           s"nested column rename unsupported: ${r.fieldNames().mkString(".")}")
-        SnapshotTable.commitRenameColumn(
-          spark, dir, r.fieldNames()(0), r.newName()): Unit
+        val from = r.fieldNames()(0)
+        require(cols.contains(from),
+          s"ALTER TABLE $ident: no column '$from'")
+        require(!cols.contains(r.newName()),
+          s"ALTER TABLE $ident: '${r.newName()}' already exists — renames never shadow")
+        cols = cols.map(c => if (c == from) r.newName() else c)
+        () => SnapshotTable.commitRenameColumn(spark, dir, from, r.newName()): Unit
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames().length == 1,
           s"nested column drop unsupported: ${d.fieldNames().mkString(".")}")
-        SnapshotTable.commitDropColumn(spark, dir, d.fieldNames()(0)): Unit
+        val name = d.fieldNames()(0)
+        require(cols.contains(name), s"ALTER TABLE $ident: no column '$name'")
+        cols = cols.filterNot(_ == name)
+        () => SnapshotTable.commitDropColumn(spark, dir, name): Unit
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          s"nested column add unsupported: ${a.fieldNames().mkString(".")}")
+        require(a.position() == null,
+          s"ALTER TABLE $ident: column position unsupported — added columns append")
+        require(a.isNullable,
+          s"ALTER TABLE $ident: added columns must be nullable — " +
+            "pre-widening rows read NULL under them")
+        val name = a.fieldNames()(0)
+        require(!cols.contains(name),
+          s"ALTER TABLE $ident: '$name' already exists")
+        val dt = a.dataType()
+        cols = cols :+ name
+        () => SnapshotTable.commitAddColumn(spark, dir, name, dt): Unit
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE $ident: unsupported change $other — the snapshot " +
-          "format evolves via RENAME COLUMN / DROP COLUMN commits only")
+          "format evolves via ADD / RENAME / DROP COLUMN commits only")
     }
+    commits.foreach(_.apply())
     new SnapshotCatalogTable(dir, ident.toString, None)
   }
 
@@ -267,6 +298,19 @@ private[dsv2] class SnapshotCatalogTable(
     require(version.isEmpty,
       s"DML on a time-travel read of $ident — DELETE/UPDATE/MERGE apply " +
         "to the head only")
+    // MoR-aware DML: a table under a retraction feed has pending
+    // merge-on-read deletes; the row-level rewrite works on PHYSICAL
+    // groups, so resurrecting MoR-deleted rows through it would be a
+    // silent wrong result. Fold the pending deletes FIRST (one
+    // maintenance commit — what OPTIMIZE would do anyway; logical
+    // rows unchanged), here at operation-build time so every
+    // downstream piece (group-filter pre-scan, DML scan, commit) sees
+    // the folded head. The plan-time `deletes.isEmpty` require stays
+    // as the loud backstop against a delete racing in after the fold.
+    SnapshotTable.versions(spark, dir).lastOption.foreach { v =>
+      if (SnapshotTable.readManifest(spark, dir, v).deletes.nonEmpty)
+        SnapshotTable.applyDeletes(spark, dir): Unit
+    }
     new SnapshotRowLevelOperationBuilder(dir, info, () => schema())
   }
 
@@ -291,13 +335,18 @@ private[dsv2] class SnapshotCatalogTable(
   override def name(): String = ident
 
   /** Head (or pinned-version) schema; the stored `_schema.json` covers
-    * the empty table no data file can describe. */
+    * the empty table no data file can describe (plus any ADD COLUMN
+    * commits landed before the first insert). */
   override def schema(): StructType = {
     val m = SnapshotTable.readManifest(spark, dir,
       version.getOrElse(SnapshotTable.versions(spark, dir).last))
     if (m.entries.nonEmpty)
       SnapshotTable.read(spark, dir, version).schema
-    else storedSchema.getOrElse(new StructType())
+    else
+      SnapshotTable.liveAdds(m).foldLeft(
+        storedSchema.getOrElse(new StructType())) { case (s, (n, dt)) =>
+        if (s.fieldNames.contains(n)) s else s.add(n, dt, nullable = true)
+      }
   }
 
   private def storedSchema: Option[StructType] = {

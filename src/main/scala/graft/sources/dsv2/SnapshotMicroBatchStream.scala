@@ -218,7 +218,7 @@ private[dsv2] class SnapshotMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SnapshotStreamReaderFactory(schema)
+    new SnapshotStreamReaderFactory(schema, cdf)
 }
 
 private[dsv2] final case class SnapshotFilePartition(
@@ -226,12 +226,13 @@ private[dsv2] final case class SnapshotFilePartition(
     changeType: String = "insert", version: Long = -1L)
     extends InputPartition
 
-private[dsv2] class SnapshotStreamReaderFactory(schema: StructType)
+private[dsv2] class SnapshotStreamReaderFactory(
+    schema: StructType, cdf: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val fp = p.asInstanceOf[SnapshotFilePartition]
     new SnapshotGroupReader(fp.absPath, schema, fp.conf.value,
-      fp.changeType, fp.version)
+      fp.changeType, fp.version, cdf)
   }
 }
 
@@ -241,10 +242,14 @@ private[dsv2] class SnapshotStreamReaderFactory(schema: StructType)
   * including columns the FILE does not carry at all (a file written
   * before a later append widened the table schema — or a delete-key
   * file, which carries only the key columns; ADVICE r12). The change
-  * feed's `_change`/`_commit_version` fields are partition constants. */
+  * feed's `_change`/`_commit_version` fields are partition constants —
+  * substituted ONLY when the stream was opened with readChangeFeed
+  * (`cdf`): a table whose own data column happens to be named
+  * `_change` must stream the column's data, not the constant. */
 private[dsv2] class SnapshotGroupReader(
     absPath: String, schema: StructType, hadoopConf: Configuration,
-    changeType: String = "insert", version: Long = -1L)
+    changeType: String = "insert", version: Long = -1L,
+    cdf: Boolean = false)
     extends PartitionReader[InternalRow] {
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(new GroupReadSupport(), new Path(absPath))
@@ -256,8 +261,8 @@ private[dsv2] class SnapshotGroupReader(
   private def convert(g: Group): InternalRow = {
     val schemaFields = g.getType
     new GenericInternalRow(schema.fields.map { f =>
-      if (f.name == "_change") changeValue
-      else if (f.name == "_commit_version") java.lang.Long.valueOf(version)
+      if (cdf && f.name == "_change") changeValue
+      else if (cdf && f.name == "_commit_version") java.lang.Long.valueOf(version)
       else if (!schemaFields.containsField(f.name)) null
       else {
       val idx = schemaFields.getFieldIndex(f.name)

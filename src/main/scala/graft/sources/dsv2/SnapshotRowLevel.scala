@@ -93,10 +93,43 @@ private[dsv2] class SnapshotRowLevelOperation(
   /** Group bookkeeping: the dir-relative paths the row-level scan
     * PLANNED (post static prune, post runtime group filter) and the
     * version it planned against — what the write's commit replaces.
-    * Written by the scan at plan time, read by the write at commit;
-    * both happen on the driver within one command execution. */
+    * Written by the scan at plan time, read by the write at commit. */
   @volatile private[dsv2] var scannedFiles: Set[String] = _
   @volatile private[dsv2] var scannedVersion: Long = -1L
+
+  /** Record one planning pass ATOMICALLY. Spark plans the row-level
+    * scan more than once per command — an unfiltered pass for
+    * partitioning/metrics on the main thread plus the
+    * post-runtime-group-filter pass on an AQE stage thread (measured:
+    * 3 calls per statement, 2 threads) — and the passes carry no
+    * happens-before ordering, so last-write-wins bookkeeping let a
+    * stale WIDE pass land after the narrow one: the commit then
+    * replaced every planned group with the rewrite of the narrow set,
+    * silently dropping the difference (the r13 `snapshot_sql_dml`
+    * flake). Two rules close it:
+    *  - the head version is PINNED by the first pass; a later pass
+    *    seeing a different head means a concurrent commit landed
+    *    mid-command — abort loudly, the command re-runs;
+    *  - the recorded group set only ever NARROWS. Runtime group
+    *    filtering only shrinks the planned set, and execution always
+    *    consumes the narrowest (post-filter) planning, so the
+    *    narrowest set is the one the write actually rewrote. An
+    *    incomparable pair (neither a subset) has no safe resolution —
+    *    abort loudly rather than guess. */
+  private[dsv2] def recordPlanned(version: Long, files: Set[String]): Unit =
+    synchronized {
+      if (scannedVersion < 0L) { scannedVersion = version; scannedFiles = files }
+      else {
+        require(scannedVersion == version,
+          s"concurrent commit on $dir during SQL DML planning (first pass saw " +
+            s"v$scannedVersion, a later pass sees v$version) — re-run the command")
+        if (files.subsetOf(scannedFiles)) scannedFiles = files
+        else require(scannedFiles.subsetOf(files),
+          s"row-level planning passes on $dir disagree incomparably " +
+            s"(${scannedFiles.size} vs ${files.size} groups, neither a subset) — " +
+            "re-run the command")
+      }
+    }
 
   override def command(): Command = cmd
   override def description(): String = s"graft-snapshot $cmd dir=$dir"
@@ -206,17 +239,49 @@ private[dsv2] class SnapshotDmlScan(
       s"SQL DML on ${op.dir} with merge-on-read deletes pending — fold them " +
         "first (SnapshotTable.applyDeletes or maintainTable)")
     val statKept = SnapshotPrune.kept(spark, op.dir, Some(headV), pruneWith)
-    // the runtime `_file` values come from whichever scan served the
-    // group-filter subquery (input_file_name() URIs through the V1
-    // bridge, plain paths through this scan) — compare scheme-free
+    // The runtime `_file` values come from whichever scan served the
+    // group-filter subquery: plain paths through this scan, or
+    // PERCENT-ENCODED input_file_name() URIs through the V1 bridge —
+    // so each runtime value matches on either its scheme-free form or
+    // its URI-decoded form (a dir with spaces/'%' encodes differently
+    // on the two sides). The manifest side is always a plain path.
     def canon(s: String): String = new Path(s).toUri.getPath
-    val runtimeCanon = runtimeKept.map(_.map(canon))
+    def canonForms(s: String): Set[String] = {
+      val decoded =
+        try Option(new java.net.URI(s).getPath)
+        catch { case _: java.net.URISyntaxException => None }
+      Set(canon(s)) ++ decoded
+    }
+    val entryCanon: Map[String, String] = m.entries.map(e =>
+      e.path -> canon(SnapshotTable.resolvePath(op.dir, e.path))).toMap
+    val runtimeForms = runtimeKept.map(_.flatMap(canonForms))
+    // every runtime-named file must still be a live file of the pinned
+    // head — a miss means either a concurrent rewrite landed between
+    // the group-filter pre-scan and this plan (the pre-scan resolves
+    // the head independently) or the two sides canonicalized the same
+    // path differently; both silently shrink the affected-group set,
+    // so both abort loudly instead
+    runtimeKept.foreach { rk =>
+      val census = entryCanon.values.toSet
+      rk.foreach(r => require(canonForms(r).exists(census.contains),
+        s"runtime _file '$r' names no live file of ${op.dir} at v$headV — " +
+          "concurrent rewrite mid-command or path canonicalization mismatch; " +
+          "re-run the command"))
+    }
     val entries = m.entries
       .filter(e => statKept.forall(_.contains(e.path)))
-      .filter(e => runtimeCanon.forall(_.contains(
-        canon(SnapshotTable.resolvePath(op.dir, e.path)))))
-    op.scannedFiles = entries.map(_.path).toSet
-    op.scannedVersion = headV
+      .filter(e => runtimeForms.forall(_.contains(entryCanon(e.path))))
+    // a runtime-named file that static stats PRUNED would mean the
+    // stat lattice dropped a group that provably holds a matching row
+    // — a pruning soundness bug; fail the command, never lose the row
+    runtimeForms.foreach { rf =>
+      val byRuntime = m.entries.filter(e => rf.contains(entryCanon(e.path)))
+      val keptSet = entries.map(_.path).toSet
+      byRuntime.foreach(e => require(keptSet.contains(e.path),
+        s"file ${e.path} holds rows matching the DML condition (runtime group " +
+          s"filter) but static stat pruning dropped it — unsound prune on ${op.dir}"))
+    }
+    op.recordPlanned(headV, entries.map(_.path).toSet)
     val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
     entries.map { e =>
       val abs = SnapshotTable.resolvePath(op.dir, e.path)

@@ -1053,4 +1053,94 @@ class Dsv2SourceSpec extends SparkSpec {
       spark.sql("CREATE TABLE gcrash.ns.t (id BIGINT)")
     }
   }
+
+  test("ALTER TABLE ADD COLUMN widens as a seq-scoped evolution commit") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val root = java.nio.file.Files.createTempDirectory("snap_add").toString
+    spark.conf.set("spark.sql.catalog.gadd",
+      classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gadd.root", root)
+    val dir = s"$root/ns/t"
+    new java.io.File(s"$root/ns").mkdirs()
+    SnapshotTable.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    spark.sql("ALTER TABLE gadd.ns.t ADD COLUMN score BIGINT")
+    // pre-widening rows read NULL under the added column
+    assert(spark.sql("SELECT score FROM gadd.ns.t WHERE id = 1").head().isNullAt(0))
+    assert(spark.table("gadd.ns.t").columns.toSeq == Seq("id", "v", "score"))
+    // post-add inserts carry it physically
+    spark.sql("INSERT INTO gadd.ns.t VALUES (3, 'c', 30)")
+    assert(spark.sql("SELECT score FROM gadd.ns.t WHERE id = 3").head().getLong(0) == 30L)
+    assert(spark.sql("SELECT sum(score) FROM gadd.ns.t").head().getLong(0) == 30L)
+    // the add is a VERSION: time travel shows the pre-widening schema
+    assert(!spark.sql("SELECT * FROM gadd.ns.t VERSION AS OF 1")
+      .columns.contains("score"))
+    assert(SnapshotTable.versions(spark, dir) == Seq(1L, 2L, 3L))
+    // a later RENAME follows the added column; a DROP kills it
+    spark.sql("ALTER TABLE gadd.ns.t RENAME COLUMN score TO points")
+    assert(spark.sql("SELECT points FROM gadd.ns.t WHERE id = 3").head().getLong(0) == 30L)
+    spark.sql("ALTER TABLE gadd.ns.t DROP COLUMN points")
+    assert(!spark.table("gadd.ns.t").columns.contains("points"))
+    // duplicate add refuses; NOT NULL add refuses (old rows read null)
+    intercept[Exception] { spark.sql("ALTER TABLE gadd.ns.t ADD COLUMN v STRING") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gadd.ns.t ADD COLUMN nn BIGINT NOT NULL")
+    }
+    // ADD on an EMPTY table (CREATE then ALTER before first insert)
+    spark.sql("CREATE TABLE gadd.ns.e (id BIGINT)")
+    spark.sql("ALTER TABLE gadd.ns.e ADD COLUMN tag STRING")
+    assert(spark.table("gadd.ns.e").columns.toSeq == Seq("id", "tag"))
+    spark.sql("INSERT INTO gadd.ns.e VALUES (7, 'x')")
+    assert(spark.sql("SELECT tag FROM gadd.ns.e WHERE id = 7").head().getString(0) == "x")
+  }
+
+  test("a multi-change ALTER validates every change before committing any (ADVICE r13)") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog, TableChange}
+    val root = java.nio.file.Files.createTempDirectory("snap_atomic").toString
+    spark.conf.set("spark.sql.catalog.gatomic",
+      classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gatomic.root", root)
+    val dir = s"$root/ns/t"
+    new java.io.File(s"$root/ns").mkdirs()
+    SnapshotTable.commitAppend(Seq((1L, "a", 2L)).toDF("id", "v", "w"), dir)
+    val cat = spark.sessionState.catalogManager.catalog("gatomic")
+      .asInstanceOf[TableCatalog]
+    val ident = Identifier.of(Array("ns"), "t")
+    // second change invalid (renames the just-dropped column): the
+    // FIRST change must not land either — all-or-nothing
+    intercept[Exception] {
+      cat.alterTable(ident,
+        TableChange.deleteColumn(Array("w"), false),
+        TableChange.renameColumn(Array("w"), "w2"))
+    }
+    assert(SnapshotTable.versions(spark, dir) == Seq(1L),
+      "a rejected multi-change ALTER must leave the table untouched")
+    assert(spark.table("gatomic.ns.t").columns.toSeq == Seq("id", "v", "w"))
+    // and a VALID multi-change lands every change
+    cat.alterTable(ident,
+      TableChange.renameColumn(Array("v"), "label"),
+      TableChange.deleteColumn(Array("w"), false))
+    assert(spark.table("gatomic.ns.t").columns.toSeq == Seq("id", "label"))
+  }
+
+  test("a data column named _change streams its DATA through a non-CDF read (ADVICE r13)") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("snap_chg").toString
+    val tbl = s"$base/tbl"
+    SnapshotTable.commitAppend(
+      Seq((1L, "real1"), (2L, "real2")).toDF("id", "_change"), tbl)
+    val q = spark.readStream.format("graft-snapshot").load(tbl)
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(s"$base/out").select("_change")
+      .as[String].collect().sorted.toSeq == Seq("real1", "real2"),
+      "the column's data must stream, not the CDF constant 'insert'")
+  }
 }

@@ -1789,4 +1789,26 @@ class SnapshotTableSpec extends SparkSpec {
       "the planted gap id must NOT read committed — a new batch with " +
         "this id would silently no-op as a replay")
   }
+
+  test("string stat proofs compare in UTF-8 binary order, not UTF-16 (ADVICE r13)") {
+    // U+1F600 (😀) is F0 9F 98 80 in UTF-8 but surrogate D83D DE00 in
+    // UTF-16; U+E000 is EE 80 80 / E000. UTF-8 says E000 < 😀, UTF-16
+    // says 😀 < E000 — a proof in the wrong order prunes a file that
+    // HOLDS the matching row (or metadata-DELETEs it as none-matching).
+    val dir = freshDir()
+    val emoji = new String(Character.toChars(0x1F600))
+    val pua = "\uE000"
+    SnapshotTable.commitAppend(
+      Seq((1L, pua), (2L, emoji)).toDF("id", "s").repartition(1), dir,
+      statsCols = Seq("s"))
+    // equality on the low end of the range: the file must survive
+    val (kept, total) = SnapshotTable.pruneFiles(spark, dir,
+      Seq(SnapshotTable.StatFilter("s", lower = Some(pua), upper = Some(pua))))
+    assert(total == 1 && kept.size == 1,
+      s"UTF-16 order would prove max('$emoji') < '$pua' and prune the file")
+    // and the filtered read actually returns the row
+    assert(SnapshotTable.readFiltered(spark, dir,
+      Seq(SnapshotTable.StatFilter("s", lower = Some(pua), upper = Some(pua))))
+      .filter(col("s") === pua).count() == 1L)
+  }
 }
