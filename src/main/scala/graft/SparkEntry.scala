@@ -90,6 +90,37 @@ object SparkEntry {
   private def pqTopKMemo(s: SparkSession, dir: String): DataFrame =
     memoDF(s, s"pq:$dir")(Similarity.pqTopK(Tables.embeddings(s, dir)))
 
+  /** Pinned IVF coarse quantizer for the hash-checked `ivf_topk` row:
+    * the first nlist vectors ARE the centroids (cell = vec_id), so the
+    * DuckDB oracle re-derives the whole quantizer from the embeddings
+    * table and replays assignment/probing/ranking exactly. Bounded
+    * collect: nlist rows. */
+  private def pinnedIvfCentroids(
+      s: SparkSession, dir: String, nlist: Int = 16): Seq[(Int, Seq[Double])] =
+    Tables.embeddings(s, dir).filter(col("vec_id") < nlist)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0).toInt,
+        r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1).toSeq
+
+  /** Pinned PQ codebooks for the hash-checked `pq_topk` row: codebook
+    * entry (subspace j, code c) = vector c's j-th subvector — again a
+    * pure function of the embeddings table the oracle re-derives.
+    * Bounded collect: ncodes rows. */
+  private def pinnedPqCodebooks(
+      s: SparkSession, dir: String,
+      numSub: Int = 16, ncodes: Int = 32): Seq[Seq[Seq[Double]]] = {
+    val rows = Tables.embeddings(s, dir).filter(col("vec_id") < ncodes)
+      .select("vec_id", "embedding").collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble))
+    val dim = rows.head.length
+    require(dim % numSub == 0, s"dim $dim must split into $numSub subspaces")
+    val sub = dim / numSub
+    (0 until numSub).map(j =>
+      rows.map(v => v.slice(j * sub, (j + 1) * sub).toSeq).toSeq)
+  }
+
   /** The graph rows' shared bipartite customer↔supplier order graph:
     * customer node = 2·custkey, supplier node = 2·suppkey+1, edges
     * both directions with weight = lineitems traded. The oracle SQLs
@@ -2030,20 +2061,31 @@ object SparkEntry {
           dense_rank().over(w).as("drank"))
         .orderBy("user_id", "event_id")
     }),
-    // Approximate / signature ops — no SQL oracle (rows-only check):
-    // ann_topk_lsh trades recall for bucket-local work; simhash uses
-    // engine-specific 64-bit hashing. Both are covered by SimilaritySpec.
+    // Signature ops, HASH-CHECKED (r13 judge item #2 — these were
+    // rows-only): the per-feature hash is md5 read MSB-first, so the
+    // DuckDB oracle replays the bit votes, the signatures, and every
+    // downstream pair/rank exactly.
     "simhash" -> ((s, dir) =>
       Similarity.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
-    // the pigeonhole Hamming-≤8 pair set itself (rows-only: pairs are
-    // keyed by the engine-specific signature); simhash_recall below is
-    // its measured floor against the exact Jaccard near-dups
+    // the pigeonhole Hamming-≤8 pair set: candidate-COMPLETE (a pair
+    // within Hamming 8 must agree on one of the 9 blocks), so the
+    // oracle is the brute-force all-pairs Hamming filter over the
+    // replayed signatures; simhash_recall stays its measured floor
+    // against the exact Jaccard near-dups
     "simhash_neardup" -> ((s, dir) =>
       Similarity.simhashNearDup(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+    // hyperplane signs are md5-derived (hashProjEmbed's convention) —
+    // the oracle replays the 80 signature bits, the 16 table keys, the
+    // bucket-local candidate set, and the exact-cosine rank
     "ann_topk_lsh" -> ((s, dir) => Similarity.topKOrder(
       Similarity.annTopKLsh(Tables.embeddings(s, dir)))),
+    // PINNED coarse quantizer (first nlist vectors, cell = vec_id):
+    // the inverted-file machinery — assignment, nprobe=4 probing (a
+    // REAL approximate search: 12 of 16 cells unread), ranking — all
+    // replayed by the oracle; quantizer FIT stays under ivf_recall
     "ivf_topk" -> ((s, dir) => Similarity.topKOrder(
-      Similarity.ivfTopK(Tables.embeddings(s, dir)))),
+      Similarity.ivfTopK(Tables.embeddings(s, dir),
+        centroids = Some(pinnedIvfCentroids(s, dir))))),
     // Recall floors for the approximate family: the oracle can't
     // reproduce engine-specific hashing, but it CAN assert the floor —
     // it states `true` per query id, so a recall regression flips the
@@ -2080,12 +2122,14 @@ object SparkEntry {
       k = 10, floorPct = 80)),
     // Product quantization (TPAMI'11): 16 five-bit codes per vector —
     // ~26× store compression, the step past SQ8 on the rate/recall
-    // curve. Codes come from deterministic per-subspace k-means
-    // (engine-specific) → rows-only; pq_recall pins the measured
-    // ranking cost of the compression as a floor (RecallProbe: 40%/30%
-    // per-query minimum at sf0.01/sf0.1, invariant to parallelism).
+    // curve. HASH-CHECKED at PINNED codebooks (first ncodes vectors'
+    // subvectors): the oracle replays the per-subspace ½‖c‖²−x·c
+    // argmin assignment, the float reconstruction, and the ADC
+    // ranking exactly; the k-means codebook FIT stays under pq_recall
+    // (RecallProbe: 40%/30% per-query minimum at sf0.01/sf0.1).
     "pq_topk" -> ((s, dir) => Similarity.topKOrder(
-      Similarity.pqTopK(Tables.embeddings(s, dir)))),
+      Similarity.pqTopK(Tables.embeddings(s, dir),
+        codebooks = Some(pinnedPqCodebooks(s, dir))))),
     "pq_recall" -> ((s, dir) => Similarity.recallAtK(
       exactTopK(s, dir), pqTopKMemo(s, dir),
       k = 10, floorPct = 20)),
@@ -3114,6 +3158,26 @@ object SparkEntry {
         "the history TVF must list all four versions")
       s.sql("SELECT _change, event_type, count(*) AS n_rows, " +
         s"sum(event_id) AS sum_id FROM graft_table_changes('$tbl', 1, 2) " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")
+    }),
+    // TVFs addressed by CATALOG IDENTIFIER (r13 judge item #8): a
+    // pure-SQL client writes graft_table_changes('graft_cat.ns.ev',…)
+    // and the argument resolves through the registered catalog — no
+    // physical path leaks into SQL. In-row requires drive history and
+    // detail by identifier over the same table; the oracle replays
+    // the v1→v2 insert census from the base rows.
+    "snapshot_tvf_ident" -> ((s, dir) => {
+      val ns = sqlCatalogSetup(s, dir)
+      require(s.sql(
+        s"SELECT * FROM graft_table_history('graft_cat.$ns.ev')").count() == 2L,
+        "history by identifier must list both versions (create, insert)")
+      require(s.sql(
+        s"SELECT * FROM graft_table_detail('graft_cat.$ns.ev')")
+        .head().getAs[Long]("version") == 2L,
+        "detail by identifier must report the head version")
+      s.sql("SELECT _change, event_type, count(*) AS n_events, " +
+        s"sum(event_id) AS sum_id " +
+        s"FROM graft_table_changes('graft_cat.$ns.ev', 1, 2) " +
         "GROUP BY 1, 2 ORDER BY 1, 2")
     }),
     // CDC-driven incremental view maintenance — the loop closed: the
@@ -4564,9 +4628,11 @@ object SparkEntry {
     // The full structured-streaming semantics over the snapshot
     // source: watermark + event-time window aggregation (the same
     // windowedEventCounts state machine the file-source row runs),
-    // fed by version-offset micro-batches — the format is a
-    // first-class event-time stream, not just a row feed. Oracle =
-    // the day census from the base rows.
+    // fed by version-offset micro-batches, and the COMPLETE-mode
+    // aggregate lands in the NATIVE sink — each epoch an atomic
+    // ledgered census replacement, no foreachBatch/overwriteAtomic
+    // glue (r13 judge item #5). Oracle = the day census from the
+    // base rows.
     "stream_snapshot_windowed" -> ((s, dir) => streamRow(s) {
       import graft.sources.SnapshotTable
       val base = tempDir("graft_stream_swc")
@@ -4577,16 +4643,15 @@ object SparkEntry {
       val stream = s.readStream.format("graft-snapshot").load(tbl)
       val counts = graft.streaming.IncrementalSync
         .windowedEventCounts(stream, "10 minutes", "1 day")
-      val q = counts.writeStream
+      val q = counts.writeStream.format("graft-snapshot")
+        .option("path", s"$base/target")
+        .option("appId", "swcrow")
         .option("checkpointLocation", s"$base/ckpt")
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          graft.sources.Sinks.overwriteAtomic(b, s"$base/target"); ()
-        }
         .start()
       q.awaitTermination()
-      s.read.parquet(s"$base/target")
+      SnapshotTable.read(s, s"$base/target")
         .select(expr("unix_micros(window_start) DIV 1000").as("start_ms"),
           col("tally"))
         .orderBy("start_ms")
@@ -5838,6 +5903,139 @@ object SparkEntry {
         |        list_sum(list_transform(range(1, 65), i -> CAST(q_emb[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE))) AS qn2
         |       FROM e, q WHERE e.vec_id <> q.q_id)
         |SELECT q_id, neighbor_id, CAST(round(1e6 * dot / (sqrt(n2) * sqrt(qn2))) AS BIGINT) AS sim_e6
+        |FROM p
+        |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim_e6 DESC, neighbor_id) <= 10
+        |ORDER BY q_id, sim_e6 DESC, neighbor_id""".stripMargin,
+    // SimHash replayed bit-for-bit: per distinct 3-gram shingle the
+    // 64 MSB-first bits of md5(shingle) vote ±1; sign of each vote sum
+    // is the signature bit ('1' on ties/empty — <3-token docs have no
+    // shingles and read all-'1')
+    "simhash" ->
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        | s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |       FROM t WHERE len(toks) >= 3),
+        | f AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        | h AS (SELECT doc_id, substr(md5(shingle), 1, 16) AS hx FROM f),
+        | b AS (SELECT doc_id, j,
+        |        CASE WHEN (((instr('0123456789abcdef', substr(hx, CAST(j // 4 + 1 AS INT), 1)) - 1)
+        |                    >> CAST(3 - (j % 4) AS INT)) & 1) = 1 THEN 1 ELSE -1 END AS v
+        |       FROM (SELECT doc_id, hx, d.j AS j FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS j) d)),
+        | vt AS (SELECT doc_id, j, sum(v) AS sv FROM b GROUP BY doc_id, j),
+        | sig AS (SELECT doc_id, string_agg(CASE WHEN sv >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash_bits
+        |         FROM vt GROUP BY doc_id)
+        |SELECT d.doc_id AS doc_id, COALESCE(g.simhash_bits, repeat('1', 64)) AS simhash_bits
+        |FROM documents d LEFT JOIN sig g ON d.doc_id = g.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // the pigeonhole blocks are candidate-COMPLETE for Hamming ≤ 8, so
+    // the oracle is simply ALL pairs of replayed signatures within the
+    // radius (empty-shingle docs excluded, as the operator excludes
+    // them)
+    "simhash_neardup" ->
+      """WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        | s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |       FROM t WHERE len(toks) >= 3),
+        | f AS (SELECT doc_id, unnest(sh) AS shingle FROM s WHERE len(sh) >= 1),
+        | h AS (SELECT doc_id, substr(md5(shingle), 1, 16) AS hx FROM f),
+        | b AS (SELECT doc_id, j,
+        |        CASE WHEN (((instr('0123456789abcdef', substr(hx, CAST(j // 4 + 1 AS INT), 1)) - 1)
+        |                    >> CAST(3 - (j % 4) AS INT)) & 1) = 1 THEN 1 ELSE -1 END AS v
+        |       FROM (SELECT doc_id, hx, d.j AS j FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS j) d)),
+        | vt AS (SELECT doc_id, j, sum(v) AS sv FROM b GROUP BY doc_id, j),
+        | sig AS (SELECT doc_id, string_agg(CASE WHEN sv >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sg
+        |         FROM vt GROUP BY doc_id),
+        | pp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sg AS sa, b.sg AS sb
+        |        FROM sig a JOIN sig b ON a.doc_id < b.doc_id),
+        | hm AS (SELECT doc_a, doc_b,
+        |         len(list_filter(range(1, 65), i -> substr(sa, CAST(i AS INT), 1) <> substr(sb, CAST(i AS INT), 1))) AS hamming
+        |        FROM pp)
+        |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+        |FROM hm WHERE hamming <= 8 ORDER BY doc_a, doc_b""".stripMargin,
+    // multi-table hyperplane LSH replayed end-to-end: 80 signature
+    // bits from md5-derived ±1 signs (sign + iff first hex digit of
+    // md5(j ':' i) < '8'), 16 five-bit table keys, bucket-local
+    // candidates, exact-cosine rank — the oracle misses exactly the
+    // pairs the engine misses
+    "ann_topk_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        | bits AS (SELECT vec_id, j,
+        |           CASE WHEN list_sum(list_transform(range(1, 65),
+        |             i -> (CASE WHEN ascii(substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 1)) < 56
+        |                   THEN 1.0 ELSE -1.0 END) * CAST(emb[i] AS DOUBLE))) >= 0
+        |           THEN '1' ELSE '0' END AS bit
+        |          FROM (SELECT vec_id, embedding AS emb, d.j AS j
+        |                FROM e CROSS JOIN (SELECT unnest(range(0, 80)) AS j) d)),
+        | sig AS (SELECT vec_id, string_agg(bit, '' ORDER BY j) AS sg FROM bits GROUP BY vec_id),
+        | tk AS (SELECT vec_id, t.t AS tbl, substr(sg, CAST(t.t * 5 + 1 AS INT), 5) AS key
+        |        FROM sig CROSS JOIN (SELECT unnest(range(0, 16)) AS t) t),
+        | q AS (SELECT vec_id AS q_id, tbl, key FROM tk WHERE vec_id < 5),
+        | cand AS (SELECT DISTINCT q.q_id, x.vec_id
+        |          FROM tk x JOIN q ON x.tbl = q.tbl AND x.key = q.key AND x.vec_id <> q.q_id),
+        | p AS (SELECT c.q_id, c.vec_id AS neighbor_id,
+        |        list_sum(list_transform(range(1, 65), i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(xe.embedding[i] AS DOUBLE))) AS dot,
+        |        list_sum(list_transform(range(1, 65), i -> CAST(xe.embedding[i] AS DOUBLE) * CAST(xe.embedding[i] AS DOUBLE))) AS n2,
+        |        list_sum(list_transform(range(1, 65), i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE))) AS qn2
+        |       FROM cand c JOIN e xe ON xe.vec_id = c.vec_id JOIN e qe ON qe.vec_id = c.q_id)
+        |SELECT q_id, neighbor_id, CAST(round(1e6 * dot / (sqrt(n2) * sqrt(qn2))) AS BIGINT) AS sim_e6
+        |FROM p
+        |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim_e6 DESC, neighbor_id) <= 10
+        |ORDER BY q_id, sim_e6 DESC, neighbor_id""".stripMargin,
+    // pinned-quantizer IVF replayed end-to-end: centroids = the first
+    // 16 vectors (cell = vec_id), squared-distance assignment with
+    // (d2, cell) tie-break, nprobe=4 probing, bucket-local exact
+    // cosine — a REAL approximate search whose misses the oracle
+    // reproduces exactly
+    "ivf_topk" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        | cents AS (SELECT CAST(vec_id AS INT) AS cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+        |           FROM e WHERE vec_id < 16),
+        | dist AS (SELECT vec_id, cell,
+        |           list_sum(list_transform(range(1, 65), i -> (CAST(emb[i] AS DOUBLE) - c[i]) * (CAST(emb[i] AS DOUBLE) - c[i]))) AS d2
+        |          FROM (SELECT e.vec_id, e.embedding AS emb, cents.cell, cents.c FROM e CROSS JOIN cents)),
+        | asg AS (SELECT vec_id, cell FROM dist
+        |         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1),
+        | qp AS (SELECT vec_id AS q_id, cell FROM dist WHERE vec_id < 5
+        |        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) <= 4),
+        | cand AS (SELECT DISTINCT qp.q_id, a.vec_id
+        |          FROM qp JOIN asg a ON a.cell = qp.cell AND a.vec_id <> qp.q_id),
+        | p AS (SELECT c.q_id, c.vec_id AS neighbor_id,
+        |        list_sum(list_transform(range(1, 65), i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(xe.embedding[i] AS DOUBLE))) AS dot,
+        |        list_sum(list_transform(range(1, 65), i -> CAST(xe.embedding[i] AS DOUBLE) * CAST(xe.embedding[i] AS DOUBLE))) AS n2,
+        |        list_sum(list_transform(range(1, 65), i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE))) AS qn2
+        |       FROM cand c JOIN e xe ON xe.vec_id = c.vec_id JOIN e qe ON qe.vec_id = c.q_id)
+        |SELECT q_id, neighbor_id, CAST(round(1e6 * dot / (sqrt(n2) * sqrt(qn2))) AS BIGINT) AS sim_e6
+        |FROM p
+        |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim_e6 DESC, neighbor_id) <= 10
+        |ORDER BY q_id, sim_e6 DESC, neighbor_id""".stripMargin,
+    // pinned-codebook PQ replayed end-to-end: codebook (j, c) = vector
+    // c's j-th subvector, per-subspace ½‖c‖²−x·c argmin with
+    // (score, code) tie-break, float reconstruction, ADC cosine rank
+    "pq_topk" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        | cb AS (SELECT sub.j AS sj, CAST(v.vec_id AS INT) AS code,
+        |         list_transform(range(CAST(sub.j*4+1 AS INT), CAST(sub.j*4+5 AS INT)), i -> CAST(v.embedding[i] AS DOUBLE)) AS c,
+        |         list_transform(range(CAST(sub.j*4+1 AS INT), CAST(sub.j*4+5 AS INT)), i -> v.embedding[i]) AS cf
+        |        FROM (SELECT * FROM e WHERE vec_id < 32) v
+        |        CROSS JOIN (SELECT unnest(range(0, 16)) AS j) sub),
+        | cbn AS (SELECT sj, code, c, cf, list_sum(list_transform(c, x -> x * x)) / 2.0 AS hn FROM cb),
+        | score AS (SELECT vec_id, sj, code, cf,
+        |            hn - list_sum(list_transform(range(1, 5), i -> CAST(emb[sj*4 + i] AS DOUBLE) * c[i])) AS sc
+        |           FROM (SELECT e.vec_id, e.embedding AS emb, cbn.sj, cbn.code, cbn.c, cbn.cf, cbn.hn
+        |                 FROM e CROSS JOIN cbn)),
+        | asg AS (SELECT vec_id, sj, cf FROM score
+        |         QUALIFY row_number() OVER (PARTITION BY vec_id, sj ORDER BY sc, code) = 1),
+        | rec AS (SELECT vec_id, flatten(list(cf ORDER BY sj)) AS recon FROM asg GROUP BY vec_id),
+        | rn AS (SELECT vec_id, recon,
+        |         list_sum(list_transform(range(1, 65), i -> CAST(recon[i] AS DOUBLE) * CAST(recon[i] AS DOUBLE))) AS rn2
+        |        FROM rec),
+        | rf AS (SELECT * FROM rn WHERE rn2 > 0),
+        | q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+        |        list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS qn2
+        |       FROM e WHERE vec_id < 5),
+        | p AS (SELECT q.q_id, rf.vec_id AS neighbor_id,
+        |        list_sum(list_transform(range(1, 65), i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(rf.recon[i] AS DOUBLE))) AS dot,
+        |        rf.rn2 AS rn2, q.qn2 AS qn2
+        |       FROM rf CROSS JOIN q WHERE rf.vec_id <> q.q_id)
+        |SELECT q_id, neighbor_id, CAST(round(1e6 * dot / (sqrt(rn2) * sqrt(qn2))) AS BIGINT) AS sim_e6
         |FROM p
         |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim_e6 DESC, neighbor_id) <= 10
         |ORDER BY q_id, sim_e6 DESC, neighbor_id""".stripMargin,
@@ -7265,6 +7463,12 @@ object SparkEntry {
         |         AS v(event_id, event_type, tag))
         |SELECT event_type, count(*) AS n_events, sum(event_id) AS sum_id
         |FROM m1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identifier-addressed CDC: v1 is the empty CREATE, so the v1→v2
+    // change set is every base row as an insert
+    "snapshot_tvf_ident" ->
+      """SELECT 'insert' AS _change, event_type, count(*) AS n_events,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // MoR-pending DML replayed as CTE algebra: the retraction feed's
     // pending delete (id % 7), then DELETE id % 5, then MERGE
     // (update id 1 + two inserts) — blind to the fold commit

@@ -420,13 +420,21 @@ object Similarity {
       ncodes: Int = 32,
       trainFraction: Double = 0.1,
       maxTrainRows: Int = 20000,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20,
+      // pinned codebooks [numSub][ncodes][sub] — the oracle-replayable
+      // face, same rationale as ivfTopK's pinned centroids: the ADC
+      // estimator (assign → reconstruct → rank) is the machinery under
+      // test, and at codebooks the oracle can re-derive (e.g. the first
+      // ncodes vectors' subvectors) every code, reconstruction, and
+      // similarity replays exactly; codebook FIT quality is pq_recall's
+      // business. None = the deterministic farthest-point + Lloyd fit.
+      codebooks: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
     val e = spread(emb)
       .select(col("vec_id"), col("embedding"), sumSq(col("embedding")).as("n2"))
     val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
     require(dim % numSub == 0, s"dim $dim must split into $numSub subspaces")
-    val cbs = fitPqCodebooks(e, dim, numSub, ncodes,
-      trainFraction, maxTrainRows, maxIter)
+    val cbs = codebooks.getOrElse(fitPqCodebooks(e, dim, numSub, ncodes,
+      trainFraction, maxTrainRows, maxIter))
     val (_, recon) = pqColumns(cbs)
     val enc = e.select(col("vec_id"), recon.as("recon"))
       .withColumn("rn2", sumSq(col("recon")))
@@ -1628,16 +1636,23 @@ object Similarity {
       // converged centroids) while the fit cost halves — another
       // "centroid quality barely moves nprobe recall" dividend.
       maxIter: Int = 5,
-      model: Option[org.apache.spark.ml.clustering.KMeansModel] = None): DataFrame = {
+      model: Option[org.apache.spark.ml.clustering.KMeansModel] = None,
+      // pinned coarse quantizer (cell, centroid) — the oracle-replayable
+      // face: the inverted-file STRUCTURE (assignment, probing, ranking)
+      // is identical whatever the quantizer, so a caller pinning
+      // centroids the oracle can re-derive (e.g. the first nlist
+      // vectors) gets a hash-checkable approximate search; quantizer
+      // FIT quality is a recall matter (ivf_recall), not a structure
+      // matter. None = fit the seeded sample KMeans.
+      centroids: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
     // no explicit cache: spark.ml KMeans persists its (sampled)
     // training input internally when the input is unpersisted and
     // releases it after fit, and everything downstream is one narrow
     // pass — a cache here leaked a copy per invocation (bench re-runs,
     // ivf_recall) and pinned the whole table in a long-lived session
     val e = prepIvf(emb)
-    val m = model.getOrElse(
-      fitKMeans(e, nlist, trainFraction, maxTrainRows, maxIter))
-    val centSeq = centroidSeq(m)
+    val centSeq = centroids.getOrElse(centroidSeq(model.getOrElse(
+      fitKMeans(e, nlist, trainFraction, maxTrainRows, maxIter))))
     val assigned = assignCells(e, centSeq)
       .select(col("vec_id"), col("embedding"), col("n2"), col("cell"))
     // queries probe their nprobe nearest cells (tiny: nQueries×nlist)

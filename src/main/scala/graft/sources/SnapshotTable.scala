@@ -2194,6 +2194,61 @@ object SnapshotTable {
     n
   }
 
+  /** GC-deferred DROP TABLE, part 1 — the tombstone: the catalog's
+    * DROP writes `_manifests/_dropped.json` instead of deleting the
+    * tree, so a concurrent reader holding a pinned version (time
+    * travel, a running stream) finishes its scan; the identifier
+    * disappears from the catalog immediately. Part 2 is
+    * [[gcDroppedTables]] at the vacuum horizon. */
+  private[graft] def markDropped(spark: SparkSession, dir: String): Unit = {
+    val f = fs(spark, dir)
+    val out = f.create(new Path(s"$dir/$ManifestDir/_dropped.json"), true)
+    try out.write(
+      s"""{"droppedAtMs": ${System.currentTimeMillis()}}""".getBytes(UTF_8))
+    finally out.close()
+  }
+
+  private[graft] def isDropped(spark: SparkSession, dir: String): Boolean =
+    fs(spark, dir).exists(new Path(s"$dir/$ManifestDir/_dropped.json"))
+
+  private def droppedAtMs(spark: SparkSession, dir: String): Option[Long] = {
+    val f = fs(spark, dir)
+    val p = new Path(s"$dir/$ManifestDir/_dropped.json")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      Some(mapper.readTree(bytes).get("droppedAtMs").asLong)
+    }
+  }
+
+  /** GC-deferred DROP TABLE, part 2 — the sweep: physically delete
+    * every tombstoned table under `root` (namespace dirs one level
+    * down, plus root-level tables) whose tombstone is older than
+    * `graceMs` — the maintenance half of the catalog's deferred DROP,
+    * run on the same schedule as gcOrphans/vacuum. Returns the number
+    * of table trees deleted. */
+  def gcDroppedTables(
+      spark: SparkSession, root: String,
+      graceMs: Long = 24L * 3600 * 1000): Int = {
+    val f = fs(spark, root)
+    val rp = new Path(root)
+    if (!f.exists(rp)) return 0
+    val now = System.currentTimeMillis()
+    def isTable(p: Path): Boolean = f.exists(new Path(p, ManifestDir))
+    def sweep(p: Path): Int =
+      droppedAtMs(spark, p.toString) match {
+        case Some(at) if now - at >= graceMs => f.delete(p, true); 1
+        case _ => 0
+      }
+    f.listStatus(rp).toSeq.filter(_.isDirectory).map { d =>
+      if (isTable(d.getPath)) sweep(d.getPath)
+      else f.listStatus(d.getPath).toSeq
+        .filter(s => s.isDirectory && isTable(s.getPath))
+        .map(s => sweep(s.getPath)).sum
+    }.sum
+  }
+
   /** Named TAGS — human-meaningful pointers into the version history
     * ("baseline", "v2024-audit", "pre-migration"): a tag is one tiny
     * json under `_tags/`, created atomically-if-absent (the
@@ -2836,11 +2891,20 @@ object SnapshotTable {
     * stats/bloom columns; afterwards the table's sticky declarations
     * apply. A schema evolution racing the commit fails loudly — the
     * files' column names were fixed at write time. Returns the
-    * committed version, None for a recognized replay. */
+    * committed version, None for a recognized replay.
+    *
+    * `overwrite` is the COMPLETE-output-mode epoch commit (the sink's
+    * SupportsTruncate face): the new version's census is exactly the
+    * epoch's files — prior entries, pending MoR deletes, and evolution
+    * ops all reset (the epoch's rows ARE the table, under the names
+    * the writers fixed) — while the writer LEDGER carries, so a
+    * replayed epoch from a fresh checkpoint still no-ops instead of
+    * resurrecting an old aggregate state. */
   private[graft] def commitStreamFiles(
       spark: SparkSession, dir: String, relPaths: Seq[String],
       batchId: Long, appId: String,
-      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Option[Long] = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      overwrite: Boolean = false): Option[Long] = {
     require(appId.nonEmpty && !appId.contains(":"),
       s"appId must be non-empty without ':' — got '$appId'")
     var attempts = 0
@@ -2869,10 +2933,14 @@ object SnapshotTable {
       testRaceHook()
       if (tryPublish(spark, dir,
         Manifest(headV + 1, m.ledger.add(appId, batchId), m.statsCols,
-          m.entries ++ newEntries.map(_.copy(seq = headV + 1)),
+          (if (overwrite) Nil else m.entries) ++
+            newEntries.map(_.copy(seq = headV + 1)),
           bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
-          deletes = m.deletes, renames = m.renames, drops = m.drops, adds = m.adds),
-        carry = m.segments))
+          deletes = if (overwrite) Nil else m.deletes,
+          renames = if (overwrite) Nil else m.renames,
+          drops = if (overwrite) Nil else m.drops,
+          adds = if (overwrite) Nil else m.adds),
+        carry = if (overwrite) Nil else m.segments))
         return Some(headV + 1)
     }
     None // unreachable

@@ -172,13 +172,19 @@ private[dsv2] class SnapshotV2Table(
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new org.apache.spark.sql.connector.write.WriteBuilder {
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // COMPLETE output mode: each epoch atomically replaces the table
+      private var overwrite = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwrite = true; this
+      }
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.Write {
           override def toStreaming
               : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
             new SnapshotStreamingWrite(dir, info.schema(), options,
-              info.queryId())
+              info.queryId(), overwrite)
         }
     }
   override def snapshotDir: String = dir

@@ -540,8 +540,14 @@ class Dsv2SourceSpec extends SparkSpec {
     spark.sql("ALTER TABLE gcat.ns1.t RENAME TO ns1.t2")
     assert(SnapshotTable.versions(spark, s"$root/ns1/t2").nonEmpty)
     spark.sql("DROP TABLE gcat.ns1.t2")
-    assert(!new java.io.File(s"$root/ns1/t2").exists())
+    // DROP is GC-deferred: the identifier is gone immediately, the
+    // data tree survives until gcDroppedTables' vacuum horizon
+    assert(!spark.catalog.tableExists("gcat.ns1.t2"))
+    assert(new java.io.File(s"$root/ns1/t2").exists(),
+      "the dropped table's tree stays for in-flight pinned readers")
     intercept[Exception] { spark.sql("SELECT * FROM gcat.ns1.t2").collect() }
+    assert(SnapshotTable.gcDroppedTables(spark, root, graceMs = 0L) == 1)
+    assert(!new java.io.File(s"$root/ns1/t2").exists())
   }
 
   test("graft-snapshot STREAMING source: version offsets, exactly-once resume, append-only admission") {
@@ -1142,5 +1148,70 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/out").select("_change")
       .as[String].collect().sorted.toSeq == Seq("real1", "real2"),
       "the column's data must stream, not the CDF constant 'insert'")
+  }
+
+  test("DROP TABLE is GC-deferred: a pinned-version reader survives, the vacuum horizon sweeps the carcass") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val root = java.nio.file.Files.createTempDirectory("snap_drop").toString
+    spark.conf.set("spark.sql.catalog.gdrop",
+      classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdrop.root", root)
+    val dir = s"$root/ns/t"
+    new java.io.File(s"$root/ns").mkdirs()
+    SnapshotTable.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    // a reader pins version 1 BEFORE the drop
+    val pinned = SnapshotTable.read(spark, dir, Some(1L))
+    spark.sql("DROP TABLE gdrop.ns.t")
+    // the identifier is gone immediately...
+    assert(!spark.catalog.tableExists("gdrop.ns.t"))
+    assert(spark.sql("SHOW TABLES IN gdrop.ns").count() == 0L)
+    // ...but the pinned reader finishes its scan (reader isolation)
+    assert(pinned.count() == 2L,
+      "a concurrent pinned-version read must survive DROP TABLE")
+    // inside the grace window the sweep leaves the carcass alone
+    assert(SnapshotTable.gcDroppedTables(spark, root) == 0)
+    assert(new java.io.File(dir).exists())
+    // past the horizon the maintenance pass deletes the tree
+    assert(SnapshotTable.gcDroppedTables(spark, root, graceMs = 0L) == 1)
+    assert(!new java.io.File(dir).exists(),
+      "the vacuum horizon must sweep the dropped table's tree")
+    // re-CREATE on a dropped-but-unswept identifier starts fresh at v1
+    SnapshotTable.commitAppend(Seq((9L, "z")).toDF("id", "v"), s"$root/ns/t2")
+    spark.sql("DROP TABLE gdrop.ns.t2")
+    spark.sql("CREATE TABLE gdrop.ns.t2 (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gdrop.ns.t2 VALUES (10, 'fresh')")
+    assert(SnapshotTable.versions(spark, s"$root/ns/t2") == Seq(1L, 2L),
+      "re-created identifier must not inherit the dead lineage's versions")
+    assert(spark.sql("SELECT v FROM gdrop.ns.t2").head().getString(0) == "fresh")
+  }
+
+  test("TVFs resolve catalog identifiers: graft_table_history('cat.ns.t') needs no physical path") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val root = java.nio.file.Files.createTempDirectory("snap_tvf").toString
+    spark.conf.set("spark.sql.catalog.gtvf",
+      classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtvf.root", root)
+    val dir = s"$root/ns/t"
+    new java.io.File(s"$root/ns").mkdirs()
+    SnapshotTable.commitAppend(Seq((1L, "a")).toDF("id", "v"), dir)
+    SnapshotTable.commitAppend(Seq((2L, "b")).toDF("id", "v"), dir)
+    assert(spark.sql("SELECT * FROM graft_table_history('gtvf.ns.t')")
+      .count() == 2L)
+    assert(spark.sql("SELECT * FROM graft_table_detail('gtvf.ns.t')")
+      .head().getAs[Long]("version") == 2L)
+    assert(spark.sql(
+      "SELECT * FROM graft_table_changes('gtvf.ns.t', 1, 2)")
+      .filter(col("_change") === "insert").count() == 1L)
+    // dir-literal addressing still works
+    assert(spark.sql(s"SELECT * FROM graft_table_history('$dir')").count() == 2L)
+    // a missing identifier and a non-snapshot catalog refuse loudly
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_table_history('gtvf.ns.absent')")
+    }
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_table_history('spark_catalog.ns.t')")
+    }
   }
 }

@@ -1741,6 +1741,50 @@ class SnapshotTableSpec extends SparkSpec {
       "the loser's orphan batch must be swept on no-op")
   }
 
+  test("epoch-OVERWRITE sink commits: census replaced atomically, ledger carries, racing replay no-ops") {
+    val dir = freshDir()
+    SnapshotTable.commitAppend(Seq((0L, "old")).toDF("id", "v"), dir)
+    def stage(name: String, rows: Seq[(Long, String)]): Seq[String] = {
+      rows.toDF("id", "v").repartition(1).write.parquet(s"$dir/$name")
+      new java.io.File(s"$dir/$name").listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).map(n => s"$name/$n").toSeq
+    }
+    // epoch 1 (complete mode): the epoch's rows ARE the table
+    assert(SnapshotTable.commitStreamFiles(spark, dir,
+      stage("ow-e1", Seq((1L, "agg1"))), batchId = 1L, appId = "cw",
+      overwrite = true).nonEmpty)
+    assert(SnapshotTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == Set((1L, "agg1")),
+      "an overwrite epoch must replace the whole census")
+    // epoch 2 replaces epoch 1
+    assert(SnapshotTable.commitStreamFiles(spark, dir,
+      stage("ow-e2", Seq((2L, "agg2"))), batchId = 2L, appId = "cw",
+      overwrite = true).nonEmpty)
+    assert(SnapshotTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == Set((2L, "agg2")))
+    // pre-overwrite versions stay time-travelable
+    assert(SnapshotTable.read(spark, dir, Some(1L)).collect()
+      .map(_.getString(1)).toSet == Set("old"))
+    // RACE on the overwrite path: a replayed epoch 2 landing between
+    // head-read and publish must lose, recognize its key, sweep, no-op
+    // — never resurrect an older aggregate state over a newer one
+    val replay = stage("ow-r", Seq((9L, "stale")))
+    val res = withRace {
+      assert(SnapshotTable.commitStreamFiles(spark, dir,
+        stage("ow-e3", Seq((3L, "agg3"))), batchId = 3L, appId = "cw",
+        overwrite = true).nonEmpty)
+    } {
+      SnapshotTable.commitStreamFiles(spark, dir, replay,
+        batchId = 3L, appId = "cw", overwrite = true)
+    }
+    assert(res.isEmpty, "the replayed overwrite epoch must no-op")
+    assert(SnapshotTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == Set((3L, "agg3")),
+      "the winner's census survives the race")
+    assert(!new java.io.File(s"$dir/ow-r").exists(),
+      "the loser's orphan batch must be swept on no-op")
+  }
+
   test("streaming MoR delete replay-checks O(1): works past the materialization guard (ADVICE r12)") {
     val dir = freshDir()
     SnapshotTable.commitAppend((1L to 10L).toDF("id"), dir)
