@@ -279,7 +279,8 @@ object ScaleProbe {
     // itself is corpus-linear BY DESIGN (it re-fits and re-encodes
     // the whole index — the honest baseline is a rebuild).
     if (Seq("snapshot_commit_bytes", "snapshot_sql_read",
-      "snapshot_stream_drain", "stream_sink_drain").exists(wanted))
+      "snapshot_stream_drain", "stream_sink_drain",
+      "stream_complete_sink").exists(wanted))
       for (f <- Seq(1, factor)) {
         val dir = s"$scaledBase/f$f/snap_seg_tbl"
         val ev = replicate(
@@ -307,7 +308,7 @@ object ScaleProbe {
     // fixture carries one CONSTANT-size MoR delete on top (1000 keys
     // whatever f is) — the retraction feed must drain at key cost.
     if (Seq("sql_dml_pruned", "sql_dml_unpruned", "sql_dml_merge",
-      "stream_cdf_drain").exists(wanted)) {
+      "stream_cdf_drain", "sql_dml_mor").exists(wanted)) {
       spark.conf.set("spark.sql.catalog.gprobe",
         classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
       spark.conf.set("spark.sql.catalog.gprobe.root", scaledBase)
@@ -325,6 +326,19 @@ object ScaleProbe {
             ev, s"$scaledBase/f$f/snap_dml_tbl", statsCols = Seq("event_id"))
         if (wanted("stream_cdf_drain")) {
           val dir = s"$scaledBase/f$f/snap_cdf_tbl"
+          graft.sources.SnapshotTable.commitAppend(
+            ev, dir, statsCols = Seq("event_id"))
+          graft.sources.SnapshotTable.commitDeleteMoR(
+            spark.range(0, 1000).select(col("id").as("event_id")),
+            dir, Seq("event_id"))
+        }
+        // r14 MoR-DML fixture: same 8f table, plus a CONSTANT-size
+        // pending MoR delete (1000 keys, all in replica 0's range) —
+        // the timed SQL DELETE must fold it first (operation-build
+        // auto-fold), and both the fold and the ranged rewrite are
+        // stat-bounded to ~1 of the 8f files
+        if (wanted("sql_dml_mor")) {
+          val dir = s"$scaledBase/f$f/snap_mor_tbl"
           graft.sources.SnapshotTable.commitAppend(
             ev, dir, statsCols = Seq("event_id"))
           graft.sources.SnapshotTable.commitDeleteMoR(
@@ -748,6 +762,37 @@ object ScaleProbe {
         "sql_dml_unpruned" -> (() => {
           spark.sql(s"DELETE FROM gprobe.f$f.snap_dml_tbl " +
             "WHERE tag = 't501'")
+          spark.range(1).toDF()
+        }),
+        // SQL DELETE against a MoR-PENDING table at volume (r14): the
+        // operation folds the pending deletes first (applyDeletes —
+        // the 1000 doomed keys live in ~1 of the 8f range files, so
+        // the fold rewrites a constant file set), then the ranged
+        // rewrite is stat-bounded to ~1 group — near-FLAT end to end
+        "sql_dml_mor" -> (() => {
+          spark.sql(s"DELETE FROM gprobe.f$f.snap_mor_tbl " +
+            "WHERE event_id >= 2000 AND event_id <= 2999")
+          spark.range(1).toDF()
+        }),
+        // COMPLETE-mode aggregate into the NATIVE sink at volume
+        // (r14): scan-linear drain, CONSTANT-size epoch overwrite (the
+        // aggregate census replaces the table each epoch; commit
+        // metadata is O(result), not O(table))
+        "stream_complete_sink" -> (() => {
+          val t = System.nanoTime()
+          val sink = s"$scaledBase/f$f/csink_$t"
+          val q = spark.readStream.format("graft-snapshot")
+            .load(s"$scaledBase/f$f/snap_seg_tbl")
+            .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+            .writeStream.format("graft-snapshot")
+            .option("path", sink).option("appId", "cprobe")
+            .option("checkpointLocation", s"$scaledBase/f$f/csink_ck_$t")
+            .outputMode("complete")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          require(graft.sources.SnapshotTable.read(spark, sink).count() > 0,
+            "the complete-mode sink must hold the aggregate")
           spark.range(1).toDF()
         }),
         // the retraction change feed at volume: startingVersion pins

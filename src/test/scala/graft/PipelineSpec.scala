@@ -45,15 +45,15 @@ class PipelineSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("driver contract: every oracle key has a query; rows-only set is exactly the documented five") {
+  test("driver contract: every oracle key has a query; every query is oracle-checked") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),
       s"orphan oracle keys: ${SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet}")
-    // rows-only (no-oracle) queries are engine-hash-specific BY DESIGN
-    // and each is floor-backed by a green companion row (simhash and
-    // simhash_neardup both by simhash_recall; pq_topk by pq_recall);
-    // anything else appearing here is an unmeasured surface — fail loudly
-    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-      === Set("simhash", "simhash_neardup", "ann_topk_lsh", "ivf_topk", "pq_topk"))
+    // r14 graduated the last five rows-only rows to hash-checked
+    // DuckDB replays (md5-derived signatures, pinned IVF/PQ
+    // quantizers) — a query without an oracle is an unmeasured
+    // surface now; fail loudly if one ever reappears
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet === Set.empty,
+      s"rows-only queries: ${SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet}")
   }
 
   test("queryString builds the reference's windowed-scan URL shape (P13)") {
