@@ -640,6 +640,214 @@ object SparkEntry {
       ns
     })
 
+  /** snapshot_sql_proc / snapshot_sql_clone's one-time lifecycle: the
+    * MAINTENANCE surface as pure SQL through the catalog's stored
+    * procedures (`CALL graft_cat.system.…` — Spark 4's
+    * ProcedureCatalog tier). The memo drives compact → tag → MoR fold
+    * → restore round-trip → zero-copy clone → history expiry entirely
+    * via CALL statements, requiring each effect in place (one file
+    * after compact, pending deletes drained by fold, restore counts,
+    * clone divergence isolated from the source, history trimmed to the
+    * head); the rows then read the standing tables and the oracle
+    * replays the surviving content blind to versions, procedures, and
+    * the catalog. */
+  private val sqlProcMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sqlProcSetup(s: SparkSession, dir: String): String =
+    sqlProcMemo.computeIfAbsent(dir, _ => {
+      import graft.sources.SnapshotTable
+      val root = sqlCatRootMemo.computeIfAbsent("root",
+        _ => tempDir("graft_sql_cat"))
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cat.root", root)
+      val ns = "proc" + Integer.toHexString(dir.hashCode)
+      new java.io.File(s"$root/$ns").mkdirs()
+      val tbl = s"$root/$ns/ev"
+      // a prior attempt that failed a require mid-lifecycle leaves
+      // half-built tables (the memo only stores on success) — start clean
+      Seq("ev", "ev_stage").foreach { t =>
+        if (SnapshotTable.versions(s, s"$root/$ns/$t").nonEmpty ||
+          new java.io.File(s"$root/$ns/$t").exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(
+            new java.io.File(s"$root/$ns/$t"))
+      }
+      val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"))
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      val t1 = (maxId + 1L) / 3L
+      val t2 = 2L * (maxId + 1L) / 3L
+      s.sql(s"CREATE TABLE graft_cat.$ns.ev (event_id BIGINT, event_type STRING)")
+      Seq(col("event_id") < t1,
+        col("event_id") >= t1 && col("event_id") < t2,
+        col("event_id") >= t2).zipWithIndex.foreach { case (f, i) =>
+        ev.filter(f).repartition(1).createOrReplaceTempView(s"proc_src_${ns}_$i")
+        s.sql(s"INSERT INTO graft_cat.$ns.ev " +
+          s"SELECT event_id, event_type FROM proc_src_${ns}_$i")
+      }
+      require(SnapshotTable.files(s, tbl,
+        SnapshotTable.versions(s, tbl).last).size > 1,
+        "setup must leave multiple small files for compact to earn its keep")
+      // OPTIMIZE as SQL: one output file, content untouched
+      val compacted = s.sql(s"CALL graft_cat.system.compact(" +
+        s"table => '$ns.ev', target_bytes => ${128L << 20})").head().getLong(0)
+      require(SnapshotTable.files(s, tbl, compacted).size == 1,
+        "CALL compact must leave one file at the target size")
+      val nFull = s.sql(s"SELECT count(*) FROM graft_cat.$ns.ev").head().getLong(0)
+      // tag the pre-fold head (version defaults to the head inside CALL)
+      require(s.sql(s"CALL graft_cat.system.create_tag('$ns.ev', 'pre_fold')")
+        .head().getLong(0) == compacted,
+        "create_tag must default to the head version")
+      // a standing retraction feed left pending MoR deletes; CALL
+      // fold_deletes drains them into the data
+      SnapshotTable.commitDeleteMoR(
+        ev.filter(col("event_id") % 7 === 0).select("event_id"), tbl,
+        Seq("event_id"))
+      val folded = s.sql(s"CALL graft_cat.system.fold_deletes('$ns.ev')")
+        .head().getLong(0)
+      require(SnapshotTable.pendingDeletes(s, tbl).isEmpty,
+        "CALL fold_deletes must drain the pending MoR delete list")
+      val nFolded = s.sql(s"SELECT count(*) FROM graft_cat.$ns.ev")
+        .head().getLong(0)
+      require(nFolded < nFull, "the fold must have removed the doomed keys")
+      // restore ROUND-TRIP via CALL: back to the tagged pre-fold
+      // version (content = full census), then forward to the folded one
+      s.sql(s"CALL graft_cat.system.restore('$ns.ev', $compacted)").collect()
+      require(s.sql(s"SELECT count(*) FROM graft_cat.$ns.ev")
+        .head().getLong(0) == nFull,
+        "restore to the pre-fold version must resurrect the full census")
+      s.sql(s"CALL graft_cat.system.restore('$ns.ev', $folded)").collect()
+      require(s.sql(s"SELECT count(*) FROM graft_cat.$ns.ev")
+        .head().getLong(0) == nFolded,
+        "restore forward must land the folded census again")
+      // zero-copy staging clone via CALL; the clone diverges with an
+      // ordinary INSERT while the source stays untouched — the staging
+      // half of write-audit-publish
+      s.sql(s"CALL graft_cat.system.clone('$ns.ev', '$ns.ev_stage')").collect()
+      s.sql(s"INSERT INTO graft_cat.$ns.ev_stage " +
+        s"VALUES (${maxId + 1000L}, 'staged')")
+      require(s.sql(s"SELECT count(*) FROM graft_cat.$ns.ev_stage")
+        .head().getLong(0) == nFolded + 1L,
+        "the clone must carry the source content plus the staged row")
+      require(s.sql(s"SELECT count(*) FROM graft_cat.$ns.ev")
+        .head().getLong(0) == nFolded,
+        "writes to the clone must never leak into the source")
+      // expire manifest history via CALL (the tag dies first — vacuum
+      // keeps by count and a dangling tag would fail loudly at read)
+      s.sql(s"CALL graft_cat.system.delete_tag('$ns.ev', 'pre_fold')").collect()
+      s.sql(s"CALL graft_cat.system.expire_versions(" +
+        s"'$ns.ev', keep_versions => 1)").collect()
+      require(SnapshotTable.versions(s, tbl).size == 1,
+        "expire_versions must trim manifest history to the head")
+      require(s.sql(s"SELECT count(*) FROM graft_cat.$ns.ev")
+        .head().getLong(0) == nFolded,
+        "expiry must never change the head's content")
+      ns
+    })
+
+  /** snapshot_sorted_write's one-time setup: TBLPROPERTIES as the
+    * write-path config of a pure-SQL table. `sort_cols` range-clusters
+    * every INSERT (each landed file covers a narrow id slice) and
+    * implicitly records stats on the sort columns — so a ranged WHERE
+    * prunes files from the manifest alone even though the INSERT's
+    * INPUT was hash-shuffled across the full domain (stats over
+    * unsorted files cover everything and prune nothing; the memo
+    * REQUIRES the prune). The row reads a quarter-range slice; the
+    * oracle replays the filter blind to files and layout. */
+  private val sortedWriteMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+  private def sortedWriteSetup(s: SparkSession, dir: String): (String, Long) =
+    sortedWriteMemo.computeIfAbsent(dir, _ => {
+      import graft.sources.SnapshotTable
+      val root = sqlCatRootMemo.computeIfAbsent("root",
+        _ => tempDir("graft_sql_cat"))
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cat.root", root)
+      val ns = "sw" + Integer.toHexString(dir.hashCode)
+      new java.io.File(s"$root/$ns").mkdirs()
+      val tbl = s"$root/$ns/ev"
+      if (SnapshotTable.versions(s, tbl).nonEmpty)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tbl))
+      s.sql(s"CREATE TABLE graft_cat.$ns.ev (event_id BIGINT, event_type STRING) " +
+        "TBLPROPERTIES ('sort_cols' = 'event_id')")
+      // adversarial input: hash-clustered on event_type, so every
+      // INPUT partition spans the full id domain — only the table's
+      // own write-path clustering can make the landed stats narrow
+      Tables.events(s, dir).select(col("event_id"), col("event_type"))
+        .repartition(8, col("event_type"))
+        .createOrReplaceTempView(s"sw_src_$ns")
+      // at MB scale AQE coalesces the range shuffle into one partition
+      // (at real scale its advisory sizing is exactly what you want —
+      // ~target-sized clustered files); pin it off to land the ranges
+      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      try s.sql(s"INSERT INTO graft_cat.$ns.ev " +
+        s"SELECT event_id, event_type FROM sw_src_$ns")
+      finally s.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+      val maxId = Tables.events(s, dir)
+        .agg(max(col("event_id"))).head().getLong(0)
+      val q = (maxId + 1L) / 4L - 1L
+      val (kept, total) = SnapshotTable.pruneFiles(s, tbl,
+        Seq(SnapshotTable.StatFilter("event_id", upper = Some(q))))
+      require(total > 1, s"the sorted INSERT must land multiple files, got $total")
+      require(kept.size < total,
+        s"sort_cols must make the quarter-range prune: kept ${kept.size} of $total")
+      (ns, q)
+    })
+
+  /** snapshot_sql_wap's one-time lifecycle: WRITE-AUDIT-PUBLISH in
+    * pure SQL — `CALL clone` pins the source head into a zero-copy
+    * staging table, the risky writes (an insert + a DELETE sweep) land
+    * on staging ONLY (required in place: the source census never
+    * moves pre-publish), the audit is whatever the operator runs over
+    * staging, and `CALL publish` atomically fast-forwards the source
+    * to the audited state (optimistic against the clone's pinned
+    * version — a concurrent source commit refuses the publish loudly)
+    * while consuming the staging identifier. The row reads the
+    * published source; the oracle replays insert+delete over the base
+    * rows, blind to clones, pins, and the catalog. */
+  private val sqlWapMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sqlWapSetup(s: SparkSession, dir: String): String =
+    sqlWapMemo.computeIfAbsent(dir, _ => {
+      import graft.sources.SnapshotTable
+      val root = sqlCatRootMemo.computeIfAbsent("root",
+        _ => tempDir("graft_sql_cat"))
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cat.root", root)
+      val ns = "wap" + Integer.toHexString(dir.hashCode)
+      new java.io.File(s"$root/$ns").mkdirs()
+      Seq("ev", "ev_wap").foreach { t =>
+        if (new java.io.File(s"$root/$ns/$t").exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(
+            new java.io.File(s"$root/$ns/$t"))
+      }
+      val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"))
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      s.sql(s"CREATE TABLE graft_cat.$ns.ev (event_id BIGINT, event_type STRING)")
+      ev.createOrReplaceTempView(s"wap_src_$ns")
+      s.sql(s"INSERT INTO graft_cat.$ns.ev " +
+        s"SELECT event_id, event_type FROM wap_src_$ns")
+      val nFull = s.sql(s"SELECT count(*) FROM graft_cat.$ns.ev").head().getLong(0)
+      s.sql(s"CALL graft_cat.system.clone('$ns.ev', '$ns.ev_wap')").collect()
+      // the risky writes land on STAGING only
+      s.sql(s"INSERT INTO graft_cat.$ns.ev_wap " +
+        s"VALUES (${maxId + 2000L}, 'audited')")
+      s.sql(s"DELETE FROM graft_cat.$ns.ev_wap WHERE event_id % 11 = 0")
+      require(s.sql(s"SELECT count(*) FROM graft_cat.$ns.ev")
+        .head().getLong(0) == nFull,
+        "staging writes must never leak into the source pre-publish")
+      val nStaged = s.sql(s"SELECT count(*) FROM graft_cat.$ns.ev_wap")
+        .head().getLong(0)
+      s.sql(s"CALL graft_cat.system.publish('$ns.ev_wap')").collect()
+      require(s.sql(s"SELECT count(*) FROM graft_cat.$ns.ev")
+        .head().getLong(0) == nStaged,
+        "publish must fast-forward the source to the audited census")
+      require(SnapshotTable.isDropped(s, s"$root/$ns/ev_wap"),
+        "publish must consume the staging identifier")
+      ns
+    })
+
   /** snapshot_broadcast_join's dim side, once per sf dir: the distinct
     * event types with a derived label, one small snapshot table whose
     * manifest byte census is what the planner reads. */
@@ -3646,6 +3854,49 @@ object SparkEntry {
     // and an in-row algebra replay pins the final state (judge r13 #3).
     "snapshot_sql_dml_mor" -> ((s, dir) => {
       val ns = sqlDmlMorSetup(s, dir)
+      s.sql(s"SELECT event_type, count(*) AS n_events, sum(event_id) AS sum_id " +
+        s"FROM graft_cat.$ns.ev GROUP BY event_type ORDER BY event_type")
+    }),
+    // The maintenance lifecycle as PURE SQL — Spark 4 stored
+    // procedures on the snapshot catalog (`CALL graft_cat.system.…`):
+    // compact → create_tag → fold_deletes (a pending MoR retraction
+    // feed) → restore round-trip → expire_versions, every effect
+    // required in place by the setup memo; the row reads the standing
+    // table and the oracle replays the surviving content (the folded
+    // census) blind to procedures, versions, and the catalog.
+    "snapshot_sql_proc" -> ((s, dir) => {
+      val ns = sqlProcSetup(s, dir)
+      s.sql(s"SELECT event_type, count(*) AS n_events, sum(event_id) AS sum_id " +
+        s"FROM graft_cat.$ns.ev GROUP BY event_type ORDER BY event_type")
+    }),
+    // CALL clone: the zero-copy staging table (write-audit-publish's
+    // staging half) — created by the same lifecycle memo, diverged
+    // with one staged row the source provably never sees; the oracle
+    // replays folded census + the staged marker.
+    "snapshot_sql_clone" -> ((s, dir) => {
+      val ns = sqlProcSetup(s, dir)
+      s.sql(s"SELECT event_type, count(*) AS n_events " +
+        s"FROM graft_cat.$ns.ev_stage GROUP BY event_type ORDER BY event_type")
+    }),
+    // TBLPROPERTIES as write-path config: sort_cols range-clusters
+    // every SQL INSERT and records stats on the sort columns, so a
+    // ranged WHERE prunes files from the manifest even though the
+    // insert's input was hash-shuffled across the full id domain (the
+    // setup memo REQUIRES the prune). The oracle replays the filter
+    // blind to files and layout.
+    "snapshot_sorted_write" -> ((s, dir) => {
+      val (ns, q) = sortedWriteSetup(s, dir)
+      s.sql(s"SELECT event_type, count(*) AS n_events, sum(event_id) AS sum_id " +
+        s"FROM graft_cat.$ns.ev WHERE event_id <= $q " +
+        "GROUP BY event_type ORDER BY event_type")
+    }),
+    // WRITE-AUDIT-PUBLISH in pure SQL: CALL clone pins the head, the
+    // risky insert+DELETE land on staging only (required), CALL
+    // publish atomically fast-forwards the source to the audited state
+    // and consumes the staging identifier; the oracle replays the
+    // staged edits over the base rows, blind to the workflow.
+    "snapshot_sql_wap" -> ((s, dir) => {
+      val ns = sqlWapSetup(s, dir)
       s.sql(s"SELECT event_type, count(*) AS n_events, sum(event_id) AS sum_id " +
         s"FROM graft_cat.$ns.ev GROUP BY event_type ORDER BY event_type")
     }),
@@ -7552,6 +7803,39 @@ object SparkEntry {
         |         AS v(event_id, event_type))
         |SELECT event_type, count(*) AS n_events, sum(event_id) AS sum_id
         |FROM m1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the CALL-procedure lifecycle's surviving content: compaction,
+    // tagging, the restore round-trip, and history expiry are all
+    // content-invariant, so only the folded MoR retraction (id % 7)
+    // shows — replayed blind to procedures, versions, and the catalog
+    "snapshot_sql_proc" ->
+      """SELECT event_type, count(*) AS n_events, sum(event_id) AS sum_id
+        |FROM events WHERE event_id % 7 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the CALL-cloned staging table: the folded census plus the one
+    // staged marker row the source never sees
+    "snapshot_sql_clone" ->
+      """WITH b AS (SELECT event_id, event_type FROM events
+        |           WHERE event_id % 7 <> 0
+        |           UNION ALL
+        |           SELECT (SELECT max(event_id) + 1000 FROM events), 'staged')
+        |SELECT event_type, count(*) AS n_events
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the WAP lifecycle's published state: the staged insert + DELETE
+    // sweep replayed over the base rows — blind to clones and pins
+    "snapshot_sql_wap" ->
+      """WITH b AS (SELECT event_id, event_type FROM events
+        |           WHERE event_id % 11 <> 0
+        |           UNION ALL
+        |           SELECT (SELECT max(event_id) + 2000 FROM events), 'audited')
+        |SELECT event_type, count(*) AS n_events, sum(event_id) AS sum_id
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    // sort_cols clustering is answer-invisible: the same quarter-range
+    // filter over the base rows, whatever the engine pruned
+    "snapshot_sorted_write" ->
+      """SELECT event_type, count(*) AS n_events, sum(event_id) AS sum_id
+        |FROM events
+        |WHERE event_id <= (SELECT (max(event_id)+1)//4 - 1 FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // SQL writes land the same rows the method-call commits land
     "snapshot_sql_write" ->
       """SELECT event_type, count(*) AS n_events

@@ -864,7 +864,9 @@ object SnapshotTable {
     val norm = filters.map(f =>
       (f.colName, f.lower.map(toStatVal), f.upper.map(toStatVal)))
     val kept = m.entries.filter { e =>
-      norm.forall { case (c, lo, hi) =>
+      // a proven-empty file (the CREATE TABLE seed, a fully-deleted
+      // rewrite) matches NO predicate — prune it unconditionally
+      e.rows != 0L && norm.forall { case (c, lo, hi) =>
         entryStat(m, e, c) match {
           case None => true
           case Some(st) =>
@@ -923,6 +925,7 @@ object SnapshotTable {
     val hashes = hashKeyStrings(spark, canon)
     val statVals = values.map(v => scala.util.Try(toStatVal(v)).toOption)
     val kept = m.entries.filter { e =>
+      e.rows != 0L && { // a proven-empty file admits no key
       val bloom = writeTimeName(m, colName, e.seq)
         .flatMap(wt => entryBloom(spark, dir, e, wt)).map(b =>
           org.apache.spark.util.sketch.BloomFilter.readFrom(
@@ -936,7 +939,7 @@ object SnapshotTable {
         }
         bloomOk && statOk
       }
-    }
+    }}
     (m, kept)
   }
 
@@ -1755,14 +1758,17 @@ object SnapshotTable {
         val out = f.create(sidecarBloomPath(dir, p, c), true)
         try out.write(bytes) finally out.close()
       }
-      // a file the grouped count never saw is empty-or-unmatched:
-      // record unknown (-1), countRows refuses rather than guesses.
+      // a file the grouped count never saw held ZERO rows: the scan
+      // covered exactly relPaths and every row reports its file, so
+      // absence is a proven-empty census, not an unknown — record 0
+      // (which also makes the file prunable under ANY predicate; the
+      // empty seed file CREATE TABLE commits rides this).
       // bytes: one delta-sized getFileStatus per NEW file — planner
       // statistics (auto-broadcast) read it from the manifest forever
       val len = scala.util.Try(
         f.getFileStatus(new Path(s"$dir/$p")).getLen).getOrElse(-1L)
       Entry(p, statsByRel.getOrElse(p, Map.empty), inline, big.keySet,
-        rowsByRel.getOrElse(p, -1L), bytes = len)
+        rowsByRel.getOrElse(p, 0L), bytes = len)
     }
   }
 
@@ -2738,7 +2744,10 @@ object SnapshotTable {
     * types). Full-match additionally needs ZERO nulls in the filtered
     * column — null satisfies no Eq/In/Range predicate, so a null row
     * must survive a DELETE. */
-  private def classifyEntry(m: Manifest, e: Entry, p: DmlPred): Option[Boolean] = p match {
+  private def classifyEntry(m: Manifest, e: Entry, p: DmlPred): Option[Boolean] =
+    // a proven-empty file (the CREATE TABLE seed): vacuously all-match,
+    // so a metadata-only DELETE sweeps the dead weight from the census
+    if (e.rows == 0L) Some(true) else p match {
     case PredTrue => Some(true)
     case PredAnd(l, r) =>
       (classifyEntry(m, e, l), classifyEntry(m, e, r)) match {
@@ -3138,7 +3147,146 @@ object SnapshotTable {
       Manifest(1L, Ledger(), m.statsCols, ext,
         bloomCols = m.bloomCols, bloomFpp = m.bloomFpp)),
       s"cloneTable lost a creation race on $dstDir")
+    // provenance for publishClone: which table AND VERSION this clone
+    // staged — the optimistic-concurrency pin write-audit-publish
+    // validates against (one tiny json; harmless for plain forks)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("src", qualifiedPath(spark, srcDir))
+    node.put("version", v)
+    val pp = new Path(s"$dstDir/$ManifestDir/_cloned_from.json")
+    val pout = f.create(pp, true)
+    try pout.write(mapper.writeValueAsString(node).getBytes(UTF_8))
+    finally pout.close()
     1L
+  }
+
+  /** The provenance a clone records at creation: (source dir, pinned
+    * source version). Absent for tables that were never cloned. */
+  private[graft] def clonedFrom(
+      spark: SparkSession, dir: String): Option[(String, Long)] = {
+    val p = new Path(s"$dir/$ManifestDir/_cloned_from.json")
+    val f = fs(spark, dir)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      Some((n.get("src").asText(), n.get("version").asLong()))
+    }
+  }
+
+  /** WRITE-AUDIT-PUBLISH, the publish half: atomically fast-forward
+    * the clone's SOURCE table to the audited staging state. The
+    * staging workflow is `cloneTable` (zero-copy pin of the source
+    * head) → arbitrary writes/DML on the clone → audits (expectations,
+    * ad-hoc queries) → `publishClone`, which commits the staging
+    * table's exact census onto the source as ONE new version — the
+    * same atomic manifest publish every commit uses, so readers flip
+    * from pre-publish to post-publish state with nothing in between.
+    *
+    * Concurrency is OPTIMISTIC against the clone's provenance pin: the
+    * source must still be at the version the clone was cut from —
+    * any commit that landed on the source since makes the publish
+    * abort loudly (re-clone, re-stage, re-audit; a silent merge would
+    * drop the concurrent commit's rows). The pin is re-validated by
+    * the atomic version-file publish itself, so a commit racing in
+    * between the check and the publish loses cleanly too.
+    *
+    * Files: entries referencing the source tree (the clone's zero-copy
+    * externals) become ordinary relative entries again; STAGED files
+    * (batches the clone's own writes landed) are MOVED into the source
+    * tree — publish CONSUMES the staging table (it is tombstoned on
+    * success, `gc_dropped` sweeps the empty carcass later), so the
+    * published table is fully self-contained and staging's lifecycle
+    * can never break it. A failed publish moves everything back.
+    * Pending MoR deletes on staging must be folded first (same
+    * discipline as clone). Returns the published version. */
+  def publishClone(
+      spark: SparkSession, stagingDir: String, targetDir: String): Long = {
+    val (provSrc, provV) = clonedFrom(spark, stagingDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"publishClone: $stagingDir records no clone provenance — " +
+          "stage with cloneTable (or CALL system.clone) first"))
+    val targetCanon = qualifiedPath(spark, targetDir)
+    require(provSrc == targetCanon,
+      s"publishClone: $stagingDir was cloned from $provSrc, not $targetCanon")
+    val svs = versions(spark, stagingDir)
+    require(svs.nonEmpty, s"staging table $stagingDir has no committed version")
+    val sm = readManifest(spark, stagingDir, svs.last)
+    require(sm.deletes.isEmpty,
+      s"publishClone: $stagingDir carries pending merge-on-read deletes — " +
+        "run applyDeletes (CALL system.fold_deletes) before publishing")
+    require(schemaOps(sm).forall(op => sm.entries.forall(_.seq >= opSeq(op))),
+      s"publishClone: $stagingDir has files still subject to a column " +
+        "rename/drop — compact/OPTIMIZE the staging table first")
+    val tvs = versions(spark, targetDir)
+    require(tvs.nonEmpty && tvs.last == provV,
+      s"publishClone: $targetDir moved to ${tvs.lastOption.getOrElse(-1L)} " +
+        s"since the clone pinned $provV — a concurrent commit landed; " +
+        "re-clone, re-stage, re-audit")
+    val tm = readManifest(spark, targetDir, tvs.last)
+    val f = fs(spark, targetDir)
+    val sfs = fs(spark, stagingDir)
+    val batch = s"batch-wap-${UUID.randomUUID()}"
+    f.mkdirs(new Path(s"$targetDir/$batch"))
+    var moved = List.empty[(Path, Path)] // (stagingFrom, targetTo)
+    def undo(): Unit = moved.foreach { case (from, to) => f.rename(to, from): Unit }
+    def underTarget(abs: String): Boolean =
+      qualifiedPath(spark, abs).startsWith(targetCanon + "/")
+    val published =
+      try sm.entries.zipWithIndex.map { case (e, i) =>
+        val abs = resolve(stagingDir, e.path)
+        if (underTarget(abs)) {
+          // the clone's zero-copy reference back into the target tree:
+          // an ordinary relative entry again
+          e.copy(path = qualifiedPath(spark, abs).stripPrefix(targetCanon + "/"),
+            seq = 0L)
+        } else {
+          // a STAGED file: move it (and its bloom sidecars) into the
+          // target tree — indexed name, two staged part-00000s from
+          // different batches must never collide. An external ref into
+          // a THIRD table (a clone of a clone) is not ours to move.
+          require(qualifiedPath(spark, abs)
+            .startsWith(qualifiedPath(spark, stagingDir) + "/"),
+            s"publishClone: $stagingDir references $abs, which lives in " +
+              "neither the staging nor the target tree (a clone of a " +
+              "clone?) — compact the staging table to localize it first")
+          val name = s"f$i-${new Path(abs).getName}"
+          val dst = new Path(s"$targetDir/$batch/$name")
+          e.sidecarBloomCols.foreach { c =>
+            val sideFrom = sidecarBloomPath(stagingDir, e.path, c)
+            val sideTo = sidecarBloomPath(targetDir, s"$batch/$name", c)
+            f.mkdirs(sideTo.getParent)
+            require(sfs.rename(sideFrom, sideTo),
+              s"publishClone: moving bloom sidecar $sideFrom failed")
+            moved ::= (sideFrom, sideTo)
+          }
+          require(sfs.rename(new Path(abs), dst),
+            s"publishClone: moving staged file $abs failed")
+          moved ::= (new Path(abs), dst)
+          e.copy(path = s"$batch/$name", seq = 0L)
+        }
+      } catch { case t: Throwable => undo(); throw t }
+    // content fully replaces: schema-op lists clear (the staged census
+    // carries final names), target's ledger carries (its streaming
+    // writers' exactly-once state survives the publish)
+    if (!tryPublish(spark, targetDir,
+      Manifest(tvs.last + 1, tm.ledger, sm.statsCols, published,
+        bloomCols = sm.bloomCols, bloomFpp = sm.bloomFpp))) {
+      undo()
+      f.delete(new Path(s"$targetDir/$batch"), true): Unit
+      throw new IllegalStateException(
+        s"publishClone: a commit raced onto $targetDir during the publish — " +
+          "re-clone, re-stage, re-audit")
+    }
+    // publish consumed the staged files: the staging table's manifests
+    // now dangle, so retire the identifier (data it still names under
+    // the TARGET tree belongs to the target now; the carcass holds no
+    // live files and gc_dropped sweeps it past the grace)
+    markDropped(spark, stagingDir)
+    tvs.last + 1
   }
 
   /** Fold every pending merge-on-read delete into the data and clear

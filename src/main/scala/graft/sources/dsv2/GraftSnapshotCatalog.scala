@@ -7,7 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Column, Identifier, MetadataColumn, NamespaceChange, SupportsDelete, SupportsMetadataColumns, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Column, Identifier, MetadataColumn, NamespaceChange, ProcedureCatalog, SupportsDelete, SupportsMetadataColumns, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, V1Write, Write, WriteBuilder}
@@ -44,7 +45,76 @@ import graft.sources.SnapshotTable
   * additive rules. Renames/ALTERs beyond the format's own evolution
   * commits are refused loudly.
   */
-class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces {
+/** Table PROPERTIES for catalog snapshot tables — the knobs a pure-SQL
+  * client sets at CREATE (or via ALTER TABLE … SET TBLPROPERTIES) that
+  * shape every subsequent write:
+  *
+  *  - `stats_cols` (comma-separated): manifest min/max stats recorded
+  *    per data file on these columns — the pruning currency every
+  *    `WHERE` range predicate spends;
+  *  - `bloom_cols`: per-file bloom sidecars for point/IN pruning;
+  *  - `sort_cols`: INSERTs are range-clustered + sorted on these
+  *    columns BEFORE landing, so each file covers a narrow range and
+  *    the recorded stats actually prune (unsorted inserts give every
+  *    file ~the full domain — stats that prune nothing). Sort columns
+  *    are implicitly stats columns.
+  *
+  * Stored as one tiny `_manifests/_props.json` beside the manifests —
+  * write-path CONFIGURATION, not data: changing it never rewrites
+  * rows, it changes how future commits land (the same contract
+  * Iceberg's write-order/Delta's dataSkippingNumIndexedCols carry). */
+private[dsv2] object GraftTableProps {
+  import java.nio.charset.StandardCharsets.UTF_8
+
+  /** Keys Spark itself stuffs into CREATE properties — never ours. */
+  private val Reserved = Set("provider", "owner", "location", "comment",
+    "external", "is_managed_location", "option.path", "path")
+
+  private def path(dir: String) = new Path(s"$dir/_manifests/_props.json")
+
+  def write(spark: SparkSession, dir: String, props: Map[String, String]): Unit = {
+    val p = path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (props.isEmpty) { fs.delete(p, false): Unit; return }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    props.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    val out = fs.create(p, true)
+    try out.write(mapper.writeValueAsString(node).getBytes(UTF_8))
+    finally out.close()
+  }
+
+  def read(spark: SparkSession, dir: String): Map[String, String] = {
+    val p = path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    node.properties().iterator().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap
+  }
+
+  def cols(props: Map[String, String], key: String): Seq[String] =
+    props.get(key).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
+  /** The user-settable subset of a CREATE/ALTER property map. */
+  def ours(props: Map[String, String]): Map[String, String] =
+    props.view.filterKeys(k => !Reserved.contains(k.toLowerCase)).toMap
+
+  /** Column-list keys must name declared columns — a typo'd stats/sort
+    * column would silently record nothing, so refuse it loudly. */
+  def validate(props: Map[String, String], colNames: Seq[String], ident: String): Unit =
+    Seq("stats_cols", "bloom_cols", "sort_cols").foreach { k =>
+      cols(props, k).foreach(c =>
+        require(colNames.contains(c),
+          s"table $ident: $k names '$c' which is not a column of the table"))
+    }
+}
+
+class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -72,6 +142,34 @@ class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces {
     if (!exists(ident)) throw new NoSuchTableException(ident)
     dirOf(ident)
   }
+
+  /** The directory a NEW table identifier would occupy — the CALL
+    * tier's clone target resolution. Refuses identifiers already
+    * taken; purges a dropped-but-unswept carcass the way CREATE does
+    * (re-using the name is an explicit supersede). */
+  private[graft] def newTableDir(ident: Identifier): String = {
+    if (exists(ident)) throw new TableAlreadyExistsException(ident)
+    val dir = dirOf(ident)
+    if (SnapshotTable.isDropped(spark, dir)) {
+      val p = new Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true): Unit
+    }
+    dir
+  }
+
+  private[dsv2] def rootDir: String = root
+
+  // ---------------------------------------------------------------
+  // Stored procedures — `CALL <cat>.system.<proc>(…)` (the SQL face
+  // of the maintenance lifecycle; see GraftProcedures)
+  // ---------------------------------------------------------------
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    GraftProcedures.load(this, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list(this, namespace)
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val nsDir = new Path((root +: namespace).mkString("/"))
@@ -128,6 +226,9 @@ class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces {
     val schema = new StructType(columns.map(c =>
       org.apache.spark.sql.types.StructField(
         c.name(), c.dataType(), c.nullable())))
+    val tblProps = GraftTableProps.ours(
+      Option(properties).map(_.asScala.toMap).getOrElse(Map.empty))
+    GraftTableProps.validate(tblProps, schema.fieldNames.toSeq, ident.toString)
     // the declared schema lives beside the manifests: an empty table
     // has no data file to derive one from. `exists` already said no
     // committed version — so a _schema.json found here is the debris
@@ -143,6 +244,7 @@ class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces {
     SnapshotTable.commitAppend(
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         schema).limit(0), dir)
+    if (tblProps.nonEmpty) GraftTableProps.write(spark, dir, tblProps)
     new SnapshotCatalogTable(dir, ident.toString, None)
   }
 
@@ -163,7 +265,18 @@ class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces {
     var cols: Seq[String] =
       new SnapshotCatalogTable(dir, ident.toString, None)
         .schema().fields.map(_.name).toSeq
+    var propEdits = Seq.empty[(String, Option[String])]
+    var colRenames = Map.empty[String, String]
+    var colDrops = Set.empty[String]
     val commits: Seq[() => Unit] = changes.map {
+      // SET/UNSET TBLPROPERTIES: write-path configuration edits —
+      // validated against the simulated post-change schema below (so
+      // `ADD COLUMN x` + `sort_cols = 'x'` compose in one ALTER),
+      // applied after the column commits land
+      case sp: TableChange.SetProperty =>
+        propEdits :+= (sp.property() -> Some(sp.value())); () => ()
+      case rp: TableChange.RemoveProperty =>
+        propEdits :+= (rp.property() -> None); () => ()
       case r: TableChange.RenameColumn =>
         require(r.fieldNames().length == 1,
           s"nested column rename unsupported: ${r.fieldNames().mkString(".")}")
@@ -173,6 +286,7 @@ class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces {
         require(!cols.contains(r.newName()),
           s"ALTER TABLE $ident: '${r.newName()}' already exists — renames never shadow")
         cols = cols.map(c => if (c == from) r.newName() else c)
+        colRenames += (from -> r.newName())
         () => SnapshotTable.commitRenameColumn(spark, dir, from, r.newName()): Unit
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames().length == 1,
@@ -180,6 +294,7 @@ class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces {
         val name = d.fieldNames()(0)
         require(cols.contains(name), s"ALTER TABLE $ident: no column '$name'")
         cols = cols.filterNot(_ == name)
+        colDrops += name
         () => SnapshotTable.commitDropColumn(spark, dir, name): Unit
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
@@ -189,6 +304,10 @@ class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces {
         require(a.isNullable,
           s"ALTER TABLE $ident: added columns must be nullable — " +
             "pre-widening rows read NULL under them")
+        require(a.defaultValue() == null,
+          s"ALTER TABLE $ident: DEFAULT values are unsupported — " +
+            "pre-widening rows read NULL, and silently substituting " +
+            "NULL for a declared default would be a wrong result")
         val name = a.fieldNames()(0)
         require(!cols.contains(name),
           s"ALTER TABLE $ident: '$name' already exists")
@@ -199,7 +318,31 @@ class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces {
         s"ALTER TABLE $ident: unsupported change $other — the snapshot " +
           "format evolves via ADD / RENAME / DROP COLUMN commits only")
     }
+    // write-path config follows schema evolution: renamed columns
+    // rename inside the col-list keys, dropped ones vanish from them
+    val base0 = GraftTableProps.read(spark, dir)
+    val base =
+      if (colRenames.isEmpty && colDrops.isEmpty) base0
+      else base0.map { case (k, v) =>
+        if (!Seq("stats_cols", "bloom_cols", "sort_cols").contains(k)) k -> v
+        else k -> v.split(',').map(_.trim).filter(_.nonEmpty)
+          .map(c => colRenames.getOrElse(c, c))
+          .filterNot(colDrops.contains).mkString(",")
+      }.filter { case (k, v) =>
+        v.nonEmpty || !Seq("stats_cols", "bloom_cols", "sort_cols").contains(k)
+      }
+    val nextProps =
+      if (propEdits.isEmpty && base == base0) None
+      else {
+        val next = GraftTableProps.ours(propEdits.foldLeft(base) {
+          case (m, (k, Some(v))) => m + (k -> v)
+          case (m, (k, None)) => m - k
+        })
+        GraftTableProps.validate(next, cols, ident.toString)
+        Some(next)
+      }
     commits.foreach(_.apply())
+    nextProps.foreach(GraftTableProps.write(spark, dir, _))
     new SnapshotCatalogTable(dir, ident.toString, None)
   }
 
@@ -364,6 +507,13 @@ private[dsv2] class SnapshotCatalogTable(
 
   override def name(): String = ident
 
+  /** SHOW TBLPROPERTIES surfaces the write-path config. */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    GraftTableProps.read(spark, dir).foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
   /** Head (or pinned-version) schema; the stored `_schema.json` covers
     * the empty table no data file can describe (plus any ADD COLUMN
     * commits landed before the first insert). */
@@ -413,8 +563,30 @@ private[dsv2] class SnapshotCatalogTable(
           new InsertableRelation {
             override def insert(
                 data: org.apache.spark.sql.DataFrame, ov: Boolean): Unit = {
-              if (overwrite || ov) SnapshotTable.commitOverwrite(data, dir)
-              else SnapshotTable.commitAppend(data, dir)
+              // the table's write-path config (TBLPROPERTIES): sort
+              // columns range-cluster the batch so per-file stats are
+              // narrow enough to prune; sort columns are implicitly
+              // stats columns (clustering without recorded stats
+              // prunes nothing)
+              val props = GraftTableProps.read(SparkSession.active, dir)
+              val sortCols = GraftTableProps.cols(props, "sort_cols")
+                .filter(data.columns.contains)
+              val statsCols = (GraftTableProps.cols(props, "stats_cols")
+                ++ sortCols).distinct.filter(data.columns.contains)
+              val bloomCols = GraftTableProps.cols(props, "bloom_cols")
+                .filter(data.columns.contains)
+              val shaped =
+                if (sortCols.isEmpty) data
+                else data.repartitionByRange(
+                  sortCols.map(org.apache.spark.sql.functions.col): _*)
+                  .sortWithinPartitions(
+                    sortCols.map(org.apache.spark.sql.functions.col): _*)
+              if (overwrite || ov)
+                SnapshotTable.commitOverwrite(shaped, dir,
+                  statsCols = statsCols, bloomCols = bloomCols)
+              else
+                SnapshotTable.commitAppend(shaped, dir,
+                  statsCols = statsCols, bloomCols = bloomCols)
               ()
             }
           }

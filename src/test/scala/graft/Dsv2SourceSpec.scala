@@ -1214,4 +1214,201 @@ class Dsv2SourceSpec extends SparkSpec {
       spark.sql("SELECT * FROM graft_table_history('spark_catalog.ns.t')")
     }
   }
+
+  test("CALL procedures: the maintenance lifecycle is pure SQL — compact, fold, tag, restore, expire, clone, gc") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val root = java.nio.file.Files.createTempDirectory("snap_proc").toString
+    spark.conf.set("spark.sql.catalog.gproc",
+      classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gproc.root", root)
+    new java.io.File(s"$root/ns").mkdirs()
+    val dir = s"$root/ns/t"
+    spark.sql("CREATE TABLE gproc.ns.t (id BIGINT, v STRING)")
+    (1 to 3).foreach(i =>
+      spark.sql(s"INSERT INTO gproc.ns.t VALUES ($i, 'v$i'), (${i + 10}, 'w$i')"))
+    assert(SnapshotTable.files(spark, dir,
+      SnapshotTable.versions(spark, dir).last).size > 1)
+
+    // compact: named args, returned version row, one output file
+    val cv = spark.sql(
+      "CALL gproc.system.compact(table => 'ns.t', target_bytes => 134217728)")
+    assert(cv.columns.toSeq == Seq("version"))
+    val compactedV = cv.head().getLong(0)
+    assert(compactedV == SnapshotTable.versions(spark, dir).last)
+    assert(SnapshotTable.files(spark, dir, compactedV).size == 1)
+    assert(spark.sql("SELECT count(*) FROM gproc.ns.t").head().getLong(0) == 6L)
+
+    // fold_deletes: MoR-pending keys fold into the data via CALL
+    SnapshotTable.commitDeleteMoR(Seq(1L).toDF("id"), dir, Seq("id"))
+    assert(SnapshotTable.pendingDeletes(spark, dir).nonEmpty)
+    spark.sql("CALL gproc.system.fold_deletes('ns.t')").collect()
+    assert(SnapshotTable.pendingDeletes(spark, dir).isEmpty)
+    assert(spark.sql("SELECT count(*) FROM gproc.ns.t").head().getLong(0) == 5L)
+
+    // create_tag defaults to the head; delete_tag removes the pointer only
+    val tagV = spark.sql("CALL gproc.system.create_tag('ns.t', 'audit')")
+      .head().getLong(0)
+    assert(tagV == SnapshotTable.versions(spark, dir).last)
+    assert(SnapshotTable.tagVersion(spark, dir, "audit") == tagV)
+    spark.sql("CALL gproc.system.delete_tag('ns.t', 'audit')").collect()
+    intercept[Exception] { SnapshotTable.tagVersion(spark, dir, "audit") }
+
+    // restore: roll back to the compacted version as a NEW commit
+    val beforeRestore = spark.sql("SELECT * FROM gproc.ns.t").collect()
+    val rv = spark.sql(s"CALL gproc.system.restore('ns.t', $compactedV)")
+      .head().getLong(0)
+    assert(rv > compactedV)
+    assert(spark.sql("SELECT count(*) FROM gproc.ns.t").head().getLong(0) == 6L)
+    spark.sql(s"CALL gproc.system.restore('ns.t', ${rv - 1})").collect()
+    assert(spark.sql("SELECT * FROM gproc.ns.t").collect().toSet ==
+      beforeRestore.toSet)
+
+    // clone: zero-copy staging table under a NEW identifier, then
+    // the clone diverges without touching the source
+    spark.sql("CALL gproc.system.clone('ns.t', 'ns.t_stage')").collect()
+    assert(spark.sql("SELECT count(*) FROM gproc.ns.t_stage")
+      .head().getLong(0) == 5L)
+    spark.sql("INSERT INTO gproc.ns.t_stage VALUES (99, 'staged')")
+    assert(spark.sql("SELECT count(*) FROM gproc.ns.t_stage")
+      .head().getLong(0) == 6L)
+    assert(spark.sql("SELECT count(*) FROM gproc.ns.t").head().getLong(0) == 5L)
+    intercept[Exception] { // an existing identifier refuses
+      spark.sql("CALL gproc.system.clone('ns.t', 'ns.t_stage')").collect()
+    }
+
+    // optimize: the composed pass reports what fired
+    val rep = spark.sql(
+      "CALL gproc.system.optimize(table => 'ns.t', keep_versions => 3)").head()
+    assert(rep.schema.fieldNames.toSeq == Seq("deletes_folded", "fold_version",
+      "compact_version", "orphans_swept", "versions_expired"))
+    assert(rep.getInt(0) == 0) // nothing pending after fold_deletes above
+    assert(SnapshotTable.versions(spark, dir).size <= 3)
+    assert(spark.sql("SELECT count(*) FROM gproc.ns.t").head().getLong(0) == 5L)
+
+    // expire_versions: vacuum by count down to the head
+    spark.sql("CALL gproc.system.expire_versions('ns.t', keep_versions => 1)")
+      .collect()
+    assert(SnapshotTable.versions(spark, dir).size == 1)
+
+    // zorder: two-column Morton rewrite via CALL, content preserved
+    spark.sql(
+      "CALL gproc.system.zorder('ns.t', 'id', 'id', 134217728, 8)").collect()
+    assert(spark.sql("SELECT count(*) FROM gproc.ns.t").head().getLong(0) == 5L)
+
+    // gc_dropped sweeps a dropped table's carcass across the root
+    spark.sql("DROP TABLE gproc.ns.t_stage")
+    assert(new java.io.File(s"$root/ns/t_stage").exists())
+    assert(spark.sql("CALL gproc.system.gc_dropped(grace_ms => 0)")
+      .head().getInt(0) == 1)
+    assert(!new java.io.File(s"$root/ns/t_stage").exists())
+
+    // unknown procedures and wrong namespaces refuse loudly
+    intercept[Exception] { spark.sql("CALL gproc.system.nope('ns.t')") }
+    intercept[Exception] { spark.sql("CALL gproc.other.compact('ns.t')") }
+  }
+
+  test("CALL clone + publish: write-audit-publish in pure SQL") {
+    import graft.sources.SnapshotTable
+    val root = java.nio.file.Files.createTempDirectory("snap_wap").toString
+    spark.conf.set("spark.sql.catalog.gwap",
+      classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gwap.root", root)
+    new java.io.File(s"$root/ns").mkdirs()
+    spark.sql("CREATE TABLE gwap.ns.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gwap.ns.t SELECT id, concat('v', id) " +
+      "FROM range(1, 101)")
+    // stage: clone, then write + audit on the staging table only
+    spark.sql("CALL gwap.system.clone('ns.t', 'ns.t_wap')").collect()
+    spark.sql("INSERT INTO gwap.ns.t_wap VALUES (201, 'staged')")
+    spark.sql("DELETE FROM gwap.ns.t_wap WHERE id % 10 = 0")
+    assert(spark.sql("SELECT count(*) FROM gwap.ns.t").head().getLong(0) == 100L,
+      "staging writes must not leak into the source pre-publish")
+    val audited = spark.sql("SELECT * FROM gwap.ns.t_wap").collect().toSet
+    // publish: the source flips atomically to the audited state and
+    // the staging identifier is consumed
+    val pv = spark.sql("CALL gwap.system.publish('ns.t_wap')").head().getLong(0)
+    assert(spark.sql(s"SELECT * FROM gwap.ns.t VERSION AS OF $pv").collect()
+      .toSet == audited)
+    assert(spark.sql("SELECT * FROM gwap.ns.t").collect().toSet == audited)
+    assert(!spark.catalog.tableExists("gwap.ns.t_wap"))
+    // sweeping the consumed staging carcass never breaks the source
+    assert(spark.sql("CALL gwap.system.gc_dropped(grace_ms => 0)")
+      .head().getInt(0) == 1)
+    assert(spark.sql("SELECT count(*) FROM gwap.ns.t").head().getLong(0) == 91L)
+    // pre-publish history survives (time travel to the pre-WAP census)
+    assert(spark.sql(s"SELECT count(*) FROM gwap.ns.t VERSION AS OF ${pv - 1}")
+      .head().getLong(0) == 100L)
+    // a publish against a moved source refuses loudly
+    spark.sql("CALL gwap.system.clone('ns.t', 'ns.t_wap2')").collect()
+    spark.sql("INSERT INTO gwap.ns.t VALUES (999, 'concurrent')")
+    intercept[Exception] {
+      spark.sql("CALL gwap.system.publish('ns.t_wap2')").collect()
+    }
+    assert(graft.sources.SnapshotTable.versions(spark, s"$root/ns/t_wap2")
+      .nonEmpty, "a refused publish leaves staging intact")
+  }
+
+  test("TBLPROPERTIES shape the SQL write path: sort_cols cluster inserts into pruneable files") {
+    import graft.sources.SnapshotTable
+    val root = java.nio.file.Files.createTempDirectory("snap_props").toString
+    spark.conf.set("spark.sql.catalog.gprops",
+      classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gprops.root", root)
+    new java.io.File(s"$root/ns").mkdirs()
+    val dir = s"$root/ns/t"
+    spark.sql("CREATE TABLE gprops.ns.t (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('sort_cols' = 'id', 'bloom_cols' = 'v')")
+    // SHOW TBLPROPERTIES surfaces the stored config
+    val shown = spark.sql("SHOW TBLPROPERTIES gprops.ns.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("sort_cols").contains("id"))
+    assert(shown.get("bloom_cols").contains("v"))
+    // adversarial insert: input hash-clustered on v, every input
+    // partition spans the full id domain
+    import spark.implicits._
+    (0L until 400L).map(i => (i, s"v${i % 4}")).toDF("id", "v")
+      .repartition(4, col("v")).createOrReplaceTempView("props_src")
+    // at KB scale AQE coalesces the range shuffle into one partition
+    // (at real scale its advisory sizing is exactly what you want —
+    // ~target-sized clustered files); pin it off to see the ranges
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try spark.sql("INSERT INTO gprops.ns.t SELECT id, v FROM props_src")
+    finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    val head = SnapshotTable.versions(spark, dir).last
+    val total = SnapshotTable.files(spark, dir, head).size
+    assert(total > 1, "the range-clustered insert must land multiple files")
+    val (kept, n) = SnapshotTable.pruneFiles(spark, dir,
+      Seq(SnapshotTable.StatFilter("id", upper = Some(49L))))
+    assert(n == total && kept.size < total,
+      s"sort_cols must record stats narrow enough to prune: ${kept.size}/$n")
+    // bloom sidecars landed for the bloom_cols column
+    val m = SnapshotTable.readManifest(spark, dir, head)
+    assert(m.bloomCols == Seq("v"))
+    // reads are answer-identical to the unclustered content
+    assert(spark.sql("SELECT count(*) FROM gprops.ns.t WHERE id <= 49")
+      .head().getLong(0) == 50L)
+    // a typo'd column refuses loudly at CREATE
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gprops.ns.bad (id BIGINT) " +
+        "TBLPROPERTIES ('sort_cols' = 'nope')")
+    }
+    // ALTER TABLE SET TBLPROPERTIES revises the write-path config;
+    // UNSET removes it — and neither touches data
+    spark.sql("ALTER TABLE gprops.ns.t SET TBLPROPERTIES ('stats_cols' = 'v')")
+    assert(spark.sql("SHOW TBLPROPERTIES gprops.ns.t").collect()
+      .exists(r => r.getString(0) == "stats_cols" && r.getString(1) == "v"))
+    spark.sql("ALTER TABLE gprops.ns.t UNSET TBLPROPERTIES ('stats_cols')")
+    assert(!spark.sql("SHOW TBLPROPERTIES gprops.ns.t").collect()
+      .exists(_.getString(0) == "stats_cols"))
+    intercept[Exception] { // validation holds on ALTER too
+      spark.sql("ALTER TABLE gprops.ns.t SET TBLPROPERTIES ('sort_cols' = 'zz')")
+    }
+    // a column rename follows through into the col-list config
+    spark.sql("ALTER TABLE gprops.ns.t RENAME COLUMN id TO id2")
+    assert(spark.sql("SHOW TBLPROPERTIES gprops.ns.t").collect()
+      .exists(r => r.getString(0) == "sort_cols" && r.getString(1) == "id2"))
+    assert(spark.sql("SELECT count(*) FROM gprops.ns.t WHERE id2 <= 49")
+      .head().getLong(0) == 50L)
+  }
 }

@@ -1327,6 +1327,67 @@ class SnapshotTableSpec extends SparkSpec {
     assert(!ids(SnapshotTable.read(spark, dst)).contains(50L))
   }
 
+  test("publishClone: write-audit-publish — atomic fast-forward, optimistic abort, self-contained result") {
+    // stage: clone → diverge (append + COW delete) → publish
+    val src = freshDir()
+    SnapshotTable.commitAppend(
+      (1L to 100L).toDF("id").repartitionByRange(4, col("id")),
+      src, statsCols = Seq("id"))
+    val stage = freshDir()
+    SnapshotTable.cloneTable(spark, src, stage)
+    SnapshotTable.commitAppend(Seq(201L, 202L).toDF("id"), stage)
+    SnapshotTable.commitDelete(Seq(7L).toDF("id"), stage, Seq("id"))
+    val staged = ids(SnapshotTable.read(spark, stage))
+    val pv = SnapshotTable.publishClone(spark, stage, src)
+    assert(pv == 2L)
+    assert(ids(SnapshotTable.read(spark, src)) == staged,
+      "publish must land the exact audited census")
+    // staging is consumed: tombstoned, and sweeping its carcass can
+    // never break the published table (staged files were MOVED)
+    assert(SnapshotTable.isDropped(spark, stage))
+    val stageParent = new java.io.File(stage).getParent
+    SnapshotTable.gcDroppedTables(spark, stageParent, graceMs = 0L)
+    assert(!new java.io.File(stage).exists())
+    assert(ids(SnapshotTable.read(spark, src)) == staged,
+      "the published table must be self-contained after the carcass sweep")
+    // stats pruning survives the publish (entries re-relativized/moved)
+    val (kept, total) = SnapshotTable.pruneFiles(spark, src,
+      Seq(SnapshotTable.StatFilter("id", upper = Some(10L))))
+    assert(kept.size < total)
+
+    // optimistic abort: a commit landing on the source after the clone
+    // makes publish refuse loudly, and the staging table is untouched
+    val src2 = freshDir()
+    SnapshotTable.commitAppend((1L to 10L).toDF("id"), src2)
+    val stage2 = freshDir()
+    SnapshotTable.cloneTable(spark, src2, stage2)
+    SnapshotTable.commitAppend(Seq(99L).toDF("id"), stage2)
+    SnapshotTable.commitAppend(Seq(11L).toDF("id"), src2) // concurrent
+    val before = ids(SnapshotTable.read(spark, stage2))
+    assert(intercept[IllegalArgumentException] {
+      SnapshotTable.publishClone(spark, stage2, src2)
+    }.getMessage.contains("re-clone"))
+    assert(ids(SnapshotTable.read(spark, stage2)) == before,
+      "a refused publish must leave staging intact")
+    assert(ids(SnapshotTable.read(spark, src2)) == (1L to 11L))
+
+    // a table with no clone provenance refuses
+    val plain = freshDir()
+    SnapshotTable.commitAppend(Seq(1L).toDF("id"), plain)
+    assert(intercept[IllegalArgumentException] {
+      SnapshotTable.publishClone(spark, plain, src2)
+    }.getMessage.contains("provenance"))
+
+    // a clone of a CLONE references a third tree — not ours to move
+    val a = freshDir(); val b = freshDir(); val c = freshDir()
+    SnapshotTable.commitAppend(Seq(1L, 2L).toDF("id"), a)
+    SnapshotTable.cloneTable(spark, a, b)
+    SnapshotTable.cloneTable(spark, b, c)
+    assert(intercept[IllegalArgumentException] {
+      SnapshotTable.publishClone(spark, c, b)
+    }.getMessage.contains("localize"))
+  }
+
   test("commitStreamDeleteMoR: ledger-keyed exactly-once; re-insert after retraction survives the fold") {
     val dir = freshDir()
     SnapshotTable.commitAppend((1L to 10L).toDF("id"), dir, statsCols = Seq("id"))
