@@ -308,7 +308,8 @@ object ScaleProbe {
     // fixture carries one CONSTANT-size MoR delete on top (1000 keys
     // whatever f is) — the retraction feed must drain at key cost.
     if (Seq("sql_dml_pruned", "sql_dml_unpruned", "sql_dml_merge",
-      "stream_cdf_drain", "sql_dml_mor").exists(wanted)) {
+      "stream_cdf_drain", "sql_dml_mor", "sorted_write", "wap_publish")
+      .exists(wanted)) {
       spark.conf.set("spark.sql.catalog.gprobe",
         classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
       spark.conf.set("spark.sql.catalog.gprobe.root", scaledBase)
@@ -344,6 +345,39 @@ object ScaleProbe {
           graft.sources.SnapshotTable.commitDeleteMoR(
             spark.range(0, 1000).select(col("id").as("event_id")),
             dir, Seq("event_id"))
+        }
+        // r14 sorted-write fixture: a TBLPROPERTIES sort_cols table
+        // plus an adversarial hash-clustered input view (every input
+        // partition spans the full id domain); the timed INSERT pays
+        // scan + range shuffle + write — LINEAR by design, and the
+        // in-op require documents the prune the clustering buys
+        if (wanted("sorted_write")) {
+          spark.sql(s"CREATE TABLE gprobe.f$f.snap_sw_tbl " +
+            "(event_id BIGINT, event_type STRING) " +
+            "TBLPROPERTIES ('sort_cols' = 'event_id')")
+          ev.select("event_id", "event_type")
+            .repartition(8, col("event_type"))
+            .createOrReplaceTempView(s"probe_sw_src_f$f")
+        }
+        // r14 WAP fixture: source table (8f range files) + a staged
+        // clone carrying a constant-size insert and a stat-bounded
+        // DELETE; the timed op is the PUBLISH — manifest + staged-file
+        // renames, never data-volume work, so near-FLAT is the claim
+        if (wanted("wap_publish")) {
+          val dir = s"$scaledBase/f$f/snap_wap_tbl"
+          graft.sources.SnapshotTable.commitAppend(
+            ev.select("event_id", "event_type"), dir,
+            statsCols = Seq("event_id"))
+          spark.sql(s"CALL gprobe.system.clone(" +
+            s"'f$f.snap_wap_tbl', 'f$f.snap_wap_stage')").collect()
+          spark.range(0, 1000)
+            .select((col("id") + 5000000000000L).as("event_id"),
+              lit("staged").as("event_type"))
+            .createOrReplaceTempView(s"probe_wap_src_f$f")
+          spark.sql(s"INSERT INTO gprobe.f$f.snap_wap_stage " +
+            s"SELECT event_id, event_type FROM probe_wap_src_f$f")
+          spark.sql(s"DELETE FROM gprobe.f$f.snap_wap_stage " +
+            "WHERE event_id >= 2000 AND event_id <= 2999")
         }
       }
     }
@@ -865,6 +899,37 @@ object ScaleProbe {
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
           q.awaitTermination()
+          spark.range(1).toDF()
+        }),
+        // TBLPROPERTIES-clustered SQL INSERT at volume: scan + range
+        // shuffle + write, LINEAR by design (the price of landing
+        // pruneable files once instead of zordering later); AQE
+        // coalescing pinned off so the range files are visible at
+        // probe scale (at real scale its advisory sizing is the
+        // desired behavior)
+        "sorted_write" -> (() => {
+          spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+          try spark.sql(s"INSERT INTO gprobe.f$f.snap_sw_tbl " +
+            s"SELECT event_id, event_type FROM probe_sw_src_f$f")
+          finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+          val (kept, total) = graft.sources.SnapshotTable.pruneFiles(
+            spark, s"$scaledBase/f$f/snap_sw_tbl",
+            Seq(graft.sources.SnapshotTable.StatFilter(
+              "event_id", upper = Some(1000L))))
+          require(total > 1 && kept.size < total,
+            s"sorted write must land pruneable files: ${kept.size}/$total")
+          spark.range(1).toDF()
+        }),
+        // write-audit-publish's PUBLISH at volume: one manifest commit
+        // + renames of the constant-size staged files — never
+        // data-volume work; near-FLAT is the claim
+        "wap_publish" -> (() => {
+          spark.sql(s"CALL gprobe.system.publish('f$f.snap_wap_stage')")
+            .collect()
+          require(graft.sources.SnapshotTable.read(
+            spark, s"$scaledBase/f$f/snap_wap_tbl")
+            .filter(col("event_type") === "staged").count() == 1000L,
+            "the publish must land the staged census")
           spark.range(1).toDF()
         }))
     }
