@@ -848,6 +848,52 @@ object SparkEntry {
       ns
     })
 
+  /** snapshot_spj's one-time setup: two CO-BUCKETED snapshot tables
+    * (TBLPROPERTIES bucket_cols/bucket_n) — every SQL INSERT lands as
+    * exactly-n single-bucket files (murmur3 placement recorded per
+    * file as the reserved __bucket manifest stat), and the scan
+    * surfaces the layout as KeyGroupedPartitioning(bucket(n, col)) so
+    * an equi-join on the bucket column plans with NO shuffle on
+    * either side (storage-partitioned join). At 100 TB this deletes
+    * the dominant exchange of every fact-to-fact join on the key. */
+  private val spjMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def spjSetup(s: SparkSession, dir: String): String =
+    spjMemo.computeIfAbsent(dir, _ => {
+      import graft.sources.SnapshotTable
+      val root = sqlCatRootMemo.computeIfAbsent("root",
+        _ => tempDir("graft_sql_cat"))
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cat.root", root)
+      val ns = "spj" + Integer.toHexString(dir.hashCode)
+      new java.io.File(s"$root/$ns").mkdirs()
+      Seq("ev", "sc").foreach { t =>
+        if (new java.io.File(s"$root/$ns/$t").exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(
+            new java.io.File(s"$root/$ns/$t"))
+      }
+      s.sql(s"CREATE TABLE graft_cat.$ns.ev (event_id BIGINT, event_type STRING) " +
+        "TBLPROPERTIES ('bucket_cols' = 'event_id', 'bucket_n' = '8')")
+      s.sql(s"CREATE TABLE graft_cat.$ns.sc (event_id BIGINT, score BIGINT) " +
+        "TBLPROPERTIES ('bucket_cols' = 'event_id', 'bucket_n' = '8')")
+      val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"))
+      ev.createOrReplaceTempView(s"spj_ev_src_$ns")
+      ev.select(col("event_id"), (col("event_id") % 97).as("score"))
+        .createOrReplaceTempView(s"spj_sc_src_$ns")
+      s.sql(s"INSERT INTO graft_cat.$ns.ev " +
+        s"SELECT event_id, event_type FROM spj_ev_src_$ns")
+      s.sql(s"INSERT INTO graft_cat.$ns.sc " +
+        s"SELECT event_id, score FROM spj_sc_src_$ns")
+      // the writes landed single-bucket files (the co-location proof)
+      val m = SnapshotTable.readManifest(s, s"$root/$ns/ev",
+        SnapshotTable.versions(s, s"$root/$ns/ev").last)
+      require(m.entries.filter(_.rows > 0)
+        .forall(_.stats.contains(SnapshotTable.BucketStat)),
+        "bucketed inserts must record the per-file bucket stat")
+      ns
+    })
+
   /** snapshot_broadcast_join's dim side, once per sf dir: the distinct
     * event types with a derived label, one small snapshot table whose
     * manifest byte census is what the planner reads. */
@@ -3889,6 +3935,40 @@ object SparkEntry {
       s.sql(s"SELECT event_type, count(*) AS n_events, sum(event_id) AS sum_id " +
         s"FROM graft_cat.$ns.ev WHERE event_id <= $q " +
         "GROUP BY event_type ORDER BY event_type")
+    }),
+    // STORAGE-PARTITIONED JOIN: two co-bucketed snapshot tables
+    // (TBLPROPERTIES bucket_cols/bucket_n) equi-join on the bucket
+    // column with NO shuffle on either side — the scan reports
+    // KeyGroupedPartitioning(bucket(8, event_id)) and Spark's SPJ
+    // machinery matches both sides through the catalog's V2 bucket
+    // function (in-row require: zero Exchange in the join plan). The
+    // oracle replays the plain join, blind to the layout.
+    "snapshot_spj" -> ((s, dir) => {
+      val ns = spjSetup(s, dir)
+      // session-wide, like a production session that uses bucketed
+      // tables would run (harmless for unbucketed tables: the V1
+      // statistics conversion keeps firing for them)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val prevT = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      // pin the shuffle-family join for the require: a broadcast would
+      // ALSO be exchange-free on one side, proving nothing
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = s.sql(
+          s"SELECT e.event_type, sc.score FROM graft_cat.$ns.ev e " +
+            s"JOIN graft_cat.$ns.sc sc ON e.event_id = sc.event_id")
+        val plan = joined.queryExecution.executedPlan.toString
+        require(plan.contains("graft-snapshot-bucketed"),
+          s"the SPJ row must read through the bucketed scan:\n$plan")
+        require(!plan.contains("Exchange"),
+          s"co-bucketed join must plan with zero exchanges:\n$plan")
+        joined.groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), sum("score").as("sum_score"))
+          .orderBy("event_type")
+      } finally {
+        prevT.fold(s.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      }
     }),
     // WRITE-AUDIT-PUBLISH in pure SQL: CALL clone pins the head, the
     // risky insert+DELETE land on staging only (required), CALL
@@ -7820,6 +7900,14 @@ object SparkEntry {
         |           SELECT (SELECT max(event_id) + 1000 FROM events), 'staged')
         |SELECT event_type, count(*) AS n_events
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the storage-partitioned join is answer-invisible: the plain
+    // equi-join + aggregate over the base rows, whatever the layout
+    "snapshot_spj" ->
+      """WITH sc AS (SELECT event_id, event_id % 97 AS score FROM events)
+        |SELECT e.event_type, count(*) AS n_events,
+        |       CAST(sum(sc.score) AS BIGINT) AS sum_score
+        |FROM events e JOIN sc ON e.event_id = sc.event_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the WAP lifecycle's published state: the staged insert + DELETE
     // sweep replayed over the base rows — blind to clones and pins
     "snapshot_sql_wap" ->

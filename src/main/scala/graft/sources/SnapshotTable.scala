@@ -1457,19 +1457,21 @@ object SnapshotTable {
   def commitAppend(
       df: DataFrame, dir: String, statsCols: Seq[String] = Nil,
       expectations: Seq[(String, String)] = Nil,
-      bloomCols: Seq[String] = Nil): Long = {
+      bloomCols: Seq[String] = Nil,
+      bucket: Option[(String, Int)] = None): Long = {
     checkExpectations(df, expectations, dir)
     commitBatch(df, dir, append = true, statsCols = statsCols,
-      bloomCols = bloomCols).get // no ledger key ⇒ never a replay
+      bloomCols = bloomCols, bucket = bucket).get // no ledger key ⇒ never a replay
   }
 
   /** Replace the table contents with `df` as a new version (old
     * versions stay readable until vacuum). */
   def commitOverwrite(
       df: DataFrame, dir: String, statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Long =
+      bloomCols: Seq[String] = Nil,
+      bucket: Option[(String, Int)] = None): Long =
     commitBatch(df, dir, append = false, statsCols = statsCols,
-      bloomCols = bloomCols).get // no ledger key ⇒ never a replay
+      bloomCols = bloomCols, bucket = bucket).get // no ledger key ⇒ never a replay
 
   private def headLedger(spark: SparkSession, dir: String): Ledger =
     versions(spark, dir).lastOption
@@ -1677,15 +1679,34 @@ object SnapshotTable {
     * can't be compared. Blooms over [[InlineBloomMaxBytes]] spill to
     * sidecar files; the build buffer cap below bounds executor
     * aggregation memory. */
+  /** Reserved stat key recording a data file's HASH BUCKET — written
+    * by bucketed commits (`bucket = Some((col, n))`), consumed by the
+    * storage-partitioned-join scan. min == max is REQUIRED at commit
+    * (every file holds exactly one bucket); a file without the stat
+    * (a pre-bucketing commit, a cross-bucket compaction) disqualifies
+    * the table from the SPJ fast path — graceful fallback, never a
+    * wrong co-location claim. */
+  private[graft] val BucketStat = "__bucket"
+
   private def batchEntries(
       spark: SparkSession, dir: String,
       relPaths: Seq[String], statsCols: Seq[String],
-      bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01): Seq[Entry] = {
+      bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01,
+      bucket: Option[(String, Int)] = None): Seq[Entry] = {
     if (relPaths.isEmpty) return Seq.empty
-    val df = spark.read.option("mergeSchema", "true")
+    val df0 = spark.read.option("mergeSchema", "true")
       .parquet(relPaths.map(p => s"$dir/$p"): _*)
-    val present = statsCols.filter(df.columns.contains)
-    val bloomPresent = bloomCols.filter(df.columns.contains)
+    // the bucket id is DERIVED at stats time from the same murmur3
+    // hash the write path partitioned on — never a physical column
+    val df = bucket match {
+      case Some((c, n)) if df0.columns.contains(c) =>
+        df0.withColumn(BucketStat,
+          pmod(hash(col(c)), lit(n)).cast(LongType))
+      case _ => df0
+    }
+    val present = statsCols.filter(df0.columns.contains) ++
+      (if (df.columns.contains(BucketStat)) Seq(BucketStat) else Nil)
+    val bloomPresent = bloomCols.filter(df0.columns.contains)
     val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
     def statExpr(c: String): Column = fields(c) match {
       case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
@@ -1767,7 +1788,18 @@ object SnapshotTable {
       // statistics (auto-broadcast) read it from the manifest forever
       val len = scala.util.Try(
         f.getFileStatus(new Path(s"$dir/$p")).getLen).getOrElse(-1L)
-      Entry(p, statsByRel.getOrElse(p, Map.empty), inline, big.keySet,
+      val st = statsByRel.getOrElse(p, Map.empty)
+      // a bucketed commit must land single-bucket files — a violation
+      // here would let the SPJ scan claim a co-location that is false
+      if (bucket.isDefined && rowsByRel.getOrElse(p, 0L) > 0L) {
+        val bs = st.getOrElse(BucketStat, throw new IllegalStateException(
+          s"bucketed commit produced no bucket stat for $p"))
+        require(cmpStat(bs.min, bs.max).contains(0),
+          s"bucketed commit wrote a CROSS-bucket file $p " +
+            s"(${bs.min}..${bs.max}) — partition the batch on the bucket " +
+            "column before committing")
+      }
+      Entry(p, st, inline, big.keySet,
         rowsByRel.getOrElse(p, 0L), bytes = len)
     }
   }
@@ -1787,7 +1819,8 @@ object SnapshotTable {
   private def commitBatch(
       df: DataFrame, dir: String, append: Boolean,
       batchId: Option[Long] = None, statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil, streamKey: Option[String] = None): Option[Long] = {
+      bloomCols: Seq[String] = Nil, streamKey: Option[String] = None,
+      bucket: Option[(String, Int)] = None): Option[Long] = {
     val spark = df.sparkSession
     var batchFiles: Seq[String] = null
     var opsAtWrite: (Seq[Rename], Seq[Drop]) = null
@@ -1845,7 +1878,8 @@ object SnapshotTable {
       val tableBlooms = (head.map(_.bloomCols).getOrElse(Nil) ++ bloomCols).distinct
       val fpp = head.map(_.bloomFpp).getOrElse(0.01)
       if (newEntries == null || entriesFor != ((tableStats, tableBlooms))) {
-        newEntries = batchEntries(spark, dir, batchFiles, tableStats, tableBlooms, fpp)
+        newEntries = batchEntries(spark, dir, batchFiles, tableStats,
+          tableBlooms, fpp, bucket)
         entriesFor = (tableStats, tableBlooms)
       }
       val carried = if (append) head.map(_.entries).getOrElse(Nil) else Nil

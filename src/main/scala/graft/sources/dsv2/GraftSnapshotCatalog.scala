@@ -6,8 +6,9 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Column, Identifier, MetadataColumn, NamespaceChange, ProcedureCatalog, SupportsDelete, SupportsMetadataColumns, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Column, FunctionCatalog, Identifier, MetadataColumn, NamespaceChange, ProcedureCatalog, SupportsDelete, SupportsMetadataColumns, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
@@ -63,7 +64,7 @@ import graft.sources.SnapshotTable
   * write-path CONFIGURATION, not data: changing it never rewrites
   * rows, it changes how future commits land (the same contract
   * Iceberg's write-order/Delta's dataSkippingNumIndexedCols carry). */
-private[dsv2] object GraftTableProps {
+object GraftTableProps {
   import java.nio.charset.StandardCharsets.UTF_8
 
   /** Keys Spark itself stuffs into CREATE properties — never ours. */
@@ -105,16 +106,34 @@ private[dsv2] object GraftTableProps {
 
   /** Column-list keys must name declared columns — a typo'd stats/sort
     * column would silently record nothing, so refuse it loudly. */
-  def validate(props: Map[String, String], colNames: Seq[String], ident: String): Unit =
-    Seq("stats_cols", "bloom_cols", "sort_cols").foreach { k =>
+  def validate(props: Map[String, String], colNames: Seq[String], ident: String): Unit = {
+    Seq("stats_cols", "bloom_cols", "sort_cols", "bucket_cols").foreach { k =>
       cols(props, k).foreach(c =>
         require(colNames.contains(c),
           s"table $ident: $k names '$c' which is not a column of the table"))
     }
+    // bucketing is a PAIR: exactly one column + a positive bucket count
+    val bc = cols(props, "bucket_cols")
+    val bn = props.get("bucket_n")
+    require(bc.isEmpty == bn.isEmpty,
+      s"table $ident: bucket_cols and bucket_n come together " +
+        "(e.g. 'bucket_cols' = 'user_id', 'bucket_n' = '32')")
+    require(bc.size <= 1,
+      s"table $ident: bucketing clusters on ONE column, got $bc")
+    bn.foreach(n => require(scala.util.Try(n.toInt).toOption.exists(_ > 0),
+      s"table $ident: bucket_n must be a positive integer, got '$n'"))
+  }
+
+  /** The table's bucket spec, when declared: (column, numBuckets). */
+  def bucketSpec(props: Map[String, String]): Option[(String, Int)] =
+    for {
+      c <- cols(props, "bucket_cols").headOption
+      n <- props.get("bucket_n").map(_.toInt)
+    } yield (c, n)
 }
 
 class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with FunctionCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -170,6 +189,18 @@ class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     GraftProcedures.list(this, namespace)
+
+  // ---------------------------------------------------------------
+  // Functions — the V2 `bucket` function storage-partitioned joins
+  // resolve partitioning compatibility through (see GraftBucketFunction)
+  // ---------------------------------------------------------------
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty, "bucket"))
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val nsDir = new Path((root +: namespace).mkString("/"))
@@ -575,18 +606,38 @@ private[dsv2] class SnapshotCatalogTable(
                 ++ sortCols).distinct.filter(data.columns.contains)
               val bloomCols = GraftTableProps.cols(props, "bloom_cols")
                 .filter(data.columns.contains)
-              val shaped =
-                if (sortCols.isEmpty) data
-                else data.repartitionByRange(
-                  sortCols.map(org.apache.spark.sql.functions.col): _*)
-                  .sortWithinPartitions(
-                    sortCols.map(org.apache.spark.sql.functions.col): _*)
+              val bucket = GraftTableProps.bucketSpec(props)
+                .filter { case (c, _) => data.columns.contains(c) }
+              bucket.foreach { case (c, _) =>
+                val dt = data.schema(c).dataType
+                require(dt == org.apache.spark.sql.types.LongType ||
+                  dt == org.apache.spark.sql.types.IntegerType,
+                  s"bucket_cols '$c' must be an integral column (got $dt) — " +
+                    "the bucket hash must match Spark's murmur3 exactly")
+              }
+              import org.apache.spark.sql.functions.{col => fcol}
+              // bucketing wins the partitioning (an explicit
+              // repartition — AQE never coalesces it, so exactly n
+              // single-bucket files land); sort_cols then order rows
+              // WITHIN each bucket file for stats tightness
+              val shaped = bucket match {
+                case Some((c, n)) =>
+                  val p = data.repartition(n, fcol(c))
+                  if (sortCols.isEmpty) p
+                  else p.sortWithinPartitions(sortCols.map(fcol): _*)
+                case None =>
+                  if (sortCols.isEmpty) data
+                  else data.repartitionByRange(sortCols.map(fcol): _*)
+                    .sortWithinPartitions(sortCols.map(fcol): _*)
+              }
               if (overwrite || ov)
                 SnapshotTable.commitOverwrite(shaped, dir,
-                  statsCols = statsCols, bloomCols = bloomCols)
+                  statsCols = statsCols, bloomCols = bloomCols,
+                  bucket = bucket)
               else
                 SnapshotTable.commitAppend(shaped, dir,
-                  statsCols = statsCols, bloomCols = bloomCols)
+                  statsCols = statsCols, bloomCols = bloomCols,
+                  bucket = bucket)
               ()
             }
           }

@@ -341,8 +341,13 @@ private[dsv2] class SnapshotScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new SnapshotV1Scan(options, required, pruneWith)
+  override def build(): Scan = {
+    // a declared-and-proven bucket layout upgrades to the SPJ scan
+    // (KeyGroupedPartitioning — co-located joins); anything less
+    // provable rides the ordinary V1-bridge scan
+    SnapshotBucketedScan.tryBuild(options, required, pruneWith)
+      .getOrElse(new SnapshotV1Scan(options, required, pruneWith))
+  }
 }
 
 /** Planning-time manifest pruning + V1 execution bridge. The pruned

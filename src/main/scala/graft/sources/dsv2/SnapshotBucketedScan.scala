@@ -1,0 +1,180 @@
+package graft.sources.dsv2
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, SupportsReportPartitioning, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.sources.SnapshotTable
+
+/** STORAGE-PARTITIONED JOIN scan for bucketed snapshot tables — the
+  * co-located-join half of the format's scale story: a table declared
+  * `TBLPROPERTIES ('bucket_cols'='k', 'bucket_n'='32')` lands every
+  * INSERT as exactly-n single-bucket files (`repartition(n, k)` =
+  * murmur3 placement, recorded per file as the reserved `__bucket`
+  * manifest stat), and this scan surfaces that layout to Spark as
+  * `KeyGroupedPartitioning(bucket(n, k))` with one `HasPartitionKey`
+  * input partition per bucket. Two graft tables bucketed the same way
+  * then equi-join on `k` with NO shuffle on either side (Spark's SPJ
+  * machinery, `spark.sql.sources.v2.bucketing.enabled=true`) — at
+  * 100 TB this deletes the dominant exchange of every
+  * fact-to-fact join on the bucket key.
+  *
+  * ELIGIBILITY is decided per scan from the manifest, falling back to
+  * the ordinary V1-bridge scan (correct, just shuffling) whenever the
+  * co-location claim cannot be PROVEN:
+  *  - every live (rows != 0) entry carries a single-valued `__bucket`
+  *    stat in [0, n) — a pre-bucketing file or a cross-bucket
+  *    compaction output disqualifies;
+  *  - no pending merge-on-read deletes (this scan reads raw files);
+  *  - no file still subject to a column rename/drop (entries must be
+  *    seq-normalized past every schema op); pending ADDs are fine —
+  *    absent columns read as typed nulls, the widening semantics;
+  *  - not a CDF read, and `_file` not requested (those stay on their
+  *    specialized paths).
+  *
+  * Pushed filters still prune files per bucket through the manifest
+  * stats (superset semantics — Spark re-applies the full predicate),
+  * and EVERY bucket emits a partition (possibly file-less) so both
+  * join sides always expose identical partition sets. Execution reads
+  * each bucket's files through the streaming source's vectorized
+  * parquet reader (Group fallback), chained sequentially per bucket.
+  */
+private[dsv2] object SnapshotBucketedScan {
+  def tryBuild(
+      options: CaseInsensitiveStringMap, required: StructType,
+      pruneWith: Array[Filter]): Option[Scan] = {
+    val spark = SparkSession.active
+    if (Option(options.get("readChangeFeed")).exists(_.toBoolean)) return None
+    if (required.fieldNames.contains("_file")) return None
+    val dir = GraftSnapshotSource.dirOf(options)
+    val props = GraftTableProps.read(spark, dir)
+    val (bucketCol, n) = GraftTableProps.bucketSpec(props).getOrElse(return None)
+    val v = GraftSnapshotSource.versionOf(spark, options, dir)
+      .orElse(SnapshotTable.versions(spark, dir).lastOption)
+      .getOrElse(return None)
+    val m = SnapshotTable.readManifest(spark, dir, v)
+    if (m.deletes.nonEmpty) return None
+    val maxOpSeq = (m.renames.map(_.seq) ++ m.drops.map(_.seq)).maxOption
+    if (maxOpSeq.exists(op => m.entries.exists(_.seq < op))) return None
+    // stat values round-trip the manifest as BigDecimal
+    def asInt(a: Any): Option[Int] = a match {
+      case d: java.math.BigDecimal =>
+        scala.util.Try(d.intValueExact()).toOption
+      case l: Long => Some(l.toInt)
+      case i: Int => Some(i)
+      case _ => None
+    }
+    val live = m.entries.filter(_.rows != 0L)
+    val buckets: Seq[(String, Int)] = live.map { e =>
+      e.stats.get(SnapshotTable.BucketStat)
+        .flatMap(st => (asInt(st.min), asInt(st.max)) match {
+          case (Some(lo), Some(hi)) if lo == hi && lo >= 0 && lo < n => Some(lo)
+          case _ => None // cross-bucket or out-of-range file
+        }) match {
+        case Some(b) => e.path -> b
+        case None => return None // a pre-bucketing or cross-bucket commit
+      }
+    }
+    // stat pruning still applies INSIDE the bucket layout
+    val kept = SnapshotPrune.kept(spark, dir, Some(v), pruneWith)
+    val keptBuckets = kept.fold(buckets)(k => buckets.filter(b => k.contains(b._1)))
+    GraftSnapshotSource.lastPrune.put(dir, (keptBuckets.size, m.entries.size))
+    val filesByBucket: Map[Int, Array[String]] = keptBuckets
+      .groupBy(_._2)
+      .map { case (b, ps) =>
+        b -> ps.map(p => SnapshotTable.resolvePath(dir, p._1)).toArray }
+    val conf = SnapshotMicroBatchStream.readerConf(spark)
+    val bytes =
+      if (keptBuckets.isEmpty) Some(0L)
+      else SnapshotTable.pathBytes(spark, dir, v, keptBuckets.map(_._1))
+    Some(new SnapshotBucketedScan(dir, required, bucketCol, n,
+      filesByBucket, conf, bytes, options))
+  }
+}
+
+private[dsv2] class SnapshotBucketedScan(
+    dir: String, required: StructType, bucketCol: String, n: Int,
+    filesByBucket: Map[Int, Array[String]],
+    conf: SerializableConfiguration,
+    bytes: Option[Long],
+    options: CaseInsensitiveStringMap)
+    extends Scan with Batch
+    with SupportsReportPartitioning with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(Expressions.bucket(n, bucketCol)), n)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    // EVERY bucket emits a partition — a file-less bucket reads empty,
+    // keeping both SPJ sides' partition sets identical by construction
+    (0 until n).map(b => SnapshotBucketPartition(
+      b, filesByBucket.getOrElse(b, Array.empty), conf): InputPartition)
+      .toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SnapshotBucketReaderFactory(required)
+
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        bytes.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+
+  override def description(): String =
+    s"graft-snapshot-bucketed dir=$dir bucket($n, $bucketCol)"
+
+  /** readStream on a bucketed catalog table still streams: same
+    * micro-batch source as the V1 scan. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SnapshotMicroBatchStream(dir, required, options)
+}
+
+private[dsv2] final case class SnapshotBucketPartition(
+    bucket: Int, files: Array[String], conf: SerializableConfiguration)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
+
+private[dsv2] class SnapshotBucketReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val bp = p.asInstanceOf[SnapshotBucketPartition]
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      private var cur: PartitionReader[InternalRow] = _
+      override def next(): Boolean = {
+        while (true) {
+          if (cur != null) {
+            if (cur.next()) return true
+            cur.close(); cur = null
+          }
+          i += 1
+          if (i >= bp.files.length) return false
+          val fp = SnapshotFilePartition(bp.files(i), bp.conf)
+          cur = SnapshotVectorizedReader.open(fp, schema, cdf = false)
+            .getOrElse(new SnapshotGroupReader(
+              fp.absPath, schema, fp.conf.value, "insert", -1L, cdf = false))
+        }
+        false
+      }
+      override def get(): InternalRow = cur.get()
+      override def close(): Unit = { if (cur != null) cur.close(); cur = null }
+    }
+  }
+}

@@ -76,6 +76,29 @@ private[dsv2] object SnapshotMicroBatchStream {
   val CdfColumns: Seq[StructField] = Seq(
     StructField("_change", StringType, nullable = false),
     StructField("_commit_version", LongType, nullable = false))
+
+  /** The executor-bound hadoop conf the file readers need: the
+    * SESSION's conf (custom FS settings/credentials — ADVICE r12)
+    * plus the five session keys the vectorized reader's schema
+    * converter reads with NO default — a missing key would silently
+    * demote every partition to the Group fallback. Shared by the
+    * streaming source and the bucketed batch scan. */
+  private[dsv2] def readerConf(spark: SparkSession): SerializableConfiguration = {
+    val hc = spark.sessionState.newHadoopConf()
+    import org.apache.spark.sql.internal.SQLConf
+    val c = spark.sessionState.conf
+    hc.set(SQLConf.PARQUET_BINARY_AS_STRING.key,
+      c.getConf(SQLConf.PARQUET_BINARY_AS_STRING).toString)
+    hc.set(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
+      c.getConf(SQLConf.PARQUET_INT96_AS_TIMESTAMP).toString)
+    hc.set(SQLConf.CASE_SENSITIVE.key,
+      c.getConf(SQLConf.CASE_SENSITIVE).toString)
+    hc.set(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+      c.getConf(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED).toString)
+    hc.set(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
+      c.getConf(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG).toString)
+    new SerializableConfiguration(hc)
+  }
 }
 
 /** The micro-batch stream behind `readStream.format("graft-snapshot")`
@@ -196,29 +219,10 @@ private[dsv2] class SnapshotMicroBatchStream(
             "merge-on-read DELETE commits as delete_key rows") + ")")
       v -> (if (snapshotStart) "append" else cls)
     }
-    // the SESSION's Hadoop conf rides the partition to the executor —
-    // a bare `new Configuration()` there would drop custom FS
-    // settings/credentials the session carries (ADVICE r12)
-    val hc = spark.sessionState.newHadoopConf()
-    // the vectorized reader's schema converter reads these five session
-    // confs from the hadoop conf with NO default (conf.get(..).toBoolean)
-    // — Spark's own scan builder copies them in the same way; missing
-    // keys would silently demote every partition to the Group fallback
-    locally {
-      import org.apache.spark.sql.internal.SQLConf
-      val c = spark.sessionState.conf
-      hc.set(SQLConf.PARQUET_BINARY_AS_STRING.key,
-        c.getConf(SQLConf.PARQUET_BINARY_AS_STRING).toString)
-      hc.set(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
-        c.getConf(SQLConf.PARQUET_INT96_AS_TIMESTAMP).toString)
-      hc.set(SQLConf.CASE_SENSITIVE.key,
-        c.getConf(SQLConf.CASE_SENSITIVE).toString)
-      hc.set(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
-        c.getConf(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED).toString)
-      hc.set(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
-        c.getConf(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG).toString)
-    }
-    val conf = new SerializableConfiguration(hc)
+    // the SESSION's Hadoop conf rides the partition to the executor
+    // (custom FS settings/credentials — ADVICE r12), plus the session
+    // keys the vectorized reader needs (see readerConf)
+    val conf = SnapshotMicroBatchStream.readerConf(spark)
     val m = SnapshotTable.readManifest(spark, dir, to)
     val inserts = m.entries.filter(e => e.seq > from && e.seq <= to)
       .map(e => SnapshotFilePartition(

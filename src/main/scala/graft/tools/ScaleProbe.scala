@@ -308,8 +308,8 @@ object ScaleProbe {
     // fixture carries one CONSTANT-size MoR delete on top (1000 keys
     // whatever f is) — the retraction feed must drain at key cost.
     if (Seq("sql_dml_pruned", "sql_dml_unpruned", "sql_dml_merge",
-      "stream_cdf_drain", "sql_dml_mor", "sorted_write", "wap_publish")
-      .exists(wanted)) {
+      "stream_cdf_drain", "sql_dml_mor", "sorted_write", "wap_publish",
+      "spj_join", "spj_join_plain").exists(wanted)) {
       spark.conf.set("spark.sql.catalog.gprobe",
         classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
       spark.conf.set("spark.sql.catalog.gprobe.root", scaledBase)
@@ -358,6 +358,26 @@ object ScaleProbe {
           ev.select("event_id", "event_type")
             .repartition(8, col("event_type"))
             .createOrReplaceTempView(s"probe_sw_src_f$f")
+        }
+        // r14 SPJ fixture: two CO-BUCKETED tables (8 buckets whatever
+        // f is — files GROW with volume, count stays fixed, the
+        // production bucket posture); the timed ops contrast the
+        // storage-partitioned join (zero shuffle) with the plain one
+        if (Seq("spj_join", "spj_join_plain").exists(wanted)) {
+          spark.sql(s"CREATE TABLE gprobe.f$f.spj_a " +
+            "(event_id BIGINT, event_type STRING) " +
+            "TBLPROPERTIES ('bucket_cols' = 'event_id', 'bucket_n' = '8')")
+          spark.sql(s"CREATE TABLE gprobe.f$f.spj_b " +
+            "(event_id BIGINT, score BIGINT) " +
+            "TBLPROPERTIES ('bucket_cols' = 'event_id', 'bucket_n' = '8')")
+          ev.select("event_id", "event_type")
+            .createOrReplaceTempView(s"probe_spj_a_f$f")
+          ev.select(col("event_id"), (col("event_id") % 97).as("score"))
+            .createOrReplaceTempView(s"probe_spj_b_f$f")
+          spark.sql(s"INSERT INTO gprobe.f$f.spj_a " +
+            s"SELECT event_id, event_type FROM probe_spj_a_f$f")
+          spark.sql(s"INSERT INTO gprobe.f$f.spj_b " +
+            s"SELECT event_id, score FROM probe_spj_b_f$f")
         }
         // r14 WAP fixture: source table (8f range files) + a staged
         // clone carrying a constant-size insert and a stat-bounded
@@ -919,6 +939,32 @@ object ScaleProbe {
           require(total > 1 && kept.size < total,
             s"sorted write must land pruneable files: ${kept.size}/$total")
           spark.range(1).toDF()
+        }),
+        // the STORAGE-PARTITIONED join at volume: co-bucketed tables
+        // equi-join with ZERO exchanges (in-op plan require; the
+        // listener's peakTaskShufWrite is the measured proof) — wall
+        // is scan + in-partition sort, linear, while the plain twin
+        // below pays the full two-sided shuffle
+        "spj_join" -> (() => {
+          spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          val j = spark.sql(s"SELECT a.event_type, b.score " +
+            s"FROM gprobe.f$f.spj_a a JOIN gprobe.f$f.spj_b b " +
+            "ON a.event_id = b.event_id")
+          val plan = j.queryExecution.executedPlan.toString
+          require(!plan.contains("Exchange"),
+            s"SPJ must plan no exchange:\n$plan")
+          j.groupBy("event_type").agg(sum("score").as("s"))
+        }),
+        // the same join WITHOUT the bucket claim — the two-sided
+        // shuffle baseline SPJ deletes
+        "spj_join_plain" -> (() => {
+          spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          spark.sql(s"SELECT a.event_type, b.score " +
+            s"FROM gprobe.f$f.spj_a a JOIN gprobe.f$f.spj_b b " +
+            "ON a.event_id = b.event_id")
+            .groupBy("event_type").agg(sum("score").as("s"))
         }),
         // write-audit-publish's PUBLISH at volume: one manifest commit
         // + renames of the constant-size staged files — never

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.types.StructType
 
-import graft.sources.dsv2.{SnapshotBaseRelation, SnapshotTableMeta}
+import graft.sources.dsv2.{GraftTableProps, SnapshotBaseRelation, SnapshotTableMeta}
 
 /** Planner statistics for snapshot-table reads.
   *
@@ -63,5 +63,14 @@ case class SnapshotV1ConversionRule(spark: SparkSession)
       !r.table.asInstanceOf[SnapshotTableMeta].snapshotCdf &&
       // output restricted to DATA columns: a `_file` lineage read
       // resolves through metadataOutput and must stay DSv2
-      r.output.forall(a => r.table.schema().fieldNames.contains(a.name))
+      r.output.forall(a => r.table.schema().fieldNames.contains(a.name)) &&
+      // a BUCKET-declared table under V2 bucketing stays DSv2: the
+      // storage-partitioned-join scan both reports its statistics
+      // natively (a real V2 scan, not a V1ScanWrapper — nothing is
+      // lost) and surfaces KeyGroupedPartitioning, which this
+      // conversion would erase along with every co-located join
+      !(spark.conf.get("spark.sql.sources.v2.bucketing.enabled",
+        "false").toBoolean &&
+        GraftTableProps.bucketSpec(GraftTableProps.read(spark,
+          r.table.asInstanceOf[SnapshotTableMeta].snapshotDir)).isDefined)
 }

@@ -1308,6 +1308,85 @@ class Dsv2SourceSpec extends SparkSpec {
     intercept[Exception] { spark.sql("CALL gproc.other.compact('ns.t')") }
   }
 
+  test("storage-partitioned join: co-bucketed snapshot tables join with NO shuffle on either side") {
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    // AQE hides final subtrees behind plan boundaries — recurse through
+    def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
+      p.collect(pf) ++ p.collect {
+        case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
+        case q: QueryStageExec => collectAll(q.plan)(pf)
+      }.flatten
+    val root = java.nio.file.Files.createTempDirectory("snap_spj").toString
+    spark.conf.set("spark.sql.catalog.gspj",
+      classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gspj.root", root)
+    new java.io.File(s"$root/ns").mkdirs()
+    spark.sql("CREATE TABLE gspj.ns.a (id BIGINT, va STRING) " +
+      "TBLPROPERTIES ('bucket_cols' = 'id', 'bucket_n' = '4')")
+    spark.sql("CREATE TABLE gspj.ns.b (id BIGINT, vb STRING) " +
+      "TBLPROPERTIES ('bucket_cols' = 'id', 'bucket_n' = '4')")
+    spark.sql("INSERT INTO gspj.ns.a SELECT id, concat('a', id) FROM range(0, 400)")
+    spark.sql("INSERT INTO gspj.ns.b SELECT id * 2, concat('b', id * 2) " +
+      "FROM range(0, 300)")
+    // the write landed single-bucket files, one per bucket
+    val ma = SnapshotTable.readManifest(spark, s"$root/ns/a",
+      SnapshotTable.versions(spark, s"$root/ns/a").last)
+    assert(ma.entries.filter(_.rows > 0)
+      .forall(_.stats.contains("__bucket")))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.sql(
+        "SELECT a.id, a.va, b.vb FROM gspj.ns.a a JOIN gspj.ns.b b ON a.id = b.id")
+      val rows = joined.collect()
+      assert(rows.length == 200) // even ids 0,2,...,398 -> 200 matches
+      assert(rows.forall(r => r.getString(1) == s"a${r.getLong(0)}" &&
+        r.getString(2) == s"b${r.getLong(0)}"))
+      // the join's subtree carries NO shuffle: KeyGroupedPartitioning
+      // satisfied the join's distribution on both sides
+      val plan = joined.queryExecution.executedPlan
+      val joins = collectAll(plan) {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }
+      assert(joins.nonEmpty, s"expected a shuffle-family join in:\n$plan")
+      val shuffles = collectAll(joins.head) { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty,
+        s"co-bucketed SPJ must plan no exchange, found ${shuffles.size}:\n$plan")
+      // answers equal the ordinary (shuffling) join
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val plain = spark.sql(
+        "SELECT a.id, a.va, b.vb FROM gspj.ns.a a JOIN gspj.ns.b b ON a.id = b.id")
+      assert(plain.collect().toSet == rows.toSet)
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+
+      // filters still prune files inside the bucket layout, answers exact
+      assert(spark.sql("SELECT count(*) FROM gspj.ns.a WHERE id < 100")
+        .head().getLong(0) == 100L)
+      // a bucket-ineligible table (direct API append without the
+      // bucket spec) falls back to the V1 scan - correct, just shuffling
+      SnapshotTable.commitAppend(
+        spark.range(400, 410).selectExpr("id", "concat('a', id) AS va"),
+        s"$root/ns/a")
+      assert(spark.sql("SELECT count(*) FROM gspj.ns.a").head().getLong(0) == 410L)
+      val downgraded = spark.sql(
+        "SELECT a.id FROM gspj.ns.a a JOIN gspj.ns.b b ON a.id = b.id")
+      assert(downgraded.count() == 205L) // +5: even ids in 400..409
+      val dShuffles = collectAll(downgraded.queryExecution.executedPlan) {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(dShuffles.nonEmpty,
+        "a bucket-ineligible side must fall back to the shuffling plan")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("CALL clone + publish: write-audit-publish in pure SQL") {
     import graft.sources.SnapshotTable
     val root = java.nio.file.Files.createTempDirectory("snap_wap").toString
