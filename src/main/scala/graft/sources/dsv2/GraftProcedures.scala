@@ -125,12 +125,29 @@ object GraftProcedures {
         StructField("orphans_swept", IntegerType, nullable = false),
         StructField("versions_expired", IntegerType, nullable = false))),
       (s, r) => {
-        val rep = SnapshotTable.maintainTable(s, dirOf(cat, r, 0),
-          smallBytes = r.getLong(1), targetBytes = r.getLong(2),
-          orphanGraceMs = r.getLong(3), keepVersions = r.getInt(4))
-        Seq(row(rep.deletesFolded, rep.foldVersion.map(Long.box).orNull,
-          rep.compactVersion.map(Long.box).orNull,
-          rep.orphansSwept, rep.versionsDropped))
+        val dir = dirOf(cat, r, 0)
+        if (GraftTableProps.bucketSpec(GraftTableProps.read(s, dir)).isEmpty) {
+          val rep = SnapshotTable.maintainTable(s, dir,
+            smallBytes = r.getLong(1), targetBytes = r.getLong(2),
+            orphanGraceMs = r.getLong(3), keepVersions = r.getInt(4))
+          Seq(row(rep.deletesFolded, rep.foldVersion.map(Long.box).orNull,
+            rep.compactVersion.map(Long.box).orNull,
+            rep.orphansSwept, rep.versionsDropped))
+        } else {
+          // a BUCKET-declared table: small-file compaction would merge
+          // ACROSS buckets and silently downgrade every storage-
+          // partitioned join — fold, sweep, and expire here; compaction
+          // belongs to CALL rebucket (one rewrite that is both)
+          val pending = SnapshotTable.pendingDeletes(s, dir).size
+          val headBefore = SnapshotTable.versions(s, dir).last
+          val folded =
+            if (pending > 0) Some(SnapshotTable.applyDeletes(s, dir)) else None
+          val orphans = SnapshotTable.gcOrphans(s, dir, r.getLong(3))
+          val dropped = SnapshotTable.vacuum(s, dir, r.getInt(4))
+          Seq(row(pending,
+            folded.filter(_ > headBefore).map(Long.box).orNull,
+            null, orphans, dropped))
+        }
       }),
 
     "compact" -> new Proc(cat, "compact",
@@ -240,6 +257,31 @@ object GraftProcedures {
         val props = GraftTableProps.read(s, srcDir)
         if (props.nonEmpty) GraftTableProps.write(s, dstDir, props)
         Seq(row(cv))
+      }),
+
+    "rebucket" -> new Proc(cat, "rebucket",
+      "restore a bucket-declared table's SPJ-eligible layout after " +
+        "row-level DML or compaction downgraded it: one overwrite " +
+        "commit that re-places every row (repartition(n, col)) — both " +
+        "the compaction and the re-bucketing in one rewrite",
+      Array(in("table", StringType)),
+      StructType(Seq(StructField("version", LongType, nullable = false))),
+      (s, r) => {
+        val dir = dirOf(cat, r, 0)
+        val bucket = GraftTableProps.bucketSpec(GraftTableProps.read(s, dir))
+          .getOrElse(throw new IllegalArgumentException(
+            s"rebucket: '${r.getUTF8String(0)}' declares no " +
+              "bucket_cols/bucket_n TBLPROPERTIES"))
+        val props = GraftTableProps.read(s, dir)
+        val statsCols = (GraftTableProps.cols(props, "stats_cols") ++
+          GraftTableProps.cols(props, "sort_cols")).distinct
+        val df = SnapshotTable.read(s, dir)
+          .repartition(bucket._2,
+            org.apache.spark.sql.functions.col(bucket._1))
+        Seq(row(SnapshotTable.commitOverwrite(df, dir,
+          statsCols = statsCols,
+          bloomCols = GraftTableProps.cols(props, "bloom_cols"),
+          bucket = Some(bucket))))
       }),
 
     "publish" -> new Proc(cat, "publish",

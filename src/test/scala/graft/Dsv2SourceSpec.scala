@@ -1381,6 +1381,18 @@ class Dsv2SourceSpec extends SparkSpec {
       }
       assert(dShuffles.nonEmpty,
         "a bucket-ineligible side must fall back to the shuffling plan")
+      // CALL rebucket: one overwrite rewrite restores the SPJ layout
+      spark.sql("CALL gspj.system.rebucket('ns.a')").collect()
+      val restored = spark.sql(
+        "SELECT a.id, a.va, b.vb FROM gspj.ns.a a JOIN gspj.ns.b b ON a.id = b.id")
+      assert(restored.collect().length == 205)
+      val rJoins = collectAll(restored.queryExecution.executedPlan) {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }
+      assert(rJoins.nonEmpty &&
+        collectAll(rJoins.head) { case e: ShuffleExchangeExec => e }.isEmpty,
+        "rebucket must restore the exchange-free join")
     } finally {
       spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
