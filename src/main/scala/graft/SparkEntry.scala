@@ -3970,6 +3970,25 @@ object SparkEntry {
           s.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
       }
     }),
+    // Bucketed GROUP BY: aggregation on the bucket column skips its
+    // exchange too — KeyGroupedPartitioning already clusters the
+    // grouping key, so partial AND final aggregate run directly over
+    // the bucketed scan (in-row require: no hashpartitioning
+    // exchange; the ORDER BY's range exchange is presentation). The
+    // oracle replays the plain aggregate.
+    "snapshot_spj_agg" -> ((s, dir) => {
+      val ns = spjSetup(s, dir)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val agg = s.sql(
+        s"SELECT event_id, count(*) AS n_rows, sum(score) AS sum_score " +
+          s"FROM graft_cat.$ns.sc GROUP BY event_id ORDER BY event_id")
+      val plan = agg.queryExecution.executedPlan.toString
+      require(plan.contains("graft-snapshot-bucketed"),
+        s"the bucketed-agg row must read through the bucketed scan:\n$plan")
+      require(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed GROUP BY must plan no aggregation exchange:\n$plan")
+      agg
+    }),
     // WRITE-AUDIT-PUBLISH in pure SQL: CALL clone pins the head, the
     // risky insert+DELETE land on staging only (required), CALL
     // publish atomically fast-forwards the source to the audited state
@@ -7908,6 +7927,12 @@ object SparkEntry {
         |       CAST(sum(sc.score) AS BIGINT) AS sum_score
         |FROM events e JOIN sc ON e.event_id = sc.event_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the bucketed aggregate is answer-invisible: the plain per-key
+    // aggregate over the base rows, whatever the layout
+    "snapshot_spj_agg" ->
+      """SELECT event_id, count(*) AS n_rows,
+        |       CAST(sum(event_id % 97) AS BIGINT) AS sum_score
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // the WAP lifecycle's published state: the staged insert + DELETE
     // sweep replayed over the base rows — blind to clones and pins
     "snapshot_sql_wap" ->

@@ -582,6 +582,11 @@ private[dsv2] class SnapshotCatalogTable(
     val opts = new util.HashMap[String, String](options.asCaseSensitiveMap())
     opts.put("path", dir)
     version.foreach(v => opts.put("versionAsOf", v.toString))
+    // catalog-resolved reads may upgrade to the bucketed SPJ scan —
+    // the bucket transform resolves through THIS catalog's
+    // FunctionCatalog; a bare path load has no function catalog, so
+    // reporting the partitioning there would only cost parallelism
+    opts.put("viaCatalog", "true")
     new SnapshotScanBuilder(schema(), new CaseInsensitiveStringMap(opts))
   }
 

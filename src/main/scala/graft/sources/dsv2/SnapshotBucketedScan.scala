@@ -51,6 +51,11 @@ private[dsv2] object SnapshotBucketedScan {
       options: CaseInsensitiveStringMap, required: StructType,
       pruneWith: Array[Filter]): Option[Scan] = {
     val spark = SparkSession.active
+    // catalog-resolved reads only: the bucket transform must resolve
+    // through the owning catalog's FunctionCatalog (a bare path load
+    // has none, so the reported partitioning would buy nothing and
+    // cost read parallelism)
+    if (!Option(options.get("viaCatalog")).exists(_.toBoolean)) return None
     if (Option(options.get("readChangeFeed")).exists(_.toBoolean)) return None
     if (required.fieldNames.contains("_file")) return None
     val dir = GraftSnapshotSource.dirOf(options)
@@ -94,8 +99,11 @@ private[dsv2] object SnapshotBucketedScan {
     val bytes =
       if (keptBuckets.isEmpty) Some(0L)
       else SnapshotTable.pathBytes(spark, dir, v, keptBuckets.map(_._1))
+    val keptSet = keptBuckets.map(_._1).toSet
+    val rowCounts = m.entries.filter(e => keptSet.contains(e.path)).map(_.rows)
+    val numRows = if (rowCounts.forall(_ >= 0L)) Some(rowCounts.sum) else None
     Some(new SnapshotBucketedScan(dir, required, bucketCol, n,
-      filesByBucket, conf, bytes, options))
+      filesByBucket, conf, bytes, numRows, options))
   }
 }
 
@@ -104,6 +112,7 @@ private[dsv2] class SnapshotBucketedScan(
     filesByBucket: Map[Int, Array[String]],
     conf: SerializableConfiguration,
     bytes: Option[Long],
+    numRows: Option[Long],
     options: CaseInsensitiveStringMap)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportStatistics {
@@ -126,13 +135,15 @@ private[dsv2] class SnapshotBucketedScan(
     new SnapshotBucketReaderFactory(required)
 
   override def estimateStatistics()
-      : org.apache.spark.sql.connector.read.Statistics =
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val nr = numRows // the anon class's own numRows() shadows the param
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         bytes.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
+        nr.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
     }
+  }
 
   override def description(): String =
     s"graft-snapshot-bucketed dir=$dir bucket($n, $bucketCol)"

@@ -1393,6 +1393,13 @@ class Dsv2SourceSpec extends SparkSpec {
       assert(rJoins.nonEmpty &&
         collectAll(rJoins.head) { case e: ShuffleExchangeExec => e }.isEmpty,
         "rebucket must restore the exchange-free join")
+      // GROUP BY on the bucket column skips ITS exchange too: the
+      // KeyGroupedPartitioning already clusters the grouping key
+      val agg = spark.sql("SELECT id, count(*) AS n FROM gspj.ns.b GROUP BY id")
+      assert(agg.count() == 300L)
+      assert(collectAll(agg.queryExecution.executedPlan) {
+        case e: ShuffleExchangeExec => e
+      }.isEmpty, "bucketed GROUP BY must plan no exchange")
     } finally {
       spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
