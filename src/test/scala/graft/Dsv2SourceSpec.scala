@@ -1447,6 +1447,57 @@ class Dsv2SourceSpec extends SparkSpec {
       .nonEmpty, "a refused publish leaves staging intact")
   }
 
+  test("advanced SQL DML forms: IN-subquery DELETE, multi-WHEN MERGE with conditions and DELETE, NOT MATCHED BY SOURCE") {
+    val root = java.nio.file.Files.createTempDirectory("snap_dml_adv").toString
+    spark.conf.set("spark.sql.catalog.gadv",
+      classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gadv.root", root)
+    new java.io.File(s"$root/ns").mkdirs()
+    spark.sql("CREATE TABLE gadv.ns.t (id BIGINT, v STRING, amt BIGINT)")
+    spark.sql("INSERT INTO gadv.ns.t SELECT id, concat('v', id), id * 10 " +
+      "FROM range(0, 100)")
+    import spark.implicits._
+    Seq(3L, 5L, 7L).toDF("bad_id").createOrReplaceTempView("bad_ids")
+    // DELETE with an IN-subquery predicate rides the runtime group filter
+    spark.sql("DELETE FROM gadv.ns.t WHERE id IN (SELECT bad_id FROM bad_ids)")
+    assert(spark.sql("SELECT count(*) FROM gadv.ns.t").head().getLong(0) == 97L)
+    assert(spark.sql("SELECT count(*) FROM gadv.ns.t WHERE id IN (3, 5, 7)")
+      .head().getLong(0) == 0L)
+    // UPDATE with a correlated EXISTS
+    spark.sql("UPDATE gadv.ns.t SET v = 'flagged' WHERE EXISTS " +
+      "(SELECT 1 FROM bad_ids WHERE bad_id = id - 1)")
+    assert(spark.sql("SELECT id FROM gadv.ns.t WHERE v = 'flagged'")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(4L, 6L, 8L))
+    // multi-WHEN MERGE: conditional UPDATE, conditional DELETE,
+    // conditional INSERT — every clause armed at once
+    Seq((10L, 5L), (20L, 2000L), (200L, 7L), (201L, 9999L))
+      .toDF("id", "m_amt").createOrReplaceTempView("merge_src")
+    spark.sql("""MERGE INTO gadv.ns.t t USING merge_src s ON t.id = s.id
+      WHEN MATCHED AND s.m_amt > 1000 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET amt = s.m_amt
+      WHEN NOT MATCHED AND s.m_amt < 100 THEN
+        INSERT (id, v, amt) VALUES (s.id, 'merged', s.m_amt)""")
+    assert(spark.sql("SELECT amt FROM gadv.ns.t WHERE id = 10")
+      .head().getLong(0) == 5L)      // conditional UPDATE fired
+    assert(spark.sql("SELECT count(*) FROM gadv.ns.t WHERE id = 20")
+      .head().getLong(0) == 0L)      // conditional DELETE fired
+    assert(spark.sql("SELECT v FROM gadv.ns.t WHERE id = 200")
+      .head().getString(0) == "merged") // gated INSERT fired
+    assert(spark.sql("SELECT count(*) FROM gadv.ns.t WHERE id = 201")
+      .head().getLong(0) == 0L)      // gated-out INSERT did not
+    // NOT MATCHED BY SOURCE: rows the source no longer names age out
+    Seq(0L, 1L, 2L).toDF("id").createOrReplaceTempView("keep_src")
+    spark.sql("""MERGE INTO gadv.ns.t t USING keep_src s ON t.id = s.id
+      WHEN NOT MATCHED BY SOURCE AND t.id < 10 THEN DELETE""")
+    assert(spark.sql("SELECT count(*) FROM gadv.ns.t WHERE id < 10")
+      .head().getLong(0) == 3L) // only 0,1,2 survive below 10
+    assert(spark.sql("SELECT count(*) FROM gadv.ns.t WHERE id >= 10")
+      .head().getLong(0) > 0L) // the guard kept the rest
+    // the lifecycle stayed versioned: time travel sees the pre-DML table
+    assert(spark.sql("SELECT count(*) FROM gadv.ns.t VERSION AS OF 2")
+      .head().getLong(0) == 100L)
+  }
+
   test("TBLPROPERTIES shape the SQL write path: sort_cols cluster inserts into pruneable files") {
     import graft.sources.SnapshotTable
     val root = java.nio.file.Files.createTempDirectory("snap_props").toString
