@@ -894,6 +894,54 @@ object SparkEntry {
       ns
     })
 
+  /** snapshot_sql_expect's one-time setup: SQL-declared COMMIT
+    * EXPECTATIONS — `'expect.<name>' = '<boolean SQL>'` TBLPROPERTIES
+    * gate every INSERT into the table; a violating batch refuses the
+    * WHOLE commit with named per-expectation counts and publishes
+    * nothing (required in place). The row reads the standing (clean)
+    * table; the oracle replays the census. */
+  private val sqlExpectMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sqlExpectSetup(s: SparkSession, dir: String): String =
+    sqlExpectMemo.computeIfAbsent(dir, _ => {
+      import graft.sources.SnapshotTable
+      val root = sqlCatRootMemo.computeIfAbsent("root",
+        _ => tempDir("graft_sql_cat"))
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cat.root", root)
+      val ns = "exp" + Integer.toHexString(dir.hashCode)
+      new java.io.File(s"$root/$ns").mkdirs()
+      val tbl = s"$root/$ns/ev"
+      if (new java.io.File(tbl).exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tbl))
+      s.sql(s"CREATE TABLE graft_cat.$ns.ev (event_id BIGINT, event_type STRING) " +
+        "TBLPROPERTIES ('expect.id_present' = 'event_id IS NOT NULL', " +
+        "'expect.known_type' = \"event_type <> 'corrupt'\")")
+      Tables.events(s, dir).select(col("event_id"), col("event_type"))
+        .createOrReplaceTempView(s"exp_src_$ns")
+      s.sql(s"INSERT INTO graft_cat.$ns.ev " +
+        s"SELECT event_id, event_type FROM exp_src_$ns")
+      val head = SnapshotTable.versions(s, tbl).last
+      val n = s.sql(s"SELECT count(*) FROM graft_cat.$ns.ev").head().getLong(0)
+      // the corrupted batch refuses the WHOLE commit — named counts,
+      // nothing published, content untouched
+      val refused = scala.util.Try(
+        s.sql(s"INSERT INTO graft_cat.$ns.ev " +
+          "VALUES (CAST(NULL AS BIGINT), 'x'), (1, 'corrupt'), (2, 'fine')"))
+      require(refused.isFailure, "the violating INSERT must refuse")
+      def rootMsg(t: Throwable): String =
+        Option(t.getCause).map(rootMsg).getOrElse(t.getMessage)
+      val msg = rootMsg(refused.failed.get)
+      require(msg.contains("id_present=1") && msg.contains("known_type=1"),
+        s"the refusal must carry named per-expectation counts: $msg")
+      require(SnapshotTable.versions(s, tbl).last == head,
+        "a refused commit must publish nothing")
+      require(s.sql(s"SELECT count(*) FROM graft_cat.$ns.ev")
+        .head().getLong(0) == n, "a refused commit must change nothing")
+      ns
+    })
+
   /** snapshot_broadcast_join's dim side, once per sf dir: the distinct
     * event types with a derived label, one small snapshot table whose
     * manifest byte census is what the planner reads. */
@@ -3969,6 +4017,16 @@ object SparkEntry {
         prevT.fold(s.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
           s.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
       }
+    }),
+    // SQL-declared commit expectations: 'expect.<name>' TBLPROPERTIES
+    // gate every INSERT (the format's constraints contract surfaced
+    // as pure SQL); the memo requires a violating batch refuses the
+    // whole commit with named counts and publishes nothing. The
+    // oracle replays the clean census.
+    "snapshot_sql_expect" -> ((s, dir) => {
+      val ns = sqlExpectSetup(s, dir)
+      s.sql(s"SELECT event_type, count(*) AS n_events " +
+        s"FROM graft_cat.$ns.ev GROUP BY event_type ORDER BY event_type")
     }),
     // Bucketed GROUP BY: aggregation on the bucket column skips its
     // exchange too — KeyGroupedPartitioning already clusters the
@@ -7927,6 +7985,10 @@ object SparkEntry {
         |       CAST(sum(sc.score) AS BIGINT) AS sum_score
         |FROM events e JOIN sc ON e.event_id = sc.event_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the clean census: the refused batch never landed
+    "snapshot_sql_expect" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // the bucketed aggregate is answer-invisible: the plain per-key
     // aggregate over the base rows, whatever the layout
     "snapshot_spj_agg" ->

@@ -1469,9 +1469,12 @@ object SnapshotTable {
   def commitOverwrite(
       df: DataFrame, dir: String, statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
-      bucket: Option[(String, Int)] = None): Long =
+      bucket: Option[(String, Int)] = None,
+      expectations: Seq[(String, String)] = Nil): Long = {
+    checkExpectations(df, expectations, dir)
     commitBatch(df, dir, append = false, statsCols = statsCols,
       bloomCols = bloomCols, bucket = bucket).get // no ledger key ⇒ never a replay
+  }
 
   private def headLedger(spark: SparkSession, dir: String): Ledger =
     versions(spark, dir).lastOption
@@ -2970,15 +2973,22 @@ object SnapshotTable {
       else require((m.renames, m.drops) == opsAtFirstRead,
         s"streaming sink commit on $dir raced a schema evolution — the " +
           "batch files carry pre-evolution names; restart the query")
+      // sticky-union like commitBatch: a caller-declared stat/bloom
+      // column (the sink's TBLPROPERTIES/options) joins the table's
+      // standing declarations even when the table already exists —
+      // without this a SQL-created table's sink commits would never
+      // record the stats its write-path config asks for
+      val tableStats = (m.statsCols ++ statsCols).distinct
+      val tableBlooms = (m.bloomCols ++ bloomCols).distinct
       if (newEntries == null)
-        newEntries = batchEntries(spark, dir, relPaths, m.statsCols,
-          m.bloomCols, m.bloomFpp)
+        newEntries = batchEntries(spark, dir, relPaths, tableStats,
+          tableBlooms, m.bloomFpp)
       testRaceHook()
       if (tryPublish(spark, dir,
-        Manifest(headV + 1, m.ledger.add(appId, batchId), m.statsCols,
+        Manifest(headV + 1, m.ledger.add(appId, batchId), tableStats,
           (if (overwrite) Nil else m.entries) ++
             newEntries.map(_.copy(seq = headV + 1)),
-          bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
+          bloomCols = tableBlooms, bloomFpp = m.bloomFpp,
           deletes = if (overwrite) Nil else m.deletes,
           renames = if (overwrite) Nil else m.renames,
           drops = if (overwrite) Nil else m.drops,

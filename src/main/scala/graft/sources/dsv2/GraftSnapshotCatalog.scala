@@ -122,6 +122,16 @@ object GraftTableProps {
       s"table $ident: bucketing clusters on ONE column, got $bc")
     bn.foreach(n => require(scala.util.Try(n.toInt).toOption.exists(_ > 0),
       s"table $ident: bucket_n must be a positive integer, got '$n'"))
+    // expectation predicates must at least PARSE — a typo'd SQL string
+    // would otherwise fail every future INSERT instead of the DDL
+    expectations(props).foreach { case (name, pred) =>
+      try SparkSession.active.sessionState.sqlParser.parseExpression(pred): Unit
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"table $ident: expectation 'expect.$name' does not parse: " +
+            s"$pred (${e.getMessage})")
+      }
+    }
   }
 
   /** The table's bucket spec, when declared: (column, numBuckets). */
@@ -130,6 +140,16 @@ object GraftTableProps {
       c <- cols(props, "bucket_cols").headOption
       n <- props.get("bucket_n").map(_.toInt)
     } yield (c, n)
+
+  /** SQL-declared commit expectations: every `'expect.<name>' =
+    * '<boolean SQL>'` property gates every batch INSERT — a violating
+    * batch refuses the WHOLE commit with named per-expectation counts
+    * (the format's `expectations` contract, surfaced as TBLPROPERTIES). */
+  def expectations(props: Map[String, String]): Seq[(String, String)] =
+    props.toSeq.collect {
+      case (k, v) if k.startsWith("expect.") && k.length > 7 =>
+        k.stripPrefix("expect.") -> v
+    }.sortBy(_._1)
 }
 
 class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces
@@ -635,14 +655,18 @@ private[dsv2] class SnapshotCatalogTable(
                   else data.repartitionByRange(sortCols.map(fcol): _*)
                     .sortWithinPartitions(sortCols.map(fcol): _*)
               }
+              // SQL-declared expectations gate the whole commit —
+              // checked on the SHAPED batch (same rows), violations
+              // refuse with named counts before anything is written
+              val expect = GraftTableProps.expectations(props)
               if (overwrite || ov)
                 SnapshotTable.commitOverwrite(shaped, dir,
                   statsCols = statsCols, bloomCols = bloomCols,
-                  bucket = bucket)
+                  bucket = bucket, expectations = expect)
               else
                 SnapshotTable.commitAppend(shaped, dir,
                   statsCols = statsCols, bloomCols = bloomCols,
-                  bucket = bucket)
+                  bucket = bucket, expectations = expect)
               ()
             }
           }

@@ -88,9 +88,18 @@ private[dsv2] class SnapshotStreamingWrite(
       case SnapshotDmlCommit(ps) => ps
       case other => throw new IllegalStateException(s"alien commit message $other")
     }.toSeq
+    // writer options AND the table's TBLPROPERTIES declare stat/bloom
+    // columns (sort columns are implicitly stat columns, same as the
+    // batch insert path) — sticky-unioned into the standing manifest
+    // declarations by commitStreamFiles
+    val props = GraftTableProps.read(spark, dir)
     SnapshotTable.commitStreamFiles(spark, dir, relPaths,
       batchId = epochId, appId = appId,
-      statsCols = cols("statsCols"), bloomCols = cols("bloomCols"),
+      statsCols = (cols("statsCols") ++
+        GraftTableProps.cols(props, "stats_cols") ++
+        GraftTableProps.cols(props, "sort_cols")).distinct,
+      bloomCols = (cols("bloomCols") ++
+        GraftTableProps.cols(props, "bloom_cols")).distinct,
       overwrite = truncate): Unit
   }
 

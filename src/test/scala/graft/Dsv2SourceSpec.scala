@@ -1447,6 +1447,47 @@ class Dsv2SourceSpec extends SparkSpec {
       .nonEmpty, "a refused publish leaves staging intact")
   }
 
+  test("expect.* TBLPROPERTIES gate every SQL INSERT: violations refuse the whole commit with named counts") {
+    import graft.sources.SnapshotTable
+    val root = java.nio.file.Files.createTempDirectory("snap_expect").toString
+    spark.conf.set("spark.sql.catalog.gexp",
+      classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gexp.root", root)
+    new java.io.File(s"$root/ns").mkdirs()
+    spark.sql("CREATE TABLE gexp.ns.t (id BIGINT, v STRING) TBLPROPERTIES " +
+      "('expect.positive_id' = 'id >= 0', 'expect.v_present' = 'v IS NOT NULL')")
+    spark.sql("INSERT INTO gexp.ns.t SELECT id, concat('v', id) FROM range(0, 50)")
+    assert(spark.sql("SELECT count(*) FROM gexp.ns.t").head().getLong(0) == 50L)
+    val dir = s"$root/ns/t"
+    val headBefore = SnapshotTable.versions(spark, dir).last
+    // a violating batch refuses the WHOLE commit, named counts in the error
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gexp.ns.t VALUES (-1, 'x'), (7, NULL), (8, 'ok')")
+    }
+    def rootMsg(t: Throwable): String =
+      Option(t.getCause).map(rootMsg).getOrElse(t.getMessage)
+    assert(rootMsg(e).contains("positive_id=1") &&
+      rootMsg(e).contains("v_present=1"), s"got: ${rootMsg(e)}")
+    assert(SnapshotTable.versions(spark, dir).last == headBefore,
+      "a refused commit must publish nothing")
+    assert(spark.sql("SELECT count(*) FROM gexp.ns.t").head().getLong(0) == 50L)
+    // ALTER SET arms a new expectation; UNSET disarms it
+    spark.sql("ALTER TABLE gexp.ns.t SET TBLPROPERTIES " +
+      "('expect.small_id' = 'id < 1000')")
+    intercept[Exception] { spark.sql("INSERT INTO gexp.ns.t VALUES (5000, 'big')") }
+    spark.sql("ALTER TABLE gexp.ns.t UNSET TBLPROPERTIES ('expect.small_id')")
+    spark.sql("INSERT INTO gexp.ns.t VALUES (5000, 'big')")
+    assert(spark.sql("SELECT count(*) FROM gexp.ns.t").head().getLong(0) == 51L)
+    // a predicate that does not parse refuses at DDL time, not insert time
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gexp.ns.bad (id BIGINT) TBLPROPERTIES " +
+        "('expect.oops' = 'id >=')")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gexp.ns.t SET TBLPROPERTIES ('expect.oops' = '((')")
+    }
+  }
+
   test("advanced SQL DML forms: IN-subquery DELETE, multi-WHEN MERGE with conditions and DELETE, NOT MATCHED BY SOURCE") {
     val root = java.nio.file.Files.createTempDirectory("snap_dml_adv").toString
     spark.conf.set("spark.sql.catalog.gadv",
