@@ -313,9 +313,11 @@ class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!exists(ident)) throw new NoSuchTableException(ident)
     val dir = dirOf(ident)
-    var cols: Seq[String] =
-      new SnapshotCatalogTable(dir, ident.toString, None)
-        .schema().fields.map(_.name).toSeq
+    val schema0 =
+      new SnapshotCatalogTable(dir, ident.toString, None).schema()
+    var cols: Seq[String] = schema0.fields.map(_.name).toSeq
+    var colTypes: Map[String, org.apache.spark.sql.types.DataType] =
+      schema0.fields.map(f => f.name -> f.dataType).toMap
     var propEdits = Seq.empty[(String, Option[String])]
     var colRenames = Map.empty[String, String]
     var colDrops = Set.empty[String]
@@ -337,6 +339,7 @@ class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces
         require(!cols.contains(r.newName()),
           s"ALTER TABLE $ident: '${r.newName()}' already exists — renames never shadow")
         cols = cols.map(c => if (c == from) r.newName() else c)
+        colTypes = (colTypes - from) + (r.newName() -> colTypes(from))
         colRenames += (from -> r.newName())
         () => SnapshotTable.commitRenameColumn(spark, dir, from, r.newName()): Unit
       case d: TableChange.DeleteColumn =>
@@ -345,6 +348,7 @@ class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces
         val name = d.fieldNames()(0)
         require(cols.contains(name), s"ALTER TABLE $ident: no column '$name'")
         cols = cols.filterNot(_ == name)
+        colTypes -= name
         colDrops += name
         () => SnapshotTable.commitDropColumn(spark, dir, name): Unit
       case a: TableChange.AddColumn =>
@@ -364,10 +368,83 @@ class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces
           s"ALTER TABLE $ident: '$name' already exists")
         val dt = a.dataType()
         cols = cols :+ name
+        colTypes += (name -> dt)
         () => SnapshotTable.commitAddColumn(spark, dir, name, dt): Unit
+      // ALTER COLUMN … TYPE: WIDENING only, and honest about the cost —
+      // one REWRITING commit (read → cast → overwrite, the table's
+      // write-path config re-applied), never a metadata lie over files
+      // whose physical type didn't change. Old versions time-travel
+      // with the old type; narrowing and cross-family changes refuse.
+      case t: TableChange.UpdateColumnType =>
+        require(t.fieldNames().length == 1,
+          s"nested column retype unsupported: ${t.fieldNames().mkString(".")}")
+        val name = t.fieldNames()(0)
+        require(cols.contains(name), s"ALTER TABLE $ident: no column '$name'")
+        val to = t.newDataType()
+        val from = colTypes(name)
+        val widening = {
+          import org.apache.spark.sql.types._
+          (from, to) match {
+            case (a2, b) if a2 == b => true
+            case (ByteType | ShortType | IntegerType, LongType) => true
+            case (ByteType | ShortType, IntegerType) => true
+            case (FloatType, DoubleType) => true
+            case _ => false
+          }
+        }
+        require(widening,
+          s"ALTER TABLE $ident: $name $from -> $to is not a widening — " +
+            "only byte/short/int -> bigint, byte/short -> int, and " +
+            "float -> double convert losslessly")
+        colTypes += (name -> to)
+        () => if (from != to) {
+          val head = SnapshotTable.readManifest(spark, dir,
+            SnapshotTable.versions(spark, dir).last)
+          if (head.entries.isEmpty) {
+            // nothing to rewrite: the declared schema is the only
+            // carrier of the type — update it in place
+            val p = new Path(s"$dir/_manifests/_schema.json")
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val widened = StructType(
+              new SnapshotCatalogTable(dir, ident.toString, None)
+                .schema().fields.map(f =>
+                  if (f.name == name) f.copy(dataType = to) else f))
+            val out = fs.create(p, true)
+            try out.write(widened.json.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+          } else {
+          val df = SnapshotTable.read(spark, dir)
+          locally {
+            val props = GraftTableProps.read(spark, dir)
+            val sortCols = GraftTableProps.cols(props, "sort_cols")
+            val statsCols = (GraftTableProps.cols(props, "stats_cols")
+              ++ sortCols).distinct
+            val bucket = GraftTableProps.bucketSpec(props)
+            val cast = df.withColumn(name,
+              org.apache.spark.sql.functions.col(name).cast(to))
+            import org.apache.spark.sql.functions.{col => fcol}
+            val shaped = bucket match {
+              case Some((c, n)) =>
+                val p = cast.repartition(n, fcol(c))
+                if (sortCols.isEmpty) p
+                else p.sortWithinPartitions(sortCols.map(fcol): _*)
+              case None =>
+                if (sortCols.isEmpty) cast
+                else cast.repartitionByRange(sortCols.map(fcol): _*)
+                  .sortWithinPartitions(sortCols.map(fcol): _*)
+            }
+            SnapshotTable.commitOverwrite(shaped, dir,
+              statsCols = statsCols,
+              bloomCols = GraftTableProps.cols(props, "bloom_cols"),
+              bucket = bucket): Unit
+          }
+          }
+        }
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE $ident: unsupported change $other — the snapshot " +
-          "format evolves via ADD / RENAME / DROP COLUMN commits only")
+          "format evolves via ADD / RENAME / DROP COLUMN commits (plus " +
+          "widening ALTER COLUMN TYPE as a rewriting commit) only")
     }
     // write-path config follows schema evolution: renamed columns
     // rename inside the col-list keys, dropped ones vanish from them

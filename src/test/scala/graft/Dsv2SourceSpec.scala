@@ -1447,6 +1447,61 @@ class Dsv2SourceSpec extends SparkSpec {
       .nonEmpty, "a refused publish leaves staging intact")
   }
 
+  test("ALTER COLUMN TYPE: widening lands as a rewriting commit; narrowing refuses before anything commits") {
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val root = java.nio.file.Files.createTempDirectory("snap_retype").toString
+    spark.conf.set("spark.sql.catalog.grt",
+      classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grt.root", root)
+    new java.io.File(s"$root/ns").mkdirs()
+    spark.sql("CREATE TABLE grt.ns.t (id INT, score FLOAT, v STRING) " +
+      "TBLPROPERTIES ('stats_cols' = 'id')")
+    spark.sql("INSERT INTO grt.ns.t SELECT CAST(id AS INT), " +
+      "CAST(id AS FLOAT) / 4, concat('v', id) FROM range(0, 100)")
+    val dir = s"$root/ns/t"
+    val preHead = SnapshotTable.versions(spark, dir).last
+    // widening: one rewriting commit, values preserved exactly
+    spark.sql("ALTER TABLE grt.ns.t ALTER COLUMN id TYPE BIGINT")
+    spark.sql("ALTER TABLE grt.ns.t ALTER COLUMN score TYPE DOUBLE")
+    val sch = spark.table("grt.ns.t").schema
+    assert(sch("id").dataType == LongType && sch("score").dataType == DoubleType)
+    assert(spark.sql("SELECT sum(id) FROM grt.ns.t").head().getLong(0) == 4950L)
+    assert(spark.sql("SELECT score FROM grt.ns.t WHERE id = 2")
+      .head().getDouble(0) == 0.5d)
+    // each retype was a VERSION: time travel reads the old type
+    assert(spark.sql(s"SELECT * FROM grt.ns.t VERSION AS OF $preHead")
+      .schema("id").dataType == org.apache.spark.sql.types.IntegerType)
+    // stats survived the rewrite (stats_cols re-applied)
+    val (kept, total) = SnapshotTable.pruneFiles(spark, dir,
+      Seq(SnapshotTable.StatFilter("id", lower = Some(1000L))))
+    assert(total > 0 && kept.isEmpty,
+      "the retyped table must still prune on the recorded stats")
+    // narrowing / cross-family refuse LOUDLY, nothing committed
+    val headBefore = SnapshotTable.versions(spark, dir).last
+    intercept[Exception] {
+      spark.sql("ALTER TABLE grt.ns.t ALTER COLUMN id TYPE INT")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE grt.ns.t ALTER COLUMN v TYPE BIGINT")
+    }
+    assert(SnapshotTable.versions(spark, dir).last == headBefore)
+    // a multi-change ALTER with a bad retype commits NOTHING
+    intercept[Exception] {
+      spark.sql("ALTER TABLE grt.ns.t ADD COLUMN extra BIGINT, " +
+        "ALTER COLUMN v TYPE BIGINT")
+    }
+    assert(!spark.table("grt.ns.t").columns.contains("extra"),
+      "all-or-nothing: the ADD must not land when the retype refuses")
+    // empty table: the declared schema is the only carrier — no rewrite
+    spark.sql("CREATE TABLE grt.ns.empty (id INT)")
+    spark.sql("ALTER TABLE grt.ns.empty ALTER COLUMN id TYPE BIGINT")
+    assert(spark.table("grt.ns.empty").schema("id").dataType == LongType)
+    spark.sql("INSERT INTO grt.ns.empty VALUES (9000000000000)")
+    assert(spark.sql("SELECT id FROM grt.ns.empty").head().getLong(0) ==
+      9000000000000L)
+  }
+
   test("expect.* TBLPROPERTIES gate every SQL INSERT: violations refuse the whole commit with named counts") {
     import graft.sources.SnapshotTable
     val root = java.nio.file.Files.createTempDirectory("snap_expect").toString
