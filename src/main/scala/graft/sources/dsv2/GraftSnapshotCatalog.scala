@@ -241,11 +241,15 @@ class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces
     new SnapshotCatalogTable(dirOf(ident), ident.toString, None)
   }
 
-  /** SQL time travel: `VERSION AS OF n` hands the version string here. */
+  /** SQL time travel: `VERSION AS OF n` hands the version string here —
+    * a non-numeric string is a TAG name (`VERSION AS OF 'audit-2026'`),
+    * resolved through the table's tag registry. */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!exists(ident)) throw new NoSuchTableException(ident)
-    new SnapshotCatalogTable(dirOf(ident), ident.toString,
-      Some(version.toLong))
+    val dir = dirOf(ident)
+    val v = version.toLongOption.getOrElse(
+      SnapshotTable.tagVersion(spark, dir, version))
+    new SnapshotCatalogTable(dir, ident.toString, Some(v))
   }
 
   /** `TIMESTAMP AS OF …` arrives in MICROseconds. */

@@ -1251,6 +1251,13 @@ class Dsv2SourceSpec extends SparkSpec {
       .head().getLong(0)
     assert(tagV == SnapshotTable.versions(spark, dir).last)
     assert(SnapshotTable.tagVersion(spark, dir, "audit") == tagV)
+    // SQL time travel BY TAG: a non-numeric VERSION AS OF is a tag name
+    assert(spark.sql("SELECT count(*) FROM gproc.ns.t VERSION AS OF 'audit'")
+      .head().getLong(0) == 5L)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gproc.ns.t VERSION AS OF 'no_such_tag'")
+        .collect()
+    }
     spark.sql("CALL gproc.system.delete_tag('ns.t', 'audit')").collect()
     intercept[Exception] { SnapshotTable.tagVersion(spark, dir, "audit") }
 
