@@ -167,9 +167,21 @@ object GraftProcedures {
         inD("target_bytes", LongType, "134217728"),
         inD("bits", IntegerType, "16")),
       StructType(Seq(StructField("version", LongType, nullable = false))),
-      (s, r) => Seq(row(SnapshotTable.compactHeadZOrdered(
-        s, dirOf(cat, r, 0), r.getUTF8String(1).toString,
-        r.getUTF8String(2).toString, r.getLong(3), r.getInt(4))))),
+      (s, r) => {
+        val dir = dirOf(cat, r, 0)
+        // z-order and hash-bucketing are COMPETING layouts: a z-sorted
+        // overwrite would silently drop every file's bucket stat and
+        // downgrade the table's storage-partitioned joins — refuse
+        // loudly instead of quietly trading one layout for the other
+        require(GraftTableProps.bucketSpec(GraftTableProps.read(s, dir)).isEmpty,
+          s"zorder: '${r.getUTF8String(0)}' declares bucket_cols — " +
+            "z-ordering would destroy the bucket layout every " +
+            "storage-partitioned join depends on; UNSET the bucket " +
+            "TBLPROPERTIES first (or keep the buckets and CALL rebucket)")
+        Seq(row(SnapshotTable.compactHeadZOrdered(
+          s, dir, r.getUTF8String(1).toString,
+          r.getUTF8String(2).toString, r.getLong(3), r.getInt(4))))
+      }),
 
     "fold_deletes" -> new Proc(cat, "fold_deletes",
       "fold pending merge-on-read deletes into the data (returns the " +
