@@ -889,7 +889,7 @@ object SparkEntry {
       val m = SnapshotTable.readManifest(s, s"$root/$ns/ev",
         SnapshotTable.versions(s, s"$root/$ns/ev").last)
       require(m.entries.filter(_.rows > 0)
-        .forall(_.stats.contains(SnapshotTable.BucketStat)),
+        .forall(_.stats.contains(SnapshotTable.bucketStatKey("event_id", 8))),
         "bucketed inserts must record the per-file bucket stat")
       ns
     })

@@ -1685,11 +1685,16 @@ object SnapshotTable {
   /** Reserved stat key recording a data file's HASH BUCKET — written
     * by bucketed commits (`bucket = Some((col, n))`), consumed by the
     * storage-partitioned-join scan. min == max is REQUIRED at commit
-    * (every file holds exactly one bucket); a file without the stat
-    * (a pre-bucketing commit, a cross-bucket compaction) disqualifies
-    * the table from the SPJ fast path — graceful fallback, never a
-    * wrong co-location claim. */
-  private[graft] val BucketStat = "__bucket"
+    * (every file holds exactly one bucket). The key is PARAMETERIZED
+    * by the spec that produced it: a file bucketed under (id, 8) must
+    * never satisfy a scan asking about (id, 16) — an ALTERed bucket_n
+    * with stale per-file stats would otherwise be a FALSE co-location
+    * claim (silent wrong join results). A file without the current
+    * spec's key (a pre-bucketing commit, a cross-bucket compaction, a
+    * spec change) disqualifies the table from the SPJ fast path —
+    * graceful fallback, never a wrong claim; CALL rebucket restores. */
+  private[graft] def bucketStatKey(c: String, n: Int): String =
+    s"__bucket:$c:$n"
 
   private def batchEntries(
       spark: SparkSession, dir: String,
@@ -1703,12 +1708,13 @@ object SnapshotTable {
     // hash the write path partitioned on — never a physical column
     val df = bucket match {
       case Some((c, n)) if df0.columns.contains(c) =>
-        df0.withColumn(BucketStat,
+        df0.withColumn(bucketStatKey(c, n),
           pmod(hash(col(c)), lit(n)).cast(LongType))
       case _ => df0
     }
     val present = statsCols.filter(df0.columns.contains) ++
-      (if (df.columns.contains(BucketStat)) Seq(BucketStat) else Nil)
+      bucket.map(b => bucketStatKey(b._1, b._2))
+        .filter(df.columns.contains).toSeq
     val bloomPresent = bloomCols.filter(df0.columns.contains)
     val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
     def statExpr(c: String): Column = fields(c) match {
@@ -1795,8 +1801,9 @@ object SnapshotTable {
       // a bucketed commit must land single-bucket files — a violation
       // here would let the SPJ scan claim a co-location that is false
       if (bucket.isDefined && rowsByRel.getOrElse(p, 0L) > 0L) {
-        val bs = st.getOrElse(BucketStat, throw new IllegalStateException(
-          s"bucketed commit produced no bucket stat for $p"))
+        val bs = st.getOrElse(bucketStatKey(bucket.get._1, bucket.get._2),
+          throw new IllegalStateException(
+            s"bucketed commit produced no bucket stat for $p"))
         require(cmpStat(bs.min, bs.max).contains(0),
           s"bucketed commit wrote a CROSS-bucket file $p " +
             s"(${bs.min}..${bs.max}) — partition the batch on the bucket " +

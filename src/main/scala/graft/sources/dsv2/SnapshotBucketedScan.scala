@@ -78,7 +78,7 @@ private[dsv2] object SnapshotBucketedScan {
     }
     val live = m.entries.filter(_.rows != 0L)
     val buckets: Seq[(String, Int)] = live.map { e =>
-      e.stats.get(SnapshotTable.BucketStat)
+      e.stats.get(SnapshotTable.bucketStatKey(bucketCol, n))
         .flatMap(st => (asInt(st.min), asInt(st.max)) match {
           case (Some(lo), Some(hi)) if lo == hi && lo >= 0 && lo < n => Some(lo)
           case _ => None // cross-bucket or out-of-range file

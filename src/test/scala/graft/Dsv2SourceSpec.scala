@@ -1343,7 +1343,7 @@ class Dsv2SourceSpec extends SparkSpec {
     val ma = SnapshotTable.readManifest(spark, s"$root/ns/a",
       SnapshotTable.versions(spark, s"$root/ns/a").last)
     assert(ma.entries.filter(_.rows > 0)
-      .forall(_.stats.contains("__bucket")))
+      .forall(_.stats.contains("__bucket:id:4")))
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -1407,6 +1407,21 @@ class Dsv2SourceSpec extends SparkSpec {
       assert(collectAll(agg.queryExecution.executedPlan) {
         case e: ShuffleExchangeExec => e
       }.isEmpty, "bucketed GROUP BY must plan no exchange")
+      // a CHANGED bucket spec must never ride stale per-file stats (a
+      // false co-location claim = silent wrong joins): bucket stats
+      // are keyed by (col, n), so the scan falls back until rebucket
+      spark.sql("ALTER TABLE gspj.ns.b SET TBLPROPERTIES ('bucket_n' = '8')")
+      val stale = spark.sql("SELECT id, count(*) AS n FROM gspj.ns.b GROUP BY id")
+      assert(stale.count() == 300L)
+      assert(collectAll(stale.queryExecution.executedPlan) {
+        case e: ShuffleExchangeExec => e
+      }.nonEmpty, "a changed bucket_n with stale stats must fall back")
+      spark.sql("CALL gspj.system.rebucket('ns.b')").collect()
+      val renew = spark.sql("SELECT id, count(*) AS n FROM gspj.ns.b GROUP BY id")
+      assert(renew.count() == 300L)
+      assert(collectAll(renew.queryExecution.executedPlan) {
+        case e: ShuffleExchangeExec => e
+      }.isEmpty, "rebucket must re-arm the layout under the new n")
     } finally {
       spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
