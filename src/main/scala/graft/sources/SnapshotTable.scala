@@ -3319,7 +3319,11 @@ object SnapshotTable {
           moved ::= (new Path(abs), dst)
           e.copy(path = s"$batch/$name", seq = 0L)
         }
-      } catch { case t: Throwable => undo(); throw t }
+      } catch { case t: Throwable =>
+        undo()
+        f.delete(new Path(s"$targetDir/$batch"), true): Unit
+        throw t
+      }
     // content fully replaces: schema-op lists clear (the staged census
     // carries final names), target's ledger carries (its streaming
     // writers' exactly-once state survives the publish)

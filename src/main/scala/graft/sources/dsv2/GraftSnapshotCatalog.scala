@@ -80,9 +80,15 @@ object GraftTableProps {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
     props.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
-    val out = fs.create(p, true)
+    // tmp + atomic rename — a reader racing an ALTER must see the old
+    // config or the new one, never a half-written json
+    val tmp = new Path(s"$dir/_manifests/.props-tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
     try out.write(mapper.writeValueAsString(node).getBytes(UTF_8))
     finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   def read(spark: SparkSession, dir: String): Map[String, String] = {
@@ -122,15 +128,23 @@ object GraftTableProps {
       s"table $ident: bucketing clusters on ONE column, got $bc")
     bn.foreach(n => require(scala.util.Try(n.toInt).toOption.exists(_ > 0),
       s"table $ident: bucket_n must be a positive integer, got '$n'"))
-    // expectation predicates must at least PARSE — a typo'd SQL string
-    // would otherwise fail every future INSERT instead of the DDL
+    // expectation predicates must PARSE and reference real columns —
+    // a typo'd SQL string or a column left behind by a RENAME would
+    // otherwise fail every future INSERT instead of the DDL
     expectations(props).foreach { case (name, pred) =>
-      try SparkSession.active.sessionState.sqlParser.parseExpression(pred): Unit
-      catch {
-        case e: Exception => throw new IllegalArgumentException(
-          s"table $ident: expectation 'expect.$name' does not parse: " +
-            s"$pred (${e.getMessage})")
-      }
+      val parsed =
+        try SparkSession.active.sessionState.sqlParser.parseExpression(pred)
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"table $ident: expectation 'expect.$name' does not parse: " +
+              s"$pred (${e.getMessage})")
+        }
+      parsed.collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts.length == 1 => a.nameParts.head
+      }.foreach(c => require(colNames.contains(c),
+        s"table $ident: expectation 'expect.$name' references '$c', " +
+          "which is not a column of the table"))
     }
   }
 
@@ -150,6 +164,21 @@ object GraftTableProps {
       case (k, v) if k.startsWith("expect.") && k.length > 7 =>
         k.stripPrefix("expect.") -> v
     }.sortBy(_._1)
+
+  /** The single-part column names each expectation references — what
+    * RENAME/DROP COLUMN must check before leaving a predicate behind
+    * that would fail every future INSERT. */
+  def expectationColumnRefs(
+      props: Map[String, String]): Seq[(String, Set[String])] =
+    expectations(props).map { case (n, pred) =>
+      val refs = scala.util.Try(
+        SparkSession.active.sessionState.sqlParser.parseExpression(pred)
+          .collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if a.nameParts.length == 1 => a.nameParts.head
+          }.toSet).getOrElse(Set.empty[String])
+      n -> refs
+    }
 }
 
 class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces
@@ -325,6 +354,15 @@ class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces
     var propEdits = Seq.empty[(String, Option[String])]
     var colRenames = Map.empty[String, String]
     var colDrops = Set.empty[String]
+    val standingExpectRefs =
+      GraftTableProps.expectationColumnRefs(GraftTableProps.read(spark, dir))
+    def requireNoExpectationRef(colName: String, what: String): Unit =
+      standingExpectRefs.foreach { case (en, refs) =>
+        require(!refs.contains(colName),
+          s"ALTER TABLE $ident: $what '$colName' would break expectation " +
+            s"'expect.$en' (it references the column) — UNSET the " +
+            "expectation first, or re-declare it under the new name")
+      }
     val commits: Seq[() => Unit] = changes.map {
       // SET/UNSET TBLPROPERTIES: write-path configuration edits —
       // validated against the simulated post-change schema below (so
@@ -342,6 +380,7 @@ class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces
           s"ALTER TABLE $ident: no column '$from'")
         require(!cols.contains(r.newName()),
           s"ALTER TABLE $ident: '${r.newName()}' already exists — renames never shadow")
+        requireNoExpectationRef(from, "renaming")
         cols = cols.map(c => if (c == from) r.newName() else c)
         colTypes = (colTypes - from) + (r.newName() -> colTypes(from))
         colRenames += (from -> r.newName())
@@ -351,6 +390,7 @@ class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces
           s"nested column drop unsupported: ${d.fieldNames().mkString(".")}")
         val name = d.fieldNames()(0)
         require(cols.contains(name), s"ALTER TABLE $ident: no column '$name'")
+        requireNoExpectationRef(name, "dropping")
         cols = cols.filterNot(_ == name)
         colTypes -= name
         colDrops += name

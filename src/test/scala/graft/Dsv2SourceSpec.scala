@@ -1563,6 +1563,22 @@ class Dsv2SourceSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("ALTER TABLE gexp.ns.t SET TBLPROPERTIES ('expect.oops' = '((')")
     }
+    // an expectation naming an unknown column refuses at DDL time too
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gexp.ns.bad2 (id BIGINT) TBLPROPERTIES " +
+        "('expect.ghost' = 'no_such_col > 0')")
+    }
+    // renaming/dropping a column an expectation references refuses —
+    // the predicate would otherwise fail every future INSERT
+    val er = intercept[Exception] {
+      spark.sql("ALTER TABLE gexp.ns.t RENAME COLUMN v TO w")
+    }
+    assert(er.getMessage.contains("v_present"))
+    intercept[Exception] { spark.sql("ALTER TABLE gexp.ns.t DROP COLUMN v") }
+    // UNSET first, then the rename goes through
+    spark.sql("ALTER TABLE gexp.ns.t UNSET TBLPROPERTIES ('expect.v_present')")
+    spark.sql("ALTER TABLE gexp.ns.t RENAME COLUMN v TO w")
+    assert(spark.table("gexp.ns.t").columns.contains("w"))
   }
 
   test("advanced SQL DML forms: IN-subquery DELETE, multi-WHEN MERGE with conditions and DELETE, NOT MATCHED BY SOURCE") {
