@@ -840,6 +840,14 @@ object SnapshotTable {
     case b: BigInt => new java.math.BigDecimal(b.bigInteger)
     case s: String => s
     case d: java.sql.Date => d.toString // ISO yyyy-MM-dd, matches the stored canonical form
+    // timestamps canonicalize to EPOCH MICROS as a number — the same
+    // value `unix_micros` records at stats time, so tz-free and exact
+    case t: java.sql.Timestamp =>
+      new java.math.BigDecimal(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case i: java.time.Instant =>
+      new java.math.BigDecimal(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
     case other => throw new IllegalArgumentException(
       s"unsupported stat filter value $other (${other.getClass.getName})")
   }
@@ -1373,8 +1381,16 @@ object SnapshotTable {
       filter: StatFilter): DataFrame = {
     val df = entriesFrame(spark, dir, m, boundary)
     val c = col(filter.colName)
-    val preds = filter.lower.map(toStatVal).map(v => c >= lit(statLit(v))).toSeq ++
-      filter.upper.map(toStatVal).map(v => c <= lit(statLit(v)))
+    // row-level literals keep the caller's ORIGINAL temporal values —
+    // the micros canonical form is for STAT compares only (a decimal
+    // literal against a timestamp column would compare in seconds)
+    def rowLit(v: Any): Any = v match {
+      case t: java.sql.Timestamp => t
+      case i: java.time.Instant => i
+      case other => statLit(toStatVal(other))
+    }
+    val preds = filter.lower.map(v => c >= lit(rowLit(v))).toSeq ++
+      filter.upper.map(v => c <= lit(rowLit(v)))
     preds.reduceOption(_ && _).map(df.filter).getOrElse(df)
   }
 
@@ -1721,8 +1737,11 @@ object SnapshotTable {
       case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
            _: FloatType | _: DoubleType | _: DecimalType | _: StringType => col(c)
       case _: DateType => date_format(col(c), "yyyy-MM-dd")
+      // epoch micros: tz-free, exact, numeric — compares against the
+      // micros canonical form toStatVal produces for filter values
+      case _: TimestampType => unix_micros(col(c))
       case dt => throw new IllegalArgumentException(
-        s"stat column $c has unsupported type $dt (supported: numeric, string, date)")
+        s"stat column $c has unsupported type $dt (supported: numeric, string, date, timestamp)")
     }
     // fail loudly on a bad bloom type BEFORE any aggregate runs
     bloomPresent.foreach(c => bloomKeyHash(col(c), fields(c), c))
@@ -1745,6 +1764,20 @@ object SnapshotTable {
       relByQualified.get(qualifiedPath(spark, abs))
     val rows = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect()
+    // every aggregate row MUST map back through relOf: the rows=0
+    // census below treats absence as proven-empty (unconditional prune,
+    // vacuous all-match for DELETE), so an input_file_name() the
+    // qualifiedPath mapping misses (URI-encoding divergence, scheme
+    // drift) must fail the commit LOUDLY here instead of silently
+    // dropping a live file's rows from every future read (ADVICE r14)
+    rows.foreach { r =>
+      require(relOf(r.getString(0)).isDefined,
+        s"stats aggregate saw file '${r.getString(0)}' that maps to none " +
+          s"of the ${relPaths.size} batch paths under $dir — path " +
+          "canonicalization diverged between input_file_name() and " +
+          "qualifiedPath; refusing the commit rather than recording a " +
+          "false proven-empty census for the unmatched file")
+    }
     val statsByRel: Map[String, Map[String, FileStat]] = rows.flatMap { r =>
       relOf(r.getString(0)).map { rp =>
         val stats = present.flatMap { c =>
@@ -2907,7 +2940,8 @@ object SnapshotTable {
     * against the new head. */
   private[graft] def commitReplaceFiles(
       spark: SparkSession, dir: String, basedOn: Long,
-      replaced: Set[String], newFiles: Seq[String]): Long = {
+      replaced: Set[String], newFiles: Seq[String],
+      bucket: Option[(String, Int)] = None): Long = {
     val headV = versions(spark, dir).lastOption.getOrElse(
       throw new IllegalArgumentException(s"snapshot table $dir has no committed version"))
     require(headV == basedOn,
@@ -2921,8 +2955,13 @@ object SnapshotTable {
     require(missing.isEmpty,
       s"SQL DML on $dir would replace files no longer live: ${missing.mkString(", ")}")
     val untouched = m.entries.filterNot(e => replaced.contains(e.path))
+    // `bucket` = the table's declared layout when the DML write landed
+    // its replacement files bucket-clustered (the write requested
+    // hash(col)%n distribution): record the __bucket stat per new file
+    // so storage-partitioned joins stay armed THROUGH DELETE/UPDATE/
+    // MERGE instead of downgrading until a manual CALL rebucket
     val newEntries = batchEntries(spark, dir, newFiles, m.statsCols,
-      m.bloomCols, m.bloomFpp)
+      m.bloomCols, m.bloomFpp, bucket = bucket)
     require(tryPublish(spark, dir,
       Manifest(headV + 1, m.ledger, m.statsCols,
         untouched ++ newEntries.map(_.copy(seq = headV + 1)),
@@ -3282,8 +3321,22 @@ object SnapshotTable {
     val sfs = fs(spark, stagingDir)
     val batch = s"batch-wap-${UUID.randomUUID()}"
     f.mkdirs(new Path(s"$targetDir/$batch"))
-    var moved = List.empty[(Path, Path)] // (stagingFrom, targetTo)
-    def undo(): Unit = moved.foreach { case (from, to) => f.rename(to, from): Unit }
+    // crash-atomicity (ADVICE r14): staged files are COPIED into the
+    // target batch dir, the manifest publishes, and only then do the
+    // staging originals delete. A crash at any point leaves either
+    // (a) pre-publish: unreferenced copies under the target — plain
+    // orphans gc_orphans sweeps, staging fully intact; or (b) post-
+    // publish: the target manifest references files that EXIST, with
+    // leftover staging originals under a markDropped carcass that
+    // gc_dropped sweeps. No window references files that are gone.
+    var copiedFrom = List.empty[Path] // staging originals to delete post-publish
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def copyStaged(from: Path, to: Path): Unit = {
+      require(org.apache.hadoop.fs.FileUtil.copy(sfs, from, f, to,
+        false, false, hconf),
+        s"publishClone: copying staged file $from -> $to failed")
+      copiedFrom ::= from
+    }
     def underTarget(abs: String): Boolean =
       qualifiedPath(spark, abs).startsWith(targetCanon + "/")
     val published =
@@ -3295,7 +3348,7 @@ object SnapshotTable {
           e.copy(path = qualifiedPath(spark, abs).stripPrefix(targetCanon + "/"),
             seq = 0L)
         } else {
-          // a STAGED file: move it (and its bloom sidecars) into the
+          // a STAGED file: copy it (and its bloom sidecars) into the
           // target tree — indexed name, two staged part-00000s from
           // different batches must never collide. An external ref into
           // a THIRD table (a clone of a clone) is not ours to move.
@@ -3310,17 +3363,12 @@ object SnapshotTable {
             val sideFrom = sidecarBloomPath(stagingDir, e.path, c)
             val sideTo = sidecarBloomPath(targetDir, s"$batch/$name", c)
             f.mkdirs(sideTo.getParent)
-            require(sfs.rename(sideFrom, sideTo),
-              s"publishClone: moving bloom sidecar $sideFrom failed")
-            moved ::= (sideFrom, sideTo)
+            copyStaged(sideFrom, sideTo)
           }
-          require(sfs.rename(new Path(abs), dst),
-            s"publishClone: moving staged file $abs failed")
-          moved ::= (new Path(abs), dst)
+          copyStaged(new Path(abs), dst)
           e.copy(path = s"$batch/$name", seq = 0L)
         }
       } catch { case t: Throwable =>
-        undo()
         f.delete(new Path(s"$targetDir/$batch"), true): Unit
         throw t
       }
@@ -3330,12 +3378,14 @@ object SnapshotTable {
     if (!tryPublish(spark, targetDir,
       Manifest(tvs.last + 1, tm.ledger, sm.statsCols, published,
         bloomCols = sm.bloomCols, bloomFpp = sm.bloomFpp))) {
-      undo()
       f.delete(new Path(s"$targetDir/$batch"), true): Unit
       throw new IllegalStateException(
         s"publishClone: a commit raced onto $targetDir during the publish — " +
           "re-clone, re-stage, re-audit")
     }
+    // the publish is durable: best-effort delete of the staging
+    // originals (anything left rides the dropped carcass to gc_dropped)
+    copiedFrom.foreach(p => scala.util.Try(sfs.delete(p, false)): Unit)
     // publish consumed the staged files: the staging table's manifests
     // now dangle, so retire the identifier (data it still names under
     // the TARGET tree belongs to the target now; the carcass holds no

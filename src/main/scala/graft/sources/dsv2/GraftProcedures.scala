@@ -156,8 +156,20 @@ object GraftProcedures {
       Array(in("table", StringType),
         inD("target_bytes", LongType, "134217728")),
       StructType(Seq(StructField("version", LongType, nullable = false))),
-      (s, r) => Seq(row(
-        SnapshotTable.compactHead(s, dirOf(cat, r, 0), r.getLong(1))))),
+      (s, r) => {
+        val dir = dirOf(cat, r, 0)
+        // same guard as zorder: a plain compaction merges files ACROSS
+        // buckets, dropping the __bucket stats and silently downgrading
+        // every storage-partitioned join to a shuffle until a manual
+        // rebucket — refuse loudly and point at the layout-preserving
+        // rewrite instead (ADVICE r14)
+        require(GraftTableProps.bucketSpec(GraftTableProps.read(s, dir)).isEmpty,
+          s"compact: '${r.getUTF8String(0)}' declares bucket_cols — " +
+            "compaction would merge files across buckets and destroy " +
+            "the layout every storage-partitioned join depends on; " +
+            "CALL rebucket instead (one rewrite that also compacts)")
+        Seq(row(SnapshotTable.compactHead(s, dir, r.getLong(1))))
+      }),
 
     "zorder" -> new Proc(cat, "zorder",
       "OPTIMIZE ZORDER: rewrite the head Morton-interleaved on two " +

@@ -295,9 +295,52 @@ class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     if (exists(ident)) throw new TableAlreadyExistsException(ident)
-    require(partitions.isEmpty,
-      "graft-snapshot tables cluster via statsCols/bloomCols + OPTIMIZE, " +
-        "not catalog partitions")
+    // `PARTITIONED BY` maps onto the format's clustering lattice
+    // instead of physical partition dirs: identity and temporal
+    // transforms become LEADING sort_cols (INSERTs range-cluster on
+    // the raw column, so per-file min/max stats prune ANY day/month/
+    // year range — the same prune snapshot_sorted_write proves), and
+    // `bucket(n, col)` becomes the bucket_cols/bucket_n pair that
+    // powers storage-partitioned joins. The declared spec is recorded
+    // verbatim under `partitioned_by` so SHOW TBLPROPERTIES and
+    // DESCRIBE tell the truth; anything else refuses loudly.
+    val declaredCols = columns.map(_.name()).toSeq
+    var partSortCols = Seq.empty[String]
+    var partBucket: Option[(String, Int)] = None
+    var partRendered = Seq.empty[String]
+    partitions.foreach { t =>
+      val refs = t.references()
+      require(refs.length == 1 && refs(0).fieldNames().length == 1,
+        s"PARTITIONED BY ${t.describe()}: exactly one top-level column " +
+          "reference per transform is supported")
+      val c = refs(0).fieldNames()(0)
+      require(declaredCols.contains(c),
+        s"PARTITIONED BY references '$c', which is not a column of the table")
+      t.name().toLowerCase match {
+        case "identity" | "years" | "months" | "days" | "hours" =>
+          if (!partSortCols.contains(c)) partSortCols :+= c
+          partRendered :+= (if (t.name().equalsIgnoreCase("identity")) c
+            else s"${t.name().toLowerCase}($c)")
+        case "bucket" =>
+          require(partBucket.isEmpty,
+            "PARTITIONED BY: at most one bucket(n, col) transform")
+          val n = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value() != null && l.value().isInstanceOf[Number] =>
+              l.value().asInstanceOf[Number].intValue()
+          }.getOrElse(throw new IllegalArgumentException(
+            s"PARTITIONED BY ${t.describe()}: bucket needs a literal count"))
+          require(n > 0, s"PARTITIONED BY ${t.describe()}: bucket count must be positive")
+          partBucket = Some((c, n))
+          // no inner space: ", " is the transform list separator
+          partRendered :+= s"bucket($n,$c)"
+        case other => throw new UnsupportedOperationException(
+          s"PARTITIONED BY $other(...) is unsupported — identity columns, " +
+            "years/months/days/hours(col), and bucket(n, col) map onto the " +
+            "snapshot format's sort/stats/bucket clustering; truncate and " +
+            "custom transforms do not")
+      }
+    }
     val dir = dirOf(ident)
     // CREATE on a dropped-but-unswept identifier: re-using the name is
     // an explicit supersede — purge the carcass now so the new table
@@ -310,8 +353,29 @@ class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces
     val schema = new StructType(columns.map(c =>
       org.apache.spark.sql.types.StructField(
         c.name(), c.dataType(), c.nullable())))
-    val tblProps = GraftTableProps.ours(
+    val userProps = GraftTableProps.ours(
       Option(properties).map(_.asScala.toMap).getOrElse(Map.empty))
+    val tblProps = if (partitions.isEmpty) userProps else {
+      // partition transforms LEAD the sort order (coarse layout first,
+      // any user-declared sort_cols refine within); the bucket pair
+      // must not conflict with an explicit TBLPROPERTIES declaration
+      val mergedSort = (partSortCols ++
+        GraftTableProps.cols(userProps, "sort_cols")).distinct
+      partBucket.foreach { case (c, n) =>
+        GraftTableProps.bucketSpec(userProps).foreach { case (uc, un) =>
+          require(uc == c && un == n,
+            s"table $ident: PARTITIONED BY bucket($n, $c) conflicts with " +
+              s"TBLPROPERTIES bucket_cols='$uc', bucket_n=$un — declare one")
+        }
+      }
+      userProps ++
+        (if (mergedSort.nonEmpty) Map("sort_cols" -> mergedSort.mkString(","))
+         else Map.empty) ++
+        partBucket.map { case (c, n) =>
+          Map("bucket_cols" -> c, "bucket_n" -> n.toString)
+        }.getOrElse(Map.empty) +
+        ("partitioned_by" -> partRendered.mkString(", "))
+    }
     GraftTableProps.validate(tblProps, schema.fieldNames.toSeq, ident.toString)
     // the declared schema lives beside the manifests: an empty table
     // has no data file to derive one from. `exists` already said no
@@ -363,14 +427,49 @@ class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces
             s"'expect.$en' (it references the column) — UNSET the " +
             "expectation first, or re-declare it under the new name")
       }
+    // the bucket layout is keyed by (column NAME, n) in every manifest's
+    // __bucket stats — renaming or dropping the declared bucket column
+    // would orphan the recorded placement and silently downgrade every
+    // storage-partitioned join to a shuffle. Layout-destroying ops
+    // refuse loudly (same posture as zorder / expectations), instead of
+    // leaving a dangling bucket_cols/bucket_n pair behind (ADVICE r14).
+    val standingBucketCol =
+      GraftTableProps.bucketSpec(GraftTableProps.read(spark, dir)).map(_._1)
+    // a PARTITIONED BY declaration references columns by name in its
+    // recorded spec — renaming/dropping one would leave the spec (and
+    // the sort/bucket mapping derived from it) pointing at a ghost
+    val standingPartRefs: Set[String] =
+      GraftTableProps.read(spark, dir).get("partitioned_by").toSeq
+        .flatMap(_.split(", ").toSeq)
+        .map(t => t.replaceAll("^\\w+\\((?:\\d+,)?", "").stripSuffix(")"))
+        .toSet
+    def requireNotBucketCol(colName: String, what: String): Unit = {
+      standingBucketCol.foreach { bc =>
+        require(bc != colName,
+          s"ALTER TABLE $ident: $what '$colName' would destroy the " +
+            "declared bucket layout (TBLPROPERTIES bucket_cols) — UNSET " +
+            "bucket_cols/bucket_n first, then re-declare and CALL " +
+            "rebucket under the new shape")
+      }
+      require(!standingPartRefs.contains(colName),
+        s"ALTER TABLE $ident: $what '$colName' would orphan the " +
+          "PARTITIONED BY declaration that references it — the table's " +
+          "partition spec is immutable once declared")
+    }
     val commits: Seq[() => Unit] = changes.map {
       // SET/UNSET TBLPROPERTIES: write-path configuration edits —
       // validated against the simulated post-change schema below (so
       // `ADD COLUMN x` + `sort_cols = 'x'` compose in one ALTER),
       // applied after the column commits land
       case sp: TableChange.SetProperty =>
+        require(sp.property() != "partitioned_by",
+          s"ALTER TABLE $ident: partitioned_by records the CREATE-time " +
+            "PARTITIONED BY declaration — it is not settable")
         propEdits :+= (sp.property() -> Some(sp.value())); () => ()
       case rp: TableChange.RemoveProperty =>
+        require(rp.property() != "partitioned_by",
+          s"ALTER TABLE $ident: partitioned_by records the CREATE-time " +
+            "PARTITIONED BY declaration — it is not unsettable")
         propEdits :+= (rp.property() -> None); () => ()
       case r: TableChange.RenameColumn =>
         require(r.fieldNames().length == 1,
@@ -381,6 +480,7 @@ class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces
         require(!cols.contains(r.newName()),
           s"ALTER TABLE $ident: '${r.newName()}' already exists — renames never shadow")
         requireNoExpectationRef(from, "renaming")
+        requireNotBucketCol(from, "renaming")
         cols = cols.map(c => if (c == from) r.newName() else c)
         colTypes = (colTypes - from) + (r.newName() -> colTypes(from))
         colRenames += (from -> r.newName())
@@ -391,6 +491,7 @@ class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces
         val name = d.fieldNames()(0)
         require(cols.contains(name), s"ALTER TABLE $ident: no column '$name'")
         requireNoExpectationRef(name, "dropping")
+        requireNotBucketCol(name, "dropping")
         cols = cols.filterNot(_ == name)
         colTypes -= name
         colDrops += name
@@ -678,6 +779,24 @@ private[dsv2] class SnapshotCatalogTable(
   }
 
   override def name(): String = ident
+
+  /** DESCRIBE tells the truth about a `PARTITIONED BY` declaration:
+    * the recorded spec parses back to the transforms the CREATE
+    * mapped onto the sort/stats/bucket clustering lattice. */
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val Temporal = "(years|months|days|hours)\\((.+)\\)".r
+    val Bucket = "bucket\\((\\d+),(.+)\\)".r
+    GraftTableProps.read(spark, dir).get("partitioned_by").toArray
+      .flatMap(_.split(", ").toSeq).map {
+        case Bucket(n, c) => Expressions.bucket(n.toInt, c)
+        case Temporal("years", c) => Expressions.years(c)
+        case Temporal("months", c) => Expressions.months(c)
+        case Temporal("days", c) => Expressions.days(c)
+        case Temporal("hours", c) => Expressions.hours(c)
+        case c => Expressions.identity(c)
+      }
+  }
 
   /** SHOW TBLPROPERTIES surfaces the write-path config. */
   override def properties(): util.Map[String, String] = {

@@ -1694,4 +1694,236 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gprops.ns.t WHERE id2 <= 49")
       .head().getLong(0) == 50L)
   }
+
+  test("auto-rebucket through DML: SPJ stays armed after DELETE/UPDATE/MERGE without CALL rebucket") {
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
+      p.collect(pf) ++ p.collect {
+        case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
+        case q: QueryStageExec => collectAll(q.plan)(pf)
+      }.flatten
+    val root = java.nio.file.Files.createTempDirectory("snap_dml_spj").toString
+    spark.conf.set("spark.sql.catalog.gdspj",
+      classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdspj.root", root)
+    new java.io.File(s"$root/ns").mkdirs()
+    spark.sql("CREATE TABLE gdspj.ns.a (id BIGINT, va STRING) " +
+      "TBLPROPERTIES ('bucket_cols' = 'id', 'bucket_n' = '4')")
+    spark.sql("CREATE TABLE gdspj.ns.b (id BIGINT, vb STRING) " +
+      "TBLPROPERTIES ('bucket_cols' = 'id', 'bucket_n' = '4')")
+    spark.sql("INSERT INTO gdspj.ns.a SELECT id, concat('a', id) FROM range(0, 400)")
+    spark.sql("INSERT INTO gdspj.ns.b SELECT id, concat('b', id) FROM range(0, 400)")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def assertSpj(expect: Long): Unit = {
+      val joined = spark.sql(
+        "SELECT a.id, a.va, b.vb FROM gdspj.ns.a a JOIN gdspj.ns.b b ON a.id = b.id")
+      assert(joined.count() == expect)
+      val joins = collectAll(joined.queryExecution.executedPlan) {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }
+      assert(joins.nonEmpty, "expected a shuffle-family join")
+      assert(collectAll(joins.head) { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"join must stay exchange-free, got:\n${joined.queryExecution.executedPlan}")
+    }
+    try {
+      assertSpj(400L)
+      // DELETE: the rewrite's replacement files land bucket-clustered
+      spark.sql("DELETE FROM gdspj.ns.a WHERE id % 10 = 3")
+      val ma = SnapshotTable.readManifest(spark, s"$root/ns/a",
+        SnapshotTable.versions(spark, s"$root/ns/a").last)
+      assert(ma.entries.filter(_.rows > 0)
+        .forall(_.stats.contains("__bucket:id:4")),
+        "every replacement file must carry a __bucket stat")
+      assertSpj(360L)
+      // UPDATE keeps the layout too
+      spark.sql("UPDATE gdspj.ns.a SET va = 'upd' WHERE id = 8")
+      assertSpj(360L)
+      assert(spark.sql("SELECT va FROM gdspj.ns.a WHERE id = 8")
+        .head().getString(0) == "upd")
+      // MERGE as well (update + insert arm)
+      spark.range(0, 2).selectExpr("id * 1000 + 3 AS id", "'m' AS va")
+        .createOrReplaceTempView("dml_spj_src")
+      spark.sql("""MERGE INTO gdspj.ns.a t USING dml_spj_src s ON t.id = s.id
+                  |WHEN MATCHED THEN UPDATE SET va = s.va
+                  |WHEN NOT MATCHED THEN INSERT (id, va) VALUES (s.id, s.va)""".stripMargin)
+      // id=3 was deleted (3 % 10 == 3): both source rows insert
+      // (id 3 and 1003); 1003 has no match in b
+      assertSpj(361L)
+      val ma2 = SnapshotTable.readManifest(spark, s"$root/ns/a",
+        SnapshotTable.versions(spark, s"$root/ns/a").last)
+      assert(ma2.entries.filter(_.rows > 0)
+        .forall(_.stats.contains("__bucket:id:4")))
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("CREATE TABLE PARTITIONED BY maps onto the clustering lattice") {
+    import graft.sources.SnapshotTable
+    import graft.sources.dsv2.GraftTableProps
+    val root = java.nio.file.Files.createTempDirectory("snap_part").toString
+    spark.conf.set("spark.sql.catalog.gpart",
+      classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gpart.root", root)
+    new java.io.File(s"$root/ns").mkdirs()
+    // days(ts) -> leading sort_col + recorded spec
+    spark.sql("CREATE TABLE gpart.ns.ev (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    val props = GraftTableProps.read(spark, s"$root/ns/ev")
+    assert(props.get("partitioned_by").contains("days(ts)"))
+    assert(GraftTableProps.cols(props, "sort_cols") == Seq("ts"))
+    // DESCRIBE-truth: partitioning() parses the spec back
+    assert(spark.sql("DESCRIBE TABLE EXTENDED gpart.ns.ev").collect()
+      .exists(r => Option(r.getString(1)).exists(_.contains("days(ts)"))))
+    // adversarial insert: input spans the full time range per partition
+    spark.range(0, 2000)
+      .selectExpr("id",
+        "timestamp_micros(cast(1700000000000000 + id * 3600000000 as bigint)) AS ts")
+      .repartition(4)
+      .createOrReplaceTempView("part_src")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try spark.sql("INSERT INTO gpart.ns.ev SELECT id, ts FROM part_src")
+    finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    // timestamp stats prune a day range from the manifest alone
+    val cutoff = java.time.Instant.ofEpochSecond(1700000000L + 3L * 86400L)
+    val (kept, total) = SnapshotTable.pruneFiles(spark, s"$root/ns/ev",
+      Seq(SnapshotTable.StatFilter("ts", upper = Some(cutoff))))
+    assert(total > 1, s"insert must land multiple files, got $total")
+    assert(kept.size < total, s"day-range prune must drop files: $kept of $total")
+    // the pruned read still answers exactly
+    assert(spark.sql("SELECT count(*) FROM gpart.ns.ev " +
+      "WHERE ts < TIMESTAMP '2023-11-17 22:13:20'").head().getLong(0) == 72L)
+    // bucket(n, col) -> the bucket_cols/bucket_n pair
+    spark.sql("CREATE TABLE gpart.ns.bk (id BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(4, id))")
+    val bprops = GraftTableProps.read(spark, s"$root/ns/bk")
+    assert(GraftTableProps.bucketSpec(bprops).contains(("id", 4)))
+    assert(bprops.get("partitioned_by").contains("bucket(4,id)"))
+    spark.sql("INSERT INTO gpart.ns.bk SELECT id, concat('v', id) FROM range(0, 100)")
+    val mb = SnapshotTable.readManifest(spark, s"$root/ns/bk",
+      SnapshotTable.versions(spark, s"$root/ns/bk").last)
+    assert(mb.entries.filter(_.rows > 0).forall(_.stats.contains("__bucket:id:4")))
+    // identity transform -> plain leading sort_col
+    spark.sql("CREATE TABLE gpart.ns.idt (id BIGINT, region STRING) " +
+      "PARTITIONED BY (region)")
+    assert(GraftTableProps.cols(
+      GraftTableProps.read(spark, s"$root/ns/idt"), "sort_cols") == Seq("region"))
+    // guards: unsupported transform, spec edits, column renames
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gpart.ns.bad (id BIGINT, v STRING) " +
+        "PARTITIONED BY (truncate(4, v))")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gpart.ns.ev SET TBLPROPERTIES " +
+        "('partitioned_by' = 'days(id)')")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gpart.ns.ev RENAME COLUMN ts TO ts2")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gpart.ns.ev DROP COLUMN ts")
+    }
+  }
+
+  test("bucketed scan parallelism: layout-blind plans uncap, layout-spending plans stay SPJ") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
+      p.collect(pf) ++ p.collect {
+        case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
+        case q: QueryStageExec => collectAll(q.plan)(pf)
+      }.flatten
+    val root = java.nio.file.Files.createTempDirectory("snap_subsplit").toString
+    spark.conf.set("spark.sql.catalog.gsub",
+      classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsub.root", root)
+    new java.io.File(s"$root/ns").mkdirs()
+    spark.sql("CREATE TABLE gsub.ns.t (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('bucket_cols' = 'id', 'bucket_n' = '2')")
+    // two inserts -> two files per bucket -> 4 live files
+    spark.sql("INSERT INTO gsub.ns.t SELECT id, concat('v', id) FROM range(0, 100)")
+    spark.sql("INSERT INTO gsub.ns.t SELECT id, concat('v', id) FROM range(100, 200)")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // a plan with NO use for the bucket layout (plain scan) converts
+      // to the V1 path: file-size-packed read parallelism, never
+      // capped at bucket_n key-grouped tasks
+      val plain = spark.sql("SELECT * FROM gsub.ns.t")
+      assert(!plain.queryExecution.executedPlan.toString
+        .contains("graft-snapshot-bucketed"),
+        "a layout-blind scan must not ride the key-grouped bucketed scan")
+      assert(plain.rdd.getNumPartitions > 2,
+        s"plain scan must exceed bucket_n tasks, got ${plain.rdd.getNumPartitions}")
+      assert(plain.count() == 200L)
+      // a join ON the bucket column stays on the SPJ path, and Spark
+      // groups the per-file sub-splits back to one partition per
+      // bucket — exchange-free even with multi-file buckets
+      val joined = spark.sql(
+        "SELECT a.id FROM gsub.ns.t a JOIN gsub.ns.t b ON a.id = b.id")
+      assert(joined.count() == 200L) // ids 0..199, once per side
+      val joins = collectAll(joined.queryExecution.executedPlan) {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }
+      assert(joins.nonEmpty)
+      assert(collectAll(joins.head) { case e: ShuffleExchangeExec => e }.isEmpty,
+        "multi-file buckets must still join exchange-free")
+      assert(joined.queryExecution.executedPlan.toString
+        .contains("graft-snapshot-bucketed"))
+      // GROUP BY on the bucket column spends the layout too: stays SPJ,
+      // no aggregation exchange
+      val agg = spark.sql("SELECT id, count(*) AS n FROM gsub.ns.t GROUP BY id")
+      assert(agg.count() == 200L)
+      assert(collectAll(agg.queryExecution.executedPlan) {
+        case e: ShuffleExchangeExec => e
+      }.isEmpty, "bucketed GROUP BY must stay exchange-free")
+      // GROUP BY on a NON-bucket column has no use for the layout:
+      // converts to V1 (full parallelism under the shuffle)
+      val aggV = spark.sql("SELECT v, count(*) AS n FROM gsub.ns.t GROUP BY v")
+      assert(aggV.count() == 200L)
+      assert(!aggV.queryExecution.executedPlan.toString
+        .contains("graft-snapshot-bucketed"))
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+  test("layout guards: compact refuses on bucketed tables; bucket column rename/drop refuses") {
+    val root = java.nio.file.Files.createTempDirectory("snap_guard").toString
+    spark.conf.set("spark.sql.catalog.gguard",
+      classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gguard.root", root)
+    new java.io.File(s"$root/ns").mkdirs()
+    spark.sql("CREATE TABLE gguard.ns.t (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('bucket_cols' = 'id', 'bucket_n' = '4')")
+    spark.sql("INSERT INTO gguard.ns.t SELECT id, concat('v', id) FROM range(0, 100)")
+    val e1 = intercept[Exception] {
+      spark.sql("CALL gguard.system.compact('ns.t')").collect()
+    }
+    assert(e1.getMessage.contains("rebucket"))
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE gguard.ns.t RENAME COLUMN id TO id2")
+    }
+    assert(e2.getMessage.contains("bucket"))
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE gguard.ns.t DROP COLUMN id")
+    }
+    assert(e3.getMessage.contains("bucket"))
+    // the guards left the table untouched and queryable
+    assert(spark.sql("SELECT count(*) FROM gguard.ns.t").head().getLong(0) == 100L)
+    // zorder keeps refusing too (unchanged posture)
+    intercept[Exception] {
+      spark.sql("CALL gguard.system.zorder('ns.t', 'id', 'v')").collect()
+    }
+  }
 }

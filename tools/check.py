@@ -44,6 +44,18 @@ for name in sorted(oracle):
         print(f"FAIL {name}: schema  oracle={wcols}  spark={gcols}")
         fail += 1
         continue
+    # The round driver's hash is arrow-TYPE-sensitive: an oracle that
+    # returns decimal128 where Spark returns int64 (e.g. DuckDB's
+    # sum(BIGINT) → HUGEINT) hash-reds even when every value matches.
+    # Flag the divergence locally so it can never ship again.
+    tbad = [(c, str(want.schema.field(c).type), str(got.schema.field(c).type))
+            for c in wcols
+            if str(want.schema.field(c).type) != str(got.schema.field(c).type)]
+    if tbad:
+        for c, wt, gt in tbad:
+            print(f"FAIL {name}: arrow type  col={c}  oracle={wt}  spark={gt}")
+        fail += 1
+        continue
     if want.num_rows != got.num_rows:
         print(f"FAIL {name}: rows  oracle={want.num_rows}  spark={got.num_rows}")
         fail += 1
