@@ -321,6 +321,19 @@ class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces
           if (!partSortCols.contains(c)) partSortCols :+= c
           partRendered :+= (if (t.name().equalsIgnoreCase("identity")) c
             else s"${t.name().toLowerCase}($c)")
+        case "truncate" =>
+          // prefix clustering: range-sorting the raw column clusters
+          // every truncate(w) prefix contiguously, so per-file min/max
+          // stats prune any prefix predicate the partition would
+          val w = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value() != null && l.value().isInstanceOf[Number] =>
+              l.value().asInstanceOf[Number].intValue()
+          }.getOrElse(throw new IllegalArgumentException(
+            s"PARTITIONED BY ${t.describe()}: truncate needs a literal width"))
+          require(w > 0, s"PARTITIONED BY ${t.describe()}: width must be positive")
+          if (!partSortCols.contains(c)) partSortCols :+= c
+          partRendered :+= s"truncate($w,$c)"
         case "bucket" =>
           require(partBucket.isEmpty,
             "PARTITIONED BY: at most one bucket(n, col) transform")
@@ -336,9 +349,9 @@ class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces
           partRendered :+= s"bucket($n,$c)"
         case other => throw new UnsupportedOperationException(
           s"PARTITIONED BY $other(...) is unsupported — identity columns, " +
-            "years/months/days/hours(col), and bucket(n, col) map onto the " +
-            "snapshot format's sort/stats/bucket clustering; truncate and " +
-            "custom transforms do not")
+            "years/months/days/hours(col), truncate(w, col), and " +
+            "bucket(n, col) map onto the snapshot format's " +
+            "sort/stats/bucket clustering; custom transforms do not")
       }
     }
     val dir = dirOf(ident)
@@ -787,9 +800,12 @@ private[dsv2] class SnapshotCatalogTable(
     import org.apache.spark.sql.connector.expressions.Expressions
     val Temporal = "(years|months|days|hours)\\((.+)\\)".r
     val Bucket = "bucket\\((\\d+),(.+)\\)".r
+    val Truncate = "truncate\\((\\d+),(.+)\\)".r
     GraftTableProps.read(spark, dir).get("partitioned_by").toArray
       .flatMap(_.split(", ").toSeq).map {
         case Bucket(n, c) => Expressions.bucket(n.toInt, c)
+        case Truncate(w, c) => Expressions.apply("truncate",
+          Expressions.literal(w.toInt), Expressions.column(c))
         case Temporal("years", c) => Expressions.years(c)
         case Temporal("months", c) => Expressions.months(c)
         case Temporal("days", c) => Expressions.days(c)

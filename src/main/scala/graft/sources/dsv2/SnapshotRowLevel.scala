@@ -282,7 +282,11 @@ private[dsv2] class SnapshotDmlScan(
           s"filter) but static stat pruning dropped it — unsound prune on ${op.dir}"))
     }
     op.recordPlanned(headV, entries.map(_.path).toSet)
-    val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+    // the SHARED reader conf: session hadoop conf + the five session
+    // keys the vectorized reader's schema converter reads with no
+    // default — a bare newHadoopConf() would silently demote every
+    // partition to the Group fallback
+    val conf = SnapshotMicroBatchStream.readerConf(spark)
     entries.map { e =>
       val abs = SnapshotTable.resolvePath(op.dir, e.path)
       // per-file projection: today's logical name -> the name THIS
@@ -389,6 +393,8 @@ private[dsv2] object SnapshotDmlVectorized {
         reader.enableReturningBatches()
         opened = true
       } finally if (!opened) reader.close()
+      if (sys.props.contains("graft.decodeProbeDebug"))
+        System.err.println(s"[dml-vec-open] ${fp.absPath}")
       val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(schema, perm)
       Some(new PartitionReader[InternalRow] {
         private var it: java.util.Iterator[InternalRow] =
@@ -583,123 +589,62 @@ private[dsv2] class SnapshotDmlWriterFactory(
       conf.value)
 }
 
-/** Parquet Group-API writer: one file per non-empty task, snappy,
-  * logical types annotated so Spark's vectorized reader reads the
-  * output like any of its own files. Opened lazily — an empty task
-  * writes nothing and commits an empty path list. Arrays land as
-  * standard 3-level lists (the shape the streaming reader walks). */
+/** Executor-side parquet writer for DML rewrites AND the streaming
+  * sink: one file per non-empty task, snappy, written through Spark's
+  * OWN `ParquetWriteSupport` — the InternalRow-native encoder the
+  * batch write path uses (no per-value boxing, no Group object per
+  * row), closing the encode half of the row-at-a-time ceiling the
+  * same way the vectorized reader closed the decode half. Standard
+  * annotations (STRING/DATE/TIMESTAMP-micros, 3-level lists,
+  * CORRECTED rebase) — the output reads like any Spark-written file.
+  * Opened lazily — an empty task writes nothing and commits an empty
+  * path list. `srcIdx` projects the incoming row (drops `_file`,
+  * restores declared order) via a reused ProjectingInternalRow. */
 private[dsv2] class SnapshotDmlWriter(
     dir: String, relPath: String, schema: StructType,
     srcIdx: Array[Int], hadoopConf: Configuration)
     extends DataWriter[InternalRow] {
 
-  private def primitive(
-      b: Types.MessageTypeBuilder, dt: DataType, name: String): Unit = {
-    dt match {
-      case LongType => b.optional(PrimitiveTypeName.INT64).named(name)
-      case IntegerType => b.optional(PrimitiveTypeName.INT32).named(name)
-      case DoubleType => b.optional(PrimitiveTypeName.DOUBLE).named(name)
-      case FloatType => b.optional(PrimitiveTypeName.FLOAT).named(name)
-      case BooleanType => b.optional(PrimitiveTypeName.BOOLEAN).named(name)
-      case StringType => b.optional(PrimitiveTypeName.BINARY)
-        .as(LogicalTypeAnnotation.stringType()).named(name)
-      case DateType => b.optional(PrimitiveTypeName.INT32)
-        .as(LogicalTypeAnnotation.dateType()).named(name)
-      case TimestampType => b.optional(PrimitiveTypeName.INT64)
-        .as(LogicalTypeAnnotation.timestampType(true,
-          LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
-      case TimestampNTZType => b.optional(PrimitiveTypeName.INT64)
-        .as(LogicalTypeAnnotation.timestampType(false,
-          LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
-      case other => throw new IllegalStateException(
-        s"unreachable: gate admits no ${other.catalogString}")
-    }
-    ()
+  import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+
+  private class Builder(p: Path)
+      extends ParquetWriter.Builder[InternalRow, Builder](p) {
+    override def self(): Builder = this
+    override def getWriteSupport(conf: Configuration): ParquetWriteSupport =
+      new ParquetWriteSupport()
   }
 
-  private def messageType: MessageType = {
-    val b = Types.buildMessage()
-    schema.fields.foreach { f =>
-      f.dataType match {
-        case ArrayType(et, _) =>
-          // standard 3-level list (repeated group "list" / "element" —
-          // what the streaming reader's positional walk decodes)
-          val lb = Types.optionalList()
-          val listType = (et match {
-            case LongType => lb.optionalElement(PrimitiveTypeName.INT64)
-            case IntegerType => lb.optionalElement(PrimitiveTypeName.INT32)
-            case DoubleType => lb.optionalElement(PrimitiveTypeName.DOUBLE)
-            case FloatType => lb.optionalElement(PrimitiveTypeName.FLOAT)
-            case BooleanType => lb.optionalElement(PrimitiveTypeName.BOOLEAN)
-            case StringType => lb.optionalElement(PrimitiveTypeName.BINARY)
-              .as(LogicalTypeAnnotation.stringType())
-            case other => throw new IllegalStateException(
-              s"unreachable: gate admits no array<${other.catalogString}>")
-          }).named(f.name)
-          b.addField(listType): Unit
-        case dt => primitive(b, dt, f.name)
-      }
-    }
-    b.named("graft_dml")
-  }
-
-  private var writer: ParquetWriter[Group] = _
-  private var factory: SimpleGroupFactory = _
+  private var writer: ParquetWriter[InternalRow] = _
+  private val proj =
+    org.apache.spark.sql.catalyst.ProjectingInternalRow(
+      schema, srcIdx.toIndexedSeq)
   private var wrote = false
 
   private def open(): Unit = {
-    val mt = messageType
-    writer = ExampleParquetWriter.builder(
-        new Path(s"$dir/$relPath"))
-      .withConf(hadoopConf)
-      .withType(mt)
+    import org.apache.spark.sql.internal.SQLConf
+    val conf = new Configuration(hadoopConf)
+    ParquetWriteSupport.setSchema(schema, conf)
+    // the keys ParquetWriteSupport.init asserts present (the real
+    // write path sets them from the session; there is no session on
+    // an executor write thread)
+    conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false")
+    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
+    conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "false")
+    conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.defaultValueString)
+    writer = new Builder(new Path(s"$dir/$relPath"))
+      .withConf(conf)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
       .build()
-    factory = new SimpleGroupFactory(mt)
   }
 
   override def write(row: InternalRow): Unit = {
     if (writer == null) open()
     wrote = true
-    val g = factory.newGroup()
-    var i = 0
-    while (i < schema.fields.length) {
-      val src = srcIdx(i)
-      if (!row.isNullAt(src)) schema.fields(i).dataType match {
-        case LongType => g.add(i, row.getLong(src))
-        case IntegerType => g.add(i, row.getInt(src))
-        case DoubleType => g.add(i, row.getDouble(src))
-        case FloatType => g.add(i, row.getFloat(src))
-        case BooleanType => g.add(i, row.getBoolean(src))
-        case StringType =>
-          g.add(i, Binary.fromConstantByteArray(row.getUTF8String(src).getBytes))
-        case DateType => g.add(i, row.getInt(src))
-        case TimestampType | TimestampNTZType => g.add(i, row.getLong(src))
-        case ArrayType(et, _) =>
-          val a: ArrayData = row.getArray(src)
-          val listG = g.addGroup(i)
-          var j = 0
-          while (j < a.numElements()) {
-            val entry = listG.addGroup(0)
-            if (!a.isNullAt(j)) et match {
-              case LongType => entry.add(0, a.getLong(j))
-              case IntegerType => entry.add(0, a.getInt(j))
-              case DoubleType => entry.add(0, a.getDouble(j))
-              case FloatType => entry.add(0, a.getFloat(j))
-              case BooleanType => entry.add(0, a.getBoolean(j))
-              case StringType => entry.add(0,
-                Binary.fromConstantByteArray(a.getUTF8String(j).getBytes))
-              case other => throw new IllegalStateException(
-                s"unreachable: gate admits no array<${other.catalogString}>")
-            }
-            j += 1
-          }
-        case other => throw new IllegalStateException(
-          s"unreachable: gate admits no ${other.catalogString}")
-      }
-      i += 1
-    }
-    writer.write(g)
+    proj.project(row)
+    writer.write(proj)
   }
 
   override def commit(): WriterCommitMessage = {

@@ -42,7 +42,7 @@ object DmlDecodeProbe {
           col("event_id").cast("string")).as("tag"),
         (col("event_id") % 2 === 0).as("flag"),
         (col("event_id") % 1000).as("small"))
-      .repartition(8)
+      .repartition(1) // ONE fat file: the rewrite decode IS the wall
     SnapshotTable.commitAppend(big, tbl)
     val n = SnapshotTable.read(spark, tbl).count()
 

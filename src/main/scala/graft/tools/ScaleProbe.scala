@@ -309,7 +309,8 @@ object ScaleProbe {
     // whatever f is) — the retraction feed must drain at key cost.
     if (Seq("sql_dml_pruned", "sql_dml_unpruned", "sql_dml_merge",
       "stream_cdf_drain", "sql_dml_mor", "sorted_write", "wap_publish",
-      "spj_join", "spj_join_plain").exists(wanted)) {
+      "spj_join", "spj_join_plain", "partitioned_write",
+      "dml_rebucket").exists(wanted)) {
       spark.conf.set("spark.sql.catalog.gprobe",
         classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
       spark.conf.set("spark.sql.catalog.gprobe.root", scaledBase)
@@ -398,6 +399,43 @@ object ScaleProbe {
             s"SELECT event_id, event_type FROM probe_wap_src_f$f")
           spark.sql(s"DELETE FROM gprobe.f$f.snap_wap_stage " +
             "WHERE event_id >= 2000 AND event_id <= 2999")
+        }
+        // r15 PARTITIONED BY fixture: days(ts) DDL + an adversarial
+        // hash-clustered input keeping the real ts spread; the timed
+        // INSERT range-clusters on ts and the in-op require pins the
+        // manifest-only day prune at volume
+        if (wanted("partitioned_write")) {
+          spark.sql(s"CREATE TABLE gprobe.f$f.snap_part_tbl " +
+            "(event_id BIGINT, event_type STRING, ts TIMESTAMP) " +
+            "PARTITIONED BY (days(ts))")
+          replicate(
+            graft.Tables.events(spark, sfDir)
+              .select("event_id", "event_type", "ts"), f)
+            .select((col("event_id") + col("k") * 1000000000L).as("event_id"),
+              col("event_type"), col("ts"))
+            .repartition(8, col("event_type"))
+            .createOrReplaceTempView(s"probe_part_src_f$f")
+        }
+        // r15 auto-rebucket fixture: two co-bucketed tables; the timed
+        // op is a scattered DELETE (hash layout = every file holds
+        // matches, the honest full-rewrite cost) whose replacement
+        // files must land bucketed so the join stays exchange-free
+        // WITHOUT a manual CALL rebucket
+        if (wanted("dml_rebucket")) {
+          spark.sql(s"CREATE TABLE gprobe.f$f.rbk_a " +
+            "(event_id BIGINT, event_type STRING) " +
+            "TBLPROPERTIES ('bucket_cols' = 'event_id', 'bucket_n' = '8')")
+          spark.sql(s"CREATE TABLE gprobe.f$f.rbk_b " +
+            "(event_id BIGINT, score BIGINT) " +
+            "TBLPROPERTIES ('bucket_cols' = 'event_id', 'bucket_n' = '8')")
+          ev.select("event_id", "event_type")
+            .createOrReplaceTempView(s"probe_rbk_a_f$f")
+          ev.select(col("event_id"), (col("event_id") % 97).as("score"))
+            .createOrReplaceTempView(s"probe_rbk_b_f$f")
+          spark.sql(s"INSERT INTO gprobe.f$f.rbk_a " +
+            s"SELECT event_id, event_type FROM probe_rbk_a_f$f")
+          spark.sql(s"INSERT INTO gprobe.f$f.rbk_b " +
+            s"SELECT event_id, score FROM probe_rbk_b_f$f")
         }
       }
     }
@@ -977,6 +1015,46 @@ object ScaleProbe {
             .filter(col("event_type") === "staged").count() == 1000L,
             "the publish must land the staged census")
           spark.range(1).toDF()
+        }),
+        // PARTITIONED BY (days(ts)) INSERT at volume: scan + range
+        // shuffle + write, LINEAR by design (sorted_write's shape on a
+        // timestamp); the in-op require pins the manifest-only
+        // day-range prune the declaration exists for
+        "partitioned_write" -> (() => {
+          spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+          try spark.sql(s"INSERT INTO gprobe.f$f.snap_part_tbl " +
+            s"SELECT event_id, event_type, ts FROM probe_part_src_f$f")
+          finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+          val minDay = spark.sql(
+            s"SELECT CAST(min(ts) AS DATE) FROM gprobe.f$f.snap_part_tbl")
+            .head().getDate(0).toLocalDate
+          val cutoff = minDay.plusDays(3)
+            .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+          val (kept, total) = graft.sources.SnapshotTable.pruneFiles(
+            spark, s"$scaledBase/f$f/snap_part_tbl",
+            Seq(graft.sources.SnapshotTable.StatFilter(
+              "ts", upper = Some(cutoff))))
+          require(total > 1 && kept.size < total,
+            s"days(ts) must land day-pruneable files: ${kept.size}/$total")
+          spark.range(1).toDF()
+        }),
+        // auto-rebucket THROUGH DML at volume: a scattered DELETE on a
+        // bucket-declared table (hash layout: every file holds
+        // matches — the honest full-rewrite cost), then the join must
+        // plan ZERO exchanges with no manual rebucket: the rewrite
+        // landed its replacement files bucket-clustered and the
+        // commit recorded their __bucket stats
+        "dml_rebucket" -> (() => {
+          spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          spark.sql(s"DELETE FROM gprobe.f$f.rbk_a WHERE event_id % 1000 = 3")
+          val j = spark.sql(s"SELECT a.event_type, b.score " +
+            s"FROM gprobe.f$f.rbk_a a JOIN gprobe.f$f.rbk_b b " +
+            "ON a.event_id = b.event_id")
+          val plan = j.queryExecution.executedPlan.toString
+          require(!plan.contains("Exchange"),
+            s"post-DML SPJ must stay exchange-free without rebucket:\n$plan")
+          j.groupBy("event_type").agg(sum("score").as("s"))
         }))
     }
 

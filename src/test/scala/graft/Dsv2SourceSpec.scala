@@ -1815,10 +1815,16 @@ class Dsv2SourceSpec extends SparkSpec {
       "PARTITIONED BY (region)")
     assert(GraftTableProps.cols(
       GraftTableProps.read(spark, s"$root/ns/idt"), "sort_cols") == Seq("region"))
+    // truncate(w, col) -> prefix clustering via the same sort_col path
+    spark.sql("CREATE TABLE gpart.ns.tr (id BIGINT, v STRING) " +
+      "PARTITIONED BY (truncate(4, v))")
+    val tprops = GraftTableProps.read(spark, s"$root/ns/tr")
+    assert(GraftTableProps.cols(tprops, "sort_cols") == Seq("v"))
+    assert(tprops.get("partitioned_by").contains("truncate(4,v)"))
     // guards: unsupported transform, spec edits, column renames
     intercept[Exception] {
       spark.sql("CREATE TABLE gpart.ns.bad (id BIGINT, v STRING) " +
-        "PARTITIONED BY (truncate(4, v))")
+        "PARTITIONED BY (foo(v))")
     }
     intercept[Exception] {
       spark.sql("ALTER TABLE gpart.ns.ev SET TBLPROPERTIES " +
