@@ -959,6 +959,106 @@ object SparkEntry {
       ns
     })
 
+  /** snapshot_spj_dml's one-time setup: AUTO-REBUCKET through DML
+    * (r14 judge #6 as a driver row). Two co-bucketed tables; a
+    * scattered DELETE hits every bucket of the fact side, and the
+    * row-level rewrite must land its replacement files BUCKETED
+    * (required in place: every live file keeps its __bucket stat) so
+    * the join row that reads this memo still plans exchange-free with
+    * NO manual CALL rebucket. Oracle replays join-after-delete. */
+  private val spjDmlMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def spjDmlSetup(s: SparkSession, dir: String): String =
+    spjDmlMemo.computeIfAbsent(dir, _ => {
+      import graft.sources.SnapshotTable
+      val root = sqlCatRootMemo.computeIfAbsent("root",
+        _ => tempDir("graft_sql_cat"))
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cat.root", root)
+      val ns = "sdml" + Integer.toHexString(dir.hashCode)
+      new java.io.File(s"$root/$ns").mkdirs()
+      Seq("ev", "sc").foreach { t =>
+        if (new java.io.File(s"$root/$ns/$t").exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(
+            new java.io.File(s"$root/$ns/$t"))
+      }
+      s.sql(s"CREATE TABLE graft_cat.$ns.ev (event_id BIGINT, event_type STRING) " +
+        "TBLPROPERTIES ('bucket_cols' = 'event_id', 'bucket_n' = '8')")
+      s.sql(s"CREATE TABLE graft_cat.$ns.sc (event_id BIGINT, score BIGINT) " +
+        "TBLPROPERTIES ('bucket_cols' = 'event_id', 'bucket_n' = '8')")
+      val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"))
+      ev.createOrReplaceTempView(s"sdml_ev_src_$ns")
+      ev.select(col("event_id"), (col("event_id") % 97).as("score"))
+        .createOrReplaceTempView(s"sdml_sc_src_$ns")
+      s.sql(s"INSERT INTO graft_cat.$ns.ev " +
+        s"SELECT event_id, event_type FROM sdml_ev_src_$ns")
+      s.sql(s"INSERT INTO graft_cat.$ns.sc " +
+        s"SELECT event_id, score FROM sdml_sc_src_$ns")
+      // the scattered DELETE: every bucket holds matches, so the
+      // rewrite replaces files across the whole layout
+      s.sql(s"DELETE FROM graft_cat.$ns.ev WHERE event_id % 10 = 3")
+      val m = SnapshotTable.readManifest(s, s"$root/$ns/ev",
+        SnapshotTable.versions(s, s"$root/$ns/ev").last)
+      require(m.entries.filter(_.rows > 0)
+        .forall(_.stats.contains(SnapshotTable.bucketStatKey("event_id", 8))),
+        "the DML rewrite must land bucket-stat'd replacement files")
+      ns
+    })
+
+  /** snapshot_replace_where's one-time setup: `INSERT INTO … REPLACE
+    * WHERE` — the filter-scoped ATOMIC overwrite (the lakehouse
+    * replaceWhere). The memo replaces the first id-quarter with only
+    * its even ids under a new label, REQUIRING in place that the
+    * whole replace landed as exactly ONE commit (readers see the old
+    * census or the new one, never the hole between a DELETE and an
+    * INSERT) and that provably-none-matching files carried by
+    * REFERENCE (file-granular COW through the sort_cols stat
+    * lattice). The oracle replays kept ∪ replacement over the base
+    * rows, blind to files and commits. */
+  private val replaceWhereMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def replaceWhereSetup(s: SparkSession, dir: String): String =
+    replaceWhereMemo.computeIfAbsent(dir, _ => {
+      import graft.sources.SnapshotTable
+      val root = sqlCatRootMemo.computeIfAbsent("root",
+        _ => tempDir("graft_sql_cat"))
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cat.root", root)
+      val ns = "rw" + Integer.toHexString(dir.hashCode)
+      new java.io.File(s"$root/$ns").mkdirs()
+      val tbl = s"$root/$ns/ev"
+      if (SnapshotTable.versions(s, tbl).nonEmpty)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tbl))
+      s.sql(s"CREATE TABLE graft_cat.$ns.ev (event_id BIGINT, event_type STRING) " +
+        "TBLPROPERTIES ('sort_cols' = 'event_id')")
+      Tables.events(s, dir).select(col("event_id"), col("event_type"))
+        .repartition(8, col("event_type"))
+        .createOrReplaceTempView(s"rw_src_$ns")
+      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      try s.sql(s"INSERT INTO graft_cat.$ns.ev " +
+        s"SELECT event_id, event_type FROM rw_src_$ns")
+      finally s.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+      val maxId = Tables.events(s, dir)
+        .agg(max(col("event_id"))).head().getLong(0)
+      val q = (maxId + 1L) / 4L
+      val vBefore = SnapshotTable.versions(s, tbl).last
+      val entriesBefore = SnapshotTable.readManifest(s, tbl, vBefore)
+        .entries.map(_.path).toSet
+      s.sql(s"INSERT INTO graft_cat.$ns.ev REPLACE WHERE event_id < $q " +
+        s"SELECT event_id, 'replaced' AS event_type FROM rw_src_$ns " +
+        s"WHERE event_id < $q AND event_id % 2 = 0")
+      val vAfter = SnapshotTable.versions(s, tbl).last
+      require(vAfter == vBefore + 1,
+        s"REPLACE WHERE must land as ONE atomic commit ($vBefore -> $vAfter)")
+      val entriesAfter = SnapshotTable.readManifest(s, tbl, vAfter)
+        .entries.map(_.path).toSet
+      require(entriesBefore.intersect(entriesAfter).nonEmpty,
+        "provably-none-matching files must carry by reference")
+      ns
+    })
+
   /** snapshot_sql_expect's one-time setup: SQL-declared COMMIT
     * EXPECTATIONS — `'expect.<name>' = '<boolean SQL>'` TBLPROPERTIES
     * gate every INSERT into the table; a violating batch refuses the
@@ -4071,10 +4171,24 @@ object SparkEntry {
     // same day filter over the base rows, blind to files and layout.
     "snapshot_partitioned" -> ((s, dir) => {
       val (ns, cutoff) = partitionedSetup(s, dir)
-      s.sql(s"SELECT event_type, count(*) AS n_events, " +
+      val q = s.sql(s"SELECT event_type, count(*) AS n_events, " +
         s"CAST(sum(event_id) AS BIGINT) AS sum_id " +
         s"FROM graft_cat.$ns.ev WHERE ts < TIMESTAMP '$cutoff 00:00:00' " +
         "GROUP BY event_type ORDER BY event_type")
+      // the SCAN itself must spend the day clustering: planning
+      // records the kept-vs-total census, and the ts conjunct must
+      // have dropped files at plan time (not just the memo's direct
+      // pruneFiles probe)
+      q.queryExecution.executedPlan
+      val tbl = s"${sqlCatRootMemo.get("root")}/$ns/ev"
+      val prune = Option(
+        graft.sources.dsv2.GraftSnapshotSource.lastPrune.get(tbl))
+        .getOrElse(throw new IllegalStateException(
+          s"snapshot_partitioned: no prune census recorded for $tbl"))
+      require(prune._1 < prune._2,
+        s"the day-range scan must prune files at plan time: kept " +
+          s"${prune._1} of ${prune._2}")
+      q
     }),
     // STORAGE-PARTITIONED JOIN: two co-bucketed snapshot tables
     // (TBLPROPERTIES bucket_cols/bucket_n) equi-join on the bucket
@@ -4119,6 +4233,44 @@ object SparkEntry {
       val ns = sqlExpectSetup(s, dir)
       s.sql(s"SELECT event_type, count(*) AS n_events " +
         s"FROM graft_cat.$ns.ev GROUP BY event_type ORDER BY event_type")
+    }),
+    // REPLACE WHERE: the filter-scoped atomic overwrite — the memo
+    // required one-commit atomicity and by-reference carry; the row
+    // reads the post-replace census. Oracle replays kept+replacement.
+    "snapshot_replace_where" -> ((s, dir) => {
+      val ns = replaceWhereSetup(s, dir)
+      s.sql(s"SELECT event_type, count(*) AS n_events, " +
+        s"CAST(sum(event_id) AS BIGINT) AS sum_id " +
+        s"FROM graft_cat.$ns.ev GROUP BY event_type ORDER BY event_type")
+    }),
+    // AUTO-REBUCKET through DML: a scattered DELETE rewrote every
+    // bucket of the fact side, and the join STILL plans with zero
+    // exchanges — no manual CALL rebucket — because the rewrite landed
+    // bucket-clustered replacement files with recorded __bucket stats.
+    // The oracle replays join-after-delete, blind to the layout.
+    "snapshot_spj_dml" -> ((s, dir) => {
+      val ns = spjDmlSetup(s, dir)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val prevT = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = s.sql(
+          s"SELECT e.event_type, sc.score FROM graft_cat.$ns.ev e " +
+            s"JOIN graft_cat.$ns.sc sc ON e.event_id = sc.event_id")
+        val plan = joined.queryExecution.executedPlan.toString
+        require(plan.contains("graft-snapshot-bucketed"),
+          s"post-DML SPJ must read through the bucketed scan:\n$plan")
+        require(!plan.contains("Exchange"),
+          s"post-DML co-bucketed join must plan with zero exchanges " +
+            s"(no manual rebucket):\n$plan")
+        joined.groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum("score").cast("long").as("sum_score"))
+          .orderBy("event_type")
+      } finally {
+        prevT.fold(s.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      }
     }),
     // Bucketed GROUP BY: aggregation on the bucket column skips its
     // exchange too — KeyGroupedPartitioning already clusters the
@@ -8081,6 +8233,28 @@ object SparkEntry {
     "snapshot_sql_expect" ->
       """SELECT event_type, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // replace-where is answer-invisible: kept ∪ replacement over the
+    // base rows, whatever files the engine dropped/carried/rewrote
+    "snapshot_replace_where" ->
+      """WITH q AS (SELECT (max(event_id)+1)//4 AS q FROM events),
+        |kept AS (SELECT event_id, event_type FROM events
+        |         WHERE event_id >= (SELECT q FROM q)),
+        |repl AS (SELECT event_id, 'replaced' AS event_type FROM events
+        |         WHERE event_id < (SELECT q FROM q) AND event_id % 2 = 0)
+        |SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM (SELECT * FROM kept UNION ALL SELECT * FROM repl)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // auto-rebucket is answer-invisible: join-after-delete over the
+    // base rows, whatever the layout the rewrite landed
+    "snapshot_spj_dml" ->
+      """WITH e AS (SELECT event_id, event_type FROM events
+        |           WHERE event_id % 10 <> 3),
+        |sc AS (SELECT event_id, event_id % 97 AS score FROM events)
+        |SELECT e.event_type, count(*) AS n_events,
+        |       CAST(sum(sc.score) AS BIGINT) AS sum_score
+        |FROM e JOIN sc ON e.event_id = sc.event_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the bucketed aggregate is answer-invisible: the plain per-key
     // aggregate over the base rows, whatever the layout
     "snapshot_spj_agg" ->

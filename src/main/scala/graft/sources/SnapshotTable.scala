@@ -2929,6 +2929,76 @@ object SnapshotTable {
     -1L // unreachable
   }
 
+  /** REPLACE WHERE — the filter-scoped atomic overwrite (the
+    * lakehouse formats' replaceWhere; SQL's `INSERT INTO … REPLACE
+    * WHERE cond SELECT …`): delete every row matching the predicate
+    * AND land `data`, as ONE manifest commit — readers see the old
+    * census or the new one, never the hole between a DELETE and an
+    * INSERT. File-granular COW through the stat lattice:
+    * provably-all-matching files DROP from the census with zero data
+    * I/O (the 100 TB "replace one day" shape), provably-none-matching
+    * files carry by REFERENCE, and only boundary files rewrite their
+    * survivors — predicate-false OR predicate-NULL rows (a null never
+    * matches, so it survives). `pred` is the manifest classification
+    * of the condition (None ⇒ classify nothing, every file is
+    * boundary — still exact, just unpruned); `rowPred` the exact
+    * row-level predicate. Pending MoR deletes fold FIRST (the rewrite
+    * works on physical rows). `expectations` gate the NEW batch only
+    * (survivors already passed their commit's gate). `shape` lands
+    * the union under the table's write-path clustering (sort/bucket)
+    * so declared layouts survive the replace. */
+  private[graft] def commitReplaceWhere(
+      data: DataFrame, dir: String, pred: Option[DmlPred], rowPred: Column,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      bucket: Option[(String, Int)] = None,
+      expectations: Seq[(String, String)] = Nil,
+      shape: DataFrame => DataFrame = identity): Long = {
+    val spark = data.sparkSession
+    checkExpectations(data, expectations, dir)
+    versions(spark, dir).lastOption.foreach { v =>
+      if (readManifest(spark, dir, v).deletes.nonEmpty)
+        applyDeletes(spark, dir): Unit
+    }
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 20,
+        s"REPLACE WHERE on $dir lost 20 straight races; giving up")
+      val headV = versions(spark, dir).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot table $dir has no committed version"))
+      val m = readManifest(spark, dir, headV)
+      require(m.deletes.isEmpty,
+        s"REPLACE WHERE on $dir raced a merge-on-read delete — re-run")
+      val classified = m.entries.map(e =>
+        e -> pred.flatMap(p => classifyEntry(m, e, p)))
+      val kept = classified.collect { case (e, Some(false)) => e }
+      val boundary = classified.collect { case (e, None) => e }
+      // Some(true) entries drop from the census with zero data I/O
+      val survivors =
+        if (boundary.isEmpty) None
+        else Some(entriesFrame(spark, dir, m, boundary)
+          .filter(!coalesce(rowPred, lit(false))))
+      val incoming = survivors
+        .map(_.unionByName(data, allowMissingColumns = true))
+        .getOrElse(data)
+      val batchFiles = writeBatch(shape(incoming), dir)
+      val tableStats = (m.statsCols ++ statsCols).distinct
+      val tableBlooms = (m.bloomCols ++ bloomCols).distinct
+      val newEntries = batchEntries(spark, dir, batchFiles, tableStats,
+        tableBlooms, m.bloomFpp, bucket)
+      if (tryPublish(spark, dir,
+        Manifest(headV + 1, m.ledger, tableStats,
+          kept ++ newEntries.map(_.copy(seq = headV + 1)),
+          bloomCols = tableBlooms, bloomFpp = m.bloomFpp,
+          renames = m.renames, drops = m.drops, adds = m.adds),
+        carry = m.segments))
+        return headV + 1
+      dropOrphanBatch(spark, dir, batchFiles)
+    }
+    -1L // unreachable
+  }
+
   /** The SQL row-level copy-on-write commit (DSv2 ReplaceData):
     * atomically swap `replaced` (the file GROUPS the row-level scan
     * planned) for `newFiles` (what the executors wrote), carrying

@@ -852,6 +852,7 @@ private[dsv2] class SnapshotCatalogTable(
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -867,9 +868,22 @@ private[dsv2] class SnapshotCatalogTable(
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+    new WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate
+        with org.apache.spark.sql.connector.write.SupportsOverwrite {
       private var overwrite = false
+      private var replaceWith: Option[Array[Filter]] = None
       override def truncate(): WriteBuilder = { overwrite = true; this }
+      /** `INSERT INTO … REPLACE WHERE cond` / `writeTo.overwrite(cond)`
+        * — the filter-scoped atomic overwrite. An always-true
+        * condition IS the truncate. */
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        if (filters.isEmpty ||
+          filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+          overwrite = true
+        else replaceWith = Some(filters)
+        this
+      }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
@@ -901,28 +915,46 @@ private[dsv2] class SnapshotCatalogTable(
               // repartition — AQE never coalesces it, so exactly n
               // single-bucket files land); sort_cols then order rows
               // WITHIN each bucket file for stats tightness
-              val shaped = bucket match {
+              def shape(df: org.apache.spark.sql.DataFrame)
+                  : org.apache.spark.sql.DataFrame = bucket match {
                 case Some((c, n)) =>
-                  val p = data.repartition(n, fcol(c))
+                  val p = df.repartition(n, fcol(c))
                   if (sortCols.isEmpty) p
                   else p.sortWithinPartitions(sortCols.map(fcol): _*)
                 case None =>
-                  if (sortCols.isEmpty) data
-                  else data.repartitionByRange(sortCols.map(fcol): _*)
+                  if (sortCols.isEmpty) df
+                  else df.repartitionByRange(sortCols.map(fcol): _*)
                     .sortWithinPartitions(sortCols.map(fcol): _*)
               }
               // SQL-declared expectations gate the whole commit —
-              // checked on the SHAPED batch (same rows), violations
-              // refuse with named counts before anything is written
+              // checked on the batch (same rows), violations refuse
+              // with named counts before anything is written
               val expect = GraftTableProps.expectations(props)
-              if (overwrite || ov)
-                SnapshotTable.commitOverwrite(shaped, dir,
-                  statsCols = statsCols, bloomCols = bloomCols,
-                  bucket = bucket, expectations = expect)
-              else
-                SnapshotTable.commitAppend(shaped, dir,
-                  statsCols = statsCols, bloomCols = bloomCols,
-                  bucket = bucket, expectations = expect)
+              replaceWith match {
+                case Some(filters) =>
+                  val rowPred = filters.map(f =>
+                    GraftSnapshotSource.filterColumn(f).getOrElse(
+                      throw new UnsupportedOperationException(
+                        s"REPLACE WHERE condition '$f' is not " +
+                          "translatable — rewrite the predicate with " +
+                          "plain comparisons/IN/IS NULL over columns")))
+                    .reduce(_ && _)
+                  SnapshotTable.commitReplaceWhere(data, dir,
+                    pred = DmlFilterTranslation.translateAll(filters),
+                    rowPred = rowPred,
+                    statsCols = statsCols, bloomCols = bloomCols,
+                    bucket = bucket, expectations = expect,
+                    shape = shape): Unit
+                case None =>
+                  if (overwrite || ov)
+                    SnapshotTable.commitOverwrite(shape(data), dir,
+                      statsCols = statsCols, bloomCols = bloomCols,
+                      bucket = bucket, expectations = expect): Unit
+                  else
+                    SnapshotTable.commitAppend(shape(data), dir,
+                      statsCols = statsCols, bloomCols = bloomCols,
+                      bucket = bucket, expectations = expect): Unit
+              }
               ()
             }
           }

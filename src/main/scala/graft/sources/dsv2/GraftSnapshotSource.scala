@@ -56,6 +56,36 @@ object GraftSnapshotSource {
   val lastPrune =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
 
+  /** A pushed-down V1 `Filter` as the EXACT row-level `Column` it
+    * stands for — the REPLACE WHERE path's survivor predicate (total
+    * over the filter shapes Spark's expression-to-filter conversion
+    * emits; None for the exotic remainder, which the caller refuses
+    * loudly rather than guessing). */
+  private[dsv2] def filterColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case StringStartsWith(a, p) => Some(col(a).startsWith(p))
+      case StringEndsWith(a, p) => Some(col(a).endsWith(p))
+      case StringContains(a, p) => Some(col(a).contains(p))
+      case And(l, r) => for (a <- filterColumn(l); b <- filterColumn(r)) yield a && b
+      case Or(l, r) => for (a <- filterColumn(l); b <- filterColumn(r)) yield a || b
+      case Not(c) => filterColumn(c).map(!_)
+      case _: AlwaysTrue => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
+  }
+
   private[dsv2] def dirOf(options: CaseInsensitiveStringMap): String =
     Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
       "graft-snapshot needs a path: spark.read.format(\"graft-snapshot\").load(dir)"))

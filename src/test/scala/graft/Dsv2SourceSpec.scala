@@ -1904,6 +1904,67 @@ class Dsv2SourceSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+  test("REPLACE WHERE: filter-scoped atomic overwrite — file-granular, one commit, time-travelable") {
+    import graft.sources.SnapshotTable
+    val root = java.nio.file.Files.createTempDirectory("snap_rw").toString
+    spark.conf.set("spark.sql.catalog.grw",
+      classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grw.root", root)
+    new java.io.File(s"$root/ns").mkdirs()
+    val dir = s"$root/ns/t"
+    spark.sql("CREATE TABLE grw.ns.t (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('sort_cols' = 'id')")
+    // range-clustered insert -> per-file id ranges are narrow
+    spark.range(0, 100).selectExpr("id", "concat('v', id) AS v")
+      .repartition(4).createOrReplaceTempView("rw_src")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try spark.sql("INSERT INTO grw.ns.t SELECT id, v FROM rw_src")
+    finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    val vBefore = SnapshotTable.versions(spark, dir).last
+    val entriesBefore = SnapshotTable.readManifest(spark, dir, vBefore)
+      .entries.map(_.path).toSet
+    // replace the first quarter with only its even ids, renamed
+    spark.sql("INSERT INTO grw.ns.t REPLACE WHERE id < 25 " +
+      "SELECT id, 'replaced' AS v FROM range(0, 25) WHERE id % 2 = 0")
+    // ONE commit: the version advanced exactly once
+    val vAfter = SnapshotTable.versions(spark, dir).last
+    assert(vAfter == vBefore + 1, s"expected one commit, $vBefore -> $vAfter")
+    // exact contents: 75 untouched + 13 replacements
+    assert(spark.sql("SELECT count(*) FROM grw.ns.t").head().getLong(0) == 88L)
+    assert(spark.sql(
+      "SELECT count(*) FROM grw.ns.t WHERE v = 'replaced'").head().getLong(0) == 13L)
+    assert(spark.sql(
+      "SELECT count(*) FROM grw.ns.t WHERE id < 25 AND v != 'replaced'")
+      .head().getLong(0) == 0L)
+    assert(spark.sql("SELECT v FROM grw.ns.t WHERE id = 30")
+      .head().getString(0) == "v30")
+    // file-granular: provably-none-matching files carried BY REFERENCE
+    val entriesAfter = SnapshotTable.readManifest(spark, dir, vAfter)
+      .entries.map(_.path).toSet
+    assert(entriesBefore.intersect(entriesAfter).nonEmpty,
+      "none-matching files must carry by reference, not rewrite")
+    // time travel still reads the pre-replace census
+    assert(spark.sql(s"SELECT count(*) FROM grw.ns.t VERSION AS OF $vBefore")
+      .head().getLong(0) == 100L)
+    // a NULL predicate row survives (null never matches)
+    spark.sql("INSERT INTO grw.ns.t SELECT NULL, 'nullrow'")
+    spark.sql("INSERT INTO grw.ns.t REPLACE WHERE id >= 90 " +
+      "SELECT CAST(200 AS BIGINT), 'tail'")
+    assert(spark.sql("SELECT count(*) FROM grw.ns.t WHERE v = 'nullrow'")
+      .head().getLong(0) == 1L)
+    assert(spark.sql("SELECT count(*) FROM grw.ns.t WHERE id >= 90 AND id < 200")
+      .head().getLong(0) == 0L)
+    // expectations gate the NEW batch: a violating replacement refuses
+    // the WHOLE commit and the table is untouched
+    spark.sql("ALTER TABLE grw.ns.t SET TBLPROPERTIES ('expect.pos' = 'id >= 0')")
+    val before = spark.sql("SELECT count(*) FROM grw.ns.t").head().getLong(0)
+    intercept[Exception] {
+      spark.sql("INSERT INTO grw.ns.t REPLACE WHERE id < 10 " +
+        "SELECT CAST(-1 AS BIGINT), 'bad'")
+    }
+    assert(spark.sql("SELECT count(*) FROM grw.ns.t").head().getLong(0) == before)
+  }
+
   test("layout guards: compact refuses on bucketed tables; bucket column rename/drop refuses") {
     val root = java.nio.file.Files.createTempDirectory("snap_guard").toString
     spark.conf.set("spark.sql.catalog.gguard",

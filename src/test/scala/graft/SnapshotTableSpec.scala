@@ -1916,4 +1916,44 @@ class SnapshotTableSpec extends SparkSpec {
       Seq(SnapshotTable.StatFilter("s", lower = Some(pua), upper = Some(pua))))
       .filter(col("s") === pua).count() == 1L)
   }
+
+  test("timestamp stat columns: epoch-micros stats prune, classify, and count from metadata") {
+    val dir = freshDir()
+    // four range-disjoint DAYS of hourly rows; ts is a real TIMESTAMP
+    val day0 = 1700000000L // an arbitrary UTC anchor
+    for (i <- 0 until 4) {
+      SnapshotTable.commitAppend(
+        (i * 24L until i * 24L + 24L).toDF("id")
+          .withColumn("ts", timestamp_seconds(lit(day0) + col("id") * 3600L))
+          .coalesce(1), dir, statsCols = Seq("ts"))
+    }
+    // a cutoff inside file1 (hour 30): files 2,3 provably out
+    val cutoff = java.time.Instant.ofEpochSecond(day0 + 30L * 3600L)
+    val (kept, total) = SnapshotTable.pruneFiles(spark, dir,
+      Seq(SnapshotTable.StatFilter("ts", upper = Some(cutoff))))
+    assert(total == 4 && kept.size == 2, s"kept $kept of $total")
+    // java.sql.Timestamp filter values canonicalize to the same micros
+    val (kept2, _) = SnapshotTable.pruneFiles(spark, dir,
+      Seq(SnapshotTable.StatFilter("ts",
+        upper = Some(java.sql.Timestamp.from(cutoff)))))
+    assert(kept2.toSet == kept.toSet)
+    // readWhere prunes through a Catalyst timestamp predicate (the
+    // literal evals to micros, matching the stored canonical form):
+    // strict bound -> hours 0..29
+    assert(SnapshotTable.readWhere(spark, dir,
+      col("ts") < lit(java.sql.Timestamp.from(cutoff))).count() == 30L)
+    // classification: file0 covered (never opened), file1 boundary
+    // (scanned with the ORIGINAL temporal literal, not the micros
+    // canonical form), files 2,3 excluded (never opened) — prove the
+    // unopened files stay unopened by corrupting them
+    val files = SnapshotTable.files(spark, dir, 4L)
+    Seq(0, 2, 3).foreach { i =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, files(i)), "gone".getBytes)
+    }
+    val (n, covered, scanned, tot) = SnapshotTable.countRowsWhere(
+      spark, dir, SnapshotTable.StatFilter("ts", upper = Some(cutoff)))
+    assert((n, covered, scanned, tot) == ((31L, 1, 1, 4)),
+      s"got ($n, $covered, $scanned, $tot)") // hours 0..30 inclusive
+  }
 }
