@@ -310,7 +310,7 @@ object ScaleProbe {
     if (Seq("sql_dml_pruned", "sql_dml_unpruned", "sql_dml_merge",
       "stream_cdf_drain", "sql_dml_mor", "sorted_write", "wap_publish",
       "spj_join", "spj_join_plain", "partitioned_write",
-      "dml_rebucket").exists(wanted)) {
+      "dml_rebucket", "replace_where").exists(wanted)) {
       spark.conf.set("spark.sql.catalog.gprobe",
         classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
       spark.conf.set("spark.sql.catalog.gprobe.root", scaledBase)
@@ -399,6 +399,22 @@ object ScaleProbe {
             s"SELECT event_id, event_type FROM probe_wap_src_f$f")
           spark.sql(s"DELETE FROM gprobe.f$f.snap_wap_stage " +
             "WHERE event_id >= 2000 AND event_id <= 2999")
+        }
+        // r15 REPLACE WHERE fixture: a sort_cols table (range-
+        // clustered files, narrow id stats) — the timed replace of a
+        // quarter range is the 100 TB "replace one day" shape:
+        // all-matching files DROP by proof, none-matching carry by
+        // reference, only the boundary file rewrites
+        if (wanted("replace_where")) {
+          spark.sql(s"CREATE TABLE gprobe.f$f.snap_rw " +
+            "(event_id BIGINT, event_type STRING) " +
+            "TBLPROPERTIES ('sort_cols' = 'event_id')")
+          ev.select("event_id", "event_type")
+            .createOrReplaceTempView(s"probe_rw_src_f$f")
+          spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+          try spark.sql(s"INSERT INTO gprobe.f$f.snap_rw " +
+            s"SELECT event_id, event_type FROM probe_rw_src_f$f")
+          finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
         }
         // r15 PARTITIONED BY fixture: days(ts) DDL + an adversarial
         // hash-clustered input keeping the real ts spread; the timed
@@ -1036,6 +1052,35 @@ object ScaleProbe {
               "ts", upper = Some(cutoff))))
           require(total > 1 && kept.size < total,
             s"days(ts) must land day-pruneable files: ${kept.size}/$total")
+          spark.range(1).toDF()
+        }),
+        // REPLACE WHERE at volume: quarter-range replace over the
+        // range-clustered table — all-match files drop with ZERO data
+        // I/O, kept files carry by reference, only boundary files
+        // rewrite; wall is bounded by the boundary + the constant-size
+        // batch, NOT the table (in-op requires: one commit, some
+        // files carried by reference)
+        "replace_where" -> (() => {
+          val dir = s"$scaledBase/f$f/snap_rw"
+          val vBefore = graft.sources.SnapshotTable.versions(spark, dir).last
+          val before = graft.sources.SnapshotTable
+            .readManifest(spark, dir, vBefore).entries.map(_.path).toSet
+          // replica 0's first quarter (base ids < 250k at sf0.1 scale)
+          val q = (spark.read.parquet(s"$sfDir/events.parquet")
+            .agg(max(col("event_id"))).head().getLong(0) + 1L) / 4L
+          spark.range(0, 1000)
+            .select(col("id").as("event_id"),
+              lit("replaced").as("event_type"))
+            .createOrReplaceTempView(s"probe_rw_batch_f$f")
+          spark.sql(s"INSERT INTO gprobe.f$f.snap_rw " +
+            s"REPLACE WHERE event_id < $q " +
+            s"SELECT event_id, event_type FROM probe_rw_batch_f$f")
+          val vAfter = graft.sources.SnapshotTable.versions(spark, dir).last
+          require(vAfter == vBefore + 1, "REPLACE WHERE must be ONE commit")
+          val after = graft.sources.SnapshotTable
+            .readManifest(spark, dir, vAfter).entries.map(_.path).toSet
+          require(before.intersect(after).nonEmpty,
+            "none-matching files must carry by reference")
           spark.range(1).toDF()
         }),
         // auto-rebucket THROUGH DML at volume: a scattered DELETE on a
