@@ -1059,6 +1059,62 @@ object SparkEntry {
       ns
     })
 
+  /** snapshot_dynamic_overwrite's one-time setup: `INSERT OVERWRITE`
+    * under `partitionOverwriteMode=dynamic` on a `PARTITIONED BY
+    * (days(ts))` table — the backfill shape: the batch carries ONLY
+    * the first day's (even-id, relabeled) rows, so exactly that day
+    * replaces and every other day's files carry by REFERENCE, as ONE
+    * commit (both required in place). NULL-ts rows survive — a null
+    * names no partition. The oracle replays kept ∪ backfill over the
+    * base rows, blind to partitions and commits. */
+  private val dynOverwriteMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dynOverwriteSetup(s: SparkSession, dir: String): String =
+    dynOverwriteMemo.computeIfAbsent(dir, _ => {
+      import graft.sources.SnapshotTable
+      val root = sqlCatRootMemo.computeIfAbsent("root",
+        _ => tempDir("graft_sql_cat"))
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cat.root", root)
+      val ns = "dyn" + Integer.toHexString(dir.hashCode)
+      new java.io.File(s"$root/$ns").mkdirs()
+      val tbl = s"$root/$ns/ev"
+      if (SnapshotTable.versions(s, tbl).nonEmpty)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tbl))
+      s.sql(s"CREATE TABLE graft_cat.$ns.ev " +
+        "(event_id BIGINT, event_type STRING, ts TIMESTAMP) " +
+        "PARTITIONED BY (days(ts))")
+      Tables.events(s, dir).select(col("event_id"), col("event_type"), col("ts"))
+        .repartition(8, col("event_type"))
+        .createOrReplaceTempView(s"dyn_src_$ns")
+      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      try s.sql(s"INSERT INTO graft_cat.$ns.ev " +
+        s"SELECT event_id, event_type, ts FROM dyn_src_$ns")
+      finally s.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+      val d0 = s.sql(s"SELECT CAST(min(ts) AS DATE) FROM graft_cat.$ns.ev")
+        .head().getDate(0)
+      val vBefore = SnapshotTable.versions(s, tbl).last
+      val entriesBefore = SnapshotTable.readManifest(s, tbl, vBefore)
+        .entries.map(_.path).toSet
+      val prevMode = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try s.sql(s"INSERT OVERWRITE graft_cat.$ns.ev " +
+        s"SELECT event_id, 'backfilled' AS event_type, ts FROM dyn_src_$ns " +
+        s"WHERE CAST(ts AS DATE) = DATE '$d0' AND event_id % 2 = 0")
+      finally prevMode.fold(
+        s.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+      val vAfter = SnapshotTable.versions(s, tbl).last
+      require(vAfter == vBefore + 1,
+        s"dynamic overwrite must be ONE atomic commit ($vBefore -> $vAfter)")
+      val entriesAfter = SnapshotTable.readManifest(s, tbl, vAfter)
+        .entries.map(_.path).toSet
+      require(entriesBefore.intersect(entriesAfter).nonEmpty,
+        "untouched-day files must carry by reference")
+      ns
+    })
+
   /** snapshot_sql_expect's one-time setup: SQL-declared COMMIT
     * EXPECTATIONS — `'expect.<name>' = '<boolean SQL>'` TBLPROPERTIES
     * gate every INSERT into the table; a violating batch refuses the
@@ -4239,6 +4295,16 @@ object SparkEntry {
     // reads the post-replace census. Oracle replays kept+replacement.
     "snapshot_replace_where" -> ((s, dir) => {
       val ns = replaceWhereSetup(s, dir)
+      s.sql(s"SELECT event_type, count(*) AS n_events, " +
+        s"CAST(sum(event_id) AS BIGINT) AS sum_id " +
+        s"FROM graft_cat.$ns.ev GROUP BY event_type ORDER BY event_type")
+    }),
+    // DYNAMIC PARTITION OVERWRITE: the backfill replaced exactly the
+    // first day (memo required one-commit atomicity and by-reference
+    // carry of every other day); the row reads the post-backfill
+    // census. Oracle replays kept ∪ backfill, blind to partitions.
+    "snapshot_dynamic_overwrite" -> ((s, dir) => {
+      val ns = dynOverwriteSetup(s, dir)
       s.sql(s"SELECT event_type, count(*) AS n_events, " +
         s"CAST(sum(event_id) AS BIGINT) AS sum_id " +
         s"FROM graft_cat.$ns.ev GROUP BY event_type ORDER BY event_type")
@@ -8241,6 +8307,19 @@ object SparkEntry {
         |         WHERE event_id >= (SELECT q FROM q)),
         |repl AS (SELECT event_id, 'replaced' AS event_type FROM events
         |         WHERE event_id < (SELECT q FROM q) AND event_id % 2 = 0)
+        |SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM (SELECT * FROM kept UNION ALL SELECT * FROM repl)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // dynamic overwrite is answer-invisible: kept ∪ backfill over the
+    // base rows — null-ts rows survive (a null names no partition)
+    "snapshot_dynamic_overwrite" ->
+      """WITH d AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+        |kept AS (SELECT event_id, event_type FROM events
+        |         WHERE ts IS NULL OR CAST(ts AS DATE) <> (SELECT d0 FROM d)),
+        |repl AS (SELECT event_id, 'backfilled' AS event_type FROM events
+        |         WHERE CAST(ts AS DATE) = (SELECT d0 FROM d)
+        |           AND event_id % 2 = 0)
         |SELECT event_type, count(*) AS n_events,
         |       CAST(sum(event_id) AS BIGINT) AS sum_id
         |FROM (SELECT * FROM kept UNION ALL SELECT * FROM repl)

@@ -2999,6 +2999,58 @@ object SnapshotTable {
     -1L // unreachable
   }
 
+  /** DYNAMIC PARTITION OVERWRITE's commit half: replace exactly the
+    * partitions `pred`/`rowPred` describe with `newFiles` (already
+    * written by the v2 executors), as ONE manifest commit — the same
+    * file-granular classification as commitReplaceWhere (all-match
+    * files drop by proof, none-match carry by reference, boundary
+    * files rewrite their survivors), with the incoming half arriving
+    * as FILES instead of a frame. Returns the committed version. */
+  private[graft] def commitReplacePartitions(
+      spark: SparkSession, dir: String, newFiles: Seq[String],
+      pred: Option[DmlPred], rowPred: Column,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      bucket: Option[(String, Int)] = None,
+      shape: DataFrame => DataFrame = identity): Long = {
+    versions(spark, dir).lastOption.foreach { v =>
+      if (readManifest(spark, dir, v).deletes.nonEmpty)
+        applyDeletes(spark, dir): Unit
+    }
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 20,
+        s"dynamic overwrite on $dir lost 20 straight races; giving up")
+      val headV = versions(spark, dir).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot table $dir has no committed version"))
+      val m = readManifest(spark, dir, headV)
+      require(m.deletes.isEmpty,
+        s"dynamic overwrite on $dir raced a merge-on-read delete — re-run")
+      val classified = m.entries.map(e =>
+        e -> pred.flatMap(p => classifyEntry(m, e, p)))
+      val kept = classified.collect { case (e, Some(false)) => e }
+      val boundary = classified.collect { case (e, None) => e }
+      val survivorFiles =
+        if (boundary.isEmpty) Nil
+        else writeBatch(shape(entriesFrame(spark, dir, m, boundary)
+          .filter(!coalesce(rowPred, lit(false)))), dir)
+      val tableStats = (m.statsCols ++ statsCols).distinct
+      val tableBlooms = (m.bloomCols ++ bloomCols).distinct
+      val newEntries = batchEntries(spark, dir, survivorFiles ++ newFiles,
+        tableStats, tableBlooms, m.bloomFpp, bucket)
+      if (tryPublish(spark, dir,
+        Manifest(headV + 1, m.ledger, tableStats,
+          kept ++ newEntries.map(_.copy(seq = headV + 1)),
+          bloomCols = tableBlooms, bloomFpp = m.bloomFpp,
+          renames = m.renames, drops = m.drops, adds = m.adds),
+        carry = m.segments))
+        return headV + 1
+      dropOrphanBatch(spark, dir, survivorFiles)
+    }
+    -1L // unreachable
+  }
+
   /** The SQL row-level copy-on-write commit (DSv2 ReplaceData):
     * atomically swap `replaced` (the file GROUPS the row-level scan
     * planned) for `newFiles` (what the executors wrote), carrying

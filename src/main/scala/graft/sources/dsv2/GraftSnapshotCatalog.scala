@@ -148,6 +148,21 @@ object GraftTableProps {
     }
   }
 
+  /** The declared PARTITIONED BY transforms as (fn, column) pairs —
+    * fn ∈ identity/years/months/days/hours/truncate/bucket. Parsed
+    * from the `partitioned_by` record (bucket/truncate render their
+    * width WITHOUT an inner space, so the list separator ", " is
+    * unambiguous). */
+  def partitionSpec(props: Map[String, String]): Seq[(String, String)] =
+    props.get("partitioned_by").toSeq.flatMap(_.split(", ").toSeq).map {
+      case t if t.contains("(") =>
+        val fn = t.substring(0, t.indexOf('('))
+        val inner = t.substring(t.indexOf('(') + 1, t.length - 1)
+        val c = if (inner.contains(",")) inner.split(",", 2)(1) else inner
+        (fn, c)
+      case c => ("identity", c)
+    }
+
   /** The table's bucket spec, when declared: (column, numBuckets). */
   def bucketSpec(props: Map[String, String]): Option[(String, Int)] =
     for {
@@ -853,6 +868,12 @@ private[dsv2] class SnapshotCatalogTable(
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
+      // BATCH_WRITE satisfies the analyzer's dynamic-overwrite check;
+      // append/overwrite still PLAN through the V1 bridge because
+      // build() returns a V1Write for them — only the dynamic path
+      // returns the real v2 write
+      TableCapability.BATCH_WRITE,
+      TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -870,10 +891,19 @@ private[dsv2] class SnapshotCatalogTable(
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder
         with org.apache.spark.sql.connector.write.SupportsTruncate
-        with org.apache.spark.sql.connector.write.SupportsOverwrite {
+        with org.apache.spark.sql.connector.write.SupportsOverwrite
+        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
       private var overwrite = false
       private var replaceWith: Option[Array[Filter]] = None
+      private var dynamic = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
+      /** `INSERT OVERWRITE` under partitionOverwriteMode=dynamic on a
+        * PARTITIONED BY table: replace exactly the partitions present
+        * in the batch — a REAL v2 write (no V1 fallback exists for
+        * dynamic), see SnapshotDynamicOverwriteWrite. */
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        dynamic = true; this
+      }
       /** `INSERT INTO … REPLACE WHERE cond` / `writeTo.overwrite(cond)`
         * — the filter-scoped atomic overwrite. An always-true
         * condition IS the truncate. */
@@ -884,7 +914,9 @@ private[dsv2] class SnapshotCatalogTable(
         else replaceWith = Some(filters)
         this
       }
-      override def build(): Write = new V1Write {
+      override def build(): Write =
+        if (dynamic) new SnapshotDynamicOverwriteWrite(dir, info)
+        else new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(

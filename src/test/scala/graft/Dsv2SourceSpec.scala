@@ -1965,6 +1965,83 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM grw.ns.t").head().getLong(0) == before)
   }
 
+  test("dynamic partition overwrite: INSERT OVERWRITE replaces exactly the batch's partitions") {
+    import graft.sources.SnapshotTable
+    val root = java.nio.file.Files.createTempDirectory("snap_dyn").toString
+    spark.conf.set("spark.sql.catalog.gdyn",
+      classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdyn.root", root)
+    new java.io.File(s"$root/ns").mkdirs()
+    val dir = s"$root/ns/ev"
+    spark.sql("CREATE TABLE gdyn.ns.ev (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    // four UTC-aligned days of hourly rows
+    val day0 = 1700006400L // 2023-11-15 00:00:00 UTC
+    spark.range(0, 96)
+      .selectExpr("id",
+        s"timestamp_seconds($day0 + id * 3600) AS ts")
+      .repartition(4).createOrReplaceTempView("dyn_src")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try spark.sql("INSERT INTO gdyn.ns.ev SELECT id, ts FROM dyn_src")
+    finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    val vBefore = SnapshotTable.versions(spark, dir).last
+    val entriesBefore = SnapshotTable.readManifest(spark, dir, vBefore)
+      .entries.map(_.path).toSet
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // the batch touches ONLY day 1 -> days 0/2/3 stay intact
+      spark.sql("INSERT OVERWRITE gdyn.ns.ev " +
+        s"SELECT id + 1000, timestamp_seconds($day0 + 86400 + (id + 1) * 3600) " +
+        "FROM range(0, 3)")
+      assert(spark.sql("SELECT count(*) FROM gdyn.ns.ev").head().getLong(0) == 75L)
+      assert(spark.sql("SELECT count(*) FROM gdyn.ns.ev WHERE id >= 1000")
+        .head().getLong(0) == 3L)
+      // untouched days intact, replaced day gone
+      assert(spark.sql(
+        s"SELECT count(*) FROM gdyn.ns.ev WHERE ts < timestamp_seconds($day0 + 86400)")
+        .head().getLong(0) == 24L)
+      assert(spark.sql(
+        s"SELECT count(*) FROM gdyn.ns.ev WHERE id < 1000 AND " +
+          s"ts >= timestamp_seconds($day0 + 86400) AND " +
+          s"ts < timestamp_seconds($day0 + 2 * 86400)")
+        .head().getLong(0) == 0L)
+      // ONE commit; untouched files carried by reference
+      val vAfter = SnapshotTable.versions(spark, dir).last
+      assert(vAfter == vBefore + 1)
+      val entriesAfter = SnapshotTable.readManifest(spark, dir, vAfter)
+        .entries.map(_.path).toSet
+      assert(entriesBefore.intersect(entriesAfter).nonEmpty,
+        "untouched-day files must carry by reference")
+      // a NULL partition value names no partition: refuse
+      intercept[Exception] {
+        spark.sql("INSERT OVERWRITE gdyn.ns.ev " +
+          "SELECT CAST(1 AS BIGINT), CAST(NULL AS TIMESTAMP)")
+      }
+      // identity partitions: only the batch's region replaces
+      spark.sql("CREATE TABLE gdyn.ns.reg (id BIGINT, region STRING) " +
+        "PARTITIONED BY (region)")
+      spark.sql("INSERT INTO gdyn.ns.reg VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+      spark.sql("INSERT OVERWRITE gdyn.ns.reg VALUES (20, 'b'), (21, 'b')")
+      assert(spark.sql("SELECT id FROM gdyn.ns.reg ORDER BY id").collect()
+        .map(_.getLong(0)).toSeq == Seq(1L, 3L, 20L, 21L))
+      // multi-transform layouts refuse loudly (cross-product hazard)
+      spark.sql("CREATE TABLE gdyn.ns.multi (id BIGINT, ts TIMESTAMP, region STRING) " +
+        "PARTITIONED BY (days(ts), region)")
+      spark.sql("INSERT INTO gdyn.ns.multi " +
+        s"SELECT 1, timestamp_seconds($day0), 'a'")
+      val e = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE gdyn.ns.multi " +
+          s"SELECT 2, timestamp_seconds($day0), 'b'")
+      }
+      assert(e.getMessage.contains("REPLACE WHERE") ||
+        Option(e.getCause).exists(_.getMessage.contains("REPLACE WHERE")))
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    // static mode (the default) keeps truncate semantics
+    spark.sql("INSERT OVERWRITE gdyn.ns.ev SELECT CAST(7 AS BIGINT), " +
+      s"timestamp_seconds($day0)")
+    assert(spark.sql("SELECT count(*) FROM gdyn.ns.ev").head().getLong(0) == 1L)
+  }
+
   test("layout guards: compact refuses on bucketed tables; bucket column rename/drop refuses") {
     val root = java.nio.file.Files.createTempDirectory("snap_guard").toString
     spark.conf.set("spark.sql.catalog.gguard",
