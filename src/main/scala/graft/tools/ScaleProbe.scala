@@ -310,7 +310,7 @@ object ScaleProbe {
     if (Seq("sql_dml_pruned", "sql_dml_unpruned", "sql_dml_merge",
       "stream_cdf_drain", "sql_dml_mor", "sorted_write", "wap_publish",
       "spj_join", "spj_join_plain", "partitioned_write",
-      "dml_rebucket", "replace_where").exists(wanted)) {
+      "dml_rebucket", "replace_where", "dynamic_overwrite").exists(wanted)) {
       spark.conf.set("spark.sql.catalog.gprobe",
         classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
       spark.conf.set("spark.sql.catalog.gprobe.root", scaledBase)
@@ -414,6 +414,24 @@ object ScaleProbe {
           spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
           try spark.sql(s"INSERT INTO gprobe.f$f.snap_rw " +
             s"SELECT event_id, event_type FROM probe_rw_src_f$f")
+          finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+        }
+        // r15 dynamic-overwrite fixture: a days(ts) table carrying the
+        // full scaled history; the timed op backfills ONE day — the
+        // classic nightly-restatement shape
+        if (wanted("dynamic_overwrite")) {
+          spark.sql(s"CREATE TABLE gprobe.f$f.snap_dyn " +
+            "(event_id BIGINT, event_type STRING, ts TIMESTAMP) " +
+            "PARTITIONED BY (days(ts))")
+          replicate(
+            graft.Tables.events(spark, sfDir)
+              .select("event_id", "event_type", "ts"), f)
+            .select((col("event_id") + col("k") * 1000000000L).as("event_id"),
+              col("event_type"), col("ts"))
+            .createOrReplaceTempView(s"probe_dyn_src_f$f")
+          spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+          try spark.sql(s"INSERT INTO gprobe.f$f.snap_dyn " +
+            s"SELECT event_id, event_type, ts FROM probe_dyn_src_f$f")
           finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
         }
         // r15 PARTITIONED BY fixture: days(ts) DDL + an adversarial
@@ -1081,6 +1099,35 @@ object ScaleProbe {
             .readManifest(spark, dir, vAfter).entries.map(_.path).toSet
           require(before.intersect(after).nonEmpty,
             "none-matching files must carry by reference")
+          spark.range(1).toDF()
+        }),
+        // DYNAMIC OVERWRITE at volume: backfill ONE day of the scaled
+        // history — the touched day's files drop/rewrite, every other
+        // day carries by reference (in-op requires: one commit, files
+        // carried), so the wall is bounded by the day, never the table
+        "dynamic_overwrite" -> (() => {
+          val dir = s"$scaledBase/f$f/snap_dyn"
+          val vBefore = graft.sources.SnapshotTable.versions(spark, dir).last
+          val before = graft.sources.SnapshotTable
+            .readManifest(spark, dir, vBefore).entries.map(_.path).toSet
+          val d0 = spark.sql(
+            s"SELECT CAST(min(ts) AS DATE) FROM gprobe.f$f.snap_dyn")
+            .head().getDate(0)
+          val prevMode =
+            spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          try spark.sql(s"INSERT OVERWRITE gprobe.f$f.snap_dyn " +
+            s"SELECT event_id, 'backfilled', ts FROM probe_dyn_src_f$f " +
+            s"WHERE CAST(ts AS DATE) = DATE '$d0' AND event_id % 2 = 0")
+          finally prevMode.fold(
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+          val vAfter = graft.sources.SnapshotTable.versions(spark, dir).last
+          require(vAfter == vBefore + 1, "dynamic overwrite must be ONE commit")
+          val after = graft.sources.SnapshotTable
+            .readManifest(spark, dir, vAfter).entries.map(_.path).toSet
+          require(before.intersect(after).nonEmpty,
+            "untouched-day files must carry by reference")
           spark.range(1).toDF()
         }),
         // auto-rebucket THROUGH DML at volume: a scattered DELETE on a
