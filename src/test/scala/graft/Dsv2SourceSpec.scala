@@ -2024,6 +2024,17 @@ class Dsv2SourceSpec extends SparkSpec {
       spark.sql("INSERT OVERWRITE gdyn.ns.reg VALUES (20, 'b'), (21, 'b')")
       assert(spark.sql("SELECT id FROM gdyn.ns.reg ORDER BY id").collect()
         .map(_.getLong(0)).toSeq == Seq(1L, 3L, 20L, 21L))
+      // hours() granularity rides the same arithmetic: replace one hour
+      spark.sql("CREATE TABLE gdyn.ns.hr (id BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (hours(ts))")
+      spark.sql("INSERT INTO gdyn.ns.hr " +
+        s"SELECT id, timestamp_seconds($day0 + id * 600) FROM range(0, 12)")
+      // ids 0..5 in hour 0, 6..11 in hour 1; replace hour 1 only
+      spark.sql("INSERT OVERWRITE gdyn.ns.hr " +
+        s"SELECT CAST(100 AS BIGINT), timestamp_seconds($day0 + 3600)")
+      assert(spark.sql("SELECT count(*) FROM gdyn.ns.hr").head().getLong(0) == 7L)
+      assert(spark.sql("SELECT count(*) FROM gdyn.ns.hr WHERE id < 6")
+        .head().getLong(0) == 6L)
       // multi-transform layouts refuse loudly (cross-product hazard)
       spark.sql("CREATE TABLE gdyn.ns.multi (id BIGINT, ts TIMESTAMP, region STRING) " +
         "PARTITIONED BY (days(ts), region)")
