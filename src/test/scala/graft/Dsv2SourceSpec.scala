@@ -2053,6 +2053,40 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gdyn.ns.ev").head().getLong(0) == 1L)
   }
 
+  test("SQL face odds and ends: SHOW CREATE TABLE tells the truth; TRUNCATE TABLE is metadata-only") {
+    import graft.sources.SnapshotTable
+    val root = java.nio.file.Files.createTempDirectory("snap_odds").toString
+    spark.conf.set("spark.sql.catalog.godds",
+      classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.godds.root", root)
+    new java.io.File(s"$root/ns").mkdirs()
+    spark.sql("CREATE TABLE godds.ns.t (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts)) " +
+      "TBLPROPERTIES ('bloom_cols' = 'id')")
+    // SHOW CREATE TABLE reproduces schema, partitioning, and props
+    val ddl = spark.sql("SHOW CREATE TABLE godds.ns.t")
+      .head().getString(0)
+    assert(ddl.contains("days(ts)"), s"missing partitioning in:\n$ddl")
+    assert(ddl.contains("bloom_cols"), s"missing props in:\n$ddl")
+    assert(ddl.contains("id BIGINT") || ddl.contains("`id` BIGINT"),
+      s"missing schema in:\n$ddl")
+    // TRUNCATE TABLE: metadata-only sweep (SupportsDelete's contract),
+    // one commit, time travel still reads the old census
+    spark.sql("INSERT INTO godds.ns.t SELECT id, " +
+      "timestamp_seconds(1700006400 + id * 3600) FROM range(0, 48)")
+    val vBefore = SnapshotTable.versions(spark, s"$root/ns/t").last
+    spark.sql("TRUNCATE TABLE godds.ns.t")
+    assert(spark.sql("SELECT count(*) FROM godds.ns.t").head().getLong(0) == 0L)
+    val vAfter = SnapshotTable.versions(spark, s"$root/ns/t").last
+    assert(vAfter == vBefore + 1, s"one commit expected: $vBefore -> $vAfter")
+    assert(spark.sql(s"SELECT count(*) FROM godds.ns.t VERSION AS OF $vBefore")
+      .head().getLong(0) == 48L)
+    // the table keeps working after the truncate
+    spark.sql("INSERT INTO godds.ns.t SELECT CAST(7 AS BIGINT), " +
+      "timestamp_seconds(1700006400)")
+    assert(spark.sql("SELECT count(*) FROM godds.ns.t").head().getLong(0) == 1L)
+  }
+
   test("layout guards: compact refuses on bucketed tables; bucket column rename/drop refuses") {
     val root = java.nio.file.Files.createTempDirectory("snap_guard").toString
     spark.conf.set("spark.sql.catalog.gguard",
