@@ -332,5 +332,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.SparkSession.active,
           tableDirArg(args(0), "dir")).queryExecution.analyzed
       }))
+    // SHOW PARTITIONS for PARTITIONED BY tables, from per-file stats
+    // alone (zero data I/O): partition value -> file/row/byte census
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_table_partitions"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_table_partitions"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "usage: graft_table_partitions(dir)")
+        graft.sources.SnapshotTable.partitionCensus(
+          org.apache.spark.sql.SparkSession.active,
+          tableDirArg(args(0), "dir")).queryExecution.analyzed
+      }))
   }
 }

@@ -1115,6 +1115,175 @@ object SparkEntry {
       ns
     })
 
+  /** snapshot_dynamic_overwrite_multi's one-time setup: dynamic
+    * overwrite on a MULTI-transform `PARTITIONED BY (days(ts),
+    * event_type)` table — the (day × dimension) warehouse shape. The
+    * batch carries one (day, type) TUPLE's even-id rows; the commit
+    * builds the per-tuple predicate (OR over tuples of AND over
+    * transforms) and replaces exactly that tuple: the SAME day's
+    * other types and every other day carry by reference, as ONE
+    * commit (all required in place). The oracle replays kept ∪
+    * backfill, blind to partitions. */
+  private val dynMultiMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dynOverwriteMultiSetup(s: SparkSession, dir: String): String =
+    dynMultiMemo.computeIfAbsent(dir, _ => {
+      import graft.sources.SnapshotTable
+      val root = sqlCatRootMemo.computeIfAbsent("root",
+        _ => tempDir("graft_sql_cat"))
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cat.root", root)
+      val ns = "dynm" + Integer.toHexString(dir.hashCode)
+      new java.io.File(s"$root/$ns").mkdirs()
+      val tbl = s"$root/$ns/ev"
+      if (SnapshotTable.versions(s, tbl).nonEmpty)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tbl))
+      s.sql(s"CREATE TABLE graft_cat.$ns.ev " +
+        "(event_id BIGINT, event_type STRING, ts TIMESTAMP) " +
+        "PARTITIONED BY (days(ts), event_type)")
+      Tables.events(s, dir).select(col("event_id"), col("event_type"), col("ts"))
+        .repartition(8, col("event_type"))
+        .createOrReplaceTempView(s"dynm_src_$ns")
+      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      try s.sql(s"INSERT INTO graft_cat.$ns.ev " +
+        s"SELECT event_id, event_type, ts FROM dynm_src_$ns")
+      finally s.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+      val r0 = s.sql(s"SELECT CAST(min(ts) AS DATE), min(event_type) " +
+        s"FROM graft_cat.$ns.ev").head()
+      val d0 = r0.getDate(0); val t0 = r0.getString(1)
+      val vBefore = SnapshotTable.versions(s, tbl).last
+      val entriesBefore = SnapshotTable.readManifest(s, tbl, vBefore)
+        .entries.map(_.path).toSet
+      // the same day's OTHER types — the rows a cross-product
+      // replacement would silently delete
+      val sameDayOther = s.sql(s"SELECT count(*) FROM graft_cat.$ns.ev " +
+        s"WHERE CAST(ts AS DATE) = DATE '$d0' AND event_type <> '$t0'")
+        .head().getLong(0)
+      val prevMode = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try s.sql(s"INSERT OVERWRITE graft_cat.$ns.ev " +
+        s"SELECT event_id, event_type, ts FROM dynm_src_$ns " +
+        s"WHERE CAST(ts AS DATE) = DATE '$d0' AND event_type = '$t0' " +
+        s"AND event_id % 2 = 0")
+      finally prevMode.fold(
+        s.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+      val vAfter = SnapshotTable.versions(s, tbl).last
+      require(vAfter == vBefore + 1,
+        s"multi-transform dynamic overwrite must be ONE atomic commit " +
+          s"($vBefore -> $vAfter)")
+      val entriesAfter = SnapshotTable.readManifest(s, tbl, vAfter)
+        .entries.map(_.path).toSet
+      require(entriesBefore.intersect(entriesAfter).nonEmpty,
+        "untouched-tuple files must carry by reference")
+      require(s.sql(s"SELECT count(*) FROM graft_cat.$ns.ev " +
+        s"WHERE CAST(ts AS DATE) = DATE '$d0' AND event_type <> '$t0'")
+        .head().getLong(0) == sameDayOther,
+        "the touched day's OTHER types must survive the tuple replacement")
+      ns
+    })
+
+  /** snapshot_partitions's one-time setup: a `PARTITIONED BY
+    * (event_type)` table loaded type-clustered, so every file is
+    * provably single-partition from its stats and
+    * `graft_table_partitions` answers the partition census (value →
+    * file/row counts) from the manifest ALONE — the plan is a
+    * LocalRelation, zero data I/O (required in place). The oracle is
+    * the plain GROUP BY census. */
+  private val partCensusMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def partCensusSetup(s: SparkSession, dir: String): String =
+    partCensusMemo.computeIfAbsent(dir, _ => {
+      import graft.sources.SnapshotTable
+      val root = sqlCatRootMemo.computeIfAbsent("root",
+        _ => tempDir("graft_sql_cat"))
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cat.root", root)
+      val ns = "pcs" + Integer.toHexString(dir.hashCode)
+      new java.io.File(s"$root/$ns").mkdirs()
+      val tbl = s"$root/$ns/ev"
+      if (SnapshotTable.versions(s, tbl).nonEmpty)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tbl))
+      s.sql(s"CREATE TABLE graft_cat.$ns.ev (event_id BIGINT, event_type STRING) " +
+        "PARTITIONED BY (event_type)")
+      Tables.events(s, dir).select(col("event_id"), col("event_type"))
+        .createOrReplaceTempView(s"pcs_src_$ns")
+      // partition-batched ingestion (the layout's intended write
+      // pattern, like nightly day-batches): one commit per partition
+      // value, so every file is provably single-partition from stats
+      val types = s.sql(s"SELECT DISTINCT event_type FROM pcs_src_$ns " +
+        "WHERE event_type IS NOT NULL ORDER BY 1")
+        .collect().map(_.getString(0)).toSeq
+      require(types.size <= 64, s"unexpected type cardinality ${types.size}")
+      types.foreach { t =>
+        s.sql(s"INSERT INTO graft_cat.$ns.ev " +
+          s"SELECT event_id, event_type FROM pcs_src_$ns " +
+          s"WHERE event_type = '$t'")
+      }
+      val census = s.sql(
+        s"SELECT * FROM graft_table_partitions('graft_cat.$ns.ev')")
+      require(census.queryExecution.optimizedPlan.collectFirst {
+        case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          true
+      }.isDefined,
+        "the partition census must answer from the manifest alone " +
+          "(LocalRelation plan, zero data I/O)")
+      require(!census.collect().exists(_.isNullAt(0)),
+        "type-clustered load must leave no straddling file")
+      ns
+    })
+
+  /** snapshot_merge_evolve's one-time setup: SQL `MERGE WITH SCHEMA
+    * EVOLUTION` on a table that opted in via
+    * `'merge_schema_evolution' = 'true'` — the source carries a NEW
+    * `score` column, the analyzer widens the table through the
+    * catalog (the API merge's widen/retain semantics), then the MERGE
+    * applies: matched rows take the source values, unmatched rows
+    * carry NULL in the new column. Time travel at the pre-merge
+    * version must still show the UNWIDENED schema (required in
+    * place). The oracle derives the widened column from the id split,
+    * blind to the evolution machinery. */
+  private val mergeEvolveMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def mergeEvolveSetup(s: SparkSession, dir: String): String =
+    mergeEvolveMemo.computeIfAbsent(dir, _ => {
+      import graft.sources.SnapshotTable
+      val root = sqlCatRootMemo.computeIfAbsent("root",
+        _ => tempDir("graft_sql_cat"))
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cat.root", root)
+      val ns = "mse" + Integer.toHexString(dir.hashCode)
+      new java.io.File(s"$root/$ns").mkdirs()
+      val tbl = s"$root/$ns/ev"
+      if (SnapshotTable.versions(s, tbl).nonEmpty)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tbl))
+      s.sql(s"CREATE TABLE graft_cat.$ns.ev (event_id BIGINT, event_type STRING) " +
+        "TBLPROPERTIES ('merge_schema_evolution' = 'true')")
+      Tables.events(s, dir).select(col("event_id"), col("event_type"))
+        .createOrReplaceTempView(s"mse_src_$ns")
+      s.sql(s"INSERT INTO graft_cat.$ns.ev " +
+        s"SELECT event_id, event_type FROM mse_src_$ns")
+      val vBefore = SnapshotTable.versions(s, tbl).last
+      s.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO graft_cat.$ns.ev t
+           |USING (SELECT event_id, 'merged' AS event_type,
+           |              CAST(event_id % 97 AS BIGINT) AS score
+           |       FROM mse_src_$ns WHERE event_id % 10 = 3) s
+           |ON t.event_id = s.event_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      require(s.table(s"graft_cat.$ns.ev").schema.fieldNames.toSeq ==
+        Seq("event_id", "event_type", "score"),
+        "the MERGE must widen the table with the source's new column")
+      require(s.sql(s"SELECT * FROM graft_cat.$ns.ev VERSION AS OF $vBefore")
+        .schema.fieldNames.toSeq == Seq("event_id", "event_type"),
+        "time travel must still show the pre-widening schema")
+      ns
+    })
+
   /** snapshot_sql_expect's one-time setup: SQL-declared COMMIT
     * EXPECTATIONS — `'expect.<name>' = '<boolean SQL>'` TBLPROPERTIES
     * gate every INSERT into the table; a violating batch refuses the
@@ -4307,6 +4476,30 @@ object SparkEntry {
       val ns = dynOverwriteSetup(s, dir)
       s.sql(s"SELECT event_type, count(*) AS n_events, " +
         s"CAST(sum(event_id) AS BIGINT) AS sum_id " +
+        s"FROM graft_cat.$ns.ev GROUP BY event_type ORDER BY event_type")
+    }),
+    // MULTI-transform dynamic overwrite: a (days(ts) × event_type)
+    // table backfills exactly one (day, type) tuple — the same day's
+    // OTHER types carry by reference (required in the setup)
+    "snapshot_dynamic_overwrite_multi" -> ((s, dir) => {
+      val ns = dynOverwriteMultiSetup(s, dir)
+      s.sql(s"SELECT event_type, count(*) AS n_events, " +
+        s"CAST(sum(event_id) AS BIGINT) AS sum_id " +
+        s"FROM graft_cat.$ns.ev GROUP BY event_type ORDER BY event_type")
+    }),
+    // SHOW PARTITIONS from the manifest: partition value -> row census
+    // with zero data I/O (LocalRelation plan required in the setup)
+    "snapshot_partitions" -> ((s, dir) => {
+      val ns = partCensusSetup(s, dir)
+      s.sql(s"SELECT partition, n_rows " +
+        s"FROM graft_table_partitions('graft_cat.$ns.ev') ORDER BY partition")
+    }),
+    // SQL MERGE schema evolution: the source's new column widens the
+    // table (API-merge semantics) behind the double opt-in
+    "snapshot_merge_evolve" -> ((s, dir) => {
+      val ns = mergeEvolveSetup(s, dir)
+      s.sql(s"SELECT event_type, count(*) AS n_events, " +
+        s"CAST(sum(score) AS BIGINT) AS sum_score " +
         s"FROM graft_cat.$ns.ev GROUP BY event_type ORDER BY event_type")
     }),
     // AUTO-REBUCKET through DML: a scattered DELETE rewrote every
@@ -8324,6 +8517,37 @@ object SparkEntry {
         |       CAST(sum(event_id) AS BIGINT) AS sum_id
         |FROM (SELECT * FROM kept UNION ALL SELECT * FROM repl)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the multi-transform replacement replays per TUPLE: only the
+    // (first day, first type) pair's odd ids vanish
+    "snapshot_dynamic_overwrite_multi" ->
+      """WITH d AS (SELECT min(CAST(ts AS DATE)) AS d0,
+        |                  min(event_type) AS t0 FROM events),
+        |kept AS (SELECT event_id, event_type FROM events
+        |         WHERE ts IS NULL OR CAST(ts AS DATE) <> (SELECT d0 FROM d)
+        |            OR event_type IS NULL
+        |            OR event_type <> (SELECT t0 FROM d)),
+        |repl AS (SELECT event_id, event_type FROM events
+        |         WHERE CAST(ts AS DATE) = (SELECT d0 FROM d)
+        |           AND event_type = (SELECT t0 FROM d)
+        |           AND event_id % 2 = 0)
+        |SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM (SELECT * FROM kept UNION ALL SELECT * FROM repl)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the manifest-only census equals the plain GROUP BY census
+    "snapshot_partitions" ->
+      """SELECT concat('event_type=', event_type) AS partition,
+        |       count(*) AS n_rows
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // schema evolution is answer-visible only through the id split:
+    // merged rows relabel and carry the derived score, others NULL
+    "snapshot_merge_evolve" ->
+      """SELECT CASE WHEN event_id % 10 = 3 THEN 'merged'
+        |            ELSE event_type END AS event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CASE WHEN event_id % 10 = 3
+        |                     THEN event_id % 97 END) AS BIGINT) AS sum_score
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // auto-rebucket is answer-invisible: join-after-delete over the
     // base rows, whatever the layout the rewrite landed
     "snapshot_spj_dml" ->

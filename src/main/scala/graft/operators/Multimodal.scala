@@ -209,8 +209,21 @@ object Multimodal {
   object ImageIoDecoder extends MediaDecoder {
     val featureDim = 4
     def features(payload: Array[Byte]): Array[Double] = {
-      val img = javax.imageio.ImageIO.read(
+      // Decode through an explicit MemoryCacheImageInputStream: the
+      // ImageIO.read(InputStream) convenience respects the JVM-global
+      // useCache flag (default TRUE) and backs the stream with a
+      // FileCacheImageInputStream — a disk temp file PER IMAGE. A
+      // decode-only executor (the production posture: stored media,
+      // no synthesize) never runs the encode helper that clears the
+      // flag, so the decoder must not depend on JVM-global state.
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
+      // ImageIO.read(ImageInputStream) closes the stream on success;
+      // close again only on the no-reader-found path (returns null
+      // without closing) — swallow the already-closed IOException.
+      val img =
+        try javax.imageio.ImageIO.read(iis)
+        finally try iis.close() catch { case _: java.io.IOException => () }
       require(img != null, "undecodable image payload")
       val raster = img.getRaster
       val w = img.getWidth

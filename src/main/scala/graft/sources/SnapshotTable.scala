@@ -2173,6 +2173,104 @@ object SnapshotTable {
         "total_bytes", "n_pending_deletes", "stats_cols", "bloom_cols")
   }
 
+  /** SHOW PARTITIONS for a `PARTITIONED BY` table, answered from the
+    * head manifest's per-file stats ALONE — zero data I/O (the
+    * `graft_table_detail` discipline per partition value; surfaced as
+    * the `graft_table_partitions` TVF).
+    *
+    * The format clusters instead of physically scoping files to
+    * partitions, so attribution is stat-proof-based: a file belongs
+    * to a partition tuple when every transform's min and max stats
+    * land in the SAME partition value (and the column has zero
+    * nulls). Files whose stats span a boundary are reported honestly
+    * under a NULL `partition` ("straddling") row rather than guessed —
+    * day-batched ingestion (the layout's intended write pattern)
+    * produces none. Temporal truncation uses the session timezone,
+    * same clock as `date_trunc` everywhere else. */
+  def partitionCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.dsv2.GraftTableProps
+    val props = GraftTableProps.read(spark, dir)
+    val spec = GraftTableProps.partitionSpec(props)
+    require(spec.nonEmpty,
+      s"snapshot table $dir declares no PARTITIONED BY spec — " +
+        "there are no partitions to list")
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"snapshot table $dir has no committed version")
+    val m = readManifest(spark, dir, vs.last)
+    val zone = java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone)
+    def truncRender(fn: String, micros: java.math.BigDecimal): String = {
+      val z = java.time.ZonedDateTime.ofInstant(
+        java.time.Instant.EPOCH.plus(
+          micros.longValueExact(), java.time.temporal.ChronoUnit.MICROS),
+        zone)
+      fn match {
+        case "days" => z.toLocalDate.toString
+        case "hours" => f"${z.toLocalDate}T${z.getHour}%02d"
+        case "months" => f"${z.getYear}%04d-${z.getMonthValue}%02d"
+        case "years" => f"${z.getYear}%04d"
+      }
+    }
+    val truncWidths: Map[String, Int] =
+      props.get("partitioned_by").toSeq.flatMap(_.split(", ")).collect {
+        case t if t.startsWith("truncate(") =>
+          val inner = t.stripPrefix("truncate(").stripSuffix(")")
+          val Array(w, c) = inner.split(",", 2)
+          c -> w.toInt
+      }.toMap
+    // one transform's partition value for an entry, when provable
+    def assign(e: Entry, fn: String, c: String): Option[String] = fn match {
+      case "bucket" =>
+        val n = GraftTableProps.bucketSpec(props).map(_._2).getOrElse(0)
+        e.stats.get(s"__bucket:$c:$n").collect {
+          case FileStat(mn: java.math.BigDecimal, mx: java.math.BigDecimal, _, _)
+            if mn.compareTo(mx) == 0 => mn.toBigInteger.toString
+        }
+      case _ =>
+        entryStat(m, e, c).flatMap { s =>
+          if (s.nulls != 0L) None // null rows belong to no partition
+          else (fn, s.min, s.max) match {
+            case ("identity", mn, mx) if cmpStat(
+              toStatVal(mn), toStatVal(mx)).contains(0) =>
+              Some(String.valueOf(mn))
+            case ("truncate", mn: String, mx: String) =>
+              val w = truncWidths.getOrElse(c, 0)
+              val p = mn.take(w)
+              if (w > 0 && mx.take(w) == p) Some(p) else None
+            case (t, mn: java.math.BigDecimal, mx: java.math.BigDecimal)
+              if t == "days" || t == "hours" || t == "months" || t == "years" =>
+              val p = truncRender(t, mn)
+              if (truncRender(t, mx) == p) Some(p) else None
+            case _ => None
+          }
+        }
+    }
+    def render(fn: String, c: String, v: String): String = fn match {
+      case "identity" => s"$c=$v"
+      case "bucket" =>
+        s"bucket(${GraftTableProps.bucketSpec(props).map(_._2).getOrElse(0)},$c)=$v"
+      case "truncate" => s"truncate(${truncWidths.getOrElse(c, 0)},$c)=$v"
+      case _ => s"$fn($c)=$v"
+    }
+    val live = m.entries.filter(_.rows != 0L)
+    val assigned: Seq[(Option[String], Entry)] = live.map { e =>
+      val parts = spec.map { case (fn, c) =>
+        assign(e, fn, c).map(render(fn, c, _)) }
+      (if (parts.forall(_.isDefined)) Some(parts.flatten.mkString("/"))
+       else None) -> e
+    }
+    def agg(es: Seq[Entry], f: Entry => Long): Option[Long] = {
+      val xs = es.map(f)
+      if (xs.exists(_ < 0L)) None else Some(xs.sum)
+    }
+    assigned.groupBy(_._1).toSeq.map { case (p, es0) =>
+      val es = es0.map(_._2)
+      (p, es.size.toLong, agg(es, _.rows), agg(es, _.bytes))
+    }.sortBy(_._1)
+      .toDF("partition", "n_files", "n_rows", "n_bytes")
+  }
+
   /** The report one `maintainTable` pass leaves behind — which
     * primitives fired and what they found. */
   final case class MaintenanceReport(

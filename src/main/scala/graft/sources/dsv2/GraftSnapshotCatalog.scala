@@ -331,7 +331,25 @@ class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces
       val c = refs(0).fieldNames()(0)
       require(declaredCols.contains(c),
         s"PARTITIONED BY references '$c', which is not a column of the table")
+      // the recorded spec, DESCRIBE round-trip, and the ALTER guard all
+      // parse the rendered string on ', ' and '(' — a column name
+      // carrying those characters would corrupt the record silently,
+      // so refuse it at DDL time
+      require(!c.exists(ch => ch == ',' || ch == '(' || ch == ')'),
+        s"PARTITIONED BY references column '$c': partition column names " +
+          "must not contain ',', '(' or ')' — the recorded partition spec " +
+          "is a rendered transform list")
+      val cType = columns.find(_.name() == c).get.dataType()
       t.name().toLowerCase match {
+        case "years" | "months" | "days" | "hours"
+          if !(cType == org.apache.spark.sql.types.TimestampType ||
+               cType == org.apache.spark.sql.types.TimestampNTZType ||
+               cType == org.apache.spark.sql.types.DateType) =>
+          // catch the type mistake at DDL, not as a confusing
+          // NULL-partition error at dynamic-overwrite time
+          throw new IllegalArgumentException(
+            s"PARTITIONED BY ${t.name().toLowerCase}($c): temporal " +
+              s"transforms need a TIMESTAMP or DATE column, '$c' is $cType")
         case "identity" | "years" | "months" | "days" | "hours" =>
           if (!partSortCols.contains(c)) partSortCols :+= c
           partRendered :+= (if (t.name().equalsIgnoreCase("identity")) c
@@ -359,6 +377,10 @@ class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces
           }.getOrElse(throw new IllegalArgumentException(
             s"PARTITIONED BY ${t.describe()}: bucket needs a literal count"))
           require(n > 0, s"PARTITIONED BY ${t.describe()}: bucket count must be positive")
+          require(cType == org.apache.spark.sql.types.IntegerType ||
+              cType == org.apache.spark.sql.types.LongType,
+            s"PARTITIONED BY bucket($n, $c): bucket clusters on an " +
+              s"integral (INT/BIGINT) column, '$c' is $cType")
           partBucket = Some((c, n))
           // no inner space: ", " is the transform list separator
           partRendered :+= s"bucket($n,$c)"
@@ -864,8 +886,8 @@ private[dsv2] class SnapshotCatalogTable(
     }
   }
 
-  override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+  override def capabilities(): util.Set[TableCapability] = {
+    val base = Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
       // BATCH_WRITE satisfies the analyzer's dynamic-overwrite check;
@@ -874,7 +896,20 @@ private[dsv2] class SnapshotCatalogTable(
       // returns the real v2 write
       TableCapability.BATCH_WRITE,
       TableCapability.OVERWRITE_DYNAMIC,
-      TableCapability.STREAMING_WRITE).asJava
+      TableCapability.STREAMING_WRITE)
+    // SQL `MERGE WITH SCHEMA EVOLUTION INTO`: the analyzer's
+    // ResolveMergeIntoSchemaEvolution calls alterTable with the
+    // source's new/widened columns, then the MERGE runs against the
+    // reloaded schema — exactly the API merge's widen/retain
+    // semantics. DOUBLE opt-in (the Delta/Iceberg posture): the
+    // statement's own WITH SCHEMA EVOLUTION clause AND a table
+    // property — a capability advertised unconditionally would let a
+    // fat-fingered source column silently reshape the table.
+    val evolve = GraftTableProps.read(spark, dir)
+      .get("merge_schema_evolution").exists(_.equalsIgnoreCase("true"))
+    (if (evolve) base + TableCapability.AUTOMATIC_SCHEMA_EVOLUTION
+     else base).asJava
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val opts = new util.HashMap[String, String](options.asCaseSensitiveMap())

@@ -24,17 +24,18 @@ import graft.sources.SnapshotTable
   *    the table's declared clustering (bucket distribution / sort
   *    ordering via RequiresDistributionAndOrdering);
   *  - the COMMIT reads the delta-sized batch once to learn the
-  *    touched partition values (distinct days/hours/months/years of
-  *    the transform column, or distinct identity values), builds the
-  *    equivalent predicate, and rides the REPLACE WHERE machinery:
-  *    all-match files DROP by proof, none-match carry by REFERENCE,
-  *    boundary files rewrite their survivors
-  *    (`SnapshotTable.commitReplacePartitions`);
-  *  - exactly ONE declared partition transform is supported (the
-  *    common layout); multi-transform tables and truncate/bucket
-  *    transforms refuse loudly with a REPLACE WHERE pointer — a
-  *    cross-product replacement would silently delete rows in
-  *    untouched partition tuples;
+  *    touched partition TUPLES (distinct combinations of the spec's
+  *    identity values / temporal truncations), builds the equivalent
+  *    predicate — OR over tuples of AND over transforms, so a
+  *    (day × region) table replaces exactly the batch's (day, region)
+  *    pairs and the same day's OTHER regions carry untouched — and
+  *    rides the REPLACE WHERE machinery: all-match files DROP by
+  *    proof, none-match carry by REFERENCE, boundary files rewrite
+  *    their survivors (`SnapshotTable.commitReplacePartitions`);
+  *  - identity and temporal (years/months/days/hours) transforms are
+  *    supported, in any combination; truncate/bucket transforms
+  *    refuse loudly with a REPLACE WHERE pointer — a hash/prefix
+  *    "partition" names no contiguous replacement range;
   *  - a batch carrying NULL partition values refuses (a null names no
   *    partition); an EMPTY batch replaces nothing (no-op, no commit).
   */
@@ -91,56 +92,94 @@ private[dsv2] class SnapshotDynamicOverwriteWrite(
       require(spec.nonEmpty,
         s"dynamic overwrite on $dir: the table declares no PARTITIONED BY " +
           "spec — static INSERT OVERWRITE (truncate) is the defined behavior")
-      require(spec.size == 1,
-        s"dynamic overwrite on $dir supports exactly ONE partition " +
-          s"transform (got ${spec.map(t => s"${t._1}(${t._2})").mkString(", ")}) " +
-          "— a cross-product replacement would delete rows in untouched " +
-          "partition tuples; use INSERT INTO … REPLACE WHERE instead")
-      val (fn, c) = spec.head
-      val delta = s.read.parquet(
-        newFiles.map(f => s"$dir/$f"): _*)
-      import SnapshotTable.{DmlPred, PredIn, PredOr, PredRange}
-      val (pred, rowPred): (Option[DmlPred], Column) = fn match {
-        case "identity" =>
-          val vals = delta.select(col(c)).distinct().collect().map(_.get(0)).toSeq
-          require(!vals.contains(null),
-            s"dynamic overwrite on $dir: the batch carries NULL '$c' values — " +
-              "a null names no partition; filter them or use REPLACE WHERE")
-          require(vals.size <= 10000,
-            s"dynamic overwrite on $dir touches ${vals.size} '$c' partitions " +
-              "— bound the batch or use REPLACE WHERE")
-          (Some(PredIn(c, vals)), col(c).isin(vals: _*))
-        case "days" | "hours" | "months" | "years" =>
-          val unit = fn match {
-            case "days" => "DAY"; case "hours" => "HOUR"
-            case "months" => "MONTH"; case "years" => "YEAR"
-          }
-          val starts = delta.select(date_trunc(unit, col(c)).as("p"))
-            .distinct().collect().map(r =>
-              Option(r.getTimestamp(0)).getOrElse(throw
-                new IllegalArgumentException(
-                  s"dynamic overwrite on $dir: the batch carries NULL '$c' " +
-                    "values — a null names no partition"))).toSeq
-          require(starts.size <= 10000,
-            s"dynamic overwrite on $dir touches ${starts.size} $fn($c) " +
-              "partitions — bound the batch or use REPLACE WHERE")
-          def next(t: java.sql.Timestamp): java.sql.Timestamp = {
-            val z = java.time.ZonedDateTime.ofInstant(
-              t.toInstant, java.time.ZoneOffset.UTC)
-            java.sql.Timestamp.from((fn match {
-              case "days" => z.plusDays(1); case "hours" => z.plusHours(1)
-              case "months" => z.plusMonths(1); case "years" => z.plusYears(1)
-            }).toInstant)
-          }
-          val ranges = starts.map(st => PredRange(c,
-            Some((st, true)), Some((next(st), false))): DmlPred)
-          (Some(ranges.reduce(PredOr(_, _))),
-            date_trunc(unit, col(c)).isin(starts: _*))
-        case other => throw new UnsupportedOperationException(
-          s"dynamic overwrite on $dir: $other($c) partitions have no " +
+      spec.foreach { case (fn, c) =>
+        require(fn == "identity" ||
+          Set("days", "hours", "months", "years").contains(fn),
+          s"dynamic overwrite on $dir: $fn($c) partitions have no " +
             "dynamic-replacement semantics here — use INSERT INTO … " +
             "REPLACE WHERE with an explicit predicate")
       }
+      val delta = s.read.parquet(
+        newFiles.map(f => s"$dir/$f"): _*)
+      import SnapshotTable.{DmlPred, PredAnd, PredEq, PredIn, PredOr, PredRange}
+      def unitOf(fn: String): String = fn match {
+        case "days" => "DAY"; case "hours" => "HOUR"
+        case "months" => "MONTH"; case "years" => "YEAR"
+      }
+      // one key expression per transform: the partition value a row
+      // belongs to (identity = the column; temporal = its date_trunc)
+      val keyCols: Seq[Column] = spec.map {
+        case ("identity", c) => col(c)
+        case (fn, c) => date_trunc(unitOf(fn), col(c))
+      }
+      // ONE delta-sized pass learns the touched partition TUPLES
+      val tupleRows = delta.select(keyCols: _*).distinct().collect()
+      if (tupleRows.isEmpty) {
+        // files but zero rows: the batch names no partitions — no-op
+        SnapshotTable.dropOrphanBatch(s, dir, newFiles)
+        return
+      }
+      require(tupleRows.length <= 10000,
+        s"dynamic overwrite on $dir touches ${tupleRows.length} partition " +
+          "tuples — bound the batch or use REPLACE WHERE")
+      tupleRows.foreach { r =>
+        spec.indices.foreach(i => require(!r.isNullAt(i),
+          s"dynamic overwrite on $dir: the batch carries NULL " +
+            s"'${spec(i)._2}' values — a null names no partition; " +
+            "filter them or use REPLACE WHERE"))
+      }
+      // the increment MUST use the session timezone date_trunc
+      // truncated in: a UTC-pinned plusMonths/plusDays drifts off the
+      // local partition boundary (non-UTC offsets, DST), so the
+      // PredRange file classification would misalign with the exact
+      // rowPred — carrying files that duplicate the batch's rows, or
+      // dropping files the batch never replaces.
+      val zone = java.time.ZoneId.of(
+        s.sessionState.conf.sessionLocalTimeZone)
+      def next(fn: String, t: java.sql.Timestamp): java.sql.Timestamp = {
+        val z = java.time.ZonedDateTime.ofInstant(t.toInstant, zone)
+        java.sql.Timestamp.from((fn match {
+          case "days" => z.plusDays(1); case "hours" => z.plusHours(1)
+          case "months" => z.plusMonths(1); case "years" => z.plusYears(1)
+        }).toInstant)
+      }
+      // classifyEntry recurses per node — a left-deep 10k-way reduce
+      // would stack-overflow the manifest pass, so balance the tree
+      def balanced(ps: Seq[DmlPred], f: (DmlPred, DmlPred) => DmlPred)
+          : DmlPred =
+        if (ps.size == 1) ps.head
+        else {
+          val (l, r) = ps.splitAt(ps.size / 2)
+          f(balanced(l, f), balanced(r, f))
+        }
+      // the replacement predicate: OR over touched tuples of AND over
+      // the spec's transforms — identity pins equality, temporal pins
+      // the [start, next-boundary) range. Replaces exactly the
+      // batch's (e.g. day × region) tuples; the same day's OTHER
+      // regions classify none-match and carry by reference.
+      val pred: Option[DmlPred] = Some {
+        spec match {
+          case Seq(("identity", c)) =>
+            // flat IN beats a 10k-node OR tree for the common layout
+            PredIn(c, tupleRows.map(_.get(0)).toSeq)
+          case _ =>
+            balanced(tupleRows.toSeq.map { r =>
+              spec.zipWithIndex.map {
+                case (("identity", c), i) => PredEq(c, r.get(i)): DmlPred
+                case ((fn, c), i) =>
+                  val st = r.getTimestamp(i)
+                  PredRange(c, Some((st, true)),
+                    Some((next(fn, st), false))): DmlPred
+              }.reduce(PredAnd(_, _))
+            }, PredOr(_, _))
+        }
+      }
+      // the exact row predicate for boundary-file survivor rewrites:
+      // a single IN over the tuple struct, not a 10k-way OR of ANDs
+      import org.apache.spark.sql.functions.struct
+      val rowPred: Column = struct(keyCols: _*).isin(
+        tupleRows.toSeq.map(r =>
+          struct(spec.indices.map(i => lit(r.get(i))): _*)): _*)
       // survivors of boundary files re-land under the declared
       // clustering, same as every other write
       val sortCols = sortColsOf

@@ -47,30 +47,54 @@ case class SnapshotV1ConversionRule(spark: SparkSession)
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (plan.isInstanceOf[Command]) return plan
     // the columns this plan could SPEND a bucket layout on: equi-join
-    // keys and aggregate grouping keys, by name. A name-level
-    // over-approximation by design — matching a same-named column of
-    // another table only keeps MORE relations on the DSv2/SPJ path
-    // (correct, possibly slower), never converts one a join needed.
-    lazy val layoutCols: Set[String] = {
-      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualNullSafe, EqualTo}
-      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
-      val joinCols = plan.collect { case j: Join =>
+    // keys and aggregate grouping keys. Matched two ways, both
+    // over-approximations in the safe direction (keeping MORE
+    // relations on the DSv2/SPJ path is correct, possibly slower;
+    // converting one a join needed loses the exchange-free plan):
+    //  - by NAME (catches plan shapes where lineage breaks, e.g.
+    //    Union re-using only the first child's exprIds);
+    //  - by LINEAGE: each key attribute chased through Project/
+    //    Aggregate aliases to its root exprIds, so a projection that
+    //    RENAMES the bucket column (SELECT event_id AS id … JOIN ON
+    //    id) still pins the relation to the SPJ path.
+    lazy val (layoutCols: Set[String], layoutExprIds: Set[Long]) = {
+      import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualNullSafe, EqualTo, Expression}
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Project}
+      val aliasChild: Map[Long, Expression] = plan.collect {
+        case p: Project =>
+          p.projectList.collect { case a: Alias => a.exprId.id -> a.child }
+        case ag: Aggregate =>
+          ag.aggregateExpressions.collect {
+            case a: Alias => a.exprId.id -> a.child }
+      }.flatten.toMap
+      def roots(e: Expression, seen: Set[Long]): Set[Long] =
+        e.collect { case ar: AttributeReference => ar }.toSet.flatMap {
+          ar: AttributeReference =>
+            if (seen(ar.exprId.id)) Set(ar.exprId.id)
+            else aliasChild.get(ar.exprId.id) match {
+              case Some(child) => roots(child, seen + ar.exprId.id)
+              case None => Set(ar.exprId.id)
+            }
+        }
+      val joinKeys = plan.collect { case j: Join =>
         j.condition.toSeq.flatMap(_.collect {
           case EqualTo(a: AttributeReference, b: AttributeReference) =>
-            Seq(a.name, b.name)
+            Seq(a, b)
           case EqualNullSafe(a: AttributeReference, b: AttributeReference) =>
-            Seq(a.name, b.name)
+            Seq(a, b)
         }.flatten)
       }.flatten
-      val aggCols = plan.collect { case a: Aggregate =>
+      val aggKeys = plan.collect { case a: Aggregate =>
         a.groupingExpressions.flatMap(_.collect {
-          case ar: AttributeReference => ar.name
+          case ar: AttributeReference => ar
         })
       }.flatten
-      (joinCols ++ aggCols).toSet
+      val keys = joinKeys ++ aggKeys
+      (keys.map(_.name).toSet,
+        keys.flatMap(k => roots(k, Set.empty)).toSet)
     }
     plan.transform {
-      case r: DataSourceV2Relation if convertible(r, layoutCols) =>
+      case r: DataSourceV2Relation if convertible(r, layoutCols, layoutExprIds) =>
         val meta = r.table.asInstanceOf[SnapshotTableMeta]
         val schema = StructType(r.output.map(a =>
           org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable)))
@@ -82,7 +106,8 @@ case class SnapshotV1ConversionRule(spark: SparkSession)
   }
 
   private def convertible(
-      r: DataSourceV2Relation, layoutCols: Set[String]): Boolean =
+      r: DataSourceV2Relation, layoutCols: Set[String],
+      layoutExprIds: Set[Long]): Boolean =
     r.table.isInstanceOf[SnapshotTableMeta] &&
       !r.table.asInstanceOf[SnapshotTableMeta].snapshotCdf &&
       // output restricted to DATA columns: a `_file` lineage read
@@ -100,5 +125,7 @@ case class SnapshotV1ConversionRule(spark: SparkSession)
         "false").toBoolean &&
         GraftTableProps.bucketSpec(GraftTableProps.read(spark,
           r.table.asInstanceOf[SnapshotTableMeta].snapshotDir))
-          .exists { case (c, _) => layoutCols.contains(c) })
+          .exists { case (c, _) => layoutCols.contains(c) ||
+            r.output.exists(a =>
+              a.name == c && layoutExprIds.contains(a.exprId.id)) })
 }

@@ -1836,6 +1836,27 @@ class Dsv2SourceSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("ALTER TABLE gpart.ns.ev DROP COLUMN ts")
     }
+    // type mistakes surface at DDL, not as a confusing NULL-partition
+    // error at overwrite time: temporal transforms need TIMESTAMP/DATE
+    val eTemp = intercept[Exception] {
+      spark.sql("CREATE TABLE gpart.ns.badt (id BIGINT, v STRING) " +
+        "PARTITIONED BY (days(v))")
+    }
+    assert(eTemp.getMessage.contains("TIMESTAMP") ||
+      Option(eTemp.getCause).exists(_.getMessage.contains("TIMESTAMP")))
+    // ... and bucket needs an integral column
+    val eBk = intercept[Exception] {
+      spark.sql("CREATE TABLE gpart.ns.badb (id BIGINT, v STRING) " +
+        "PARTITIONED BY (bucket(4, v))")
+    }
+    assert(eBk.getMessage.contains("integral") ||
+      Option(eBk.getCause).exists(_.getMessage.contains("integral")))
+    // a partition column name carrying the rendered-spec separators
+    // would corrupt the record: refuse at DDL
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gpart.ns.badn (`a, b` BIGINT, v STRING) " +
+        "PARTITIONED BY (`a, b`)")
+    }
   }
 
   test("bucketed scan parallelism: layout-blind plans uncap, layout-spending plans stay SPJ") {
@@ -1893,6 +1914,20 @@ class Dsv2SourceSpec extends SparkSpec {
       assert(collectAll(agg.queryExecution.executedPlan) {
         case e: ShuffleExchangeExec => e
       }.isEmpty, "bucketed GROUP BY must stay exchange-free")
+      // a join through a projection that RENAMES the bucket column
+      // must still pin the SPJ path: the layout match resolves
+      // through alias lineage, not output names
+      val renamed = spark.sql(
+        "SELECT x.k FROM (SELECT id AS k FROM gsub.ns.t) x " +
+          "JOIN (SELECT id AS k FROM gsub.ns.t) y ON x.k = y.k")
+      assert(renamed.count() == 200L)
+      val rJoins = collectAll(renamed.queryExecution.executedPlan) {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }
+      assert(rJoins.nonEmpty)
+      assert(collectAll(rJoins.head) { case e: ShuffleExchangeExec => e }.isEmpty,
+        "a renamed bucket column must still join exchange-free (lineage match)")
       // GROUP BY on a NON-bucket column has no use for the layout:
       // converts to V1 (full parallelism under the shuffle)
       val aggV = spark.sql("SELECT v, count(*) AS n FROM gsub.ns.t GROUP BY v")
@@ -2035,14 +2070,31 @@ class Dsv2SourceSpec extends SparkSpec {
       assert(spark.sql("SELECT count(*) FROM gdyn.ns.hr").head().getLong(0) == 7L)
       assert(spark.sql("SELECT count(*) FROM gdyn.ns.hr WHERE id < 6")
         .head().getLong(0) == 6L)
-      // multi-transform layouts refuse loudly (cross-product hazard)
+      // multi-transform layouts: the batch's (day, region) TUPLES
+      // replace; the same day's OTHER regions and other days carry
       spark.sql("CREATE TABLE gdyn.ns.multi (id BIGINT, ts TIMESTAMP, region STRING) " +
         "PARTITIONED BY (days(ts), region)")
-      spark.sql("INSERT INTO gdyn.ns.multi " +
-        s"SELECT 1, timestamp_seconds($day0), 'a'")
+      spark.sql("INSERT INTO gdyn.ns.multi VALUES " +
+        s"(1, timestamp_seconds($day0), 'a'), " +
+        s"(2, timestamp_seconds($day0 + 60), 'b'), " +
+        s"(3, timestamp_seconds($day0 + 86400), 'a'), " +
+        s"(4, timestamp_seconds($day0 + 86400 + 60), 'b')")
+      val mDir = s"$root/ns/multi"
+      val mBefore = SnapshotTable.versions(spark, mDir).last
+      // backfill exactly the (day0, 'a') tuple
+      spark.sql("INSERT OVERWRITE gdyn.ns.multi " +
+        s"SELECT 10, timestamp_seconds($day0 + 120), 'a'")
+      assert(spark.sql("SELECT id FROM gdyn.ns.multi ORDER BY id").collect()
+        .map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L, 10L),
+        "only the batch's (day, region) tuple may be replaced")
+      // ONE commit = atomic replacement
+      assert(SnapshotTable.versions(spark, mDir).last == mBefore + 1)
+      // truncate/bucket transforms still refuse with a pointer
+      spark.sql("CREATE TABLE gdyn.ns.trunc (id BIGINT, name STRING) " +
+        "PARTITIONED BY (truncate(2, name))")
+      spark.sql("INSERT INTO gdyn.ns.trunc VALUES (1, 'aaa')")
       val e = intercept[Exception] {
-        spark.sql("INSERT OVERWRITE gdyn.ns.multi " +
-          s"SELECT 2, timestamp_seconds($day0), 'b'")
+        spark.sql("INSERT OVERWRITE gdyn.ns.trunc VALUES (2, 'bbb')")
       }
       assert(e.getMessage.contains("REPLACE WHERE") ||
         Option(e.getCause).exists(_.getMessage.contains("REPLACE WHERE")))
@@ -2051,6 +2103,192 @@ class Dsv2SourceSpec extends SparkSpec {
     spark.sql("INSERT OVERWRITE gdyn.ns.ev SELECT CAST(7 AS BIGINT), " +
       s"timestamp_seconds($day0)")
     assert(spark.sql("SELECT count(*) FROM gdyn.ns.ev").head().getLong(0) == 1L)
+  }
+
+  test("dynamic partition overwrite: boundaries follow the SESSION timezone (offset months, DST days)") {
+    val root = java.nio.file.Files.createTempDirectory("snap_dyn_tz").toString
+    spark.conf.set("spark.sql.catalog.gdtz",
+      classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdtz.root", root)
+    new java.io.File(s"$root/ns").mkdirs()
+    val tzBefore = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // Asia/Kolkata months(ts): local March runs 2026-02-28T18:30Z →
+      // 2026-03-31T18:30Z. A UTC-pinned plusMonths(1) of the start
+      // would end the range at Mar 29 04:00 LOCAL — files holding
+      // Mar 29–31 rows would classify none-match and carry by
+      // reference, DUPLICATING the batch's month.
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+      spark.sql("CREATE TABLE gdtz.ns.m (id BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (months(ts))")
+      // local-calendar rows: Feb 10, Mar 05, Mar 30 (the drift
+      // victim), Apr 02 — each its own file so classification is
+      // per-row observable
+      Seq(1L -> 1770705000L, 2L -> 1772692200L,
+          3L -> 1774852200L, 4L -> 1775111400L).foreach { case (id, ep) =>
+        spark.sql(s"INSERT INTO gdtz.ns.m SELECT CAST($id AS BIGINT), " +
+          s"timestamp_seconds($ep)")
+      }
+      // the batch touches only local March (Mar 10)
+      spark.sql("INSERT OVERWRITE gdtz.ns.m SELECT CAST(100 AS BIGINT), " +
+        "timestamp_seconds(1773124200)")
+      assert(spark.sql("SELECT id FROM gdtz.ns.m ORDER BY id").collect()
+        .map(_.getLong(0)).toSeq == Seq(1L, 4L, 100L),
+        "local-March rows (incl. Mar 30) must be replaced; Feb/Apr carry")
+
+      // America/Denver days(ts) across spring-forward (2026-03-08 is
+      // a 23-hour local day): a UTC-pinned plusDays(1) would extend
+      // the range one hour into Mar 9 LOCAL — a file wholly inside
+      // Mar 9 00:00–01:00 local would classify all-match and be
+      // dropped with no replacement (silent data loss).
+      spark.conf.set("spark.sql.session.timeZone", "America/Denver")
+      spark.sql("CREATE TABLE gdtz.ns.d (id BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (days(ts))")
+      Seq(1L -> 1772910000L,  // Mar 7 local
+          2L -> 1772992800L,  // Mar 8 local (the replaced day)
+          3L -> 1773037800L   // Mar 9 00:30 local — the DST victim
+      ).foreach { case (id, ep) =>
+        spark.sql(s"INSERT INTO gdtz.ns.d SELECT CAST($id AS BIGINT), " +
+          s"timestamp_seconds($ep)")
+      }
+      spark.sql("INSERT OVERWRITE gdtz.ns.d SELECT CAST(200 AS BIGINT), " +
+        "timestamp_seconds(1772971200)") // Mar 8 06:00 local
+      assert(spark.sql("SELECT id FROM gdtz.ns.d ORDER BY id").collect()
+        .map(_.getLong(0)).toSeq == Seq(1L, 3L, 200L),
+        "only local Mar 8 replaces; the Mar 9 00:30 row must survive DST")
+    } finally {
+      spark.conf.set("spark.sql.session.timeZone", tzBefore)
+      spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION widens the table like the API merge — behind the table-property opt-in") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val root = java.nio.file.Files.createTempDirectory("snap_mse").toString
+    spark.conf.set("spark.sql.catalog.gmse",
+      classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmse.root", root)
+    new java.io.File(s"$root/ns").mkdirs()
+    val dir = s"$root/ns/t"
+    spark.sql("CREATE TABLE gmse.ns.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gmse.ns.t SELECT id, concat('v', id) FROM range(0, 10)")
+    val vBefore = SnapshotTable.versions(spark, dir).last
+    Seq((5L, "upd", 50L), (100L, "new", 77L)).toDF("id", "v", "score")
+      .createOrReplaceTempView("mse_src")
+    // explicitly assigning the new column refuses at analysis — the
+    // target has no such column and nothing opted into creating it
+    intercept[Exception] {
+      spark.sql(
+        """MERGE INTO gmse.ns.t t USING mse_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET score = s.score""".stripMargin)
+    }
+    // the clause WITHOUT the table property must not reshape the
+    // table: star expansion sticks to the target schema (Spark drops
+    // the source extra) and the schema stays (id, v)
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO gmse.ns.t t USING mse_src s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.table("gmse.ns.t").schema.fieldNames.toSeq == Seq("id", "v"),
+      "the clause alone must not widen — the table has not opted in")
+    // ... and the property WITHOUT the clause must not either (the
+    // statement carries the user's intent; Delta/Iceberg gate the same
+    // way)
+    spark.sql("ALTER TABLE gmse.ns.t SET TBLPROPERTIES " +
+      "('merge_schema_evolution' = 'true')")
+    spark.sql(
+      """MERGE INTO gmse.ns.t t USING mse_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.table("gmse.ns.t").schema.fieldNames.toSeq == Seq("id", "v"),
+      "the property alone must not widen — the statement did not ask")
+    // both opt-ins present: the widening commits first, then the MERGE
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO gmse.ns.t t USING mse_src s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = spark.sql(
+      "SELECT id, v, score FROM gmse.ns.t ORDER BY id").collect()
+    assert(out.length == 11)
+    assert(out.map(_.getLong(0)).toSeq == (0L to 9L) :+ 100L)
+    // matched row updated with the new column; unmentioned rows carry
+    // NULL in it; the not-matched row inserts it
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getString(1), if (r.isNullAt(2)) null else Long.box(r.getLong(2)))).toMap
+    assert(byId(5L) == (("upd", Long.box(50L))))
+    assert(byId(100L) == (("new", Long.box(77L))))
+    assert(byId(3L) == (("v3", null)))
+    // time travel still reads the PRE-widening schema
+    val old = spark.sql(s"SELECT * FROM gmse.ns.t VERSION AS OF $vBefore")
+    assert(old.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(old.count() == 10L)
+    // the widened column participates in stats-fed pruning like any
+    // declared column: a post-evolution filter answers exactly
+    assert(spark.sql("SELECT count(*) FROM gmse.ns.t WHERE score > 60")
+      .head().getLong(0) == 1L)
+    assert(spark.table("gmse.ns.t").filter(col("score").isNull).count() == 9L)
+  }
+
+  test("graft_table_partitions answers SHOW PARTITIONS from the manifest alone — zero data I/O") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val root = java.nio.file.Files.createTempDirectory("snap_showpart").toString
+    spark.conf.set("spark.sql.catalog.gsp",
+      classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsp.root", root)
+    new java.io.File(s"$root/ns").mkdirs()
+    val day0 = 1700006400L // 2023-11-15 00:00:00 UTC
+    spark.sql("CREATE TABLE gsp.ns.ev (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    // day-batched ingestion: one INSERT per day -> day-aligned files
+    (0 until 3).foreach { d =>
+      spark.sql(s"INSERT INTO gsp.ns.ev SELECT id, " +
+        s"timestamp_seconds($day0 + $d * 86400 + id * 60) FROM range(0, ${10 + d})")
+    }
+    val census = spark.sql(
+      "SELECT * FROM graft_table_partitions('gsp.ns.ev') ORDER BY partition")
+    // zero data I/O: the census is a LOCAL relation built from the
+    // manifest — no file scan anywhere in the plan
+    assert(census.queryExecution.optimizedPlan.collectFirst {
+      case _: LocalRelation => true }.isDefined &&
+      !census.queryExecution.executedPlan.toString.contains("FileScan") &&
+      !census.queryExecution.executedPlan.toString.contains("BatchScan"),
+      s"census must not scan data:\n${census.queryExecution.executedPlan}")
+    val rows = census.collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(2))).toSeq == Seq(
+      ("days(ts)=2023-11-15", 10L), ("days(ts)=2023-11-16", 11L),
+      ("days(ts)=2023-11-17", 12L)), rows.mkString(", "))
+    assert(rows.forall(_.getLong(1) >= 1L)) // n_files
+    // a batch straddling two days is reported honestly, never guessed
+    spark.sql("INSERT INTO gsp.ns.ev SELECT id, " +
+      s"timestamp_seconds($day0 + 3 * 86400 - 60 + id * 120) FROM range(0, 4)")
+    val withStraddle = spark.sql(
+      "SELECT * FROM graft_table_partitions('gsp.ns.ev')").collect()
+    assert(withStraddle.exists(r => r.isNullAt(0) && r.getLong(2) == 4L),
+      s"straddling file must land under the NULL partition: " +
+        withStraddle.mkString(", "))
+    // multi-transform tuples render as a path; identity census exact
+    spark.sql("CREATE TABLE gsp.ns.multi (id BIGINT, ts TIMESTAMP, region STRING) " +
+      "PARTITIONED BY (days(ts), region)")
+    Seq("a", "b").foreach { r =>
+      spark.sql(s"INSERT INTO gsp.ns.multi SELECT id, " +
+        s"timestamp_seconds($day0 + id * 60), '$r' FROM range(0, 5)")
+    }
+    val multi = spark.sql(
+      "SELECT partition, n_rows FROM graft_table_partitions('gsp.ns.multi') " +
+        "ORDER BY partition").collect()
+    assert(multi.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(
+      ("days(ts)=2023-11-15/region=a", 5L),
+      ("days(ts)=2023-11-15/region=b", 5L)), multi.mkString(", "))
+    // an unpartitioned table refuses loudly
+    spark.sql("CREATE TABLE gsp.ns.flat (id BIGINT)")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_table_partitions('gsp.ns.flat')").collect()
+    }
   }
 
   test("SQL face odds and ends: SHOW CREATE TABLE tells the truth; TRUNCATE TABLE is metadata-only") {

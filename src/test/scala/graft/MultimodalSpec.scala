@@ -118,6 +118,40 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ImageIoDecoder never touches ImageIO's disk cache, even with the JVM-global flag ON") {
+    // the production posture is a decode-ONLY executor over stored
+    // media: it never runs the encode helper that clears the global
+    // useCache flag, so the decoder itself must bypass the
+    // FileCacheImageInputStream temp-file-per-image path. Point the
+    // cache at a counted directory, force the global flag ON, decode,
+    // and require the directory stays empty.
+    val cacheDir = java.nio.file.Files.createTempDirectory("iio_cache").toFile
+    val flagBefore = javax.imageio.ImageIO.getUseCache
+    val dirBefore = javax.imageio.ImageIO.getCacheDirectory
+    // a PNG payload built WITHOUT the encode helper (which would
+    // clear the flag): raw bytes via an explicit in-memory stream
+    val img = new java.awt.image.BufferedImage(
+      3, 2, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    (0 until 2).foreach(y => (0 until 3).foreach(x =>
+      img.getRaster.setSample(x, y, 0, 10 * y + x)))
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    javax.imageio.ImageIO.write(img, "png", ios)
+    ios.close()
+    try {
+      javax.imageio.ImageIO.setUseCache(true)
+      javax.imageio.ImageIO.setCacheDirectory(cacheDir)
+      val feats = Multimodal.ImageIoDecoder.features(baos.toByteArray)
+      assert(feats.toSeq == Seq(3.0, 2.0, 1.0, (0 until 2).flatMap(y =>
+        (0 until 3).map(x => 10 * y + x)).sum.toDouble))
+      assert(cacheDir.listFiles().isEmpty,
+        "decode created ImageIO disk-cache temp files")
+    } finally {
+      javax.imageio.ImageIO.setUseCache(flagBefore)
+      javax.imageio.ImageIO.setCacheDirectory(dirBefore)
+    }
+  }
+
   test("WavDecoder round-trips the synthesized PCM samples exactly") {
     import spark.implicits._
     val docs = Seq((0L, "a"), (7L, "b"), (123L, "c")).toDF("doc_id", "text")
