@@ -1235,6 +1235,52 @@ object SparkEntry {
       ns
     })
 
+  /** snapshot_compact_bucket's one-time setup: a bucket-declared
+    * table writing with `bucket_write_fanout` (k·n tasks per insert —
+    * the r16 ceiling lift) accretes a file tail that `CALL compact`
+    * now sweeps BUCKET-AWARE: small files merge WITHIN their hash
+    * bucket, never across, so every compacted file keeps its
+    * single-valued `__bucket` stat and storage-partitioned joins stay
+    * armed through maintenance (census-shrink + stat requires in
+    * place). The oracle is the plain census — compaction is
+    * answer-invisible. */
+  private val compactBucketMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def compactBucketSetup(s: SparkSession, dir: String): String =
+    compactBucketMemo.computeIfAbsent(dir, _ => {
+      import graft.sources.SnapshotTable
+      val root = sqlCatRootMemo.computeIfAbsent("root",
+        _ => tempDir("graft_sql_cat"))
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cat.root", root)
+      val ns = "cbk" + Integer.toHexString(dir.hashCode)
+      new java.io.File(s"$root/$ns").mkdirs()
+      val tbl = s"$root/$ns/ev"
+      if (SnapshotTable.versions(s, tbl).nonEmpty)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tbl))
+      s.sql(s"CREATE TABLE graft_cat.$ns.ev (event_id BIGINT, event_type STRING) " +
+        "TBLPROPERTIES ('bucket_cols' = 'event_id', 'bucket_n' = '4', " +
+        "'bucket_write_fanout' = 'auto')")
+      Tables.events(s, dir).select(col("event_id"), col("event_type"))
+        .createOrReplaceTempView(s"cbk_src_$ns")
+      // two fanout inserts accrete the small-file tail compaction is for
+      s.sql(s"INSERT INTO graft_cat.$ns.ev SELECT event_id, event_type " +
+        s"FROM cbk_src_$ns WHERE event_id % 2 = 0")
+      s.sql(s"INSERT INTO graft_cat.$ns.ev SELECT event_id, event_type " +
+        s"FROM cbk_src_$ns WHERE event_id % 2 = 1")
+      val before = SnapshotTable.readManifest(s, tbl,
+        SnapshotTable.versions(s, tbl).last).entries.count(_.rows > 0)
+      s.sql(s"CALL graft_cat.system.compact('$ns.ev')").collect()
+      val live = SnapshotTable.readManifest(s, tbl,
+        SnapshotTable.versions(s, tbl).last).entries.filter(_.rows > 0)
+      require(live.size < before,
+        s"bucket-aware compact must shrink the census: $before -> ${live.size}")
+      require(live.forall(_.stats.contains("__bucket:event_id:4")),
+        "compacted files must keep single-valued __bucket stats")
+      ns
+    })
+
   /** snapshot_merge_evolve's one-time setup: SQL `MERGE WITH SCHEMA
     * EVOLUTION` on a table that opted in via
     * `'merge_schema_evolution' = 'true'` — the source carries a NEW
@@ -4493,6 +4539,14 @@ object SparkEntry {
       val ns = partCensusSetup(s, dir)
       s.sql(s"SELECT partition, n_rows " +
         s"FROM graft_table_partitions('graft_cat.$ns.ev') ORDER BY partition")
+    }),
+    // bucket-aware compaction after fanout writes: census shrinks,
+    // layout stays armed (requires in the setup); answers unchanged
+    "snapshot_compact_bucket" -> ((s, dir) => {
+      val ns = compactBucketSetup(s, dir)
+      s.sql(s"SELECT event_type, count(*) AS n_events, " +
+        s"CAST(sum(event_id) AS BIGINT) AS sum_id " +
+        s"FROM graft_cat.$ns.ev GROUP BY event_type ORDER BY event_type")
     }),
     // SQL MERGE schema evolution: the source's new column widens the
     // table (API-merge semantics) behind the double opt-in
@@ -8538,6 +8592,12 @@ object SparkEntry {
     "snapshot_partitions" ->
       """SELECT concat('event_type=', event_type) AS partition,
         |       count(*) AS n_rows
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // compaction is answer-invisible: the plain census, whatever the
+    // file layout maintenance left behind
+    "snapshot_compact_bucket" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_id
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // schema evolution is answer-visible only through the id split:
     // merged rows relabel and carry the derived score, others NULL

@@ -2570,6 +2570,84 @@ object SnapshotTable {
     -1L // unreachable
   }
 
+  /** BUCKET-AWARE small-file compaction: merge small files WITHIN
+    * each hash bucket, never across — the maintenance pass a
+    * bucket-declared table (especially one writing with
+    * `bucket_write_fanout`, which multiplies files per commit by
+    * design) needs, without paying `CALL rebucket`'s full-table
+    * rewrite or destroying the per-file `__bucket` stats every
+    * storage-partitioned join depends on.
+    *
+    * Eligibility is PROOF-based, the format's discipline everywhere:
+    * only files carrying the CURRENT spec's single-valued `__bucket`
+    * stat (zero nulls) group; anything else — pre-bucketing commits,
+    * spec changes — carries untouched (those files already disqualify
+    * the SPJ fast path; rebucket restores them). Buckets with one
+    * small file have nothing to merge. All rewritten buckets publish
+    * as ONE commit; rewritten rows fold pending MoR deletes (fresh
+    * seq), carried files keep the delete list — the compactSmallFiles
+    * contract per bucket. Returns the committed (or unchanged head)
+    * version. */
+  def compactBucketsSmallFiles(
+      spark: SparkSession, dir: String,
+      smallBytes: Long, targetBytes: Long,
+      bucket: (String, Int)): Long = {
+    require(smallBytes > 0 && targetBytes > 0)
+    val (c, n) = bucket
+    val key = bucketStatKey(c, n)
+    val f = fs(spark, dir)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 20,
+        s"compactBucketsSmallFiles on $dir lost 20 straight races; giving up")
+      val headV = versions(spark, dir).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot table $dir has no committed version"))
+      val m = readManifest(spark, dir, headV)
+      def bucketOf(e: Entry): Option[Long] = e.stats.get(key).flatMap { s =>
+        (s.min, s.max) match {
+          case (mn: java.math.BigDecimal, mx: java.math.BigDecimal)
+            if mn.compareTo(mx) == 0 && s.nulls == 0L =>
+            Some(mn.longValueExact())
+          case _ => None
+        }
+      }
+      val sized = m.entries.map(e =>
+        e -> f.getFileStatus(new Path(resolve(dir, e.path))).getLen)
+      val groups = sized
+        .filter { case (e, len) => e.rows != 0L && len < smallBytes }
+        .flatMap { case (e, len) => bucketOf(e).map(v => (v, e, len)) }
+        .groupBy(_._1).filter(_._2.size >= 2)
+      if (groups.isEmpty) return headV
+      val rewritten = groups.values.flatten.map(_._2.path).toSet
+      val results = groups.toSeq.sortBy(_._1).map { case (_, es) =>
+        val bytes = es.map(_._3).sum
+        val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+        val batchFiles = writeBatch(
+          entriesFrame(spark, dir, m, es.map(_._2)).coalesce(nOut), dir)
+        batchFiles -> batchEntries(spark, dir, batchFiles, m.statsCols,
+          m.bloomCols, m.bloomFpp, bucket = Some(bucket))
+      }
+      val allBatchFiles = results.flatMap(_._1)
+      val newEntries = results.flatMap(_._2)
+      require(newEntries.forall(e => bucketOf(e).isDefined),
+        s"bucket compaction on $dir produced a file without a " +
+          "single-valued __bucket stat — refusing to publish")
+      if (tryPublish(spark, dir,
+        Manifest(headV + 1, m.ledger, m.statsCols,
+          m.entries.filterNot(e => rewritten.contains(e.path)) ++
+            newEntries.map(_.copy(seq = headV + 1)),
+          bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
+          deletes = m.deletes,
+          renames = m.renames, drops = m.drops, adds = m.adds),
+        carry = m.segments))
+        return headV + 1
+      dropOrphanBatch(spark, dir, allBatchFiles)
+    }
+    -1L // unreachable
+  }
+
   /** OPTIMIZE ZORDER: compactHead with a Morton-interleaved layout
     * (Sinks.zValue — bit i of each dimension lands at output bits
     * 2i/2i+1), committed as a new version whose manifest records

@@ -134,19 +134,25 @@ object GraftProcedures {
             rep.compactVersion.map(Long.box).orNull,
             rep.orphansSwept, rep.versionsDropped))
         } else {
-          // a BUCKET-declared table: small-file compaction would merge
-          // ACROSS buckets and silently downgrade every storage-
-          // partitioned join — fold, sweep, and expire here; compaction
-          // belongs to CALL rebucket (one rewrite that is both)
+          // a BUCKET-declared table compacts WITHIN buckets (r16):
+          // fold, bucket-aware compact, sweep, expire — same pass,
+          // layout preserved (files merge only inside their bucket)
+          val bucket = GraftTableProps.bucketSpec(
+            GraftTableProps.read(s, dir)).get
           val pending = SnapshotTable.pendingDeletes(s, dir).size
           val headBefore = SnapshotTable.versions(s, dir).last
           val folded =
             if (pending > 0) Some(SnapshotTable.applyDeletes(s, dir)) else None
+          val compactBefore = SnapshotTable.versions(s, dir).last
+          val compacted = SnapshotTable.compactBucketsSmallFiles(s, dir,
+            smallBytes = r.getLong(1), targetBytes = r.getLong(2),
+            bucket = bucket)
           val orphans = SnapshotTable.gcOrphans(s, dir, r.getLong(3))
           val dropped = SnapshotTable.vacuum(s, dir, r.getInt(4))
           Seq(row(pending,
             folded.filter(_ > headBefore).map(Long.box).orNull,
-            null, orphans, dropped))
+            Some(compacted).filter(_ > compactBefore).map(Long.box).orNull,
+            orphans, dropped))
         }
       }),
 
@@ -158,17 +164,20 @@ object GraftProcedures {
       StructType(Seq(StructField("version", LongType, nullable = false))),
       (s, r) => {
         val dir = dirOf(cat, r, 0)
-        // same guard as zorder: a plain compaction merges files ACROSS
-        // buckets, dropping the __bucket stats and silently downgrading
-        // every storage-partitioned join to a shuffle until a manual
-        // rebucket — refuse loudly and point at the layout-preserving
-        // rewrite instead (ADVICE r14)
-        require(GraftTableProps.bucketSpec(GraftTableProps.read(s, dir)).isEmpty,
-          s"compact: '${r.getUTF8String(0)}' declares bucket_cols — " +
-            "compaction would merge files across buckets and destroy " +
-            "the layout every storage-partitioned join depends on; " +
-            "CALL rebucket instead (one rewrite that also compacts)")
-        Seq(row(SnapshotTable.compactHead(s, dir, r.getLong(1))))
+        // a bucket-declared table compacts WITHIN buckets (r16): a
+        // plain compaction would merge files across buckets, dropping
+        // the __bucket stats and silently downgrading every
+        // storage-partitioned join to a shuffle until a manual
+        // rebucket (ADVICE r14) — the bucket-aware path merges each
+        // bucket's sub-target files and keeps the layout armed
+        GraftTableProps.bucketSpec(GraftTableProps.read(s, dir)) match {
+          case Some(bucket) =>
+            Seq(row(SnapshotTable.compactBucketsSmallFiles(s, dir,
+              smallBytes = r.getLong(1), targetBytes = r.getLong(1),
+              bucket = bucket)))
+          case None =>
+            Seq(row(SnapshotTable.compactHead(s, dir, r.getLong(1))))
+        }
       }),
 
     "zorder" -> new Proc(cat, "zorder",
@@ -300,7 +309,8 @@ object GraftProcedures {
         val statsCols = (GraftTableProps.cols(props, "stats_cols") ++
           GraftTableProps.cols(props, "sort_cols")).distinct
         val df = SnapshotTable.read(s, dir)
-          .repartition(bucket._2,
+          .repartition(
+            bucket._2 * GraftTableProps.bucketFanout(props, bucket._2),
             org.apache.spark.sql.functions.col(bucket._1))
         Seq(row(SnapshotTable.commitOverwrite(df, dir,
           statsCols = statsCols,

@@ -128,6 +128,15 @@ object GraftTableProps {
       s"table $ident: bucketing clusters on ONE column, got $bc")
     bn.foreach(n => require(scala.util.Try(n.toInt).toOption.exists(_ > 0),
       s"table $ident: bucket_n must be a positive integer, got '$n'"))
+    props.get("bucket_write_fanout").foreach { v =>
+      require(bc.nonEmpty,
+        s"table $ident: bucket_write_fanout without a bucket layout " +
+          "has nothing to fan out")
+      require(v.equalsIgnoreCase("auto") ||
+        scala.util.Try(v.toInt).toOption.exists(_ >= 1),
+        s"table $ident: bucket_write_fanout must be 'auto' or a " +
+          s"positive integer, got '$v'")
+    }
     // expectation predicates must PARSE and reference real columns —
     // a typo'd SQL string or a column left behind by a RENAME would
     // otherwise fail every future INSERT instead of the DDL
@@ -169,6 +178,39 @@ object GraftTableProps {
       c <- cols(props, "bucket_cols").headOption
       n <- props.get("bucket_n").map(_.toInt)
     } yield (c, n)
+
+  /** Bucket-write FANOUT factor k: writes into a bucket-declared
+    * table cluster on k·n tasks instead of exactly n, lifting the
+    * parallelism ceiling an 8-bucket table would otherwise impose on
+    * a large cluster's writes (VERDICT r15 "What's missing" #4 — the
+    * tax Iceberg's fanout writers answer).
+    *
+    * Correct with ZERO writer changes because the bucket id is
+    * `pmod(hash(col), n)` with the SAME murmur3 Spark's
+    * HashPartitioning uses: a k·n-way hash repartition on the column
+    * puts a row in partition p = pmod(hash, k·n), and
+    * pmod(hash, n) = p mod n — so every task (hence every FILE) is
+    * still single-bucket, per-file `__bucket` stats record exactly as
+    * before, and the bucketed scan's many-files-per-bucket merge
+    * reassembles the layout.
+    *
+    * `bucket_write_fanout` = 'auto' sizes k to the running cluster
+    * (k = ceil(defaultParallelism / n)); an integer pins it; absent =
+    * 1 (today's behavior — with the documented sizing rule that
+    * bucket_n should approximate the target write parallelism). */
+  def bucketFanout(props: Map[String, String], n: Int): Int =
+    props.get("bucket_write_fanout") match {
+      case None => 1
+      case Some(v) if v.equalsIgnoreCase("auto") =>
+        val p = org.apache.spark.sql.SparkSession.active
+          .sparkContext.defaultParallelism
+        math.max(1, (p + n - 1) / n)
+      case Some(v) =>
+        val k = scala.util.Try(v.toInt).getOrElse(0)
+        require(k >= 1,
+          s"bucket_write_fanout must be 'auto' or a positive integer, got '$v'")
+        k
+    }
 
   /** SQL-declared commit expectations: every `'expect.<name>' =
     * '<boolean SQL>'` property gates every batch INSERT — a violating
@@ -621,7 +663,8 @@ class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces
             import org.apache.spark.sql.functions.{col => fcol}
             val shaped = bucket match {
               case Some((c, n)) =>
-                val p = cast.repartition(n, fcol(c))
+                val p = cast.repartition(
+                  n * GraftTableProps.bucketFanout(props, n), fcol(c))
                 if (sortCols.isEmpty) p
                 else p.sortWithinPartitions(sortCols.map(fcol): _*)
               case None =>
@@ -979,13 +1022,16 @@ private[dsv2] class SnapshotCatalogTable(
               }
               import org.apache.spark.sql.functions.{col => fcol}
               // bucketing wins the partitioning (an explicit
-              // repartition — AQE never coalesces it, so exactly n
-              // single-bucket files land); sort_cols then order rows
+              // repartition — AQE never coalesces it, so exactly
+              // n·fanout single-bucket files land; see bucketFanout
+              // for why k·n-way murmur3 placement never mixes
+              // buckets in a task); sort_cols then order rows
               // WITHIN each bucket file for stats tightness
               def shape(df: org.apache.spark.sql.DataFrame)
                   : org.apache.spark.sql.DataFrame = bucket match {
                 case Some((c, n)) =>
-                  val p = df.repartition(n, fcol(c))
+                  val p = df.repartition(
+                    n * GraftTableProps.bucketFanout(props, n), fcol(c))
                   if (sortCols.isEmpty) p
                   else p.sortWithinPartitions(sortCols.map(fcol): _*)
                 case None =>

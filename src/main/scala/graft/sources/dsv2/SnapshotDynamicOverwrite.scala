@@ -61,7 +61,11 @@ private[dsv2] class SnapshotDynamicOverwriteWrite(
     case Some((c, _)) => Distributions.clustered(Array(Expressions.column(c)))
     case None => Distributions.unspecified()
   }
-  override def requiredNumPartitions(): Int = bucketOf.map(_._2).getOrElse(0)
+  override def requiredNumPartitions(): Int =
+    // k·n murmur3 placement keeps every task single-bucket — see
+    // GraftTableProps.bucketFanout
+    bucketOf.map { case (_, n) =>
+      n * GraftTableProps.bucketFanout(props, n) }.getOrElse(0)
   override def requiredOrdering(): Array[SortOrder] =
     sortColsOf.map(c =>
       Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
@@ -186,7 +190,8 @@ private[dsv2] class SnapshotDynamicOverwriteWrite(
       val bucket = bucketOf
       def shape(df: DataFrame): DataFrame = bucket match {
         case Some((bc, n)) =>
-          val part = df.repartition(n, col(bc))
+          val part = df.repartition(
+            n * GraftTableProps.bucketFanout(p, n), col(bc))
           if (sortCols.isEmpty) part
           else part.sortWithinPartitions(sortCols.map(col): _*)
         case None =>

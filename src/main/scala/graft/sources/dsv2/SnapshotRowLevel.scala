@@ -516,7 +516,10 @@ private[dsv2] class SnapshotDmlWriteBuilder(
         case None => Distributions.unspecified()
       }
       override def requiredNumPartitions(): Int =
-        dmlBucket.map(_._2).getOrElse(0)
+        // k·n murmur3 placement keeps every task single-bucket
+        // (pmod(hash, n) = p mod n) — see GraftTableProps.bucketFanout
+        dmlBucket.map { case (_, n) =>
+          n * GraftTableProps.bucketFanout(props, n) }.getOrElse(0)
       override def requiredOrdering(): Array[SortOrder] =
         sortCols.map(c => Expressions.sort(
           Expressions.column(c),

@@ -310,7 +310,8 @@ object ScaleProbe {
     if (Seq("sql_dml_pruned", "sql_dml_unpruned", "sql_dml_merge",
       "stream_cdf_drain", "sql_dml_mor", "sorted_write", "wap_publish",
       "spj_join", "spj_join_plain", "partitioned_write",
-      "dml_rebucket", "replace_where", "dynamic_overwrite").exists(wanted)) {
+      "dml_rebucket", "replace_where", "dynamic_overwrite",
+      "dynamic_overwrite_multi", "fanout_write").exists(wanted)) {
       spark.conf.set("spark.sql.catalog.gprobe",
         classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
       spark.conf.set("spark.sql.catalog.gprobe.root", scaledBase)
@@ -449,6 +450,47 @@ object ScaleProbe {
               col("event_type"), col("ts"))
             .repartition(8, col("event_type"))
             .createOrReplaceTempView(s"probe_part_src_f$f")
+        }
+        // r16 multi-transform dynamic-overwrite fixture: a
+        // (days(ts) × event_type) table with the full scaled history;
+        // the timed op backfills ONE (day, type) tuple
+        if (wanted("dynamic_overwrite_multi")) {
+          spark.sql(s"CREATE TABLE gprobe.f$f.snap_dynm " +
+            "(event_id BIGINT, event_type STRING, ts TIMESTAMP) " +
+            "PARTITIONED BY (days(ts), event_type)")
+          replicate(
+            graft.Tables.events(spark, sfDir)
+              .select("event_id", "event_type", "ts"), f)
+            .select((col("event_id") + col("k") * 1000000000L).as("event_id"),
+              col("event_type"), col("ts"))
+            .createOrReplaceTempView(s"probe_dynm_src_f$f")
+          spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+          try spark.sql(s"INSERT INTO gprobe.f$f.snap_dynm " +
+            s"SELECT event_id, event_type, ts FROM probe_dynm_src_f$f")
+          finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+        }
+        // r16 fanout-write fixture: two co-bucketed 8-bucket tables,
+        // one with write fanout, one with the bucket_n ceiling; the
+        // timed op inserts the SAME scaled batch into both and pins
+        // that fanout files stay single-bucket and SPJ-compatible
+        if (wanted("fanout_write")) {
+          spark.sql(s"CREATE TABLE gprobe.f$f.fan_a " +
+            "(event_id BIGINT, event_type STRING, payload STRING) " +
+            "TBLPROPERTIES ('bucket_cols' = 'event_id', 'bucket_n' = '8', " +
+            "'bucket_write_fanout' = 'auto')")
+          spark.sql(s"CREATE TABLE gprobe.f$f.fan_b " +
+            "(event_id BIGINT, event_type STRING, payload STRING) " +
+            "TBLPROPERTIES ('bucket_cols' = 'event_id', 'bucket_n' = '8')")
+          // a ~1 KB INCOMPRESSIBLE payload (32 distinct md5 blocks —
+          // a repeated block would compress away and the probe would
+          // measure task overhead) makes the REDUCE side (shuffle
+          // read + parquet encode) dominate: the regime the fanout
+          // exists for (per-bucket gigabytes on a real cluster)
+          ev.select(col("event_id"), col("event_type"),
+            expr("concat_ws('', transform(sequence(1, 32), " +
+              "i -> md5(concat(cast(event_id as string), '_', i))))")
+              .as("payload"))
+            .createOrReplaceTempView(s"probe_fan_src_f$f")
         }
         // r15 auto-rebucket fixture: two co-bucketed tables; the timed
         // op is a scattered DELETE (hash layout = every file holds
@@ -1129,6 +1171,92 @@ object ScaleProbe {
           require(before.intersect(after).nonEmpty,
             "untouched-day files must carry by reference")
           spark.range(1).toDF()
+        }),
+        // MULTI-transform dynamic overwrite at volume: backfill ONE
+        // (day, type) tuple of the (days(ts) × event_type) history —
+        // the same day's OTHER types and every other day carry by
+        // reference, so the wall is bounded by the tuple, never the
+        // table (in-op requires: one commit, files carried, same-day
+        // other-type rows intact)
+        "dynamic_overwrite_multi" -> (() => {
+          val dir = s"$scaledBase/f$f/snap_dynm"
+          val vBefore = graft.sources.SnapshotTable.versions(spark, dir).last
+          val before = graft.sources.SnapshotTable
+            .readManifest(spark, dir, vBefore).entries.map(_.path).toSet
+          val r0 = spark.sql(
+            s"SELECT CAST(min(ts) AS DATE), min(event_type) " +
+              s"FROM gprobe.f$f.snap_dynm").head()
+          val d0 = r0.getDate(0); val t0 = r0.getString(1)
+          val othersBefore = spark.sql(
+            s"SELECT count(*) FROM gprobe.f$f.snap_dynm " +
+              s"WHERE CAST(ts AS DATE) = DATE '$d0' AND event_type <> '$t0'")
+            .head().getLong(0)
+          val prevMode =
+            spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          try spark.sql(s"INSERT OVERWRITE gprobe.f$f.snap_dynm " +
+            s"SELECT event_id, event_type, ts FROM probe_dynm_src_f$f " +
+            s"WHERE CAST(ts AS DATE) = DATE '$d0' AND event_type = '$t0' " +
+            "AND event_id % 2 = 0")
+          finally prevMode.fold(
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+          val vAfter = graft.sources.SnapshotTable.versions(spark, dir).last
+          require(vAfter == vBefore + 1,
+            "multi-transform dynamic overwrite must be ONE commit")
+          val after = graft.sources.SnapshotTable
+            .readManifest(spark, dir, vAfter).entries.map(_.path).toSet
+          require(before.intersect(after).nonEmpty,
+            "untouched-tuple files must carry by reference")
+          require(spark.sql(
+            s"SELECT count(*) FROM gprobe.f$f.snap_dynm " +
+              s"WHERE CAST(ts AS DATE) = DATE '$d0' AND event_type <> '$t0'")
+            .head().getLong(0) == othersBefore,
+            "the touched day's OTHER types must survive")
+          spark.range(1).toDF()
+        }),
+        // bucketed-write FANOUT at volume: the same N× batch lands in
+        // an 8-bucket table once with fanout (k·8 tasks) and once at
+        // the bucket_n ceiling (8 tasks); the printed walls are the
+        // cores-scaling evidence, the requires pin that fanout files
+        // stay single-bucket and the two layouts join exchange-free
+        "fanout_write" -> (() => {
+          spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+          val (wallFan, wallCeil) = try {
+            def timed(tbl: String, limit: String = ""): Double = {
+              val t0 = System.nanoTime()
+              spark.sql(s"INSERT INTO gprobe.f$f.$tbl " +
+                s"SELECT event_id, event_type, payload " +
+                s"FROM probe_fan_src_f$f $limit")
+              (System.nanoTime() - t0) / 1e9
+            }
+            // tiny warm-up first: the first timed SQL in a JVM pays
+            // whole-stage codegen for both modes
+            timed("fan_b", "LIMIT 1000")
+            (timed("fan_a"), timed("fan_b"))
+          } finally spark.conf.unset(
+            "spark.sql.adaptive.coalescePartitions.enabled")
+          println(f"SCALE-FANOUT factor=$f fanout_wall=$wallFan%.2f " +
+            f"ceiling_wall=$wallCeil%.2f")
+          val dirA = s"$scaledBase/f$f/fan_a"
+          val m = graft.sources.SnapshotTable.readManifest(spark, dirA,
+            graft.sources.SnapshotTable.versions(spark, dirA).last)
+          val live = m.entries.filter(_.rows > 0)
+          require(live.size > 8,
+            s"fanout must land more files than bucket_n, got ${live.size}")
+          require(live.forall(_.stats.contains("__bucket:event_id:8")),
+            "every fanout file must stay single-bucket")
+          spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          // exchange-free requirement scopes to the JOIN subtree (the
+          // event_type aggregate above it legitimately shuffles)
+          val j = spark.sql(s"SELECT a.event_id " +
+            s"FROM gprobe.f$f.fan_a a JOIN gprobe.f$f.fan_b b " +
+            "ON a.event_id = b.event_id")
+          require(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+            "fanout and ceiling layouts must join exchange-free:\n" +
+              j.queryExecution.executedPlan.toString)
+          j.groupBy().count()
         }),
         // auto-rebucket THROUGH DML at volume: a scattered DELETE on a
         // bucket-declared table (hash layout: every file holds

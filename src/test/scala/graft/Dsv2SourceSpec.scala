@@ -1939,6 +1939,95 @@ class Dsv2SourceSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+  test("bucket_write_fanout lifts the bucket_n write-parallelism ceiling; files stay single-bucket, SPJ intact") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.sources.SnapshotTable
+    def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
+      p.collect(pf) ++ p.collect {
+        case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
+        case q: QueryStageExec => collectAll(q.plan)(pf)
+      }.flatten
+    val root = java.nio.file.Files.createTempDirectory("snap_fanout").toString
+    spark.conf.set("spark.sql.catalog.gfo",
+      classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gfo.root", root)
+    new java.io.File(s"$root/ns").mkdirs()
+    val dir = s"$root/ns/t"
+    // a 2-bucket table that asks for 4-way write fanout: inserts land
+    // on 8 tasks, not 2 — the ceiling an 8-bucket table would impose
+    // on a 1000-core cluster, shrunk to spec scale
+    spark.sql("CREATE TABLE gfo.ns.t (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('bucket_cols' = 'id', 'bucket_n' = '2', " +
+      "'bucket_write_fanout' = '4')")
+    spark.sql("INSERT INTO gfo.ns.t SELECT id, concat('v', id) FROM range(0, 1000)")
+    val m = SnapshotTable.readManifest(spark, dir,
+      SnapshotTable.versions(spark, dir).last)
+    val live = m.entries.filter(_.rows > 0)
+    assert(live.size > 2,
+      s"fanout must land more files than bucket_n, got ${live.size}")
+    // every file still provably single-bucket (the k·n murmur3
+    // placement invariant) — the SPJ merge depends on it
+    assert(live.forall(_.stats.contains("__bucket:id:2")),
+      s"every fanout file must carry a single-valued __bucket stat")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.sql(
+        "SELECT a.id FROM gfo.ns.t a JOIN gfo.ns.t b ON a.id = b.id")
+      assert(joined.count() == 1000L)
+      assert(collectAll(joined.queryExecution.executedPlan) {
+        case e: ShuffleExchangeExec => e }.isEmpty,
+        "fanout files must still join exchange-free")
+      // DML rides the same fanout and keeps the layout
+      spark.sql("DELETE FROM gfo.ns.t WHERE id % 10 = 3")
+      val joined2 = spark.sql(
+        "SELECT a.id FROM gfo.ns.t a JOIN gfo.ns.t b ON a.id = b.id")
+      assert(joined2.count() == 900L)
+      assert(collectAll(joined2.queryExecution.executedPlan) {
+        case e: ShuffleExchangeExec => e }.isEmpty,
+        "post-DML fanout files must still join exchange-free")
+      // bucket-aware compaction sweeps the fanout's file tail WITHIN
+      // buckets: census shrinks, layout stays armed
+      val beforeCompact = SnapshotTable.readManifest(spark, dir,
+        SnapshotTable.versions(spark, dir).last).entries.count(_.rows > 0)
+      spark.sql("CALL gfo.system.compact('ns.t')").collect()
+      val mC = SnapshotTable.readManifest(spark, dir,
+        SnapshotTable.versions(spark, dir).last)
+      val liveC = mC.entries.filter(_.rows > 0)
+      assert(liveC.size < beforeCompact,
+        s"compaction must shrink the fanout census: $beforeCompact -> ${liveC.size}")
+      assert(liveC.forall(_.stats.contains("__bucket:id:2")),
+        "compacted files must keep single-valued __bucket stats")
+      val joined3 = spark.sql(
+        "SELECT a.id FROM gfo.ns.t a JOIN gfo.ns.t b ON a.id = b.id")
+      assert(joined3.count() == 900L)
+      assert(collectAll(joined3.queryExecution.executedPlan) {
+        case e: ShuffleExchangeExec => e }.isEmpty,
+        "post-compaction files must still join exchange-free")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+    // 'auto' sizes k to the cluster; a fanout-less table keeps today's
+    // exactly-n placement; fanout without a bucket layout refuses
+    spark.sql("CREATE TABLE gfo.ns.auto (id BIGINT) " +
+      "TBLPROPERTIES ('bucket_cols' = 'id', 'bucket_n' = '2', " +
+      "'bucket_write_fanout' = 'auto')")
+    spark.sql("INSERT INTO gfo.ns.auto SELECT id FROM range(0, 1000)")
+    assert(spark.sql("SELECT count(*) FROM gfo.ns.auto").head().getLong(0) == 1000L)
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gfo.ns.bad (id BIGINT) " +
+        "TBLPROPERTIES ('bucket_write_fanout' = '4')")
+    }
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gfo.ns.bad2 (id BIGINT) " +
+        "TBLPROPERTIES ('bucket_cols' = 'id', 'bucket_n' = '2', " +
+        "'bucket_write_fanout' = '0')")
+    }
+  }
+
   test("REPLACE WHERE: filter-scoped atomic overwrite — file-granular, one commit, time-travelable") {
     import graft.sources.SnapshotTable
     val root = java.nio.file.Files.createTempDirectory("snap_rw").toString
@@ -2325,7 +2414,8 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM godds.ns.t").head().getLong(0) == 1L)
   }
 
-  test("layout guards: compact refuses on bucketed tables; bucket column rename/drop refuses") {
+  test("layout guards: compact on bucketed tables is bucket-aware; bucket column rename/drop refuses") {
+    import graft.sources.SnapshotTable
     val root = java.nio.file.Files.createTempDirectory("snap_guard").toString
     spark.conf.set("spark.sql.catalog.gguard",
       classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
@@ -2334,10 +2424,23 @@ class Dsv2SourceSpec extends SparkSpec {
     spark.sql("CREATE TABLE gguard.ns.t (id BIGINT, v STRING) " +
       "TBLPROPERTIES ('bucket_cols' = 'id', 'bucket_n' = '4')")
     spark.sql("INSERT INTO gguard.ns.t SELECT id, concat('v', id) FROM range(0, 100)")
-    val e1 = intercept[Exception] {
-      spark.sql("CALL gguard.system.compact('ns.t')").collect()
-    }
-    assert(e1.getMessage.contains("rebucket"))
+    // compact no longer refuses (r16): it merges WITHIN buckets and
+    // keeps every file single-bucket — three inserts' 12 files shrink
+    // to 4 without destroying the layout
+    spark.sql("INSERT INTO gguard.ns.t SELECT id, concat('v', id) FROM range(100, 200)")
+    spark.sql("INSERT INTO gguard.ns.t SELECT id, concat('v', id) FROM range(200, 300)")
+    val gDir = s"$root/ns/t"
+    val before = SnapshotTable.readManifest(spark, gDir,
+      SnapshotTable.versions(spark, gDir).last).entries.count(_.rows > 0)
+    spark.sql("CALL gguard.system.compact('ns.t')").collect()
+    val mAfter = SnapshotTable.readManifest(spark, gDir,
+      SnapshotTable.versions(spark, gDir).last)
+    val liveAfter = mAfter.entries.filter(_.rows > 0)
+    assert(liveAfter.size < before,
+      s"bucket-aware compact must shrink the census: $before -> ${liveAfter.size}")
+    assert(liveAfter.forall(_.stats.contains("__bucket:id:4")),
+      "compacted files must keep single-valued __bucket stats")
+    assert(spark.sql("SELECT count(*) FROM gguard.ns.t").head().getLong(0) == 300L)
     val e2 = intercept[Exception] {
       spark.sql("ALTER TABLE gguard.ns.t RENAME COLUMN id TO id2")
     }
@@ -2347,7 +2450,7 @@ class Dsv2SourceSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("bucket"))
     // the guards left the table untouched and queryable
-    assert(spark.sql("SELECT count(*) FROM gguard.ns.t").head().getLong(0) == 100L)
+    assert(spark.sql("SELECT count(*) FROM gguard.ns.t").head().getLong(0) == 300L)
     // zorder keeps refusing too (unchanged posture)
     intercept[Exception] {
       spark.sql("CALL gguard.system.zorder('ns.t', 'id', 'v')").collect()
