@@ -2543,8 +2543,12 @@ object SnapshotTable {
       val headV = versions(spark, dir).lastOption.getOrElse(
         throw new IllegalArgumentException(s"snapshot table $dir has no committed version"))
       val m = readManifest(spark, dir, headV)
+      // size from the manifest census when recorded — per-file
+      // getFileStatus over a 100 TB table's entries is exactly the
+      // listing-shaped planning the format exists to avoid
       val sized = m.entries.map(e =>
-        e -> f.getFileStatus(new Path(resolve(dir, e.path))).getLen)
+        e -> (if (e.bytes >= 0L) e.bytes
+              else f.getFileStatus(new Path(resolve(dir, e.path))).getLen))
       val (small, large) = sized.partition(_._2 < smallBytes)
       if (small.size <= 1) return headV
       val bytes = small.map(_._2).sum
@@ -2613,8 +2617,11 @@ object SnapshotTable {
           case _ => None
         }
       }
+      // manifest byte census first (metadata-only), stat only legacy
+      // entries that predate byte recording
       val sized = m.entries.map(e =>
-        e -> f.getFileStatus(new Path(resolve(dir, e.path))).getLen)
+        e -> (if (e.bytes >= 0L) e.bytes
+              else f.getFileStatus(new Path(resolve(dir, e.path))).getLen))
       val groups = sized
         .filter { case (e, len) => e.rows != 0L && len < smallBytes }
         .flatMap { case (e, len) => bucketOf(e).map(v => (v, e, len)) }

@@ -940,19 +940,24 @@ private[dsv2] class SnapshotCatalogTable(
       TableCapability.BATCH_WRITE,
       TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.STREAMING_WRITE)
-    // SQL `MERGE WITH SCHEMA EVOLUTION INTO`: the analyzer's
-    // ResolveMergeIntoSchemaEvolution calls alterTable with the
-    // source's new/widened columns, then the MERGE runs against the
-    // reloaded schema — exactly the API merge's widen/retain
-    // semantics. DOUBLE opt-in (the Delta/Iceberg posture): the
-    // statement's own WITH SCHEMA EVOLUTION clause AND a table
-    // property — a capability advertised unconditionally would let a
-    // fat-fingered source column silently reshape the table.
-    val evolve = GraftTableProps.read(spark, dir)
-      .get("merge_schema_evolution").exists(_.equalsIgnoreCase("true"))
-    (if (evolve) base + TableCapability.AUTOMATIC_SCHEMA_EVOLUTION
+    (if (mergeEvolveOptIn) base + TableCapability.AUTOMATIC_SCHEMA_EVOLUTION
      else base).asJava
   }
+
+  /** SQL `MERGE WITH SCHEMA EVOLUTION INTO`: the analyzer's
+    * ResolveMergeIntoSchemaEvolution calls alterTable with the
+    * source's new/widened columns, then the MERGE runs against the
+    * reloaded schema — exactly the API merge's widen/retain
+    * semantics. DOUBLE opt-in (the Delta/Iceberg posture): the
+    * statement's own WITH SCHEMA EVOLUTION clause AND a table
+    * property — a capability advertised unconditionally would let a
+    * fat-fingered source column silently reshape the table. Lazy:
+    * capabilities() fires several times per analysis, and an uncached
+    * properties read would be a filesystem RPC each — per-instance
+    * staleness is bounded by loadTable, like the schema itself. */
+  private lazy val mergeEvolveOptIn: Boolean =
+    GraftTableProps.read(spark, dir)
+      .get("merge_schema_evolution").exists(_.equalsIgnoreCase("true"))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val opts = new util.HashMap[String, String](options.asCaseSensitiveMap())

@@ -2321,6 +2321,23 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gmse.ns.t WHERE score > 60")
       .head().getLong(0) == 1L)
     assert(spark.table("gmse.ns.t").filter(col("score").isNull).count() == 9L)
+    // TYPE WIDENING through the same path: a source whose existing
+    // column is wider (INT -> BIGINT) widens the table before merging
+    spark.sql("CREATE TABLE gmse.ns.w (id BIGINT, n INT) " +
+      "TBLPROPERTIES ('merge_schema_evolution' = 'true')")
+    spark.sql("INSERT INTO gmse.ns.w SELECT id, CAST(id AS INT) FROM range(0, 5)")
+    Seq((3L, 5000000000L)).toDF("id", "n").createOrReplaceTempView("mse_wide")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO gmse.ns.w t USING mse_wide s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    assert(spark.table("gmse.ns.w").schema("n").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "the merge must widen INT n to BIGINT")
+    assert(spark.sql("SELECT n FROM gmse.ns.w WHERE id = 3").head().getLong(0)
+      == 5000000000L)
+    assert(spark.sql("SELECT CAST(sum(n) AS BIGINT) FROM gmse.ns.w")
+      .head().getLong(0) == 5000000007L)
   }
 
   test("graft_table_partitions answers SHOW PARTITIONS from the manifest alone — zero data I/O") {
@@ -2373,6 +2390,16 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(multi.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(
       ("days(ts)=2023-11-15/region=a", 5L),
       ("days(ts)=2023-11-15/region=b", 5L)), multi.mkString(", "))
+    // bucket transforms census from the per-file __bucket stats
+    spark.sql("CREATE TABLE gsp.ns.bk (id BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(2, id))")
+    spark.sql("INSERT INTO gsp.ns.bk SELECT id, concat('v', id) FROM range(0, 100)")
+    val bk = spark.sql(
+      "SELECT partition, n_rows FROM graft_table_partitions('gsp.ns.bk') " +
+        "ORDER BY partition").collect()
+    assert(bk.map(_.getString(0)).toSeq == Seq("bucket(2,id)=0", "bucket(2,id)=1"),
+      bk.mkString(", "))
+    assert(bk.map(_.getLong(1)).sum == 100L)
     // an unpartitioned table refuses loudly
     spark.sql("CREATE TABLE gsp.ns.flat (id BIGINT)")
     intercept[Exception] {
