@@ -1457,6 +1457,37 @@ object SnapshotTable {
           bad.map { case (n, c) => s"$n=$c" }.mkString("[", ", ", "]"))
   }
 
+  /** Expectations gate for ALREADY-LANDED batch files (the v2 write
+    * paths — DML rewrites, streaming epochs, dynamic overwrite — land
+    * files before the driver-side commit): one scan of the delta-sized
+    * batch, refusing the WHOLE commit on any violation. The landed
+    * files are swept by the write's abort / the orphan GC. */
+  private[graft] def checkExpectationsFiles(
+      spark: SparkSession, dir: String, relPaths: Seq[String],
+      expectations: Seq[(String, String)]): Unit =
+    if (expectations.nonEmpty && relPaths.nonEmpty)
+      checkExpectations(
+        spark.read.parquet(relPaths.map(p => s"$dir/$p"): _*),
+        expectations, dir)
+
+  /** Declare-time validation: SETTING an expectation on a table with
+    * standing rows scans them ONCE and refuses if any violate — the
+    * Delta ADD CONSTRAINT posture. Without this, the first write
+    * touching a legacy file would refuse on rows the write never
+    * changed, turning maintenance into a minefield. */
+  private[graft] def validateNewExpectations(
+      spark: SparkSession, dir: String,
+      expectations: Seq[(String, String)]): Unit = {
+    if (expectations.isEmpty || versions(spark, dir).isEmpty) return
+    try checkExpectations(read(spark, dir), expectations, dir)
+    catch {
+      case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"cannot declare expectation(s) on $dir: standing rows " +
+            s"already violate them — ${e.getMessage}", e)
+    }
+  }
+
   /** Append `df` as a new version; returns the committed version.
     * `statsCols` declares columns to record per-file min/max for —
     * the declaration is sticky (unioned into the table's existing
@@ -3194,7 +3225,12 @@ object SnapshotTable {
       pred: Option[DmlPred], rowPred: Column,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
       bucket: Option[(String, Int)] = None,
-      shape: DataFrame => DataFrame = identity): Long = {
+      shape: DataFrame => DataFrame = identity,
+      expectations: Seq[(String, String)] = Nil): Long = {
+    // expectations gate the NEW batch, same as INSERT and REPLACE
+    // WHERE — a dynamic overwrite must not be the one write path that
+    // bypasses the table's declared invariants
+    checkExpectationsFiles(spark, dir, newFiles, expectations)
     versions(spark, dir).lastOption.foreach { v =>
       if (readManifest(spark, dir, v).deletes.nonEmpty)
         applyDeletes(spark, dir): Unit

@@ -705,6 +705,18 @@ class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces
           case (m, (k, None)) => m - k
         })
         GraftTableProps.validate(next, cols, ident.toString)
+        // declare-time validation (the Delta ADD CONSTRAINT posture):
+        // a NEWLY-set/changed expectation scans the standing rows
+        // once and refuses if any violate — otherwise the first write
+        // touching a legacy file would refuse on rows it never
+        // changed, and the DML/streaming gates could never assume
+        // carried rows comply
+        val newExpects = propEdits.collect {
+          case (k, Some(v))
+            if k.startsWith("expect.") && !base0.get(k).contains(v) =>
+            k.stripPrefix("expect.") -> v
+        }
+        SnapshotTable.validateNewExpectations(spark, dir, newExpects)
         Some(next)
       }
     commits.foreach(_.apply())

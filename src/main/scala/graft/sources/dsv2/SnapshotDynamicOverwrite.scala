@@ -206,7 +206,8 @@ private[dsv2] class SnapshotDynamicOverwriteWrite(
         statsCols = statsCols,
         bloomCols = GraftTableProps.cols(p, "bloom_cols")
           .filter(info.schema().fieldNames.contains),
-        bucket = bucket, shape = shape): Unit
+        bucket = bucket, shape = shape,
+        expectations = GraftTableProps.expectations(p)): Unit
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =

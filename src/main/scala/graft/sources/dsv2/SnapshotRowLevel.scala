@@ -570,6 +570,12 @@ private[dsv2] class SnapshotDmlBatchWrite(
     }.toSeq
     require(op.scannedFiles != null,
       "row-level write committed before its scan planned — no group set")
+    // expectations gate the replacement batch: an UPDATE/MERGE must
+    // not be the write path that lets a violating value in (carried
+    // survivor rows satisfy them too — declare-time validation pins
+    // that standing rows complied when the expectation was SET)
+    SnapshotTable.checkExpectationsFiles(spark, op.dir, newFiles,
+      GraftTableProps.expectations(GraftTableProps.read(spark, op.dir)))
     SnapshotTable.commitReplaceFiles(
       spark, op.dir, op.scannedVersion, op.scannedFiles, newFiles,
       bucket = bucket): Unit

@@ -93,6 +93,12 @@ private[dsv2] class SnapshotStreamingWrite(
     // batch insert path) — sticky-unioned into the standing manifest
     // declarations by commitStreamFiles
     val props = GraftTableProps.read(spark, dir)
+    // expectations gate every epoch like every batch write: a
+    // violating micro-batch fails the query LOUDLY and publishes
+    // nothing (the epoch's files stay orphaned for GC) — a streaming
+    // ingest must not be the path that poisons the table silently
+    SnapshotTable.checkExpectationsFiles(spark, dir, relPaths,
+      GraftTableProps.expectations(props))
     SnapshotTable.commitStreamFiles(spark, dir, relPaths,
       batchId = epochId, appId = appId,
       statsCols = (cols("statsCols") ++

@@ -856,6 +856,48 @@ class Dsv2SourceSpec extends SparkSpec {
       msgs(boom).toLowerCase.contains("unsupported"), msgs(boom))
   }
 
+  test("streaming SINK: expectations gate every epoch — a violating micro-batch fails loudly, publishes nothing") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("snap_sink_exp").toString
+    spark.conf.set("spark.sql.catalog.gsexp",
+      classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsexp.root", root)
+    new java.io.File(s"$root/ns").mkdirs()
+    val sink = s"$root/ns/t"
+    spark.sql("CREATE TABLE gsexp.ns.t (id BIGINT, v STRING) TBLPROPERTIES " +
+      "('expect.v_present' = 'v IS NOT NULL')")
+    val src = s"$root/src"
+    SnapshotTable.commitAppend(
+      Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "c"))
+        .toDF("id", "v"), src)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-snapshot").load(src)
+        .writeStream.format("graft-snapshot")
+        .option("path", sink).option("appId", "expsink")
+        .option("checkpointLocation", s"$root/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val e = intercept[Exception] { drain() }
+    def rootMsg(t: Throwable): String =
+      Option(t.getCause).map(rootMsg).getOrElse(t.getMessage)
+    assert(rootMsg(e).contains("v_present"), rootMsg(e))
+    assert(spark.sql("SELECT count(*) FROM gsexp.ns.t").head().getLong(0) == 0L,
+      "a refused epoch must publish nothing")
+    // a compliant source drains fine through the same gate
+    val src2 = s"$root/src2"
+    SnapshotTable.commitAppend(Seq((1L, "a"), (3L, "c")).toDF("id", "v"), src2)
+    val q2 = spark.readStream.format("graft-snapshot").load(src2)
+      .writeStream.format("graft-snapshot")
+      .option("path", sink).option("appId", "expsink2")
+      .option("checkpointLocation", s"$root/ck2")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.sql("SELECT count(*) FROM gsexp.ns.t").head().getLong(0) == 2L)
+  }
+
   test("streaming SINK: table-to-table pipeline, exactly-once across fresh-checkpoint redelivery") {
     import spark.implicits._
     import graft.sources.SnapshotTable
@@ -1581,6 +1623,63 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(spark.table("gexp.ns.t").columns.contains("w"))
   }
 
+  test("expectations gate EVERY write path: DML rewrites and declare-time validation") {
+    import graft.sources.SnapshotTable
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_expect_all").toString
+    spark.conf.set("spark.sql.catalog.gexa",
+      classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gexa.root", root)
+    new java.io.File(s"$root/ns").mkdirs()
+    val dir = s"$root/ns/t"
+    spark.sql("CREATE TABLE gexa.ns.t (id BIGINT, v STRING) TBLPROPERTIES " +
+      "('expect.v_present' = 'v IS NOT NULL')")
+    spark.sql("INSERT INTO gexa.ns.t SELECT id, concat('v', id) FROM range(0, 50)")
+    val headBefore = SnapshotTable.versions(spark, dir).last
+    // an UPDATE must not be the write path that lets a violating
+    // value in: the rewrite refuses, nothing publishes
+    intercept[Exception] {
+      spark.sql("UPDATE gexa.ns.t SET v = NULL WHERE id = 7")
+    }
+    assert(SnapshotTable.versions(spark, dir).last == headBefore,
+      "a refused DML rewrite must publish nothing")
+    assert(spark.sql("SELECT count(*) FROM gexa.ns.t WHERE v IS NULL")
+      .head().getLong(0) == 0L)
+    // ... same for MERGE output
+    Seq((5L, null.asInstanceOf[String])).toDF("id", "v")
+      .createOrReplaceTempView("exa_src")
+    intercept[Exception] {
+      spark.sql("""MERGE INTO gexa.ns.t t USING exa_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    }
+    assert(spark.sql("SELECT count(*) FROM gexa.ns.t WHERE v IS NULL")
+      .head().getLong(0) == 0L)
+    // a compliant UPDATE passes the same gate
+    spark.sql("UPDATE gexa.ns.t SET v = 'patched' WHERE id = 7")
+    assert(spark.sql("SELECT v FROM gexa.ns.t WHERE id = 7")
+      .head().getString(0) == "patched")
+    // declare-time validation (the ADD CONSTRAINT posture): setting
+    // an expectation standing rows already violate refuses at ALTER
+    spark.sql("INSERT INTO gexa.ns.t VALUES (-3, 'neg')")
+    val eDecl = intercept[Exception] {
+      spark.sql("ALTER TABLE gexa.ns.t SET TBLPROPERTIES " +
+        "('expect.positive_id' = 'id >= 0')")
+    }
+    def rootMsg(t: Throwable): String =
+      Option(t.getCause).map(rootMsg).getOrElse(t.getMessage)
+    assert(rootMsg(eDecl).contains("standing rows") ||
+      eDecl.getMessage.contains("standing rows"), rootMsg(eDecl))
+    // the refused declaration is not armed: compliant inserts proceed
+    spark.sql("INSERT INTO gexa.ns.t VALUES (100, 'ok')")
+    // clean the violator, then the declaration goes through and gates
+    spark.sql("DELETE FROM gexa.ns.t WHERE id < 0")
+    spark.sql("ALTER TABLE gexa.ns.t SET TBLPROPERTIES " +
+      "('expect.positive_id' = 'id >= 0')")
+    intercept[Exception] {
+      spark.sql("INSERT INTO gexa.ns.t VALUES (-1, 'x')")
+    }
+  }
+
   test("advanced SQL DML forms: IN-subquery DELETE, multi-WHEN MERGE with conditions and DELETE, NOT MATCHED BY SOURCE") {
     val root = java.nio.file.Files.createTempDirectory("snap_dml_adv").toString
     spark.conf.set("spark.sql.catalog.gadv",
@@ -2079,8 +2178,14 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM grw.ns.t WHERE id >= 90 AND id < 200")
       .head().getLong(0) == 0L)
     // expectations gate the NEW batch: a violating replacement refuses
-    // the WHOLE commit and the table is untouched
-    spark.sql("ALTER TABLE grw.ns.t SET TBLPROPERTIES ('expect.pos' = 'id >= 0')")
+    // the WHOLE commit and the table is untouched (null-tolerant
+    // predicate — declare-time validation (r16) refuses a declaration
+    // the standing nullrow would violate, which is its own contract)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE grw.ns.t SET TBLPROPERTIES ('expect.pos' = 'id >= 0')")
+    }
+    spark.sql("ALTER TABLE grw.ns.t SET TBLPROPERTIES " +
+      "('expect.pos' = 'id >= 0 OR id IS NULL')")
     val before = spark.sql("SELECT count(*) FROM grw.ns.t").head().getLong(0)
     intercept[Exception] {
       spark.sql("INSERT INTO grw.ns.t REPLACE WHERE id < 10 " +
@@ -2178,6 +2283,20 @@ class Dsv2SourceSpec extends SparkSpec {
         "only the batch's (day, region) tuple may be replaced")
       // ONE commit = atomic replacement
       assert(SnapshotTable.versions(spark, mDir).last == mBefore + 1)
+      // expectations gate the dynamic batch like every other write:
+      // a violating backfill refuses the WHOLE commit, table untouched
+      spark.sql("ALTER TABLE gdyn.ns.reg SET TBLPROPERTIES " +
+        "('expect.pos' = 'id >= 0')")
+      val regBefore = spark.sql("SELECT count(*) FROM gdyn.ns.reg")
+        .head().getLong(0)
+      val eExp = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE gdyn.ns.reg VALUES (CAST(-5 AS BIGINT), 'b')")
+      }
+      assert(eExp.getMessage.contains("expectation") ||
+        Option(eExp.getCause).exists(_.getMessage.contains("expectation")))
+      assert(spark.sql("SELECT count(*) FROM gdyn.ns.reg")
+        .head().getLong(0) == regBefore,
+        "a refused dynamic overwrite must publish nothing")
       // truncate/bucket transforms still refuse with a pointer
       spark.sql("CREATE TABLE gdyn.ns.trunc (id BIGINT, name STRING) " +
         "PARTITIONED BY (truncate(2, name))")
