@@ -1618,13 +1618,16 @@ object SnapshotTable {
   /** Drop a lost-race orphan batch: the data dir AND its `_blooms`
     * sidecar mirror (no manifest names either). */
   private[graft] def dropOrphanBatch(
-      spark: SparkSession, dir: String, batchFiles: Seq[String]): Unit =
-    batchFiles.headOption.foreach { p =>
-      val batch = p.split('/').head
-      val f = fs(spark, dir)
+      spark: SparkSession, dir: String, batchFiles: Seq[String]): Unit = {
+    // sweep EVERY batch dir named by the list — a multi-group commit
+    // (bucket-aware compaction writes one batch per bucket) loses its
+    // race as a whole, so all of its batch dirs are orphans
+    val f = fs(spark, dir)
+    batchFiles.map(_.split('/').head).distinct.foreach { batch =>
       f.delete(new Path(s"$dir/$batch"), true)
       f.delete(new Path(s"$dir/_blooms/$batch"), true): Unit
     }
+  }
 
   /** The canonical bigint key a bloom records and a probe hashes: the
     * value's STRING form (dates as ISO) through xxhash64. Both sides
@@ -2273,6 +2276,25 @@ object SnapshotTable {
               if t == "days" || t == "hours" || t == "months" || t == "years" =>
               val p = truncRender(t, mn)
               if (truncRender(t, mx) == p) Some(p) else None
+            // DATE columns store ISO-string stats (the same DDL admits
+            // days(d) on DATE — the census must not call them all
+            // straddlers)
+            case (t, mn: String, mx: String)
+              if t == "days" || t == "hours" || t == "months" || t == "years" =>
+              (scala.util.Try(java.time.LocalDate.parse(mn)).toOption,
+                scala.util.Try(java.time.LocalDate.parse(mx)).toOption) match {
+                case (Some(lo), Some(hi)) =>
+                  def render(d: java.time.LocalDate): String = t match {
+                    case "days" => d.toString
+                    case "hours" => s"${d}T00" // a DATE is its day's hour 0
+                    case "months" =>
+                      f"${d.getYear}%04d-${d.getMonthValue}%02d"
+                    case "years" => f"${d.getYear}%04d"
+                  }
+                  val p = render(lo)
+                  if (render(hi) == p) Some(p) else None
+                case _ => None
+              }
             case _ => None
           }
         }
@@ -2574,12 +2596,7 @@ object SnapshotTable {
       val headV = versions(spark, dir).lastOption.getOrElse(
         throw new IllegalArgumentException(s"snapshot table $dir has no committed version"))
       val m = readManifest(spark, dir, headV)
-      // size from the manifest census when recorded — per-file
-      // getFileStatus over a 100 TB table's entries is exactly the
-      // listing-shaped planning the format exists to avoid
-      val sized = m.entries.map(e =>
-        e -> (if (e.bytes >= 0L) e.bytes
-              else f.getFileStatus(new Path(resolve(dir, e.path))).getLen))
+      val sized = sizedEntries(spark, dir, m, f)
       val (small, large) = sized.partition(_._2 < smallBytes)
       if (small.size <= 1) return headV
       val bytes = small.map(_._2).sum
@@ -2623,6 +2640,17 @@ object SnapshotTable {
     * seq), carried files keep the delete list — the compactSmallFiles
     * contract per bucket. Returns the committed (or unchanged head)
     * version. */
+  /** Per-entry byte sizes, from the manifest census when recorded —
+    * per-file getFileStatus over a 100 TB table's entries is exactly
+    * the listing-shaped planning the format exists to avoid; only
+    * legacy entries predating byte recording are stat'd. */
+  private def sizedEntries(
+      spark: SparkSession, dir: String, m: Manifest,
+      f: FileSystem): Seq[(Entry, Long)] =
+    m.entries.map(e =>
+      e -> (if (e.bytes >= 0L) e.bytes
+            else f.getFileStatus(new Path(resolve(dir, e.path))).getLen))
+
   def compactBucketsSmallFiles(
       spark: SparkSession, dir: String,
       smallBytes: Long, targetBytes: Long,
@@ -2631,6 +2659,15 @@ object SnapshotTable {
     val (c, n) = bucket
     val key = bucketStatKey(c, n)
     val f = fs(spark, dir)
+    // fold pending merge-on-read deletes FIRST (the
+    // commitReplacePartitions discipline): a delete dooming every row
+    // of a grouped bucket would otherwise rewrite to a 0-row file the
+    // single-bucket require refuses — maintenance must not dead-end on
+    // its own input
+    versions(spark, dir).lastOption.foreach { v =>
+      if (readManifest(spark, dir, v).deletes.nonEmpty)
+        applyDeletes(spark, dir): Unit
+    }
     var attempts = 0
     while (true) {
       attempts += 1
@@ -2648,11 +2685,7 @@ object SnapshotTable {
           case _ => None
         }
       }
-      // manifest byte census first (metadata-only), stat only legacy
-      // entries that predate byte recording
-      val sized = m.entries.map(e =>
-        e -> (if (e.bytes >= 0L) e.bytes
-              else f.getFileStatus(new Path(resolve(dir, e.path))).getLen))
+      val sized = sizedEntries(spark, dir, m, f)
       val groups = sized
         .filter { case (e, len) => e.rows != 0L && len < smallBytes }
         .flatMap { case (e, len) => bucketOf(e).map(v => (v, e, len)) }
@@ -2668,7 +2701,10 @@ object SnapshotTable {
           m.bloomCols, m.bloomFpp, bucket = Some(bucket))
       }
       val allBatchFiles = results.flatMap(_._1)
-      val newEntries = results.flatMap(_._2)
+      // a group folded empty (every row doomed between the fold above
+      // and this pass) simply DROPS from the census — a 0-row file
+      // carries no stats and names no bucket
+      val newEntries = results.flatMap(_._2).filter(_.rows != 0L)
       require(newEntries.forall(e => bucketOf(e).isDefined),
         s"bucket compaction on $dir produced a file without a " +
           "single-valued __bucket stat — refusing to publish")

@@ -126,7 +126,8 @@ object GraftProcedures {
         StructField("versions_expired", IntegerType, nullable = false))),
       (s, r) => {
         val dir = dirOf(cat, r, 0)
-        if (GraftTableProps.bucketSpec(GraftTableProps.read(s, dir)).isEmpty) {
+        val optProps = GraftTableProps.read(s, dir)
+        if (GraftTableProps.bucketSpec(optProps).isEmpty) {
           val rep = SnapshotTable.maintainTable(s, dir,
             smallBytes = r.getLong(1), targetBytes = r.getLong(2),
             orphanGraceMs = r.getLong(3), keepVersions = r.getInt(4))
@@ -137,8 +138,7 @@ object GraftProcedures {
           // a BUCKET-declared table compacts WITHIN buckets (r16):
           // fold, bucket-aware compact, sweep, expire — same pass,
           // layout preserved (files merge only inside their bucket)
-          val bucket = GraftTableProps.bucketSpec(
-            GraftTableProps.read(s, dir)).get
+          val bucket = GraftTableProps.bucketSpec(optProps).get
           val pending = SnapshotTable.pendingDeletes(s, dir).size
           val headBefore = SnapshotTable.versions(s, dir).last
           val folded =

@@ -385,10 +385,12 @@ class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces
       t.name().toLowerCase match {
         case "years" | "months" | "days" | "hours"
           if !(cType == org.apache.spark.sql.types.TimestampType ||
-               cType == org.apache.spark.sql.types.TimestampNTZType ||
                cType == org.apache.spark.sql.types.DateType) =>
           // catch the type mistake at DDL, not as a confusing
-          // NULL-partition error at dynamic-overwrite time
+          // NULL-partition error at dynamic-overwrite time. NTZ is
+          // refused HERE too: the manifest stats recorder has no
+          // timestamp_ntz canonical form, so admitting it would just
+          // move the failure to the first INSERT
           throw new IllegalArgumentException(
             s"PARTITIONED BY ${t.name().toLowerCase}($c): temporal " +
               s"transforms need a TIMESTAMP or DATE column, '$c' is $cType")

@@ -116,15 +116,19 @@ private[dsv2] class SnapshotDynamicOverwriteWrite(
         case ("identity", c) => col(c)
         case (fn, c) => date_trunc(unitOf(fn), col(c))
       }
-      // ONE delta-sized pass learns the touched partition TUPLES
-      val tupleRows = delta.select(keyCols: _*).distinct().collect()
+      // ONE delta-sized pass learns the touched partition TUPLES.
+      // The collect itself is LIMIT-bounded: the 10k refusal must not
+      // first materialize a pathological batch's millions of tuples
+      // on the driver.
+      val tupleRows =
+        delta.select(keyCols: _*).distinct().limit(10001).collect()
       if (tupleRows.isEmpty) {
         // files but zero rows: the batch names no partitions — no-op
         SnapshotTable.dropOrphanBatch(s, dir, newFiles)
         return
       }
       require(tupleRows.length <= 10000,
-        s"dynamic overwrite on $dir touches ${tupleRows.length} partition " +
+        s"dynamic overwrite on $dir touches over 10000 partition " +
           "tuples — bound the batch or use REPLACE WHERE")
       tupleRows.foreach { r =>
         spec.indices.foreach(i => require(!r.isNullAt(i),

@@ -526,7 +526,8 @@ private[dsv2] class SnapshotDmlWriteBuilder(
           org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
           .toArray
       override def toBatch: BatchWrite =
-        new SnapshotDmlBatchWrite(op, info.schema(), dmlBucket)
+        new SnapshotDmlBatchWrite(op, info.schema(), dmlBucket,
+          GraftTableProps.expectations(props))
       override def description(): String =
         s"graft-snapshot-dml-write dir=${op.dir}" +
           dmlBucket.fold("")(b => s" bucket=${b._1}/${b._2}")
@@ -539,7 +540,8 @@ private[dsv2] final case class SnapshotDmlCommit(relPaths: Seq[String])
 
 private[dsv2] class SnapshotDmlBatchWrite(
     op: SnapshotRowLevelOperation, writeSchema: StructType,
-    bucket: Option[(String, Int)] = None) extends BatchWrite {
+    bucket: Option[(String, Int)] = None,
+    expectations: Seq[(String, String)] = Nil) extends BatchWrite {
 
   // one batch dir per command execution; files land under it and the
   // commit names them in the manifest — a crash before publish leaves
@@ -573,9 +575,10 @@ private[dsv2] class SnapshotDmlBatchWrite(
     // expectations gate the replacement batch: an UPDATE/MERGE must
     // not be the write path that lets a violating value in (carried
     // survivor rows satisfy them too — declare-time validation pins
-    // that standing rows complied when the expectation was SET)
+    // that standing rows complied when the expectation was SET).
+    // Captured at write-build time — no extra props read per commit.
     SnapshotTable.checkExpectationsFiles(spark, op.dir, newFiles,
-      GraftTableProps.expectations(GraftTableProps.read(spark, op.dir)))
+      expectations)
     SnapshotTable.commitReplaceFiles(
       spark, op.dir, op.scannedVersion, op.scannedFiles, newFiles,
       bucket = bucket): Unit

@@ -2509,6 +2509,25 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(multi.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(
       ("days(ts)=2023-11-15/region=a", 5L),
       ("days(ts)=2023-11-15/region=b", 5L)), multi.mkString(", "))
+    // DATE partition columns census from their ISO-string stats
+    spark.sql("CREATE TABLE gsp.ns.dt (id BIGINT, d DATE) " +
+      "PARTITIONED BY (days(d))")
+    Seq("2023-11-15", "2023-11-16").foreach { day =>
+      spark.sql(s"INSERT INTO gsp.ns.dt SELECT id, DATE '$day' FROM range(0, 4)")
+    }
+    val dt = spark.sql(
+      "SELECT partition, n_rows FROM graft_table_partitions('gsp.ns.dt') " +
+        "ORDER BY partition").collect()
+    assert(dt.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(
+      ("days(d)=2023-11-15", 4L), ("days(d)=2023-11-16", 4L)),
+      dt.mkString(", "))
+    // months over DATE rides the same string-stat truncation
+    spark.sql("CREATE TABLE gsp.ns.dm (id BIGINT, d DATE) " +
+      "PARTITIONED BY (months(d))")
+    spark.sql("INSERT INTO gsp.ns.dm SELECT id, DATE '2023-11-15' FROM range(0, 3)")
+    val dm = spark.sql(
+      "SELECT partition FROM graft_table_partitions('gsp.ns.dm')").collect()
+    assert(dm.map(_.getString(0)).toSeq == Seq("months(d)=2023-11"), dm.mkString(", "))
     // bucket transforms census from the per-file __bucket stats
     spark.sql("CREATE TABLE gsp.ns.bk (id BIGINT, v STRING) " +
       "PARTITIONED BY (bucket(2, id))")
