@@ -104,9 +104,35 @@ object SnapshotTable {
     * carries a higher seq) is never retro-deleted, the real formats'
     * sequence-number scoping. Rows are materialized out at read time
     * by an anti join; `applyDeletes` folds them into the data
-    * file-granularly and clears the list. */
+    * file-granularly and clears the list.
+    *
+    * The same record doubles as a POSITIONAL DELETE VECTOR when
+    * `keyCols == Seq(DvPosCol)` (the sentinel no equality delete can
+    * record — commitDeleteMoR refuses the reserved prefix): `paths`
+    * then name parquet files of (DvNameCol: data-file NAME, DvPosCol:
+    * row ordinal) pairs, and `dvFiles` records (data-file PATH →
+    * marked-position count) for every file the vector touches. A DV
+    * applies by FILE IDENTITY, not sequence: data files are immutable
+    * and never reuse names, so a row re-inserted after the DV lands in
+    * a file the vector never names. That also makes DVs schema-op
+    * IMMUNE (no column names to remap through renames/drops) and their
+    * cardinality EXACT — countRows stays metadata-only under pending
+    * DVs by subtracting `rows`, the fast path equality deletes must
+    * refuse. `tryPublish` trims a DV against the surviving entry list,
+    * so a rewriting commit (compaction) that folds some of its files
+    * can never leave the count double-subtracting. */
   private[graft] final case class DeleteFile(
-      paths: Seq[String], keyCols: Seq[String], seq: Long, rows: Long = -1L)
+      paths: Seq[String], keyCols: Seq[String], seq: Long, rows: Long = -1L,
+      dvFiles: Seq[(String, Long)] = Nil)
+
+  /** Reserved column names of the delete-vector position frames (and
+    * the read-time helper columns that apply them). The prefix is
+    * refused in user-facing key columns and at DV commit time if the
+    * table schema collides. */
+  private[graft] val DvPosCol = "__graft_dv_pos"
+  private[graft] val DvNameCol = "__graft_dv_name"
+  private[graft] def isDv(d: DeleteFile): Boolean = d.keyCols == Seq(DvPosCol)
+  private def fileName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
 
   /** One COLUMN RENAME, seq-scoped like the deletes: it applies to
     * data entries with `entry.seq < seq` only — files written AFTER
@@ -350,6 +376,14 @@ object SnapshotTable {
         d.keyCols.foreach(ks.add)
         dn.put("seq", d.seq)
         if (d.rows >= 0L) dn.put("rows", d.rows): Unit
+        if (d.dvFiles.nonEmpty) {
+          val fsArr = dn.putArray("dvFiles")
+          d.dvFiles.foreach { case (p, n) =>
+            val fn = fsArr.addObject()
+            fn.put("path", p)
+            fn.put("rows", n): Unit
+          }
+        }
       }
     }
     if (m.renames.nonEmpty) {
@@ -540,8 +574,14 @@ object SnapshotTable {
         val dn = a.get(i)
         val paths = (0 until dn.get("paths").size).map(dn.get("paths").get(_).asText)
         val keyCols = (0 until dn.get("keyCols").size).map(dn.get("keyCols").get(_).asText)
+        val dvFiles = Option(dn.get("dvFiles")).map { fa =>
+          (0 until fa.size).map { j =>
+            val fn = fa.get(j)
+            fn.get("path").asText -> fn.get("rows").asLong
+          }
+        }.getOrElse(Seq.empty)
         DeleteFile(paths, keyCols, dn.get("seq").asLong,
-          Option(dn.get("rows")).map(_.asLong).getOrElse(-1L))
+          Option(dn.get("rows")).map(_.asLong).getOrElse(-1L), dvFiles)
       }
     }.getOrElse(Seq.empty)
     val renames = Option(root.get("renames")).map { a =>
@@ -632,8 +672,27 @@ object SnapshotTable {
     * manifest rename, so readers never see a manifest naming a missing
     * segment. Returns false on a lost race (staged segment cleaned). */
   private[graft] def tryPublish(
-      spark: SparkSession, dir: String, m: Manifest,
+      spark: SparkSession, dir: String, m0: Manifest,
       carry: Seq[Segment] = Nil): Boolean = {
+    // DV invariant, enforced at the single publish choke point: a
+    // delete vector names only LIVE files. When a rewriting commit
+    // (compaction) folds some of a DV's files into fresh entries, the
+    // vanished files' marked positions leave the record — and its
+    // exact count with them — so countRows never double-subtracts
+    // rows that are already physically gone. Equality deletes pass
+    // through untouched (their seq scoping self-limits).
+    val m = if (m0.deletes.forall(!isDv(_))) m0 else {
+      val live = m0.entries.map(_.path).toSet
+      m0.copy(deletes = m0.deletes.flatMap { d =>
+        if (!isDv(d)) Some(d)
+        else {
+          val kept = d.dvFiles.filter { case (p, _) => live.contains(p) }
+          if (kept.isEmpty) None
+          else if (kept.size == d.dvFiles.size) Some(d)
+          else Some(d.copy(dvFiles = kept, rows = kept.map(_._2).sum))
+        }
+      })
+    }
     val f = fs(spark, dir)
     f.mkdirs(new Path(s"$dir/$ManifestDir"))
     val (kept0, residue0) = layoutSegments(m.entries, carry)
@@ -753,12 +812,35 @@ object SnapshotTable {
     * frames). The common no-pending-deletes case is exactly the old
     * single scan. */
   private[graft] def entriesFrame(
-      spark: SparkSession, dir: String, m: Manifest, entries: Seq[Entry]): DataFrame = {
+      spark: SparkSession, dir: String, m: Manifest, entries: Seq[Entry]): DataFrame =
+    entriesFrameMeta(spark, dir, m, entries, keepMeta = false)
+
+  /** entriesFrame with an option to RETAIN the per-row file-identity
+    * helpers (DvNameCol = `_metadata.file_name`, DvPosCol =
+    * `_metadata.row_index`) — the position source for delete-vector
+    * commits and the position-scoped CDC slice. The helpers are
+    * READER-GENERATED constants of the scan (no shuffle, no extra
+    * data-column read); they are added only when a pending DV needs
+    * them or the caller asks, and dropped before the frame surfaces
+    * unless asked for. */
+  private[graft] def entriesFrameMeta(
+      spark: SparkSession, dir: String, m: Manifest, entries: Seq[Entry],
+      keepMeta: Boolean): DataFrame = {
     require(entries.nonEmpty, "entriesFrame needs at least one entry")
     val dels = m.deletes.sortBy(_.seq)
     val ops = schemaOps(m)
+    val needMeta = keepMeta || dels.exists(isDv)
+    def raw(es: Seq[Entry]): DataFrame = {
+      val base = rawRead(spark, dir, es)
+      if (!needMeta) base
+      else base
+        .withColumn(DvNameCol, col("_metadata.file_name"))
+        .withColumn(DvPosCol, col("_metadata.row_index"))
+    }
+    def dropMeta(df: DataFrame): DataFrame =
+      if (needMeta && !keepMeta) df.drop(DvNameCol, DvPosCol) else df
     if (dels.isEmpty && ops.isEmpty)
-      withLiveAdds(rawRead(spark, dir, entries), m)
+      dropMeta(withLiveAdds(raw(entries), m))
     else {
       // both lists are seq-scoped, so an entry's applicable set is
       // always a SUFFIX of each — group by the two suffix starts
@@ -774,27 +856,42 @@ object SnapshotTable {
         // names (dropped generations hidden), so delete keys (mapped
         // to today's names too) and the cross-group unionByName line
         // up
-        val renamed = applySchemaOps(rawRead(spark, dir, es), ops.drop(oi))
+        val renamed = applySchemaOps(raw(es), ops.drop(oi))
         dels.drop(di).foldLeft(renamed) { (df, d) =>
-          // the delete recorded its key columns under the names
-          // CURRENT AT ITS COMMIT — map both sides to today's
-          val cur = d.keyCols.map(k => currentName(m, k, d.seq))
-          // a group whose files all predate a delete's key column
-          // reads null there under the merged schema — null never
-          // equals a key, every row survives; skip the join
-          if (!cur.forall(df.columns.contains)) df
-          else {
-            val keyFrame = d.keyCols.zip(cur)
-              .foldLeft(spark.read
+          if (isDv(d)) {
+            // positional: applies by FILE IDENTITY — a group holding
+            // none of the vector's files skips the join outright, and
+            // no column-name mapping exists to go wrong (DVs are
+            // schema-op immune by construction)
+            val names = d.dvFiles.map(p => fileName(p._1)).toSet
+            if (!es.exists(e => names.contains(fileName(e.path)))) df
+            else {
+              val dvFrame = spark.read
                 .parquet(d.paths.map(p => resolve(dir, p)): _*)
-                .select(d.keyCols.map(col): _*)) { case (kf, (o, n)) =>
-                if (o == n) kf else kf.withColumnRenamed(o, n)
-              }.distinct()
-            df.join(keyFrame, cur, "left_anti")
+                .select(col(DvNameCol), col(DvPosCol))
+              df.join(dvFrame, Seq(DvNameCol, DvPosCol), "left_anti")
+            }
+          } else {
+            // the delete recorded its key columns under the names
+            // CURRENT AT ITS COMMIT — map both sides to today's
+            val cur = d.keyCols.map(k => currentName(m, k, d.seq))
+            // a group whose files all predate a delete's key column
+            // reads null there under the merged schema — null never
+            // equals a key, every row survives; skip the join
+            if (!cur.forall(df.columns.contains)) df
+            else {
+              val keyFrame = d.keyCols.zip(cur)
+                .foldLeft(spark.read
+                  .parquet(d.paths.map(p => resolve(dir, p)): _*)
+                  .select(d.keyCols.map(col): _*)) { case (kf, (o, n)) =>
+                  if (o == n) kf else kf.withColumnRenamed(o, n)
+                }.distinct()
+              df.join(keyFrame, cur, "left_anti")
+            }
           }
         }
       }.reduce(_.unionByName(_, allowMissingColumns = true))
-      withLiveAdds(groupsJoined, m)
+      dropMeta(withLiveAdds(groupsJoined, m))
     }
   }
 
@@ -980,6 +1077,19 @@ object SnapshotTable {
   def readWhere(
       spark: SparkSession, dir: String, predicate: Column,
       version: Option[Long] = None): DataFrame = {
+    val (v, mf, ordered) = pruneWhere(spark, dir, predicate, version)
+    (if (ordered.isEmpty) read(spark, dir, Some(v)).limit(0)
+     else entriesFrame(spark, dir, mf, ordered))
+      .filter(predicate)
+  }
+
+  /** The planning-time half of [[readWhere]] — (version, manifest,
+    * pruned entry SUPERSET) for an arbitrary Catalyst predicate, so
+    * other predicate-scoped operations (delete-vector commits) share
+    * the same prune lattice without scanning the table. */
+  private[graft] def pruneWhere(
+      spark: SparkSession, dir: String, predicate: Column,
+      version: Option[Long] = None): (Long, Manifest, Seq[Entry]) = {
     import org.apache.spark.sql.catalyst.expressions.{
       And, AttributeReference, EqualTo, Expression, GreaterThan,
       GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
@@ -1094,10 +1204,7 @@ object SnapshotTable {
       case _ => None // not decomposable: prunes nothing, row filter handles it
     }
     resolved.foreach(e => pruneFor(e).foreach(k => kept = kept.intersect(k)))
-    val ordered = allEntries.filter(e => kept.contains(e.path))
-    (if (ordered.isEmpty) read(spark, dir, Some(v)).limit(0)
-     else entriesFrame(spark, dir, mf, ordered))
-      .filter(predicate)
+    (v, mf, allEntries.filter(e => kept.contains(e.path)))
   }
 
   /** The INCLUSIVE upper bound covering every string with `prefix`:
@@ -1153,13 +1260,23 @@ object SnapshotTable {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"snapshot table $dir has no committed version")
     val m = readManifest(spark, dir, version.getOrElse(vs.last))
-    requireNoPendingDeletes(m, dir, "countRows")
+    // positional delete vectors carry EXACT cardinality (their rows
+    // field counts marked positions, disjoint across pending DVs by
+    // commit-time construction and trimmed with the entry list at
+    // every publish), so COUNT stays metadata-only under pending DVs
+    // by subtraction — the fast path pending EQUALITY deletes must
+    // still refuse (a key file's row count says nothing about how
+    // many data rows match it).
+    val (dvs, eqs) = m.deletes.partition(isDv)
+    requireNoPendingDeletes(m.copy(deletes = eqs), dir, "countRows")
+    require(dvs.forall(_.rows >= 0L),
+      s"countRows on $dir: a pending delete vector lacks its exact count")
     val unknown = m.entries.filter(_.rows < 0L)
     require(unknown.isEmpty,
       s"countRows needs per-file row counts on every entry; missing on " +
         s"${unknown.map(_.path).mkString(", ")} — rewrite those files " +
         "(OPTIMIZE) or count the data directly")
-    m.entries.map(_.rows).sum
+    m.entries.map(_.rows).sum - dvs.map(_.rows).sum
   }
 
   /** COUNT(*) under an inclusive range predicate with METADATA
@@ -3060,6 +3177,32 @@ object SnapshotTable {
   private[graft] final case class PredOr(l: DmlPred, r: DmlPred) extends DmlPred
   private[graft] case object PredTrue extends DmlPred
 
+  /** A DmlPred rendered back to the EXACT row predicate it encodes —
+    * the bridge the delete-vector SQL face rides: SupportsDelete
+    * hands the source a FULLY-translated filter set (Spark only calls
+    * it when the whole WHERE converted), so this Column is the whole
+    * condition, and the DV commit needs it at row level. The null
+    * semantics match the source filters' (EqualTo/ranges are
+    * null-rejecting, like the SQL operators they came from). */
+  private[graft] def dmlPredColumn(p: DmlPred): Column = p match {
+    case PredTrue => lit(true)
+    case PredEq(c, v) => col(c) === lit(v)
+    case PredIn(c, vs) => col(c).isin(vs: _*)
+    case PredRange(c, lower, upper) =>
+      val lo = lower.map { case (v, incl) =>
+        if (incl) col(c) >= lit(v) else col(c) > lit(v) }
+      val hi = upper.map { case (v, incl) =>
+        if (incl) col(c) <= lit(v) else col(c) < lit(v) }
+      (lo, hi) match {
+        case (Some(a), Some(b)) => a && b
+        case (Some(a), None) => a
+        case (None, Some(b)) => b
+        case (None, None) => lit(true)
+      }
+    case PredAnd(l, r) => dmlPredColumn(l) && dmlPredColumn(r)
+    case PredOr(l, r) => dmlPredColumn(l) || dmlPredColumn(r)
+  }
+
   private def normDml(v: Any): Any = v match {
     case ld: java.time.LocalDate => ld.toString // ISO, the stored stat form
     case other => toStatVal(other)
@@ -3474,6 +3617,8 @@ object SnapshotTable {
       streamKey: Option[String]): Option[Long] = {
     val spark = keys.sparkSession
     require(keyCols.nonEmpty, "commitDeleteMoR needs at least one key column")
+    require(keyCols.forall(!_.startsWith("__graft_dv")),
+      "the '__graft_dv' column-name prefix is reserved for delete vectors")
     val f = fs(spark, dir)
     def writeKeys(kf: DataFrame): Seq[String] = {
       val ddir = s"delete-${UUID.randomUUID().toString}"
@@ -3557,6 +3702,124 @@ object SnapshotTable {
         return Some(next)
     }
     None // unreachable
+  }
+
+  /** DELETE by PREDICATE, merge-on-read via a POSITIONAL DELETE
+    * VECTOR: compute the (file, row-ordinal) pairs the predicate
+    * matches — over the stats/bloom-PRUNED candidate files only, on
+    * the LOGICAL rows (already-deleted rows are never re-marked, so
+    * pending-DV counts stay disjoint and exact) — land them as one
+    * delta-sized parquet vector, and commit a manifest naming it.
+    * ZERO data files rewritten at any table size, like
+    * `commitDeleteMoR`, but with NO key columns required: this is
+    * `DELETE WHERE <arbitrary predicate>` on a layout where the
+    * matches scatter (a COW delete would rewrite every touched file,
+    * an equality delete would first have to scan for the keys and
+    * then pay a key anti join on every read). Unlike equality
+    * deletes, DVs apply by FILE IDENTITY — schema-op immune (no
+    * column names to remap through renames), and sequence-safe by
+    * construction (a row re-inserted later lands in a file the
+    * vector never names) — and carry EXACT cardinality, so
+    * `countRows` stays metadata-only while they are pending (the
+    * fast path equality deletes must refuse). `applyDeletes` folds
+    * them file-granularly: only the NAMED files rewrite.
+    *
+    * Races: positions are computed against a head fingerprint
+    * (entry paths + delete list); losing a publish race to a commit
+    * that changed either RECOMPUTES from the new head — a rewrite
+    * could have moved doomed rows into files the vector never names,
+    * and stale positions must never publish. Returns the committed
+    * version, or the unchanged head when the predicate matches
+    * nothing (no empty commit). */
+  def commitDeleteVectorsWhere(
+      spark: SparkSession, dir: String, predicate: Column): Long = {
+    val f = fs(spark, dir)
+    var staged: Seq[String] = null
+    var affected: Seq[(String, Long)] = null
+    var total = -1L
+    var fingerprint: (Set[String], Seq[DeleteFile]) = null
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 20, s"DV delete on $dir lost 20 straight races; giving up")
+      val headV = versions(spark, dir).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"snapshot table $dir has no committed version"))
+      val m = readManifest(spark, dir, headV)
+      val fp = (m.entries.map(_.path).toSet, m.deletes)
+      if (staged == null || fingerprint != fp) {
+        if (staged != null) dropOrphanBatch(spark, dir, staged)
+        staged = null; affected = null; total = -1L
+        fingerprint = fp
+        // the helper columns must not collide with table columns, and
+        // no physical column may shadow the reader's metadata struct
+        val tableCols = read(spark, dir, Some(headV)).columns.toSet
+        require(Seq(DvNameCol, DvPosCol, "_metadata").forall(!tableCols.contains(_)),
+          s"DV delete on $dir: the table schema collides with the reserved " +
+            s"'$DvNameCol'/'$DvPosCol'/'_metadata' names")
+        // DVs join on FILE NAME (data files are UUID-named, and a
+        // clone-relocated table keeps working because names, unlike
+        // resolved paths, are location-independent) — which requires
+        // names to be table-unique; loud refusal over a silent
+        // cross-file position match
+        val allNames = m.entries.map(e => fileName(e.path))
+        require(allNames.distinct.size == allNames.size,
+          s"DV delete on $dir: duplicate data-file NAMES in the manifest — " +
+            "compact/OPTIMIZE to re-land them before using delete vectors")
+        val (_, mf, pruned) = pruneWhere(spark, dir, predicate, Some(headV))
+        if (pruned.isEmpty) return headV
+        val posFrame = entriesFrameMeta(spark, dir, mf, pruned, keepMeta = true)
+          .filter(predicate)
+          .select(col(DvNameCol), col(DvPosCol))
+        val ddir = s"dv-${UUID.randomUUID().toString}"
+        posFrame.write.parquet(s"$dir/$ddir")
+        val ps = f.listStatus(new Path(s"$dir/$ddir")).toSeq
+          .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+          .map(n => s"$ddir/$n")
+        require(ps.nonEmpty, "delete vector wrote no files")
+        // per-file counts: bounded by the candidate FILE count (a
+        // driver-side census of manifest scale, never of row scale)
+        val perName = spark.read.parquet(ps.map(p => s"$dir/$p"): _*)
+          .groupBy(DvNameCol).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1))
+        require(perName.length <= 100000,
+          s"DV delete on $dir touches ${perName.length} files — above the " +
+            "100k census bound; use REPLACE WHERE / a COW delete instead")
+        if (perName.isEmpty) {
+          dropOrphanBatch(spark, dir, ps)
+          return headV
+        }
+        val byName = pruned.map(e => fileName(e.path) -> e.path).toMap
+        affected = perName.toSeq.map { case (n, c) =>
+          byName.getOrElse(n, throw new IllegalStateException(
+            s"DV delete on $dir marked positions in unknown file '$n'")) -> c
+        }.sortBy(_._1)
+        total = affected.map(_._2).sum
+        staged = ps
+      }
+      testRaceHook()
+      if (tryPublish(spark, dir,
+        Manifest(headV + 1, m.ledger, m.statsCols, m.entries,
+          bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
+          deletes = m.deletes :+
+            DeleteFile(staged, Seq(DvPosCol), headV + 1, total, affected),
+          renames = m.renames, drops = m.drops, adds = m.adds),
+        carry = m.segments)) // zero data files touched: all carry
+        return headV + 1
+    }
+    -1L // unreachable
+  }
+
+  /** The pending delete VECTORS of a version (default head):
+    * (committed seq, total marked positions, affected (file → count)
+    * census) per vector — the observability hook DV rows and specs
+    * assert on. */
+  def pendingDeleteVectors(
+      spark: SparkSession, dir: String, version: Option[Long] = None)
+      : Seq[(Long, Long, Seq[(String, Long)])] = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"snapshot table $dir has no committed version")
+    readManifest(spark, dir, version.getOrElse(vs.last)).deletes
+      .filter(isDv).map(d => (d.seq, d.rows, d.dvFiles))
   }
 
   /** SHALLOW CLONE: a new table whose v1 manifest references the
@@ -3795,7 +4058,12 @@ object SnapshotTable {
       val touched = m.deletes.flatMap { d =>
         val eligible = m.entries.filter(_.seq < d.seq)
         if (eligible.isEmpty) Nil
-        else {
+        else if (isDv(d)) {
+          // a delete vector NAMES its files — the fold is
+          // file-granular by construction, no key probing needed
+          val named = d.dvFiles.map(_._1).toSet
+          eligible.filter(e => named.contains(e.path))
+        } else {
           // the delete recorded its keys under the names current at
           // ITS commit — map both frame and key list to today's
           val cur = d.keyCols.map(k => currentName(m, k, d.seq))
@@ -3929,13 +4197,31 @@ object SnapshotTable {
         val frames = newDels.zipWithIndex.flatMap { case (d, i) =>
           val mState = fm.copy(deletes = fm.deletes ++ newDels.take(i))
           val eligible = fm.entries.filter(_.seq < d.seq)
-          val keyFrame = spark.read
-            .parquet(d.paths.map(p => resolve(dir, p)): _*)
-            .select(d.keyCols.map(col): _*).distinct()
-          val cand = prunedCandidates(spark, dir, fm, keyFrame, d.keyCols, eligible)
-          if (cand.isEmpty) None
-          else Some(entriesFrame(spark, dir, mState, cand)
-            .join(keyFrame, d.keyCols, "left_semi"))
+          if (isDv(d)) {
+            // positional: the change set is the marked positions of
+            // exactly the files the vector names, still logically
+            // present under the prior state — file-bounded, never a
+            // table scan
+            val named = d.dvFiles.map(_._1).toSet
+            val cand = eligible.filter(e => named.contains(e.path))
+            if (cand.isEmpty) None
+            else {
+              val dvFrame = spark.read
+                .parquet(d.paths.map(p => resolve(dir, p)): _*)
+                .select(col(DvNameCol), col(DvPosCol))
+              Some(entriesFrameMeta(spark, dir, mState, cand, keepMeta = true)
+                .join(dvFrame, Seq(DvNameCol, DvPosCol), "left_semi")
+                .drop(DvNameCol, DvPosCol))
+            }
+          } else {
+            val keyFrame = spark.read
+              .parquet(d.paths.map(p => resolve(dir, p)): _*)
+              .select(d.keyCols.map(col): _*).distinct()
+            val cand = prunedCandidates(spark, dir, fm, keyFrame, d.keyCols, eligible)
+            if (cand.isEmpty) None
+            else Some(entriesFrame(spark, dir, mState, cand)
+              .join(keyFrame, d.keyCols, "left_semi"))
+          }
         }
         if (frames.isEmpty)
           read(spark, dir, Some(fromV)).limit(0).withColumn("_change", lit("delete"))

@@ -211,6 +211,27 @@ object GraftProcedures {
       StructType(Seq(StructField("version", LongType, nullable = false))),
       (s, r) => Seq(row(SnapshotTable.applyDeletes(s, dirOf(cat, r, 0))))),
 
+    "dv_delete" -> new Proc(cat, "dv_delete",
+      "DELETE by arbitrary predicate as a positional delete vector: " +
+        "zero data files rewritten, exact cardinality (countRows stays " +
+        "metadata-only while pending); fold_deletes materializes it",
+      Array(in("table", StringType), in("predicate", StringType)),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("rows_deleted", LongType, nullable = false))),
+      (s, r) => {
+        val dir = dirOf(cat, r, 0)
+        val before = SnapshotTable.versions(s, dir).last
+        val v = SnapshotTable.commitDeleteVectorsWhere(
+          s, dir, org.apache.spark.sql.functions.expr(
+            r.getUTF8String(1).toString))
+        val n =
+          if (v == before) 0L
+          else SnapshotTable.pendingDeleteVectors(s, dir, Some(v))
+            .filter(_._1 == v).map(_._2).sum
+        Seq(row(v, n))
+      }),
+
     "expire_versions" -> new Proc(cat, "expire_versions",
       "vacuum manifest history by count, deleting data files only the " +
         "expired versions referenced",

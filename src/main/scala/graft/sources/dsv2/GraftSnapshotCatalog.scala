@@ -137,6 +137,10 @@ object GraftTableProps {
         s"table $ident: bucket_write_fanout must be 'auto' or a " +
           s"positive integer, got '$v'")
     }
+    props.get("delete_mode").foreach(v =>
+      require(v.equalsIgnoreCase("cow") || v.equalsIgnoreCase("dv"),
+        s"table $ident: delete_mode must be 'cow' (copy-on-write " +
+          s"rewrite) or 'dv' (positional delete vectors), got '$v'"))
     // expectation predicates must PARSE and reference real columns —
     // a typo'd SQL string or a column left behind by a RENAME would
     // otherwise fail every future INSERT instead of the DDL
@@ -860,10 +864,25 @@ private[dsv2] class SnapshotCatalogTable(
     // downstream piece (group-filter pre-scan, DML scan, commit) sees
     // the folded head. The plan-time `deletes.isEmpty` require stays
     // as the loud backstop against a delete racing in after the fold.
-    SnapshotTable.versions(spark, dir).lastOption.foreach { v =>
-      if (SnapshotTable.readManifest(spark, dir, v).deletes.nonEmpty)
-        SnapshotTable.applyDeletes(spark, dir): Unit
-    }
+    //
+    // EXCEPTION — delete_mode='dv' DELETEs: Spark builds this
+    // operation even when the SupportsDelete face ends up serving the
+    // command, so eager-folding here would make every vector-mode
+    // DELETE pay the rewrite the vectors exist to avoid (a GDPR
+    // trickle of DELETEs would fold on every statement). A dv-mode
+    // DELETE whose condition does NOT translate falls back to the
+    // row-level rewrite, where the loud backstop tells the user to
+    // fold — explicit, never silent.
+    val dvDelete =
+      info.command == org.apache.spark.sql.connector.write.RowLevelOperation
+        .Command.DELETE &&
+        GraftTableProps.read(spark, dir).get("delete_mode")
+          .exists(_.equalsIgnoreCase("dv"))
+    if (!dvDelete)
+      SnapshotTable.versions(spark, dir).lastOption.foreach { v =>
+        if (SnapshotTable.readManifest(spark, dir, v).deletes.nonEmpty)
+          SnapshotTable.applyDeletes(spark, dir): Unit
+      }
     new SnapshotRowLevelOperationBuilder(dir, info, () => schema())
   }
 
@@ -872,17 +891,34 @@ private[dsv2] class SnapshotCatalogTable(
     * none-matching from manifest stats — the whole DELETE is then one
     * manifest publish, zero data I/O at any table size. Anything less
     * provable falls to the row-level rewrite path. */
+  /** Under `delete_mode = 'dv'` a fully-translated DELETE claims this
+    * face even when not metadata-answerable: the group-based rewrite
+    * is skipped and the matching positions commit as a positional
+    * delete vector — zero data files rewritten, the scattered-
+    * predicate DELETE shape on any layout. The all-or-none
+    * metadata-only drop still wins when provable (strictly cheaper
+    * than even a vector). */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     version.isEmpty &&
       DmlFilterTranslation.translateAll(filters).exists(p =>
-        SnapshotTable.canDeleteFilesWhere(spark, dir, p))
+        SnapshotTable.canDeleteFilesWhere(spark, dir, p) ||
+          GraftTableProps.read(spark, dir).get("delete_mode")
+            .exists(_.equalsIgnoreCase("dv")))
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val p = DmlFilterTranslation.translateAll(filters).getOrElse(
       throw new IllegalArgumentException(
         s"deleteWhere on $ident with untranslatable filters " +
           s"${filters.mkString(", ")} — canDeleteWhere said no"))
-    SnapshotTable.deleteFilesWhere(spark, dir, p): Unit
+    if (SnapshotTable.canDeleteFilesWhere(spark, dir, p))
+      SnapshotTable.deleteFilesWhere(spark, dir, p): Unit
+    else if (GraftTableProps.read(spark, dir).get("delete_mode")
+        .exists(_.equalsIgnoreCase("dv")))
+      SnapshotTable.commitDeleteVectorsWhere(
+        spark, dir, SnapshotTable.dmlPredColumn(p)): Unit
+    else throw new IllegalStateException(
+      s"deleteWhere on $ident: neither metadata-answerable nor in " +
+        "delete_mode='dv' — canDeleteWhere said no")
   }
 
   override def name(): String = ident

@@ -217,6 +217,19 @@ private[dsv2] class SnapshotMicroBatchStream(
           "can seed a stream via the startingVersion option" +
           (if (cdf) "" else "; readChangeFeed=true additionally streams " +
             "merge-on-read DELETE commits as delete_key rows") + ")")
+      if (cdf && cls == "mor-delete") {
+        // positional delete vectors carry (file, position) pairs, not
+        // keys — a delete_key partition over one would surface
+        // meaningless rows to a keyed consumer; refuse loudly
+        val before = SnapshotTable.readManifest(spark, dir, v - 1L)
+        val after = SnapshotTable.readManifest(spark, dir, v)
+        require(!after.deletes.drop(before.deletes.size)
+          .exists(SnapshotTable.isDv),
+          s"graft-snapshot stream: version $v of $dir commits a positional " +
+            "delete vector, which carries no keys to stream as delete_key " +
+            "rows — consume it via batch CDC (changesBetween) or re-sync " +
+            "after applyDeletes folds it")
+      }
       v -> (if (snapshotStart) "append" else cls)
     }
     // the SESSION's Hadoop conf rides the partition to the executor

@@ -1,0 +1,250 @@
+package graft
+
+import graft.sources.SnapshotTable
+import org.apache.spark.sql.functions._
+
+/** Positional DELETE VECTORS — the merge-on-read delete's other half
+  * (the real formats' position deletes / deletion vectors, vs the
+  * equality deletes `commitDeleteMoR` covers): an arbitrary-predicate
+  * DELETE lands as a delta-sized (file, row-ordinal) vector, zero data
+  * files rewritten, applied file-locally at read via the reader's own
+  * `_metadata.row_index`, with EXACT cardinality (countRows stays
+  * metadata-only while pending — the fast path equality deletes must
+  * refuse). Fold is file-granular by construction: only named files
+  * rewrite. */
+class DvDeleteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("dv_spec").toString + "/tbl"
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("id").as[Long].collect().sorted.toSeq
+
+  /** 1..200 range-clustered on id into 4 files with id stats. */
+  private def rangeTable(dir: String): Unit = {
+    val df = (1L to 200L).toDF("id")
+      .withColumn("tag", concat(lit("t"), col("id") % 10))
+      .repartitionByRange(4, col("id"))
+      .sortWithinPartitions("id")
+    SnapshotTable.commitAppend(df, dir, statsCols = Seq("id"))
+  }
+
+  test("DV delete: zero data files touched, exact count, logical read") {
+    val dir = freshDir()
+    rangeTable(dir)
+    val v1Files = SnapshotTable.files(spark, dir, 1L)
+    val v2 = SnapshotTable.commitDeleteVectorsWhere(
+      spark, dir, col("id") % 10 === 3)
+    assert(v2 == 2L)
+    assert(SnapshotTable.files(spark, dir, 2L) == v1Files,
+      "a DV commit must touch zero data files")
+    val dvs = SnapshotTable.pendingDeleteVectors(spark, dir)
+    assert(dvs.map(_._1) == Seq(2L) && dvs.head._2 == 20L,
+      s"the vector must carry its exact cardinality, got $dvs")
+    assert(ids(SnapshotTable.read(spark, dir)) ==
+      (1L to 200L).filterNot(_ % 10 == 3))
+    // the differentiator: COUNT stays metadata-only under a pending DV
+    assert(SnapshotTable.countRows(spark, dir) == 180L)
+    // time travel to the pre-DV version still sees every row
+    assert(ids(SnapshotTable.read(spark, dir, Some(1L))) == (1L to 200L))
+  }
+
+  test("overlapping DVs mark disjoint positions; counts stay exact") {
+    val dir = freshDir()
+    rangeTable(dir)
+    SnapshotTable.commitDeleteVectorsWhere(spark, dir, col("id") % 10 === 3)
+    // id % 5 == 3 ⇔ id % 10 ∈ {3, 8}: half its matches are already
+    // DV-deleted and must NOT be re-marked
+    SnapshotTable.commitDeleteVectorsWhere(spark, dir, col("id") % 5 === 3)
+    val dvs = SnapshotTable.pendingDeleteVectors(spark, dir)
+    assert(dvs.map(_._2) == Seq(20L, 20L),
+      s"the second vector must mark only the NEW matches, got $dvs")
+    val expect = (1L to 200L).filterNot(i => i % 10 == 3 || i % 5 == 3)
+    assert(ids(SnapshotTable.read(spark, dir)) == expect)
+    assert(SnapshotTable.countRows(spark, dir) == expect.size.toLong)
+  }
+
+  test("stats prune bounds the vector to the candidate files") {
+    val dir = freshDir()
+    rangeTable(dir)
+    // range-clustered: ids 1..50 live in the first file — the band
+    // predicate's positions must come from a strict file subset
+    SnapshotTable.commitDeleteVectorsWhere(
+      spark, dir, col("id") >= 10L && col("id") <= 40L && col("tag") === "t3")
+    val dvs = SnapshotTable.pendingDeleteVectors(spark, dir)
+    val total = SnapshotTable.files(spark, dir, 1L).size
+    assert(dvs.head._3.size < total,
+      s"a band predicate must affect fewer than all $total files")
+    assert(ids(SnapshotTable.read(spark, dir)) ==
+      (1L to 200L).filterNot(i => i >= 10 && i <= 40 && i % 10 == 3))
+  }
+
+  test("fold is file-granular: only named files rewrite") {
+    val dir = freshDir()
+    rangeTable(dir)
+    SnapshotTable.commitDeleteVectorsWhere(
+      spark, dir, col("id") >= 10L && col("id") <= 40L)
+    val before = SnapshotTable.files(spark, dir, 2L)
+    val named = SnapshotTable.pendingDeleteVectors(spark, dir)
+      .flatMap(_._3.map(_._1)).toSet
+    val v3 = SnapshotTable.applyDeletes(spark, dir)
+    assert(SnapshotTable.pendingDeleteVectors(spark, dir).isEmpty)
+    val after = SnapshotTable.files(spark, dir, v3).toSet
+    before.filterNot(named.contains).foreach(p =>
+      assert(after.contains(p), s"unnamed file $p must carry by reference"))
+    named.foreach(p => assert(!after.contains(p),
+      s"named file $p must have been rewritten"))
+    assert(ids(SnapshotTable.read(spark, dir)) ==
+      (1L to 200L).filterNot(i => i >= 10 && i <= 40))
+    assert(SnapshotTable.countRows(spark, dir) == 169L)
+  }
+
+  test("file-identity scoping: a re-inserted row is never retro-deleted") {
+    val dir = freshDir()
+    rangeTable(dir)
+    SnapshotTable.commitDeleteVectorsWhere(spark, dir, col("id") === 5L)
+    assert(!ids(SnapshotTable.read(spark, dir)).contains(5L))
+    SnapshotTable.commitAppend(
+      Seq(5L).toDF("id").withColumn("tag", lit("t5")), dir)
+    assert(ids(SnapshotTable.read(spark, dir)).count(_ == 5L) == 1,
+      "the re-inserted row lands in a file the vector never names")
+  }
+
+  test("DVs are schema-op immune: rename/drop after the vector, rows stay deleted") {
+    val dir = freshDir()
+    rangeTable(dir)
+    SnapshotTable.commitDeleteVectorsWhere(spark, dir, col("tag") === "t3")
+    SnapshotTable.commitRenameColumn(spark, dir, "tag", "label")
+    val head = SnapshotTable.read(spark, dir)
+    assert(head.columns.toSeq.contains("label"))
+    assert(ids(head) == (1L to 200L).filterNot(_ % 10 == 3),
+      "a rename has no column to un-map in a positional vector")
+  }
+
+  test("compaction folds its files' positions and TRIMS the carried vector") {
+    val dir = freshDir()
+    // many tiny files so compactSmallFiles has something to merge
+    (1L to 6L).foreach(i => SnapshotTable.commitAppend(
+      Seq(i * 10L, i * 10L + 1L).toDF("id").coalesce(1), dir,
+      statsCols = Seq("id")))
+    SnapshotTable.commitDeleteVectorsWhere(spark, dir, col("id") % 10 === 1)
+    assert(SnapshotTable.pendingDeleteVectors(spark, dir).map(_._2) == Seq(6L))
+    val v = SnapshotTable.compactSmallFiles(spark, dir, 1L << 20, 1L << 20)
+    assert(v > 7L, "compaction must have committed")
+    // every small file was compacted, so the whole vector trims away
+    assert(SnapshotTable.pendingDeleteVectors(spark, dir).isEmpty,
+      "a vector whose files all folded must leave the manifest")
+    assert(ids(SnapshotTable.read(spark, dir)) ==
+      (1L to 6L).map(_ * 10L).sorted)
+    assert(SnapshotTable.countRows(spark, dir) == 6L,
+      "a trimmed vector must never double-subtract")
+  }
+
+  test("no-match predicate commits nothing") {
+    val dir = freshDir()
+    rangeTable(dir)
+    assert(SnapshotTable.commitDeleteVectorsWhere(
+      spark, dir, col("id") > 10000L) == 1L)
+    assert(SnapshotTable.versions(spark, dir) == Seq(1L))
+  }
+
+  test("countRows still refuses under a pending EQUALITY delete") {
+    val dir = freshDir()
+    rangeTable(dir)
+    SnapshotTable.commitDeleteVectorsWhere(spark, dir, col("id") === 7L)
+    SnapshotTable.commitDeleteMoR(Seq(9L).toDF("id"), dir, Seq("id"))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.countRows(spark, dir)
+    }
+    assert(e.getMessage.contains("merge-on-read"))
+    // both kinds apply together at read time, and fold together
+    assert(ids(SnapshotTable.read(spark, dir)) ==
+      (1L to 200L).filterNot(i => i == 7L || i == 9L))
+    SnapshotTable.applyDeletes(spark, dir)
+    assert(SnapshotTable.countRows(spark, dir) == 198L)
+  }
+
+  test("CDC across a DV commit: mor-delete path, exactly the marked rows") {
+    val dir = freshDir()
+    rangeTable(dir)
+    SnapshotTable.commitDeleteVectorsWhere(spark, dir, col("id") % 10 === 3)
+    assert(SnapshotTable.changesPath(spark, dir, 1L, 2L) == "mor-delete")
+    val ch = SnapshotTable.changesBetween(spark, dir, 1L, 2L)
+    assert(ch.select("_change").distinct().as[String].collect().toSeq ==
+      Seq("delete"))
+    assert(ids(ch) == (1L to 200L).filter(_ % 10 == 3))
+  }
+
+  test("SQL face: delete_mode='dv' turns DELETE into a vector commit") {
+    val root = java.nio.file.Files.createTempDirectory("dv_sql").toString
+    spark.conf.set("spark.sql.catalog.gdv",
+      classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdv.root", root)
+    try {
+      spark.sql("CREATE TABLE gdv.ns.ev (id BIGINT, tag STRING) " +
+        "TBLPROPERTIES ('stats_cols' = 'id', 'delete_mode' = 'dv')")
+      spark.sql("INSERT INTO gdv.ns.ev " +
+        "SELECT id, concat('t', id % 10) FROM range(1, 201)")
+      val dir = s"$root/ns/ev"
+      val before = SnapshotTable.files(spark, dir,
+        SnapshotTable.versions(spark, dir).last)
+      // scattered predicate: NOT metadata-answerable, and under COW it
+      // would rewrite files — under 'dv' it must rewrite none
+      spark.sql("DELETE FROM gdv.ns.ev WHERE tag = 't3'")
+      val headV = SnapshotTable.versions(spark, dir).last
+      assert(SnapshotTable.files(spark, dir, headV) == before,
+        "delete_mode='dv' must land the DELETE as a vector, not a rewrite")
+      assert(SnapshotTable.pendingDeleteVectors(spark, dir).map(_._2) ==
+        Seq(20L))
+      assert(spark.sql("SELECT count(*) AS n FROM gdv.ns.ev")
+        .as[Long].head() == 180L)
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM gdv.ns.ev WHERE tag = 't3'")
+        .as[Long].head() == 0L)
+      // the procedure face folds it
+      spark.sql("CALL gdv.system.fold_deletes('ns.ev')")
+      assert(SnapshotTable.pendingDeleteVectors(spark, dir).isEmpty)
+      assert(spark.sql("SELECT count(*) AS n FROM gdv.ns.ev")
+        .as[Long].head() == 180L)
+      // dv_delete procedure: predicate-string surface + exact count
+      val r = spark.sql(
+        "CALL gdv.system.dv_delete('ns.ev', 'id % 10 = 4')").collect()
+      assert(r.head.getLong(1) == 20L, s"rows_deleted must be exact: ${r.toSeq}")
+      assert(spark.sql("SELECT count(*) AS n FROM gdv.ns.ev")
+        .as[Long].head() == 160L)
+      // the GDPR-trickle shape: a SECOND DELETE while a vector is
+      // pending must stack another vector, never eager-fold the
+      // standing one (the rewrite the vectors exist to avoid)
+      val filesBefore = SnapshotTable.files(spark, dir,
+        SnapshotTable.versions(spark, dir).last)
+      spark.sql("DELETE FROM gdv.ns.ev WHERE tag = 't5'")
+      assert(SnapshotTable.files(spark, dir,
+        SnapshotTable.versions(spark, dir).last) == filesBefore,
+        "a stacked dv-mode DELETE must not rewrite (no eager fold)")
+      assert(SnapshotTable.pendingDeleteVectors(spark, dir).map(_._2) ==
+        Seq(20L, 20L))
+      assert(spark.sql("SELECT count(*) AS n FROM gdv.ns.ev")
+        .as[Long].head() == 140L)
+      // an all-matching prunable DELETE still takes the strictly
+      // cheaper metadata-only drop (no vector, no rewrite)
+      spark.sql("DELETE FROM gdv.ns.ev WHERE id >= 1000")
+      assert(SnapshotTable.pendingDeleteVectors(spark, dir).map(_._2) ==
+        Seq(20L, 20L), "an all-or-none DELETE must not mint a vector")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gdv.ns.ev")
+      spark.conf.unset("spark.sql.catalog.gdv")
+      spark.conf.unset("spark.sql.catalog.gdv.root")
+    }
+  }
+
+  test("reserved prefix refused as an equality key") {
+    val dir = freshDir()
+    rangeTable(dir)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.commitDeleteMoR(
+        Seq(1L).toDF("__graft_dv_pos"), dir, Seq("__graft_dv_pos"))
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+}
