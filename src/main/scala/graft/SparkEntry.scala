@@ -253,6 +253,82 @@ object SparkEntry {
       out
     })
 
+  /** snapshot_delete_dv / snapshot_dv_count / snapshot_dv_fold's
+    * table, once per sf dir: the events slice hash-clustered on
+    * event_id (the layout where a predicate's matches scatter across
+    * every file — the COW-hostile shape POSITIONAL delete vectors
+    * exist for, and one an EQUALITY delete can't serve without first
+    * scanning for the keys). v1 = append; v2/v3 = two predicate DV
+    * deletes (%7 and %5 non-error — overlapping predicates, so v3
+    * proves disjoint position marking) that touch ZERO data files and
+    * keep countRows metadata-only (exact vector cardinality); v4 =
+    * applyDeletes, folding both file-granularly. */
+  private val snapDvMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def snapDvTable(s: SparkSession, dir: String): String =
+    snapDvMemo.computeIfAbsent(dir, _ => {
+      import graft.sources.SnapshotTable
+      val out = s"${tempDir("graft_snap_dv")}/events_tbl"
+      val ev = Tables.events(s, dir).select("event_id", "event_type")
+      SnapshotTable.commitAppend(ev.repartition(8, col("event_id")),
+        out, statsCols = Seq("event_id"))
+      val p2 = col("event_id") % 7 === 0 && col("event_type") =!= "error"
+      val p3 = col("event_id") % 5 === 0 && col("event_type") =!= "error"
+      val v2 = SnapshotTable.commitDeleteVectorsWhere(s, out, p2)
+      val v3 = SnapshotTable.commitDeleteVectorsWhere(s, out, p3)
+      require(v2 == 2L && v3 == 3L, "the two DV deletes must land as v2, v3")
+      val v4 = SnapshotTable.applyDeletes(s, out)
+      require(v4 == 4L, "applyDeletes must land as version 4")
+      out
+    })
+
+  /** snapshot_dv_sql's namespace, once per sf dir: a
+    * `delete_mode='dv'` catalog table on a hash-clustered layout.
+    * Two SQL DELETEs with scattered (non-stat-provable) predicates
+    * STACK two delete vectors — zero data files rewritten, and NO
+    * eager MoR fold between them (the GDPR-trickle shape: under COW
+    * each would rewrite every file; under eager folding the second
+    * would pay the rewrite the vectors exist to avoid) — then
+    * `CALL system.fold_deletes` materializes both. Requires pin each
+    * step's file census and the SQL read under pending vectors. */
+  private val sqlDvMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sqlDvSetup(s: SparkSession, dir: String): String =
+    sqlDvMemo.computeIfAbsent(dir, _ => {
+      import graft.sources.SnapshotTable
+      val root = sqlCatRootMemo.computeIfAbsent("root",
+        _ => tempDir("graft_sql_cat"))
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cat.root", root)
+      val ns = "dv" + Integer.toHexString(dir.hashCode)
+      new java.io.File(s"$root/$ns").mkdirs()
+      val tbl = s"$root/$ns/ev"
+      if (SnapshotTable.versions(s, tbl).nonEmpty)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tbl))
+      val ev = Tables.events(s, dir).select("event_id", "event_type")
+      SnapshotTable.commitAppend(ev.repartition(4, col("event_id")), tbl,
+        statsCols = Seq("event_id"))
+      s.sql(s"ALTER TABLE graft_cat.$ns.ev SET TBLPROPERTIES " +
+        "('delete_mode' = 'dv')")
+      val v1Files = SnapshotTable.files(s, tbl, 1L)
+      s.sql(s"DELETE FROM graft_cat.$ns.ev WHERE event_type = 'click'")
+      s.sql(s"DELETE FROM graft_cat.$ns.ev WHERE event_type = 'view'")
+      val headV = SnapshotTable.versions(s, tbl).last
+      require(SnapshotTable.files(s, tbl, headV) == v1Files,
+        "dv-mode SQL DELETEs must rewrite zero data files")
+      require(SnapshotTable.pendingDeleteVectors(s, tbl).size == 2,
+        "the two DELETEs must stack two vectors (no eager fold between)")
+      val expect = ev.filter(!col("event_type").isin("click", "view")).count()
+      require(s.sql(s"SELECT count(*) FROM graft_cat.$ns.ev")
+        .head().getLong(0) == expect,
+        "the SQL read under two pending vectors must see the logical rows")
+      s.sql(s"CALL graft_cat.system.fold_deletes('$ns.ev')")
+      require(SnapshotTable.pendingDeleteVectors(s, tbl).isEmpty,
+        "fold_deletes must clear both vectors")
+      ns
+    })
+
   /** snapshot_group_count's table, once per sf dir: the events slice
     * range-clustered on event_type with event_type stats — the
     * layout that makes most files single-group, so GROUP BY answers
@@ -4208,6 +4284,59 @@ object SparkEntry {
       head.groupBy("event_type").agg(count(lit(1)).as("n_events"))
         .orderBy("event_type")
     }),
+    // POSITIONAL delete vector (the MoR delete's other half — the
+    // real formats' deletion vectors): an arbitrary-PREDICATE delete
+    // lands as a delta-sized (file, row-ordinal) vector — v2 touched
+    // ZERO data files on a layout where a COW delete would rewrite
+    // all of them, and where an equality delete would first need a
+    // scan to find the keys. The v2 read applies the vector
+    // file-locally via the reader's own row indexes; the oracle
+    // replays the logical content from the base rows.
+    "snapshot_delete_dv" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val tbl = snapDvTable(s, dir)
+      require(SnapshotTable.files(s, tbl, 2L) ==
+        SnapshotTable.files(s, tbl, 1L),
+        "a DV delete must touch zero data files")
+      val dvs = SnapshotTable.pendingDeleteVectors(s, tbl, Some(2L))
+      require(dvs.map(_._1) == Seq(2L) && dvs.head._2 > 0L,
+        s"v2 must carry one delete vector with exact cardinality, got $dvs")
+      SnapshotTable.read(s, tbl, Some(2L))
+        .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
+    // The DV differentiator over equality deletes: EXACT vector
+    // cardinality keeps COUNT metadata-only while deletes are
+    // pending (countRows on this version REFUSES under pending
+    // equality deletes — the in-row require pins that the manifest
+    // subtraction equals the data count, including across v3's
+    // OVERLAPPING predicate, whose vector must mark only positions
+    // v2 didn't already doom). Oracle recomputes the count.
+    "snapshot_dv_count" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val tbl = snapDvTable(s, dir)
+      val meta = SnapshotTable.countRows(s, tbl, Some(3L))
+      val data = SnapshotTable.read(s, tbl, Some(3L)).count()
+      require(meta == data,
+        s"metadata count $meta must equal the data count $data under " +
+          "two pending overlapping delete vectors")
+      s.range(1).select(lit(meta).cast("long").as("n_rows"))
+    }),
+    // The fold half: applyDeletes (v4) rewrote exactly the files the
+    // vectors named, cleared them, and the head equals the pending
+    // read — folding is answer-preserving. Same oracle content as the
+    // v3 logical rows.
+    "snapshot_dv_fold" -> ((s, dir) => {
+      import graft.sources.SnapshotTable
+      val tbl = snapDvTable(s, dir)
+      require(SnapshotTable.pendingDeleteVectors(s, tbl).isEmpty,
+        "v4 must have folded every pending delete vector")
+      val head = SnapshotTable.read(s, tbl)
+      require(SnapshotTable.countRows(s, tbl) == head.count(),
+        "the post-fold metadata count must equal the data count")
+      head.groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
     // Planning-time FILE pruning from manifest stats (the
     // partition_prune discipline lifted into the versioned format):
     // the bottom-quartile range filter must keep strictly fewer files
@@ -4400,6 +4529,19 @@ object SparkEntry {
     "snapshot_sql_dml_mor" -> ((s, dir) => {
       val ns = sqlDmlMorSetup(s, dir)
       s.sql(s"SELECT event_type, count(*) AS n_events, sum(event_id) AS sum_id " +
+        s"FROM graft_cat.$ns.ev GROUP BY event_type ORDER BY event_type")
+    }),
+    // SQL DELETE under `delete_mode='dv'`: scattered-predicate
+    // DELETEs land as stacked positional delete vectors — zero data
+    // files rewritten on a hash layout where COW would rewrite all of
+    // them, SQL reads under the pending vectors see the logical rows,
+    // and CALL fold_deletes materializes both (the setup memo
+    // requires every step's file census). The oracle replays the
+    // deleted predicate blind to vectors, versions, and the catalog.
+    "snapshot_dv_sql" -> ((s, dir) => {
+      val ns = sqlDvSetup(s, dir)
+      s.sql(s"SELECT event_type, count(*) AS n_events, " +
+        s"CAST(sum(event_id) AS BIGINT) AS sum_id " +
         s"FROM graft_cat.$ns.ev GROUP BY event_type ORDER BY event_type")
     }),
     // The maintenance lifecycle as PURE SQL — Spark 4 stored
@@ -8272,6 +8414,34 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events
         |FROM events
         |WHERE event_id % 7 <> 0 AND event_id % 11 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the delete-vector logical contents: base rows minus the first
+    // predicate's matches — v2 answers this with the positional
+    // anti join over the reader's row indexes
+    "snapshot_delete_dv" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM events
+        |WHERE NOT (event_id % 7 = 0 AND event_type <> 'error')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // v3 under BOTH overlapping vectors: the Spark side answers from
+    // the MANIFEST alone (exact disjoint vector cardinality)
+    "snapshot_dv_count" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows
+        |FROM events
+        |WHERE NOT (event_id % 7 = 0 AND event_type <> 'error')
+        |  AND NOT (event_id % 5 = 0 AND event_type <> 'error')""".stripMargin,
+    "snapshot_dv_fold" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM events
+        |WHERE NOT (event_id % 7 = 0 AND event_type <> 'error')
+        |  AND NOT (event_id % 5 = 0 AND event_type <> 'error')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the dv-mode SQL DELETEs' surviving rows
+    "snapshot_dv_sql" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM events
+        |WHERE event_type NOT IN ('click', 'view')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the retracted rows across both MoR deletes, each exactly once
     "snapshot_mor_changes" ->

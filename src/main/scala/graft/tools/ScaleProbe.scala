@@ -311,7 +311,8 @@ object ScaleProbe {
       "stream_cdf_drain", "sql_dml_mor", "sorted_write", "wap_publish",
       "spj_join", "spj_join_plain", "partitioned_write",
       "dml_rebucket", "replace_where", "dynamic_overwrite",
-      "dynamic_overwrite_multi", "fanout_write").exists(wanted)) {
+      "dynamic_overwrite_multi", "fanout_write", "dv_delete")
+      .exists(wanted)) {
       spark.conf.set("spark.sql.catalog.gprobe",
         classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
       spark.conf.set("spark.sql.catalog.gprobe.root", scaledBase)
@@ -347,6 +348,20 @@ object ScaleProbe {
           graft.sources.SnapshotTable.commitDeleteMoR(
             spark.range(0, 1000).select(col("id").as("event_id")),
             dir, Seq("event_id"))
+        }
+        // r16 delete-vector fixture: the same 8f range-disjoint layout
+        // under delete_mode='dv' — the timed DELETE dooms a CONSTANT
+        // id band's 'click' rows, which scatter WITHIN the band's
+        // files (event_type carries no stats): COW would rewrite
+        // those files and an equality delete has no key, the vector
+        // marks positions bounded by the band whatever f is
+        if (wanted("dv_delete")) {
+          val dir = s"$scaledBase/f$f/snap_dv_tbl"
+          graft.sources.SnapshotTable.commitAppend(
+            ev.select("event_id", "event_type"), dir,
+            statsCols = Seq("event_id"))
+          spark.sql(s"ALTER TABLE gprobe.f$f.snap_dv_tbl " +
+            "SET TBLPROPERTIES ('delete_mode' = 'dv')")
         }
         // r14 sorted-write fixture: a TBLPROPERTIES sort_cols table
         // plus an adversarial hash-clustered input view (every input
@@ -1120,6 +1135,34 @@ object ScaleProbe {
         // rewrite; wall is bounded by the boundary + the constant-size
         // batch, NOT the table (in-op requires: one commit, some
         // files carried by reference)
+        // r16 DELETE VECTOR at volume: doom one constant band's
+        // 'click' rows as a positional vector — ZERO data files
+        // rewritten at any f, the position scan stat-bounded to the
+        // band's files, metadata COUNT exact under the pending vector
+        // (all required in-op); the wall is the band, never the table
+        "dv_delete" -> (() => {
+          import graft.sources.SnapshotTable
+          val dir = s"$scaledBase/f$f/snap_dv_tbl"
+          val vBefore = SnapshotTable.versions(spark, dir).last
+          val before = SnapshotTable.files(spark, dir, vBefore)
+          val nBefore = SnapshotTable.countRows(spark, dir, Some(vBefore))
+          val q = (spark.read.parquet(s"$sfDir/events.parquet")
+            .agg(max(col("event_id"))).head().getLong(0) + 1L) / 4L
+          spark.sql(s"DELETE FROM gprobe.f$f.snap_dv_tbl " +
+            s"WHERE event_id >= 0 AND event_id < $q AND event_type = 'click'")
+          val vAfter = SnapshotTable.versions(spark, dir).last
+          require(vAfter == vBefore + 1, "the DV delete must be ONE commit")
+          require(SnapshotTable.files(spark, dir, vAfter) == before,
+            "a DV delete must rewrite zero data files")
+          val dvs = SnapshotTable.pendingDeleteVectors(spark, dir)
+          require(dvs.size == 1 && dvs.head._2 > 0L,
+            s"one exact-cardinality vector expected, got $dvs")
+          require(dvs.head._3.size < before.size,
+            "the vector must be bounded to the band's files, not the table")
+          require(SnapshotTable.countRows(spark, dir) == nBefore - dvs.head._2,
+            "metadata COUNT must stay exact under the pending vector")
+          spark.range(1).toDF()
+        }),
         "replace_where" -> (() => {
           val dir = s"$scaledBase/f$f/snap_rw"
           val vBefore = graft.sources.SnapshotTable.versions(spark, dir).last
