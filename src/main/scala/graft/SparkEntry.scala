@@ -933,6 +933,71 @@ object SparkEntry {
       (ns, cutoffDate.toString)
     })
 
+  /** snapshot_partition_evolve's lifecycle, once per sf dir:
+    * PARTITION-SPEC EVOLUTION (`CALL system.evolve_partitioning`) on
+    * a live days(ts) table — the spec is a clustering-lattice
+    * declaration, so replacing it with (days(ts), event_type) is a
+    * METADATA-ONLY props write (required in place: zero new versions,
+    * zero files touched; the superseded spec lands in
+    * partition_spec_history), old files stay exactly readable, and a
+    * DYNAMIC OVERWRITE under the evolved two-transform spec then
+    * backfills one (day, type) tuple — replacing that tuple's rows
+    * even where they live in PRE-EVOLUTION files (no event_type
+    * stats → boundary rewrite), which the oracle replays. */
+  private val partEvolveMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def partEvolveSetup(s: SparkSession, dir: String): String =
+    partEvolveMemo.computeIfAbsent(dir, _ => {
+      import graft.sources.SnapshotTable
+      val root = sqlCatRootMemo.computeIfAbsent("root",
+        _ => tempDir("graft_sql_cat"))
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cat.root", root)
+      val ns = "pev" + Integer.toHexString(dir.hashCode)
+      new java.io.File(s"$root/$ns").mkdirs()
+      val tbl = s"$root/$ns/ev"
+      if (SnapshotTable.versions(s, tbl).nonEmpty)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tbl))
+      s.sql(s"CREATE TABLE graft_cat.$ns.ev " +
+        "(event_id BIGINT, event_type STRING, ts TIMESTAMP) " +
+        "PARTITIONED BY (days(ts))")
+      Tables.events(s, dir).select(col("event_id"), col("event_type"), col("ts"))
+        .repartition(8, col("event_type"))
+        .createOrReplaceTempView(s"pev_src_$ns")
+      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      try s.sql(s"INSERT INTO graft_cat.$ns.ev " +
+        s"SELECT event_id, event_type, ts FROM pev_src_$ns")
+      finally s.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+      val vBefore = SnapshotTable.versions(s, tbl)
+      val filesBefore = SnapshotTable.files(s, tbl, vBefore.last)
+      s.sql(s"CALL graft_cat.system.evolve_partitioning(" +
+        s"'$ns.ev', 'days(ts), event_type')").collect()
+      require(SnapshotTable.versions(s, tbl) == vBefore &&
+        SnapshotTable.files(s, tbl, vBefore.last) == filesBefore,
+        "evolution must be metadata-only: zero versions, zero files")
+      val props = graft.sources.dsv2.GraftTableProps.read(s, tbl)
+      require(props.get("partitioned_by").contains("days(ts), event_type") &&
+        props.get("partition_spec_history").exists(_.contains("days(ts)")),
+        s"the evolved spec + history must record, got $props")
+      // backfill ONE (day, type) tuple under the evolved spec: the
+      // even-id half of the first day's clicks, ids offset by 10^6
+      val d0 = s.sql(s"SELECT CAST(min(ts) AS DATE) FROM graft_cat.$ns.ev")
+        .head().getDate(0)
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try s.sql(s"INSERT OVERWRITE graft_cat.$ns.ev " +
+        s"SELECT event_id + 1000000, event_type, ts FROM pev_src_$ns " +
+        s"WHERE CAST(ts AS DATE) = DATE '$d0' AND event_type = 'click' " +
+        "AND event_id % 2 = 0")
+      finally prev.fold(
+        s.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+      require(SnapshotTable.versions(s, tbl).last == vBefore.last + 1,
+        "the post-evolution dynamic overwrite must be ONE commit")
+      ns
+    })
+
   /** snapshot_sql_wap's one-time lifecycle: WRITE-AUDIT-PUBLISH in
     * pure SQL — `CALL clone` pins the source head into a zero-copy
     * staging table, the risky writes (an insert + a DELETE sweep) land
@@ -4540,6 +4605,20 @@ object SparkEntry {
     // deleted predicate blind to vectors, versions, and the catalog.
     "snapshot_dv_sql" -> ((s, dir) => {
       val ns = sqlDvSetup(s, dir)
+      s.sql(s"SELECT event_type, count(*) AS n_events, " +
+        s"CAST(sum(event_id) AS BIGINT) AS sum_id " +
+        s"FROM graft_cat.$ns.ev GROUP BY event_type ORDER BY event_type")
+    }),
+    // PARTITION-SPEC EVOLUTION (the real formats' ADD/REPLACE
+    // PARTITION FIELD): the setup memo evolves a live days(ts) table
+    // to (days(ts), event_type) as a METADATA-ONLY props write (zero
+    // versions, zero files — required in place), then dynamically
+    // overwrites one (day, type) tuple under the evolved spec; rows
+    // of that tuple living in PRE-EVOLUTION files replace correctly
+    // (boundary rewrite — old files carry no event_type stats). The
+    // oracle replays survivors + backfill blind to specs and files.
+    "snapshot_partition_evolve" -> ((s, dir) => {
+      val ns = partEvolveSetup(s, dir)
       s.sql(s"SELECT event_type, count(*) AS n_events, " +
         s"CAST(sum(event_id) AS BIGINT) AS sum_id " +
         s"FROM graft_cat.$ns.ev GROUP BY event_type ORDER BY event_type")
@@ -8442,6 +8521,22 @@ object SparkEntry {
         |       CAST(sum(event_id) AS BIGINT) AS sum_id
         |FROM events
         |WHERE event_type NOT IN ('click', 'view')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // partition evolution is answer-invisible; the replayed algebra is
+    // the dynamic overwrite's: first-day clicks replaced by their
+    // even-id half at offset ids, everything else untouched
+    "snapshot_partition_evolve" ->
+      """WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d FROM events),
+        |     survivors AS (
+        |       SELECT event_id, event_type FROM events, d0
+        |       WHERE NOT (CAST(ts AS DATE) = d AND event_type = 'click')),
+        |     backfill AS (
+        |       SELECT event_id + 1000000 AS event_id, event_type FROM events, d0
+        |       WHERE CAST(ts AS DATE) = d AND event_type = 'click'
+        |         AND event_id % 2 = 0)
+        |SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM (SELECT * FROM survivors UNION ALL SELECT * FROM backfill)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the retracted rows across both MoR deletes, each exactly once
     "snapshot_mor_changes" ->

@@ -1375,11 +1375,17 @@ object SnapshotTable {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"snapshot table $dir has no committed version")
     val m = readManifest(spark, dir, version.getOrElse(vs.last))
-    requireNoPendingDeletes(m, dir, s"groupCounts($groupCol)")
+    // the countRowsWhere demotion discipline: equality deletes refuse,
+    // delete VECTORS demote exactly the files they name to the scan
+    // (which applies them) — the untouched bulk keeps the fast path
+    val (dvsG, eqsG) = m.deletes.partition(isDv)
+    requireNoPendingDeletes(m.copy(deletes = eqsG), dir, s"groupCounts($groupCol)")
+    val dvTouchedG: Set[String] = dvsG.flatMap(_.dvFiles.map(_._1)).toSet
     require(m.entries.nonEmpty, s"version of $dir has no files — nothing to group")
     val (covered, mixed) = m.entries.partition { e =>
-      e.rows >= 0L && entryStat(m, e, groupCol).exists(st =>
-        st.nulls >= 0L && cmpStat(st.min, st.max).contains(0))
+      e.rows >= 0L && !dvTouchedG.contains(e.path) &&
+        entryStat(m, e, groupCol).exists(st =>
+          st.nulls >= 0L && cmpStat(st.min, st.max).contains(0))
     }
     // metadata side: one tiny local frame of (canonical group string
     // or null, count) — group values ride as strings and are cast to
@@ -1425,11 +1431,16 @@ object SnapshotTable {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"snapshot table $dir has no committed version")
     val m = readManifest(spark, dir, version.getOrElse(vs.last))
-    requireNoPendingDeletes(m, dir, s"groupSums($groupCol, $sumCol)")
+    // same demotion as groupCounts: vectors demote their named files
+    val (dvsS, eqsS) = m.deletes.partition(isDv)
+    requireNoPendingDeletes(m.copy(deletes = eqsS), dir,
+      s"groupSums($groupCol, $sumCol)")
+    val dvTouchedS: Set[String] = dvsS.flatMap(_.dvFiles.map(_._1)).toSet
     require(m.entries.nonEmpty, s"version of $dir has no files — nothing to group")
     val (covered, mixed) = m.entries.partition { e =>
-      entryStat(m, e, groupCol).exists(st =>
-        st.nulls == 0L && cmpStat(st.min, st.max).contains(0)) &&
+      !dvTouchedS.contains(e.path) &&
+        entryStat(m, e, groupCol).exists(st =>
+          st.nulls == 0L && cmpStat(st.min, st.max).contains(0)) &&
         entryStat(m, e, sumCol).exists(_.sum != null)
     }
     val metaRows: Seq[(String, java.math.BigDecimal)] = covered.map { e =>
@@ -1468,7 +1479,16 @@ object SnapshotTable {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"snapshot table $dir has no committed version")
     val m = readManifest(spark, dir, version.getOrElse(vs.last))
-    requireNoPendingDeletes(m, dir, "countRowsWhere/sumWhere")
+    // pending EQUALITY deletes make every file's stats unusable (a key
+    // file says nothing about which data rows it dooms) — refuse as
+    // ever. Pending delete VECTORS name exactly the files they touch:
+    // only THOSE files lose their metadata answer and demote to the
+    // boundary scan (which applies the vectors), while the table's
+    // untouched bulk keeps the fast path — the delta-sized-DV-at-scale
+    // posture: almost every file still answers from the manifest.
+    val (dvs, eqs) = m.deletes.partition(isDv)
+    requireNoPendingDeletes(m.copy(deletes = eqs), dir, "countRowsWhere/sumWhere")
+    val dvTouched: Set[String] = dvs.flatMap(_.dvFiles.map(_._1)).toSet
     val lo = filter.lower.map(toStatVal)
     val hi = filter.upper.map(toStatVal)
     var covered = Vector.empty[Entry]
@@ -1485,8 +1505,12 @@ object SnapshotTable {
           val provablyOut = !overlaps &&
             lo.forall(l => cmpStat(st.max, l).isDefined) &&
             hi.forall(h => cmpStat(st.min, h).isDefined)
-          if (contained) covered :+= e
-          else if (!provablyOut) boundary :+= e
+          // a provably-out file stays out whatever a vector deleted
+          // (deletion only removes rows); a contained file a vector
+          // touches can no longer answer rows-from-metadata — scan it
+          if (provablyOut) ()
+          else if (contained && !dvTouched.contains(e.path)) covered :+= e
+          else boundary :+= e
         case _ => boundary :+= e
       }
     }

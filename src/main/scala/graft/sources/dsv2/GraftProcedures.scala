@@ -232,6 +232,25 @@ object GraftProcedures {
         Seq(row(v, n))
       }),
 
+    "evolve_partitioning" -> new Proc(cat, "evolve_partitioning",
+      "replace the table's PARTITIONED BY spec (partition evolution): " +
+        "metadata-only — existing files keep their layout and stay " +
+        "exactly readable, future writes cluster by the new spec; the " +
+        "census and dynamic overwrite follow the new spec (old files " +
+        "report as straddlers / classify as boundary until rewritten)",
+      Array(in("table", StringType), in("spec", StringType)),
+      StructType(Seq(
+        StructField("old_spec", StringType, nullable = true),
+        StructField("new_spec", StringType, nullable = true))),
+      (s, r) => {
+        val dir = dirOf(cat, r, 0)
+        val ident = r.getUTF8String(0).toString
+        val schema = new SnapshotCatalogTable(dir, ident, None).schema()
+        val (o, n) = GraftTableProps.evolvePartitioning(
+          s, dir, ident, r.getUTF8String(1).toString, schema)
+        Seq(row(o.orNull, n.orNull))
+      }),
+
     "expire_versions" -> new Proc(cat, "expire_versions",
       "vacuum manifest history by count, deleting data files only the " +
         "expired versions referenced",

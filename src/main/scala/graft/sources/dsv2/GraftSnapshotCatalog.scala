@@ -216,6 +216,126 @@ object GraftTableProps {
         k
     }
 
+  /** PARTITION-SPEC EVOLUTION (the real formats' `ALTER TABLE … ADD/
+    * DROP/REPLACE PARTITION FIELD`, surfaced as
+    * `CALL system.evolve_partitioning(table, spec)`): replace the
+    * recorded `partitioned_by` declaration with `spec` — a rendered
+    * transform list like `days(ts), region, bucket(8,uid)`; empty =
+    * un-partition. METADATA-ONLY at any table size: existing files
+    * keep their layout and stay exactly readable with zero read-side
+    * handling, because reads and pruning in this format are
+    * PER-FILE-STATS based, never directory based — a mixed-spec table
+    * is just a table whose older files carry different stats. FUTURE
+    * writes cluster by the new spec and record its stats (every write
+    * site derives stats_cols from sort_cols). The partition census
+    * and dynamic overwrite follow the NEW spec; old files missing the
+    * new columns' stats report as straddlers / classify as boundary
+    * until a rewrite migrates them — the honest posture (the real
+    * formats pay the same: old-spec files keep their old partitioning
+    * until rewritten). Validation = the same DDL-time rules
+    * createTable enforces. A changed bucket pair disarms
+    * storage-partitioned joins until `CALL rebucket` (bucket stats
+    * are keyed by (col, n), so a stale placement can never serve the
+    * new spec); a spec that drops its bucket removes the bucket
+    * declaration (and any fanout riding it). The superseded spec is
+    * appended to `partition_spec_history` with the head version it
+    * reigned until. Returns (old spec, new spec). */
+  def evolvePartitioning(
+      spark: SparkSession, dir: String, ident: String, specStr: String,
+      schema: org.apache.spark.sql.types.StructType)
+      : (Option[String], Option[String]) = {
+    import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, TimestampType}
+    val props = read(spark, dir)
+    val colTypes: Map[String, DataType] =
+      schema.fields.map(f => f.name -> f.dataType).toMap
+    val oldSpec = props.get("partitioned_by")
+    val oldPartSort = partitionSpec(props).collect {
+      case (fn, c) if fn != "bucket" => c }.distinct
+    val oldHadBucket = partitionSpec(props).exists(_._1 == "bucket")
+    // split the rendered list on commas OUTSIDE parens, then normalize
+    // each transform to the CREATE-time rendered form
+    val items = if (specStr.trim.isEmpty) Seq.empty[String]
+      else specStr.trim.split(",(?![^(]*\\))").map(_.trim).toSeq
+    val Temporal = "(?i)(years|months|days|hours)\\(\\s*(.+?)\\s*\\)".r
+    val Trunc = "(?i)truncate\\(\\s*(\\d+)\\s*,\\s*(.+?)\\s*\\)".r
+    val Buck = "(?i)bucket\\(\\s*(\\d+)\\s*,\\s*(.+?)\\s*\\)".r
+    var sortCols = Seq.empty[String]
+    var bucket: Option[(String, Int)] = None
+    var rendered = Seq.empty[String]
+    def checkCol(c: String): Unit = {
+      require(colTypes.contains(c),
+        s"evolve_partitioning on $ident: the spec references '$c', " +
+          "which is not a column of the table")
+      require(!c.exists(ch => ch == ',' || ch == '(' || ch == ')'),
+        s"evolve_partitioning on $ident: partition column names must " +
+          "not contain ',', '(' or ')' — the recorded spec is a " +
+          "rendered transform list")
+    }
+    items.foreach {
+      case Temporal(fn0, c) =>
+        val fn = fn0.toLowerCase
+        checkCol(c)
+        require(colTypes(c) == TimestampType || colTypes(c) == DateType,
+          s"evolve_partitioning on $ident: $fn($c) needs a TIMESTAMP " +
+            s"or DATE column, '$c' is ${colTypes(c)}")
+        if (!sortCols.contains(c)) sortCols :+= c
+        rendered :+= s"$fn($c)"
+      case Trunc(w0, c) =>
+        val w = w0.toInt
+        checkCol(c)
+        require(w > 0,
+          s"evolve_partitioning on $ident: truncate width must be positive")
+        if (!sortCols.contains(c)) sortCols :+= c
+        rendered :+= s"truncate($w,$c)"
+      case Buck(n0, c) =>
+        val n = n0.toInt
+        checkCol(c)
+        require(bucket.isEmpty,
+          s"evolve_partitioning on $ident: at most one bucket(n, col)")
+        require(n > 0,
+          s"evolve_partitioning on $ident: bucket count must be positive")
+        require(colTypes(c) == IntegerType || colTypes(c) == LongType,
+          s"evolve_partitioning on $ident: bucket($n, $c) clusters on " +
+            s"an integral (INT/BIGINT) column, '$c' is ${colTypes(c)}")
+        bucket = Some((c, n))
+        rendered :+= s"bucket($n,$c)"
+      case c if !c.contains("(") && !c.contains(")") =>
+        checkCol(c)
+        if (!sortCols.contains(c)) sortCols :+= c
+        rendered :+= c
+      case other => throw new IllegalArgumentException(
+        s"evolve_partitioning on $ident: unsupported transform '$other' — " +
+          "identity columns, years/months/days/hours(col), " +
+          "truncate(w, col), and bucket(n, col) only")
+    }
+    // the user's refining sort order survives evolution: standing
+    // sort_cols minus the OLD spec's derived leaders, appended after
+    // the NEW spec's leaders
+    val userSort = cols(props, "sort_cols").filterNot(oldPartSort.contains)
+    val mergedSort = (sortCols ++ userSort).distinct
+    var next = props - "partitioned_by" - "sort_cols"
+    if (mergedSort.nonEmpty) next += ("sort_cols" -> mergedSort.mkString(","))
+    if (rendered.nonEmpty) next += ("partitioned_by" -> rendered.mkString(", "))
+    bucket match {
+      case Some((c, n)) =>
+        next += ("bucket_cols" -> c)
+        next += ("bucket_n" -> n.toString)
+      case None if oldHadBucket =>
+        // the old spec's bucket leaves with it (a fanout declaration
+        // without a bucket layout would fail validation below)
+        next = next - "bucket_cols" - "bucket_n" - "bucket_write_fanout"
+      case None => ()
+    }
+    val headV = graft.sources.SnapshotTable.versions(spark, dir)
+      .lastOption.getOrElse(0L)
+    val entry = s"v$headV: ${oldSpec.getOrElse("unpartitioned")}"
+    next += ("partition_spec_history" ->
+      props.get("partition_spec_history").fold(entry)(h => s"$h; $entry"))
+    validate(next, schema.fieldNames.toSeq, ident)
+    write(spark, dir, next)
+    (oldSpec, next.get("partitioned_by"))
+  }
+
   /** SQL-declared commit expectations: every `'expect.<name>' =
     * '<boolean SQL>'` property gates every batch INSERT — a violating
     * batch refuses the WHOLE commit with named per-expectation counts
@@ -551,8 +671,9 @@ class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces
       }
       require(!standingPartRefs.contains(colName),
         s"ALTER TABLE $ident: $what '$colName' would orphan the " +
-          "PARTITIONED BY declaration that references it — the table's " +
-          "partition spec is immutable once declared")
+          "PARTITIONED BY declaration that references it — evolve the " +
+          "spec away from the column first " +
+          "(CALL system.evolve_partitioning)")
     }
     val commits: Seq[() => Unit] = changes.map {
       // SET/UNSET TBLPROPERTIES: write-path configuration edits —
@@ -560,14 +681,18 @@ class GraftSnapshotCatalog extends TableCatalog with SupportsNamespaces
       // `ADD COLUMN x` + `sort_cols = 'x'` compose in one ALTER),
       // applied after the column commits land
       case sp: TableChange.SetProperty =>
-        require(sp.property() != "partitioned_by",
-          s"ALTER TABLE $ident: partitioned_by records the CREATE-time " +
-            "PARTITIONED BY declaration — it is not settable")
+        require(sp.property() != "partitioned_by" &&
+          sp.property() != "partition_spec_history",
+          s"ALTER TABLE $ident: ${sp.property()} records the declared " +
+            "partition spec — evolve it via " +
+            "CALL system.evolve_partitioning, not SET TBLPROPERTIES")
         propEdits :+= (sp.property() -> Some(sp.value())); () => ()
       case rp: TableChange.RemoveProperty =>
-        require(rp.property() != "partitioned_by",
-          s"ALTER TABLE $ident: partitioned_by records the CREATE-time " +
-            "PARTITIONED BY declaration — it is not unsettable")
+        require(rp.property() != "partitioned_by" &&
+          rp.property() != "partition_spec_history",
+          s"ALTER TABLE $ident: ${rp.property()} records the declared " +
+            "partition spec — evolve it via " +
+            "CALL system.evolve_partitioning, not UNSET TBLPROPERTIES")
         propEdits :+= (rp.property() -> None); () => ()
       case r: TableChange.RenameColumn =>
         require(r.fieldNames().length == 1,

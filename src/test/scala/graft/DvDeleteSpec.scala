@@ -238,6 +238,60 @@ class DvDeleteSpec extends SparkSpec {
     }
   }
 
+  test("countRowsWhere/sumWhere stay metadata-fast outside the vector's files") {
+    val dir = freshDir()
+    rangeTable(dir)
+    SnapshotTable.commitDeleteVectorsWhere(
+      spark, dir, col("id") >= 180L && col("id") <= 190L)
+    val touched = SnapshotTable.pendingDeleteVectors(spark, dir)
+      .flatMap(_._3.map(_._1)).toSet
+    assert(touched.nonEmpty)
+    // full-range filtered COUNT: every file is range-contained, so
+    // exactly the vector-touched files demote to the scan and the
+    // untouched bulk answers from the manifest — exact either way
+    val (n, cov, scan, tot) = SnapshotTable.countRowsWhere(
+      spark, dir, SnapshotTable.StatFilter("id", Some(1L), Some(200L)))
+    assert(n == 189L)
+    assert(scan == touched.size && cov == tot - touched.size,
+      s"only vector-touched files may scan: cov=$cov scan=$scan tot=$tot " +
+        s"touched=${touched.size}")
+    // filtered SUM rides the same demotion (deleted VALUES are
+    // unknowable from metadata, so touched files must scan)
+    val (s, _, _, _) = SnapshotTable.sumWhere(
+      spark, dir, SnapshotTable.StatFilter("id", Some(1L), Some(200L)))
+    val expect = (1L to 200L).sum - (180L to 190L).sum
+    assert(s.compareTo(java.math.BigDecimal.valueOf(expect)) == 0)
+  }
+
+  test("groupCounts/groupSums demote only the vector's files") {
+    val dir = freshDir()
+    val df = (1L to 200L).toDF("id")
+      .withColumn("tag", concat(lit("t"), col("id") % 4))
+      .repartitionByRange(4, col("tag")).sortWithinPartitions("tag", "id")
+    SnapshotTable.commitAppend(df, dir, statsCols = Seq("tag", "id"))
+    SnapshotTable.commitDeleteVectorsWhere(
+      spark, dir, col("tag") === "t1" && col("id") <= 100L)
+    val touched = SnapshotTable.pendingDeleteVectors(spark, dir)
+      .flatMap(_._3.map(_._1)).toSet
+    assert(touched.nonEmpty)
+    val (gdf, covN, scanN, totN) = SnapshotTable.groupCounts(spark, dir, "tag")
+    val got = gdf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("t0" -> 50L, "t1" -> 25L, "t2" -> 50L, "t3" -> 50L),
+      s"grouped counts must fold the vector, got $got")
+    assert(scanN == touched.size && covN == totN - touched.size,
+      s"only vector-touched files may scan: cov=$covN scan=$scanN " +
+        s"tot=$totN touched=${touched.size}")
+    val (sdf, _, scanS, _) = SnapshotTable.groupSums(spark, dir, "tag", "id")
+    val gotS = sdf.collect()
+      .map(r => r.getString(0) -> r.getDecimal(1).longValueExact()).toMap
+    def sumTag(t: Long) = (1L to 200L)
+      .filter(i => i % 4 == t && !(t == 1 && i <= 100)).sum
+    assert(gotS == Map("t0" -> sumTag(0), "t1" -> sumTag(1),
+      "t2" -> sumTag(2), "t3" -> sumTag(3)),
+      s"grouped sums must fold the vector, got $gotS")
+    assert(scanS == touched.size)
+  }
+
   test("reserved prefix refused as an equality key") {
     val dir = freshDir()
     rangeTable(dir)
