@@ -933,6 +933,51 @@ object SparkEntry {
       (ns, cutoffDate.toString)
     })
 
+  /** snapshot_dv_update's table, once per sf dir: a hash-clustered
+    * events slice updated through `CALL system.dv_update` — the
+    * matched rows' positions land in a delete vector and their
+    * patched images append, as ONE commit. Requires pin the shape: a
+    * single new version, every pre-existing file carried by
+    * reference (rewrite cost = matched ROWS, not touched files —
+    * COW would have rewritten all 4 files), the procedure's
+    * rows_updated exact, and countRows metadata-exact through the
+    * update (+batch −vector conserves the count). */
+  private val sqlDvUpdMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sqlDvUpdSetup(s: SparkSession, dir: String): String =
+    sqlDvUpdMemo.computeIfAbsent(dir, _ => {
+      import graft.sources.SnapshotTable
+      val root = sqlCatRootMemo.computeIfAbsent("root",
+        _ => tempDir("graft_sql_cat"))
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cat.root", root)
+      val ns = "dvu" + Integer.toHexString(dir.hashCode)
+      new java.io.File(s"$root/$ns").mkdirs()
+      val tbl = s"$root/$ns/ev"
+      if (SnapshotTable.versions(s, tbl).nonEmpty)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tbl))
+      val ev = Tables.events(s, dir).select("event_id", "event_type")
+      SnapshotTable.commitAppend(ev.repartition(4, col("event_id")), tbl,
+        statsCols = Seq("event_id"))
+      val baseCount = SnapshotTable.countRows(s, tbl)
+      val filesBefore = SnapshotTable.files(s, tbl, 1L).toSet
+      val expect = ev.filter(
+        col("event_id") % 9 === 0 && col("event_type") =!= "error").count()
+      val res = s.sql(s"CALL graft_cat.system.dv_update('$ns.ev', " +
+        "'event_id % 9 = 0 AND event_type <> ''error''', " +
+        "'event_type = ''patched''')").collect()
+      require(res.head.getLong(1) == expect,
+        s"dv_update must report exact rows_updated: ${res.toSeq} vs $expect")
+      val headV = SnapshotTable.versions(s, tbl).last
+      require(headV == 2L, "the update must be ONE commit")
+      require(filesBefore.subsetOf(SnapshotTable.files(s, tbl, headV).toSet),
+        "every pre-existing file must carry by reference")
+      require(SnapshotTable.countRows(s, tbl) == baseCount,
+        "the update conserves the metadata-exact row count")
+      ns
+    })
+
   /** snapshot_partition_evolve's lifecycle, once per sf dir:
     * PARTITION-SPEC EVOLUTION (`CALL system.evolve_partitioning`) on
     * a live days(ts) table — the spec is a clustering-lattice
@@ -4605,6 +4650,17 @@ object SparkEntry {
     // deleted predicate blind to vectors, versions, and the catalog.
     "snapshot_dv_sql" -> ((s, dir) => {
       val ns = sqlDvSetup(s, dir)
+      s.sql(s"SELECT event_type, count(*) AS n_events, " +
+        s"CAST(sum(event_id) AS BIGINT) AS sum_id " +
+        s"FROM graft_cat.$ns.ev GROUP BY event_type ORDER BY event_type")
+    }),
+    // DV UPDATE (the deletion-vector UPDATE shape): matched rows'
+    // positions vector + patched images append, ONE commit — rewrite
+    // cost = matched ROWS on a layout where COW would rewrite every
+    // file; row count conserved so COUNT stays metadata-exact (all
+    // required in the memo). The oracle replays the CASE algebra.
+    "snapshot_dv_update" -> ((s, dir) => {
+      val ns = sqlDvUpdSetup(s, dir)
       s.sql(s"SELECT event_type, count(*) AS n_events, " +
         s"CAST(sum(event_id) AS BIGINT) AS sum_id " +
         s"FROM graft_cat.$ns.ev GROUP BY event_type ORDER BY event_type")
@@ -8521,6 +8577,14 @@ object SparkEntry {
         |       CAST(sum(event_id) AS BIGINT) AS sum_id
         |FROM events
         |WHERE event_type NOT IN ('click', 'view')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the dv-update algebra: the matched predicate's rows re-typed
+    "snapshot_dv_update" ->
+      """SELECT CASE WHEN event_id % 9 = 0 AND event_type <> 'error'
+        |            THEN 'patched' ELSE event_type END AS event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // partition evolution is answer-invisible; the replayed algebra is
     // the dynamic overwrite's: first-day clicks replaced by their

@@ -3833,6 +3833,117 @@ object SnapshotTable {
     -1L // unreachable
   }
 
+  /** UPDATE by PREDICATE via a delete vector + append, as ONE commit:
+    * the matched rows' positions land in a vector, their updated
+    * images land as a fresh batch, and both publish atomically —
+    * readers see the pre-update table or the post-update one, never
+    * the hole between. The rewrite cost is the MATCHED ROWS, never
+    * the touched files: a COW UPDATE rewrites every file holding one
+    * match (on a hash layout, the table); this writes only the new
+    * images, delta-sized. Row count is conserved (+batch −vector), so
+    * `countRows` stays metadata-exact straight through the update.
+    * `sets` are evaluated against the matched LOGICAL rows (pending
+    * deletes applied, today's column names); assignments to unknown
+    * columns refuse. `expectations` gate the updated batch — the
+    * write-path contract. The updated rows carry the NEW seq, so a
+    * pending equality delete never retro-deletes them; `applyDeletes`
+    * folds the vector file-granularly like any other. Returns the
+    * committed version, or the unchanged head on zero matches. */
+  def commitUpdateVectorsWhere(
+      spark: SparkSession, dir: String, predicate: Column,
+      sets: Map[String, Column],
+      expectations: Seq[(String, String)] = Nil): Long = {
+    require(sets.nonEmpty, "commitUpdateVectorsWhere needs at least one SET")
+    val f = fs(spark, dir)
+    var staged: Seq[String] = null        // the vector files
+    var stagedBatch: Seq[String] = null   // the updated-image batch
+    var newEntries: Seq[Entry] = null
+    var affected: Seq[(String, Long)] = null
+    var total = -1L
+    var fingerprint: (Set[String], Seq[DeleteFile]) = null
+    var attempts = 0
+    def dropStaged(): Unit = {
+      if (staged != null) dropOrphanBatch(spark, dir, staged)
+      if (stagedBatch != null) dropOrphanBatch(spark, dir, stagedBatch)
+      staged = null; stagedBatch = null; newEntries = null
+      affected = null; total = -1L
+    }
+    while (true) {
+      attempts += 1
+      require(attempts <= 20, s"DV update on $dir lost 20 straight races; giving up")
+      val headV = versions(spark, dir).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"snapshot table $dir has no committed version"))
+      val m = readManifest(spark, dir, headV)
+      val fp = (m.entries.map(_.path).toSet, m.deletes)
+      if (staged == null || fingerprint != fp) {
+        dropStaged()
+        fingerprint = fp
+        val tableCols = read(spark, dir, Some(headV)).columns.toSet
+        require(Seq(DvNameCol, DvPosCol, "_metadata").forall(!tableCols.contains(_)),
+          s"DV update on $dir: the table schema collides with the reserved " +
+            s"'$DvNameCol'/'$DvPosCol'/'_metadata' names")
+        sets.keys.foreach(c => require(tableCols.contains(c),
+          s"DV update on $dir: SET names '$c', which is not a column of the table"))
+        val allNames = m.entries.map(e => fileName(e.path))
+        require(allNames.distinct.size == allNames.size,
+          s"DV update on $dir: duplicate data-file NAMES in the manifest — " +
+            "compact/OPTIMIZE to re-land them before using delete vectors")
+        val (_, mf, pruned) = pruneWhere(spark, dir, predicate, Some(headV))
+        if (pruned.isEmpty) return headV
+        def matched = entriesFrameMeta(spark, dir, mf, pruned, keepMeta = true)
+          .filter(predicate)
+        val ddir = s"dv-${UUID.randomUUID().toString}"
+        matched.select(col(DvNameCol), col(DvPosCol)).write.parquet(s"$dir/$ddir")
+        val ps = f.listStatus(new Path(s"$dir/$ddir")).toSeq
+          .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+          .map(n => s"$ddir/$n")
+        require(ps.nonEmpty, "delete vector wrote no files")
+        val perName = spark.read.parquet(ps.map(p => s"$dir/$p"): _*)
+          .groupBy(DvNameCol).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1))
+        require(perName.length <= 100000,
+          s"DV update on $dir touches ${perName.length} files — above the " +
+            "100k census bound; use a COW rewrite instead")
+        if (perName.isEmpty) {
+          dropOrphanBatch(spark, dir, ps)
+          return headV
+        }
+        val byName = pruned.map(e => fileName(e.path) -> e.path).toMap
+        affected = perName.toSeq.map { case (n, c) =>
+          byName.getOrElse(n, throw new IllegalStateException(
+            s"DV update on $dir marked positions in unknown file '$n'")) -> c
+        }.sortBy(_._1)
+        total = affected.map(_._2).sum
+        staged = ps
+        // the updated images: SET expressions over the matched logical
+        // rows, landed as an ordinary batch under today's schema
+        val updated = sets.foldLeft(
+          matched.drop(DvNameCol, DvPosCol)) { case (d, (c, e)) =>
+          d.withColumn(c, e)
+        }
+        checkExpectations(updated, expectations, dir)
+        stagedBatch = writeBatch(updated, dir)
+        newEntries = batchEntries(spark, dir, stagedBatch, m.statsCols,
+          m.bloomCols, m.bloomFpp)
+        val batchRows = newEntries.map(_.rows).sum
+        require(batchRows == total,
+          s"DV update on $dir: the updated batch carries $batchRows rows " +
+            s"but the vector marks $total — snapshot drifted mid-compute; re-run")
+      }
+      testRaceHook()
+      if (tryPublish(spark, dir,
+        Manifest(headV + 1, m.ledger, m.statsCols,
+          m.entries ++ newEntries.map(_.copy(seq = headV + 1)),
+          bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
+          deletes = m.deletes :+
+            DeleteFile(staged, Seq(DvPosCol), headV + 1, total, affected),
+          renames = m.renames, drops = m.drops, adds = m.adds),
+        carry = m.segments))
+        return headV + 1
+    }
+    -1L // unreachable
+  }
+
   /** The pending delete VECTORS of a version (default head):
     * (committed seq, total marked positions, affected (file → count)
     * census) per vector — the observability hook DV rows and specs

@@ -232,6 +232,41 @@ object GraftProcedures {
         Seq(row(v, n))
       }),
 
+    "dv_update" -> new Proc(cat, "dv_update",
+      "UPDATE by arbitrary predicate as delete vector + append in ONE " +
+        "commit: rewrite cost = matched ROWS, never touched files; " +
+        "row count conserved, so metadata COUNT stays exact throughout",
+      Array(in("table", StringType), in("predicate", StringType),
+        in("assignments", StringType)),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("rows_updated", LongType, nullable = false))),
+      (s, r) => {
+        val dir = dirOf(cat, r, 0)
+        // assignments: 'col = expr, col2 = expr2' — split on commas
+        // OUTSIDE parens (an expr's internal commas stay inside its
+        // calls), then take the identifier before the FIRST '='
+        val Assign = "(?s)\\s*([A-Za-z_][\\w]*)\\s*=\\s*(.+)".r
+        val sets = r.getUTF8String(2).toString
+          .split(",(?![^(]*\\))").toSeq.map {
+            case Assign(c, e) =>
+              c -> org.apache.spark.sql.functions.expr(e.trim)
+            case other => throw new IllegalArgumentException(
+              s"dv_update: cannot parse assignment '$other' — " +
+                "expected 'column = <sql expression>'")
+          }.toMap
+        val expect = GraftTableProps.expectations(GraftTableProps.read(s, dir))
+        val before = SnapshotTable.versions(s, dir).last
+        val v = SnapshotTable.commitUpdateVectorsWhere(s, dir,
+          org.apache.spark.sql.functions.expr(r.getUTF8String(1).toString),
+          sets, expect)
+        val n =
+          if (v == before) 0L
+          else SnapshotTable.pendingDeleteVectors(s, dir, Some(v))
+            .filter(_._1 == v).map(_._2).sum
+        Seq(row(v, n))
+      }),
+
     "evolve_partitioning" -> new Proc(cat, "evolve_partitioning",
       "replace the table's PARTITIONED BY spec (partition evolution): " +
         "metadata-only — existing files keep their layout and stay " +

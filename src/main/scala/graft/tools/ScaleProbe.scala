@@ -311,7 +311,7 @@ object ScaleProbe {
       "stream_cdf_drain", "sql_dml_mor", "sorted_write", "wap_publish",
       "spj_join", "spj_join_plain", "partitioned_write",
       "dml_rebucket", "replace_where", "dynamic_overwrite",
-      "dynamic_overwrite_multi", "fanout_write", "dv_delete")
+      "dynamic_overwrite_multi", "fanout_write", "dv_delete", "dv_update")
       .exists(wanted)) {
       spark.conf.set("spark.sql.catalog.gprobe",
         classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
@@ -363,6 +363,13 @@ object ScaleProbe {
           spark.sql(s"ALTER TABLE gprobe.f$f.snap_dv_tbl " +
             "SET TBLPROPERTIES ('delete_mode' = 'dv')")
         }
+        // r16 DV-update fixture: same layout; the timed CALL dv_update
+        // patches a constant band's 'click' rows — vector + delta-sized
+        // image batch, every pre-existing file carried by reference
+        if (wanted("dv_update"))
+          graft.sources.SnapshotTable.commitAppend(
+            ev.select("event_id", "event_type"),
+            s"$scaledBase/f$f/snap_dvu_tbl", statsCols = Seq("event_id"))
         // r14 sorted-write fixture: a TBLPROPERTIES sort_cols table
         // plus an adversarial hash-clustered input view (every input
         // partition spans the full id domain); the timed INSERT pays
@@ -1161,6 +1168,33 @@ object ScaleProbe {
             "the vector must be bounded to the band's files, not the table")
           require(SnapshotTable.countRows(spark, dir) == nBefore - dvs.head._2,
             "metadata COUNT must stay exact under the pending vector")
+          spark.range(1).toDF()
+        }),
+        // r16 DV UPDATE at volume: patch one constant band's 'click'
+        // rows — the vector + a match-sized image batch commit as ONE
+        // version, every pre-existing file carries by reference, and
+        // the metadata COUNT is conserved (all required in-op); the
+        // wall is the matched rows, never the table
+        "dv_update" -> (() => {
+          import graft.sources.SnapshotTable
+          val dir = s"$scaledBase/f$f/snap_dvu_tbl"
+          val vBefore = SnapshotTable.versions(spark, dir).last
+          val before = SnapshotTable.files(spark, dir, vBefore).toSet
+          val nBefore = SnapshotTable.countRows(spark, dir, Some(vBefore))
+          val q = (spark.read.parquet(s"$sfDir/events.parquet")
+            .agg(max(col("event_id"))).head().getLong(0) + 1L) / 4L
+          val res = spark.sql(s"CALL gprobe.system.dv_update(" +
+            s"'f$f.snap_dvu_tbl', " +
+            s"'event_id >= 0 AND event_id < $q AND event_type = ''click''', " +
+            "'event_type = ''patched''')").collect()
+          require(res.head.getLong(1) > 0L, "the update must match rows")
+          val vAfter = SnapshotTable.versions(spark, dir).last
+          require(vAfter == vBefore + 1, "the DV update must be ONE commit")
+          require(before.subsetOf(
+            SnapshotTable.files(spark, dir, vAfter).toSet),
+            "every pre-existing file must carry by reference")
+          require(SnapshotTable.countRows(spark, dir) == nBefore,
+            "the update conserves the metadata-exact count")
           spark.range(1).toDF()
         }),
         "replace_where" -> (() => {

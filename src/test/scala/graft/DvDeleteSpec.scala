@@ -292,6 +292,61 @@ class DvDeleteSpec extends SparkSpec {
     assert(scanS == touched.size)
   }
 
+  test("DV update: one commit, old files carried, count conserved, fold keeps the images") {
+    val dir = freshDir()
+    rangeTable(dir)
+    val before = SnapshotTable.files(spark, dir, 1L).toSet
+    val v2 = SnapshotTable.commitUpdateVectorsWhere(spark, dir,
+      col("id") % 10 === 3, Map("tag" -> lit("patched")))
+    assert(v2 == 2L)
+    val after = SnapshotTable.files(spark, dir, 2L).toSet
+    assert(before.subsetOf(after),
+      "a DV update must carry every pre-existing file by reference")
+    assert(SnapshotTable.pendingDeleteVectors(spark, dir).map(_._2) == Seq(20L))
+    // +batch −vector: count conserved, still metadata-only
+    assert(SnapshotTable.countRows(spark, dir) == 200L)
+    val head = SnapshotTable.read(spark, dir)
+    assert(head.filter(col("tag") === "patched").count() == 20L)
+    assert(ids(head) == (1L to 200L), "an update never changes the id set")
+    assert(ids(head.filter(col("tag") === "patched")) ==
+      (1L to 200L).filter(_ % 10 == 3))
+    // fold materializes: vector cleared, images survive
+    SnapshotTable.applyDeletes(spark, dir)
+    val folded = SnapshotTable.read(spark, dir)
+    assert(ids(folded.filter(col("tag") === "patched")) ==
+      (1L to 200L).filter(_ % 10 == 3))
+    assert(SnapshotTable.countRows(spark, dir) == 200L)
+  }
+
+  test("DV update refuses unknown SET columns; zero matches commit nothing") {
+    val dir = freshDir()
+    rangeTable(dir)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.commitUpdateVectorsWhere(spark, dir,
+        col("id") === 1L, Map("nope" -> lit(1)))
+    }
+    assert(e.getMessage.contains("not a column"))
+    assert(SnapshotTable.commitUpdateVectorsWhere(spark, dir,
+      col("id") > 10000L, Map("tag" -> lit("x"))) == 1L)
+    assert(SnapshotTable.versions(spark, dir) == Seq(1L))
+  }
+
+  test("DV update over a pending DV delete marks only live rows") {
+    val dir = freshDir()
+    rangeTable(dir)
+    SnapshotTable.commitDeleteVectorsWhere(spark, dir, col("id") <= 100L)
+    // the update predicate overlaps the deleted half: only live
+    // matches are marked and re-imaged
+    SnapshotTable.commitUpdateVectorsWhere(spark, dir,
+      col("id") % 10 === 3, Map("tag" -> lit("patched")))
+    val dvs = SnapshotTable.pendingDeleteVectors(spark, dir)
+    assert(dvs.map(_._2) == Seq(100L, 10L), s"got $dvs")
+    assert(SnapshotTable.countRows(spark, dir) == 100L)
+    val head = SnapshotTable.read(spark, dir)
+    assert(ids(head.filter(col("tag") === "patched")) ==
+      (101L to 200L).filter(_ % 10 == 3))
+  }
+
   test("reserved prefix refused as an equality key") {
     val dir = freshDir()
     rangeTable(dir)
