@@ -5736,6 +5736,57 @@ object SparkEntry {
     // no-ops the ledger), and the head read is the logical rows with
     // all three pending key frames anti-joined out. Oracle replays
     // the survivors from base.
+    // Streaming MoR UPSERT (the CDC-upsert shape at scale): every
+    // micro-batch commits its rows PLUS an equality delete of exactly
+    // its keys as ONE atomic version — in-row requires pin that no
+    // pre-existing data file is ever touched (a per-epoch COW merge
+    // would rewrite the hash-clustered table every epoch), that the
+    // three epochs land as three versions with three pending deletes,
+    // that a full checkpoint-fresh replay no-ops against the stream
+    // ledger, and that the maintenance fold is answer-preserving
+    // (countRows == data count after). The oracle replays the upsert
+    // algebra (restated images win, fresh keys insert) from the base.
+    "stream_upsert_mor" -> ((s, dir) => streamRow(s) {
+      import graft.sources.SnapshotTable
+      val base = tempDir("graft_stream_upsert")
+      val ev = Tables.events(s, dir).select("event_id", "event_type")
+      SnapshotTable.commitAppend(ev.repartition(4, col("event_id")),
+        s"$base/tbl", statsCols = Seq("event_id"))
+      val v1Files = SnapshotTable.files(s, s"$base/tbl", 1L).toSet
+      val src = s"$base/upserts"
+      ev.filter(col("event_id") % 5 === 0)
+        .select(col("event_id"), lit("restated").as("event_type"))
+        .unionByName(ev.filter(col("event_id") % 5 === 0)
+          .select((col("event_id") + 10000000L).as("event_id"),
+            lit("fresh").as("event_type")))
+        .repartition(3, col("event_id")).write.parquet(src)
+      val schema = s.read.parquet(src).schema
+      def upsert(ckpt: String) = {
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        graft.streaming.IncrementalSync.upsertSync(
+          stream, s"$base/tbl", Seq("event_id"), s"$base/$ckpt")
+          .awaitTermination()
+      }
+      upsert("ckpt")
+      val vs = SnapshotTable.versions(s, s"$base/tbl")
+      require(vs.size == 4, s"three upsert epochs must land as three versions: $vs")
+      require(vs.tail.forall(v =>
+        v1Files.subsetOf(SnapshotTable.files(s, s"$base/tbl", v).toSet)),
+        "a streaming upsert must never touch a pre-existing data file")
+      require(SnapshotTable.pendingDeletes(s, s"$base/tbl").size == 3,
+        "each epoch carries its own equality delete")
+      upsert("ckpt_replay")
+      require(SnapshotTable.versions(s, s"$base/tbl") == vs,
+        "a full replay must no-op against the stream ledger")
+      // maintenance fold is answer-preserving and restores fast paths
+      SnapshotTable.applyDeletes(s, s"$base/tbl")
+      val head = SnapshotTable.read(s, s"$base/tbl")
+      require(SnapshotTable.countRows(s, s"$base/tbl") == head.count(),
+        "the folded metadata count must equal the data count")
+      head.groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
     "stream_snapshot_delete" -> ((s, dir) => streamRow(s) {
       import graft.sources.SnapshotTable
       val base = tempDir("graft_stream_mor")
@@ -8470,6 +8521,19 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events
         |FROM events WHERE event_id % 7 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the streamed upsert algebra replayed: restated images win over
+    // the base rows, fresh keys insert
+    "stream_upsert_mor" ->
+      """WITH upserted AS (
+        |  SELECT event_id,
+        |         CASE WHEN event_id % 5 = 0 THEN 'restated'
+        |              ELSE event_type END AS event_type
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id + 10000000, 'fresh' FROM events
+        |  WHERE event_id % 5 = 0)
+        |SELECT event_type, count(*) AS n_events
+        |FROM upserted GROUP BY 1 ORDER BY 1""".stripMargin,
     // the CDC-refreshed summary must equal the direct v2 (post-merge)
     // summary, computed here from the base rows
     "snapshot_ivm" ->

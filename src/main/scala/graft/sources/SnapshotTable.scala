@@ -3728,6 +3728,102 @@ object SnapshotTable {
     None // unreachable
   }
 
+  /** Streaming UPSERT, merge-on-read: the micro-batch's rows APPEND
+    * and an EQUALITY DELETE of exactly the batch's keys lands in the
+    * SAME manifest — one atomic version, zero pre-existing data files
+    * touched. This is the CDC-upsert shape at scale: a per-epoch COW
+    * merge on a 100 TB target rewrites every file its scattered keys
+    * touch, while this commits O(batch) per epoch at any table size
+    * (the Flink-into-table-format upsert-mode pattern). SEQUENCE
+    * SCOPING does the upsert algebra: the delete (seq v+1) applies
+    * only to entries with seq < v+1, so prior images of the batch's
+    * keys vanish while the batch's own rows (seq v+1) survive; a
+    * later epoch's delete then supersedes THIS epoch's rows the same
+    * way. The multi-writer stream ledger turns foreachBatch's
+    * at-least-once into exactly-once (a replayed epoch no-ops before
+    * writing anything). Reads pay one delta-sized anti join per
+    * unfolded epoch and metadata fast paths refuse while deletes are
+    * pending — `applyDeletes` (CALL fold_deletes / OPTIMIZE) folds
+    * the accumulation on the maintenance schedule, the documented
+    * retraction-feed posture. The batch must be UNIQUE on its key
+    * columns (refused loudly — silently picking a winner would be a
+    * wrong result). Returns the committed version, or None for a
+    * recognized replay. */
+  def commitStreamUpsertMoR(
+      batch: DataFrame, dir: String, keyCols: Seq[String],
+      batchId: Long, appId: String = "upsert",
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      expectations: Seq[(String, String)] = Nil): Option[Long] = {
+    val spark = batch.sparkSession
+    require(keyCols.nonEmpty, "commitStreamUpsertMoR needs key columns")
+    require(keyCols.forall(!_.startsWith("__graft_dv")),
+      "the '__graft_dv' column-name prefix is reserved for delete vectors")
+    require(appId.nonEmpty && !appId.contains(":"),
+      s"appId must be non-empty without ':' — got '$appId'")
+    val key = s"$appId:$batchId"
+    if (isBatchCommitted(spark, dir, batchId, appId)) return None
+    keyCols.foreach(c => require(batch.columns.contains(c),
+      s"stream upsert on $dir: key column '$c' is not in the batch"))
+    checkExpectations(batch, expectations, dir)
+    val nRows = batch.count()
+    if (nRows == 0L) return None // nothing to upsert; skipping is idempotent
+    val nKeys = batch.select(keyCols.map(col): _*).distinct().count()
+    require(nRows == nKeys,
+      s"stream upsert on $dir: the batch carries $nRows rows over $nKeys " +
+        s"distinct keys ${keyCols.mkString("(", ",", ")")} — an upsert needs " +
+        "ONE image per key; dedupe the batch (latest-wins is the caller's " +
+        "call, not the table's)")
+    var batchFiles: Seq[String] = null
+    var keyFiles: Seq[String] = null
+    var newEntries: Seq[Entry] = null
+    var opsAtWrite: (Seq[Rename], Seq[Drop]) = null
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 20, s"stream upsert on $dir lost 20 straight races; giving up")
+      // first epoch CREATES the table (a streaming sink's contract):
+      // v1 is a plain ledgered append — no prior files, no delete
+      val headV = versions(spark, dir).lastOption.getOrElse(0L)
+      val m =
+        if (headV == 0L) Manifest(0L, Ledger(), Seq.empty, Seq.empty)
+        else readManifest(spark, dir, headV)
+      if (m.ledger.containsKey(key)) {
+        if (batchFiles != null) dropOrphanBatch(spark, dir, batchFiles)
+        if (keyFiles != null) dropOrphanBatch(spark, dir, keyFiles)
+        return None
+      }
+      val headOps = (m.renames, m.drops)
+      if (batchFiles == null) {
+        val tableStats = (m.statsCols ++ statsCols).distinct
+        val tableBlooms = (m.bloomCols ++ bloomCols).distinct
+        batchFiles = writeBatch(batch, dir)
+        keyFiles = writeBatch(batch.select(keyCols.map(col): _*).distinct(), dir)
+        newEntries = batchEntries(spark, dir, batchFiles, tableStats,
+          tableBlooms, m.bloomFpp)
+        opsAtWrite = headOps
+      } else require(opsAtWrite == headOps,
+        s"stream upsert on $dir raced a column rename/drop — re-run the " +
+          "epoch (exactly-once makes the retry safe)")
+      val next = headV + 1
+      testRaceHook()
+      if (tryPublish(spark, dir,
+        Manifest(next, m.ledger.addKey(key),
+          (m.statsCols ++ statsCols).distinct,
+          m.entries ++ newEntries.map(_.copy(seq = next)),
+          bloomCols = (m.bloomCols ++ bloomCols).distinct,
+          bloomFpp = m.bloomFpp,
+          deletes =
+            if (m.entries.isEmpty) m.deletes // no prior files to doom
+            else m.deletes :+ DeleteFile(keyFiles, keyCols, next, nKeys),
+          renames = m.renames, drops = m.drops, adds = m.adds),
+        carry = m.segments)) {
+        if (m.entries.isEmpty) dropOrphanBatch(spark, dir, keyFiles)
+        return Some(next)
+      }
+    }
+    None // unreachable
+  }
+
   /** DELETE by PREDICATE, merge-on-read via a POSITIONAL DELETE
     * VECTOR: compute the (file, row-ordinal) pairs the predicate
     * matches — over the stats/bloom-PRUNED candidate files only, on

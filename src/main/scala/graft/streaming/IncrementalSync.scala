@@ -612,6 +612,38 @@ object IncrementalSync {
     * after its retraction batch survives. Empty batches skip (nothing
     * to retract; skipping is idempotent). `applyDeletes` folds the
     * accumulated deletes on the maintenance schedule. */
+  /** Stream of UPSERTS → snapshot table, merge-on-read: each
+    * micro-batch commits its rows PLUS an equality delete of exactly
+    * its keys as ONE atomic version
+    * (SnapshotTable.commitStreamUpsertMoR) — the CDC-upsert shape at
+    * scale: zero pre-existing data files touched per epoch (a
+    * per-epoch COW merge rewrites every file the batch's scattered
+    * keys hit; contactsSync above even rewrites the whole target —
+    * fine for its small parity table, wrong at 100 TB), sequence
+    * scoping supersedes prior images of the keys while the batch's
+    * own rows survive, and the stream ledger makes replays no-op.
+    * Reads pay one delta-sized anti join per unfolded epoch;
+    * `applyDeletes` folds on the maintenance schedule. Batches must
+    * be unique per key (latest-wins dedup is the caller's call). */
+  def upsertSync(
+      stream: DataFrame,
+      tableDir: String,
+      keyCols: Seq[String],
+      checkpointDir: String,
+      appId: String = "upsert",
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.SnapshotTable.commitStreamUpsertMoR(
+          batch, tableDir, keyCols, id, appId,
+          statsCols = statsCols, bloomCols = bloomCols)
+        ()
+      }
+      .start()
+
   def retractionSync(
       keyStream: DataFrame,
       tableDir: String,

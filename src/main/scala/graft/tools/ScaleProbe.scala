@@ -311,8 +311,8 @@ object ScaleProbe {
       "stream_cdf_drain", "sql_dml_mor", "sorted_write", "wap_publish",
       "spj_join", "spj_join_plain", "partitioned_write",
       "dml_rebucket", "replace_where", "dynamic_overwrite",
-      "dynamic_overwrite_multi", "fanout_write", "dv_delete", "dv_update")
-      .exists(wanted)) {
+      "dynamic_overwrite_multi", "fanout_write", "dv_delete", "dv_update",
+      "stream_upsert_drain").exists(wanted)) {
       spark.conf.set("spark.sql.catalog.gprobe",
         classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
       spark.conf.set("spark.sql.catalog.gprobe.root", scaledBase)
@@ -362,6 +362,24 @@ object ScaleProbe {
             statsCols = Seq("event_id"))
           spark.sql(s"ALTER TABLE gprobe.f$f.snap_dv_tbl " +
             "SET TBLPROPERTIES ('delete_mode' = 'dv')")
+        }
+        // r16 streaming-upsert fixture: the scaled table plus a
+        // CONSTANT-size upsert feed (1000 restatements + 1000 fresh
+        // keys, 3 chunks); the timed drain must be O(batch) per epoch
+        // whatever f is — zero pre-existing files touched
+        if (wanted("stream_upsert_drain")) {
+          val dir = s"$scaledBase/f$f/snap_ups_tbl"
+          graft.sources.SnapshotTable.commitAppend(
+            ev.select("event_id", "event_type"), dir,
+            statsCols = Seq("event_id"))
+          spark.range(0, 1000)
+            .select(col("id").as("event_id"),
+              lit("restated").as("event_type"))
+            .unionByName(spark.range(0, 1000)
+              .select((col("id") + 7000000000000L).as("event_id"),
+                lit("fresh").as("event_type")))
+            .repartition(3, col("event_id"))
+            .write.parquet(s"$scaledBase/f$f/ups_src")
         }
         // r16 DV-update fixture: same layout; the timed CALL dv_update
         // patches a constant band's 'click' rows — vector + delta-sized
@@ -1168,6 +1186,33 @@ object ScaleProbe {
             "the vector must be bounded to the band's files, not the table")
           require(SnapshotTable.countRows(spark, dir) == nBefore - dvs.head._2,
             "metadata COUNT must stay exact under the pending vector")
+          spark.range(1).toDF()
+        }),
+        // r16 STREAMING UPSERT at volume: drain 3 constant-size upsert
+        // epochs into the N×-bigger table — each epoch is ONE atomic
+        // version (batch + equality delete of its keys), zero
+        // pre-existing files touched (in-op requires), so the drain
+        // wall is the feed, never the table
+        "stream_upsert_drain" -> (() => {
+          import graft.sources.SnapshotTable
+          val dir = s"$scaledBase/f$f/snap_ups_tbl"
+          val vBefore = SnapshotTable.versions(spark, dir).last
+          val before = SnapshotTable.files(spark, dir, vBefore).toSet
+          val src = s"$scaledBase/f$f/ups_src"
+          val schema = spark.read.parquet(src).schema
+          val stream = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+          graft.streaming.IncrementalSync.upsertSync(
+            stream, dir, Seq("event_id"), s"$scaledBase/f$f/ups_ckpt")
+            .awaitTermination()
+          val vs = SnapshotTable.versions(spark, dir)
+          require(vs.size == vBefore.toInt + 3,
+            s"three epochs must land as three versions: $vs")
+          require(vs.drop(vBefore.toInt).forall(v =>
+            before.subsetOf(SnapshotTable.files(spark, dir, v).toSet)),
+            "a streaming upsert must never touch a pre-existing file")
+          require(SnapshotTable.pendingDeletes(spark, dir).size == 3,
+            "each epoch carries its own equality delete")
           spark.range(1).toDF()
         }),
         // r16 DV UPDATE at volume: patch one constant band's 'click'
