@@ -5729,13 +5729,6 @@ object SparkEntry {
         .groupBy("lang").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang")
     }),
-    // Streaming RETRACTION: a forget-me key feed lands as zero-data-
-    // file MoR delete commits through the multi-writer ledger —
-    // in-row requires pin the mechanics (3 chunks → 3 delete
-    // versions, every data file of v1 carried untouched, full replay
-    // no-ops the ledger), and the head read is the logical rows with
-    // all three pending key frames anti-joined out. Oracle replays
-    // the survivors from base.
     // Streaming MoR UPSERT (the CDC-upsert shape at scale): every
     // micro-batch commits its rows PLUS an equality delete of exactly
     // its keys as ONE atomic version — in-row requires pin that no
@@ -5787,6 +5780,13 @@ object SparkEntry {
       head.groupBy("event_type").agg(count(lit(1)).as("n_events"))
         .orderBy("event_type")
     }),
+    // Streaming RETRACTION: a forget-me key feed lands as zero-data-
+    // file MoR delete commits through the multi-writer ledger —
+    // in-row requires pin the mechanics (3 chunks → 3 delete
+    // versions, every data file of v1 carried untouched, full replay
+    // no-ops the ledger), and the head read is the logical rows with
+    // all three pending key frames anti-joined out. Oracle replays
+    // the survivors from base.
     "stream_snapshot_delete" -> ((s, dir) => streamRow(s) {
       import graft.sources.SnapshotTable
       val base = tempDir("graft_stream_mor")

@@ -3853,7 +3853,6 @@ object SnapshotTable {
     * nothing (no empty commit). */
   def commitDeleteVectorsWhere(
       spark: SparkSession, dir: String, predicate: Column): Long = {
-    val f = fs(spark, dir)
     var staged: Seq[String] = null
     var affected: Seq[(String, Long)] = null
     var total = -1L
@@ -3865,56 +3864,19 @@ object SnapshotTable {
       val headV = versions(spark, dir).lastOption.getOrElse(
         throw new IllegalArgumentException(s"snapshot table $dir has no committed version"))
       val m = readManifest(spark, dir, headV)
+      // positions are location-derived, not column-derived, so a raced
+      // schema op never invalidates them — only the entry set and the
+      // delete list fingerprint the staged vector
       val fp = (m.entries.map(_.path).toSet, m.deletes)
       if (staged == null || fingerprint != fp) {
         if (staged != null) dropOrphanBatch(spark, dir, staged)
         staged = null; affected = null; total = -1L
         fingerprint = fp
-        // the helper columns must not collide with table columns, and
-        // no physical column may shadow the reader's metadata struct
-        val tableCols = read(spark, dir, Some(headV)).columns.toSet
-        require(Seq(DvNameCol, DvPosCol, "_metadata").forall(!tableCols.contains(_)),
-          s"DV delete on $dir: the table schema collides with the reserved " +
-            s"'$DvNameCol'/'$DvPosCol'/'_metadata' names")
-        // DVs join on FILE NAME (data files are UUID-named, and a
-        // clone-relocated table keeps working because names, unlike
-        // resolved paths, are location-independent) — which requires
-        // names to be table-unique; loud refusal over a silent
-        // cross-file position match
-        val allNames = m.entries.map(e => fileName(e.path))
-        require(allNames.distinct.size == allNames.size,
-          s"DV delete on $dir: duplicate data-file NAMES in the manifest — " +
-            "compact/OPTIMIZE to re-land them before using delete vectors")
-        val (_, mf, pruned) = pruneWhere(spark, dir, predicate, Some(headV))
-        if (pruned.isEmpty) return headV
-        val posFrame = entriesFrameMeta(spark, dir, mf, pruned, keepMeta = true)
-          .filter(predicate)
-          .select(col(DvNameCol), col(DvPosCol))
-        val ddir = s"dv-${UUID.randomUUID().toString}"
-        posFrame.write.parquet(s"$dir/$ddir")
-        val ps = f.listStatus(new Path(s"$dir/$ddir")).toSeq
-          .map(_.getPath.getName).filter(_.endsWith(".parquet"))
-          .map(n => s"$ddir/$n")
-        require(ps.nonEmpty, "delete vector wrote no files")
-        // per-file counts: bounded by the candidate FILE count (a
-        // driver-side census of manifest scale, never of row scale)
-        val perName = spark.read.parquet(ps.map(p => s"$dir/$p"): _*)
-          .groupBy(DvNameCol).count().collect()
-          .map(r => r.getString(0) -> r.getLong(1))
-        require(perName.length <= 100000,
-          s"DV delete on $dir touches ${perName.length} files — above the " +
-            "100k census bound; use REPLACE WHERE / a COW delete instead")
-        if (perName.isEmpty) {
-          dropOrphanBatch(spark, dir, ps)
-          return headV
+        stageVector(spark, dir, m, headV, predicate, "DV delete") match {
+          case None => return headV
+          case Some((_, _, ps, aff, tot)) =>
+            staged = ps; affected = aff; total = tot
         }
-        val byName = pruned.map(e => fileName(e.path) -> e.path).toMap
-        affected = perName.toSeq.map { case (n, c) =>
-          byName.getOrElse(n, throw new IllegalStateException(
-            s"DV delete on $dir marked positions in unknown file '$n'")) -> c
-        }.sortBy(_._1)
-        total = affected.map(_._2).sum
-        staged = ps
       }
       testRaceHook()
       if (tryPublish(spark, dir,
@@ -3950,13 +3912,13 @@ object SnapshotTable {
       sets: Map[String, Column],
       expectations: Seq[(String, String)] = Nil): Long = {
     require(sets.nonEmpty, "commitUpdateVectorsWhere needs at least one SET")
-    val f = fs(spark, dir)
     var staged: Seq[String] = null        // the vector files
     var stagedBatch: Seq[String] = null   // the updated-image batch
     var newEntries: Seq[Entry] = null
     var affected: Seq[(String, Long)] = null
     var total = -1L
-    var fingerprint: (Set[String], Seq[DeleteFile]) = null
+    var fingerprint: (Set[String], Seq[DeleteFile],
+      Seq[Rename], Seq[Drop], Seq[AddCol]) = null
     var attempts = 0
     def dropStaged(): Unit = {
       if (staged != null) dropOrphanBatch(spark, dir, staged)
@@ -3970,61 +3932,42 @@ object SnapshotTable {
       val headV = versions(spark, dir).lastOption.getOrElse(
         throw new IllegalArgumentException(s"snapshot table $dir has no committed version"))
       val m = readManifest(spark, dir, headV)
-      val fp = (m.entries.map(_.path).toSet, m.deletes)
+      // UNLIKE the pure delete, the staged image batch is
+      // column-derived: a raced rename/drop/add would make images
+      // written under the OLD names publish with a post-op seq, so
+      // the read path would treat them as already normalized and
+      // surface nulls — schema ops join the fingerprint and force a
+      // restage (the commitDeleteMoRInternal remap hazard, answered
+      // by recompute instead of remap)
+      val fp = (m.entries.map(_.path).toSet, m.deletes,
+        m.renames, m.drops, m.adds)
       if (staged == null || fingerprint != fp) {
         dropStaged()
         fingerprint = fp
-        val tableCols = read(spark, dir, Some(headV)).columns.toSet
-        require(Seq(DvNameCol, DvPosCol, "_metadata").forall(!tableCols.contains(_)),
-          s"DV update on $dir: the table schema collides with the reserved " +
-            s"'$DvNameCol'/'$DvPosCol'/'_metadata' names")
-        sets.keys.foreach(c => require(tableCols.contains(c),
-          s"DV update on $dir: SET names '$c', which is not a column of the table"))
-        val allNames = m.entries.map(e => fileName(e.path))
-        require(allNames.distinct.size == allNames.size,
-          s"DV update on $dir: duplicate data-file NAMES in the manifest — " +
-            "compact/OPTIMIZE to re-land them before using delete vectors")
-        val (_, mf, pruned) = pruneWhere(spark, dir, predicate, Some(headV))
-        if (pruned.isEmpty) return headV
-        def matched = entriesFrameMeta(spark, dir, mf, pruned, keepMeta = true)
-          .filter(predicate)
-        val ddir = s"dv-${UUID.randomUUID().toString}"
-        matched.select(col(DvNameCol), col(DvPosCol)).write.parquet(s"$dir/$ddir")
-        val ps = f.listStatus(new Path(s"$dir/$ddir")).toSeq
-          .map(_.getPath.getName).filter(_.endsWith(".parquet"))
-          .map(n => s"$ddir/$n")
-        require(ps.nonEmpty, "delete vector wrote no files")
-        val perName = spark.read.parquet(ps.map(p => s"$dir/$p"): _*)
-          .groupBy(DvNameCol).count().collect()
-          .map(r => r.getString(0) -> r.getLong(1))
-        require(perName.length <= 100000,
-          s"DV update on $dir touches ${perName.length} files — above the " +
-            "100k census bound; use a COW rewrite instead")
-        if (perName.isEmpty) {
-          dropOrphanBatch(spark, dir, ps)
-          return headV
+        stageVector(spark, dir, m, headV, predicate, "DV update") match {
+          case None => return headV
+          case Some((mf, pruned, ps, aff, tot)) =>
+            staged = ps; affected = aff; total = tot
+            val matched = entriesFrameMeta(spark, dir, mf, pruned,
+              keepMeta = true).filter(predicate).drop(DvNameCol, DvPosCol)
+            sets.keys.foreach(c => require(matched.columns.contains(c),
+              s"DV update on $dir: SET names '$c', which is not a column " +
+                "of the table"))
+            // SQL UPDATE semantics: EVERY SET evaluates against the
+            // OLD row (one select, deterministic whatever the map
+            // order — a sequential withColumn fold would let one
+            // assignment read another's NEW value)
+            val updated = matched.select(matched.columns.map(c =>
+              sets.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+            checkExpectations(updated, expectations, dir)
+            stagedBatch = writeBatch(updated, dir)
+            newEntries = batchEntries(spark, dir, stagedBatch, m.statsCols,
+              m.bloomCols, m.bloomFpp)
+            val batchRows = newEntries.map(_.rows).sum
+            require(batchRows == total,
+              s"DV update on $dir: the updated batch carries $batchRows rows " +
+                s"but the vector marks $total — snapshot drifted mid-compute; re-run")
         }
-        val byName = pruned.map(e => fileName(e.path) -> e.path).toMap
-        affected = perName.toSeq.map { case (n, c) =>
-          byName.getOrElse(n, throw new IllegalStateException(
-            s"DV update on $dir marked positions in unknown file '$n'")) -> c
-        }.sortBy(_._1)
-        total = affected.map(_._2).sum
-        staged = ps
-        // the updated images: SET expressions over the matched logical
-        // rows, landed as an ordinary batch under today's schema
-        val updated = sets.foldLeft(
-          matched.drop(DvNameCol, DvPosCol)) { case (d, (c, e)) =>
-          d.withColumn(c, e)
-        }
-        checkExpectations(updated, expectations, dir)
-        stagedBatch = writeBatch(updated, dir)
-        newEntries = batchEntries(spark, dir, stagedBatch, m.statsCols,
-          m.bloomCols, m.bloomFpp)
-        val batchRows = newEntries.map(_.rows).sum
-        require(batchRows == total,
-          s"DV update on $dir: the updated batch carries $batchRows rows " +
-            s"but the vector marks $total — snapshot drifted mid-compute; re-run")
       }
       testRaceHook()
       if (tryPublish(spark, dir,
@@ -4038,6 +3981,66 @@ object SnapshotTable {
         return headV + 1
     }
     -1L // unreachable
+  }
+
+  /** Shared staging for the vector commits: validates the
+    * reserved-name and unique-file-name invariants, prunes the
+    * candidate files for `predicate`, writes the (file name, row
+    * ordinal) vector of its LOGICAL matches, and censuses it
+    * per-file. Staged under the `delete-` prefix so a crashed
+    * writer's files fall to the SAME gcOrphans sweep as equality key
+    * files. Returns None when nothing matches (staged files already
+    * cleaned); Some((pruned manifest view, candidate entries, vector
+    * paths, affected path→count, total)) otherwise. */
+  private def stageVector(
+      spark: SparkSession, dir: String, m: Manifest, headV: Long,
+      predicate: Column, what: String)
+      : Option[(Manifest, Seq[Entry], Seq[String], Seq[(String, Long)], Long)] = {
+    val f = fs(spark, dir)
+    // the helper columns must not collide with table columns, and no
+    // physical column may shadow the reader's metadata struct
+    val tableCols = read(spark, dir, Some(headV)).columns.toSet
+    require(Seq(DvNameCol, DvPosCol, "_metadata").forall(!tableCols.contains(_)),
+      s"$what on $dir: the table schema collides with the reserved " +
+        s"'$DvNameCol'/'$DvPosCol'/'_metadata' names")
+    // DVs join on FILE NAME (data files are UUID-named, and a
+    // clone-relocated table keeps working because names, unlike
+    // resolved paths, are location-independent) — which requires
+    // names to be table-unique; loud refusal over a silent
+    // cross-file position match
+    val allNames = m.entries.map(e => fileName(e.path))
+    require(allNames.distinct.size == allNames.size,
+      s"$what on $dir: duplicate data-file NAMES in the manifest — " +
+        "compact/OPTIMIZE to re-land them before using delete vectors")
+    val (_, mf, pruned) = pruneWhere(spark, dir, predicate, Some(headV))
+    if (pruned.isEmpty) return None
+    val posFrame = entriesFrameMeta(spark, dir, mf, pruned, keepMeta = true)
+      .filter(predicate)
+      .select(col(DvNameCol), col(DvPosCol))
+    val ddir = s"delete-${UUID.randomUUID().toString}"
+    posFrame.write.parquet(s"$dir/$ddir")
+    val ps = f.listStatus(new Path(s"$dir/$ddir")).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+      .map(n => s"$ddir/$n")
+    require(ps.nonEmpty, "delete vector wrote no files")
+    // per-file counts: bounded by the candidate FILE count (a
+    // driver-side census of manifest scale, never of row scale)
+    val perName = spark.read.parquet(ps.map(p => s"$dir/$p"): _*)
+      .groupBy(DvNameCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    require(perName.length <= 100000,
+      s"$what on $dir touches ${perName.length} files — above the " +
+        "100k census bound; use REPLACE WHERE / a COW rewrite instead")
+    if (perName.isEmpty) {
+      dropOrphanBatch(spark, dir, ps)
+      return None
+    }
+    val byName = pruned.map(e => fileName(e.path) -> e.path).toMap
+    val affected = perName.toSeq.map { case (n, c) =>
+      byName.getOrElse(n, throw new IllegalStateException(
+        s"$what on $dir marked positions in unknown file '$n'")) -> c
+    }.sortBy(_._1)
+    Some((mf, pruned, ps, affected, affected.map(_._2).sum))
   }
 
   /** The pending delete VECTORS of a version (default head):

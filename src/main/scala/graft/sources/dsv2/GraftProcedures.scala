@@ -108,6 +108,39 @@ object GraftProcedures {
 
   private val DayMs = 24L * 3600 * 1000
 
+  /** Split a SQL fragment list on TOP-LEVEL commas: paren depth
+    * tracked, single-quoted SQL strings opaque (with '' escapes) — a
+    * naive regex split breaks on commas inside string literals and on
+    * quoted parens (an expression like `tag = 'a,b'` must stay one
+    * assignment). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (inStr) {
+        cur.append(ch)
+        if (ch == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') {
+            cur.append('\''); i += 1
+          } else inStr = false
+        }
+      } else ch match {
+        case '\'' => inStr = true; cur.append(ch)
+        case '(' => depth += 1; cur.append(ch)
+        case ')' => depth -= 1; cur.append(ch)
+        case ',' if depth == 0 => out += cur.toString; cur.clear(): Unit
+        case other => cur.append(other): Unit
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.result()
+  }
+
   /** The registry, keyed by procedure name under the `system` namespace. */
   private def procs(cat: GraftSnapshotCatalog): Map[String, UnboundProcedure] = Map(
     "optimize" -> new Proc(cat, "optimize",
@@ -243,12 +276,11 @@ object GraftProcedures {
         StructField("rows_updated", LongType, nullable = false))),
       (s, r) => {
         val dir = dirOf(cat, r, 0)
-        // assignments: 'col = expr, col2 = expr2' — split on commas
-        // OUTSIDE parens (an expr's internal commas stay inside its
-        // calls), then take the identifier before the FIRST '='
+        // assignments: 'col = expr, col2 = expr2' — split on
+        // TOP-LEVEL commas (parens tracked, quoted SQL strings
+        // opaque), then take the identifier before the FIRST '='
         val Assign = "(?s)\\s*([A-Za-z_][\\w]*)\\s*=\\s*(.+)".r
-        val sets = r.getUTF8String(2).toString
-          .split(",(?![^(]*\\))").toSeq.map {
+        val sets = splitTopLevel(r.getUTF8String(2).toString).map {
             case Assign(c, e) =>
               c -> org.apache.spark.sql.functions.expr(e.trim)
             case other => throw new IllegalArgumentException(

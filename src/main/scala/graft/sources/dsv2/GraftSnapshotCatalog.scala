@@ -1025,10 +1025,14 @@ private[dsv2] class SnapshotCatalogTable(
     * than even a vector). */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     version.isEmpty &&
-      DmlFilterTranslation.translateAll(filters).exists(p =>
-        SnapshotTable.canDeleteFilesWhere(spark, dir, p) ||
-          GraftTableProps.read(spark, dir).get("delete_mode")
-            .exists(_.equalsIgnoreCase("dv")))
+      DmlFilterTranslation.translateAll(filters).exists { p =>
+        // cheap props lookup FIRST: on a dv-mode table the whole
+        // claim is one file read, never a full-manifest all-or-none
+        // classification that the short-circuit would discard anyway
+        GraftTableProps.read(spark, dir).get("delete_mode")
+          .exists(_.equalsIgnoreCase("dv")) ||
+          SnapshotTable.canDeleteFilesWhere(spark, dir, p)
+      }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val p = DmlFilterTranslation.translateAll(filters).getOrElse(

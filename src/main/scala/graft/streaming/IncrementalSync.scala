@@ -612,6 +612,23 @@ object IncrementalSync {
     * after its retraction batch survives. Empty batches skip (nothing
     * to retract; skipping is idempotent). `applyDeletes` folds the
     * accumulated deletes on the maintenance schedule. */
+  def retractionSync(
+      keyStream: DataFrame,
+      tableDir: String,
+      keyCols: Seq[String],
+      checkpointDir: String,
+      appId: String = "retract"): StreamingQuery =
+    keyStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.SnapshotTable.commitStreamDeleteMoR(
+            batch, tableDir, keyCols, id, appId)
+        ()
+      }
+      .start()
+
   /** Stream of UPSERTS → snapshot table, merge-on-read: each
     * micro-batch commits its rows PLUS an equality delete of exactly
     * its keys as ONE atomic version
@@ -640,23 +657,6 @@ object IncrementalSync {
         graft.sources.SnapshotTable.commitStreamUpsertMoR(
           batch, tableDir, keyCols, id, appId,
           statsCols = statsCols, bloomCols = bloomCols)
-        ()
-      }
-      .start()
-
-  def retractionSync(
-      keyStream: DataFrame,
-      tableDir: String,
-      keyCols: Seq[String],
-      checkpointDir: String,
-      appId: String = "retract"): StreamingQuery =
-    keyStream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty)
-          graft.sources.SnapshotTable.commitStreamDeleteMoR(
-            batch, tableDir, keyCols, id, appId)
         ()
       }
       .start()

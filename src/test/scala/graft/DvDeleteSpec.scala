@@ -347,6 +347,48 @@ class DvDeleteSpec extends SparkSpec {
       (101L to 200L).filter(_ % 10 == 3))
   }
 
+  test("multi-column SETs evaluate against the OLD row (SQL UPDATE semantics)") {
+    val dir = freshDir()
+    SnapshotTable.commitAppend(
+      (1L to 10L).toDF("id")
+        .withColumn("a", col("id") * 2).withColumn("b", col("id") * 3),
+      dir, statsCols = Seq("id"))
+    // the classic swap: a sequential withColumn fold would yield
+    // a = old_b AND b = old_b; SQL UPDATE (and this) swaps
+    SnapshotTable.commitUpdateVectorsWhere(spark, dir, col("id") <= 5L,
+      Map("a" -> col("b"), "b" -> col("a")))
+    val got = SnapshotTable.read(spark, dir)
+      .select("id", "a", "b").as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    (1L to 5L).foreach(i => assert(got(i) == (i * 3, i * 2),
+      s"id $i must SWAP, got ${got(i)}"))
+    (6L to 10L).foreach(i => assert(got(i) == (i * 2, i * 3)))
+  }
+
+  test("dv_update assignments parse through quoted commas and parens") {
+    val root = java.nio.file.Files.createTempDirectory("dv_parse").toString
+    spark.conf.set("spark.sql.catalog.gdvp",
+      classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdvp.root", root)
+    try {
+      SnapshotTable.commitAppend(
+        (1L to 10L).toDF("id").withColumn("tag", lit("x")),
+        s"$root/ns/t", statsCols = Seq("id"))
+      // a comma INSIDE a string literal must not split the
+      // assignment list; a function call's parens must group
+      spark.sql("CALL gdvp.system.dv_update('ns.t', 'id <= 3', " +
+        "\"tag = 'a,b', id = greatest(id, 100)\")")
+      val got = spark.sql(
+        "SELECT id, tag FROM gdvp.ns.t WHERE tag = 'a,b' ORDER BY id")
+        .as[(Long, String)].collect().toSeq
+      assert(got == Seq(100L -> "a,b", 100L -> "a,b", 100L -> "a,b"),
+        s"got $got")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gdvp")
+      spark.conf.unset("spark.sql.catalog.gdvp.root")
+    }
+  }
+
   test("reserved prefix refused as an equality key") {
     val dir = freshDir()
     rangeTable(dir)
