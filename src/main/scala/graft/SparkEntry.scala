@@ -6127,6 +6127,43 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("sum_id"))
         .orderBy("_change")
     }),
+    // The change feed over a POSITIONAL DELETE-VECTOR commit: the
+    // predicate DV (zero data files touched — in-row require) streams
+    // as the full BEFORE-IMAGES of exactly the rows it marked,
+    // _change='delete' — one partition per file the vector NAMES,
+    // never a table re-read. Summing the NON-KEY column's payload per
+    // change kind pins the before-images (the delete_key shape would
+    // read null there and zero the delete bucket); the oracle replays
+    // inserts ∪ predicate-matched deletes from the base rows.
+    "stream_cdf_dv" -> ((s, dir) => streamRow(s) {
+      import graft.sources.SnapshotTable
+      import org.apache.spark.sql.streaming.Trigger
+      val base = tempDir("graft_stream_cdf_dv")
+      val tbl = s"$base/tbl"
+      val ev = Tables.events(s, dir).select("event_id", "event_type")
+      SnapshotTable.commitAppend(ev.filter(col("event_id") % 2 === 0), tbl,
+        statsCols = Seq("event_id"))
+      SnapshotTable.commitAppend(ev.filter(col("event_id") % 2 =!= 0), tbl,
+        statsCols = Seq("event_id"))
+      val filesBefore = SnapshotTable.files(s, tbl, 2L).toSet
+      SnapshotTable.commitDeleteVectorsWhere(s, tbl,
+        col("event_id") % 100 === 0)
+      require(SnapshotTable.files(s, tbl, 3L).toSet == filesBefore,
+        "the DV delete must touch ZERO data files")
+      val q = s.readStream.format("graft-snapshot")
+        .option("readChangeFeed", "true").load(tbl)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .groupBy("_change")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("event_id")).as("sum_id"),
+          sum(length(col("event_type"))).as("sum_type_len"))
+        .orderBy("_change")
+    }),
     // Drift-gated streaming ingest — corpusDriftCheck standing at the
     // door: the in-distribution chunk lands in the target, the
     // language-collapsed chunk is diverted WHOLE to quarantine with
@@ -8845,6 +8882,18 @@ object SparkEntry {
         |  SELECT event_id, 'delete_key' FROM events WHERE event_id % 100 = 0)
         |SELECT _change, count(*) AS n_rows,
         |       CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the DV change feed: inserts ∪ the predicate-matched rows as
+    // full before-image deletes (non-key payload summed too)
+    "stream_cdf_dv" ->
+      """WITH ch AS (
+        |  SELECT event_id, event_type, 'insert' AS _change FROM events
+        |  UNION ALL
+        |  SELECT event_id, event_type, 'delete' FROM events
+        |  WHERE event_id % 100 = 0)
+        |SELECT _change, count(*) AS n_rows,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_id,
+        |       CAST(sum(length(event_type)) AS BIGINT) AS sum_type_len
         |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin,
     // the catalog route lands and reads the same rows
     "snapshot_sql_catalog" ->

@@ -70,9 +70,12 @@ private[dsv2] object GroupTime {
 
 private[dsv2] object SnapshotMicroBatchStream {
   /** The change-feed columns `readChangeFeed=true` appends to the
-    * table schema. `_change` is 'insert' (an appended row) or
+    * table schema. `_change` is 'insert' (an appended row),
     * 'delete_key' (a merge-on-read retraction KEY — non-key columns
-    * null); `_commit_version` is the version that committed it. */
+    * null), or 'delete' (the full BEFORE-IMAGE of a row a positional
+    * delete vector marked — read back from exactly the data file the
+    * vector names); `_commit_version` is the version that committed
+    * it. */
   val CdfColumns: Seq[StructField] = Seq(
     StructField("_change", StringType, nullable = false),
     StructField("_commit_version", LongType, nullable = false))
@@ -114,12 +117,21 @@ private[dsv2] object SnapshotMicroBatchStream {
   *    added — entry `seq` IS the committing version, so the file set
   *    is exact with zero data I/O;
   *  - with `readChangeFeed=true`, MERGE-ON-READ DELETE commits are
-  *    admitted too: the batch emits the commit's doomed-key files as
-  *    `_change='delete_key'` rows (non-key columns null) — the
-  *    DELTA-SIZED retraction contract of the format's own MoR design,
-  *    so a forget-me stream flows through CDC at key cost, never
-  *    table cost (emitting full deleted rows would re-read the
-  *    table). Appends emit `_change='insert'` with full rows; COW
+  *    admitted too: an EQUALITY delete's batch emits the commit's
+  *    doomed-key files as `_change='delete_key'` rows (non-key
+  *    columns null) — the DELTA-SIZED retraction contract of the
+  *    format's own MoR design, so a forget-me stream flows through
+  *    CDC at key cost, never table cost (emitting full deleted rows
+  *    would re-read the table); a POSITIONAL DELETE VECTOR commit
+  *    emits the full BEFORE-IMAGES of exactly the rows it marked as
+  *    `_change='delete'` — one partition per data file the vector
+  *    NAMES (never the table: untouched files plan nothing), each
+  *    loading its (name, ordinal) positions through a parquet
+  *    name-filter into a bitmap and re-reading only its own file.
+  *    The positions were computed against the LOGICAL view at the
+  *    commit's parent, so a marked row is always live at the prior
+  *    offset — the stream never re-retracts an already-deleted row.
+  *    Appends emit `_change='insert'` with full rows; COW
   *    rewrites still fail loudly (their diff is a computation, not a
   *    file read — batch consumers use graft_table_changes);
   *  - readers decode the parquet files on the EXECUTOR through the
@@ -216,20 +228,7 @@ private[dsv2] class SnapshotMicroBatchStream(
           "fresh checkpoint after maintenance (a FULL-replacement version " +
           "can seed a stream via the startingVersion option" +
           (if (cdf) "" else "; readChangeFeed=true additionally streams " +
-            "merge-on-read DELETE commits as delete_key rows") + ")")
-      if (cdf && cls == "mor-delete") {
-        // positional delete vectors carry (file, position) pairs, not
-        // keys — a delete_key partition over one would surface
-        // meaningless rows to a keyed consumer; refuse loudly
-        val before = SnapshotTable.readManifest(spark, dir, v - 1L)
-        val after = SnapshotTable.readManifest(spark, dir, v)
-        require(!after.deletes.drop(before.deletes.size)
-          .exists(SnapshotTable.isDv),
-          s"graft-snapshot stream: version $v of $dir commits a positional " +
-            "delete vector, which carries no keys to stream as delete_key " +
-            "rows — consume it via batch CDC (changesBetween) or re-sync " +
-            "after applyDeletes folds it")
-      }
+            "merge-on-read DELETE commits as delete_key/delete rows") + ")")
       v -> (if (snapshotStart) "append" else cls)
     }
     // the SESSION's Hadoop conf rides the partition to the executor
@@ -240,16 +239,44 @@ private[dsv2] class SnapshotMicroBatchStream(
     val inserts = m.entries.filter(e => e.seq > from && e.seq <= to)
       .map(e => SnapshotFilePartition(
         SnapshotTable.resolvePath(dir, e.path), conf, "insert", e.seq))
-    val deleteKeys =
+    val deleteParts =
       if (!cdf) Seq.empty
       else admitted.collect { case (v, "mor-delete") =>
         val before = SnapshotTable.readManifest(spark, dir, v - 1L)
         val after = SnapshotTable.readManifest(spark, dir, v)
-        after.deletes.drop(before.deletes.size).flatMap(_.paths).map(p =>
-          SnapshotFilePartition(
+        after.deletes.drop(before.deletes.size).flatMap { d =>
+          if (SnapshotTable.isDv(d)) {
+            // positional delete vector: one partition per data file
+            // the vector NAMES, each re-reading only its own file and
+            // emitting the before-images at the marked ordinals —
+            // file-bounded, never table-bounded
+            val byPath = before.entries.map(e => e.path -> e).toMap
+            val dvAbs = d.paths.map(p => SnapshotTable.resolvePath(dir, p))
+            d.dvFiles.map { case (path, cnt) =>
+              val e = byPath.getOrElse(path, throw new IllegalStateException(
+                s"graft-snapshot stream: version $v of $dir commits a delete " +
+                  s"vector naming '$path', which version ${v - 1L} does not " +
+                  "hold — tryPublish trims vectors to surviving entries, so " +
+                  "the manifest is corrupt"))
+              // a rename/drop committed AFTER the named file was
+              // written would make the by-name read surface wrong
+              // values (old names / erased generations); unreachable
+              // through the stream's own admission (schema-evolution
+              // versions refuse, snapshot starts rewrite every file),
+              // so this is an invariant check, not a user surface
+              require(!(after.renames.exists(_.seq > e.seq) ||
+                  after.drops.exists(_.seq > e.seq)),
+                s"graft-snapshot stream: delete vector at version $v of " +
+                  s"$dir names a file predating a column rename/drop — " +
+                  "consume it via batch CDC (graft_table_changes)")
+              SnapshotDvDeletePartition(
+                SnapshotTable.resolvePath(dir, path), dvAbs, cnt, conf, v)
+            }
+          } else d.paths.map(p => SnapshotFilePartition(
             SnapshotTable.resolvePath(dir, p), conf, "delete_key", v))
+        }
       }.flatten
-    (inserts ++ deleteKeys).map(p => p: InputPartition).toArray
+    (inserts ++ deleteParts).map(p => p: InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -261,15 +288,95 @@ private[dsv2] final case class SnapshotFilePartition(
     changeType: String = "insert", version: Long = -1L)
     extends InputPartition
 
+/** One data file a positional delete vector NAMES: `dvPaths` are the
+  * vector's parquet files (positions for OTHER files are skipped by a
+  * parquet name-filter — row-group stats prune, the record filter
+  * drops the rest), `marked` the commit-time census of positions in
+  * THIS file (the reader requires an exact match — a drifted vector
+  * must fail loudly, not mis-emit). */
+private[dsv2] final case class SnapshotDvDeletePartition(
+    absPath: String, dvPaths: Seq[String], marked: Long,
+    conf: SerializableConfiguration, version: Long)
+    extends InputPartition
+
 private[dsv2] class SnapshotStreamReaderFactory(
     schema: StructType, cdf: Boolean = false)
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val fp = p.asInstanceOf[SnapshotFilePartition]
-    SnapshotVectorizedReader.open(fp, schema, cdf).getOrElse(
-      new SnapshotGroupReader(fp.absPath, schema, fp.conf.value,
-        fp.changeType, fp.version, cdf))
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case dv: SnapshotDvDeletePartition =>
+        new SnapshotDvDeleteReader(dv, schema)
+      case _ =>
+        val fp = p.asInstanceOf[SnapshotFilePartition]
+        SnapshotVectorizedReader.open(fp, schema, cdf).getOrElse(
+          new SnapshotGroupReader(fp.absPath, schema, fp.conf.value,
+            fp.changeType, fp.version, cdf))
+    }
+}
+
+/** Before-image reader for one delete-vector partition: loads the
+  * marked ordinals of ITS file into a bitmap (the vector's rows for a
+  * file are bounded by the file's row count, so the bitmap is
+  * rows/8 bytes — never more than a few hundred KB for a normal-sized
+  * parquet file), then walks the data file through the same
+  * vectorized/Group decode the insert path uses, counting ordinals
+  * and surfacing only marked rows as `_change='delete'`. Ordinal =
+  * row index within the file in storage order — exactly the
+  * `_metadata.row_index` the vector was staged from, and a
+  * whole-file sequential read reproduces it by construction. */
+private[dsv2] class SnapshotDvDeleteReader(
+    p: SnapshotDvDeletePartition, schema: StructType)
+    extends PartitionReader[InternalRow] {
+  import org.apache.parquet.filter2.compat.FilterCompat
+  import org.apache.parquet.filter2.predicate.FilterApi
+  import org.apache.parquet.io.api.Binary
+
+  private val fileName = p.absPath.substring(p.absPath.lastIndexOf('/') + 1)
+
+  private val positions: java.util.BitSet = {
+    val bits = new java.util.BitSet()
+    var n = 0L
+    val pred = FilterCompat.get(FilterApi.eq(
+      FilterApi.binaryColumn(SnapshotTable.DvNameCol),
+      Binary.fromString(fileName)))
+    p.dvPaths.foreach { dp =>
+      val r = ParquetReader.builder(new GroupReadSupport(), new Path(dp))
+        .withConf(p.conf.value).withFilter(pred).build()
+      try {
+        var g = r.read()
+        while (g != null) {
+          val idx = g.getType.getFieldIndex(SnapshotTable.DvPosCol)
+          bits.set(Math.toIntExact(g.getLong(idx, 0)))
+          n += 1
+          g = r.read()
+        }
+      } finally r.close()
+    }
+    require(n == p.marked,
+      s"delete vector for $fileName carries $n positions but its commit " +
+        s"census recorded ${p.marked} — the vector drifted; re-sync via " +
+        "batch CDC (graft_table_changes)")
+    bits
   }
+
+  private val inner: PartitionReader[InternalRow] = {
+    val fp = SnapshotFilePartition(p.absPath, p.conf, "delete", p.version)
+    SnapshotVectorizedReader.open(fp, schema, cdf = true).getOrElse(
+      new SnapshotGroupReader(fp.absPath, schema, fp.conf.value,
+        fp.changeType, fp.version, cdf = true))
+  }
+
+  private var ord = -1
+  private var row: InternalRow = _
+  override def next(): Boolean = {
+    while (inner.next()) {
+      ord += 1
+      if (positions.get(ord)) { row = inner.get(); return true }
+    }
+    false
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = inner.close()
 }
 
 /** VECTORIZED decode for the streaming source (r13 judge item #6):

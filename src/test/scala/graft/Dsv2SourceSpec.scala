@@ -2621,4 +2621,64 @@ class Dsv2SourceSpec extends SparkSpec {
       spark.sql("CALL gguard.system.zorder('ns.t', 'id', 'v')").collect()
     }
   }
+
+  test("readChangeFeed streams delete-vector commits as full before-image deletes") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("snap_cdf_dv").toString
+    val tbl = s"$base/tbl"
+    SnapshotTable.commitAppend(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), tbl)
+    SnapshotTable.commitAppend(Seq((4L, "d"), (5L, "e")).toDF("id", "v"), tbl)
+    val filesBefore = SnapshotTable.files(spark, tbl, 2L).toSet
+    // v3 = a positional DV delete: zero data files touched
+    SnapshotTable.commitDeleteVectorsWhere(spark, tbl, col("id") % 2 === 0)
+    assert(SnapshotTable.files(spark, tbl, 3L).toSet == filesBefore,
+      "the DV delete must touch ZERO data files")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-snapshot")
+        .option("readChangeFeed", "true").load(tbl)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out").option("checkpointLocation", s"$base/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    def rows() = spark.read.parquet(s"$base/out").collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[String]("v"),
+        r.getAs[String]("_change"), r.getAs[Long]("_commit_version"))).toSet
+    // unlike delete_key rows, DV deletes carry the full BEFORE-IMAGE
+    assert(rows() == Set(
+      (1L, "a", "insert", 1L), (2L, "b", "insert", 1L),
+      (3L, "c", "insert", 1L), (4L, "d", "insert", 2L),
+      (5L, "e", "insert", 2L),
+      (2L, "b", "delete", 3L), (4L, "d", "delete", 3L)),
+      s"DV commits must stream full before-image delete rows: ${rows()}")
+    // resume drains only the new commits: an append + another vector
+    SnapshotTable.commitAppend(Seq((6L, "f")).toDF("id", "v"), tbl)
+    SnapshotTable.commitDeleteVectorsWhere(spark, tbl, col("id") === 5L)
+    drain()
+    val resumed = rows()
+    assert(resumed.size == 9 &&
+      Set((6L, "f", "insert", 4L), (5L, "e", "delete", 5L))
+        .subsetOf(resumed),
+      s"resume must emit exactly the new insert + before-image: $resumed")
+    // the head read agrees with the accumulated feed: inserts minus deletes
+    val live = SnapshotTable.read(spark, tbl).select("id")
+      .as[Long].collect().toSet
+    assert(live == Set(1L, 3L, 6L))
+    // a plain (non-cdf) stream still refuses the vector commit range
+    val boom = intercept[Exception] {
+      val q = spark.readStream.format("graft-snapshot").load(tbl)
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$base/ck2")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs(boom).contains("mor-delete"), msgs(boom))
+  }
 }
