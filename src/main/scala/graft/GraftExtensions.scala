@@ -129,6 +129,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPostHocResolutionRule(spark =>
       org.apache.spark.sql.execution.datasources.v2
         .SnapshotV1ConversionRule(spark))
+    // pre-resolution tier: UPDATE routing to delete vectors under
+    // update_mode='dv' — must run before the analyzer's own
+    // RewriteUpdateTable (inside the Resolution batch) turns the
+    // statement into a copy-on-write ReplaceData; the hint hook is
+    // the earliest injectable logical seam
+    ext.injectHintResolutionRule(spark => graft.plans.DvUpdateRoute(spark))
     ext.injectFunction((
       new FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),

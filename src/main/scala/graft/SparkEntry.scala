@@ -975,6 +975,25 @@ object SparkEntry {
         "every pre-existing file must carry by reference")
       require(SnapshotTable.countRows(s, tbl) == baseCount,
         "the update conserves the metadata-exact row count")
+      // the STATEMENT face of the same machinery: under
+      // update_mode='dv' a plain `UPDATE … SET … WHERE …` routes
+      // through the vector+patch commit too — over the still-pending
+      // first vector (the stacked-maintenance shape), carrying every
+      // prior file by reference
+      s.sql(s"ALTER TABLE graft_cat.$ns.ev " +
+        "SET TBLPROPERTIES ('update_mode' = 'dv')")
+      val files2 = SnapshotTable.files(s, tbl, headV).toSet
+      s.sql(s"UPDATE graft_cat.$ns.ev " +
+        "SET event_type = concat(event_type, '+') " +
+        "WHERE event_id % 7 = 0 AND event_type <> 'patched'")
+      val headV2 = SnapshotTable.versions(s, tbl).last
+      require(headV2 == headV + 1L, "the statement UPDATE must be ONE commit")
+      require(files2.subsetOf(SnapshotTable.files(s, tbl, headV2).toSet),
+        "update_mode='dv' must carry every prior file by reference")
+      require(SnapshotTable.pendingDeleteVectors(s, tbl).size == 2,
+        "the statement UPDATE must STACK a second vector, not fold")
+      require(SnapshotTable.countRows(s, tbl) == baseCount,
+        "the statement update conserves the metadata-exact row count")
       ns
     })
 
@@ -8681,11 +8700,19 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the dv-update algebra: the matched predicate's rows re-typed
     "snapshot_dv_update" ->
-      """SELECT CASE WHEN event_id % 9 = 0 AND event_type <> 'error'
-        |            THEN 'patched' ELSE event_type END AS event_type,
-        |       count(*) AS n_events,
+      """WITH u1 AS (
+        |  SELECT event_id,
+        |         CASE WHEN event_id % 9 = 0 AND event_type <> 'error'
+        |              THEN 'patched' ELSE event_type END AS event_type
+        |  FROM events),
+        |u2 AS (
+        |  SELECT event_id,
+        |         CASE WHEN event_id % 7 = 0 AND event_type <> 'patched'
+        |              THEN event_type || '+' ELSE event_type END AS event_type
+        |  FROM u1)
+        |SELECT event_type, count(*) AS n_events,
         |       CAST(sum(event_id) AS BIGINT) AS sum_id
-        |FROM events
+        |FROM u2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // partition evolution is answer-invisible; the replayed algebra is
     // the dynamic overwrite's: first-day clicks replaced by their

@@ -3956,9 +3956,14 @@ object SnapshotTable {
             // SQL UPDATE semantics: EVERY SET evaluates against the
             // OLD row (one select, deterministic whatever the map
             // order — a sequential withColumn fold would let one
-            // assignment read another's NEW value)
+            // assignment read another's NEW value), and each
+            // assignment CASTS to the column's standing type (an
+            // UPDATE never retypes a column — an INT-literal SET on a
+            // BIGINT column must not land an INT32 image file that
+            // poisons the merged read schema)
             val updated = matched.select(matched.columns.map(c =>
-              sets.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+              sets.get(c).map(_.cast(matched.schema(c).dataType).as(c))
+                .getOrElse(col(c))): _*)
             checkExpectations(updated, expectations, dir)
             stagedBatch = writeBatch(updated, dir)
             newEntries = batchEntries(spark, dir, stagedBatch, m.statsCols,

@@ -141,6 +141,11 @@ object GraftTableProps {
       require(v.equalsIgnoreCase("cow") || v.equalsIgnoreCase("dv"),
         s"table $ident: delete_mode must be 'cow' (copy-on-write " +
           s"rewrite) or 'dv' (positional delete vectors), got '$v'"))
+    props.get("update_mode").foreach(v =>
+      require(v.equalsIgnoreCase("cow") || v.equalsIgnoreCase("dv"),
+        s"table $ident: update_mode must be 'cow' (copy-on-write " +
+          s"rewrite) or 'dv' (positional delete vector + patched-image " +
+          s"batch), got '$v'"))
     // expectation predicates must PARSE and reference real columns —
     // a typo'd SQL string or a column left behind by a RENAME would
     // otherwise fail every future INSERT instead of the DDL

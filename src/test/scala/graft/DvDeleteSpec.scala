@@ -398,4 +398,67 @@ class DvDeleteSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("reserved"))
   }
+
+  test("SQL face: update_mode='dv' turns UPDATE into a vector + patch commit") {
+    val root = java.nio.file.Files.createTempDirectory("dv_upd").toString
+    spark.conf.set("spark.sql.catalog.gdvu",
+      classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdvu.root", root)
+    try {
+      spark.sql("CREATE TABLE gdvu.ns.ev (id BIGINT, tag STRING, " +
+        "score BIGINT) TBLPROPERTIES " +
+        "('stats_cols' = 'id', 'update_mode' = 'dv')")
+      spark.sql("INSERT INTO gdvu.ns.ev " +
+        "SELECT id, concat('t', id % 10), id * 2 FROM range(1, 201)")
+      val dir = s"$root/ns/ev"
+      val before = SnapshotTable.files(spark, dir,
+        SnapshotTable.versions(spark, dir).last).toSet
+      // scattered predicate, SETs referencing the OLD row — under COW
+      // every touched file would rewrite; under 'dv' all prior files
+      // survive and only the patched images append
+      spark.sql("UPDATE gdvu.ns.ev SET score = score + 1000, " +
+        "tag = concat(tag, '!') WHERE id % 10 = 3")
+      val after = SnapshotTable.files(spark, dir,
+        SnapshotTable.versions(spark, dir).last).toSet
+      assert(before.subsetOf(after) && (after -- before).nonEmpty,
+        "update_mode='dv' must keep every prior file and append images")
+      assert(SnapshotTable.pendingDeleteVectors(spark, dir).map(_._2) ==
+        Seq(20L))
+      assert(spark.sql("SELECT count(*) AS n FROM gdvu.ns.ev")
+        .as[Long].head() == 200L, "an UPDATE conserves cardinality")
+      val patched = spark.sql("SELECT id, tag, score FROM gdvu.ns.ev " +
+        "WHERE id % 10 = 3 ORDER BY id").as[(Long, String, Long)]
+        .collect().toSeq
+      assert(patched.size == 20 && patched.forall { case (id, tag, sc) =>
+        tag == "t3!" && sc == id * 2 + 1000 },
+        s"SETs must evaluate against the OLD row: $patched")
+      assert(spark.sql("SELECT count(*) AS n FROM gdvu.ns.ev " +
+        "WHERE id % 10 <> 3 AND (tag LIKE '%!' OR score >= 1000)")
+        .as[Long].head() == 0L, "unmatched rows must stay untouched")
+      // SET names resolve case-insensitively (the COW path's posture)
+      spark.sql("UPDATE gdvu.ns.ev SET SCORE = 0 WHERE id = 1")
+      assert(spark.sql("SELECT score FROM gdvu.ns.ev WHERE id = 1")
+        .as[Long].head() == 0L)
+      // a subquery condition falls through to the standard COW
+      // rewrite (vectors folded first — COW DML refuses over pending
+      // merge-on-read state)
+      spark.sql("CALL gdvu.system.fold_deletes('ns.ev')")
+      assert(SnapshotTable.pendingDeleteVectors(spark, dir).isEmpty)
+      spark.sql("UPDATE gdvu.ns.ev SET score = -1 WHERE id IN " +
+        "(SELECT id FROM gdvu.ns.ev WHERE tag = 't7')")
+      assert(SnapshotTable.pendingDeleteVectors(spark, dir).isEmpty,
+        "the subquery UPDATE must take the COW route, not a vector")
+      assert(spark.sql("SELECT count(*) AS n FROM gdvu.ns.ev " +
+        "WHERE score = -1").as[Long].head() == 20L)
+      // declared-value validation at DDL time
+      val e = intercept[Exception] {
+        spark.sql("CREATE TABLE gdvu.ns.bad (id BIGINT) " +
+          "TBLPROPERTIES ('update_mode' = 'bogus')")
+      }
+      assert(e.getMessage.contains("update_mode"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gdvu")
+      spark.conf.unset("spark.sql.catalog.gdvu.root")
+    }
+  }
 }
