@@ -135,6 +135,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // statement into a copy-on-write ReplaceData; the hint hook is
     // the earliest injectable logical seam
     ext.injectHintResolutionRule(spark => graft.plans.DvUpdateRoute(spark))
+    // and MERGE routing to a merge-on-read commit under
+    // merge_mode='mor' (the canonical star-upsert shape only)
+    ext.injectHintResolutionRule(spark => graft.plans.MorMergeRoute(spark))
     ext.injectFunction((
       new FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),

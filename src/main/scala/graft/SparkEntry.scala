@@ -997,6 +997,60 @@ object SparkEntry {
       ns
     })
 
+  /** snapshot_merge_mor's lifecycle, once per sf dir: the canonical
+    * SQL star-upsert (`MERGE … UPDATE SET * / INSERT *`) under
+    * `merge_mode='mor'` on a hash-clustered layout — the scattered
+    * restatement keys would COW-rewrite every touched file; the MoR
+    * route commits the source's rows plus an equality delete of
+    * exactly its keys as ONE version touching ZERO pre-existing
+    * files (all required in place). */
+  private val morMergeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def morMergeSetup(s: SparkSession, dir: String): String =
+    morMergeMemo.computeIfAbsent(dir, _ => {
+      import graft.sources.SnapshotTable
+      val root = sqlCatRootMemo.computeIfAbsent("root",
+        _ => tempDir("graft_sql_cat"))
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cat.root", root)
+      val ns = "mor" + Integer.toHexString(dir.hashCode)
+      new java.io.File(s"$root/$ns").mkdirs()
+      val tbl = s"$root/$ns/ev"
+      if (SnapshotTable.versions(s, tbl).nonEmpty)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tbl))
+      val ev = Tables.events(s, dir).select("event_id", "event_type")
+      SnapshotTable.commitAppend(ev.repartition(4, col("event_id")), tbl,
+        statsCols = Seq("event_id"))
+      s.sql(s"ALTER TABLE graft_cat.$ns.ev " +
+        "SET TBLPROPERTIES ('merge_mode' = 'mor')")
+      val baseCount = ev.count()
+      val headBefore = SnapshotTable.versions(s, tbl).last
+      val filesBefore = SnapshotTable.files(s, tbl, headBefore).toSet
+      ev.filter(col("event_id") % 10 === 3)
+        .select(col("event_id"), lit("restated").as("event_type"))
+        .unionByName(ev.filter(col("event_id") % 10 === 3)
+          .select((col("event_id") + 10000000L).as("event_id"),
+            lit("fresh_batch").as("event_type")))
+        .createOrReplaceTempView(s"mor_delta_$ns")
+      val nKeys = s.table(s"mor_delta_$ns").count()
+      s.sql(s"MERGE INTO graft_cat.$ns.ev t USING mor_delta_$ns s " +
+        "ON t.event_id = s.event_id " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      val headV = SnapshotTable.versions(s, tbl).last
+      require(headV == headBefore + 1L, "the MERGE must be ONE commit")
+      require(filesBefore.subsetOf(SnapshotTable.files(s, tbl, headV).toSet),
+        "merge_mode='mor' must touch ZERO pre-existing files")
+      require(SnapshotTable.pendingDeletes(s, tbl) ==
+        Seq((Seq("event_id"), headV, nKeys)),
+        "the commit must carry an equality delete of exactly its keys")
+      require(SnapshotTable.read(s, tbl).count() ==
+        baseCount + nKeys / 2,
+        "upsert semantics: restatements replace, fresh rows add")
+      ns
+    })
+
   /** snapshot_partition_evolve's lifecycle, once per sf dir:
     * PARTITION-SPEC EVOLUTION (`CALL system.evolve_partitioning`) on
     * a live days(ts) table — the spec is a clustering-lattice
@@ -4684,6 +4738,19 @@ object SparkEntry {
         s"CAST(sum(event_id) AS BIGINT) AS sum_id " +
         s"FROM graft_cat.$ns.ev GROUP BY event_type ORDER BY event_type")
     }),
+    // SQL MERGE under `merge_mode='mor'` (Iceberg's write.merge.mode
+    // split): the canonical star-upsert lands as ONE merge-on-read
+    // commit — source rows + an equality delete of exactly its keys,
+    // zero pre-existing files touched on a hash layout where COW
+    // would rewrite every one (the setup memo requires each step).
+    // The oracle replays the upsert algebra blind to files, deletes,
+    // and the catalog.
+    "snapshot_merge_mor" -> ((s, dir) => {
+      val ns = morMergeSetup(s, dir)
+      s.sql(s"SELECT event_type, count(*) AS n_events, " +
+        s"CAST(sum(event_id) AS BIGINT) AS sum_id " +
+        s"FROM graft_cat.$ns.ev GROUP BY event_type ORDER BY event_type")
+    }),
     // PARTITION-SPEC EVOLUTION (the real formats' ADD/REPLACE
     // PARTITION FIELD): the setup memo evolves a live days(ts) table
     // to (days(ts), event_type) as a METADATA-ONLY props write (zero
@@ -6182,6 +6249,53 @@ object SparkEntry {
           sum(col("event_id")).as("sum_id"),
           sum(length(col("event_type"))).as("sum_type_len"))
         .orderBy("_change")
+    }),
+    // MAINTENANCE-TOLERANT streaming (the production sources'
+    // ignoreDeletes/skipChangeCommits pair): MoR + DV deletes land,
+    // compaction folds them (a rewriting commit), appends continue —
+    // and ONE stream rides over all of it from a fresh checkpoint,
+    // skipping delete-only versions and the rewrite wholesale while
+    // emitting every append from its OWN manifest (the head manifest
+    // carries the rewritten files under the skipped seq — planning
+    // from it would silently lose every pre-compaction row). In-row
+    // requires pin that maintenance really happened (deletes applied,
+    // head census shrunk to compacted form). The oracle is ALL base
+    // rows: append-stream semantics — the inserts predate the
+    // deletes, and skipped versions emit nothing.
+    "stream_skip_maintenance" -> ((s, dir) => streamRow(s) {
+      import graft.sources.SnapshotTable
+      import org.apache.spark.sql.streaming.Trigger
+      val base = tempDir("graft_stream_skip")
+      val tbl = s"$base/tbl"
+      val ev = Tables.events(s, dir).select("event_id", "event_type")
+      val total = ev.count()
+      SnapshotTable.commitAppend(ev.filter(col("event_id") % 2 === 0), tbl,
+        statsCols = Seq("event_id"))
+      SnapshotTable.commitDeleteMoR(
+        ev.filter(col("event_id") % 100 === 0).select("event_id"),
+        tbl, Seq("event_id"))
+      SnapshotTable.commitDeleteVectorsWhere(s, tbl,
+        col("event_id") % 100 === 50)
+      SnapshotTable.compactHead(s, tbl, 1L << 26)
+      SnapshotTable.commitAppend(ev.filter(col("event_id") % 2 =!= 0), tbl,
+        statsCols = Seq("event_id"))
+      val deleted = ev.filter(col("event_id") % 100 === 0 ||
+        col("event_id") % 100 === 50).count()
+      require(SnapshotTable.pendingDeleteVectors(s, tbl).isEmpty &&
+        SnapshotTable.countRows(s, tbl) == total - deleted,
+        "compaction must have folded both deletes before the drain")
+      val q = s.readStream.format("graft-snapshot")
+        .option("ignoreDeletes", "true")
+        .option("skipChangeCommits", "true").load(tbl)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("sum_id"))
+        .orderBy("event_type")
     }),
     // Drift-gated streaming ingest — corpusDriftCheck standing at the
     // door: the in-distribution chunk lands in the target, the
@@ -8714,6 +8828,20 @@ object SparkEntry {
         |       CAST(sum(event_id) AS BIGINT) AS sum_id
         |FROM u2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the MoR star-upsert replayed as algebra: restatements replace
+    // in place, fresh keys append
+    "snapshot_merge_mor" ->
+      """WITH merged AS (
+        |  SELECT event_id,
+        |         CASE WHEN event_id % 10 = 3 THEN 'restated'
+        |              ELSE event_type END AS event_type
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id + 10000000, 'fresh_batch' FROM events
+        |  WHERE event_id % 10 = 3)
+        |SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     // partition evolution is answer-invisible; the replayed algebra is
     // the dynamic overwrite's: first-day clicks replaced by their
     // even-id half at offset ids, everything else untouched
@@ -8910,6 +9038,13 @@ object SparkEntry {
         |SELECT _change, count(*) AS n_rows,
         |       CAST(sum(event_id) AS BIGINT) AS sum_id
         |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin,
+    // maintenance-tolerant stream: every append streamed exactly
+    // once, delete-only and rewriting versions skipped — the feed is
+    // all base rows
+    "stream_skip_maintenance" ->
+      """SELECT event_type, count(*) AS n_rows,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // the DV change feed: inserts ∪ the predicate-matched rows as
     // full before-image deletes (non-key payload summed too)
     "stream_cdf_dv" ->

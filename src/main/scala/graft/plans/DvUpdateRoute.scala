@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -11,6 +11,31 @@ import org.apache.spark.sql.functions.expr
 
 import graft.sources.SnapshotTable
 import graft.sources.dsv2.{GraftSnapshotCatalog, GraftTableProps}
+
+/** Shared resolution for the pre-analysis DML routing rules: the
+  * table directory of a fully-qualified (≥3-part) identifier whose
+  * head names a graft-snapshot catalog — None when it is no such
+  * catalog or the table does not exist (normal resolution then
+  * surfaces the normal error). A ≥3-part name is a shape no temp
+  * view or CTE can shadow, which is what makes pre-resolution
+  * interception safe. */
+private[plans] object SnapshotDmlResolve {
+  def tableDir(spark: SparkSession, parts: Seq[String]): Option[String] = {
+    if (parts.length < 3) return None
+    try {
+      spark.sessionState.catalogManager.catalog(parts.head) match {
+        case g: GraftSnapshotCatalog =>
+          Some(g.tableDir(Identifier.of(parts.tail.init.toArray, parts.last)))
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  def modeIs(spark: SparkSession, dir: String,
+      prop: String, value: String): Boolean =
+    GraftTableProps.read(spark, dir).get(prop)
+      .exists(_.equalsIgnoreCase(value))
+}
 
 /** Routes `UPDATE cat.ns.t SET … WHERE …` through POSITIONAL DELETE
   * VECTORS when the table declares `update_mode = 'dv'` — the
@@ -41,12 +66,11 @@ case class DvUpdateRoute(spark: SparkSession) extends Rule[LogicalPlan] {
     // UPDATE is always the plan root — a root-only match keeps the
     // rule O(1) for every other statement
     case UpdateTable(r: UnresolvedRelation, assignments, cond) =>
-      val parts = r.multipartIdentifier
-      if (parts.length < 3) return plan
-      val dir = tableDirOf(parts)
+      val dir = SnapshotDmlResolve.tableDir(spark, r.multipartIdentifier)
+        .orNull
       if (dir == null) return plan
-      if (!GraftTableProps.read(spark, dir).get("update_mode")
-        .exists(_.equalsIgnoreCase("dv"))) return plan
+      if (!SnapshotDmlResolve.modeIs(spark, dir, "update_mode", "dv"))
+        return plan
       // COW handles what the vector route shouldn't: subqueries
       // cannot re-resolve against the table's own frame, nested-field
       // SETs patch structs the vector images don't model
@@ -62,24 +86,77 @@ case class DvUpdateRoute(spark: SparkSession) extends Rule[LogicalPlan] {
       val sets = assignments.map(a =>
         (a.key.asInstanceOf[UnresolvedAttribute].name, a.value.sql))
       require(sets.map(_._1.toLowerCase).distinct.size == sets.size,
-        s"UPDATE on ${parts.mkString(".")}: duplicate SET column — each " +
-          "column may be assigned once")
+        s"UPDATE on ${r.multipartIdentifier.mkString(".")}: duplicate SET " +
+          "column — each column may be assigned once")
       DvUpdateCommand(dir, cond.map(_.sql).getOrElse("true"), sets)
     case _ => plan
   }
+}
 
-  /** The table directory of a ≥3-part identifier whose head names a
-    * graft-snapshot catalog — null when the head is no such catalog
-    * or the table does not exist (normal resolution then surfaces the
-    * normal error). */
-  private def tableDirOf(parts: Seq[String]): String =
-    try {
-      spark.sessionState.catalogManager.catalog(parts.head) match {
-        case g: GraftSnapshotCatalog =>
-          g.tableDir(Identifier.of(parts.tail.init.toArray, parts.last))
-        case _ => null
+/** Routes the canonical SQL upsert —
+  * `MERGE INTO cat.ns.t USING src ON t.k = s.k
+  *  WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *` —
+  * through a MERGE-ON-READ commit when the table declares
+  * `merge_mode = 'mor'` (Iceberg's write.merge.mode split): the
+  * source's rows plus an equality delete of exactly its keys land as
+  * ONE atomic version touching ZERO pre-existing files, where the
+  * copy-on-write rewrite pays one file rewrite per scattered key.
+  * Interception is pre-resolution for the same reason as
+  * [[DvUpdateRoute]] (RewriteMergeIntoTable fires inside the
+  * Resolution batch), with the same safe-shape restriction: a
+  * fully-qualified target on a graft catalog, unconditional star
+  * actions only, an ON condition that is a conjunction of same-name
+  * column equalities. Everything else — conditional or column-wise
+  * actions, NOT MATCHED BY SOURCE, schema evolution, expression
+  * keys — falls through to the standard copy-on-write rewrite. */
+case class MorMergeRoute(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case MergeIntoTable(t, source, cond,
+        Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)),
+        Seq(), false) =>
+      val rel = unwrapAlias(t)
+      rel match {
+        case r: UnresolvedRelation =>
+          SnapshotDmlResolve.tableDir(spark, r.multipartIdentifier) match {
+            case Some(dir)
+              if SnapshotDmlResolve.modeIs(spark, dir, "merge_mode", "mor") =>
+              keyColumns(cond) match {
+                case Some(keys) =>
+                  org.apache.spark.sql.execution.command
+                    .GraftMorMergeCommand(dir, keys, source)
+                case None => plan
+              }
+            case _ => plan
+          }
+        case _ => plan
       }
-    } catch { case scala.util.control.NonFatal(_) => null }
+    case _ => plan
+  }
+
+  private def unwrapAlias(p: LogicalPlan): LogicalPlan = p match {
+    case SubqueryAlias(_, child) => unwrapAlias(child)
+    case other => other
+  }
+
+  /** The ON condition as upsert keys: a conjunction of
+    * `EqualTo(attr, attr)` where both sides name the SAME column
+    * (`t.k = s.k`) — None for any other shape (cross-name equalities,
+    * non-equi terms, literals, subqueries), which keeps the COW
+    * path. */
+  private def keyColumns(cond: Expression): Option[Seq[String]] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val keys = conjuncts(cond).map {
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+        if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
+        Some(a.nameParts.last)
+      case _ => None
+    }
+    if (keys.forall(_.isDefined)) Some(keys.flatten.distinct) else None
+  }
 }
 
 /** The routed statement: one `commitUpdateVectorsWhere` against the

@@ -3754,14 +3754,37 @@ object SnapshotTable {
       batchId: Long, appId: String = "upsert",
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
       expectations: Seq[(String, String)] = Nil): Option[Long] = {
-    val spark = batch.sparkSession
-    require(keyCols.nonEmpty, "commitStreamUpsertMoR needs key columns")
-    require(keyCols.forall(!_.startsWith("__graft_dv")),
-      "the '__graft_dv' column-name prefix is reserved for delete vectors")
     require(appId.nonEmpty && !appId.contains(":"),
       s"appId must be non-empty without ':' — got '$appId'")
-    val key = s"$appId:$batchId"
-    if (isBatchCommitted(spark, dir, batchId, appId)) return None
+    if (isBatchCommitted(batch.sparkSession, dir, batchId, appId)) None
+    else commitUpsertMoRInternal(batch, dir, keyCols,
+      Some(s"$appId:$batchId"), statsCols, bloomCols, expectations)
+  }
+
+  /** The BATCH face of the merge-on-read upsert — `commitStreamUpsertMoR`
+    * without the stream ledger: one statement's rows plus an equality
+    * delete of exactly its keys as ONE atomic version, zero
+    * pre-existing files touched. The SQL `MERGE … WHEN MATCHED UPDATE
+    * SET * WHEN NOT MATCHED INSERT *` shape under `merge_mode='mor'`
+    * lands through this. Returns the committed version (the unchanged
+    * head when the batch is empty). */
+  def commitUpsertMoR(
+      batch: DataFrame, dir: String, keyCols: Seq[String],
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      expectations: Seq[(String, String)] = Nil): Long =
+    commitUpsertMoRInternal(batch, dir, keyCols, None,
+      statsCols, bloomCols, expectations)
+      .getOrElse(versions(batch.sparkSession, dir).lastOption.getOrElse(0L))
+
+  private def commitUpsertMoRInternal(
+      batch: DataFrame, dir: String, keyCols: Seq[String],
+      streamKey: Option[String],
+      statsCols: Seq[String], bloomCols: Seq[String],
+      expectations: Seq[(String, String)]): Option[Long] = {
+    val spark = batch.sparkSession
+    require(keyCols.nonEmpty, "commitUpsertMoR needs key columns")
+    require(keyCols.forall(!_.startsWith("__graft_dv")),
+      "the '__graft_dv' column-name prefix is reserved for delete vectors")
     keyCols.foreach(c => require(batch.columns.contains(c),
       s"stream upsert on $dir: key column '$c' is not in the batch"))
     checkExpectations(batch, expectations, dir)
@@ -3787,7 +3810,7 @@ object SnapshotTable {
       val m =
         if (headV == 0L) Manifest(0L, Ledger(), Seq.empty, Seq.empty)
         else readManifest(spark, dir, headV)
-      if (m.ledger.containsKey(key)) {
+      if (streamKey.exists(m.ledger.containsKey)) {
         if (batchFiles != null) dropOrphanBatch(spark, dir, batchFiles)
         if (keyFiles != null) dropOrphanBatch(spark, dir, keyFiles)
         return None
@@ -3807,7 +3830,7 @@ object SnapshotTable {
       val next = headV + 1
       testRaceHook()
       if (tryPublish(spark, dir,
-        Manifest(next, m.ledger.addKey(key),
+        Manifest(next, streamKey.fold(m.ledger)(m.ledger.addKey),
           (m.statsCols ++ statsCols).distinct,
           m.entries ++ newEntries.map(_.copy(seq = next)),
           bloomCols = (m.bloomCols ++ bloomCols).distinct,

@@ -146,6 +146,11 @@ object GraftTableProps {
         s"table $ident: update_mode must be 'cow' (copy-on-write " +
           s"rewrite) or 'dv' (positional delete vector + patched-image " +
           s"batch), got '$v'"))
+    props.get("merge_mode").foreach(v =>
+      require(v.equalsIgnoreCase("cow") || v.equalsIgnoreCase("mor"),
+        s"table $ident: merge_mode must be 'cow' (copy-on-write " +
+          s"rewrite) or 'mor' (star-upsert MERGEs land as rows + an " +
+          s"equality delete of their keys, one commit), got '$v'"))
     // expectation predicates must PARSE and reference real columns —
     // a typo'd SQL string or a column left behind by a RENAME would
     // otherwise fail every future INSERT instead of the DDL

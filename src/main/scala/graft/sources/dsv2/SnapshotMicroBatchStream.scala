@@ -134,6 +134,13 @@ private[dsv2] object SnapshotMicroBatchStream {
   *    Appends emit `_change='insert'` with full rows; COW
   *    rewrites still fail loudly (their diff is a computation, not a
   *    file read — batch consumers use graft_table_changes);
+  *  - maintenance tolerance via the production options:
+  *    `ignoreDeletes=true` (non-cdf) skips versions that add no files
+  *    (pure deletes), `skipChangeCommits=true` skips rewriting
+  *    commits wholesale — their added files carry rewritten old rows,
+  *    so emitting them would re-send; composes with the change feed
+  *    (compactions skip, MoR deletes still stream). Schema evolution
+  *    stops the stream under every option;
   *  - readers decode the parquet files on the EXECUTOR through the
   *    parquet-hadoop Group API — flat schemas of
   *    integral/double/float/boolean/string columns (the streaming-
@@ -153,6 +160,22 @@ private[dsv2] class SnapshotMicroBatchStream(
     Option(options.get("readChangeFeed")).exists(_.toBoolean)
   private val cdfNames =
     SnapshotMicroBatchStream.CdfColumns.map(_.name).toSet
+  // maintenance tolerance (the production sources' ignoreDeletes /
+  // skipChangeCommits pair): ignoreDeletes skips versions that ADD no
+  // files (pure deletes — MoR key/vector commits, metadata-only
+  // drops, all-match REPLACE WHERE); skipChangeCommits skips
+  // rewriting commits WHOLESALE (their added files carry rewritten
+  // old rows — emitting them would re-send). Schema evolution still
+  // stops the stream (re-sync), and a skipped rewrite never retracts
+  // rows already streamed — both exactly the production contract.
+  private val ignoreDeletes =
+    Option(options.get("ignoreDeletes")).exists(_.toBoolean)
+  private val skipChangeCommits =
+    Option(options.get("skipChangeCommits")).exists(_.toBoolean)
+  require(!(cdf && ignoreDeletes),
+    "readChangeFeed streams deletes; ignoreDeletes skips them — the " +
+      "options contradict (skipChangeCommits composes with the change " +
+      "feed: rewrites skip, MoR deletes still stream)")
 
   // plan-time type gate: decode support is explicit, never best-effort
   schema.fields.foreach { f =>
@@ -222,23 +245,45 @@ private[dsv2] class SnapshotMicroBatchStream(
         else SnapshotTable.changesPath(spark, dir, v - 1L, v)
       val snapshotStart = v > 1L && startingV.contains(v) && v == from + 1L &&
         SnapshotTable.readManifest(spark, dir, v).entries.forall(_.seq == v)
-      require(cls == "append" || snapshotStart || (cdf && cls == "mor-delete"),
-        s"graft-snapshot stream: version $v of $dir is '$cls', not an " +
-          "append — rewriting commits would re-emit rows; re-sync from a " +
-          "fresh checkpoint after maintenance (a FULL-replacement version " +
-          "can seed a stream via the startingVersion option" +
-          (if (cdf) "" else "; readChangeFeed=true additionally streams " +
-            "merge-on-read DELETE commits as delete_key/delete rows") + ")")
-      v -> (if (snapshotStart) "append" else cls)
+      val effective =
+        if (snapshotStart || cls == "append") "append"
+        else if (cdf && cls == "mor-delete") cls
+        // schema evolution stops the stream under EVERY option — a
+        // skipped rename would silently misname every later column
+        else if (cls != "schema-evolution" && skipChangeCommits) "skipped"
+        else if (cls != "schema-evolution" && ignoreDeletes &&
+          !SnapshotTable.readManifest(spark, dir, v).entries.exists(_.seq == v))
+          "skipped"
+        else throw new IllegalArgumentException(
+          s"graft-snapshot stream: version $v of $dir is '$cls', not an " +
+            "append — rewriting commits would re-emit rows; re-sync from a " +
+            "fresh checkpoint after maintenance (a FULL-replacement version " +
+            "can seed a stream via the startingVersion option; " +
+            "ignoreDeletes=true skips delete-only commits, " +
+            "skipChangeCommits=true skips rewrites wholesale" +
+            (if (cdf) "" else "; readChangeFeed=true additionally streams " +
+              "merge-on-read DELETE commits as delete_key/delete rows") + ")")
+      v -> effective
     }
+    val skipped = admitted.collect { case (v, "skipped") => v }.toSet
     // the SESSION's Hadoop conf rides the partition to the executor
     // (custom FS settings/credentials — ADVICE r12), plus the session
     // keys the vectorized reader needs (see readerConf)
     val conf = SnapshotMicroBatchStream.readerConf(spark)
-    val m = SnapshotTable.readManifest(spark, dir, to)
-    val inserts = m.entries.filter(e => e.seq > from && e.seq <= to)
-      .map(e => SnapshotFilePartition(
-        SnapshotTable.resolvePath(dir, e.path), conf, "insert", e.seq))
+    // each admitted append's files come from ITS OWN manifest, not
+    // the head's: a skipped rewrite (skipChangeCommits) REPLACES
+    // earlier entries in the head manifest under its own (skipped)
+    // seq, so head-filtering would silently lose every pre-rewrite
+    // row from a fresh checkpoint. Files dropped from later manifests
+    // stay on disk until vacuum — the same guarantee time travel and
+    // batch CDC read under; a vacuumed-away version fails loudly at
+    // the manifest read (re-sync from a newer startingVersion).
+    val inserts = admitted.collect { case (v, "append") =>
+      SnapshotTable.readManifest(spark, dir, v).entries
+        .filter(_.seq == v)
+        .map(e => SnapshotFilePartition(
+          SnapshotTable.resolvePath(dir, e.path), conf, "insert", e.seq))
+    }.flatten
     val deleteParts =
       if (!cdf) Seq.empty
       else admitted.collect { case (v, "mor-delete") =>
@@ -346,7 +391,12 @@ private[dsv2] class SnapshotDvDeleteReader(
         var g = r.read()
         while (g != null) {
           val idx = g.getType.getFieldIndex(SnapshotTable.DvPosCol)
-          bits.set(Math.toIntExact(g.getLong(idx, 0)))
+          val pos = g.getLong(idx, 0)
+          require(pos >= 0L && pos <= Int.MaxValue,
+            s"delete vector marks row ordinal $pos of $fileName — beyond " +
+              "the 2^31-row single-parquet-file contract; consume via " +
+              "batch CDC (graft_table_changes)")
+          bits.set(pos.toInt)
           n += 1
           g = r.read()
         }

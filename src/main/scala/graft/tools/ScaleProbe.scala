@@ -336,6 +336,20 @@ object ScaleProbe {
             spark.range(0, 1000).select(col("id").as("event_id")),
             dir, Seq("event_id"))
         }
+        // second-wave r16 CDF-over-DV fixture: the scaled table plus
+        // a CONSTANT-band DV delete (the 'click' rows of ids
+        // [0, 20000) — scattered WITHIN the band's files, so no
+        // equality key and COW would rewrite them; the band lives in
+        // replica 0 whatever f is). The timed drain streams ONLY the
+        // vector version's before-images.
+        if (wanted("stream_cdf_dv_drain")) {
+          val dir = s"$scaledBase/f$f/snap_cdv_tbl"
+          graft.sources.SnapshotTable.commitAppend(
+            ev.select("event_id", "event_type"), dir,
+            statsCols = Seq("event_id"))
+          graft.sources.SnapshotTable.commitDeleteVectorsWhere(spark, dir,
+            col("event_id") < 20000L && col("event_type") === "click")
+        }
         // r14 MoR-DML fixture: same 8f table, plus a CONSTANT-size
         // pending MoR delete (1000 keys, all in replica 0's range) —
         // the timed SQL DELETE must fold it first (operation-build
@@ -1023,6 +1037,33 @@ object ScaleProbe {
           require(drained.count() == 1000L &&
             drained.filter(col("_change") === "delete_key").count() == 1000L,
             "the CDF drain from the MoR version must be exactly the keys")
+          spark.range(1).toDF()
+        }),
+        // CDF over a DELETE VECTOR at volume: the drain's partitions
+        // are the files the vector NAMES (~1 of the 8f — the band is
+        // range-local), each re-reading its own file plus the
+        // name-filtered vector — before-image cost is file-bounded,
+        // never table-bounded, so the wall must stay FLAT as f grows
+        "stream_cdf_dv_drain" -> (() => {
+          val t = System.nanoTime()
+          val out = s"$scaledBase/f$f/cdv_out_$t"
+          val q = spark.readStream.format("graft-snapshot")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "2")
+            .load(s"$scaledBase/f$f/snap_cdv_tbl")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", s"$scaledBase/f$f/cdv_ck_$t")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val drained = spark.read.parquet(out)
+          val expect = spark.read.parquet(s"$sfDir/events.parquet")
+            .filter(col("event_id") < 20000L &&
+              col("event_type") === "click").count()
+          require(drained.count() == expect && expect > 0L &&
+            drained.filter(col("_change") === "delete").count() == expect,
+            "the DV drain must be exactly the band's before-images")
           spark.range(1).toDF()
         }),
         // the table-to-table streaming pipeline at volume: source

@@ -2681,4 +2681,68 @@ class Dsv2SourceSpec extends SparkSpec {
         .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
     assert(msgs(boom).contains("mor-delete"), msgs(boom))
   }
+
+  test("ignoreDeletes and skipChangeCommits ride out maintenance commits") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("snap_skip").toString
+    val tbl = s"$base/tbl"
+    SnapshotTable.commitAppend(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), tbl)
+    // v2 = equality MoR delete, v3 = DV delete, v4 = append — a plain
+    // stream refuses the range; ignoreDeletes skips the delete-only
+    // versions and still streams the append
+    SnapshotTable.commitDeleteMoR(Seq(2L).toDF("id"), tbl, Seq("id"))
+    SnapshotTable.commitDeleteVectorsWhere(spark, tbl, col("id") === 3L)
+    SnapshotTable.commitAppend(Seq((4L, "d")).toDF("id", "v"), tbl)
+    def drain(opts: Map[String, String], out: String, ck: String): Unit = {
+      val r0 = spark.readStream.format("graft-snapshot")
+      val r = opts.foldLeft(r0) { case (rd, (k, vv)) => rd.option(k, vv) }
+      val q = r.load(tbl).writeStream.format("parquet")
+        .option("path", s"$base/$out")
+        .option("checkpointLocation", s"$base/$ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain(Map("ignoreDeletes" -> "true"), "out1", "ck1")
+    val got1 = spark.read.parquet(s"$base/out1").select("id")
+      .as[Long].collect().toSet
+    assert(got1 == Set(1L, 2L, 3L, 4L),
+      s"ignoreDeletes streams every append, skips the deletes: $got1")
+    // v5 = compaction (a rewriting commit): ignoreDeletes is NOT
+    // enough (files were added) — skipChangeCommits rides over it
+    // without re-sending the rewritten rows
+    SnapshotTable.compactHead(spark, tbl, 1L << 20)
+    SnapshotTable.commitAppend(Seq((5L, "e")).toDF("id", "v"), tbl)
+    val boom = intercept[Exception] {
+      drain(Map("ignoreDeletes" -> "true"), "out1", "ck1")
+    }
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs(boom).contains("skipChangeCommits"), msgs(boom))
+    drain(Map("ignoreDeletes" -> "true", "skipChangeCommits" -> "true"),
+      "out1", "ck1")
+    val got2 = spark.read.parquet(s"$base/out1").select("id")
+      .as[Long].collect().toSeq.sorted
+    assert(got2 == Seq(1L, 2L, 3L, 4L, 5L),
+      s"skipChangeCommits must skip the rewrite, stream the append: $got2")
+    // cdf + skipChangeCommits: the compaction skips, the MoR deletes
+    // still stream as change rows
+    drain(Map("readChangeFeed" -> "true", "skipChangeCommits" -> "true"),
+      "out2", "ck2")
+    val ch = spark.read.parquet(s"$base/out2")
+      .select("id", "_change").as[(Long, String)].collect().toSeq
+    assert(ch.count(_._2 == "insert") == 5 &&
+      ch.contains((2L, "delete_key")) && ch.contains((3L, "delete")) &&
+      ch.size == 7,
+      s"cdf + skipChangeCommits must keep the delete rows: $ch")
+    // cdf + ignoreDeletes contradict — loud refusal
+    val boom2 = intercept[Exception] {
+      drain(Map("readChangeFeed" -> "true", "ignoreDeletes" -> "true"),
+        "out3", "ck3")
+    }
+    assert(msgs(boom2).contains("contradict"), msgs(boom2))
+  }
 }

@@ -461,4 +461,88 @@ class DvDeleteSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.gdvu.root")
     }
   }
+
+  test("SQL face: merge_mode='mor' turns the star-upsert MERGE into one MoR commit") {
+    val root = java.nio.file.Files.createTempDirectory("mor_mrg").toString
+    spark.conf.set("spark.sql.catalog.gmor",
+      classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmor.root", root)
+    try {
+      spark.sql("CREATE TABLE gmor.ns.ev (id BIGINT, v STRING) " +
+        "TBLPROPERTIES ('stats_cols' = 'id', 'merge_mode' = 'mor')")
+      spark.sql("INSERT INTO gmor.ns.ev " +
+        "SELECT id, concat('t', id % 10) FROM range(1, 201)")
+      val dir = s"$root/ns/ev"
+      val headBefore = SnapshotTable.versions(spark, dir).last
+      val before = SnapshotTable.files(spark, dir, headBefore).toSet
+      // the canonical upsert: 20 restatements + 10 fresh rows — on a
+      // hash-scattered key set COW would rewrite every touched file;
+      // MoR touches none and commits ONE version
+      spark.sql("MERGE INTO gmor.ns.ev t USING (" +
+        "SELECT id, 'restated' AS v FROM range(1, 21) " +
+        "UNION ALL SELECT id + 1000, 'fresh' FROM range(1, 11)) s " +
+        "ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      val headV = SnapshotTable.versions(spark, dir).last
+      assert(headV == headBefore + 1L, "the MERGE must be ONE commit")
+      assert(before.subsetOf(SnapshotTable.files(spark, dir, headV).toSet),
+        "merge_mode='mor' must touch ZERO pre-existing files")
+      assert(SnapshotTable.pendingDeletes(spark, dir) ==
+        Seq((Seq("id"), headV, 30L)),
+        "the commit carries an equality delete of exactly its keys")
+      assert(spark.sql("SELECT count(*) AS n FROM gmor.ns.ev")
+        .as[Long].head() == 210L)
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM gmor.ns.ev WHERE v = 'restated'")
+        .as[Long].head() == 20L)
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM gmor.ns.ev WHERE v = 'fresh'")
+        .as[Long].head() == 10L)
+      assert(spark.sql("SELECT v FROM gmor.ns.ev WHERE id = 5")
+        .as[String].head() == "restated")
+      assert(spark.sql("SELECT v FROM gmor.ns.ev WHERE id = 25")
+        .as[String].head() == "t5", "unmatched rows stay untouched")
+      // a COLUMN-WISE action falls through to the COW rewrite, which
+      // auto-folds the pending MoR delete first
+      spark.sql("MERGE INTO gmor.ns.ev t USING (" +
+        "SELECT id FROM range(1, 6)) s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET v = 'cow'")
+      assert(SnapshotTable.pendingDeletes(spark, dir).isEmpty,
+        "the COW MERGE must have folded the pending delete")
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM gmor.ns.ev WHERE v = 'cow'")
+        .as[Long].head() == 5L)
+      assert(spark.sql("SELECT count(*) AS n FROM gmor.ns.ev")
+        .as[Long].head() == 210L)
+      // a duplicate-key source refuses loudly (SQL MERGE would error
+      // on the matched side and silently double-insert on the other)
+      val dup = intercept[Exception] {
+        spark.sql("MERGE INTO gmor.ns.ev t USING (" +
+          "SELECT CAST(1 AS BIGINT) AS id, 'x' AS v " +
+          "UNION ALL SELECT CAST(1 AS BIGINT), 'y') s ON t.id = s.id " +
+          "WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *")
+      }
+      assert(dup.getMessage.contains("ONE image per key"), dup.getMessage)
+      // a source with the wrong column set refuses with the COW pointer
+      val bad = intercept[Exception] {
+        spark.sql("MERGE INTO gmor.ns.ev t USING (" +
+          "SELECT CAST(9999 AS BIGINT) AS id) s ON t.id = s.id " +
+          "WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *")
+      }
+      assert(bad.getMessage.contains("exactly the target's columns"),
+        bad.getMessage)
+      // declared-value validation at DDL time
+      val e = intercept[Exception] {
+        spark.sql("CREATE TABLE gmor.ns.bad (id BIGINT) " +
+          "TBLPROPERTIES ('merge_mode' = 'bogus')")
+      }
+      assert(e.getMessage.contains("merge_mode"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.gmor")
+      spark.conf.unset("spark.sql.catalog.gmor.root")
+    }
+  }
 }
