@@ -312,7 +312,7 @@ object ScaleProbe {
       "spj_join", "spj_join_plain", "partitioned_write",
       "dml_rebucket", "replace_where", "dynamic_overwrite",
       "dynamic_overwrite_multi", "fanout_write", "dv_delete", "dv_update",
-      "stream_upsert_drain").exists(wanted)) {
+      "stream_upsert_drain", "stream_cdf_dv_drain").exists(wanted)) {
       spark.conf.set("spark.sql.catalog.gprobe",
         classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
       spark.conf.set("spark.sql.catalog.gprobe.root", scaledBase)
