@@ -110,6 +110,9 @@ private[dsv2] object SnapshotMicroBatchStream {
   *  - `initialOffset` = version 0, or `startingVersion − 1` when the
   *    option is set (its OWN changes are then the first batch —
   *    startingVersion semantics of the production sources);
+  *    `startingTimestamp` (epoch ms or ISO-8601 instant) resolves to
+  *    the first version committed at or after it, once, at stream
+  *    construction — the checkpoint carries plain version offsets;
   *  - `latestOffset` = the head version (one `_manifests` listing);
   *  - `planInputPartitions(start, end)` REQUIRES every commit in the
   *    range to classify "append" from the manifests alone (the CDC
@@ -197,9 +200,36 @@ private[dsv2] class SnapshotMicroBatchStream(
     }
   }
 
+  /** The declared starting version: `startingVersion` verbatim, or
+    * `startingTimestamp` (epoch millis, or an ISO-8601 instant like
+    * 2026-08-16T00:00:00Z) resolved to the FIRST version committed at
+    * or after it — "all changes committed at or after the timestamp
+    * stream", the production sources' contract. Resolved once at
+    * stream construction; the checkpoint then carries plain version
+    * offsets, so a restart never re-resolves against a clock. */
+  private val startingV: Option[Long] = {
+    val sv = Option(options.get("startingVersion")).map(_.toLong)
+    val st = Option(options.get("startingTimestamp")).map { raw =>
+      val tsMs =
+        if (raw.forall(_.isDigit)) raw.toLong
+        else java.time.Instant.parse(raw).toEpochMilli
+      val vs = SnapshotTable.versions(spark, dir)
+      require(vs.nonEmpty, s"snapshot table $dir has no committed version")
+      vs.find(v =>
+        SnapshotTable.readManifest(spark, dir, v).committedAtMs >= tsMs)
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft-snapshot stream: no version of $dir was committed at or " +
+            s"after startingTimestamp=$raw — the head predates it; stream " +
+            "without the option to follow new commits only"))
+    }
+    require(sv.isEmpty || st.isEmpty,
+      "startingVersion and startingTimestamp are mutually exclusive — " +
+        "declare the start once")
+    sv.orElse(st)
+  }
+
   override def initialOffset(): Offset =
-    VersionOffset(Option(options.get("startingVersion"))
-      .map(_.toLong - 1L).getOrElse(0L))
+    VersionOffset(startingV.map(_ - 1L).getOrElse(0L))
 
   private def headVersion: Long =
     SnapshotTable.versions(spark, dir).lastOption.getOrElse(0L)
@@ -238,7 +268,6 @@ private[dsv2] class SnapshotMicroBatchStream(
     // A partial rewrite (merge/compaction carries files) never
     // qualifies: its added files alone are not the table. The change
     // feed additionally admits "mor-delete" commits (see below).
-    val startingV = Option(options.get("startingVersion")).map(_.toLong)
     val admitted = ((from + 1) to to).map { v =>
       val cls =
         if (v <= 1L) "append"

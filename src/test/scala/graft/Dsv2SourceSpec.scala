@@ -2745,4 +2745,52 @@ class Dsv2SourceSpec extends SparkSpec {
     }
     assert(msgs(boom2).contains("contradict"), msgs(boom2))
   }
+
+  test("startingTimestamp resolves to the first version committed at or after it") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("snap_ts").toString
+    val tbl = s"$base/tbl"
+    SnapshotTable.commitAppend(Seq((1L, "a")).toDF("id", "v"), tbl)
+    // commit stamps are millisecond-grained: space the commits so the
+    // at-or-after resolution has distinct instants to bite on
+    Thread.sleep(5)
+    SnapshotTable.commitAppend(Seq((2L, "b")).toDF("id", "v"), tbl)
+    val v2At = SnapshotTable.readManifest(spark, tbl, 2L).committedAtMs
+    Thread.sleep(5)
+    SnapshotTable.commitAppend(Seq((3L, "c")).toDF("id", "v"), tbl)
+    def drain(opts: Map[String, String], tag: String): Set[Long] = {
+      val r0 = spark.readStream.format("graft-snapshot")
+      val r = opts.foldLeft(r0) { case (rd, (k, vv)) => rd.option(k, vv) }
+      val q = r.load(tbl).writeStream.format("parquet")
+        .option("path", s"$base/out_$tag")
+        .option("checkpointLocation", s"$base/ck_$tag")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(s"$base/out_$tag").select("id")
+        .as[Long].collect().toSet
+    }
+    // at-or-after v2's stamp → v2 and v3 stream, v1 does not
+    assert(drain(Map("startingTimestamp" -> v2At.toString), "ms") ==
+      Set(2L, 3L))
+    // ISO-8601 form of the same instant
+    val iso = java.time.Instant.ofEpochMilli(v2At).toString
+    assert(drain(Map("startingTimestamp" -> iso), "iso") == Set(2L, 3L))
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    // a timestamp past the head refuses loudly
+    val boom = intercept[Exception] {
+      drain(Map("startingTimestamp" ->
+        (System.currentTimeMillis() + 3600000L).toString), "future")
+    }
+    assert(msgs(boom).contains("at or after"), msgs(boom))
+    // declaring the start twice refuses
+    val boom2 = intercept[Exception] {
+      drain(Map("startingTimestamp" -> v2At.toString,
+        "startingVersion" -> "2"), "both")
+    }
+    assert(msgs(boom2).contains("mutually exclusive"), msgs(boom2))
+  }
 }
