@@ -73,7 +73,10 @@ case class DvUpdateRoute(spark: SparkSession) extends Rule[LogicalPlan] {
         return plan
       // COW handles what the vector route shouldn't: subqueries
       // cannot re-resolve against the table's own frame, nested-field
-      // SETs patch structs the vector images don't model
+      // SETs patch structs the vector images don't model, and
+      // QUALIFIED references (`ev.score` — valid under COW, where the
+      // relation carries its qualifier) would fail re-resolution
+      // against the bare table frame
       val exprs = cond.toSeq ++ assignments.flatMap(a => Seq(a.key, a.value))
       val simpleKeys = assignments.forall(_.key match {
         // nameParts is whatever Seq the parser built — match on
@@ -82,7 +85,13 @@ case class DvUpdateRoute(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => false
       })
       val noSubquery = !exprs.exists(_.exists(_.isInstanceOf[SubqueryExpression]))
-      if (assignments.isEmpty || !simpleKeys || !noSubquery) return plan
+      val noQualifiedRefs = !(cond.toSeq ++ assignments.map(_.value))
+        .exists(_.exists {
+          case a: UnresolvedAttribute => a.nameParts.length > 1
+          case _ => false
+        })
+      if (assignments.isEmpty || !simpleKeys || !noSubquery ||
+        !noQualifiedRefs) return plan
       val sets = assignments.map(a =>
         (a.key.asInstanceOf[UnresolvedAttribute].name, a.value.sql))
       require(sets.map(_._1.toLowerCase).distinct.size == sets.size,
@@ -140,10 +149,16 @@ case class MorMergeRoute(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** The ON condition as upsert keys: a conjunction of
-    * `EqualTo(attr, attr)` where both sides name the SAME column
-    * (`t.k = s.k`) — None for any other shape (cross-name equalities,
-    * non-equi terms, literals, subqueries), which keeps the COW
-    * path. */
+    * `EqualTo(q1.k, q2.k)` where each side is a singly-QUALIFIED
+    * TOP-LEVEL column (exactly two name parts), the two qualifiers
+    * DIFFER (one names the target, one the source — `ON t.id = t.id`
+    * must keep the COW path's multi-match error, not route as a
+    * keyed upsert), and both sides name the same column — None for
+    * any other shape: unqualified or nested-field references
+    * (`t.payload.id` is a STRUCT field, not the top-level column its
+    * last part spells), cross-name equalities, non-equi terms,
+    * literals, subqueries. Falling through keeps COW's exact
+    * semantics for everything this face cannot prove it preserves. */
   private def keyColumns(cond: Expression): Option[Seq[String]] = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -151,7 +166,9 @@ case class MorMergeRoute(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val keys = conjuncts(cond).map {
       case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
-        if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
+        if a.nameParts.length == 2 && b.nameParts.length == 2 &&
+          !a.nameParts.head.equalsIgnoreCase(b.nameParts.head) &&
+          a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
         Some(a.nameParts.last)
       case _ => None
     }
@@ -172,8 +189,11 @@ case class DvUpdateCommand(
     val resolved = sets.map { case (k, v) =>
       cols.find(_.equalsIgnoreCase(k)).getOrElse(k) -> expr(v)
     }
+    // the table's declared expectations gate this face like every
+    // other write path (the procedure and COW faces both pass them)
+    val expect = GraftTableProps.expectations(GraftTableProps.read(spark, dir))
     SnapshotTable.commitUpdateVectorsWhere(
-      spark, dir, expr(condSql), resolved.toMap)
+      spark, dir, expr(condSql), resolved.toMap, expect)
     Seq.empty
   }
 }

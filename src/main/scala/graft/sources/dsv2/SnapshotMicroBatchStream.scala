@@ -111,8 +111,8 @@ private[dsv2] object SnapshotMicroBatchStream {
   *    option is set (its OWN changes are then the first batch —
   *    startingVersion semantics of the production sources);
   *    `startingTimestamp` (epoch ms or ISO-8601 instant) resolves to
-  *    the first version committed at or after it, once, at stream
-  *    construction — the checkpoint carries plain version offsets;
+  *    the first version committed at or after it, lazily and at most
+  *    once — the checkpoint carries plain version offsets;
   *  - `latestOffset` = the head version (one `_manifests` listing);
   *  - `planInputPartitions(start, end)` REQUIRES every commit in the
   *    range to classify "append" from the manifests alone (the CDC
@@ -204,10 +204,19 @@ private[dsv2] class SnapshotMicroBatchStream(
     * `startingTimestamp` (epoch millis, or an ISO-8601 instant like
     * 2026-08-16T00:00:00Z) resolved to the FIRST version committed at
     * or after it — "all changes committed at or after the timestamp
-    * stream", the production sources' contract. Resolved once at
-    * stream construction; the checkpoint then carries plain version
-    * offsets, so a restart never re-resolves against a clock. */
-  private val startingV: Option[Long] = {
+    * stream", the production sources' contract. Resolved LAZILY (the
+    * timestamp scan reads one manifest per version): a fresh start
+    * pays it once in initialOffset; a restarted stream runs from its
+    * checkpointed version offsets and only forces the resolution when
+    * planning the batch straight after the declared start (the
+    * snapshot-seed exemption) — never per batch, and the offsets
+    * themselves never re-resolve against a clock. */
+  require(options.get("startingVersion") == null ||
+    options.get("startingTimestamp") == null,
+    "startingVersion and startingTimestamp are mutually exclusive — " +
+      "declare the start once")
+
+  private lazy val startingV: Option[Long] = {
     val sv = Option(options.get("startingVersion")).map(_.toLong)
     val st = Option(options.get("startingTimestamp")).map { raw =>
       val tsMs =
@@ -222,9 +231,6 @@ private[dsv2] class SnapshotMicroBatchStream(
             s"after startingTimestamp=$raw — the head predates it; stream " +
             "without the option to follow new commits only"))
     }
-    require(sv.isEmpty || st.isEmpty,
-      "startingVersion and startingTimestamp are mutually exclusive — " +
-        "declare the start once")
     sv.orElse(st)
   }
 
@@ -272,7 +278,11 @@ private[dsv2] class SnapshotMicroBatchStream(
       val cls =
         if (v <= 1L) "append"
         else SnapshotTable.changesPath(spark, dir, v - 1L, v)
-      val snapshotStart = v > 1L && startingV.contains(v) && v == from + 1L &&
+      // order matters: startingV is lazy (a timestamp start scans
+      // manifests to resolve) — only force it for the one version
+      // right after the checkpointed offset, where the exemption can
+      // actually apply
+      val snapshotStart = v > 1L && v == from + 1L && startingV.contains(v) &&
         SnapshotTable.readManifest(spark, dir, v).entries.forall(_.seq == v)
       val effective =
         if (snapshotStart || cls == "append") "append"
@@ -294,7 +304,6 @@ private[dsv2] class SnapshotMicroBatchStream(
               "merge-on-read DELETE commits as delete_key/delete rows") + ")")
       v -> effective
     }
-    val skipped = admitted.collect { case (v, "skipped") => v }.toSet
     // the SESSION's Hadoop conf rides the partition to the executor
     // (custom FS settings/credentials — ADVICE r12), plus the session
     // keys the vectorized reader needs (see readerConf)

@@ -27,6 +27,17 @@ import graft.sources.dsv2.GraftTableProps
   * a divergence this face surfaces loudly rather than silently
   * picking a winner).
   *
+  * CONTRACT — key-unique target: `merge_mode='mor'` implements UPSERT
+  * semantics. The equality delete dooms every target row carrying a
+  * matched key, so a target holding DUPLICATE key values collapses
+  * them to the single new image — where the COW MERGE would update
+  * each duplicate in place. A table maintained by upserts is
+  * key-unique by construction (every commit replaces whole images),
+  * which is exactly the population this mode exists for; a table that
+  * legitimately carries duplicate keys must keep the COW face.
+  * Detecting duplicates would cost the full-table scan the zero-read
+  * commit exists to avoid — the contract is documented, not probed.
+  *
   * Lives in Spark's own package for `private[sql]` access to
   * `Dataset.ofRows` — the documented extension pattern this repo
   * already uses for planner statistics (`GraftV1Stats`). */
@@ -39,7 +50,8 @@ case class GraftMorMergeCommand(
   override def run(session: SparkSession): Seq[Row] = {
     val spark = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val src = Dataset.ofRows(spark, source)
-    val cols = SnapshotTable.read(spark, dir).columns
+    val schema = SnapshotTable.read(spark, dir).schema
+    val cols = schema.fieldNames
     require(src.columns.length == cols.length &&
       cols.forall(c => src.columns.count(_.equalsIgnoreCase(c)) == 1),
       s"MERGE (merge_mode='mor') into $dir: UPDATE SET * / INSERT * " +
@@ -52,8 +64,13 @@ case class GraftMorMergeCommand(
       throw new IllegalArgumentException(
         s"MERGE (merge_mode='mor') into $dir: ON references '$k', which " +
           "is not a column of the target")))
-    val projected = src.select(cols.map(c =>
-      col(src.columns.find(_.equalsIgnoreCase(c)).get).as(c)): _*)
+    // each image column CASTS to the target's standing type — an
+    // INT-literal source column on a BIGINT target must not land an
+    // INT32 image/key file that poisons the merged read schema (the
+    // same defect class the dv UPDATE face fixed)
+    val projected = src.select(schema.fields.map(f =>
+      col(src.columns.find(_.equalsIgnoreCase(f.name)).get)
+        .cast(f.dataType).as(f.name)).toSeq: _*)
     val expect = GraftTableProps.expectations(GraftTableProps.read(spark, dir))
     SnapshotTable.commitUpsertMoR(projected, dir, keyNames,
       expectations = expect)

@@ -439,6 +439,22 @@ class DvDeleteSpec extends SparkSpec {
       spark.sql("UPDATE gdvu.ns.ev SET SCORE = 0 WHERE id = 1")
       assert(spark.sql("SELECT score FROM gdvu.ns.ev WHERE id = 1")
         .as[Long].head() == 0L)
+      // declared expectations gate this face like every other write
+      spark.sql("ALTER TABLE gdvu.ns.ev " +
+        "SET TBLPROPERTIES ('expect.nonneg' = 'score >= 0')")
+      val viol = intercept[Exception] {
+        spark.sql("UPDATE gdvu.ns.ev SET score = -5 WHERE id = 2")
+      }
+      assert(viol.getMessage.contains("nonneg"), viol.getMessage)
+      spark.sql("ALTER TABLE gdvu.ns.ev UNSET TBLPROPERTIES ('expect.nonneg')")
+      // a QUALIFIED reference falls through to COW (re-resolution
+      // against the bare frame has no qualifier): no new vector lands
+      val vecsBefore = SnapshotTable.pendingDeleteVectors(spark, dir).size
+      spark.sql("UPDATE gdvu.ns.ev SET score = 77 WHERE ev.id = 2")
+      assert(SnapshotTable.pendingDeleteVectors(spark, dir).size < vecsBefore,
+        "the qualified-WHERE UPDATE must take COW (which folds), not a vector")
+      assert(spark.sql("SELECT score FROM gdvu.ns.ev WHERE id = 2")
+        .as[Long].head() == 77L)
       // a subquery condition falls through to the standard COW
       // rewrite (vectors folded first — COW DML refuses over pending
       // merge-on-read state)
@@ -515,6 +531,18 @@ class DvDeleteSpec extends SparkSpec {
         .as[Long].head() == 5L)
       assert(spark.sql("SELECT count(*) AS n FROM gmor.ns.ev")
         .as[Long].head() == 210L)
+      // an INT-typed source column CASTS to the BIGINT target type —
+      // the image and key files must not land INT32 parquet that
+      // poisons the merged read schema
+      spark.sql("MERGE INTO gmor.ns.ev t USING (" +
+        "SELECT CAST(7777 AS INT) AS id, 'intcast' AS v) s " +
+        "ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      assert(spark.sql("SELECT count(*) AS n FROM gmor.ns.ev")
+        .as[Long].head() == 211L, "the INT-cast source row must insert")
+      assert(spark.sql("SELECT v FROM gmor.ns.ev WHERE id = 7777")
+        .as[String].head() == "intcast")
       // a duplicate-key source refuses loudly (SQL MERGE would error
       // on the matched side and silently double-insert on the other)
       val dup = intercept[Exception] {
