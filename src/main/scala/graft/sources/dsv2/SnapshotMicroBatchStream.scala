@@ -113,7 +113,11 @@ private[dsv2] object SnapshotMicroBatchStream {
   *    `startingTimestamp` (epoch ms or ISO-8601 instant) resolves to
   *    the first version committed at or after it, lazily and at most
   *    once — the checkpoint carries plain version offsets;
-  *  - `latestOffset` = the head version (one `_manifests` listing);
+  *  - `latestOffset` = the head version (one `_manifests` listing),
+  *    capped by `maxVersionsPerTrigger`/`maxFilesPerTrigger` when
+  *    declared (backlog recovery drains in bounded micro-batches
+  *    instead of one giant batch; a batch always advances ≥1
+  *    version, so an oversized single version still streams whole);
   *  - `planInputPartitions(start, end)` REQUIRES every commit in the
   *    range to classify "append" from the manifests alone (the CDC
   *    classifier), then emits one partition per data file the range
@@ -216,6 +220,44 @@ private[dsv2] class SnapshotMicroBatchStream(
     "startingVersion and startingTimestamp are mutually exclusive — " +
       "declare the start once")
 
+  // rate control (the production sources' maxFilesPerTrigger class of
+  // knobs): without a cap, a stream recovering a long backlog drains
+  // it as ONE giant micro-batch — checkpoint progress, retry grain,
+  // and sink commit size all degrade to the backlog's size. The caps
+  // bound each micro-batch by VERSIONS and/or FILES admitted; a batch
+  // always advances at least one version (progress guaranteed), so a
+  // single version larger than maxFilesPerTrigger still streams —
+  // whole, because offsets are version-grained.
+  private val maxVersionsPerTrigger =
+    Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
+  private val maxFilesPerTrigger =
+    Option(options.get("maxFilesPerTrigger")).map(_.toLong)
+  maxVersionsPerTrigger.foreach(n => require(n >= 1L,
+    s"maxVersionsPerTrigger must be >= 1, got $n"))
+  maxFilesPerTrigger.foreach(n => require(n >= 1L,
+    s"maxFilesPerTrigger must be >= 1, got $n"))
+
+  /** The furthest version this micro-batch may reach: `head` when no
+    * cap is declared, else versions walked forward from `from` until
+    * a cap trips (one manifest read per version walked — the same
+    * cost class planInputPartitions pays for the admitted range). */
+  private def rateLimitedTarget(from: Long, head: Long): Long = {
+    if (maxVersionsPerTrigger.isEmpty && maxFilesPerTrigger.isEmpty)
+      return head
+    var v = from
+    var files = 0L
+    var taken = 0L
+    while (v < head && maxVersionsPerTrigger.forall(taken < _)) {
+      val next = v + 1
+      val nFiles = SnapshotTable.readManifest(spark, dir, next)
+        .entries.count(_.seq == next).toLong
+      if (taken > 0 && maxFilesPerTrigger.exists(files + nFiles > _))
+        return v
+      v = next; taken += 1; files += nFiles
+    }
+    v
+  }
+
   private lazy val startingV: Option[Long] = {
     val sv = Option(options.get("startingVersion")).map(_.toLong)
     val st = Option(options.get("startingTimestamp")).map { raw =>
@@ -240,6 +282,9 @@ private[dsv2] class SnapshotMicroBatchStream(
   private def headVersion: Long =
     SnapshotTable.versions(spark, dir).lastOption.getOrElse(0L)
 
+  // the admission-controlled 2-arg latestOffset drives this source;
+  // the no-arg form reports the TRUE head (no rate cap — it has no
+  // start offset to cap from) for any legacy caller
   override def latestOffset(): Offset = VersionOffset(headVersion)
 
   // Trigger.AvailableNow (SupportsTriggerAvailableNow): the head at
@@ -250,8 +295,11 @@ private[dsv2] class SnapshotMicroBatchStream(
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(headVersion)
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    VersionOffset(availableNowTarget.getOrElse(headVersion))
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[VersionOffset].v
+    VersionOffset(rateLimitedTarget(from,
+      availableNowTarget.getOrElse(headVersion)))
+  }
   override def reportLatestOffset(): Offset = VersionOffset(headVersion)
 
   override def deserializeOffset(json: String): Offset =

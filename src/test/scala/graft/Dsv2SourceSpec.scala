@@ -2793,4 +2793,43 @@ class Dsv2SourceSpec extends SparkSpec {
     }
     assert(msgs(boom2).contains("mutually exclusive"), msgs(boom2))
   }
+
+  test("maxVersionsPerTrigger/maxFilesPerTrigger bound backlog micro-batches") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("snap_rate").toString
+    val tbl = s"$base/tbl"
+    (1L to 4L).foreach(i =>
+      SnapshotTable.commitAppend(Seq((i, s"v$i")).toDF("id", "v"), tbl))
+    def drain(opts: Map[String, String], tag: String): Seq[Long] = {
+      val r0 = spark.readStream.format("graft-snapshot")
+      val r = opts.foldLeft(r0) { case (rd, (k, vv)) => rd.option(k, vv) }
+      val q = r.load(tbl).writeStream.format("parquet")
+        .option("path", s"$base/out_$tag")
+        .option("checkpointLocation", s"$base/ck_$tag")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val batches = q.recentProgress.toSeq.map(_.numInputRows)
+        .filter(_ > 0L)
+      assert(spark.read.parquet(s"$base/out_$tag").count() == 4L,
+        "every backlog row must drain regardless of the cap")
+      batches
+    }
+    // uncapped: the whole 4-version backlog is ONE micro-batch
+    assert(drain(Map.empty, "all") == Seq(4L))
+    // one version per trigger: four micro-batches of one row each
+    assert(drain(Map("maxVersionsPerTrigger" -> "1"), "v1") ==
+      Seq(1L, 1L, 1L, 1L))
+    // two files per trigger (each version wrote one file): two+two
+    assert(drain(Map("maxFilesPerTrigger" -> "2"), "f2") == Seq(2L, 2L))
+    // an invalid cap refuses loudly
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val boom = intercept[Exception] {
+      drain(Map("maxVersionsPerTrigger" -> "0"), "bad")
+    }
+    assert(msgs(boom).contains(">= 1"), msgs(boom))
+  }
 }
