@@ -114,7 +114,8 @@ private[dsv2] object SnapshotMicroBatchStream {
   *    the first version committed at or after it, lazily and at most
   *    once — the checkpoint carries plain version offsets;
   *  - `latestOffset` = the head version (one `_manifests` listing),
-  *    capped by `maxVersionsPerTrigger`/`maxFilesPerTrigger` when
+  *    capped by `maxVersionsPerTrigger`/`maxFilesPerTrigger`/
+  *    `maxBytesPerTrigger` when
   *    declared (backlog recovery drains in bounded micro-batches
   *    instead of one giant batch; a batch always advances ≥1
   *    version, so an oversized single version still streams whole);
@@ -232,28 +233,38 @@ private[dsv2] class SnapshotMicroBatchStream(
     Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
   private val maxFilesPerTrigger =
     Option(options.get("maxFilesPerTrigger")).map(_.toLong)
+  private val maxBytesPerTrigger =
+    Option(options.get("maxBytesPerTrigger")).map(_.toLong)
   maxVersionsPerTrigger.foreach(n => require(n >= 1L,
     s"maxVersionsPerTrigger must be >= 1, got $n"))
   maxFilesPerTrigger.foreach(n => require(n >= 1L,
     s"maxFilesPerTrigger must be >= 1, got $n"))
+  maxBytesPerTrigger.foreach(n => require(n >= 1L,
+    s"maxBytesPerTrigger must be >= 1, got $n"))
 
   /** The furthest version this micro-batch may reach: `head` when no
     * cap is declared, else versions walked forward from `from` until
     * a cap trips (one manifest read per version walked — the same
     * cost class planInputPartitions pays for the admitted range). */
   private def rateLimitedTarget(from: Long, head: Long): Long = {
-    if (maxVersionsPerTrigger.isEmpty && maxFilesPerTrigger.isEmpty)
-      return head
+    if (maxVersionsPerTrigger.isEmpty && maxFilesPerTrigger.isEmpty &&
+      maxBytesPerTrigger.isEmpty) return head
     var v = from
     var files = 0L
+    var bytes = 0L
     var taken = 0L
     while (v < head && maxVersionsPerTrigger.forall(taken < _)) {
       val next = v + 1
-      val nFiles = SnapshotTable.readManifest(spark, dir, next)
-        .entries.count(_.seq == next).toLong
-      if (taken > 0 && maxFilesPerTrigger.exists(files + nFiles > _))
+      val added = SnapshotTable.readManifest(spark, dir, next)
+        .entries.filter(_.seq == next)
+      val nFiles = added.size.toLong
+      // a legacy entry without a byte census (-1) counts as 0 — the
+      // cap degrades toward larger batches, never toward a stall
+      val nBytes = added.map(e => math.max(e.bytes, 0L)).sum
+      if (taken > 0 && (maxFilesPerTrigger.exists(files + nFiles > _) ||
+        maxBytesPerTrigger.exists(bytes + nBytes > _)))
         return v
-      v = next; taken += 1; files += nFiles
+      v = next; taken += 1; files += nFiles; bytes += nBytes
     }
     v
   }

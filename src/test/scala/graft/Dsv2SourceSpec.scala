@@ -2823,6 +2823,10 @@ class Dsv2SourceSpec extends SparkSpec {
       Seq(1L, 1L, 1L, 1L))
     // two files per trigger (each version wrote one file): two+two
     assert(drain(Map("maxFilesPerTrigger" -> "2"), "f2") == Seq(2L, 2L))
+    // one byte per trigger: every version exceeds it alone, so each
+    // batch carries exactly one version (progress guaranteed)
+    assert(drain(Map("maxBytesPerTrigger" -> "1"), "b1") ==
+      Seq(1L, 1L, 1L, 1L))
     // an invalid cap refuses loudly
     def msgs(t: Throwable): String =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
