@@ -5866,6 +5866,62 @@ object SparkEntry {
       head.groupBy("event_type").agg(count(lit(1)).as("n_events"))
         .orderBy("event_type")
     }),
+    // The SINK-OPTION face of the streaming upsert — a table-to-table
+    // pipeline with `option("upsertKeys", "event_id")`, no
+    // foreachBatch glue: each drained source version lands in the
+    // sink as rows + an equality delete of exactly its keys, one
+    // atomic version touching zero pre-existing sink files (in-row
+    // requires pin versions, carried files, the delete census, and a
+    // fresh-checkpoint full-replay no-op). The fold is
+    // answer-preserving; the oracle replays the upsert algebra.
+    "stream_sink_upsert" -> ((s, dir) => streamRow(s) {
+      import graft.sources.SnapshotTable
+      import org.apache.spark.sql.streaming.Trigger
+      val base = tempDir("graft_stream_sink_ups")
+      val src = s"$base/src"
+      val sink = s"$base/sink"
+      val ev = Tables.events(s, dir).select("event_id", "event_type")
+      SnapshotTable.commitAppend(ev.repartition(4, col("event_id")), src,
+        statsCols = Seq("event_id"))
+      val delta = ev.filter(col("event_id") % 5 === 0)
+        .select(col("event_id"), lit("restated").as("event_type"))
+        .unionByName(ev.filter(col("event_id") % 5 === 0)
+          .select((col("event_id") + 10000000L).as("event_id"),
+            lit("fresh").as("event_type")))
+      val nKeys = delta.count()
+      SnapshotTable.commitAppend(delta.repartition(3, col("event_id")), src)
+      def drain(ck: String): Unit = {
+        val q = s.readStream.format("graft-snapshot")
+          .option("maxVersionsPerTrigger", "1").load(src)
+          .writeStream.format("graft-snapshot")
+          .option("path", sink).option("appId", "sinkups")
+          .option("upsertKeys", "event_id")
+          .option("statsCols", "event_id")
+          .option("checkpointLocation", s"$base/$ck")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      drain("ck1")
+      val vs = SnapshotTable.versions(s, sink)
+      require(vs == Seq(1L, 2L),
+        s"two drained versions must land as two sink versions: $vs")
+      require(SnapshotTable.files(s, sink, 1L).toSet
+        .subsetOf(SnapshotTable.files(s, sink, 2L).toSet),
+        "the upsert epoch must touch zero pre-existing sink files")
+      require(SnapshotTable.pendingDeletes(s, sink) ==
+        Seq((Seq("event_id"), 2L, nKeys)),
+        "the epoch carries an equality delete of exactly its keys")
+      drain("ck2")
+      require(SnapshotTable.versions(s, sink) == vs,
+        "a fresh-checkpoint full replay must no-op the ledger")
+      SnapshotTable.applyDeletes(s, sink)
+      val head = SnapshotTable.read(s, sink)
+      require(SnapshotTable.countRows(s, sink) == head.count(),
+        "the folded metadata count must equal the data count")
+      head.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_id"))
+        .orderBy("event_type")
+    }),
     // Streaming RETRACTION: a forget-me key feed lands as zero-data-
     // file MoR delete commits through the multi-writer ledger —
     // in-row requires pin the mechanics (3 chunks → 3 delete
@@ -8703,6 +8759,20 @@ object SparkEntry {
         |  SELECT event_id + 10000000, 'fresh' FROM events
         |  WHERE event_id % 5 = 0)
         |SELECT event_type, count(*) AS n_events
+        |FROM upserted GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the sink-option face replays the same algebra (with the id sum
+    // pinning the surviving images)
+    "stream_sink_upsert" ->
+      """WITH upserted AS (
+        |  SELECT event_id,
+        |         CASE WHEN event_id % 5 = 0 THEN 'restated'
+        |              ELSE event_type END AS event_type
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id + 10000000, 'fresh' FROM events
+        |  WHERE event_id % 5 = 0)
+        |SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_id
         |FROM upserted GROUP BY 1 ORDER BY 1""".stripMargin,
     // the CDC-refreshed summary must equal the direct v2 (post-merge)
     // summary, computed here from the base rows

@@ -3776,11 +3776,34 @@ object SnapshotTable {
       statsCols, bloomCols, expectations)
       .getOrElse(versions(batch.sparkSession, dir).lastOption.getOrElse(0L))
 
+  /** The SINK face of the merge-on-read upsert: the epoch's files are
+    * already staged by the executor writers — read them for the key
+    * frame and the checks, commit them (plus the equality delete of
+    * their keys) without rewriting a byte. A recognized replay sweeps
+    * the staged files and no-ops, like the plain sink commit. */
+  private[graft] def commitStreamUpsertFiles(
+      spark: SparkSession, dir: String, relPaths: Seq[String],
+      keyCols: Seq[String], batchId: Long, appId: String,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      expectations: Seq[(String, String)] = Nil): Option[Long] = {
+    require(appId.nonEmpty && !appId.contains(":"),
+      s"appId must be non-empty without ':' — got '$appId'")
+    if (relPaths.isEmpty) return None // zero-row epoch: nothing to land
+    if (isBatchCommitted(spark, dir, batchId, appId)) {
+      dropOrphanBatch(spark, dir, relPaths)
+      return None
+    }
+    val df = spark.read.parquet(relPaths.map(p => resolve(dir, p)): _*)
+    commitUpsertMoRInternal(df, dir, keyCols, Some(s"$appId:$batchId"),
+      statsCols, bloomCols, expectations, preStaged = Some(relPaths))
+  }
+
   private def commitUpsertMoRInternal(
       batch: DataFrame, dir: String, keyCols: Seq[String],
       streamKey: Option[String],
       statsCols: Seq[String], bloomCols: Seq[String],
-      expectations: Seq[(String, String)]): Option[Long] = {
+      expectations: Seq[(String, String)],
+      preStaged: Option[Seq[String]] = None): Option[Long] = {
     val spark = batch.sparkSession
     require(keyCols.nonEmpty, "commitUpsertMoR needs key columns")
     require(keyCols.forall(!_.startsWith("__graft_dv")),
@@ -3789,7 +3812,12 @@ object SnapshotTable {
       s"stream upsert on $dir: key column '$c' is not in the batch"))
     checkExpectations(batch, expectations, dir)
     val nRows = batch.count()
-    if (nRows == 0L) return None // nothing to upsert; skipping is idempotent
+    if (nRows == 0L) {
+      // nothing to upsert; skipping is idempotent — but a pre-staged
+      // zero-row epoch must not leave its empty files behind
+      preStaged.foreach(dropOrphanBatch(spark, dir, _))
+      return None
+    }
     val nKeys = batch.select(keyCols.map(col): _*).distinct().count()
     require(nRows == nKeys,
       s"stream upsert on $dir: the batch carries $nRows rows over $nKeys " +
@@ -3812,6 +3840,7 @@ object SnapshotTable {
         else readManifest(spark, dir, headV)
       if (streamKey.exists(m.ledger.containsKey)) {
         if (batchFiles != null) dropOrphanBatch(spark, dir, batchFiles)
+        else preStaged.foreach(dropOrphanBatch(spark, dir, _))
         if (keyFiles != null) dropOrphanBatch(spark, dir, keyFiles)
         return None
       }
@@ -3819,7 +3848,7 @@ object SnapshotTable {
       if (batchFiles == null) {
         val tableStats = (m.statsCols ++ statsCols).distinct
         val tableBlooms = (m.bloomCols ++ bloomCols).distinct
-        batchFiles = writeBatch(batch, dir)
+        batchFiles = preStaged.getOrElse(writeBatch(batch, dir))
         keyFiles = writeBatch(batch.select(keyCols.map(col): _*).distinct(), dir)
         newEntries = batchEntries(spark, dir, batchFiles, tableStats,
           tableBlooms, m.bloomFpp)

@@ -40,7 +40,16 @@ import graft.sources.SnapshotTable
   * to an atomic census REPLACEMENT (the epoch's files ARE the table),
   * with the writer ledger carried so replayed epochs still no-op —
   * the `foreachBatch` + `overwriteAtomic` glue this sink existed to
-  * remove (r13 judge item #5). */
+  * remove (r13 judge item #5).
+  *
+  * UPSERT mode — `option("upsertKeys", "k1,k2")`: each epoch's staged
+  * files commit together with an equality delete of exactly their
+  * keys (one atomic merge-on-read version, zero pre-existing files
+  * touched — `commitStreamUpsertFiles`), the CDC-upsert contract the
+  * `IncrementalSync.upsertSync` foreachBatch helper provides, now a
+  * sink option. Epoch batches must be key-unique (refused loudly);
+  * `applyDeletes` folds the accumulation on the maintenance
+  * schedule. */
 private[dsv2] class SnapshotStreamingWrite(
     dir: String, schema: StructType, options: CaseInsensitiveStringMap,
     queryId: String, truncate: Boolean = false) extends StreamingWrite {
@@ -99,14 +108,28 @@ private[dsv2] class SnapshotStreamingWrite(
     // ingest must not be the path that poisons the table silently
     SnapshotTable.checkExpectationsFiles(spark, dir, relPaths,
       GraftTableProps.expectations(props))
-    SnapshotTable.commitStreamFiles(spark, dir, relPaths,
-      batchId = epochId, appId = appId,
-      statsCols = (cols("statsCols") ++
-        GraftTableProps.cols(props, "stats_cols") ++
-        GraftTableProps.cols(props, "sort_cols")).distinct,
-      bloomCols = (cols("bloomCols") ++
-        GraftTableProps.cols(props, "bloom_cols")).distinct,
-      overwrite = truncate): Unit
+    val statsC = (cols("statsCols") ++
+      GraftTableProps.cols(props, "stats_cols") ++
+      GraftTableProps.cols(props, "sort_cols")).distinct
+    val bloomC = (cols("bloomCols") ++
+      GraftTableProps.cols(props, "bloom_cols")).distinct
+    val upsertKeys = cols("upsertKeys")
+    if (upsertKeys.nonEmpty) {
+      // UPSERT mode (the table formats' write.upsert posture): the
+      // epoch's staged files commit together with an equality delete
+      // of exactly their keys — one atomic version, zero pre-existing
+      // files touched, CDC-upsert semantics with no foreachBatch glue
+      require(!truncate,
+        "upsertKeys and Complete output mode contradict — a Complete " +
+          "epoch already REPLACES the table")
+      SnapshotTable.commitStreamUpsertFiles(spark, dir, relPaths,
+        upsertKeys, batchId = epochId, appId = appId,
+        statsCols = statsC, bloomCols = bloomC): Unit
+    } else
+      SnapshotTable.commitStreamFiles(spark, dir, relPaths,
+        batchId = epochId, appId = appId,
+        statsCols = statsC, bloomCols = bloomC,
+        overwrite = truncate): Unit
   }
 
   override def abort(

@@ -898,6 +898,75 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gsexp.ns.t").head().getLong(0) == 2L)
   }
 
+  test("streaming SINK upsert mode: each epoch lands rows + an equality delete of its keys") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("snap_sink_ups").toString
+    val src = s"$base/src"
+    val sink = s"$base/sink"
+    // epoch 1 creates; epoch 2 restates ids 0-9 and adds 50-59
+    SnapshotTable.commitAppend(
+      (0L until 50L).map(i => (i, s"v$i")).toDF("id", "v"), src)
+    SnapshotTable.commitAppend(
+      ((0L until 10L) ++ (50L until 60L)).map(i => (i, s"r$i"))
+        .toDF("id", "v"), src)
+    def drain(ck: String): Unit = {
+      val q = spark.readStream.format("graft-snapshot")
+        .option("maxVersionsPerTrigger", "1").load(src)
+        .writeStream.format("graft-snapshot")
+        .option("path", sink).option("appId", "upsink")
+        .option("upsertKeys", "id").option("statsCols", "id")
+        .option("checkpointLocation", s"$base/$ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain("ck1")
+    // upsert semantics: restated images win, fresh keys append
+    val out = SnapshotTable.read(spark, sink)
+    assert(out.count() == 60L)
+    assert(out.filter(col("id") === 3L).select("v").head().getString(0) == "r3")
+    assert(out.filter(col("id") === 23L).select("v").head().getString(0) == "v23")
+    assert(out.filter(col("id") === 55L).select("v").head().getString(0) == "r55")
+    // epoch 1 created (no prior files to doom), epoch 2 carried an
+    // equality delete of exactly its 20 keys and touched NO epoch-1
+    // file
+    val vs = SnapshotTable.versions(spark, sink)
+    assert(vs == Seq(1L, 2L), s"two ledgered versions, got $vs")
+    assert(SnapshotTable.pendingDeletes(spark, sink) ==
+      Seq((Seq("id"), 2L, 20L)))
+    assert(SnapshotTable.files(spark, sink, 1L).toSet
+      .subsetOf(SnapshotTable.files(spark, sink, 2L).toSet),
+      "the upsert epoch must touch zero pre-existing files")
+    // fresh checkpoint, same appId: full redelivery no-ops the ledger
+    drain("ck2")
+    assert(SnapshotTable.versions(spark, sink) == Seq(1L, 2L),
+      "replayed epochs must publish nothing")
+    assert(SnapshotTable.read(spark, sink).count() == 60L)
+    // fold keeps the answer
+    SnapshotTable.applyDeletes(spark, sink)
+    assert(SnapshotTable.read(spark, sink).count() == 60L)
+    assert(SnapshotTable.read(spark, sink)
+      .filter(col("id") === 3L).select("v").head().getString(0) == "r3")
+    // a duplicate-key epoch refuses loudly
+    val src2 = s"$base/src2"
+    SnapshotTable.commitAppend(
+      Seq((1L, "x"), (1L, "y")).toDF("id", "v"), src2)
+    val boom = intercept[Exception] {
+      val q = spark.readStream.format("graft-snapshot").load(src2)
+        .writeStream.format("graft-snapshot")
+        .option("path", sink).option("appId", "upsink2")
+        .option("upsertKeys", "id")
+        .option("checkpointLocation", s"$base/ck3")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs(boom).contains("ONE image per key"), msgs(boom))
+  }
+
   test("streaming SINK: table-to-table pipeline, exactly-once across fresh-checkpoint redelivery") {
     import spark.implicits._
     import graft.sources.SnapshotTable
