@@ -997,6 +997,54 @@ object SparkEntry {
       ns
     })
 
+  /** snapshot_compact_where's lifecycle, once per sf dir: SCOPED
+    * OPTIMIZE — three splinter files of the low id band merge under
+    * `CALL compact_where('ev', 'event_id <= T')` while the high
+    * band's range files carry untouched by reference (all required in
+    * place: exact files_compacted census, carried file identity,
+    * conserved row count) — the "compact yesterday's partition on a
+    * 100 TB table" shape, bounded by the scope, never the table. */
+  private val compactWhereMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def compactWhereSetup(s: SparkSession, dir: String): String =
+    compactWhereMemo.computeIfAbsent(dir, _ => {
+      import graft.sources.SnapshotTable
+      val root = sqlCatRootMemo.computeIfAbsent("root",
+        _ => tempDir("graft_sql_cat"))
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.dsv2.GraftSnapshotCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cat.root", root)
+      val ns = "cw" + Integer.toHexString(dir.hashCode)
+      new java.io.File(s"$root/$ns").mkdirs()
+      val tbl = s"$root/$ns/ev"
+      if (SnapshotTable.versions(s, tbl).nonEmpty)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tbl))
+      val ev = Tables.events(s, dir).select("event_id", "event_type")
+      val cut = 3000L
+      SnapshotTable.commitAppend(
+        ev.filter(col("event_id") > cut)
+          .repartitionByRange(4, col("event_id")), tbl,
+        statsCols = Seq("event_id"))
+      (0L until 3L).foreach(k => SnapshotTable.commitAppend(
+        ev.filter(col("event_id") <= cut && col("event_id") % 3 === k)
+          .coalesce(1), tbl))
+      val headBefore = SnapshotTable.versions(s, tbl).last
+      val before = SnapshotTable.files(s, tbl, headBefore)
+      require(before.size == 7, s"4 ranged + 3 splinters: $before")
+      val total = SnapshotTable.read(s, tbl).count()
+      val res = s.sql(s"CALL graft_cat.system.compact_where(" +
+        s"'$ns.ev', 'event_id <= $cut')").collect()
+      require(res.head.getInt(1) == 3,
+        s"exactly the three scoped splinters compact: ${res.toSeq}")
+      val headV = SnapshotTable.versions(s, tbl).last
+      val after = SnapshotTable.files(s, tbl, headV)
+      require(after.size == 5 && before.take(4).forall(after.contains),
+        "the high band's files must carry by reference")
+      require(SnapshotTable.read(s, tbl).count() == total,
+        "scoped compaction is content-neutral")
+      ns
+    })
+
   /** snapshot_merge_mor's lifecycle, once per sf dir: the canonical
     * SQL star-upsert (`MERGE … UPDATE SET * / INSERT *`) under
     * `merge_mode='mor'` on a hash-clustered layout — the scattered
@@ -4734,6 +4782,17 @@ object SparkEntry {
     // required in the memo). The oracle replays the CASE algebra.
     "snapshot_dv_update" -> ((s, dir) => {
       val ns = sqlDvUpdSetup(s, dir)
+      s.sql(s"SELECT event_type, count(*) AS n_events, " +
+        s"CAST(sum(event_id) AS BIGINT) AS sum_id " +
+        s"FROM graft_cat.$ns.ev GROUP BY event_type ORDER BY event_type")
+    }),
+    // SCOPED OPTIMIZE (`CALL compact_where`): the low id band's three
+    // splinters merge while the high band's ranged files carry
+    // untouched (the setup memo requires the exact census) — the
+    // content-neutral maintenance op; the oracle is the plain base
+    // census, blind to files.
+    "snapshot_compact_where" -> ((s, dir) => {
+      val ns = compactWhereSetup(s, dir)
       s.sql(s"SELECT event_type, count(*) AS n_events, " +
         s"CAST(sum(event_id) AS BIGINT) AS sum_id " +
         s"FROM graft_cat.$ns.ev GROUP BY event_type ORDER BY event_type")
@@ -8898,6 +8957,12 @@ object SparkEntry {
         |       CAST(sum(event_id) AS BIGINT) AS sum_id
         |FROM u2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // scoped compaction is content-neutral: the oracle is the base
+    // census
+    "snapshot_compact_where" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // the MoR star-upsert replayed as algebra: restatements replace
     // in place, fresh keys append
     "snapshot_merge_mor" ->

@@ -2763,6 +2763,129 @@ object SnapshotTable {
     -1L // unreachable
   }
 
+  /** A Column predicate as a manifest-classifiable [[DmlPred]]:
+    * resolved against the table's own frame (implicit casts land on
+    * the LITERAL side or nowhere), then translated conjunct-wise —
+    * comparisons/IN over bare columns and foldable literals, AND/OR.
+    * None when any piece falls outside that shape (casts on the
+    * column, functions, subqueries): scoped maintenance must refuse
+    * loudly rather than silently widen or narrow its file set. */
+  private[graft] def columnToDmlPred(
+      spark: SparkSession, dir: String, predicate: Column): Option[DmlPred] = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      And, AttributeReference, EqualTo, Expression, GreaterThan,
+      GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+    def litOf(e: Expression): Option[Any] =
+      if (!e.foldable) None
+      else Option(e.eval()).map {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case days: Int if e.dataType.isInstanceOf[DateType] =>
+          java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.toLong))
+        case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+        case other => other
+      }
+    def tr(e: Expression): Option[DmlPred] = e match {
+      case Literal(true, org.apache.spark.sql.types.BooleanType) =>
+        Some(PredTrue)
+      case And(l, r) => for (a <- tr(l); b <- tr(r)) yield PredAnd(a, b)
+      case org.apache.spark.sql.catalyst.expressions.Or(l, r) =>
+        for (a <- tr(l); b <- tr(r)) yield PredOr(a, b)
+      case EqualTo(a: AttributeReference, v) if v.foldable =>
+        litOf(v).map(PredEq(a.name, _))
+      case EqualTo(v, a: AttributeReference) if v.foldable =>
+        litOf(v).map(PredEq(a.name, _))
+      case In(a: AttributeReference, vs) if vs.forall(_.foldable) =>
+        val lits = vs.map(litOf)
+        if (lits.exists(_.isEmpty)) None
+        else Some(PredIn(a.name, lits.flatten))
+      case GreaterThan(a: AttributeReference, v) if v.foldable =>
+        litOf(v).map(l => PredRange(a.name, Some((l, false)), None))
+      case GreaterThan(v, a: AttributeReference) if v.foldable =>
+        litOf(v).map(l => PredRange(a.name, None, Some((l, false))))
+      case GreaterThanOrEqual(a: AttributeReference, v) if v.foldable =>
+        litOf(v).map(l => PredRange(a.name, Some((l, true)), None))
+      case GreaterThanOrEqual(v, a: AttributeReference) if v.foldable =>
+        litOf(v).map(l => PredRange(a.name, None, Some((l, true))))
+      case LessThan(a: AttributeReference, v) if v.foldable =>
+        litOf(v).map(l => PredRange(a.name, None, Some((l, false))))
+      case LessThan(v, a: AttributeReference) if v.foldable =>
+        litOf(v).map(l => PredRange(a.name, Some((l, false)), None))
+      case LessThanOrEqual(a: AttributeReference, v) if v.foldable =>
+        litOf(v).map(l => PredRange(a.name, None, Some((l, true))))
+      case LessThanOrEqual(v, a: AttributeReference) if v.foldable =>
+        litOf(v).map(l => PredRange(a.name, Some((l, true)), None))
+      case _ => None
+    }
+    scala.util.Try {
+      read(spark, dir).filter(predicate)
+        .queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition
+        }
+    }.toOption.flatten.flatMap(tr)
+  }
+
+  /** SCOPED OPTIMIZE — `compactWhere`: merge the small files WITHIN
+    * the file set the predicate PROVABLY covers (all-match by
+    * manifest stats, the commitReplaceWhere discipline) — the
+    * "compact yesterday's partition on a 100 TB table" shape.
+    * Boundary and non-matching files are never touched, so the
+    * rewrite is bounded by the scope, not the table, and clustering
+    * outside the scope cannot degrade. Rewritten rows fold applicable
+    * pending merge-on-read deletes (fresh seq) while carried files
+    * keep the delete list, and `tryPublish` trims delete vectors
+    * against the surviving entries — the compactSmallFiles contract,
+    * scoped. Returns (committed version — the unchanged head when
+    * fewer than two scoped small files exist, number of files
+    * compacted). */
+  def compactWhere(
+      spark: SparkSession, dir: String, predicate: Column,
+      smallBytes: Long, targetBytes: Long): (Long, Int) = {
+    require(smallBytes > 0 && targetBytes > 0)
+    val p = columnToDmlPred(spark, dir, predicate).getOrElse(
+      throw new IllegalArgumentException(
+        s"compactWhere on $dir: the predicate is not manifest-" +
+          "classifiable — use plain comparisons/IN over columns and " +
+          "literals (casts, functions, and subqueries cannot prove " +
+          "file coverage from stats)"))
+    val f = fs(spark, dir)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 20,
+        s"compactWhere on $dir lost 20 straight races; giving up")
+      val headV = versions(spark, dir).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot table $dir has no committed version"))
+      val m = readManifest(spark, dir, headV)
+      val scoped = m.entries.filter(e =>
+        classifyEntry(m, e, p).contains(true))
+      val sized = scoped.map(e =>
+        e -> (if (e.bytes >= 0L) e.bytes
+              else f.getFileStatus(new Path(resolve(dir, e.path))).getLen))
+      val small = sized.filter(_._2 < smallBytes)
+      if (small.size <= 1) return (headV, 0)
+      val bytes = small.map(_._2).sum
+      val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      val compacted = entriesFrame(spark, dir, m, small.map(_._1)).coalesce(n)
+      val batchFiles = writeBatch(compacted, dir)
+      val newEntries = batchEntries(spark, dir, batchFiles, m.statsCols,
+        m.bloomCols, m.bloomFpp)
+      val untouched = m.entries.filterNot(e =>
+        small.exists(_._1.path == e.path))
+      if (tryPublish(spark, dir,
+        Manifest(headV + 1, m.ledger, m.statsCols,
+          untouched ++ newEntries.map(_.copy(seq = headV + 1)),
+          bloomCols = m.bloomCols, bloomFpp = m.bloomFpp,
+          deletes = m.deletes,
+          renames = m.renames, drops = m.drops, adds = m.adds),
+        carry = m.segments))
+        return (headV + 1, small.size)
+      dropOrphanBatch(spark, dir, batchFiles)
+    }
+    (-1L, 0) // unreachable
+  }
+
   /** BUCKET-AWARE small-file compaction: merge small files WITHIN
     * each hash bucket, never across — the maintenance pass a
     * bucket-declared table (especially one writing with

@@ -237,6 +237,32 @@ object GraftProcedures {
           r.getUTF8String(2).toString, r.getLong(3), r.getInt(4))))
       }),
 
+    "compact_where" -> new Proc(cat, "compact_where",
+      "scoped OPTIMIZE: merge small files WITHIN the file set the " +
+        "predicate provably covers (all-match by manifest stats) — " +
+        "boundary and non-matching files untouched, so the rewrite is " +
+        "bounded by the scope, never the table",
+      Array(in("table", StringType), in("predicate", StringType),
+        inD("small_bytes", LongType, "8388608"),
+        inD("target_bytes", LongType, "134217728")),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("files_compacted", IntegerType, nullable = false))),
+      (s, r) => {
+        val dir = dirOf(cat, r, 0)
+        // same posture as plain compact: a bucket layout must not be
+        // merged across buckets — scoped compaction composes with
+        // buckets only through the bucket-aware pass
+        require(GraftTableProps.bucketSpec(GraftTableProps.read(s, dir)).isEmpty,
+          s"compact_where: '${r.getUTF8String(0)}' declares bucket_cols — " +
+            "merging scoped files would destroy the bucket layout; use " +
+            "CALL compact (bucket-aware) or UNSET the bucket properties")
+        val (v, n) = SnapshotTable.compactWhere(s, dir,
+          org.apache.spark.sql.functions.expr(r.getUTF8String(1).toString),
+          r.getLong(2), r.getLong(3))
+        Seq(row(v, n))
+      }),
+
     "fold_deletes" -> new Proc(cat, "fold_deletes",
       "fold pending merge-on-read deletes into the data (returns the " +
         "committed version; the head when none were pending)",

@@ -415,6 +415,45 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.compactSmallFiles(spark, dir, bigSize, 1L << 30) == v)
   }
 
+  test("compactWhere merges only the scoped small files; boundary and outside files never touch") {
+    val dir = freshDir()
+    // four day-disjoint splinters for day 1, one for day 2, and one
+    // BOUNDARY splinter straddling both days — OPTIMIZE WHERE day=1
+    // must merge exactly the four
+    def chunk(ids: Seq[Long], day: Long) =
+      ids.map(i => (i, day)).toDF("id", "day").coalesce(1)
+    (0 until 4).foreach(i =>
+      SnapshotTable.commitAppend(chunk(Seq(10L + i), 1L), dir,
+        statsCols = Seq("day", "id")))
+    SnapshotTable.commitAppend(chunk(Seq(20L), 2L), dir)
+    SnapshotTable.commitAppend(
+      Seq((30L, 1L), (31L, 2L)).toDF("id", "day").coalesce(1), dir)
+    val before = SnapshotTable.files(spark, dir, 6L)
+    assert(before.size == 6)
+    val (v, n) = SnapshotTable.compactWhere(spark, dir,
+      col("day") === 1L, smallBytes = 1L << 20, targetBytes = 1L << 30)
+    assert(v == 7L && n == 4, s"four scoped splinters, got ($v, $n)")
+    val after = SnapshotTable.files(spark, dir, v)
+    assert(after.size == 3, s"4 merged + day-2 + boundary: $after")
+    assert(before.drop(4).forall(after.contains),
+      "the day-2 file and the BOUNDARY file must carry by reference")
+    assert(SnapshotTable.read(spark, dir).count() == 7L)
+    assert(ids(SnapshotTable.read(spark, dir).filter(col("day") === 1L)) ==
+      Seq(10L, 11L, 12L, 13L, 30L))
+    // stats survive on the merged file
+    val m = SnapshotTable.readManifest(spark, dir, v)
+    assert(m.entries.forall(_.stats.contains("day")))
+    // idempotent: one scoped file left, nothing to merge
+    assert(SnapshotTable.compactWhere(spark, dir, col("day") === 1L,
+      1L << 20, 1L << 30) == ((v, 0)))
+    // an unprovable predicate refuses loudly instead of widening
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.compactWhere(spark, dir,
+        col("day") + 1L === 2L, 1L << 20, 1L << 30)
+    }
+    assert(e.getMessage.contains("manifest-classifiable"))
+  }
+
   test("compactHeadZOrdered: content-neutral rewrite whose stats prune BOTH dimensions") {
     val dir = freshDir()
     val grid = for { a <- 0L until 16L; b <- 0L until 16L } yield (a, b)
