@@ -3114,6 +3114,11 @@ object SparkEntry {
           col("est_triangles"),
           expr("abs(est_triangles - n_triangles) * 1000000 div n_triangles")
             .as("err_e6"))
+        // eager 1-row checkpoint: the in-row floor assert below and the
+        // caller's sink consume ONE execution of the DOULION census —
+        // before r16 the require's head() ran the full census and the
+        // sink then recomputed it from scratch (2× the row's wall)
+        .localCheckpoint()
       require(out.head().getAs[Long]("err_e6") <= 150000L,
         "the ×64 estimate must land within the measured 15% band")
       out

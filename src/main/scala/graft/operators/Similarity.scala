@@ -1241,6 +1241,9 @@ object Similarity {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
     val union = corpus.select(col("doc_id"), col("text"), lit(false).as("_held"))
       .unionByName(heldOut.select(col("doc_id"), col("text"), lit(true).as("_held")))
+    // un-checkpointed like dfOrderedPrefixes' sh — see the rationale
+    // there (persisting the fat shingle arrays measured slower than
+    // the exchange-reused recompute)
     val sh = spread(union)
       .select(col("doc_id"), col("_held"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -1295,6 +1298,14 @@ object Similarity {
       docs: DataFrame,
       tNum: Int,
       tDen: Int): (DataFrame, DataFrame, DataFrame) = {
+    // Deliberately NOT localCheckpoint'ed (r16 measured): the fat
+    // shingle-array frames (sh, ordered, prefixes) cost more to
+    // persist than their references cost to recompute — the self-join
+    // sides are exchange-identical (one runtime stage, reused by AQE
+    // stage reuse), and cutting sh/ordered measured 1.5–2.5× SLOWER
+    // on the jaccard/containment driver rows. The 100 TB posture for
+    // reuse across runs is the persisted band/shingle index family
+    // (minhashNearDupFromIndex), not executor-storage checkpoints.
     val sh = spread(docs)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -1490,8 +1501,11 @@ object Similarity {
     // and the vectors join back by id only after the pair set is
     // deduplicated (the minhashNearDup shape; r4 shipped the embedding
     // through every table row, L× the necessary shuffle bytes).
+    // self-joined below — one evaluation of the hyperplane signature
+    // projection instead of two (lazy checkpoint, PageRank discipline)
     val keys = withTableKeys(emb, sigBits, numTables)
       .select(col("tbl"), col("key"), col("vec_id"))
+      .localCheckpoint(false)
     val cand = keys.select(col("tbl"), col("key"), col("vec_id").as("vec_a"))
       .join(keys.select(col("tbl"), col("key"), col("vec_id").as("vec_b")),
         Seq("tbl", "key"))
@@ -2006,10 +2020,15 @@ object Similarity {
       maxTrainRows: Int = 20000,
       maxIter: Int = 5): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
+    // lazy checkpoint: e feeds the KMeans fit (an eager ML job), the
+    // probe keying AND the final anti-join — three re-derivations of
+    // the caller's embedding lineage without the cut (r16 plan dump:
+    // 20 parquet scans for the driver row)
     val e = spread(emb)
       .select(col("vec_id"), col("embedding"),
         array_to_vector(col("embedding")).as("features"),
         sumSq(col("embedding")).as("n2"))
+      .localCheckpoint(false)
     val model = fitKMeans(e, nlist, trainFraction, maxTrainRows, maxIter)
     val cents: Seq[Seq[Double]] = model.clusterCenters.map(_.toArray.toSeq).toSeq
     val d2s = transform(typedLit(cents), c => centroidD2(col("embedding"), c))
@@ -2020,6 +2039,9 @@ object Similarity {
         explode(cells).as("c"))
       .select(col("vec_id"), col("embedding"), col("n2"),
         col("c.cell").as("cell"))
+      // self-joined below: one materialization of the nprobe-way
+      // keying instead of two
+      .localCheckpoint(false)
     val sim6 = round(lit(1e6) * dot(col("x.embedding"), col("y.embedding"))
       / (sqrt(col("x.n2")) * sqrt(col("y.n2")))).cast("long")
     val dropped = keyed.as("x").join(keyed.as("y"), Seq("cell"))

@@ -24,13 +24,25 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
-  /** Canonical undirected simple edges: (a=min, b=max), loops dropped. */
+  /** Canonical undirected simple edges: (a=min, b=max), loops dropped.
+    * localCheckpoint'ed (lazy), the PageRank discipline: the census
+    * references the canonical set from FIVE subtrees (degrees, the
+    * orientation join, the edge census, and the closure through both
+    * adjacency sides) and without the materialization each reference
+    * re-derived the caller's whole edge lineage — the r16 plan dump
+    * measured 84 parquet scans / 134 Exchanges for one triangle_count
+    * (the driver row's edges are themselves a lineitem self-join).
+    * Blocks are freed by the ContextCleaner when the frame goes
+    * unreferenced; a 100 TB run whose edge set outgrows executor
+    * storage promotes this to a persisted edge table, same plan
+    * otherwise (guide §5 localCheckpoint note). */
   private def canonical(edges: DataFrame): DataFrame =
     edges.select(
       least(col("src"), col("dst")).as("a"),
       greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint(false)
 
   def count(edges: DataFrame): DataFrame = census(canonical(edges))
 
@@ -76,9 +88,15 @@ object Triangles {
       .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
     val fromA = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
+    // oriented and adj are each referenced twice more below (the
+    // closure probes adj on BOTH endpoints of every oriented edge):
+    // same lazy-checkpoint rationale as canonical() — both frames are
+    // edge-/node-scaled, and without the cut each reference re-ran the
+    // orientation join and the adjacency aggregation.
     val oriented = withDeg.select(
       when(fromA, col("a")).otherwise(col("b")).as("u"),
       when(fromA, col("b")).otherwise(col("a")).as("v"))
+      .localCheckpoint(false)
     // wedges at each oriented source (v1 < v2 by id — one canonical
     // enumeration per out-neighbor pair); the closing edge is probed
     // against the canonical undirected set, which since v1 < v2 is
@@ -98,6 +116,7 @@ object Triangles {
     // exists.
     val adj = oriented.groupBy("u")
       .agg(collect_list(col("v")).as("nbrs"))
+      .localCheckpoint(false)
     val e = und.agg(org.apache.spark.sql.functions.count(lit(1)).as("n_edges"))
     val w = adj.agg(coalesce(
       sum(size(col("nbrs")).cast("long") * (size(col("nbrs")) - 1) / 2),
@@ -123,11 +142,16 @@ object Triangles {
     * Sort-free; callers order/limit at the edge.
     */
   def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    // same lazy-checkpoint discipline as census(): und feeds degrees,
+    // orientation AND the final per-node join; oriented/adj feed the
+    // two-sided closure probe — r16 plan dump measured 188 parquet
+    // scans for the un-checkpointed form of this one query
     val und = edges.select(
       least(col("src"), col("dst")).as("a"),
       greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint(false)
     val deg = und.select(col("a").as("n"))
       .unionAll(und.select(col("b").as("n")))
       .groupBy("n").agg(org.apache.spark.sql.functions.count(lit(1)).as("d"))
@@ -139,13 +163,18 @@ object Triangles {
     val oriented = withDeg.select(
       when(fromA, col("a")).otherwise(col("b")).as("u"),
       when(fromA, col("b")).otherwise(col("a")).as("v"))
+      .localCheckpoint(false)
     val adj = oriented.groupBy("u")
       .agg(collect_list(col("v")).as("nbrs"))
+      .localCheckpoint(false)
     val triCorners = oriented
       .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
       .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
       .select(col("u"), col("v"),
         explode(array_intersect(col("nu"), col("nv"))).as("w"))
+      // one row per triangle, referenced once per corner below —
+      // triangle-scaled, so the checkpoint is bounded by the answer
+      .localCheckpoint(false)
     val perNode = triCorners.select(col("u").as("n"))
       .unionAll(triCorners.select(col("v").as("n")))
       .unionAll(triCorners.select(col("w").as("n")))
@@ -171,11 +200,20 @@ object Triangles {
     */
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1)
+    // each round references the previous round's edge set THREE times
+    // (the degree census + both semi-join sides), so the un-cut
+    // lineage grows 3^rounds — the r16 plan dump measured 200 parquet
+    // scans / 300 Exchanges for the two-round driver row. A lazy
+    // localCheckpoint per round keeps the plan linear in `rounds`,
+    // the same materialization point PageRank/LabelProp use; edge
+    // sets only shrink while peeling, so every checkpoint is bounded
+    // by the input edge count.
     var und = edges.select(
       least(col("src"), col("dst")).as("a"),
       greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint(false)
     def degrees(e: DataFrame): DataFrame =
       e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
         .groupBy("n").agg(org.apache.spark.sql.functions.count(lit(1)).as("d"))
@@ -184,6 +222,7 @@ object Triangles {
       und = und
         .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint(false)
     }
     degrees(und).select(col("n").as("node"), col("d").as("degree"))
   }
