@@ -3020,7 +3020,11 @@ object SparkEntry {
     "leakage_split" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val pairs = minhashPairs(s, dir)
+      // lazy checkpoint: the straddle census below materializes the
+      // split once and the sink's orderBy reuses it (before r16 the
+      // whole component computation ran twice per invocation)
       val split = Components.leakageSafeSplit(d, pairs, valPerMille = 200)
+        .localCheckpoint(false)
       val straddling = pairs
         .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
         .join(split.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
@@ -3284,7 +3288,10 @@ object SparkEntry {
       val (delDir, fullDir) = pqDeleteIndexes(s, dir)
       val q = Tables.embeddings(s, dir).filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      // lazy checkpoint (k·|q| rows): the erasure assert materializes
+      // the cold query once; the parity join reuses it
       val cold = Similarity.pqTopKFromIndex(s, delDir, q, k = 10)
+        .localCheckpoint(false)
       require(cold.filter(col("neighbor_id") % 7 === 0).isEmpty,
         "an erased vector must never surface as a neighbor")
       cold.join(Similarity.pqTopKFromIndex(s, fullDir, q, k = 10),
@@ -3315,7 +3322,9 @@ object SparkEntry {
       val (delDir, fullDir, carried) = ivfDeleteIndexes(s, dir)
       require(carried,
         "every untouched cell dir must carry its files verbatim through the delete")
+      // lazy checkpoint, same one-execution rationale as pq_index_delete
       val cold = Similarity.ivfTopKFromIndex(s, delDir, nQueries = 5, k = 10)
+        .localCheckpoint(false)
       require(cold.filter(col("neighbor_id").isin(10L, 11L, 12L)).isEmpty,
         "an erased vector must never surface as a neighbor")
       cold.join(Similarity.ivfTopKFromIndex(s, fullDir, nQueries = 5, k = 10),
@@ -4691,11 +4700,14 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_id"))
         .orderBy("event_type")
-      df.head() // force one end-to-end run so the prune census is real
+      // eager checkpoint = the one end-to-end run that records the
+      // prune census; the sink reads the materialized rows instead of
+      // re-running the scan a second time
+      val mat = df.localCheckpoint()
       val (kept, total) = GraftSnapshotSource.lastPrune.get(tbl)
       require(kept < total,
         s"the SQL read must prune from the manifest: scanned $kept of $total files")
-      df
+      mat
     }),
     // The WRITE half of the SQL face: two df.write.format appends land
     // as ordinary versioned commits (in-row require pins the 2-version
@@ -5157,8 +5169,12 @@ object SparkEntry {
         .withColumn("embedding",
           org.apache.spark.sql.functions.transform(
             col("embedding"), x => (x + lit(5.0f)).cast("float")))
-      val a = Similarity.pqDriftCheck(inDist, idxDir)
-      val b = Similarity.pqDriftCheck(shifted, idxDir)
+      // eager 1-row checkpoints: the in-row flag asserts and the union
+      // the sink consumes share ONE execution per drift pass (before
+      // r16 each head() ran the full drift computation and the union
+      // then recomputed both — 2x the row's wall)
+      val a = Similarity.pqDriftCheck(inDist, idxDir).localCheckpoint()
+      val b = Similarity.pqDriftCheck(shifted, idxDir).localCheckpoint()
       require(!a.head().getBoolean(2), "in-distribution batch must not flag drift")
       require(b.head().getBoolean(2), "shifted batch must flag drift")
       a.select(lit("in_dist").as("probe"), col("n_recent"), col("drift"))
@@ -5174,8 +5190,9 @@ object SparkEntry {
         .withColumn("embedding",
           org.apache.spark.sql.functions.transform(
             col("embedding"), x => (x + lit(5.0f)).cast("float")))
-      val a = Similarity.ivfDriftCheck(inDist, idxDir)
-      val b = Similarity.ivfDriftCheck(shifted, idxDir)
+      // same one-execution checkpoint pair as pq_drift_check
+      val a = Similarity.ivfDriftCheck(inDist, idxDir).localCheckpoint()
+      val b = Similarity.ivfDriftCheck(shifted, idxDir).localCheckpoint()
       require(!a.head().getBoolean(2), "in-distribution batch must not flag drift")
       require(b.head().getBoolean(2), "shifted batch must flag drift")
       a.select(lit("in_dist").as("probe"), col("n_recent"), col("drift"))
@@ -5245,8 +5262,12 @@ object SparkEntry {
     // are integer-exact and oracle-replayed, not just the flags.
     "corpus_drift_check" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
+      // eager checkpoints (bounded: one row per drift metric): the
+      // in-row asserts and the union share one execution per pass
       val inDist = TextOps.corpusDriftCheck(d, d.filter(col("doc_id") % 5 === 0))
+        .localCheckpoint()
       val collapsed = TextOps.corpusDriftCheck(d, d.filter(col("lang") === "en"))
+        .localCheckpoint()
       require(inDist.filter(col("drift")).isEmpty,
         "an in-distribution slice must not flag corpus drift")
       require(collapsed.filter(col("metric") === "lang" && col("drift")).count() == 1,
