@@ -32,5 +32,25 @@ object Sessions {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
+    // Local-filesystem hygiene (guide §1/§7: the residue profile of the
+    // streaming rows was dominated by Hadoop fork+exec, not by query
+    // work). Both knobs are LOCAL-session choices — cluster deployments
+    // configure their own session and are unaffected:
+    //  - the default FileContext-based checkpoint manager shells out
+    //    `readlink` per status call and `chmod` per created file on
+    //    RawLocalFs (measured 0.5-1 s per streaming row); the
+    //    FileSystem-based manager does java.io metadata calls, and its
+    //    rename is atomic on a local filesystem (the documented
+    //    requirement for checkpoint managers);
+    .config("spark.sql.streaming.checkpointFileManagerClass",
+      "org.apache.spark.sql.execution.streaming.checkpointing." +
+        "FileSystemBasedCheckpointFileManager")
+    //  - ChecksumFileSystem writes a .crc sidecar for every local file
+    //    (twice the creates on every batch/manifest write) and the raw
+    //    local fs forks /bin/chmod per created file;
+    //    NoChmodLocalFileSystem (still a LocalFileSystem — components
+    //    like RocksDBFileManager cast on that type) skips both
+    .config("spark.hadoop.fs.file.impl",
+      "graft.sources.NoChmodLocalFileSystem")
     .getOrCreate()
 }

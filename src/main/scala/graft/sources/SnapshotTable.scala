@@ -3934,14 +3934,20 @@ object SnapshotTable {
     keyCols.foreach(c => require(batch.columns.contains(c),
       s"stream upsert on $dir: key column '$c' is not in the batch"))
     checkExpectations(batch, expectations, dir)
-    val nRows = batch.count()
+    // ONE aggregate action for the row/key census (guide §2.3: partial
+    // map-side aggregation instead of a distinct().count() shuffle,
+    // and one batch pass instead of two — the micro-batch source would
+    // otherwise be re-read per action)
+    val cnt = batch.agg(count(lit(1)).as("__n"),
+      count_distinct(struct(keyCols.map(col): _*)).as("__k")).head()
+    val nRows = cnt.getLong(0)
     if (nRows == 0L) {
       // nothing to upsert; skipping is idempotent — but a pre-staged
       // zero-row epoch must not leave its empty files behind
       preStaged.foreach(dropOrphanBatch(spark, dir, _))
       return None
     }
-    val nKeys = batch.select(keyCols.map(col): _*).distinct().count()
+    val nKeys = cnt.getLong(1)
     require(nRows == nKeys,
       s"stream upsert on $dir: the batch carries $nRows rows over $nKeys " +
         s"distinct keys ${keyCols.mkString("(", ",", ")")} — an upsert needs " +
@@ -3972,7 +3978,10 @@ object SnapshotTable {
         val tableStats = (m.statsCols ++ statsCols).distinct
         val tableBlooms = (m.bloomCols ++ bloomCols).distinct
         batchFiles = preStaged.getOrElse(writeBatch(batch, dir))
-        keyFiles = writeBatch(batch.select(keyCols.map(col): _*).distinct(), dir)
+        // the nRows == nKeys require above proved the key projection
+        // is already duplicate-free — writing it verbatim skips a
+        // distinct shuffle per epoch
+        keyFiles = writeBatch(batch.select(keyCols.map(col): _*), dir)
         newEntries = batchEntries(spark, dir, batchFiles, tableStats,
           tableBlooms, m.bloomFpp)
         opsAtWrite = headOps
