@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Synchronous weighted label propagation (Raghavan, Albert & Kumara,
@@ -16,9 +15,11 @@ import org.apache.spark.sql.functions._
   * classic graph pass.
   *
   * Shape per round: one edges ⋈ labels join on src, one integer-sum
-  * groupBy on (dst, label), one per-node row_number window — the
-  * window partitions by node, so it is data-partitioned, never a
-  * global sort. Labels-frame size is |V| throughout; candidate rows
+  * groupBy on (dst, label), one per-node max_by hash aggregate for
+  * the argmax vote (r16: replaced the row_number window, which paid
+  * a per-round sort of every candidate row after its exchange — the
+  * argmax needs no order, only the max of the (wt, label-ascending)
+  * vote pair). Labels-frame size is |V| throughout; candidate rows
   * per round are bounded by |E| (each edge contributes one (dst,
   * label) vote). The edge frame is localCheckpoint'ed for the same
   * reason PageRank's is: the unrolled rounds reference it once each.
@@ -38,15 +39,16 @@ object LabelProp {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     var labels = nodes.withColumn("label", col("node"))
-    val byVote = Window.partitionBy("node")
-      .orderBy(col("wt").desc, col("label").asc)
     (1 to iterations).foreach { _ =>
+      // argmax by (wt desc, label asc): labels are distinct within a
+      // node group, so the (wt, -label) vote pair is unique and the
+      // max_by is deterministic — "highest weight, ties to the LOWER
+      // label" without ordering anything
       labels = e.join(labels, e("src") === labels("node"))
         .groupBy(col("dst"), col("label")).agg(sum(col("w")).as("wt"))
-        .withColumnRenamed("dst", "node")
-        .withColumn("rn", row_number().over(byVote))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("label"))
+        .groupBy(col("dst"))
+        .agg(max_by(col("label"), struct(col("wt"), -col("label"))).as("label"))
+        .select(col("dst").as("node"), col("label"))
     }
     labels
   }

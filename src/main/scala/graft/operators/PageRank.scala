@@ -61,12 +61,18 @@ object PageRank {
     // frame (the crossJoin's left side empties before any division
     // runs).
     val par = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
+    // out-weight folded into the edge frame ONCE (and checkpointed with
+    // it): the unrolled loop otherwise pays an (edges ⋈ outW) join —
+    // a full extra stage over |E| — per iteration for a per-src value
+    // that never changes between rounds (guide §2.4: remove shuffles
+    // outright). Same integer algebra per edge, so the fixed point is
+    // bit-identical.
     val outW = e.groupBy("src").agg(sum(col("w")).as("wout"))
+    val ew = e.join(outW, "src").localCheckpoint(false)
     var ranks = nodes.crossJoin(par)
       .select(col("node"), expr(s"$scale div n_nodes").as("rank"))
     (1 to iterations).foreach { _ =>
-      ranks = e.join(ranks, e("src") === ranks("node"))
-        .join(outW, "src")
+      ranks = ew.join(ranks, ew("src") === ranks("node"))
         .select(col("dst").as("node"),
           expr(s"rank * $dampingPct * w div (100 * wout)").as("c"))
         .groupBy("node").agg(sum(col("c")).as("cs"))
@@ -104,14 +110,15 @@ object PageRank {
     val mark = broadcast(sd.withColumn("is_seed", lit(true)))
     val par = broadcast(sd.agg(count(lit(1)).as("n_seeds")))
     val teleport = expr(s"${scale * (100 - dampingPct)} div 100 div n_seeds")
+    // same once-folded out-weight as run() — see the rationale there
     val outW = e.groupBy("src").agg(sum(col("w")).as("wout"))
+    val ew = e.join(outW, "src").localCheckpoint(false)
     var ranks = nodes.join(mark, Seq("node"), "left").crossJoin(par)
       .select(col("node"),
         when(coalesce(col("is_seed"), lit(false)),
           expr(s"$scale div n_seeds")).otherwise(lit(0L)).as("rank"))
     (1 to iterations).foreach { _ =>
-      ranks = e.join(ranks, e("src") === ranks("node"))
-        .join(outW, "src")
+      ranks = ew.join(ranks, ew("src") === ranks("node"))
         .select(col("dst").as("node"),
           expr(s"rank * $dampingPct * w div (100 * wout)").as("c"))
         .groupBy("node").agg(sum(col("c")).as("cs"))
