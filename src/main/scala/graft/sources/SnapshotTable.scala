@@ -3794,10 +3794,14 @@ object SnapshotTable {
       val headOps = (m.renames, m.drops)
       if (paths == null) {
         // key files written AFTER the first head read: opsAtWrite is
-        // exactly the schema-op state their column names reflect
-        paths = writeKeys(keys.select(keyCols.map(col): _*).distinct())
+        // exactly the schema-op state their column names reflect.
+        // The key census rides the write action as an observed metric
+        // (guide §1/§2.3: one pass, not a write plus a re-read count)
+        val obs = new org.apache.spark.sql.Observation()
+        paths = writeKeys(keys.select(keyCols.map(col): _*).distinct()
+          .observe(obs, count(lit(1)).as("__graft_nkeys")))
         opsAtWrite = headOps
-        nKeys = spark.read.parquet(paths.map(p => s"$dir/$p"): _*).count()
+        nKeys = obs.get("__graft_nkeys").asInstanceOf[Long]
       } else if (opsAtWrite != headOps) {
         // a racing writer committed a rename/drop after our key files
         // were written: recorded as-is, the delete's keyCols would

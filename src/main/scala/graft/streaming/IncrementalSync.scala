@@ -412,12 +412,14 @@ object IncrementalSync {
         val out = graft.operators.Skew.cmSkewJoin(
           batch, dim, key, merged, depth, width, hotMinRows, saltFactor, "left")
         out.write.mode("append").parquet(targetDir)
-        // branch observability (scoreboard + ops): two bounded count
-        // jobs per batch; drop them where batch latency is precious
+        // branch observability (scoreboard + ops): ONE bounded agg job
+        // per batch (r16: was two separate counts, each re-reading the
+        // micro-batch); drop it where batch latency is precious
         val est = call_function("cm_estimate",
           lit(merged), col(key).cast("string"), lit(depth), lit(width))
-        val n = batch.count()
-        val h = batch.where(col(key).isNotNull && est >= hotMinRows).count()
+        val nh = batch.agg(count(lit(1)).as("n"),
+          count(when(col(key).isNotNull && est >= hotMinRows, 1)).as("h")).head()
+        val (n, h) = (nh.getLong(0), nh.getLong(1))
         hotRows.addAndGet(h)
         coldRows.addAndGet(n - h)
         ()
