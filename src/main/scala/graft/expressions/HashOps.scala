@@ -484,23 +484,54 @@ object HashOps {
     * expression trees (measured 8.9 s of the sf0.1 chunk_embed row —
     * this pass is the whole win).
     */
-  def hashProjEmbed(text: UTF8String, dim: Int): ArrayData = {
-    val toks = text.toString.split(" ", -1)
-    val jBytes = Array.tabulate(dim)(j =>
+  /** Per-thread memo for hashProjEmbed: a token's ±1 sign vector is a
+    * pure function of (token, dim), and corpus tokens are zipf-heavy,
+    * so caching the signs (one BIT per dimension — a long[⌈dim/64⌉]
+    * mask, not the float vector) turns the dim md5 digests per token
+    * OCCURRENCE into dim digests per DISTINCT token per task thread.
+    * Bounded at 64 Ki entries (≲6 MB/thread at dim ≤ 64); past the cap
+    * new tokens compute uncached — the fallback is the original path,
+    * so the result is bit-identical by construction. The per-dim digit
+    * bytes are hoisted here too (they were rebuilt per ROW).
+    */
+  private final class ProjCache(val dim: Int) {
+    val jBytes: Array[Array[Byte]] = Array.tabulate(dim)(j =>
       String.valueOf(j).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val signs = new java.util.HashMap[String, Array[Long]]()
+  }
+  private val projCache = new ThreadLocal[ProjCache]
+
+  def hashProjEmbed(text: UTF8String, dim: Int): ArrayData = {
+    var pc = projCache.get()
+    if (pc == null || pc.dim != dim) {
+      pc = new ProjCache(dim)
+      projCache.set(pc)
+    }
+    val toks = text.toString.split(" ", -1)
     val out = new Array[Float](dim)
     val md = Md5.get()
     var i = 0
     while (i < toks.length) {
-      val tb = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val tok = toks(i)
+      var bits = pc.signs.get(tok)
+      if (bits == null) {
+        bits = new Array[Long]((dim + 63) >> 6)
+        val tb = tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var j = 0
+        while (j < dim) {
+          md.reset()
+          md.update(tb)
+          md.update(':'.toByte)
+          md.update(pc.jBytes(j))
+          val d = md.digest()
+          if ((d(0) & 0x80) == 0) bits(j >> 6) |= 1L << (j & 63)
+          j += 1
+        }
+        if (pc.signs.size < 65536) pc.signs.put(tok, bits)
+      }
       var j = 0
       while (j < dim) {
-        md.reset()
-        md.update(tb)
-        md.update(':'.toByte)
-        md.update(jBytes(j))
-        val d = md.digest()
-        out(j) += (if ((d(0) & 0x80) == 0) 1f else -1f)
+        out(j) += (if (((bits(j >> 6) >>> (j & 63)) & 1L) != 0L) 1f else -1f)
         j += 1
       }
       i += 1
@@ -526,33 +557,68 @@ object HashOps {
     * text carries supplementary characters and the encode must ingest
     * it, VERDICT r11 #2).
     */
+  /** Per-thread word memo for wordpieceEncode: a word's
+    * (n_pieces, n_unk, id_sum) is a pure function of (word, vocab),
+    * and whitespace words are zipf-heavy, so the greedy walk runs once
+    * per DISTINCT word per task thread — repeats are one hash probe.
+    * Keyed on the vocab HashMap's IDENTITY (it rides the expression as
+    * one executor-local reference object, so `eq` is exact); bounded
+    * at 64 Ki words, past which new words walk uncached — the fallback
+    * is the original path, bit-identical by construction. The packed
+    * value is [nPieces<<32|nUnk, idSum] (both halves are
+    * word-length-bounded, far below 2^31). The whitespace pattern is
+    * hoisted: String.split("\\s+") compiled the regex per ROW.
+    */
+  private final class WpCache(
+      val units: java.util.HashMap[String, Integer], val maxLen: Int) {
+    val words = new java.util.HashMap[String, Array[Long]]()
+  }
+  private val wpCache = new ThreadLocal[WpCache]
+  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+
   def wordpieceEncode(
       text: UTF8String,
       units: java.util.HashMap[String, Integer],
       maxLen: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    var wc = wpCache.get()
+    if (wc == null || (wc.units ne units) || wc.maxLen != maxLen) {
+      wc = new WpCache(units, maxLen)
+      wpCache.set(wc)
+    }
     var nPieces = 0
     var nUnk = 0
     var idSum = 0L
-    val words = text.toString.split("\\s+")
+    val words = WsPattern.split(text.toString)
     var wi = 0
     while (wi < words.length) {
       val w = words(wi)
       if (w.nonEmpty) {
-        // the code-point array: positions/lengths below are code
-        // points, matching the oracle's substring arithmetic exactly
-        val cps = w.codePoints().toArray
-        var pos = 0
-        while (pos < cps.length) {
-          var len = math.min(maxLen, cps.length - pos)
-          var matched = false
-          while (len >= 1 && !matched) {
-            val id = units.get(new String(cps, pos, len))
-            if (id != null) {
-              nPieces += 1; idSum += id.longValue(); pos += len; matched = true
-            } else len -= 1
+        var packed = wc.words.get(w)
+        if (packed == null) {
+          var wPieces = 0
+          var wUnk = 0
+          var wSum = 0L
+          // the code-point array: positions/lengths below are code
+          // points, matching the oracle's substring arithmetic exactly
+          val cps = w.codePoints().toArray
+          var pos = 0
+          while (pos < cps.length) {
+            var len = math.min(maxLen, cps.length - pos)
+            var matched = false
+            while (len >= 1 && !matched) {
+              val id = units.get(new String(cps, pos, len))
+              if (id != null) {
+                wPieces += 1; wSum += id.longValue(); pos += len; matched = true
+              } else len -= 1
+            }
+            if (!matched) { wPieces += 1; wUnk += 1; pos += 1 }
           }
-          if (!matched) { nPieces += 1; nUnk += 1; pos += 1 }
+          packed = Array[Long]((wPieces.toLong << 32) | wUnk.toLong, wSum)
+          if (wc.words.size < 65536) wc.words.put(w, packed)
         }
+        nPieces += (packed(0) >>> 32).toInt
+        nUnk += packed(0).toInt
+        idSum += packed(1)
       }
       wi += 1
     }
