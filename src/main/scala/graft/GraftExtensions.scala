@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BloomAgg, BloomMightContain, CmEstimate, CountTokensIn, CountTokensInMulti, FloatDot, FloatNorm2, HammingBits, HashProjEmbed, HyperplaneSig, MinHashBandKeys, MinHashSignature, NfcNormalize, PiiScrub, PqAssign, SimHashBits, TokenFingerprint, TokenProfile, WordpieceEncode, WordShingles}
+import graft.expressions.{BloomAgg, BloomMightContain, CharGrams, CmEstimate, CountTokensIn, CountTokensInMulti, FloatDot, FloatNorm2, HammingBits, HashProjEmbed, HyperplaneSig, MinHashBandKeys, MinHashSignature, NfcNormalize, PiiScrub, PqAssign, SimHashBits, TokenFingerprint, TokenProfile, WordpieceEncode, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -295,6 +295,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(v, cb) => PqAssign(v, codebookLit(cb))
         case _ => throw new IllegalArgumentException(
           "usage: pq_assign(vec, <array<array<array<double>>> codebook literal>)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("char_grams"),
+      new ExpressionInfo(classOf[CharGrams].getName, "char_grams"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, n) => CharGrams(c, intLit(n, "maxN"))
+        case _ => throw new IllegalArgumentException(
+          "usage: char_grams(text, maxN)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("word_shingles"),

@@ -2869,11 +2869,25 @@ object SparkEntry {
     // all four stages — gates, rate table, md5 gate, recursive
     // packing, ordered concat — so any drift anywhere in the chain
     // lands on a different sequence md5.
+    //
+    // r16: the gate (the expensive token_profile pass) runs ONCE, onto
+    // a checkpointed (doc_id, lang) survivor list — before, the rate
+    // census collect, the packer input and the text join-back each
+    // re-executed the full gate subtree (3 profile passes over the
+    // corpus; guide §1.2 "don't compute things you throw away"). The
+    // survivor list is gate-metric-free and text-free (ids + strata
+    // only), so the checkpoint is corpus-row-COUNT-sized, never
+    // corpus-TEXT-sized; the mix is a pure function of doc_id, and the
+    // packer re-attaches text by id from the raw table — identical
+    // rows, text, weights, and therefore identical sequence md5s.
     "curation_pipeline" -> ((s, dir) => {
-      val gated = TextOps.qualityGate(Tables.documents(s, dir))
-        .select("doc_id", "lang", "text")
+      val docs = Tables.documents(s, dir)
+      val gatedIds = TextOps.qualityGate(docs)
+        .select("doc_id", "lang").localCheckpoint()
       val sampled = Sampling.sqrtTemperatureMix(
-        gated, "lang", "doc_id", targetRows = 200L)
+        gatedIds, "lang", "doc_id", targetRows = 200L)
+        .select("doc_id")
+        .join(docs.select("doc_id", "text"), Seq("doc_id"))
       operators.Packing.materializeBins(
         sampled, "doc_id", "text", size(TextOps.tokens(col("text"))),
         capacity = 200L)

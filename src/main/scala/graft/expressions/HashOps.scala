@@ -626,6 +626,106 @@ object HashOps {
       Array[Any](nPieces, nUnk, idSum))
   }
 
+  /** Per-thread word memo for charGrams: a word's n-gram list is a
+    * pure function of (word, maxN), and whitespace words are
+    * zipf-heavy, so the code-point walk + slice construction runs once
+    * per DISTINCT word per task thread — repeats are one hash probe
+    * returning the shared immutable UTF8String[] (UTF8Strings are
+    * read-only and every downstream consumer copies bytes out, so
+    * sharing is safe). Each word's grams alias ONE byte[] of the word
+    * via (offset, length) slices — no per-gram string copy. Bounded at
+    * 32 Ki words (grams are ~10-20× a word's bytes, so this memo is
+    * heavier per entry than wpCache's packed longs); past the cap new
+    * words build uncached through the same code path — bit-identical
+    * by construction.
+    */
+  private final class GramCache(val maxN: Int) {
+    val words = new java.util.HashMap[String, Array[UTF8String]]()
+  }
+  private val gramCache = new ThreadLocal[GramCache]
+
+  /** All character n-grams (1..maxN) of every whitespace word of
+    * `text`, in (word order, then n ascending, then position
+    * ascending) order — the exact multiset (and order) of the column
+    * formulation it replaces:
+    * `flatten(array_{n=1..maxN}(transform(sequence(1, len-n+1),
+    * i -> substr(w, i, n))))` exploded per token. Positions and
+    * lengths are CODE POINTS (what SQL substr/length count), and the
+    * slices are byte-offset views over the word's UTF-8 bytes, so the
+    * grams are byte-identical to substr's output.
+    */
+  def charGrams(text: UTF8String, maxN: Int): ArrayData = {
+    var gc = gramCache.get()
+    if (gc == null || gc.maxN != maxN) {
+      gc = new GramCache(maxN)
+      gramCache.set(gc)
+    }
+    val words = WsPattern.split(text.toString)
+    val perWord = new Array[Array[UTF8String]](words.length)
+    var total = 0
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (w.nonEmpty) {
+        var grams = gc.words.get(w)
+        if (grams == null) {
+          val b = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          // byte offset of each code-point boundary; valid UTF-8 input
+          // (parquet strings) decodes with no lone surrogates, so the
+          // per-code-point UTF-8 widths below always re-add to b.length
+          val cpCount = w.codePointCount(0, w.length)
+          val offs = new Array[Int](cpCount + 1)
+          var ci = 0
+          var o = 0
+          var p = 0
+          while (ci < w.length) {
+            val cp = w.codePointAt(ci)
+            offs(p) = o
+            o += (if (cp < 0x80) 1 else if (cp < 0x800) 2
+              else if (cp < 0x10000) 3 else 4)
+            p += 1
+            ci += Character.charCount(cp)
+          }
+          offs(p) = o
+          require(o == b.length,
+            s"char_grams: non-UTF-8-roundtrippable word (lone surrogate?)")
+          val l = cpCount
+          var cnt = 0
+          var n = 1
+          while (n <= maxN) { if (l >= n) cnt += l - n + 1; n += 1 }
+          grams = new Array[UTF8String](cnt)
+          var k = 0
+          n = 1
+          while (n <= maxN && n <= l) {
+            var i = 0
+            while (i + n <= l) {
+              grams(k) = UTF8String.fromBytes(b, offs(i), offs(i + n) - offs(i))
+              k += 1
+              i += 1
+            }
+            n += 1
+          }
+          if (gc.words.size < 32768) gc.words.put(w, grams)
+        }
+        perWord(wi) = grams
+        total += grams.length
+      }
+      wi += 1
+    }
+    val out = new Array[Any](total)
+    var k = 0
+    wi = 0
+    while (wi < words.length) {
+      val g = perWord(wi)
+      if (g != null) {
+        System.arraycopy(g, 0, out, k, g.length)
+        k += g.length
+      }
+      wi += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Product-quantization assignment kernel: per subspace, the
     * argmin-centroid code (score = ‖c‖²/2 − x·c, ties to the lower
     * code — the assignCells discipline) plus the concatenated

@@ -169,6 +169,24 @@ case class CountTokensInMulti(child: Expression, setsSpec: String, lower: Boolea
     copy(child = newChild)
 }
 
+case class CharGrams(child: Expression, maxN: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_grams"
+  protected override def nullSafeEval(input: Any): Any =
+    HashOps.charGrams(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], maxN)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashOps.charGrams($c, $maxN)")
+  override protected def withNewChildInternal(newChild: Expression): CharGrams =
+    copy(child = newChild)
+}
+
 case class TokenProfile(child: Expression, stopCsv: String)
     extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

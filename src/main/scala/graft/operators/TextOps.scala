@@ -414,7 +414,7 @@ object TextOps {
       maxPunctPerMille: Int = 150,
       minStopPerMille: Int = 10): DataFrame =
     docs
-      .withColumn("_p", profile)
+      .select(col("*"), explode(array(profile)).as("_p"))
       .withColumn("n_tokens", col("_p.n_tokens"))
       .withColumn("punct_per_mille",
         expr("(_p.n_punct_chars * 1000L) div greatest(_p.n_chars, 1)"))
@@ -526,8 +526,15 @@ object TextOps {
       col("text"), lit(langMarkers.map(_._2.mkString(",")).mkString("|")), lit(true))
     val h = (l: String) => col(s"_hits_$l")
     docs
-      .withColumn("_p", profile)
-      .withColumn("_h", multi)
+      // one Generate barrier for BOTH per-row passes (see qualityGate):
+      // the argmax vote + gate below reference the hit counts ~90 times
+      // across filter conjuncts, and alias substitution through a
+      // pushed filter re-inlines the tokenizer (and, in the planted
+      // driver row, the whole text-inflation chain) per reference
+      .select(col("doc_id"),
+        explode(array(struct(profile.as("p"), multi.as("h")))).as("_ph"))
+      .withColumn("_p", col("_ph.p"))
+      .withColumn("_h", col("_ph.h"))
       .select((Seq(col("doc_id"), col("_p")) ++ langMarkers.zipWithIndex.map {
         case ((lang, _), i) => col("_h").getItem(i).as(s"_hits_$lang")
       }): _*)
@@ -633,13 +640,18 @@ object TextOps {
       maxNgram: Int = 4,
       minCount: Long = 5L,
       maxSize: Int = 512): DataFrame = {
-    val grams = (1 to maxNgram).map(n => expr(
-      s"""CASE WHEN length(w) >= $n
-         | THEN transform(sequence(1, length(w) - $n + 1), i -> substr(w, i, $n))
-         | ELSE array() END""".stripMargin))
+    // r16: one native char_grams kernel (per-thread word memo — words
+    // are zipf-heavy, so the code-point walk runs once per DISTINCT
+    // word per task) replaces the per-n sequence+transform+substr
+    // column chain, whose substr(w, i, n) re-scanned the word's bytes
+    // from position 0 per gram (O(L²) per word per n) and allocated
+    // four intermediate arrays per token row before the flatten.
+    // Gram multiset and order are bit-identical by construction
+    // (HashOps.charGrams scaladoc); CharGramsSpec pins equality
+    // against the original column formulation.
     val counts = docs
-      .select(explode(tokens(col("text"))).as("w"))
-      .select(explode(flatten(array(grams: _*))).as("unit"))
+      .select(explode(call_function("char_grams",
+        col("text"), lit(maxNgram))).as("unit"))
       .groupBy("unit").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
     counts
@@ -1163,9 +1175,21 @@ object TextOps {
     * salad would outscore fluent text. Smoothed, a rare bigram earns
     * ~1/V and a corpus-frequent one earns c2/(c1+V) ≫ 1/V.
     *
-    * Scale: two shuffled counts (bigram, head) and two shuffled joins
-    * keyed by the bigram/head strings — the model is never collected
-    * or broadcast, so an internet-scale bigram table distributes like
+    * Scale: the head-count model c1 FOLDS OUT of the bigram model c2
+    * (the head string w1 is a derived prefix of bg —
+    * substring_index(bg, ' ', 1); tokens are whitespace-split, so w1
+    * itself contains no space, and c1(w1) = Σ_{bg: head=w1} c2(bg) is
+    * the identical occurrence count), so the corpus is tokenized and
+    * shuffled for counting ONCE (by bg), with the second count a
+    * model-sized aggregate — the r16 form cut one full corpus
+    * tokenize+shuffle pass from the model build (guide §1.2 step 1:
+    * remove unnecessary passes; a per-(doc,bg) pre-aggregation was
+    * ALSO tried and measured SLOWER — prose bigrams are mostly unique
+    * within a document, so the extra exchange reduced nothing). The
+    * occurrence stream likewise carries only (doc_id, bg): w1 is
+    * re-derived after the bg-model join instead of shuffling a second
+    * copy of every head string. The model is never collected or
+    * broadcast, so an internet-scale bigram table distributes like
     * any aggregate. V joins in as a broadcast 1-row aggregate (no
     * driver-side scalar job at all). Docs with <2 tokens have no
     * bigrams and no row.
@@ -1176,16 +1200,15 @@ object TextOps {
       .where(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(toks) - 1), " +
-          "i -> struct(toks[i-1] AS w1, concat(toks[i-1], ' ', toks[i]) AS bg))"))
-        .as("s"))
-      .select(col("doc_id"), col("s.w1").as("w1"), col("s.bg").as("bg"))
+          "i -> concat(toks[i-1], ' ', toks[i]))"))
+        .as("bg"))
     val c2 = occ.groupBy("bg").agg(count(lit(1)).as("n2"))
-    val c1 = occ.groupBy("w1").agg(count(lit(1)).as("n1"))
-    // V rides the plan as a broadcast 1-row aggregate instead of a
-    // driver-side count(): one fewer job per evaluation, same values
+    val c1 = c2.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("n2")).as("n1"))
     val v = c1.agg(count(lit(1)).as("_v"))
     occ
       .join(c2, "bg")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
       .join(c1, "w1")
       .crossJoin(broadcast(v))
       .select(col("doc_id"),

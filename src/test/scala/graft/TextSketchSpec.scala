@@ -656,4 +656,39 @@ class TextSketchSpec extends SparkSpec {
       (4L, "broken <tag attr=\"x\" unclosed text < alone stays"),
       (5L, "spaced out lines")))
   }
+
+  test("char_grams: kernel equals the column formulation, order included") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{call_function, col, expr, lit}
+    // mixed-plane text: ASCII, accents (2-byte), CJK (3-byte), emoji +
+    // U+20000 (4-byte, supplementary), repeats (memo hits), short and
+    // 1-char words, leading/trailing/multiple whitespace
+    val docs = Seq(
+      (1L, "hello world hello a ab"),
+      (2L, "  café naïve 的是了 😀x😀 "),
+      (3L, "𠀀𠀀abc a"),
+      (4L, ""),
+      (5L, "hello hello hello")
+    ).toDF("doc_id", "text")
+    val maxN = 4
+    // the pre-r16 buildSubwordVocab formulation, as one deterministic
+    // nested-transform column (no explode/collect_list, so the gram
+    // ORDER — word order, n ascending, position ascending — is pinned
+    // by the expression itself)
+    val legacy = docs.select(col("doc_id"), expr(
+      s"""flatten(transform(filter(split(text, '\\\\s+'), t -> t <> ''),
+         |  w -> flatten(transform(sequence(1, $maxN), n ->
+         |    CASE WHEN length(w) >= n
+         |    THEN transform(sequence(1, length(w) - n + 1), i -> substr(w, i, n))
+         |    ELSE array() END))))""".stripMargin).as("gs"))
+    val kernel = docs
+      .select(col("doc_id"),
+        call_function("char_grams", col("text"), lit(maxN)).as("gs"))
+    val l = legacy.orderBy("doc_id").as[(Long, Seq[String])].collect().toMap
+    val k = kernel.orderBy("doc_id").as[(Long, Seq[String])].collect().toMap
+    assert(k.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(k(4L).isEmpty)
+    for (id <- Seq(1L, 2L, 3L, 4L, 5L)) assert(k(id) === l(id), s"doc $id")
+    assert(k(1L).take(7) === Seq("h", "e", "l", "l", "o", "he", "el"))
+  }
 }
