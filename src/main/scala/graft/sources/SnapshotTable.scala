@@ -1887,12 +1887,39 @@ object SnapshotTable {
   private[graft] def bucketStatKey(c: String, n: Int): String =
     s"__bucket:$c:$n"
 
+  /** Exact row count of one just-written parquet file from its FOOTER
+    * — a driver-side metadata read (what the production formats record
+    * at write time), so the per-commit file census never costs a Spark
+    * job. Delta-sized: called once per NEW file, never per table. */
+  private def footerRowCount(spark: SparkSession, p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(p, spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
   private def batchEntries(
       spark: SparkSession, dir: String,
       relPaths: Seq[String], statsCols: Seq[String],
       bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.01,
       bucket: Option[(String, Int)] = None): Seq[Entry] = {
     if (relPaths.isEmpty) return Seq.empty
+    // per-file row census from the parquet footers — exact, driver-side,
+    // no job; also what sizes the bloom aggregation buffers below
+    val rowsByRel: Map[String, Long] = relPaths.map { p =>
+      p -> footerRowCount(spark, new Path(s"$dir/$p"))
+    }.toMap
+    // plain commits (no declared stats/bloom/bucket columns) need no
+    // read-back at all: entries are footer counts + file lengths
+    if (statsCols.isEmpty && bloomCols.isEmpty && bucket.isEmpty) {
+      val f = fs(spark, dir)
+      return relPaths.map { p =>
+        val len = scala.util.Try(
+          f.getFileStatus(new Path(s"$dir/$p")).getLen).getOrElse(-1L)
+        Entry(p, Map.empty, Map.empty, Set.empty,
+          rowsByRel.getOrElse(p, 0L), bytes = len)
+      }
+    }
     val df0 = spark.read.option("mergeSchema", "true")
       .parquet(relPaths.map(p => s"$dir/$p"): _*)
     // the bucket id is DERIVED at stats time from the same murmur3
@@ -1924,12 +1951,36 @@ object SnapshotTable {
       case _: ByteType | _: ShortType | _: IntegerType | _: LongType => true
       case _ => false
     }
+    // declared columns can all be absent from this batch's schema —
+    // then there is nothing to aggregate and the footer census suffices
+    if (present.isEmpty && bloomPresent.isEmpty) {
+      val f = fs(spark, dir)
+      return relPaths.map { p =>
+        val len = scala.util.Try(
+          f.getFileStatus(new Path(s"$dir/$p")).getLen).getOrElse(-1L)
+        Entry(p, Map.empty, Map.empty, Set.empty,
+          rowsByRel.getOrElse(p, 0L), bytes = len)
+      }
+    }
+    // stats AND blooms ride ONE aggregation job (guide §1.2 — don't
+    // read the batch back twice; the bloom buffers are sized from the
+    // footer census, which the old second pass derived from the first)
+    val bloomAggs =
+      if (bloomPresent.isEmpty) Nil
+      else {
+        val maxRows = rowsByRel.values.max.max(1L)
+        require(maxRows <= 10_000_000L,
+          s"a $maxRows-row file's bloom is a ~12 MB aggregation buffer — " +
+            "write smaller data files (or raise bloomFpp) before declaring bloom columns")
+        bloomPresent.map(c => call_function("bloom_agg",
+          bloomKeyHash(col(c), fields(c), c), lit(maxRows), lit(bloomFpp)).as(s"__bl_$c"))
+      }
     val aggs = present.flatMap(c =>
       Seq(min(statExpr(c)).as(s"__min_$c"), max(statExpr(c)).as(s"__max_$c"),
         count(col(c)).as(s"__nn_$c")) ++
         (if (integral(c))
-          Seq(sum(col(c).cast(DecimalType(38, 0))).as(s"__sum_$c")) else Nil)) :+
-      count(lit(1)).as("__cnt")
+          Seq(sum(col(c).cast(DecimalType(38, 0))).as(s"__sum_$c")) else Nil)) ++
+      bloomAggs :+ count(lit(1)).as("__cnt")
     // EXACT path resolution (the touchedFiles discipline): map each
     // qualified batch-file path back to its dir-relative name — never
     // an endsWith suffix scan
@@ -1939,12 +1990,11 @@ object SnapshotTable {
       relByQualified.get(qualifiedPath(spark, abs))
     val rows = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect()
-    // every aggregate row MUST map back through relOf: the rows=0
-    // census below treats absence as proven-empty (unconditional prune,
-    // vacuous all-match for DELETE), so an input_file_name() the
-    // qualifiedPath mapping misses (URI-encoding divergence, scheme
-    // drift) must fail the commit LOUDLY here instead of silently
-    // dropping a live file's rows from every future read (ADVICE r14)
+    // every aggregate row MUST map back through relOf: an
+    // input_file_name() the qualifiedPath mapping misses (URI-encoding
+    // divergence, scheme drift) would silently drop that file's
+    // stats/blooms from the manifest forever — fail the commit LOUDLY
+    // instead (ADVICE r14)
     rows.foreach { r =>
       require(relOf(r.getString(0)).isDefined,
         s"stats aggregate saw file '${r.getString(0)}' that maps to none " +
@@ -1969,25 +2019,13 @@ object SnapshotTable {
         rp -> stats
       }
     }.toMap
-    val rowsByRel: Map[String, Long] = rows.flatMap { r =>
-      relOf(r.getString(0)).map(_ -> r.getAs[Long]("__cnt"))
-    }.toMap
     val bloomsByRel: Map[String, Map[String, Array[Byte]]] =
       if (bloomPresent.isEmpty) Map.empty
-      else {
-        val maxRows = rows.map(_.getAs[Long]("__cnt")).max.max(1L)
-        require(maxRows <= 10_000_000L,
-          s"a $maxRows-row file's bloom is a ~12 MB aggregation buffer — " +
-            "write smaller data files (or raise bloomFpp) before declaring bloom columns")
-        val bAggs = bloomPresent.map(c => call_function("bloom_agg",
-          bloomKeyHash(col(c), fields(c), c), lit(maxRows), lit(bloomFpp)).as(s"__bl_$c"))
-        df.groupBy(input_file_name().as("__f"))
-          .agg(bAggs.head, bAggs.tail: _*).collect().flatMap { r =>
-            relOf(r.getString(0)).map { rp =>
-              rp -> bloomPresent.map(c => c -> r.getAs[Array[Byte]](s"__bl_$c")).toMap
-            }
-          }.toMap
-      }
+      else rows.flatMap { r =>
+        relOf(r.getString(0)).map { rp =>
+          rp -> bloomPresent.map(c => c -> r.getAs[Array[Byte]](s"__bl_$c")).toMap
+        }
+      }.toMap
     val f = fs(spark, dir)
     relPaths.map { p =>
       val all = bloomsByRel.getOrElse(p, Map.empty)
@@ -1996,11 +2034,10 @@ object SnapshotTable {
         val out = f.create(sidecarBloomPath(dir, p, c), true)
         try out.write(bytes) finally out.close()
       }
-      // a file the grouped count never saw held ZERO rows: the scan
-      // covered exactly relPaths and every row reports its file, so
-      // absence is a proven-empty census, not an unknown — record 0
-      // (which also makes the file prunable under ANY predicate; the
-      // empty seed file CREATE TABLE commits rides this).
+      // row counts are the parquet footers' exact record counts —
+      // a 0 there is a proven-empty census (unconditional prune,
+      // vacuous all-match for DELETE; the empty seed file CREATE
+      // TABLE commits rides this).
       // bytes: one delta-sized getFileStatus per NEW file — planner
       // statistics (auto-broadcast) read it from the manifest forever
       val len = scala.util.Try(
@@ -3938,28 +3975,10 @@ object SnapshotTable {
     keyCols.foreach(c => require(batch.columns.contains(c),
       s"stream upsert on $dir: key column '$c' is not in the batch"))
     checkExpectations(batch, expectations, dir)
-    // ONE aggregate action for the row/key census (guide §2.3: partial
-    // map-side aggregation instead of a distinct().count() shuffle,
-    // and one batch pass instead of two — the micro-batch source would
-    // otherwise be re-read per action)
-    val cnt = batch.agg(count(lit(1)).as("__n"),
-      count_distinct(struct(keyCols.map(col): _*)).as("__k")).head()
-    val nRows = cnt.getLong(0)
-    if (nRows == 0L) {
-      // nothing to upsert; skipping is idempotent — but a pre-staged
-      // zero-row epoch must not leave its empty files behind
-      preStaged.foreach(dropOrphanBatch(spark, dir, _))
-      return None
-    }
-    val nKeys = cnt.getLong(1)
-    require(nRows == nKeys,
-      s"stream upsert on $dir: the batch carries $nRows rows over $nKeys " +
-        s"distinct keys ${keyCols.mkString("(", ",", ")")} — an upsert needs " +
-        "ONE image per key; dedupe the batch (latest-wins is the caller's " +
-        "call, not the table's)")
     var batchFiles: Seq[String] = null
     var keyFiles: Seq[String] = null
     var newEntries: Seq[Entry] = null
+    var nKeys = -1L
     var opsAtWrite: (Seq[Rename], Seq[Drop]) = null
     var attempts = 0
     while (true) {
@@ -3982,12 +4001,34 @@ object SnapshotTable {
         val tableStats = (m.statsCols ++ statsCols).distinct
         val tableBlooms = (m.bloomCols ++ bloomCols).distinct
         batchFiles = preStaged.getOrElse(writeBatch(batch, dir))
-        // the nRows == nKeys require above proved the key projection
-        // is already duplicate-free — writing it verbatim skips a
-        // distinct shuffle per epoch
-        keyFiles = writeBatch(batch.select(keyCols.map(col): _*), dir)
         newEntries = batchEntries(spark, dir, batchFiles, tableStats,
           tableBlooms, m.bloomFpp)
+        // the row census is the entries' footer counts — no aggregate
+        // job; a zero-row epoch must not leave its empty files behind
+        val nRows = newEntries.map(_.rows).sum
+        if (nRows == 0L) {
+          dropOrphanBatch(spark, dir, batchFiles)
+          return None
+        }
+        // key frame + key census in ONE write job (guide §1.2, one
+        // batch pass): the observed distinct both writes the delete's
+        // key frame and yields the exact key count the uniqueness
+        // contract checks — replacing the separate
+        // count/count_distinct aggregate job that re-read the batch
+        val obs = new org.apache.spark.sql.Observation()
+        keyFiles = writeBatch(batch.select(keyCols.map(col): _*)
+          .distinct().observe(obs, count(lit(1)).as("__graft_nkeys")), dir)
+        nKeys = obs.get("__graft_nkeys").asInstanceOf[Long]
+        if (nRows != nKeys) {
+          // contract violation must not leave this call's files behind
+          if (preStaged.isEmpty) dropOrphanBatch(spark, dir, batchFiles)
+          dropOrphanBatch(spark, dir, keyFiles)
+          require(nRows == nKeys,
+            s"stream upsert on $dir: the batch carries $nRows rows over " +
+              s"$nKeys distinct keys ${keyCols.mkString("(", ",", ")")} — " +
+              "an upsert needs ONE image per key; dedupe the batch " +
+              "(latest-wins is the caller's call, not the table's)")
+        }
         opsAtWrite = headOps
       } else require(opsAtWrite == headOps,
         s"stream upsert on $dir raced a column rename/drop — re-run the " +
