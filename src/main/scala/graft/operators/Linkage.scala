@@ -118,24 +118,30 @@ object Linkage {
     // narrow inputs would explode the whole variant fan-out in one
     // task (ScaleProbe measured a 64 MB single-task shuffle write on
     // a one-split scan); wide scans pass through untouched
-    val keyed = Similarity.spread(records)
+    val base = Similarity.spread(records)
       .select(col(idCol).as("_id"), col(strCol).as("_s"))
-      .select(col("_id"), col("_s"),
+    // the candidate stream — the term that grows quadratically with
+    // neighborhood density — carries (hash, id, length), never the
+    // string: the variant join and the pair dedup shuffle 20 bytes/row
+    // where they used to carry both candidate strings, and the strings
+    // are attached exactly once, to the DEDUPED pairs, for the verify
+    // (decide with small rows, move payloads once)
+    val keyed = base
+      .select(col("_id"), length(col("_s")).as("_ln"),
         explode(deletionNeighborhood(col("_s"), maxDist)).as("v"))
-      .select(col("_id"), col("_s"), xxhash64(col("v")).as("vh"))
+      .select(col("_id"), col("_ln"), xxhash64(col("v")).as("vh"))
       .distinct()
-    keyed.as("x")
+    val pairs = keyed.as("x")
       .join(keyed.as("y"), Seq("vh"))
       .filter(col("x._id") < col("y._id"))
-      // cheap length filter ahead of the verify; then dedup candidate
-      // pairs (two records can share MANY variants) before computing
-      // the distance once per pair
-      .filter(
-        abs(length(col("x._s")) - length(col("y._s"))) <= maxDist)
-      .select(
-        col("x._id").as("id_a"), col("y._id").as("id_b"),
-        col("x._s").as("_sa"), col("y._s").as("_sb"))
+      // cheap length filter ahead of the pair dedup (lengths ride the
+      // candidate rows as 4 bytes; ed(a,b) <= k bounds ||a|-|b|| <= k)
+      .filter(abs(col("x._ln") - col("y._ln")) <= maxDist)
+      .select(col("x._id").as("id_a"), col("y._id").as("id_b"))
       .distinct()
+    pairs
+      .join(base.select(col("_id").as("id_a"), col("_s").as("_sa")), Seq("id_a"))
+      .join(base.select(col("_id").as("id_b"), col("_s").as("_sb")), Seq("id_b"))
       // 3-arg levenshtein early-exits past the threshold (returns -1)
       .withColumn("dist", levenshtein(col("_sa"), col("_sb"), maxDist).cast("long"))
       .filter(col("dist") >= 0)
