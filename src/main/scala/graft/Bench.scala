@@ -48,6 +48,11 @@ object Bench {
       // across queries holds paths or collected rows, never a
       // checkpoint-backed frame, so dropping blocks between queries
       // cannot invalidate anything (verified r16).
+      // Methodology disclosure (r16 verdict #2): the expression
+      // kernels' per-task-thread value-keyed memos (HashOps gram/
+      // wordpiece/embed caches) are NOT cleared here — later rows time
+      // with warm memos, which matches steady-state executors; the
+      // isolated A/Bs justifying those kernels pay their own warmup.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       try {
         // noop-format write evaluates every output column; a count()
@@ -107,7 +112,17 @@ object Bench {
     // isolates the operator cost from compile/startup noise.
     var isoLine = ""
     if (only.isEmpty && results.nonEmpty) {
-      val movers = results.sortBy(-_._2._1).take(5).map(_._1)
+      // top-5 movers PLUS a fixed named set (r16 verdict #6): the
+      // movers differ between core-count runs, so the driver's
+      // cross-core scaling block could only intersect 2 streaming
+      // rows; a stable batch-operator set gives every run the same
+      // isolated names to ratio against. Additions-only: the sweep
+      // numbers above are untouched.
+      val fixedIso = Seq("pagerank", "triangle_count", "containment_neardup",
+        "snapshot_spj_dml", "top_revenue_orders", "chunk_embed",
+        "quality_filter_multilang")
+      val movers = (results.sortBy(-_._2._1).take(5).map(_._1) ++
+        fixedIso.filter(n => results.exists(_._1 == n))).distinct
       val iso = movers.flatMap { name =>
         try {
           val times = (1 to 2).map { _ =>

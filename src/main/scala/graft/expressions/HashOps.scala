@@ -641,8 +641,14 @@ object HashOps {
     */
   private final class GramCache(val maxN: Int) {
     val words = new java.util.HashMap[String, Array[UTF8String]]()
+    // accumulated gram BYTES (ADVICE r16: a 32 Ki entry cap alone is
+    // unbounded relative to heap on wide-vocabulary corpora — a long
+    // word's grams are O(L²) bytes); admission stops at whichever
+    // bound trips first, and uncached words recompute bit-identically
+    var bytes = 0L
   }
   private val gramCache = new ThreadLocal[GramCache]
+  private val GramCacheMaxBytes = 8L << 20 // ~8 MB/task thread
 
   /** All character n-grams (1..maxN) of every whitespace word of
     * `text`, in (word order, then n ascending, then position
@@ -705,7 +711,13 @@ object HashOps {
             }
             n += 1
           }
-          if (gc.words.size < 32768) gc.words.put(w, grams)
+          if (gc.words.size < 32768 && gc.bytes < GramCacheMaxBytes) {
+            gc.words.put(w, grams)
+            var gi = 0
+            while (gi < grams.length) {
+              gc.bytes += grams(gi).numBytes() + 16; gi += 1
+            }
+          }
         }
         perWord(wi) = grams
         total += grams.length

@@ -111,12 +111,19 @@ object Incremental {
     def delta(dir: String, from: Long, head: Long): Option[DataFrame] =
       if (from == head) None
       else {
-        val ch = SnapshotTable.changesBetween(spark, dir, from, head)
-        val nonInsert = ch.filter(col("_change") =!= "insert").count()
-        require(nonInsert == 0L,
+        // append-only is a MANIFEST property (file set grew, delete
+        // list unchanged) — answered by changesPath's metadata
+        // classification, not by counting non-insert rows with a Spark
+        // job per side per refresh (guide §1.2: at micro-batch sizes
+        // the job overhead was the cost, and the metadata answer is
+        // stricter: a rewriting commit is refused even when its
+        // content diff happens to be empty)
+        val path = SnapshotTable.changesPath(spark, dir, from, head)
+        require(path == "append",
           s"snapshotJoinIvm needs append-only history in $dir " +
-            s"($from → $head); found $nonInsert non-insert changes")
-        Some(ch.drop("_change"))
+            s"($from → $head); change path is '$path'")
+        Some(SnapshotTable.changesBetween(spark, dir, from, head)
+          .drop("_change"))
       }
     val dR = delta(rDir, rFrom, rTo)
     val dS = delta(sDir, sFrom, sTo)

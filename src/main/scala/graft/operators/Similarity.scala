@@ -969,10 +969,24 @@ object Similarity {
       docs: DataFrame,
       numHashes: Int = 64,
       bands: Int = 16,
-      bucketCap: Int = 1000): DataFrame = {
-    val sh = spread(docs)
+      bucketCap: Int = 1000): DataFrame =
+    minhashNearDupShingled(shingleFrame(docs), numHashes, bands, bucketCap)
+
+  /** The (doc_id, sh) shingle frame every minhash face starts from —
+    * exposed so a caller with SEVERAL consumers of one batch (the
+    * streaming index-dedup loop probes, self-dedups AND appends the
+    * same micro-batch) can compute/persist the CPU-dominant shingling
+    * once instead of once per consumer. */
+  private[graft] def shingleFrame(docs: DataFrame): DataFrame =
+    spread(docs)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
+
+  private[graft] def minhashNearDupShingled(
+      sh: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      bucketCap: Int = 1000): DataFrame = {
     // The signature uses the universal family hᵢ(s) = (aᵢ·h₀(s)+bᵢ)
     // mod p over 31-bit values: the modular wraparound re-scrambles
     // the ORDER of hashes for every i, so the 64 argmins are
@@ -1039,9 +1053,7 @@ object Similarity {
       bands: Int = 16): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sh = spread(docs)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val sh = shingleFrame(docs)
     sh.write.mode("overwrite").parquet(s"$indexDir/shingles")
     // re-read the persisted shingles rather than recomputing them for
     // the band table — shingling is the expensive half of the build
@@ -1064,14 +1076,15 @@ object Similarity {
     * file layout, because signature params come from `meta` and the
     * band table carries no build-time ordering or cap.
     */
-  def appendToMinhashIndex(newDocs: DataFrame, indexDir: String): Unit = {
-    val spark = newDocs.sparkSession
+  def appendToMinhashIndex(newDocs: DataFrame, indexDir: String): Unit =
+    appendToMinhashIndexShingled(shingleFrame(newDocs), indexDir)
+
+  private[graft] def appendToMinhashIndexShingled(
+      sh: DataFrame, indexDir: String): Unit = {
+    val spark = sh.sparkSession
     val meta = spark.read.parquet(s"$indexDir/meta").head()
     val numHashes = meta.getAs[Int]("num_hashes")
     val nBands = meta.getAs[Int]("bands")
-    val sh = spread(newDocs)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
     sh.write.mode("append").parquet(s"$indexDir/shingles")
     sh.select(col("doc_id"), posexplode(
         call_function("minhash_band_keys", col("sh"), lit(numHashes), lit(nBands)))
@@ -1099,14 +1112,17 @@ object Similarity {
   def minhashNearDupFromIndex(
       delta: DataFrame,
       indexDir: String,
+      bucketCap: Int = 1000): DataFrame =
+    minhashNearDupFromIndexShingled(shingleFrame(delta), indexDir, bucketCap)
+
+  private[graft] def minhashNearDupFromIndexShingled(
+      dsh: DataFrame,
+      indexDir: String,
       bucketCap: Int = 1000): DataFrame = {
-    val spark = delta.sparkSession
+    val spark = dsh.sparkSession
     val meta = spark.read.parquet(s"$indexDir/meta").head()
     val numHashes = meta.getAs[Int]("num_hashes")
     val nBands = meta.getAs[Int]("bands")
-    val dsh = spread(delta)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
     val dKeys = dsh.select(col("doc_id"), posexplode(
         call_function("minhash_band_keys", col("sh"), lit(numHashes), lit(nBands)))
         .as(Seq("band", "bkey")))

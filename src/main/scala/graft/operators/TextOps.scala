@@ -647,8 +647,9 @@ object TextOps {
     // from position 0 per gram (O(L²) per word per n) and allocated
     // four intermediate arrays per token row before the flatten.
     // Gram multiset and order are bit-identical by construction
-    // (HashOps.charGrams scaladoc); CharGramsSpec pins equality
-    // against the original column formulation.
+    // (HashOps.charGrams scaladoc); TextSketchSpec's "char_grams:
+    // kernel equals the column formulation" pins equality against the
+    // original column formulation.
     val counts = docs
       .select(explode(call_function("char_grams",
         col("text"), lit(maxNgram))).as("unit"))

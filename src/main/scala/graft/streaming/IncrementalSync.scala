@@ -458,16 +458,23 @@ object IncrementalSync {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = batch.persist() // three consumers per batch
+        val b = batch.persist() // two consumers: id list + shingling
+        // shingling + signing is the CPU-dominant per-doc work, and the
+        // batch has THREE shingle consumers (index probe, within-batch
+        // dedup, index append) — compute the shingle frame ONCE and
+        // share it (guide §1.2: don't compute things twice); the cached
+        // frame is batch-sized and freed before the next micro-batch
+        val bsh = graft.operators.Similarity.shingleFrame(b).persist()
         try {
           val indexed = graft.sources.Sinks.exists(s"$indexDir/meta")
           val vsIndex =
             if (indexed)
-              graft.operators.Similarity.minhashNearDupFromIndex(b, indexDir)
+              graft.operators.Similarity
+                .minhashNearDupFromIndexShingled(bsh, indexDir)
                 .select(col("doc_b").as("doc_id"))
             else b.sparkSession.emptyDataFrame
               .withColumn("doc_id", lit(0L)).limit(0)
-          val within = graft.operators.Similarity.minhashNearDup(b)
+          val within = graft.operators.Similarity.minhashNearDupShingled(bsh)
             .select(col("doc_b").as("doc_id"))
           val dups = vsIndex.unionByName(within).distinct()
             .withColumn("_d", lit(1))
@@ -475,9 +482,10 @@ object IncrementalSync {
             .join(dups, Seq("doc_id"), "left")
             .select(col("doc_id"), col("_d").isNotNull.as("is_dup"))
             .write.mode("append").parquet(targetDir)
-          if (indexed) graft.operators.Similarity.appendToMinhashIndex(b, indexDir)
+          if (indexed)
+            graft.operators.Similarity.appendToMinhashIndexShingled(bsh, indexDir)
           else graft.operators.Similarity.buildMinhashIndex(b, indexDir)
-        } finally { b.unpersist(); () }
+        } finally { bsh.unpersist(); b.unpersist(); () }
       }
       .start()
 
