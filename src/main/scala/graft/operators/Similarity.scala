@@ -491,7 +491,7 @@ object Similarity {
 
   /** The persisted codebooks, reloaded: (subspace → code → centroid).
     * Bounded — numSub·ncodes rows, kilobytes. */
-  private def loadCodebooks(
+  private[graft] def loadCodebooks(
       spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Seq[Seq[Seq[Double]]] =
     spark.read.parquet(s"$indexDir/codebooks")
@@ -513,9 +513,17 @@ object Similarity {
     * codebooks — the pq_index_append driver row states that parity
     * through the cold query path.
     */
-  def appendToPqIndex(newVecs: DataFrame, indexDir: String): Unit = {
-    val spark = newVecs.sparkSession
-    val cbs = loadCodebooks(spark, indexDir)
+  def appendToPqIndex(newVecs: DataFrame, indexDir: String): Unit =
+    appendToPqIndexAt(newVecs, indexDir,
+      loadCodebooks(newVecs.sparkSession, indexDir))
+
+  /** appendToPqIndex with the codebook load hoisted out: `cbs` MUST be
+    * loadCodebooks(indexDir) — the codebooks are the index's frozen
+    * identity, so a caller appending MANY batches (the streaming
+    * ingest loop) loads them once instead of once per batch. */
+  private[graft] def appendToPqIndexAt(
+      newVecs: DataFrame, indexDir: String,
+      cbs: Seq[Seq[Seq[Double]]]): Unit = {
     val sub = cbs.head.head.size
     val dim = cbs.size * sub
     val e = spread(newVecs)
@@ -982,11 +990,15 @@ object Similarity {
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
 
-  private[graft] def minhashNearDupShingled(
-      sh: DataFrame,
-      numHashes: Int = 64,
-      bands: Int = 16,
-      bucketCap: Int = 1000): DataFrame = {
+  /** The (doc_id, band, bkey) banded-signature frame of a shingle
+    * frame — the signing pass every minhash face runs. Exposed (like
+    * shingleFrame) so a caller with several consumers of ONE batch
+    * (the streaming dedup loop probes, self-dedups AND appends the
+    * same micro-batch) can sign once instead of once per consumer:
+    * signing is 64 hash passes over every shingle, the CPU-dominant
+    * half after shingling itself. */
+  private[graft] def bandKeyFrame(
+      sh: DataFrame, numHashes: Int, bands: Int): DataFrame =
     // The signature uses the universal family hᵢ(s) = (aᵢ·h₀(s)+bᵢ)
     // mod p over 31-bit values: the modular wraparound re-scrambles
     // the ORDER of hashes for every i, so the 64 argmins are
@@ -997,11 +1009,25 @@ object Similarity {
     // (MinHashBandKeys): split across two projections, CollapseProject
     // inlines the signature into the per-band lambda and recomputes it
     // 16× per row; interpreted HOFs made that 90 s/query at sf0.1.
-    val m = sh
-      .select(col("doc_id"), posexplode(
+    sh.select(col("doc_id"), posexplode(
         call_function("minhash_band_keys", col("sh"), lit(numHashes), lit(bands)))
         .as(Seq("band", "bkey")))
-    val capped = capBuckets(m, Seq("band", "bkey"), bucketCap)
+
+  private[graft] def minhashNearDupShingled(
+      sh: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      bucketCap: Int = 1000): DataFrame =
+    minhashNearDupKeyed(sh, bandKeyFrame(sh, numHashes, bands), bucketCap)
+
+  /** minhashNearDupShingled with the signing pass hoisted out: `keys`
+    * MUST be bandKeyFrame(sh, ...) — same frame, same params (the
+    * caller shares one signed frame across consumers). */
+  private[graft] def minhashNearDupKeyed(
+      sh: DataFrame,
+      keys: DataFrame,
+      bucketCap: Int = 1000): DataFrame = {
+    val capped = capBuckets(keys, Seq("band", "bkey"), bucketCap)
     val cand = capped.as("x")
       .join(capped.as("y"), Seq("band", "bkey"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -1052,15 +1078,26 @@ object Similarity {
       numHashes: Int = 64,
       bands: Int = 16): Unit = {
     val spark = docs.sparkSession
-    import spark.implicits._
     val sh = shingleFrame(docs)
     sh.write.mode("overwrite").parquet(s"$indexDir/shingles")
     // re-read the persisted shingles rather than recomputing them for
     // the band table — shingling is the expensive half of the build
-    spark.read.parquet(s"$indexDir/shingles")
-      .select(col("doc_id"), posexplode(
-        call_function("minhash_band_keys", col("sh"), lit(numHashes), lit(bands)))
-        .as(Seq("band", "bkey")))
+    buildMinhashIndexFromShingles(
+      spark.read.parquet(s"$indexDir/shingles"), indexDir, numHashes, bands)
+  }
+
+  /** The build's back half — band table + meta from an ALREADY
+    * materialized shingle frame (the persisted parquet above, or the
+    * streaming dedup loop's per-batch cached frame, which would
+    * otherwise re-shingle the whole batch just to sign it). */
+  private[graft] def buildMinhashIndexFromShingles(
+      sh: DataFrame,
+      indexDir: String,
+      numHashes: Int = 64,
+      bands: Int = 16): Unit = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    bandKeyFrame(sh, numHashes, bands)
       .write.mode("overwrite").parquet(s"$indexDir/bands")
     Seq((numHashes, bands)).toDF("num_hashes", "bands")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
@@ -1085,11 +1122,17 @@ object Similarity {
     val meta = spark.read.parquet(s"$indexDir/meta").head()
     val numHashes = meta.getAs[Int]("num_hashes")
     val nBands = meta.getAs[Int]("bands")
+    appendToMinhashIndexKeyed(sh, bandKeyFrame(sh, numHashes, nBands), indexDir)
+  }
+
+  /** appendToMinhashIndexShingled with the signing pass hoisted out:
+    * `keys` MUST be bandKeyFrame(sh, ...) at the INDEX's own meta
+    * params — the caller (the streaming dedup loop) read them to sign
+    * once for probe + append. */
+  private[graft] def appendToMinhashIndexKeyed(
+      sh: DataFrame, keys: DataFrame, indexDir: String): Unit = {
     sh.write.mode("append").parquet(s"$indexDir/shingles")
-    sh.select(col("doc_id"), posexplode(
-        call_function("minhash_band_keys", col("sh"), lit(numHashes), lit(nBands)))
-        .as(Seq("band", "bkey")))
-      .write.mode("append").parquet(s"$indexDir/bands")
+    keys.write.mode("append").parquet(s"$indexDir/bands")
   }
 
   /** Near-dup pairs between a DELTA batch and the PERSISTED index:
@@ -1123,9 +1166,19 @@ object Similarity {
     val meta = spark.read.parquet(s"$indexDir/meta").head()
     val numHashes = meta.getAs[Int]("num_hashes")
     val nBands = meta.getAs[Int]("bands")
-    val dKeys = dsh.select(col("doc_id"), posexplode(
-        call_function("minhash_band_keys", col("sh"), lit(numHashes), lit(nBands)))
-        .as(Seq("band", "bkey")))
+    minhashNearDupFromIndexKeyed(
+      dsh, bandKeyFrame(dsh, numHashes, nBands), indexDir, bucketCap)
+  }
+
+  /** minhashNearDupFromIndexShingled with the signing pass hoisted
+    * out: `dKeys` MUST be bandKeyFrame(dsh, ...) at the index's own
+    * meta params. */
+  private[graft] def minhashNearDupFromIndexKeyed(
+      dsh: DataFrame,
+      dKeys: DataFrame,
+      indexDir: String,
+      bucketCap: Int = 1000): DataFrame = {
+    val spark = dsh.sparkSession
     // restrict the index to the delta's probed buckets BEFORE the cap
     // window: restriction takes whole buckets, so cap-after-restrict
     // keeps exactly the docs cap-before-restrict would — but the

@@ -3976,7 +3976,6 @@ object SnapshotTable {
       s"stream upsert on $dir: key column '$c' is not in the batch"))
     checkExpectations(batch, expectations, dir)
     var batchFiles: Seq[String] = null
-    var keyFiles: Seq[String] = null
     var newEntries: Seq[Entry] = null
     var nKeys = -1L
     var opsAtWrite: (Seq[Rename], Seq[Drop]) = null
@@ -3993,7 +3992,6 @@ object SnapshotTable {
       if (streamKey.exists(m.ledger.containsKey)) {
         if (batchFiles != null) dropOrphanBatch(spark, dir, batchFiles)
         else preStaged.foreach(dropOrphanBatch(spark, dir, _))
-        if (keyFiles != null) dropOrphanBatch(spark, dir, keyFiles)
         return None
       }
       val headOps = (m.renames, m.drops)
@@ -4010,19 +4008,25 @@ object SnapshotTable {
           dropOrphanBatch(spark, dir, batchFiles)
           return None
         }
-        // key frame + key census in ONE write job (guide §1.2, one
-        // batch pass): the observed distinct both writes the delete's
-        // key frame and yields the exact key count the uniqueness
-        // contract checks — replacing the separate
-        // count/count_distinct aggregate job that re-read the batch
-        val obs = new org.apache.spark.sql.Observation()
-        keyFiles = writeBatch(batch.select(keyCols.map(col): _*)
-          .distinct().observe(obs, count(lit(1)).as("__graft_nkeys")), dir)
-        nKeys = obs.get("__graft_nkeys").asInstanceOf[Long]
+        // the epoch's own committed files ARE the delete's key frame:
+        // one image per key (checked right here) means their key
+        // columns hold exactly the doomed keys, and every reader of a
+        // delete's paths already column-prunes to keyCols and
+        // distincts — so a second key-only write would duplicate both
+        // the I/O and the storage and double the epoch's file count
+        // for nothing. Sequence scoping keeps it sound: the delete
+        // (seq = next) applies only to entries with seq < next, never
+        // to the files it names. The uniqueness census is one
+        // column-pruned aggregate over the just-written files
+        // (count_distinct of the key STRUCT matches distinct().count()
+        // bit-for-bit — a struct with null fields is itself non-null,
+        // so null keys count exactly as row-distinct did).
+        nKeys = spark.read.parquet(batchFiles.map(p => resolve(dir, p)): _*)
+          .agg(count_distinct(struct(keyCols.map(col): _*)).as("k"))
+          .head().getLong(0)
         if (nRows != nKeys) {
           // contract violation must not leave this call's files behind
           if (preStaged.isEmpty) dropOrphanBatch(spark, dir, batchFiles)
-          dropOrphanBatch(spark, dir, keyFiles)
           require(nRows == nKeys,
             s"stream upsert on $dir: the batch carries $nRows rows over " +
               s"$nKeys distinct keys ${keyCols.mkString("(", ",", ")")} — " +
@@ -4043,12 +4047,10 @@ object SnapshotTable {
           bloomFpp = m.bloomFpp,
           deletes =
             if (m.entries.isEmpty) m.deletes // no prior files to doom
-            else m.deletes :+ DeleteFile(keyFiles, keyCols, next, nKeys),
+            else m.deletes :+ DeleteFile(batchFiles, keyCols, next, nKeys),
           renames = m.renames, drops = m.drops, adds = m.adds),
-        carry = m.segments)) {
-        if (m.entries.isEmpty) dropOrphanBatch(spark, dir, keyFiles)
+        carry = m.segments))
         return Some(next)
-      }
     }
     None // unreachable
   }

@@ -453,29 +453,53 @@ object IncrementalSync {
       docs: DataFrame,
       indexDir: String,
       targetDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String): StreamingQuery = {
+    // the signature params are the index's frozen identity (meta is
+    // written once at build, never rewritten) — read them once and
+    // carry them across micro-batches in the sink's own state
+    var params: (Int, Int) = null
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.operators.Similarity
         val b = batch.persist() // two consumers: id list + shingling
         // shingling + signing is the CPU-dominant per-doc work, and the
         // batch has THREE shingle consumers (index probe, within-batch
-        // dedup, index append) — compute the shingle frame ONCE and
-        // share it (guide §1.2: don't compute things twice); the cached
-        // frame is batch-sized and freed before the next micro-batch
-        val bsh = graft.operators.Similarity.shingleFrame(b).persist()
+        // dedup, index append) — compute the shingle frame ONCE and the
+        // banded-signature frame ONCE (guide §1.2: don't compute things
+        // twice; signing is 64 hash passes over every shingle and all
+        // three consumers re-ran it); both caches are batch-sized and
+        // freed before the next micro-batch
+        val bsh = Similarity.shingleFrame(b).persist()
+        val s = b.sparkSession
+        val indexed = graft.sources.Sinks.exists(s"$indexDir/meta")
+        // sign at the index's OWN params (both probe and append must);
+        // a fresh index is built at the defaults the within-dedup uses
+        val (nh, nb) =
+          if (indexed) {
+            if (params == null) {
+              val m = s.read.parquet(s"$indexDir/meta").head()
+              params = (m.getAs[Int]("num_hashes"), m.getAs[Int]("bands"))
+            }
+            params
+          } else (64, 16)
+        val keys = Similarity.bandKeyFrame(bsh, nh, nb).persist()
         try {
-          val indexed = graft.sources.Sinks.exists(s"$indexDir/meta")
           val vsIndex =
             if (indexed)
-              graft.operators.Similarity
-                .minhashNearDupFromIndexShingled(bsh, indexDir)
+              Similarity.minhashNearDupFromIndexKeyed(bsh, keys, indexDir)
                 .select(col("doc_b").as("doc_id"))
-            else b.sparkSession.emptyDataFrame
+            else s.emptyDataFrame
               .withColumn("doc_id", lit(0L)).limit(0)
-          val within = graft.operators.Similarity.minhashNearDupShingled(bsh)
-            .select(col("doc_b").as("doc_id"))
+          // the within-batch dedup is CONTRACTUALLY at (64, 16); reuse
+          // the shared signed frame only when the index params agree
+          // (always true for an index this loop itself built)
+          val within =
+            (if ((nh, nb) == (64, 16))
+               Similarity.minhashNearDupKeyed(bsh, keys)
+             else Similarity.minhashNearDupShingled(bsh))
+              .select(col("doc_b").as("doc_id"))
           val dups = vsIndex.unionByName(within).distinct()
             .withColumn("_d", lit(1))
           b.select("doc_id")
@@ -483,11 +507,18 @@ object IncrementalSync {
             .select(col("doc_id"), col("_d").isNotNull.as("is_dup"))
             .write.mode("append").parquet(targetDir)
           if (indexed)
-            graft.operators.Similarity.appendToMinhashIndexShingled(bsh, indexDir)
-          else graft.operators.Similarity.buildMinhashIndex(b, indexDir)
-        } finally { bsh.unpersist(); b.unpersist(); () }
+            Similarity.appendToMinhashIndexKeyed(bsh, keys, indexDir)
+          else {
+            // the build's front half (shingling) is already cached —
+            // write it and derive bands from the SAME frames instead of
+            // re-shingling the whole batch through buildMinhashIndex
+            bsh.write.mode("overwrite").parquet(s"$indexDir/shingles")
+            Similarity.buildMinhashIndexFromShingles(bsh, indexDir, nh, nb)
+          }
+        } finally { keys.unpersist(); bsh.unpersist(); b.unpersist(); () }
       }
       .start()
+  }
 
   /** Streaming maintenance of the quantized-frequency quantile
     * sketches (Sketches.quantileMaintenance's per-day table): each
@@ -538,20 +569,30 @@ object IncrementalSync {
       indexDir: String,
       checkpointDir: String,
       numSub: Int = 16,
-      ncodes: Int = 32): StreamingQuery =
+      ncodes: Int = 32): StreamingQuery = {
+    // the codebooks are the index's frozen identity — load them once
+    // and carry them across micro-batches in the sink's own state
+    // instead of re-reading + collecting kilobytes per batch (pure
+    // driver/job overhead at micro-batch sizes; a replay re-reads the
+    // same immutable values, so the carry cannot go stale)
+    var cbs: Seq[Seq[Seq[Double]]] = null
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (graft.sources.Sinks.exists(s"$indexDir/codebooks"))
+        if (graft.sources.Sinks.exists(s"$indexDir/codebooks")) {
           // append derives the geometry from the persisted codebooks
-          graft.operators.Similarity.appendToPqIndex(batch, indexDir)
-        else
+          if (cbs == null)
+            cbs = graft.operators.Similarity.loadCodebooks(
+              batch.sparkSession, indexDir)
+          graft.operators.Similarity.appendToPqIndexAt(batch, indexDir, cbs)
+        } else
           graft.operators.Similarity.buildPqIndex(batch, indexDir,
             numSub = numSub, ncodes = ncodes)
         ()
       }
       .start()
+  }
 
   /** Streaming staged-contacts sync: watch `srcDir` for new JSON
     * batches, shred each micro-batch, and insert-only-merge it into
